@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access for the driver-generated parquet star schema (TESTDATA.md).
+  *
+  * Mirrors the reference's universal ingest entry point
+  * (`tech.v3.dataset.io/->dataset`, reference src/tech/v3/dataset/io.clj:123-263)
+  * restricted to the formats Spark reads natively. All scans are plain
+  * `spark.read.parquet` so Catalyst gets column pruning + filter pushdown for
+  * free — at 100 TB the scan IS the query cost, so nothing may sit between the
+  * logical plan and the FileScan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Small dimension tables that should always be broadcast in joins. */
+  val smallDims: Set[String] = Set("region", "nation", "supplier", "part", "customer")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // The events table stores ts as parquet TIMESTAMP(NANOS), which Spark's
+      // vectorized reader rejects. Read nanos as long (legacy conf), then
+      // convert to a microsecond TimestampType column (the generator's values
+      // are µs-precision, so the floor division is lossless).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          (org.apache.spark.sql.functions.col("ts") /
+            org.apache.spark.sql.functions.lit(1000L)).cast("long")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+}

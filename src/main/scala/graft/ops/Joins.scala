@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join surface. The reference implements ONE algorithm — a single-JVM parallel
+  * hash join (reference src/tech/v3/dataset/join.clj:204-266) — plus a sorted
+  * merge-scan as-of join (join.clj:615-799). On Spark the equi joins are pure
+  * declarations (Catalyst picks broadcast / shuffled-hash / sort-merge, AQE
+  * re-plans at runtime), so the only algorithmic work here is the as-of join.
+  */
+object Joins {
+
+  /** Column-collision handling: the reference prefixes right-side duplicates
+    * with "right." (nice-column-names, join.clj:66-100). */
+  def prefixCollisions(left: DataFrame, right: DataFrame,
+                       exclude: Set[String] = Set.empty): DataFrame = {
+    val dup = right.columns.toSet.intersect(left.columns.toSet) -- exclude
+    dup.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"right.$c"))
+  }
+
+  /** pd-merge (reference join.clj:376-579): pandas-style multi-column merge.
+    * `:outer` → "full"; shared key columns are deduplicated via the
+    * usingColumns join form, exactly like pandas `on=`. */
+  def pdMerge(left: DataFrame, right: DataFrame, on: Seq[String],
+              how: String = "inner"): DataFrame = {
+    val sparkHow = how match {
+      case "outer" => "full"
+      case h => h
+    }
+    if (sparkHow == "cross") left.crossJoin(right)
+    else left.join(right, on, sparkHow)
+  }
+
+  /** hash-join with distinct lhs/rhs key names (join.clj:308-347): collision
+    * columns on the right get the `right.` prefix. Small right sides should be
+    * wrapped in broadcast() by the caller; Catalyst/AQE otherwise decides. */
+  def keyJoin(left: DataFrame, right: DataFrame, leftOn: Seq[String],
+              rightOn: Seq[String], how: String = "inner"): DataFrame = {
+    val r = prefixCollisions(left, right, exclude = rightOn.toSet -- leftOn.toSet)
+    val cond = leftOn.zip(rightOn).map { case (l, rn) =>
+      val rcol = if (r.columns.contains(rn)) r(rn) else r(s"right.$rn")
+      left(l) === rcol
+    }.reduce(_ && _)
+    left.join(r, cond, how)
+  }
+
+  sealed trait AsofDirection
+  /** match the greatest right time ≤ (or < if strict) left time — reference op `:<=` / `:<` */
+  case object Backward extends AsofDirection
+  /** match the smallest right time ≥ (or > if strict) left time — reference op `:>=` / `:>` */
+  case object Forward extends AsofDirection
+  /** match the closest right time either side — reference op `:nearest` */
+  case object Nearest extends AsofDirection
+
+  /** left-join-asof (reference join.clj:747-799; merge scans :615-744).
+    *
+    * Scale-first design — NOT the reference's two-pointer scan (which assumes
+    * both tables sorted in one memory space). Instead: union both sides tagged,
+    * then a single hash-partition shuffle on the `by` keys + one within-
+    * partition sort on (by, t), then `last(value, ignoreNulls)` over the
+    * running window carries the most recent right-side match onto each left
+    * row. One shuffle, no join explosion, no driver involvement; survives any
+    * skew AQE can split. With no `by` keys the window is global — callers get
+    * a documented single-reducer warning case, same as any global sort.
+    *
+    * Right payload columns come back null when no match exists (left join
+    * padding, reference finalize-join-result join.clj:137-201).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, leftTime: String,
+               rightTime: String, by: Seq[(String, String)] = Seq.empty,
+               direction: AsofDirection = Backward,
+               allowExactMatch: Boolean = true): DataFrame = {
+    direction match {
+      case Backward => asofDirectional(left, right, leftTime, rightTime, by,
+        forward = false, allowExactMatch)
+      case Forward => asofDirectional(left, right, leftTime, rightTime, by,
+        forward = true, allowExactMatch)
+      case Nearest =>
+        val b = asofDirectional(left, right, leftTime, rightTime, by,
+          forward = false, allowExact = true)
+        val f = asofDirectional(left, right, leftTime, rightTime, by,
+          forward = true, allowExact = true)
+        nearestOf(left, b, f, leftTime, rightTime, right.columns.toSeq, by)
+    }
+  }
+
+  private def payloadCols(left: DataFrame, right: DataFrame,
+                          rightTime: String, by: Seq[(String, String)]): Seq[String] = {
+    val byRight = by.map(_._2).toSet
+    right.columns.filterNot(byRight.contains).toSeq
+  }
+
+  private def asofDirectional(left: DataFrame, right: DataFrame,
+                              leftTime: String, rightTime: String,
+                              by: Seq[(String, String)], forward: Boolean,
+                              allowExact: Boolean): DataFrame = {
+    val payload = payloadCols(left, right, rightTime, by)
+    val outPayload = payload.map(c =>
+      if (left.columns.contains(c)) s"right.$c" else c)
+
+    // Tag and align the two sides into one schema:
+    //   __t (time in micros/raw), __side (0=right so it sorts before left on
+    //   ties when exact matches are allowed), left cols, payload cols.
+    val lTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .select(Seq(col("__t"), col("__side")) ++
+        left.columns.map(col) ++
+        payload.zip(outPayload).map { case (_, o) => lit(null).as(o) }: _*)
+
+    val byLeftNames = by.map(_._1)
+    val rTagged = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .select(Seq(col("__t"), col("__side")) ++
+        by.map { case (ln, rn) => col(rn).as(ln) } ++
+        left.columns.filterNot(byLeftNames.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.zip(outPayload).map { case (p, o) => col(p).as(o) }: _*)
+
+    val unioned = lTagged.unionByName(rTagged)
+
+    // Sort key: ascending for backward, descending for forward (so "last seen"
+    // is always the directional match). Tie order: when exact matches count,
+    // right rows must come first (side 0 asc / side 1 desc keeps right first
+    // in both directions); when strict, left rows first.
+    val tAsc = !forward
+    val tCol = if (tAsc) col("__t").asc else col("__t").desc
+    val sideCol =
+      if (allowExact) { if (tAsc) col("__side").asc else col("__side").asc }
+      else col("__side").desc
+    val w = Window
+      .partitionBy(byLeftNames.map(col): _*)
+      .orderBy(tCol, sideCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = outPayload.foldLeft(unioned) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__t", "__side")
+  }
+
+  /** Combine backward+forward results into :nearest (join.clj:716-744):
+    * re-join the two directional results on a synthetic row id and keep the
+    * payload whose |Δt| is smaller (backward wins ties, like the reference's
+    * `<=` comparison on distances). */
+  private def nearestOf(left: DataFrame, back: DataFrame, fwd: DataFrame,
+                        leftTime: String, rightTime: String,
+                        rightCols: Seq[String], by: Seq[(String, String)]): DataFrame = {
+    val payload = rightCols.filterNot(by.map(_._2).toSet.contains)
+    val outPayload = payload.map(c => if (left.columns.contains(c)) s"right.$c" else c)
+    val rt = outPayload.find(c => c == rightTime || c == s"right.$rightTime")
+      .getOrElse(outPayload.head)
+
+    val key = left.columns.map(col) // left rows are unique per original row? not guaranteed
+    // Safe pairing: both directional outputs preserve one output row per left
+    // row; add identical ordering + zip via row_number over all left columns.
+    val ord = left.columns.map(col)
+    val wOrd = Window.orderBy(ord: _*)
+    val b = back.withColumn("__rid", row_number().over(wOrd))
+    val f0 = fwd.withColumn("__rid", row_number().over(wOrd))
+    val f = f0.select(col("__rid") +: outPayload.map(c => col(c).as(s"__f_$c")): _*)
+    val j = b.join(f, "__rid")
+
+    val lt = col(leftTime).cast("double")
+    val dbk = abs(lt - col(rt).cast("double"))
+    val dfw = abs(lt - col(s"__f_$rt").cast("double"))
+    val useB = col(rt).isNotNull && (col(s"__f_$rt").isNull || dbk <= dfw)
+    val resolved = outPayload.foldLeft(j) { (d, c) =>
+      d.withColumn(c, when(useB, col(c)).otherwise(col(s"__f_$c")))
+    }
+    resolved.drop("__rid").drop(outPayload.map(c => s"__f_$c"): _*)
+  }
+}

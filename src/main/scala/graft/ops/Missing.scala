@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Missing-data engine: the reference's replace-missing strategies
+  * (reference src/tech/v3/dataset/missing.clj:209-293) on SQL-null semantics.
+  *
+  * TMD operates on positional row order; a distributed table has no implicit
+  * order, so every directional strategy takes explicit ordering columns
+  * (callers pass the natural key, e.g. event time). Each strategy is a window
+  * computation: one shuffle on the partition keys, no collect.
+  */
+object Missing {
+
+  /** drop-missing (reference base.clj:435-441). */
+  def dropMissing(df: DataFrame, cols: Seq[String] = Seq.empty): DataFrame =
+    if (cols.isEmpty) df.na.drop() else df.na.drop(cols)
+
+  /** select-missing (reference base.clj:443-446). */
+  def selectMissing(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.filter(cols.map(c => col(c).isNull).reduce(_ || _))
+
+  /** replace-missing :value (missing.clj:268-273). */
+  def fillValue(df: DataFrame, values: Map[String, Any]): DataFrame =
+    df.na.fill(values)
+
+  private def wDown(order: Seq[Column], part: Seq[Column]) =
+    Window.partitionBy(part: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  private def wUp(order: Seq[Column], part: Seq[Column]) =
+    Window.partitionBy(part: _*).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+  /** :down — carry last valid value forward (missing.clj:218-231). */
+  def fillDown(df: DataFrame, c: String, order: Seq[Column],
+               part: Seq[Column] = Seq.empty): DataFrame =
+    df.withColumn(c, coalesce(col(c),
+      last(col(c), ignoreNulls = true).over(wDown(order, part))))
+
+  /** :up — carry next valid value backward (missing.clj:233-243). */
+  def fillUp(df: DataFrame, c: String, order: Seq[Column],
+             part: Seq[Column] = Seq.empty): DataFrame =
+    df.withColumn(c, coalesce(col(c),
+      first(col(c), ignoreNulls = true).over(wUp(order, part))))
+
+  /** :downup / :updown (missing.clj:245-255). */
+  def fillDownUp(df: DataFrame, c: String, order: Seq[Column],
+                 part: Seq[Column] = Seq.empty): DataFrame =
+    df.withColumn(c, coalesce(col(c),
+      last(col(c), ignoreNulls = true).over(wDown(order, part)),
+      first(col(c), ignoreNulls = true).over(wUp(order, part))))
+
+  def fillUpDown(df: DataFrame, c: String, order: Seq[Column],
+                 part: Seq[Column] = Seq.empty): DataFrame =
+    df.withColumn(c, coalesce(col(c),
+      first(col(c), ignoreNulls = true).over(wUp(order, part)),
+      last(col(c), ignoreNulls = true).over(wDown(order, part))))
+
+  /** :lerp — linear interpolation between the surrounding valid values over an
+    * index column (missing.clj:163-189). :midpoint is lerp with t=0.5
+    * (missing.clj:186). Falls back to nearest edge value at the boundaries,
+    * like the reference's :downup tail behavior. */
+  def fillLerp(df: DataFrame, c: String, idx: Column,
+               part: Seq[Column] = Seq.empty, midpoint: Boolean = false): DataFrame = {
+    val down = wDown(Seq(idx.asc), part)
+    val up = wUp(Seq(idx.asc), part)
+    val pv = last(col(c), ignoreNulls = true).over(down)
+    val px = last(when(col(c).isNotNull, idx), ignoreNulls = true).over(down)
+    val nv = first(col(c), ignoreNulls = true).over(up)
+    val nx = first(when(col(c).isNotNull, idx), ignoreNulls = true).over(up)
+    val t =
+      if (midpoint) lit(0.5)
+      else (idx.cast("double") - px.cast("double")) /
+        (nx.cast("double") - px.cast("double"))
+    val interp = pv + (nv - pv) * t
+    df.withColumn(c,
+      when(col(c).isNotNull, col(c))
+        .when(pv.isNotNull && nv.isNotNull, interp)
+        .otherwise(coalesce(pv, nv)))
+  }
+
+  /** :nearest — value from the closest valid neighbor by index distance
+    * (missing.clj:256-261); ties go down(previous), like the reference. */
+  def fillNearest(df: DataFrame, c: String, idx: Column,
+                  part: Seq[Column] = Seq.empty): DataFrame = {
+    val down = wDown(Seq(idx.asc), part)
+    val up = wUp(Seq(idx.asc), part)
+    val pv = last(col(c), ignoreNulls = true).over(down)
+    val px = last(when(col(c).isNotNull, idx), ignoreNulls = true).over(down)
+    val nv = first(col(c), ignoreNulls = true).over(up)
+    val nx = first(when(col(c).isNotNull, idx), ignoreNulls = true).over(up)
+    val dp = abs(idx.cast("double") - px.cast("double"))
+    val dn = abs(nx.cast("double") - idx.cast("double"))
+    df.withColumn(c,
+      when(col(c).isNotNull, col(c))
+        .when(pv.isNotNull && (nv.isNull || dp <= dn), pv)
+        .otherwise(nv))
+  }
+
+  /** fill-range-replace (reference src/tech/v3/dataset/math.clj:160-232):
+    * densify a numeric axis so consecutive gaps are ≤ maxSpan, then other
+    * columns can be imputed. sequence() + explode generates the grid
+    * distributively; the original rows are preserved exactly. */
+  def fillRange(df: DataFrame, axis: String, maxSpan: Double): DataFrame = {
+    val w = Window.orderBy(col(axis))
+    val nxt = lead(col(axis), 1).over(w)
+    // per-gap: number of inserted points so every step ≤ maxSpan
+    val steps = ceil((nxt - col(axis)) / lit(maxSpan)).cast("int")
+    val inserted = df
+      .withColumn("__next", nxt)
+      .filter(col("__next").isNotNull && col("__next") - col(axis) > lit(maxSpan))
+      .withColumn("__k", explode(sequence(lit(1), steps - 1)))
+      .select((col(axis) + (col("__next") - col(axis)) * col("__k") / steps.cast("double")).as(axis))
+    val padded = df.columns.filterNot(_ == axis).foldLeft(inserted)(
+      (d, c) => d.withColumn(c, lit(null).cast(df.schema(c).dataType)))
+    df.unionByName(padded.select(df.columns.map(col): _*)).orderBy(col(axis))
+  }
+}

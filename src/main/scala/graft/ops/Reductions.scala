@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregation surface: the reference's out-of-core reducer framework
+  * (`tech.v3.dataset.reductions`, reference src/tech/v3/dataset/reductions.clj)
+  * re-expressed as `groupBy().agg()` — Spark's partial (map-side) + final
+  * aggregation is the same init/reduce/merge/finalize contract the reference
+  * implements by hand over a ConcurrentHashMap (reductions.clj:463-481), but it
+  * distributes across executors and spills.
+  *
+  * Determinism note (engine policy, SURVEY §7.4): double summation is
+  * order-dependent, and Spark's merge order is nondeterministic across runs and
+  * cluster sizes. Any aggregate we promise to be reproducible (and oracle-
+  * comparable) is routed through exact decimal accumulation (`dsum`) and only
+  * converted to double at the end. This also matches the reference's intent
+  * with Kahan compensated summation (reductions.clj:107-113) — better-than-
+  * naive floating point, at scale, for free inside Tungsten's decimal sum.
+  */
+object Reductions {
+
+  /** Exact sum of a (≤ `scale`-decimal) double column, returned as a
+    * deterministic double. Reference: Kahan `sum` reductions.clj:107-113. */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
+
+  /** Deterministic mean via exact decimal sum / count.
+    * Reference: `mean` reductions.clj:116-125. */
+  def dmean(c: Column, scale: Int = 4): Column =
+    dsum(c, scale) / count(c)
+
+  /** Scaled-integer exact sum: floor(x·10^d) summed as exact integers in
+    * decimal, then scaled back in double. Unlike a direct double→decimal cast
+    * (whose round-half behavior differs between engines and ties surprisingly
+    * often once the double's ulp exceeds 10^-scale), floor is exact on the
+    * binary value, so the result is bit-identical on ANY engine. Use for
+    * full-precision doubles and products; `dsum` remains for ≤scale-decimal
+    * data where the cast is exact. */
+  def isum(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    sum(floor(c * lit(p)).cast(DecimalType(30, 0))).cast(DoubleType) / lit(p)
+  }
+
+  /** Deterministic variance/stddev via exact sums of x and x² (products of
+    * 2-decimal inputs stay exact at scale 8). Population variant matches
+    * DuckDB var_pop. Reference: rolling variance rolling.clj:17-73. */
+  def dvarPop(c: Column, scale: Int = 8): Column = {
+    val n = count(c).cast(DoubleType)
+    val sx = dsum(c, scale)
+    val sxx = dsum(c * c, scale)
+    (sxx - sx * sx / n) / n
+  }
+
+  def dstddevPop(c: Column, scale: Int = 8): Column = sqrt(dvarPop(c, scale))
+
+  /** Deterministic Pearson correlation from exact component sums.
+    * Reference: correlation-table src/tech/v3/dataset/math.clj:37-109. */
+  def dcorr(x: Column, y: Column, scale: Int = 8): Column = {
+    val n = count(lit(1)).cast(DoubleType)
+    val sx = dsum(x, scale); val sy = dsum(y, scale)
+    val sxx = dsum(x * x, scale); val syy = dsum(y * y, scale)
+    val sxy = dsum(x * y, scale)
+    (n * sxy - sx * sy) /
+      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+  }
+
+  /** The reference's named-reducer map API (reductions.clj:377-590):
+    * `groupByAgg(df, Seq("k"), "sum_x" -> Reductions.dsum(col("x")), ...)`.
+    * Key can be multiple columns, exactly like key-can-be-column-vec. */
+  def groupByAgg(df: DataFrame, keys: Seq[String],
+                 aggs: (String, Column)*): DataFrame = {
+    val exprs = aggs.map { case (name, c) => c.as(name) }
+    if (keys.isEmpty) df.agg(exprs.head, exprs.tail: _*)
+    else df.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** min-n-by-column / top-k (reference dataset_api.clj:453-501, guava
+    * min-max heap) → Catalyst TakeOrderedAndProject: each partition keeps only
+    * its top N, the driver merges N·partitions rows — no global sort. */
+  def minNByColumn(df: DataFrame, name: String, n: Int,
+                   descending: Boolean = false): DataFrame =
+    df.orderBy(if (descending) col(name).desc else col(name).asc).limit(n)
+
+  /** descriptive-stats (reference dataset_api.clj:1300-1399): one row per
+    * numeric column with n-valid/n-missing/min/mean/max/stddev — computed in a
+    * single pass over the table (one job, column-pruned scan). */
+  def descriptiveStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap { c0 =>
+      val c = col(c0)
+      Seq(count(c).as(s"${c0}__nvalid"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${c0}__nmissing"),
+        min(c).cast(DoubleType).as(s"${c0}__min"),
+        dmean(c).as(s"${c0}__mean"),
+        max(c).cast(DoubleType).as(s"${c0}__max"),
+        dstddevPop(c).as(s"${c0}__stddev"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // driver-side reshape of ONE row → per-column rows (no distributed cost)
+    val row = wide.collect()(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    cols.map { c0 =>
+      def g(s: String): Double = {
+        val v = row.get(wide.columns.indexOf(s"${c0}__$s"))
+        if (v == null) Double.NaN else v match {
+          case d: Double => d
+          case l: Long => l.toDouble
+          case o => o.toString.toDouble
+        }
+      }
+      (c0, g("nvalid").toLong, g("nmissing").toLong, g("min"), g("mean"),
+        g("max"), g("stddev"))
+    }.toDF("column", "n_valid", "n_missing", "min", "mean", "max", "stddev")
+  }
+
+  /** Exact distinct + count-distinct (reductions.clj:151-208). */
+  def countDistinctAgg(c: Column): Column = countDistinct(c)
+
+  /** prob-set-cardinality (reductions.clj:210-224, DataSketches HLL) →
+    * Spark's HyperLogLog++. Same contract (approximate distinct with
+    * configurable error), different sketch — declared as approximate. */
+  def probSetCardinality(c: Column, rsd: Double = 0.05): Column =
+    approx_count_distinct(c, rsd)
+
+  /** prob-quantile (reductions.clj:226-252, DoublesSketch k=128 ≈1.7% rank
+    * error) → percentile_approx. `exactPercentile` is the exact counterpart
+    * for oracle comparison. */
+  def probQuantile(c: Column, q: Double, accuracy: Int = 10000): Column =
+    percentile_approx(c, lit(q), lit(accuracy))
+
+  def exactPercentile(c: Column, q: Double): Column =
+    percentile(c, lit(q))
+
+  /** reservoir-dataset (reductions.clj:254-303): bounded uniform sample per
+    * group in one pass — rand-keyed row_number keeps k rows per key without
+    * collecting groups. */
+  def reservoirPerGroup(df: DataFrame, keys: Seq[String], k: Int,
+                        seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(rand(seed))
+    df.withColumn("__r", row_number().over(w)).filter(col("__r") <= k).drop("__r")
+  }
+
+  /** Kahan-compensated double sum as a typed Aggregator — bit-level parity
+    * with the reference's ham-fisted `Sum` (reductions.clj:4-7,107-113) when
+    * inputs arrive in the same order; used where decimal routing is not
+    * possible (unbounded-scale doubles). */
+  class KahanSum extends Aggregator[Double, (Double, Double), Double] {
+    def zero: (Double, Double) = (0.0, 0.0)
+    def reduce(b: (Double, Double), x: Double): (Double, Double) = {
+      val (s, comp) = b
+      val y = x - comp
+      val t = s + y
+      (t, (t - s) - y)
+    }
+    def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) =
+      reduce(a, b._1 + b._2)
+    def finish(r: (Double, Double)): Double = r._1 + r._2
+    def bufferEncoder: Encoder[(Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  def kahanSum(c: Column): Column =
+    udaf(new KahanSum(), Encoders.scalaDouble).apply(c)
+}

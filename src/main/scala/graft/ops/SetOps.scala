@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Row-multiset algebra (reference src/tech/v3/dataset/set.clj).
+  *
+  * The reference implements bag semantics with frequency maps:
+  *  - union        = max multiplicity  (set.clj:118-171)
+  *  - intersection = min multiplicity  (set.clj:72-115, 174-180)
+  *  - difference   = remove a-rows present in b (set.clj:183-194)
+  *
+  * Spark gives intersect-all/except-all natively (shuffle-based, scalable);
+  * bag-union-by-max is composed from a per-row count aggregation — one shuffle
+  * on the full row, then a generate to re-expand multiplicities.
+  */
+object SetOps {
+
+  /** Bag union, max multiplicity per distinct row. */
+  def bagUnion(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = a.columns.toSeq
+    val ca = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__ca"))
+    val cb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__cb"))
+    ca.join(cb, cols, "full")
+      .withColumn("__n", greatest(coalesce(col("__ca"), lit(0L)),
+        coalesce(col("__cb"), lit(0L))))
+      .withColumn("__k", explode(sequence(lit(1L), col("__n"))))
+      .select(cols.map(col): _*)
+  }
+
+  /** Bag intersection, min multiplicity — native INTERSECT ALL. */
+  def bagIntersection(a: DataFrame, b: DataFrame): DataFrame =
+    a.intersectAll(b)
+
+  /** Difference: rows of a minus rows of b (multiset) — native EXCEPT ALL;
+    * set-difference variant is `except`. */
+  def difference(a: DataFrame, b: DataFrame, bag: Boolean = true): DataFrame =
+    if (bag) a.exceptAll(b) else a.except(b)
+}

@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core verb facade: the reference's dataset-as-map API re-expressed as a thin,
+  * typed layer over DataFrame transforms.
+  *
+  * Reference surface covered here (all `path:line` cites into /root/reference):
+  *  - select/drop/rename columns   — src/tech/v3/dataset/base.clj:231-358
+  *  - filter / filter-column       — src/tech/v3/dataset/base.clj:464-504
+  *  - head/tail/sample/shuffle     — src/tech/v3/dataset_api.clj:381-445
+  *  - sort-by-column               — src/tech/v3/dataset/base.clj:570-616
+  *  - unique-by-column             — src/tech/v3/dataset/base.clj:760-794
+  *  - concat (union + widening)    — src/tech/v3/dataset/base.clj:619-750
+  *  - column-cast                  — src/tech/v3/dataset_api.clj:1026-1123
+  *  - column filters (by type)     — src/tech/v3/dataset/column_filters.clj:22-149
+  *
+  * Everything stays declarative (a LogicalPlan transform), so Catalyst keeps
+  * pushdown/pruning working: none of these verbs force an action or collect.
+  */
+object TableOps {
+
+  implicit class DatasetExt(val df: DataFrame) extends AnyVal {
+
+    /** select-columns (reference base.clj:301-319). */
+    def selectColumns(names: String*): DataFrame = df.select(names.map(col): _*)
+
+    /** select-columns with a Map = select + rename in one step
+      * (reference base.clj:311 "Map argument"). */
+    def selectRename(mapping: (String, String)*): DataFrame =
+      df.select(mapping.map { case (from, to) => col(from).as(to) }: _*)
+
+    /** drop-columns (reference base.clj:328-340). */
+    def dropColumns(names: String*): DataFrame = df.drop(names: _*)
+
+    /** rename-columns (reference base.clj:343-358). */
+    def renameColumns(mapping: (String, String)*): DataFrame =
+      df.withColumnsRenamed(mapping.toMap)
+
+    /** filter-column with a predicate Column (reference base.clj:474-504). */
+    def filterColumn(name: String, pred: Column => Column): DataFrame =
+      df.filter(pred(col(name)))
+
+    /** filter-column 2-arity: keep rows where the column is truthy
+      * (reference base.clj:497-504 — non-nil / non-false / non-zero). */
+    def filterColumnTruthy(name: String): DataFrame = {
+      val c = col(name)
+      df.schema(name).dataType match {
+        case BooleanType => df.filter(c)
+        case _: NumericType => df.filter(c.isNotNull && c =!= lit(0))
+        case _ => df.filter(c.isNotNull)
+      }
+    }
+
+    /** head (reference dataset_api.clj:381-389). */
+    def head(n: Int): DataFrame = df.limit(n)
+
+    /** tail (reference dataset_api.clj:392-404): needs a total order to be
+      * meaningful on a distributed table; callers pass the ordering columns. */
+    def tail(n: Int, orderCols: Seq[Column]): DataFrame =
+      df.orderBy(orderCols.map(_.desc): _*).limit(n)
+        .orderBy(orderCols: _*)
+
+    /** shuffle (reference base.clj:797-800) — seeded for reproducibility. */
+    def shuffleRows(seed: Long): DataFrame = df.orderBy(rand(seed))
+
+    /** sample ± replacement (reference dataset_api.clj:407-445). */
+    def sampleRows(fraction: Double, withReplacement: Boolean = false,
+                   seed: Long = 42L): DataFrame =
+      df.sample(withReplacement, fraction, seed)
+
+    /** sort-by-column with TMD nulls-first default (reference base.clj:596-616;
+      * :nan-strategy handled by normalizeNan below). */
+    def sortByColumn(name: String, descending: Boolean = false,
+                     nullsFirst: Boolean = true): DataFrame = {
+      val c = (descending, nullsFirst) match {
+        case (false, true)  => col(name).asc_nulls_first
+        case (false, false) => col(name).asc_nulls_last
+        case (true, true)   => col(name).desc_nulls_first
+        case (true, false)  => col(name).desc_nulls_last
+      }
+      df.orderBy(c)
+    }
+
+    /** TMD `:nan-strategy` bridge (reference base.clj:583-588): map NaN→null so
+      * null-ordering flags control NaN placement like the reference's
+      * :first/:last. */
+    def normalizeNan(names: String*): DataFrame =
+      names.foldLeft(df)((d, n) =>
+        d.withColumn(n, when(isnan(col(n)), lit(null)).otherwise(col(n))))
+
+    /** unique-by-column, keeping the row with the smallest tiebreaker —
+      * deterministic version of reference base.clj:760-794 (whose keep-fn
+      * defaults to "first seen"). Implemented as a window row_number filter so
+      * it is one shuffle on the key, no global sort. */
+    def uniqueByColumn(key: Seq[String], tiebreak: Seq[Column]): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(key.map(col): _*).orderBy(tiebreak: _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+
+    /** Plain distinct rows (unique-by identity). */
+    def uniqueRows: DataFrame = df.distinct()
+
+    /** concat = union-all by name with TMD type widening
+      * (reference base.clj:619-750: missing columns become all-null, numeric
+      * types widen via widest-datatype). Spark's unionByName does not widen, so
+      * we pre-compute the common schema and cast both sides. */
+    def concatWidening(others: DataFrame*): DataFrame = {
+      val all = df +: others
+      val widened = Concat.commonSchema(all.map(_.schema))
+      val casted = all.map { d =>
+        val withAll = widened.fields.foldLeft(d) { (acc, f) =>
+          if (acc.columns.contains(f.name)) acc.withColumn(f.name, col(f.name).cast(f.dataType))
+          else acc.withColumn(f.name, lit(null).cast(f.dataType))
+        }
+        withAll.select(widened.fieldNames.map(col): _*)
+      }
+      casted.reduce(_.unionByName(_))
+    }
+
+    /** column-cast (reference dataset_api.clj:1026-1123): strict cast. */
+    def columnCast(name: String, to: DataType): DataFrame =
+      df.withColumn(name, col(name).cast(to))
+
+    /** parse-column `:relaxed?` (reference src/tech/v3/dataset/column.clj:139-165):
+      * try_cast semantics — parse failures become null and are recorded in a
+      * boolean side column `<name>_unparsed` instead of failing the job. */
+    def columnCastRelaxed(name: String, to: DataType): DataFrame = {
+      val casted = col(name).try_cast(to)
+      df.withColumn(s"${name}_unparsed", col(name).isNotNull && casted.isNull)
+        .withColumn(name, casted)
+    }
+
+    /** filter-dataset / column-filters (reference column_filters.clj:22-149):
+      * pure driver-side schema manipulation — select columns by datatype class. */
+    def selectColumnsWhere(pred: StructField => Boolean): DataFrame = {
+      val keep = df.schema.fields.filter(pred).map(f => col(f.name))
+      df.select(keep.toSeq: _*)
+    }
+
+    def numericColumns: DataFrame =
+      selectColumnsWhere(f => f.dataType.isInstanceOf[NumericType])
+
+    def stringColumns: DataFrame =
+      selectColumnsWhere(f => f.dataType == StringType)
+
+    def datetimeColumns: DataFrame = selectColumnsWhere(f =>
+      f.dataType == DateType || f.dataType == TimestampType)
+  }
+}
+
+/** Schema widening for concat (reference base.clj:643-655 widest-datatype). */
+object Concat {
+  private val numericRank: Map[DataType, Int] = Map(
+    ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3,
+    FloatType -> 4, DoubleType -> 5)
+
+  def widen(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (x: DecimalType, y: DecimalType) =>
+      DecimalType(math.max(x.precision, y.precision), math.max(x.scale, y.scale))
+    case (x, y) if numericRank.contains(x) && numericRank.contains(y) =>
+      // int64 + float32 must widen to float64, not float32
+      if ((x == LongType && y == FloatType) || (x == FloatType && y == LongType)) DoubleType
+      else if (numericRank(x) >= numericRank(y)) x else y
+    case (DateType, TimestampType) | (TimestampType, DateType) => TimestampType
+    case _ => StringType // last-resort common supertype, like TMD's :object→print
+  }
+
+  def commonSchema(schemas: Seq[StructType]): StructType = {
+    val order = schemas.flatMap(_.fieldNames).distinct
+    StructType(order.map { n =>
+      val dts = schemas.flatMap(s => s.fields.find(_.name == n)).map(_.dataType)
+      StructField(n, dts.reduce(widen), nullable = true)
+    })
+  }
+}

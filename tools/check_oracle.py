@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+For each query dir in <verifyOutDir>: read the Spark parquet result, run the
+oracle SQL from oracle_sql.json in DuckDB over the sfDir tables, sort columns
+by name, and compare shape + values (exact for non-floats; exact-bits then
+1e-9-relative report for floats so we can see how close we are).
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        qdir = f"{out_dir}/{name}"
+        files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        try:
+            got = norm(pd.read_parquet(qdir))
+            want = norm(con.execute(oracle[name]).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_bad += 1; continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: cols got={list(got.columns)} want={list(want.columns)}")
+            n_bad += 1; continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows got={len(got)} want={len(want)}")
+            n_bad += 1; continue
+        bad = []
+        for c in got.columns:
+            g, w = got[c], want[c]
+            if g.dtype.kind == 'f' or w.dtype.kind == 'f':
+                ga, wa = g.astype(float).values, w.astype(float).values
+                both_nan = np.isnan(ga) & np.isnan(wa)
+                exact = (ga == wa) | both_nan
+                gn = np.where(np.isnan(ga), 0, ga); wn = np.where(np.isnan(wa), 0, wa)
+                close = np.isclose(gn, wn, rtol=1e-9, atol=1e-12) & ~(np.isnan(ga) ^ np.isnan(wa))
+                if not exact.all():
+                    i = int(np.argmin(exact))
+                    tag = "CLOSE" if close.all() else "OFF"
+                    bad.append(f"{c}[{tag}] row{i}: got={ga[i]!r} want={wa[i]!r}")
+            else:
+                gs = g.astype(object).where(pd.notnull(g), None)
+                ws = w.astype(object).where(pd.notnull(w), None)
+                eq = [str(a) == str(b) for a, b in zip(gs, ws)]
+                if not all(eq):
+                    i = eq.index(False)
+                    bad.append(f"{c} row{i}: got={gs.iloc[i]!r} want={ws.iloc[i]!r} "
+                               f"(dtypes {g.dtype}/{w.dtype})")
+        if bad:
+            print(f"FAIL {name}: " + "; ".join(bad[:4])); n_bad += 1
+        else:
+            print(f"ok   {name} ({len(got)} rows)"); n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} fail")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
