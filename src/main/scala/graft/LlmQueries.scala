@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm._
+import graft.ops.TableOps._
+
+/** LLM-data-pipeline operator queries (dedup, similarity search, text
+  * analysis, multimodal) over the documents/embeddings tables. Oracle SQL is
+  * provided wherever the computation is expressible engine-portably (md5 is
+  * identical in Spark and DuckDB; dot products use exact scaled-integer sums);
+  * the sketch-based ops (MinHash/SimHash/LSH) get rows-only checks plus
+  * ScalaTest invariants.
+  */
+object LlmQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // text statistics per language: exact integer sums, deterministic ratios.
+    "q26_text_stats" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n_tok", TextStats.tokenCount(col("text")))
+        .withColumn("n_punct", TextStats.classCount(col("text"), ".,!?;:"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast(LongType)).as("sum_tokens"),
+          (sum(col("n_tok").cast(LongType)).cast(DoubleType) / count(lit(1))).as("avg_tokens"),
+          sum(col("n_punct").cast(LongType)).as("sum_punct"),
+          (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
+        .orderBy(col("lang"))
+    },
+
+    // exact dedup via md5 fingerprint of normalized text (SURVEY §2 +
+    // pipeline ops: exact dedup). Keep smallest doc_id per fingerprint.
+    "q27_exact_dedup" -> { (s, dir) =>
+      TextDedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("keep_id"))
+    },
+
+    // exact n-gram Jaccard similarity, all pairs in a small block (the
+    // verify stage of near-dup detection; quadratic block kept tiny).
+    "q28_ngram_jaccard" -> { (s, dir) =>
+      val d = t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("text"))
+      val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          TextDedup.ngramJaccard(col("text_a"), col("text_b"), 3).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // MinHash + LSH candidate pairs (the scale path for near-dup dedup).
+    "q29_minhash_pairs" -> { (s, dir) =>
+      TextDedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 3, numHashes = 64, bands = 32)
+        .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
+        .limit(100)
+    },
+
+    // SimHash near-dup candidates.
+    "q30_simhash_pairs" -> { (s, dir) =>
+      TextDedup.simhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 30)
+        .orderBy(col("hamming").asc, col("id_a"), col("id_b"))
+        .limit(100)
+    },
+
+    // brute-force cosine top-k over embeddings (exact, oracle-checked).
+    "q31_cosine_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ANN via LSH random-hyperplane buckets (approximate scale path).
+    "q32_ann_lsh" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, 3, planes = 8)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // embedding-cosine near-duplicate pairs (LSH-bucketed).
+    "q33_cosine_near_dup" -> { (s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.3,
+        planes = 6)
+        .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+        .limit(100)
+    },
+
+    // quality scoring (Gopher/C4-style heuristics), exact arithmetic.
+    "q34_quality_score" -> { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          TextStats.tokenCount(col("text")).as("n_tok"),
+          TextStats.qualityScore(col("text")).as("q_score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // language identification heuristic + accuracy vs the labeled column.
+    "q35_lang_id" -> { (s, dir) =>
+      TextStats.withLangId(t(s, dir, "documents"), "text")
+        .selectColumns("doc_id", "lang", "pred_lang", "lang_conf")
+        .orderBy(col("doc_id"))
+    },
+
+    // multimodal: binary attach → batched decode (stub) → features table.
+    "q36_multimodal" -> { (s, dir) =>
+      Multimodal.mediaFeatures(s,
+        t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // winnowing-style bottom-m fingerprint sketch per document.
+    "q37_fingerprint_sketch" -> { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          TextStats.fingerprintSketch(col("text"), 5, 8).as("sketch"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  private val normSql =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  val oracleSql: Map[String, String] = Map(
+    "q26_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+         SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END) AS sum_tokens,
+         CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END) AS DOUBLE) / COUNT(*) AS avg_tokens,
+         SUM(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) AS sum_punct,
+         CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q27_exact_dedup" ->
+      s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    "q28_ngram_jaccard" ->
+      s"""WITH d AS (
+           SELECT doc_id, string_split($normSql, ' ') AS w
+           FROM documents WHERE doc_id < 40),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(w) >= 3
+               THEN list_distinct(list_transform(range(len(w) - 2),
+                      i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3])))
+               ELSE [array_to_string(w, ' ')] END AS s
+           FROM d)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         ORDER BY id_a, id_b""",
+
+    "q31_cosine_topk" ->
+      """WITH n AS (
+           SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR(
+             CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE) * 1e12)
+             AS DECIMAL(30,0))) AS DOUBLE) / 1e12) AS nrm
+           FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY 1),
+         dots AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             CAST(SUM(CAST(FLOOR(
+               CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE) * 1e12)
+               AS DECIMAL(30,0))) AS DOUBLE) / 1e12 AS dot
+           FROM embeddings q
+           CROSS JOIN embeddings c
+           CROSS JOIN range(0, 64) t(i)
+           WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT query_id, corpus_id,
+             dot / (nq.nrm * nc.nrm) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dot / (nq.nrm * nc.nrm) DESC, corpus_id ASC) AS rank
+           FROM dots
+           JOIN n nq ON nq.vec_id = query_id
+           JOIN n nc ON nc.vec_id = corpus_id)
+         SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank
+         FROM scored WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q34_quality_score" ->
+      """SELECT doc_id, n_tok,
+         least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.4 +
+         least(CAST(sw_hits AS DOUBLE) / greatest(n_tok, 1) * 4.0, 1.0) * 0.3 +
+         (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars2, 1) * 5.0, 1.0)) * 0.15 +
+         (1.0 - least(CAST(n_digit AS DOUBLE) / greatest(n_chars2, 1) * 5.0, 1.0)) * 0.15 AS q_score
+         FROM (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+             length(text) AS n_chars2,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+               tk -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], tk))) AS sw_hits
+           FROM documents WHERE doc_id < 100) t
+         ORDER BY doc_id"""
+  )
+}

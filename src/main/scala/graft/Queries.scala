@@ -27,7 +27,12 @@ object Queries {
 
   // ---- relational core ----------------------------------------------------
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ LlmQueries.queries
+
+  def oracleSql: Map[String, String] = coreOracle ++ LlmQueries.oracleSql
+
+  private val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // group-by-column-agg (SURVEY §2.4; reference reductions.clj:377-590) —
     // TPC-H Q1 shape: multi-aggregate group-by with filter pushdown.
@@ -315,7 +320,7 @@ object Queries {
 
   // ---- DuckDB oracle SQL (same shapes, same decimal routing) --------------
 
-  val oracleSql: Map[String, String] = Map(
+  private val coreOracle: Map[String, String] = Map(
     "q01_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,

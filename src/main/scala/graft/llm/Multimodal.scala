@@ -1,0 +1,76 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support: image/audio/video as opaque binary columns with
+  * typed metadata, plus the decode / feature-extract plumbing a training-data
+  * pipeline needs.
+  *
+  * The decode step itself is STUBBED (no image/audio codecs in this
+  * container): `decodeStub` produces deterministic fake features from the
+  * bytes. Everything around it — the schema convention, the batched
+  * mapPartitions shape, partition sizing, and the typed Dataset plumbing — is
+  * real and is what matters at 100 TB: media rows are large, so the operator
+  * keeps per-task batches bounded and never widens the binary column through
+  * a shuffle (features are extracted BEFORE any join/groupBy).
+  */
+object Multimodal {
+
+  /** Canonical media-column schema: content + typed metadata struct. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("n_bytes", LongType),
+    StructField("source_uri", StringType)))
+
+  /** Attach a media payload column (here synthesized from text for testing;
+    * in production this is the raw bytes from a binaryFile scan). */
+  def attachBinary(df: DataFrame, textCol: String, uriCol: String): DataFrame =
+    df.withColumn("content", encode(col(textCol), "UTF-8"))
+      .withColumn("media_meta", struct(
+        lit("application/octet-stream").as("mime"),
+        length(col(textCol)).cast(LongType).as("n_bytes"),
+        col(uriCol).as("source_uri")))
+
+  case class MediaRow(doc_id: Long, content: Array[Byte])
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, head_byte: Int,
+                           byte_sum: Long, fake_width: Int, fake_height: Int,
+                           fake_channels: Int)
+
+  /** Batched decode/feature-extract over partitions of media rows.
+    *
+    * STUB: a real implementation calls an image codec per batch here
+    * (e.g. JPEG decode → resize → CHW float tensor). The deterministic fake
+    * derives "dimensions" from the byte stream so tests can assert plumbing
+    * end-to-end. The mapPartitions shape (iterator-in/iterator-out, grouped
+    * into bounded batches) is exactly what a vectorized decoder needs.
+    */
+  def decodeStub(rows: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // === STUB decode: replace with codec call over `batch` ===
+        batch.map { r =>
+          val n = r.content.length
+          val sum = r.content.foldLeft(0L)((a, b) => a + (b & 0xff))
+          MediaFeatures(r.doc_id, n, if (n > 0) r.content(0) & 0xff else -1,
+            sum, fake_width = 16 + (sum % 16).toInt,
+            fake_height = 16 + ((sum / 16) % 16).toInt, fake_channels = 3)
+        }
+      }
+    }
+  }
+
+  /** End-to-end media feature pipeline: attach → repartition to keep media
+    * batches bounded → decode → features table (binary column dropped before
+    * any downstream shuffle). */
+  def mediaFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    import spark.implicits._
+    val media = attachBinary(df, textCol, idCol)
+      .select(col(idCol).cast(LongType).as("doc_id"), col("content"))
+      .as[MediaRow]
+    decodeStub(media).toDF()
+  }
+}

@@ -1,0 +1,131 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set
+  * against the partitioned corpus, rank per query. Scale path: LSH bucketing
+  * via deterministic random-hyperplane signs, so the candidate join touches
+  * only same-bucket vectors; on a 1000-executor cluster the corpus stays
+  * hash-partitioned by bucket and never materializes O(|Q|·|C|) pairs.
+  *
+  * All dot products use scaled-integer accumulation (exact, engine-portable —
+  * see Reductions.isum rationale) over zip_with/aggregate expressions, which
+  * stay in whole-stage codegen.
+  */
+object Similarity {
+
+  private val S = 1e12
+
+  /** Exact scaled dot product of two float-array columns, as double. */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        floor(x.cast(DoubleType) * y.cast(DoubleType) * lit(S)).cast(LongType)),
+      lit(0L), (acc, v) => acc + v).cast(DoubleType) / lit(S)
+
+  /** Exact scaled L2 norm. */
+  def normExact(a: Column): Column =
+    sqrt(aggregate(
+      transform(a, x => floor(x.cast(DoubleType) * x.cast(DoubleType) * lit(S)).cast(LongType)),
+      lit(0L), (acc, v) => acc + v).cast(DoubleType) / lit(S))
+
+  def cosineExact(a: Column, b: Column): Column =
+    dotExact(a, b) / (normExact(a) * normExact(b))
+
+  /** Brute-force cosine top-k: every query (broadcast) scored against every
+    * corpus vector, top k per query. Corpus-side norms are precomputed once.
+    * Deterministic tie-break on corpus id. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+      .withColumn("q_norm", normExact(col("q_emb")))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"))
+      .withColumn("c_norm", normExact(col("c_emb")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine",
+        dotExact(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component w(plane, dim) ∈ [-1, 1),
+    * derived from md5 — stable across engines, runs, and cluster sizes. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (conv(substring(md5(concat_ws("_", lit(plane), dim)), 1, 7), 16, 10)
+      .cast(LongType) % 2001 - 1000).cast(DoubleType) / 1000.0
+
+  /** Sign-bit LSH bucket id from `planes` random hyperplanes: bucket =
+    * Σ 2^p·[⟨emb, w_p⟩ > 0]. Cosine-similar vectors collide with high
+    * probability; the ANN query then joins only within buckets. */
+  def lshBucket(emb: Column, planes: Int): Column = {
+    val dims = sequence(lit(0), size(emb) - 1)
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(emb, dims, (x, i) => x.cast(DoubleType) * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k via LSH buckets: queries meet only same-bucket corpus vectors
+    * (the scale path — shuffle on bucket id instead of a full cross join).
+    * Recall is traded for the bucket fan-in; multi-probe = union over the
+    * query's bucket neighbors at hamming distance 1. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 8,
+              idCol: String = "vec_id", embCol: String = "embedding",
+              multiProbe: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"))
+      .withColumn("bucket", lshBucket(col("c_emb"), planes))
+      .withColumn("c_norm", normExact(col("c_emb")))
+    val q0 = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+      .withColumn("bucket0", lshBucket(col("q_emb"), planes))
+      .withColumn("q_norm", normExact(col("q_emb")))
+    // multi-probe: the exact bucket + all 1-bit flips
+    val probes =
+      if (multiProbe)
+        array((col("bucket0") +: (0 until planes).map(p =>
+          col("bucket0").bitwiseXOR(lit(1L << p)))): _*)
+      else array(col("bucket0"))
+    val q = q0.withColumn("bucket", explode(probes)).drop("bucket0")
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine",
+        dotExact(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.groupBy(col("query_id"), col("corpus_id"))
+      .agg(max(col("cosine")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, LSH-bucketed
+    * (the embedding analog of MinHash dedup). */
+  def cosineNearDupPairs(df: DataFrame, threshold: Double, planes: Int = 8,
+                         idCol: String = "vec_id",
+                         embCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("bucket", lshBucket(col("emb"), planes))
+      .withColumn("norm", normExact(col("emb")))
+    val a = v.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"), col("norm").as("norm_a"))
+    val b = v.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"), col("norm").as("norm_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        dotExact(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cosine")).as("cosine"))
+  }
+}

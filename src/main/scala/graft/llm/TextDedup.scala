@@ -1,0 +1,153 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Everything is expression-based (higher-order array functions + md5), so the
+  * whole pipeline stays inside whole-stage codegen — no UDFs, no collect. The
+  * scale path for near-dup detection is the standard shingle → MinHash →
+  * LSH-band → bucket-join design: candidate generation is one shuffle on the
+  * band key, and only candidates (not all O(n²) pairs) are verified.
+  *
+  * Hash determinism: all hashes derive from md5 (identical across engines and
+  * JVM versions), so signatures are stable across runs/cluster sizes.
+  */
+object TextDedup {
+
+  /** Whitespace-collapse + lowercase normalization. */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Document fingerprint for EXACT dedup: md5 of normalized text. */
+  def fingerprint(text: Column): Column = md5(normalizeText(text))
+
+  def tokens(text: Column): Column = split(normalizeText(text), " ")
+
+  /** k-word shingles via a slice-transform over the token array (no explode —
+    * one array expression per row). */
+  def shingles(text: Column, k: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= k,
+      transform(sequence(lit(0), size(w) - k),
+        i => concat_ws(" ", slice(w, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", w)))
+  }
+
+  /** 28-bit md5-derived hash (fits universal-hash arithmetic in a long). */
+  def h28(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast(LongType)
+
+  /** 60-bit md5-derived hash (for SimHash bit sampling). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Prime > 2^32 for universal hashing h_i(x) = (a_i·x + b_i) mod P. */
+  val P = 4294967311L
+
+  private def aCoef(i: Column): Column = ((i * 2 + 1) * lit(2654435761L)) % P
+  private def bCoef(i: Column): Column = (i * lit(40503L) + 7) % P
+
+  /** MinHash signature: numHashes permutation-minima over the shingle set.
+    * One md5 per shingle; the numHashes variants are cheap modular arithmetic
+    * (standard universal-hashing MinHash — one-pass, codegen-friendly). */
+  def minhashSignature(text: Column, shingleLen: Int, numHashes: Int): Column = {
+    val hs = transform(shingles(text, shingleLen), s => h28(s))
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(hs, h => (aCoef(i) * h + bCoef(i)) % P)))
+  }
+
+  /** Estimated Jaccard from two signatures = fraction of agreeing positions. */
+  def estJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v).cast(DoubleType) / size(sigA)
+
+  /** LSH band keys: signature split into `bands` bands of `rowsPerBand`,
+    * each band md5-hashed to one bucket key. Docs sharing ANY band key are
+    * candidates. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), j =>
+      concat_ws("#", j.cast(StringType),
+        md5(concat_ws(",", slice(sig, j * rowsPerBand + 1, lit(rowsPerBand))))))
+
+  /** Candidate near-dup pairs via MinHash LSH: explode band keys, self-join
+    * on the bucket, dedup pairs, score by signature agreement. The join is a
+    * shuffle on the band key only; bucket sizes (not corpus size) drive pair
+    * cost. */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleLen: Int = 3, numHashes: Int = 64,
+                            bands: Int = 16): DataFrame = {
+    val r = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleLen, numHashes).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(lshBandKeys(col("sig"), bands, r)).as("band"))
+    val a = banded.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard between explicit pairs (the verify step after LSH,
+    * or a direct quadratic check on small blocks). */
+  def ngramJaccard(textA: Column, textB: Column, k: Int): Column = {
+    val sa = array_distinct(shingles(textA, k))
+    val sb = array_distinct(shingles(textB, k))
+    size(array_intersect(sa, sb)).cast(DoubleType) /
+      size(array_union(sa, sb))
+  }
+
+  /** 60-bit SimHash: per-bit majority vote of token hashes, one md5 per
+    * token. The 60 per-bit votes are unrolled Scala-side (shift amounts must
+    * be literals) over a materialized hash-array column, so the token md5s
+    * are computed once and the votes are 60 cheap array passes in codegen. */
+  def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame = {
+    val hsCol = "__simhash_hs"
+    val d = df.withColumn(hsCol, transform(tokens(col(textCol)), t => h60(t)))
+    val bits = (0 until 60).map { j =>
+      val vote = aggregate(col(hsCol), lit(0L),
+        (a, h) => a + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - lit(1L)))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    d.withColumn(out, bits.reduce(_ + _)).drop(hsCol)
+  }
+
+  /** SimHash near-dup candidates: band the 60-bit hash into 4×15-bit chunks;
+    * pairs agreeing on any chunk are candidates (catches all pairs within
+    * hamming distance 3), then filter by exact hamming. */
+  def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 6): DataFrame = {
+    val sh = withSimhash(df.select(col(idCol).as("id"), col(textCol).as("__txt")),
+      "__txt", "sh").select(col("id"), col("sh"))
+    val chunks = (0 until 4).map(j =>
+      struct(lit(j).as("band"),
+        shiftright(col("sh"), j * 15).bitwiseAND(lit(0x7FFFL)).as("key")))
+    val banded = sh.withColumn("b", explode(array(chunks: _*)))
+      .select(col("id"), col("sh"), col("b.band"), col("b.key"))
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** Hamming distance between two simhash longs. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact dedup: keep the smallest-id row per fingerprint, counting
+    * duplicates (hash group-by — one shuffle on the 128-bit fingerprint). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fp", fingerprint(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+}

@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  * All pure column expressions (codegen'd, no UDFs).
+  */
+object TextStats {
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword count estimate: letter runs, digits, and punctuation
+    * counted separately (a cheap proxy for BPE vocab fragmentation). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Count of chars in `charClass` (a regex character class body). */
+  def classCount(text: Column, charClass: String): Column =
+    length(text) - length(regexp_replace(text, s"[$charClass]", ""))
+
+  def punctRatio(text: Column): Column =
+    classCount(text, ".,!?;:").cast(DoubleType) /
+      greatest(length(text), lit(1))
+
+  def digitRatio(text: Column): Column =
+    classCount(text, "0-9").cast(DoubleType) / greatest(length(text), lit(1))
+
+  def upperRatio(text: Column): Column =
+    classCount(text, "A-Z").cast(DoubleType) / greatest(length(text), lit(1))
+
+  /** Mean token length (exact integer arithmetic, then one division). */
+  def avgTokenLen(text: Column): Column =
+    aggregate(transform(tokens(text), t => length(t).cast(LongType)),
+      lit(0L), (a, v) => a + v).cast(DoubleType) /
+      greatest(tokenCount(text), lit(1))
+
+  val englishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = englishStopwords): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(sw, t))).cast(DoubleType) /
+      greatest(tokenCount(text), lit(1))
+  }
+
+  /** Deterministic document quality score in [0,1]: rewards moderate length,
+    * low punctuation/digit noise, presence of stopwords (prose-likeness).
+    * Mirrors the standard Gopher/C4-style heuristic filters, condensed. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast(DoubleType) / 100.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
+    val digitPenalty = least(digitRatio(text) * 5.0, lit(1.0))
+    val swScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    lenScore * 0.4 + swScore * 0.3 +
+      (lit(1.0) - punctPenalty) * 0.15 + (lit(1.0) - digitPenalty) * 0.15
+  }
+
+  /** Tiny per-language marker-word profiles for the n-gram/stopword
+    * language-ID heuristic. (Real pipelines plug fastText here; the operator
+    * shape — score-per-language, argmax, confidence — is the deliverable.) */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "por", "que"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "ni", "zai", "you"))
+
+  /** Language-ID: hit-count each profile, take the argmax (ties broken by
+    * language code order); confidence = hits(best)/tokens. */
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = TextDedup.tokens(col(textCol))
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val sw = array(words.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(sw, t))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // array_max on struct(hits, lang) picks highest hits; ties resolve to the
+    // lexicographically last code — deterministic either way
+    df.withColumn("__scores", array(scored: _*))
+      .withColumn("__best", array_max(col("__scores")))
+      .withColumn("pred_lang", col("__best.lang"))
+      .withColumn("lang_conf", col("__best.hits").cast(DoubleType) /
+        greatest(size(toks), lit(1)))
+      .drop("__scores", "__best")
+  }
+
+  /** Winnowing-style fingerprint sketch: the m smallest k-gram hashes
+    * (a compact, order-free signature for containment/near-dup checks —
+    * Schleimer et al. winnowing, simplified to bottom-m). */
+  def fingerprintSketch(text: Column, k: Int = 5, m: Int = 8): Column =
+    slice(array_sort(transform(TextDedup.shingles(text, k),
+      s => TextDedup.h28(s))), 1, m)
+}
