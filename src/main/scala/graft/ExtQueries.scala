@@ -1,0 +1,321 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops._
+import graft.ops.TableOps._
+import graft.ops.Reductions._
+import org.apache.spark.ml.functions.vector_to_array
+
+/** Extended coverage queries: event-time windowing (streaming-equivalent),
+  * sessionization, variable rolling windows, outer joins, bag ops, lerp
+  * imputation, one-hot, whole-table descriptive stats, scalers, PCA. */
+object ExtQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  /** floor-scaled exact sum column (same contract as oracle side). */
+  private def fsum(c: org.apache.spark.sql.Column, p: Double) =
+    sum(floor(c * lit(p)).cast(DecimalType(30, 0))).cast(DoubleType) / lit(p)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // event-time tumbling window (batch equivalent of the streaming path in
+    // graft.streaming.EventStream — identical plan minus the state store).
+    "q38_time_bucket" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour")("start").as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), fsum(col("value"), 1e6).as("sum_value"))
+        .orderBy(col("bucket"), col("event_type"))
+    },
+
+    // sessionization: a >30-minute gap starts a new session (window cumsum —
+    // the batch analog of flatMapGroupsWithState sessionization).
+    "q39_sessionize" -> { (s, dir) =>
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wOrd))
+      val withSess = t(s, dir, "events")
+        .withColumn("new_sess",
+          when(lag(col("ts"), 1).over(wOrd).isNull || gap > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      withSess.groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_session_events"))
+        .orderBy(col("user_id"))
+    },
+
+    // variable (time-range) rolling window (reference rolling.clj:286-301):
+    // trailing 1 hour per user on the event-time axis.
+    "q40_variable_rolling" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000, 0)
+      t(s, dir, "events")
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          (sum(floor(col("value") * lit(1e6)).cast(DecimalType(30, 0))).over(w)
+            .cast(DoubleType) / lit(1e6)))
+        .selectColumns("event_id", "user_id", "n_1h", "sum_1h")
+        .orderBy(col("event_id"))
+    },
+
+    // full outer join with padding on both sides (reference join.clj outer
+    // variants; `:outer` of pd-merge).
+    "q41_full_outer" -> { (s, dir) =>
+      val o = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      val e = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      o.join(e, col("o_custkey") === col("user_id"), "full")
+        .select(coalesce(col("o_custkey"), col("user_id")).as("k"),
+          col("n_orders"), col("n_events"))
+        .orderBy(col("k"))
+    },
+
+    // bag intersection = min multiplicity (reference set.clj:72-115).
+    "q42_bag_intersect" -> { (s, dir) =>
+      val early = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .selectColumns("l_returnflag", "l_linestatus")
+      val late = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .selectColumns("l_returnflag", "l_linestatus")
+      SetOps.bagIntersection(early, late)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("multiplicity"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // bag union = max multiplicity (reference set.clj:118-171).
+    "q43_bag_union" -> { (s, dir) =>
+      val early = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .selectColumns("l_returnflag", "l_linestatus")
+      val late = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .selectColumns("l_returnflag", "l_linestatus")
+      SetOps.bagUnion(early, late)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("multiplicity"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // replace-missing :lerp / :midpoint / :nearest (reference
+    // missing.clj:163-189, 256-261) on an integer index axis.
+    "q44_fill_lerp" -> { (s, dir) =>
+      val e = t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        when(col("event_type") === "view", lit(null).cast(DoubleType))
+          .otherwise(col("value")).as("v"))
+      val part = Seq(col("user_id"))
+      val d1 = Missing.fillLerp(e.withColumn("v_lerp", col("v")), "v_lerp",
+        col("event_id"), part)
+      val d2 = Missing.fillLerp(d1.withColumn("v_mid", col("v")), "v_mid",
+        col("event_id"), part, midpoint = true)
+      val d3 = Missing.fillNearest(d2.withColumn("v_near", col("v")), "v_near",
+        col("event_id"), part)
+      d3.selectColumns("event_id", "user_id", "v", "v_lerp", "v_mid", "v_near")
+        .orderBy(col("event_id"))
+    },
+
+    // categorical->one-hot (reference categorical.clj:202-318).
+    "q45_one_hot" -> { (s, dir) =>
+      Categorical.oneHot(t(s, dir, "customer"), "c_mktsegment",
+        Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .selectColumns("c_custkey", "c_mktsegment_AUTOMOBILE",
+          "c_mktsegment_BUILDING", "c_mktsegment_FURNITURE",
+          "c_mktsegment_HOUSEHOLD", "c_mktsegment_MACHINERY")
+        .orderBy(col("c_custkey"))
+    },
+
+    // descriptive-stats / brief (reference dataset_api.clj:1300-1399):
+    // one row per numeric column, single-pass aggregation.
+    "q46_descriptive_stats" -> { (s, dir) =>
+      Reductions.descriptiveStats(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        squareScale = Map("l_extendedprice" -> 2))
+        .orderBy(col("column"))
+    },
+
+    // std-scale + min-max fit/transform (reference math.clj:235-344).
+    "q47_scalers" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val z = Ml.fitStandardScaler(li, Seq("l_quantity")).transform(li)
+      val mm = Ml.fitMinMax(li, Seq("l_extendedprice")).transform(z)
+      mm.selectColumns("l_orderkey", "l_linenumber", "l_quantity_z",
+        "l_extendedprice_mm")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // PCA projection (reference neanderthal.clj:73-331) — rows-only check
+    // (component signs are implementation-defined).
+    "q48_pca" -> { (s, dir) =>
+      Ml.pcaProject(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), 2)
+        .withColumn("pc1", element_at(vector_to_array(col("pc")), 1))
+        .withColumn("pc2", element_at(vector_to_array(col("pc")), 2))
+        .selectColumns("l_orderkey", "l_linenumber", "pc1", "pc2")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    },
+
+    // k-fold assignment (reference modelling.clj) — deterministic hash folds.
+    "q49_kfold" -> { (s, dir) =>
+      Ml.withFold(t(s, dir, "orders"), "o_orderkey", 5)
+        .groupBy(col("fold")).agg(count(lit(1)).as("n"))
+        .orderBy(col("fold"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q38_time_bucket" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q39_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM g),
+         per_sess AS (
+           SELECT user_id, sess_id, COUNT(*) AS n_events
+           FROM sess GROUP BY 1, 2)
+         SELECT user_id, COUNT(*) AS n_sessions, max(n_events) AS max_session_events
+         FROM per_sess GROUP BY 1 ORDER BY 1""",
+
+    "q40_variable_rolling" ->
+      """SELECT event_id, user_id,
+         COUNT(*) OVER w AS n_1h,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(30,0))) OVER w AS DOUBLE) / 1000000.0 AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "q41_full_outer" ->
+      """SELECT COALESCE(o_custkey, user_id) AS k, n_orders, n_events
+         FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1) o
+         FULL JOIN (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1) e
+           ON o_custkey = user_id
+         ORDER BY k""",
+
+    "q42_bag_intersect" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS multiplicity FROM (
+           SELECT l_returnflag, l_linestatus FROM lineitem
+           WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           INTERSECT ALL
+           SELECT l_returnflag, l_linestatus FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00') t
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q43_bag_union" ->
+      """WITH ca AS (
+           SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+           WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2),
+         cb AS (
+           SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' GROUP BY 1, 2)
+         SELECT l_returnflag, l_linestatus,
+           greatest(COALESCE(ca.n, 0), COALESCE(cb.n, 0)) AS multiplicity
+         FROM ca FULL JOIN cb USING (l_returnflag, l_linestatus)
+         ORDER BY 1, 2""",
+
+    "q44_fill_lerp" ->
+      """WITH base AS (
+           SELECT event_id, user_id,
+             CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+           FROM events),
+         ctx AS (
+           SELECT event_id, user_id, v,
+             last_value(v IGNORE NULLS) OVER wd AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN event_id END IGNORE NULLS) OVER wd AS px,
+             first_value(v IGNORE NULLS) OVER wu AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN event_id END IGNORE NULLS) OVER wu AS nx
+           FROM base
+           WINDOW
+             wd AS (PARTITION BY user_id ORDER BY event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wu AS (PARTITION BY user_id ORDER BY event_id ASC
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT event_id, user_id, v,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  pv + (nv - pv) * ((CAST(event_id AS DOUBLE) - CAST(px AS DOUBLE)) /
+                    (CAST(nx AS DOUBLE) - CAST(px AS DOUBLE)))
+                ELSE COALESCE(pv, nv) END AS v_lerp,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv + (nv - pv) * 0.5
+                ELSE COALESCE(pv, nv) END AS v_mid,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND (nv IS NULL OR
+                  abs(CAST(event_id AS DOUBLE) - CAST(px AS DOUBLE)) <=
+                  abs(CAST(nx AS DOUBLE) - CAST(event_id AS DOUBLE))) THEN pv
+                ELSE nv END AS v_near
+         FROM ctx ORDER BY event_id""",
+
+    "q45_one_hot" ->
+      """SELECT c_custkey,
+         CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS c_mktsegment_AUTOMOBILE,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS c_mktsegment_BUILDING,
+         CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS c_mktsegment_FURNITURE,
+         CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS c_mktsegment_HOUSEHOLD,
+         CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS c_mktsegment_MACHINERY
+         FROM customer ORDER BY c_custkey""",
+
+    "q46_descriptive_stats" -> {
+      def branch(c: String, sqScale: Int): String = {
+        val p = math.pow(10, sqScale).toLong
+        s"""SELECT '$c' AS "column",
+           COUNT($c) AS n_valid,
+           SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_missing,
+           CAST(min($c) AS DOUBLE) AS min,
+           CAST(SUM(CAST(FLOOR($c * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 / COUNT($c) AS mean,
+           CAST(max($c) AS DOUBLE) AS max,
+           sqrt(greatest((CAST(SUM(CAST(FLOOR($c * $c * $p.0) AS DECIMAL(30,0))) AS DOUBLE) / $p.0
+             - (CAST(SUM(CAST(FLOOR($c * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0)
+               * (CAST(SUM(CAST(FLOOR($c * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0)
+               / CAST(COUNT($c) AS DOUBLE)) / CAST(COUNT($c) AS DOUBLE), 0.0)) AS stddev
+           FROM lineitem"""
+      }
+      Seq(branch("l_quantity", 4), branch("l_extendedprice", 2),
+        branch("l_discount", 4), branch("l_tax", 4))
+        .mkString("SELECT * FROM (", " UNION ALL ", ") t ORDER BY \"column\"")
+    },
+
+    "q47_scalers" ->
+      """WITH st AS (
+           SELECT
+             CAST(SUM(CAST(FLOOR(l_quantity * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 / COUNT(l_quantity) AS mu,
+             sqrt((CAST(SUM(CAST(FLOOR(l_quantity * l_quantity * 100.0) AS DECIMAL(30,0))) AS DOUBLE) / 100.0
+               - (CAST(SUM(CAST(FLOOR(l_quantity * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0)
+                 * (CAST(SUM(CAST(FLOOR(l_quantity * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0)
+                 / CAST(COUNT(l_quantity) AS DOUBLE)) / CAST(COUNT(l_quantity) AS DOUBLE)) AS sd,
+             CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+             CAST(max(l_extendedprice) AS DOUBLE) AS hi
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber,
+           (l_quantity - mu) / (CASE WHEN sd = 0 THEN 1.0 ELSE sd END) AS l_quantity_z,
+           (l_extendedprice - lo) / (CASE WHEN hi = lo THEN 1.0 ELSE hi - lo END) AS l_extendedprice_mm
+         FROM lineitem CROSS JOIN st
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q49_kfold" -> "" // xxhash64 is Spark-specific → rows-only check
+  ) - "q49_kfold"
+}

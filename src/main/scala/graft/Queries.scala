@@ -28,9 +28,10 @@ object Queries {
   // ---- relational core ----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ LlmQueries.queries
+    coreQueries ++ LlmQueries.queries ++ ExtQueries.queries
 
-  def oracleSql: Map[String, String] = coreOracle ++ LlmQueries.oracleSql
+  def oracleSql: Map[String, String] =
+    coreOracle ++ LlmQueries.oracleSql ++ ExtQueries.oracleSql
 
   private val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -100,10 +101,12 @@ object Queries {
         .orderBy(col("o_custkey"))
     },
 
-    // anti join (SURVEY §2.3 semi/anti; reference models it as set difference).
+    // anti join (SURVEY §2.3 semi/anti; reference models it as set
+    // difference): customers with no open ('O') order.
     "q07_anti_join" -> { (s, dir) =>
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .selectColumns("c_custkey", "c_name")
         .orderBy(col("c_custkey"))
     },
@@ -365,7 +368,8 @@ object Queries {
 
     "q07_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
          ORDER BY c_custkey""",
 
     "q08_semi_join" ->

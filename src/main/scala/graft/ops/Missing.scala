@@ -106,14 +106,16 @@ object Missing {
     * distributively; the original rows are preserved exactly. */
   def fillRange(df: DataFrame, axis: String, maxSpan: Double): DataFrame = {
     val w = Window.orderBy(col(axis))
-    val nxt = lead(col(axis), 1).over(w)
-    // per-gap: number of inserted points so every step ≤ maxSpan
-    val steps = ceil((nxt - col(axis)) / lit(maxSpan)).cast("int")
     val inserted = df
-      .withColumn("__next", nxt)
+      .withColumn("__next", lead(col(axis), 1).over(w))
+      // per-gap: number of inserted points so every step ≤ maxSpan
+      // (materialized before the filter+generate — window exprs can't sit
+      // inside a generator)
+      .withColumn("__steps",
+        ceil((col("__next") - col(axis)) / lit(maxSpan)).cast("int"))
       .filter(col("__next").isNotNull && col("__next") - col(axis) > lit(maxSpan))
-      .withColumn("__k", explode(sequence(lit(1), steps - 1)))
-      .select((col(axis) + (col("__next") - col(axis)) * col("__k") / steps.cast("double")).as(axis))
+      .withColumn("__k", explode(sequence(lit(1), col("__steps") - 1)))
+      .select((col(axis) + (col("__next") - col(axis)) * col("__k") / col("__steps").cast("double")).as(axis))
     val padded = df.columns.filterNot(_ == axis).foldLeft(inserted)(
       (d, c) => d.withColumn(c, lit(null).cast(df.schema(c).dataType)))
     df.unionByName(padded.select(df.columns.map(col): _*)).orderBy(col(axis))

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Modelling / feature-engineering surface (reference SURVEY §2.9):
+  * fit/transform objects — std-scale, min-max, PCA, train/test split, k-fold —
+  * mirroring the reference's PDatasetTransform contract
+  * (reference src/tech/v3/dataset/protocols.clj:68-70, math.clj:235-344,
+  * modelling.clj:26-260).
+  *
+  * Fit = one aggregation job producing a tiny stats row; transform = pure
+  * column expressions parameterized by it (broadcast-free: the stats ride in
+  * the plan as literals). Deterministic via exact scaled-integer sums.
+  */
+object Ml {
+
+  import Reductions.isum
+
+  /** Fitted standard-scaler: (mean, stddev_pop) per column, exact. */
+  case class ScalerModel(stats: Map[String, (Double, Double)]) {
+    def transform(df: DataFrame): DataFrame =
+      stats.foldLeft(df) { case (d, (c, (mu, sigma))) =>
+        d.withColumn(s"${c}_z", (col(c) - lit(mu)) / lit(if (sigma == 0) 1.0 else sigma))
+      }
+  }
+
+  def fitStandardScaler(df: DataFrame, cols: Seq[String]): ScalerModel = {
+    val aggs = cols.flatMap { c0 =>
+      val c = col(c0)
+      val n = count(c).cast(DoubleType)
+      val sx = isum(c, 4); val sxx = isum(c * c, 2)
+      Seq((sx / count(c)).as(s"${c0}__mu"),
+        sqrt((sxx - sx * sx / n) / n).as(s"${c0}__sd"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    ScalerModel(cols.map { c =>
+      c -> (row.getDouble(row.fieldIndex(s"${c}__mu")),
+        row.getDouble(row.fieldIndex(s"${c}__sd")))
+    }.toMap)
+  }
+
+  /** Fitted min-max scaler to [0,1]. */
+  case class MinMaxModel(ranges: Map[String, (Double, Double)]) {
+    def transform(df: DataFrame): DataFrame =
+      ranges.foldLeft(df) { case (d, (c, (lo, hi))) =>
+        val span = if (hi == lo) 1.0 else hi - lo
+        d.withColumn(s"${c}_mm", (col(c) - lit(lo)) / lit(span))
+      }
+  }
+
+  def fitMinMax(df: DataFrame, cols: Seq[String]): MinMaxModel = {
+    val aggs = cols.flatMap { c0 =>
+      Seq(min(col(c0)).cast(DoubleType).as(s"${c0}__lo"),
+        max(col(c0)).cast(DoubleType).as(s"${c0}__hi"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    MinMaxModel(cols.map { c =>
+      c -> (row.getDouble(row.fieldIndex(s"${c}__lo")),
+        row.getDouble(row.fieldIndex(s"${c}__hi")))
+    }.toMap)
+  }
+
+  /** PCA fit/transform via MLlib (reference neanderthal.clj:73-331 →
+    * ml.feature.PCA). Output: `pc` vector column with k components. */
+  def pcaProject(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.ml.feature.{PCA, VectorAssembler}
+    val assembled = new VectorAssembler()
+      .setInputCols(cols.toArray).setOutputCol("__features")
+      .setHandleInvalid("skip").transform(df)
+    val model = new PCA().setInputCol("__features").setOutputCol("pc")
+      .setK(k).fit(assembled)
+    model.transform(assembled).drop("__features")
+  }
+
+  /** train-test-split (reference modelling.clj:90-120) — seeded, partition-
+    * parallel (randomSplit, no global shuffle). */
+  def trainTestSplit(df: DataFrame, trainFraction: Double = 0.7,
+                     seed: Long = 42L): (DataFrame, DataFrame) = {
+    val Array(a, b) = df.randomSplit(Array(trainFraction, 1 - trainFraction), seed)
+    (a, b)
+  }
+
+  /** k-fold assignment (reference modelling.clj:26-88): deterministic fold id
+    * from a stable hash of the key column — reproducible on any cluster. */
+  def withFold(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.withColumn("fold", pmod(xxhash64(col(keyCol)), lit(k)).cast(IntegerType))
+
+  /** set-inference-target (reference modelling.clj:26): records the target
+    * in column metadata, like the reference stores it on the column. */
+  def setInferenceTarget(df: DataFrame, target: String): DataFrame = {
+    val meta = new MetadataBuilder().putBoolean("inference-target", true).build()
+    df.withColumn(target, col(target).as(target, meta))
+  }
+}

@@ -87,15 +87,21 @@ object Reductions {
   /** descriptive-stats (reference dataset_api.clj:1300-1399): one row per
     * numeric column with n-valid/n-missing/min/mean/max/stddev — computed in a
     * single pass over the table (one job, column-pruned scan). */
-  def descriptiveStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def descriptiveStats(df: DataFrame, cols: Seq[String],
+                       squareScale: Map[String, Int] = Map.empty): DataFrame = {
     val aggs: Seq[Column] = cols.flatMap { c0 =>
       val c = col(c0)
+      val n = count(c).cast(DoubleType)
+      val sx = isum(c, 4)
+      // square-sum scale: 4 keeps ≤2-decimal data exact; columns whose squares
+      // reach ~1e10 must drop to 2 so floor(x²·10^s) stays under 2^53
+      val sxx = isum(c * c, squareScale.getOrElse(c0, 4))
       Seq(count(c).as(s"${c0}__nvalid"),
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"${c0}__nmissing"),
         min(c).cast(DoubleType).as(s"${c0}__min"),
-        dmean(c).as(s"${c0}__mean"),
+        (sx / count(c)).as(s"${c0}__mean"),
         max(c).cast(DoubleType).as(s"${c0}__max"),
-        dstddevPop(c).as(s"${c0}__stddev"))
+        sqrt(greatest((sxx - sx * sx / n) / n, lit(0.0))).as(s"${c0}__stddev"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // driver-side reshape of ONE row → per-column rows (no distributed cost)

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Joins
+
+/** As-of join semantics vs a hand-computed sequential oracle — the reference's
+  * 5 ops (:< :<= :nearest :>= :>) on a crafted keyed frame
+  * (reference join.clj:747-799). */
+class AsofJoinSpec extends SparkSuite {
+  init()
+  import spark.implicits._
+
+  // left: key A times 5,10,15 ; key B times 5
+  private lazy val left = Seq(("A", 5L), ("A", 10L), ("A", 15L), ("B", 5L))
+    .toDF("k", "t")
+  // right: key A quotes at 4,10,14 ; key B none
+  private lazy val right = Seq(("A", 4L, 1.0), ("A", 10L, 2.0), ("A", 14L, 3.0))
+    .toDF("k", "rt", "px")
+
+  private def run(dir: Joins.AsofDirection, exact: Boolean): Map[(String, Long), Option[Double]] =
+    Joins.asofJoin(left, right, "t", "rt", Seq(("k", "k")), dir, exact)
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("t")) ->
+        Option(r.getAs[Any]("px")).map(_.asInstanceOf[Double]))
+      .toMap
+
+  test("backward <= (allow exact)") {
+    val m = run(Joins.Backward, exact = true)
+    assert(m(("A", 5L)) == Some(1.0))   // 4 <= 5
+    assert(m(("A", 10L)) == Some(2.0))  // exact 10
+    assert(m(("A", 15L)) == Some(3.0))  // 14
+    assert(m(("B", 5L)) == None)        // no right rows for B
+  }
+
+  test("backward strict <") {
+    val m = run(Joins.Backward, exact = false)
+    assert(m(("A", 10L)) == Some(1.0))  // exact 10 excluded → 4
+  }
+
+  test("forward >= (allow exact)") {
+    val m = run(Joins.Forward, exact = true)
+    assert(m(("A", 5L)) == Some(2.0))   // next at 10
+    assert(m(("A", 10L)) == Some(2.0))  // exact
+    assert(m(("A", 15L)) == None)       // nothing after 15
+  }
+
+  test("forward strict >") {
+    val m = run(Joins.Forward, exact = false)
+    assert(m(("A", 10L)) == Some(3.0))  // exact excluded → 14
+  }
+
+  test("nearest picks closest, backward wins ties") {
+    val m = run(Joins.Nearest, exact = true)
+    assert(m(("A", 5L)) == Some(1.0))   // |5-4|=1 < |10-5|=5
+    assert(m(("A", 15L)) == Some(3.0))  // |15-14|=1
+    // t=10: exact backward match distance 0
+    assert(m(("A", 10L)) == Some(2.0))
+  }
+
+  test("matches DuckDB-style asof on the events table (strict backward)") {
+    // mirror of q14: every matched p_event must be a strictly-earlier purchase
+    val out = Queries.queries("q14_asof_join")(spark, sfDir)
+    val ev = Tables.t(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val joined = out.filter(col("p_event_id").isNotNull)
+      .join(ev.select(col("event_id").as("p_event_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_user")), "p_event_id")
+      .join(ev.select(col("event_id"), col("ts")), "event_id")
+    assert(joined.filter(col("p_ts") >= col("ts") || col("p_user") =!= col("user_id")).count() == 0)
+  }
+}

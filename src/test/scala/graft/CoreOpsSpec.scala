@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops._
+import graft.ops.TableOps._
+
+class CoreOpsSpec extends SparkSuite {
+  init()
+  import spark.implicits._
+
+  test("concatWidening pads missing columns and widens types") {
+    val a = Seq((1, 1.5f)).toDF("k", "x")
+    val b = Seq((2L, "y")).toDF("k", "s")
+    val out = a.concatWidening(b).orderBy("k")
+    // int+long → long; float-only col stays; missing cols null
+    assert(out.schema("k").dataType == LongType)
+    val rows = out.collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Float]("x") == 1.5f && rows(0).getAs[String]("s") == null)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("x")) && rows(1).getAs[String]("s") == "y")
+  }
+
+  test("concatWidening long+float widens to double") {
+    val a = Seq(Tuple1(1L)).toDF("x")
+    val b = Seq(Tuple1(1.5f)).toDF("x")
+    assert(a.concatWidening(b).schema("x").dataType == DoubleType)
+  }
+
+  test("uniqueByColumn keeps deterministic representative") {
+    val df = Seq((1, "b"), (1, "a"), (2, "c")).toDF("k", "v")
+    val out = df.uniqueByColumn(Seq("k"), Seq(col("v").asc)).orderBy("k").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a"), (2, "c")))
+  }
+
+  test("columnCastRelaxed records parse failures instead of failing") {
+    val df = Seq("1", "x", "3").toDF("v").columnCastRelaxed("v", IntegerType)
+    val rows = df.orderBy(col("v").asc_nulls_last).collect()
+    assert(rows.count(_.getAs[Boolean]("v_unparsed")) == 1)
+    assert(rows.map(r => if (r.isNullAt(0)) null else r.getInt(0)).toSeq == Seq(1, 3, null))
+  }
+
+  test("filter-column truthy semantics per type") {
+    val df = Seq((0, true), (1, false), (2, true)).toDF("n", "b")
+    assert(df.filterColumnTruthy("b").count() == 2)
+    assert(df.filterColumnTruthy("n").count() == 2) // 0 is falsy
+  }
+
+  test("bag set ops: multiplicities") {
+    val a = Seq("x", "x", "y").toDF("v")
+    val b = Seq("x", "y", "y", "z").toDF("v")
+    val inter = SetOps.bagIntersection(a, b).groupBy("v").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inter == Map("x" -> 1, "y" -> 1))
+    val uni = SetOps.bagUnion(a, b).groupBy("v").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uni == Map("x" -> 2, "y" -> 2, "z" -> 1))
+  }
+
+  test("reductions cross-check: 3x-unioned table triples sums, keeps means") {
+    // the reference's invariant test pattern (reductions_test.clj:25-52)
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val one = Reductions.groupByAgg(li, Seq("l_returnflag"),
+      "s1" -> Reductions.dsum(col("l_quantity")),
+      "m1" -> Reductions.dmean(col("l_quantity")))
+    val three = Reductions.groupByAgg(li.unionAll(li).unionAll(li), Seq("l_returnflag"),
+      "s3" -> Reductions.dsum(col("l_quantity")),
+      "m3" -> Reductions.dmean(col("l_quantity")))
+    val j = one.join(three, Seq("l_returnflag")).collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      assert(math.abs(r.getAs[Double]("s3") / r.getAs[Double]("s1") - 3.0) < 1e-12)
+      assert(math.abs(r.getAs[Double]("m3") - r.getAs[Double]("m1")) < 1e-12)
+    }
+  }
+
+  test("melt/pivot round shapes") {
+    val df = Seq((1, 2.0, 3.0)).toDF("id", "a", "b")
+    val melted = Reshape.melt(df, Seq("id"), Seq("a", "b"))
+    assert(melted.count() == 2)
+    assert(melted.columns.toSeq == Seq("id", "column", "value"))
+  }
+
+  test("missing fills: down/up/lerp on a crafted frame") {
+    val df = Seq((1, Some(10.0)), (2, None), (3, None), (4, Some(40.0)))
+      .toDF("i", "v")
+    val down = Missing.fillDown(df, "v", Seq(col("i"))).orderBy("i")
+      .collect().map(_.getAs[Double]("v"))
+    assert(down.toSeq == Seq(10.0, 10.0, 10.0, 40.0))
+    val lerp = Missing.fillLerp(df, "v", col("i")).orderBy("i")
+      .collect().map(_.getAs[Double]("v"))
+    assert(lerp.toSeq == Seq(10.0, 20.0, 30.0, 40.0))
+    val near = Missing.fillNearest(df, "v", col("i")).orderBy("i")
+      .collect().map(_.getAs[Double]("v"))
+    assert(near.toSeq == Seq(10.0, 10.0, 40.0, 40.0)) // tie at i=2 goes down
+  }
+
+  test("fillRange densifies gaps to max span") {
+    val df = Seq((0.0, "a"), (10.0, "b")).toDF("x", "tag")
+    val out = Missing.fillRange(df, "x", 2.5)
+    val xs = out.orderBy("x").collect().map(_.getDouble(0))
+    assert(xs.length == 5) // 0, 2.5, 5, 7.5, 10
+    assert(xs.sliding(2).forall(p => p(1) - p(0) <= 2.5 + 1e-9))
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm._
+
+class LlmOpsSpec extends SparkSuite {
+  init()
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (2L, "the quick brown fox leaps over the lazy dog"),   // near dup
+    (3L, "completely different content about spark engines and data"),
+    (4L, "THE  Quick   Brown Fox Jumps Over The Lazy Dog") // dup after normalize
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates") {
+    val out = TextDedup.exactDedup(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length == 3)
+    val byKeep = out.map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(byKeep(0L) == 3) // 0, 1, 4 collapse
+    assert(byKeep(2L) == 1 && byKeep(3L) == 1)
+  }
+
+  test("minhash: identical docs get identical signatures, est_jaccard 1") {
+    val pairs = TextDedup.minhashCandidatePairs(docs, "doc_id", "text",
+      shingleLen = 3, numHashes = 64, bands = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("est_jaccard")).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 4L)) == 1.0)
+    // near-dup 2 should be found with high-but-not-1 similarity
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.15 && pairs((0L, 2L)) < 1.0)
+    // unrelated doc 3 must not pair with 0 at any band
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("simhash: identical docs hamming 0, near-dups close, distinct far") {
+    val pairs = TextDedup.simhashCandidatePairs(docs, "doc_id", "text", maxHamming = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
+    assert(pairs((0L, 1L)) == 0)
+    assert(pairs((0L, 4L)) == 0)
+    assert(pairs.get((0L, 2L)).exists(_ < 15))
+  }
+
+  test("ngram jaccard exact values") {
+    val d = docs.filter(col("doc_id").isin(0, 2))
+    val a = d.select(col("doc_id").as("ia"), col("text").as("ta"))
+    val b = d.select(col("doc_id").as("ib"), col("text").as("tb"))
+    val j = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(TextDedup.ngramJaccard(col("ta"), col("tb"), 3).as("j"))
+      .collect()(0).getDouble(0)
+    // 9 tokens → 7 shingles each; 4 shared ("jumps"/"leaps" kills 3)
+    assert(j == 4.0 / 10.0)
+  }
+
+  test("cosine top-k: self-similarity excluded, ranks deterministic") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val out = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, 4)
+    val rows = out.collect()
+    assert(rows.length == 12)
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("corpus_id")))
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cosine")) <= 1.0 + 1e-9))
+  }
+
+  test("lsh ann recall: top-1 of LSH appears in brute-force top-10") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(q, emb, 10).select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(q, emb, 1, planes = 8).collect()
+    // multi-probe LSH top-1 should usually be a true top-10 neighbor
+    val hits = lsh.count(r => brute.contains((r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))))
+    assert(hits >= lsh.length / 2, s"LSH recall too low: $hits/${lsh.length}")
+  }
+
+  test("quality score bounded and sensitive to noise") {
+    val out = Seq(
+      (1L, "the cat sat on the mat and it was a fine day for everyone involved"),
+      (2L, "!!!! ???? ;;;; 1234 5678 !!!!")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextStats.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > out(2L))
+    assert(out.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("multimodal stub plumbing: deterministic features, batch boundaries") {
+    val docsTable = Tables.t(spark, sfDir, "documents").limit(50)
+    val f1 = Multimodal.mediaFeatures(spark, docsTable, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val f2 = Multimodal.mediaFeatures(spark, docsTable.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(f1.toSeq == f2.toSeq) // features independent of partitioning
+    assert(f1.forall(_.getAs[Int]("n_bytes") > 0))
+  }
+
+  test("langId mechanism: marker words drive prediction") {
+    val out = TextStats.withLangId(Seq(
+      (1L, "der hund ist nicht mit der katze"),
+      (2L, "the cat is with the dog and that")).toDF("id", "text"), "text")
+      .select("id", "pred_lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "de")
+    assert(out(2L) == "en")
+  }
+}

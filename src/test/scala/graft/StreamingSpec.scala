@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStream
+
+/** Structured Streaming path produces the same result as the batch
+  * time-bucket query (q38) — the oracle for the streaming engine. */
+class StreamingSpec extends SparkSuite {
+  init()
+
+  test("streaming hourly agg equals batch q38") {
+    val streamed = EventStream.runToMemorySink(
+      EventStream.hourlyCounts(spark, sfDir), "hourly_test")
+      .orderBy("bucket", "event_type")
+      .collect()
+    val batch = Queries.queries("q38_time_bucket")(spark, sfDir)
+      .collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[java.sql.Timestamp]("bucket") == b.getAs[java.sql.Timestamp]("bucket"))
+      assert(s.getAs[String]("event_type") == b.getAs[String]("event_type"))
+      assert(s.getAs[Long]("n") == b.getAs[Long]("n"))
+      assert(math.abs(s.getAs[Double]("sum_value") - b.getAs[Double]("sum_value")) < 1e-9)
+    }
+  }
+}
