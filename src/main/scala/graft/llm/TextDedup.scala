@@ -51,14 +51,19 @@ object TextDedup {
   private def aCoef(i: Column): Column = ((i * 2 + 1) * lit(2654435761L)) % P
   private def bCoef(i: Column): Column = (i * lit(40503L) + 7) % P
 
-  /** MinHash signature: numHashes permutation-minima over the shingle set.
-    * One md5 per shingle; the numHashes variants are cheap modular arithmetic
-    * (standard universal-hashing MinHash — one-pass, codegen-friendly). */
-  def minhashSignature(text: Column, shingleLen: Int, numHashes: Int): Column = {
-    val hs = transform(shingles(text, shingleLen), s => h28(s))
+  /** MinHash signature from a PRE-MATERIALIZED shingle-hash array column.
+    * The md5s must live in their own column: referenced inline, Catalyst
+    * re-evaluates the whole hash array once per outer lambda element —
+    * 64× the md5 cost (measured 230s → ~10s at sf0.1 for the split form).
+    * The numHashes permutation-minima are then cheap modular arithmetic. */
+  def minhashSignatureFromHashes(hs: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)), i =>
       array_min(transform(hs, h => (aCoef(i) * h + bCoef(i)) % P)))
-  }
+
+  /** Convenience single-expression form (test-scale only — see above). */
+  def minhashSignature(text: Column, shingleLen: Int, numHashes: Int): Column =
+    minhashSignatureFromHashes(transform(shingles(text, shingleLen), s => h28(s)),
+      numHashes)
 
   /** Estimated Jaccard from two signatures = fraction of agreeing positions. */
   def estJaccard(sigA: Column, sigB: Column): Column =
@@ -73,26 +78,43 @@ object TextDedup {
       concat_ws("#", j.cast(StringType),
         md5(concat_ws(",", slice(sig, j * rowsPerBand + 1, lit(rowsPerBand))))))
 
-  /** Candidate near-dup pairs via MinHash LSH: explode band keys, self-join
-    * on the bucket, dedup pairs, score by signature agreement. The join is a
-    * shuffle on the band key only; bucket sizes (not corpus size) drive pair
-    * cost. */
+  /** Candidate near-dup pairs via MinHash LSH, representative-pairing.
+    *
+    * A naive band self-join is O(bucket²) pair rows — with duplicate
+    * CLUSTERS (the whole point of dedup) that quadratic blows up: a cluster
+    * of 100 copies in 32 bands makes 158k pair rows, each dragging a
+    * 64-element signature through the shuffle (measured 464s at sf0.1 vs 6s
+    * for this design). Instead each doc pairs only with its bucket's min-id
+    * REPRESENTATIVE: linear in bucket size, still links every near-dup doc
+    * into a dedup group (min-rep linking is the standard connected-components
+    * step). Signatures are computed once (persisted — they'd otherwise be
+    * recomputed per join branch) and joined back only for surviving pairs. */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleLen: Int = 3, numHashes: Int = 64,
                             bands: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val r = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleLen, numHashes).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+    // Persisting the md5 shingle-hash frame is load-bearing: without the
+    // cache barrier CollapseProject inlines it into the signature lambda and
+    // the md5s run once per hash function (64×) instead of once.
+    val hsDf = df.select(col(idCol).as("id"),
+      transform(shingles(col(textCol), shingleLen), s => h28(s)).as("__hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = hsDf.select(col("id"),
+      minhashSignatureFromHashes(col("__hs"), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, r)).as("band"))
-    val a = banded.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band"))
-      .filter(col("id_a") < col("id_b"))
+    val pairs0 = banded
+      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("band"))))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+      .distinct()
+    pairs0
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
   /** Exact n-gram Jaccard between explicit pairs (the verify step after LSH,
@@ -124,21 +146,26 @@ object TextDedup {
     * hamming distance 3), then filter by exact hamming. */
   def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = withSimhash(df.select(col(idCol).as("id"), col(textCol).as("__txt")),
       "__txt", "sh").select(col("id"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = (0 until 4).map(j =>
       struct(lit(j).as("band"),
         shiftright(col("sh"), j * 15).bitwiseAND(lit(0x7FFFL)).as("key")))
     val banded = sh.withColumn("b", explode(array(chunks: _*)))
-      .select(col("id"), col("sh"), col("b.band"), col("b.key"))
-    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col("id"), col("b.band"), col("b.key"))
+    // representative-pairing, same rationale as minhashCandidatePairs
+    val pairs0 = banded
+      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("band"), col("key"))))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+      .distinct()
+    pairs0
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(min(col("hamming")).as("hamming"))
   }
 
   /** Hamming distance between two simhash longs. */
