@@ -10,6 +10,10 @@ import graft.ops.TableOps._
 import graft.ops.Reductions._
 import org.apache.spark.ml.functions.vector_to_array
 
+/** Typed rows for the induction query (top-level for Encoders.product). */
+case class OrderRow(o_orderkey: Long, o_totalprice: Double)
+case class InductState(o_orderkey: Long, running: Double)
+
 /** Extended coverage queries: event-time windowing (streaming-equivalent),
   * sessionization, variable rolling windows, outer joins, bag ops, lerp
   * imputation, one-hot, whole-table descriptive stats, scalers, PCA. */
@@ -171,6 +175,76 @@ object ExtQueries {
       Ml.withFold(t(s, dir, "orders"), "o_orderkey", 5)
         .groupBy(col("fold")).agg(count(lit(1)).as("n"))
         .orderBy(col("fold"))
+    },
+
+    // DataSketches aggregates (reference prob-set-cardinality/prob-quantile,
+    // apache_data_sketch.clj — same library, TypedImperativeAggregate).
+    // Rows-only: sketch estimates differ from DuckDB's approx algorithms.
+    "q50_sketches" -> { (s, dir) =>
+      graft.functions.Sketches.register(s)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("hll_distinct(l_partkey)").as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          expr("kll_quantile(l_extendedprice, 0.5)").as("approx_median_price"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("hllpp_orders"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // head/tail (reference dataset_api.clj:381-404) with a total order.
+    "q51_head_tail" -> { (s, dir) =>
+      val o = t(s, dir, "orders").selectColumns("o_orderkey", "o_totalprice")
+      o.orderBy(col("o_orderkey")).limit(10).withColumn("part", lit("head"))
+        .unionByName(o.tail(10, Seq(col("o_orderkey"))).withColumn("part", lit("tail")))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // seeded sample + shuffle (reference base.clj:797-800, dataset_api.clj:
+    // 407-445) — deterministic within Spark for a fixed seed; rows-only.
+    "q52_sample" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .sampleRows(0.1, withReplacement = false, seed = 42L)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // LOESS smoothing (reference math.clj:112-146) per user over event time.
+    "q53_loess" -> { (s, dir) =>
+      Advanced.loessSmooth(
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id").cast(DoubleType).as("x"),
+            col("value")),
+        "user_id", "x", "value", bandwidth = 0.3)
+        .orderBy(col("user_id"), col("x"))
+    },
+
+    // induction (reference dataset_api.clj:1402-1469): sequential compound
+    // accumulation (decay + add — not window-expressible). Single-partition
+    // by design; rows-only.
+    "q54_induction" -> { (s, dir) =>
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .selectColumns("o_orderkey", "o_totalprice")
+        .orderBy(col("o_orderkey")).as[OrderRow]
+      Advanced.induction(orders, InductState(0L, 0.0)) { (acc, r) =>
+        InductState(r.o_orderkey, acc.running * 0.999 + r.o_totalprice)
+      }.toDF().orderBy(col("o_orderkey"))
+    },
+
+    // correlation-table (reference math.clj:37-109): all-pairs Pearson,
+    // one aggregation pass. Rows-only (array column).
+    "q55_corr_table" -> { (s, dir) =>
+      Advanced.correlationTable(t(s, dir, "lineitem"),
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"),
+        squareScale = Map("l_extendedprice" -> 2))
+        .orderBy(col("column"))
+    },
+
+    // crosstab (user × event_type counts), explicit domain.
+    "q56_crosstab" -> { (s, dir) =>
+      Advanced.crosstab(t(s, dir, "events"), "user_id", "event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -316,6 +390,22 @@ object ExtQueries {
          FROM lineitem CROSS JOIN st
          ORDER BY l_orderkey, l_linenumber""",
 
-    "q49_kfold" -> "" // xxhash64 is Spark-specific → rows-only check
-  ) - "q49_kfold"
+    "q51_head_tail" ->
+      """SELECT o_orderkey, o_totalprice, part FROM (
+           (SELECT o_orderkey, o_totalprice, 'head' AS part FROM orders
+            ORDER BY o_orderkey ASC LIMIT 10)
+           UNION ALL
+           (SELECT o_orderkey, o_totalprice, 'tail' AS part FROM orders
+            ORDER BY o_orderkey DESC LIMIT 10)) t
+         ORDER BY o_orderkey""",
+
+    "q56_crosstab" ->
+      """SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+         FROM events GROUP BY 1 ORDER BY 1"""
+  )
 }

@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.datasketches.hll.{HllSketch, Union}
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSketches-backed approximate aggregates (reference parity: the
+  * reference's prob-set-cardinality / prob-quantile wrap the SAME Apache
+  * DataSketches library — reference src/tech/v3/dataset/reductions/
+  * apache_data_sketch.clj:90-132 and reductions.clj:210-252).
+  *
+  * Implemented as `TypedImperativeAggregate`: the sketch object lives in
+  * executor memory during partial aggregation and is serialized only at
+  * shuffle boundaries — the exact design Spark uses for its own HLL++, and
+  * the correct scale behavior (mergeable partial sketches, bytes ∝ k not n).
+  *
+  * Exposed to queries via the session function registry:
+  * `Sketches.register(spark)` then `expr("hll_distinct(x)")` /
+  * `expr("kll_quantile(x, 0.5)")`.
+  */
+object Sketches {
+
+  private val DefaultLgK = 12 // ≈ reference default lgK=12 → k=4096
+  private val DefaultKllK = 200
+
+  case class HllDistinct(
+      child: Expression,
+      lgK: Int = DefaultLgK,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+
+    override def createAggregationBuffer(): Union = new Union(lgK)
+
+    override def update(b: Union, row: InternalRow): Union = {
+      val v = child.eval(row)
+      if (v != null) v match {
+        case s: UTF8String => b.update(s.toString)
+        case d: Double => b.update(d)
+        case f: Float => b.update(f.toDouble)
+        case l: Long => b.update(l)
+        case i: Int => b.update(i.toLong)
+        case o => b.update(o.toString)
+      }
+      b
+    }
+
+    override def merge(b: Union, o: Union): Union = {
+      b.update(o.getResult); b
+    }
+
+    override def eval(b: Union): Any = math.round(b.getResult.getEstimate)
+
+    override def serialize(b: Union): Array[Byte] =
+      b.getResult.toCompactByteArray
+
+    override def deserialize(bytes: Array[Byte]): Union = {
+      val u = new Union(lgK)
+      u.update(HllSketch.heapify(Memory.wrap(bytes)))
+      u
+    }
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(o: Int): HllDistinct =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): HllDistinct =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): HllDistinct =
+      copy(child = c)
+    override def prettyName: String = "hll_distinct"
+  }
+
+  case class KllQuantile(
+      child: Expression,
+      quantile: Double,
+      k: Int = DefaultKllK,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+
+    override def createAggregationBuffer(): KllDoublesSketch =
+      KllDoublesSketch.newHeapInstance(k)
+
+    override def update(b: KllDoublesSketch, row: InternalRow): KllDoublesSketch = {
+      val v = child.eval(row)
+      if (v != null) v match {
+        case d: Double => b.update(d)
+        case f: Float => b.update(f.toDouble)
+        case l: Long => b.update(l.toDouble)
+        case i: Int => b.update(i.toDouble)
+        case n: Number => b.update(n.doubleValue())
+        case _ => ()
+      }
+      b
+    }
+
+    override def merge(b: KllDoublesSketch, o: KllDoublesSketch): KllDoublesSketch = {
+      b.merge(o); b
+    }
+
+    override def eval(b: KllDoublesSketch): Any =
+      if (b.isEmpty) null else b.getQuantile(quantile)
+
+    override def serialize(b: KllDoublesSketch): Array[Byte] = b.toByteArray
+
+    override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+      KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def withNewMutableAggBufferOffset(o: Int): KllQuantile =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KllQuantile =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): KllQuantile =
+      copy(child = c)
+    override def prettyName: String = "kll_quantile"
+  }
+
+  /** Register `hll_distinct(col)` and `kll_quantile(col, q)` on the session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("hll_distinct",
+      es => HllDistinct(es.head).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("kll_quantile", { es =>
+      val q = es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) =>
+          v.doubleValue()
+        case org.apache.spark.sql.catalyst.expressions.Literal(d: Decimal, _) =>
+          d.toDouble
+        case other => throw new IllegalArgumentException(
+          s"kll_quantile rank must be a literal, got $other")
+      }
+      KllQuantile(es.head, q).toAggregateExpression()
+    }, "scala_udf")
+  }
+}

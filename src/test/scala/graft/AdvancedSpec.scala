@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Advanced
+
+class AdvancedSpec extends SparkSuite {
+  init()
+  import spark.implicits._
+
+  test("sketch distinct within HLL error bounds of exact") {
+    graft.functions.Sketches.register(spark)
+    val out = Queries.queries("q50_sketches")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"HLL estimate $approx vs exact $exact")
+    }
+  }
+
+  test("kll quantile close to exact percentile") {
+    graft.functions.Sketches.register(spark)
+    val r = Tables.t(spark, sfDir, "lineitem")
+      .agg(expr("kll_quantile(l_extendedprice, 0.5)").as("approx"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("exact"))
+      .collect()(0)
+    val (a, e) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(a - e) / e < 0.05, s"KLL median $a vs exact $e")
+  }
+
+  test("induction: sequential decay accumulation ordered and correct") {
+    val rows = Seq(OrderRow(1, 100.0), OrderRow(2, 200.0), OrderRow(3, 50.0))
+    val ds = spark.createDataset(rows)
+    val out = Advanced.induction(ds, InductState(0L, 0.0)) { (acc, r) =>
+      InductState(r.o_orderkey, acc.running * 0.5 + r.o_totalprice)
+    }.collect()
+    assert(out.map(_.o_orderkey).toSeq == Seq(1L, 2L, 3L))
+    assert(out(2).running == ((100.0 * 0.5 + 200.0) * 0.5 + 50.0))
+  }
+
+  test("loess smooths noise toward the underlying trend") {
+    val pts = (0 until 100).map { i =>
+      val x = i.toDouble
+      (1L, x, 2.0 * x + (if (i % 2 == 0) 5.0 else -5.0)) // linear + alternating noise
+    }
+    val df = pts.toDF("g", "x", "y")
+    val sm = Advanced.loessSmooth(df, "g", "x", "y", bandwidth = 0.3)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // smoothed curve should be closer to 2x than the noisy points are
+    val rawErr = sm.map { case (x, y, _) => math.abs(y - 2 * x) }.sum
+    val smErr = sm.map { case (x, _, s) => math.abs(s - 2 * x) }.sum
+    assert(smErr < rawErr / 2, s"loess err $smErr vs raw $rawErr")
+  }
+
+  test("correlation table: diagonal 1, symmetric, self-consistent") {
+    val out = Advanced.correlationTable(Tables.t(spark, sfDir, "lineitem"),
+      Seq("l_discount", "l_extendedprice", "l_quantity"),
+      squareScale = Map("l_extendedprice" -> 2))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val cols = Seq("l_discount", "l_extendedprice", "l_quantity")
+    cols.zipWithIndex.foreach { case (c, i) =>
+      assert(out(c)(i) == 1.0)
+      cols.zipWithIndex.foreach { case (d, j) =>
+        assert(math.abs(out(c)(j) - out(d)(i)) < 1e-12) // symmetry
+      }
+    }
+  }
+
+  test("pdMerge full outer keeps both unmatched sides") {
+    val a = Seq((1, "a"), (2, "b")).toDF("k", "va")
+    val b = Seq((2, "x"), (3, "y")).toDF("k", "vb")
+    val out = graft.ops.Joins.pdMerge(a, b, Seq("k"), "outer")
+      .orderBy("k").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[String]("vb") == null && out(2).getAs[String]("va") == null)
+  }
+
+  test("keyJoin prefixes right-side collisions") {
+    val a = Seq((1, "x")).toDF("k", "v")
+    val b = Seq((1, "y")).toDF("kb", "v")
+    val out = graft.ops.Joins.keyJoin(a, b, Seq("k"), Seq("kb"))
+    assert(out.columns.contains("right.v") && out.columns.contains("v"))
+    assert(out.count() == 1)
+  }
+}
