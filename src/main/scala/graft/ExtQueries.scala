@@ -245,6 +245,38 @@ object ExtQueries {
       Advanced.crosstab(t(s, dir, "events"), "user_id", "event_type",
         Seq("click", "error", "purchase", "signup", "view"))
         .orderBy(col("user_id"))
+    },
+
+    // reservoir sample per group (reference reductions.clj:254-303):
+    // k uniformly-chosen rows per key, one pass. Rows-only (seeded rand).
+    "q57_reservoir" -> { (s, dir) =>
+      Reductions.reservoirPerGroup(
+        t(s, dir, "orders").selectColumns("o_custkey", "o_orderkey"),
+        Seq("o_custkey"), k = 2, seed = 42L)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // rolling :edge-mode :clamp parity (reference rolling.clj:130-133):
+    // trailing 5-row sum/mean with the reference's clamped-window semantics.
+    "q58_rolling_clamp" -> { (s, dir) =>
+      Rolling.rollingClampSumMean(
+        t(s, dir, "events").selectColumns("event_id", "user_id", "ts")
+          .withColumn("v", (col("event_id") % 97).cast(DoubleType)),
+        5, Rolling.Left, Seq(col("ts"), col("event_id")), Seq(col("user_id")),
+        col("v"), "clamp")
+        .selectColumns("event_id", "user_id", "clamp_sum", "clamp_mean")
+        .orderBy(col("event_id"))
+    },
+
+    // row-map (reference dataset_api.clj:885-943) as a per-row computed
+    // margin — declarative, stays in codegen.
+    "q59_row_map" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("margin",
+          col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+        .selectColumns("l_orderkey", "l_linenumber", "margin")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }
   )
 
@@ -398,6 +430,28 @@ object ExtQueries {
            (SELECT o_orderkey, o_totalprice, 'tail' AS part FROM orders
             ORDER BY o_orderkey DESC LIMIT 10)) t
          ORDER BY o_orderkey""",
+
+    "q57_reservoir" ->
+      """SELECT o_custkey, CAST(least(2, COUNT(*)) AS BIGINT) AS n_sampled
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q58_rolling_clamp" ->
+      """SELECT event_id, user_id,
+         SUM(v) OVER w + (5 - COUNT(v) OVER w) * first_value(v) OVER wp AS clamp_sum,
+         (SUM(v) OVER w + (5 - COUNT(v) OVER w) * first_value(v) OVER wp) / 5 AS clamp_mean
+         FROM (SELECT event_id, user_id, ts, CAST(event_id % 97 AS DOUBLE) AS v
+               FROM events) t
+         WINDOW
+           w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY event_id""",
+
+    "q59_row_map" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1 - l_discount) * (1 + l_tax) AS margin
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
     "q56_crosstab" ->
       """SELECT user_id,

@@ -100,6 +100,35 @@ object Missing {
         .otherwise(nv))
   }
 
+  /** :abb — approximate Bayesian bootstrap (missing.clj:99-109): each missing
+    * slot is filled by a with-replacement draw from the observed values.
+    * Distributed: observed values are indexed once, missing rows draw a
+    * seeded-random index and join — two shuffles, no collect, reproducible
+    * for a fixed seed and input partitioning. */
+  def fillAbb(df: DataFrame, c: String, seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = df.filter(col(c).isNotNull).select(col(c).as("__abb_v"))
+      .withColumn("__abb_i",
+        row_number().over(Window.orderBy(col("__abb_v"))) - 1)
+    val nObs = obs.count()
+    if (nObs == 0) df
+    else df
+      .withColumn("__abb_i",
+        when(col(c).isNull, floor(rand(seed) * nObs).cast("int")))
+      .join(obs.hint("broadcast"), Seq("__abb_i"), "left")
+      .withColumn(c, coalesce(col(c), col("__abb_v")))
+      .drop("__abb_i", "__abb_v")
+  }
+
+  /** remove-empty-columns (reference dataset_api.clj:218-236): drop columns
+    * that are entirely null — one counting pass, then a driver-side select. */
+  def removeEmptyColumns(df: DataFrame): DataFrame = {
+    val counts = df.agg(count(lit(1)).as("__n"),
+      df.columns.map(c => count(col(c)).as(c)).toSeq: _*).collect()(0)
+    val keep = df.columns.filter(c => counts.getAs[Long](c) > 0L)
+    df.select(keep.map(col).toSeq: _*)
+  }
+
   /** fill-range-replace (reference src/tech/v3/dataset/math.clj:160-232):
     * densify a numeric axis so consecutive gaps are ≤ maxSpan, then other
     * columns can be imputed. sequence() + explode generates the grid

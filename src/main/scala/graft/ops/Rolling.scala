@@ -71,6 +71,29 @@ object Rolling {
   def rVariance(c: Column): WindowSpec => Column = w => var_samp(c).over(w)
   def rStddev(c: Column): WindowSpec => Column = w => stddev_samp(c).over(w)
 
+  /** TMD `:edge-mode :clamp` parity (rolling.clj:130-133): the reference
+    * keeps windows at size n by REPEATING the edge value; Spark frames shrink.
+    * For sum/mean the clamped result is recovered exactly from the shrunk
+    * frame: sum_clamp = sum_shrunk + (n − cnt)·edge_value, where the edge
+    * value is the partition's first row (trailing windows) or last row
+    * (leading windows). Adds `<out>_sum`/`<out>_mean` columns. */
+  def rollingClampSumMean(df: DataFrame, n: Int, pos: Position,
+                          order: Seq[Column], part: Seq[Column], c: Column,
+                          out: String): DataFrame = {
+    val w = frame(Window.partitionBy(part: _*).orderBy(order: _*), n, pos)
+    val wholePart = Window.partitionBy(part: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val edge = pos match {
+      case Left => first(c).over(wholePart)
+      case Right => last(c).over(wholePart)
+      case Center => first(c).over(wholePart) // clamp on the leading edge
+    }
+    val cnt = count(c).over(w)
+    val sumClamp = sum(c).over(w) + (lit(n) - cnt) * edge
+    df.withColumn(s"${out}_sum", sumClamp)
+      .withColumn(s"${out}_mean", sumClamp / n)
+  }
+
   /** Deterministic rolling mean via decimal sum (same engine policy as
     * Reductions.dmean — reproducible across partition counts). */
   def rMeanExact(c: Column, scale: Int = 4): WindowSpec => Column = w =>

@@ -135,6 +135,23 @@ object TableOps {
         .withColumn(name, casted)
     }
 
+    /** add-or-update-column with scalar broadcast (reference base.clj:115-228,
+      * impl/dataset.clj:47-110): a literal becomes a constant column. */
+    def addColumn(name: String, value: Any): DataFrame = value match {
+      case c: Column => df.withColumn(name, c)
+      case v => df.withColumn(name, lit(v))
+    }
+
+    /** update-columns / update-columnwise (reference base.clj:173-212,
+      * dataset_api.clj:560-651): apply one column→column transform to every
+      * selected column. */
+    def updateColumns(names: Seq[String], f: Column => Column): DataFrame =
+      names.foldLeft(df)((d, n) => d.withColumn(n, f(col(n))))
+
+    /** update-columnwise over a schema predicate (e.g. all numeric). */
+    def updateColumnsWhere(pred: StructField => Boolean, f: Column => Column): DataFrame =
+      updateColumns(df.schema.fields.filter(pred).map(_.name).toSeq, f)
+
     /** filter-dataset / column-filters (reference column_filters.clj:22-149):
       * pure driver-side schema manipulation — select columns by datatype class. */
     def selectColumnsWhere(pred: StructField => Boolean): DataFrame = {

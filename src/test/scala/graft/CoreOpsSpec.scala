@@ -97,6 +97,39 @@ class CoreOpsSpec extends SparkSuite {
     assert(near.toSeq == Seq(10.0, 10.0, 40.0, 40.0)) // tie at i=2 goes down
   }
 
+  test("fillAbb fills every missing slot from the observed value set") {
+    val df = Seq(Some(1.0), None, Some(3.0), None, None, Some(5.0))
+      .zipWithIndex.map(_.swap).toDF("i", "v")
+    val out = Missing.fillAbb(df, "v", seed = 7L)
+    assert(out.filter(col("v").isNull).count() == 0)
+    val vals = out.select("v").collect().map(_.getDouble(0)).toSet
+    assert(vals.subsetOf(Set(1.0, 3.0, 5.0)))
+    assert(out.count() == 6)
+  }
+
+  test("removeEmptyColumns drops all-null columns only") {
+    val df = Seq((1, Option.empty[String], "x"), (2, None, "y"))
+      .toDF("a", "empty", "c")
+    assert(Missing.removeEmptyColumns(df).columns.toSeq == Seq("a", "c"))
+  }
+
+  test("updateColumns applies transform to selected columns") {
+    val df = Seq((1.0, 2.0, "s")).toDF("x", "y", "s")
+    val out = df.updateColumnsWhere(_.dataType == org.apache.spark.sql.types.DoubleType,
+      c => c * 10).collect()(0)
+    assert(out.getDouble(0) == 10.0 && out.getDouble(1) == 20.0 && out.getString(2) == "s")
+  }
+
+  test("rolling clamp matches hand-computed reference semantics") {
+    // values 1,2,3,4 / window 3 trailing, clamp-left:
+    // row0: [1,1,1]=3; row1: [1,1,2]=4; row2: [1,2,3]=6; row3: [2,3,4]=9
+    val df = Seq((0, 1.0), (1, 2.0), (2, 3.0), (3, 4.0)).toDF("i", "v")
+    val out = Rolling.rollingClampSumMean(df, 3, Rolling.Left,
+      Seq(col("i")), Seq(), col("v"), "c")
+      .orderBy("i").collect().map(_.getAs[Double]("c_sum"))
+    assert(out.toSeq == Seq(3.0, 4.0, 6.0, 9.0))
+  }
+
   test("fillRange densifies gaps to max span") {
     val df = Seq((0.0, "a"), (10.0, "b")).toDF("x", "tag")
     val out = Missing.fillRange(df, "x", 2.5)
