@@ -46,6 +46,20 @@ object Joins {
     left.join(r, cond, how)
   }
 
+  /** Skew-resistant equi join (salting): the skewed left side gets a random
+    * salt in [0, saltFactor); the right side is replicated saltFactor× with
+    * every salt value, so one hot key spreads over saltFactor reducers. Use
+    * when AQE's skew-join split isn't available or the skew is extreme; costs
+    * saltFactor× replication of the (smaller) right side. */
+  def saltedJoin(left: DataFrame, right: DataFrame, on: Seq[String],
+                 saltFactor: Int, how: String = "inner",
+                 seed: Long = 42L): DataFrame = {
+    val l = left.withColumn("__salt", (rand(seed) * saltFactor).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    l.join(r, on :+ "__salt", how).drop("__salt")
+  }
+
   sealed trait AsofDirection
   /** match the greatest right time ≤ (or < if strict) left time — reference op `:<=` / `:<` */
   case object Backward extends AsofDirection

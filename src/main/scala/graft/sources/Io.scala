@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 /** IO breadth (reference SURVEY §2.1): csv/tsv/json/parquet read-write with
   * the reference's ingest options mapped onto DataFrameReader options.
@@ -58,6 +58,78 @@ object Io {
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Promotional type-inference shim (reference io/column_parsers.clj:310-345
+    * promotion chain `[:bool :int16 :int32 :int64 :float64 ... :string]`).
+    *
+    * Spark's CSV inference never narrows below int/long; the reference infers
+    * the NARROWEST type that holds every value (datatype_parser.csv pins
+    * id 1..10 → int16 — FIXTURES.md §A). This shim reproduces that: read all
+    * columns as string, compute per-column parse-success counts and value
+    * ranges in ONE aggregation pass, then cast to the narrowest winner.
+    * Boolean uses the reference's relaxed coercion table only when every
+    * value is in it (column_parsers.clj:56-80).
+    */
+  def inferPromotional(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val boolTokens = Seq("true", "false", "t", "f", "y", "n", "yes", "no")
+    val cols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    if (cols.isEmpty) return df
+    val aggs = cols.flatMap { c0 =>
+      val c = col(c0)
+      val longV = c.try_cast("long"); val dblV = c.try_cast("double")
+      Seq(
+        count(c).as(s"${c0}__n"),
+        count(longV).as(s"${c0}__nlong"),
+        count(dblV).as(s"${c0}__ndbl"),
+        count(c.try_cast("timestamp")).as(s"${c0}__nts"),
+        min(longV).as(s"${c0}__min"), max(longV).as(s"${c0}__max"),
+        count(when(lower(c).isin(boolTokens: _*), 1)).as(s"${c0}__nbool"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.foldLeft(df) { (d, c0) =>
+      def g(s: String): Long = {
+        val v = r.get(r.fieldIndex(s"${c0}__$s")); if (v == null) 0L else v.asInstanceOf[Long]
+      }
+      val n = g("n")
+      val target: Option[DataType] =
+        if (n == 0) None
+        else if (g("nbool") == n) Some(BooleanType)
+        else if (g("nlong") == n) {
+          val (lo, hi) = (g("min"), g("max"))
+          if (lo >= Short.MinValue && hi <= Short.MaxValue) Some(ShortType)
+          else if (lo >= Int.MinValue && hi <= Int.MaxValue) Some(IntegerType)
+          else Some(LongType)
+        }
+        else if (g("ndbl") == n) Some(DoubleType)
+        else if (g("nts") == n) Some(TimestampType)
+        else None
+      target match {
+        case Some(BooleanType) =>
+          // relaxed boolean coercion (t/y/yes/true → true)
+          d.withColumn(c0, lower(col(c0)).isin("true", "t", "y", "yes"))
+        case Some(t) => d.withColumn(c0, col(c0).cast(t))
+        case None => d
+      }
+    }
+  }
+
+  /** CSV read with promotional inference (the reference's default path):
+    * all columns land as string (no Spark inference pass), then the shim
+    * narrows each to the tightest type. */
+  def readCsvPromotional(spark: SparkSession, path: String,
+                         opts: ReadOptions = ReadOptions()): DataFrame = {
+    var r = spark.read
+      .option("header", opts.headerRow)
+      .option("sep", opts.separator)
+    opts.comment.foreach(c => r = r.option("comment", c.toString))
+    var df = r.csv(path)
+    if (opts.columnAllowlist.nonEmpty)
+      df = df.select(opts.columnAllowlist.map(df.col): _*)
+    if (opts.columnBlocklist.nonEmpty) df = df.drop(opts.columnBlocklist: _*)
+    opts.numRows.foreach(n => df = df.limit(n))
+    inferPromotional(df)
+  }
 
   /** write! dispatch (reference io.clj:274-301). Parquet is the engine's
     * binary snapshot format (replacing the reference's nippy). */

@@ -8,6 +8,7 @@ import graft.sources.Io
 
 class IoSpec extends SparkSuite {
   init()
+  import spark.implicits._
 
   test("csv round-trip preserves data; options honored") {
     val tmp = Files.createTempDirectory("graft_csv").toString
@@ -20,6 +21,38 @@ class IoSpec extends SparkSuite {
     assert(back.count() == 100)
     val limited = Io.readCsv(spark, s"$tmp/li", Io.ReadOptions(numRows = Some(7)))
     assert(limited.count() == 7)
+  }
+
+  test("promotional inference narrows like the reference (datatype_parser pins)") {
+    // mirrors /root/reference test fixture semantics (FIXTURES.md §A):
+    // small ints → int16, bool-only → boolean, mixed bool-ish strings → string
+    val tmp = Files.createTempDirectory("graft_promo").toString
+    val csv =
+      """id,chr,bool,boolstr,num,big
+        |1,t,true,true,1.5,9999999999
+        |2,f,false,False,2.5,9999999998
+        |10,A,true,positive,3.5,9999999997
+        |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/d.csv"), csv)
+    val df = Io.readCsvPromotional(spark, s"$tmp/d.csv")
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("id") == org.apache.spark.sql.types.ShortType)     // int16, not int32
+    assert(types("chr") == org.apache.spark.sql.types.StringType)   // 'A' breaks bool
+    assert(types("bool") == org.apache.spark.sql.types.BooleanType)
+    assert(types("boolstr") == org.apache.spark.sql.types.StringType) // 'positive' not in strict table
+    assert(types("num") == org.apache.spark.sql.types.DoubleType)
+    assert(types("big") == org.apache.spark.sql.types.LongType)
+    assert(df.filter(col("bool")).count() == 2)
+  }
+
+  test("salted join equals plain join on skewed keys") {
+    val left = (Seq.fill(500)(1) ++ Seq(2, 3)).toDF("k")
+    val right = Seq((1, "hot"), (2, "b"), (3, "c")).toDF("k", "v")
+    val plain = left.join(right, Seq("k")).groupBy("k").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val salted = graft.ops.Joins.saltedJoin(left, right, Seq("k"), 8)
+      .groupBy("k").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(plain == salted)
   }
 
   test("json round-trip") {
