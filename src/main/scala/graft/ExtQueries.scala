@@ -269,6 +269,24 @@ object ExtQueries {
         .orderBy(col("event_id"))
     },
 
+    // end-to-end near-dup dedup: LSH candidates → connected components →
+    // keeper per group. Rows-only (sketch-based candidates).
+    "q60_dedup_groups" -> { (s, dir) =>
+      graft.llm.TextDedup.nearDupDedup(
+        t(s, dir, "documents"), "doc_id", "text", minEstJaccard = 0.5)
+        .groupBy(col("keep")).agg(count(lit(1)).as("n"),
+          countDistinct(col("group_id")).as("n_groups"))
+        .orderBy(col("keep"))
+    },
+
+    // IVF ANN (k-means coarse quantizer — the FAISS-style scale path).
+    "q61_ivf_ann" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 3,
+        nCentroids = 10, nProbe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // row-map (reference dataset_api.clj:885-943) as a per-row computed
     // margin — declarative, stays in codegen.
     "q59_row_map" -> { (s, dir) =>

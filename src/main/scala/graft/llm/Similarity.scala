@@ -110,6 +110,59 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: k-means centroids as the coarse quantizer.
+    * Corpus vectors are assigned to their nearest centroid (the "inverted
+    * list"); queries probe the `nProbe` nearest centroids and score only
+    * those lists. The standard production trade (FAISS IVF-Flat shape):
+    * recall dials = nCentroids × nProbe; shuffle key = centroid id, so list
+    * occupancy — not corpus size — drives the join. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 3,
+              idCol: String = "vec_id", embCol: String = "embedding",
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val spark = corpus.sparkSession
+
+    val corpusVec = corpus.select(col(idCol).as("corpus_id"),
+      col(embCol).as("c_emb"),
+      array_to_vector(col(embCol).cast("array<double>")).as("__features"))
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("centroid")
+      .fit(corpusVec)
+    val c = model.transform(corpusVec).drop("__features")
+      .withColumn("c_norm", normExact(col("c_emb")))
+
+    // centroid table (tiny) — broadcast to score query→centroid distances
+    val cents = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray)
+    }
+    import spark.implicits._
+    val centDf = cents.toSeq.toDF("centroid", "cent_vec")
+
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+      .withColumn("q_norm", normExact(col("q_emb")))
+      .crossJoin(broadcast(centDf))
+      .withColumn("cdist",
+        aggregate(zip_with(col("q_emb"), col("cent_vec"),
+          (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+          lit(0.0), (a, v) => a + v))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("cdist").asc)
+    val probed = q.withColumn("__pr", row_number().over(wq))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("q_norm"), col("centroid"))
+
+    val scored = probed.join(c, Seq("centroid"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine",
+        dotExact(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-bucketed
     * (the embedding analog of MinHash dedup). */
   def cosineNearDupPairs(df: DataFrame, threshold: Double, planes: Int = 8,

@@ -171,6 +171,47 @@ object TextDedup {
   /** Hamming distance between two simhash longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Resolve candidate pairs into DEDUP GROUPS: iterative min-label
+    * propagation (large-star connected components). Each iteration joins the
+    * current labels across the pair edges and keeps the min — converges in
+    * O(log(diameter)) rounds; near-dup clusters have tiny diameters, so
+    * `maxIter` 5 covers real corpora. Returns (id, group_id = min id of the
+    * component). Docs not in any pair keep their own id. */
+  def dedupGroups(pairs: DataFrame, allIds: DataFrame, maxIter: Int = 5): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = allIds.select(col("id"), col("id").as("group_id"))
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val viaEdges = edges
+        .join(labels.select(col("id").as("id_b"), col("group_id").as("nb_gid")), "id_b")
+        .groupBy(col("id_a")).agg(min(col("nb_gid")).as("min_nb"))
+        .select(col("id_a").as("id"), col("min_nb"))
+      val next = labels.join(viaEdges, Seq("id"), "left")
+        .select(col("id"),
+          least(col("group_id"), coalesce(col("min_nb"), col("group_id"))).as("group_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.select(col("id"), col("group_id").as("old_gid")), "id")
+        .filter(col("group_id") =!= col("old_gid")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup dedup: MinHash-LSH candidates → components → one
+    * keeper (min id) per group. Returns (id, group_id, keep). */
+  def nearDupDedup(df: DataFrame, idCol: String, textCol: String,
+                   minEstJaccard: Double = 0.7): DataFrame = {
+    val pairs = minhashCandidatePairs(df, idCol, textCol, bands = 32)
+      .filter(col("est_jaccard") >= minEstJaccard)
+    dedupGroups(pairs, df.select(col(idCol).as("id")))
+      .withColumn("keep", col("id") === col("group_id"))
+  }
+
   /** Exact dedup: keep the smallest-id row per fingerprint, counting
     * duplicates (hash group-by — one shuffle on the 128-bit fingerprint). */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =

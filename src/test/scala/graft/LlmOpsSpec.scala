@@ -96,6 +96,36 @@ class LlmOpsSpec extends SparkSuite {
     assert(f1.forall(_.getAs[Int]("n_bytes") > 0))
   }
 
+  test("dedup groups: components resolved, keepers are group minima") {
+    val pairs = Seq((0L, 1L, 0.9), (1L, 4L, 0.9), (2L, 3L, 0.8))
+      .toDF("id_a", "id_b", "est_jaccard")
+    val ids = (0L to 5L).toDF("id")
+    val groups = TextDedup.dedupGroups(pairs, ids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // component {0,1,4} → 0; {2,3} → 2; singleton 5 → 5
+    assert(groups == Map(0L -> 0L, 1L -> 0L, 4L -> 0L, 2L -> 2L, 3L -> 2L, 5L -> 5L))
+  }
+
+  test("nearDupDedup keeps exactly one doc per duplicate cluster") {
+    val out = TextDedup.nearDupDedup(docs, "doc_id", "text", minEstJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val groupOf = out.map(t => t._1 -> t._2).toMap
+    assert(groupOf(0L) == 0L && groupOf(1L) == 0L && groupOf(4L) == 0L) // exact dups
+    assert(groupOf(3L) == 3L) // unrelated keeps itself
+    assert(out.count(_._3) == out.map(_._2).distinct.length) // one keeper per group
+  }
+
+  test("ivf ann: top-1 appears in brute-force top-10") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(q, emb, 10).select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, emb, 1, nCentroids = 8, nProbe = 3).collect()
+    val hits = ivf.count(r => brute.contains(
+      (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))))
+    assert(hits >= ivf.length / 2, s"IVF recall too low: $hits/${ivf.length}")
+  }
+
   test("langId mechanism: marker words drive prediction") {
     val out = TextStats.withLangId(Seq(
       (1L, "der hund ist nicht mit der katze"),
