@@ -542,6 +542,11 @@ object Categorical {
   def transform(df: DataFrame, labelMap: DataFrame, c: String): DataFrame =
     df.join(broadcast(labelMap), Seq(c), "left")
 
+  /** invert-categorical (reference categorical.clj:139-144 /
+    * IndexToString): map codes back to values via the fitted map. */
+  def invert(df: DataFrame, labelMap: DataFrame, codeName: String): DataFrame =
+    df.join(broadcast(labelMap), Seq(codeName), "left")
+
   /** categorical->one-hot (reference categorical.clj:202-318). */
   def oneHot(df: DataFrame, c: String, values: Seq[String]): DataFrame =
     values.foldLeft(df)((d, v) =>

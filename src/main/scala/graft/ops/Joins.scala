@@ -92,11 +92,7 @@ object Joins {
       case Forward => asofDirectional(left, right, leftTime, rightTime, by,
         forward = true, allowExactMatch)
       case Nearest =>
-        val b = asofDirectional(left, right, leftTime, rightTime, by,
-          forward = false, allowExact = true)
-        val f = asofDirectional(left, right, leftTime, rightTime, by,
-          forward = true, allowExact = true)
-        nearestOf(left, b, f, leftTime, rightTime, right.columns.toSeq, by)
+        asofNearest(left, right, leftTime, rightTime, by)
     }
   }
 
@@ -155,35 +151,58 @@ object Joins {
     carried.filter(col("__side") === 1).drop("__t", "__side")
   }
 
-  /** Combine backward+forward results into :nearest (join.clj:716-744):
-    * re-join the two directional results on a synthetic row id and keep the
-    * payload whose |Δt| is smaller (backward wins ties, like the reference's
-    * `<=` comparison on distances). */
-  private def nearestOf(left: DataFrame, back: DataFrame, fwd: DataFrame,
-                        leftTime: String, rightTime: String,
-                        rightCols: Seq[String], by: Seq[(String, String)]): DataFrame = {
-    val payload = rightCols.filterNot(by.map(_._2).toSet.contains)
-    val outPayload = payload.map(c => if (left.columns.contains(c)) s"right.$c" else c)
-    val rt = outPayload.find(c => c == rightTime || c == s"right.$rightTime")
-      .getOrElse(outPayload.head)
+  /** :nearest (join.clj:716-744) in ONE pass: over the same tagged union and
+    * the same keyed sort as the directional joins, carry the right payload
+    * BOTH ways (last-before via a preceding frame, first-after via a
+    * following frame — one exchange+sort, two frame scans), then per left row
+    * keep the side with the smaller |Δt|; backward wins ties, matching the
+    * reference's `<=` distance comparison. No global window, no re-join. */
+  private def asofNearest(left: DataFrame, right: DataFrame, leftTime: String,
+                          rightTime: String,
+                          by: Seq[(String, String)]): DataFrame = {
+    val payload = payloadCols(left, right, rightTime, by)
+    val outPayload = payload.map(c =>
+      if (left.columns.contains(c)) s"right.$c" else c)
+    val rtOut = outPayload(payload.indexOf(rightTime))
 
-    val key = left.columns.map(col) // left rows are unique per original row? not guaranteed
-    // Safe pairing: both directional outputs preserve one output row per left
-    // row; add identical ordering + zip via row_number over all left columns.
-    val ord = left.columns.map(col)
-    val wOrd = Window.orderBy(ord: _*)
-    val b = back.withColumn("__rid", row_number().over(wOrd))
-    val f0 = fwd.withColumn("__rid", row_number().over(wOrd))
-    val f = f0.select(col("__rid") +: outPayload.map(c => col(c).as(s"__f_$c")): _*)
-    val j = b.join(f, "__rid")
+    val lTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .select(Seq(col("__t"), col("__side")) ++
+        left.columns.map(col) ++
+        payload.zip(outPayload).map { case (_, o) => lit(null).as(o) }: _*)
+    val byLeftNames = by.map(_._1)
+    val rTagged = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .select(Seq(col("__t"), col("__side")) ++
+        by.map { case (ln, rn) => col(rn).as(ln) } ++
+        left.columns.filterNot(byLeftNames.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.zip(outPayload).map { case (p, o) => col(p).as(o) }: _*)
+    val unioned = lTagged.unionByName(rTagged)
 
-    val lt = col(leftTime).cast("double")
-    val dbk = abs(lt - col(rt).cast("double"))
-    val dfw = abs(lt - col(s"__f_$rt").cast("double"))
-    val useB = col(rt).isNotNull && (col(s"__f_$rt").isNull || dbk <= dfw)
-    val resolved = outPayload.foldLeft(j) { (d, c) =>
-      d.withColumn(c, when(useB, col(c)).otherwise(col(s"__f_$c")))
+    // right rows first on time ties → exact matches arrive via the backward
+    // carry at distance 0 (and therefore win)
+    val base = Window.partitionBy(byLeftNames.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+    val wBack = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val carried = outPayload.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"__b_$c", last(col(c), ignoreNulls = true).over(wBack))
+        .withColumn(s"__f_$c", first(col(c), ignoreNulls = true).over(wFwd))
     }
-    resolved.drop("__rid").drop(outPayload.map(c => s"__f_$c"): _*)
+    val lt = col("__t").cast("double")
+    val dbk = abs(lt - col(s"__b_$rtOut").cast("double"))
+    val dfw = abs(col(s"__f_$rtOut").cast("double") - lt)
+    val useB = col(s"__b_$rtOut").isNotNull &&
+      (col(s"__f_$rtOut").isNull || dbk <= dfw)
+    val resolved = outPayload.foldLeft(carried) { (d, c) =>
+      d.withColumn(c, when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c")))
+    }
+    resolved.filter(col("__side") === 1)
+      .drop("__t", "__side")
+      .drop(outPayload.flatMap(c => Seq(s"__b_$c", s"__f_$c")): _*)
   }
 }
