@@ -287,6 +287,41 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // theta-sketch distinct with downstream SET OPERATIONS on the sketches
+    // (reference theta support): per-flag partkey sketches → pairwise
+    // intersection estimates. Rows-only (approximate).
+    "q62_theta_setops" -> { (s, dir) =>
+      graft.functions.Sketches.register(s)
+      val sk = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("theta_sketch(l_partkey)").as("sk"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+      val flags = sk.keys.toSeq.sorted
+      val rows = for (a <- flags; b <- flags if a < b) yield
+        (a, b,
+          math.round(graft.functions.Sketches.thetaEstimate(sk(a))),
+          math.round(graft.functions.Sketches.thetaIntersectEstimate(sk(a), sk(b))),
+          math.round(graft.functions.Sketches.thetaUnionEstimate(sk(a), sk(b))))
+      import s.implicits._
+      rows.toDF("flag_a", "flag_b", "est_a", "est_intersect", "est_union")
+        .orderBy(col("flag_a"), col("flag_b"))
+    },
+
+    // as-of :nearest (reference join.clj:716-744): each event matched to the
+    // temporally closest purchase of the same user, either direction.
+    "q63_asof_nearest" -> { (s, dir) =>
+      val ev = t(s, dir, "events").selectColumns("event_id", "user_id", "ts")
+      val purch = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("p_event_id"))
+        .select(col("user_id"), col("ts").as("p_ts"), col("p_event_id"))
+      Joins.asofJoin(ev, purch, "ts", "p_ts", Seq(("user_id", "user_id")),
+        Joins.Nearest)
+        .selectColumns("event_id", "user_id", "p_event_id")
+        .orderBy(col("event_id"))
+    },
+
     // row-map (reference dataset_api.clj:885-943) as a per-row computed
     // margin — declarative, stays in codegen.
     "q59_row_map" -> { (s, dir) =>
@@ -470,6 +505,17 @@ object ExtQueries {
       """SELECT l_orderkey, l_linenumber,
          l_extendedprice * (1 - l_discount) * (1 + l_tax) AS margin
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "q63_asof_nearest" ->
+      """SELECT e.event_id, e.user_id,
+         (SELECT p_event_id FROM (
+            SELECT user_id, ts AS p_ts, max(event_id) AS p_event_id
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) p
+          WHERE p.user_id = e.user_id
+          ORDER BY abs(epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(p.p_ts AS TIMESTAMP))) ASC,
+                   CASE WHEN p.p_ts <= e.ts THEN 0 ELSE 1 END ASC
+          LIMIT 1) AS p_event_id
+         FROM events e ORDER BY e.event_id""",
 
     "q56_crosstab" ->
       """SELECT user_id,

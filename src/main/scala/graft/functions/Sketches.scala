@@ -125,6 +125,81 @@ object Sketches {
     override def prettyName: String = "kll_quantile"
   }
 
+  /** Theta sketch aggregate → serialized sketch bytes (reference theta
+    * support, apache_data_sketch.clj). Unlike HLL, theta sketches support
+    * SET OPERATIONS on the results: estimate unions/intersections of group
+    * cardinalities downstream via [[thetaEstimate]]/[[thetaIntersectEstimate]]. */
+  case class ThetaSketchAgg(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[org.apache.datasketches.theta.Union]
+    with UnaryLike[Expression] {
+    import org.apache.datasketches.theta.{SetOperation, Sketches => TS, Union => TUnion}
+
+    override def createAggregationBuffer(): TUnion =
+      SetOperation.builder().buildUnion()
+
+    override def update(b: TUnion, row: InternalRow): TUnion = {
+      val v = child.eval(row)
+      if (v != null) v match {
+        case s: UTF8String => b.update(s.toString)
+        case d: Double => b.update(d)
+        case l: Long => b.update(l)
+        case i: Int => b.update(i.toLong)
+        case o => b.update(o.toString)
+      }
+      b
+    }
+
+    override def merge(b: TUnion, o: TUnion): TUnion = {
+      b.union(o.getResult); b
+    }
+
+    override def eval(b: TUnion): Any = b.getResult.toByteArray
+
+    override def serialize(b: TUnion): Array[Byte] =
+      b.getResult.toByteArray
+
+    override def deserialize(bytes: Array[Byte]): TUnion = {
+      val u = SetOperation.builder().buildUnion()
+      u.union(TS.wrapSketch(Memory.wrap(bytes)))
+      u
+    }
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(o: Int): ThetaSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): ThetaSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): ThetaSketchAgg =
+      copy(child = c)
+    override def prettyName: String = "theta_sketch"
+  }
+
+  /** Driver-side estimates over serialized theta sketches (sketch bytes are
+    * tiny — O(k); collecting them is not a data collect). */
+  def thetaEstimate(bytes: Array[Byte]): Double =
+    org.apache.datasketches.theta.Sketches.wrapSketch(Memory.wrap(bytes))
+      .getEstimate
+
+  def thetaIntersectEstimate(a: Array[Byte], b: Array[Byte]): Double = {
+    import org.apache.datasketches.theta.{SetOperation, Sketches => TS}
+    val in = SetOperation.builder().buildIntersection()
+    in.intersect(TS.wrapSketch(Memory.wrap(a)))
+    in.intersect(TS.wrapSketch(Memory.wrap(b)))
+    in.getResult.getEstimate
+  }
+
+  def thetaUnionEstimate(a: Array[Byte], b: Array[Byte]): Double = {
+    import org.apache.datasketches.theta.{SetOperation, Sketches => TS}
+    val u = SetOperation.builder().buildUnion()
+    u.union(TS.wrapSketch(Memory.wrap(a)))
+    u.union(TS.wrapSketch(Memory.wrap(b)))
+    u.getResult.getEstimate
+  }
+
   /** Register `hll_distinct(col)` and `kll_quantile(col, q)` on the session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -141,5 +216,7 @@ object Sketches {
       }
       KllQuantile(es.head, q).toAggregateExpression()
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("theta_sketch",
+      es => ThetaSketchAgg(es.head).toAggregateExpression(), "scala_udf")
   }
 }

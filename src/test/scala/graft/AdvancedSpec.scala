@@ -30,6 +30,19 @@ class AdvancedSpec extends SparkSuite {
     assert(math.abs(a - e) / e < 0.05, s"KLL median $a vs exact $e")
   }
 
+  test("theta sketch set ops: estimates near exact on known overlap") {
+    graft.functions.Sketches.register(spark)
+    import graft.functions.Sketches._
+    // A = 0..999, B = 500..1499 → |A∩B| = 500, |A∪B| = 1500
+    val df = (0 until 1000).map(i => ("a", i.toLong))
+      .++((500 until 1500).map(i => ("b", i.toLong))).toDF("g", "v")
+    val sk = df.groupBy("g").agg(expr("theta_sketch(v)").as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+    assert(math.abs(thetaEstimate(sk("a")) - 1000) < 30)
+    assert(math.abs(thetaIntersectEstimate(sk("a"), sk("b")) - 500) < 30)
+    assert(math.abs(thetaUnionEstimate(sk("a"), sk("b")) - 1500) < 45)
+  }
+
   test("induction: sequential decay accumulation ordered and correct") {
     val rows = Seq(OrderRow(1, 100.0), OrderRow(2, 200.0), OrderRow(3, 50.0))
     val ds = spark.createDataset(rows)
