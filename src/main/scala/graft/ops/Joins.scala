@@ -86,6 +86,29 @@ object Joins {
                rightTime: String, by: Seq[(String, String)] = Seq.empty,
                direction: AsofDirection = Backward,
                allowExactMatch: Boolean = true): DataFrame = {
+    // reference semantics: missing matches nothing (join.clj:204-266 uses
+    // object-space keys where nil ≠ nil). Null-time right rows are dropped;
+    // null-time left rows come back with null payload (handled below so they
+    // can't absorb a carried match through the sort order).
+    val (left0, right0) = (left, right.filter(col(rightTime).isNotNull))
+    val nullLeft = left0.filter(col(leftTime).isNull)
+    val l = left0.filter(col(leftTime).isNotNull)
+    val joined = asofJoinNonNull(l, right0, leftTime, rightTime, by, direction,
+      allowExactMatch)
+    if (nullLeft.isEmpty) joined
+    else {
+      val padded = joined.columns.foldLeft(nullLeft) { (d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(joined.schema(c).dataType))
+      }.select(joined.columns.map(col): _*)
+      joined.unionByName(padded)
+    }
+  }
+
+  private def asofJoinNonNull(left: DataFrame, right: DataFrame, leftTime: String,
+               rightTime: String, by: Seq[(String, String)],
+               direction: AsofDirection,
+               allowExactMatch: Boolean): DataFrame = {
     direction match {
       case Backward => asofDirectional(left, right, leftTime, rightTime, by,
         forward = false, allowExactMatch)

@@ -54,6 +54,25 @@ object TableOps {
       }
     }
 
+    /** Positional row index over an explicit total order — the bridge to the
+      * reference's index-space ops (select-rows/drop-rows, base.clj:397-425).
+      * A distributed table has no implicit order, so the caller names one;
+      * the index is then stable and reproducible. */
+    def withRowIndex(order: Seq[Column], name: String = "row_idx"): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn(name,
+        row_number().over(Window.orderBy(order: _*)) - lit(1L))
+    }
+
+    /** select-rows by index list (negative = from end not supported — use
+      * tail). Requires a row index column from withRowIndex. */
+    def selectRows(idxCol: String, indices: Seq[Long]): DataFrame =
+      df.filter(col(idxCol).isin(indices: _*))
+
+    /** drop-rows by index list. */
+    def dropRows(idxCol: String, indices: Seq[Long]): DataFrame =
+      df.filter(!col(idxCol).isin(indices: _*))
+
     /** head (reference dataset_api.clj:381-389). */
     def head(n: Int): DataFrame = df.limit(n)
 

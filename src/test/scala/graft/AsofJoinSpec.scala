@@ -58,6 +58,16 @@ class AsofJoinSpec extends SparkSuite {
     assert(m(("A", 10L)) == Some(2.0))
   }
 
+  test("null times match nothing (reference nil-matches-nothing semantics)") {
+    val l = Seq(("A", Some(5L)), ("A", None)).toDF("k", "t")
+    val r = Seq(("A", Some(4L), 1.0), ("A", None, 99.0)).toDF("k", "rt", "px")
+    val out = Joins.asofJoin(l, r, "t", "rt", Seq(("k", "k")), Joins.Backward)
+      .collect().map(row => Option(row.getAs[Any]("t")) ->
+        Option(row.getAs[Any]("px"))).toMap
+    assert(out(Some(5L)) == Some(1.0))  // normal match, null right row ignored
+    assert(out(None) == None)           // null left time → no match
+  }
+
   test("matches DuckDB-style asof on the events table (strict backward)") {
     // mirror of q14: every matched p_event must be a strictly-earlier purchase
     val out = Queries.queries("q14_asof_join")(spark, sfDir)

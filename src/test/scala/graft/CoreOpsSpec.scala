@@ -97,6 +97,14 @@ class CoreOpsSpec extends SparkSuite {
     assert(near.toSeq == Seq(10.0, 10.0, 40.0, 40.0)) // tie at i=2 goes down
   }
 
+  test("row index + positional select/drop") {
+    val df = Seq("a", "b", "c", "d").toDF("v")
+      .withRowIndex(Seq(col("v")))
+    assert(df.selectRows("row_idx", Seq(0L, 2L))
+      .orderBy("row_idx").collect().map(_.getString(0)).toSeq == Seq("a", "c"))
+    assert(df.dropRows("row_idx", Seq(1L)).count() == 3)
+  }
+
   test("fillAbb fills every missing slot from the observed value set") {
     val df = Seq(Some(1.0), None, Some(3.0), None, None, Some(5.0))
       .zipWithIndex.map(_.swap).toDF("i", "v")
