@@ -87,22 +87,19 @@ object Joins {
                direction: AsofDirection = Backward,
                allowExactMatch: Boolean = true): DataFrame = {
     // reference semantics: missing matches nothing (join.clj:204-266 uses
-    // object-space keys where nil ≠ nil). Null-time right rows are dropped;
-    // null-time left rows come back with null payload (handled below so they
-    // can't absorb a carried match through the sort order).
-    val (left0, right0) = (left, right.filter(col(rightTime).isNotNull))
-    val nullLeft = left0.filter(col(leftTime).isNull)
-    val l = left0.filter(col(leftTime).isNotNull)
-    val joined = asofJoinNonNull(l, right0, leftTime, rightTime, by, direction,
-      allowExactMatch)
-    if (nullLeft.isEmpty) joined
-    else {
-      val padded = joined.columns.foldLeft(nullLeft) { (d, c) =>
-        if (d.columns.contains(c)) d
-        else d.withColumn(c, lit(null).cast(joined.schema(c).dataType))
-      }.select(joined.columns.map(col): _*)
-      joined.unionByName(padded)
-    }
+    // object-space keys where nil ≠ nil). Right rows with a null time or a
+    // null by-key are dropped; left rows with a null time or null by-key come
+    // back with null payload — segregated up front so they can't absorb a
+    // carried match through the window sort or null-partition grouping.
+    // All branches stay lazy (no isEmpty probe): unioning an empty padded
+    // frame is a no-op, and allowMissingColumns does the null padding.
+    val rightValid = right.filter(
+      by.map(b => col(b._2).isNotNull).fold(col(rightTime).isNotNull)(_ && _))
+    val leftInvalid =
+      by.map(b => col(b._1).isNull).fold(col(leftTime).isNull)(_ || _)
+    val joined = asofJoinNonNull(left.filter(!leftInvalid), rightValid,
+      leftTime, rightTime, by, direction, allowExactMatch)
+    joined.unionByName(left.filter(leftInvalid), allowMissingColumns = true)
   }
 
   private def asofJoinNonNull(left: DataFrame, right: DataFrame, leftTime: String,

@@ -57,7 +57,13 @@ object TableOps {
     /** Positional row index over an explicit total order — the bridge to the
       * reference's index-space ops (select-rows/drop-rows, base.clj:397-425).
       * A distributed table has no implicit order, so the caller names one;
-      * the index is then stable and reproducible. */
+      * the index is then stable and reproducible.
+      *
+      * SCALE WARNING: a global (partition-less) window funnels the table
+      * through one task — use only on small/medium frames, exactly like the
+      * reference's single-JVM index space. For big tables prefer key-based
+      * operators, or zipWithIndex on a sorted RDD if a global index is truly
+      * required. */
     def withRowIndex(order: Seq[Column], name: String = "row_idx"): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       df.withColumn(name,

@@ -68,6 +68,17 @@ class AsofJoinSpec extends SparkSuite {
     assert(out(None) == None)           // null left time → no match
   }
 
+  test("null by-keys match nothing (object-space nil ≠ nil)") {
+    val l = Seq((Some("A"), 5L), (None: Option[String], 5L)).toDF("k", "t")
+    val r = Seq((Some("A"), 4L, 1.0), (None: Option[String], 4L, 99.0))
+      .toDF("k", "rt", "px")
+    val out = Joins.asofJoin(l, r, "t", "rt", Seq(("k", "k")), Joins.Backward)
+      .collect().map(row => Option(row.getAs[String]("k")) ->
+        Option(row.getAs[Any]("px"))).toMap
+    assert(out(Some("A")) == Some(1.0))
+    assert(out(None) == None) // null key must NOT match the null-key right row
+  }
+
   test("matches DuckDB-style asof on the events table (strict backward)") {
     // mirror of q14: every matched p_event must be a strictly-earlier purchase
     val out = Queries.queries("q14_asof_join")(spark, sfDir)

@@ -102,7 +102,8 @@ class CoreOpsSpec extends SparkSuite {
       .withRowIndex(Seq(col("v")))
     assert(df.selectRows("row_idx", Seq(0L, 2L))
       .orderBy("row_idx").collect().map(_.getString(0)).toSeq == Seq("a", "c"))
-    assert(df.dropRows("row_idx", Seq(1L)).count() == 3)
+    assert(df.dropRows("row_idx", Seq(1L))
+      .orderBy("row_idx").collect().map(_.getString(0)).toSeq == Seq("a", "c", "d"))
   }
 
   test("fillAbb fills every missing slot from the observed value set") {
