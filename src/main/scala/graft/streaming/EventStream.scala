@@ -40,11 +40,57 @@ object EventStream {
         col("sum_value"))
   }
 
+  case class Ev(user_id: Long, ts_us: Long, event_id: Long)
+  case class SessState(sessions: Long, current_start_us: Long, last_us: Long,
+                       current_events: Long, max_events: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, max_session_events: Long)
+
+  /** Stateful sessionization with flatMapGroupsWithState: a >gapMinutes
+    * event-time gap starts a new session; per-user state is one fixed-size
+    * record. The batch analog is q39 (window cumsum) — StreamingSpec pins the
+    * two equal. At scale the state store shards by user across executors and
+    * the watermark bounds retention. */
+  def sessionize(spark: SparkSession, dir: String,
+                 gapMinutes: Long = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val events = raw.select(col("user_id"), (col("ts") / 1000).cast(LongType).as("ts_us"),
+      col("event_id")).as[Ev]
+    val gapUs = gapMinutes * 60L * 1000000
+
+    def update(user: Long, rows: Iterator[Ev],
+               state: GroupState[SessState]): Iterator[UserSessions] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var s = state.getOption.getOrElse(SessState(0L, -1L, Long.MinValue, 0L, 0L))
+      sorted.foreach { e =>
+        s =
+          if (s.current_start_us < 0 || e.ts_us - s.last_us > gapUs)
+            SessState(s.sessions + 1, e.ts_us, e.ts_us, 1L,
+              math.max(s.max_events, 1L))
+          else
+            s.copy(last_us = e.ts_us, current_events = s.current_events + 1,
+              max_events = math.max(s.max_events, s.current_events + 1))
+      }
+      state.update(s)
+      Iterator(UserSessions(user, s.sessions, s.max_events))
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
+
   /** Run a streaming query to completion against the (finite) file source and
     * return the materialized result — the test harness entry point. */
-  def runToMemorySink(df: DataFrame, name: String): DataFrame = {
+  def runToMemorySink(df: DataFrame, name: String,
+                      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q: StreamingQuery = df.writeStream
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()

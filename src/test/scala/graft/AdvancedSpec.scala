@@ -30,6 +30,27 @@ class AdvancedSpec extends SparkSuite {
     assert(math.abs(a - e) / e < 0.05, s"KLL median $a vs exact $e")
   }
 
+  test("codegen TokenCount ≡ regex split semantics on adversarial strings") {
+    graft.functions.TextKernels.register(spark)
+    val cases = Seq("", "   ", "a", " a ", "a b", "a  b\t\nc", "héllo wörld",
+      "日本語 テスト  x", "\t\r\n", "one", "a b", // NBSP is NOT \s
+      "x " * 50 + "end")
+    val df = cases.toDF("s").selectExpr("s", "graft_token_count(s) AS native")
+    val got = df.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    cases.foreach { s =>
+      val expected = s.split("\\s+").count(_.nonEmpty)
+      assert(got(s) == expected, s"'$s': native=${got(s)} expected=$expected")
+    }
+    // and it participates in whole-stage codegen over a real scan
+    // (the literal frame above gets constant-folded to a LocalTableScan)
+    val scanned = Tables.t(spark, sfDir, "documents")
+      .selectExpr("graft_token_count(text) AS n")
+    // the "*(n)" prefix is the WholeStageCodegen marker in plan strings
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_token_count"), plan)
+    assert(scanned.agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0) > 0)
+  }
+
   test("theta sketch set ops: estimates near exact on known overlap") {
     graft.functions.Sketches.register(spark)
     import graft.functions.Sketches._

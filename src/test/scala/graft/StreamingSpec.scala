@@ -9,6 +9,21 @@ import graft.streaming.EventStream
 class StreamingSpec extends SparkSuite {
   init()
 
+  test("stateful streaming sessionization equals batch q39") {
+    val streamed = EventStream.runToMemorySink(
+      EventStream.sessionize(spark, sfDir), "sess_test",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+      .orderBy("user_id").collect()
+    val batch = Queries.queries("q39_sessionize")(spark, sfDir).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[Long]("user_id") == b.getAs[Long]("user_id"))
+      assert(s.getAs[Long]("n_sessions") == b.getAs[Long]("n_sessions"),
+        s"user ${s.getAs[Long]("user_id")}")
+      assert(s.getAs[Long]("max_session_events") == b.getAs[Long]("max_session_events"))
+    }
+  }
+
   test("streaming hourly agg equals batch q38") {
     val streamed = EventStream.runToMemorySink(
       EventStream.hourlyCounts(spark, sfDir), "hourly_test")
