@@ -322,6 +322,19 @@ object ExtQueries {
         .orderBy(col("event_id"))
     },
 
+    // native codegen token kernel (custom Catalyst Expression with
+    // doGenCode) through the correctness gate: true token counts per lang.
+    "q64_token_kernel" -> { (s, dir) =>
+      graft.functions.TextKernels.register(s)
+      t(s, dir, "documents")
+        .selectExpr("lang", "graft_token_count(text) AS n_tok")
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tok").cast(LongType)).as("total_tokens"),
+          max(col("n_tok")).as("max_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    },
+
     // row-map (reference dataset_api.clj:885-943) as a per-row computed
     // margin — declarative, stays in codegen.
     "q59_row_map" -> { (s, dir) =>
@@ -505,6 +518,13 @@ object ExtQueries {
       """SELECT l_orderkey, l_linenumber,
          l_extendedprice * (1 - l_discount) * (1 + l_tax) AS margin
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "q64_token_kernel" ->
+      """SELECT lang,
+         CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+         CAST(MAX(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS INT) AS max_tokens,
+         COUNT(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY 1""",
 
     "q63_asof_nearest" ->
       """SELECT e.event_id, e.user_id,
