@@ -30,7 +30,9 @@ object Multimodal {
     df.withColumn("content", encode(col(textCol), "UTF-8"))
       .withColumn("media_meta", struct(
         lit("application/octet-stream").as("mime"),
-        length(col(textCol)).cast(LongType).as("n_bytes"),
+        // byte length of the PAYLOAD (length on binary = octets), not the
+        // character count of the source string — they differ for non-ASCII
+        length(col("content")).cast(LongType).as("n_bytes"),
         col(uriCol).as("source_uri")))
 
   case class MediaRow(doc_id: Long, content: Array[Byte])

@@ -35,7 +35,14 @@ object Similarity {
       lit(0L), (acc, v) => acc + v).cast(DoubleType) / lit(S))
 
   def cosineExact(a: Column, b: Column): Column =
-    dotExact(a, b) / (normExact(a) * normExact(b))
+    safeCosine(dotExact(a, b), normExact(a), normExact(b))
+
+  /** Cosine with a zero-norm guard: 0/0 would be NaN, and Spark ranks NaN
+    * ABOVE every double in a descending sort — a single zero vector (padding
+    * row, failed encode) would otherwise top every query's results. Null
+    * sorts last under desc, which is the correct "no similarity" placement. */
+  def safeCosine(dot: Column, na: Column, nb: Column): Column =
+    when(na > 0 && nb > 0, dot / (na * nb))
 
   /** Brute-force cosine top-k: every query (broadcast) scored against every
     * corpus vector, top k per query. Corpus-side norms are precomputed once.
@@ -50,7 +57,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine",
-        dotExact(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+        safeCosine(dotExact(col("q_emb"), col("c_emb")), col("q_norm"), col("c_norm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -58,20 +65,27 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component w(plane, dim) ∈ [-1, 1),
-    * derived from md5 — stable across engines, runs, and cluster sizes. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (conv(substring(md5(concat_ws("_", lit(plane), dim)), 1, 7), 16, 10)
-      .cast(LongType) % 2001 - 1000).cast(DoubleType) / 1000.0
+  /** Deterministic pseudo-random hyperplane component w(plane, dim) ∈ [-1, 1)
+    * from md5 — stable across runs and cluster sizes. Computed DRIVER-SIDE
+    * once (the matrix depends only on (plane, dim), not on rows — evaluating
+    * md5 per element per row would dominate the operator's cost). */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${plane}_$dim".getBytes("UTF-8"))
+    val hex = digest.map("%02x".format(_)).mkString.take(7)
+    (java.lang.Long.parseLong(hex, 16) % 2001 - 1000).toDouble / 1000.0
+  }
 
   /** Sign-bit LSH bucket id from `planes` random hyperplanes: bucket =
     * Σ 2^p·[⟨emb, w_p⟩ > 0]. Cosine-similar vectors collide with high
-    * probability; the ANN query then joins only within buckets. */
-  def lshBucket(emb: Column, planes: Int): Column = {
-    val dims = sequence(lit(0), size(emb) - 1)
+    * probability; the ANN query then joins only within buckets. The
+    * hyperplane matrix rides in the plan as literal arrays (planes × dim
+    * doubles), leaving one multiply-add pass per row. */
+  def lshBucket(emb: Column, planes: Int, dim: Int): Column = {
     val bits = (0 until planes).map { p =>
+      val w = array((0 until dim).map(i => lit(planeComponent(p, i))): _*)
       val dot = aggregate(
-        zip_with(emb, dims, (x, i) => x.cast(DoubleType) * planeComponent(p, i)),
+        zip_with(emb, w, (x, wi) => x.cast(DoubleType) * wi),
         lit(0.0), (acc, v) => acc + v)
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -84,12 +98,12 @@ object Similarity {
     * query's bucket neighbors at hamming distance 1. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 8,
               idCol: String = "vec_id", embCol: String = "embedding",
-              multiProbe: Boolean = true): DataFrame = {
+              multiProbe: Boolean = true, dim: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"))
-      .withColumn("bucket", lshBucket(col("c_emb"), planes))
+      .withColumn("bucket", lshBucket(col("c_emb"), planes, dim))
       .withColumn("c_norm", normExact(col("c_emb")))
     val q0 = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
-      .withColumn("bucket0", lshBucket(col("q_emb"), planes))
+      .withColumn("bucket0", lshBucket(col("q_emb"), planes, dim))
       .withColumn("q_norm", normExact(col("q_emb")))
     // multi-probe: the exact bucket + all 1-bit flips
     val probes =
@@ -101,7 +115,7 @@ object Similarity {
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine",
-        dotExact(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+        safeCosine(dotExact(col("q_emb"), col("c_emb")), col("q_norm"), col("c_norm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.groupBy(col("query_id"), col("corpus_id"))
@@ -155,7 +169,7 @@ object Similarity {
     val scored = probed.join(c, Seq("centroid"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine",
-        dotExact(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+        safeCosine(dotExact(col("q_emb"), col("c_emb")), col("q_norm"), col("c_norm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -167,16 +181,16 @@ object Similarity {
     * (the embedding analog of MinHash dedup). */
   def cosineNearDupPairs(df: DataFrame, threshold: Double, planes: Int = 8,
                          idCol: String = "vec_id",
-                         embCol: String = "embedding"): DataFrame = {
+                         embCol: String = "embedding", dim: Int = 64): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(embCol).as("emb"))
-      .withColumn("bucket", lshBucket(col("emb"), planes))
+      .withColumn("bucket", lshBucket(col("emb"), planes, dim))
       .withColumn("norm", normExact(col("emb")))
     val a = v.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"), col("norm").as("norm_a"))
     val b = v.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"), col("norm").as("norm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
-        dotExact(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
+        safeCosine(dotExact(col("emb_a"), col("emb_b")), col("norm_a"), col("norm_b")))
       .filter(col("cosine") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("cosine")).as("cosine"))

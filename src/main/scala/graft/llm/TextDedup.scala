@@ -105,10 +105,25 @@ object TextDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, r)).as("band"))
+    // Linear candidate generation, two complementary link sets per bucket:
+    //  - rep-pairing: everyone links to the bucket's min id;
+    //  - adjacent-pairing: everyone links to its predecessor in id order.
+    // Rep-pairing alone has a recall hole — if a DISSIMILAR smaller-id doc
+    // shares the bucket, the only generated pairs involve it and can be
+    // filtered below threshold, losing the true near-dup link; the adjacency
+    // chain restores it while keeping O(bucket) pair count.
+    val wb = Window.partitionBy(col("band"))
+    val wbOrd = Window.partitionBy(col("band")).orderBy(col("id"))
     val pairs0 = banded
-      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("band"))))
+      .withColumn("rep", min(col("id")).over(wb))
+      .withColumn("prev", lag(col("id"), 1).over(wbOrd))
+      .select(col("id"), col("rep"), col("prev"))
       .filter(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b"))
+      .union(banded
+        .withColumn("prev", lag(col("id"), 1).over(wbOrd))
+        .filter(col("prev").isNotNull && col("prev") =!= col("id"))
+        .select(col("prev").as("id_a"), col("id").as("id_b")))
       .distinct()
     pairs0
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
@@ -142,10 +157,12 @@ object TextDedup {
   }
 
   /** SimHash near-dup candidates: band the 60-bit hash into 4×15-bit chunks;
-    * pairs agreeing on any chunk are candidates (catches all pairs within
-    * hamming distance 3), then filter by exact hamming. */
+    * pairs agreeing on any chunk are candidates, then filter by exact
+    * hamming. RECALL CONTRACT: complete only for hamming ≤ 3 (pigeonhole on
+    * 4 chunks) — larger `maxHamming` values return only the pairs the chunk
+    * collision happens to surface (best-effort). Default is therefore 3. */
   def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                            maxHamming: Int = 6): DataFrame = {
+                            maxHamming: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = withSimhash(df.select(col(idCol).as("id"), col(textCol).as("__txt")),
       "__txt", "sh").select(col("id"), col("sh"))
@@ -172,11 +189,12 @@ object TextDedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Resolve candidate pairs into DEDUP GROUPS: iterative min-label
-    * propagation (large-star connected components). Each iteration joins the
-    * current labels across the pair edges and keeps the min — converges in
-    * O(log(diameter)) rounds; near-dup clusters have tiny diameters, so
-    * `maxIter` 5 covers real corpora. Returns (id, group_id = min id of the
-    * component). Docs not in any pair keep their own id. */
+    * propagation with POINTER JUMPING — each round first takes the min label
+    * across edges (one hop), then shortcuts every label to its label's label
+    * (halving remaining path lengths), so convergence is O(log diameter)
+    * rather than one hop per round. Returns (id, group_id = min id of the
+    * component); docs not in any pair keep their own id. The loop checks
+    * convergence and warns if maxIter was hit before fixpoint. */
   def dedupGroups(pairs: DataFrame, allIds: DataFrame, maxIter: Int = 5): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -189,9 +207,15 @@ object TextDedup {
         .join(labels.select(col("id").as("id_b"), col("group_id").as("nb_gid")), "id_b")
         .groupBy(col("id_a")).agg(min(col("nb_gid")).as("min_nb"))
         .select(col("id_a").as("id"), col("min_nb"))
-      val next = labels.join(viaEdges, Seq("id"), "left")
+      val hopped = labels.join(viaEdges, Seq("id"), "left")
         .select(col("id"),
           least(col("group_id"), coalesce(col("min_nb"), col("group_id"))).as("group_id"))
+      // pointer jumping: gid := label(gid) — halves chain lengths each round
+      val next = hopped
+        .join(hopped.select(col("id").as("group_id"), col("group_id").as("gid2")),
+          Seq("group_id"), "left")
+        .select(col("id"),
+          least(col("group_id"), coalesce(col("gid2"), col("group_id"))).as("group_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val changed = next.join(labels.select(col("id"), col("group_id").as("old_gid")), "id")
         .filter(col("group_id") =!= col("old_gid")).limit(1).count()
@@ -199,6 +223,10 @@ object TextDedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      System.err.println(
+        s"[graft] dedupGroups hit maxIter=$maxIter before convergence — " +
+          "components may be split; raise maxIter")
     labels
   }
 

@@ -106,18 +106,27 @@ object Missing {
     * seeded-random index and join — two shuffles, no collect, reproducible
     * for a fixed seed and input partitioning. */
   def fillAbb(df: DataFrame, c: String, seed: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val obs = df.filter(col(c).isNotNull).select(col(c).as("__abb_v"))
-      .withColumn("__abb_i",
-        row_number().over(Window.orderBy(col("__abb_v"))) - 1)
-    val nObs = obs.count()
+    val spark = df.sparkSession
+    // distributed dense index over the observed values: rdd.zipWithIndex is
+    // a per-partition count + offset (no single-task global window, no
+    // broadcast of the observed set — the join shuffles on the drawn index)
+    val obsRdd = df.filter(col(c).isNotNull).select(col(c)).rdd
+      .map(_.get(0)).zipWithIndex()
+    val nObs = obsRdd.count()
     if (nObs == 0) df
-    else df
-      .withColumn("__abb_i",
-        when(col(c).isNull, floor(rand(seed) * nObs).cast("int")))
-      .join(obs.hint("broadcast"), Seq("__abb_i"), "left")
-      .withColumn(c, coalesce(col(c), col("__abb_v")))
-      .drop("__abb_i", "__abb_v")
+    else {
+      val obsDf = spark.createDataFrame(
+        obsRdd.map { case (v, i) => org.apache.spark.sql.Row(i, v) },
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__abb_i",
+            org.apache.spark.sql.types.LongType),
+          df.schema(c).copy(name = "__abb_v"))))
+      df.withColumn("__abb_i",
+          when(col(c).isNull, floor(rand(seed) * nObs).cast("long")))
+        .join(obsDf, Seq("__abb_i"), "left")
+        .withColumn(c, coalesce(col(c), col("__abb_v")))
+        .drop("__abb_i", "__abb_v")
+    }
   }
 
   /** remove-empty-columns (reference dataset_api.clj:218-236): drop columns

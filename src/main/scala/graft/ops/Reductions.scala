@@ -56,13 +56,18 @@ object Reductions {
 
   def dstddevPop(c: Column, scale: Int = 8): Column = sqrt(dvarPop(c, scale))
 
-  /** Deterministic Pearson correlation from exact component sums.
+  /** Deterministic Pearson correlation from exact component sums, over
+    * PAIRWISE-COMPLETE rows (a null in either column drops the pair from
+    * every sum and from n — mixing per-column null skipping with a global
+    * count gives nonsense correlations).
     * Reference: correlation-table src/tech/v3/dataset/math.clj:37-109. */
   def dcorr(x: Column, y: Column, scale: Int = 8): Column = {
-    val n = count(lit(1)).cast(DoubleType)
-    val sx = dsum(x, scale); val sy = dsum(y, scale)
-    val sxx = dsum(x * x, scale); val syy = dsum(y * y, scale)
-    val sxy = dsum(x * y, scale)
+    val both = x.isNotNull && y.isNotNull
+    def s(c: Column) = dsum(when(both, c), scale)
+    val n = count(when(both, 1)).cast(DoubleType)
+    val sx = s(x); val sy = s(y)
+    val sxx = s(x * x); val syy = s(y * y)
+    val sxy = s(x * y)
     (n * sxy - sx * sy) /
       (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
   }
@@ -154,22 +159,33 @@ object Reductions {
     * with the reference's ham-fisted `Sum` (reductions.clj:4-7,107-113) when
     * inputs arrive in the same order; used where decimal routing is not
     * possible (unbounded-scale doubles). */
+  /** Neumaier (Kahan–Babuška) compensated sum: tracks the LOST low-order
+    * part of every add, including the case where the addend is larger than
+    * the running sum (which defeats classic Kahan — e.g. 1e16 + 1 − 1e16).
+    * Buffer = (sum, compensation); result = sum + compensation. */
   class KahanSum extends Aggregator[Double, (Double, Double), Double] {
     def zero: (Double, Double) = (0.0, 0.0)
-    def reduce(b: (Double, Double), x: Double): (Double, Double) = {
-      val (s, comp) = b
-      val y = x - comp
-      val t = s + y
-      (t, (t - s) - y)
+    private def add(s: Double, c: Double, x: Double): (Double, Double) = {
+      val t = s + x
+      val c2 =
+        if (math.abs(s) >= math.abs(x)) c + ((s - t) + x)
+        else c + ((x - t) + s)
+      (t, c2)
     }
-    def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) =
-      reduce(a, b._1 + b._2)
+    def reduce(b: (Double, Double), x: Double): (Double, Double) =
+      add(b._1, b._2, x)
+    def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) = {
+      val (s, c) = add(a._1, a._2 + b._2, b._1)
+      (s, c)
+    }
     def finish(r: (Double, Double)): Double = r._1 + r._2
     def bufferEncoder: Encoder[(Double, Double)] =
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Null-safe Kahan sum (nulls contribute 0, like SQL SUM skipping them;
+    * the Double encoder would otherwise throw on null input). */
   def kahanSum(c: Column): Column =
-    udaf(new KahanSum(), Encoders.scalaDouble).apply(c)
+    udaf(new KahanSum(), Encoders.scalaDouble).apply(coalesce(c, lit(0.0)))
 }

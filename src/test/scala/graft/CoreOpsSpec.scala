@@ -76,6 +76,25 @@ class CoreOpsSpec extends SparkSuite {
     }
   }
 
+  test("kahanSum recovers cancellation a naive double sum loses") {
+    // 1e16 + 1 - 1e16 = 1 exactly under Kahan; naive double sum gives 0 or 2
+    val df = Seq(1e16, 1.0, -1e16).toDF("x")
+    val k = df.agg(Reductions.kahanSum(col("x"))).collect()(0).getDouble(0)
+    assert(k == 1.0, s"kahan=$k")
+    // null-safe: nulls contribute nothing
+    val k2 = Seq(Some(1.5), None, Some(2.5)).toDF("x")
+      .agg(Reductions.kahanSum(col("x"))).collect()(0).getDouble(0)
+    assert(k2 == 4.0)
+  }
+
+  test("dcorr uses pairwise-complete rows under nulls") {
+    val df = Seq((Some(1.0), Some(1.0)), (Some(2.0), Some(2.0)),
+      (None: Option[Double], Some(3.0)), (Some(3.0), Some(3.0)))
+      .toDF("x", "y")
+    val r = df.agg(Reductions.dcorr(col("x"), col("y"))).collect()(0).getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12, s"corr=$r") // complete pairs perfectly correlated
+  }
+
   test("melt/pivot round shapes") {
     val df = Seq((1, 2.0, 3.0)).toDF("id", "a", "b")
     val melted = Reshape.melt(df, Seq("id"), Seq("a", "b"))

@@ -96,6 +96,26 @@ class LlmOpsSpec extends SparkSuite {
     assert(f1.forall(_.getAs[Int]("n_bytes") > 0))
   }
 
+  test("zero-norm embeddings never rank in cosine top-k") {
+    val rows = (0L to 4L).map(i => (i, Array.fill(8)(0.1f * (i + 1)))) :+
+      (5L, Array.fill(8)(0.0f)) // zero vector must not poison rankings
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0), emb, 3)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("corpus_id") != 5L))
+    assert(out.forall(r => !r.getAs[Double]("cosine").isNaN))
+  }
+
+  test("dedup groups converge on long chains (pointer jumping)") {
+    val chain = (0L until 9L).map(i => (i, i + 1, 0.9))
+      .toDF("id_a", "id_b", "est_jaccard")
+    val ids = (0L to 9L).toDF("id")
+    val groups = TextDedup.dedupGroups(chain, ids, maxIter = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.values.toSet == Set(0L), s"unconverged: $groups")
+  }
+
   test("dedup groups: components resolved, keepers are group minima") {
     val pairs = Seq((0L, 1L, 0.9), (1L, 4L, 0.9), (2L, 3L, 0.8))
       .toDF("id_a", "id_b", "est_jaccard")
