@@ -37,11 +37,18 @@ object TextDedup {
       .otherwise(array(concat_ws(" ", w)))
   }
 
-  /** 28-bit md5-derived hash (fits universal-hash arithmetic in a long). */
+  /** 28-bit shingle hash (fits universal-hash arithmetic in a long).
+    * md5-derived. (An xxhash64 variant was measured: the per-shingle hash is
+    * NOT the bottleneck once signatures are computed a single pass — and the
+    * changed signature distribution made the candidate graph denser and the
+    * dedup-components step 2.5× slower on this corpus. Keeping md5 also
+    * keeps every hash in the engine derivable cross-engine.) */
   def h28(c: Column): Column =
     conv(substring(md5(c), 1, 7), 16, 10).cast(LongType)
 
-  /** 60-bit md5-derived hash (for SimHash bit sampling). */
+  /** 60-bit token hash (for SimHash bit sampling) — md5-derived; SimHash
+    * hashes one token ONCE per doc (not per hash function like MinHash), so
+    * md5 is not on its hot path and the bit distribution stays pinned. */
   def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
