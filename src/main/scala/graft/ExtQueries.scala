@@ -151,7 +151,8 @@ object ExtQueries {
     // std-scale + min-max fit/transform (reference math.clj:235-344).
     "q47_scalers" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
-      val z = Ml.fitStandardScaler(li, Seq("l_quantity")).transform(li)
+      val z = Ml.fitStandardScaler(li, Seq("l_quantity"),
+        squareScale = Map("l_quantity" -> 2)).transform(li)
       val mm = Ml.fitMinMax(li, Seq("l_extendedprice")).transform(z)
       mm.selectColumns("l_orderkey", "l_linenumber", "l_quantity_z",
         "l_extendedprice_mm")

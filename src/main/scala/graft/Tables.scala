@@ -27,9 +27,11 @@ object Tables {
       // are µs-precision, so the floor division is lossless).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
+      // integral division: `/` on longs goes through double, and epoch-nanos
+      // exceed 2^53, so the rounding error (±128ns) can flip the truncated
+      // microsecond by one — `div` stays in long arithmetic
       raw.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") /
-            org.apache.spark.sql.functions.lit(1000L)).cast("long")))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
 }

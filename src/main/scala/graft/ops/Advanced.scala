@@ -29,8 +29,11 @@ object Advanced {
                   bandwidth: Double = 0.3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(groupCol).cast(LongType), col(xCol).cast(DoubleType),
-      col(yCol).cast(DoubleType))
+    df.select(col(groupCol).cast(LongType).as("g"),
+      col(xCol).cast(DoubleType).as("x"), col(yCol).cast(DoubleType).as("y"))
+      // primitives in the encoder are non-nullable: drop null/uncastable
+      // rows up front instead of crashing mid-job
+      .filter(col("g").isNotNull && col("x").isNotNull && col("y").isNotNull)
       .as[(Long, Double, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (g, it) =>
@@ -60,22 +63,30 @@ object Advanced {
     // columns drop lower so floor(x²·10^s) stays exact in a double
     def sc(c: String): Int = squareScale.getOrElse(c, 4)
     val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
-    val aggs: Seq[Column] =
-      cols.flatMap { c0 =>
-        Seq(isum(col(c0), 4).as(s"s_$c0"), isum(col(c0) * col(c0), sc(c0)).as(s"ss_$c0"))
-      } ++ pairs.map { case (a, b) =>
-        isum(col(a) * col(b), math.min(sc(a), sc(b))).as(s"p_${a}__$b")
-      } :+ count(lit(1)).cast(DoubleType).as("n")
+    // per-pair PAIRWISE-COMPLETE stats: each pair's n and all five sums share
+    // one both-non-null predicate (a global count with per-sum null skipping
+    // mixes mismatched counts and gives corr outside [-1,1])
+    val aggs: Seq[Column] = pairs.flatMap { case (a, b) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      def s(c: Column, scale: Int) = isum(when(both, c), scale)
+      Seq(
+        count(when(both, 1)).cast(DoubleType).as(s"n_${a}__$b"),
+        s(col(a), 4).as(s"sx_${a}__$b"), s(col(b), 4).as(s"sy_${a}__$b"),
+        s(col(a) * col(a), sc(a)).as(s"sxx_${a}__$b"),
+        s(col(b) * col(b), sc(b)).as(s"syy_${a}__$b"),
+        s(col(a) * col(b), math.min(sc(a), sc(b))).as(s"sxy_${a}__$b"))
+    }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     def g(name: String): Double = row.getDouble(row.fieldIndex(name))
-    val n = g("n")
     def corr(a: String, b: String): Double =
       if (a == b) 1.0
       else {
         val (x, y) = if (a < b) (a, b) else (b, a)
-        val sx = g(s"s_$x"); val sy = g(s"s_$y")
-        (n * g(s"p_${x}__$y") - sx * sy) /
-          (math.sqrt(n * g(s"ss_$x") - sx * sx) * math.sqrt(n * g(s"ss_$y") - sy * sy))
+        val k = s"${x}__$y"
+        val n = g(s"n_$k")
+        val sx = g(s"sx_$k"); val sy = g(s"sy_$k")
+        (n * g(s"sxy_$k") - sx * sy) /
+          (math.sqrt(n * g(s"sxx_$k") - sx * sx) * math.sqrt(n * g(s"syy_$k") - sy * sy))
       }
     val spark = df.sparkSession
     import spark.implicits._

@@ -26,13 +26,19 @@ object Ml {
       }
   }
 
-  def fitStandardScaler(df: DataFrame, cols: Seq[String]): ScalerModel = {
+  /** squareScale: per-column x² floor-scale (default 4 keeps small-magnitude
+    * data meaningful; drop to 2 for columns whose squares reach ~1e10 — see
+    * Reductions.descriptiveStats). Variance clamped at 0 so numerically
+    * degenerate columns give sd=0 (and the transform's sd==0 guard), not NaN. */
+  def fitStandardScaler(df: DataFrame, cols: Seq[String],
+                        squareScale: Map[String, Int] = Map.empty): ScalerModel = {
     val aggs = cols.flatMap { c0 =>
       val c = col(c0)
       val n = count(c).cast(DoubleType)
-      val sx = isum(c, 4); val sxx = isum(c * c, 2)
+      val sx = isum(c, 4)
+      val sxx = isum(c * c, squareScale.getOrElse(c0, 4))
       Seq((sx / count(c)).as(s"${c0}__mu"),
-        sqrt((sxx - sx * sx / n) / n).as(s"${c0}__sd"))
+        sqrt(greatest((sxx - sx * sx / n) / n, lit(0.0))).as(s"${c0}__sd"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     ScalerModel(cols.map { c =>

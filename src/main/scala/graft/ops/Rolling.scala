@@ -80,16 +80,28 @@ object Rolling {
   def rollingClampSumMean(df: DataFrame, n: Int, pos: Position,
                           order: Seq[Column], part: Seq[Column], c: Column,
                           out: String): DataFrame = {
-    val w = frame(Window.partitionBy(part: _*).orderBy(order: _*), n, pos)
-    val wholePart = Window.partitionBy(part: _*).orderBy(order: _*)
+    val base = Window.partitionBy(part: _*).orderBy(order: _*)
+    val w = frame(base, n, pos)
+    val wholePart = base
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val edge = pos match {
-      case Left => first(c).over(wholePart)
-      case Right => last(c).over(wholePart)
-      case Center => first(c).over(wholePart) // clamp on the leading edge
+    // frame bounds per position: lo rows before, hi rows after the current
+    val (lo, hi) = pos match {
+      case Left => (n - 1, 0)
+      case Center => ((n - 1) / 2, n / 2)
+      case Right => (0, n - 1)
     }
-    val cnt = count(c).over(w)
-    val sumClamp = sum(c).over(w) + (lit(n) - cnt) * edge
+    // how many frame slots fall off each partition edge — computed from ROW
+    // POSITION (nulls inside a full frame are NOT edge shrinkage and must
+    // not be padded): leading pads repeat the partition's first value,
+    // trailing pads its last (reference ':clamp fills first,last
+    // respectively', rolling.clj:130-133)
+    val rn = row_number().over(base)
+    val cntPart = count(lit(1)).over(wholePart)
+    val missLead = greatest(lit(0), lit(lo) - (rn - 1))
+    val missTrail = greatest(lit(0), lit(hi) - (cntPart - rn))
+    val sumClamp = sum(c).over(w) +
+      missLead * first(c).over(wholePart) +
+      missTrail * last(c).over(wholePart)
     df.withColumn(s"${out}_sum", sumClamp)
       .withColumn(s"${out}_mean", sumClamp / n)
   }

@@ -49,6 +49,9 @@ object TableOps {
       val c = col(name)
       df.schema(name).dataType match {
         case BooleanType => df.filter(c)
+        case FloatType | DoubleType =>
+          // reference treats NaN as falsy alongside 0 (base.clj:497-504)
+          df.filter(c.isNotNull && !isnan(c) && c =!= lit(0))
         case _: NumericType => df.filter(c.isNotNull && c =!= lit(0))
         case _ => df.filter(c.isNotNull)
       }
@@ -201,10 +204,24 @@ object Concat {
     ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3,
     FloatType -> 4, DoubleType -> 5)
 
+  private val integralTypes: Set[DataType] =
+    Set(ByteType, ShortType, IntegerType, LongType)
+
   def widen(a: DataType, b: DataType): DataType = (a, b) match {
     case (x, y) if x == y => x
     case (x: DecimalType, y: DecimalType) =>
-      DecimalType(math.max(x.precision, y.precision), math.max(x.scale, y.scale))
+      // keep BOTH integer-digit capacity and fractional capacity:
+      // precision = max int digits + max scale (capped at 38) — taking max
+      // precision and max scale independently can shrink int capacity and
+      // overflow the cast (throws under Spark 4's ANSI default)
+      val scale = math.max(x.scale, y.scale)
+      val intDigits = math.max(x.precision - x.scale, y.precision - y.scale)
+      DecimalType(math.min(38, intDigits + scale), scale)
+    case (x: DecimalType, y) if integralTypes.contains(y) =>
+      widen(x, DecimalType(20, 0)) // any long fits 20 integer digits
+    case (x, y: DecimalType) if integralTypes.contains(x) => widen(y, x)
+    case (_: DecimalType, FloatType | DoubleType) => DoubleType
+    case (FloatType | DoubleType, _: DecimalType) => DoubleType
     case (x, y) if numericRank.contains(x) && numericRank.contains(y) =>
       // int64 + float32 must widen to float64, not float32
       if ((x == LongType && y == FloatType) || (x == FloatType && y == LongType)) DoubleType

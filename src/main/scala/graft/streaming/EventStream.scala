@@ -30,12 +30,11 @@ object EventStream {
     val raw = spark.readStream.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(dir)
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast(LongType)))
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(floor(col("value") * lit(1e6)).cast(DecimalType(30, 0)))
-          .cast(DoubleType).divide(lit(1e6)).as("sum_value"))
+        graft.ops.Reductions.isum(col("value"), 6).as("sum_value"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n"),
         col("sum_value"))
   }
@@ -58,7 +57,7 @@ object EventStream {
     val raw = spark.readStream.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    val events = raw.select(col("user_id"), (col("ts") / 1000).cast(LongType).as("ts_us"),
+    val events = raw.select(col("user_id"), expr("ts div 1000").as("ts_us"),
       col("event_id")).as[Ev]
     val gapUs = gapMinutes * 60L * 1000000
 

@@ -158,6 +158,38 @@ class CoreOpsSpec extends SparkSuite {
     assert(out.toSeq == Seq(3.0, 4.0, 6.0, 9.0))
   }
 
+  test("rolling clamp Center pads trailing edge with LAST value") {
+    // values 1..4, n=3 centered: row3's frame {3,4} + pad last(4) = 11
+    // row0's frame {1,2} + pad first(1) = 4
+    val df = Seq((0, 1.0), (1, 2.0), (2, 3.0), (3, 4.0)).toDF("i", "v")
+    val out = Rolling.rollingClampSumMean(df, 3, Rolling.Center,
+      Seq(col("i")), Seq(), col("v"), "c")
+      .orderBy("i").collect().map(_.getAs[Double]("c_sum"))
+    assert(out.toSeq == Seq(4.0, 6.0, 9.0, 11.0))
+  }
+
+  test("rolling clamp does not pad for nulls inside a full frame") {
+    val df = Seq((0, Some(5.0)), (1, None), (2, Some(7.0)), (3, Some(8.0)))
+      .toDF("i", "v")
+    val out = Rolling.rollingClampSumMean(df, 3, Rolling.Left,
+      Seq(col("i")), Seq(), col("v"), "c")
+      .orderBy("i").collect().map(_.getAs[Double]("c_sum"))
+    // row2 frame {5,null,7} is FULL → no padding → 12
+    assert(out(2) == 12.0)
+  }
+
+  test("widen: decimal rules keep capacity, decimal+double -> double") {
+    import org.apache.spark.sql.types._
+    assert(Concat.widen(DecimalType(10, 0), DecimalType(5, 5)) == DecimalType(15, 5))
+    assert(Concat.widen(DecimalType(12, 2), DoubleType) == DoubleType)
+    assert(Concat.widen(DecimalType(12, 2), LongType) == DecimalType(22, 2))
+  }
+
+  test("truthiness: NaN is falsy for double columns") {
+    val df = Seq(1.0, 0.0, Double.NaN).toDF("x")
+    assert(df.filterColumnTruthy("x").count() == 1)
+  }
+
   test("fillRange densifies gaps to max span") {
     val df = Seq((0.0, "a"), (10.0, "b")).toDF("x", "tag")
     val out = Missing.fillRange(df, "x", 2.5)
