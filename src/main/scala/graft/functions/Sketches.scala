@@ -96,6 +96,7 @@ object Sketches {
         case f: Float => b.update(f.toDouble)
         case l: Long => b.update(l.toDouble)
         case i: Int => b.update(i.toDouble)
+        case d: Decimal => b.update(d.toDouble) // Spark Decimal is not a java.lang.Number
         case n: Number => b.update(n.doubleValue())
         case _ => ()
       }

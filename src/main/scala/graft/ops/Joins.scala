@@ -33,14 +33,18 @@ object Joins {
     else left.join(right, on, sparkHow)
   }
 
-  /** hash-join with distinct lhs/rhs key names (join.clj:308-347): collision
-    * columns on the right get the `right.` prefix. Small right sides should be
-    * wrapped in broadcast() by the caller; Catalyst/AQE otherwise decides. */
+  /** hash-join with distinct lhs/rhs key names (join.clj:308-347): ALL right
+    * columns colliding with a left name (keys included) get the `right.`
+    * prefix, and renamed columns are referenced backtick-quoted (a bare
+    * "right.k" parses as qualifier `right` + column `k`). Small right sides
+    * should be wrapped in broadcast() by the caller; Catalyst/AQE otherwise
+    * decides. */
   def keyJoin(left: DataFrame, right: DataFrame, leftOn: Seq[String],
               rightOn: Seq[String], how: String = "inner"): DataFrame = {
-    val r = prefixCollisions(left, right, exclude = rightOn.toSet -- leftOn.toSet)
+    val dup = right.columns.toSet.intersect(left.columns.toSet)
+    val r = dup.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"right.$c"))
     val cond = leftOn.zip(rightOn).map { case (l, rn) =>
-      val rcol = if (r.columns.contains(rn)) r(rn) else r(s"right.$rn")
+      val rcol = if (dup.contains(rn)) r(s"`right.$rn`") else r(rn)
       left(l) === rcol
     }.reduce(_ && _)
     left.join(r, cond, how)
@@ -54,6 +58,10 @@ object Joins {
   def saltedJoin(left: DataFrame, right: DataFrame, on: Seq[String],
                  saltFactor: Int, how: String = "inner",
                  seed: Long = 42L): DataFrame = {
+    // replicating the right side breaks right/full-outer semantics
+    // (unmatched right rows would appear saltFactor times)
+    require(how == "inner" || how == "left" || how == "left_semi",
+      s"saltedJoin supports inner/left/left_semi, not $how")
     val l = left.withColumn("__salt", (rand(seed) * saltFactor).cast("int"))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
@@ -112,6 +120,8 @@ object Joins {
       case Forward => asofDirectional(left, right, leftTime, rightTime, by,
         forward = true, allowExactMatch)
       case Nearest =>
+        require(allowExactMatch,
+          "Nearest implies exact matches allowed (reference :nearest semantics)")
         asofNearest(left, right, leftTime, rightTime, by)
     }
   }
@@ -122,53 +132,70 @@ object Joins {
     right.columns.filterNot(byRight.contains).toSeq
   }
 
-  private def asofDirectional(left: DataFrame, right: DataFrame,
-                              leftTime: String, rightTime: String,
-                              by: Seq[(String, String)], forward: Boolean,
-                              allowExact: Boolean): DataFrame = {
-    val payload = payloadCols(left, right, rightTime, by)
-    val outPayload = payload.map(c =>
-      if (left.columns.contains(c)) s"right.$c" else c)
-
-    // Tag and align the two sides into one schema:
-    //   __t (time in micros/raw), __side (0=right so it sorts before left on
-    //   ties when exact matches are allowed), left cols, payload cols.
+  /** Tag both sides into one schema. The right payload rides as ONE struct
+    * column `__p` (null for left rows, non-null for every right row even
+    * when its FIELDS are null): the whole matched row is carried atomically
+    * — carrying columns independently with ignoreNulls would tear rows,
+    * back-filling a matched row's null field from an older right row.
+    * Struct field names are the right table's original (dot-free) names;
+    * collision renaming to "right.<c>" happens only at the final select. */
+  private def tagSides(left: DataFrame, right: DataFrame, leftTime: String,
+                       rightTime: String, by: Seq[(String, String)],
+                       payload: Seq[String]): DataFrame = {
+    val byLeftNames = by.map(_._1)
     val lTagged = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .select(Seq(col("__t"), col("__side")) ++
-        left.columns.map(col) ++
-        payload.zip(outPayload).map { case (_, o) => lit(null).as(o) }: _*)
-
-    val byLeftNames = by.map(_._1)
+        left.columns.map(col) :+
+        lit(null).as("__p"): _*)
     val rTagged = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select(Seq(col("__t"), col("__side")) ++
         by.map { case (ln, rn) => col(rn).as(ln) } ++
-        left.columns.filterNot(byLeftNames.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.zip(outPayload).map { case (p, o) => col(p).as(o) }: _*)
+        left.columns.filterNot(byLeftNames.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("__p"): _*)
+    lTagged.unionByName(rTagged)
+  }
 
-    val unioned = lTagged.unionByName(rTagged)
+  /** Unpack the carried struct into output columns, renaming collisions with
+    * the reference's "right." prefix (backtick-safe: names are only ASSIGNED
+    * with dots, never re-referenced). */
+  private def unpackPayload(d: DataFrame, left: DataFrame, payload: Seq[String],
+                            structCol: String): DataFrame = {
+    val outCols = d.columns.filterNot(c => c == structCol || c.startsWith("__"))
+      .map(col).toSeq ++
+      payload.map { p =>
+        val out = if (left.columns.contains(p)) s"right.$p" else p
+        col(structCol).getField(p).as(out)
+      }
+    d.select(outCols: _*)
+  }
 
-    // Sort key: ascending for backward, descending for forward (so "last seen"
-    // is always the directional match). Tie order: when exact matches count,
-    // right rows must come first (side 0 asc / side 1 desc keeps right first
-    // in both directions); when strict, left rows first.
-    val tAsc = !forward
-    val tCol = if (tAsc) col("__t").asc else col("__t").desc
-    val sideCol =
-      if (allowExact) { if (tAsc) col("__side").asc else col("__side").asc }
-      else col("__side").desc
+  private def asofDirectional(left: DataFrame, right: DataFrame,
+                              leftTime: String, rightTime: String,
+                              by: Seq[(String, String)], forward: Boolean,
+                              allowExact: Boolean): DataFrame = {
+    val payload = payloadCols(left, right, rightTime, by)
+    val unioned = tagSides(left, right, leftTime, rightTime, by, payload)
+    val byLeftNames = by.map(_._1)
+
+    // Sort: ascending time for backward, descending for forward — "last seen"
+    // right row is always the directional match. Tie order between a left row
+    // and a right row at the same time: right first (side 0 asc) when exact
+    // matches count, left first (side desc) when strict.
+    val tCol = if (forward) col("__t").desc else col("__t").asc
+    val sideCol = if (allowExact) col("__side").asc else col("__side").desc
     val w = Window
       .partitionBy(byLeftNames.map(col): _*)
       .orderBy(tCol, sideCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = outPayload.foldLeft(unioned) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__t", "__side")
+    val carried = unioned.withColumn("__pc",
+      last(col("__p"), ignoreNulls = true).over(w))
+    unpackPayload(carried.filter(col("__side") === 1), left, payload, "__pc")
   }
 
   /** :nearest (join.clj:716-744) in ONE pass: over the same tagged union and
@@ -181,48 +208,35 @@ object Joins {
                           rightTime: String,
                           by: Seq[(String, String)]): DataFrame = {
     val payload = payloadCols(left, right, rightTime, by)
-    val outPayload = payload.map(c =>
-      if (left.columns.contains(c)) s"right.$c" else c)
-    val rtOut = outPayload(payload.indexOf(rightTime))
-
-    val lTagged = left
-      .withColumn("__t", col(leftTime))
-      .withColumn("__side", lit(1))
-      .select(Seq(col("__t"), col("__side")) ++
-        left.columns.map(col) ++
-        payload.zip(outPayload).map { case (_, o) => lit(null).as(o) }: _*)
+    require(payload.contains(rightTime),
+      s"asof Nearest: rightTime '$rightTime' must not also be a by-key")
+    val unioned = tagSides(left, right, leftTime, rightTime, by, payload)
     val byLeftNames = by.map(_._1)
-    val rTagged = right
-      .withColumn("__t", col(rightTime))
-      .withColumn("__side", lit(0))
-      .select(Seq(col("__t"), col("__side")) ++
-        by.map { case (ln, rn) => col(rn).as(ln) } ++
-        left.columns.filterNot(byLeftNames.contains)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.zip(outPayload).map { case (p, o) => col(p).as(o) }: _*)
-    val unioned = lTagged.unionByName(rTagged)
 
     // right rows first on time ties → exact matches arrive via the backward
-    // carry at distance 0 (and therefore win)
+    // carry at distance 0 (and therefore win; the reference's :nearest has no
+    // strict variant — asofJoin rejects Nearest + allowExactMatch=false)
     val base = Window.partitionBy(byLeftNames.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
     val wBack = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    val carried = outPayload.foldLeft(unioned) { (d, c) =>
-      d.withColumn(s"__b_$c", last(col(c), ignoreNulls = true).over(wBack))
-        .withColumn(s"__f_$c", first(col(c), ignoreNulls = true).over(wFwd))
+    val carried = unioned
+      .withColumn("__b", last(col("__p"), ignoreNulls = true).over(wBack))
+      .withColumn("__f", first(col("__p"), ignoreNulls = true).over(wFwd))
+
+    // distance basis: DateType can't cast straight to double — lift to
+    // timestamp first; numerics/timestamps cast directly
+    def asNum(c: Column): Column = left.schema(leftTime).dataType match {
+      case org.apache.spark.sql.types.DateType => c.cast("timestamp").cast("double")
+      case _ => c.cast("double")
     }
-    val lt = col("__t").cast("double")
-    val dbk = abs(lt - col(s"__b_$rtOut").cast("double"))
-    val dfw = abs(col(s"__f_$rtOut").cast("double") - lt)
-    val useB = col(s"__b_$rtOut").isNotNull &&
-      (col(s"__f_$rtOut").isNull || dbk <= dfw)
-    val resolved = outPayload.foldLeft(carried) { (d, c) =>
-      d.withColumn(c, when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c")))
-    }
-    resolved.filter(col("__side") === 1)
-      .drop("__t", "__side")
-      .drop(outPayload.flatMap(c => Seq(s"__b_$c", s"__f_$c")): _*)
+    val lt = asNum(col("__t"))
+    val bt = asNum(col("__b").getField(rightTime))
+    val ft = asNum(col("__f").getField(rightTime))
+    val useB = bt.isNotNull && (ft.isNull || abs(lt - bt) <= abs(ft - lt))
+    val resolved = carried.withColumn("__pc",
+      when(useB, col("__b")).otherwise(col("__f")))
+    unpackPayload(resolved.filter(col("__side") === 1), left, payload, "__pc")
   }
 }

@@ -16,14 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object SetOps {
 
-  /** Bag union, max multiplicity per distinct row. */
+  /** Bag union, max multiplicity per distinct row. NULL-SAFE on the row
+    * values (the reference's frequency maps treat nil==nil, as do SQL set
+    * operators — a plain equi join would drop null-bearing rows from the
+    * match and double-count them). */
   def bagUnion(a: DataFrame, b: DataFrame): DataFrame = {
     val cols = a.columns.toSeq
     val ca = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__ca"))
-    val cb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__cb"))
-    ca.join(cb, cols, "full")
-      .withColumn("__n", greatest(coalesce(col("__ca"), lit(0L)),
-        coalesce(col("__cb"), lit(0L))))
+    val cb0 = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__cb"))
+    val cb = cols.foldLeft(cb0)((d, c) => d.withColumnRenamed(c, s"__r_$c"))
+    val cond = cols.map(c => ca(c) <=> cb(s"__r_$c")).reduce(_ && _)
+    ca.join(cb, cond, "full")
+      .select(cols.map(c => coalesce(ca(c), cb(s"__r_$c")).as(c)) :+
+        greatest(coalesce(col("__ca"), lit(0L)),
+          coalesce(col("__cb"), lit(0L))).as("__n"): _*)
       .withColumn("__k", explode(sequence(lit(1L), col("__n"))))
       .select(cols.map(col): _*)
   }
@@ -36,8 +42,10 @@ object SetOps {
   def bagIntersection(a: DataFrame, b: DataFrame): DataFrame = {
     val cols = a.columns.toSeq
     val ca = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__ca"))
-    val cb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__cb"))
-    ca.join(cb, cols)
+    val cb0 = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__cb"))
+    val cb = cols.foldLeft(cb0)((d, c) => d.withColumnRenamed(c, s"__r_$c"))
+    val cond = cols.map(c => ca(c) <=> cb(s"__r_$c")).reduce(_ && _) // null-safe
+    ca.join(cb, cond)
       .withColumn("__k", explode(sequence(lit(1L), least(col("__ca"), col("__cb")))))
       .select(cols.map(col): _*)
   }

@@ -58,6 +58,26 @@ class AsofJoinSpec extends SparkSuite {
     assert(m(("A", 10L)) == Some(2.0))
   }
 
+  test("payload rows carried atomically — null fields are not back-filled") {
+    // right rows: (t=1, v=10), (t=2, v=null); left t=3 matches the t=2 ROW
+    // whose v must stay null (not be torn from the t=1 row)
+    val l = Seq(("A", 3L)).toDF("k", "t")
+    val r = Seq(("A", 1L, Some(10.0)), ("A", 2L, None)).toDF("k", "rt", "px")
+    val out = Joins.asofJoin(l, r, "t", "rt", Seq(("k", "k")), Joins.Backward)
+      .collect()(0)
+    assert(out.getAs[Long]("rt") == 2L)
+    assert(out.isNullAt(out.fieldIndex("px")), "null field torn from older row")
+  }
+
+  test("colliding time column names get backtick-safe right. prefix") {
+    val l = Seq(("A", 5L, "x")).toDF("k", "ts", "v")
+    val r = Seq(("A", 4L, "y")).toDF("k", "ts", "v")
+    val out = Joins.asofJoin(l, r, "ts", "ts", Seq(("k", "k")), Joins.Backward)
+    assert(out.columns.contains("right.ts") && out.columns.contains("right.v"))
+    val row = out.collect()(0)
+    assert(row.getAs[Long]("right.ts") == 4L && row.getAs[String]("right.v") == "y")
+  }
+
   test("null times match nothing (reference nil-matches-nothing semantics)") {
     val l = Seq(("A", Some(5L)), ("A", None)).toDF("k", "t")
     val r = Seq(("A", Some(4L), 1.0), ("A", None, 99.0)).toDF("k", "rt", "px")

@@ -59,6 +59,15 @@ class CoreOpsSpec extends SparkSuite {
     assert(uni == Map("x" -> 2, "y" -> 2, "z" -> 1))
   }
 
+  test("bag ops are null-safe (nil == nil like the reference's maps)") {
+    val a = Seq(Option.empty[String], Some("x")).toDF("v")
+    val b = Seq(Option.empty[String], None, Some("x")).toDF("v")
+    val inter = SetOps.bagIntersection(a, b).collect()
+    assert(inter.length == 2) // min(1,2) nulls + min(1,1) x
+    val uni = SetOps.bagUnion(a, b).collect()
+    assert(uni.length == 3) // max(1,2) nulls + max(1,1) x
+  }
+
   test("reductions cross-check: 3x-unioned table triples sums, keeps means") {
     // the reference's invariant test pattern (reductions_test.clj:25-52)
     val li = Tables.t(spark, sfDir, "lineitem")
