@@ -131,6 +131,20 @@ object Io {
     inferPromotional(df)
   }
 
+  /** Bucketed write: pre-shuffles storage on the join/agg key so subsequent
+    * equi-joins and aggregations on `keys` between co-bucketed tables plan
+    * with NO Exchange — the 100 TB pattern for repeated big-big joins
+    * (SCALE.md §Joins; IoSpec proves the shuffle-free plan). Requires a
+    * table catalog (saveAsTable), not a bare path — bucketing metadata lives
+    * in the catalog. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    keys: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** write! dispatch (reference io.clj:274-301). Parquet is the engine's
     * binary snapshot format (replacing the reference's nippy). */
   def write(df: DataFrame, path: String, format: String = "parquet",

@@ -55,6 +55,25 @@ class IoSpec extends SparkSuite {
     assert(plain == salted)
   }
 
+  test("co-bucketed tables join without a shuffle") {
+    val li = Tables.t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    Io.writeBucketed(li, "b_lineitem", 4, Seq("l_orderkey"))
+    Io.writeBucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "b_orders", 4, Seq("l_orderkey"))
+    val joined = spark.table("b_lineitem").join(spark.table("b_orders"), "l_orderkey")
+    // force sort-merge so the bucketing (not a broadcast) carries the join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("json round-trip") {
     val tmp = Files.createTempDirectory("graft_json").toString
     val src = Tables.t(spark, sfDir, "nation")
