@@ -60,6 +60,18 @@ class IoSpec extends SparkSuite {
       .select("l_orderkey", "l_quantity")
     val o = Tables.t(spark, sfDir, "orders")
       .select("o_orderkey", "o_totalprice")
+    // a stale warehouse location from a previous JVM blocks saveAsTable even
+    // in Overwrite mode (catalog metadata is per-session, the dir is not)
+    Seq("b_lineitem", "b_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(loc)
+      }
+    }
     Io.writeBucketed(li, "b_lineitem", 4, Seq("l_orderkey"))
     Io.writeBucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"),
       "b_orders", 4, Seq("l_orderkey"))
