@@ -336,6 +336,22 @@ object ExtQueries {
         .orderBy(col("lang"))
     },
 
+    // brief: per-column quartile summary, exact percentiles (reference
+    // dataset_api.clj:1300-1399).
+    "q65_brief" -> { (s, dir) =>
+      Reductions.briefStats(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("column"))
+    },
+
+    // mode per group, deterministic tie-break (reference descriptive-stats
+    // :mode for categoricals).
+    "q66_mode" -> { (s, dir) =>
+      Reductions.modePerGroup(t(s, dir, "orders"),
+        Seq("o_orderstatus"), "o_orderpriority")
+        .orderBy(col("o_orderstatus"))
+    },
+
     // row-map (reference dataset_api.clj:885-943) as a per-row computed
     // margin — declarative, stays in codegen.
     "q59_row_map" -> { (s, dir) =>
@@ -526,6 +542,34 @@ object ExtQueries {
          CAST(MAX(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS INT) AS max_tokens,
          COUNT(*) AS n_docs
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q65_brief" ->
+      """SELECT "column", min, q1, median, q3, max FROM (
+           SELECT 'l_quantity' AS "column", CAST(min(l_quantity) AS DOUBLE) AS min,
+             quantile_cont(l_quantity, 0.25) AS q1, quantile_cont(l_quantity, 0.5) AS median,
+             quantile_cont(l_quantity, 0.75) AS q3, CAST(max(l_quantity) AS DOUBLE) AS max
+           FROM lineitem
+           UNION ALL SELECT 'l_extendedprice', CAST(min(l_extendedprice) AS DOUBLE),
+             quantile_cont(l_extendedprice, 0.25), quantile_cont(l_extendedprice, 0.5),
+             quantile_cont(l_extendedprice, 0.75), CAST(max(l_extendedprice) AS DOUBLE)
+           FROM lineitem
+           UNION ALL SELECT 'l_discount', CAST(min(l_discount) AS DOUBLE),
+             quantile_cont(l_discount, 0.25), quantile_cont(l_discount, 0.5),
+             quantile_cont(l_discount, 0.75), CAST(max(l_discount) AS DOUBLE)
+           FROM lineitem
+           UNION ALL SELECT 'l_tax', CAST(min(l_tax) AS DOUBLE),
+             quantile_cont(l_tax, 0.25), quantile_cont(l_tax, 0.5),
+             quantile_cont(l_tax, 0.75), CAST(max(l_tax) AS DOUBLE)
+           FROM lineitem) t
+         ORDER BY "column"""",
+
+    "q66_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode, n AS mode_count FROM (
+           SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+           FROM orders GROUP BY 1, 2) t
+         WHERE rn = 1 ORDER BY o_orderstatus""",
 
     "q63_asof_nearest" ->
       """SELECT e.event_id, e.user_id,

@@ -127,6 +127,42 @@ object Reductions {
     }.toDF("column", "n_valid", "n_missing", "min", "mean", "max", "stddev")
   }
 
+  /** brief (reference dataset_api.clj:1300-1399's quartile-bearing variant):
+    * one row per column with min/q1/median/q3/max via EXACT percentiles —
+    * single aggregation pass, driver-side reshape of one row. */
+  def briefStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap { c0 =>
+      val c = col(c0)
+      Seq(min(c).cast(DoubleType).as(s"${c0}__min"),
+        percentile(c, lit(0.25)).as(s"${c0}__q1"),
+        percentile(c, lit(0.5)).as(s"${c0}__median"),
+        percentile(c, lit(0.75)).as(s"${c0}__q3"),
+        max(c).cast(DoubleType).as(s"${c0}__max"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    cols.map { c0 =>
+      def g(s: String) = row.getDouble(row.fieldIndex(s"${c0}__$s"))
+      (c0, g("min"), g("q1"), g("median"), g("q3"), g("max"))
+    }.toDF("column", "min", "q1", "median", "q3", "max")
+  }
+
+  /** mode — most frequent value per group, deterministic (max count, ties to
+    * the smallest value). Reference descriptive-stats' :mode for categorical
+    * columns. One count aggregation + one window, no collect. */
+  def modePerGroup(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__n").desc, col(valueCol).asc)
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((groupCols.map(col) :+ col(valueCol).as("mode") :+
+        col("__n").as("mode_count")): _*)
+  }
+
   /** Exact distinct + count-distinct (reductions.clj:151-208). */
   def countDistinctAgg(c: Column): Column = countDistinct(c)
 
