@@ -200,11 +200,13 @@ object ExtQueries {
         .orderBy(col("o_orderkey"))
     },
 
-    // seeded sample + shuffle (reference base.clj:797-800, dataset_api.clj:
-    // 407-445) — deterministic within Spark for a fixed seed; rows-only.
+    // deterministic hash sample (reference sample, dataset_api.clj:407-445,
+    // made cluster-size/engine-independent): the kept set is a pure function
+    // of key values, so it is oracle-checkable and reproducible at any scale.
+    // Seeded `sampleRows` remains in TableOps for within-Spark use.
     "q52_sample" -> { (s, dir) =>
       t(s, dir, "lineitem")
-        .sampleRows(0.1, withReplacement = false, seed = 42L)
+        .hashSampleRows(10, Seq("l_orderkey", "l_linenumber"))
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
     },
@@ -233,7 +235,7 @@ object ExtQueries {
     },
 
     // correlation-table (reference math.clj:37-109): all-pairs Pearson,
-    // one aggregation pass. Rows-only (array column).
+    // one aggregation pass, wide scalar matrix (oracle: exact-sum formula).
     "q55_corr_table" -> { (s, dir) =>
       Advanced.correlationTable(t(s, dir, "lineitem"),
         Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"),
@@ -473,7 +475,7 @@ object ExtQueries {
         val p = math.pow(10, sqScale).toLong
         s"""SELECT '$c' AS "column",
            COUNT($c) AS n_valid,
-           SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_missing,
+           CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
            CAST(min($c) AS DOUBLE) AS min,
            CAST(SUM(CAST(FLOOR($c * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 / COUNT($c) AS mean,
            CAST(max($c) AS DOUBLE) AS max,
@@ -505,6 +507,35 @@ object ExtQueries {
          FROM lineitem CROSS JOIN st
          ORDER BY l_orderkey, l_linenumber""",
 
+    // mirrors Advanced.correlationTable cell-for-cell: exact scaled-integer
+    // sums (bit-identical across engines), then the same double formula in
+    // the same operation order.
+    "q55_corr_table" -> {
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      def sc(c: String): Int = if (c == "l_extendedprice") 2 else 4
+      def isumSql(e: String, d: Int): String = {
+        val p = "1" + "0" * d
+        s"CAST(SUM(CAST(FLOOR(($e) * $p.0) AS DECIMAL(30,0))) AS DOUBLE) / $p.0"
+      }
+      val sums = Seq("CAST(COUNT(*) AS DOUBLE) AS n") ++
+        cols.map(c => s"${isumSql(c, 4)} AS sx_$c") ++
+        cols.map(c => s"${isumSql(s"$c * $c", sc(c))} AS sxx_$c") ++
+        (for (a <- cols; b <- cols if a < b)
+          yield s"${isumSql(s"$a * $b", math.min(sc(a), sc(b)))} AS sxy_${a}__$b")
+      def cell(a: String, b: String): String =
+        if (a == b) "1.0"
+        else {
+          val (x, y) = if (a < b) (a, b) else (b, a)
+          s"(n * sxy_${x}__$y - sx_$x * sx_$y) / " +
+            s"(sqrt(n * sxx_$x - sx_$x * sx_$x) * sqrt(n * sxx_$y - sx_$y * sx_$y))"
+        }
+      val rows = cols.map(a =>
+        s"""SELECT '$a' AS "column", """ +
+          cols.map(b => s"${cell(a, b)} AS $b").mkString(", ") + " FROM s")
+      s"WITH s AS (SELECT ${sums.mkString(", ")} FROM lineitem) " +
+        rows.mkString("SELECT * FROM (", " UNION ALL ", """) t ORDER BY "column"""")
+    },
+
     "q51_head_tail" ->
       """SELECT o_orderkey, o_totalprice, part FROM (
            (SELECT o_orderkey, o_totalprice, 'head' AS part FROM orders
@@ -517,6 +548,39 @@ object ExtQueries {
     "q57_reservoir" ->
       """SELECT o_custkey, CAST(least(2, COUNT(*)) AS BIGINT) AS n_sampled
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // mirrors TextDedup.nearDupDedup end-to-end: MinHash-LSH candidates
+    // (shared SQL with q29), est-Jaccard >= 0.5 edges, connected components
+    // via recursive transitive closure (exact — the Spark side's pointer-
+    // jumping min-label iteration converges to the same fixpoint).
+    "q60_dedup_groups" ->
+      s"""WITH RECURSIVE ${LlmQueries.minhashCandidateCtes(32)},
+         cand AS (
+           SELECT p.id_a, p.id_b FROM pairs0 p
+           JOIN sig sa ON sa.id = p.id_a JOIN sig sb ON sb.id = p.id_b
+           WHERE ${LlmQueries.estJaccardSql} >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                   UNION SELECT id_b, id_a FROM cand),
+         reach AS (
+           SELECT id, id AS r FROM d
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         labels AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)
+         SELECT keep, COUNT(*) AS n, COUNT(DISTINCT group_id) AS n_groups
+         FROM (SELECT id, group_id, id = group_id AS keep FROM labels) t
+         GROUP BY 1 ORDER BY 1""",
+
+    // mirrors Ml.withFold: md5-derived stable hash of the key's decimal string.
+    "q49_kfold" ->
+      """SELECT CAST(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS INT) AS fold,
+         COUNT(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // mirrors TableOps.hashSampleRows(10, orderkey#linenumber).
+    "q52_sample" ->
+      """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+         WHERE CAST(concat('0x', substr(md5(concat_ws('#', l_orderkey, l_linenumber)), 1, 15)) AS BIGINT) % 100 < 10
+         GROUP BY 1 ORDER BY 1""",
 
     "q58_rolling_clamp" ->
       """SELECT event_id, user_id,

@@ -116,11 +116,15 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
-    // winnowing-style bottom-m fingerprint sketch per document.
+    // winnowing-style bottom-m fingerprint sketch per document. The sketch
+    // is emitted as a comma-joined string: scalar output is required by the
+    // oracle compare (array cells can't be sorted/hashed) and is itself a
+    // useful join/group key for containment checks.
     "q37_fingerprint_sketch" -> { (s, dir) =>
       t(s, dir, "documents").filter(col("doc_id") < 100)
         .select(col("doc_id"),
-          TextStats.fingerprintSketch(col("text"), 5, 8).as("sketch"))
+          concat_ws(",", transform(TextStats.fingerprintSketch(col("text"), 5, 8),
+            x => x.cast(StringType))).as("sketch"))
         .orderBy(col("doc_id"))
     }
   )
@@ -128,14 +132,52 @@ object LlmQueries {
   private val normSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
+  /** DuckDB SQL mirroring TextDedup's MinHash pipeline (same md5-derived
+    * 28-bit shingle hashes, same universal-hash coefficients, same LSH
+    * banding and rep+adjacent pairing), shared by q29 and q60. Yields
+    * `pairs0(id_a, id_b)` + `sig(id, sig)` CTEs; callers append the final
+    * select. */
+  private[graft] def minhashCandidateCtes(bands: Int): String = {
+    val P = TextDedup.P
+    val coefs = (0 until 64).map(i =>
+      (((2L * i + 1) * 2654435761L) % P, (i.toLong * 40503L + 7) % P))
+    val sigElems = coefs.map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a*h + $b) % $P))"
+    }.mkString(", ")
+    val r = 64 / bands
+    require(r == 2, "band-key SQL below is written for rowsPerBand = 2")
+    s"""d AS (SELECT doc_id AS id, string_split($normSql, ' ') AS w FROM documents),
+       sh AS (SELECT id, CASE WHEN len(w) >= 3
+           THEN list_transform(range(len(w) - 2), i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3]))
+           ELSE [array_to_string(w, ' ')] END AS s FROM d),
+       hsx AS (SELECT id, list_transform(s, g -> CAST(concat('0x', substr(md5(g), 1, 7)) AS BIGINT)) AS hs FROM sh),
+       sig AS (SELECT id, [$sigElems] AS sig FROM hsx),
+       banded AS (
+         SELECT id, concat(CAST(j AS VARCHAR), '#', md5(concat(
+           CAST(sig[CAST(j*2+1 AS INT)] AS VARCHAR), ',',
+           CAST(sig[CAST(j*2+2 AS INT)] AS VARCHAR)))) AS band
+         FROM sig CROSS JOIN range($bands) t(j)),
+       p1 AS (SELECT id, band, min(id) OVER (PARTITION BY band) AS rep,
+              lag(id) OVER (PARTITION BY band ORDER BY id) AS prev FROM banded),
+       pairs0 AS (SELECT DISTINCT id_a, id_b FROM (
+           SELECT rep AS id_a, id AS id_b FROM p1 WHERE id <> rep
+           UNION ALL
+           SELECT prev AS id_a, id AS id_b FROM p1 WHERE prev IS NOT NULL AND prev <> id) u)"""
+  }
+
+  private[graft] val estJaccardSql =
+    """CAST(list_sum(list_transform(range(64),
+       i -> CASE WHEN sa.sig[CAST(i+1 AS INT)] = sb.sig[CAST(i+1 AS INT)]
+                 THEN 1 ELSE 0 END)) AS DOUBLE) / 64"""
+
   val oracleSql: Map[String, String] = Map(
     "q26_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
-         SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END) AS sum_tokens,
+         CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS sum_tokens,
          CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE len(string_split_regex(trim(text), '\s+')) END) AS DOUBLE) / COUNT(*) AS avg_tokens,
-         SUM(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) AS sum_punct,
+         CAST(SUM(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) AS BIGINT) AS sum_punct,
          CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
          FROM documents GROUP BY 1 ORDER BY 1""",
 
@@ -203,6 +245,94 @@ object LlmQueries {
              len(list_filter(string_split_regex(trim(text), '\s+'),
                tk -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], tk))) AS sw_hits
            FROM documents WHERE doc_id < 100) t
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // mirrors TextStats.withLangId: marker-word hit counts per language,
+    // argmax with ties to the lexicographically greatest code.
+    "q35_lang_id" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split($normSql, ' ') AS w
+           FROM documents),
+         sc AS (SELECT doc_id, lang, w,
+           len(list_filter(w, t -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], t))) AS h_de,
+           len(list_filter(w, t -> list_contains(['the','and','of','to','is','that','with','for'], t))) AS h_en,
+           len(list_filter(w, t -> list_contains(['el','la','los','y','es','no','por','que'], t))) AS h_es,
+           len(list_filter(w, t -> list_contains(['le','la','les','et','est','pas','pour','que'], t))) AS h_fr,
+           len(list_filter(w, t -> list_contains(['de','shi','bu','le','wo','ni','zai','you'], t))) AS h_zh
+           FROM d)
+         SELECT doc_id, lang,
+           CASE WHEN h_zh = best THEN 'zh' WHEN h_fr = best THEN 'fr'
+                WHEN h_es = best THEN 'es' WHEN h_en = best THEN 'en'
+                ELSE 'de' END AS pred_lang,
+           CAST(best AS DOUBLE) / greatest(len(w), 1) AS lang_conf
+         FROM (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS best FROM sc) t
+         ORDER BY doc_id""",
+
+    // mirrors TextDedup.minhashCandidatePairs end-to-end (signatures,
+    // banding, rep+adjacent pairing, estimated Jaccard) — every hash is
+    // md5-derived, so the whole sketch pipeline is engine-portable.
+    "q29_minhash_pairs" ->
+      s"""WITH ${minhashCandidateCtes(32)}
+         SELECT p.id_a, p.id_b, $estJaccardSql AS est_jaccard
+         FROM pairs0 p JOIN sig sa ON sa.id = p.id_a JOIN sig sb ON sb.id = p.id_b
+         ORDER BY est_jaccard DESC, id_a, id_b LIMIT 100""",
+
+    // mirrors TextDedup.simhashCandidatePairs: 60-bit per-bit majority vote
+    // of md5-derived token hashes, 4×15-bit band collisions, exact hamming.
+    "q30_simhash_pairs" -> {
+      val terms = (0 until 60).map(j =>
+        s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $j) & 1)*2 - 1)) > 0 " +
+          s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id AS id, string_split($normSql, ' ') AS w FROM documents),
+         hsx AS (SELECT id, list_transform(w, t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS hs FROM d),
+         shx AS (SELECT id, $terms AS sh FROM hsx),
+         banded AS (SELECT id, j AS band, (sh >> CAST(15*j AS INT)) & 32767 AS key
+                    FROM shx CROSS JOIN range(4) t(j)),
+         p1 AS (SELECT id, min(id) OVER (PARTITION BY band, key) AS rep FROM banded),
+         pairs0 AS (SELECT DISTINCT rep AS id_a, id AS id_b FROM p1 WHERE id <> rep)
+         SELECT p.id_a, p.id_b, bit_count(xor(sa.sh, sb.sh)) AS hamming
+         FROM pairs0 p JOIN shx sa ON sa.id = p.id_a JOIN shx sb ON sb.id = p.id_b
+         WHERE bit_count(xor(sa.sh, sb.sh)) <= 30
+         ORDER BY hamming ASC, id_a, id_b LIMIT 100"""
+    },
+
+    // mirrors Multimodal.mediaFeatures over the UTF-8 payload bytes: the
+    // decode STUB's fake features are pure byte arithmetic, so the whole
+    // plumbing (attach → batch → decode → features) is oracle-checkable.
+    "q36_multimodal" ->
+      """WITH b AS (
+           SELECT doc_id, hex(encode(text)) AS h,
+             CAST(octet_length(encode(text)) AS INT) AS n_bytes
+           FROM documents WHERE doc_id < 200),
+         s AS (
+           SELECT doc_id, n_bytes,
+             CASE WHEN n_bytes > 0 THEN CAST(concat('0x', substr(h, 1, 2)) AS INT)
+                  ELSE -1 END AS head_byte,
+             CAST(COALESCE(list_sum(list_transform(range(n_bytes),
+               i -> CAST(concat('0x', substr(h, CAST(i*2+1 AS INT), 2)) AS INT))), 0) AS BIGINT) AS byte_sum
+           FROM b)
+         SELECT doc_id, n_bytes, head_byte, byte_sum,
+           CAST(16 + byte_sum % 16 AS INT) AS fake_width,
+           CAST(16 + (byte_sum // 16) % 16 AS INT) AS fake_height,
+           3 AS fake_channels
+         FROM s ORDER BY doc_id""",
+
+    // mirrors TextStats.fingerprintSketch: 5-gram shingles → 28-bit md5-prefix
+    // hashes → bottom-8, comma-joined.
+    "q37_fingerprint_sketch" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS w
+           FROM documents WHERE doc_id < 100),
+         sh AS (SELECT doc_id,
+           CASE WHEN len(w) >= 5
+             THEN list_transform(range(len(w) - 4),
+                    i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3], ' ', w[i+4], ' ', w[i+5]))
+             ELSE [array_to_string(w, ' ')] END AS s
+           FROM d)
+         SELECT doc_id,
+           array_to_string(list_transform(
+             list_sort(list_transform(s,
+               g -> CAST(concat('0x', substr(md5(g), 1, 7)) AS BIGINT)))[1:8],
+             x -> CAST(x AS VARCHAR)), ',') AS sketch
+         FROM sh ORDER BY doc_id"""
   )
 }

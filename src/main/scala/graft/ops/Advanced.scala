@@ -89,9 +89,14 @@ object Advanced {
           (math.sqrt(n * g(s"sxx_$k") - sx * sx) * math.sqrt(n * g(s"syy_$k") - sy * sy))
       }
     val spark = df.sparkSession
-    import spark.implicits._
-    cols.map(a => (a, cols.map(b => corr(a, b))))
-      .toDF("column", "correlations")
+    // wide scalar matrix (one column per input column): scalar-only output is
+    // required by the oracle compare (array cells can't be sorted/hashed) and
+    // reads like the reference's correlation table
+    val schema = StructType(StructField("column", StringType, nullable = false) +:
+      cols.map(c => StructField(c, DoubleType, nullable = false)))
+    val rows = cols.map(a =>
+      org.apache.spark.sql.Row.fromSeq(a +: cols.map(b => corr(a, b))))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** crosstab (reference transpose-by-key usage): counts of a×b value

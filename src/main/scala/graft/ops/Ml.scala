@@ -89,9 +89,13 @@ object Ml {
   }
 
   /** k-fold assignment (reference modelling.clj:26-88): deterministic fold id
-    * from a stable hash of the key column — reproducible on any cluster. */
+    * from a stable hash of the key column — reproducible on any cluster AND
+    * any engine (md5 of the key's decimal string, not JVM-specific xxhash),
+    * so fold assignments can be recomputed outside Spark. */
   def withFold(df: DataFrame, keyCol: String, k: Int): DataFrame =
-    df.withColumn("fold", pmod(xxhash64(col(keyCol)), lit(k)).cast(IntegerType))
+    df.withColumn("fold",
+      pmod(conv(substring(md5(col(keyCol).cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType), lit(k)).cast(IntegerType))
 
   /** set-inference-target (reference modelling.clj:26): records the target
     * in column metadata, like the reference stores it on the column. */

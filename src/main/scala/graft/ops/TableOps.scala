@@ -99,6 +99,16 @@ object TableOps {
                    seed: Long = 42L): DataFrame =
       df.sample(withReplacement, fraction, seed)
 
+    /** Deterministic hash sample: keep rows whose md5-derived key hash falls
+      * in the first `percent` of 100 buckets. Unlike seeded `sample` (stable
+      * only for a fixed partitioning), the kept set depends ONLY on key
+      * values — identical on any cluster size, engine, or file split, which
+      * is what a reproducible 100 TB pipeline actually needs. */
+    def hashSampleRows(percent: Int, keyCols: Seq[String]): DataFrame =
+      df.filter(
+        pmod(conv(substring(md5(concat_ws("#", keyCols.map(col): _*)), 1, 15),
+          16, 10).cast(LongType), lit(100L)) < percent)
+
     /** sort-by-column with TMD nulls-first default (reference base.clj:596-616;
       * :nan-strategy handled by normalizeNan below). */
     def sortByColumn(name: String, descending: Boolean = false,

@@ -89,12 +89,11 @@ class AdvancedSpec extends SparkSuite {
   }
 
   test("correlation table: diagonal 1, symmetric, self-consistent") {
-    val out = Advanced.correlationTable(Tables.t(spark, sfDir, "lineitem"),
-      Seq("l_discount", "l_extendedprice", "l_quantity"),
-      squareScale = Map("l_extendedprice" -> 2))
-      .collect()
-      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
     val cols = Seq("l_discount", "l_extendedprice", "l_quantity")
+    val out = Advanced.correlationTable(Tables.t(spark, sfDir, "lineitem"),
+      cols, squareScale = Map("l_extendedprice" -> 2))
+      .collect()
+      .map(r => r.getString(0) -> cols.indices.map(i => r.getDouble(i + 1))).toMap
     cols.zipWithIndex.foreach { case (c, i) =>
       assert(out(c)(i) == 1.0)
       cols.zipWithIndex.foreach { case (d, j) =>
