@@ -354,6 +354,25 @@ object ExtQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // correlation-table :spearman (reference math.clj:47-48,90-91):
+    // distributed average-rank transform feeding the exact-Pearson sums.
+    "q67_spearman" -> { (s, dir) =>
+      Advanced.spearmanCorrelationTable(t(s, dir, "lineitem"),
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+        .orderBy(col("column"))
+    },
+
+    // correlation-table :kendall (reference math.clj:47-48,90-91): tau-b on
+    // a BOUNDED block (all-pairs is O(n²) by nature — ~1.6k rows here at
+    // every SF; the scale path for monotone association is q67 spearman).
+    "q68_kendall" -> { (s, dir) =>
+      Advanced.kendallCorrelationTable(
+        t(s, dir, "lineitem").filter(col("l_orderkey") < 400)
+          .withColumn("rid", col("l_orderkey") * 10 + col("l_linenumber")),
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"), "rid")
+        .orderBy(col("column"))
+    },
+
     // row-map (reference dataset_api.clj:885-943) as a per-row computed
     // margin — declarative, stays in codegen.
     "q59_row_map" -> { (s, dir) =>
@@ -533,6 +552,67 @@ object ExtQueries {
         s"""SELECT '$a' AS "column", """ +
           cols.map(b => s"${cell(a, b)} AS $b").mkString(", ") + " FROM s")
       s"WITH s AS (SELECT ${sums.mkString(", ")} FROM lineitem) " +
+        rows.mkString("SELECT * FROM (", " UNION ALL ", """) t ORDER BY "column"""")
+    },
+
+    // mirrors Advanced.spearmanCorrelationTable: the doubled-avg-rank
+    // transform is `2*rank() + count(*) OVER (PARTITION BY c) - 1` (integer
+    // ranks), then the exact-scaled-sum Pearson formula cell-for-cell.
+    "q67_spearman" -> {
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      def isumSql(e: String, d: Int): String = {
+        val p = "1" + "0" * d
+        s"CAST(SUM(CAST(FLOOR(($e) * $p.0) AS DECIMAL(30,0))) AS DOUBLE) / $p.0"
+      }
+      val rsel = cols.map(c =>
+        s"CAST(2*rank() OVER (ORDER BY $c) + count(*) OVER (PARTITION BY $c) - 1 AS DOUBLE) AS $c")
+        .mkString(", ")
+      val sums = Seq("CAST(COUNT(*) AS DOUBLE) AS n") ++
+        cols.map(c => s"${isumSql(c, 4)} AS sx_$c") ++
+        cols.map(c => s"${isumSql(s"$c * $c", 0)} AS sxx_$c") ++
+        (for (a <- cols; b <- cols if a < b)
+          yield s"${isumSql(s"$a * $b", 0)} AS sxy_${a}__$b")
+      def cell(a: String, b: String): String =
+        if (a == b) "1.0"
+        else {
+          val (x, y) = if (a < b) (a, b) else (b, a)
+          s"(n * sxy_${x}__$y - sx_$x * sx_$y) / " +
+            s"(sqrt(n * sxx_$x - sx_$x * sx_$x) * sqrt(n * sxx_$y - sx_$y * sx_$y))"
+        }
+      val rows = cols.map(a =>
+        s"""SELECT '$a' AS "column", """ +
+          cols.map(b => s"${cell(a, b)} AS $b").mkString(", ") + " FROM s")
+      s"WITH r AS (SELECT $rsel FROM lineitem), " +
+        s"s AS (SELECT ${sums.mkString(", ")} FROM r) " +
+        rows.mkString("SELECT * FROM (", " UNION ALL ", """) t ORDER BY "column"""")
+    },
+
+    // mirrors Advanced.kendallCorrelationTable: exact integer
+    // concordant/discordant/tie counts over the bounded pair frame, then the
+    // identical tau-b double formula.
+    "q68_kendall" -> {
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
+      val cnts = Seq("COUNT(*) AS n0") ++
+        cols.map(c => s"COUNT(CASE WHEN a.$c = b.$c THEN 1 END) AS t_$c") ++
+        pairs.flatMap { case (x, y) => Seq(
+          s"COUNT(CASE WHEN sign(a.$x - b.$x) * sign(a.$y - b.$y) > 0 THEN 1 END) AS c_${x}__$y",
+          s"COUNT(CASE WHEN sign(a.$x - b.$x) * sign(a.$y - b.$y) < 0 THEN 1 END) AS d_${x}__$y")
+        }
+      def cell(a: String, b: String): String =
+        if (a == b) "1.0"
+        else {
+          val (x, y) = if (a < b) (a, b) else (b, a)
+          s"(CAST(c_${x}__$y AS DOUBLE) - CAST(d_${x}__$y AS DOUBLE)) / " +
+            s"(sqrt(CAST(n0 AS DOUBLE) - CAST(t_$x AS DOUBLE)) * " +
+            s"sqrt(CAST(n0 AS DOUBLE) - CAST(t_$y AS DOUBLE)))"
+        }
+      val rows = cols.map(a =>
+        s"""SELECT '$a' AS "column", """ +
+          cols.map(b => s"${cell(a, b)} AS $b").mkString(", ") + " FROM s")
+      s"WITH d AS (SELECT l_orderkey*10 + l_linenumber AS rid, " +
+        s"${cols.mkString(", ")} FROM lineitem WHERE l_orderkey < 400), " +
+        s"s AS (SELECT ${cnts.mkString(", ")} FROM d a JOIN d b ON a.rid < b.rid) " +
         rows.mkString("SELECT * FROM (", " UNION ALL ", """) t ORDER BY "column"""")
     },
 

@@ -105,4 +105,107 @@ object Advanced {
                colValues: Seq[String]): DataFrame =
     Reshape.pivot(df, Seq(rowCol), colCol, colValues, count(lit(1)))
       .na.fill(0L, colValues)
+
+  /** Distributed DOUBLED average rank (2·avg-rank — always an integer, so
+    * downstream sums stay floor-exact) of column `c`'s values: equals the SQL
+    * `2*rank() OVER (ORDER BY c) + count(*) OVER (PARTITION BY c) - 1`, but
+    * with NO single-partition window. Plan: per-value counts (one shuffle),
+    * range-partitioned sort of the DISTINCT values, per-partition totals →
+    * driver prefix offsets (O(partitions) longs — not a data collect), then a
+    * streaming per-partition cumulative sum. Returns the (value, rank) lookup
+    * table and the persisted intermediate (persisted because the sorted
+    * distinct-value table is consumed by TWO jobs: the offsets pass and the
+    * rank pass) — the CALLER must unpersist it after its terminal action. */
+  private[ops] def doubledAvgRankTable(df: DataFrame, c: String, out: String)
+      : (DataFrame, Dataset[(Double, Long)]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.select(col(c).cast(DoubleType).as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__n"))
+      .repartitionByRange(parts, col("__v"))
+      .sortWithinPartitions(col("__v"))
+      .as[(Double, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partTotals = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val ranks = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = bc.value(pid)
+      it.map { case (v, n) => val dr = 2 * cum + n + 1; cum += n; (v, dr) }
+    }.toDF("__v", out)
+    (ranks, sorted)
+  }
+
+  /** correlation-table `:spearman` (reference math.clj:47-48,90-91): Pearson
+    * over average ranks. Ranks are computed distributed (see
+    * [[doubledAvgRankTable]]) and DOUBLED so every rank is an integer —
+    * Pearson is invariant under positive affine maps, so τ_spearman(2r) =
+    * τ_spearman(r), and integer ranks keep the floor-scaled component sums
+    * bit-exact across engines. Rank-column magnitude bound: sums of r² stay
+    * floor-exact while (2n)² < 2^53, i.e. n ≲ 4.7e7 rows per table — beyond
+    * that the r² PRODUCT itself rounds in a double (same contract as plain
+    * correlationTable on large-magnitude columns). */
+  def spearmanCorrelationTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    var ranked = df.select(cols.map(col): _*)
+    val cached = scala.collection.mutable.Buffer.empty[Dataset[(Double, Long)]]
+    cols.foreach { c =>
+      val (ranks, cache) = doubledAvgRankTable(ranked, c, s"__r_$c")
+      cached += cache
+      ranked = ranked.join(ranks, ranked(c).cast(DoubleType) === ranks("__v"), "left")
+        .drop("__v")
+    }
+    val rdf = ranked.select(cols.map(c => col(s"__r_$c").cast(DoubleType).as(c)): _*)
+    // rank sums: sx floor-scale 4 is exact on integers; r² and r·r' at scale 0
+    val out = correlationTable(rdf, cols, squareScale = cols.map(_ -> 0).toMap)
+    cached.foreach(_.unpersist())  // correlationTable collect()s — safe now
+    out
+  }
+
+  /** correlation-table `:kendall` (reference math.clj:47-48,90-91): tau-b
+    * over ALL ROW PAIRS — inherently O(n²); intended for BOUNDED blocks
+    * (mirror of the reference, whose kendall also materializes pair
+    * statistics). All concordant/discordant/tie counts are exact integers
+    * from one aggregation over the pair frame; the final tau arithmetic is
+    * plain IEEE doubles, identical on any engine. Rows with a null in any of
+    * `cols` are dropped first (complete-case, like commons-math). `idCol`
+    * must be unique per row (pair dedup via id_l < id_r). */
+  def kendallCorrelationTable(df: DataFrame, cols: Seq[String],
+                              idCol: String): DataFrame = {
+    val base = df.na.drop(cols)
+    val l = base.select(col(idCol).as("__il") +:
+      cols.map(c => col(c).cast(DoubleType).as(s"__l_$c")): _*)
+    val r = base.select(col(idCol).as("__ir") +:
+      cols.map(c => col(c).cast(DoubleType).as(s"__r_$c")): _*)
+    val p = l.crossJoin(r).filter(col("__il") < col("__ir"))
+    def d(c: String) = col(s"__l_$c") - col(s"__r_$c")
+    val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
+    val aggs: Seq[Column] =
+      (count(lit(1)).as("n0") +:
+        cols.map(c => count(when(d(c) === 0, 1)).as(s"t_$c"))) ++
+        pairs.flatMap { case (a, b) =>
+          val s = signum(d(a)) * signum(d(b))
+          Seq(count(when(s > 0, 1)).as(s"c_${a}__$b"),
+            count(when(s < 0, 1)).as(s"d_${a}__$b"))
+        }
+    val row = p.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def g(name: String): Double = row.getLong(row.fieldIndex(name)).toDouble
+    def tau(a: String, b: String): Double =
+      if (a == b) 1.0
+      else {
+        val (x, y) = if (a < b) (a, b) else (b, a)
+        (g(s"c_${x}__$y") - g(s"d_${x}__$y")) /
+          (math.sqrt(g("n0") - g(s"t_$x")) * math.sqrt(g("n0") - g(s"t_$y")))
+      }
+    val spark = df.sparkSession
+    val schema = StructType(StructField("column", StringType, nullable = false) +:
+      cols.map(c => StructField(c, DoubleType, nullable = false)))
+    val rows = cols.map(a =>
+      org.apache.spark.sql.Row.fromSeq(a +: cols.map(b => tau(a, b))))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
 }

@@ -102,6 +102,41 @@ class AdvancedSpec extends SparkSuite {
     }
   }
 
+  test("spearman: monotone map ⇒ ρ=1, reversal ⇒ ρ=-1, ties handled") {
+    // y = x³ is a nonlinear monotone map (Pearson < 1, Spearman = 1);
+    // z reverses order; w duplicates values to exercise average ranks.
+    val df = (1 to 200).map { i =>
+      val x = i.toDouble
+      (x, x * x * x, -x, (i / 10).toDouble)
+    }.toDF("x", "y", "z", "w")
+    val cols = Seq("w", "x", "y", "z")
+    val out = Advanced.spearmanCorrelationTable(df, cols)
+      .collect()
+      .map(r => r.getString(0) -> cols.indices.map(i => r.getDouble(i + 1))).toMap
+    // monotone ⇒ 1 / reversed ⇒ -1 up to final-formula double rounding
+    assert(math.abs(out("x")(cols.indexOf("y")) - 1.0) < 1e-12)
+    assert(math.abs(out("x")(cols.indexOf("z")) + 1.0) < 1e-12)
+    val wx = out("w")(cols.indexOf("x"))
+    assert(wx > 0.98 && wx < 1.0, s"tied-rank corr $wx") // ties ⇒ slightly < 1
+    cols.foreach(c => assert(out(c)(cols.indexOf(c)) == 1.0))
+  }
+
+  test("kendall tau-b: known small cases") {
+    // perfect concordance / discordance, and the classic tie case
+    val df = Seq((1L, 1.0, 10.0, 3.0, 1.0), (2L, 2.0, 20.0, 2.0, 1.0),
+      (3L, 3.0, 30.0, 1.0, 2.0), (4L, 4.0, 40.0, 0.0, 2.0))
+      .toDF("id", "a", "b", "c", "d")
+    val cols = Seq("a", "b", "c", "d")
+    val out = Advanced.kendallCorrelationTable(df, cols, "id")
+      .collect()
+      .map(r => r.getString(0) -> cols.indices.map(i => r.getDouble(i + 1))).toMap
+    assert(math.abs(out("a")(cols.indexOf("b")) - 1.0) < 1e-12)
+    assert(math.abs(out("a")(cols.indexOf("c")) + 1.0) < 1e-12)
+    // d vs a: C=4, D=0, n0=6, ties(d)=2 → 4/sqrt(6*4)
+    val ad = out("a")(cols.indexOf("d"))
+    assert(math.abs(ad - 4.0 / math.sqrt(24.0)) < 1e-15, s"tau-b $ad")
+  }
+
   test("pdMerge full outer keeps both unmatched sides") {
     val a = Seq((1, "a"), (2, "b")).toDF("k", "va")
     val b = Seq((2, "x"), (3, "y")).toDF("k", "vb")
