@@ -170,6 +170,39 @@ object LlmQueries {
        i -> CASE WHEN sa.sig[CAST(i+1 AS INT)] = sb.sig[CAST(i+1 AS INT)]
                  THEN 1 ELSE 0 END)) AS DOUBLE) / 64"""
 
+  /** The Similarity hyperplane matrix as a DuckDB list-of-lists literal —
+    * the SAME md5-derived driver-side constants the Spark plan carries
+    * (Similarity.planeComponent), so bucket ids are engine-portable. */
+  private def planesLiteral(planes: Int, dim: Int): String =
+    (0 until planes).map(p =>
+      (0 until dim).map(i => Similarity.planeComponent(p, i).toString)
+        .mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+
+  /** Mirrors Similarity.lshBucket over `w` (list-of-lists plane matrix):
+    * scaled-integer per-plane dot signs — exact longs, so the sum order
+    * DuckDB uses cannot flip a sign. */
+  private def bucketSql(planes: Int): String =
+    s"""CAST(list_sum(list_transform(range($planes), p ->
+       CASE WHEN list_sum(list_transform(range(64), i ->
+         CAST(FLOOR(CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE)
+           * w[CAST(p+1 AS INT)][CAST(i+1 AS INT)] * 1e12) AS BIGINT))) > 0
+       THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE CAST(0 AS BIGINT) END))
+       AS BIGINT)"""
+
+  /** Mirrors Similarity.normExact. */
+  private val vecNormSql =
+    """sqrt(CAST(list_sum(list_transform(embedding,
+       x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT)))
+       AS DOUBLE) / 1e12)"""
+
+  /** Mirrors Similarity.dotExact between two embedding list refs. */
+  private def dotSql(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(range(64), i ->
+       CAST(FLOOR(CAST($a[CAST(i+1 AS INT)] AS DOUBLE)
+         * CAST($b[CAST(i+1 AS INT)] AS DOUBLE) * 1e12) AS BIGINT)))
+       AS DOUBLE) / 1e12"""
+
   val oracleSql: Map[String, String] = Map(
     "q26_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
@@ -266,6 +299,57 @@ object LlmQueries {
            CAST(best AS DOUBLE) / greatest(len(w), 1) AS lang_conf
          FROM (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_zh) AS best FROM sc) t
          ORDER BY doc_id""",
+
+    // mirrors Similarity.lshTopK end-to-end: the hyperplane matrix rides in
+    // the SQL as a literal list-of-lists (same md5-derived constants as the
+    // Spark plan), bucket ids are scaled-integer sign sums, cosines exact
+    // scaled-int dots — the whole ANN path is engine-portable.
+    "q32_ann_lsh" ->
+      s"""WITH ws AS (SELECT ${planesLiteral(8, 64)} AS w),
+         v AS (SELECT vec_id, embedding, ${bucketSql(8)} AS bucket,
+               $vecNormSql AS norm
+               FROM embeddings CROSS JOIN ws),
+         q0 AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                bucket AS bucket0, norm AS q_norm
+                FROM v WHERE vec_id < 10),
+         probes AS (
+           SELECT query_id, q_emb, q_norm,
+             CASE WHEN j = 0 THEN bucket0
+                  ELSE xor(bucket0, (CAST(1 AS BIGINT) << CAST(j-1 AS INT))) END AS bucket
+           FROM q0 CROSS JOIN range(9) t(j)),
+         scored AS (
+           SELECT p.query_id, c.vec_id AS corpus_id,
+             CASE WHEN p.q_norm > 0 AND c.norm > 0
+                  THEN (${dotSql("p.q_emb", "c.embedding")}) / (p.q_norm * c.norm) END AS cosine
+           FROM probes p JOIN v c ON c.bucket = p.bucket
+           WHERE p.query_id <> c.vec_id),
+         agg AS (SELECT query_id, corpus_id, max(cosine) AS cosine
+                 FROM scored GROUP BY 1, 2),
+         rk AS (SELECT query_id, corpus_id, cosine,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, corpus_id ASC) AS rank FROM agg)
+         SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank
+         FROM rk WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // mirrors Similarity.cosineNearDupPairs: same bucket literals, same
+    // rep+adjacent linear pairing, same exact cosine.
+    "q33_cosine_near_dup" ->
+      s"""WITH ws AS (SELECT ${planesLiteral(6, 64)} AS w),
+         v AS (SELECT vec_id AS id, embedding, ${bucketSql(6)} AS bucket,
+               $vecNormSql AS norm
+               FROM embeddings CROSS JOIN ws),
+         p1 AS (SELECT id, min(id) OVER (PARTITION BY bucket) AS rep,
+                lag(id) OVER (PARTITION BY bucket ORDER BY id) AS prev FROM v),
+         pairs0 AS (SELECT DISTINCT id_a, id_b FROM (
+             SELECT rep AS id_a, id AS id_b FROM p1 WHERE id <> rep
+             UNION ALL
+             SELECT prev AS id_a, id AS id_b FROM p1 WHERE prev IS NOT NULL) u),
+         scored AS (SELECT p.id_a, p.id_b,
+             CASE WHEN a.norm > 0 AND b.norm > 0
+                  THEN (${dotSql("a.embedding", "b.embedding")}) / (a.norm * b.norm) END AS cosine
+           FROM pairs0 p JOIN v a ON a.id = p.id_a JOIN v b ON b.id = p.id_b)
+         SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
+         ORDER BY cosine DESC, id_a, id_b LIMIT 100""",
 
     // mirrors TextDedup.minhashCandidatePairs end-to-end (signatures,
     // banding, rep+adjacent pairing, estimated Jaccard) — every hash is

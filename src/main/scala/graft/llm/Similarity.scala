@@ -69,7 +69,7 @@ object Similarity {
     * from md5 — stable across runs and cluster sizes. Computed DRIVER-SIDE
     * once (the matrix depends only on (plane, dim), not on rows — evaluating
     * md5 per element per row would dominate the operator's cost). */
-  private def planeComponent(plane: Int, dim: Int): Double = {
+  private[graft] def planeComponent(plane: Int, dim: Int): Double = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s"${plane}_$dim".getBytes("UTF-8"))
     val hex = digest.map("%02x".format(_)).mkString.take(7)
@@ -80,13 +80,18 @@ object Similarity {
     * Σ 2^p·[⟨emb, w_p⟩ > 0]. Cosine-similar vectors collide with high
     * probability; the ANN query then joins only within buckets. The
     * hyperplane matrix rides in the plan as literal arrays (planes × dim
-    * doubles), leaving one multiply-add pass per row. */
+    * doubles), leaving one multiply-add pass per row. The per-plane dot is
+    * SCALED-INTEGER (floor(x·wᵢ·1e12) summed as longs) so the sign test —
+    * and therefore every bucket id — is bit-identical on any engine and any
+    * summation order (a plain double fold could flip sign near 0 depending
+    * on add order). */
   def lshBucket(emb: Column, planes: Int, dim: Int): Column = {
     val bits = (0 until planes).map { p =>
       val w = array((0 until dim).map(i => lit(planeComponent(p, i))): _*)
       val dot = aggregate(
-        zip_with(emb, w, (x, wi) => x.cast(DoubleType) * wi),
-        lit(0.0), (acc, v) => acc + v)
+        zip_with(emb, w, (x, wi) =>
+          floor(x.cast(DoubleType) * wi * lit(S)).cast(LongType)),
+        lit(0L), (acc, v) => acc + v)
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -177,22 +182,45 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold, LSH-bucketed
-    * (the embedding analog of MinHash dedup). */
+  /** Embedding-cosine near-duplicate CANDIDATE pairs above a threshold,
+    * LSH-bucketed (the embedding analog of MinHash dedup).
+    *
+    * Pair generation is LINEAR in bucket size — representative pairing
+    * (everyone links to the bucket's min id) plus adjacent pairing (everyone
+    * links to its id-order predecessor), exactly the design that fixed the
+    * same quadratic in TextDedup.minhashCandidatePairs: a within-bucket
+    * self-join is O(bucket²) = O(n²/2^planes) pair rows — a cartesian in
+    * disguise once duplicate clusters exist. The rep+adjacent chain still
+    * links every near-dup into a connected component for dedupGroups, at
+    * O(bucket) pairs. Dial `planes` up with corpus size (buckets ≈ 2^planes;
+    * keep expected bucket occupancy roughly constant). Embeddings/norms are
+    * computed once (persisted) and joined back only for generated pairs. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double, planes: Int = 8,
                          idCol: String = "vec_id",
                          embCol: String = "embedding", dim: Int = 64): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("bucket", lshBucket(col("emb"), planes, dim))
       .withColumn("norm", normExact(col("emb")))
-    val a = v.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"), col("norm").as("norm_a"))
-    val b = v.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"), col("norm").as("norm_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wb = Window.partitionBy(col("bucket"))
+    val wbOrd = Window.partitionBy(col("bucket")).orderBy(col("id"))
+    val linked = v.select(col("bucket"), col("id"))
+      .withColumn("rep", min(col("id")).over(wb))
+      .withColumn("prev", lag(col("id"), 1).over(wbOrd))
+    val pairs0 = linked
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+      .union(linked.filter(col("prev").isNotNull)
+        .select(col("prev").as("id_a"), col("id").as("id_b")))
+      .distinct()
+    pairs0
+      .join(v.select(col("id").as("id_a"), col("emb").as("emb_a"),
+        col("norm").as("norm_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("emb").as("emb_b"),
+        col("norm").as("norm_b")), "id_b")
       .withColumn("cosine",
         safeCosine(dotExact(col("emb_a"), col("emb_b")), col("norm_a"), col("norm_b")))
       .filter(col("cosine") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("cosine")).as("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

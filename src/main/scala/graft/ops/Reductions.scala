@@ -128,23 +128,51 @@ object Reductions {
   }
 
   /** brief (reference dataset_api.clj:1300-1399's quartile-bearing variant):
-    * one row per column with min/q1/median/q3/max via EXACT percentiles —
-    * single aggregation pass, driver-side reshape of one row. */
+    * one row per column with min/q1/median/q3/max via EXACT percentiles.
+    *
+    * Scale design: Spark's exact `percentile()` is an ImperativeAggregate
+    * that buffers EVERY value in the agg buffer — an executor OOM at 100 TB,
+    * not just a slow query. Instead: one aggregation pass for
+    * count/min/max, then per column a distributed range-partitioned sort +
+    * index selection (`sortBy` + `zipWithIndex` + filter on the ≤6 quartile
+    * ranks) — only O(1) values ever reach the driver and no operator holds
+    * O(n) state. Interpolation reproduces Spark Percentile's formula
+    * `(hi-p)·v_lo + (p-lo)·v_hi` at `p = q·(n-1)` bit-for-bit (and DuckDB's
+    * quantile_cont agrees on these inputs — oracle-checked). */
   def briefStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
     val aggs: Seq[Column] = cols.flatMap { c0 =>
       val c = col(c0)
-      Seq(min(c).cast(DoubleType).as(s"${c0}__min"),
-        percentile(c, lit(0.25)).as(s"${c0}__q1"),
-        percentile(c, lit(0.5)).as(s"${c0}__median"),
-        percentile(c, lit(0.75)).as(s"${c0}__q3"),
+      Seq(count(c).as(s"${c0}__n"),
+        min(c).cast(DoubleType).as(s"${c0}__min"),
         max(c).cast(DoubleType).as(s"${c0}__max"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val spark = df.sparkSession
     import spark.implicits._
     cols.map { c0 =>
-      def g(s: String) = row.getDouble(row.fieldIndex(s"${c0}__$s"))
-      (c0, g("min"), g("q1"), g("median"), g("q3"), g("max"))
+      val n = row.getLong(row.fieldIndex(s"${c0}__n"))
+      if (n == 0) (c0, Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+      else {
+        val targets: Set[Long] = Seq(0.25, 0.5, 0.75)
+          .map(q => q * (n - 1))
+          .flatMap(p => Seq(p.floor.toLong, p.ceil.toLong)).toSet
+        val picked: Map[Long, Double] = df.select(col(c0).cast(DoubleType))
+          .filter(col(c0).isNotNull)
+          .rdd.map(_.getDouble(0))
+          .sortBy(identity)          // distributed range-partitioned sort
+          .zipWithIndex()
+          .filter { case (_, i) => targets.contains(i) }
+          .map(_.swap)
+          .collect().toMap           // ≤ 6 values — not a data collect
+        def q(qq: Double): Double = {
+          val p = qq * (n - 1)
+          val lo = p.floor.toLong; val hi = p.ceil.toLong
+          if (hi == lo) picked(lo)
+          else (hi - p) * picked(lo) + (p - lo) * picked(hi)
+        }
+        (c0, row.getDouble(row.fieldIndex(s"${c0}__min")), q(0.25), q(0.5),
+          q(0.75), row.getDouble(row.fieldIndex(s"${c0}__max")))
+      }
     }.toDF("column", "min", "q1", "median", "q3", "max")
   }
 
