@@ -186,6 +186,7 @@ object ExtQueries {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(expr("hll_distinct(l_partkey)").as("approx_parts"),
+          expr("cpc_distinct(l_partkey)").as("cpc_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"),
           expr("kll_quantile(l_extendedprice, 0.5)").as("approx_median_price"),
           approx_count_distinct(col("l_orderkey"), 0.02).as("hllpp_orders"))
@@ -371,6 +372,22 @@ object ExtQueries {
           .withColumn("rid", col("l_orderkey") * 10 + col("l_linenumber")),
         Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"), "rid")
         .orderBy(col("column"))
+    },
+
+    // probability-distributions->label-column (reference modelling.clj:
+    // 225-260): per-row argmax over columns-as-labels, first column wins
+    // ties; then labels() maps codes back through the fitted categorical map.
+    "q69_prob_label" -> { (s, dir) =>
+      val probs = t(s, dir, "events")
+        .withColumn("__s", (col("event_id") % 7 + 1) + (col("event_id") % 5 + 1)
+          + (col("event_id") % 3 + 1))
+        .select(col("event_id"),
+          ((col("event_id") % 7 + 1).cast(DoubleType) / col("__s")).as("p_click"),
+          ((col("event_id") % 5 + 1).cast(DoubleType) / col("__s")).as("p_view"),
+          ((col("event_id") % 3 + 1).cast(DoubleType) / col("__s")).as("p_purchase"))
+      Ml.probDistToLabel(probs, Seq("p_click", "p_view", "p_purchase"), "label")
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .orderBy(col("label"))
     },
 
     // row-map (reference dataset_api.clj:885-943) as a per-row computed
@@ -674,6 +691,24 @@ object ExtQueries {
            wp AS (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY event_id""",
+
+    // mirrors Ml.probDistToLabel: first-max-wins argmax as ordered >=
+    // comparisons (p_click == max ⇒ p_click; else p_view == max among the
+    // rest ⇒ p_view; else p_purchase), identical double division both sides.
+    "q69_prob_label" ->
+      """WITH probs AS (
+           SELECT event_id,
+             CAST(event_id % 7 + 1 AS DOUBLE) / s AS p_click,
+             CAST(event_id % 5 + 1 AS DOUBLE) / s AS p_view,
+             CAST(event_id % 3 + 1 AS DOUBLE) / s AS p_purchase
+           FROM (SELECT event_id,
+                   (event_id % 7 + 1) + (event_id % 5 + 1) + (event_id % 3 + 1) AS s
+                 FROM events) t)
+         SELECT CASE WHEN p_click >= p_view AND p_click >= p_purchase THEN 'p_click'
+                     WHEN p_view >= p_purchase THEN 'p_view'
+                     ELSE 'p_purchase' END AS label,
+                COUNT(*) AS n
+         FROM probs GROUP BY 1 ORDER BY 1""",
 
     "q59_row_map" ->
       """SELECT l_orderkey, l_linenumber,

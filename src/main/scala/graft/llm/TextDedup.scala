@@ -206,7 +206,14 @@ object TextDedup {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def gidSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("group_id").cast(DecimalType(38, 0)))).collect()(0).getDecimal(0)
     var labels = allIds.select(col("id"), col("id").as("group_id"))
+    // labels only ever DECREASE per row, so Σ group_id is strictly monotone
+    // until the fixpoint — an equal sum ⇔ no row changed. One exact-decimal
+    // aggregate per round both materializes the new cache and tests
+    // convergence (replaces the former extra join+filter probe).
+    var prevSum = gidSum(labels)
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -224,12 +231,16 @@ object TextDedup {
         .select(col("id"),
           least(col("group_id"), coalesce(col("gid2"), col("group_id"))).as("group_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.select(col("id"), col("group_id").as("old_gid")), "id")
-        .filter(col("group_id") =!= col("old_gid")).limit(1).count()
+      val s = gidSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      // the superseded iteration's cache is dead once `next` is materialized
+      // (round 0's `labels` was never persisted; unpersist is a no-op there)
+      labels.unpersist()
       labels = next
-      converged = changed == 0
       i += 1
     }
+    edges.unpersist() // `labels` is materialized; recompute path stays intact
     if (!converged)
       System.err.println(
         s"[graft] dedupGroups hit maxIter=$maxIter before convergence — " +

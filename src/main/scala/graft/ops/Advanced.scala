@@ -13,8 +13,15 @@ object Advanced {
   /** induction (reference dataset_api.clj:1402-1469): row-by-row accumulation
     * where each step sees the running state. Inherently sequential — executed
     * on a SINGLE partition by design (documented scale limit, as in SURVEY
-    * §7.4; the reference is single-JVM here too). Use window cumulatives
-    * instead whenever the accumulation is expressible as one. */
+    * §7.4; the reference is single-JVM here too).
+    *
+    * ESCAPE HATCH for scale: a LINEAR recurrence s_i = a·s_{i-1} + x_i (like
+    * q54's decay-accumulate) is window-expressible as a weighted prefix sum —
+    * s_i = Σ_j a^(i-j)·x_j = a^i · Σ_j x_j/a^j, i.e. a cumulative-sum window
+    * over x_j·a^(-j) scaled by a^i — which distributes with an ordinary
+    * partitioned window (beware a^(-j) overflow for long series: compute per
+    * bounded segment, or carry segment offsets). Use induction only when the
+    * step function is genuinely non-linear in the state. */
   def induction[T, S](ds: Dataset[T], zero: S)(step: (S, T) => S)
                      (implicit enc: Encoder[S]): Dataset[S] =
     ds.coalesce(1).mapPartitions(it => it.scanLeft(zero)(step).drop(1))

@@ -141,9 +141,18 @@ object Missing {
   /** fill-range-replace (reference src/tech/v3/dataset/math.clj:160-232):
     * densify a numeric axis so consecutive gaps are ≤ maxSpan, then other
     * columns can be imputed. sequence() + explode generates the grid
-    * distributively; the original rows are preserved exactly. */
-  def fillRange(df: DataFrame, axis: String, maxSpan: Double): DataFrame = {
-    val w = Window.orderBy(col(axis))
+    * distributively; the original rows are preserved exactly.
+    *
+    * Pass `partitionBy` (e.g. the series/user key) to densify each group's
+    * axis independently — the window then shuffles on the key and scales.
+    * SCALE WARNING: the keyless form uses a global (partition-less) window —
+    * one task sees the whole axis; fine for a single series, wrong for a
+    * billion-row table. */
+  def fillRange(df: DataFrame, axis: String, maxSpan: Double,
+                partitionBy: Seq[String] = Nil): DataFrame = {
+    val w =
+      if (partitionBy.isEmpty) Window.orderBy(col(axis))
+      else Window.partitionBy(partitionBy.map(col): _*).orderBy(col(axis))
     val inserted = df
       .withColumn("__next", lead(col(axis), 1).over(w))
       // per-gap: number of inserted points so every step ≤ maxSpan
@@ -153,9 +162,14 @@ object Missing {
         ceil((col("__next") - col(axis)) / lit(maxSpan)).cast("int"))
       .filter(col("__next").isNotNull && col("__next") - col(axis) > lit(maxSpan))
       .withColumn("__k", explode(sequence(lit(1), col("__steps") - 1)))
-      .select((col(axis) + (col("__next") - col(axis)) * col("__k") / col("__steps").cast("double")).as(axis))
-    val padded = df.columns.filterNot(_ == axis).foldLeft(inserted)(
-      (d, c) => d.withColumn(c, lit(null).cast(df.schema(c).dataType)))
-    df.unionByName(padded.select(df.columns.map(col): _*)).orderBy(col(axis))
+      // inserted rows keep their group's partition-key values — they belong
+      // to that series; only the remaining columns are padded with null
+      .select(((col(axis) + (col("__next") - col(axis)) * col("__k") / col("__steps").cast("double")).as(axis)
+        +: partitionBy.map(col)): _*)
+    val padded = df.columns.filterNot(c => c == axis || partitionBy.contains(c))
+      .foldLeft(inserted)(
+        (d, c) => d.withColumn(c, lit(null).cast(df.schema(c).dataType)))
+    df.unionByName(padded.select(df.columns.map(col): _*))
+      .orderBy((partitionBy.map(col) :+ col(axis)): _*)
   }
 }

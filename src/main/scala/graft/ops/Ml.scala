@@ -103,4 +103,31 @@ object Ml {
     val meta = new MetadataBuilder().putBoolean("inference-target", true).build()
     df.withColumn(target, col(target).as(target, meta))
   }
+
+  /** probability-distributions->label-column (reference modelling.clj:225-260):
+    * each row of `probCols` is a probability distribution over
+    * columns-as-labels; emit the argmax column's NAME. Ties go to the FIRST
+    * column in order (argops/argmax semantics); non-finite probabilities
+    * raise, mirroring the reference's finite check. Pure column expressions —
+    * stays in codegen, no UDF. */
+  def probDistToLabel(df: DataFrame, probCols: Seq[String],
+                      out: String): DataFrame = {
+    val vals = array(probCols.map(c => col(c).cast(DoubleType)): _*)
+    val finite = forall(vals, x =>
+      !isnan(x) && abs(x) < lit(Double.PositiveInfinity) && x.isNotNull)
+    val idx = array_position(vals, array_max(vals)) // 1-based FIRST max
+    val names = array(probCols.map(lit(_)): _*)
+    df.withColumn(out,
+      when(finite, element_at(names, idx.cast(IntegerType)))
+        .otherwise(raise_error(
+          lit("Nan/infinite values not allowed in probability distributions"))))
+  }
+
+  /** labels (reference modelling.clj:212-222): the inference-target column
+    * reverse-mapped through its fitted categorical map. The reference reads
+    * the map off column metadata; here the fitted map is an explicit small
+    * DataFrame (the engine's fit/transform convention — see
+    * Categorical.fitLabelMap), broadcast on the inverse join. */
+  def labels(df: DataFrame, labelMap: DataFrame, codeName: String): DataFrame =
+    graft.Categorical.invert(df, labelMap, codeName)
 }

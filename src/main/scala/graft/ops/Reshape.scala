@@ -42,6 +42,19 @@ object Reshape {
   def rowMapcat(df: DataFrame, buildArray: Column, outName: String): DataFrame =
     df.withColumn(outName, explode(buildArray))
 
+  /** column-labeled-mapseq (reference dataset_api.clj:1183-1201): melt the
+    * value columns into {:label, :value} and return DRIVER-SIDE maps — the
+    * reference's quick path to a labeled scatter/timeseries plot. Collects:
+    * bound the frame first (it's a plotting helper, not a pipeline stage). */
+  def columnLabeledMapseq(df: DataFrame,
+                          valueCols: Seq[String]): Seq[Map[String, Any]] = {
+    val idCols = df.columns.filterNot(valueCols.contains).toSeq
+    val melted = melt(df, idCols, valueCols, "label", "value")
+    val names = melted.columns
+    melted.collect().iterator
+      .map(r => names.zip(r.toSeq).toMap).toSeq
+  }
+
   /** extend-with-empty (reference base.clj:1091-1096). */
   def extendWithEmpty(df: DataFrame, n: Int): DataFrame = {
     val spark = df.sparkSession

@@ -73,6 +73,34 @@ object TableOps {
         row_number().over(Window.orderBy(order: _*)) - lit(1L))
     }
 
+    /** The SCALE PATH for a global row index: distributed range sort
+      * (orderBy) + zipWithIndex (one extra O(partitions) offsets job) — no
+      * single-task window, unlike withRowIndex. Costs an RDD round-trip, so
+      * the plan below it is a fresh scan barrier; use when the table is big
+      * and a true positional index is genuinely required. */
+    def withRowIndexDistributed(order: Seq[Column],
+                                name: String = "row_idx"): DataFrame = {
+      val sorted = df.orderBy(order: _*)
+      val schema = sorted.schema.add(name, LongType, nullable = false)
+      val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }
+      df.sparkSession.createDataFrame(rdd, schema)
+    }
+
+    /** take-nth (reference dataset_api.clj:99 re-export of base take-nth):
+      * every n-th row of the named total order, distributed (see
+      * withRowIndexDistributed). */
+    def takeNth(n: Int, order: Seq[Column]): DataFrame =
+      withRowIndexDistributed(order, "__takeN_idx")
+        .filter(col("__takeN_idx") % n === 0).drop("__takeN_idx")
+
+    /** rand-nth (reference dataset_api.clj:504-507): one uniformly-chosen
+      * row. Seeded like sampleRows — stable for a fixed partitioning (the
+      * reference's single-JVM rand-nth is likewise run-local randomness). */
+    def randNth(seed: Long = 42L): DataFrame =
+      df.orderBy(rand(seed)).limit(1)
+
     /** select-rows by index list (negative = from end not supported — use
       * tail). Requires a row index column from withRowIndex. */
     def selectRows(idxCol: String, indices: Seq[Long]): DataFrame =

@@ -20,6 +20,24 @@ class AdvancedSpec extends SparkSuite {
     }
   }
 
+  test("cpc sketch distinct within error bounds of exact") {
+    graft.functions.Sketches.register(spark)
+    val out = Queries.queries("q50_sketches")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      val cpc = r.getAs[Long]("cpc_parts").toDouble
+      // CPC at lgK=12 has RSE ≈ 0.59/sqrt(4096) ≈ 0.9%; 5% is generous
+      assert(math.abs(cpc - exact) / exact < 0.05,
+        s"CPC estimate $cpc vs exact $exact")
+    }
+    // serialized-merge path: per-group sketches must merge across partitions
+    import spark.implicits._
+    val big = spark.range(0, 100000).select((col("id") % 5000).as("v"))
+    val est = big.selectExpr("cpc_distinct(v) AS e").collect()(0).getLong(0)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.05, s"CPC merged estimate $est")
+  }
+
   test("kll quantile close to exact percentile") {
     graft.functions.Sketches.register(spark)
     val r = Tables.t(spark, sfDir, "lineitem")
@@ -135,6 +153,28 @@ class AdvancedSpec extends SparkSuite {
     // d vs a: C=4, D=0, n0=6, ties(d)=2 → 4/sqrt(6*4)
     val ad = out("a")(cols.indexOf("d"))
     assert(math.abs(ad - 4.0 / math.sqrt(24.0)) < 1e-15, s"tau-b $ad")
+  }
+
+  test("probDistToLabel: argmax name, first column wins ties, NaN raises") {
+    import graft.ops.Ml
+    val df = Seq((1L, 0.2, 0.5, 0.3), (2L, 0.4, 0.4, 0.2), (3L, 0.1, 0.2, 0.7))
+      .toDF("id", "a", "b", "c")
+    val out = Ml.probDistToLabel(df, Seq("a", "b", "c"), "label")
+      .orderBy("id").collect().map(_.getAs[String]("label"))
+    assert(out.toSeq == Seq("b", "a", "c")) // row 2: tie a/b → first (a)
+    val bad = Seq((1L, Double.NaN, 0.5, 0.3)).toDF("id", "a", "b", "c")
+    intercept[Exception] {
+      Ml.probDistToLabel(bad, Seq("a", "b", "c"), "label").collect()
+    }
+  }
+
+  test("labels: inference-target codes reverse-map to original values") {
+    import graft.ops.Ml
+    val df = Seq("x", "y", "x", "z").toDF("cat")
+    val m = Categorical.fitLabelMap(df, "cat", "code")
+    val coded = Categorical.transform(df, m, "cat").select("code")
+    val back = Ml.labels(coded, m, "code").collect().map(_.getAs[String]("cat"))
+    assert(back.sorted.toSeq == Seq("x", "x", "y", "z"))
   }
 
   test("pdMerge full outer keeps both unmatched sides") {

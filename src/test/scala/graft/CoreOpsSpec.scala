@@ -206,4 +206,42 @@ class CoreOpsSpec extends SparkSuite {
     assert(xs.length == 5) // 0, 2.5, 5, 7.5, 10
     assert(xs.sliding(2).forall(p => p(1) - p(0) <= 2.5 + 1e-9))
   }
+
+  test("fillRange with partition keys densifies per group, keeps the key") {
+    val df = Seq(("u1", 0.0, "a"), ("u1", 10.0, "b"), ("u2", 0.0, "c"),
+      ("u2", 5.0, "d")).toDF("u", "x", "tag")
+    val out = Missing.fillRange(df, "x", 2.5, partitionBy = Seq("u"))
+    val byU = out.collect().groupBy(_.getString(0))
+    assert(byU("u1").length == 5 && byU("u2").length == 3)
+    // inserted rows carry their group key; only `tag` is padded
+    assert(out.filter(col("tag").isNull && col("u").isNull).count() == 0)
+    // u2's gap is independent of u1's points
+    val xs2 = byU("u2").map(_.getDouble(1)).sorted
+    assert(xs2.sliding(2).forall(p => p(1) - p(0) <= 2.5 + 1e-9))
+  }
+
+  test("takeNth: every n-th row of the total order, distributed index") {
+    val df = (0 until 20).map(i => (i, s"v$i")).toDF("i", "v")
+      .repartition(4) // exercise cross-partition offsets
+    val out = df.takeNth(5, Seq(col("i"))).orderBy("i")
+      .collect().map(_.getInt(0))
+    assert(out.toSeq == Seq(0, 5, 10, 15))
+  }
+
+  test("randNth returns exactly one existing row, stable for a seed") {
+    val df = (1 to 50).toDF("x")
+    val a = df.randNth(7L).collect()
+    val b = df.randNth(7L).collect()
+    assert(a.length == 1 && (1 to 50).contains(a(0).getInt(0)))
+    assert(a(0).getInt(0) == b(0).getInt(0))
+  }
+
+  test("columnLabeledMapseq: one map per (row, value column)") {
+    val df = Seq((1, 10.0, 100.0), (2, 20.0, 200.0)).toDF("t", "a", "b")
+    val ms = Reshape.columnLabeledMapseq(df, Seq("a", "b"))
+    assert(ms.length == 4)
+    assert(ms.forall(m => m.contains("t") && m.contains("label") && m.contains("value")))
+    assert(ms.exists(m => m("label") == "a" && m("value") == 10.0 && m("t") == 1))
+    assert(ms.exists(m => m("label") == "b" && m("value") == 200.0 && m("t") == 2))
+  }
 }
