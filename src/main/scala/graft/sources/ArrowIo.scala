@@ -1,0 +1,360 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.time.Instant
+
+import scala.collection.JavaConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.ListVector
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit => ATimeUnit}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Arrow IPC read/write (reference src/tech/v3/libs/arrow.clj — its largest
+  * IO module: `dataset->stream!` arrow.clj:2430, `stream->dataset`
+  * arrow.clj:2112, chunked `dataset-seq->stream!` arrow.clj:2345 /
+  * `stream->dataset-iterable` arrow.clj:2061). Spark-first shape instead of
+  * the reference's manual buffer packing:
+  *
+  *  - WRITE: one Arrow IPC part-file per partition (`part-NNNNN.arrows`),
+  *    written straight off the partition iterator in bounded `batchRows`
+  *    record batches — the chunked `dataset-seq->stream!` semantics; no
+  *    executor ever holds more than one batch. Directory-of-parts mirrors
+  *    every other Spark sink, so a 1000-executor write is 1000 independent
+  *    streams (goes through Hadoop FileSystem, so file:// and hdfs:// both
+  *    work).
+  *  - READ: list part files, one Spark task per file, record batches decoded
+  *    lazily off the stream — `stream->dataset-iterable`, distributed.
+  *  - Both IPC framings: stream (`.arrows`, ArrowStream{Writer,Reader}) and
+  *    the random-access file format a.k.a. Feather V2 (`.arrow`,
+  *    ArrowFile{Writer,Reader}) — the reference reads both (arrow.clj:1985
+  *    feather fixtures).
+  *
+  * Types covered: all Spark atomics (bool/byte/short/int/long/float/double/
+  * decimal/string/binary/date/timestamp) plus ArrayType of any of those —
+  * enough for every graft table incl. `embeddings` list<float>. Nested
+  * structs/maps are out of scope (parquet is the nested-data interchange).
+  */
+object ArrowIo {
+
+  // ---- schema mapping -----------------------------------------------------
+
+  private def toArrowType(dt: DataType): ArrowType = dt match {
+    case BooleanType => ArrowType.Bool.INSTANCE
+    case ByteType => new ArrowType.Int(8, true)
+    case ShortType => new ArrowType.Int(16, true)
+    case IntegerType => new ArrowType.Int(32, true)
+    case LongType => new ArrowType.Int(64, true)
+    case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+    case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+    case StringType => ArrowType.Utf8.INSTANCE
+    case BinaryType => ArrowType.Binary.INSTANCE
+    case DateType => new ArrowType.Date(DateUnit.DAY)
+    case TimestampType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, "UTC")
+    case TimestampNTZType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, null)
+    case d: DecimalType => new ArrowType.Decimal(d.precision, d.scale, 128)
+    case other => throw new IllegalArgumentException(s"arrow: unsupported type $other")
+  }
+
+  def toArrowField(f: StructField): Field = f.dataType match {
+    case ArrayType(elem, containsNull) =>
+      new Field(f.name, new FieldType(f.nullable, ArrowType.List.INSTANCE, null),
+        Seq(new Field("item",
+          new FieldType(containsNull, toArrowType(elem), null), Nil.asJava)).asJava)
+    case dt =>
+      new Field(f.name, new FieldType(f.nullable, toArrowType(dt), null), Nil.asJava)
+  }
+
+  def toArrowSchema(s: StructType): ArrowSchema =
+    new ArrowSchema(s.fields.map(toArrowField).toSeq.asJava)
+
+  private def fromArrowType(t: ArrowType): DataType = t match {
+    case _: ArrowType.Bool => BooleanType
+    case i: ArrowType.Int => (i.getBitWidth, i.getIsSigned) match {
+      case (8, true) => ByteType
+      case (16, true) => ShortType
+      case (32, true) => IntegerType
+      case (64, true) => LongType
+      case other => throw new IllegalArgumentException(s"arrow: unsupported int $other")
+    }
+    case f: ArrowType.FloatingPoint => f.getPrecision match {
+      case FloatingPointPrecision.SINGLE => FloatType
+      case FloatingPointPrecision.DOUBLE => DoubleType
+      case other => throw new IllegalArgumentException(s"arrow: unsupported fp $other")
+    }
+    case _: ArrowType.Utf8 => StringType
+    case _: ArrowType.Binary => BinaryType
+    case _: ArrowType.Date => DateType
+    case t: ArrowType.Timestamp =>
+      if (t.getTimezone == null) TimestampNTZType else TimestampType
+    case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
+    case other => throw new IllegalArgumentException(s"arrow: unsupported type $other")
+  }
+
+  def fromArrowSchema(schema: ArrowSchema): StructType =
+    StructType(schema.getFields.asScala.map { f =>
+      f.getType match {
+        case _: ArrowType.List =>
+          val child = f.getChildren.get(0)
+          StructField(f.getName,
+            ArrayType(fromArrowType(child.getType), child.isNullable), f.isNullable)
+        case t => StructField(f.getName, fromArrowType(t), f.isNullable)
+      }
+    }.toArray)
+
+  // ---- row -> vector ------------------------------------------------------
+
+  private def setVector(v: FieldVector, i: Int, value: Any): Unit = value match {
+    case null => setNull(v, i)
+    case _ => (v, value) match {
+      case (b: BitVector, x: Boolean) => b.setSafe(i, if (x) 1 else 0)
+      case (b: TinyIntVector, x: Byte) => b.setSafe(i, x)
+      case (b: SmallIntVector, x: Short) => b.setSafe(i, x)
+      case (b: IntVector, x: Int) => b.setSafe(i, x)
+      case (b: BigIntVector, x: Long) => b.setSafe(i, x)
+      case (b: Float4Vector, x: Float) => b.setSafe(i, x)
+      case (b: Float8Vector, x: Double) => b.setSafe(i, x)
+      case (b: VarCharVector, x: String) =>
+        b.setSafe(i, x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case (b: VarBinaryVector, x: Array[Byte]) => b.setSafe(i, x)
+      case (b: DateDayVector, x: java.sql.Date) => b.setSafe(i, x.toLocalDate.toEpochDay.toInt)
+      case (b: DateDayVector, x: java.time.LocalDate) => b.setSafe(i, x.toEpochDay.toInt)
+      case (b: TimeStampMicroTZVector, x: java.sql.Timestamp) =>
+        b.setSafe(i, x.getTime * 1000L + (x.getNanos % 1000000L) / 1000L)
+      case (b: TimeStampMicroTZVector, x: Instant) =>
+        b.setSafe(i, Math.addExact(Math.multiplyExact(x.getEpochSecond, 1000000L), x.getNano / 1000L))
+      case (b: TimeStampMicroVector, x: java.time.LocalDateTime) =>
+        b.setSafe(i, Math.addExact(Math.multiplyExact(
+          x.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L), x.getNano / 1000L))
+      case (b: DecimalVector, x: java.math.BigDecimal) =>
+        b.setSafe(i, x.setScale(b.getScale))
+      case (b: ListVector, xs: scala.collection.Seq[_]) =>
+        val w = b.getWriter
+        w.setPosition(i)
+        w.startList()
+        xs.foreach {
+          case null => w.writeNull()
+          case x: Boolean => w.writeBit(if (x) 1 else 0)
+          case x: Byte => w.writeTinyInt(x)
+          case x: Short => w.writeSmallInt(x)
+          case x: Int => w.writeInt(x)
+          case x: Long => w.writeBigInt(x)
+          case x: Float => w.writeFloat4(x)
+          case x: Double => w.writeFloat8(x)
+          case x: String => w.writeVarChar(new org.apache.arrow.vector.util.Text(x))
+          case other =>
+            throw new IllegalArgumentException(s"arrow: unsupported list element $other")
+        }
+        w.endList()
+      case (vv, x) =>
+        throw new IllegalArgumentException(
+          s"arrow: cannot write ${x.getClass.getName} into ${vv.getClass.getSimpleName}")
+    }
+  }
+
+  private def setNull(v: FieldVector, i: Int): Unit = v match {
+    case b: BitVector => b.setNull(i)
+    case b: TinyIntVector => b.setNull(i)
+    case b: SmallIntVector => b.setNull(i)
+    case b: IntVector => b.setNull(i)
+    case b: BigIntVector => b.setNull(i)
+    case b: Float4Vector => b.setNull(i)
+    case b: Float8Vector => b.setNull(i)
+    case b: VarCharVector => b.setNull(i)
+    case b: VarBinaryVector => b.setNull(i)
+    case b: DateDayVector => b.setNull(i)
+    case b: TimeStampMicroTZVector => b.setNull(i)
+    case b: TimeStampMicroVector => b.setNull(i)
+    case b: DecimalVector => b.setNull(i)
+    case b: ListVector =>
+      // keep offsets monotone: encode null list as empty + validity 0
+      val w = b.getWriter
+      w.setPosition(i); w.startList(); w.endList()
+      b.setNull(i)
+    case other => throw new IllegalArgumentException(s"arrow: setNull on $other")
+  }
+
+  // ---- vector -> row value ------------------------------------------------
+
+  private def getValue(v: FieldVector, i: Int): Any =
+    if (v.isNull(i)) null
+    else v match {
+      case b: BitVector => b.get(i) == 1
+      case b: TinyIntVector => b.get(i)
+      case b: SmallIntVector => b.get(i)
+      case b: IntVector => b.get(i)
+      case b: BigIntVector => b.get(i)
+      case b: Float4Vector => b.get(i)
+      case b: Float8Vector => b.get(i)
+      case b: VarCharVector => new String(b.get(i), java.nio.charset.StandardCharsets.UTF_8)
+      case b: VarBinaryVector => b.get(i)
+      case b: DateDayVector => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(b.get(i).toLong))
+      case b: TimeStampMicroTZVector =>
+        val micros = b.get(i)
+        java.sql.Timestamp.from(Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+      case b: TimeStampMicroVector =>
+        val micros = b.get(i)
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+      case b: DecimalVector => b.getObject(i)
+      case b: ListVector =>
+        val elem = b.getDataVector.asInstanceOf[FieldVector]
+        val start = b.getOffsetBuffer.getInt(i * 4L)
+        val end = b.getOffsetBuffer.getInt((i + 1) * 4L)
+        (start until end).map(j => getValue(elem, j))
+      case other => throw new IllegalArgumentException(s"arrow: getValue on $other")
+    }
+
+  // ---- write --------------------------------------------------------------
+
+  /** `dataset->stream!` / chunked `dataset-seq->stream!` (arrow.clj:2430,
+    * 2345): write `df` as a directory of Arrow IPC part files, one per Spark
+    * partition, each encoded as a sequence of ≤`batchRows` record batches.
+    * `format = "stream"` → IPC stream framing; `"file"` → random-access
+    * file framing (Feather V2). */
+  def write(df: DataFrame, path: String, batchRows: Int = 4096,
+            format: String = "stream"): Unit = {
+    require(format == "stream" || format == "file", s"format=$format")
+    val schema = df.schema
+    val suffix = if (format == "stream") "arrows" else "arrow"
+    // driver creates the dir (and validates the schema maps) up front
+    toArrowSchema(schema)
+    val conf = new Configuration()
+    val dir = new HPath(path)
+    val fsD = dir.getFileSystem(conf)
+    fsD.mkdirs(dir)
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val aschema = toArrowSchema(schema) // task-side rebuild (Schema isn't serializable)
+      val alloc = new RootAllocator()
+      val root = VectorSchemaRoot.create(aschema, alloc)
+      val part = new HPath(path, f"part-$pid%05d.$suffix")
+      val fs = part.getFileSystem(new Configuration())
+      val out = fs.create(part, true)
+      val buffered = new BufferedOutputStream(out, 1 << 20)
+      val chan = java.nio.channels.Channels.newChannel(buffered)
+      val writer =
+        if (suffix == "arrows") new ArrowStreamWriter(root, null, chan)
+        else new ArrowFileWriter(root, null, chan)
+      writer.start()
+      val vectors = root.getFieldVectors.asScala.toArray
+      var n = 0
+      rows.foreach { row =>
+        var c = 0
+        while (c < vectors.length) {
+          setVector(vectors(c), n, row.get(c))
+          c += 1
+        }
+        n += 1
+        if (n == batchRows) {
+          root.setRowCount(n); writer.writeBatch(); root.allocateNew(); n = 0
+        }
+      }
+      if (n > 0) { root.setRowCount(n); writer.writeBatch() }
+      writer.end()
+      chan.close(); buffered.close()
+      root.close(); alloc.close()
+      Iterator.single(1)
+    }.count() // force the write job
+    ()
+  }
+
+  // ---- read ---------------------------------------------------------------
+
+  /** `stream->dataset` / `stream->dataset-iterable` (arrow.clj:2112, 2061):
+    * read a single Arrow IPC file or a directory of part files. One Spark
+    * task per file; batches are decoded lazily off the stream so a task's
+    * footprint is one record batch, not the file. Auto-detects framing by
+    * extension (`.arrows` stream / anything else Feather V2-file). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val conf = new Configuration()
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val files: Seq[String] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(f => f.getName.endsWith(".arrow") || f.getName.endsWith(".arrows"))
+          .sortBy(_.getName).map(_.toString)
+      else Seq(p.toString)
+    require(files.nonEmpty, s"arrow: no .arrow/.arrows files under $path")
+
+    // schema off the first file, driver-side
+    val schema = withReader(files.head) { root => fromArrowSchema(root.getSchema) }
+
+    val rdd = spark.sparkContext
+      .parallelize(files, files.length)
+      .flatMap(f => fileRowIterator(f))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private def withReader[T](file: String)(f: VectorSchemaRoot => T): T = {
+    val alloc = new RootAllocator()
+    val in = openStream(file)
+    val reader =
+      if (file.endsWith(".arrows")) new ArrowStreamReader(in, alloc)
+      else new ArrowFileReader(asSeekable(in, file), alloc)
+    try f(reader.getVectorSchemaRoot)
+    finally { reader.close(); alloc.close() }
+  }
+
+  private def openStream(file: String): java.io.InputStream = {
+    val p = new HPath(file)
+    new BufferedInputStream(p.getFileSystem(new Configuration()).open(p), 1 << 20)
+  }
+
+  private def asSeekable(in: java.io.InputStream, file: String)
+      : org.apache.arrow.vector.ipc.SeekableReadChannel = {
+    // ArrowFileReader needs random access: buffer the file bytes.
+    // Part files are bounded by the write-side partitioning, so this is a
+    // per-task, per-part-file buffer — not the dataset.
+    val bytes = in.readAllBytes()
+    in.close()
+    new org.apache.arrow.vector.ipc.SeekableReadChannel(
+      new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(bytes))
+  }
+
+  /** Lazy row iterator over one IPC file: loads one record batch at a time. */
+  private def fileRowIterator(file: String): Iterator[Row] = {
+    val alloc = new RootAllocator()
+    val in = openStream(file)
+    val reader =
+      if (file.endsWith(".arrows")) new ArrowStreamReader(in, alloc)
+      else new ArrowFileReader(asSeekable(in, file), alloc)
+    val root = reader.getVectorSchemaRoot
+
+    new Iterator[Row] {
+      private var i = 0
+      private var n = 0
+      private var exhausted = false
+      private var closed = false
+
+      private def advance(): Unit = {
+        if (!exhausted && i >= n) {
+          if (reader.loadNextBatch()) { n = root.getRowCount; i = 0 }
+          else { exhausted = true }
+          if (exhausted && !closed) { reader.close(); alloc.close(); closed = true }
+          if (!exhausted && n == 0) advance() // skip empty batches
+        }
+      }
+
+      override def hasNext: Boolean = { advance(); !exhausted }
+
+      override def next(): Row = {
+        advance()
+        if (exhausted) throw new NoSuchElementException
+        val vs = root.getFieldVectors
+        val arr = new Array[Any](vs.size())
+        var c = 0
+        while (c < arr.length) { arr(c) = getValue(vs.get(c), i); c += 1 }
+        i += 1
+        Row.fromSeq(arr.toIndexedSeq)
+      }
+    }
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+import graft.sources.ArrowIo
+
+class ArrowIoSpec extends SparkSuite {
+  init()
+  import spark.implicits._
+
+  private val allTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def assertSameData(a: org.apache.spark.sql.DataFrame,
+                             b: org.apache.spark.sql.DataFrame): Unit = {
+    assert(a.schema.map(f => (f.name, f.dataType)) ==
+           b.schema.map(f => (f.name, f.dataType)))
+    assert(a.count() == b.count())
+    // arrays aren't except()-comparable everywhere; stringify row-wise
+    val key = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(concat_ws("", d.columns.map(c => col(c).cast(StringType)): _*))
+        .as[String].collect().sorted.toSeq
+    assert(key(a) == key(b))
+  }
+
+  test("arrow IPC stream round-trips every testdata table") {
+    val tmp = Files.createTempDirectory("graft_arrow").toString
+    allTables.foreach { name =>
+      val src = Tables.t(spark, sfDir, name)
+      ArrowIo.write(src, s"$tmp/$name", batchRows = 512)
+      val back = ArrowIo.read(spark, s"$tmp/$name")
+      assertSameData(src, back)
+    }
+  }
+
+  test("arrow file format (feather v2) round-trips incl. list<float>") {
+    val tmp = Files.createTempDirectory("graft_feather").toString
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    ArrowIo.write(emb, s"$tmp/emb", batchRows = 100, format = "file")
+    val back = ArrowIo.read(spark, s"$tmp/emb")
+    assertSameData(emb, back)
+    // random-access framing really is the file format (magic bytes)
+    val f = new java.io.File(s"$tmp/emb").listFiles()
+      .filter(_.getName.endsWith(".arrow")).head
+    val head = Files.readAllBytes(f.toPath).take(6)
+    assert(new String(head, "US-ASCII") == "ARROW1")
+  }
+
+  test("arrow write is one part file per partition, read is one task per file") {
+    val tmp = Files.createTempDirectory("graft_arrow_parts").toString
+    val df = Tables.t(spark, sfDir, "orders").repartition(3)
+    ArrowIo.write(df, s"$tmp/o")
+    val parts = new java.io.File(s"$tmp/o").listFiles()
+      .filter(_.getName.endsWith(".arrows"))
+    assert(parts.length == 3)
+    val back = ArrowIo.read(spark, s"$tmp/o")
+    assert(back.rdd.getNumPartitions == 3)
+    assert(back.count() == df.count())
+  }
+
+  test("arrow round-trips nulls, booleans, dates, decimals, null lists") {
+    val tmp = Files.createTempDirectory("graft_arrow_nulls").toString
+    val schema = StructType(Seq(
+      StructField("i", IntegerType, true),
+      StructField("b", BooleanType, true),
+      StructField("d", DateType, true),
+      StructField("m", DecimalType(12, 2), true),
+      StructField("s", StringType, true),
+      StructField("xs", ArrayType(LongType, true), true)))
+    val rows = Seq(
+      Row(1, true, java.sql.Date.valueOf("2024-01-31"),
+        new java.math.BigDecimal("12345.67"), "hello", Seq(1L, 2L, 3L)),
+      Row(null, null, null, null, null, null),
+      Row(3, false, java.sql.Date.valueOf("1969-12-31"),
+        new java.math.BigDecimal("-0.01"), "", Seq(null, 4L)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    ArrowIo.write(df, s"$tmp/t")
+    val back = ArrowIo.read(spark, s"$tmp/t")
+    assertSameData(df, back)
+    // null vs empty list distinguished
+    val got = back.orderBy(col("i").asc_nulls_last).collect()
+    assert(got(2).isNullAt(5) && got(0).getSeq[Any](5) == Seq(1L, 2L, 3L))
+  }
+}
