@@ -158,18 +158,30 @@ object Advanced {
     * that the r² PRODUCT itself rounds in a double (same contract as plain
     * correlationTable on large-magnitude columns). */
   def spearmanCorrelationTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // Each column's rank table is built from a SINGLE-COLUMN projection of
+    // the source (never the join-chained frame — chaining makes rank build
+    // k recompute joins 1..k-1, a quadratic lineage) and the k independent
+    // builds are submitted concurrently: each needs its own small offsets
+    // job, and Spark happily interleaves them.
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(cols.size, 8)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val built =
+      try Await.result(Future.sequence(cols.map { c =>
+        Future(doubledAvgRankTable(df.select(col(c)), c, s"__r_$c"))
+      }), Duration.Inf)
+      finally pool.shutdown()
     var ranked = df.select(cols.map(col): _*)
-    val cached = scala.collection.mutable.Buffer.empty[Dataset[(Double, Long)]]
-    cols.foreach { c =>
-      val (ranks, cache) = doubledAvgRankTable(ranked, c, s"__r_$c")
-      cached += cache
+    cols.zip(built).foreach { case (c, (ranks, _)) =>
       ranked = ranked.join(ranks, ranked(c).cast(DoubleType) === ranks("__v"), "left")
         .drop("__v")
     }
     val rdf = ranked.select(cols.map(c => col(s"__r_$c").cast(DoubleType).as(c)): _*)
     // rank sums: sx floor-scale 4 is exact on integers; r² and r·r' at scale 0
     val out = correlationTable(rdf, cols, squareScale = cols.map(_ -> 0).toMap)
-    cached.foreach(_.unpersist())  // correlationTable collect()s — safe now
+    built.foreach(_._2.unpersist())  // correlationTable collect()s — safe now
     out
   }
 

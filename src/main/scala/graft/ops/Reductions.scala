@@ -149,31 +149,46 @@ object Reductions {
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     import spark.implicits._
-    cols.map { c0 =>
-      val n = row.getLong(row.fieldIndex(s"${c0}__n"))
-      if (n == 0) (c0, Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN)
-      else {
-        val targets: Set[Long] = Seq(0.25, 0.5, 0.75)
-          .map(q => q * (n - 1))
-          .flatMap(p => Seq(p.floor.toLong, p.ceil.toLong)).toSet
-        val picked: Map[Long, Double] = df.select(col(c0).cast(DoubleType))
-          .filter(col(c0).isNotNull)
-          .rdd.map(_.getDouble(0))
-          .sortBy(identity)          // distributed range-partitioned sort
-          .zipWithIndex()
-          .filter { case (_, i) => targets.contains(i) }
-          .map(_.swap)
-          .collect().toMap           // ≤ 6 values — not a data collect
-        def q(qq: Double): Double = {
-          val p = qq * (n - 1)
-          val lo = p.floor.toLong; val hi = p.ceil.toLong
-          if (hi == lo) picked(lo)
-          else (hi - p) * picked(lo) + (p - lo) * picked(hi)
+    // the per-column quartile-selection sorts are independent Spark jobs —
+    // submit them CONCURRENTLY (Spark's scheduler interleaves their stages
+    // across the executor slots) instead of paying 1 sort-job latency per
+    // column serially
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(cols.size, 8)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futures = cols.map { c0 =>
+      Future {
+        val n = row.getLong(row.fieldIndex(s"${c0}__n"))
+        if (n == 0) (c0, Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+        else {
+          val targets: Set[Long] = Seq(0.25, 0.5, 0.75)
+            .map(q => q * (n - 1))
+            .flatMap(p => Seq(p.floor.toLong, p.ceil.toLong)).toSet
+          val picked: Map[Long, Double] = df.select(col(c0).cast(DoubleType))
+            .filter(col(c0).isNotNull)
+            .rdd.map(_.getDouble(0))
+            .sortBy(identity)          // distributed range-partitioned sort
+            .zipWithIndex()
+            .filter { case (_, i) => targets.contains(i) }
+            .map(_.swap)
+            .collect().toMap           // ≤ 6 values — not a data collect
+          def q(qq: Double): Double = {
+            val p = qq * (n - 1)
+            val lo = p.floor.toLong; val hi = p.ceil.toLong
+            if (hi == lo) picked(lo)
+            else (hi - p) * picked(lo) + (p - lo) * picked(hi)
+          }
+          (c0, row.getDouble(row.fieldIndex(s"${c0}__min")), q(0.25), q(0.5),
+            q(0.75), row.getDouble(row.fieldIndex(s"${c0}__max")))
         }
-        (c0, row.getDouble(row.fieldIndex(s"${c0}__min")), q(0.25), q(0.5),
-          q(0.75), row.getDouble(row.fieldIndex(s"${c0}__max")))
       }
-    }.toDF("column", "min", "q1", "median", "q3", "max")
+    }
+    val out =
+      try Await.result(Future.sequence(futures), Duration.Inf)
+      finally pool.shutdown()
+    out.toDF("column", "min", "q1", "median", "q3", "max")
   }
 
   /** mode — most frequent value per group, deterministic (max count, ties to
