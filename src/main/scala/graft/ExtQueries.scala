@@ -390,6 +390,40 @@ object ExtQueries {
         .orderBy(col("label"))
     },
 
+    // salted skew join (SCALE.md): identical RESULTS to the plain join —
+    // the salt only changes the shuffle layout — so the plain join IS the
+    // oracle; this puts the skew infrastructure under the correctness gate.
+    "q70_salted_join" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Joins.saltedJoin(li, ord, Seq("l_orderkey"), saltFactor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // take-nth (reference dataset_api.clj:99): every 97th row of the
+    // (l_orderkey, l_linenumber) total order, via the distributed row index
+    // (range sort + zipWithIndex — no single-task window).
+    "q71_take_nth" -> { (s, dir) =>
+      t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+        .takeNth(97, Seq(col("l_orderkey"), col("l_linenumber")))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // replace-missing :abb (reference impute.clj approx-bayesian-bootstrap)
+    // with content-derived draws — md5(seed#event_id) picks the observed
+    // slot, so the bootstrap is deterministic and oracle-checkable.
+    "q72_abb" -> { (s, dir) =>
+      val e = t(s, dir, "events").select(
+        col("event_id"),
+        when(col("event_type") === "click", lit(null).cast(DoubleType))
+          .otherwise(col("value")).as("v"))
+      Missing.fillAbbDeterministic(e, "v", Seq("event_id"), seed = 7L)
+        .orderBy(col("event_id"))
+    },
+
     // row-map (reference dataset_api.clj:885-943) as a per-row computed
     // margin — declarative, stays in codegen.
     "q59_row_map" -> { (s, dir) =>
@@ -709,6 +743,34 @@ object ExtQueries {
                      ELSE 'p_purchase' END AS label,
                 COUNT(*) AS n
          FROM probs GROUP BY 1 ORDER BY 1""",
+
+    // the salt is layout-only: the plain join is the oracle
+    "q70_salted_join" ->
+      """SELECT o_orderpriority, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q71_take_nth" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+           SELECT l_orderkey, l_linenumber, l_quantity,
+                  row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn
+           FROM lineitem) t
+         WHERE rn % 97 = 0 ORDER BY l_orderkey, l_linenumber""",
+
+    // mirrors fillAbbDeterministic: i-th-smallest observed value drawn by
+    // md5(seed#event_id) mod n_observed
+    "q72_abb" ->
+      """WITH e AS (SELECT event_id,
+             CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+           FROM events),
+         obs AS (SELECT v AS av, row_number() OVER (ORDER BY v) - 1 AS ai
+                 FROM e WHERE v IS NOT NULL),
+         n AS (SELECT COUNT(*) AS c FROM obs)
+         SELECT e.event_id, COALESCE(e.v, o.av) AS v
+         FROM e CROSS JOIN n LEFT JOIN obs o
+           ON e.v IS NULL
+          AND o.ai = CAST(concat('0x', substr(md5(concat_ws('#', 7, e.event_id)), 1, 15)) AS BIGINT) % n.c
+         ORDER BY e.event_id""",
 
     "q59_row_map" ->
       """SELECT l_orderkey, l_linenumber,

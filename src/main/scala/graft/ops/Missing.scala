@@ -129,6 +129,35 @@ object Missing {
     }
   }
 
+  /** `:abb` with CONTENT-DERIVED draws — same bootstrap semantics as
+    * [[fillAbb]] but every random choice is an md5 fold of the row's key, so
+    * the result is a pure function of the data (engine-portable, DuckDB
+    * oracle-checkable — the q29/q52 determinism technique). The observed
+    * values are indexed by their sorted position: ties get arbitrary index
+    * assignment, but index→value is still a well-defined function (i-th
+    * smallest of the multiset), so the OUTPUT is deterministic. Index build
+    * is the distributed range-sort + zipWithIndex path — no single-task
+    * window, two shuffles total, scales. */
+  def fillAbbDeterministic(df: DataFrame, c: String, keyCols: Seq[String],
+                           seed: Long): DataFrame = {
+    import graft.ops.TableOps._
+    val obs = df.filter(col(c).isNotNull)
+      .select(col(c).as("__abb_v"))
+      .withRowIndexDistributed(Seq(col("__abb_v")), "__abb_i")
+    val nObs = obs.count()
+    if (nObs == 0) df
+    else {
+      df.withColumn("__abb_i",
+          when(col(c).isNull,
+            pmod(conv(substring(md5(concat_ws("#",
+              (lit(seed) +: keyCols.map(col)): _*)), 1, 15), 16, 10)
+              .cast(org.apache.spark.sql.types.LongType), lit(nObs))))
+        .join(obs, Seq("__abb_i"), "left")
+        .withColumn(c, coalesce(col(c), col("__abb_v")))
+        .drop("__abb_i", "__abb_v")
+    }
+  }
+
   /** remove-empty-columns (reference dataset_api.clj:218-236): drop columns
     * that are entirely null — one counting pass, then a driver-side select. */
   def removeEmptyColumns(df: DataFrame): DataFrame = {
