@@ -126,6 +126,17 @@ object LlmQueries {
           concat_ws(",", transform(TextStats.fingerprintSketch(col("text"), 5, 8),
             x => x.cast(StringType))).as("sketch"))
         .orderBy(col("doc_id"))
+    },
+
+    // cross-corpus decontamination: flag training docs sharing any verbatim
+    // 3-word shingle with the held-out benchmark slice (doc_id % 97 == 0).
+    "q73_decontaminate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextDedup.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", shingleLen = 3)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -417,6 +428,24 @@ object LlmQueries {
              list_sort(list_transform(s,
                g -> CAST(concat('0x', substr(md5(g), 1, 7)) AS BIGINT)))[1:8],
              x -> CAST(x AS VARCHAR)), ',') AS sketch
-         FROM sh ORDER BY doc_id"""
+         FROM sh ORDER BY doc_id""",
+
+    // mirrors TextDedup.decontaminate: distinct 60-bit md5 shingle-hash
+    // semi-overlap counts between the train slice and the benchmark slice.
+    "q73_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+             THEN list_transform(range(len(w) - 2), i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3]))
+             ELSE [array_to_string(w, ' ')] END AS s FROM d),
+         ex AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(s,
+               g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)))) AS h
+           FROM sh),
+         bench AS (SELECT DISTINCT h FROM ex WHERE doc_id % 97 = 0)
+         SELECT e.doc_id, COUNT(*) AS overlap_shingles
+         FROM ex e JOIN bench b USING (h)
+         WHERE e.doc_id % 97 <> 0
+         GROUP BY e.doc_id HAVING COUNT(*) >= 1
+         ORDER BY e.doc_id"""
   )
 }

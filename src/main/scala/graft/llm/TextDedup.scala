@@ -139,6 +139,35 @@ object TextDedup {
         estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
   }
 
+  /** Cross-corpus DECONTAMINATION — the benchmark-overlap removal step of a
+    * training-data pipeline (flag/drop training docs that share verbatim
+    * k-word shingles with an evaluation set). Returns per-doc
+    * `overlap_shingles` = number of DISTINCT training-doc shingles that
+    * appear anywhere in the benchmark corpus; docs meeting `minOverlap` are
+    * the contaminated set.
+    *
+    * Scale shape: both sides reduce to distinct 60-bit md5 shingle hashes
+    * (fixed-width join keys, shingle text never shuffles); the benchmark
+    * side is distinct-deduped first and is typically small enough for AQE
+    * to broadcast, so the train side — the 100 TB side — never reshuffles
+    * more than (id, hash) pairs. md5-derived hashes keep the whole op
+    * engine-portable (oracle-checked, q73). */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, shingleLen: Int = 8,
+                    minOverlap: Long = 1L): DataFrame = {
+    // distinct is taken over the HASHES (not the shingle strings) so a
+    // within-doc 60-bit collision counts once — mirrors the oracle exactly
+    def hashes(c: Column) =
+      array_distinct(transform(shingles(c, shingleLen), s => h60(s)))
+    val benchH = bench
+      .select(explode(hashes(col(textCol))).as("__h")).distinct()
+    val trainH = train
+      .select(col(idCol), explode(hashes(col(textCol))).as("__h"))
+    trainH.join(benchH, Seq("__h"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("overlap_shingles"))
+      .filter(col("overlap_shingles") >= minOverlap)
+  }
+
   /** Exact n-gram Jaccard between explicit pairs (the verify step after LSH,
     * or a direct quadratic check on small blocks). */
   def ngramJaccard(textA: Column, textB: Column, k: Int): Column = {

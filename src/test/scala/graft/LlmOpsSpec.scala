@@ -25,6 +25,24 @@ class LlmOpsSpec extends SparkSuite {
     assert(byKeep(2L) == 1 && byKeep(3L) == 1)
   }
 
+  test("decontaminate: shingle overlap with benchmark flags train docs") {
+    // bench = doc 0; train = 2 (near dup, shares 3-grams), 3 (disjoint)
+    val bench = docs.filter(col("doc_id") === 0L)
+    val train = docs.filter(col("doc_id").isin(2L, 3L))
+    val out = TextDedup.decontaminate(train, bench, "doc_id", "text",
+      shingleLen = 3).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(2L)) // 3 is clean
+    // doc 2 shares every 3-gram except those touching leaps/jumps:
+    // 7 shingles total, 4 containing the changed word differ → 3 overlap...
+    // compute independently: shared 3-grams of the two token sequences
+    val a = "the quick brown fox jumps over the lazy dog".split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val b = "the quick brown fox leaps over the lazy dog".split(" ").sliding(3).map(_.mkString(" ")).toSet
+    assert(out.head.getAs[Long]("overlap_shingles") == (a intersect b).size.toLong)
+    // raising minOverlap above the overlap empties the result
+    assert(TextDedup.decontaminate(train, bench, "doc_id", "text", 3,
+      minOverlap = 100L).count() == 0)
+  }
+
   test("minhash: identical docs get identical signatures, est_jaccard 1") {
     val pairs = TextDedup.minhashCandidatePairs(docs, "doc_id", "text",
       shingleLen = 3, numHashes = 64, bands = 32).collect()
