@@ -59,6 +59,77 @@ object Io {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** zip-of-csv ingest (reference src/tech/v3/dataset/zip.clj:46-100
+    * `zipfile->dataset-seq`). Spark reads .gz transparently but not .zip:
+    * decode zip entries per-FILE via binaryFiles (zip's central directory
+    * makes entries non-splittable — same constraint as gzip), flatten all
+    * entries' lines, then hand the line Dataset to the csv reader so schema
+    * inference/options work exactly as for loose files. Parallelism = one
+    * task per archive; for 100 TB you'd repack to parquet on first touch
+    * (which is the reference's `dataset-seq` guidance too). */
+  def readCsvZip(spark: SparkSession, path: String,
+                 opts: ReadOptions = ReadOptions()): DataFrame = {
+    import spark.implicits._
+    // each entry carries its own header; the column names come from the
+    // FIRST entry (read driver-side, a few bytes), and every entry's header
+    // line is dropped executor-side — so multi-entry archives flatten
+    // without header lines leaking into the data
+    val header: Option[String] =
+      if (!opts.headerRow) None
+      else {
+        val p = new org.apache.hadoop.fs.Path(
+          if (path.contains("*")) path.substring(0, path.indexOf('*')) else path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val first =
+          if (fs.getFileStatus(p).isDirectory)
+            fs.listStatus(p).filter(_.getPath.getName.endsWith(".zip"))
+              .minBy(_.getPath.getName).getPath
+          else p
+        val zin = new java.util.zip.ZipInputStream(fs.open(first))
+        try {
+          var e = zin.getNextEntry
+          while (e != null && e.isDirectory) e = zin.getNextEntry
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(zin, "UTF-8"))
+          Option(br.readLine())
+        } finally zin.close()
+      }
+    val dropHeader = opts.headerRow
+    val lines = spark.sparkContext.binaryFiles(path).flatMap { case (_, pds) =>
+      val zin = new java.util.zip.ZipInputStream(pds.open())
+      Iterator.continually(zin.getNextEntry)
+        .takeWhile(_ != null)
+        .filterNot(_.isDirectory)
+        .flatMap { _ =>
+          // materialize the CURRENT entry before the next getNextEntry call
+          val src = scala.io.Source.fromInputStream(
+            new java.io.FilterInputStream(zin) { override def close(): Unit = () },
+            "UTF-8")
+          val all = src.getLines().toList
+          if (dropHeader) all.drop(1) else all
+        }
+    }.toDS()
+    var r = spark.read
+      .option("header", false)
+      .option("sep", opts.separator)
+    r = opts.schema match {
+      case Some(s) => r.schema(s)
+      case None => r.option("inferSchema", true)
+    }
+    opts.comment.foreach(c => r = r.option("comment", c.toString))
+    var df = r.csv(lines)
+    header.foreach { h =>
+      val names = h.split(java.util.regex.Pattern.quote(opts.separator), -1)
+      df = df.toDF(names.toIndexedSeq: _*)
+    }
+    if (opts.columnAllowlist.nonEmpty)
+      df = df.select(opts.columnAllowlist.map(df.col): _*)
+    if (opts.columnBlocklist.nonEmpty)
+      df = df.drop(opts.columnBlocklist: _*)
+    opts.numRows.foreach(n => df = df.limit(n))
+    df
+  }
+
   /** Promotional type-inference shim (reference io/column_parsers.clj:310-345
     * promotion chain `[:bool :int16 :int32 :int64 :float64 ... :string]`).
     *

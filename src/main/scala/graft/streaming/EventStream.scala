@@ -84,6 +84,27 @@ object EventStream {
       .toDF()
   }
 
+  /** Streaming EXACT DEDUP — the standing-ingest form of the LLM pipeline's
+    * dedup stage (TextDedup.exactDedup is the batch analog): keep the first
+    * occurrence of each md5 content fingerprint. The watermark bounds the
+    * fingerprint state store (`dropDuplicatesWithinWatermark` — duplicates
+    * arriving inside the watermark horizon are suppressed; state for expired
+    * event times is evicted, which is the only formulation whose state does
+    * NOT grow with corpus size). State shards by fingerprint across
+    * executors. */
+  def dedupStream(spark: SparkSession, dir: String,
+                  watermark: String = "2 hours"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("fp", md5(concat_ws("#", col("user_id"), col("event_type"),
+        col("props"))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
   /** Run a streaming query to completion against the (finite) file source and
     * return the materialized result — the test harness entry point. */
   def runToMemorySink(df: DataFrame, name: String,

@@ -94,6 +94,30 @@ class IoSpec extends SparkSuite {
     assert(back.count() == src.count())
   }
 
+  test("zip-of-csv: multi-entry archive flattens without header leakage") {
+    val tmp = Files.createTempDirectory("graft_zip").toString
+    val zipPath = java.nio.file.Paths.get(s"$tmp/data.zip")
+    val zout = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(zipPath))
+    def entry(name: String, content: String): Unit = {
+      zout.putNextEntry(new java.util.zip.ZipEntry(name))
+      zout.write(content.getBytes("UTF-8"))
+      zout.closeEntry()
+    }
+    entry("a.csv", "id,name,score\n1,ann,1.5\n2,bob,2.5\n")
+    entry("b.csv", "id,name,score\n3,cat,3.5\n4,dan,4.5\n")
+    zout.close()
+    val df = Io.readCsvZip(spark, zipPath.toString)
+    assert(df.columns.toSeq == Seq("id", "name", "score"))
+    assert(df.count() == 4) // 2 entries × 2 rows, no header rows as data
+    assert(df.schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(df.agg(sum(col("score"))).collect()(0).getDouble(0) == 12.0)
+    // allowlist + numRows options flow through
+    val part = Io.readCsvZip(spark, zipPath.toString,
+      Io.ReadOptions(columnAllowlist = Seq("id"), numRows = Some(3)))
+    assert(part.columns.toSeq == Seq("id") && part.count() == 3)
+  }
+
   test("parquet snapshot round-trip exact") {
     val tmp = Files.createTempDirectory("graft_pq").toString
     val src = Tables.t(spark, sfDir, "orders")

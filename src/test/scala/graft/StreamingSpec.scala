@@ -24,6 +24,20 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming dedup keeps one row per fingerprint, equals batch distinct") {
+    val streamed = EventStream.runToMemorySink(
+      EventStream.dedupStream(spark, sfDir), "dedup_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = Tables.t(spark, sfDir, "events")
+      .withColumn("fp", md5(concat_ws("#", col("user_id"), col("event_type"),
+        col("props"))))
+    val batchDistinct = batch.select("fp").distinct().count()
+    assert(streamed.count() == batchDistinct)
+    // streamed fingerprints are unique and drawn from the batch set
+    assert(streamed.select("fp").distinct().count() == batchDistinct)
+    assert(streamed.select("fp").exceptAll(batch.select("fp")).count() == 0)
+  }
+
   test("streaming hourly agg equals batch q38") {
     val streamed = EventStream.runToMemorySink(
       EventStream.hourlyCounts(spark, sfDir), "hourly_test")
