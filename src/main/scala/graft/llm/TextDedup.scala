@@ -52,18 +52,39 @@ object TextDedup {
   def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  /** Per-shingle md5 top-bit hashes, fused normalize→tokenize→shingle→md5
+    * codegen kernel ([[graft.functions.DedupKernels.ShingleHashes]]).
+    * Bit-identical to `transform(shingles(text, k), s => h28/h60(s))` (the
+    * HOF form — kept as the kernel's executable spec and what the DuckDB
+    * oracle SQL mirrors) with `nibbles` = 7 → h28, 15 → h60. With k = 1 the
+    * shingles are the tokens themselves, so `shingleHashes(text, 1, 15)` ==
+    * `transform(tokens(text), t => h60(t))` (the SimHash input). Requires
+    * [[graft.functions.DedupKernels.register]] on the session. */
+  def shingleHashes(text: Column, k: Int, nibbles: Int): Column =
+    call_function("graft_shingle_hashes", text, lit(k), lit(nibbles))
+
   /** Prime > 2^32 for universal hashing h_i(x) = (a_i·x + b_i) mod P. */
   val P = 4294967311L
 
   private def aCoef(i: Column): Column = ((i * 2 + 1) * lit(2654435761L)) % P
   private def bCoef(i: Column): Column = (i * lit(40503L) + 7) % P
 
-  /** MinHash signature from a PRE-MATERIALIZED shingle-hash array column.
-    * The md5s must live in their own column: referenced inline, Catalyst
-    * re-evaluates the whole hash array once per outer lambda element —
-    * 64× the md5 cost (measured 230s → ~10s at sf0.1 for the split form).
-    * The numHashes permutation-minima are then cheap modular arithmetic. */
+  /** MinHash signature from a shingle-hash array: single-pass codegen kernel
+    * ([[graft.functions.DedupKernels.MinHashSig]]) — one traversal computes
+    * all `numHashes` permutation minima. Bit-identical to the higher-order
+    * expression form below (same coefficients, same mod-P arithmetic), but
+    * the HOF form is `numHashes` interpreted `CodegenFallback` passes per row
+    * (measured 8.8s → see SCALE.md for the kernel's number at sf0.1).
+    * Requires [[graft.functions.DedupKernels.register]] on the session (the
+    * DataFrame entry points below do it). */
   def minhashSignatureFromHashes(hs: Column, numHashes: Int): Column =
+    call_function("graft_minhash_sig", hs, lit(numHashes))
+
+  /** The original higher-order-function formulation — kept as the executable
+    * spec of the kernel's semantics (DedupKernelsSpec pins kernel == HOF).
+    * Referenced inline, Catalyst re-evaluates the whole md5 hash array once
+    * per outer lambda element (64× cost) unless `hs` is a persisted column. */
+  private[graft] def minhashSignatureFromHashesHof(hs: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)), i =>
       array_min(transform(hs, h => (aCoef(i) * h + bCoef(i)) % P)))
 
@@ -100,15 +121,16 @@ object TextDedup {
                             shingleLen: Int = 3, numHashes: Int = 64,
                             bands: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.DedupKernels.register(df.sparkSession)
     val r = numHashes / bands
-    // Persisting the md5 shingle-hash frame is load-bearing: without the
-    // cache barrier CollapseProject inlines it into the signature lambda and
-    // the md5s run once per hash function (64×) instead of once.
-    val hsDf = df.select(col(idCol).as("id"),
-      transform(shingles(col(textCol), shingleLen), s => h28(s)).as("__hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = hsDf.select(col("id"),
-      minhashSignatureFromHashes(col("__hs"), numHashes).as("sig"))
+    // Fused kernels end-to-end: shingle md5s (one byte-level pass, evaluated
+    // exactly once as the sig kernel's child — no CollapseProject hazard, no
+    // persist barrier needed here) into the one-pass 64-min signature.
+    // sigs itself IS persisted: it feeds three consumers (banding + both
+    // sides of the verify join).
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignatureFromHashes(
+        shingleHashes(col(textCol), shingleLen, 7), numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, r)).as("band"))
@@ -119,18 +141,19 @@ object TextDedup {
     // shares the bucket, the only generated pairs involve it and can be
     // filtered below threshold, losing the true near-dup link; the adjacency
     // chain restores it while keeping O(bucket) pair count.
-    val wb = Window.partitionBy(col("band"))
+    // Both links come out of ONE sorted window pass: ordered by id, the
+    // partition's first value IS its min (rep), and lag gives the
+    // predecessor — one shuffle+sort instead of the former two window
+    // branches + union (same pair set, ~1s less at sf0.1).
     val wbOrd = Window.partitionBy(col("band")).orderBy(col("id"))
     val pairs0 = banded
-      .withColumn("rep", min(col("id")).over(wb))
+      .withColumn("rep", first(col("id")).over(wbOrd))
       .withColumn("prev", lag(col("id"), 1).over(wbOrd))
-      .select(col("id"), col("rep"), col("prev"))
-      .filter(col("id") =!= col("rep"))
-      .select(col("rep").as("id_a"), col("id").as("id_b"))
-      .union(banded
-        .withColumn("prev", lag(col("id"), 1).over(wbOrd))
-        .filter(col("prev").isNotNull && col("prev") =!= col("id"))
-        .select(col("prev").as("id_a"), col("id").as("id_b")))
+      .select(explode(array(
+        struct(col("rep").as("id_a"), col("id").as("id_b")),
+        struct(col("prev").as("id_a"), col("id").as("id_b")))).as("p"))
+      .filter(col("p.id_a").isNotNull && col("p.id_a") =!= col("p.id_b"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
     pairs0
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
@@ -155,10 +178,11 @@ object TextDedup {
   def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, shingleLen: Int = 8,
                     minOverlap: Long = 1L): DataFrame = {
+    graft.functions.DedupKernels.register(train.sparkSession)
     // distinct is taken over the HASHES (not the shingle strings) so a
     // within-doc 60-bit collision counts once — mirrors the oracle exactly
     def hashes(c: Column) =
-      array_distinct(transform(shingles(c, shingleLen), s => h60(s)))
+      array_distinct(shingleHashes(c, shingleLen, 15))
     val benchH = bench
       .select(explode(hashes(col(textCol))).as("__h")).distinct()
     val trainH = train
@@ -178,10 +202,18 @@ object TextDedup {
   }
 
   /** 60-bit SimHash: per-bit majority vote of token hashes, one md5 per
-    * token. The 60 per-bit votes are unrolled Scala-side (shift amounts must
-    * be literals) over a materialized hash-array column, so the token md5s
-    * are computed once and the votes are 60 cheap array passes in codegen. */
+    * token, all 60 votes in one codegen pass over the hash array
+    * ([[graft.functions.DedupKernels.SimHashBits]]). */
   def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame = {
+    graft.functions.DedupKernels.register(df.sparkSession)
+    df.withColumn(out,
+      call_function("graft_simhash", shingleHashes(col(textCol), 1, 15)))
+  }
+
+  /** Original unrolled bit-vote formulation — executable spec for the kernel
+    * (DedupKernelsSpec pins kernel == HOF). 60 interpreted aggregate passes;
+    * hsCol must be its own projection or the token md5s run 60×. */
+  private[graft] def withSimhashHof(df: DataFrame, textCol: String, out: String): DataFrame = {
     val hsCol = "__simhash_hs"
     val d = df.withColumn(hsCol, transform(tokens(col(textCol)), t => h60(t)))
     val bits = (0 until 60).map { j =>
