@@ -292,20 +292,26 @@ object ExtQueries {
     },
 
     // theta-sketch distinct with downstream SET OPERATIONS on the sketches
-    // (reference theta support): per-flag partkey sketches → pairwise
-    // intersection estimates. Rows-only (approximate).
+    // (reference theta support): per-flag partkey KMV/bottom-k theta sketches
+    // → pairwise intersection/union estimates. The KMV formulation (md5-derived
+    // 60-bit hashes, k minimum values, (k−1)/θ estimator) is engine-portable,
+    // so this is oracle-exact — the DataSketches theta aggregate
+    // (Sketches.ThetaSketchAgg) remains as the library-backed alternative.
     "q62_theta_setops" -> { (s, dir) =>
-      graft.functions.Sketches.register(s)
+      graft.functions.Kmv.register(s)
+      val k = 1024
       val sk = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          graft.llm.TextDedup.h60(col("l_partkey").cast(StringType)).as("h"))
         .groupBy(col("l_returnflag"))
-        .agg(expr("theta_sketch(l_partkey)").as("sk"))
-        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+        .agg(expr(s"kmv_sketch(h, $k)").as("sk"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
       val flags = sk.keys.toSeq.sorted
       val rows = for (a <- flags; b <- flags if a < b) yield
         (a, b,
-          math.round(graft.functions.Sketches.thetaEstimate(sk(a))),
-          math.round(graft.functions.Sketches.thetaIntersectEstimate(sk(a), sk(b))),
-          math.round(graft.functions.Sketches.thetaUnionEstimate(sk(a), sk(b))))
+          graft.functions.Kmv.estimate(sk(a), k),
+          graft.functions.Kmv.intersectEstimate(sk(a), sk(b), k),
+          graft.functions.Kmv.unionEstimate(sk(a), sk(b), k))
       import s.implicits._
       rows.toDF("flag_a", "flag_b", "est_a", "est_intersect", "est_union")
         .orderBy(col("flag_a"), col("flag_b"))
@@ -436,6 +442,62 @@ object ExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // KMV/bottom-k theta sketch mirror: same md5-derived 60-bit hash, same
+    // bottom-k sets, same IEEE-double estimator op order as graft.functions.Kmv
+    // (est = (k−1)·2^60 / h_k; intersection counts common hashes below
+    // θ = min(θa, θb); union ranks the merged distinct bottom-k sets).
+    "q62_theta_setops" ->
+      """WITH hs AS (
+           SELECT DISTINCT l_returnflag AS f,
+             CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM lineitem),
+         ranked AS (
+           SELECT f, h, row_number() OVER (PARTITION BY f ORDER BY h) AS rn,
+                  count(*) OVER (PARTITION BY f) AS cnt
+           FROM hs),
+         kept AS (SELECT * FROM ranked WHERE rn <= 1024),
+         st AS (
+           SELECT f, max(cnt) AS cnt,
+             CASE WHEN max(cnt) >= 1024 THEN max(CASE WHEN rn = 1024 THEN h END)
+                  ELSE 1152921504606846976 END AS th,
+             CASE WHEN max(cnt) < 1024 THEN CAST(max(cnt) AS DOUBLE)
+                  ELSE 1023.0 * pow(2.0, 60) / CAST(max(CASE WHEN rn = 1024 THEN h END) AS DOUBLE)
+             END AS est
+           FROM kept GROUP BY f),
+         pairs AS (
+           SELECT a.f AS flag_a, b.f AS flag_b, a.est AS est_a,
+                  least(a.th, b.th) AS th_min
+           FROM st a JOIN st b ON a.f < b.f),
+         common AS (
+           SELECT a.f AS fa, b.f AS fb, a.h
+           FROM kept a JOIN kept b ON b.h = a.h AND a.f < b.f),
+         inter AS (
+           SELECT p.flag_a, p.flag_b, count(c.h) AS common
+           FROM pairs p LEFT JOIN common c
+             ON c.fa = p.flag_a AND c.fb = p.flag_b AND c.h < p.th_min
+           GROUP BY p.flag_a, p.flag_b),
+         umh AS (
+           SELECT DISTINCT p.flag_a, p.flag_b, k2.h
+           FROM pairs p JOIN kept k2 ON k2.f IN (p.flag_a, p.flag_b)),
+         umd AS (
+           SELECT flag_a, flag_b, h,
+             row_number() OVER (PARTITION BY flag_a, flag_b ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY flag_a, flag_b) AS cnt
+           FROM umh),
+         uest AS (
+           SELECT flag_a, flag_b,
+             CASE WHEN max(cnt) < 1024 THEN CAST(max(cnt) AS DOUBLE)
+                  ELSE 1023.0 * pow(2.0, 60) / CAST(max(CASE WHEN rn = 1024 THEN h END) AS DOUBLE)
+             END AS est_union
+           FROM umd GROUP BY flag_a, flag_b)
+         SELECT p.flag_a, p.flag_b, p.est_a,
+           CAST(i.common AS DOUBLE) * pow(2.0, 60) / CAST(p.th_min AS DOUBLE) AS est_intersect,
+           u.est_union
+         FROM pairs p
+         JOIN inter i ON i.flag_a = p.flag_a AND i.flag_b = p.flag_b
+         JOIN uest u ON u.flag_a = p.flag_a AND u.flag_b = p.flag_b
+         ORDER BY p.flag_a, p.flag_b""",
+
     "q38_time_bucket" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
          COUNT(*) AS n,
