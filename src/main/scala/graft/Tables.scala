@@ -19,7 +19,22 @@ object Tables {
   /** Small dimension tables that should always be broadcast in joins. */
   val smallDims: Set[String] = Set("region", "nation", "supplier", "part", "customer")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Idempotent, warn-free registration of the graft function suite (the
+    * registry chokepoint: every query path loads tables through here). */
+  def ensureFunctions(spark: SparkSession): Unit =
+    if (!spark.sessionState.functionRegistry
+          .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sum128"))) {
+      graft.functions.ExactSum.register(spark)
+      graft.functions.DedupKernels.register(spark)
+      graft.functions.Kmv.register(spark)
+    }
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    ensureFunctions(spark)
+    tRaw(spark, dir, name)
+  }
+
+  private def tRaw(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // The events table stores ts as parquet TIMESTAMP(NANOS), which Spark's
       // vectorized reader rejects. Read nanos as long (legacy conf), then

@@ -123,30 +123,62 @@ object Advanced {
     * table and the persisted intermediate (persisted because the sorted
     * distinct-value table is consumed by TWO jobs: the offsets pass and the
     * rank pass) — the CALLER must unpersist it after its terminal action. */
+  private[graft] def profRankTable(df: DataFrame, c: String, out: String) =
+    doubledAvgRankTable(df, c, out)
+
   private[ops] def doubledAvgRankTable(df: DataFrame, c: String, out: String)
-      : (DataFrame, Dataset[(Double, Long)]) = {
+      : (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val sorted = df.select(col(c).cast(DoubleType).as("__v"))
+    // Persist the grouped (value, count) table FIRST: repartitionByRange
+    // SAMPLES its child for the range partitioner, so an un-persisted child
+    // would run the whole groupBy chain twice (sampling pass + shuffle pass).
+    // The count() both materializes the cache and gives the exact distinct
+    // cardinality, which picks the plan:
+    //  - small (≤ 1M values): single-task cumulate over the tiny cached
+    //    table + broadcast — no range machinery, and the rank-attach joins
+    //    downstream become shuffle-free broadcast joins;
+    //  - large: range-partitioned offsets path (the 100 TB shape), shuffle
+    //    join downstream (a broadcast would be O(n) on the driver).
+    val grouped = df.select(col(c).cast(DoubleType).as("__v"))
       .filter(col("__v").isNotNull)
       .groupBy(col("__v")).agg(count(lit(1)).as("__n"))
-      .repartitionByRange(parts, col("__v"))
-      .sortWithinPartitions(col("__v"))
       .as[(Double, Long)]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val partTotals = sorted.rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
-      }.collect().sortBy(_._1).map(_._2)
-    val offsets = partTotals.scanLeft(0L)(_ + _)
-    val bc = spark.sparkContext.broadcast(offsets)
-    val ranks = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var cum = bc.value(pid)
-      it.map { case (v, n) => val dr = 2 * cum + n + 1; cum += n; (v, dr) }
-    }.toDF("__v", out)
-    (ranks, sorted)
+    val distinctVals = grouped.count()
+    if (distinctVals <= SmallRankTableMaxEntries) {
+      val ranks = grouped.repartition(1).sortWithinPartitions(col("__v"))
+        .mapPartitions { it =>
+          var cum = 0L
+          it.map { case (v, n) => val dr = 2 * cum + n + 1; cum += n; (v, dr) }
+        }.toDF("__v", out)
+      (broadcast(ranks), () => { grouped.unpersist(); () })
+    } else {
+      val sorted = grouped
+        .repartitionByRange(parts, col("__v"))
+        .sortWithinPartitions(col("__v"))
+        .as[(Double, Long)]
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val partTotals = sorted.rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
+        }.collect().sortBy(_._1).map(_._2)
+      val offsets = partTotals.scanLeft(0L)(_ + _)
+      val bc = spark.sparkContext.broadcast(offsets)
+      val ranks = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var cum = bc.value(pid)
+        it.map { case (v, n) => val dr = 2 * cum + n + 1; cum += n; (v, dr) }
+      }.toDF("__v", out)
+      (ranks, () => { sorted.unpersist(); grouped.unpersist(); () })
+    }
   }
+
+  /** ≤ 100k (value, rank) entries ≈ 1.6 MB — single-task cumulate +
+    * broadcast territory (the join side stays shuffle-free and the cumulate
+    * is trivial); beyond this the range-partitioned distributed offsets path
+    * runs with a shuffle rank-attach join. */
+  private val SmallRankTableMaxEntries = 100000L
 
   /** correlation-table `:spearman` (reference math.clj:47-48,90-91): Pearson
     * over average ranks. Ranks are computed distributed (see
@@ -181,7 +213,7 @@ object Advanced {
     val rdf = ranked.select(cols.map(c => col(s"__r_$c").cast(DoubleType).as(c)): _*)
     // rank sums: sx floor-scale 4 is exact on integers; r² and r·r' at scale 0
     val out = correlationTable(rdf, cols, squareScale = cols.map(_ -> 0).toMap)
-    built.foreach(_._2.unpersist())  // correlationTable collect()s — safe now
+    built.foreach(_._2())  // cleanup: correlationTable collect()s — safe now
     out
   }
 

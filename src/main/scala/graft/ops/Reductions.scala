@@ -25,7 +25,20 @@ object Reductions {
   /** Exact sum of a (≤ `scale`-decimal) double column, returned as a
     * deterministic double. Reference: Kahan `sum` reductions.clj:107-113. */
   def dsum(c: Column, scale: Int = 4): Column =
+    call_function("graft_sum128", c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** The original Sum(Decimal)-based forms — executable spec for the Int128
+    * aggregate (ExactSumSpec pins sum128 == decimal-sum bit-exactly).
+    * Addend bound: |x| < 10^14 for the new compact-decimal form vs 10^26
+    * before — far above any column this engine aggregates; the 128-bit
+    * ACCUMULATOR is unbounded for practical purposes (~10^25 rows). */
+  private[graft] def dsumDecimal(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
+
+  private[graft] def isumDecimal(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    sum(floor(c * lit(p)).cast(DecimalType(30, 0))).cast(DoubleType) / lit(p)
+  }
 
   /** Deterministic mean via exact decimal sum / count.
     * Reference: `mean` reductions.clj:116-125. */
@@ -41,7 +54,8 @@ object Reductions {
     * data where the cast is exact. */
   def isum(c: Column, digits: Int): Column = {
     val p = math.pow(10, digits)
-    sum(floor(c * lit(p)).cast(DecimalType(30, 0))).cast(DoubleType) / lit(p)
+    call_function("graft_sum128", floor(c * lit(p)).cast(LongType), lit(0))
+      .cast(DoubleType) / lit(p)
   }
 
   /** Deterministic variance/stddev via exact sums of x and x² (products of

@@ -14,5 +14,8 @@ trait SparkSuite extends AnyFunSuite {
 
   val sfDir = "/root/testdata/sf0.001"
 
-  def init(): Unit = spark.sparkContext.setLogLevel("ERROR")
+  def init(): Unit = {
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.ensureFunctions(spark)
+  }
 }
