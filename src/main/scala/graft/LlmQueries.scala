@@ -128,6 +128,14 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Gopher-style repetition metrics: duplicate bigram/trigram fraction +
+    // most-common-bigram fraction per doc (the standard repetitious-text
+    // filters). n-gram identity is the md5 shingle hash — oracle-exact.
+    "q74_repetition" -> { (s, dir) =>
+      TextStats.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // cross-corpus decontamination: flag training docs sharing any verbatim
     // 3-word shingle with the held-out benchmark slice (doc_id % 97 == 0).
     "q73_decontaminate" -> { (s, dir) =>
@@ -446,6 +454,35 @@ object LlmQueries {
          FROM ex e JOIN bench b USING (h)
          WHERE e.doc_id % 97 <> 0
          GROUP BY e.doc_id HAVING COUNT(*) >= 1
-         ORDER BY e.doc_id"""
+         ORDER BY e.doc_id""",
+
+    // mirrors TextStats.repetitionMetrics: bigram/trigram md5-hash identity,
+    // duplicate fraction = 1 − distinct/total, top fraction = max bigram
+    // count / total (same double op order as the Spark side).
+    "q74_repetition" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         g2 AS (SELECT doc_id, CASE WHEN len(w) >= 2
+             THEN list_transform(range(len(w) - 1), i -> concat(w[i+1], ' ', w[i+2]))
+             ELSE [array_to_string(w, ' ')] END AS s FROM d),
+         g3 AS (SELECT doc_id, CASE WHEN len(w) >= 3
+             THEN list_transform(range(len(w) - 2), i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3]))
+             ELSE [array_to_string(w, ' ')] END AS s FROM d),
+         h2 AS (SELECT doc_id, list_transform(s,
+             g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)) AS h FROM g2),
+         h3 AS (SELECT doc_id, list_transform(s,
+             g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)) AS h FROM g3),
+         m2 AS (SELECT doc_id, CAST(len(h) AS BIGINT) AS n_bigrams,
+             1.0 - CAST(len(list_distinct(h)) AS DOUBLE) / CAST(len(h) AS DOUBLE) AS dup_bigram_frac
+           FROM h2),
+         m3 AS (SELECT doc_id,
+             1.0 - CAST(len(list_distinct(h)) AS DOUBLE) / CAST(len(h) AS DOUBLE) AS dup_trigram_frac
+           FROM h3),
+         cnt AS (SELECT doc_id, g, COUNT(*) AS c
+           FROM (SELECT doc_id, unnest(h) AS g FROM h2) GROUP BY doc_id, g),
+         top AS (SELECT doc_id, max(c) AS topc FROM cnt GROUP BY doc_id)
+         SELECT m2.doc_id, m2.n_bigrams, m2.dup_bigram_frac, m3.dup_trigram_frac,
+           CAST(top.topc AS DOUBLE) / CAST(m2.n_bigrams AS DOUBLE) AS top_bigram_frac
+         FROM m2 JOIN m3 USING (doc_id) JOIN top USING (doc_id)
+         ORDER BY m2.doc_id"""
   )
 }

@@ -100,4 +100,67 @@ object TextStats {
   def fingerprintSketch(text: Column, k: Int = 5, m: Int = 8): Column =
     slice(array_sort(transform(TextDedup.shingles(text, k),
       s => TextDedup.h28(s))), 1, m)
+
+  /** Gopher-style REPETITION metrics per document (Rae et al. 2021 §A1.1:
+    * duplicate n-gram fraction and most-common-n-gram fraction are the
+    * standard repetitious-text filters). n-gram identity = the md5-derived
+    * 60-bit shingle hash ([[TextDedup.shingleHashes]] kernel), so the whole
+    * computation is engine-portable (oracle q74). The top-bigram count goes
+    * through explode → two-level groupBy (map-side partial aggregation — the
+    * per-doc n-gram frequency table never materializes wholesale), the rest
+    * is array expressions.
+    *
+    * Returns (id, n_bigrams, dup_bigram_frac, dup_trigram_frac,
+    * top_bigram_frac); docs with < n tokens degrade to a single whole-text
+    * shingle (all fractions 0 — a short doc is not repetitious). */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.DedupKernels.register(df.sparkSession)
+    def dupFrac(h: Column): Column =
+      lit(1.0) - size(array_distinct(h)).cast(DoubleType) /
+        size(h).cast(DoubleType)
+    // persisted: the hash arrays feed both the per-doc metrics projection
+    // and the exploded top-bigram branch
+    val base = df.select(col(idCol),
+      TextDedup.shingleHashes(col(textCol), 2, 15).as("__h2"),
+      TextDedup.shingleHashes(col(textCol), 3, 15).as("__h3"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDoc = base.select(col(idCol),
+      size(col("__h2")).cast(LongType).as("n_bigrams"),
+      dupFrac(col("__h2")).as("dup_bigram_frac"),
+      dupFrac(col("__h3")).as("dup_trigram_frac"))
+    val top = base.select(col(idCol), explode(col("__h2")).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(max(col("__c")).as("__topc"))
+    perDoc.join(top, Seq(idCol))
+      .withColumn("top_bigram_frac",
+        col("__topc").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+      .drop("__topc")
+  }
+
+  /** PII redaction for training corpora: emails, IPv4 addresses, and
+    * phone-shaped digit runs replaced by typed placeholders. Patterns are
+    * deliberately RE2-compatible (no lookaround/backrefs) so the operator
+    * behaves identically on engines with either regex dialect. Email runs
+    * first (its local part would otherwise be nibbled by the phone rule),
+    * then IPv4 (dots are not phone chars, but the other order is still
+    * pinned by the spec), then phone. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d\\-() ]{6,}\\d"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Count of PII spans that [[redactPii]] would replace. */
+  def piiCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(regexp_replace(text, EmailRe, "<EMAIL>"),
+        lit(Ipv4Re), lit(0))) +
+      size(regexp_extract_all(
+        regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"), lit(PhoneRe), lit(0)))
 }

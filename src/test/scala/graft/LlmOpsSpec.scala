@@ -164,6 +164,41 @@ class LlmOpsSpec extends SparkSuite {
     assert(hits >= ivf.length / 2, s"IVF recall too low: $hits/${ivf.length}")
   }
 
+  test("repetition metrics: duplicate and top n-gram fractions") {
+    val d = Seq(
+      (1L, "a b a b a b"),            // bigrams: ab ba ab ba ab → 5 total, 2 distinct
+      (2L, "all words here differ"),  // no repeated bigrams
+      (3L, "one")                     // < 2 tokens → single whole-text shingle
+    ).toDF("doc_id", "text")
+    val m = TextStats.repetitionMetrics(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Long]("n_bigrams") == 5)
+    assert(m(1L).getAs[Double]("dup_bigram_frac") == 1.0 - 2.0 / 5.0)
+    assert(m(1L).getAs[Double]("top_bigram_frac") == 3.0 / 5.0)
+    assert(m(2L).getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(m(2L).getAs[Double]("top_bigram_frac") == 1.0 / 3.0)
+    assert(m(3L).getAs[Long]("n_bigrams") == 1)
+    assert(m(3L).getAs[Double]("dup_bigram_frac") == 0.0 &&
+      m(3L).getAs[Double]("dup_trigram_frac") == 0.0)
+  }
+
+  test("pii redaction: emails, ipv4, phones replaced with typed tokens") {
+    val d = Seq(
+      (1L, "mail alice.smith+x@corp-mail.example.org or call +1 (415) 555-0137 now"),
+      (2L, "server at 192.168.10.254 timed out"),
+      (3L, "no pii in this row at all"),
+      (4L, "a@b.io and 10.0.0.1 and 555-123-4567")
+    ).toDF("id", "text")
+    val out = d.select(col("id"), TextStats.redactPii(col("text")).as("r"),
+        TextStats.piiCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L)._1 == "mail <EMAIL> or call <PHONE> now")
+    assert(out(1L)._2 == 2)
+    assert(out(2L)._1 == "server at <IP> timed out" && out(2L)._2 == 1)
+    assert(out(3L)._1 == "no pii in this row at all" && out(3L)._2 == 0)
+    assert(out(4L)._1 == "<EMAIL> and <IP> and <PHONE>" && out(4L)._2 == 3)
+  }
+
   test("langId mechanism: marker words drive prediction") {
     val out = TextStats.withLangId(Seq(
       (1L, "der hund ist nicht mit der katze"),
