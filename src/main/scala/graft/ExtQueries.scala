@@ -163,9 +163,10 @@ object ExtQueries {
     // (component signs are implementation-defined).
     "q48_pca" -> { (s, dir) =>
       Ml.pcaProject(t(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), 2)
-        .withColumn("pc1", element_at(vector_to_array(col("pc")), 1))
-        .withColumn("pc2", element_at(vector_to_array(col("pc")), 2))
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), 2,
+        colScale = Map("l_extendedprice" -> 2))
+        .withColumn("pc1", element_at(col("pc"), 1))
+        .withColumn("pc2", element_at(col("pc"), 2))
         .selectColumns("l_orderkey", "l_linenumber", "pc1", "pc2")
         .orderBy(col("l_orderkey"), col("l_linenumber"))
         .limit(100)

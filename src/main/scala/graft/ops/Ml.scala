@@ -70,15 +70,67 @@ object Ml {
 
   /** PCA fit/transform via MLlib (reference neanderthal.clj:73-331 →
     * ml.feature.PCA). Output: `pc` vector column with k components. */
-  def pcaProject(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
-    import org.apache.spark.ml.feature.{PCA, VectorAssembler}
-    val assembled = new VectorAssembler()
-      .setInputCols(cols.toArray).setOutputCol("__features")
-      .setHandleInvalid("skip").transform(df)
-    val model = new PCA().setInputCol("__features").setOutputCol("pc")
-      .setK(k).fit(assembled)
-    model.transform(assembled).drop("__features")
+  /** Fitted PCA: top-k eigenvectors (rows of `components`, descending
+    * eigenvalue) of the population covariance matrix. Transform = pure column
+    * arithmetic (pc_j = Σ_i v_ji·x_i, the MLlib convention: RAW values
+    * projected, covariance computed about the mean) — no vector UDT, no UDF,
+    * stays in whole-stage codegen. */
+  case class PcaModel(cols: Seq[String], components: Array[Array[Double]],
+                      eigenvalues: Array[Double]) {
+    def transform(df: DataFrame): DataFrame =
+      df.withColumn("pc", array(components.map { v =>
+        cols.zip(v).map { case (c, w) => col(c).cast(DoubleType) * lit(w) }
+          .reduce(_ + _)
+      }.toIndexedSeq: _*))
   }
+
+  /** PCA fit from ONE exact-sum aggregation: all d means + d(d+1)/2 centered
+    * co-moments in a single Int128-sum pass (deterministic across partition
+    * counts — MLlib's treeAggregate covariance is float-order-dependent),
+    * then a driver-side eigendecomposition of the tiny d×d matrix
+    * (commons-math, the same library the reference leans on — reference
+    * math.clj). Eigenvectors are sorted by descending eigenvalue with a
+    * deterministic sign convention (largest-|component| entry positive).
+    * `colScale`: per-column floor-scale for the product sums (default 4;
+    * use 2 for columns whose pairwise products reach ~1e10). */
+  def fitPca(df: DataFrame, cols: Seq[String], k: Int,
+             colScale: Map[String, Int] = Map.empty): PcaModel = {
+    val d = cols.size
+    require(k >= 1 && k <= d, s"pca k must be in [1, $d], got $k")
+    def scaleOf(a: String, b: String): Int =
+      math.min(colScale.getOrElse(a, 4), colScale.getOrElse(b, 4))
+    val pairs = for (i <- 0 until d; j <- i until d) yield (i, j)
+    val aggs =
+      count(lit(1)).cast(DoubleType).as("__n") +:
+        (cols.map(c => isum(col(c), scaleOf(c, c)).as(s"__s_$c")) ++
+          pairs.map { case (i, j) =>
+            isum(col(cols(i)) * col(cols(j)), scaleOf(cols(i), cols(j)))
+              .as(s"__p_${i}_$j")
+          })
+    val row = df.na.drop(cols).agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getDouble(row.fieldIndex("__n"))
+    val s = cols.map(c => row.getDouble(row.fieldIndex(s"__s_$c"))).toArray
+    val cov = Array.ofDim[Double](d, d)
+    pairs.foreach { case (i, j) =>
+      val p = row.getDouble(row.fieldIndex(s"__p_${i}_$j"))
+      val c = (p - s(i) * s(j) / n) / n
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val eig = new org.apache.commons.math3.linear.EigenDecomposition(
+      new org.apache.commons.math3.linear.Array2DRowRealMatrix(cov))
+    val sorted = (0 until d).map(i => (eig.getRealEigenvalue(i),
+        eig.getEigenvector(i).toArray))
+      .sortBy(-_._1).take(k)
+    val comps = sorted.map { case (_, v) =>
+      val m = v.indices.maxBy(i => math.abs(v(i)))
+      if (v(m) < 0) v.map(-_) else v
+    }.toArray
+    PcaModel(cols, comps, sorted.map(_._1).toArray)
+  }
+
+  def pcaProject(df: DataFrame, cols: Seq[String], k: Int,
+                 colScale: Map[String, Int] = Map.empty): DataFrame =
+    fitPca(df, cols, k, colScale).transform(df)
 
   /** train-test-split (reference modelling.clj:90-120) — seeded, partition-
     * parallel (randomSplit, no global shuffle). */

@@ -193,4 +193,36 @@ class AdvancedSpec extends SparkSuite {
     assert(out.columns.contains("right.v") && out.columns.contains("v"))
     assert(out.count() == 1)
   }
+
+  test("pca: recovers dominant axis, components orthonormal, partition-invariant") {
+    import graft.ops.Ml
+    // y ≈ 2x (dominant direction (1,2)/√5), z independent small noise
+    val rows = (0 until 2000).map { i =>
+      val x = (i % 100).toDouble / 10.0
+      (i.toLong, x, 2.0 * x + ((i * 37) % 7).toDouble * 0.01,
+        ((i * 13) % 5).toDouble * 0.1)
+    }
+    val df = rows.toDF("id", "x", "y", "z")
+    val m = Ml.fitPca(df, Seq("x", "y", "z"), 3)
+    // orthonormal components
+    for (a <- m.components; b <- m.components) {
+      val dot = a.zip(b).map { case (p, q) => p * q }.sum
+      val expect = if (a eq b) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9, s"dot=$dot")
+    }
+    // first component ≈ (1,2,0)/√5 up to the sign convention
+    val v = m.components(0)
+    assert(math.abs(math.abs(v(1) / v(0)) - 2.0) < 0.05, v.toSeq.toString)
+    assert(math.abs(v(2)) < 0.05)
+    assert(m.eigenvalues(0) > m.eigenvalues(1))
+    // deterministic across partition counts (exact sums)
+    val m8 = Ml.fitPca(df.repartition(8), Seq("x", "y", "z"), 3)
+    assert(m.components.flatten.toSeq == m8.components.flatten.toSeq)
+    // transform matches the driver-side matrix multiply
+    val first = Ml.pcaProject(df, Seq("x", "y", "z"), 2)
+      .orderBy("id").select("pc").head().getSeq[Double](0)
+    val manual = m.components.take(2).map(c =>
+      c(0) * rows.head._2 + c(1) * rows.head._3 + c(2) * rows.head._4)
+    assert(first.zip(manual).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+  }
 }
