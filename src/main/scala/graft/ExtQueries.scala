@@ -22,9 +22,11 @@ object ExtQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.t(s, dir, name)
 
-  /** floor-scaled exact sum column (same contract as oracle side). */
+  /** floor-scaled exact sum column (same contract as oracle side; Int128
+    * codegen accumulator — identical values to the decimal form). */
   private def fsum(c: org.apache.spark.sql.Column, p: Double) =
-    sum(floor(c * lit(p)).cast(DecimalType(30, 0))).cast(DoubleType) / lit(p)
+    call_function("graft_sum128", floor(c * lit(p)).cast(LongType), lit(0))
+      .cast(DoubleType) / lit(p)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
