@@ -161,11 +161,15 @@ object ExtQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
-    // PCA projection (reference neanderthal.clj:73-331) — rows-only check
-    // (component signs are implementation-defined).
+    // PCA projection (reference neanderthal.clj:73-331). Oracle-exact: the
+    // fit is one exact-sum pass (Int128 sums → covariance by a fixed double
+    // formula) and the d=2 Jacobi eigendecomposition is a single closed-form
+    // rotation, so the DuckDB oracle recomputes components AND projections
+    // bit-for-bit. AdvancedSpec covers the d>2 path (orthonormality,
+    // partition invariance).
     "q48_pca" -> { (s, dir) =>
       Ml.pcaProject(t(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), 2,
+        Seq("l_quantity", "l_extendedprice"), 2,
         colScale = Map("l_extendedprice" -> 2))
         .withColumn("pc1", element_at(col("pc"), 1))
         .withColumn("pc2", element_at(col("pc"), 2))
@@ -227,10 +231,14 @@ object ExtQueries {
 
     // induction (reference dataset_api.clj:1402-1469): sequential compound
     // accumulation (decay + add — not window-expressible). Single-partition
-    // by design; rows-only.
+    // by design. Oracle-exact: the same mul-then-add IEEE op sequence is
+    // replayed by a DuckDB recursive CTE; the 1/10 keyspace subset keeps the
+    // oracle's O(n²) recursion affordable at sf0.01 (the Spark side is a
+    // linear scanLeft at any scale).
     "q54_induction" -> { (s, dir) =>
       import s.implicits._
       val orders = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
         .selectColumns("o_orderkey", "o_totalprice")
         .orderBy(col("o_orderkey")).as[OrderRow]
       Advanced.induction(orders, InductState(0L, 0.0)) { (acc, r) =>
@@ -445,6 +453,69 @@ object ExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Sequential induction mirror: a recursive CTE replays the identical
+    // s←s·0.999+x mul-then-add double sequence over the o_orderkey order
+    // (verified bitwise vs an out-of-engine IEEE reference). The list
+    // formulation avoids a per-iteration table join.
+    "q54_induction" ->
+      """WITH RECURSIVE base AS (
+           SELECT list(o_totalprice ORDER BY o_orderkey) AS xs,
+                  list(o_orderkey   ORDER BY o_orderkey) AS ks
+           FROM orders WHERE o_orderkey % 10 = 0),
+         r AS (
+           SELECT 0::BIGINT AS i, 0.0::DOUBLE AS running
+           UNION ALL
+           SELECT r.i + 1, r.running * 0.999 + base.xs[CAST(r.i AS INT) + 1]
+           FROM r, base WHERE r.i < len(base.xs))
+         SELECT base.ks[CAST(r.i AS INT)] AS o_orderkey, r.running
+         FROM r, base WHERE r.i > 0 ORDER BY o_orderkey""",
+
+    // PCA mirror (d=2): replays fitPca's exact op sequence — Int128 sums
+    // (DECIMAL(30,0) here), covariance (p - s_i*s_j/n)/n, ONE Jacobi rotation
+    // (tau → t → cos → sin; eigenpairs (a−t·b, (cos,−sin)) and
+    // (c+t·b, (sin,cos))), stable descending-eigenvalue sort, then the
+    // largest-|component|-positive sign flip, then raw-value projection.
+    "q48_pca" ->
+      """WITH st AS (
+           SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(FLOOR((l_quantity) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS s1,
+             CAST(SUM(CAST(FLOOR((l_extendedprice) * 100.0) AS DECIMAL(30,0))) AS DOUBLE) / 100.0 AS s2,
+             CAST(SUM(CAST(FLOOR((l_quantity * l_quantity) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS p11,
+             CAST(SUM(CAST(FLOOR((l_quantity * l_extendedprice) * 100.0) AS DECIMAL(30,0))) AS DOUBLE) / 100.0 AS p12,
+             CAST(SUM(CAST(FLOOR((l_extendedprice * l_extendedprice) * 100.0) AS DECIMAL(30,0))) AS DOUBLE) / 100.0 AS p22
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         cov AS (SELECT (p11 - s1*s1/n)/n AS ca, (p12 - s1*s2/n)/n AS cb,
+                        (p22 - s2*s2/n)/n AS cc FROM st),
+         r1 AS (SELECT *, CASE WHEN cb = 0 THEN 0.0 ELSE (cc - ca)/(2.0*cb) END AS tau FROM cov),
+         r2 AS (SELECT *, CASE WHEN cb = 0 THEN 0.0
+                               WHEN tau >= 0 THEN 1.0/(tau + sqrt(1.0 + tau*tau))
+                               ELSE 1.0/(tau - sqrt(1.0 + tau*tau)) END AS tt FROM r1),
+         r3 AS (SELECT *, 1.0/sqrt(1.0 + tt*tt) AS cs FROM r2),
+         r4 AS (SELECT *, tt*cs AS sn, ca - tt*cb AS l1, cc + tt*cb AS l2 FROM r3),
+         vecs AS (
+           SELECT CASE WHEN cb = 0 THEN ca ELSE l1 END AS lam,
+                  CASE WHEN cb = 0 THEN 1.0 ELSE cs END AS v0,
+                  CASE WHEN cb = 0 THEN 0.0 ELSE -sn END AS v1, 0 AS orig FROM r4
+           UNION ALL
+           SELECT CASE WHEN cb = 0 THEN cc ELSE l2 END,
+                  CASE WHEN cb = 0 THEN 0.0 ELSE sn END,
+                  CASE WHEN cb = 0 THEN 1.0 ELSE cs END, 1 FROM r4),
+         signed AS (SELECT lam, orig,
+           CASE WHEN (CASE WHEN abs(v0) >= abs(v1) THEN v0 ELSE v1 END) < 0 THEN -v0 ELSE v0 END AS w0,
+           CASE WHEN (CASE WHEN abs(v0) >= abs(v1) THEN v0 ELSE v1 END) < 0 THEN -v1 ELSE v1 END AS w1
+           FROM vecs),
+         ranked AS (SELECT w0, w1,
+                      row_number() OVER (ORDER BY lam DESC, orig) AS rk
+                    FROM signed)
+         SELECT l_orderkey, l_linenumber,
+           l_quantity * a.w0 + l_extendedprice * a.w1 AS pc1,
+           l_quantity * b.w0 + l_extendedprice * b.w1 AS pc2
+         FROM lineitem,
+           (SELECT w0, w1 FROM ranked WHERE rk = 1) a,
+           (SELECT w0, w1 FROM ranked WHERE rk = 2) b
+         ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+
     // KMV/bottom-k theta sketch mirror: same md5-derived 60-bit hash, same
     // bottom-k sets, same IEEE-double estimator op order as graft.functions.Kmv
     // (est = (k−1)·2^60 / h_k; intersection counts common hashes below

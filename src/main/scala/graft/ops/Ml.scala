@@ -87,12 +87,65 @@ object Ml {
   /** PCA fit from ONE exact-sum aggregation: all d means + d(d+1)/2 centered
     * co-moments in a single Int128-sum pass (deterministic across partition
     * counts — MLlib's treeAggregate covariance is float-order-dependent),
-    * then a driver-side eigendecomposition of the tiny d×d matrix
-    * (commons-math, the same library the reference leans on — reference
-    * math.clj). Eigenvectors are sorted by descending eigenvalue with a
-    * deterministic sign convention (largest-|component| entry positive).
+    * then a driver-side cyclic-Jacobi eigendecomposition of the tiny d×d
+    * matrix (deterministic op order — see jacobiEigen; reference math.clj
+    * delegates the same step to a library eigensolver). Eigenvectors are
+    * sorted by descending eigenvalue with a deterministic sign convention
+    * (largest-|component| entry positive, first index on ties).
     * `colScale`: per-column floor-scale for the product sums (default 4;
     * use 2 for columns whose pairwise products reach ~1e10). */
+  /** Deterministic cyclic-Jacobi eigendecomposition of a symmetric d×d
+    * matrix (driver-side; d = column count, so this is O(d³) on scalars, not
+    * data). Fixed row-major sweep order, explicit zeroing of each annihilated
+    * entry, relative-threshold skip for already-negligible entries. Every
+    * rotation is a fixed IEEE-double op sequence
+    * (tau → t → cos → sin → rank-2 update), so for d = 2 the whole
+    * decomposition is ONE closed-form rotation that an external engine can
+    * replay bit-for-bit — q48's DuckDB oracle does exactly that.
+    * Replaces commons-math's EigenDecomposition (QL with implicit shifts),
+    * whose op sequence is not practically mirrorable.
+    * Returns (eigenvalues, eigenvector matrix with vectors as COLUMNS). */
+  private[graft] def jacobiEigen(m0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = m0.length
+    val a = Array.tabulate(d, d)((i, j) => m0(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var rotating = true
+    while (rotating && sweep < 50) {
+      rotating = false
+      for (p <- 0 until d - 1; q <- p + 1 until d) {
+        val apq = a(p)(q)
+        if (apq != 0.0 &&
+            math.abs(apq) <= 1e-15 * (math.abs(a(p)(p)) + math.abs(a(q)(q)))) {
+          a(p)(q) = 0.0; a(q)(p) = 0.0 // negligible: converged for this pair
+        } else if (apq != 0.0) {
+          rotating = true
+          val tau = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+          val t = if (tau >= 0) 1.0 / (tau + math.sqrt(1.0 + tau * tau))
+                  else 1.0 / (tau - math.sqrt(1.0 + tau * tau))
+          val c = 1.0 / math.sqrt(1.0 + t * t)
+          val s = t * c
+          val app = a(p)(p) - t * apq
+          val aqq = a(q)(q) + t * apq
+          a(p)(p) = app; a(q)(q) = aqq; a(p)(q) = 0.0; a(q)(p) = 0.0
+          for (r <- 0 until d if r != p && r != q) {
+            val arp = a(r)(p); val arq = a(r)(q)
+            a(r)(p) = c * arp - s * arq; a(p)(r) = a(r)(p)
+            a(r)(q) = s * arp + c * arq; a(q)(r) = a(r)(q)
+          }
+          for (r <- 0 until d) {
+            val vrp = v(r)(p); val vrq = v(r)(q)
+            v(r)(p) = c * vrp - s * vrq
+            v(r)(q) = s * vrp + c * vrq
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
   def fitPca(df: DataFrame, cols: Seq[String], k: Int,
              colScale: Map[String, Int] = Map.empty): PcaModel = {
     val d = cols.size
@@ -116,10 +169,9 @@ object Ml {
       val c = (p - s(i) * s(j) / n) / n
       cov(i)(j) = c; cov(j)(i) = c
     }
-    val eig = new org.apache.commons.math3.linear.EigenDecomposition(
-      new org.apache.commons.math3.linear.Array2DRowRealMatrix(cov))
-    val sorted = (0 until d).map(i => (eig.getRealEigenvalue(i),
-        eig.getEigenvector(i).toArray))
+    val (evals, evecs) = jacobiEigen(cov)
+    val sorted = (0 until d).map(i => (evals(i),
+        Array.tabulate(d)(r => evecs(r)(i))))
       .sortBy(-_._1).take(k)
     val comps = sorted.map { case (_, v) =>
       val m = v.indices.maxBy(i => math.abs(v(i)))
