@@ -145,6 +145,35 @@ object LlmQueries {
         docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", shingleLen = 3)
         .orderBy(col("doc_id"))
+    },
+
+    // GPT-style sequence packing: concat docs in doc_id order, chunk into
+    // 2048-token training sequences; per-doc token offset + sequence range.
+    // Distributed prefix sum (no single-task window) — all integer math.
+    "q75_seq_pack" -> { (s, dir) =>
+      SeqPack.packSequences(
+        t(s, dir, "documents").selectColumns("doc_id", "text"),
+        Seq(col("doc_id")), TextStats.tokenCount(col("text")), 2048)
+        .selectColumns("doc_id", "n_tokens", "token_start", "first_seq",
+          "last_seq", "n_seqs")
+        .orderBy(col("doc_id"))
+    },
+
+    // domain-mixture resampling (Pile/DoReMi-style domain weights): per-lang
+    // epoch rates in basis points; md5-keyed fractional keeps; up-sampled
+    // domains emit copy_id epochs. Aggregated per lang for the check.
+    "q76_domain_mix" -> { (s, dir) =>
+      DomainMix.sampleByDomain(
+        t(s, dir, "documents").selectColumns("doc_id", "lang", "n_chars"),
+        col("lang"),
+        Map("en" -> 15000, "de" -> 10000, "fr" -> 5000, "es" -> 2500),
+        defaultBp = 12500, keyCols = Seq(col("doc_id")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          max(col("copy_id")).as("max_copy"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -483,6 +512,50 @@ object LlmQueries {
          SELECT m2.doc_id, m2.n_bigrams, m2.dup_bigram_frac, m3.dup_trigram_frac,
            CAST(top.topc AS DOUBLE) / CAST(m2.n_bigrams AS DOUBLE) AS top_bigram_frac
          FROM m2 JOIN m3 USING (doc_id) JOIN top USING (doc_id)
-         ORDER BY m2.doc_id"""
+         ORDER BY m2.doc_id""",
+
+    // mirrors SeqPack.packSequences: same whitespace token count as q26, an
+    // exclusive window prefix sum, and integer chunk arithmetic.
+    "q75_seq_pack" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(COALESCE(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END, 0) AS BIGINT) AS n_tokens
+           FROM documents),
+         p AS (
+           SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
+           FROM d)
+         SELECT doc_id, n_tokens, token_start,
+           CAST(FLOOR(token_start / 2048) AS BIGINT) AS first_seq,
+           CASE WHEN n_tokens = 0 THEN CAST(FLOOR(token_start / 2048) AS BIGINT)
+                ELSE CAST(FLOOR((token_start + n_tokens - 1) / 2048) AS BIGINT) END AS last_seq,
+           CASE WHEN n_tokens = 0 THEN CAST(FLOOR(token_start / 2048) AS BIGINT)
+                ELSE CAST(FLOOR((token_start + n_tokens - 1) / 2048) AS BIGINT) END
+             - CAST(FLOOR(token_start / 2048) AS BIGINT) + 1 AS n_seqs
+         FROM p ORDER BY doc_id""",
+
+    // mirrors DomainMix.sampleByDomain: same md5 basis-point uniform, same
+    // full-epoch + fractional-keep split, copies expanded by generate_series.
+    "q76_domain_mix" ->
+      """WITH r AS (
+           SELECT doc_id, lang, n_chars,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS u,
+             CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 1 WHEN 'fr' THEN 0
+                       WHEN 'es' THEN 0 ELSE 1 END AS full_epochs,
+             CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 0 WHEN 'fr' THEN 5000
+                       WHEN 'es' THEN 2500 ELSE 2500 END AS frac_bp
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, n_chars,
+             full_epochs + CASE WHEN u < frac_bp THEN 1 ELSE 0 END AS n_copies
+           FROM r),
+         x AS (
+           SELECT doc_id, lang, n_chars, unnest(generate_series(0, n_copies - 1)) AS copy_id
+           FROM c WHERE n_copies > 0)
+         SELECT lang, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars, CAST(MAX(copy_id) AS BIGINT) AS max_copy
+         FROM x GROUP BY lang ORDER BY lang"""
   )
 }

@@ -1,0 +1,62 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
+
+/** GPT-style sequence packing for training-data pipelines: documents are
+  * concatenated in a named total order and chunked into fixed-length token
+  * sequences (the standard "concatenate, then split every L tokens" packing
+  * used to build LLM training batches). Each document learns its global
+  * token offset and the range of training sequences it lands in — the
+  * mapping a packing loader needs to locate any document's tokens.
+  *
+  * Scale: the global prefix sum is computed WITHOUT a single-task window.
+  * `orderBy` range-partitions on the order key; one per-partition pass
+  * produces partition token totals (O(partitions) rows to the driver), whose
+  * running offsets are handed back into a second per-partition pass that
+  * attaches each row's exclusive prefix. Same two-pass shape as
+  * `TableOps.withRowIndexDistributed`; the sorted input is persisted so both
+  * passes see the identical partitioning (the range partitioner samples, so
+  * re-running the sort could repartition differently).
+  */
+object SeqPack {
+
+  /** Exclusive global prefix sum of `valueCol` (LongType, null→0) over the
+    * total order `order`, attached as `name`. */
+  def withPrefixSum(df: DataFrame, order: Seq[Column], valueCol: String,
+                    name: String = "prefix_sum"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(order: _*).persist(StorageLevel.MEMORY_AND_DISK)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    def v(r: Row): Long = if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
+    val partSums = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(r => s += v(r)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val schema = sorted.schema.add(name, LongType, nullable = false)
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = offsets(i)
+      it.map { r => val out = Row.fromSeq(r.toSeq :+ s); s += v(r); out }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Pack rows into `seqLen`-token training sequences along `order`.
+    * Adds: `n_tokens` (from `tokens`, null→0), `token_start` (global
+    * exclusive prefix), `first_seq`/`last_seq` (training-sequence ids this
+    * document's tokens straddle; empty docs get first_seq on both), and
+    * `n_seqs`. All integer arithmetic — engine-portable and oracle-exact. */
+  def packSequences(df: DataFrame, order: Seq[Column], tokens: Column,
+                    seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val withTok = df.withColumn("n_tokens", coalesce(tokens.cast(LongType), lit(0L)))
+    withPrefixSum(withTok, order, "n_tokens", "token_start")
+      .withColumn("first_seq", floor(col("token_start") / seqLen))
+      .withColumn("last_seq",
+        when(col("n_tokens") === 0, col("first_seq"))
+          .otherwise(floor((col("token_start") + col("n_tokens") - 1) / seqLen)))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
+  }
+}

@@ -207,4 +207,53 @@ class LlmOpsSpec extends SparkSuite {
     assert(out(1L) == "de")
     assert(out(2L) == "en")
   }
+
+  test("seqPack: contiguous offsets, chunk math, partition-invariant") {
+    val d = (0L until 200L).map(i => (i, ("tok " * (i % 37 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SeqPack.packSequences(df, Seq(col("doc_id")),
+          TextStats.tokenCount(col("text")), seqLen = 64)
+        .select("doc_id", "n_tokens", "token_start", "first_seq", "last_seq", "n_seqs")
+        .orderBy("doc_id").collect()
+    val out = run(d)
+    // offsets are the exclusive prefix sum in doc_id order
+    var expect = 0L
+    out.foreach { r =>
+      assert(r.getAs[Long]("token_start") == expect, r.toString)
+      expect += r.getAs[Long]("n_tokens")
+      val (s0, s1, n) = (r.getAs[Long]("first_seq"), r.getAs[Long]("last_seq"),
+        r.getAs[Long]("n_tokens"))
+      assert(s0 == r.getAs[Long]("token_start") / 64)
+      if (n > 0) assert(s1 == (r.getAs[Long]("token_start") + n - 1) / 64)
+      assert(r.getAs[Long]("n_seqs") == s1 - s0 + 1)
+    }
+    // identical under a different input partitioning (distributed prefix sum)
+    assert(run(d.repartition(8)).map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
+  test("domainMix: epoch semantics, determinism, zero-rate drop") {
+    val d = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "keepall" else if (i % 4 == 1) "half" else "drop"))
+      .toDF("id", "domain")
+    val out = DomainMix.sampleByDomain(d, col("domain"),
+      Map("keepall" -> 20000, "half" -> 5000, "drop" -> 0),
+      defaultBp = 10000, keyCols = Seq(col("id")))
+    val byDomain = out.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain("keepall") == 400L) // exactly 2 epochs of 200 docs
+    assert(!byDomain.contains("drop"))
+    val half = byDomain("half")
+    assert(half > 20 && half < 80, s"half-rate kept $half of 100")
+    // copy_id enumerates epochs
+    val copies = out.filter(col("domain") === "keepall")
+      .groupBy("id").agg(collect_set(col("copy_id")).as("c")).collect()
+    assert(copies.forall(_.getSeq[Long](1).toSet == Set(0L, 1L)))
+    // pure function of the data: identical on rerun and repartition
+    val out2 = DomainMix.sampleByDomain(d.repartition(7), col("domain"),
+      Map("keepall" -> 20000, "half" -> 5000, "drop" -> 0),
+      defaultBp = 10000, keyCols = Seq(col("id")))
+    assert(out2.orderBy("id", "copy_id").collect().map(_.toSeq).toSeq ==
+      out.orderBy("id", "copy_id").collect().map(_.toSeq).toSeq)
+  }
 }
