@@ -295,10 +295,13 @@ object ExtQueries {
     },
 
     // IVF ANN (k-means coarse quantizer — the FAISS-style scale path).
+    // Portable deterministic fit (md5 init, fixed-order distance folds,
+    // exact-sum centroid updates, fixed iterations) → DuckDB-oracle-exact;
+    // the MLlib fit remains as Similarity.ivfTopK (recall spec).
     "q61_ivf_ann" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      graft.llm.Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 3,
-        nCentroids = 10, nProbe = 3)
+      graft.llm.Similarity.ivfTopKPortable(emb.filter(col("vec_id") < 10), emb,
+        3, nCentroids = 10, nProbe = 3, iters = 2)
         .orderBy(col("query_id"), col("rank"))
     },
 
@@ -452,7 +455,80 @@ object ExtQueries {
     }
   )
 
+  /** DuckDB mirror of Similarity.kmeansPortable + ivfTopKPortable: same md5
+    * bottom-k init, the same left-to-right (x−c)² folds (list_reduce; ties to
+    * the lower centroid index), the same floor-scaled exact-sum centroid
+    * updates, `iters` unrolled iterations, then probe + exact-cosine ranking
+    * (the q31 norm/dot mirror restricted to probed lists). */
+  private def ivfOracle(nCent: Int, nProbe: Int, k: Int, iters: Int,
+                        dim: Int, queryPred: String): String = {
+    def dist(e: String, c: String) =
+      s"list_reduce(list_transform(list_zip($e, $c), s -> (s[1]-s[2])*(s[1]-s[2])), (a,b) -> a+b)"
+    def iteration(i: Int): String = {
+      val prev = s"c${i - 1}"
+      s"""a$i AS (SELECT id, emb, centroid FROM (
+           SELECT v.id, v.emb, c.centroid,
+             row_number() OVER (PARTITION BY v.id
+               ORDER BY ${dist("v.emb", "c.cent")}, c.centroid) AS rn
+           FROM v, $prev c) WHERE rn = 1),
+         u$i AS (SELECT centroid, i AS pos,
+             (CAST(SUM(CAST(FLOOR(emb[i+1] * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0)
+               / CAST(COUNT(*) AS DOUBLE) AS cd
+           FROM a$i CROSS JOIN range(0, $dim) t(i) GROUP BY 1, 2),
+         c$i AS (SELECT c.centroid, COALESCE(u.cent, c.cent) AS cent
+           FROM $prev c LEFT JOIN (SELECT centroid, list(cd ORDER BY pos) AS cent
+             FROM u$i GROUP BY centroid) u USING (centroid)),"""
+    }
+    val cf = s"c$iters"
+    s"""WITH v AS (SELECT vec_id AS id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         FROM embeddings),
+       c0 AS (SELECT row_number() OVER (ORDER BY h, id) - 1 AS centroid, emb AS cent
+         FROM (SELECT id, emb,
+             CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM v)
+         ORDER BY h, id LIMIT $nCent),
+       ${(1 to iters).map(iteration).mkString("\n")}
+       ca AS (SELECT id AS corpus_id, centroid FROM (
+           SELECT v.id, c.centroid,
+             row_number() OVER (PARTITION BY v.id
+               ORDER BY ${dist("v.emb", "c.cent")}, c.centroid) AS rn
+           FROM v, $cf c) WHERE rn = 1),
+       pr AS (SELECT id AS query_id, centroid FROM (
+           SELECT v.id, c.centroid,
+             row_number() OVER (PARTITION BY v.id
+               ORDER BY ${dist("v.emb", "c.cent")}, c.centroid) AS rn
+           FROM v, $cf c WHERE $queryPred) WHERE rn <= $nProbe),
+       cand AS (SELECT pr.query_id, ca.corpus_id
+         FROM pr JOIN ca USING (centroid) WHERE ca.corpus_id <> pr.query_id),
+       n AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR(
+             CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE) * 1e12)
+             AS DECIMAL(30,0))) AS DOUBLE) / 1e12) AS nrm
+           FROM embeddings CROSS JOIN range(0, $dim) t(i) GROUP BY 1),
+       dots AS (SELECT cand.query_id, cand.corpus_id,
+             CAST(SUM(CAST(FLOOR(
+               CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE) * 1e12)
+               AS DECIMAL(30,0))) AS DOUBLE) / 1e12 AS dot
+           FROM cand
+           JOIN embeddings q ON q.vec_id = cand.query_id
+           JOIN embeddings c ON c.vec_id = cand.corpus_id
+           CROSS JOIN range(0, $dim) t(i)
+           GROUP BY 1, 2),
+       scored AS (SELECT query_id, corpus_id,
+             dot / (nq.nrm * nc.nrm) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dot / (nq.nrm * nc.nrm) DESC, corpus_id ASC) AS rank
+           FROM dots
+           JOIN n nq ON nq.vec_id = query_id
+           JOIN n nc ON nc.vec_id = corpus_id)
+       SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank
+       FROM scored WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q61_ivf_ann" -> ivfOracle(nCent = 10, nProbe = 3, k = 3, iters = 2,
+      dim = 64, queryPred = "v.id < 10"),
+
     // Sequential induction mirror: a recursive CTE replays the identical
     // s←s·0.999+x mul-then-add double sequence over the o_orderkey order
     // (verified bitwise vs an out-of-engine IEEE reference). The list

@@ -223,4 +223,113 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Squared L2 distance to a LITERAL centroid, folded left-to-right over
+    * dims in IEEE doubles — a fixed op sequence any engine can replay. */
+  private def sqDistLit(emb: Column, c: Array[Double]): Column =
+    aggregate(
+      zip_with(emb, array(c.toIndexedSeq.map(lit): _*), (x, y) =>
+        (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+      lit(0.0), (a, v) => a + v)
+
+  /** Centroid ids sorted by (distance, id): an array of [dist, id] pairs
+    * sorted lexicographically (Spark orders nested arrays element-wise, and
+    * the ids 0..k−1 are exact as doubles), then the id slot extracted.
+    * Element 0 = the assignment (argmin with ties to the lower id); a prefix
+    * = a probe list. Name-free nested arrays (struct field names do not
+    * survive least/array type coercion). */
+  private def centroidsByDist(emb: Column, cents: Seq[(Int, Array[Double])]): Column =
+    transform(
+      array_sort(array(cents.map { case (ci, arr) =>
+        array(sqDistLit(emb, arr), lit(ci.toDouble))
+      }: _*)),
+      a => a.getItem(1).cast(IntegerType))
+
+  /** Deterministic, engine-portable k-means coarse quantizer — the fit step
+    * of [[ivfTopKPortable]]. Every step is a pure function of the data, so
+    * the fit reproduces bit-for-bit on any partitioning, cluster size, or
+    * engine (q61's DuckDB oracle replays it):
+    *  - init: the `nCentroids` corpus vectors with the smallest
+    *    (md5(id), id) — a seedless reproducible "random" pick;
+    *  - assignment: [[sqDistLit]] distances, ties to the lower centroid
+    *    index (via a struct `least`, all inside codegen — the centroids are
+    *    driver-side literals, so assignment needs NO join and NO shuffle);
+    *  - update: per-dim exact Int128 sums of floor(x·10⁶) (order-independent)
+    *    through the fixed (sum/10⁶)/n double sequence; empty clusters keep
+    *    their center;
+    *  - a FIXED iteration count (no data-dependent stop).
+    * Per iteration: one aggregation shuffling nCentroids·dim partial sums,
+    * O(nCentroids·dim) scalars to the driver. MLlib's KMeans ([[ivfTopK]])
+    * remains the library alternative; its float-merge-order dependence is
+    * why it cannot be oracle-checked. */
+  def kmeansPortable(corpus: DataFrame, nCentroids: Int, iters: Int,
+                     idCol: String = "vec_id",
+                     embCol: String = "embedding"): Seq[(Int, Array[Double])] = {
+    require(nCentroids >= 1 && iters >= 0)
+    val v = corpus.select(col(idCol).cast(LongType).as("id"),
+        col(embCol).cast("array<double>").as("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents: Seq[(Int, Array[Double])] =
+      v.withColumn("h", TextDedup.h60(col("id").cast(StringType)))
+        .orderBy(col("h"), col("id")).limit(nCentroids)
+        .select(col("emb")).collect().toSeq
+        .map(_.getSeq[Double](0).toArray).zipWithIndex.map(_.swap)
+    for (_ <- 1 to iters) {
+      val assignExpr = centroidsByDist(col("emb"), cents).getItem(0)
+      val sums = v.select(assignExpr.as("centroid"),
+          posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy(col("centroid"), col("pos"))
+        .agg(graft.ops.Reductions.isum(col("x"), 6).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCent = sums.groupBy(_.getAs[Int]("centroid"))
+      cents = cents.map { case (ci, old) =>
+        byCent.get(ci) match {
+          case None => (ci, old)
+          case Some(rows) =>
+            val n = rows.head.getAs[Long]("n").toDouble
+            val arr = old.clone()
+            rows.foreach(r => arr(r.getAs[Int]("pos")) = r.getAs[Double]("s") / n)
+            (ci, arr)
+        }
+      }
+    }
+    v.unpersist()
+    cents
+  }
+
+  /** IVF ANN with the portable quantizer: queries probe their `nProbe`
+    * nearest centroids (same fixed-order distance fold, ties to lower
+    * index), candidates are the corpus vectors assigned to those lists,
+    * ranked by exact cosine. Same plan shape as [[ivfTopK]] — corpus
+    * shuffles once on the centroid id; the probe table is tiny — but
+    * bit-for-bit reproducible, so q61 is DuckDB-oracle-checked. */
+  def ivfTopKPortable(queries: DataFrame, corpus: DataFrame, k: Int,
+                      nCentroids: Int = 16, nProbe: Int = 3, iters: Int = 2,
+                      idCol: String = "vec_id",
+                      embCol: String = "embedding"): DataFrame = {
+    val cents = kmeansPortable(corpus, nCentroids, iters, idCol, embCol)
+    val c = corpus.select(col(idCol).cast(LongType).as("corpus_id"),
+        col(embCol).as("c_emb"))
+      .withColumn("emb", col("c_emb").cast("array<double>"))
+      .withColumn("centroid", centroidsByDist(col("emb"), cents).getItem(0))
+      .drop("emb")
+      .withColumn("c_norm", normExact(col("c_emb")))
+    val q = queries.select(col(idCol).cast(LongType).as("query_id"),
+        col(embCol).as("q_emb"))
+      .withColumn("emb", col("q_emb").cast("array<double>"))
+      .withColumn("centroid",
+        explode(slice(centroidsByDist(col("emb"), cents), 1, nProbe)))
+      .drop("emb")
+      .withColumn("q_norm", normExact(col("q_emb")))
+    val scored = q.join(c, Seq("centroid"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine",
+        safeCosine(dotExact(col("q_emb"), col("c_emb")), col("q_norm"), col("c_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+  }
 }

@@ -164,6 +164,25 @@ class LlmOpsSpec extends SparkSuite {
     assert(hits >= ivf.length / 2, s"IVF recall too low: $hits/${ivf.length}")
   }
 
+  test("portable ivf: deterministic fit, partition-invariant, sane recall") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val a = Similarity.ivfTopKPortable(q, emb, 3, nCentroids = 8, nProbe = 3,
+      iters = 2).orderBy("query_id", "rank").collect()
+    // identical under a different corpus partitioning: md5 init + exact-sum
+    // centroid updates + fixed-order distance folds are partition-free
+    val b = Similarity.ivfTopKPortable(q, emb.repartition(8), 3,
+      nCentroids = 8, nProbe = 3, iters = 2)
+      .orderBy("query_id", "rank").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val brute = Similarity.bruteForceTopK(q, emb, 10).select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val top1 = a.filter(_.getAs[Int]("rank") == 1)
+    val hits = top1.count(r => brute.contains(
+      (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))))
+    assert(hits >= top1.length / 2, s"portable IVF recall too low: $hits/${top1.length}")
+  }
+
   test("repetition metrics: duplicate and top n-gram fractions") {
     val d = Seq(
       (1L, "a b a b a b"),            // bigrams: ab ba ab ba ab → 5 total, 2 distinct
