@@ -224,26 +224,37 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
-  /** Squared L2 distance to a LITERAL centroid, folded left-to-right over
-    * dims in IEEE doubles — a fixed op sequence any engine can replay. */
-  private def sqDistLit(emb: Column, c: Array[Double]): Column =
+  /** Squared L2 distance between two double-array columns, folded
+    * left-to-right over dims in IEEE doubles — a fixed op sequence any
+    * engine can replay (the centroid side arrives via a broadcast join of
+    * the tiny centroid table; embedding the centroids as literal arrays
+    * instead produced megabyte codegen functions that took seconds to
+    * compile per job). */
+  private def sqDist(emb: Column, cent: Column): Column =
     aggregate(
-      zip_with(emb, array(c.toIndexedSeq.map(lit): _*), (x, y) =>
+      zip_with(emb, cent, (x, y) =>
         (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
       lit(0.0), (a, v) => a + v)
 
-  /** Centroid ids sorted by (distance, id): an array of [dist, id] pairs
-    * sorted lexicographically (Spark orders nested arrays element-wise, and
-    * the ids 0..k−1 are exact as doubles), then the id slot extracted.
-    * Element 0 = the assignment (argmin with ties to the lower id); a prefix
-    * = a probe list. Name-free nested arrays (struct field names do not
-    * survive least/array type coercion). */
-  private def centroidsByDist(emb: Column, cents: Seq[(Int, Array[Double])]): Column =
-    transform(
-      array_sort(array(cents.map { case (ci, arr) =>
-        array(sqDistLit(emb, arr), lit(ci.toDouble))
-      }: _*)),
-      a => a.getItem(1).cast(IntegerType))
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+                            cents: Seq[(Int, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.map { case (ci, a) => (ci, a.toSeq) }.toDF("centroid", "cent_vec")
+  }
+
+  /** (id, emb → assigned centroid) for every vector in `v(id, emb)`:
+    * broadcast the centroid table, one map-side-combinable min(struct)
+    * aggregation — argmin distance with ties to the lower centroid index.
+    * `emb` rides the same shuffle (first per id) so callers need no join
+    * back to the corpus. */
+  private def assignCentroids(v: DataFrame,
+                              centDf: DataFrame): DataFrame =
+    v.crossJoin(broadcast(centDf))
+      .withColumn("dc", struct(sqDist(col("emb"), col("cent_vec")).as("d"),
+        col("centroid").as("c")))
+      .groupBy(col("id"))
+      .agg(min(col("dc")).as("m"), first(col("emb")).as("emb"))
+      .select(col("id"), col("m").getField("c").as("centroid"), col("emb"))
 
   /** Deterministic, engine-portable k-means coarse quantizer — the fit step
     * of [[ivfTopKPortable]]. Every step is a pure function of the data, so
@@ -275,9 +286,9 @@ object Similarity {
         .select(col("emb")).collect().toSeq
         .map(_.getSeq[Double](0).toArray).zipWithIndex.map(_.swap)
     for (_ <- 1 to iters) {
-      val assignExpr = centroidsByDist(col("emb"), cents).getItem(0)
-      val sums = v.select(assignExpr.as("centroid"),
-          posexplode(col("emb")).as(Seq("pos", "x")))
+      val centDf = centroidFrame(corpus.sparkSession, cents)
+      val sums = assignCentroids(v, centDf)
+        .select(col("centroid"), posexplode(col("emb")).as(Seq("pos", "x")))
         .groupBy(col("centroid"), col("pos"))
         .agg(graft.ops.Reductions.isum(col("x"), 6).as("s"),
           count(lit(1)).as("n"))
@@ -309,18 +320,27 @@ object Similarity {
                       idCol: String = "vec_id",
                       embCol: String = "embedding"): DataFrame = {
     val cents = kmeansPortable(corpus, nCentroids, iters, idCol, embCol)
+    val centDf = centroidFrame(corpus.sparkSession, cents)
+    val cv = corpus.select(col(idCol).cast(LongType).as("id"),
+      col(embCol).cast("array<double>").as("emb"))
     val c = corpus.select(col(idCol).cast(LongType).as("corpus_id"),
         col(embCol).as("c_emb"))
-      .withColumn("emb", col("c_emb").cast("array<double>"))
-      .withColumn("centroid", centroidsByDist(col("emb"), cents).getItem(0))
-      .drop("emb")
+      .join(assignCentroids(cv, centDf).drop("emb")
+        .withColumnRenamed("id", "corpus_id"), "corpus_id")
       .withColumn("c_norm", normExact(col("c_emb")))
+    // probe lists: nProbe nearest centroids per query (ties → lower index)
+    val qv = queries.select(col(idCol).cast(LongType).as("id"),
+      col(embCol).cast("array<double>").as("emb"))
+    val wp = Window.partitionBy(col("id"))
+      .orderBy(col("d").asc, col("centroid").asc)
+    val probes = qv.crossJoin(broadcast(centDf))
+      .withColumn("d", sqDist(col("emb"), col("cent_vec")))
+      .withColumn("__pr", row_number().over(wp))
+      .filter(col("__pr") <= nProbe)
+      .select(col("id").as("query_id"), col("centroid"))
     val q = queries.select(col(idCol).cast(LongType).as("query_id"),
         col(embCol).as("q_emb"))
-      .withColumn("emb", col("q_emb").cast("array<double>"))
-      .withColumn("centroid",
-        explode(slice(centroidsByDist(col("emb"), cents), 1, nProbe)))
-      .drop("emb")
+      .join(probes, "query_id")
       .withColumn("q_norm", normExact(col("q_emb")))
     val scored = q.join(c, Seq("centroid"))
       .filter(col("query_id") =!= col("corpus_id"))
