@@ -305,6 +305,26 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // point-in-interval join (parity-plus — SURVEY §2.3 theta/interval row):
+    // binned equi-join + post-filter (Spark's native plan for the raw range
+    // condition is a nested-loop join). Lineitem ship days against 7-day
+    // order windows; integer day arithmetic — oracle = plain non-equi join.
+    "q77_interval_join" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01")).as("ship_day"),
+        col("l_quantity"))
+      val iv = t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("start_day"))
+        .withColumn("end_day", col("start_day") + lit(7))
+      Joins.pointInIntervalJoin(li, iv, col("ship_day"), col("start_day"),
+          col("end_day"), binWidth = 7)
+        .groupBy(col("o_orderkey"), col("start_day"))
+        .agg(count(lit(1)).as("n_shipped"),
+          Reductions.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // theta-sketch distinct with downstream SET OPERATIONS on the sketches
     // (reference theta support): per-flag partkey KMV/bottom-k theta sketches
     // → pairwise intersection/union estimates. The KMV formulation (md5-derived
@@ -591,6 +611,20 @@ object ExtQueries {
            (SELECT w0, w1 FROM ranked WHERE rk = 1) a,
            (SELECT w0, w1 FROM ranked WHERE rk = 2) b
          ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+
+    // interval-join mirror: DuckDB runs the raw non-equi range join (its
+    // IEJoin); the binned Spark plan must produce the identical match set.
+    "q77_interval_join" ->
+      """SELECT o.o_orderkey, o.start_day, COUNT(*) AS n_shipped,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
+         FROM (SELECT o_orderkey,
+                 CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT) AS start_day
+               FROM orders WHERE o_orderkey % 100 = 0) o
+         JOIN (SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS INT) AS ship_day,
+                 l_quantity
+               FROM lineitem) l
+           ON l.ship_day >= o.start_day AND l.ship_day < o.start_day + 7
+         GROUP BY 1, 2 ORDER BY 1""",
 
     // KMV/bottom-k theta sketch mirror: same md5-derived 60-bit hash, same
     // bottom-k sets, same IEEE-double estimator op order as graft.functions.Kmv

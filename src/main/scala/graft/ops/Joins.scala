@@ -239,4 +239,38 @@ object Joins {
       when(useB, col("__b")).otherwise(col("__f")))
     unpackPayload(resolved.filter(col("__side") === 1), left, payload, "__pc")
   }
+
+  /** Point-in-interval join (parity-plus: SURVEY §2.3 "theta/interval joins"
+    * — absent in the reference; Spark accepts the raw non-equi condition but
+    * plans it as a (Broadcast)NestedLoopJoin, O(|P|·|I|) comparisons).
+    *
+    * This is the binned reformulation that scales: every interval is
+    * replicated into the fixed-width bins it overlaps
+    * (`explode(sequence(...))`), every point hashes to its one bin, and the
+    * range predicate runs AFTER an ordinary equi shuffle join on
+    * (keys, bin). Cost: one shuffle of |P| + |I|·(len/binWidth + 1) rows —
+    * choose `binWidth` near the typical interval length to keep the
+    * replication factor O(1). Matches use `start <= point < end` (end
+    * exclusive); empty intervals (end <= start) match nothing. Column names
+    * must be disjoint across the two inputs (select/rename first).
+    */
+  def pointInIntervalJoin(points: DataFrame, intervals: DataFrame,
+                          point: Column, start: Column, end: Column,
+                          binWidth: Long,
+                          pointKeys: Seq[Column] = Nil,
+                          intervalKeys: Seq[Column] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(pointKeys.size == intervalKeys.size,
+      "pointKeys and intervalKeys must pair up")
+    val p = points.withColumn("__bin",
+      floor(point / binWidth).cast("long"))
+    val iv = intervals.filter(end > start).withColumn("__bin",
+      explode(sequence(floor(start / binWidth).cast("long"),
+        floor((end - lit(1)) / binWidth).cast("long"))))
+    val cond = pointKeys.zip(intervalKeys)
+      .foldLeft(p("__bin") === iv("__bin")) { case (c, (a, b)) => c && (a === b) }
+    p.join(iv, cond)
+      .filter(point >= start && point < end)
+      .drop(p("__bin")).drop(iv("__bin"))
+  }
 }

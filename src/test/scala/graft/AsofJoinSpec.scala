@@ -110,4 +110,31 @@ class AsofJoinSpec extends SparkSuite {
       .join(ev.select(col("event_id"), col("ts")), "event_id")
     assert(joined.filter(col("p_ts") >= col("ts") || col("p_user") =!= col("user_id")).count() == 0)
   }
+
+  test("pointInIntervalJoin: binned plan equals the nested-loop semantics") {
+    val pts = Seq((1L, 0L), (2L, 5L), (3L, 7L), (4L, 13L), (5L, 21L), (6L, 22L))
+      .toDF("pid", "p")
+    val ivs = Seq(
+      (10L, 0L, 7L),    // [0,7): catches 0, 5
+      (11L, 5L, 25L),   // [5,25): spans 4 bins of width 7 — catches 5,7,13,21,22
+      (12L, 7L, 7L),    // empty: matches nothing
+      (13L, 20L, 22L)   // [20,22): boundary — 21 in, 22 out (end exclusive)
+    ).toDF("iid", "s", "e")
+    val out = Joins.pointInIntervalJoin(pts, ivs, col("p"), col("s"), col("e"),
+        binWidth = 7)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      (pid, p) <- Seq((1L, 0L), (2L, 5L), (3L, 7L), (4L, 13L), (5L, 21L), (6L, 22L))
+      (iid, s, e) <- Seq((10L, 0L, 7L), (11L, 5L, 25L), (12L, 7L, 7L), (13L, 20L, 22L))
+      if p >= s && p < e
+    } yield (pid, iid)).toSet
+    assert(out == expected)
+    // by-key variant restricts matches to equal keys
+    val ptsK = pts.withColumn("k", col("pid") % 2)
+    val ivsK = ivs.withColumn("ik", lit(1L))
+    val keyed = Joins.pointInIntervalJoin(ptsK, ivsK, col("p"), col("s"), col("e"),
+        binWidth = 7, pointKeys = Seq(col("k")), intervalKeys = Seq(col("ik")))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keyed == expected.filter { case (pid, _) => pid % 2 == 1 })
+  }
 }
