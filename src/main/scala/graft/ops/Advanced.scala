@@ -126,7 +126,8 @@ object Advanced {
   private[graft] def profRankTable(df: DataFrame, c: String, out: String) =
     doubledAvgRankTable(df, c, out)
 
-  private[ops] def doubledAvgRankTable(df: DataFrame, c: String, out: String)
+  private[graft] def doubledAvgRankTable(df: DataFrame, c: String, out: String,
+      smallMaxEntries: Long = SmallRankTableMaxEntries)
       : (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -147,7 +148,7 @@ object Advanced {
       .as[(Double, Long)]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val distinctVals = grouped.count()
-    if (distinctVals <= SmallRankTableMaxEntries) {
+    if (distinctVals <= smallMaxEntries) {
       val ranks = grouped.repartition(1).sortWithinPartitions(col("__v"))
         .mapPartitions { it =>
           var cum = 0L
@@ -174,11 +175,14 @@ object Advanced {
     }
   }
 
-  /** ≤ 100k (value, rank) entries ≈ 1.6 MB — single-task cumulate +
-    * broadcast territory (the join side stays shuffle-free and the cumulate
-    * is trivial); beyond this the range-partitioned distributed offsets path
-    * runs with a shuffle rank-attach join. */
-  private val SmallRankTableMaxEntries = 100000L
+  /** ≤ 1M (value, rank) entries ≈ 16 MB — single-task cumulate + broadcast
+    * territory (the join side stays shuffle-free, the cumulate is a trivial
+    * streaming loop, and a 16 MB broadcast is well inside executor/driver
+    * budgets — same order as a raised autoBroadcastJoinThreshold). Beyond
+    * this the range-partitioned distributed offsets path runs with a shuffle
+    * rank-attach join (a near-unique column over 10^9+ rows must not be
+    * broadcast). */
+  private val SmallRankTableMaxEntries = 1000000L
 
   /** correlation-table `:spearman` (reference math.clj:47-48,90-91): Pearson
     * over average ranks. Ranks are computed distributed (see

@@ -139,6 +139,22 @@ class AdvancedSpec extends SparkSuite {
     cols.foreach(c => assert(out(c)(cols.indexOf(c)) == 1.0))
   }
 
+  test("rank table: broadcast and range-partitioned paths agree bit-exactly") {
+    // Same values (with ties + nulls) through both plan shapes: the small
+    // path (single-task cumulate + broadcast) and the large path (range
+    // partition + driver offsets), forced by shrinking the cutoff to 0.
+    val df = spark.range(0, 5000)
+      .selectExpr("CASE WHEN id % 97 = 0 THEN NULL ELSE CAST(id % 731 AS DOUBLE) END AS v")
+    def table(cutoff: Long) = {
+      val (ranks, cleanup) = Advanced.doubledAvgRankTable(df, "v", "r", cutoff)
+      val rows = ranks.collect().map(r => (r.getDouble(0), r.getLong(1))).sorted
+      cleanup(); rows
+    }
+    val small = table(Long.MaxValue)
+    val large = table(0L)
+    assert(small.nonEmpty && small.sameElements(large))
+  }
+
   test("kendall tau-b: known small cases") {
     // perfect concordance / discordance, and the classic tie case
     val df = Seq((1L, 1.0, 10.0, 3.0, 1.0), (2L, 2.0, 20.0, 2.0, 1.0),
