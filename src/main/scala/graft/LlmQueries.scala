@@ -174,6 +174,19 @@ object LlmQueries {
           sum(col("n_chars")).as("sum_chars"),
           max(col("copy_id")).as("max_copy"))
         .orderBy(col("lang"))
+    },
+
+    // EXACT vocabulary heavy hitters via frequent-items sketch + exact
+    // recount (Reductions.heavyHittersExact): the sketch pass is O(4096)
+    // memory and finds a provably complete candidate set; the second pass
+    // exact-counts candidates only — no vocabulary-wide shuffle. Output is
+    // exact, so the oracle is a plain GROUP BY ... HAVING.
+    "q78_heavy_hitters" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(explode(TextDedup.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+      graft.ops.Reductions.heavyHittersExact(toks, "token", phi = 0.002)
+        .orderBy(col("cnt").desc, col("token"))
     }
   )
 
@@ -556,6 +569,20 @@ object LlmQueries {
            FROM c WHERE n_copies > 0)
          SELECT lang, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars, CAST(MAX(copy_id) AS BIGINT) AS max_copy
-         FROM x GROUP BY lang ORDER BY lang"""
+         FROM x GROUP BY lang ORDER BY lang""",
+
+    // mirrors Reductions.heavyHittersExact: exact token counts with a
+    // ceil(phi·n) threshold (same IEEE double multiply + ceil as the Spark
+    // driver). The sketch is only a candidate finder — output is exact.
+    "q78_heavy_hitters" ->
+      s"""WITH tt AS (
+           SELECT unnest(string_split($normSql, ' ')) AS token FROM documents),
+         tk AS (SELECT token FROM tt WHERE len(token) > 0),
+         tot AS (SELECT COUNT(*) AS n FROM tk)
+         SELECT token, COUNT(*) AS cnt
+         FROM tk, tot
+         GROUP BY token, tot.n
+         HAVING COUNT(*) >= CEIL(0.002 * tot.n)
+         ORDER BY cnt DESC, token"""
   )
 }

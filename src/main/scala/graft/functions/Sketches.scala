@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.datasketches.frequencies
 import org.apache.datasketches.hll.{HllSketch, Union}
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
@@ -29,6 +30,7 @@ object Sketches {
 
   private val DefaultLgK = 12 // ≈ reference default lgK=12 → k=4096
   private val DefaultKllK = 200
+  private val DefaultFreqLgK = 12 // maxMapSize 4096 → maxError ≲ 3.5·n/4096
 
   case class HllDistinct(
       child: Expression,
@@ -257,6 +259,72 @@ object Sketches {
     u.getResult.getEstimate
   }
 
+  /** Frequent-items (heavy hitters) sketch aggregate → serialized sketch
+    * bytes. Space-Saving/Misra-Gries family via DataSketches ItemsSketch:
+    * one pass, O(maxMapSize) memory, mergeable partials, and the
+    * NO_FALSE_NEGATIVES guarantee — every item with true count above
+    * `getMaximumError` is present in the sketch. That guarantee is what
+    * makes [[heavyHittersExact]] exact at scale: sketch pass finds a
+    * complete candidate set, a second pass counts only those candidates. */
+  case class FreqSketchAgg(
+      child: Expression,
+      lgMaxMapSize: Int = DefaultFreqLgK,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[frequencies.ItemsSketch[String]]
+    with UnaryLike[Expression] {
+    import org.apache.datasketches.common.ArrayOfStringsSerDe
+
+    private def serDe = new ArrayOfStringsSerDe()
+
+    override def createAggregationBuffer(): frequencies.ItemsSketch[String] =
+      new frequencies.ItemsSketch[String](1 << lgMaxMapSize)
+
+    override def update(b: frequencies.ItemsSketch[String], row: InternalRow)
+        : frequencies.ItemsSketch[String] = {
+      val v = child.eval(row)
+      if (v != null) b.update(v.toString)
+      b
+    }
+
+    override def merge(b: frequencies.ItemsSketch[String],
+        o: frequencies.ItemsSketch[String]): frequencies.ItemsSketch[String] = {
+      b.merge(o); b
+    }
+
+    override def eval(b: frequencies.ItemsSketch[String]): Any =
+      b.toByteArray(serDe)
+
+    override def serialize(b: frequencies.ItemsSketch[String]): Array[Byte] =
+      b.toByteArray(serDe)
+
+    override def deserialize(bytes: Array[Byte]): frequencies.ItemsSketch[String] =
+      frequencies.ItemsSketch.getInstance(Memory.wrap(bytes), serDe)
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(o: Int): FreqSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): FreqSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): FreqSketchAgg =
+      copy(child = c)
+    override def prettyName: String = "freq_sketch"
+  }
+
+  /** Driver-side view of a serialized frequent-items sketch: (item,
+    * estimate, lowerBound, upperBound) rows plus (streamLength, maxError). */
+  def freqItems(bytes: Array[Byte])
+      : (Seq[(String, Long, Long, Long)], Long, Long) = {
+    import org.apache.datasketches.common.ArrayOfStringsSerDe
+    import org.apache.datasketches.frequencies.ErrorType
+    val sk = frequencies.ItemsSketch.getInstance(
+      Memory.wrap(bytes), new ArrayOfStringsSerDe())
+    val rows = sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES).toSeq.map(r =>
+      (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+    (rows, sk.getStreamLength, sk.getMaximumError)
+  }
+
   /** Register `hll_distinct(col)` and `kll_quantile(col, q)` on the session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -277,5 +345,15 @@ object Sketches {
       es => ThetaSketchAgg(es.head).toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction("cpc_distinct",
       es => CpcDistinct(es.head).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("freq_sketch", { es =>
+      val lg =
+        if (es.size < 2) DefaultFreqLgK
+        else es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, IntegerType) => i
+          case other => throw new IllegalArgumentException(
+            s"freq_sketch lgMaxMapSize must be an int literal, got $other")
+        }
+      FreqSketchAgg(es.head, lg).toAggregateExpression()
+    }, "scala_udf")
   }
 }

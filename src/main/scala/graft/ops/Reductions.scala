@@ -248,6 +248,36 @@ object Reductions {
     df.withColumn("__r", row_number().over(w)).filter(col("__r") <= k).drop("__r")
   }
 
+  /** EXACT heavy hitters at scale, two passes, no full-cardinality shuffle:
+    * pass 1 streams the column into a mergeable frequent-items sketch
+    * (Misra-Gries family, O(maxMapSize) memory per task — see
+    * Sketches.FreqSketchAgg), whose NO_FALSE_NEGATIVES contract guarantees
+    * the candidate set is COMPLETE for any threshold above the sketch's max
+    * error; pass 2 exact-counts only those candidates (broadcast isin
+    * filter → tiny groupBy). Output is exact — items with count ≥ ⌈phi·n⌉ —
+    * so unlike a raw sketch readout it is oracle-checkable.
+    *
+    * At 100 TB: a vocabulary-sized groupBy (billions of distinct tokens)
+    * shuffles everything; this shuffles only rows matching ~10^3 candidate
+    * items. Throws if phi is too small for the sketch's guarantee
+    * (phi·n ≤ maxError) — raise lgMaxMapSize rather than silently
+    * returning an incomplete answer. */
+  def heavyHittersExact(df: DataFrame, c: String, phi: Double,
+                        lgMaxMapSize: Int = 12): DataFrame = {
+    graft.functions.Sketches.register(df.sparkSession)
+    val bytes = df.select(expr(s"freq_sketch(`$c`, $lgMaxMapSize)").as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val (items, n, maxErr) = graft.functions.Sketches.freqItems(bytes)
+    val thr = math.ceil(phi * n).toLong
+    require(thr > maxErr,
+      s"phi=$phi gives threshold $thr <= sketch max error $maxErr; " +
+        s"raise lgMaxMapSize (=$lgMaxMapSize) for a complete candidate set")
+    val candidates = items.collect { case (it, _, _, ub) if ub >= thr => it }
+    df.filter(col(c).isin(candidates: _*))
+      .groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= thr)
+  }
+
   /** Kahan-compensated double sum as a typed Aggregator — bit-level parity
     * with the reference's ham-fisted `Sum` (reductions.clj:4-7,107-113) when
     * inputs arrive in the same order; used where decimal routing is not

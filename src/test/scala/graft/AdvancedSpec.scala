@@ -38,6 +38,29 @@ class AdvancedSpec extends SparkSuite {
     assert(math.abs(est - 5000.0) / 5000.0 < 0.05, s"CPC merged estimate $est")
   }
 
+  test("heavy hitters: exact output, complete under skew, guard on weak sketch") {
+    graft.functions.Sketches.register(spark)
+    import spark.implicits._
+    // Zipf-ish skew: item i appears with multiplicity; many-partition input
+    // exercises sketch merge. 400k rows, hot items far above threshold.
+    val df = spark.range(0, 400000).repartition(16)
+      .selectExpr("CAST(CASE WHEN id % 10 < 4 THEN concat('hot_', id % 10) " +
+        "ELSE concat('cold_', id % 50021) END AS STRING) AS v")
+    val got = graft.ops.Reductions.heavyHittersExact(df, "v", phi = 0.01)
+      .orderBy(col("cnt").desc, col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val exact = df.groupBy("v").count()
+      .filter(col("count") >= math.ceil(0.01 * 400000).toLong)
+      .orderBy(col("count").desc, col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(exact.nonEmpty && got.sameElements(exact))
+    // phi below the sketch's error bound must refuse, not silently drop items
+    intercept[IllegalArgumentException] {
+      graft.ops.Reductions.heavyHittersExact(df, "v", phi = 1e-7,
+        lgMaxMapSize = 4)
+    }
+  }
+
   test("kll quantile close to exact percentile") {
     graft.functions.Sketches.register(spark)
     val r = Tables.t(spark, sfDir, "lineitem")
