@@ -85,6 +85,15 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // SQ8-quantized cosine top-k: int8 codes, integer-exact scores (the
+    // per-vector scale cancels in cosine) — 4x less scan bandwidth than
+    // float32 at corpus scale, deterministic on any engine.
+    "q79_sq8_ann" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.sq8TopK(emb.filter(col("vec_id") < 5), emb, 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // embedding-cosine near-duplicate pairs (LSH-bucketed).
     "q33_cosine_near_dup" -> { (s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.3,
@@ -583,6 +592,45 @@ object LlmQueries {
          FROM tk, tot
          GROUP BY token, tot.n
          HAVING COUNT(*) >= CEIL(0.002 * tot.n)
-         ORDER BY cnt DESC, token"""
+         ORDER BY cnt DESC, token""",
+
+    // mirrors Similarity.sq8TopK: same per-vector max-|x| scale, same
+    // floor(x*127/m + 0.5) rounding, integer dots (order-independent),
+    // same double sqrt/divide op order for the final score.
+    "q79_sq8_ann" ->
+      """WITH m AS (
+           SELECT vec_id, list_max(list_transform(embedding,
+             v -> abs(CAST(v AS DOUBLE)))) AS mx
+           FROM embeddings),
+         q8 AS (
+           SELECT e.vec_id,
+             CASE WHEN mx > 0 THEN list_transform(e.embedding,
+                 v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT))
+               ELSE list_transform(e.embedding, v -> CAST(0 AS BIGINT)) END AS qe
+           FROM embeddings e JOIN m USING (vec_id)),
+         selfd AS (
+           SELECT vec_id, CAST(SUM(qe[i+1] * qe[i+1]) AS BIGINT) AS sd
+           FROM q8 CROSS JOIN range(0, 64) t(i) GROUP BY 1),
+         dots AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             CAST(SUM(q.qe[i+1] * c.qe[i+1]) AS BIGINT) AS dot
+           FROM q8 q CROSS JOIN q8 c CROSS JOIN range(0, 64) t(i)
+           WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT query_id, corpus_id,
+             CASE WHEN sq.sd > 0 AND sc.sd > 0 THEN
+               CAST(dot AS DOUBLE) / (sqrt(CAST(sq.sd AS DOUBLE)) * sqrt(CAST(sc.sd AS DOUBLE)))
+             END AS qcos
+           FROM dots
+           JOIN selfd sq ON sq.vec_id = query_id
+           JOIN selfd sc ON sc.vec_id = corpus_id),
+         ranked AS (
+           SELECT query_id, corpus_id, qcos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY qcos DESC NULLS LAST, corpus_id ASC) AS rank
+           FROM scored)
+         SELECT query_id, corpus_id, qcos, CAST(rank AS INT) AS rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
   )
 }

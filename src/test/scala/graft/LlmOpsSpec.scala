@@ -94,6 +94,21 @@ class LlmOpsSpec extends SparkSuite {
     assert(hits >= lsh.length / 2, s"LSH recall too low: $hits/${lsh.length}")
   }
 
+  test("sq8: codes in [-127,127], scale cancels, high agreement with float top-k") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val codes = Similarity.sq8Quantize(emb.limit(200)).select("q_emb").collect()
+    assert(codes.forall(_.getSeq[Long](0).forall(v => v >= -127 && v <= 127)))
+    // every non-zero vector attains ±127 (its own max-|x| element)
+    assert(codes.forall(r => r.getSeq[Long](0).exists(v => math.abs(v) == 127)))
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(q, emb, 10).select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = Similarity.sq8TopK(q, emb, 3).collect()
+    // int8 quantization error is small — top-3 should nearly all be true top-10
+    val hits = sq8.count(r => brute.contains((r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))))
+    assert(hits >= (sq8.length * 2) / 3, s"SQ8 agreement too low: $hits/${sq8.length}")
+  }
+
   test("quality score bounded and sensitive to noise") {
     val out = Seq(
       (1L, "the cat sat on the mat and it was a fine day for everyone involved"),
