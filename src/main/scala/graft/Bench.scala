@@ -26,7 +26,10 @@ object Bench {
     // 3-decimal times keep the whole JSON line under ~2 KB (74+ queries):
     // the driver captures only the tail of stdout, and a longer line gets
     // truncated mid-JSON and fails to parse.
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -581,22 +581,27 @@ object ExtQueries {
              CAST(SUM(CAST(FLOOR((l_extendedprice * l_extendedprice) * 100.0) AS DECIMAL(30,0))) AS DOUBLE) / 100.0 AS p22
            FROM lineitem
            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
-         cov AS (SELECT (p11 - s1*s1/n)/n AS ca, (p12 - s1*s2/n)/n AS cb,
+         cov0 AS (SELECT (p11 - s1*s1/n)/n AS ca, (p12 - s1*s2/n)/n AS cb,
                         (p22 - s2*s2/n)/n AS cc FROM st),
-         r1 AS (SELECT *, CASE WHEN cb = 0 THEN 0.0 ELSE (cc - ca)/(2.0*cb) END AS tau FROM cov),
-         r2 AS (SELECT *, CASE WHEN cb = 0 THEN 0.0
+         -- norot mirrors jacobiEigen's relative-threshold skip (Ml.scala):
+         -- |cb| <= 1e-15*(|ca|+|cc|) means "already diagonal, no rotation",
+         -- which subsumes the exact-zero case.
+         cov AS (SELECT *, (abs(cb) <= 1e-15*(abs(ca)+abs(cc))) AS norot
+                 FROM cov0),
+         r1 AS (SELECT *, CASE WHEN norot THEN 0.0 ELSE (cc - ca)/(2.0*cb) END AS tau FROM cov),
+         r2 AS (SELECT *, CASE WHEN norot THEN 0.0
                                WHEN tau >= 0 THEN 1.0/(tau + sqrt(1.0 + tau*tau))
                                ELSE 1.0/(tau - sqrt(1.0 + tau*tau)) END AS tt FROM r1),
          r3 AS (SELECT *, 1.0/sqrt(1.0 + tt*tt) AS cs FROM r2),
          r4 AS (SELECT *, tt*cs AS sn, ca - tt*cb AS l1, cc + tt*cb AS l2 FROM r3),
          vecs AS (
-           SELECT CASE WHEN cb = 0 THEN ca ELSE l1 END AS lam,
-                  CASE WHEN cb = 0 THEN 1.0 ELSE cs END AS v0,
-                  CASE WHEN cb = 0 THEN 0.0 ELSE -sn END AS v1, 0 AS orig FROM r4
+           SELECT CASE WHEN norot THEN ca ELSE l1 END AS lam,
+                  CASE WHEN norot THEN 1.0 ELSE cs END AS v0,
+                  CASE WHEN norot THEN 0.0 ELSE -sn END AS v1, 0 AS orig FROM r4
            UNION ALL
-           SELECT CASE WHEN cb = 0 THEN cc ELSE l2 END,
-                  CASE WHEN cb = 0 THEN 0.0 ELSE sn END,
-                  CASE WHEN cb = 0 THEN 1.0 ELSE cs END, 1 FROM r4),
+           SELECT CASE WHEN norot THEN cc ELSE l2 END,
+                  CASE WHEN norot THEN 0.0 ELSE sn END,
+                  CASE WHEN norot THEN 1.0 ELSE cs END, 1 FROM r4),
          signed AS (SELECT lam, orig,
            CASE WHEN (CASE WHEN abs(v0) >= abs(v1) THEN v0 ELSE v1 END) < 0 THEN -v0 ELSE v0 END AS w0,
            CASE WHEN (CASE WHEN abs(v0) >= abs(v1) THEN v0 ELSE v1 END) < 0 THEN -v1 ELSE v1 END AS w1

@@ -353,7 +353,12 @@ object Sketches {
           case other => throw new IllegalArgumentException(
             s"freq_sketch lgMaxMapSize must be an int literal, got $other")
         }
-      FreqSketchAgg(es.head, lg).toAggregateExpression()
+      // Cast to string so sketch items are EXTERNAL values for every child
+      // type (a DateType child would otherwise sketch epoch-day ints via
+      // v.toString, and heavyHittersExact's string recount filter would
+      // never match them). String→string cast is a no-op.
+      FreqSketchAgg(org.apache.spark.sql.catalyst.expressions.Cast(
+        es.head, StringType), lg).toAggregateExpression()
     }, "scala_udf")
   }
 }

@@ -3,7 +3,6 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
-import org.apache.spark.storage.StorageLevel
 
 /** GPT-style sequence packing for training-data pipelines: documents are
   * concatenated in a named total order and chunked into fixed-length token
@@ -17,9 +16,12 @@ import org.apache.spark.storage.StorageLevel
   * produces partition token totals (O(partitions) rows to the driver), whose
   * running offsets are handed back into a second per-partition pass that
   * attaches each row's exclusive prefix. Same two-pass shape as
-  * `TableOps.withRowIndexDistributed`; the sorted input is persisted so both
-  * passes see the identical partitioning (the range partitioner samples, so
-  * re-running the sort could repartition differently).
+  * `TableOps.withRowIndexDistributed`. Both passes share ONE captured RDD:
+  * its shuffle dependency (and the range partitioner's sampled bounds) is
+  * fixed when the first job runs, so the second pass and any later
+  * re-materialization see the identical partitioning via Spark's
+  * shuffle-file reuse (skipped stages) — consistency without persist(), so
+  * repeated calls leak no storage blocks.
   */
 object SeqPack {
 
@@ -28,15 +30,19 @@ object SeqPack {
   def withPrefixSum(df: DataFrame, order: Seq[Column], valueCol: String,
                     name: String = "prefix_sum"): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.orderBy(order: _*).persist(StorageLevel.MEMORY_AND_DISK)
+    val sorted = df.orderBy(order: _*)
+    // Capture .rdd ONCE: both jobs below hang off the same shuffle
+    // dependency, so the sampled range bounds cannot diverge between passes
+    // and the second job reuses the first's shuffle files.
+    val sortedRdd = sorted.rdd
     val vIdx = sorted.schema.fieldIndex(valueCol)
     def v(r: Row): Long = if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
-    val partSums = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+    val partSums = sortedRdd.mapPartitionsWithIndex { (i, it) =>
       var s = 0L; it.foreach(r => s += v(r)); Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _)
     val schema = sorted.schema.add(name, LongType, nullable = false)
-    val rdd = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+    val rdd = sortedRdd.mapPartitionsWithIndex { (i, it) =>
       var s = offsets(i)
       it.map { r => val out = Row.fromSeq(r.toSeq :+ s); s += v(r); out }
     }

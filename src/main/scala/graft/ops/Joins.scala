@@ -264,9 +264,13 @@ object Joins {
       "pointKeys and intervalKeys must pair up")
     val p = points.withColumn("__bin",
       floor(point / binWidth).cast("long"))
+    // Upper bin = ceil(end/W)-1: correct for both integral and fractional
+    // bounds (floor((end-1)/W) under-replicates when end is fractional —
+    // e.g. end=7.5, W=7 puts points in [7,7.5) in bin 1 but the interval
+    // only in bin 0). For integral end the two forms coincide.
     val iv = intervals.filter(end > start).withColumn("__bin",
       explode(sequence(floor(start / binWidth).cast("long"),
-        floor((end - lit(1)) / binWidth).cast("long"))))
+        (ceil(end / binWidth) - lit(1)).cast("long"))))
     val cond = pointKeys.zip(intervalKeys)
       .foldLeft(p("__bin") === iv("__bin")) { case (c, (a, b)) => c && (a === b) }
     p.join(iv, cond)

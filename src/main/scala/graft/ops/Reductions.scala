@@ -273,7 +273,10 @@ object Reductions {
       s"phi=$phi gives threshold $thr <= sketch max error $maxErr; " +
         s"raise lgMaxMapSize (=$lgMaxMapSize) for a complete candidate set")
     val candidates = items.collect { case (it, _, _, ub) if ub >= thr => it }
-    df.filter(col(c).isin(candidates: _*))
+    // Sketch items are stringified (freq_sketch casts its child to string),
+    // so recount with the SAME cast — comparing raw col(c) against string
+    // candidates would miss every row for date/timestamp/numeric columns.
+    df.filter(col(c).cast("string").isin(candidates: _*))
       .groupBy(col(c)).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= thr)
   }

@@ -137,4 +137,22 @@ class AsofJoinSpec extends SparkSuite {
       .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(keyed == expected.filter { case (pid, _) => pid % 2 == 1 })
   }
+
+  test("pointInIntervalJoin: fractional bounds replicate into the last bin") {
+    // end=7.5 with binWidth=7: points in [7.0,7.5) live in bin 1 — the
+    // floor((end-1)/W) formulation replicated the interval only into bin 0
+    // and silently dropped them.
+    val pts = Seq((1L, 7.2), (2L, 7.6), (3L, 0.5), (4L, 6.9)).toDF("pid", "p")
+    val ivs = Seq((10L, 0.0, 7.5), (11L, 6.5, 7.1)).toDF("iid", "s", "e")
+    val out = Joins.pointInIntervalJoin(pts, ivs, col("p"), col("s"), col("e"),
+        binWidth = 7)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      (pid, p) <- Seq((1L, 7.2), (2L, 7.6), (3L, 0.5), (4L, 6.9))
+      (iid, s, e) <- Seq((10L, 0.0, 7.5), (11L, 6.5, 7.1))
+      if p >= s && p < e
+    } yield (pid, iid)).toSet
+    assert(out == expected)
+    assert(out.contains((1L, 10L))) // the previously-dropped match
+  }
 }
