@@ -220,12 +220,16 @@ object ExtQueries {
     },
 
     // LOESS smoothing (reference math.clj:112-146) per user over event time.
+    // robustnessIters = 0 so the whole smooth is one closed-form pass whose
+    // op sequence the DuckDB oracle replays exactly (recursive CTEs for the
+    // window slide and the five running sums); the robust (iters > 0) path
+    // is spec-pinned bit-identical to commons-math in AdvancedSpec.
     "q53_loess" -> { (s, dir) =>
       Advanced.loessSmooth(
         t(s, dir, "events")
           .select(col("user_id"), col("event_id").cast(DoubleType).as("x"),
             col("value")),
-        "user_id", "x", "value", bandwidth = 0.3)
+        "user_id", "x", "value", bandwidth = 0.3, robustnessIters = 0)
         .orderBy(col("user_id"), col("x"))
     },
 
@@ -548,6 +552,79 @@ object ExtQueries {
   val oracleSql: Map[String, String] = Map(
     "q61_ivf_ann" -> ivfOracle(nCent = 10, nProbe = 3, k = 3, iters = 2,
       dim = 64, queryPred = "v.id < 10"),
+
+    // LOESS mirror: replays Advanced.loessFit's exact op sequence for
+    // robustnessIters = 0 — per-group sorted x/y lists, the one-step window
+    // slide as a recursion over i, tricube weights (1−t³)³ against the
+    // farther edge, and the five running sums accumulated left-to-right by a
+    // second recursion over k (the same adds in the same IEEE order as the
+    // Scala while-loop), then the closed-form beta/alpha with the 1e-12
+    // guard. Groups with n < 3 pass through (smooth = y), mirroring the
+    // Spark side.
+    "q53_loess" ->
+      """WITH RECURSIVE base AS (
+           SELECT CAST(user_id AS BIGINT) AS g, CAST(event_id AS DOUBLE) AS x,
+                  CAST(value AS DOUBLE) AS y
+           FROM events
+           WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND value IS NOT NULL),
+         agg AS (
+           SELECT g, list(x ORDER BY x) AS xs, list(y ORDER BY x) AS ys,
+                  CAST(count(*) AS INT) AS n
+           FROM base GROUP BY g),
+         big AS (
+           SELECT g, xs, ys, n,
+             LEAST(GREATEST(2, CAST(FLOOR(GREATEST(0.3, LEAST(1.0, 3.0/n)) * n) AS INT)), n) AS q
+           FROM agg WHERE n >= 3),
+         win AS (
+           SELECT g, xs, ys, n, q, 0 AS i, 0 AS l, q - 1 AS r FROM big
+           UNION ALL
+           SELECT g, xs, ys, n, q, i + 1,
+             CASE WHEN r + 1 < n AND xs[r + 2] - xs[i + 2] < xs[i + 2] - xs[l + 1]
+                  THEN l + 1 ELSE l END,
+             CASE WHEN r + 1 < n AND xs[r + 2] - xs[i + 2] < xs[i + 2] - xs[l + 1]
+                  THEN r + 1 ELSE r END
+           FROM win WHERE i + 1 < n),
+         ptd AS (
+           SELECT g, xs, ys, i, l, r, xs[i + 1] AS x,
+             abs(1.0 / (xs[(CASE WHEN xs[i+1] - xs[l+1] > xs[r+1] - xs[i+1]
+                                 THEN l ELSE r END) + 1] - xs[i + 1])) AS denom
+           FROM win),
+         acc AS (
+           SELECT g, i, x, xs, ys, r, denom, l AS k,
+                  CAST(0 AS DOUBLE) AS sw, CAST(0 AS DOUBLE) AS sx,
+                  CAST(0 AS DOUBLE) AS sx2, CAST(0 AS DOUBLE) AS sy,
+                  CAST(0 AS DOUBLE) AS sxy
+           FROM ptd
+           UNION ALL
+           SELECT g, i, x, xs, ys, r, denom, k + 1,
+                  sw + w, sx + xkw, sx2 + xk * xkw, sy + yk * w, sxy + yk * xkw
+           FROM (
+             SELECT *, xk * w AS xkw FROM (
+               SELECT *, tmp * tmp * tmp AS w FROM (
+                 SELECT *, 1.0 - t * t * t AS tmp FROM (
+                   SELECT *, dist * denom AS t FROM (
+                     SELECT g, i, x, xs, ys, r, denom, k, sw, sx, sx2, sy, sxy,
+                            xs[k + 1] AS xk, ys[k + 1] AS yk,
+                            CASE WHEN k < i THEN x - xs[k + 1] ELSE xs[k + 1] - x END AS dist
+                     FROM acc WHERE k <= r
+                   ) s1 ) s2 ) s3 ) s4 ) s5),
+         fin AS (
+           SELECT g, i, x, ys[i + 1] AS y, sx / sw AS mx, sy / sw AS my,
+                  sxy / sw AS mxy, sx2 / sw AS mx2
+           FROM acc WHERE k = r + 1),
+         bet AS (
+           SELECT g, x, y, mx, my,
+             CASE WHEN sqrt(abs(mx2 - mx * mx)) < 1e-12 THEN 0.0
+                  ELSE (mxy - mx * my) / (mx2 - mx * mx) END AS beta
+           FROM fin),
+         big_out AS (
+           SELECT g, x, y, beta * x + (my - beta * mx) AS ysm FROM bet),
+         small_out AS (
+           SELECT g, UNNEST(xs) AS x, UNNEST(ys) AS y, UNNEST(ys) AS ysm
+           FROM agg WHERE n < 3)
+         SELECT g AS user_id, x, y AS value, ysm AS value_smooth
+         FROM (SELECT * FROM big_out UNION ALL SELECT * FROM small_out)
+         ORDER BY user_id, x""",
 
     // Sequential induction mirror: a recursive CTE replays the identical
     // s←s·0.999+x mul-then-add double sequence over the o_orderkey order

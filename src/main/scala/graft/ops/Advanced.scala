@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.commons.math3.analysis.interpolation.LoessInterpolator
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -26,14 +25,24 @@ object Advanced {
                      (implicit enc: Encoder[S]): Dataset[S] =
     ds.coalesce(1).mapPartitions(it => it.scanLeft(zero)(step).drop(1))
 
-  /** interpolate-loess (reference src/tech/v3/dataset/math.clj:112-146) via
-    * commons-math3 (ships with Spark). Groups are processed independently and
-    * in parallel; each GROUP's points must fit in executor memory — identical
+  /** interpolate-loess (reference src/tech/v3/dataset/math.clj:112-146):
+    * Cleveland LOWESS re-implemented as a FIXED IEEE op sequence (sliding
+    * bandwidth window advancing one step per point, tricube weights against
+    * the farther window edge, closed-form pointwise weighted linear fit,
+    * optional biweight robustness iterations). Algorithmically identical to
+    * commons-math3's LoessInterpolator (which the reference wraps) —
+    * AdvancedSpec pins bit-equality for robustnessIters = 0 — but with a
+    * deterministic op order an external engine can replay add-for-add,
+    * which is what lets q53's DuckDB oracle recompute the smooth exactly
+    * via a recursive CTE. Groups are processed independently and in
+    * parallel; each GROUP's points must fit in executor memory — identical
     * contract to the reference, which holds the whole dataset in one JVM.
-    * Duplicate x values are averaged first (LoessInterpolator requires a
-    * strictly increasing abscissa). */
+    * Duplicate x values are averaged first (ascending-value sum order, so
+    * the mean is partition-invariant). */
   def loessSmooth(df: DataFrame, groupCol: String, xCol: String, yCol: String,
-                  bandwidth: Double = 0.3): DataFrame = {
+                  bandwidth: Double = 0.3, robustnessIters: Int = 2): DataFrame = {
+    require(bandwidth > 0 && bandwidth <= 1,
+      s"bandwidth must be in (0, 1], got $bandwidth")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(groupCol).cast(LongType).as("g"),
@@ -45,17 +54,93 @@ object Advanced {
       .groupByKey(_._1)
       .flatMapGroups { (g, it) =>
         val pts = it.toArray.groupBy(_._2).toArray
-          .map { case (x, rows) => (x, rows.map(_._3).sum / rows.length) }
+          .map { case (x, rows) => (x, rows.map(_._3).sorted.sum / rows.length) }
           .sortBy(_._1)
         if (pts.length < 3) pts.iterator.map(p => (g, p._1, p._2, p._2))
         else {
           val xs = pts.map(_._1); val ys = pts.map(_._2)
           val bw = math.max(bandwidth, math.min(1.0, 3.0 / pts.length))
-          val sm = new LoessInterpolator(bw, 2).smooth(xs, ys)
+          val sm = loessFit(xs, ys, bw, robustnessIters)
           pts.indices.iterator.map(i => (g, xs(i), ys(i), sm(i)))
         }
       }
       .toDF(groupCol, xCol, yCol, s"${yCol}_smooth")
+  }
+
+  /** LOESS over strictly increasing xs: one smoothing pass plus
+    * `robustnessIters` biweight reweightings. The op sequence (window
+    * slide test, tricube via (1−t³)³, five left-to-right running sums,
+    * mean/beta/alpha forms, n/2-index median) mirrors commons-math3's
+    * LoessInterpolator.smooth exactly so results are bit-identical where
+    * both run — but every op here is explicit, which is the contract the
+    * q53 DuckDB oracle replays. */
+  private[graft] def loessFit(xs: Array[Double], ys: Array[Double],
+                              bandwidth: Double, robustnessIters: Int)
+      : Array[Double] = {
+    val n = xs.length
+    val q = math.min(math.max(2, (bandwidth * n).toInt), n)
+    val res = new Array[Double](n)
+    val robust = Array.fill(n)(1.0)
+    var iter = 0
+    var done = false
+    while (!done) {
+      var l = 0
+      var r = q - 1
+      var i = 0
+      while (i < n) {
+        val x = xs(i)
+        // slide one step when the next right point is strictly closer than
+        // the current left edge (commons-math updateBandwidthInterval with
+        // all-ones user weights)
+        if (i > 0 && r + 1 < n && xs(r + 1) - x < x - xs(l)) { l += 1; r += 1 }
+        val edge = if (x - xs(l) > xs(r) - x) l else r
+        val denom = math.abs(1.0 / (xs(edge) - x))
+        var sumW = 0.0; var sumX = 0.0; var sumX2 = 0.0
+        var sumY = 0.0; var sumXY = 0.0
+        var k = l
+        while (k <= r) {
+          val xk = xs(k); val yk = ys(k)
+          val dist = if (k < i) x - xk else xk - x
+          val t = dist * denom // in [0, 1] by construction of edge
+          val t3 = t * t * t
+          val tmp = 1.0 - t3
+          val w = tmp * tmp * tmp * robust(k)
+          val xkw = xk * w
+          sumW += w; sumX += xkw; sumX2 += xk * xkw
+          sumY += yk * w; sumXY += yk * xkw
+          k += 1
+        }
+        val mx = sumX / sumW; val my = sumY / sumW
+        val mxy = sumXY / sumW; val mx2 = sumX2 / sumW
+        val beta =
+          if (math.sqrt(math.abs(mx2 - mx * mx)) < 1e-12) 0.0
+          else (mxy - mx * my) / (mx2 - mx * mx)
+        res(i) = beta * x + (my - beta * mx)
+        i += 1
+      }
+      iter += 1
+      if (iter > robustnessIters) done = true
+      else {
+        val absRes = Array.tabulate(n)(j => math.abs(ys(j) - res(j)))
+        val sorted = absRes.sorted
+        val med = sorted(n / 2)
+        // commons-math stops when the median residual is below `accuracy`
+        // (1e-12), not only at exactly 0 — near-interpolating fits (tiny
+        // windows) hit this, and dividing by 6·med≈1e-16 would zero most
+        // weights instead of stopping
+        if (med < 1e-12) done = true
+        else {
+          var j = 0
+          while (j < n) {
+            val arg = absRes(j) / (6.0 * med)
+            robust(j) =
+              if (arg >= 1.0) 0.0 else { val w = 1.0 - arg * arg; w * w }
+            j += 1
+          }
+        }
+      }
+    }
+    res
   }
 
   /** correlation-table (reference math.clj:37-109): all-pairs Pearson over

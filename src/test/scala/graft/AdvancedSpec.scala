@@ -129,6 +129,22 @@ class AdvancedSpec extends SparkSuite {
     assert(smErr < rawErr / 2, s"loess err $smErr vs raw $rawErr")
   }
 
+  test("loessFit is bit-identical to commons-math LoessInterpolator") {
+    import org.apache.commons.math3.analysis.interpolation.LoessInterpolator
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(10, 37, 100); iters <- Seq(0, 2)) {
+      val xs = (0 until n).map(i => i + rnd.nextDouble() * 0.5).sorted.toArray
+      // include outliers so robustness iterations produce zero weights
+      val ys = xs.map(x => 3.0 * x + rnd.nextGaussian() +
+        (if (rnd.nextInt(10) == 0) 50.0 else 0.0))
+      val bw = math.max(0.3, math.min(1.0, 3.0 / n))
+      val mine = Advanced.loessFit(xs, ys, bw, iters)
+      val cm = new LoessInterpolator(bw, iters).smooth(xs, ys)
+      assert(mine.toSeq == cm.toSeq,
+        s"n=$n iters=$iters: ${mine.toSeq.zip(cm.toSeq).filter(p => p._1 != p._2).take(3)}")
+    }
+  }
+
   test("correlation table: diagonal 1, symmetric, self-consistent") {
     val cols = Seq("l_discount", "l_extendedprice", "l_quantity")
     val out = Advanced.correlationTable(Tables.t(spark, sfDir, "lineitem"),
