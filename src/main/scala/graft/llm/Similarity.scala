@@ -193,35 +193,43 @@ object Similarity {
     * disguise once duplicate clusters exist. The rep+adjacent chain still
     * links every near-dup into a connected component for dedupGroups, at
     * O(bucket) pairs. Dial `planes` up with corpus size (buckets ≈ 2^planes;
-    * keep expected bucket occupancy roughly constant). Embeddings/norms are
-    * computed once (persisted) and joined back only for generated pairs. */
+    * keep expected bucket occupancy roughly constant).
+    *
+    * Single-pass shape: the partner's embedding/norm are CARRIED through the
+    * one bucket-window shuffle (`first` over the id-ordered window is the
+    * bucket min's value; `lag` is the predecessor's), so there is no join
+    * back to the corpus, no second scan, and — unlike the former
+    * persist-based design — no session-lifetime cache. One shuffle total,
+    * keyed by bucket. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double, planes: Int = 8,
                          idCol: String = "vec_id",
                          embCol: String = "embedding", dim: Int = 64): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("bucket", lshBucket(col("emb"), planes, dim))
       .withColumn("norm", normExact(col("emb")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wb = Window.partitionBy(col("bucket"))
     val wbOrd = Window.partitionBy(col("bucket")).orderBy(col("id"))
-    val linked = v.select(col("bucket"), col("id"))
-      .withColumn("rep", min(col("id")).over(wb))
+    // ordered by id, the partition's first row IS the bucket's min (the rep)
+    val linked = v
+      .withColumn("rep", first(col("id")).over(wbOrd))
+      .withColumn("rep_emb", first(col("emb")).over(wbOrd))
+      .withColumn("rep_norm", first(col("norm")).over(wbOrd))
       .withColumn("prev", lag(col("id"), 1).over(wbOrd))
-    val pairs0 = linked
-      .filter(col("id") =!= col("rep"))
-      .select(col("rep").as("id_a"), col("id").as("id_b"))
-      .union(linked.filter(col("prev").isNotNull)
-        .select(col("prev").as("id_a"), col("id").as("id_b")))
-      .distinct()
-    pairs0
-      .join(v.select(col("id").as("id_a"), col("emb").as("emb_a"),
-        col("norm").as("norm_a")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("emb").as("emb_b"),
-        col("norm").as("norm_b")), "id_b")
-      .withColumn("cosine",
-        safeCosine(dotExact(col("emb_a"), col("emb_b")), col("norm_a"), col("norm_b")))
+      .withColumn("prev_emb", lag(col("emb"), 1).over(wbOrd))
+      .withColumn("prev_norm", lag(col("norm"), 1).over(wbOrd))
+    linked
+      .select(col("id"), col("emb"), col("norm"),
+        explode(array(
+          struct(col("rep").as("id_a"), col("rep_emb").as("emb_a"),
+            col("rep_norm").as("norm_a")),
+          struct(col("prev").as("id_a"), col("prev_emb").as("emb_a"),
+            col("prev_norm").as("norm_a")))).as("p"))
+      .filter(col("p.id_a").isNotNull && col("p.id_a") =!= col("id"))
+      .select(col("p.id_a").as("id_a"), col("id").as("id_b"),
+        safeCosine(dotExact(col("p.emb_a"), col("emb")),
+          col("p.norm_a"), col("norm")).as("cosine"))
+      // rep and prev coincide for the bucket's second row — same pair twice
+      .dropDuplicates("id_a", "id_b")
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   /** Squared L2 distance between two double-array columns, folded

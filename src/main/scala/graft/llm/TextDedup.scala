@@ -126,12 +126,21 @@ object TextDedup {
     // Fused kernels end-to-end: shingle md5s (one byte-level pass, evaluated
     // exactly once as the sig kernel's child — no CollapseProject hazard, no
     // persist barrier needed here) into the one-pass 64-min signature.
-    // sigs itself IS persisted: it feeds three consumers (banding + both
-    // sides of the verify join).
-    val sigs = df.select(col(idCol).as("id"),
-      minhashSignatureFromHashes(
-        shingleHashes(col(textCol), shingleLen, 7), numHashes).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sigs feeds three consumers (banding + both sides of the verify join);
+    // the repartition plants a shuffle boundary whose map output all three
+    // share — every consumer needs exactly (id, sig), so column pruning
+    // leaves three canonically-identical exchange subtrees and Spark's
+    // exchange/stage reuse computes the kernel once per action. Unlike the
+    // former MEMORY_AND_DISK persist, this leaves no session-lifetime cache
+    // behind (shuffle files are ContextCleaner-managed). The explicit
+    // isNotNull mirrors the IsNotNull the joins push into their branches —
+    // without it the banding branch's exchange canonicalizes differently and
+    // reuse breaks (null ids never produce pairs in either design).
+    val sigs = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"),
+        minhashSignatureFromHashes(
+          shingleHashes(col(textCol), shingleLen, 7), numHashes).as("sig"))
+      .repartition(col("id"))
     val banded = sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, r)).as("band"))
     // Linear candidate generation, two complementary link sets per bucket:
@@ -232,9 +241,19 @@ object TextDedup {
   def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = withSimhash(df.select(col(idCol).as("id"), col(textCol).as("__txt")),
+    // shared shuffle boundary instead of persist — all three consumers
+    // (banding + both join sides) prune to exactly (id, sh), so the exchange
+    // is reused within the action and no session cache leaks (same
+    // rationale, incl. the isNotNull canonicalization note, as
+    // minhashCandidatePairs).
+    // (isNotNull(sh) mirrors what the final hamming filter pushes into the
+    // join branches; null sh never survives `hamming <= maxHamming` anyway)
+    val sh = withSimhash(
+      df.filter(col(idCol).isNotNull)
+        .select(col(idCol).as("id"), col(textCol).as("__txt")),
       "__txt", "sh").select(col("id"), col("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(col("sh").isNotNull)
+      .repartition(col("id"))
     val chunks = (0 until 4).map(j =>
       struct(lit(j).as("band"),
         shiftright(col("sh"), j * 15).bitwiseAND(lit(0x7FFFL)).as("key")))
@@ -262,7 +281,14 @@ object TextDedup {
     * (halving remaining path lengths), so convergence is O(log diameter)
     * rather than one hop per round. Returns (id, group_id = min id of the
     * component); docs not in any pair keep their own id. The loop checks
-    * convergence and warns if maxIter was hit before fixpoint. */
+    * convergence and warns if maxIter was hit before fixpoint.
+    *
+    * OWNERSHIP CONTRACT: the returned frame is persisted (MEMORY_AND_DISK)
+    * and already materialized — the convergence loop requires an action per
+    * round, and unpersisting before return would force a full lineage replay
+    * of every round on the caller's first action. The CALLER owns the cache:
+    * call `.unpersist()` on the result when done with it (long-lived
+    * sessions that skip this accumulate one cache per dedup run). */
   def dedupGroups(pairs: DataFrame, allIds: DataFrame, maxIter: Int = 5): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))

@@ -115,26 +115,41 @@ object TextStats {
     * shingle (all fractions 0 — a short doc is not repetitious). */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.DedupKernels.register(df.sparkSession)
-    def dupFrac(h: Column): Column =
-      lit(1.0) - size(array_distinct(h)).cast(DoubleType) /
-        size(h).cast(DoubleType)
-    // persisted: the hash arrays feed both the per-doc metrics projection
-    // and the exploded top-bigram branch
-    val base = df.select(col(idCol),
-      TextDedup.shingleHashes(col(textCol), 2, 15).as("__h2"),
-      TextDedup.shingleHashes(col(textCol), 3, 15).as("__h3"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val perDoc = base.select(col(idCol),
-      size(col("__h2")).cast(LongType).as("n_bigrams"),
-      dupFrac(col("__h2")).as("dup_bigram_frac"),
-      dupFrac(col("__h3")).as("dup_trigram_frac"))
-    val top = base.select(col(idCol), explode(col("__h2")).as("__g"))
-      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol)).agg(max(col("__c")).as("__topc"))
-    perDoc.join(top, Seq(idCol))
-      .withColumn("top_bigram_frac",
-        col("__topc").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
-      .drop("__topc")
+    // ONE pass, no cache, no join: bigram and trigram hashes explode into a
+    // single tagged (id, tag, hash) stream, and every output metric is an
+    // aggregate of the per-(id, tag, hash) count table — total = Σ count,
+    // distinct = row count, top = max count — so 1 - distinct/total replays
+    // size(array_distinct(h))/size(h) exactly. Both aggregations are
+    // map-side combinable; the per-doc frequency table never materializes
+    // wholesale. (The former design persisted the hash arrays to feed two
+    // branches — a session-lifetime cache per call.)
+    def tagged(tag: Int, n: Int) =
+      transform(TextDedup.shingleHashes(col(textCol), n, 15),
+        h => struct(lit(tag).as("tag"), h.as("h")))
+    def forTag(tag: Int, c: Column) = max(when(col("__tag") === tag, c))
+    // one up-front shuffle by id; every groupBy below clusters on a key set
+    // containing id, so HashPartitioning(id) satisfies all three and the
+    // whole aggregation chain runs partition-local (1 shuffle total instead
+    // of 3 chained hash-array shuffles)
+    df.select(col(idCol), col(textCol))
+      .repartition(col(idCol))
+      .select(col(idCol),
+        explode(concat(tagged(2, 2), tagged(3, 3))).as("__g"))
+      .select(col(idCol), col("__g.tag").as("__tag"), col("__g.h").as("__h"))
+      .groupBy(col(idCol), col("__tag"), col("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol), col("__tag"))
+      .agg(sum(col("__c")).as("__n"), count(lit(1)).as("__nd"),
+        max(col("__c")).as("__topc"))
+      .groupBy(col(idCol))
+      .agg(
+        forTag(2, col("__n")).as("n_bigrams"),
+        (lit(1.0) - forTag(2, col("__nd")).cast(DoubleType) /
+          forTag(2, col("__n")).cast(DoubleType)).as("dup_bigram_frac"),
+        (lit(1.0) - forTag(3, col("__nd")).cast(DoubleType) /
+          forTag(3, col("__n")).cast(DoubleType)).as("dup_trigram_frac"),
+        (forTag(2, col("__topc")).cast(DoubleType) /
+          forTag(2, col("__n")).cast(DoubleType)).as("top_bigram_frac"))
   }
 
   /** PII redaction for training corpora: emails, IPv4 addresses, and
