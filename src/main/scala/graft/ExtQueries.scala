@@ -185,18 +185,52 @@ object ExtQueries {
         .orderBy(col("fold"))
     },
 
-    // DataSketches aggregates (reference prob-set-cardinality/prob-quantile,
-    // apache_data_sketch.clj — same library, TypedImperativeAggregate).
-    // Rows-only: sketch estimates differ from DuckDB's approx algorithms.
+    // Probabilistic + exact per-group summaries (reference
+    // prob-set-cardinality/prob-quantile, apache_data_sketch.clj), PORTABLE
+    // formulation so the whole row is oracle-exact: KMV/bottom-k theta
+    // distinct estimate (functions/Kmv — md5-derived hashes, fixed IEEE
+    // estimator), exact distinct, and exact rank-picked quantiles computed
+    // from the per-(flag, price) frequency table — the cumulate windows run
+    // over DISTINCT prices only (bounded domain: decimal(,2)), never an
+    // O(group) buffer. The DataSketches HLL/CPC/KLL aggregates remain the
+    // library path (spec-pinned vs exact in AdvancedSpec).
     "q50_sketches" -> { (s, dir) =>
-      graft.functions.Sketches.register(s)
-      t(s, dir, "lineitem")
+      graft.functions.Kmv.register(s)
+      import s.implicits._
+      val k = 1024
+      val li = t(s, dir, "lineitem")
+      // per-flag KMV sketches are O(k) each; estimates are a driver-side
+      // readout of the collected sketch arrays (same pattern as q62)
+      val kmv = li.select(col("l_returnflag"),
+          graft.llm.TextDedup.h60(col("l_partkey").cast(StringType)).as("h"))
         .groupBy(col("l_returnflag"))
-        .agg(expr("hll_distinct(l_partkey)").as("approx_parts"),
-          expr("cpc_distinct(l_partkey)").as("cpc_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          expr("kll_quantile(l_extendedprice, 0.5)").as("approx_median_price"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("hllpp_orders"))
+        .agg(expr(s"kmv_sketch(h, $k)").as("sk"))
+        .collect().toSeq
+        .map(r => (r.getString(0),
+          graft.functions.Kmv.estimate(r.getSeq[Long](1).toArray, k)))
+        .toDF("l_returnflag", "kmv_parts")
+      val counts = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      val freq = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("__c"))
+      val cum = freq
+        .withColumn("__cum", sum(col("__c")).over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))))
+        .withColumn("__tot", sum(col("__c")).over(
+          Window.partitionBy(col("l_returnflag"))))
+      // value at ascending rank ceil(q·n): the smallest price whose
+      // cumulative count reaches the rank (a VALUE pick — deterministic
+      // regardless of tie order)
+      def pick(q: Double, name: String) = cum
+        .filter(col("__cum") >= ceil(col("__tot") * lit(q)))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("l_extendedprice")).as(name))
+      counts
+        .join(broadcast(kmv), Seq("l_returnflag"))
+        .join(pick(0.5, "median_price"), Seq("l_returnflag"))
+        .join(pick(0.9, "p90_price"), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("kmv_parts"), col("exact_parts"),
+          col("median_price"), col("p90_price"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -1034,6 +1068,47 @@ object ExtQueries {
       """SELECT CAST(CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS INT) AS fold,
          COUNT(*) AS n
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // mirrors q50: KMV bottom-k estimate ((k−1)·2^60/h_k over md5-derived
+    // 60-bit hashes, exact below k — same op order as functions/Kmv), exact
+    // distinct, and rank-picked quantiles (smallest price whose cumulative
+    // count reaches ceil(q·n)).
+    "q50_sketches" ->
+      """WITH hs AS (
+           SELECT DISTINCT l_returnflag AS f,
+             CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM lineitem),
+         ranked AS (
+           SELECT f, h, row_number() OVER (PARTITION BY f ORDER BY h) AS rn,
+                  count(*) OVER (PARTITION BY f) AS cnt
+           FROM hs),
+         est AS (
+           SELECT f,
+             CASE WHEN max(cnt) < 1024 THEN CAST(max(cnt) AS DOUBLE)
+                  ELSE 1023.0 * pow(2.0, 60) / CAST(max(CASE WHEN rn = 1024 THEN h END) AS DOUBLE)
+             END AS kmv_parts
+           FROM ranked WHERE rn <= 1024 GROUP BY f),
+         counts AS (
+           SELECT l_returnflag AS f, COUNT(DISTINCT l_partkey) AS exact_parts
+           FROM lineitem GROUP BY 1),
+         freq AS (
+           SELECT l_returnflag AS f, l_extendedprice AS p, COUNT(*) AS c
+           FROM lineitem GROUP BY 1, 2),
+         cum AS (
+           SELECT f, p, SUM(c) OVER (PARTITION BY f ORDER BY p) AS cumc,
+                  SUM(c) OVER (PARTITION BY f) AS tot
+           FROM freq),
+         med AS (SELECT f, MIN(p) AS median_price FROM cum
+                 WHERE cumc >= CEIL(tot * 0.5) GROUP BY f),
+         p90 AS (SELECT f, MIN(p) AS p90_price FROM cum
+                 WHERE cumc >= CEIL(tot * 0.9) GROUP BY f)
+         SELECT c.f AS l_returnflag, e.kmv_parts, c.exact_parts,
+                m.median_price, n.p90_price
+         FROM counts c
+         JOIN est e ON e.f = c.f
+         JOIN med m ON m.f = c.f
+         JOIN p90 n ON n.f = c.f
+         ORDER BY 1""",
 
     // mirrors TableOps.hashSampleRows(10, orderkey#linenumber).
     "q52_sample" ->

@@ -8,25 +8,24 @@ class AdvancedSpec extends SparkSuite {
   init()
   import spark.implicits._
 
-  test("sketch distinct within HLL error bounds of exact") {
+  // q50 itself is now portable/oracle-exact (KMV + rank-picked quantiles);
+  // the DataSketches HLL/CPC aggregates stay the library path and keep
+  // their exact-comparison coverage here.
+  test("sketch distinct (HLL + CPC) within error bounds of exact") {
     graft.functions.Sketches.register(spark)
-    val out = Queries.queries("q50_sketches")(spark, sfDir).collect()
+    val out = Tables.t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("hll_distinct(l_partkey)").as("approx_parts"),
+        expr("cpc_distinct(l_partkey)").as("cpc_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       val exact = r.getAs[Long]("exact_parts").toDouble
       val approx = r.getAs[Long]("approx_parts").toDouble
+      val cpc = r.getAs[Long]("cpc_parts").toDouble
       assert(math.abs(approx - exact) / exact < 0.05,
         s"HLL estimate $approx vs exact $exact")
-    }
-  }
-
-  test("cpc sketch distinct within error bounds of exact") {
-    graft.functions.Sketches.register(spark)
-    val out = Queries.queries("q50_sketches")(spark, sfDir).collect()
-    assert(out.nonEmpty)
-    out.foreach { r =>
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      val cpc = r.getAs[Long]("cpc_parts").toDouble
       // CPC at lgK=12 has RSE ≈ 0.59/sqrt(4096) ≈ 0.9%; 5% is generous
       assert(math.abs(cpc - exact) / exact < 0.05,
         s"CPC estimate $cpc vs exact $exact")
@@ -36,6 +35,19 @@ class AdvancedSpec extends SparkSuite {
     val big = spark.range(0, 100000).select((col("id") % 5000).as("v"))
     val est = big.selectExpr("cpc_distinct(v) AS e").collect()(0).getLong(0)
     assert(math.abs(est - 5000.0) / 5000.0 < 0.05, s"CPC merged estimate $est")
+  }
+
+  test("q50 portable sketch row: KMV within error bounds, quantiles ordered") {
+    val out = Queries.queries("q50_sketches")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      val kmv = r.getAs[Double]("kmv_parts")
+      // KMV RSE ≈ 1/sqrt(k−2) ≈ 3.1% at k=1024; 12% is 4σ
+      assert(math.abs(kmv - exact) / exact < 0.12,
+        s"KMV estimate $kmv vs exact $exact")
+      assert(r.getAs[Double]("median_price") <= r.getAs[Double]("p90_price"))
+    }
   }
 
   test("heavy hitters: exact output, complete under skew, guard on weak sketch") {
