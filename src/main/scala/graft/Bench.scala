@@ -14,14 +14,26 @@ object Bench {
     // measured query isn't charged for it
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Noise self-defense: each query runs TWICE (a fresh plan each run — no
+    // shuffle/stage reuse between them) and reports the min, so transient
+    // box contention can't masquerade as a code regression (the r4→r6
+    // driver tails moved 2–4× on untouched queries). Caches any query
+    // legitimately hands back (e.g. dedupGroups' caller-owned result) are
+    // dropped between queries so no query's memory squeezes the next.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      val times = (0 until runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        if (ok) Some(sec) else None
+      }
       // failures are marked -1 and excluded from the total, not silently
       // recorded as if they were fast successes
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (times.size == runs) times.min else -1.0)
     }
     // 3-decimal times keep the whole JSON line under ~2 KB (74+ queries):
     // the driver captures only the tail of stdout, and a longer line gets

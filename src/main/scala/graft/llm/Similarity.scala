@@ -250,19 +250,29 @@ object Similarity {
     cents.map { case (ci, a) => (ci, a.toSeq) }.toDF("centroid", "cent_vec")
   }
 
-  /** (id, emb → assigned centroid) for every vector in `v(id, emb)`:
-    * broadcast the centroid table, one map-side-combinable min(struct)
-    * aggregation — argmin distance with ties to the lower centroid index.
-    * `emb` rides the same shuffle (first per id) so callers need no join
-    * back to the corpus. */
-  private def assignCentroids(v: DataFrame,
-                              centDf: DataFrame): DataFrame =
-    v.crossJoin(broadcast(centDf))
-      .withColumn("dc", struct(sqDist(col("emb"), col("cent_vec")).as("d"),
-        col("centroid").as("c")))
-      .groupBy(col("id"))
-      .agg(min(col("dc")).as("m"), first(col("emb")).as("emb"))
-      .select(col("id"), col("m").getField("c").as("centroid"), col("emb"))
+  /** Per-row nearest-centroid id: a PROJECTION, not a join — the centroid
+    * matrix rides as ONE ArrayType literal (`typedLit`), so the expression
+    * tree and generated code are constant-size regardless of nCentroids
+    * (the historical Janino blowup came from expanding per-element literal
+    * expressions, not from a single array literal), and assignment needs no
+    * crossJoin row expansion and no groupBy(id) shuffle — the corpus never
+    * reshuffles for assignment at any scale. Distances use the same
+    * ascending-dim [[sqDist]] fold; ties go to the lower centroid index
+    * (strict `<` while scanning indices ascending). */
+  private[graft] def argminCentroid(emb: Column,
+                                    cents: Seq[(Int, Array[Double])]): Column = {
+    val ordered = cents.sortBy(_._1)
+    require(ordered.map(_._1) == ordered.indices,
+      s"centroid ids must be 0..${ordered.size - 1}")
+    val mat = typedLit(ordered.map(_._2.toSeq))
+    aggregate(sequence(lit(0), lit(ordered.size - 1)),
+      struct(lit(Double.PositiveInfinity).as("d"), lit(-1).as("c")),
+      (acc, ci) => {
+        val d = sqDist(emb, element_at(mat, ci + 1))
+        when(d < acc.getField("d"), struct(d.as("d"), ci.as("c")))
+          .otherwise(acc)
+      }).getField("c")
+  }
 
   /** Deterministic, engine-portable k-means coarse quantizer — the fit step
     * of [[ivfTopKPortable]]. Every step is a pure function of the data, so
@@ -270,9 +280,9 @@ object Similarity {
     * engine (q61's DuckDB oracle replays it):
     *  - init: the `nCentroids` corpus vectors with the smallest
     *    (md5(id), id) — a seedless reproducible "random" pick;
-    *  - assignment: [[sqDistLit]] distances, ties to the lower centroid
-    *    index (via a struct `least`, all inside codegen — the centroids are
-    *    driver-side literals, so assignment needs NO join and NO shuffle);
+    *  - assignment: [[argminCentroid]] — a per-row projection over a single
+    *    centroid-matrix literal, ties to the lower centroid index; NO join,
+    *    NO shuffle, and no per-centroid row expansion;
     *  - update: per-dim exact Int128 sums of floor(x·10⁶) (order-independent)
     *    through the fixed (sum/10⁶)/n double sequence; empty clusters keep
     *    their center;
@@ -294,8 +304,7 @@ object Similarity {
         .select(col("emb")).collect().toSeq
         .map(_.getSeq[Double](0).toArray).zipWithIndex.map(_.swap)
     for (_ <- 1 to iters) {
-      val centDf = centroidFrame(corpus.sparkSession, cents)
-      val sums = assignCentroids(v, centDf)
+      val sums = v.withColumn("centroid", argminCentroid(col("emb"), cents))
         .select(col("centroid"), posexplode(col("emb")).as(Seq("pos", "x")))
         .groupBy(col("centroid"), col("pos"))
         .agg(graft.ops.Reductions.isum(col("x"), 6).as("s"),
@@ -329,12 +338,13 @@ object Similarity {
                       embCol: String = "embedding"): DataFrame = {
     val cents = kmeansPortable(corpus, nCentroids, iters, idCol, embCol)
     val centDf = centroidFrame(corpus.sparkSession, cents)
-    val cv = corpus.select(col(idCol).cast(LongType).as("id"),
-      col(embCol).cast("array<double>").as("emb"))
+    // final inverted-list assignment is ONE map pass over the corpus — no
+    // join-back, no shuffle (the former design recomputed assignment via a
+    // crossJoin(broadcast)+groupBy(id) shuffle and then joined it back)
     val c = corpus.select(col(idCol).cast(LongType).as("corpus_id"),
         col(embCol).as("c_emb"))
-      .join(assignCentroids(cv, centDf).drop("emb")
-        .withColumnRenamed("id", "corpus_id"), "corpus_id")
+      .withColumn("centroid",
+        argminCentroid(col("c_emb").cast("array<double>"), cents))
       .withColumn("c_norm", normExact(col("c_emb")))
     // probe lists: nProbe nearest centroids per query (ties → lower index)
     val qv = queries.select(col(idCol).cast(LongType).as("id"),
