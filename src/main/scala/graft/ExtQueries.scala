@@ -601,10 +601,19 @@ object ExtQueries {
                   CAST(value AS DOUBLE) AS y
            FROM events
            WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND value IS NOT NULL),
+         -- duplicate x values average y first, replaying loessSmooth's
+         -- ascending-value LEFT-FOLD sum (list_reduce is sequential; a
+         -- plain SUM would be order-nondeterministic in doubles). Also
+         -- makes x unique per g, so list(... ORDER BY x) below is
+         -- deterministic and the window-edge denom can't hit x_l = x_i.
+         dedup AS (
+           SELECT g, x,
+             list_reduce(list(y ORDER BY y), (a, b) -> a + b) / count(*) AS y
+           FROM base GROUP BY g, x),
          agg AS (
            SELECT g, list(x ORDER BY x) AS xs, list(y ORDER BY x) AS ys,
                   CAST(count(*) AS INT) AS n
-           FROM base GROUP BY g),
+           FROM dedup GROUP BY g),
          big AS (
            SELECT g, xs, ys, n,
              LEAST(GREATEST(2, CAST(FLOOR(GREATEST(0.3, LEAST(1.0, 3.0/n)) * n) AS INT)), n) AS q

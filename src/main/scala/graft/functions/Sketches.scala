@@ -275,6 +275,23 @@ object Sketches {
     with UnaryLike[Expression] {
     import org.apache.datasketches.common.ArrayOfStringsSerDe
 
+    // The child MUST already be a string: items are sketched via the
+    // EXTERNAL string form, and heavyHittersExact's recount filter matches
+    // on it. The registry's freq_sketch wraps the child in Cast(_, String)
+    // (resolved by the analyzer, incl. timezone for timestamps); enforcing
+    // StringType here makes any direct construction that skips the cast
+    // fail analysis loudly instead of silently sketching internal values
+    // (e.g. epoch-day ints for dates).
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"freq_sketch items must be STRING, got ${child.dataType.sql}: " +
+            "wrap the child in CAST(x AS STRING) (the graft registry does " +
+            "this automatically)")
+
     private def serDe = new ArrayOfStringsSerDe()
 
     override def createAggregationBuffer(): frequencies.ItemsSketch[String] =

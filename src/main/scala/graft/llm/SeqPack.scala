@@ -26,11 +26,21 @@ import org.apache.spark.sql.types.LongType
 object SeqPack {
 
   /** Exclusive global prefix sum of `valueCol` (LongType, null→0) over the
-    * total order `order`, attached as `name`. */
+    * total order `order`, attached as `name`.
+    *
+    * DETERMINISM: if `order` ties, within-partition row order could differ
+    * between the offsets pass and a later lineage recompute (executor loss
+    * replays the sort map stage), assigning different prefixes to the tied
+    * rows. A deterministic whole-row hash is therefore appended as the last
+    * sort key: rows tied on `order` get a fixed relative order, and rows
+    * identical in every column remain interchangeable (swapping them is
+    * unobservable). Callers that pass a genuinely total order (q75's
+    * doc_id) are unaffected — the tiebreaker never fires. */
   def withPrefixSum(df: DataFrame, order: Seq[Column], valueCol: String,
                     name: String = "prefix_sum"): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.orderBy(order: _*)
+    val tiebreak = xxhash64(df.columns.map(col).toIndexedSeq: _*)
+    val sorted = df.orderBy(order :+ tiebreak.asc: _*)
     // Capture .rdd ONCE: both jobs below hang off the same shuffle
     // dependency, so the sampled range bounds cannot diverge between passes
     // and the second job reuses the first's shuffle files.

@@ -313,10 +313,23 @@ object Advanced {
     * from one aggregation over the pair frame; the final tau arithmetic is
     * plain IEEE doubles, identical on any engine. Rows with a null in any of
     * `cols` are dropped first (complete-case, like commons-math). `idCol`
-    * must be unique per row (pair dedup via id_l < id_r). */
+    * must be unique per row (pair dedup via id_l < id_r).
+    *
+    * API SAFETY: because the pair frame is quadratic, inputs above
+    * `maxRows` (default 100k ⇒ ≤5·10⁹ pair rows) are REFUSED rather than
+    * silently launching an unbounded cartesian — sample or block the input
+    * first, or use `spearmanCorrelationTable` (fully distributed) for
+    * monotone association at scale. The count-check costs one pass over the
+    * complete-case frame. */
   def kendallCorrelationTable(df: DataFrame, cols: Seq[String],
-                              idCol: String): DataFrame = {
+                              idCol: String,
+                              maxRows: Long = 100000L): DataFrame = {
     val base = df.na.drop(cols)
+    val n = base.count()
+    require(n <= maxRows,
+      s"kendallCorrelationTable is all-pairs (O(n^2)): got $n complete-case " +
+        s"rows > maxRows=$maxRows. Sample/block the input, raise maxRows " +
+        "deliberately, or use spearmanCorrelationTable for scale.")
     val l = base.select(col(idCol).as("__il") +:
       cols.map(c => col(c).cast(DoubleType).as(s"__l_$c")): _*)
     val r = base.select(col(idCol).as("__ir") +:

@@ -222,6 +222,18 @@ class AdvancedSpec extends SparkSuite {
     assert(math.abs(ad - 4.0 / math.sqrt(24.0)) < 1e-15, s"tau-b $ad")
   }
 
+  test("kendall refuses unbounded cartesian above maxRows") {
+    val big = spark.range(0, 100).select(col("id"),
+      col("id").cast("double").as("a"), (col("id") * 2).cast("double").as("b"))
+    val e = intercept[IllegalArgumentException] {
+      Advanced.kendallCorrelationTable(big, Seq("a", "b"), "id", maxRows = 50L)
+    }
+    assert(e.getMessage.contains("all-pairs"))
+    // at or below the bound it runs
+    assert(Advanced.kendallCorrelationTable(big.limit(50), Seq("a", "b"), "id",
+      maxRows = 50L).count() == 2)
+  }
+
   test("probDistToLabel: argmax name, first column wins ties, NaN raises") {
     import graft.ops.Ml
     val df = Seq((1L, 0.2, 0.5, 0.3), (2L, 0.4, 0.4, 0.2), (3L, 0.1, 0.2, 0.7))
