@@ -5,10 +5,13 @@ import java.time.Instant
 
 import scala.collection.JavaConverters._
 
+import org.apache.arrow.compression.CommonsCompressionFactory
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
 import org.apache.arrow.vector.complex.ListVector
-import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.compression.CompressionUtil
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, ArrowReader, ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.ipc.message.IpcOption
 import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit => ATimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.hadoop.conf.Configuration
@@ -40,6 +43,17 @@ import org.apache.spark.sql.types._
   * decimal/string/binary/date/timestamp) plus ArrayType of any of those —
   * enough for every graft table incl. `embeddings` list<float>. Nested
   * structs/maps are out of scope (parquet is the nested-data interchange).
+  *
+  * Real-world interchange files (reference arrow.clj reads both):
+  *  - COMPRESSED record batches (lz4-frame / zstd) decompress transparently
+  *    on read (CommonsCompressionFactory); `write(..., codec = "lz4"|"zstd")`
+  *    produces them.
+  *  - DICTIONARY-ENCODED columns (the memory-format index vector + the
+  *    dictionary batches) are decoded to their VALUE type on read — a
+  *    dict-encoded utf8 column surfaces as a plain StringType column, like
+  *    the reference's preparse dictionary handling (arrow.clj:1601). Write
+  *    stays plain-encoded (Tungsten's columnar cache is the in-memory
+  *    compression story; dict re-encoding on export adds nothing).
   */
 object ArrowIo {
 
@@ -220,8 +234,9 @@ object ArrowIo {
     * `format = "stream"` → IPC stream framing; `"file"` → random-access
     * file framing (Feather V2). */
   def write(df: DataFrame, path: String, batchRows: Int = 4096,
-            format: String = "stream"): Unit = {
+            format: String = "stream", codec: String = "none"): Unit = {
     require(format == "stream" || format == "file", s"format=$format")
+    require(Set("none", "lz4", "zstd")(codec), s"codec=$codec")
     val schema = df.schema
     val suffix = if (format == "stream") "arrows" else "arrow"
     // driver creates the dir (and validates the schema maps) up front
@@ -239,9 +254,21 @@ object ArrowIo {
       val out = fs.create(part, true)
       val buffered = new BufferedOutputStream(out, 1 << 20)
       val chan = java.nio.channels.Channels.newChannel(buffered)
-      val writer =
-        if (suffix == "arrows") new ArrowStreamWriter(root, null, chan)
-        else new ArrowFileWriter(root, null, chan)
+      val writer = codec match {
+        case "none" =>
+          if (suffix == "arrows") new ArrowStreamWriter(root, null, chan)
+          else new ArrowFileWriter(root, null, chan)
+        case c =>
+          val ct =
+            if (c == "lz4") CompressionUtil.CodecType.LZ4_FRAME
+            else CompressionUtil.CodecType.ZSTD
+          if (suffix == "arrows")
+            new ArrowStreamWriter(root, null, chan, IpcOption.DEFAULT,
+              CommonsCompressionFactory.INSTANCE, ct)
+          else
+            new ArrowFileWriter(root, null, chan, null, IpcOption.DEFAULT,
+              CommonsCompressionFactory.INSTANCE, ct)
+      }
       writer.start()
       val vectors = root.getFieldVectors.asScala.toArray
       var n = 0
@@ -285,7 +312,9 @@ object ArrowIo {
     require(files.nonEmpty, s"arrow: no .arrow/.arrows files under $path")
 
     // schema off the first file, driver-side
-    val schema = withReader(files.head) { root => fromArrowSchema(root.getSchema) }
+    val schema = withReader(files.head) { reader =>
+      sparkSchemaOf(reader, reader.getVectorSchemaRoot)
+    }
 
     val rdd = spark.sparkContext
       .parallelize(files, files.length)
@@ -293,14 +322,53 @@ object ArrowIo {
     spark.createDataFrame(rdd, schema)
   }
 
-  private def withReader[T](file: String)(f: VectorSchemaRoot => T): T = {
+  private def withReader[T](file: String)(f: ArrowReader => T): T = {
     val alloc = new RootAllocator()
     val in = openStream(file)
-    val reader =
-      if (file.endsWith(".arrows")) new ArrowStreamReader(in, alloc)
-      else new ArrowFileReader(asSeekable(in, file), alloc)
-    try f(reader.getVectorSchemaRoot)
+    val reader = newReader(file, in, alloc)
+    try f(reader)
     finally { reader.close(); alloc.close() }
+  }
+
+  /** Reader with transparent lz4/zstd record-batch decompression. */
+  private def newReader(file: String, in: java.io.InputStream,
+                        alloc: RootAllocator): ArrowReader =
+    if (file.endsWith(".arrows"))
+      new ArrowStreamReader(in, alloc, CommonsCompressionFactory.INSTANCE)
+    else
+      new ArrowFileReader(asSeekable(in, file), alloc,
+        CommonsCompressionFactory.INSTANCE)
+
+  /** Spark schema of a (possibly dictionary-encoded) IPC file. Dict-encoded
+    * fields carry only the INDEX type in the memory-format schema — the
+    * VALUE type lives in the dictionary batches, so when any are present the
+    * first record batch is loaded to materialize them (stream framing
+    * delivers dictionaries ahead of the first batch). */
+  private def sparkSchemaOf(reader: ArrowReader,
+                            root: VectorSchemaRoot): StructType = {
+    val fields = root.getSchema.getFields.asScala
+    if (fields.exists(_.getDictionary != null)) {
+      require(reader.loadNextBatch(),
+        "arrow: dictionary-encoded schema but no record batch to read " +
+          "dictionaries from")
+    }
+    StructType(fields.map { f =>
+      Option(f.getDictionary) match {
+        case Some(enc) =>
+          val dict = reader.lookup(enc.getId)
+          require(dict != null, s"arrow: missing dictionary ${enc.getId}")
+          StructField(f.getName,
+            fromArrowType(dict.getVector.getField.getType), f.isNullable)
+        case None => f.getType match {
+          case _: ArrowType.List =>
+            val child = f.getChildren.get(0)
+            StructField(f.getName,
+              ArrayType(fromArrowType(child.getType), child.isNullable),
+              f.isNullable)
+          case t => StructField(f.getName, fromArrowType(t), f.isNullable)
+        }
+      }
+    }.toArray)
   }
 
   private def openStream(file: String): java.io.InputStream = {
@@ -319,24 +387,40 @@ object ArrowIo {
       new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(bytes))
   }
 
-  /** Lazy row iterator over one IPC file: loads one record batch at a time. */
+  /** Lazy row iterator over one IPC file: loads one record batch at a time.
+    * Dictionary-encoded columns are decoded per value via their dictionary
+    * (re-looked-up per batch, so stream-framing dictionary replacement is
+    * honored); compressed batches decompress in the reader. */
   private def fileRowIterator(file: String): Iterator[Row] = {
     val alloc = new RootAllocator()
     val in = openStream(file)
-    val reader =
-      if (file.endsWith(".arrows")) new ArrowStreamReader(in, alloc)
-      else new ArrowFileReader(asSeekable(in, file), alloc)
+    val reader = newReader(file, in, alloc)
     val root = reader.getVectorSchemaRoot
+    val encodings = root.getSchema.getFields.asScala
+      .map(f => Option(f.getDictionary)).toArray
 
     new Iterator[Row] {
       private var i = 0
       private var n = 0
       private var exhausted = false
       private var closed = false
+      // per-column dictionary value vectors for the CURRENT batch
+      private val dicts = new Array[FieldVector](encodings.length)
 
       private def advance(): Unit = {
         if (!exhausted && i >= n) {
-          if (reader.loadNextBatch()) { n = root.getRowCount; i = 0 }
+          if (reader.loadNextBatch()) {
+            n = root.getRowCount; i = 0
+            var c = 0
+            while (c < encodings.length) {
+              dicts(c) = encodings(c).map { enc =>
+                val d = reader.lookup(enc.getId)
+                require(d != null, s"arrow: missing dictionary ${enc.getId}")
+                d.getVector.asInstanceOf[FieldVector]
+              }.orNull
+              c += 1
+            }
+          }
           else { exhausted = true }
           if (exhausted && !closed) { reader.close(); alloc.close(); closed = true }
           if (!exhausted && n == 0) advance() // skip empty batches
@@ -351,7 +435,13 @@ object ArrowIo {
         val vs = root.getFieldVectors
         val arr = new Array[Any](vs.size())
         var c = 0
-        while (c < arr.length) { arr(c) = getValue(vs.get(c), i); c += 1 }
+        while (c < arr.length) {
+          val raw = getValue(vs.get(c), i)
+          arr(c) =
+            if (dicts(c) == null || raw == null) raw
+            else getValue(dicts(c), raw.asInstanceOf[Number].intValue())
+          c += 1
+        }
         i += 1
         Row.fromSeq(arr.toIndexedSeq)
       }

@@ -62,6 +62,43 @@ class ArrowIoSpec extends SparkSuite {
     assert(back.count() == df.count())
   }
 
+  test("reads pyarrow dictionary-encoded + zstd/lz4 compressed IPC files") {
+    // fixtures from tools/make_arrow_fixtures.py: 60 rows, dict-encoded
+    // `cat` (with nulls), 3 record batches, both framings
+    val dir = new java.io.File("src/test/resources/arrow").getAbsolutePath
+    val cats = Seq("alpha", "beta", "gamma", null)
+    for (f <- Seq("dict_zstd.arrows", "dict_lz4.arrows", "dict_zstd.arrow",
+        "dict_plain.arrows")) {
+      val df = ArrowIo.read(spark, s"$dir/$f")
+      assert(df.schema.map(x => (x.name, x.dataType)) ==
+        Seq(("id", LongType), ("cat", StringType), ("val", DoubleType)),
+        s"schema of $f (dictionary must surface as its VALUE type)")
+      val rows = df.orderBy("id").collect()
+      assert(rows.length == 60, s"rows of $f")
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(0) == i)
+        assert(r.getAs[String]("cat") == cats(i % 4), s"$f row $i")
+        assert(r.getDouble(2) == i * 0.5)
+      }
+    }
+  }
+
+  test("compressed write round-trips and actually shrinks text data") {
+    val tmp = Files.createTempDirectory("graft_arrow_codec").toString
+    val docs = Tables.t(spark, sfDir, "documents").limit(200)
+    def dirSize(p: String): Long =
+      new java.io.File(p).listFiles().map(_.length()).sum
+    for ((codec, fmt) <- Seq(("lz4", "stream"), ("zstd", "stream"),
+        ("zstd", "file"))) {
+      val out = s"$tmp/d_${codec}_$fmt"
+      ArrowIo.write(docs, out, batchRows = 64, format = fmt, codec = codec)
+      assertSameData(docs, ArrowIo.read(spark, out))
+    }
+    ArrowIo.write(docs, s"$tmp/d_plain", batchRows = 64)
+    assert(dirSize(s"$tmp/d_zstd_stream") < dirSize(s"$tmp/d_plain"),
+      "zstd output should be smaller than uncompressed on text")
+  }
+
   test("arrow round-trips nulls, booleans, dates, decimals, null lists") {
     val tmp = Files.createTempDirectory("graft_arrow_nulls").toString
     val schema = StructType(Seq(

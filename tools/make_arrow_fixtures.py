@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Generate Arrow IPC interchange fixtures that exercise what real-world
+files contain and the JVM-side writer does not produce: dictionary-encoded
+columns and lz4/zstd-compressed record batches. Run once; outputs are
+committed under src/test/resources/arrow/ and pinned by ArrowIoSpec.
+
+The table is deterministic (no RNG): 60 rows across 3 record batches so the
+dictionary + compression framing appears per batch.
+"""
+import os
+import pyarrow as pa
+import pyarrow.ipc as ipc
+
+OUT = os.path.join(os.path.dirname(__file__), "..",
+                   "src", "test", "resources", "arrow")
+os.makedirs(OUT, exist_ok=True)
+
+n = 60
+cat = pa.array([["alpha", "beta", "gamma", None][i % 4] for i in range(n)]
+               ).dictionary_encode()
+ids = pa.array(range(n), type=pa.int64())
+val = pa.array([i * 0.5 for i in range(n)], type=pa.float64())
+table = pa.table({"id": ids, "cat": cat, "val": val})
+
+batches = table.to_batches(max_chunksize=20)
+schema = table.schema
+
+
+def write(path, fmt, codec):
+    opts = ipc.IpcWriteOptions(compression=codec)
+    if fmt == "stream":
+        w = ipc.new_stream(path, schema, options=opts)
+    else:
+        w = ipc.new_file(path, schema, options=opts)
+    for b in batches:
+        w.write_batch(b)
+    w.close()
+
+
+# stream framing (.arrows) and file framing / feather v2 (.arrow)
+write(os.path.join(OUT, "dict_zstd.arrows"), "stream", "zstd")
+write(os.path.join(OUT, "dict_lz4.arrows"), "stream", "lz4")
+write(os.path.join(OUT, "dict_zstd.arrow"), "file", "zstd")
+write(os.path.join(OUT, "dict_plain.arrows"), "stream", None)
+
+for f in sorted(os.listdir(OUT)):
+    print(f, os.path.getsize(os.path.join(OUT, f)), "bytes")
