@@ -119,9 +119,14 @@ object LlmQueries {
     },
 
     // multimodal: binary attach → batched decode (stub) → features table.
+    // REAL image decode through the correctness gate: deterministic PNGs
+    // (dimensions/pixels a closed-form function of doc_id) are generated,
+    // PNG-encoded, and decoded back with javax.imageio; the oracle replays
+    // the pixel formula. Decoded width/height/channels and the exact R+G+B
+    // sum prove the codec actually ran (PNG is lossless).
     "q36_multimodal" -> { (s, dir) =>
-      Multimodal.mediaFeatures(s,
-        t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+      Multimodal.imageFeatures(s,
+        t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
         .orderBy(col("doc_id"))
     },
 
@@ -453,23 +458,26 @@ object LlmQueries {
     // mirrors Multimodal.mediaFeatures over the UTF-8 payload bytes: the
     // decode STUB's fake features are pure byte arithmetic, so the whole
     // plumbing (attach → batch → decode → features) is oracle-checkable.
+    // replays Multimodal.syntheticPng's pixel generator in closed form:
+    // the Spark side round-trips these values through a real PNG
+    // encode/decode (lossless), so equality proves the codec ran.
     "q36_multimodal" ->
-      """WITH b AS (
-           SELECT doc_id, hex(encode(text)) AS h,
-             CAST(octet_length(encode(text)) AS INT) AS n_bytes
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(16 + doc_id % 16 AS INT) AS width,
+             CAST(16 + (doc_id // 16) % 16 AS INT) AS height
            FROM documents WHERE doc_id < 200),
-         s AS (
-           SELECT doc_id, n_bytes,
-             CASE WHEN n_bytes > 0 THEN CAST(concat('0x', substr(h, 1, 2)) AS INT)
-                  ELSE -1 END AS head_byte,
-             CAST(COALESCE(list_sum(list_transform(range(n_bytes),
-               i -> CAST(concat('0x', substr(h, CAST(i*2+1 AS INT), 2)) AS INT))), 0) AS BIGINT) AS byte_sum
-           FROM b)
-         SELECT doc_id, n_bytes, head_byte, byte_sum,
-           CAST(16 + byte_sum % 16 AS INT) AS fake_width,
-           CAST(16 + (byte_sum // 16) % 16 AS INT) AS fake_height,
-           3 AS fake_channels
-         FROM s ORDER BY doc_id""",
+         px AS (
+           SELECT doc_id, width, height,
+             UNNEST(range(width)) AS x
+           FROM d),
+         pxy AS (
+           SELECT doc_id, width, height, x, UNNEST(range(height)) AS y
+           FROM px)
+         SELECT doc_id, width, height, 3 AS channels,
+           CAST(SUM((x + doc_id) % 256 + (y + 2 * doc_id) % 256
+                    + (x + y) % 256) AS BIGINT) AS pixel_sum
+         FROM pxy GROUP BY 1, 2, 3 ORDER BY doc_id""",
 
     // mirrors TextStats.fingerprintSketch: 5-gram shingles → 28-bit md5-prefix
     // hashes → bottom-8, comma-joined.

@@ -8,13 +8,16 @@ import org.apache.spark.sql.types._
   * typed metadata, plus the decode / feature-extract plumbing a training-data
   * pipeline needs.
   *
-  * The decode step itself is STUBBED (no image/audio codecs in this
-  * container): `decodeStub` produces deterministic fake features from the
-  * bytes. Everything around it — the schema convention, the batched
-  * mapPartitions shape, partition sizing, and the typed Dataset plumbing — is
-  * real and is what matters at 100 TB: media rows are large, so the operator
-  * keeps per-task batches bounded and never widens the binary column through
-  * a shuffle (features are extracted BEFORE any join/groupBy).
+  * IMAGE decode is REAL: [[decodeImages]] runs javax.imageio (PNG/BMP/GIF —
+  * the pure-JVM codecs) inside the batched mapPartitions shape and emits
+  * true decoded dimensions/channels/pixel statistics (q36's oracle checks
+  * them against a closed-form pixel generator). Audio/video decode remains
+  * STUBBED (`decodeStub` — no such codecs in the JVM): deterministic fake
+  * features with the identical batching shape, so swapping in a codec is a
+  * one-function change. The surrounding design is what matters at 100 TB:
+  * media rows are large, so operators keep per-task batches bounded and
+  * never widen the binary column through a shuffle (features are extracted
+  * BEFORE any join/groupBy).
   */
 object Multimodal {
 
@@ -74,5 +77,80 @@ object Multimodal {
       .select(col(idCol).cast(LongType).as("doc_id"), col("content"))
       .as[MediaRow]
     decodeStub(media).toDF()
+  }
+
+  // ---- real image decode ---------------------------------------------------
+
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+                           channels: Int, pixel_sum: Long)
+
+  /** REAL batched image decode: javax.imageio per row inside the same
+    * bounded-batch mapPartitions shape as [[decodeStub]]. Emits true decoded
+    * width/height, color-model component count, and the exact integer sum of
+    * all R+G+B samples — the "did the codec actually run" statistic (PNG is
+    * lossless, so it is bit-reproducible). Corrupt/undecodable payloads fail
+    * loudly rather than emitting garbage features. */
+  def decodeImages(rows: Dataset[MediaRow], batchSize: Int = 64): Dataset[ImageFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.content))
+          require(img != null, s"undecodable image bytes for doc ${r.doc_id}")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeatures(r.doc_id, w, h,
+            img.getColorModel.getNumColorComponents, sum)
+        }
+      }
+    }
+  }
+
+  /** Deterministic RGB test image for id: w = 16 + id%16, h = 16 +
+    * (id/16)%16, pixel(x,y) = ((x+id)%256, (y+2id)%256, (x+y)%256),
+    * PNG-encoded. Every decoded feature of [[decodeImages]] is therefore a
+    * closed-form function of id that an external engine can replay (q36's
+    * oracle) — while the bytes still go through a real PNG encode/decode. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 16 + (id % 16).toInt
+    val h = 16 + ((id / 16) % 16).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x + id) % 256).toInt
+        val g = ((y + 2 * id) % 256).toInt
+        val b = (x + y) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Image feature pipeline over synthetic PNGs keyed by `idCol`: generate →
+    * decode (real codec) → features. Generation and decode stay in ONE
+    * mapPartitions pass each; the PNG bytes never cross a shuffle. */
+  def imageFeatures(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    val media = df.select(col(idCol).cast(LongType).as("doc_id"))
+      .as[Long].map(id => MediaRow(id, syntheticPng(id)))
+    decodeImages(media).toDF()
   }
 }

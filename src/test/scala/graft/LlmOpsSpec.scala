@@ -129,6 +129,38 @@ class LlmOpsSpec extends SparkSuite {
     assert(f1.forall(_.getAs[Int]("n_bytes") > 0))
   }
 
+  test("real image decode: PNG round-trip recovers dimensions and pixels") {
+    // the generator's bytes are a genuine PNG...
+    val png = Multimodal.syntheticPng(37L)
+    assert(png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    // ...and decode recovers the closed-form features, independent of
+    // partitioning (batch boundaries)
+    def expected(id: Long): (Int, Int, Long) = {
+      val w = 16 + (id % 16).toInt; val h = 16 + ((id / 16) % 16).toInt
+      val sum = (for (y <- 0 until h; x <- 0 until w) yield
+        (x + id) % 256 + (y + 2 * id) % 256 + (x + y) % 256).sum
+      (w, h, sum)
+    }
+    val ids = (0L until 40L).toDF("doc_id")
+    val out = Multimodal.imageFeatures(spark, ids.repartition(7), "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.length == 40)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h, s) = expected(id)
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Int]("channels") == 3)
+      assert(r.getAs[Long]("pixel_sum") == s, s"pixel_sum mismatch for $id")
+    }
+    // corrupt bytes fail loudly, not silently
+    import Multimodal.MediaRow
+    intercept[Exception] {
+      Multimodal.decodeImages(
+        Seq(MediaRow(1L, Array[Byte](1, 2, 3))).toDS()).collect()
+    }
+  }
+
   test("zero-norm embeddings never rank in cosine top-k") {
     val rows = (0L to 4L).map(i => (i, Array.fill(8)(0.1f * (i + 1)))) :+
       (5L, Array.fill(8)(0.0f)) // zero vector must not poison rankings
