@@ -502,6 +502,38 @@ object ExtQueries {
         .orderBy(col("event_id"))
     },
 
+    // xlsx round-trip under the correctness gate (reference libs/
+    // fastexcel.clj + libs/poi.clj): write supplier through the pure-JVM
+    // OOXML writer, read it back with the xlsx parser, aggregate — if any
+    // value, type, or null is disturbed in flight the oracle hash diverges.
+    "q80_xlsx" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q80").toString
+      val src = t(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      graft.sources.XlsxIo.write(src, s"$tmp/supplier.xlsx")
+      graft.sources.XlsxIo.read(s, s"$tmp/supplier.xlsx")
+        .groupBy(col("s_nationkey").cast(IntegerType).as("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("s_acctbal").cast(DoubleType)).as("sum_bal"),
+          min(col("s_name")).as("first_name"))
+        .orderBy(col("s_nationkey"))
+    },
+
+    // EDN round-trip under the correctness gate (reference dataset/io.clj:
+    // 74-79,98-105 get-edn/put-edn! over the mapseq reader).
+    "q81_edn" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q81").toString
+      val src = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      graft.sources.EdnIo.write(src, s"$tmp/customer.edn")
+      graft.sources.EdnIo.read(s, s"$tmp/customer.edn")
+        .groupBy(col("c_nationkey").cast(IntegerType).as("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("c_acctbal").cast(DoubleType)).as("sum_bal"),
+          min(col("c_name")).as("first_name"))
+        .orderBy(col("c_nationkey"))
+    },
+
     // row-map (reference dataset_api.clj:885-943) as a per-row computed
     // margin — declarative, stays in codegen.
     "q59_row_map" -> { (s, dir) =>
@@ -1183,6 +1215,17 @@ object ExtQueries {
            ON e.v IS NULL
           AND o.ai = CAST(concat('0x', substr(md5(concat_ws('#', 7, e.event_id)), 1, 15)) AS BIGINT) % n.c
          ORDER BY e.event_id""",
+
+    // the files round-trip bit-exactly, so the parquet source is the oracle
+    "q80_xlsx" ->
+      """SELECT CAST(s_nationkey AS INT) AS s_nationkey, COUNT(*) AS n,
+         CAST(SUM(CAST(s_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS sum_bal, MIN(s_name) AS first_name
+         FROM supplier GROUP BY 1 ORDER BY 1""",
+
+    "q81_edn" ->
+      """SELECT CAST(c_nationkey AS INT) AS c_nationkey, COUNT(*) AS n,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS sum_bal, MIN(c_name) AS first_name
+         FROM customer GROUP BY 1 ORDER BY 1""",
 
     "q59_row_map" ->
       """SELECT l_orderkey, l_linenumber,

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.EdnIo
+
+/** EDN reader/writer: parser features, mapseq→dataset typing (reference
+  * src/tech/v3/dataset/io.clj:74-79,98-105), and write→read round-trips. */
+class EdnIoSpec extends SparkSuite {
+  init()
+
+  test("parses scalars, collections, comments, discard, tagged literals") {
+    val doc = """
+      ; a comment
+      [{:a 1, :b "x", :c true, :d nil, :e 1.5}
+       {:a -2, :b "y\n\"z\"", :c false, :e 2N}
+       #_{:a 999}
+       {:a 3, :f #inst "2021-03-04T12:34:56Z", :g #uuid "00000000-0000-0000-0000-000000000001"}]
+    """
+    val forms = EdnIo.parseAll(doc)
+    assert(forms.length == 1)
+    val rows = forms.head.asInstanceOf[Vector[Map[Any, Any]]]
+    assert(rows.length == 3) // #_ discarded
+    assert(rows(0)("a") == 1L)
+    assert(rows(0)("e") == 1.5)
+    assert(rows(1)("b") == "y\n\"z\"")
+    assert(rows(1)("e") == 2L) // 2N bigint stays integral
+    assert(rows(2)("f").isInstanceOf[java.sql.Timestamp])
+    assert(rows(2)("g") == "00000000-0000-0000-0000-000000000001")
+  }
+
+  test("keywords, symbols, sets, nested vectors, chars") {
+    val forms = EdnIo.parseAll(
+      """{:kw :other/name :sym a-symbol :set #{1 2 3} :vec [1 [2 3]] :ch \a :nl \newline}""")
+    val m = forms.head.asInstanceOf[Map[Any, Any]]
+    assert(m("kw") == "other/name")
+    assert(m("sym") == "a-symbol")
+    assert(m("set") == Set(1L, 2L, 3L))
+    assert(m("vec") == Vector(1L, Vector(2L, 3L)))
+    assert(m("ch") == "a")
+    assert(m("nl") == "\n")
+  }
+
+  test("seq-of-maps document becomes a typed DataFrame") {
+    val df = EdnIo.fromEdnString(spark,
+      """[{:id 1 :name "a" :score 1.5 :ok true :xs [1 2]}
+         {:id 2 :name "b" :ok false}
+         {:id 3 :name "c" :score -0.5 :xs [3]}]""")
+    assert(df.columns.toSeq == Seq("id", "name", "score", "ok", "xs"))
+    assert(df.schema("id").dataType == IntegerType)
+    assert(df.schema("score").dataType == DoubleType)
+    assert(df.schema("ok").dataType == BooleanType)
+    assert(df.schema("xs").dataType == ArrayType(LongType))
+    assert(df.count() == 3)
+    assert(df.filter(col("id") === 2).first().isNullAt(2)) // absent key → null
+  }
+
+  test("#inst column lands as timestamp; mixed columns degrade to string") {
+    val df = EdnIo.fromEdnString(spark,
+      """[{:t #inst "2020-01-01T00:00:00Z" :m 1}
+         {:t #inst "2020-06-01T12:00:00Z" :m "x"}]""")
+    assert(df.schema("t").dataType == TimestampType)
+    assert(df.schema("m").dataType == StringType)
+    assert(df.select(col("t").cast(StringType)).orderBy("t").first().getString(0)
+      .startsWith("2020-01-01 00:00:00"))
+  }
+
+  test("write -> read round-trips a testdata table") {
+    val src = Tables.t(spark, sfDir, "nation")
+    val tmp = Files.createTempDirectory("graft_edn").toString
+    EdnIo.write(src, s"$tmp/nation.edn")
+    val back = EdnIo.read(spark, s"$tmp/nation.edn")
+    assert(back.columns.toSeq == src.columns.toSeq)
+    assert(back.count() == src.count())
+    val a = src.select(col("n_nationkey").cast(LongType), col("n_name"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = back.select(col("n_nationkey").cast(LongType), col("n_name"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("write round-trips timestamps, arrays, nulls, odd column names") {
+    val src = spark.sql("""
+      SELECT * FROM VALUES
+        (1, TIMESTAMP'2021-03-04 12:34:56', ARRAY(1.5D, -2.5D), 'plain'),
+        (2, CAST(NULL AS TIMESTAMP), ARRAY(0.0D), CAST(NULL AS STRING))
+      AS t(id, ts, arr, `weird name`)""")
+    val tmp = Files.createTempDirectory("graft_edn2").toString
+    EdnIo.write(src, s"$tmp/mixed.edn")
+    val back = EdnIo.read(spark, s"$tmp/mixed.edn")
+    assert(back.columns.toSet == Set("id", "ts", "arr", "weird name"))
+    assert(back.schema("ts").dataType == TimestampType)
+    assert(back.schema("arr").dataType == ArrayType(DoubleType))
+    val r1 = back.filter(col("id") === 1).collect()(0)
+    assert(r1.getAs[java.sql.Timestamp]("ts").toString.startsWith("2021-03-04 12:34:56"))
+    assert(r1.getAs[scala.collection.Seq[Double]]("arr").toSeq == Seq(1.5, -2.5))
+    assert(r1.getAs[String]("weird name") == "plain")
+    val r2 = back.filter(col("id") === 2).collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("ts")))
+  }
+}
