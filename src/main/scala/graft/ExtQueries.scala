@@ -519,6 +519,27 @@ object ExtQueries {
         .orderBy(col("s_nationkey"))
     },
 
+    // svm-format round-trip under the correctness gate (reference
+    // libs/svm.clj): label+dense-features through Spark's native libsvm
+    // source and back; the parquet source is the oracle. Sparse zero-drop
+    // is exercised too (acctbal can be any value; suppkey is never 0).
+    "q82_libsvm" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q82").toString
+      val src = t(s, dir, "supplier").select(
+        col("s_nationkey").cast(DoubleType).as("label"),
+        array(col("s_acctbal").cast(DoubleType),
+          col("s_suppkey").cast(DoubleType)).as("features"))
+      graft.sources.Io.writeLibsvm(src, s"$tmp/sup_svm")
+      graft.sources.Io.readLibsvm(s, s"$tmp/sup_svm")
+        .select(col("label").cast(IntegerType).as("s_nationkey"),
+          element_at(col("features"), 1).as("bal"),
+          element_at(col("features"), 2).as("skey"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("bal")).as("sum_bal"),
+          sum(col("skey").cast(LongType)).as("sum_key"))
+        .orderBy(col("s_nationkey"))
+    },
+
     // EDN round-trip under the correctness gate (reference dataset/io.clj:
     // 74-79,98-105 get-edn/put-edn! over the mapseq reader).
     "q81_edn" -> { (s, dir) =>
@@ -1226,6 +1247,12 @@ object ExtQueries {
       """SELECT CAST(c_nationkey AS INT) AS c_nationkey, COUNT(*) AS n,
          CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS sum_bal, MIN(c_name) AS first_name
          FROM customer GROUP BY 1 ORDER BY 1""",
+
+    "q82_libsvm" ->
+      """SELECT CAST(s_nationkey AS INT) AS s_nationkey, COUNT(*) AS n,
+         CAST(SUM(CAST(s_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS sum_bal,
+         CAST(SUM(s_suppkey) AS BIGINT) AS sum_key
+         FROM supplier GROUP BY 1 ORDER BY 1""",
 
     "q59_row_map" ->
       """SELECT l_orderkey, l_linenumber,

@@ -40,9 +40,11 @@ import org.apache.spark.sql.types._
   *    feather fixtures).
   *
   * Types covered: all Spark atomics (bool/byte/short/int/long/float/double/
-  * decimal/string/binary/date/timestamp) plus ArrayType of any of those —
-  * enough for every graft table incl. `embeddings` list<float>. Nested
-  * structs/maps are out of scope (parquet is the nested-data interchange).
+  * decimal/string/binary/date/timestamp), ArrayType of atomics, and
+  * StructType nested arbitrarily (struct-of-struct, struct-of-list) — the
+  * reference reads nested Arrow columns too (arrow.clj preparse `:list`).
+  * Remaining cuts: list-of-struct elements and MapType (parquet is the
+  * interchange for those).
   *
   * Real-world interchange files (reference arrow.clj reads both):
   *  - COMPRESSED record batches (lz4-frame / zstd) decompress transparently
@@ -76,13 +78,23 @@ object ArrowIo {
     case other => throw new IllegalArgumentException(s"arrow: unsupported type $other")
   }
 
-  def toArrowField(f: StructField): Field = f.dataType match {
+  def toArrowField(f: StructField): Field =
+    toArrowFieldRec(f.name, f.dataType, f.nullable)
+
+  /** Recursive field mapping: atomics, List, and Struct (struct children may
+    * themselves be structs or lists — arrow.clj reads nested columns; the
+    * one remaining cut is list-of-struct, documented in the header). */
+  private def toArrowFieldRec(name: String, dt: DataType,
+                              nullable: Boolean): Field = dt match {
     case ArrayType(elem, containsNull) =>
-      new Field(f.name, new FieldType(f.nullable, ArrowType.List.INSTANCE, null),
-        Seq(new Field("item",
-          new FieldType(containsNull, toArrowType(elem), null), Nil.asJava)).asJava)
-    case dt =>
-      new Field(f.name, new FieldType(f.nullable, toArrowType(dt), null), Nil.asJava)
+      new Field(name, new FieldType(nullable, ArrowType.List.INSTANCE, null),
+        Seq(toArrowFieldRec("item", elem, containsNull)).asJava)
+    case StructType(fields) =>
+      new Field(name, new FieldType(nullable, ArrowType.Struct.INSTANCE, null),
+        fields.map(sf => toArrowFieldRec(sf.name, sf.dataType, sf.nullable))
+          .toSeq.asJava)
+    case other =>
+      new Field(name, new FieldType(nullable, toArrowType(other), null), Nil.asJava)
   }
 
   def toArrowSchema(s: StructType): ArrowSchema =
@@ -111,16 +123,19 @@ object ArrowIo {
     case other => throw new IllegalArgumentException(s"arrow: unsupported type $other")
   }
 
+  private def fromArrowField(f: Field): DataType = f.getType match {
+    case _: ArrowType.List =>
+      val child = f.getChildren.get(0)
+      ArrayType(fromArrowField(child), child.isNullable)
+    case _: ArrowType.Struct =>
+      StructType(f.getChildren.asScala.map(c =>
+        StructField(c.getName, fromArrowField(c), c.isNullable)).toArray)
+    case t => fromArrowType(t)
+  }
+
   def fromArrowSchema(schema: ArrowSchema): StructType =
-    StructType(schema.getFields.asScala.map { f =>
-      f.getType match {
-        case _: ArrowType.List =>
-          val child = f.getChildren.get(0)
-          StructField(f.getName,
-            ArrayType(fromArrowType(child.getType), child.isNullable), f.isNullable)
-        case t => StructField(f.getName, fromArrowType(t), f.isNullable)
-      }
-    }.toArray)
+    StructType(schema.getFields.asScala.map(f =>
+      StructField(f.getName, fromArrowField(f), f.isNullable)).toArray)
 
   // ---- row -> vector ------------------------------------------------------
 
@@ -148,6 +163,14 @@ object ArrowIo {
           x.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L), x.getNano / 1000L))
       case (b: DecimalVector, x: java.math.BigDecimal) =>
         b.setSafe(i, x.setScale(b.getScale))
+      case (b: org.apache.arrow.vector.complex.StructVector, x: Row) =>
+        b.setIndexDefined(i)
+        val children = b.getChildrenFromFields.asScala
+        var j = 0
+        while (j < children.length) {
+          setVector(children(j), i, x.get(j))
+          j += 1
+        }
       case (b: ListVector, xs: scala.collection.Seq[_]) =>
         val w = b.getWriter
         w.setPosition(i)
@@ -191,6 +214,7 @@ object ArrowIo {
       val w = b.getWriter
       w.setPosition(i); w.startList(); w.endList()
       b.setNull(i)
+    case b: org.apache.arrow.vector.complex.StructVector => b.setNull(i)
     case other => throw new IllegalArgumentException(s"arrow: setNull on $other")
   }
 
@@ -223,6 +247,9 @@ object ArrowIo {
         val start = b.getOffsetBuffer.getInt(i * 4L)
         val end = b.getOffsetBuffer.getInt((i + 1) * 4L)
         (start until end).map(j => getValue(elem, j))
+      case b: org.apache.arrow.vector.complex.StructVector =>
+        Row.fromSeq(b.getChildrenFromFields.asScala.toSeq
+          .map(c => getValue(c, i)))
       case other => throw new IllegalArgumentException(s"arrow: getValue on $other")
     }
 
@@ -359,14 +386,7 @@ object ArrowIo {
           require(dict != null, s"arrow: missing dictionary ${enc.getId}")
           StructField(f.getName,
             fromArrowType(dict.getVector.getField.getType), f.isNullable)
-        case None => f.getType match {
-          case _: ArrowType.List =>
-            val child = f.getChildren.get(0)
-            StructField(f.getName,
-              ArrayType(fromArrowType(child.getType), child.isNullable),
-              f.isNullable)
-          case t => StructField(f.getName, fromArrowType(t), f.isNullable)
-        }
+        case None => StructField(f.getName, fromArrowField(f), f.isNullable)
       }
     }.toArray)
   }

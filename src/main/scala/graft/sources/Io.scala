@@ -216,6 +216,33 @@ object Io {
       .format("parquet")
       .saveAsTable(table)
 
+  /** svm-format read (reference src/tech/v3/libs/svm.clj): Spark's native
+    * libsvm source (splittable text, distributed parse). Returns
+    * (label double, features array<double>) — arrays, not ml vectors, so
+    * the result composes with the engine's column functions. `numFeatures`
+    * skips the extra max-index discovery pass — pass it at scale. */
+  def readLibsvm(spark: SparkSession, path: String,
+                 numFeatures: Option[Int] = None): DataFrame = {
+    var r = spark.read.format("libsvm")
+    numFeatures.foreach(n => r = r.option("numFeatures", n.toString))
+    import org.apache.spark.ml.functions.vector_to_array
+    r.load(path).select(
+      org.apache.spark.sql.functions.col("label"),
+      vector_to_array(org.apache.spark.sql.functions.col("features"))
+        .as("features"))
+  }
+
+  /** svm-format write: expects a double label column and an array<double>
+    * features column; one part file per partition (native source). */
+  def writeLibsvm(df: DataFrame, path: String, labelCol: String = "label",
+                  featuresCol: String = "features"): Unit = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.functions.col
+    df.select(col(labelCol).cast(org.apache.spark.sql.types.DoubleType).as("label"),
+        array_to_vector(col(featuresCol)).as("features"))
+      .write.mode(SaveMode.Overwrite).format("libsvm").save(path)
+  }
+
   /** write! dispatch (reference io.clj:274-301). Parquet is the engine's
     * binary snapshot format (replacing the reference's nippy). */
   def write(df: DataFrame, path: String, format: String = "parquet",

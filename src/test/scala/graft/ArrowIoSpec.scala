@@ -123,4 +123,59 @@ class ArrowIoSpec extends SparkSuite {
     val got = back.orderBy(col("i").asc_nulls_last).collect()
     assert(got(2).isNullAt(5) && got(0).getSeq[Any](5) == Seq(1L, 2L, 3L))
   }
+
+  test("struct columns round-trip (nested struct, null structs/fields)") {
+    val tmp = Files.createTempDirectory("graft_arrow_struct").toString
+    val inner = StructType(Seq(
+      StructField("x", DoubleType, true),
+      StructField("y", StringType, true)))
+    val rec = StructType(Seq(
+      StructField("a", LongType, true),
+      StructField("s", inner, true),
+      StructField("xs", ArrayType(LongType, true), true)))
+    val schema = StructType(Seq(
+      StructField("id", LongType, true),
+      StructField("rec", rec, true)))
+    val rows = Seq(
+      Row(0L, Row(0L, Row(0.25, "s0"), Seq.empty[Long])),
+      Row(1L, Row(1L, Row(0.5, null), Seq(0L))),
+      Row(2L, Row(2L, null, Seq(0L, 1L))),
+      Row(3L, null),
+      Row(4L, Row(null, Row(null, "s4"), null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    for (fmt <- Seq("stream", "file")) {
+      ArrowIo.write(df, s"$tmp/$fmt", batchRows = 2, format = fmt)
+      val back = ArrowIo.read(spark, s"$tmp/$fmt")
+      assert(back.schema == schema, s"$fmt schema")
+      assertSameData(df, back)
+      val r3 = back.filter(col("id") === 3).collect()(0)
+      assert(r3.isNullAt(1), s"$fmt null struct row")
+      val r2 = back.filter(col("id") === 2).collect()(0)
+      assert(r2.getStruct(1).isNullAt(1), s"$fmt null inner struct")
+    }
+  }
+
+  test("reads pyarrow-written nested struct file (incl. null struct rows)") {
+    val dir = new java.io.File("src/test/resources/arrow").getAbsolutePath
+    val df = ArrowIo.read(spark, s"$dir/nested_struct.arrows")
+    assert(df.count() == 30)
+    val rec = df.schema("rec").dataType.asInstanceOf[StructType]
+    assert(rec.fieldNames.toSeq == Seq("a", "s", "xs"))
+    val rows = df.orderBy("id").collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      if (i % 7 == 3) assert(r.isNullAt(1), s"row $i should be null struct")
+      else {
+        val rc = r.getStruct(1)
+        assert(rc.getLong(0) == i)
+        if (i % 5 == 2) assert(rc.isNullAt(1))
+        else {
+          val s = rc.getStruct(1)
+          assert(s.getDouble(0) == i * 0.25)
+          if (i % 4 == 1) assert(s.isNullAt(1)) else assert(s.getString(1) == s"s$i")
+        }
+        assert(rc.getSeq[Long](2) == (0L until (i % 3).toLong))
+      }
+    }
+  }
 }

@@ -126,4 +126,23 @@ class IoSpec extends SparkSuite {
     assert(back.schema == src.schema)
     assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
   }
+
+  test("libsvm round-trip exact incl. sparse zero-drop") {
+    val tmp = Files.createTempDirectory("graft_svm").toString
+    val src = spark.sql("""
+      SELECT * FROM VALUES
+        (1.0D, ARRAY(0.5D, 0.0D, -2.25D)),
+        (0.0D, ARRAY(0.0D, 3.125D, 0.0D)),
+        (2.0D, ARRAY(1.0D, 2.0D, 3.0D))
+      AS t(label, features)""")
+    Io.writeLibsvm(src, s"$tmp/svm")
+    val back = Io.readLibsvm(spark, s"$tmp/svm", numFeatures = Some(3))
+    assert(back.count() == 3)
+    val got = back.collect().map(r => (r.getDouble(0),
+      r.getAs[scala.collection.Seq[Double]](1).toSeq)).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0.0, Seq(0.0, 3.125, 0.0)),
+      (1.0, Seq(0.5, 0.0, -2.25)),
+      (2.0, Seq(1.0, 2.0, 3.0))))
+  }
 }

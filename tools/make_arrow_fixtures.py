@@ -45,3 +45,27 @@ write(os.path.join(OUT, "dict_plain.arrows"), "stream", None)
 
 for f in sorted(os.listdir(OUT)):
     print(f, os.path.getsize(os.path.join(OUT, f)), "bytes")
+
+# nested struct fixture: struct<a:int64, s:struct<x:double, y:string>, xs:list<int64>>
+# with a null struct row and null inner fields — pins ArrowIo's nested read
+rows = []
+for i in range(30):
+    if i % 7 == 3:
+        rows.append(None)
+    else:
+        rows.append({"a": i,
+                     "s": None if i % 5 == 2 else
+                          {"x": i * 0.25, "y": None if i % 4 == 1 else f"s{i}"},
+                     "xs": list(range(i % 3))})
+struct_type = pa.struct([
+    ("a", pa.int64()),
+    ("s", pa.struct([("x", pa.float64()), ("y", pa.string())])),
+    ("xs", pa.list_(pa.int64()))])
+nested = pa.table({"id": pa.array(range(30), type=pa.int64()),
+                   "rec": pa.array(rows, type=struct_type)})
+with ipc.new_stream(os.path.join(OUT, "nested_struct.arrows"),
+                    nested.schema) as w:
+    for b in nested.to_batches(max_chunksize=10):
+        w.write_batch(b)
+print("nested_struct.arrows",
+      os.path.getsize(os.path.join(OUT, "nested_struct.arrows")), "bytes")
