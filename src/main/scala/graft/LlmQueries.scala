@@ -150,6 +150,21 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // corpus TF-IDF, top term per doc (ratio idf — exact, no log; see
+    // TextStats.tfIdfTopTerm Scaladoc for the scale shape).
+    "q83_tfidf" -> { (s, dir) =>
+      TextStats.tfIdfTopTerm(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // corpus-duplicated n-gram span fraction per doc (cross-doc dup
+    // attribution — the shuffle-bounded relative of substring dedup).
+    "q84_dup_ngram_spans" -> { (s, dir) =>
+      TextStats.dupNgramSpanStats(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minCount = 2)
+        .orderBy(col("doc_id"))
+    },
+
     // cross-corpus decontamination: flag training docs sharing any verbatim
     // 3-word shingle with the held-out benchmark slice (doc_id % 97 == 0).
     "q73_decontaminate" -> { (s, dir) =>
@@ -518,6 +533,42 @@ object LlmQueries {
     // mirrors TextStats.repetitionMetrics: bigram/trigram md5-hash identity,
     // duplicate fraction = 1 − distinct/total, top fraction = max bigram
     // count / total (same double op order as the Spark side).
+    // mirrors TextStats.tfIdfTopTerm: same normalized tokens, ratio idf,
+    // tf·N/df in the same IEEE order, same (score desc, term asc) tie-break
+    "q83_tfidf" ->
+      s"""WITH toks AS (
+           SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM toks WHERE term <> '' GROUP BY 1, 2),
+         dfc AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n FROM documents),
+         scored AS (SELECT doc_id, term, tf,
+             CAST(tf AS DOUBLE) * CAST(n.n AS DOUBLE) / CAST(dfc.dfc AS DOUBLE) AS tfidf
+           FROM tf CROSS JOIN n JOIN dfc USING (term))
+         SELECT doc_id, term AS top_term, tf, tfidf FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, term ASC) AS rn
+           FROM scored) t
+         WHERE rn = 1 ORDER BY doc_id""",
+
+    // mirrors TextStats.dupNgramSpanStats: same md5 60-bit trigram shingle
+    // hash (q74 idiom), per-(doc, hash) counts, global count join, rollup
+    "q84_dup_ngram_spans" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         g AS (SELECT doc_id, CASE WHEN len(w) >= 3
+             THEN list_transform(range(len(w) - 2), i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3]))
+             ELSE [array_to_string(w, ' ')] END AS s FROM d),
+         h AS (SELECT doc_id, unnest(list_transform(s,
+             g2 -> CAST(concat('0x', substr(md5(g2), 1, 15)) AS BIGINT))) AS hh FROM g),
+         k AS (SELECT doc_id, hh, COUNT(*) AS k FROM h GROUP BY 1, 2),
+         c AS (SELECT hh, SUM(k) AS c FROM k GROUP BY 1)
+         SELECT k.doc_id, CAST(SUM(k.k) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN c.c >= 2 THEN k.k ELSE 0 END) AS BIGINT) AS dup_occ,
+           CAST(SUM(CASE WHEN c.c >= 2 THEN k.k ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(k.k) AS DOUBLE) AS dup_frac
+         FROM k JOIN c USING (hh) GROUP BY 1 ORDER BY 1""",
+
     "q74_repetition" ->
       s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
          g2 AS (SELECT doc_id, CASE WHEN len(w) >= 2

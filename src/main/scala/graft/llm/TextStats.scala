@@ -152,6 +152,77 @@ object TextStats {
           forTag(2, col("__n")).cast(DoubleType)).as("top_bigram_frac"))
   }
 
+  /** Corpus-level TF-IDF, top term per document. Exact and replayable:
+    * idf is the raw ratio N/df (no transcendental — log differs in last-ulp
+    * across libms; the monotone ratio ranks identically per term and keeps
+    * the whole operator DuckDB-oracle bit-exact, q83), score = tf · N / df
+    * evaluated in that IEEE order.
+    *
+    * Scale shape (100 TB): one repartition on the doc id, then BOTH the
+    * (id, term) term-frequency aggregation and the per-doc top-1 window are
+    * partition-local (HashPartitioning(id) satisfies clustering on
+    * (id, term) ⊇ {id} and the window's id partition). The document-
+    * frequency table is vocabulary-sized — natural-language vocabularies
+    * are millions of terms, megabytes — and is broadcast back, so the
+    * corpus-sized side never shuffles again. Tie-break: lexicographically
+    * first term. Docs with no tokens are absent from the output. */
+  def tfIdfTopTerm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nDocs = df.count()
+    val toks = df.repartition(col(idCol))
+      .select(col(idCol),
+        explode(TextDedup.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTable = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+    val scored = tf.join(broadcast(dfTable), "term")
+      .withColumn("tfidf",
+        col("tf").cast(DoubleType) * lit(nDocs.toDouble) /
+          col("__df").cast(DoubleType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("term").as("top_term"), col("tf"),
+        col("tfidf"))
+  }
+
+  /** Corpus-duplicated n-gram span fraction per document (the cheap,
+    * shuffle-bounded relative of exact substring dedup — Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" motivates
+    * removing spans that repeat ACROSS the corpus, not just within a doc
+    * like [[repetitionMetrics]]). An n-gram is "duplicated" when its total
+    * corpus occurrence count ≥ `minCount`; a doc's `dup_frac` is the
+    * fraction of its n-gram occurrences that are duplicated.
+    *
+    * Scale shape (100 TB): repartition(id) → per-(id, hash) counts
+    * partition-local → global counts via one map-side-combined shuffle on
+    * the 60-bit hash → join back on the hash (the counts side is already
+    * hash-partitioned by its own aggregation — one exchange, reused) →
+    * per-doc rollup. Volume on every shuffle is one (id, hash, count)
+    * tuple per DISTINCT n-gram per doc, not per occurrence. Same md5
+    * shingle kernel as MinHash/q74, so the oracle replays it (q84). */
+  def dupNgramSpanStats(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, minCount: Int = 2): DataFrame = {
+    graft.functions.DedupKernels.register(df.sparkSession)
+    val perDocH = df.repartition(col(idCol))
+      .select(col(idCol),
+        explode(TextDedup.shingleHashes(col(textCol), n, 15)).as("__h"))
+      .groupBy(col(idCol), col("__h"))
+      .agg(count(lit(1)).as("__k"))
+    val globalC = perDocH.groupBy(col("__h"))
+      .agg(sum(col("__k")).as("__c"))
+    perDocH.join(globalC, "__h")
+      .groupBy(col(idCol))
+      .agg(sum(col("__k")).as("n_ngrams"),
+        sum(when(col("__c") >= minCount, col("__k")).otherwise(lit(0L)))
+          .as("dup_occ"))
+      .withColumn("dup_frac",
+        col("dup_occ").cast(DoubleType) / col("n_ngrams").cast(DoubleType))
+  }
+
   /** PII redaction for training corpora: emails, IPv4 addresses, and
     * phone-shaped digit runs replaced by typed placeholders. Patterns are
     * deliberately RE2-compatible (no lookaround/backrefs) so the operator

@@ -322,4 +322,45 @@ class LlmOpsSpec extends SparkSuite {
     assert(out2.orderBy("id", "copy_id").collect().map(_.toSeq).toSeq ==
       out.orderBy("id", "copy_id").collect().map(_.toSeq).toSeq)
   }
+
+  test("tf-idf top term: ratio idf, frequency wins, lexicographic ties") {
+    val d = Seq(
+      (1L, "apple apple banana"),   // apple tf=2 df=1 → 2*3/1=6; banana tf=1 df=3 → 1
+      (2L, "banana cherry banana"), // banana tf=2 df=3 → 2; cherry tf=1 df=2 → 1.5
+      (3L, "cherry banana")         // cherry 1*3/2=1.5, banana 1*3/3=1 → cherry
+    ).toDF("doc_id", "text")
+    val m = TextStats.tfIdfTopTerm(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[String]("top_term") == "apple")
+    assert(m(1L).getAs[Double]("tfidf") == 6.0)
+    assert(m(2L).getAs[String]("top_term") == "banana")
+    assert(m(2L).getAs[Double]("tfidf") == 2.0)
+    assert(m(3L).getAs[String]("top_term") == "cherry")
+    assert(m(3L).getAs[Double]("tfidf") == 1.5)
+  }
+
+  test("dup n-gram spans: cross-doc duplication attributed per doc") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps"),   // trigrams: tqb qbf bfj fjx? (3 total)
+      (2L, "the quick brown cat sits"),    // shares "the quick brown" with doc 1
+      (3L, "totally unique words only here")
+    ).toDF("doc_id", "text")
+    val m = TextStats.dupNgramSpanStats(d, "doc_id", "text", n = 3, minCount = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // docs 1 and 2 share exactly one trigram ("the quick brown") out of 3 each
+    assert(m(1L).getAs[Long]("n_ngrams") == 3)
+    assert(m(1L).getAs[Long]("dup_occ") == 1)
+    assert(m(1L).getAs[Double]("dup_frac") == 1.0 / 3.0)
+    assert(m(2L).getAs[Double]("dup_frac") == 1.0 / 3.0)
+    assert(m(3L).getAs[Long]("dup_occ") == 0)
+    assert(m(3L).getAs[Double]("dup_frac") == 0.0)
+    // within-doc repeats count toward the corpus total too
+    val d2 = Seq((1L, "x y z x y z x y"), (2L, "a b c d")).toDF("doc_id", "text")
+    val m2 = TextStats.dupNgramSpanStats(d2, "doc_id", "text", 3, 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // trigrams of doc1: xyz yzx zxy xyz yzx zxy → all 6 occurrences duplicated
+    assert(m2(1L).getAs[Long]("n_ngrams") == 6)
+    assert(m2(1L).getAs[Double]("dup_frac") == 1.0)
+    assert(m2(2L).getAs[Double]("dup_frac") == 0.0)
+  }
 }
