@@ -158,7 +158,10 @@ object ExtQueries {
       val mm = Ml.fitMinMax(li, Seq("l_extendedprice")).transform(z)
       mm.selectColumns("l_orderkey", "l_linenumber", "l_quantity_z",
         "l_extendedprice_mm")
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // value tiebreakers: (l_orderkey, l_linenumber) is not unique in the
+        // synthetic lineitem — the output columns complete a total order
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity_z"), col("l_extendedprice_mm"))
     },
 
     // PCA projection (reference neanderthal.clj:73-331). Oracle-exact: the
@@ -174,7 +177,10 @@ object ExtQueries {
         .withColumn("pc1", element_at(col("pc"), 1))
         .withColumn("pc2", element_at(col("pc"), 2))
         .selectColumns("l_orderkey", "l_linenumber", "pc1", "pc2")
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+        // (sf0.1 has duplicate line numbers) — pc values complete the total
+        // order so Spark and DuckDB agree on tie layout under the LIMIT
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("pc1"), col("pc2"))
         .limit(100)
     },
 
@@ -485,9 +491,12 @@ object ExtQueries {
     // (l_orderkey, l_linenumber) total order, via the distributed row index
     // (range sort + zipWithIndex — no single-task window).
     "q71_take_nth" -> { (s, dir) =>
+      // l_quantity joins the stride key: (l_orderkey, l_linenumber) is not
+      // unique, and sorting by the full output tuple makes the value at
+      // every global position — hence the picked set — well-defined
       t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
-        .takeNth(97, Seq(col("l_orderkey"), col("l_linenumber")))
-        .orderBy("l_orderkey", "l_linenumber")
+        .takeNth(97, Seq(col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
     },
 
     // replace-missing :abb (reference impute.clj approx-bayesian-bootstrap)
@@ -562,7 +571,7 @@ object ExtQueries {
         .withColumn("margin",
           col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
         .selectColumns("l_orderkey", "l_linenumber", "margin")
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("margin"))
     }
   )
 
@@ -788,7 +797,7 @@ object ExtQueries {
          FROM lineitem,
            (SELECT w0, w1 FROM ranked WHERE rk = 1) a,
            (SELECT w0, w1 FROM ranked WHERE rk = 2) b
-         ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+         ORDER BY l_orderkey, l_linenumber, pc1, pc2 LIMIT 100""",
 
     // interval-join mirror: DuckDB runs the raw non-equi range join (its
     // IEJoin); the binned Spark plan must produce the identical match set.
@@ -999,7 +1008,7 @@ object ExtQueries {
            (l_quantity - mu) / (CASE WHEN sd = 0 THEN 1.0 ELSE sd END) AS l_quantity_z,
            (l_extendedprice - lo) / (CASE WHEN hi = lo THEN 1.0 ELSE hi - lo END) AS l_extendedprice_mm
          FROM lineitem CROSS JOIN st
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_quantity_z, l_extendedprice_mm""",
 
     // mirrors Advanced.correlationTable cell-for-cell: exact scaled-integer
     // sums (bit-identical across engines), then the same double formula in
@@ -1218,9 +1227,9 @@ object ExtQueries {
     "q71_take_nth" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM (
            SELECT l_orderkey, l_linenumber, l_quantity,
-                  row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn
+                  row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity) - 1 AS rn
            FROM lineitem) t
-         WHERE rn % 97 = 0 ORDER BY l_orderkey, l_linenumber""",
+         WHERE rn % 97 = 0 ORDER BY l_orderkey, l_linenumber, l_quantity""",
 
     // mirrors fillAbbDeterministic: i-th-smallest observed value drawn by
     // md5(seed#event_id) mod n_observed
@@ -1257,7 +1266,7 @@ object ExtQueries {
     "q59_row_map" ->
       """SELECT l_orderkey, l_linenumber,
          l_extendedprice * (1 - l_discount) * (1 + l_tax) AS margin
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, margin""",
 
     "q64_token_kernel" ->
       """SELECT lang,

@@ -83,7 +83,11 @@ object Queries {
         t(s, dir, "lineitem")
           .selectColumns("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"),
         "l_extendedprice", 15, descending = true)
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        // l_quantity completes the total order: (l_orderkey, l_linenumber)
+        // is not unique in the synthetic lineitem, and the top-k heap is
+        // not a stable sort
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc, col("l_quantity").asc)
     },
 
     // distinct rows (SURVEY §2.4 unique-by).
@@ -218,7 +222,8 @@ object Queries {
         t(s, dir, "lineitem")
           .selectColumns("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"),
         Seq("l_orderkey", "l_linenumber"), Seq("l_quantity", "l_discount", "l_tax"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("column"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("column"),
+          col("value"))
     },
 
     // pivot / transpose-by-key (SURVEY §2.6; reference dataset_api.clj:1472):
@@ -355,7 +360,7 @@ object Queries {
     "q04_sort_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
          FROM lineitem
-         ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 15""",
+         ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC LIMIT 15""",
 
     "q05_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2""",
@@ -446,7 +451,7 @@ object Queries {
            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
            UNION ALL
            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) t
-         ORDER BY l_orderkey, l_linenumber, "column"""",
+         ORDER BY l_orderkey, l_linenumber, "column", value""",
 
     "q17_pivot" ->
       """SELECT c_nationkey,

@@ -395,6 +395,9 @@ object EdnIo {
     case other => ednLiteral(other.toString)
   }
 
+  /** Test hook: the escaped EDN literal for a value. */
+  private[graft] def ednLiteralForTest(v: Any): String = ednLiteral(v)
+
   /** Write a DataFrame as one EDN vector of maps (nil-valued keys omitted,
     * like the reference's mapseq reader). Streams via toLocalIterator. */
   def write(df: DataFrame, path: String): Unit = {

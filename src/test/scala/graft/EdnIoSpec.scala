@@ -82,6 +82,43 @@ class EdnIoSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("seeded-random strings survive EDN print -> parse exactly") {
+    val rnd = new scala.util.Random(1234)
+    // heavy on the characters that must escape: quotes, backslashes,
+    // newlines, tabs, unicode, EDN delimiters
+    val alphabet = "ab\"\\\n\t\r{}[]()#;:, é0ꯍ".toCharArray
+    val strings = (0 until 200).map { _ =>
+      val n = rnd.nextInt(30)
+      new String(Array.fill(n)(alphabet(rnd.nextInt(alphabet.length))))
+    } :+ "" :+ "\\" :+ "\"" :+ ";not a comment" :+ "#_not discarded"
+    strings.zipWithIndex.foreach { case (s, i) =>
+      val doc = s"""[{:i $i :s ${graft.sources.EdnIo.ednLiteralForTest(s)}}]"""
+      val forms = EdnIo.parseAll(doc)
+      val m = forms.head.asInstanceOf[Vector[Map[Any, Any]]].head
+      assert(m("s") == s, s"string $i mangled: ${s.toList}")
+    }
+  }
+
+  test("seeded-random numbers survive EDN print -> parse exactly") {
+    val rnd = new scala.util.Random(99)
+    val doubles = (0 until 200).map(_ =>
+      java.lang.Double.longBitsToDouble(rnd.nextLong())).filter(d =>
+      !d.isNaN && !d.isInfinite) ++ Seq(0.0, -0.0, 1e-300, -1.7976931348623157e308)
+    doubles.foreach { d =>
+      val forms = EdnIo.parseAll(s"[{:x ${d.toString}}]")
+      val got = forms.head.asInstanceOf[Vector[Map[Any, Any]]].head("x")
+      assert(got == d || (got.asInstanceOf[Double].isNaN && d.isNaN),
+        s"double $d parsed as $got")
+    }
+    val longs = (0 until 200).map(_ => rnd.nextLong()) ++
+      Seq(Long.MaxValue, Long.MinValue, 0L)
+    longs.foreach { l =>
+      val got = EdnIo.parseAll(s"[{:x $l}]")
+        .head.asInstanceOf[Vector[Map[Any, Any]]].head("x")
+      assert(got == l, s"long $l parsed as $got")
+    }
+  }
+
   test("write round-trips timestamps, arrays, nulls, odd column names") {
     val src = spark.sql("""
       SELECT * FROM VALUES
