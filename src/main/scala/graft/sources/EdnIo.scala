@@ -256,11 +256,16 @@ object EdnIo {
     new String(bos.toByteArray, "UTF-8")
   }
 
-  /** Read an EDN file holding a seq of maps into a typed DataFrame. */
+  /** Read an EDN file holding a seq of maps into a typed DataFrame.
+    * `.gz` paths decompress transparently (the reference's `:gzipped?`,
+    * io.clj:76). */
   def read(spark: SparkSession, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
+    val raw: java.io.InputStream = fs.open(p)
+    val in =
+      if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw, 1 << 16)
+      else raw
     val text = try slurp(in) finally in.close()
     fromEdnString(spark, text)
   }
@@ -404,7 +409,10 @@ object EdnIo {
     val spark = df.sparkSession
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val raw = fs.create(p, true)
+    val out: java.io.OutputStream =
+      if (path.endsWith(".gz")) new java.util.zip.GZIPOutputStream(raw, 1 << 16)
+      else raw
     val w = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(out, "UTF-8"), 1 << 16)
     try {

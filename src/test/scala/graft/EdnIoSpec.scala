@@ -68,6 +68,19 @@ class EdnIoSpec extends SparkSuite {
       .startsWith("2020-01-01 00:00:00"))
   }
 
+  test("gzipped EDN round-trips transparently by extension") {
+    val src = Tables.t(spark, sfDir, "region")
+    val tmp = Files.createTempDirectory("graft_edngz").toString
+    EdnIo.write(src, s"$tmp/region.edn.gz")
+    // really gzip on disk (magic bytes), not plain text
+    val head = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/region.edn.gz")).take(2)
+    assert((head(0) & 0xFF) == 0x1F && (head(1) & 0xFF) == 0x8B)
+    val back = EdnIo.read(spark, s"$tmp/region.edn.gz")
+    assert(back.count() == src.count())
+    assert(back.columns.toSeq == src.columns.toSeq)
+  }
+
   test("write -> read round-trips a testdata table") {
     val src = Tables.t(spark, sfDir, "nation")
     val tmp = Files.createTempDirectory("graft_edn").toString
