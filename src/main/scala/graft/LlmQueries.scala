@@ -150,6 +150,17 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // multimodal audio: REAL WAV decode through the correctness gate —
+    // deterministic PCM (samples a closed-form function of doc_id) is
+    // RIFF/WAVE-encoded and decoded back with javax.sound.sampled; the
+    // oracle replays the sample formula. Exact sample sum + peak prove the
+    // codec ran (PCM is lossless).
+    "q85_audio" -> { (s, dir) =>
+      Multimodal.audioFeatures(s,
+        t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // corpus TF-IDF, top term per doc (ratio idf — exact, no log; see
     // TextStats.tfIdfTopTerm Scaladoc for the scale shape).
     "q83_tfidf" -> { (s, dir) =>
@@ -533,6 +544,19 @@ object LlmQueries {
     // mirrors TextStats.repetitionMetrics: bigram/trigram md5-hash identity,
     // duplicate fraction = 1 − distinct/total, top fraction = max bigram
     // count / total (same double op order as the Spark side).
+    // replays Multimodal.syntheticWav's closed-form samples:
+    // s(i) = (i*31 + id*17) % 65536 - 32768 over n = 256 + id%256 frames
+    "q85_audio" ->
+      """SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(SUM((i * 31 + doc_id * 17) % 65536 - 32768) AS BIGINT) AS sample_sum,
+           CAST(MAX(ABS((i * 31 + doc_id * 17) % 65536 - 32768)) AS INT) AS peak
+         FROM (SELECT doc_id, 256 + doc_id % 256 AS n
+               FROM documents WHERE doc_id < 200) d
+         CROSS JOIN range(0, 512) t(i)
+         WHERE i < n
+         GROUP BY doc_id, n ORDER BY doc_id""",
+
     // mirrors TextStats.tfIdfTopTerm: same normalized tokens, ratio idf,
     // tf·N/df in the same IEEE order, same (score desc, term asc) tie-break
     "q83_tfidf" ->

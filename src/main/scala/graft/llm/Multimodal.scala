@@ -11,8 +11,10 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: [[decodeImages]] runs javax.imageio (PNG/BMP/GIF —
   * the pure-JVM codecs) inside the batched mapPartitions shape and emits
   * true decoded dimensions/channels/pixel statistics (q36's oracle checks
-  * them against a closed-form pixel generator). Audio/video decode remains
-  * STUBBED (`decodeStub` — no such codecs in the JVM): deterministic fake
+  * them against a closed-form pixel generator). AUDIO decode is REAL too:
+  * [[decodeAudio]] runs javax.sound.sampled (the JVM's RIFF/WAVE PCM codec)
+  * in the same shape (q85's oracle). Video decode remains STUBBED
+  * (`decodeStub` — the JVM ships no video codec): deterministic fake
   * features with the identical batching shape, so swapping in a codec is a
   * one-function change. The surrounding design is what matters at 100 TB:
   * media rows are large, so operators keep per-task batches bounded and
@@ -152,5 +154,83 @@ object Multimodal {
     val media = df.select(col(idCol).cast(LongType).as("doc_id"))
       .as[Long].map(id => MediaRow(id, syntheticPng(id)))
     decodeImages(media).toDF()
+  }
+
+  // ---- real audio decode ---------------------------------------------------
+
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, channels: Int,
+                           n_frames: Long, sample_sum: Long, peak: Int)
+
+  /** REAL batched audio decode: javax.sound.sampled (the JVM's WAV/PCM
+    * codec) inside the same bounded-batch mapPartitions shape. Emits the
+    * container-parsed sample rate/channel count, the decoded frame count,
+    * the exact integer sum of all 16-bit samples, and the peak absolute
+    * amplitude — PCM is lossless, so all are bit-reproducible. */
+  def decodeAudio(rows: Dataset[MediaRow], batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          try {
+            val fmt = in.getFormat
+            require(fmt.getSampleSizeInBits == 16,
+              s"doc ${r.doc_id}: expected 16-bit PCM, got $fmt")
+            val bytes = in.readAllBytes()
+            val le = !fmt.isBigEndian
+            var sum = 0L
+            var peak = 0
+            var i = 0
+            while (i + 1 < bytes.length) {
+              val s =
+                if (le) ((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort
+                else ((bytes(i + 1) & 0xFF) | (bytes(i) << 8)).toShort
+              sum += s
+              val a = math.abs(s.toInt)
+              if (a > peak) peak = a
+              i += 2
+            }
+            AudioFeatures(r.doc_id, fmt.getSampleRate.toInt, fmt.getChannels,
+              bytes.length / fmt.getFrameSize, sum, peak)
+          } finally in.close()
+        }
+      }
+    }
+  }
+
+  /** Deterministic mono 16-bit 8 kHz WAV for id: n = 256 + id % 256 frames,
+    * sample(i) = ((i·31 + id·17) mod 65536) − 32768. Every decoded feature
+    * of [[decodeAudio]] is a closed-form function of id an external engine
+    * can replay (q85's oracle) — while the bytes still round-trip a real
+    * RIFF/WAVE encode and the JVM's audio codec. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = 256 + (id % 256).toInt
+    val sampleRate = 8000
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((i.toLong * 31 + id * 17) % 65536) - 32768).toShort
+      pcm(i * 2) = (s & 0xFF).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
+      true /* signed */, false /* little-endian */)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Audio feature pipeline over synthetic WAVs keyed by `idCol`: generate →
+    * decode (real codec) → features; bytes never cross a shuffle. */
+  def audioFeatures(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    val media = df.select(col(idCol).cast(LongType).as("doc_id"))
+      .as[Long].map(id => MediaRow(id, syntheticWav(id)))
+    decodeAudio(media).toDF()
   }
 }

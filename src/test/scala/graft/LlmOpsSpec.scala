@@ -161,6 +161,33 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("real audio decode: WAV round-trip matches closed-form samples") {
+    def expected(id: Long): (Long, Long, Int) = {
+      val n = 256 + (id % 256).toInt
+      val samples = (0 until n).map(i => ((i.toLong * 31 + id * 17) % 65536) - 32768)
+      (n.toLong, samples.sum, samples.map(s => math.abs(s).toInt).max)
+    }
+    val ids = (0L until 40L).toDF("doc_id")
+    val out = Multimodal.audioFeatures(spark, ids.repartition(7), "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.length == 40)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (n, sum, peak) = expected(id)
+      assert(r.getAs[Int]("sample_rate") == 8000)
+      assert(r.getAs[Int]("channels") == 1)
+      assert(r.getAs[Long]("n_frames") == n, s"n_frames mismatch for $id")
+      assert(r.getAs[Long]("sample_sum") == sum, s"sample_sum mismatch for $id")
+      assert(r.getAs[Int]("peak") == peak, s"peak mismatch for $id")
+    }
+    // non-audio bytes fail loudly
+    import Multimodal.MediaRow
+    intercept[Exception] {
+      Multimodal.decodeAudio(
+        Seq(MediaRow(1L, Array[Byte](1, 2, 3, 4))).toDS()).collect()
+    }
+  }
+
   test("zero-norm embeddings never rank in cosine top-k") {
     val rows = (0L to 4L).map(i => (i, Array.fill(8)(0.1f * (i + 1)))) :+
       (5L, Array.fill(8)(0.0f)) // zero vector must not poison rankings
