@@ -24,7 +24,9 @@ object Io {
         * two-pass, vs the reference's promotional single-pass — SURVEY §7.4
         * documents accepting this difference). */
       schema: Option[StructType] = None,
-      comment: Option[Char] = None)
+      comment: Option[Char] = None,
+      /** `:n-initial-skip-rows`: physical lines dropped before the header. */
+      skipRows: Int = 0)
 
   def readCsv(spark: SparkSession, path: String,
               opts: ReadOptions = ReadOptions()): DataFrame = {
@@ -36,13 +38,66 @@ object Io {
       case None => r.option("inferSchema", true)
     }
     opts.comment.foreach(c => r = r.option("comment", c.toString))
-    var df = r.csv(path)
+    var df =
+      if (opts.skipRows == 0) r.csv(path)
+      else r.csv(skippedLines(spark, path, opts.skipRows))
     if (opts.columnAllowlist.nonEmpty)
       df = df.select(opts.columnAllowlist.map(df.col): _*)
     if (opts.columnBlocklist.nonEmpty)
       df = df.drop(opts.columnBlocklist: _*)
     opts.numRows.foreach(n => df = df.limit(n))
     df
+  }
+
+  /** Physical lines of `path` minus the first `skip` (the reference's
+    * `:n-initial-skip-rows`; line splitting is Hadoop's, so \n, \r\n, and
+    * bare-\r files all work). Driver reads nothing — the drop is a
+    * zipWithIndex filter. */
+  private def skippedLines(spark: SparkSession, path: String,
+                           skip: Int): org.apache.spark.sql.Dataset[String] = {
+    import spark.implicits._
+    spark.read.textFile(path).rdd.zipWithIndex()
+      .filter(_._2 >= skip).map(_._1).toDS()
+  }
+
+  /** Ragged CSV (reference parses rows of unequal field counts, widening to
+    * the longest row — parse_test.clj's ragged.csv): Spark's native reader
+    * truncates to the FIRST row's width instead, so this takes one
+    * distributed width pass first. The naive separator count over-counts
+    * quoted fields (never under-counts), so the schema is wide enough and
+    * phantom all-null trailing columns from the over-count are dropped
+    * after the real parse. Columns are named column-0..column-{w-1} (or
+    * from the header row), every cell a string; feed [[inferPromotional]]
+    * for typing. */
+  def readCsvRagged(spark: SparkSession, path: String,
+                    opts: ReadOptions = ReadOptions()): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sepQ = java.util.regex.Pattern.quote(opts.separator)
+    val lines = if (opts.skipRows == 0) spark.read.textFile(path)
+                else skippedLines(spark, path, opts.skipRows)
+    val width = lines.map(_.split(sepQ, -1).length)
+      .agg(max(col("value"))).as[Int].first()
+    val headerNames: Seq[String] =
+      if (!opts.headerRow) Seq.empty
+      else spark.read.option("sep", opts.separator)
+        .csv(Seq(lines.first()).toDS()).columns.toSeq
+        .zipWithIndex.map { case (c, i) =>
+          if (c.startsWith("_c")) s"column-$i" else c
+        }
+    val names = (0 until width).map(i =>
+      if (i < headerNames.length) headerNames(i) else s"column-$i")
+    val schema = StructType(names.map(StructField(_, StringType, true)))
+    var r = spark.read.option("header", opts.headerRow)
+      .option("sep", opts.separator).schema(schema)
+    opts.comment.foreach(c => r = r.option("comment", c.toString))
+    val df = r.csv(lines)
+    // drop phantom trailing columns (quote over-count): all-null suffix
+    val nonNullCounts = df.agg(count(lit(1)).as("__n"),
+      names.map(n => count(col(n)).as(n)): _*).collect()(0)
+    val lastReal = names.lastIndexWhere(n =>
+      nonNullCounts.getAs[Long](n) > 0)
+    df.select(names.take(math.max(lastReal + 1, 1)).map(col): _*)
   }
 
   def readTsv(spark: SparkSession, path: String,

@@ -127,6 +127,40 @@ class IoSpec extends SparkSuite {
     assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
   }
 
+  test("ragged csv widens to the longest row (reference ragged.csv)") {
+    val df = Io.readCsvRagged(spark, "/root/reference/test/data/ragged.csv",
+      Io.ReadOptions(headerRow = false))
+    assert(df.count() == 11)
+    assert(df.columns.length == 12) // row 4 has 12 fields; Spark native truncates to 5
+    val r0 = df.filter(col("column-0") === "0").collect()(0)
+    assert(r0.getString(4) == "67" && r0.isNullAt(5)) // short row padded with nulls
+    val r4 = df.filter(col("column-0") === "4").collect()(0)
+    assert(r4.getString(11) == "97") // longest row fully present
+  }
+
+  test("dos/mac/unix line endings parse identically (reference essential.csv)") {
+    val opts = Io.ReadOptions(skipRows = 3, comment = Some('#'))
+    def parse(f: String) =
+      Io.readCsv(spark, s"/root/reference/test/data/$f",
+        opts.copy(schema = Some(org.apache.spark.sql.types.StructType(
+          Seq("Year", "Make", "Model", "Description", "Price").map(n =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.StringType, true))))))
+    val unix = parse("essential.csv").collect().map(_.toSeq).toSeq
+    val dos = parse("essential-dos.csv").collect().map(_.toSeq).toSeq
+    val mac = parse("essential-mac.csv").collect().map(_.toSeq).toSeq
+    assert(unix.nonEmpty)
+    assert(dos == unix, "CRLF file must parse identically to LF")
+    assert(mac == unix, "bare-CR file must parse identically to LF")
+  }
+
+  test("comment lines dropped by option (reference csv-comment.csv)") {
+    val df = Io.readCsv(spark, "/root/reference/test/data/csv-comment.csv",
+      Io.ReadOptions(comment = Some('#')))
+    assert(df.columns.head == "Geneid") // the '#' preamble did not become the header
+    assert(df.filter(col("Geneid").startsWith("#")).count() == 0)
+  }
+
   test("libsvm round-trip exact incl. sparse zero-drop") {
     val tmp = Files.createTempDirectory("graft_svm").toString
     val src = spark.sql("""
