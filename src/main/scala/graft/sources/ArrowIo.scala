@@ -43,8 +43,13 @@ import org.apache.spark.sql.types._
   * decimal/string/binary/date/timestamp), ArrayType of atomics, and
   * StructType nested arbitrarily (struct-of-struct, struct-of-list) — the
   * reference reads nested Arrow columns too (arrow.clj preparse `:list`).
-  * Remaining cuts: list-of-struct elements and MapType (parquet is the
-  * interchange for those).
+  * Read-side extras for real interchange files (pinned against the
+  * reference's own alldtypes fixtures): unsigned ints (widened to the next
+  * signed type; uint64 → decimal(20,0)), time32/time64 (normalized to
+  * micros-since-midnight longs — Spark has no TIME type), the null type,
+  * and fixed-size binary. Framing is sniffed from content ("ARROW1" magic
+  * = random-access file), not extension. Remaining cuts: list-of-struct
+  * elements and MapType (parquet is the interchange for those).
   *
   * Real-world interchange files (reference arrow.clj reads both):
   *  - COMPRESSED record batches (lz4-frame / zstd) decompress transparently
@@ -107,8 +112,19 @@ object ArrowIo {
       case (16, true) => ShortType
       case (32, true) => IntegerType
       case (64, true) => LongType
+      // unsigned (real interchange files — reference alldtypes fixtures):
+      // widen to the next signed Spark type; uint64 needs decimal(20,0)
+      case (8, false) => ShortType
+      case (16, false) => IntegerType
+      case (32, false) => LongType
+      case (64, false) => DecimalType(20, 0)
       case other => throw new IllegalArgumentException(s"arrow: unsupported int $other")
     }
+    // time-of-day: Spark has no TIME type — surface as LongType micros
+    // since midnight (all Arrow time units normalized in getValue)
+    case _: ArrowType.Time => LongType
+    case _: ArrowType.Null => StringType // all-null column
+    case _: ArrowType.FixedSizeBinary => BinaryType
     case f: ArrowType.FloatingPoint => f.getPrecision match {
       case FloatingPointPrecision.SINGLE => FloatType
       case FloatingPointPrecision.DOUBLE => DoubleType
@@ -242,6 +258,18 @@ object ArrowIo {
         java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(micros, 1000000L),
           (Math.floorMod(micros, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
       case b: DecimalVector => b.getObject(i)
+      // unsigned reads (sign-bit-safe widening)
+      case b: UInt1Vector => (b.get(i) & 0xFF).toShort
+      case b: UInt2Vector => b.get(i).toInt // get returns char
+      case b: UInt4Vector => b.get(i) & 0xFFFFFFFFL
+      case b: UInt8Vector => new java.math.BigDecimal(b.getObjectNoOverflow(i))
+      // time-of-day normalized to micros since midnight
+      case b: TimeSecVector => b.get(i) * 1000000L
+      case b: TimeMilliVector => b.get(i) * 1000L
+      case b: TimeMicroVector => b.get(i)
+      case b: TimeNanoVector => b.get(i) / 1000L
+      case b: FixedSizeBinaryVector => b.get(i)
+      case _: NullVector => null
       case b: ListVector =>
         val elem = b.getDataVector.asInstanceOf[FieldVector]
         val start = b.getOffsetBuffer.getInt(i * 4L)
@@ -357,14 +385,28 @@ object ArrowIo {
     finally { reader.close(); alloc.close() }
   }
 
-  /** Reader with transparent lz4/zstd record-batch decompression. */
+  /** Reader with transparent lz4/zstd record-batch decompression. Framing
+    * is sniffed from content, not extension — the random-access file
+    * format opens with the "ARROW1" magic, anything else is a stream
+    * (real interchange files carry arbitrary extensions: the reference's
+    * fixtures use .arrow-ipc for stream framing). */
   private def newReader(file: String, in: java.io.InputStream,
-                        alloc: RootAllocator): ArrowReader =
-    if (file.endsWith(".arrows"))
-      new ArrowStreamReader(in, alloc, CommonsCompressionFactory.INSTANCE)
-    else
-      new ArrowFileReader(asSeekable(in, file), alloc,
+                        alloc: RootAllocator): ArrowReader = {
+    val pb = new java.io.PushbackInputStream(in, 6)
+    val head = new Array[Byte](6)
+    var n = 0
+    while (n < 6) {
+      val r = pb.read(head, n, 6 - n)
+      if (r < 0) throw new IllegalArgumentException(s"arrow: $file truncated")
+      n += r
+    }
+    pb.unread(head)
+    if (new String(head, "US-ASCII") == "ARROW1")
+      new ArrowFileReader(asSeekable(pb, file), alloc,
         CommonsCompressionFactory.INSTANCE)
+    else
+      new ArrowStreamReader(pb, alloc, CommonsCompressionFactory.INSTANCE)
+  }
 
   /** Spark schema of a (possibly dictionary-encoded) IPC file. Dict-encoded
     * fields carry only the INDEX type in the memory-format schema — the

@@ -156,6 +156,53 @@ class ArrowIoSpec extends SparkSuite {
     }
   }
 
+  test("reads the reference's own interchange fixtures (unsigned/time/dict/binary)") {
+    val data = "/root/reference/test/data"
+    // alldtypes.arrow-ipc: uint8/16/32, time64[us], dict<int16>-encoded
+    // strings, plus every signed atomic — 1000 rows (expectations pinned
+    // from pyarrow)
+    val all = ArrowIo.read(spark, s"$data/alldtypes.arrow-ipc")
+    assert(all.count() == 1000)
+    assert(all.schema("uints").dataType == LongType)     // uint32 widened
+    assert(all.schema("ubytes").dataType == ShortType)   // uint8 widened
+    assert(all.schema("ushorts").dataType == IntegerType)// uint16 widened
+    assert(all.schema("local_times").dataType == LongType) // time64 -> micros
+    assert(all.schema("strings").dataType == StringType) // dict<int16> decoded
+    val sums = all.agg(sum("uints"), sum("ubytes"), sum("ushorts"),
+      sum("longs"), sum("doubles"), sum("ints")).collect()(0)
+    assert(sums.getLong(0) == 499500L && sums.getLong(1) == 124716L &&
+      sums.getLong(2) == 499500L && sums.getLong(3) == 499500L &&
+      sums.getDouble(4) == 499500.0 && sums.getLong(5) == 499500L)
+    val first = all.orderBy("ints").select("strings", "local_times",
+      "local_dates").first()
+    assert(first.getString(0) == "0")
+    // 13:39:59.908 since midnight, in micros
+    assert(first.getLong(1) == ((13L * 3600 + 39 * 60 + 59) * 1000 + 908) * 1000)
+    assert(first.getAs[java.sql.Date](2).toString == "2022-02-19")
+
+    // compressed twins decode identically
+    for (f <- Seq("alldtypes.arrow-ipc-lz4", "alldtypes.arrow-ipc-zstd")) {
+      val c = ArrowIo.read(spark, s"$data/$f")
+      assert(c.count() == 1000, f)
+      assert(c.agg(sum("uints")).collect()(0).getLong(0) == 499500L, f)
+    }
+
+    // null-typed column, raw binary, list<string>/list<double>, decimal
+    val nullcol = ArrowIo.read(spark, s"$data/withnullcol.arrow")
+    assert(nullcol.schema("nullcol").dataType == StringType)
+    assert(nullcol.filter(col("nullcol").isNull).count() == nullcol.count())
+    val bytes = ArrowIo.read(spark, s"$data/arrow_bytes.arrow")
+    assert(bytes.schema("bytedata").dataType == BinaryType && bytes.count() == 3)
+    val lists = ArrowIo.read(spark, s"$data/arrow_list.arrow")
+    assert(lists.schema("class-name").dataType == ArrayType(StringType, true))
+    assert(lists.schema("confidence").dataType == ArrayType(DoubleType, true))
+    assert(lists.count() == 3)
+    val dec = ArrowIo.read(spark, s"$data/bigdec.arrow")
+    assert(dec.schema("id").dataType == DecimalType(5, 2) && dec.count() == 3)
+    val uuid = ArrowIo.read(spark, s"$data/uuid_ext.arrow")
+    assert(uuid.schema("id").dataType == BinaryType && uuid.count() == 3)
+  }
+
   test("reads pyarrow-written nested struct file (incl. null struct rows)") {
     val dir = new java.io.File("src/test/resources/arrow").getAbsolutePath
     val df = ArrowIo.read(spark, s"$dir/nested_struct.arrows")
