@@ -131,7 +131,9 @@ object ArrowIo {
       case other => throw new IllegalArgumentException(s"arrow: unsupported fp $other")
     }
     case _: ArrowType.Utf8 => StringType
+    case _: ArrowType.LargeUtf8 => StringType
     case _: ArrowType.Binary => BinaryType
+    case _: ArrowType.LargeBinary => BinaryType
     case _: ArrowType.Date => DateType
     case t: ArrowType.Timestamp =>
       if (t.getTimezone == null) TimestampNTZType else TimestampType
@@ -236,6 +238,14 @@ object ArrowIo {
 
   // ---- vector -> row value ------------------------------------------------
 
+  private def tsFromMicros(micros: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(Instant.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+
+  private def ldtFromMicros(micros: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+      (Math.floorMod(micros, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+
   private def getValue(v: FieldVector, i: Int): Any =
     if (v.isNull(i)) null
     else v match {
@@ -247,16 +257,28 @@ object ArrowIo {
       case b: Float4Vector => b.get(i)
       case b: Float8Vector => b.get(i)
       case b: VarCharVector => new String(b.get(i), java.nio.charset.StandardCharsets.UTF_8)
+      case b: LargeVarCharVector => new String(b.get(i), java.nio.charset.StandardCharsets.UTF_8)
       case b: VarBinaryVector => b.get(i)
+      case b: LargeVarBinaryVector => b.get(i)
       case b: DateDayVector => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(b.get(i).toLong))
-      case b: TimeStampMicroTZVector =>
-        val micros = b.get(i)
+      case b: DateMilliVector => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(Math.floorDiv(b.get(i), 86400000L)))
+      // TZ-bearing timestamps, every unit → java.sql.Timestamp
+      case b: TimeStampMicroTZVector => tsFromMicros(b.get(i))
+      case b: TimeStampMilliTZVector => tsFromMicros(Math.multiplyExact(b.get(i), 1000L))
+      case b: TimeStampSecTZVector => tsFromMicros(Math.multiplyExact(b.get(i), 1000000L))
+      case b: TimeStampNanoTZVector =>
+        val nanos = b.get(i)
         java.sql.Timestamp.from(Instant.ofEpochSecond(
-          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
-      case b: TimeStampMicroVector =>
-        val micros = b.get(i)
-        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(micros, 1000000L),
-          (Math.floorMod(micros, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+          Math.floorDiv(nanos, 1000000000L), Math.floorMod(nanos, 1000000000L)))
+      // zone-less timestamps, every unit → LocalDateTime (TimestampNTZ)
+      case b: TimeStampMicroVector => ldtFromMicros(b.get(i))
+      case b: TimeStampMilliVector => ldtFromMicros(Math.multiplyExact(b.get(i), 1000L))
+      case b: TimeStampSecVector => ldtFromMicros(Math.multiplyExact(b.get(i), 1000000L))
+      case b: TimeStampNanoVector =>
+        val nanos = b.get(i)
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(nanos, 1000000000L),
+          Math.floorMod(nanos, 1000000000L).toInt, java.time.ZoneOffset.UTC)
       case b: DecimalVector => b.getObject(i)
       // unsigned reads (sign-bit-safe widening)
       case b: UInt1Vector => (b.get(i) & 0xFF).toShort

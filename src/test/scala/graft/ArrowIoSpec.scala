@@ -203,6 +203,31 @@ class ArrowIoSpec extends SparkSuite {
     assert(uuid.schema("id").dataType == BinaryType && uuid.count() == 3)
   }
 
+  test("decodes every reference IPC fixture; Feather V1 is the one exception") {
+    val data = "/root/reference/test/data"
+    // (file, expected rows) — the reference repo's real interchange files,
+    // spanning timestamp[ms/us] w/ and w/o TZ, date64, LargeUtf8, 81-column
+    // frames, empty batches, both framings, arbitrary extensions
+    val decodable = Seq(
+      "ames.pyarrow.stream" -> 1460L,
+      "stocks.pyarrow.stream" -> 560L,
+      "stocks.pyarrow.feather" -> 560L,
+      "tweets_sentiment.feather" -> 31962L,
+      "part-8981.ipc_stream" -> 2L,
+      "largeVarChar.ipc" -> 1L,
+      "alldtypes.arrow-feather" -> 1000L,
+      "alldtypes.arrow-feather-compressed" -> 1000L,
+      "empty.arrow" -> 0L,
+      "with_date.arrow" -> 3L)
+    decodable.foreach { case (f, n) =>
+      assert(ArrowIo.read(spark, s"$data/$f").count() == n, f)
+    }
+    // Feather V1 (pre-IPC, "FEA1" container) is NOT the Arrow IPC format —
+    // documented out of scope; must fail loudly, not decode garbage
+    for (f <- Seq("iris.feather", "alldtypes.arrow-feather-v1"))
+      intercept[Exception] { ArrowIo.read(spark, s"$data/$f").count() }
+  }
+
   test("reads pyarrow-written nested struct file (incl. null struct rows)") {
     val dir = new java.io.File("src/test/resources/arrow").getAbsolutePath
     val df = ArrowIo.read(spark, s"$dir/nested_struct.arrows")
