@@ -161,6 +161,20 @@ class IoSpec extends SparkSuite {
     assert(df.filter(col("Geneid").startsWith("#")).count() == 0)
   }
 
+  test("native parquet reads the reference's nested/map/decimal/uuid fixtures") {
+    val data = "/root/reference/test/data"
+    val nested = Io.readParquet(spark, s"$data/nested.parquet")
+    assert(nested.count() == 3)
+    assert(nested.schema.fields.exists(_.dataType.isInstanceOf[
+      org.apache.spark.sql.types.MapType]))
+    val dec = Io.readParquet(spark, s"$data/decimaltable.parquet")
+    assert(dec.schema.fields.exists(_.dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 9)))
+    assert(dec.count() == 2)
+    assert(Io.readParquet(spark, s"$data/uuid.parquet").count() == 10)
+    assert(Io.readParquet(spark, s"$data/2024-03-03.parquet").count() == 1725)
+  }
+
   test("libsvm round-trip exact incl. sparse zero-drop") {
     val tmp = Files.createTempDirectory("graft_svm").toString
     val src = spark.sql("""
