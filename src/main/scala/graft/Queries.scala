@@ -82,10 +82,13 @@ object Queries {
       Reductions.minNByColumn(
         t(s, dir, "lineitem")
           .selectColumns("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"),
-        "l_extendedprice", 15, descending = true)
-        // l_quantity completes the total order: (l_orderkey, l_linenumber)
-        // is not unique in the synthetic lineitem, and the top-k heap is
-        // not a stable sort
+        "l_extendedprice", 15, descending = true,
+        // the tiebreak is part of the top-k SELECTION (not just the final
+        // presentation sort): boundary ties on l_extendedprice would
+        // otherwise let the unstable heap pick a different row SET than
+        // the oracle's deterministic 4-column LIMIT
+        tiebreak = Seq(col("l_orderkey").asc, col("l_linenumber").asc,
+          col("l_quantity").asc))
         .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
           col("l_linenumber").asc, col("l_quantity").asc)
     },

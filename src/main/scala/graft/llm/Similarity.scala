@@ -265,8 +265,13 @@ object Similarity {
     require(ordered.map(_._1) == ordered.indices,
       s"centroid ids must be 0..${ordered.size - 1}")
     val mat = typedLit(ordered.map(_._2.toSeq))
-    aggregate(sequence(lit(0), lit(ordered.size - 1)),
-      struct(lit(Double.PositiveInfinity).as("d"), lit(-1).as("c")),
+    // seed with centroid 0 (not a -1 sentinel): an all-NaN distance row —
+    // e.g. an embedding containing NaN — then stays assigned to centroid 0,
+    // matching the former min(struct) aggregation's NaN ordering, instead
+    // of silently vanishing from every inverted list via c = -1
+    if (ordered.size == 1) lit(0) // sequence(1, 0) would run DESCENDING
+    else aggregate(sequence(lit(1), lit(ordered.size - 1)),
+      struct(sqDist(emb, element_at(mat, 1)).as("d"), lit(0).as("c")),
       (acc, ci) => {
         val d = sqDist(emb, element_at(mat, ci + 1))
         when(d < acc.getField("d"), struct(d.as("d"), ci.as("c")))

@@ -439,17 +439,24 @@ object ArrowIo {
                             root: VectorSchemaRoot): StructType = {
     val fields = root.getSchema.getFields.asScala
     if (fields.exists(_.getDictionary != null)) {
-      require(reader.loadNextBatch(),
-        "arrow: dictionary-encoded schema but no record batch to read " +
-          "dictionaries from")
+      // dictionaries materialize with the first batch load (stream framing
+      // delivers dictionary batches ahead of record batches; the file
+      // framing reads them from the footer). A zero-row file returns
+      // false here — the lookup below may still succeed.
+      reader.loadNextBatch()
     }
     StructType(fields.map { f =>
       Option(f.getDictionary) match {
         case Some(enc) =>
           val dict = reader.lookup(enc.getId)
-          require(dict != null, s"arrow: missing dictionary ${enc.getId}")
-          StructField(f.getName,
-            fromArrowType(dict.getVector.getField.getType), f.isNullable)
+          if (dict != null)
+            StructField(f.getName,
+              fromArrowType(dict.getVector.getField.getType), f.isNullable)
+          else
+            // zero-row stream with no dictionary batches: fall back to the
+            // VALUE type being unknowable — surface the index type; an
+            // empty frame has no values whose type could disagree
+            StructField(f.getName, fromArrowType(f.getType), f.isNullable)
         case None => StructField(f.getName, fromArrowField(f), f.isNullable)
       }
     }.toArray)

@@ -72,7 +72,12 @@ object EdnIo {
         case '\\' => i += 1; parseChar()
         case ':' => i += 1; parseName() // keyword → name sans colon
         case '#' => parseDispatch()
-        case c if c == '-' || c == '+' || c.isDigit => parseNumber()
+        case c if c.isDigit => parseNumber()
+        // a sign starts a number ONLY when a digit follows — bare '-',
+        // '->', '+foo' are symbols per the EDN grammar
+        case c if (c == '-' || c == '+') &&
+                  i + 1 < s.length && s.charAt(i + 1).isDigit =>
+          parseNumber()
         case _ =>
           val sym = parseName()
           sym match {
@@ -227,14 +232,29 @@ object EdnIo {
     }
   }
 
-  /** RFC-3339 with optional offset — `#inst` bodies. */
+  /** RFC-3339 with optional offset — `#inst` bodies. EDN permits
+    * reduced-accuracy forms ("2021", "2021-01", "2021-01-01",
+    * "2021-01-01T12:30"); missing fields pad like Clojure's reader. */
   private def parseInstant(str: String): Instant = {
-    val t = str.trim
-    try Instant.parse(if (t.endsWith("Z") || t.contains("+") ||
-                          t.lastIndexOf('-') > 9) t else t + "Z")
+    var t = str.trim
+    // pad reduced date forms up to a full date
+    if (t.matches("\\d{4}")) t += "-01-01"
+    else if (t.matches("\\d{4}-\\d{2}")) t += "-01"
+    if (t.matches("\\d{4}-\\d{2}-\\d{2}")) t += "T00:00:00"
+    else if (t.matches("\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}")) t += ":00"
+    val withZone =
+      if (t.endsWith("Z") || t.lastIndexOf('+') > 9 ||
+          t.lastIndexOf('-') > 9) t
+      else t + "Z"
+    try Instant.parse(withZone)
     catch {
       case _: Exception =>
-        java.time.OffsetDateTime.parse(t).toInstant
+        try java.time.OffsetDateTime.parse(t).toInstant
+        catch {
+          case e: Exception =>
+            throw new IllegalArgumentException(
+              s"""unreadable #inst "$str"""", e)
+        }
     }
   }
 
@@ -289,12 +309,18 @@ object EdnIo {
   }
 
   private def mapsToDataFrame(spark: SparkSession,
-                              maps: Vector[Map[Any, Any]]): DataFrame = {
-    if (maps.isEmpty) return spark.emptyDataFrame
+                              maps0: Vector[Map[Any, Any]]): DataFrame = {
+    if (maps0.isEmpty) return spark.emptyDataFrame
+    // normalize keys to strings ONCE (numeric/keyword keys both name
+    // columns); keeps row building O(rows·cols) hash lookups instead of
+    // O(rows·cols·width) collectFirst scans
+    val maps: Vector[Map[String, Any]] =
+      maps0.map(m => scala.collection.immutable.VectorMap.from(
+        m.iterator.map { case (k, v) => k.toString -> v }))
     // column order = first appearance across the whole mapseq
     val names = {
       val seen = scala.collection.mutable.LinkedHashSet[String]()
-      maps.foreach(_.keysIterator.foreach(k => seen += k.toString))
+      maps.foreach(_.keysIterator.foreach(seen += _))
       seen.toVector
     }
     def colType(c: String): DataType = {
@@ -350,9 +376,7 @@ object EdnIo {
     val rows = new java.util.ArrayList[Row](maps.length)
     maps.foreach { m =>
       rows.add(Row.fromSeq(names.indices.map { i =>
-        conv(m.collectFirst {
-          case (k, v) if k.toString == names(i) => v
-        }.orNull, types(i))
+        conv(m.getOrElse(names(i), null), types(i))
       }))
     }
     spark.createDataFrame(rows, schema)

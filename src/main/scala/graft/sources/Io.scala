@@ -80,11 +80,18 @@ object Io {
       .agg(max(col("value"))).as[Int].first()
     val headerNames: Seq[String] =
       if (!opts.headerRow) Seq.empty
-      else spark.read.option("sep", opts.separator)
-        .csv(Seq(lines.first()).toDS()).columns.toSeq
-        .zipWithIndex.map { case (c, i) =>
-          if (c.startsWith("_c")) s"column-$i" else c
+      else {
+        // parse the header LINE as a data row (header=false default) and
+        // take its VALUES — with header=true Spark would return them as
+        // column names but also re-mangle duplicates; empty cells fall
+        // back to column-i
+        val hdr = spark.read.option("sep", opts.separator)
+          .csv(Seq(lines.first()).toDS()).first()
+        (0 until hdr.length).map { i =>
+          val v = if (hdr.isNullAt(i)) null else hdr.get(i).toString
+          if (v == null || v.isEmpty) s"column-$i" else v
         }
+      }
     val names = (0 until width).map(i =>
       if (i < headerNames.length) headerNames(i) else s"column-$i")
     val schema = StructType(names.map(StructField(_, StringType, true)))

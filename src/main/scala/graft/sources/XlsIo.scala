@@ -319,20 +319,9 @@ object XlsIo {
       }
       p = body + len
     }
-    val xfs = xfFmtIds.result()
-    def fmtId(xf: Int): Int = if (xf >= 0 && xf < xfs.length) xfs(xf) else 0
-    def isDate(xf: Int): Boolean = {
-      val id = fmtId(xf)
-      XlsxIo.BuiltinDateFmts.contains(id) ||
-        formats.get(id).exists(XlsxIo.isDateFormatCode)
-    }
-    val timeBuiltin = ((18 to 22) ++ (45 to 47)).toSet
-    def hasTime(xf: Int): Boolean = {
-      val id = fmtId(xf)
-      timeBuiltin.contains(id) || formats.get(id).exists { c =>
-        val s = c.toLowerCase; s.contains('h') || s.contains('s')
-      }
-    }
+    // same stripped-format date/time classification as xlsx (shared —
+    // a fix in one container cannot drift from the other)
+    val (isDate, hasTime) = XlsxIo.styleClassifiers(xfFmtIds.result(), formats)
 
     def numberValue(xf: Int, d: Double): Any =
       if (isDate(xf)) {

@@ -98,12 +98,14 @@ object XlsxIo {
         val out = Vector.newBuilder[String]
         var cur: java.lang.StringBuilder = null
         var inT = false
+        var phonetic = 0 // <rPh> furigana runs must NOT join the string
         while (r.hasNext) {
           r.next() match {
             case XMLStreamConstants.START_ELEMENT =>
               r.getLocalName match {
-                case "si" => cur = new java.lang.StringBuilder()
-                case "t" if cur != null => inT = true
+                case "si" => cur = new java.lang.StringBuilder(); phonetic = 0
+                case "rPh" => phonetic += 1
+                case "t" if cur != null && phonetic == 0 => inT = true
                 case _ =>
               }
             case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
@@ -111,6 +113,7 @@ object XlsxIo {
             case XMLStreamConstants.END_ELEMENT =>
               r.getLocalName match {
                 case "t" => inT = false
+                case "rPh" => phonetic -= 1
                 case "si" => out += cur.toString; cur = null
                 case _ =>
               }
@@ -126,9 +129,10 @@ object XlsxIo {
   private[sources] val BuiltinDateFmts: Set[Int] =
     ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
 
-  /** A custom format code denotes a date iff, after stripping bracketed
-    * sections, quoted literals, and escapes, it contains a y/m/d/h/s token. */
-  private[sources] def isDateFormatCode(code: String): Boolean = {
+  /** Format code minus bracketed sections (`[$-en-US]`, colors), quoted
+    * literals, and backslash escapes — the part that carries date/time
+    * tokens. */
+  private[sources] def stripFormatCode(code: String): String = {
     val sb = new java.lang.StringBuilder()
     var i = 0
     while (i < code.length) {
@@ -141,8 +145,45 @@ object XlsxIo {
         case c => sb.append(c); i += 1
       }
     }
-    val s = sb.toString.toLowerCase
-    s.exists(c => c == 'y' || c == 'd' || c == 'h' || c == 's' || c == 'm')
+    sb.toString.toLowerCase
+  }
+
+  /** A custom format code denotes a date iff its stripped form contains a
+    * y/m/d/h/s token. */
+  private[graft] def isDateFormatCode(code: String): Boolean =
+    stripFormatCode(code).exists(c =>
+      c == 'y' || c == 'd' || c == 'h' || c == 's' || c == 'm')
+
+  /** …and carries a TIME component iff the stripped form has h or s (a
+    * quoted literal or locale prefix like `[$-en-US]` must not count —
+    * `[$-en-US]mmmm d, yyyy` is date-only). */
+  private[graft] def hasTimeFormatCode(code: String): Boolean = {
+    val s = stripFormatCode(code)
+    s.contains('h') || s.contains('s')
+  }
+
+  /** Builtin time-bearing numFmt ids: 18-22 (h:mm…), 45-47 (mm:ss…). */
+  private[sources] val BuiltinTimeFmts: Set[Int] =
+    ((18 to 22) ++ (45 to 47)).toSet
+
+  /** Shared style→(isDate, hasTime) classifiers for both spreadsheet
+    * containers (xlsx styles.xml and xls FORMAT/XF records). */
+  private[sources] def styleClassifiers(
+      xfFmtIds: IndexedSeq[Int],
+      customFmts: collection.Map[Int, String]): (Int => Boolean, Int => Boolean) = {
+    def fmtId(style: Int): Int =
+      if (style >= 0 && style < xfFmtIds.length) xfFmtIds(style) else 0
+    val isDate = (style: Int) => {
+      val id = fmtId(style)
+      BuiltinDateFmts.contains(id) ||
+        customFmts.get(id).exists(isDateFormatCode)
+    }
+    val hasTime = (style: Int) => {
+      val id = fmtId(style)
+      BuiltinTimeFmts.contains(id) ||
+        customFmts.get(id).exists(hasTimeFormatCode)
+    }
+    (isDate, hasTime)
   }
 
   /** `(isDate(styleIdx), hasTimePart(styleIdx))` lookups from styles.xml. */
@@ -174,24 +215,7 @@ object XlsxIo {
           }
         }
         r.close()
-        val xfs = xfFmtIds.result()
-        def fmtId(style: Int): Int =
-          if (style >= 0 && style < xfs.length) xfs(style) else 0
-        val isDate = (style: Int) => {
-          val id = fmtId(style)
-          BuiltinDateFmts.contains(id) ||
-            customFmts.get(id).exists(isDateFormatCode)
-        }
-        // builtin time-bearing ids: 18-22 (h:mm..), 45-47 (mm:ss..)
-        val timeBuiltin = ((18 to 22) ++ (45 to 47)).toSet
-        val hasTime = (style: Int) => {
-          val id = fmtId(style)
-          timeBuiltin.contains(id) || customFmts.get(id).exists { c =>
-            val stripped = c.toLowerCase
-            stripped.contains('h') || stripped.contains('s')
-          }
-        }
-        (isDate, hasTime)
+        styleClassifiers(xfFmtIds.result(), customFmts)
     }
   }
 

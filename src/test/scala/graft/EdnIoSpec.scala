@@ -68,6 +68,31 @@ class EdnIoSpec extends SparkSuite {
       .startsWith("2020-01-01 00:00:00"))
   }
 
+  test("sign-led symbols and reduced-precision #inst parse per EDN grammar") {
+    // '-', '->', '+foo' are symbols, not numbers
+    val m = EdnIo.parseAll("""{:op - :arrow -> :plus +foo :neg -12 :pos +12}""")
+      .head.asInstanceOf[Map[Any, Any]]
+    assert(m("op") == "-")
+    assert(m("arrow") == "->")
+    assert(m("plus") == "+foo")
+    assert(m("neg") == -12L && m("pos") == 12L)
+    // Clojure writes reduced-accuracy #inst forms; missing fields pad
+    for ((txt, want) <- Seq(
+        "2021" -> "2021-01-01T00:00:00Z",
+        "2021-03" -> "2021-03-01T00:00:00Z",
+        "2021-03-04" -> "2021-03-04T00:00:00Z",
+        "2021-03-04T12:30" -> "2021-03-04T12:30:00Z",
+        "2021-03-04T12:30:45-05:00" -> "2021-03-04T17:30:45Z")) {
+      val got = EdnIo.parseAll(s"""{:t #inst "$txt"}""")
+        .head.asInstanceOf[Map[Any, Any]]("t")
+        .asInstanceOf[java.sql.Timestamp].toInstant.toString
+      assert(got == want, s"#inst $txt -> $got, want $want")
+    }
+    intercept[IllegalArgumentException] {
+      EdnIo.parseAll("""{:t #inst "not-a-date"}""")
+    }
+  }
+
   test("gzipped EDN round-trips transparently by extension") {
     val src = Tables.t(spark, sfDir, "region")
     val tmp = Files.createTempDirectory("graft_edngz").toString

@@ -138,6 +138,18 @@ class IoSpec extends SparkSuite {
     assert(r4.getString(11) == "97") // longest row fully present
   }
 
+  test("ragged csv with header row keeps the real header names") {
+    val tmp = Files.createTempDirectory("graft_ragged").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/r.csv"),
+      "id,name\n1,ann,extra1,extra2\n2,bob\n".getBytes("UTF-8"))
+    val df = Io.readCsvRagged(spark, s"$tmp/r.csv")
+    assert(df.columns.toSeq == Seq("id", "name", "column-2", "column-3"))
+    val r1 = df.filter(col("id") === "1").collect()(0)
+    assert(r1.getString(2) == "extra1" && r1.getString(3) == "extra2")
+    val r2 = df.filter(col("id") === "2").collect()(0)
+    assert(r2.getString(1) == "bob" && r2.isNullAt(2))
+  }
+
   test("dos/mac/unix line endings parse identically (reference essential.csv)") {
     val opts = Io.ReadOptions(skipRows = 3, comment = Some('#'))
     def parse(f: String) =

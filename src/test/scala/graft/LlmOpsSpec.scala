@@ -188,6 +188,20 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("NaN embeddings assign to centroid 0, not a -1 sentinel") {
+    val cents = Seq(0 -> Array(0.0, 0.0), 1 -> Array(10.0, 10.0))
+    val df = Seq(
+      (1L, Seq(Double.NaN, 1.0)),  // all distances NaN
+      (2L, Seq(9.0, 9.0)),         // clearly centroid 1
+      (3L, Seq(0.1, 0.1))          // clearly centroid 0
+    ).toDF("id", "emb")
+    val out = df.select(col("id"),
+        Similarity.argminCentroid(col("emb"), cents).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(1L) == 0, "NaN row must stay in a real inverted list")
+    assert(out(2L) == 1 && out(3L) == 0)
+  }
+
   test("zero-norm embeddings never rank in cosine top-k") {
     val rows = (0L to 4L).map(i => (i, Array.fill(8)(0.1f * (i + 1)))) :+
       (5L, Array.fill(8)(0.0f)) // zero vector must not poison rankings

@@ -94,6 +94,19 @@ class XlsxIoSpec extends SparkSuite {
     assert(ds2.columns.contains("column-1::6"))
   }
 
+  test("format-code classifiers strip brackets/quotes before date/time checks") {
+    import graft.sources.XlsxIo.{isDateFormatCode, hasTimeFormatCode}
+    // locale prefix and quoted literals must not make a date format "timed"
+    assert(isDateFormatCode("[$-en-US]mmmm d, yyyy"))
+    assert(!hasTimeFormatCode("[$-en-US]mmmm d, yyyy"))
+    assert(!hasTimeFormatCode("""yyyy \h mm"session""""))
+    assert(hasTimeFormatCode("yyyy-mm-dd hh:mm:ss"))
+    assert(hasTimeFormatCode("[h]:mm") == false) // elapsed-hours live in brackets
+    assert(hasTimeFormatCode("h:mm AM/PM"))
+    assert(!isDateFormatCode("#,##0.00"))
+    assert(!isDateFormatCode("\"today\" 0.0")) // quoted 'd'/'y' don't count
+  }
+
   test("numeric header cell names the column by its raw rendering") {
     val ds = XlsxIo.read(spark, s"$data/number_column.xlsx")
     // fastexcel_test.clj:98-101
