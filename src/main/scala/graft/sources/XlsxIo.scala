@@ -638,8 +638,11 @@ object XlsxIo {
       case '<' => sb.append("&lt;")
       case '>' => sb.append("&gt;")
       case '"' => sb.append("&quot;")
-      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' =>
-        sb.append(' ') // control chars are illegal in XML 1.0
+      // literal \r would be normalized to \n by any conformant XML parser
+      // on read-back — the character reference survives
+      case '\r' => sb.append("&#xD;")
+      case c if c < ' ' && c != '\t' && c != '\n' =>
+        sb.append(' ') // other control chars are illegal in XML 1.0
       case c => sb.append(c)
     }
     sb.toString
