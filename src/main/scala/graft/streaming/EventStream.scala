@@ -105,6 +105,56 @@ object EventStream {
       .dropDuplicatesWithinWatermark("fp")
   }
 
+  /** Watermarked STREAM-STREAM inner join: each click pairs with the same
+    * user's purchases within `horizonMinutes` AFTER the click — the standing
+    * attribution pipeline (click → conversion). Both sides carry watermarks
+    * and the join has an explicit event-time range condition, so Spark can
+    * evict buffered state for rows past the horizon; without the range the
+    * state store grows with the stream. One state-store shuffle on user_id
+    * per trigger. Batch analog: the identical join on static frames —
+    * StreamingSpec pins the two equal. */
+  def clickPurchaseJoin(spark: SparkSession, dir: String,
+                        horizonMinutes: Long = 60): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = raw.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = raw.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("c_ts"), col("p_ts"))
+  }
+
+  /** The batch analog of [[clickPurchaseJoin]] — same plan minus the state
+    * store; the streaming spec's oracle. */
+  def clickPurchaseJoinBatch(spark: SparkSession, dir: String,
+                             horizonMinutes: Long = 60): DataFrame = {
+    val ev = graft.Tables.t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("c_ts"), col("p_ts"))
+  }
+
   /** Run a streaming query to completion against the (finite) file source and
     * return the materialized result — the test harness entry point. */
   def runToMemorySink(df: DataFrame, name: String,

@@ -38,6 +38,19 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.select("fp").exceptAll(batch.select("fp")).count() == 0)
   }
 
+  test("watermarked stream-stream join equals the batch join") {
+    val streamed = EventStream.runToMemorySink(
+      EventStream.clickPurchaseJoin(spark, sfDir), "ss_join_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = EventStream.clickPurchaseJoinBatch(spark, sfDir)
+    assert(streamed.count() == batch.count())
+    assert(streamed.count() > 0, "join should produce pairs at sf0.001")
+    val key = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(concat_ws("#", col("user_id"), col("click_id"),
+        col("purchase_id"))).collect().map(_.getString(0)).sorted.toSeq
+    assert(key(streamed) == key(batch))
+  }
+
   test("streaming hourly agg equals batch q38") {
     val streamed = EventStream.runToMemorySink(
       EventStream.hourlyCounts(spark, sfDir), "hourly_test")
