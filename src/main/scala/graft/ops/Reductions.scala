@@ -97,12 +97,11 @@ object Reductions {
   }
 
   /** min-n-by-column / top-k (reference dataset_api.clj:453-501, guava
-    * min-max heap) → Catalyst TakeOrderedAndProject: each partition keeps only
-    * its top N, the driver merges N·partitions rows — no global sort. */
-  /** Top-/bottom-n by one column (reference min-n-by-column). `tiebreak`
-    * columns join the SELECTION sort, not just presentation: Spark's top-k
-    * heap is not stable, so ties at the boundary would otherwise pick a
-    * partition-order-dependent set. */
+    * min-max heap) → Catalyst TakeOrderedAndProject: each partition keeps
+    * only its top N, the driver merges N·partitions rows — no global sort.
+    * `tiebreak` columns join the SELECTION sort, not just presentation:
+    * the top-k heap is not stable, so ties at the boundary would otherwise
+    * pick a partition-order-dependent set. */
   def minNByColumn(df: DataFrame, name: String, n: Int,
                    descending: Boolean = false,
                    tiebreak: Seq[Column] = Seq.empty): DataFrame =

@@ -449,14 +449,17 @@ object ArrowIo {
       Option(f.getDictionary) match {
         case Some(enc) =>
           val dict = reader.lookup(enc.getId)
-          if (dict != null)
-            StructField(f.getName,
-              fromArrowType(dict.getVector.getField.getType), f.isNullable)
-          else
-            // zero-row stream with no dictionary batches: fall back to the
-            // VALUE type being unknowable — surface the index type; an
-            // empty frame has no values whose type could disagree
-            StructField(f.getName, fromArrowType(f.getType), f.isNullable)
+          // fail FAST when the value type is unrecoverable (a zero-row
+          // STREAM carries no dictionary batches): silently surfacing the
+          // index type would mismatch value-decoded rows from sibling part
+          // files and explode far from the cause. File framing reads
+          // dictionaries from the footer, so empty .arrow files still work.
+          require(dict != null,
+            s"arrow: dictionary ${enc.getId} for field ${f.getName} is not " +
+              "available (zero-row stream-framed file? its value type is " +
+              "unrecoverable — use file framing for empty dict-encoded data)")
+          StructField(f.getName,
+            fromArrowType(dict.getVector.getField.getType), f.isNullable)
         case None => StructField(f.getName, fromArrowField(f), f.isNullable)
       }
     }.toArray)

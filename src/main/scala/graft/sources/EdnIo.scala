@@ -313,10 +313,15 @@ object EdnIo {
     if (maps0.isEmpty) return spark.emptyDataFrame
     // normalize keys to strings ONCE (numeric/keyword keys both name
     // columns); keeps row building O(rows·cols) hash lookups instead of
-    // O(rows·cols·width) collectFirst scans
+    // O(rows·cols·width) collectFirst scans. First occurrence wins when
+    // two distinct keys stringify identically (e.g. 1 and "1").
     val maps: Vector[Map[String, Any]] =
-      maps0.map(m => scala.collection.immutable.VectorMap.from(
-        m.iterator.map { case (k, v) => k.toString -> v }))
+      maps0.map(m => m.iterator.foldLeft(
+        scala.collection.immutable.VectorMap.empty[String, Any]) {
+        case (acc, (k, v)) =>
+          val ks = k.toString
+          if (acc.contains(ks)) acc else acc.updated(ks, v)
+      })
     // column order = first appearance across the whole mapseq
     val names = {
       val seen = scala.collection.mutable.LinkedHashSet[String]()

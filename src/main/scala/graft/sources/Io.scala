@@ -82,18 +82,36 @@ object Io {
       if (!opts.headerRow) Seq.empty
       else {
         // parse the header LINE as a data row (header=false default) and
-        // take its VALUES — with header=true Spark would return them as
-        // column names but also re-mangle duplicates; empty cells fall
-        // back to column-i
-        val hdr = spark.read.option("sep", opts.separator)
-          .csv(Seq(lines.first()).toDS()).first()
-        (0 until hdr.length).map { i =>
-          val v = if (hdr.isNullAt(i)) null else hdr.get(i).toString
-          if (v == null || v.isEmpty) s"column-$i" else v
+        // take its VALUES; honors the comment option, degrades to column-i
+        // names when the first line is blank/comment-only; empty cells
+        // fall back to column-i
+        var hr = spark.read.option("sep", opts.separator)
+        opts.comment.foreach(c => hr = hr.option("comment", c.toString))
+        hr.csv(Seq(lines.first()).toDS()).collect().headOption match {
+          case None => Seq.empty
+          case Some(hdr) =>
+            (0 until hdr.length).map { i =>
+              val v = if (hdr.isNullAt(i)) null else hdr.get(i).toString
+              if (v == null || v.isEmpty) s"column-$i" else v
+            }
         }
       }
-    val names = (0 until width).map(i =>
+    val names0 = (0 until width).map(i =>
       if (i < headerNames.length) headerNames(i) else s"column-$i")
+    // Spark rejects duplicate names in a user schema — suffix every
+    // duplicated occurrence with its index (same policy as XlsxIo)
+    val names: Seq[String] = {
+      var ns = names0
+      var rounds = 0
+      while (ns.distinct.length != ns.length && rounds < 8) {
+        val c = ns.groupBy(identity).map { case (k, v) => k -> v.size }
+        ns = ns.zipWithIndex.map { case (n, i) =>
+          if (c(n) > 1) s"$n-$i" else n
+        }
+        rounds += 1
+      }
+      ns
+    }
     val schema = StructType(names.map(StructField(_, StringType, true)))
     var r = spark.read.option("header", opts.headerRow)
       .option("sep", opts.separator).schema(schema)

@@ -120,33 +120,28 @@ object EventStream {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val clicks = raw.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-        col("event_id").as("click_id"))
-      .withWatermark("c_ts", "1 hour")
-    val purchases = raw.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-        col("event_id").as("purchase_id"))
-      .withWatermark("p_ts", "1 hour")
-    clicks.join(purchases,
-      col("c_user") === col("p_user") &&
-        col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
-      .select(col("c_user").as("user_id"), col("click_id"),
-        col("purchase_id"), col("c_ts"), col("p_ts"))
+    attributionJoin(raw, horizonMinutes, watermark = Some("1 hour"))
   }
 
   /** The batch analog of [[clickPurchaseJoin]] — same plan minus the state
     * store; the streaming spec's oracle. */
   def clickPurchaseJoinBatch(spark: SparkSession, dir: String,
-                             horizonMinutes: Long = 60): DataFrame = {
-    val ev = graft.Tables.t(spark, dir, "events")
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-        col("event_id").as("click_id"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-        col("event_id").as("purchase_id"))
+                             horizonMinutes: Long = 60): DataFrame =
+    attributionJoin(graft.Tables.t(spark, dir, "events"), horizonMinutes,
+      watermark = None)
+
+  /** Shared subject/oracle plan: only the watermark differs between the
+    * streaming and batch forms, so their semantics cannot drift apart. */
+  private def attributionJoin(events: DataFrame, horizonMinutes: Long,
+                              watermark: Option[String]): DataFrame = {
+    def side(eventType: String, prefix: String, idAs: String): DataFrame = {
+      val base = events.filter(col("event_type") === eventType)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("ts").as(s"${prefix}_ts"), col("event_id").as(idAs))
+      watermark.fold(base)(w => base.withWatermark(s"${prefix}_ts", w))
+    }
+    val clicks = side("click", "c", "click_id")
+    val purchases = side("purchase", "p", "purchase_id")
     clicks.join(purchases,
       col("c_user") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&

@@ -61,7 +61,9 @@ class IoRoundTripPropertySpec extends SparkSuite {
                     target: StructType): Seq[String] = {
     val cast = df.select(target.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-    cast.collect().map(_.mkString("")).sorted.toSeq
+    // NUL separator (outside the generated alphabet) keeps the row
+    // fingerprint injective - adjacent cells cannot concatenate-collide
+    cast.collect().map(_.mkString("\u0000")).sorted.toSeq
   }
 
   test("seeded random frames round-trip xlsx exactly") {
