@@ -119,10 +119,11 @@ object Io {
     val df = r.csv(lines)
     // drop phantom trailing columns (quote over-count): all-null suffix
     val nonNullCounts = df.agg(count(lit(1)).as("__n"),
-      names.map(n => count(col(n)).as(n)): _*).collect()(0)
+      names.map(n => count(col(s"`$n`")).as(n)): _*).collect()(0)
     val lastReal = names.lastIndexWhere(n =>
       nonNullCounts.getAs[Long](n) > 0)
-    df.select(names.take(math.max(lastReal + 1, 1)).map(col): _*)
+    df.select(names.take(math.max(lastReal + 1, 1))
+      .map(n => col(s"`$n`")): _*)
   }
 
   def readTsv(spark: SparkSession, path: String,
@@ -227,7 +228,8 @@ object Io {
     val cols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     if (cols.isEmpty) return df
     val aggs = cols.flatMap { c0 =>
-      val c = col(c0)
+      val c = col(s"`$c0`") // backquote: dotted names (ref double_parse_test
+                            // fixture) must not parse as struct paths
       val longV = c.try_cast("long"); val dblV = c.try_cast("double")
       Seq(
         count(c).as(s"${c0}__n"),
@@ -258,8 +260,8 @@ object Io {
       target match {
         case Some(BooleanType) =>
           // relaxed boolean coercion (t/y/yes/true → true)
-          d.withColumn(c0, lower(col(c0)).isin("true", "t", "y", "yes"))
-        case Some(t) => d.withColumn(c0, col(c0).cast(t))
+          d.withColumn(c0, lower(col(s"`$c0`")).isin("true", "t", "y", "yes"))
+        case Some(t) => d.withColumn(c0, col(s"`$c0`").cast(t))
         case None => d
       }
     }

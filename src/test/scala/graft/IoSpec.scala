@@ -173,6 +173,21 @@ class IoSpec extends SparkSuite {
     assert(df.filter(col("Geneid").startsWith("#")).count() == 0)
   }
 
+  test("promotional inference: scientific notation and IP strings (fixtures)") {
+    // double_parse_test.csv: 1e-284-scale scientific notation must land as
+    // float64, exact values preserved
+    val dp = Io.readCsvPromotional(spark,
+      "/root/reference/test/data/double_parse_test.csv")
+    assert(dp.schema("pvalue").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(dp.schema("baseMean").dataType == org.apache.spark.sql.types.DoubleType)
+    val p3 = dp.filter(col("id") === 3).select("pvalue").collect()(0).getDouble(0)
+    assert(p3 == 1.95366082718358e-284)
+    // ip-addrs.csv: dotted quads must NOT be coerced to numbers
+    val ip = Io.readCsvPromotional(spark, "/root/reference/test/data/ip-addrs.csv")
+    assert(ip.schema("ip").dataType == org.apache.spark.sql.types.StringType)
+    assert(ip.filter(col("ip") === "10.0.0.1").count() == 1)
+  }
+
   test("native parquet reads the reference's nested/map/decimal/uuid fixtures") {
     val data = "/root/reference/test/data"
     val nested = Io.readParquet(spark, s"$data/nested.parquet")
