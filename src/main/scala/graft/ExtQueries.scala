@@ -226,15 +226,18 @@ object ExtQueries {
           Window.partitionBy(col("l_returnflag"))))
       // value at ascending rank ceil(q·n): the smallest price whose
       // cumulative count reaches the rank (a VALUE pick — deterministic
-      // regardless of tie order)
-      def pick(q: Double, name: String) = cum
-        .filter(col("__cum") >= ceil(col("__tot") * lit(q)))
-        .groupBy(col("l_returnflag"))
-        .agg(min(col("l_extendedprice")).as(name))
+      // regardless of tie order). BOTH quantiles come out of ONE
+      // aggregation over the shared cum-count frame — a conditional min
+      // per quantile — instead of two filter+agg+join chains re-running
+      // the window lineage
+      def pick(q: Double) =
+        min(when(col("__cum") >= ceil(col("__tot") * lit(q)),
+          col("l_extendedprice")))
+      val quantiles = cum.groupBy(col("l_returnflag"))
+        .agg(pick(0.5).as("median_price"), pick(0.9).as("p90_price"))
       counts
         .join(broadcast(kmv), Seq("l_returnflag"))
-        .join(pick(0.5, "median_price"), Seq("l_returnflag"))
-        .join(pick(0.9, "p90_price"), Seq("l_returnflag"))
+        .join(quantiles, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("kmv_parts"), col("exact_parts"),
           col("median_price"), col("p90_price"))
         .orderBy(col("l_returnflag"))
