@@ -161,6 +161,17 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // multimodal video: REAL container decode through the correctness
+    // gate — deterministic uncompressed AVI (RIFF + DIB frames, pixels a
+    // closed-form function of doc_id) round-trips the standard container
+    // layout; the oracle replays the pixel formula. Compressed codecs
+    // remain the one documented stub (no JVM codec).
+    "q86_video" -> { (s, dir) =>
+      Multimodal.videoFeatures(s,
+        t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // corpus TF-IDF, top term per doc (ratio idf — exact, no log; see
     // TextStats.tfIdfTopTerm Scaladoc for the scale shape).
     "q83_tfidf" -> { (s, dir) =>
@@ -544,6 +555,23 @@ object LlmQueries {
     // mirrors TextStats.repetitionMetrics: bigram/trigram md5-hash identity,
     // duplicate fraction = 1 − distinct/total, top fraction = max bigram
     // count / total (same double op order as the Spark side).
+    // replays Multimodal.syntheticAvi's closed-form pixels:
+    // w = 8+id%8, h = 8+(id/8)%8, n = 2+id%3,
+    // channels b=(x+id+f)%256, g=(y+2id)%256, r=(x+y+f)%256
+    "q86_video" ->
+      """SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           CAST(d.n AS BIGINT) AS n_frames,
+           CAST(SUM((x + d.doc_id + f) % 256 + (y + 2 * d.doc_id) % 256
+                    + (x + y + f) % 256) AS BIGINT) AS pixel_sum
+         FROM (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h,
+                      2 + doc_id % 3 AS n
+               FROM documents WHERE doc_id < 100) d
+         CROSS JOIN range(0, 15) tx(x)
+         CROSS JOIN range(0, 15) ty(y)
+         CROSS JOIN range(0, 4) tf(f)
+         WHERE x < d.w AND y < d.h AND f < d.n
+         GROUP BY d.doc_id, d.w, d.h, d.n ORDER BY d.doc_id""",
+
     // replays Multimodal.syntheticWav's closed-form samples:
     // s(i) = (i*31 + id*17) % 65536 - 32768 over n = 256 + id%256 frames
     "q85_audio" ->

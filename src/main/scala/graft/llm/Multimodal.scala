@@ -13,10 +13,11 @@ import org.apache.spark.sql.types._
   * true decoded dimensions/channels/pixel statistics (q36's oracle checks
   * them against a closed-form pixel generator). AUDIO decode is REAL too:
   * [[decodeAudio]] runs javax.sound.sampled (the JVM's RIFF/WAVE PCM codec)
-  * in the same shape (q85's oracle). Video decode remains STUBBED
-  * (`decodeStub` — the JVM ships no video codec): deterministic fake
-  * features with the identical batching shape, so swapping in a codec is a
-  * one-function change. The surrounding design is what matters at 100 TB:
+  * in the same shape (q85's oracle). VIDEO container decode is REAL for
+  * uncompressed AVI: [[decodeVideo]] walks the RIFF chunk tree and extracts
+  * standard DIB frames (q86's oracle) — only COMPRESSED video codecs remain
+  * stubbed (`decodeStub` — the JVM ships no H.264/VP9 decoder): identical
+  * batching shape, so swapping in a codec is a one-function change. The surrounding design is what matters at 100 TB:
   * media rows are large, so operators keep per-task batches bounded and
   * never widen the binary column through a shuffle (features are extracted
   * BEFORE any join/groupBy).
@@ -232,5 +233,145 @@ object Multimodal {
     val media = df.select(col(idCol).cast(LongType).as("doc_id"))
       .as[Long].map(id => MediaRow(id, syntheticWav(id)))
     decodeAudio(media).toDF()
+  }
+
+  // ---- real video container decode ----------------------------------------
+
+  case class VideoFeatures(doc_id: Long, width: Int, height: Int,
+                           n_frames: Long, pixel_sum: Long)
+
+  private def u32le(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+      ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  /** REAL video container decode: a RIFF/AVI parser (chunk walking, 'avih'
+    * main header, 'movi' frame list) with uncompressed DIB ('00db') frame
+    * payloads — bottom-up BGR rows, 4-byte row padding, the standard
+    * uncompressed-AVI layout. Frame extraction and pixel accounting are
+    * real; COMPRESSED codecs (H.264 etc.) remain out of scope — the JVM
+    * ships no video codec, and [[decodeStub]] documents that boundary. */
+  def decodeVideo(rows: Dataset[MediaRow], batchSize: Int = 16): Dataset[VideoFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val b = r.content
+          require(b.length >= 12 && fourcc(b, 0) == "RIFF" &&
+            fourcc(b, 8) == "AVI ", s"doc ${r.doc_id}: not a RIFF/AVI file")
+          var width = 0; var height = 0
+          var frames = 0L; var sum = 0L
+          def walk(start: Int, end: Int): Unit = {
+            var p = start
+            while (p + 8 <= end) {
+              val id = fourcc(b, p)
+              val size = u32le(b, p + 4).toInt
+              val body = p + 8
+              id match {
+                case "LIST" =>
+                  // list type occupies the first 4 body bytes
+                  walk(body + 4, body + size)
+                case "avih" =>
+                  width = u32le(b, body + 32).toInt
+                  height = u32le(b, body + 36).toInt
+                case "00db" => // uncompressed DIB frame
+                  frames += 1
+                  val rowBytes = ((width * 3 + 3) / 4) * 4
+                  var y = 0
+                  while (y < height) {
+                    var x = 0
+                    val ro = body + y * rowBytes
+                    while (x < width) {
+                      // BGR triplet — sum all three channels
+                      sum += (b(ro + x * 3) & 0xFF) +
+                        (b(ro + x * 3 + 1) & 0xFF) +
+                        (b(ro + x * 3 + 2) & 0xFF)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                case _ =>
+              }
+              p = body + size + (size & 1) // chunks are word-aligned
+            }
+          }
+          walk(12, b.length)
+          require(width > 0 && height > 0 && frames > 0,
+            s"doc ${r.doc_id}: no decodable frames")
+          VideoFeatures(r.doc_id, width, height, frames, sum)
+        }
+      }
+    }
+  }
+
+  /** Deterministic uncompressed AVI for id: w = 8 + id%8, h = 8 + (id/8)%8,
+    * n = 2 + id%3 frames; pixel(x, y, f) channels are
+    * b = (x+id+f)%256, g = (y+2id)%256, r = (x+y+f)%256 — every decoded
+    * feature is a closed-form function of id (q86's oracle) while the bytes
+    * round-trip a real RIFF/AVI container with standard DIB framing. */
+  def syntheticAvi(id: Long): Array[Byte] = {
+    val w = 8 + (id % 8).toInt
+    val h = 8 + ((id / 8) % 8).toInt
+    val nFrames = 2 + (id % 3).toInt
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val frameBytes = rowBytes * h
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit = {
+      bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+      bos.write(((v >> 16) & 0xFF).toInt); bos.write(((v >> 24) & 0xFF).toInt)
+    }
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    // sizes: avih=56, strh=56, strf=40
+    val strlSize = 4 + 8 + 56 + 8 + 40
+    val hdrlSize = 4 + 8 + 56 + 8 + strlSize
+    val moviSize = 4 + nFrames * (8 + frameBytes)
+    val riffSize = 4 + 8 + hdrlSize + 8 + moviSize
+    tag("RIFF"); le32(riffSize); tag("AVI ")
+    tag("LIST"); le32(hdrlSize); tag("hdrl")
+    tag("avih"); le32(56)
+    le32(40000); le32(w.toLong * h * 3 * 25); le32(0); le32(0x10) // has index flag-less
+    le32(nFrames); le32(0); le32(1); le32(frameBytes)
+    le32(w); le32(h); le32(0); le32(0); le32(0); le32(0)
+    tag("LIST"); le32(strlSize); tag("strl")
+    tag("strh"); le32(56)
+    tag("vids"); tag("DIB "); le32(0); le32(0); le32(0)
+    le32(1); le32(25); le32(0); le32(nFrames); le32(frameBytes)
+    le32(0xFFFFFFFFL); le32(0); le32(0); le32(0)
+    tag("strf"); le32(40)
+    le32(40); le32(w); le32(h); // BITMAPINFOHEADER
+    bos.write(1); bos.write(0); bos.write(24); bos.write(0) // planes=1, bpp=24
+    le32(0); le32(frameBytes); le32(0); le32(0); le32(0); le32(0)
+    tag("LIST"); le32(moviSize); tag("movi")
+    var f = 0
+    while (f < nFrames) {
+      tag("00db"); le32(frameBytes)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        var written = 0
+        while (x < w) {
+          bos.write(((x + id + f) % 256).toInt) // B
+          bos.write(((y + 2 * id) % 256).toInt) // G
+          bos.write(((x + y + f) % 256).toInt) // R
+          written += 3
+          x += 1
+        }
+        while (written < rowBytes) { bos.write(0); written += 1 }
+        y += 1
+      }
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Video feature pipeline over synthetic AVIs keyed by `idCol`: generate →
+    * container decode (real RIFF/DIB parsing) → features. */
+  def videoFeatures(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    val media = df.select(col(idCol).cast(LongType).as("doc_id"))
+      .as[Long].map(id => MediaRow(id, syntheticAvi(id)))
+    decodeVideo(media).toDF()
   }
 }

@@ -202,6 +202,33 @@ class LlmOpsSpec extends SparkSuite {
     assert(out(2L) == 1 && out(3L) == 0)
   }
 
+  test("real video container decode: AVI/DIB frames match closed form") {
+    def expected(id: Long): (Int, Int, Long, Long) = {
+      val w = 8 + (id % 8).toInt; val h = 8 + ((id / 8) % 8).toInt
+      val n = 2 + (id % 3).toInt
+      val sum = (for (f <- 0 until n; y <- 0 until h; x <- 0 until w) yield
+        (x + id + f) % 256 + (y + 2 * id) % 256 + (x + y + f) % 256).sum
+      (w, h, n.toLong, sum)
+    }
+    val ids = (0L until 30L).toDF("doc_id")
+    val out = Multimodal.videoFeatures(spark, ids.repartition(5), "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.length == 30)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h, n, s) = expected(id)
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Long]("n_frames") == n, s"frames mismatch for $id")
+      assert(r.getAs[Long]("pixel_sum") == s, s"pixel_sum mismatch for $id")
+    }
+    // non-AVI bytes fail loudly
+    import Multimodal.MediaRow
+    intercept[Exception] {
+      Multimodal.decodeVideo(
+        Seq(MediaRow(1L, "nope".getBytes)).toDS()).collect()
+    }
+  }
+
   test("zero-norm embeddings never rank in cosine top-k") {
     val rows = (0L to 4L).map(i => (i, Array.fill(8)(0.1f * (i + 1)))) :+
       (5L, Array.fill(8)(0.0f)) // zero vector must not poison rankings
