@@ -269,6 +269,11 @@ object Multimodal {
               val id = fourcc(b, p)
               val size = u32le(b, p + 4).toInt
               val body = p + 8
+              // fail loudly on malformed sizes (negative after .toInt, or
+              // past the buffer) — a corrupt size would otherwise spin the
+              // chunk walk forever or read out of bounds
+              require(size >= 0 && body + size <= b.length,
+                s"doc ${r.doc_id}: malformed chunk $id size $size at $p")
               id match {
                 case "LIST" =>
                   // list type occupies the first 4 body bytes
@@ -277,8 +282,16 @@ object Multimodal {
                   width = u32le(b, body + 32).toInt
                   height = u32le(b, body + 36).toInt
                 case "00db" => // uncompressed DIB frame
-                  frames += 1
+                  require(width > 0 && height > 0,
+                    s"doc ${r.doc_id}: frame chunk before avih dimensions")
                   val rowBytes = ((width * 3 + 3) / 4) * 4
+                  // the frame must actually fit its own chunk — a
+                  // truncated or dimension-mismatched payload must not
+                  // silently sum neighboring bytes
+                  require(rowBytes * height <= size,
+                    s"doc ${r.doc_id}: frame chunk $size B < " +
+                      s"${rowBytes * height} B for ${width}x$height")
+                  frames += 1
                   var y = 0
                   while (y < height) {
                     var x = 0

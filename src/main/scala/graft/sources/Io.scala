@@ -14,6 +14,12 @@ import org.apache.spark.sql.types._
   */
 object Io {
 
+  /** Exact-name column reference: backquoted with embedded backticks
+    * doubled, so dotted headers (ref double_parse_test fixture) don't parse
+    * as struct paths and backticked headers don't break the quoting. */
+  private def qcol(n: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col("`" + n.replace("`", "``") + "`")
+
   case class ReadOptions(
       headerRow: Boolean = true,
       separator: String = ",",
@@ -42,7 +48,7 @@ object Io {
       if (opts.skipRows == 0) r.csv(path)
       else r.csv(skippedLines(spark, path, opts.skipRows))
     if (opts.columnAllowlist.nonEmpty)
-      df = df.select(opts.columnAllowlist.map(df.col): _*)
+      df = df.select(opts.columnAllowlist.map(qcol): _*)
     if (opts.columnBlocklist.nonEmpty)
       df = df.drop(opts.columnBlocklist: _*)
     opts.numRows.foreach(n => df = df.limit(n))
@@ -119,11 +125,11 @@ object Io {
     val df = r.csv(lines)
     // drop phantom trailing columns (quote over-count): all-null suffix
     val nonNullCounts = df.agg(count(lit(1)).as("__n"),
-      names.map(n => count(col(s"`$n`")).as(n)): _*).collect()(0)
+      names.map(n => count(qcol(n)).as(n)): _*).collect()(0)
     val lastReal = names.lastIndexWhere(n =>
       nonNullCounts.getAs[Long](n) > 0)
     df.select(names.take(math.max(lastReal + 1, 1))
-      .map(n => col(s"`$n`")): _*)
+      .map(qcol): _*)
   }
 
   def readTsv(spark: SparkSession, path: String,
@@ -204,7 +210,7 @@ object Io {
       df = df.toDF(names.toIndexedSeq: _*)
     }
     if (opts.columnAllowlist.nonEmpty)
-      df = df.select(opts.columnAllowlist.map(df.col): _*)
+      df = df.select(opts.columnAllowlist.map(qcol): _*)
     if (opts.columnBlocklist.nonEmpty)
       df = df.drop(opts.columnBlocklist: _*)
     opts.numRows.foreach(n => df = df.limit(n))
@@ -228,8 +234,7 @@ object Io {
     val cols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     if (cols.isEmpty) return df
     val aggs = cols.flatMap { c0 =>
-      val c = col(s"`$c0`") // backquote: dotted names (ref double_parse_test
-                            // fixture) must not parse as struct paths
+      val c = qcol(c0) // exact-name: dots must not parse as struct paths
       val longV = c.try_cast("long"); val dblV = c.try_cast("double")
       Seq(
         count(c).as(s"${c0}__n"),
@@ -260,8 +265,8 @@ object Io {
       target match {
         case Some(BooleanType) =>
           // relaxed boolean coercion (t/y/yes/true → true)
-          d.withColumn(c0, lower(col(s"`$c0`")).isin("true", "t", "y", "yes"))
-        case Some(t) => d.withColumn(c0, col(s"`$c0`").cast(t))
+          d.withColumn(c0, lower(qcol(c0)).isin("true", "t", "y", "yes"))
+        case Some(t) => d.withColumn(c0, qcol(c0).cast(t))
         case None => d
       }
     }
@@ -278,7 +283,7 @@ object Io {
     opts.comment.foreach(c => r = r.option("comment", c.toString))
     var df = r.csv(path)
     if (opts.columnAllowlist.nonEmpty)
-      df = df.select(opts.columnAllowlist.map(df.col): _*)
+      df = df.select(opts.columnAllowlist.map(qcol): _*)
     if (opts.columnBlocklist.nonEmpty) df = df.drop(opts.columnBlocklist: _*)
     opts.numRows.foreach(n => df = df.limit(n))
     inferPromotional(df)
