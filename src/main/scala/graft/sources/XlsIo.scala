@@ -402,8 +402,9 @@ object XlsIo {
               (data(body + 6) & 0xFF) match {
                 case 0 => lastFormulaCell = Some((row, col)) // STRING follows
                 case 1 => add(row, col, (data(body + 8) & 0xFF) == 1)
-                case 3 => add(row, col, "")
-                case _ => // error → missing
+                // 3 = cached blank result: POI (and the reference through
+                // it) treat it as missing, not as an empty string
+                case _ => // blank or error → missing
               }
             } else add(row, col, numberValue(xf, f64(data, body + 6)))
           case 0x0207 => // STRING (formula string result)

@@ -280,8 +280,11 @@ object XlsxIo {
       if (days0 >= 61) LocalDate.of(1899, 12, 30).plusDays(days0)
       else LocalDate.of(1899, 12, 31).plusDays(days0)
     val frac = serial - days0
-    val millis = math.round(frac * 86400000.0)
-    date.atStartOfDay().plusNanos(millis * 1000000L)
+    // micros, not millis: Spark timestamps carry microsecond precision and
+    // the writer emits full-precision serials — rounding to millis here
+    // would silently lose sub-millisecond digits on a write→read round-trip
+    val micros = math.round(frac * 86400e6)
+    date.atStartOfDay().plusNanos(micros * 1000L)
   }
 
   private[sources] def dateTimeToSerial(dt: LocalDateTime): Double = {
@@ -730,6 +733,15 @@ object XlsxIo {
                 w.write(s"""<c r="$ref" s="2"><v>$serial</v></c>""")
               case (n: java.lang.Number, _) =>
                 w.write(s"""<c r="$ref"><v>$n</v></c>""")
+              case (nested @ (_: scala.collection.Seq[_] |
+                              _: scala.collection.Map[_, _] |
+                              _: org.apache.spark.sql.Row | _: Array[_]), _) =>
+                // toString here would silently write "WrappedArray(…)" text;
+                // xlsx cells are atomic — nested data belongs in parquet
+                throw new IllegalArgumentException(
+                  s"xlsx cells cannot hold nested values (column ${fields(i).name}, " +
+                  s"value class ${nested.getClass.getSimpleName}); " +
+                  "write parquet for array/map/struct columns")
               case (other, _) =>
                 w.write(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(other.toString)}</t></is></c>""")
             }

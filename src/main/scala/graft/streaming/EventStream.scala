@@ -120,7 +120,12 @@ object EventStream {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    attributionJoin(raw, horizonMinutes, watermark = Some("1 hour"))
+    // the watermark must cover the attribution horizon: a click has to stay
+    // buffered for the FULL horizon of late purchases, or pairs silently
+    // vanish once horizonMinutes > the lateness bound
+    val lateness = math.max(horizonMinutes, 60L)
+    attributionJoin(raw, horizonMinutes,
+      watermark = Some(s"$lateness minutes"))
   }
 
   /** The batch analog of [[clickPurchaseJoin]] — same plan minus the state

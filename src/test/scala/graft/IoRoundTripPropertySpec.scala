@@ -50,8 +50,14 @@ class IoRoundTripPropertySpec extends SparkSuite {
         maybe(rnd.nextBoolean()),
         maybe(java.sql.Date.valueOf(java.time.LocalDate.of(
           1950 + rnd.nextInt(150), 1 + rnd.nextInt(12), 1 + rnd.nextInt(28)))),
-        maybe(java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(
-          math.abs(rnd.nextLong() % 4102444800000L)))))
+        maybe {
+          // micro-precision (Spark's native resolution), bounded before
+          // 2070: xlsx serials are doubles, whose ulp at serial≈2^16 days
+          // is ~0.3 µs — micros round-trip exactly through ~2079
+          val us = math.abs(rnd.nextLong() % 3155760000000000L)
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+            us / 1000000L, (us % 1000000L) * 1000L))
+        })
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2), schema)

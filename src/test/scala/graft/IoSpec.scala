@@ -138,6 +138,22 @@ class IoSpec extends SparkSuite {
     assert(r4.getString(11) == "97") // longest row fully present
   }
 
+  test("ragged csv: quoted separators do not widen; all-empty trailing column survives") {
+    val tmp = Files.createTempDirectory("graft_ragged_q").toString
+    // row 1: a quoted cell full of commas (must NOT widen the schema);
+    // every row carries a trailing empty field — a REAL all-empty column
+    // that the old all-null-suffix drop would have eaten
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/q.csv"),
+      "1,\"a,b,c\",\n2,plain,\n".getBytes("UTF-8"))
+    val df = Io.readCsvRagged(spark, s"$tmp/q.csv",
+      Io.ReadOptions(headerRow = false))
+    assert(df.columns.length == 3,
+      s"expected 3 columns (quoted commas must not count), got ${df.columns.toSeq}")
+    val r1 = df.filter(col("column-0") === "1").collect()(0)
+    assert(r1.getString(1) == "a,b,c")
+    assert(r1.isNullAt(2), "trailing empty field reads as missing")
+  }
+
   test("ragged csv with header row keeps the real header names") {
     val tmp = Files.createTempDirectory("graft_ragged").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/r.csv"),

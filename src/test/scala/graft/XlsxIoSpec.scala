@@ -157,6 +157,18 @@ class XlsxIoSpec extends SparkSuite {
     assert(row3.isNullAt(row3.fieldIndex("d")))
   }
 
+  test("write refuses nested (array/struct) cell values loudly") {
+    val tmp = Files.createTempDirectory("graft_xlsx_nested").toString
+    val df = spark.range(2).selectExpr("id", "array(1.5, -2.5) as emb")
+    val e = intercept[Exception] { XlsxIo.write(df, s"$tmp/bad.xlsx") }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("nested")),
+      s"expected IllegalArgumentException(nested), got $e")
+  }
+
   test("readAllSheets returns one dataset per sheet") {
     val sheets = XlsxIo.readAllSheets(spark, s"$data/stocks.xlsx")
     assert(sheets.nonEmpty)
