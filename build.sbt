@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forked `run` output goes straight to this process's stdout instead of
+// through sbt's logger — keeps Bench's final JSON line free of the
+// "[info] " prefix that defeated the driver's line-oriented extraction.
+run / outputStrategy := Some(StdoutOutput)

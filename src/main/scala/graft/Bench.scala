@@ -58,10 +58,28 @@ object Bench {
     // (~12 bytes/entry -> ~1.1 KB at 90 queries).
     results.foreach { case (k, v) => println(s"# bench $k ${fmt(v)}") }
     def shortKey(name: String): String = name.takeWhile(_ != '_')
+    // a qNN prefix collision would emit duplicate JSON keys and silently
+    // misattribute timings at parse time — fail loudly instead
+    require(results.map(r => shortKey(r._1)).distinct.size == results.size,
+      "duplicate bench short keys: " +
+        results.map(r => shortKey(r._1)).groupBy(identity)
+          .collect { case (k, v) if v.size > 1 => k }.mkString(","))
     val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces for the driver's tail-capture: the JSON goes to a
+    // known FILE (cwd = repo root under sbt's forked run) as well as being
+    // the last stdout line; build.sbt sets run/outputStrategy=StdoutOutput
+    // so the forked JVM's stdout is NOT re-logged behind sbt's "[info] "
+    // prefix, which defeated line-oriented JSON extraction in r5–r8.
+    try {
+      val w = new java.io.PrintWriter("BENCH_LOCAL.json", "UTF-8")
+      try w.println(json) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
+    println(json)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -67,17 +67,30 @@ object Io {
   }
 
   /** Quote-aware CSV field count: separators inside a double-quoted field
-    * do not delimit, and `""` inside quotes is an escaped quote (toggles
-    * twice, staying in-quote). Gives the TRUE width of a line, so a
-    * genuinely present trailing column whose cells are all empty survives
-    * as all-missing instead of being mistaken for a phantom. */
-  private[sources] def fieldCount(line: String, sep: String): Int = {
-    var i = 0; var n = 1; var inQ = false
+    * do not delimit, and `""` inside quotes is an escaped quote (exit +
+    * literal re-entry char, net in-field). A quote only OPENS a quoted
+    * field at field start (position 0 or immediately after a separator) —
+    * univocity's semantics, which Spark's reader uses — so a stray
+    * mid-field `"` (`5" nail,a,b`) is a literal character, not a quote
+    * toggle that would swallow real separators and under-count the width.
+    * Gives the TRUE width of a line, so a genuinely present trailing
+    * column whose cells are all empty survives as all-missing instead of
+    * being mistaken for a phantom. */
+  private[graft] def fieldCount(line: String, sep: String): Int = {
+    var i = 0; var n = 1; var inQ = false; var atFieldStart = true
     val sl = sep.length
     while (i < line.length) {
-      if (line.charAt(i) == '"') { inQ = !inQ; i += 1 }
-      else if (!inQ && line.startsWith(sep, i)) { n += 1; i += sl }
-      else i += 1
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          // `""` is an escaped quote — consume both, stay in-field
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') i += 2
+          else { inQ = false; i += 1 }
+        } else i += 1
+      }
+      else if (c == '"' && atFieldStart) { inQ = true; atFieldStart = false; i += 1 }
+      else if (line.startsWith(sep, i)) { n += 1; i += sl; atFieldStart = true }
+      else { atFieldStart = false; i += 1 }
     }
     n
   }

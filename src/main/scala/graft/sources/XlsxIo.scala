@@ -733,6 +733,13 @@ object XlsxIo {
                 w.write(s"""<c r="$ref" s="2"><v>$serial</v></c>""")
               case (n: java.lang.Number, _) =>
                 w.write(s"""<c r="$ref"><v>$n</v></c>""")
+              case (_: Array[Byte], _) =>
+                // binary columns are not "nested" — they just have no
+                // faithful xlsx cell representation (toString would emit
+                // "[B@..." garbage); name the real problem
+                throw new IllegalArgumentException(
+                  s"xlsx cells cannot hold binary values (column ${fields(i).name}); " +
+                  "base64-encode the column first or write parquet for binary columns")
               case (nested @ (_: scala.collection.Seq[_] |
                               _: scala.collection.Map[_, _] |
                               _: org.apache.spark.sql.Row | _: Array[_]), _) =>

@@ -154,6 +154,25 @@ class IoSpec extends SparkSuite {
     assert(r1.isNullAt(2), "trailing empty field reads as missing")
   }
 
+  test("ragged csv: stray mid-field quote is literal, not a quote toggle") {
+    val tmp = Files.createTempDirectory("graft_ragged_sq").toString
+    // univocity (Spark's parser) only honors a quote at FIELD START; a
+    // mid-field quote on the widest line must not swallow the separators
+    // after it, or the schema narrows and real trailing fields vanish
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/sq.csv"),
+      "5\" nail,a,b\nx,y\n".getBytes("UTF-8"))
+    val df = Io.readCsvRagged(spark, s"$tmp/sq.csv",
+      Io.ReadOptions(headerRow = false))
+    assert(df.columns.length == 3,
+      s"expected 3 columns (mid-field quote is literal), got ${df.columns.toSeq}")
+    val r1 = df.filter(col("column-0") === "5\" nail").collect()
+    assert(r1.length == 1 && r1(0).getString(2) == "b")
+    // field-START quotes still suppress separators (regression guard)
+    assert(Io.fieldCount("\"a,b\",c", ",") == 2)
+    assert(Io.fieldCount("\"a\"\"b,\",c", ",") == 2) // escaped quote stays in-field
+    assert(Io.fieldCount("\"a\"\",b\"", ",") == 1)   // "" then separator: still quoted
+  }
+
   test("ragged csv with header row keeps the real header names") {
     val tmp = Files.createTempDirectory("graft_ragged").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/r.csv"),
