@@ -238,6 +238,23 @@ object LlmQueries {
         .filter(length(col("token")) > 0)
       graft.ops.Reductions.heavyHittersExact(toks, "token", phi = 0.002)
         .orderBy(col("cnt").desc, col("token"))
+    },
+
+    // multimodal REAL-FILE ingestion: deterministic fixture files (PNG +
+    // WAV + AVI per id) are written to a scratch directory, then the
+    // PRODUCTION entry point — a distributed `binaryFile` scan, glob-
+    // filtered per media kind — feeds the real decoders; the oracle
+    // replays the closed-form generators. This exercises the path q36/q85/
+    // q86 only simulate: actual files on disk through spark.read.
+    "q87_media_files" -> { (s, dir) =>
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 64)
+        .select(col("doc_id").cast(LongType)).as[Long].collect().toSeq
+      val tmp = java.nio.file.Files.createTempDirectory("graft_media_files")
+      tmp.toFile.deleteOnExit()
+      Multimodal.writeMediaFixtures(tmp, ids)
+      Multimodal.mediaFileFeatures(s, tmp.toString)
+        .orderBy(col("kind"), col("doc_id"))
     }
   )
 
@@ -742,6 +759,48 @@ object LlmQueries {
                ORDER BY qcos DESC NULLS LAST, corpus_id ASC) AS rank
            FROM scored)
          SELECT query_id, corpus_id, qcos, CAST(rank AS INT) AS rank
-         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // replays all three closed-form fixture generators behind the
+    // binaryFile scan: syntheticPng (w=16+id%16, h=16+(id//16)%16, rgb
+    // formula), syntheticWav (n=256+id%256, s(i)=(i*31+id*17)%65536-32768),
+    // syntheticAvi (w=8+id%8, h=8+(id//8)%8, n=2+id%3, bgr formula) —
+    // uniform (kind, doc_id, d1, d2, n, checksum) shape.
+    "q87_media_files" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+         img AS (
+           SELECT 'image' AS kind, d.doc_id,
+             CAST(d.w AS BIGINT) AS d1, CAST(d.h AS BIGINT) AS d2,
+             CAST(3 AS BIGINT) AS n,
+             CAST(SUM((x + d.doc_id) % 256 + (y + 2 * d.doc_id) % 256
+                      + (x + y) % 256) AS BIGINT) AS checksum
+           FROM (SELECT doc_id, 16 + doc_id % 16 AS w,
+                        16 + (doc_id // 16) % 16 AS h FROM ids) d
+           CROSS JOIN range(0, 32) tx(x) CROSS JOIN range(0, 32) ty(y)
+           WHERE x < d.w AND y < d.h
+           GROUP BY d.doc_id, d.w, d.h),
+         aud AS (
+           SELECT 'audio' AS kind, d.doc_id,
+             CAST(8000 AS BIGINT) AS d1, CAST(1 AS BIGINT) AS d2,
+             CAST(d.n AS BIGINT) AS n,
+             CAST(SUM((i * 31 + d.doc_id * 17) % 65536 - 32768) AS BIGINT) AS checksum
+           FROM (SELECT doc_id, 256 + doc_id % 256 AS n FROM ids) d
+           CROSS JOIN range(0, 512) t(i)
+           WHERE i < d.n
+           GROUP BY d.doc_id, d.n),
+         vid AS (
+           SELECT 'video' AS kind, d.doc_id,
+             CAST(d.w AS BIGINT) AS d1, CAST(d.h AS BIGINT) AS d2,
+             CAST(d.n AS BIGINT) AS n,
+             CAST(SUM((x + d.doc_id + f) % 256 + (y + 2 * d.doc_id) % 256
+                      + (x + y + f) % 256) AS BIGINT) AS checksum
+           FROM (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h,
+                        2 + doc_id % 3 AS n FROM ids) d
+           CROSS JOIN range(0, 15) tx(x) CROSS JOIN range(0, 15) ty(y)
+           CROSS JOIN range(0, 4) tf(f)
+           WHERE x < d.w AND y < d.h AND f < d.n
+           GROUP BY d.doc_id, d.w, d.h, d.n)
+         SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid
+         ORDER BY kind, doc_id"""
   )
 }

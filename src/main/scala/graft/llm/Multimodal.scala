@@ -387,4 +387,66 @@ object Multimodal {
       .as[Long].map(id => MediaRow(id, syntheticAvi(id)))
     decodeVideo(media).toDF()
   }
+
+  // ---- real-FILE ingestion (binaryFile scan) -------------------------------
+
+  /** Write deterministic media fixture files (one PNG + WAV + AVI per id)
+    * under `dir` — the same byte streams the synthetic pipelines use, but on
+    * disk, so the production `binaryFile` entry point can be exercised
+    * end-to-end against real files. */
+  def writeMediaFixtures(dir: java.nio.file.Path, ids: Seq[Long]): Unit =
+    ids.foreach { id =>
+      java.nio.file.Files.write(dir.resolve(f"img_$id%05d.png"), syntheticPng(id))
+      java.nio.file.Files.write(dir.resolve(f"aud_$id%05d.wav"), syntheticWav(id))
+      java.nio.file.Files.write(dir.resolve(f"vid_$id%05d.avi"), syntheticAvi(id))
+    }
+
+  /** PRODUCTION media ingestion: a distributed `binaryFile` scan over a
+    * directory (glob-filtered), keyed by the numeric id embedded in each
+    * file name. This is the real 100 TB entry point — Spark's binaryFile
+    * source splits the FILE LIST (not file contents) across executors, each
+    * task reads its files locally, and the bytes flow straight into the
+    * bounded-batch decoders without ever crossing a shuffle. Files whose
+    * names carry no numeric id fail loudly (null doc_id) rather than
+    * silently decoding under id 0. */
+  def readMediaFiles(spark: SparkSession, dir: String, glob: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "_(\\d+)\\.[a-z0-9]+$", 1).as("id_str"),
+        col("content"), col("path"))
+      .as[(String, Array[Byte], String)]
+      .map { case (idStr, content, path) =>
+        require(idStr.nonEmpty, s"media file name carries no numeric id: $path")
+        MediaRow(idStr.toLong, content)
+      }
+  }
+
+  /** End-to-end FILE-based multimodal features: scan a directory of mixed
+    * media with three glob-filtered `binaryFile` reads, run the matching
+    * real decoder on each, and union the features into one uniform table
+    * `(kind, doc_id, d1, d2, n, checksum)`:
+    * image → (width, height, channels, pixel_sum);
+    * audio → (sample_rate, channels, n_frames, sample_sum);
+    * video → (width, height, n_frames, pixel_sum). */
+  def mediaFileFeatures(spark: SparkSession, dir: String): DataFrame = {
+    def uniform(kind: String, df: DataFrame, d1: String, d2: String,
+                n: String, checksum: String): DataFrame =
+      df.select(lit(kind).as("kind"), col("doc_id"),
+        col(d1).cast(LongType).as("d1"), col(d2).cast(LongType).as("d2"),
+        col(n).cast(LongType).as("n"),
+        col(checksum).cast(LongType).as("checksum"))
+    val img = uniform("image",
+      decodeImages(readMediaFiles(spark, dir, "*.png")).toDF(),
+      "width", "height", "channels", "pixel_sum")
+    val aud = uniform("audio",
+      decodeAudio(readMediaFiles(spark, dir, "*.wav")).toDF(),
+      "sample_rate", "channels", "n_frames", "sample_sum")
+    val vid = uniform("video",
+      decodeVideo(readMediaFiles(spark, dir, "*.avi")).toDF(),
+      "width", "height", "n_frames", "pixel_sum")
+    img.unionAll(aud).unionAll(vid)
+  }
 }

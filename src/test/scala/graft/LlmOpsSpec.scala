@@ -188,6 +188,39 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("binaryFile ingestion: real files on disk through the production scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mediafiles_spec")
+    val ids = (0L until 24L)
+    Multimodal.writeMediaFixtures(tmp, ids)
+    // 3 files per id actually hit the disk
+    assert(tmp.toFile.listFiles().length == 24 * 3)
+    // the distributed binaryFile scan recovers ids and byte-identical content
+    val pngRows = Multimodal.readMediaFiles(spark, tmp.toString, "*.png")
+      .collect().sortBy(_.doc_id)
+    assert(pngRows.map(_.doc_id).toSeq == ids.toSeq)
+    assert(pngRows(7).content.toSeq == Multimodal.syntheticPng(7L).toSeq)
+    // end-to-end: scan → decode matches the synthetic (in-memory) pipeline
+    val fromFiles = Multimodal.mediaFileFeatures(spark, tmp.toString)
+      .orderBy("kind", "doc_id").collect()
+    assert(fromFiles.length == 24 * 3)
+    val imgDirect = Multimodal.imageFeatures(spark, ids.toDF("doc_id"), "doc_id")
+      .orderBy("doc_id").collect()
+    val imgFromFiles = fromFiles.filter(_.getString(0) == "image")
+    imgDirect.zip(imgFromFiles).foreach { case (d, f) =>
+      assert(f.getLong(1) == d.getAs[Long]("doc_id"))
+      assert(f.getLong(2) == d.getAs[Int]("width").toLong)
+      assert(f.getLong(3) == d.getAs[Int]("height").toLong)
+      assert(f.getLong(5) == d.getAs[Long]("pixel_sum"))
+    }
+    // a file name with no numeric id fails loudly, not as doc 0
+    val bad = java.nio.file.Files.createTempDirectory("graft_mediafiles_bad")
+    java.nio.file.Files.write(bad.resolve("noid.png"),
+      Multimodal.syntheticPng(1L))
+    intercept[Exception] {
+      Multimodal.readMediaFiles(spark, bad.toString, "*.png").collect()
+    }
+  }
+
   test("NaN embeddings assign to centroid 0, not a -1 sentinel") {
     val cents = Seq(0 -> Array(0.0, 0.0), 1 -> Array(10.0, 10.0))
     val df = Seq(
