@@ -575,6 +575,60 @@ object ExtQueries {
           col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
         .selectColumns("l_orderkey", "l_linenumber", "margin")
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("margin"))
+    },
+
+    // fill-range-replace (reference math.clj:160-232) under the oracle
+    // gate: densify each priority group's key axis so consecutive gaps are
+    // ≤ 2; inserted rows carry their group key and null payload. The
+    // inserted axis values are pure IEEE arithmetic the oracle replays in
+    // the same operation order.
+    "q88_fill_range" -> { (s, dir) =>
+      val base = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").cast(DoubleType).as("axis"),
+          col("o_orderpriority").as("grp"), col("o_totalprice"))
+      Missing.fillRange(base, "axis", 2.0, partitionBy = Seq("grp"))
+    },
+
+    // PII redaction (training-corpus hygiene): deterministic PII spans are
+    // planted from doc_id, then redacted; the oracle replays the same
+    // RE2-compatible patterns (the operator pins them to the common
+    // Java/RE2 dialect precisely so engines agree).
+    "q89_redact_pii" -> { (s, dir) =>
+      val raw = concat_ws(" ", col("text"),
+        concat(lit("mail"), col("doc_id"), lit("@ex"),
+          col("doc_id") % 10, lit(".com")),
+        concat(lit("srv 10.0."), col("doc_id") % 256, lit(".7")),
+        concat(lit("call +1 (555) 010-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          graft.llm.TextStats.redactPii(raw).as("redacted"),
+          graft.llm.TextStats.piiCount(raw).cast(LongType).as("n_pii"))
+        .orderBy(col("doc_id"))
+    },
+
+    // extend-with-empty (reference base.clj:1091-1096): append n all-null
+    // rows. All-null rows are mutually identical, so NULLS LAST yields a
+    // deterministic row stream.
+    "q90_extend_empty" -> { (s, dir) =>
+      Reshape.extendWithEmpty(t(s, dir, "nation"), 5)
+        .orderBy(col("n_nationkey").asc_nulls_last)
+    },
+
+    // column-labeled-mapseq (reference dataset_api.clj:1183-1201): melt to
+    // driver-side labeled maps (the reference's plotting path), then round
+    // the maps back into a DataFrame so the oracle can check the collected
+    // values — proving the driver-side materialization, not just the melt.
+    "q91_labeled_mapseq" -> { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("n_chars"),
+          length(col("text")).cast(LongType).as("n_len"))
+      val maps = Reshape.columnLabeledMapseq(src, Seq("n_chars", "n_len"))
+      maps.map(m => (m("doc_id").asInstanceOf[Long],
+          m("label").asInstanceOf[String], m("value").asInstanceOf[Long]))
+        .toDF("doc_id", "label", "value")
+        .orderBy(col("doc_id"), col("label"))
     }
   )
 
@@ -1324,6 +1378,79 @@ object ExtQueries {
          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
          CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
          CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    // mirrors Missing.fillRange: lead over (grp, axis), steps =
+    // ceil(gap/2), inserted = axis + (nxt-axis)*k/steps in the same IEEE
+    // operation order (ceil is integral-valued, so the INT cast is exact).
+    "q88_fill_range" ->
+      """WITH base AS (
+           SELECT CAST(o_orderkey AS DOUBLE) AS axis,
+                  o_orderpriority AS grp, o_totalprice
+           FROM orders WHERE o_orderkey < 2000),
+         g AS (SELECT axis, grp,
+                 lead(axis) OVER (PARTITION BY grp ORDER BY axis) AS nxt
+               FROM base),
+         st AS (SELECT axis, grp, nxt,
+                 CAST(ceil((nxt - axis) / 2.0) AS INT) AS steps
+               FROM g WHERE nxt IS NOT NULL AND nxt - axis > 2.0),
+         ins AS (SELECT axis + (nxt - axis) * k / CAST(steps AS DOUBLE) AS axis,
+                        grp, CAST(NULL AS DOUBLE) AS o_totalprice
+                 FROM st CROSS JOIN range(1, 4096) t(k)
+                 WHERE k <= steps - 1)
+         SELECT axis, grp, o_totalprice FROM base
+         UNION ALL SELECT axis, grp, o_totalprice FROM ins
+         ORDER BY grp, axis""",
+
+    // mirrors TextStats.redactPii/piiCount: same RE2 patterns, same
+    // email → IPv4 → phone order, global replace.
+    "q89_redact_pii" ->
+      """WITH d AS (
+           SELECT doc_id,
+             concat_ws(' ', text,
+               concat('mail', doc_id, '@ex', doc_id % 10, '.com'),
+               concat('srv 10.0.', doc_id % 256, '.7'),
+               concat('call +1 (555) 010-',
+                      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))) AS raw
+           FROM documents WHERE doc_id < 200),
+         p AS (
+           SELECT doc_id, raw,
+             regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s1
+           FROM d),
+         p2 AS (
+           SELECT doc_id, raw, s1,
+             regexp_replace(s1,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS s2
+           FROM p)
+         SELECT doc_id,
+           regexp_replace(s2, '\+?\d[\d\-() ]{6,}\d', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(raw,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(s1,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+              + len(regexp_extract_all(s2,
+                  '\+?\d[\d\-() ]{6,}\d')) AS BIGINT) AS n_pii
+         FROM p2 ORDER BY doc_id""",
+
+    // mirrors Reshape.extendWithEmpty over nation: 5 all-null rows
+    // appended; all-null rows are identical so the sort is total.
+    "q90_extend_empty" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+         UNION ALL
+         SELECT CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(NULL AS INT)
+         FROM range(5)
+         ORDER BY n_nationkey NULLS LAST""",
+
+    // mirrors Reshape.columnLabeledMapseq: melt (n_chars, n_len) into
+    // labeled rows; the Spark side round-trips through driver maps.
+    "q91_labeled_mapseq" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+                    CAST(length(text) AS BIGINT) AS n_len
+                    FROM documents WHERE doc_id < 100)
+         SELECT doc_id, 'n_chars' AS label, n_chars AS value FROM d
+         UNION ALL
+         SELECT doc_id, 'n_len' AS label, n_len AS value FROM d
+         ORDER BY doc_id, label"""
   )
 }
