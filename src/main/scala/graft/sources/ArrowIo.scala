@@ -48,8 +48,9 @@ import org.apache.spark.sql.types._
   * signed type; uint64 → decimal(20,0)), time32/time64 (normalized to
   * micros-since-midnight longs — Spark has no TIME type), the null type,
   * and fixed-size binary. Framing is sniffed from content ("ARROW1" magic
-  * = random-access file), not extension. Remaining cuts: list-of-struct
-  * elements and MapType (parquet is the interchange for those).
+  * = random-access file), not extension. Nested coverage: struct, list,
+  * list-of-struct, nested lists, and MapType (standard map framing:
+  * list<struct<key,value>>) all round-trip.
   *
   * Real-world interchange files (reference arrow.clj reads both):
   *  - COMPRESSED record batches (lz4-frame / zstd) decompress transparently
@@ -86,9 +87,11 @@ object ArrowIo {
   def toArrowField(f: StructField): Field =
     toArrowFieldRec(f.name, f.dataType, f.nullable)
 
-  /** Recursive field mapping: atomics, List, and Struct (struct children may
-    * themselves be structs or lists — arrow.clj reads nested columns; the
-    * one remaining cut is list-of-struct, documented in the header). */
+  /** Recursive field mapping: atomics, List, Struct, and Map, nested
+    * arbitrarily (list-of-struct, map values of any type — arrow.clj reads
+    * nested columns generally). Map is encoded the standard Arrow way:
+    * list<struct<key, value>> under an ArrowType.Map, entries/key
+    * non-nullable ("entries" naming matches pyarrow for interop). */
   private def toArrowFieldRec(name: String, dt: DataType,
                               nullable: Boolean): Field = dt match {
     case ArrayType(elem, containsNull) =>
@@ -98,6 +101,13 @@ object ArrowIo {
       new Field(name, new FieldType(nullable, ArrowType.Struct.INSTANCE, null),
         fields.map(sf => toArrowFieldRec(sf.name, sf.dataType, sf.nullable))
           .toSeq.asJava)
+    case MapType(kt, vt, valueContainsNull) =>
+      val entries = new Field("entries",
+        new FieldType(false, ArrowType.Struct.INSTANCE, null),
+        Seq(toArrowFieldRec("key", kt, nullable = false),
+          toArrowFieldRec("value", vt, valueContainsNull)).asJava)
+      new Field(name, new FieldType(nullable, new ArrowType.Map(false), null),
+        Seq(entries).asJava)
     case other =>
       new Field(name, new FieldType(nullable, toArrowType(other), null), Nil.asJava)
   }
@@ -142,6 +152,9 @@ object ArrowIo {
   }
 
   private def fromArrowField(f: Field): DataType = f.getType match {
+    case _: ArrowType.Map =>
+      val kv = f.getChildren.get(0).getChildren.asScala
+      MapType(fromArrowField(kv(0)), fromArrowField(kv(1)), kv(1).isNullable)
     case _: ArrowType.List =>
       val child = f.getChildren.get(0)
       ArrayType(fromArrowField(child), child.isNullable)
@@ -189,24 +202,28 @@ object ArrowIo {
           setVector(children(j), i, x.get(j))
           j += 1
         }
-      case (b: ListVector, xs: scala.collection.Seq[_]) =>
-        val w = b.getWriter
-        w.setPosition(i)
-        w.startList()
-        xs.foreach {
-          case null => w.writeNull()
-          case x: Boolean => w.writeBit(if (x) 1 else 0)
-          case x: Byte => w.writeTinyInt(x)
-          case x: Short => w.writeSmallInt(x)
-          case x: Int => w.writeInt(x)
-          case x: Long => w.writeBigInt(x)
-          case x: Float => w.writeFloat4(x)
-          case x: Double => w.writeFloat8(x)
-          case x: String => w.writeVarChar(new org.apache.arrow.vector.util.Text(x))
-          case other =>
-            throw new IllegalArgumentException(s"arrow: unsupported list element $other")
+      case (b: org.apache.arrow.vector.complex.MapVector, m: scala.collection.Map[_, _]) =>
+        // standard Arrow map framing: list of non-null (key, value) structs
+        val start = b.startNewValue(i)
+        val entries = b.getDataVector.asInstanceOf[FieldVector]
+        var j = 0
+        m.foreach { case (k, mv) =>
+          setVector(entries, start + j, Row(k, mv))
+          j += 1
         }
-        w.endList()
+        b.endValue(i, j)
+      case (b: ListVector, xs: scala.collection.Seq[_]) =>
+        // direct offset management + recursion: elements may themselves be
+        // structs, lists, or maps (list-of-struct etc.), not just scalars
+        val start = b.startNewValue(i)
+        val elem = b.getDataVector.asInstanceOf[FieldVector]
+        var j = 0
+        val it = xs.iterator
+        while (it.hasNext) {
+          setVector(elem, start + j, it.next())
+          j += 1
+        }
+        b.endValue(i, j)
       case (vv, x) =>
         throw new IllegalArgumentException(
           s"arrow: cannot write ${x.getClass.getName} into ${vv.getClass.getSimpleName}")
@@ -228,9 +245,8 @@ object ArrowIo {
     case b: TimeStampMicroVector => b.setNull(i)
     case b: DecimalVector => b.setNull(i)
     case b: ListVector =>
-      // keep offsets monotone: encode null list as empty + validity 0
-      val w = b.getWriter
-      w.setPosition(i); w.startList(); w.endList()
+      // Arrow 18's ListVector.setNull (MapVector included) fills skipped
+      // offsets itself, keeping the offset buffer monotone
       b.setNull(i)
     case b: org.apache.arrow.vector.complex.StructVector => b.setNull(i)
     case other => throw new IllegalArgumentException(s"arrow: setNull on $other")
@@ -292,6 +308,12 @@ object ArrowIo {
       case b: TimeNanoVector => b.get(i) / 1000L
       case b: FixedSizeBinaryVector => b.get(i)
       case _: NullVector => null
+      case b: org.apache.arrow.vector.complex.MapVector =>
+        val kv = b.getDataVector.asInstanceOf[org.apache.arrow.vector.complex.StructVector]
+          .getChildrenFromFields.asScala
+        val start = b.getOffsetBuffer.getInt(i * 4L)
+        val end = b.getOffsetBuffer.getInt((i + 1) * 4L)
+        (start until end).map(j => getValue(kv(0), j) -> getValue(kv(1), j)).toMap
       case b: ListVector =>
         val elem = b.getDataVector.asInstanceOf[FieldVector]
         val start = b.getOffsetBuffer.getInt(i * 4L)

@@ -250,4 +250,74 @@ class ArrowIoSpec extends SparkSuite {
       }
     }
   }
+
+  test("reads pyarrow-written list-of-struct and map columns") {
+    val dir = new java.io.File("src/test/resources/arrow").getAbsolutePath
+    val df = ArrowIo.read(spark, s"$dir/list_struct_map.arrows")
+    assert(df.count() == 30)
+    assert(df.schema("recs").dataType ==
+      ArrayType(StructType(Seq(StructField("k", StringType),
+        StructField("n", LongType))), containsNull = true))
+    assert(df.schema("tags").dataType ==
+      MapType(StringType, LongType, valueContainsNull = true))
+    val rows = df.orderBy("id").collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      if (i % 9 == 4) assert(r.isNullAt(1), s"row $i recs should be null")
+      else {
+        val recs = r.getSeq[Row](1)
+        assert(recs.length == i % 4, s"row $i recs length")
+        recs.zipWithIndex.foreach { case (rec, j) =>
+          assert(rec.getString(0) == s"k${i}_$j")
+          if (j == 2) assert(rec.isNullAt(1))
+          else assert(rec.getLong(1) == i * 10L + j)
+        }
+      }
+      if (i % 8 == 5) assert(r.isNullAt(2), s"row $i tags should be null")
+      else {
+        val tags = r.getMap[String, Any](2)
+        assert(tags.size == i % 3, s"row $i tags size")
+        (0 until i % 3).foreach { j =>
+          val v = tags(s"m$j")
+          if (j == 1 && i % 2 == 0) assert(v == null)
+          else assert(v == (i + j).toLong)
+        }
+      }
+    }
+  }
+
+  test("list-of-struct, nested lists, and maps round-trip through the writer") {
+    val tmp = Files.createTempDirectory("graft_arrow_nested").toString
+    val src = spark.range(40).selectExpr(
+      "id",
+      // list-of-struct (null list every 9th, null struct element every 7th,
+      // null inner field every 5th)
+      """CASE WHEN id % 9 = 4 THEN NULL ELSE
+           transform(slice(sequence(1, 3), 1, CAST(id % 4 AS INT)), j ->
+             CASE WHEN (id + j) % 7 = 0 THEN NULL
+                  ELSE named_struct('k', concat('k', id, '_', j),
+                                    'n', CASE WHEN (id + j) % 5 = 0 THEN NULL
+                                              ELSE id * 10 + j END) END)
+         END AS recs""",
+      // nested list
+      """CASE WHEN id % 11 = 3 THEN NULL ELSE
+           transform(sequence(0, CAST(id % 3 AS INT)), j ->
+             sequence(0, j)) END AS grid""",
+      // map with null values
+      """CASE WHEN id % 8 = 5 THEN NULL ELSE
+           map_from_arrays(
+             transform(slice(sequence(1, 2), 1, CAST(id % 3 AS INT)), j -> concat('m', j)),
+             transform(slice(sequence(1, 2), 1, CAST(id % 3 AS INT)), j ->
+               CASE WHEN j = 2 THEN NULL ELSE id + j END))
+         END AS tags""")
+    for (fmt <- Seq("stream", "file"); codec <- Seq("none", "zstd")) {
+      val path = s"$tmp/nested_${fmt}_$codec"
+      ArrowIo.write(src, path, batchRows = 7, format = fmt, codec = codec)
+      val back = ArrowIo.read(spark, path)
+      assert(back.schema("recs").dataType == src.schema("recs").dataType,
+        s"$fmt/$codec recs schema")
+      assert(back.schema("tags").dataType == src.schema("tags").dataType,
+        s"$fmt/$codec tags schema")
+      assertSameData(src, back)
+    }
+  }
 }

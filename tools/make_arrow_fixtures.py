@@ -69,3 +69,30 @@ with ipc.new_stream(os.path.join(OUT, "nested_struct.arrows"),
         w.write_batch(b)
 print("nested_struct.arrows",
       os.path.getsize(os.path.join(OUT, "nested_struct.arrows")), "bytes")
+
+# list-of-struct + map fixture: list<struct<k:string, n:int64>> and
+# map<string, int64> with null lists/maps, empty ones, and null values —
+# pins ArrowIo's full nested read path
+los_type = pa.list_(pa.struct([("k", pa.string()), ("n", pa.int64())]))
+los_rows = []
+map_rows = []
+for i in range(30):
+    if i % 9 == 4:
+        los_rows.append(None)
+    else:
+        los_rows.append([{"k": f"k{i}_{j}", "n": None if j == 2 else i * 10 + j}
+                         for j in range(i % 4)])
+    if i % 8 == 5:
+        map_rows.append(None)
+    else:
+        map_rows.append([(f"m{j}", None if j == 1 and i % 2 == 0 else i + j)
+                         for j in range(i % 3)])
+lom = pa.table({"id": pa.array(range(30), type=pa.int64()),
+                "recs": pa.array(los_rows, type=los_type),
+                "tags": pa.array(map_rows, type=pa.map_(pa.string(), pa.int64()))})
+with ipc.new_stream(os.path.join(OUT, "list_struct_map.arrows"),
+                    lom.schema) as w:
+    for b in lom.to_batches(max_chunksize=10):
+        w.write_batch(b)
+print("list_struct_map.arrows",
+      os.path.getsize(os.path.join(OUT, "list_struct_map.arrows")), "bytes")
