@@ -25,8 +25,13 @@ object Bench {
     // (r6/r7 driver tails) to inflate whatever query happens to follow them
     // by 2-4x. With nothing after them, the backwash lands on spark.stop().
     val heavy = Set("q60_dedup_groups", "q61_ivf_ann")
+    // local-dev isolation: SPARK_GRAFT_BENCH_ONLY=q60_dedup_groups,q29_...
+    // limits the run (the driver never sets it)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val ordered = {
       val all = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(q => only.forall(_.contains(q._1)))
       all.filterNot(q => heavy(q._1)) ++ all.filter(q => heavy(q._1))
     }
     val results = ordered.map { case (name, fn) =>

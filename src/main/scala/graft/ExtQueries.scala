@@ -629,6 +629,36 @@ object ExtQueries {
           m("label").asInstanceOf[String], m("value").asInstanceOf[Long]))
         .toDF("doc_id", "label", "value")
         .orderBy(col("doc_id"), col("label"))
+    },
+
+    // CSV write → read round-trip under the oracle gate (writer rows were
+    // spec-only): supplier goes out through Io.write(csv) and back through
+    // the inferring reader; doubles survive because Spark's CSV writer
+    // emits shortest-round-trip decimal text.
+    "q92_csv_roundtrip" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q92").toString
+      val src = t(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      graft.sources.Io.write(src, s"$tmp/supplier_csv", format = "csv")
+      graft.sources.Io.readCsv(s, s"$tmp/supplier_csv")
+        .groupBy(col("s_nationkey").cast(IntegerType).as("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("s_acctbal").cast(DoubleType)).as("sum_bal"),
+          min(col("s_name")).as("first_name"))
+        .orderBy(col("s_nationkey"))
+    },
+
+    // Arrow IPC write → read round-trip (zstd stream framing, list<float>
+    // column) under the oracle gate: integer-exact floor-scaled sums prove
+    // every float came back bit-identical.
+    "q93_arrow_roundtrip" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q93").toString
+      val src = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      graft.sources.ArrowIo.write(src, s"$tmp/emb_arrow", codec = "zstd")
+      graft.sources.ArrowIo.read(s, s"$tmp/emb_arrow")
+        .select(col("vec_id"), size(col("embedding")).as("n_dim"),
+          expr("aggregate(transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)").as("ssum"))
+        .orderBy(col("vec_id"))
     }
   )
 
@@ -1451,6 +1481,23 @@ object ExtQueries {
          SELECT doc_id, 'n_chars' AS label, n_chars AS value FROM d
          UNION ALL
          SELECT doc_id, 'n_len' AS label, n_len AS value FROM d
-         ORDER BY doc_id, label"""
+         ORDER BY doc_id, label""",
+
+    // mirrors the q92 round-trip target directly on the source table: the
+    // round trip must be lossless, so the oracle is a plain aggregate.
+    "q92_csv_roundtrip" ->
+      """SELECT CAST(s_nationkey AS INT) AS s_nationkey, COUNT(*) AS n,
+         CAST(SUM(CAST(s_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS sum_bal,
+         MIN(s_name) AS first_name
+         FROM supplier GROUP BY 1 ORDER BY 1""",
+
+    // mirrors the q93 round-trip: floor-scaled integer sums over the raw
+    // embeddings — bit-identical floats or the sums diverge.
+    "q93_arrow_roundtrip" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS n_dim,
+         CAST(SUM(CAST(FLOOR(CAST(embedding[i+1] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS ssum
+         FROM embeddings CROSS JOIN range(0, 64) t(i)
+         WHERE vec_id < 500
+         GROUP BY vec_id, len(embedding) ORDER BY vec_id"""
   )
 }

@@ -275,27 +275,60 @@ object TextDedup {
   /** Hamming distance between two simhash longs. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Resolve candidate pairs into DEDUP GROUPS: iterative min-label
-    * propagation with POINTER JUMPING — each round first takes the min label
-    * across edges (one hop), then shortcuts every label to its label's label
-    * (halving remaining path lengths), so convergence is O(log diameter)
-    * rather than one hop per round. Returns (id, group_id = min id of the
-    * component); docs not in any pair keep their own id. The loop checks
-    * convergence and warns if maxIter was hit before fixpoint.
+  /** Resolve candidate pairs into DEDUP GROUPS. Returns (id, group_id =
+    * min id of the component); docs not in any pair keep their own id.
+    *
+    * Two physical strategies behind one semantics, picked by edge count —
+    * the same shape as Spark's own broadcast-join threshold:
+    *
+    *  - **≤ `localEdgeThreshold` undirected edges** (default 2M — tens of
+    *    MB on the driver): collect the edge list and run exact union-find
+    *    with path compression, then broadcast the (id, group_id) labels
+    *    back. LSH near-dup edges are a sliver of any corpus, so this is
+    *    the common case, and it replaces ~4 shuffle stages PER ROUND with
+    *    one collect + one broadcast join.
+    *  - **above the threshold** (or non-orderable driver-side id type):
+    *    distributed iterative min-label propagation with POINTER JUMPING —
+    *    each round takes the min label across edges (one hop), then
+    *    shortcuts every label to its label's label, so convergence is
+    *    O(log diameter) rounds. The loop iterates over the ACTIVE subgraph
+    *    only (vertices incident to an edge); untouched ids join back once
+    *    at the end. Convergence is checked per round (labels only
+    *    decrease ⇒ Σ group_id unchanged ⇔ fixpoint) and warns if maxIter
+    *    was hit first.
     *
     * OWNERSHIP CONTRACT: the returned frame is persisted (MEMORY_AND_DISK)
-    * and already materialized — the convergence loop requires an action per
-    * round, and unpersisting before return would force a full lineage replay
-    * of every round on the caller's first action. The CALLER owns the cache:
-    * call `.unpersist()` on the result when done with it (long-lived
-    * sessions that skip this accumulate one cache per dedup run). */
-  def dedupGroups(pairs: DataFrame, allIds: DataFrame, maxIter: Int = 5): DataFrame = {
+    * and already materialized. The CALLER owns the cache: call
+    * `.unpersist()` on the result when done with it (long-lived sessions
+    * that skip this accumulate one cache per dedup run). */
+  def dedupGroups(pairs: DataFrame, allIds: DataFrame, maxIter: Int = 5,
+                  localEdgeThreshold: Long = 2000000L): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def gidSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("group_id").cast(DecimalType(38, 0)))).collect()(0).getDecimal(0)
-    var labels = allIds.select(col("id"), col("id").as("group_id"))
+    val nUndirected = edges.count() / 2
+    val idOrdering: Option[Ordering[Any]] = pairs.schema("id_a").dataType match {
+      case LongType => Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
+      case ShortType => Some(Ordering.by((x: Any) => x.asInstanceOf[Short]))
+      case StringType => Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      case _ => None
+    }
+    if (nUndirected <= localEdgeThreshold && idOrdering.isDefined)
+      return dedupGroupsLocal(edges, allIds, idOrdering.get)
+    def gidSum(df: DataFrame): java.math.BigDecimal = {
+      // null sum ⇔ empty frame (no candidate pairs at all) — normalize to 0
+      // so the convergence compare stays total
+      val s = df.agg(sum(col("group_id").cast(DecimalType(38, 0)))).collect()(0).getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
+    // Only vertices incident to an edge can ever change label — iterate
+    // over THAT subgraph (near-dup components are a sliver of the corpus;
+    // at 100 TB the active set is joinable/broadcastable where the full
+    // id table is not), then join the untouched ids back at the end.
+    // `edges` holds both directions, so id_a covers every incident vertex.
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .select(col("id"), col("id").as("group_id"))
     // labels only ever DECREASE per row, so Σ group_id is strictly monotone
     // until the fixpoint — an equal sum ⇔ no row changed. One exact-decimal
     // aggregate per round both materializes the new cache and tests
@@ -327,12 +360,82 @@ object TextDedup {
       labels = next
       i += 1
     }
-    edges.unpersist() // `labels` is materialized; recompute path stays intact
     if (!converged)
       System.err.println(
         s"[graft] dedupGroups hit maxIter=$maxIter before convergence — " +
           "components may be split; raise maxIter")
-    labels
+    // untouched ids (no incident edge) keep their own id; the converged
+    // active-set labels frame is small, so this is one broadcast-or-hash
+    // join over the full id table
+    val out = allIds.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("group_id"), col("id")).as("group_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize per the ownership contract before dropping inputs
+    labels.unpersist()
+    edges.unpersist()
+    out
+  }
+
+  /** Small-graph fast path for [[dedupGroups]]: exact union-find with path
+    * compression over the collected edge list (the caller has verified the
+    * count fits the driver), labels = min id per component, broadcast back
+    * over the full id table. Deterministic and identical in output to the
+    * distributed loop. */
+  private def dedupGroupsLocal(edges: DataFrame, allIds: DataFrame,
+                               ord: Ordering[Any]): DataFrame = {
+    val spark = edges.sparkSession
+    // each undirected edge once (edges holds both directions)
+    val rows = edges.filter(col("id_a") < col("id_b")).collect()
+    val idx = new java.util.HashMap[Any, Integer]()
+    val vals = new scala.collection.mutable.ArrayBuffer[Any]()
+    def ix(v: Any): Int = {
+      val e = idx.get(v)
+      if (e != null) e.intValue()
+      else { idx.put(v, vals.length); vals += v; vals.length - 1 }
+    }
+    val ea = new Array[Int](rows.length)
+    val eb = new Array[Int](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      ea(i) = ix(rows(i).get(0)); eb(i) = ix(rows(i).get(1)); i += 1
+    }
+    val parent = Array.tabulate(vals.length)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    i = 0
+    while (i < rows.length) {
+      val ra = find(ea(i)); val rb = find(eb(i))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      i += 1
+    }
+    // min id per component (root index is arbitrary; the LABEL is the min)
+    val minId = new java.util.HashMap[Integer, Any]()
+    i = 0
+    while (i < vals.length) {
+      val r = Integer.valueOf(find(i))
+      val cur = minId.get(r)
+      if (cur == null || ord.lt(vals(i), cur)) minId.put(r, vals(i))
+      i += 1
+    }
+    val idType = edges.schema("id_a").dataType
+    val labelRows = (0 until vals.length)
+      .map(j => org.apache.spark.sql.Row(vals(j), minId.get(Integer.valueOf(find(j)))))
+    val labels = spark.createDataFrame(
+      spark.sparkContext.parallelize(labelRows, 1),
+      StructType(Seq(StructField("id", idType), StructField("group_id", idType))))
+    val out = allIds.select(col("id"))
+      .join(broadcast(labels), Seq("id"), "left")
+      .select(col("id"), coalesce(col("group_id"), col("id")).as("group_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize per the ownership contract
+    edges.unpersist()
+    out
   }
 
   /** End-to-end near-dup dedup: MinHash-LSH candidates → components → one

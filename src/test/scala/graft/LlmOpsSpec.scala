@@ -292,6 +292,22 @@ class LlmOpsSpec extends SparkSuite {
     assert(groups == Map(0L -> 0L, 1L -> 0L, 4L -> 0L, 2L -> 2L, 3L -> 2L, 5L -> 5L))
   }
 
+  test("dedup groups: distributed loop == local union-find (threshold forced)") {
+    // chain + separate component + singleton; threshold 0 forces the
+    // distributed pointer-jumping path, default takes local union-find
+    val pairs = ((0L until 9L).map(i => (i, i + 1, 0.9)) ++
+      Seq((20L, 21L, 0.8))).toDF("id_a", "id_b", "est_jaccard")
+    val ids = ((0L to 9L) ++ Seq(20L, 21L, 30L)).toDF("id")
+    val local = TextDedup.dedupGroups(pairs, ids)
+    val dist = TextDedup.dedupGroups(pairs, ids, maxIter = 6,
+      localEdgeThreshold = 0L)
+    val lm = local.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dm = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lm == dm, s"local $lm != distributed $dm")
+    assert(lm(9L) == 0L && lm(21L) == 20L && lm(30L) == 30L)
+    local.unpersist(); dist.unpersist()
+  }
+
   test("nearDupDedup keeps exactly one doc per duplicate cluster") {
     val out = TextDedup.nearDupDedup(docs, "doc_id", "text", minEstJaccard = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
