@@ -659,6 +659,53 @@ object ExtQueries {
         .select(col("vec_id"), size(col("embedding")).as("n_dim"),
           expr("aggregate(transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)").as("ssum"))
         .orderBy(col("vec_id"))
+    },
+
+    // zip-of-csv ingest under the oracle gate: nation split across two zip
+    // archives (multi-entry, per-entry headers) written driver-side, read
+    // back through the distributed readCsvZip, aggregated losslessly.
+    "q94_zip_csv" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q94")
+      val rows = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey").collect()
+      def writeZip(file: java.nio.file.Path,
+                   parts: Seq[(String, Seq[org.apache.spark.sql.Row])]): Unit = {
+        val z = new java.util.zip.ZipOutputStream(
+          java.nio.file.Files.newOutputStream(file))
+        parts.foreach { case (name, rs) =>
+          z.putNextEntry(new java.util.zip.ZipEntry(name))
+          val sb = new StringBuilder("n_nationkey,n_name,n_regionkey\n")
+          rs.foreach(r => sb.append(s"${r.get(0)},${r.get(1)},${r.get(2)}\n"))
+          z.write(sb.toString.getBytes("UTF-8")); z.closeEntry()
+        }
+        z.close()
+      }
+      val (even, odd) = rows.partition(_.getInt(0) % 2 == 0)
+      writeZip(tmp.resolve("a.zip"), Seq(
+        "a1.csv" -> even.take(even.length / 2).toSeq,
+        "a2.csv" -> even.drop(even.length / 2).toSeq))
+      writeZip(tmp.resolve("b.zip"), Seq("b1.csv" -> odd.toSeq))
+      graft.sources.Io.readCsvZip(s, tmp.toString)
+        .groupBy(col("n_regionkey").cast(IntegerType).as("n_regionkey"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"),
+          sum(col("n_nationkey").cast(LongType)).as("sum_key"))
+        .orderBy(col("n_regionkey"))
+    },
+
+    // custom reducer (init/rfn/merge/finalize — reference
+    // dataset/reductions.clj) under the oracle gate: the typed Aggregator
+    // machinery (KahanSum: zero/reduce/merge/finish across partitions) over
+    // integer-valued cents, where every partial sum is IEEE-exact in any
+    // order — so the oracle is a plain integer SUM.
+    "q95_custom_reducer" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .withColumn("cents", round(col("c_acctbal") * 100).cast(DoubleType))
+        .groupBy(col("c_nationkey").cast(IntegerType).as("c_nationkey"))
+        .agg(Reductions.kahanSum(col("cents")).as("sum_cents_d"))
+        .select(col("c_nationkey"),
+          col("sum_cents_d").cast(LongType).as("sum_cents"))
+        .orderBy(col("c_nationkey"))
     }
   )
 
@@ -1498,6 +1545,19 @@ object ExtQueries {
          CAST(SUM(CAST(FLOOR(CAST(embedding[i+1] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS ssum
          FROM embeddings CROSS JOIN range(0, 64) t(i)
          WHERE vec_id < 500
-         GROUP BY vec_id, len(embedding) ORDER BY vec_id"""
+         GROUP BY vec_id, len(embedding) ORDER BY vec_id""",
+
+    // mirrors the q94 zip round-trip target: lossless, so a plain aggregate.
+    "q94_zip_csv" ->
+      """SELECT CAST(n_regionkey AS INT) AS n_regionkey, COUNT(*) AS n,
+         MIN(n_name) AS first_name, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+         FROM nation GROUP BY 1 ORDER BY 1""",
+
+    // mirrors q95: cents are integer-valued, so order-independent exact
+    // sums on both sides.
+    "q95_custom_reducer" ->
+      """SELECT CAST(c_nationkey AS INT) AS c_nationkey,
+         CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM customer GROUP BY 1 ORDER BY 1"""
   )
 }
