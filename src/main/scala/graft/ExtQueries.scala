@@ -693,6 +693,33 @@ object ExtQueries {
         .orderBy(col("n_regionkey"))
     },
 
+    // STREAMING under the oracle gate: the watermark windowed aggregation
+    // (readStream → window/watermark → memory sink, AvailableNow) must
+    // equal the batch hourly bucket — the oracle is q38's SQL verbatim.
+    // This closes the "streaming rows are spec-only" gap: the actual
+    // Structured Streaming execution path is what produces the rows.
+    "q96_stream_hourly" -> { (s, dir) =>
+      val table = graft.streaming.EventStream.runToMemorySink(
+        graft.streaming.EventStream.hourlyCounts(s, dir),
+        s"q96_sink_${System.nanoTime()}")
+      table.orderBy(col("bucket"), col("event_type"))
+    },
+
+    // STREAMING stateful sessionization (flatMapGroupsWithState, Update
+    // mode) under the oracle gate. Update-mode sinks emit one row per user
+    // per micro-batch; session/max counters only grow, so max() collapses
+    // multi-batch updates to the final state deterministically.
+    "q97_stream_sessionize" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.OutputMode
+      val table = graft.streaming.EventStream.runToMemorySink(
+        graft.streaming.EventStream.sessionize(s, dir),
+        s"q97_sink_${System.nanoTime()}", mode = OutputMode.Update())
+      table.groupBy(col("user_id"))
+        .agg(max(col("n_sessions")).as("n_sessions"),
+          max(col("max_session_events")).as("max_session_events"))
+        .orderBy(col("user_id"))
+    },
+
     // custom reducer (init/rfn/merge/finalize — reference
     // dataset/reductions.clj) under the oracle gate: the typed Aggregator
     // machinery (KahanSum: zero/reduce/merge/finish across partitions) over
@@ -1558,6 +1585,33 @@ object ExtQueries {
     "q95_custom_reducer" ->
       """SELECT CAST(c_nationkey AS INT) AS c_nationkey,
          CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-         FROM customer GROUP BY 1 ORDER BY 1"""
+         FROM customer GROUP BY 1 ORDER BY 1""",
+
+    // q96 streams through the same semantics as q38 — identical oracle.
+    "q96_stream_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q97 streams through the same semantics as q39 — identical oracle.
+    "q97_stream_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM g),
+         per_sess AS (
+           SELECT user_id, sess_id, COUNT(*) AS n_events
+           FROM sess GROUP BY 1, 2)
+         SELECT user_id, COUNT(*) AS n_sessions, max(n_events) AS max_session_events
+         FROM per_sess GROUP BY 1 ORDER BY 1"""
   )
 }

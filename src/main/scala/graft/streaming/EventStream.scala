@@ -26,6 +26,7 @@ object EventStream {
   /** Streaming hourly windowed aggregation with a watermark; reads the same
     * parquet directory as a file stream (one-file micro-batch in tests). */
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.ensureFunctions(spark) // isum → graft_sum128
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.readStream.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
