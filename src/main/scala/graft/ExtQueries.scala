@@ -455,9 +455,8 @@ object ExtQueries {
     // every SF; the scale path for monotone association is q67 spearman).
     "q68_kendall" -> { (s, dir) =>
       Advanced.kendallCorrelationTable(
-        t(s, dir, "lineitem").filter(col("l_orderkey") < 400)
-          .withColumn("rid", col("l_orderkey") * 10 + col("l_linenumber")),
-        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"), "rid")
+        t(s, dir, "lineitem").filter(col("l_orderkey") < 400),
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
         .orderBy(col("column"))
     },
 
@@ -733,6 +732,34 @@ object ExtQueries {
         .select(col("c_nationkey"),
           col("sum_cents_d").cast(LongType).as("sum_cents"))
         .orderBy(col("c_nationkey"))
+    },
+
+    // Kendall via Knight's O(n log n) distributed plan (maxRows = 0 forces
+    // it): tie-run aggregations + distributed inversion counting instead of
+    // the q68 pair frame — THE scale path; the oracle is still the all-pairs
+    // definition (bounded subset keeps the DuckDB mirror quadratic-feasible;
+    // the spec pins distributed == pair-frame bit-exact at any size).
+    "q98_kendall_distributed" -> { (s, dir) =>
+      Advanced.kendallCorrelationTable(
+        t(s, dir, "lineitem").filter(col("l_orderkey") < 2000),
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"),
+        maxRows = 0L)
+        .orderBy(col("column"))
+    },
+
+    // Linear recurrence s = a·s_prev + x per key (the induction escape
+    // hatch as a DISTRIBUTED operator — one hash shuffle + streaming fold;
+    // q54's coalesce(1) induction is for genuinely non-linear state only).
+    // Exponential-decay accumulation of event value per user, ordered by
+    // (ts, event_id); the oracle recursive CTE replays the identical IEEE
+    // op sequence per key.
+    "q99_linear_recurrence" -> { (s, dir) =>
+      Advanced.linearRecurrenceKeyed(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts"), col("value")),
+        Seq("user_id"), Seq("ts", "event_id"), "value", 0.9, "decay")
+        .select(col("event_id"), col("user_id"), col("decay"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -741,6 +768,36 @@ object ExtQueries {
     * the lower centroid index), the same floor-scaled exact-sum centroid
     * updates, `iters` unrolled iterations, then probe + exact-cosine ranking
     * (the q31 norm/dot mirror restricted to probed lists). */
+  /** All-pairs tau-b DuckDB mirror over a lineitem subset: exact integer
+    * concordant/discordant/tie counts over the pair frame, then the
+    * identical tau-b double formula (shared by q68 pair-frame and q98
+    * distributed — both Spark plans produce the same exact counts). */
+  private def kendallLineitemOracle(whereSql: String): String = {
+    val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+    val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
+    val cnts = Seq("COUNT(*) AS n0") ++
+      cols.map(c => s"COUNT(CASE WHEN a.$c = b.$c THEN 1 END) AS t_$c") ++
+      pairs.flatMap { case (x, y) => Seq(
+        s"COUNT(CASE WHEN sign(a.$x - b.$x) * sign(a.$y - b.$y) > 0 THEN 1 END) AS c_${x}__$y",
+        s"COUNT(CASE WHEN sign(a.$x - b.$x) * sign(a.$y - b.$y) < 0 THEN 1 END) AS d_${x}__$y")
+      }
+    def cell(a: String, b: String): String =
+      if (a == b) "1.0"
+      else {
+        val (x, y) = if (a < b) (a, b) else (b, a)
+        s"(CAST(c_${x}__$y AS DOUBLE) - CAST(d_${x}__$y AS DOUBLE)) / " +
+          s"(sqrt(CAST(n0 AS DOUBLE) - CAST(t_$x AS DOUBLE)) * " +
+          s"sqrt(CAST(n0 AS DOUBLE) - CAST(t_$y AS DOUBLE)))"
+      }
+    val rows = cols.map(a =>
+      s"""SELECT '$a' AS "column", """ +
+        cols.map(b => s"${cell(a, b)} AS $b").mkString(", ") + " FROM s")
+    s"WITH d AS (SELECT row_number() OVER () AS rid, " +
+      s"${cols.mkString(", ")} FROM lineitem WHERE $whereSql), " +
+      s"s AS (SELECT ${cnts.mkString(", ")} FROM d a JOIN d b ON a.rid < b.rid) " +
+      rows.mkString("SELECT * FROM (", " UNION ALL ", """) t ORDER BY "column"""")
+  }
+
   private def ivfOracle(nCent: Int, nProbe: Int, k: Int, iters: Int,
                         dim: Int, queryPred: String): String = {
     def dist(e: String, c: String) =
@@ -1235,31 +1292,26 @@ object ExtQueries {
     // mirrors Advanced.kendallCorrelationTable: exact integer
     // concordant/discordant/tie counts over the bounded pair frame, then the
     // identical tau-b double formula.
-    "q68_kendall" -> {
-      val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
-      val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
-      val cnts = Seq("COUNT(*) AS n0") ++
-        cols.map(c => s"COUNT(CASE WHEN a.$c = b.$c THEN 1 END) AS t_$c") ++
-        pairs.flatMap { case (x, y) => Seq(
-          s"COUNT(CASE WHEN sign(a.$x - b.$x) * sign(a.$y - b.$y) > 0 THEN 1 END) AS c_${x}__$y",
-          s"COUNT(CASE WHEN sign(a.$x - b.$x) * sign(a.$y - b.$y) < 0 THEN 1 END) AS d_${x}__$y")
-        }
-      def cell(a: String, b: String): String =
-        if (a == b) "1.0"
-        else {
-          val (x, y) = if (a < b) (a, b) else (b, a)
-          s"(CAST(c_${x}__$y AS DOUBLE) - CAST(d_${x}__$y AS DOUBLE)) / " +
-            s"(sqrt(CAST(n0 AS DOUBLE) - CAST(t_$x AS DOUBLE)) * " +
-            s"sqrt(CAST(n0 AS DOUBLE) - CAST(t_$y AS DOUBLE)))"
-        }
-      val rows = cols.map(a =>
-        s"""SELECT '$a' AS "column", """ +
-          cols.map(b => s"${cell(a, b)} AS $b").mkString(", ") + " FROM s")
-      s"WITH d AS (SELECT l_orderkey*10 + l_linenumber AS rid, " +
-        s"${cols.mkString(", ")} FROM lineitem WHERE l_orderkey < 400), " +
-        s"s AS (SELECT ${cnts.mkString(", ")} FROM d a JOIN d b ON a.rid < b.rid) " +
-        rows.mkString("SELECT * FROM (", " UNION ALL ", """) t ORDER BY "column"""")
-    },
+    "q68_kendall" -> kendallLineitemOracle("l_orderkey < 400"),
+
+    // same all-pairs DEFINITION over q98's subset — the Spark side runs
+    // Knight's distributed plan, whose exact integer counts must agree.
+    "q98_kendall_distributed" -> kendallLineitemOracle("l_orderkey < 2000"),
+
+    // recursive CTE replaying the identical per-key IEEE fold
+    // s = 0.9·s + x ordered by (ts, event_id) — same pattern as q54.
+    "q99_linear_recurrence" ->
+      """WITH RECURSIVE seq AS (
+           SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         rec AS (
+           SELECT event_id, user_id, x, rn, 0.9 * 0.0 + x AS s
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT e.event_id, e.user_id, e.x, e.rn, 0.9 * r.s + e.x AS s
+           FROM rec r JOIN seq e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT event_id, user_id, s AS decay FROM rec ORDER BY event_id""",
 
     "q51_head_tail" ->
       """SELECT o_orderkey, o_totalprice, part FROM (

@@ -15,12 +15,10 @@ object Advanced {
     * §7.4; the reference is single-JVM here too).
     *
     * ESCAPE HATCH for scale: a LINEAR recurrence s_i = a·s_{i-1} + x_i (like
-    * q54's decay-accumulate) is window-expressible as a weighted prefix sum —
-    * s_i = Σ_j a^(i-j)·x_j = a^i · Σ_j x_j/a^j, i.e. a cumulative-sum window
-    * over x_j·a^(-j) scaled by a^i — which distributes with an ordinary
-    * partitioned window (beware a^(-j) overflow for long series: compute per
-    * bounded segment, or carry segment offsets). Use induction only when the
-    * step function is genuinely non-linear in the state. */
+    * q54's decay-accumulate) distributes — use [[linearRecurrenceKeyed]]
+    * (per-key streaming fold, bit-exact sequential replay) or the keyless
+    * segmented-scan [[linearRecurrence]]. Use induction only when the step
+    * function is genuinely non-linear in the state. */
   def induction[T, S](ds: Dataset[T], zero: S)(step: (S, T) => S)
                      (implicit enc: Encoder[S]): Dataset[S] =
     ds.coalesce(1).mapPartitions(it => it.scanLeft(zero)(step).drop(1))
@@ -306,34 +304,51 @@ object Advanced {
     out
   }
 
-  /** correlation-table `:kendall` (reference math.clj:47-48,90-91): tau-b
-    * over ALL ROW PAIRS — inherently O(n²); intended for BOUNDED blocks
-    * (mirror of the reference, whose kendall also materializes pair
-    * statistics). All concordant/discordant/tie counts are exact integers
-    * from one aggregation over the pair frame; the final tau arithmetic is
-    * plain IEEE doubles, identical on any engine. Rows with a null in any of
-    * `cols` are dropped first (complete-case, like commons-math). `idCol`
-    * must be unique per row (pair dedup via id_l < id_r).
+  /** correlation-table `:kendall` (reference math.clj:47-48,90-91): tau-b.
+    * Two physical strategies behind one result contract — every count
+    * (concordant / discordant / tie) is an exact integer and the final tau
+    * arithmetic is the same fixed IEEE-double op sequence, so both plans
+    * produce bit-identical tables:
     *
-    * API SAFETY: because the pair frame is quadratic, inputs above
-    * `maxRows` (default 100k ⇒ ≤5·10⁹ pair rows) are REFUSED rather than
-    * silently launching an unbounded cartesian — sample or block the input
-    * first, or use `spearmanCorrelationTable` (fully distributed) for
-    * monotone association at scale. The count-check costs one pass over the
-    * complete-case frame. */
+    *  - n ≤ `maxRows` (default 10k): the reference's shape — an all-pairs
+    *    frame with one aggregation. Cheapest for small blocks (one job).
+    *  - n > `maxRows`: Knight's O(n log n) formulation, fully distributed
+    *    (see [[inversionCount]]): per column pair, the discordant count D is
+    *    the strict-inversion count of `b` under the (a, b) sort, and
+    *    C = n0 − tA − tB + tAB − D from per-column / per-pair tie-run
+    *    aggregations. No pair frame ever materializes — the former 100k-row
+    *    refusal is gone; kendall now runs at any n (capacity bound: pair
+    *    counts overflow a long at n ≳ 4.2·10⁹ complete-case rows; above
+    *    that a `require` fires).
+    *
+    * Rows with a null (or NaN) in any of `cols` are dropped first
+    * (complete-case, like commons-math); values must be finite (±∞ tie
+    * classification differs between the two plans). Pair identity is
+    * PHYSICAL rows: a unique row id is generated internally for the
+    * pair-frame dedup (a caller-supplied id with duplicates — e.g.
+    * lineitem's non-unique (orderkey, linenumber) — would silently drop
+    * the pairs between same-id rows; counts are invariant to WHICH unique
+    * id is used, so the nondeterministic assignment is safe). */
   def kendallCorrelationTable(df: DataFrame, cols: Seq[String],
-                              idCol: String,
-                              maxRows: Long = 100000L): DataFrame = {
+                              maxRows: Long = 10000L): DataFrame = {
     val base = df.na.drop(cols)
-    val n = base.count()
-    require(n <= maxRows,
-      s"kendallCorrelationTable is all-pairs (O(n^2)): got $n complete-case " +
-        s"rows > maxRows=$maxRows. Sample/block the input, raise maxRows " +
-        "deliberately, or use spearmanCorrelationTable for scale.")
+      .select(cols.map(c => col(c).cast(DoubleType).as(c)): _*)
+      .withColumn("__uid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = base.count()
+      if (n <= maxRows) kendallPairFrame(base, cols, "__uid")
+      else kendallDistributed(base.drop("__uid"), cols, n)
+    } finally { base.unpersist(); () }
+  }
+
+  /** The bounded-block all-pairs plan (one aggregation over the pair frame). */
+  private def kendallPairFrame(base: DataFrame, cols: Seq[String],
+                               idCol: String): DataFrame = {
     val l = base.select(col(idCol).as("__il") +:
-      cols.map(c => col(c).cast(DoubleType).as(s"__l_$c")): _*)
+      cols.map(c => col(c).as(s"__l_$c")): _*)
     val r = base.select(col(idCol).as("__ir") +:
-      cols.map(c => col(c).cast(DoubleType).as(s"__r_$c")): _*)
+      cols.map(c => col(c).as(s"__r_$c")): _*)
     val p = l.crossJoin(r).filter(col("__il") < col("__ir"))
     def d(c: String) = col(s"__l_$c") - col(s"__r_$c")
     val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
@@ -346,19 +361,271 @@ object Advanced {
             count(when(s < 0, 1)).as(s"d_${a}__$b"))
         }
     val row = p.agg(aggs.head, aggs.tail: _*).collect()(0)
-    def g(name: String): Double = row.getLong(row.fieldIndex(name)).toDouble
+    def g(name: String): Long = row.getLong(row.fieldIndex(name))
+    tauFrame(base.sparkSession, cols, g("n0"), c => g(s"t_$c"),
+      { case (x, y) => (g(s"c_${x}__$y"), g(s"d_${x}__$y")) })
+  }
+
+  /** Knight's-algorithm plan: D per pair = distributed inversion count;
+    * C recovered from exact tie-run aggregations. The per-column, per-pair
+    * jobs are submitted concurrently (each is small: one groupBy or two
+    * narrow shuffles), same pattern as [[spearmanCorrelationTable]]. */
+  private def kendallDistributed(base: DataFrame, cols: Seq[String],
+                                 n: Long): DataFrame = {
+    // n0 = n(n-1)/2 and every tie/inversion count is < n0; n(n-1) must fit
+    // a signed long
+    require(n < 4200000000L,
+      s"kendall pair counts overflow 64-bit at n=$n complete-case rows")
+    val n0 = n * (n - 1) / 2
+    // Σ g·(g−1)/2 over groups of identical values: pairs tied on `gcols`.
+    // Σ g·(g−1) is summed as a long (exact) and halved driver-side.
+    def tiePairs(gcols: Seq[String]): Long = {
+      val r = base.groupBy(gcols.map(col): _*).agg(count(lit(1)).as("__n"))
+        .agg(sum(col("__n") * (col("__n") - lit(1L)))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0) / 2
+    }
+    val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(cols.size + pairs.size, 8)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val (tA, tAB, dAB) =
+      try {
+        val fT = cols.map(c => Future(c -> tiePairs(Seq(c))))
+        val fTab = pairs.map { case (a, b) =>
+          Future((a, b) -> tiePairs(Seq(a, b))) }
+        val fD = pairs.map { case (a, b) =>
+          Future((a, b) -> inversionCount(base, a, b)) }
+        (Await.result(Future.sequence(fT), Duration.Inf).toMap,
+          Await.result(Future.sequence(fTab), Duration.Inf).toMap,
+          Await.result(Future.sequence(fD), Duration.Inf).toMap)
+      } finally pool.shutdown()
+    tauFrame(base.sparkSession, cols, n0, tA,
+      { case (x, y) =>
+        val d = dAB((x, y))
+        // pairs strict in BOTH columns split into concordant + discordant
+        (n0 - tA(x) - tA(y) + tAB((x, y)) - d, d)
+      })
+  }
+
+  /** Shared tau-b finisher: identical long→double conversions and IEEE op
+    * order for both plans (and for the DuckDB oracle mirror). */
+  private def tauFrame(spark: org.apache.spark.sql.SparkSession,
+                       cols: Seq[String], n0: Long, t: String => Long,
+                       cd: ((String, String)) => (Long, Long)): DataFrame = {
     def tau(a: String, b: String): Double =
       if (a == b) 1.0
       else {
         val (x, y) = if (a < b) (a, b) else (b, a)
-        (g(s"c_${x}__$y") - g(s"d_${x}__$y")) /
-          (math.sqrt(g("n0") - g(s"t_$x")) * math.sqrt(g("n0") - g(s"t_$y")))
+        val (c, d) = cd((x, y))
+        (c.toDouble - d.toDouble) /
+          (math.sqrt(n0.toDouble - t(x).toDouble) *
+            math.sqrt(n0.toDouble - t(y).toDouble))
       }
-    val spark = df.sparkSession
     val schema = StructType(StructField("column", StringType, nullable = false) +:
       cols.map(c => StructField(c, DoubleType, nullable = false)))
     val rows = cols.map(a =>
       org.apache.spark.sql.Row.fromSeq(a +: cols.map(b => tau(a, b))))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Count of strictly-inverted pairs of `b` under the global (a, b) sort:
+    * #{(i, j) : pos_i < pos_j ∧ b_i > b_j} where positions follow
+    * lexicographic (a, b) ascending order. Because equal-a runs are
+    * b-sorted, this count is EXACTLY the discordant pair count of (a, b)
+    * (Knight 1966) — ties in either column never register.
+    *
+    * Fully distributed, O(n log n) work, O(n/P) task memory:
+    *  1. range-partition + sort by (a, b) — P ordered partitions, equal
+    *     keys co-located;
+    *  2. within-partition inversions by merge-sort count (one narrow job);
+    *  3. cross-partition inversions: re-shuffle (srcPid, b) by b-range into
+    *     ordered buckets. Same-bucket pairs: per bucket, walk b ascending
+    *     and Fenwick-count earlier-inserted elements with LARGER srcPid
+    *     (the larger-b element must sit in a strictly earlier partition).
+    *     Cross-bucket pairs need only the per-(bucket, srcPid) count matrix
+    *     — O(P²) longs to the driver, combined with prefix/suffix sums.
+    *  Each pair is counted in exactly one of the three terms.
+    *
+    * A near-constant column concentrates its sort range in few partitions
+    * (range bounds can't split equal keys); tie pairs never enter the
+    * inversion count, so this costs sort time, not pair time. */
+  private[graft] def inversionCount(df: DataFrame, a: String, b: String): Long = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val tagged = df
+      .select(col(a).cast(DoubleType).as("__a"), col(b).cast(DoubleType).as("__b"))
+      .repartitionByRange(parts, col("__a"), col("__b"))
+      .sortWithinPartitions(col("__a"), col("__b"))
+      .select(col("__b")).as[Double]
+      .rdd.mapPartitionsWithIndex { (pid, it) => it.map(v => (pid, v)) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val within = tagged.mapPartitions { it =>
+        Iterator.single(mergeCountInversions(it.map(_._2).toArray))
+      }.fold(0L)(_ + _)
+      val nSrc = tagged.getNumPartitions
+      // (bucket, fenwickInversions, perSrcPidCounts) per b-range bucket
+      val buckets = tagged.toDF("pid", "b")
+        .repartitionByRange(parts, col("b"))
+        .rdd.mapPartitionsWithIndex { (bucket, it) =>
+          val elems = it.map(r => (r.getInt(0), r.getDouble(1))).toArray
+          java.util.Arrays.sort(elems, Ordering.by[(Int, Double), Double](_._2))
+          val counts = new Array[Long](nSrc)
+          val fen = new Array[Long](nSrc + 1) // Fenwick tree over srcPid
+          def add(p: Int): Unit = {
+            var x = p + 1; while (x <= nSrc) { fen(x) += 1; x += x & -x } }
+          def atMost(p: Int): Long = {
+            var x = p + 1; var s = 0L
+            while (x > 0) { s += fen(x); x -= x & -x }; s }
+          var inserted = 0L; var inv = 0L; var i = 0
+          while (i < elems.length) {
+            var j = i // equal-b group: query all, then insert all (b ties
+            while (j < elems.length && elems(j)._2 == elems(i)._2) j += 1
+            var k = i
+            while (k < j) { inv += inserted - atMost(elems(k)._1); k += 1 }
+            k = i
+            while (k < j) {
+              val p = elems(k)._1; counts(p) += 1; add(p); k += 1; inserted += 1 }
+            i = j
+          }
+          Iterator.single((bucket, inv, counts))
+        }.collect().sortBy(_._1)
+      val sameBucket = buckets.map(_._2).sum
+      // cross-bucket: element in a HIGHER-b bucket pairs inverted with every
+      // lower-bucket element of a strictly larger srcPid
+      var cross = 0L
+      val cumLo = new Array[Long](nSrc)
+      buckets.foreach { case (_, _, cnts) =>
+        val suffix = new Array[Long](nSrc + 1)
+        var p = nSrc - 1
+        while (p >= 0) { suffix(p) = suffix(p + 1) + cumLo(p); p -= 1 }
+        p = 0
+        while (p < nSrc) {
+          if (cnts(p) != 0) cross += cnts(p) * suffix(p + 1)
+          cumLo(p) += cnts(p); p += 1
+        }
+      }
+      within + sameBucket + cross
+    } finally { tagged.unpersist(); () }
+  }
+
+  /** The LINEAR-recurrence escape hatch for [[induction]], keyed form:
+    * s_i = a·s_{i−1} + x_i per key, rows ordered by `orderCols` within the
+    * key (zero initial state). One hash shuffle on the keys + an
+    * in-partition sort; the fold streams with O(1) state per task, so any
+    * number of series distribute and a single series only needs its own
+    * rows in one task's SORTED stream (not in memory). The per-key fold is
+    * the IDENTICAL IEEE op sequence (s = a·s + x) a sequential engine —
+    * or a per-key recursive CTE — executes, so results are bit-exact
+    * replayable. `xCol` is cast to double and must be non-null (a null
+    * would silently read as 0.0 through Row.getDouble — we throw instead);
+    * (keyCols ++ orderCols) must be a unique row key for a deterministic
+    * fold order. */
+  def linearRecurrenceKeyed(df: DataFrame, keyCols: Seq[String],
+                            orderCols: Seq[String], xCol: String,
+                            a: Double, out: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.withColumn(xCol, col(xCol).cast(DoubleType))
+      .repartition(parts, keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
+    val schema = sorted.schema.add(out, DoubleType, nullable = false)
+    val keyIdx = keyCols.map(sorted.schema.fieldIndex)
+    val xIdx = sorted.schema.fieldIndex(xCol)
+    val rows = sorted.rdd.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var s = 0.0
+      it.map { r =>
+        if (r.isNullAt(xIdx))
+          throw new IllegalArgumentException(
+            s"linearRecurrenceKeyed: null $xCol — filter or impute first")
+        val k = keyIdx.map(r.get)
+        if (k != curKey) { curKey = k; s = 0.0 }
+        s = a * s + r.getDouble(xIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Keyless (whole-table) linear recurrence via a SEGMENTED scan: range
+    * partition on `orderCols`, fold each partition from zero, carry the
+    * boundary states across partitions (s_i = s_local_i + a^(i_local+1)·c_p,
+    * where c_p is the true state entering partition p — O(P) scalars to the
+    * driver, same two-pass shape as the distributed row index). The result
+    * equals the sequential fold EXACTLY on integer-representable data and
+    * to normal floating-point reassociation tolerance otherwise (the carry
+    * multiplication reassociates the fold — use [[linearRecurrenceKeyed]]
+    * or [[induction]] when bitwise sequential replay matters more than
+    * distribution). Returns the frame and a cleanup thunk (the sorted input
+    * is persisted so both passes see one partitioning — call the thunk
+    * after the terminal action, same contract as doubledAvgRankTable). */
+  def linearRecurrence(df: DataFrame, orderCols: Seq[String], xCol: String,
+                       a: Double, out: String): (DataFrame, () => Unit) = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.withColumn(xCol, col(xCol).cast(DoubleType))
+      .repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val schema = sorted.schema.add(out, DoubleType, nullable = false)
+    val xIdx = sorted.schema.fieldIndex(xCol)
+    val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0.0; var powA = 1.0
+      it.foreach { r =>
+        if (r.isNullAt(xIdx))
+          throw new IllegalArgumentException(
+            s"linearRecurrence: null $xCol — filter or impute first")
+        s = a * s + r.getDouble(xIdx); powA *= a
+      }
+      Iterator.single((pid, s, powA))
+    }.collect().sortBy(_._1)
+    val carries = new Array[Double](rdd.getNumPartitions)
+    var c = 0.0
+    stats.foreach { case (pid, sLast, powA) =>
+      carries(pid) = c; c = sLast + powA * c }
+    val bc = spark.sparkContext.broadcast(carries)
+    val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0.0; var pow = a; val c0 = bc.value(pid)
+      it.map { r =>
+        if (r.isNullAt(xIdx))
+          throw new IllegalArgumentException(
+            s"linearRecurrence: null $xCol — filter or impute first")
+        s = a * s + r.getDouble(xIdx)
+        val v = s + pow * c0; pow *= a
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v)
+      }
+    }
+    (spark.createDataFrame(rows, schema), () => { rdd.unpersist(); () })
+  }
+
+  /** Strict inversion count of a sequence (pairs i<j with v_i > v_j) by
+    * bottom-up merge sort — O(m log m), two flat double arrays. */
+  private[graft] def mergeCountInversions(arr: Array[Double]): Long = {
+    val m = arr.length
+    if (m < 2) return 0L
+    var src = arr; var dst = new Array[Double](m)
+    var inv = 0L; var width = 1
+    while (width < m) {
+      var lo = 0
+      while (lo < m) {
+        val mid = math.min(lo + width, m); val hi = math.min(lo + 2 * width, m)
+        var l = lo; var r = mid; var o = lo
+        while (l < mid && r < hi) {
+          if (src(r) < src(l)) { inv += mid - l; dst(o) = src(r); r += 1 }
+          else { dst(o) = src(l); l += 1 }
+          o += 1
+        }
+        while (l < mid) { dst(o) = src(l); l += 1; o += 1 }
+        while (r < hi) { dst(o) = src(r); r += 1; o += 1 }
+        lo += 2 * width
+      }
+      val t = src; src = dst; dst = t
+      width *= 2
+    }
+    inv
   }
 }

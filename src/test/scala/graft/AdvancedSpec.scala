@@ -212,7 +212,7 @@ class AdvancedSpec extends SparkSuite {
       (3L, 3.0, 30.0, 1.0, 2.0), (4L, 4.0, 40.0, 0.0, 2.0))
       .toDF("id", "a", "b", "c", "d")
     val cols = Seq("a", "b", "c", "d")
-    val out = Advanced.kendallCorrelationTable(df, cols, "id")
+    val out = Advanced.kendallCorrelationTable(df, cols)
       .collect()
       .map(r => r.getString(0) -> cols.indices.map(i => r.getDouble(i + 1))).toMap
     assert(math.abs(out("a")(cols.indexOf("b")) - 1.0) < 1e-12)
@@ -222,16 +222,117 @@ class AdvancedSpec extends SparkSuite {
     assert(math.abs(ad - 4.0 / math.sqrt(24.0)) < 1e-15, s"tau-b $ad")
   }
 
-  test("kendall refuses unbounded cartesian above maxRows") {
-    val big = spark.range(0, 100).select(col("id"),
-      col("id").cast("double").as("a"), (col("id") * 2).cast("double").as("b"))
-    val e = intercept[IllegalArgumentException] {
-      Advanced.kendallCorrelationTable(big, Seq("a", "b"), "id", maxRows = 50L)
+  test("inversionCount matches brute force (ties, partition counts)") {
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(0, 1, 2, 37, 500); domA <- Seq(3, 50); domB <- Seq(3, 40)) {
+      // heavy ties in both columns exercise equal-key runs and equal-b
+      // groups at bucket boundaries
+      val data = Seq.fill(n)((rnd.nextInt(domA).toDouble, rnd.nextInt(domB).toDouble))
+      val df = data.toDF("a", "b")
+      val sorted = data.sortBy(identity)
+      var brute = 0L
+      for (i <- sorted.indices; j <- i + 1 until sorted.length)
+        if (sorted(i)._2 > sorted(j)._2) brute += 1
+      for (parts <- Seq("1", "3", "7")) {
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try assert(Advanced.inversionCount(df, "a", "b") == brute,
+          s"n=$n domA=$domA domB=$domB parts=$parts")
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
     }
-    assert(e.getMessage.contains("all-pairs"))
-    // at or below the bound it runs
-    assert(Advanced.kendallCorrelationTable(big.limit(50), Seq("a", "b"), "id",
-      maxRows = 50L).count() == 2)
+  }
+
+  test("kendall distributed plan == pair-frame plan bit-exactly") {
+    val rnd = new scala.util.Random(7)
+    // ties, nulls, and enough rows that the sort spans several partitions
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 3000).map { i =>
+        org.apache.spark.sql.Row(i.toLong,
+          if (i % 211 == 0) null else rnd.nextInt(25).toDouble,
+          rnd.nextInt(400).toDouble,
+          if (i % 173 == 0) null else rnd.nextDouble() * 10,
+          rnd.nextInt(4).toDouble)
+      }, 5),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("d",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    val cols = Seq("a", "b", "c", "d")
+    def dump(maxRows: Long) =
+      Advanced.kendallCorrelationTable(df, cols, maxRows = maxRows)
+        .orderBy("column").collect()
+        .map(r => (r.getString(0), cols.indices.map(i =>
+          java.lang.Double.doubleToRawLongBits(r.getDouble(i + 1))).toSeq)).toSeq
+    // maxRows above n → pair frame; 0 → Knight's distributed plan
+    assert(dump(Long.MaxValue) == dump(0L))
+  }
+
+  test("linearRecurrenceKeyed == sequential per-key fold, bitwise") {
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 4000).map(i =>
+      (i.toLong, (i % 37).toLong, rnd.nextDouble() * 100 - 20))
+    val df = data.toDF("id", "k", "x").repartition(7)
+    val out = Advanced.linearRecurrenceKeyed(
+      df, Seq("k"), Seq("id"), "x", 0.9, "s")
+      .select("id", "s").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver-side replay: same op order per key
+    val expect = data.groupBy(_._2).flatMap { case (_, rows) =>
+      var s = 0.0
+      rows.sortBy(_._1).map { case (id, _, x) => s = 0.9 * s + x; id -> s }
+    }
+    assert(out.size == 4000)
+    expect.foreach { case (id, v) =>
+      assert(java.lang.Double.doubleToRawLongBits(out(id)) ==
+        java.lang.Double.doubleToRawLongBits(v), s"id=$id")
+    }
+    // null x fails loudly (Row.getDouble would silently read 0.0)
+    val withNull = Seq((1L, 1L, java.lang.Double.valueOf(1.0)),
+      (2L, 1L, null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "k", "x")
+    val e = intercept[org.apache.spark.SparkException] {
+      Advanced.linearRecurrenceKeyed(withNull, Seq("k"), Seq("id"), "x",
+        0.5, "s").collect()
+    }
+    assert(e.getMessage.contains("null x") || e.getCause != null)
+  }
+
+  test("linearRecurrence keyless segmented scan: exact on integer data, " +
+    "close on doubles") {
+    // integer-representable states: segmented carries are exact, so the
+    // distributed result must equal the sequential fold bitwise
+    val ints = (0 until 40).map(i => (i.toLong, ((i * 7) % 90 + 1).toDouble))
+    val dfI = ints.toDF("id", "x")
+    val (outI, cleanI) = Advanced.linearRecurrence(dfI, Seq("id"), "x", 2.0, "s")
+    val gotI = outI.select("id", "s").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    cleanI()
+    var s = 0.0
+    ints.foreach { case (id, x) =>
+      s = 2.0 * s + x
+      assert(gotI(id) == s, s"id=$id got=${gotI(id)} want=$s")
+    }
+    // general doubles: equal to sequential within reassociation tolerance
+    val rnd = new scala.util.Random(3)
+    val ds = (0 until 5000).map(i => (i.toLong, rnd.nextDouble() * 10 - 5))
+    val dfD = ds.toDF("id", "x").repartition(9)
+    val (outD, cleanD) = Advanced.linearRecurrence(dfD, Seq("id"), "x", 0.8, "s")
+    val gotD = outD.select("id", "s").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    cleanD()
+    var t = 0.0
+    ds.foreach { case (id, x) =>
+      t = 0.8 * t + x
+      assert(math.abs(gotD(id) - t) <= 1e-9 * (1.0 + math.abs(t)), s"id=$id")
+    }
   }
 
   test("probDistToLabel: argmax name, first column wins ties, NaN raises") {
