@@ -760,6 +760,28 @@ object ExtQueries {
         Seq("user_id"), Seq("ts", "event_id"), "value", 0.9, "decay")
         .select(col("event_id"), col("user_id"), col("decay"))
         .orderBy(col("event_id"))
+    },
+
+    // The projection/repair conveniences under the oracle gate in one
+    // chain: add-column (scalar lit broadcast), parse-column :relaxed?
+    // (try_cast + boolean `_unparsed` side column), remove-empty-columns
+    // (the all-null column must VANISH — schema_match proves it),
+    // rename-columns, remove-columns. Every 7th customer's numeric string
+    // is replaced by its market segment, which fails the long parse.
+    "q100_column_repair" -> { (s, dir) =>
+      val base = t(s, dir, "customer")
+        .withColumn("mixed",
+          when(col("c_custkey") % 7 === 0, col("c_mktsegment"))
+            .otherwise(round(col("c_acctbal") * 100).cast(LongType)
+              .cast(StringType)))
+        .addColumn("dead", lit(null).cast(StringType))
+        .addColumn("flag", "x")
+      graft.ops.Missing.removeEmptyColumns(
+          base.columnCastRelaxed("mixed", LongType))
+        .renameColumns("mixed" -> "cents", "mixed_unparsed" -> "cents_unparsed")
+        .dropColumns("c_name", "c_address", "c_nationkey", "c_phone",
+          "c_acctbal", "c_mktsegment", "c_comment")
+        .orderBy(col("c_custkey"))
     }
   )
 
@@ -1312,6 +1334,21 @@ object ExtQueries {
            SELECT e.event_id, e.user_id, e.x, e.rn, 0.9 * r.s + e.x AS s
            FROM rec r JOIN seq e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
          SELECT event_id, user_id, s AS decay FROM rec ORDER BY event_id""",
+
+    // relaxed-parse chain: TRY_CAST mirrors try_cast; the dropped all-null
+    // column and the renames are visible through the output schema.
+    "q100_column_repair" ->
+      """WITH m AS (
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment
+                       ELSE CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR)
+                  END AS mixed
+           FROM customer)
+         SELECT c_custkey,
+                TRY_CAST(mixed AS BIGINT) AS cents,
+                (mixed IS NOT NULL AND TRY_CAST(mixed AS BIGINT) IS NULL) AS cents_unparsed,
+                'x' AS flag
+         FROM m ORDER BY c_custkey""",
 
     "q51_head_tail" ->
       """SELECT o_orderkey, o_totalprice, part FROM (
