@@ -273,6 +273,20 @@ class AdvancedSpec extends SparkSuite {
           java.lang.Double.doubleToRawLongBits(r.getDouble(i + 1))).toSeq)).toSeq
     // maxRows above n → pair frame; 0 → Knight's distributed plan
     assert(dump(Long.MaxValue) == dump(0L))
+
+    // degenerate: a CONSTANT column makes its tau denominator 0 — both
+    // plans must land on the same bits (0/0 → the same canonical NaN)
+    val dfc = df.withColumn("e", lit(1.5))
+    val colsC = cols :+ "e"
+    def dumpC(maxRows: Long) =
+      Advanced.kendallCorrelationTable(dfc, colsC, maxRows = maxRows)
+        .orderBy("column").collect()
+        .map(r => (r.getString(0), colsC.indices.map(i =>
+          java.lang.Double.doubleToRawLongBits(r.getDouble(i + 1))).toSeq)).toSeq
+    val (pf, kn) = (dumpC(Long.MaxValue), dumpC(0L))
+    assert(pf == kn)
+    assert(pf.exists(_._2.exists(bits =>
+      java.lang.Double.longBitsToDouble(bits).isNaN)))
   }
 
   test("linearRecurrenceKeyed == sequential per-key fold, bitwise") {
