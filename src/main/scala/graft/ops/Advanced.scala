@@ -558,9 +558,10 @@ object Advanced {
     * driver, same two-pass shape as the distributed row index). The result
     * equals the sequential fold EXACTLY on integer-representable data and
     * to normal floating-point reassociation tolerance otherwise (the carry
-    * multiplication reassociates the fold — use [[linearRecurrenceKeyed]]
-    * or [[induction]] when bitwise sequential replay matters more than
-    * distribution). Returns the frame and a cleanup thunk (the sorted input
+    * multiplication reassociates the fold; range-partition boundaries come
+    * from sampling, so non-integer results may also move at last-ulp scale
+    * BETWEEN runs — use [[linearRecurrenceKeyed]] or [[induction]] when
+    * bitwise sequential replay matters more than distribution). Returns the frame and a cleanup thunk (the sorted input
     * is persisted so both passes see one partitioning — call the thunk
     * after the terminal action, same contract as doubledAvgRankTable). */
   def linearRecurrence(df: DataFrame, orderCols: Seq[String], xCol: String,

@@ -289,6 +289,24 @@ class AdvancedSpec extends SparkSuite {
       java.lang.Double.longBitsToDouble(bits).isNaN)))
   }
 
+  test("kendall distributed plan on full lineitem: sane table, no row bound") {
+    // the old implementation REFUSED anything above its row bound; the
+    // distributed plan must just run (6k rows here; the asymptotics carry)
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val out = Advanced.kendallCorrelationTable(li, cols, maxRows = 0L)
+      .orderBy("column").collect()
+    assert(out.length == 3)
+    val byName = out.map(r => r.getString(0) ->
+      cols.indices.map(i => r.getDouble(i + 1))).toMap
+    cols.foreach { c =>
+      assert(byName(c)(cols.indexOf(c)) == 1.0)
+      byName(c).foreach(v => assert(v >= -1.0 && v <= 1.0, s"$c: $v"))
+    }
+    // symmetric: tau(q, p) == tau(p, q)
+    assert(byName("l_quantity")(1) == byName("l_extendedprice")(0))
+  }
+
   test("linearRecurrenceKeyed == sequential per-key fold, bitwise") {
     val rnd = new scala.util.Random(11)
     val data = (0 until 4000).map(i =>

@@ -65,4 +65,32 @@ class CacheHygieneSpec extends SparkSuite {
     assert(spark.sparkContext.getPersistentRDDs.keySet.toSet
       .intersect(left).isEmpty)
   }
+
+  test("kendall (both plans) leaves no session cache") {
+    import graft.ops.Advanced
+    val df = spark.range(0, 2000).selectExpr(
+      "CAST(id % 37 AS DOUBLE) AS a", "CAST(id % 11 AS DOUBLE) AS b")
+    assert(newCaches {
+      Advanced.kendallCorrelationTable(df, Seq("a", "b")).count()
+    }.isEmpty)
+    assert(newCaches {
+      Advanced.kendallCorrelationTable(df, Seq("a", "b"), maxRows = 0L).count()
+    }.isEmpty)
+  }
+
+  test("linearRecurrence keyless cleanup thunk releases its cache") {
+    import graft.ops.Advanced
+    val df = spark.range(0, 1000).selectExpr("id", "CAST(id % 9 AS DOUBLE) AS x")
+    var clean: () => Unit = null
+    val left = newCaches {
+      val (out, c) = Advanced.linearRecurrence(df, Seq("id"), "x", 0.5, "s")
+      clean = c
+      out.count()
+    }
+    // the sorted input stays cached until the caller's thunk runs
+    assert(left.size == 1)
+    clean()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.toSet
+      .intersect(left).isEmpty)
+  }
 }
