@@ -782,6 +782,24 @@ object ExtQueries {
         .dropColumns("c_name", "c_address", "c_nationkey", "c_phone",
           "c_acctbal", "c_mktsegment", "c_comment")
         .orderBy(col("c_custkey"))
+    },
+
+    // KEYLESS as-of under the oracle gate: the carry distributes now
+    // (range-partitioned windows + O(P) boundary frame — Joins.scala
+    // keylessCarryDirectional); the oracle is DuckDB's native ASOF JOIN, an
+    // independent implementation of the same semantics. Latest purchase at
+    // or before each click, globally (no by key).
+    "q101_keyless_asof" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("ts").as("pts"), col("event_id").as("p_event_id"),
+          col("value").as("p_value"))
+      Joins.asofJoin(clicks, purchases, "ts", "pts", Seq.empty,
+          Joins.Backward, allowExactMatch = true)
+        .select(col("event_id"), col("p_event_id"), col("p_value"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -1334,6 +1352,16 @@ object ExtQueries {
            SELECT e.event_id, e.user_id, e.x, e.rn, 0.9 * r.s + e.x AS s
            FROM rec r JOIN seq e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
          SELECT event_id, user_id, s AS decay FROM rec ORDER BY event_id""",
+
+    // DuckDB's native ASOF JOIN — an independent implementation of
+    // backward-allow-exact as-of semantics — mirrors the keyless carry.
+    "q101_keyless_asof" ->
+      """WITH c AS (SELECT event_id, ts FROM events WHERE event_type = 'click'),
+            p AS (SELECT ts AS pts, event_id AS p_event_id, value AS p_value
+                  FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, p.p_event_id, p.p_value
+         FROM c ASOF LEFT JOIN p ON c.ts >= p.pts
+         ORDER BY c.event_id""",
 
     // relaxed-parse chain: TRY_CAST mirrors try_cast; the dropped all-null
     // column and the renames are visible through the output schema.

@@ -84,8 +84,9 @@ object Joins {
     * partition sort on (by, t), then `last(value, ignoreNulls)` over the
     * running window carries the most recent right-side match onto each left
     * row. One shuffle, no join explosion, no driver involvement; survives any
-    * skew AQE can split. With no `by` keys the window is global — callers get
-    * a documented single-reducer warning case, same as any global sort.
+    * skew AQE can split. With no `by` keys the carry DISTRIBUTES too
+    * (value-derived time buckets + an O(P)-row boundary-carry frame — see
+    * [[keylessCarryDirectional]]); no single-reducer window remains.
     *
     * Right payload columns come back null when no match exists (left join
     * padding, reference finalize-join-result join.clj:137-201).
@@ -188,14 +189,132 @@ object Joins {
     // matches count, left first (side desc) when strict.
     val tCol = if (forward) col("__t").desc else col("__t").asc
     val sideCol = if (allowExact) col("__side").asc else col("__side").desc
-    val w = Window
-      .partitionBy(byLeftNames.map(col): _*)
-      .orderBy(tCol, sideCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val carried = unioned.withColumn("__pc",
-      last(col("__p"), ignoreNulls = true).over(w))
+    val carried =
+      if (byLeftNames.isEmpty)
+        keylessCarryDirectional(unioned, forward, allowExact)
+      else {
+        val w = Window
+          .partitionBy(byLeftNames.map(col): _*)
+          .orderBy(tCol, sideCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        unioned.withColumn("__pc",
+          last(col("__p"), ignoreNulls = true).over(w))
+      }
     unpackPayload(carried.filter(col("__side") === 1), left, payload, "__pc")
+  }
+
+  /** Keyless (whole-table) as-of carry, DISTRIBUTED — the former global
+    * single-reducer window is gone. The time axis is cut into P buckets and
+    * the running `last(__p)` window runs PER BUCKET; an O(P)-row frame
+    * holds each bucket's final carry, a tiny window over it builds
+    * per-bucket carry-ins, and a broadcast join patches rows whose
+    * bucket-local carry is still null.
+    *
+    * The bucket id is a PURE FUNCTION OF THE TIME VALUE (quantile
+    * boundaries probed once up front, compiled into a balanced
+    * comparison tree): the carry plan references the bucketed frame in two
+    * branches, and a physical-partition id (`spark_partition_id` over a
+    * range exchange) is only consistent between branches when the exchange
+    * is literally reused — column pruning broke that and mis-carried rows
+    * at partition boundaries. Value-derived ids make the branches agree by
+    * construction, equal times can never straddle buckets, and the range
+    * exchange disappears (one hash exchange on the bucket id). The probe
+    * is one column-pruned pass (`approxQuantile` on the time axis) at
+    * operator-construction time; boundary quality affects only balance,
+    * never results. */
+  private def keylessCarryDirectional(unioned: DataFrame, forward: Boolean,
+                                      allowExact: Boolean): DataFrame = {
+    val tOrd = if (forward) col("__t").desc else col("__t").asc
+    val sOrd = if (allowExact) col("__side").asc else col("__side").desc
+    val tRev = if (forward) col("__t").asc else col("__t").desc
+    val sRev = if (allowExact) col("__side").desc else col("__side").asc
+    val bucketed = withTimeBucket(unioned)
+    val wLoc = Window.partitionBy("__pid").orderBy(tOrd, sOrd)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed
+      .withColumn("__pc_l", last(col("__p"), ignoreNulls = true).over(wLoc))
+      .withColumn("__rn_last",
+        row_number().over(Window.partitionBy("__pid").orderBy(tRev, sRev)))
+    val bounds = local.filter(col("__rn_last") === 1)
+      .select(col("__pid").as("__bpid"), col("__pc_l").as("__pend"))
+    // carry-in for bucket p = last non-null final carry among buckets
+    // EARLIER IN THE SORT ORDER (ascending time → lower ids precede;
+    // forward joins scan descending time → higher ids precede). O(P) rows —
+    // the single-task window here is over bucket COUNT, not data.
+    val bOrd = if (forward) col("__bpid").desc else col("__bpid").asc
+    val wCarry = Window.orderBy(bOrd)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bounds
+      .withColumn("__cin", last(col("__pend"), ignoreNulls = true).over(wCarry))
+      .select(col("__bpid"), col("__cin"))
+    local.join(broadcast(carry), col("__pid") === col("__bpid"), "left")
+      .withColumn("__pc", coalesce(col("__pc_l"), col("__cin")))
+  }
+
+  /** Quantile-bucket the tagged union's time axis: `__pid` = index of the
+    * value's bucket, assigned by a balanced `when()` comparison tree
+    * (codegen-friendly, O(log P) per row) over boundaries probed with one
+    * `approxQuantile` pass. Dates lift through timestamp; the double
+    * conversion only positions bucket CUTS — results never depend on it. */
+  private def withTimeBucket(unioned: DataFrame): DataFrame = {
+    val parts = unioned.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val num = unioned.schema("__t").dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        col("__t").cast("timestamp").cast("double")
+      case _ => col("__t").cast("double")
+    }
+    val probs = (1 until parts).map(_.toDouble / parts).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else unioned.select(num.as("__tn")).na.drop("all")
+        .stat.approxQuantile("__tn", probs, 0.001).distinct.sorted
+    // balanced search tree: bucket i holds values in [bounds(i-1), bounds(i))
+    def tree(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(num < lit(bounds(mid)), tree(lo, mid)).otherwise(tree(mid + 1, hi))
+      }
+    unioned.withColumn("__pid", tree(0, bounds.length))
+  }
+
+  /** Keyless `:nearest` carries, same boundary-patch shape as
+    * [[keylessCarryDirectional]] but BOTH directions ride one bucketed
+    * layout: the backward running-last and forward running-first windows
+    * share the bucket partitioning, and the O(P) boundary frame carries
+    * each bucket's final backward payload AND first forward payload. */
+  private def keylessCarryNearest(unioned: DataFrame): DataFrame = {
+    val (tOrd, sOrd) = (col("__t").asc, col("__side").asc)
+    val (tRev, sRev) = (col("__t").desc, col("__side").desc)
+    val sorted = withTimeBucket(unioned)
+    val base = Window.partitionBy("__pid").orderBy(tOrd, sOrd)
+    val local = sorted
+      .withColumn("__b_l", last(col("__p"), ignoreNulls = true)
+        .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__f_l", first(col("__p"), ignoreNulls = true)
+        .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("__rn_a", row_number().over(base))
+      .withColumn("__rn_d",
+        row_number().over(Window.partitionBy("__pid").orderBy(tRev, sRev)))
+    // exactly one row per pid has __rn_d===1 (resp. __rn_a===1), so the
+    // ignoreNulls first() is deterministic despite agg ordering
+    val bounds = local.groupBy(col("__pid").as("__bpid")).agg(
+      first(when(col("__rn_d") === 1, col("__b_l")), ignoreNulls = true)
+        .as("__pend"),
+      first(when(col("__rn_a") === 1, col("__f_l")), ignoreNulls = true)
+        .as("__pstart"))
+    val wCin = Window.orderBy(col("__bpid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCout = Window.orderBy(col("__bpid"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carry = bounds
+      .withColumn("__cin", last(col("__pend"), ignoreNulls = true).over(wCin))
+      .withColumn("__cout", first(col("__pstart"), ignoreNulls = true).over(wCout))
+      .select(col("__bpid"), col("__cin"), col("__cout"))
+    local.join(broadcast(carry), col("__pid") === col("__bpid"), "left")
+      .withColumn("__b", coalesce(col("__b_l"), col("__cin")))
+      .withColumn("__f", coalesce(col("__f_l"), col("__cout")))
   }
 
   /** :nearest (join.clj:716-744) in ONE pass: over the same tagged union and
@@ -216,14 +335,17 @@ object Joins {
     // right rows first on time ties → exact matches arrive via the backward
     // carry at distance 0 (and therefore win; the reference's :nearest has no
     // strict variant — asofJoin rejects Nearest + allowExactMatch=false)
-    val base = Window.partitionBy(byLeftNames.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
-    val wBack = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wFwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-
-    val carried = unioned
-      .withColumn("__b", last(col("__p"), ignoreNulls = true).over(wBack))
-      .withColumn("__f", first(col("__p"), ignoreNulls = true).over(wFwd))
+    val carried =
+      if (byLeftNames.isEmpty) keylessCarryNearest(unioned)
+      else {
+        val base = Window.partitionBy(byLeftNames.map(col): _*)
+          .orderBy(col("__t").asc, col("__side").asc)
+        val wBack = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wFwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        unioned
+          .withColumn("__b", last(col("__p"), ignoreNulls = true).over(wBack))
+          .withColumn("__f", first(col("__p"), ignoreNulls = true).over(wFwd))
+      }
 
     // distance basis: DateType can't cast straight to double — lift to
     // timestamp first; numerics/timestamps cast directly

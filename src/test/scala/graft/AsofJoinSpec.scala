@@ -155,4 +155,59 @@ class AsofJoinSpec extends SparkSuite {
     assert(out == expected)
     assert(out.contains((1L, 10L))) // the previously-dropped match
   }
+
+  test("keyless as-of (all 5 ops) == sequential brute force, across " +
+    "partition counts") {
+    // the keyless carry is now distributed (range partitions + boundary
+    // carry); brute-force every direction/strictness over data with time
+    // ties on both sides and stretches with no right rows at all
+    val rnd = new scala.util.Random(19)
+    val lRows = (0 until 400).map(i => (i.toLong, rnd.nextInt(120).toLong))
+    val rRows = (0 until 150).map(i =>
+      (rnd.nextInt(40).toLong * 3, 1000.0 + i)) // times 0,3,..,117 with dups
+    val l = lRows.toDF("lid", "t")
+    val r = rRows.toDF("rt", "px")
+    def brute(dir: String, exact: Boolean): Map[Long, Option[Double]] =
+      lRows.map { case (lid, t) =>
+        val cand = dir match {
+          case "b" => rRows.filter(p => if (exact) p._1 <= t else p._1 < t)
+          case "f" => rRows.filter(p => if (exact) p._1 >= t else p._1 > t)
+          case "n" => rRows
+        }
+        val best: Option[(Long, Double)] = dir match {
+          case "b" => if (cand.isEmpty) None else Some(cand.maxBy(_._1))
+          case "f" => if (cand.isEmpty) None else Some(cand.minBy(_._1))
+          case "n" => if (cand.isEmpty) None
+            else Some(cand.minBy(p => (math.abs(p._1 - t), p._1 - t)))
+          // nearest tie → backward wins (smaller rt), matching `<=` pick
+        }
+        // among equal rt duplicates any payload is a valid carry; compare
+        // the matched TIME, which is deterministic
+        lid -> best.map(_._1.toDouble)
+      }.toMap
+    for (parts <- Seq("1", "4", "13")) {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        val cases = Seq(
+          ("b", true, Joins.Backward), ("b", false, Joins.Backward),
+          ("f", true, Joins.Forward), ("f", false, Joins.Forward),
+          ("n", true, Joins.Nearest))
+        cases.foreach { case (d, exact, dir) =>
+          val got = Joins.asofJoin(l, r, "t", "rt", Seq.empty, dir, exact)
+            .collect()
+            .map(row => row.getAs[Long]("lid") ->
+              Option(row.getAs[Any]("rt")).map(_.asInstanceOf[Long].toDouble))
+            .toMap
+          val want = brute(d, exact)
+          assert(got.size == lRows.size, s"$d exact=$exact parts=$parts")
+          lRows.foreach { case (lid, t) =>
+            assert(got(lid) == want(lid),
+              s"$d exact=$exact parts=$parts lid=$lid t=$t: " +
+                s"got=${got(lid)} want=${want(lid)}")
+          }
+        }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
 }
