@@ -800,6 +800,16 @@ object ExtQueries {
           Joins.Backward, allowExactMatch = true)
         .select(col("event_id"), col("p_event_id"), col("p_value"))
         .orderBy(col("event_id"))
+    },
+
+    // KEYLESS fill-range under the oracle gate: the global lead now runs
+    // per value-derived bucket with an O(P) boundary-successor frame
+    // (Missing.keylessLead) instead of one global-window task.
+    "q102_fill_range_keyless" -> { (s, dir) =>
+      val base = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").cast(DoubleType).as("axis"),
+          col("o_totalprice"))
+      Missing.fillRange(base, "axis", 2.0)
     }
   )
 
@@ -1362,6 +1372,23 @@ object ExtQueries {
          SELECT c.event_id, p.p_event_id, p.p_value
          FROM c ASOF LEFT JOIN p ON c.ts >= p.pts
          ORDER BY c.event_id""",
+
+    // q88's densify arithmetic over a GLOBAL (keyless) lead.
+    "q102_fill_range_keyless" ->
+      """WITH base AS (
+           SELECT CAST(o_orderkey AS DOUBLE) AS axis, o_totalprice
+           FROM orders WHERE o_orderkey < 2000),
+         g AS (SELECT axis, lead(axis) OVER (ORDER BY axis) AS nxt FROM base),
+         st AS (SELECT axis, nxt,
+                 CAST(ceil((nxt - axis) / 2.0) AS INT) AS steps
+               FROM g WHERE nxt IS NOT NULL AND nxt - axis > 2.0),
+         ins AS (SELECT axis + (nxt - axis) * k / CAST(steps AS DOUBLE) AS axis,
+                        CAST(NULL AS DOUBLE) AS o_totalprice
+                 FROM st CROSS JOIN range(1, 4096) t(k)
+                 WHERE k <= steps - 1)
+         SELECT axis, o_totalprice FROM base
+         UNION ALL SELECT axis, o_totalprice FROM ins
+         ORDER BY axis""",
 
     // relaxed-parse chain: TRY_CAST mirrors try_cast; the dropped all-null
     // column and the renames are visible through the output schema.

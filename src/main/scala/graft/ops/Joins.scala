@@ -251,32 +251,16 @@ object Joins {
       .withColumn("__pc", coalesce(col("__pc_l"), col("__cin")))
   }
 
-  /** Quantile-bucket the tagged union's time axis: `__pid` = index of the
-    * value's bucket, assigned by a balanced `when()` comparison tree
-    * (codegen-friendly, O(log P) per row) over boundaries probed with one
-    * `approxQuantile` pass. Dates lift through timestamp; the double
-    * conversion only positions bucket CUTS — results never depend on it. */
+  /** Quantile-bucket the tagged union's time axis via [[ValueBuckets]]
+    * (dates lift through timestamp; the double conversion only positions
+    * bucket CUTS — results never depend on it). */
   private def withTimeBucket(unioned: DataFrame): DataFrame = {
-    val parts = unioned.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
     val num = unioned.schema("__t").dataType match {
       case org.apache.spark.sql.types.DateType =>
         col("__t").cast("timestamp").cast("double")
       case _ => col("__t").cast("double")
     }
-    val probs = (1 until parts).map(_.toDouble / parts).toArray
-    val bounds =
-      if (probs.isEmpty) Array.empty[Double]
-      else unioned.select(num.as("__tn")).na.drop("all")
-        .stat.approxQuantile("__tn", probs, 0.001).distinct.sorted
-    // balanced search tree: bucket i holds values in [bounds(i-1), bounds(i))
-    def tree(lo: Int, hi: Int): Column =
-      if (lo == hi) lit(lo)
-      else {
-        val mid = (lo + hi) / 2
-        when(num < lit(bounds(mid)), tree(lo, mid)).otherwise(tree(mid + 1, hi))
-      }
-    unioned.withColumn("__pid", tree(0, bounds.length))
+    ValueBuckets.assign(unioned, num, "__pid")
   }
 
   /** Keyless `:nearest` carries, same boundary-patch shape as

@@ -174,16 +174,20 @@ object Missing {
     *
     * Pass `partitionBy` (e.g. the series/user key) to densify each group's
     * axis independently — the window then shuffles on the key and scales.
-    * SCALE WARNING: the keyless form uses a global (partition-less) window —
-    * one task sees the whole axis; fine for a single series, wrong for a
-    * billion-row table. */
+    * The KEYLESS form distributes too: the axis is quantile-cut into P
+    * value-derived buckets ([[ValueBuckets]]), `lead` runs per bucket, and
+    * each bucket's last row takes its successor from an O(P)-row frame of
+    * bucket minima (first non-null minimum among FOLLOWING buckets) — no
+    * single global-window task. */
   def fillRange(df: DataFrame, axis: String, maxSpan: Double,
                 partitionBy: Seq[String] = Nil): DataFrame = {
-    val w =
-      if (partitionBy.isEmpty) Window.orderBy(col(axis))
-      else Window.partitionBy(partitionBy.map(col): _*).orderBy(col(axis))
-    val inserted = df
-      .withColumn("__next", lead(col(axis), 1).over(w))
+    val withNext =
+      if (partitionBy.isEmpty) keylessLead(df, axis)
+      else {
+        val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(col(axis))
+        df.withColumn("__next", lead(col(axis), 1).over(w))
+      }
+    val inserted = withNext
       // per-gap: number of inserted points so every step ≤ maxSpan
       // (materialized before the filter+generate — window exprs can't sit
       // inside a generator)
@@ -200,5 +204,30 @@ object Missing {
         (d, c) => d.withColumn(c, lit(null).cast(df.schema(c).dataType)))
     df.unionByName(padded.select(df.columns.map(col): _*))
       .orderBy((partitionBy.map(col) :+ col(axis)): _*)
+  }
+
+  /** Global (keyless) `lead(axis, 1)` without a global window: per-bucket
+    * lead + the bucket-boundary successor patched in from an O(P)-row
+    * frame. Only each bucket's LAST row has a null in-bucket lead; its true
+    * successor is the first non-null bucket-minimum among following buckets
+    * (empty and all-null-axis buckets fall through via ignoreNulls). The
+    * overall last row keeps a null `__next`, exactly like the global
+    * window. Ids come from [[ValueBuckets]], so every branch of this plan
+    * agrees on them by construction. */
+  private def keylessLead(df: DataFrame, axis: String): DataFrame = {
+    val bucketed = ValueBuckets.assign(df, col(axis), "__pid")
+    val wB = Window.partitionBy("__pid").orderBy(col(axis))
+    val local = bucketed.withColumn("__next",
+      lead(col(axis), 1).over(wB))
+    val mins = local.groupBy(col("__pid").as("__bpid"))
+      .agg(min(col(axis)).as("__bmin"))
+    val wNext = Window.orderBy(col("__bpid"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val succ = mins
+      .withColumn("__succ", first(col("__bmin"), ignoreNulls = true).over(wNext))
+      .select(col("__bpid"), col("__succ"))
+    local.join(broadcast(succ), col("__pid") === col("__bpid"), "left")
+      .withColumn("__next", coalesce(col("__next"), col("__succ")))
+      .drop("__pid", "__bpid", "__succ")
   }
 }

@@ -207,6 +207,26 @@ class CoreOpsSpec extends SparkSuite {
     assert(xs.sliding(2).forall(p => p(1) - p(0) <= 2.5 + 1e-9))
   }
 
+  test("keyless fillRange: bucketed lead == single-bucket result across " +
+    "partition counts") {
+    // the keyless lead distributes over value buckets; every bucket's last
+    // row must take its successor from the boundary frame, so the inserted
+    // grid cannot depend on the bucket count
+    val rnd = new scala.util.Random(23)
+    val xs = (0 until 300).map(_ => rnd.nextInt(5000).toDouble).distinct
+    val df = xs.map(x => (x, s"v$x")).toDF("x", "tag")
+    def grid(parts: String): Seq[Double] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try Missing.fillRange(df, "x", 7.0).orderBy("x")
+        .collect().map(_.getDouble(0)).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val one = grid("1")
+    assert(one.size > xs.size) // it actually inserted something
+    assert(grid("5") == one && grid("16") == one)
+  }
+
   test("fillRange with partition keys densifies per group, keeps the key") {
     val df = Seq(("u1", 0.0, "a"), ("u1", 10.0, "b"), ("u2", 0.0, "c"),
       ("u2", 5.0, "d")).toDF("u", "x", "tag")
