@@ -810,6 +810,35 @@ object ExtQueries {
         .select(col("o_orderkey").cast(DoubleType).as("axis"),
           col("o_totalprice"))
       Missing.fillRange(base, "axis", 2.0)
+    },
+
+    // drop-missing / select-missing / replace-missing :value under the
+    // oracle gate: nulls are planted deterministically, the kept branch
+    // comes from dropMissing, the missing branch from selectMissing with
+    // fillValue imputation — both visible in one tagged union.
+    "q103_missing_triage" -> { (s, dir) =>
+      val base = t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("event_id") % 5 === 0, lit(null).cast(DoubleType))
+            .otherwise(col("value")).as("v"))
+      val kept = Missing.dropMissing(base, Seq("v"))
+        .withColumn("status", lit("kept"))
+      val repaired = Missing.fillValue(Missing.selectMissing(base, Seq("v")),
+          Map("v" -> -1.0))
+        .withColumn("status", lit("was_missing"))
+      kept.unionByName(repaired).orderBy(col("event_id"))
+    },
+
+    // update-columnwise + filter-dataset column algebra under the oracle
+    // gate: every numeric column of the projection gets one transform; the
+    // column-algebra selection is visible through the output schema.
+    "q104_columnwise" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey"))
+        .numericColumns
+        .updateColumnsWhere(f => f.dataType == DoubleType, c => c * 2)
+        .orderBy(col("c_custkey"))
     }
   )
 
@@ -1372,6 +1401,22 @@ object ExtQueries {
          SELECT c.event_id, p.p_event_id, p.p_value
          FROM c ASOF LEFT JOIN p ON c.ts >= p.pts
          ORDER BY c.event_id""",
+
+    "q103_missing_triage" ->
+      """WITH base AS (
+           SELECT event_id,
+             CASE WHEN event_id % 5 = 0 THEN NULL
+                  ELSE value END AS v
+           FROM events)
+         SELECT event_id, v, 'kept' AS status FROM base WHERE v IS NOT NULL
+         UNION ALL
+         SELECT event_id, -1.0 AS v, 'was_missing' AS status
+         FROM base WHERE v IS NULL
+         ORDER BY event_id""",
+
+    "q104_columnwise" ->
+      """SELECT c_custkey, c_acctbal * 2 AS c_acctbal, c_nationkey
+         FROM customer ORDER BY c_custkey""",
 
     // q88's densify arithmetic over a GLOBAL (keyless) lead.
     "q102_fill_range_keyless" ->
