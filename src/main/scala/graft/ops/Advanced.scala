@@ -318,7 +318,7 @@ object Advanced {
     *    C = n0 − tA − tB + tAB − D from per-column / per-pair tie-run
     *    aggregations. No pair frame ever materializes — the former 100k-row
     *    refusal is gone; kendall now runs at any n (capacity bound: pair
-    *    counts overflow a long at n ≳ 4.2·10⁹ complete-case rows; above
+    *    counts overflow a long at n ≳ 3·10⁹ complete-case rows; above
     *    that a `require` fires).
     *
     * Rows with a null (or NaN) in any of `cols` are dropped first
@@ -372,9 +372,10 @@ object Advanced {
     * narrow shuffles), same pattern as [[spearmanCorrelationTable]]. */
   private def kendallDistributed(base: DataFrame, cols: Seq[String],
                                  n: Long): DataFrame = {
-    // n0 = n(n-1)/2 and every tie/inversion count is < n0; n(n-1) must fit
-    // a signed long
-    require(n < 4200000000L,
+    // n0 = n(n-1)/2 and every tie/inversion count is < n0; n(n-1) — and
+    // g(g-1) for a degenerate single tie-group of size g = n — must fit a
+    // signed long, so the bound is sqrt(Long.Max) ≈ 3.03e9
+    require(n < 3000000000L,
       s"kendall pair counts overflow 64-bit at n=$n complete-case rows")
     val n0 = n * (n - 1) / 2
     // Σ g·(g−1)/2 over groups of identical values: pairs tied on `gcols`.
@@ -467,9 +468,12 @@ object Advanced {
         Iterator.single(mergeCountInversions(it.map(_._2).toArray))
       }.fold(0L)(_ + _)
       val nSrc = tagged.getNumPartitions
-      // (bucket, fenwickInversions, perSrcPidCounts) per b-range bucket
+      // (bucket, fenwickInversions, perSrcPidCounts) per b-range bucket.
+      // The driver combines a B×P count matrix — cap B so that stays
+      // linear in the cluster's partition count (B·P ≤ 1024·P longs)
+      val bParts = math.min(parts, 1024)
       val buckets = tagged.toDF("pid", "b")
-        .repartitionByRange(parts, col("b"))
+        .repartitionByRange(bParts, col("b"))
         .rdd.mapPartitionsWithIndex { (bucket, it) =>
           val elems = it.map(r => (r.getInt(0), r.getDouble(1))).toArray
           java.util.Arrays.sort(elems, Ordering.by[(Int, Double), Double](_._2))
