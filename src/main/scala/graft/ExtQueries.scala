@@ -817,9 +817,14 @@ object ExtQueries {
     // comes from dropMissing, the missing branch from selectMissing with
     // fillValue imputation — both visible in one tagged union.
     "q103_missing_triage" -> { (s, dir) =>
+      // NaN normalizes to null first: dropMissing (na.drop) treats NaN as
+      // missing while selectMissing checks isNull only — an un-normalized
+      // NaN row would fall out of BOTH branches (and DuckDB's IS NULL
+      // would disagree). The fixture has no NaN; this keeps it robust.
       val base = t(s, dir, "events")
         .select(col("event_id"),
-          when(col("event_id") % 5 === 0, lit(null).cast(DoubleType))
+          when(col("event_id") % 5 === 0 || isnan(col("value")),
+            lit(null).cast(DoubleType))
             .otherwise(col("value")).as("v"))
       val kept = Missing.dropMissing(base, Seq("v"))
         .withColumn("status", lit("kept"))
@@ -1405,7 +1410,7 @@ object ExtQueries {
     "q103_missing_triage" ->
       """WITH base AS (
            SELECT event_id,
-             CASE WHEN event_id % 5 = 0 THEN NULL
+             CASE WHEN event_id % 5 = 0 OR isnan(value) THEN NULL
                   ELSE value END AS v
            FROM events)
          SELECT event_id, v, 'kept' AS status FROM base WHERE v IS NOT NULL
@@ -1418,7 +1423,10 @@ object ExtQueries {
       """SELECT c_custkey, c_acctbal * 2 AS c_acctbal, c_nationkey
          FROM customer ORDER BY c_custkey""",
 
-    // q88's densify arithmetic over a GLOBAL (keyless) lead.
+    // q88's densify arithmetic over a GLOBAL (keyless) lead. NOTE: the
+    // range(1, 4096) cross join caps inserted points per gap at 4095 —
+    // ample for orderkey gaps at maxSpan 2.0 (≤ ~40 steps); revisit the
+    // cap if the gap/maxSpan ratio ever approaches it.
     "q102_fill_range_keyless" ->
       """WITH base AS (
            SELECT CAST(o_orderkey AS DOUBLE) AS axis, o_totalprice

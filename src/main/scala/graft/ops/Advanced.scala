@@ -401,6 +401,10 @@ object Advanced {
         (Await.result(Future.sequence(fT), Duration.Inf).toMap,
           Await.result(Future.sequence(fTab), Duration.Inf).toMap,
           Await.result(Future.sequence(fD), Duration.Inf).toMap)
+      } catch {
+        // a failed sub-job must not leave queued siblings running their
+        // Spark jobs (and holding persisted RDDs) after we throw
+        case t: Throwable => pool.shutdownNow(); throw t
       } finally pool.shutdown()
     tauFrame(base.sparkSession, cols, n0, tA,
       { case (x, y) =>
@@ -533,6 +537,16 @@ object Advanced {
                             a: Double, out: String): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // key-run detection compares key values with Seq equality, which is
+    // REFERENCE equality for array-backed types — a binary/array key would
+    // silently reset the state on every row. Refuse loudly instead.
+    keyCols.foreach { k =>
+      val dt = df.schema(k).dataType
+      require(!dt.isInstanceOf[BinaryType] && !dt.isInstanceOf[ArrayType] &&
+        !dt.isInstanceOf[MapType],
+        s"linearRecurrenceKeyed: key column '$k' has array-backed type $dt " +
+          "(value equality unsupported) — cast it to a scalar key first")
+    }
     val sorted = df.withColumn(xCol, col(xCol).cast(DoubleType))
       .repartition(parts, keyCols.map(col): _*)
       .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
