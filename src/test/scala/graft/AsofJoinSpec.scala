@@ -210,4 +210,20 @@ class AsofJoinSpec extends SparkSuite {
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
   }
+
+  test("keyless as-of degenerate: all timestamps equal (single bucket)") {
+    // every row lands in one value bucket — the carry must still resolve
+    val l = (0 until 50).map(i => (i.toLong, 100L)).toDF("lid", "t")
+    val r = Seq((100L, 7.0), (100L, 7.0)).toDF("rt", "px")
+    val exact = Joins.asofJoin(l, r, "t", "rt", Seq.empty,
+        Joins.Backward, allowExactMatch = true).collect()
+    assert(exact.length == 50 && exact.forall(_.getAs[Double]("px") == 7.0))
+    val strict = Joins.asofJoin(l, r, "t", "rt", Seq.empty,
+        Joins.Backward, allowExactMatch = false).collect()
+    assert(strict.length == 50 && strict.forall(_.isNullAt(
+      strict.head.fieldIndex("px"))))
+    val nearest = Joins.asofJoin(l, r, "t", "rt", Seq.empty,
+        Joins.Nearest).collect()
+    assert(nearest.length == 50 && nearest.forall(_.getAs[Double]("px") == 7.0))
+  }
 }
