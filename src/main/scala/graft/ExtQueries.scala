@@ -844,6 +844,49 @@ object ExtQueries {
         .numericColumns
         .updateColumnsWhere(f => f.dataType == DoubleType, c => c * 2)
         .orderBy(col("c_custkey"))
+    },
+
+    // train-regression / predict-regression (reference tribuo.clj:285-301):
+    // closed-form simple linear regression from ONE exact-sum pass (six
+    // scalars to the driver), prediction as pure column arithmetic with the
+    // coefficients as plan literals. The oracle replays the identical op
+    // sequence (floor-scaled Int128 sums → slope/intercept → b0 + x·b1).
+    "q105_linreg" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val m = Ml.fitSimpleLinearRegression(li, "l_quantity", "l_extendedprice")
+      m.predict(li.filter(col("l_orderkey") < 500))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("prediction"))
+        // (l_orderkey, l_linenumber) is not unique in the synthetic data —
+        // the value columns complete the total order
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("prediction"))
+    },
+
+    // train-classification / predict-classification (reference
+    // tribuo.clj:232-273) as the closed-form nearest-centroid rule: fit is
+    // one groupBy(label) exact-sum aggregation (O(classes·d) readout),
+    // predict is a pinned-order argmin fold over pure column expressions.
+    // Output: the confusion matrix — any engine-divergent prediction on any
+    // of the 600k rows moves a count and fails the hash.
+    "q109_classify_centroid" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val m = Ml.fitNearestCentroid(li, Seq("l_quantity", "l_discount"),
+        "l_returnflag")
+      m.predict(li)
+        .groupBy(col("l_returnflag").as("actual"), col("prediction"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("actual"), col("prediction"))
+    },
+
+    // Per-group regression + evaluate-regression metrics
+    // (tribuo.clj:285-315) with NO driver round-trip: model and metrics
+    // materialize per group inside one distributed exact-sum aggregation —
+    // at 100 TB this fits one model per group in a single shuffle.
+    "q110_linreg_groups" -> { (s, dir) =>
+      Ml.linearRegressionByGroup(t(s, dir, "lineitem"), Seq("l_returnflag"),
+          "l_quantity", "l_extendedprice")
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -1422,6 +1465,91 @@ object ExtQueries {
     "q104_columnwise" ->
       """SELECT c_custkey, c_acctbal * 2 AS c_acctbal, c_nationkey
          FROM customer ORDER BY c_custkey""",
+
+    // Linear-regression mirror: replays fitSimpleLinearRegression's pinned
+    // op sequence — floor-scaled Int128 sums (x/x² at 1e4, y/x·y at 1e2),
+    // denom = n·sxx − sx·sx, slope, intercept, then b0 + x·b1 per row.
+    "q105_linreg" ->
+      """WITH st AS (
+           SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(FLOOR((l_quantity) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS sx,
+             CAST(SUM(CAST(FLOOR((l_extendedprice) * 100.0) AS DECIMAL(30,0))) AS DOUBLE) / 100.0 AS sy,
+             CAST(SUM(CAST(FLOOR((l_quantity * l_quantity) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS sxx,
+             CAST(SUM(CAST(FLOOR((l_quantity * l_extendedprice) * 100.0) AS DECIMAL(30,0))) AS DOUBLE) / 100.0 AS sxy
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         m AS (SELECT n, sx, sy,
+                 CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                      ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope
+               FROM st),
+         m2 AS (SELECT slope, (sy - slope * sx) / n AS intercept FROM m)
+         SELECT l_orderkey, l_linenumber, l_quantity,
+           m2.intercept + l_quantity * m2.slope AS prediction
+         FROM lineitem, m2 WHERE l_orderkey < 500
+         ORDER BY l_orderkey, l_linenumber, l_quantity, prediction""",
+
+    // Nearest-centroid mirror: exact-mean centroids per class, then the
+    // SAME argmin fold as CentroidModel.predict — labels visited in sorted
+    // order (A, then N, then R), strict < so ties keep the earlier label.
+    "q109_classify_centroid" ->
+      """WITH cen AS (
+           SELECT l_returnflag AS lab, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(FLOOR((l_quantity) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS s1,
+             CAST(SUM(CAST(FLOOR((l_discount) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS s2
+           FROM lineitem
+           WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+             AND l_discount IS NOT NULL
+           GROUP BY 1),
+         mu AS (SELECT
+             max(CASE WHEN lab = 'A' THEN s1 / n END) AS a1,
+             max(CASE WHEN lab = 'A' THEN s2 / n END) AS a2,
+             max(CASE WHEN lab = 'N' THEN s1 / n END) AS n1,
+             max(CASE WHEN lab = 'N' THEN s2 / n END) AS n2,
+             max(CASE WHEN lab = 'R' THEN s1 / n END) AS r1,
+             max(CASE WHEN lab = 'R' THEN s2 / n END) AS r2
+           FROM cen),
+         scored AS (SELECT l.l_returnflag,
+             (l.l_quantity - mu.a1) * (l.l_quantity - mu.a1)
+               + (l.l_discount - mu.a2) * (l.l_discount - mu.a2) AS sa,
+             (l.l_quantity - mu.n1) * (l.l_quantity - mu.n1)
+               + (l.l_discount - mu.n2) * (l.l_discount - mu.n2) AS sn,
+             (l.l_quantity - mu.r1) * (l.l_quantity - mu.r1)
+               + (l.l_discount - mu.r2) * (l.l_discount - mu.r2) AS sr
+           FROM lineitem l, mu),
+         f1 AS (SELECT l_returnflag,
+             CASE WHEN sn < sa THEN 'N' ELSE 'A' END AS bl,
+             CASE WHEN sn < sa THEN sn ELSE sa END AS bs, sr
+           FROM scored)
+         SELECT l_returnflag AS actual,
+           CASE WHEN sr < bs THEN 'R' ELSE bl END AS prediction,
+           COUNT(*) AS n
+         FROM f1 GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Per-group regression + metrics mirror: the q105 formula per group,
+    // plus sse = max(syy − b0·sy − b1·sxy, 0), sst = syy − sy²/n,
+    // r2 = 1 − sse/sst, rmse = √(sse/n) — identical op order to
+    // Ml.simpleRegressionFinish.
+    "q110_linreg_groups" ->
+      """WITH st AS (
+           SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(FLOOR((l_quantity) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS sx,
+             CAST(SUM(CAST(FLOOR((l_extendedprice) * 100.0) AS DECIMAL(30,0))) AS DOUBLE) / 100.0 AS sy,
+             CAST(SUM(CAST(FLOOR((l_quantity * l_quantity) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS sxx,
+             CAST(SUM(CAST(FLOOR((l_quantity * l_extendedprice) * 100.0) AS DECIMAL(30,0))) AS DOUBLE) / 100.0 AS sxy,
+             CAST(SUM(CAST(FLOOR((l_extendedprice * l_extendedprice) * 100.0) AS DECIMAL(30,0))) AS DOUBLE) / 100.0 AS syy
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+           GROUP BY l_returnflag),
+         m AS (SELECT *, CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                   ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope
+               FROM st),
+         m2 AS (SELECT *, (sy - slope * sx) / n AS intercept FROM m),
+         m3 AS (SELECT *, greatest(syy - intercept * sy - slope * sxy, 0.0) AS sse,
+                  syy - sy * sy / n AS sst FROM m2)
+         SELECT l_returnflag, n, slope, intercept,
+           CASE WHEN sst = 0 THEN 0.0 ELSE 1.0 - sse / sst END AS r2,
+           sqrt(sse / n) AS rmse
+         FROM m3 ORDER BY l_returnflag""",
 
     // q88's densify arithmetic over a GLOBAL (keyless) lead. NOTE: the
     // range(1, 4096) cross join caps inserted points per gap at 4095 —

@@ -234,4 +234,312 @@ object Ml {
     * Categorical.fitLabelMap), broadcast on the inverse join. */
   def labels(df: DataFrame, labelMap: DataFrame, codeName: String): DataFrame =
     graft.Categorical.invert(df, labelMap, codeName)
+
+  // ─── Model training / prediction (reference tribuo.clj:1-326:
+  //     train-regression / predict-regression / train-classification /
+  //     predict-classification / evaluate-regression). The reference
+  //     delegates training to the Tribuo JVM library; here the closed-form
+  //     models (linear regression, nearest-centroid classification) are
+  //     native exact-sum aggregations — deterministic, partition-invariant,
+  //     and SQL-replayable — and the iterative path (logistic) delegates to
+  //     MLlib the way the reference delegates to Tribuo. Prediction is
+  //     always pure column expressions (model parameters ride the plan as
+  //     literals; whole-stage codegen, no UDF, nothing shipped per-task). ───
+
+  /** Fitted linear model: prediction = intercept + Σᵢ coefᵢ·xᵢ, evaluated
+    * left-to-right in `features` order (pinned so an external engine can
+    * replay predictions bit-for-bit). */
+  case class LinearModel(features: Seq[String], intercept: Double,
+                         coefficients: Array[Double]) {
+    require(features.size == coefficients.length,
+      s"${features.size} features but ${coefficients.length} coefficients")
+    def predict(df: DataFrame, out: String = "prediction"): DataFrame =
+      df.withColumn(out,
+        features.zip(coefficients.toIndexedSeq).foldLeft(lit(intercept): Column) {
+          case (acc, (c, w)) => acc + col(c).cast(DoubleType) * lit(w)
+        })
+  }
+
+  /** The shared simple-regression arithmetic, pinned op-for-op (the DuckDB
+    * oracle mirrors this exact sequence — see q105/q110):
+    * denom = n·sxx − sx·sx; slope = (n·sxy − sx·sy)/denom (0 when denom=0);
+    * intercept = (sy − slope·sx)/n; sse = max(syy − intercept·sy − slope·sxy, 0);
+    * sst = syy − sy·sy/n; r2 = 1 − sse/sst (0 when sst=0); rmse = √(sse/n).
+    * Sums are pairwise-complete exact floor-scaled Int128 sums (isum):
+    * x and x² at `xDigits`, y / x·y / y² at `yDigits`. */
+  private def simpleRegressionAggs(x: String, y: String, xDigits: Int,
+                                   yDigits: Int): Seq[Column] = {
+    val xc = col(x).cast(DoubleType)
+    val yc = col(y).cast(DoubleType)
+    val both = xc.isNotNull && yc.isNotNull
+    def s(c: Column, d: Int) = isum(when(both, c), d)
+    Seq(
+      count(when(both, lit(1))).cast(DoubleType).as("n"),
+      s(xc, xDigits).as("sx"), s(yc, yDigits).as("sy"),
+      s(xc * xc, xDigits).as("sxx"), s(xc * yc, yDigits).as("sxy"),
+      s(yc * yc, yDigits).as("syy"))
+  }
+
+  private def simpleRegressionFinish(df: DataFrame): DataFrame = {
+    val n = col("n"); val sx = col("sx"); val sy = col("sy")
+    val sxx = col("sxx"); val sxy = col("sxy"); val syy = col("syy")
+    val denom = n * sxx - sx * sx
+    val slope = when(denom === 0, lit(0.0))
+      .otherwise((n * sxy - sx * sy) / denom)
+    df.withColumn("slope", slope)
+      .withColumn("intercept", (sy - col("slope") * sx) / n)
+      .withColumn("sse",
+        greatest(syy - col("intercept") * sy - col("slope") * sxy, lit(0.0)))
+      .withColumn("sst", syy - sy * sy / n)
+      .withColumn("r2",
+        when(col("sst") === 0, lit(0.0)).otherwise(lit(1.0) - col("sse") / col("sst")))
+      .withColumn("rmse", sqrt(col("sse") / n))
+      .drop("sx", "sy", "sxx", "sxy", "syy", "sse", "sst")
+  }
+
+  /** Simple (one-feature) linear regression, closed form from ONE exact-sum
+    * aggregation — the driver reads back six scalars, nothing else.
+    * Reference: train-regression/predict-regression tribuo.clj:285-301. */
+  def fitSimpleLinearRegression(df: DataFrame, x: String, y: String,
+                                xDigits: Int = 4, yDigits: Int = 2): LinearModel = {
+    val aggs = simpleRegressionAggs(x, y, xDigits, yDigits)
+    val row = simpleRegressionFinish(df.agg(aggs.head, aggs.tail: _*))
+      .select(col("intercept"), col("slope")).collect()(0)
+    LinearModel(Seq(x), row.getDouble(0), Array(row.getDouble(1)))
+  }
+
+  /** Per-group simple linear regression WITH evaluation metrics
+    * (n/slope/intercept/r2/rmse — the reference's evaluate-regression
+    * surface, tribuo.clj:302-315), fully distributed: one exact-sum
+    * aggregation, model + metrics materialize per group with no driver
+    * round-trip. Parity-plus: the reference fits one model per call. */
+  def linearRegressionByGroup(df: DataFrame, groupCols: Seq[String],
+                              x: String, y: String, xDigits: Int = 4,
+                              yDigits: Int = 2): DataFrame = {
+    val aggs = simpleRegressionAggs(x, y, xDigits, yDigits)
+    simpleRegressionFinish(
+      df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** Deterministic in-place Gaussian elimination with partial pivoting on a
+    * small (d+1)×(d+1) driver-side system (scalar work only — the data never
+    * leaves the executors). Ties in pivot selection go to the lowest row
+    * index; singular systems raise. */
+  private[graft] def gaussSolve(a0: Array[Array[Double]],
+                                b0: Array[Double]): Array[Double] = {
+    val d = b0.length
+    val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
+    val b = b0.clone()
+    for (k <- 0 until d) {
+      var piv = k
+      for (r <- k + 1 until d) if (math.abs(a(r)(k)) > math.abs(a(piv)(k))) piv = r
+      if (a(piv)(k) == 0.0)
+        throw new IllegalArgumentException(
+          "singular normal equations: features are linearly dependent")
+      if (piv != k) { val t = a(piv); a(piv) = a(k); a(k) = t
+        val tb = b(piv); b(piv) = b(k); b(k) = tb }
+      for (r <- k + 1 until d) {
+        val f = a(r)(k) / a(k)(k)
+        for (c <- k until d) a(r)(c) -= f * a(k)(c)
+        b(r) -= f * b(k)
+      }
+    }
+    val xs = new Array[Double](d)
+    for (k <- d - 1 to 0 by -1) {
+      var s = b(k)
+      for (c <- k + 1 until d) s -= a(k)(c) * xs(c)
+      xs(k) = s / a(k)(k)
+    }
+    xs
+  }
+
+  /** Multivariate linear regression by exact-sum normal equations: ONE pass
+    * accumulates X'X (intercept column included) and X'y as Int128 sums —
+    * partition-invariant, so refits are bit-identical on any cluster layout —
+    * then the (d+1)×(d+1) solve runs driver-side (O(d³) on scalars).
+    * `colScale` as fitPca: per-column floor-scale for product sums (default
+    * 4; lower it for columns whose pairwise products reach ~1e10).
+    * Reference: train-regression tribuo.clj:285-291 (multi-feature). */
+  def fitLinearRegression(df: DataFrame, features: Seq[String], target: String,
+                          colScale: Map[String, Int] = Map.empty): LinearModel = {
+    val d = features.size
+    require(d >= 1, "need at least one feature")
+    def sc(a: String, b: String): Int =
+      math.min(colScale.getOrElse(a, 4), colScale.getOrElse(b, 4))
+    val cols = features :+ target
+    val complete = cols.map(c => col(c).isNotNull).reduce(_ && _)
+    def s(c: Column, dig: Int) = isum(when(complete, c), dig)
+    val pairs = for (i <- 0 until d; j <- i until d) yield (i, j)
+    val aggs =
+      count(when(complete, lit(1))).cast(DoubleType).as("__n") +:
+        (features.map(c => s(col(c).cast(DoubleType), sc(c, c)).as(s"__s_$c")) ++
+          pairs.map { case (i, j) =>
+            s(col(features(i)).cast(DoubleType) * col(features(j)).cast(DoubleType),
+              sc(features(i), features(j))).as(s"__p_${i}_$j") } ++
+          (s(col(target).cast(DoubleType), sc(target, target)).as("__sy") +:
+            features.zipWithIndex.map { case (c, i) =>
+              s(col(c).cast(DoubleType) * col(target).cast(DoubleType),
+                sc(c, target)).as(s"__q_$i") }))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def g(name: String) = row.getDouble(row.fieldIndex(name))
+    val n = g("__n")
+    require(n > d, s"need more than ${d} complete rows, got ${n.toLong}")
+    // normal equations with intercept: A = [[n, sxᵀ], [sx, X'X]], b = [sy, X'y]
+    val a = Array.ofDim[Double](d + 1, d + 1)
+    val b = new Array[Double](d + 1)
+    a(0)(0) = n
+    features.zipWithIndex.foreach { case (c, i) =>
+      a(0)(i + 1) = g(s"__s_$c"); a(i + 1)(0) = a(0)(i + 1)
+    }
+    pairs.foreach { case (i, j) =>
+      a(i + 1)(j + 1) = g(s"__p_${i}_$j"); a(j + 1)(i + 1) = a(i + 1)(j + 1)
+    }
+    b(0) = g("__sy")
+    (0 until d).foreach(i => b(i + 1) = g(s"__q_$i"))
+    val beta = gaussSolve(a, b)
+    LinearModel(features, beta(0), beta.drop(1))
+  }
+
+  /** RMSE / MAE / R² of a prediction column (reference evaluate-regression
+    * tribuo.clj:302-315 → RegressionEvaluator). Residual sums are floor-
+    * scaled exact sums at `digits` (deterministic across partition layouts;
+    * granularity 10^-digits — not an infinite-precision metric, a
+    * reproducible one). Returns a 1-row frame (n, rmse, mae, r2). */
+  def evaluateRegression(df: DataFrame, actual: String, predicted: String,
+                         digits: Int = 6): DataFrame = {
+    val y = col(actual).cast(DoubleType)
+    val p = col(predicted).cast(DoubleType)
+    val both = y.isNotNull && p.isNotNull
+    val r = y - p
+    val n = count(when(both, lit(1))).cast(DoubleType)
+    val agg = df.agg(
+      n.as("n"),
+      isum(when(both, r * r), digits).as("__sse"),
+      isum(when(both, abs(r)), digits).as("__sae"),
+      isum(when(both, y), digits).as("__sy"),
+      isum(when(both, y * y), digits).as("__syy"))
+    agg.withColumn("rmse", sqrt(greatest(col("__sse"), lit(0.0)) / col("n")))
+      .withColumn("mae", col("__sae") / col("n"))
+      .withColumn("sst", col("__syy") - col("__sy") * col("__sy") / col("n"))
+      .withColumn("r2", when(col("sst") === 0, lit(0.0))
+        .otherwise(lit(1.0) - col("__sse") / col("sst")))
+      .select(col("n"), col("rmse"), col("mae"), col("r2"))
+  }
+
+  /** Fitted nearest-centroid (Rocchio) classifier: per-class exact-mean
+    * centroids, sorted by label. Predict = argmin of the squared euclidean
+    * distance, computed per class in pinned feature order with ties going to
+    * the FIRST (smallest) label — pure column expressions replayable by an
+    * external engine (q109's oracle replays the same fold in SQL).
+    * Reference surface: train-classification / predict-classification
+    * tribuo.clj:232-273 (the reference delegates to Tribuo trainers; the
+    * centroid rule is this engine's closed-form, shuffle-once equivalent). */
+  case class CentroidModel(features: Seq[String],
+                           centroids: Seq[(String, Array[Double])]) {
+    def predict(df: DataFrame, out: String = "prediction"): DataFrame = {
+      val scored = centroids.map { case (label, mu) =>
+        val dist = features.zip(mu.toIndexedSeq).map { case (c, m) =>
+          val dcol = col(c).cast(DoubleType) - lit(m)
+          dcol * dcol
+        }.reduce(_ + _)
+        (label, dist)
+      }
+      val (bestLabel, _) = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+        case ((bl, bs), (l, sc)) =>
+          (when(sc < bs, lit(l)).otherwise(bl), when(sc < bs, sc).otherwise(bs))
+      }
+      df.withColumn(out, bestLabel)
+    }
+  }
+
+  /** Fit = one groupBy(label) exact-sum aggregation; the driver reads back
+    * O(classes · d) scalars. Null-labeled or incomplete rows are excluded
+    * (the reference's missing-label rows cannot form Tribuo examples either). */
+  def fitNearestCentroid(df: DataFrame, features: Seq[String],
+                         labelCol: String, digits: Int = 4): CentroidModel = {
+    val complete = (col(labelCol).isNotNull +:
+      features.map(c => col(c).isNotNull)).reduce(_ && _)
+    val aggs = count(when(complete, lit(1))).cast(DoubleType).as("__n") +:
+      features.map(c =>
+        isum(when(complete, col(c).cast(DoubleType)), digits).as(s"__s_$c"))
+    val rows = df.filter(col(labelCol).isNotNull)
+      .groupBy(col(labelCol).cast(StringType).as("__label"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val cents = rows.map { r =>
+      val n = r.getDouble(r.fieldIndex("__n"))
+      require(n > 0, s"class ${r.getString(0)} has no complete rows")
+      (r.getString(r.fieldIndex("__label")),
+        features.map(c => r.getDouble(r.fieldIndex(s"__s_$c")) / n).toArray)
+    }.sortBy(_._1).toSeq
+    CentroidModel(features, cents)
+  }
+
+  /** Fitted linear (softmax) classifier: per-class scores
+    * score_c = intercept_c + Σᵢ w_ci·xᵢ as pure column expressions;
+    * `predict` emits the argmax label (ties → first label) plus one
+    * probability column PER LABEL — the reference's predict-classification
+    * output shape (tribuo.clj:239-273: :prediction + a column per class). */
+  case class LinearClassifierModel(features: Seq[String], labels: Seq[String],
+                                   intercepts: Array[Double],
+                                   weights: Array[Array[Double]]) {
+    def predict(df: DataFrame, out: String = "prediction"): DataFrame = {
+      val scores = labels.indices.map { ci =>
+        features.zipWithIndex.foldLeft(lit(intercepts(ci)): Column) {
+          case (acc, (c, i)) => acc + col(c).cast(DoubleType) * lit(weights(ci)(i))
+        }
+      }
+      // numerically-stable softmax: shift by the max score before exp
+      val mx = scores.reduce((a, b) => greatest(a, b))
+      val exps = scores.map(s => exp(s - mx))
+      val z = exps.reduce(_ + _)
+      val withProbs = labels.zip(exps).foldLeft(df) { case (d, (l, e)) =>
+        d.withColumn(s"prob_$l", e / z)
+      }
+      val (bestLabel, _) = labels.zip(scores).tail
+        .foldLeft((lit(labels.head), scores.head)) { case ((bl, bs), (l, sc)) =>
+          (when(sc > bs, lit(l)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+        }
+      withProbs.withColumn(out, bestLabel)
+    }
+  }
+
+  /** Multinomial logistic regression via MLlib (the iterative path — the
+    * reference routes exactly this class of trainer to Tribuo,
+    * tribuo.clj:232-238). Labels are indexed alphabetically (deterministic,
+    * engine-independent); the fitted coefficient matrix is read back into a
+    * plain LinearClassifierModel so prediction is codegen column arithmetic,
+    * with no MLlib vector UDT or model object in the scoring plan.
+    * L-BFGS on the convex multinomial objective with fixed tol/maxIter is
+    * deterministic for a given aggregation order; exact refit equality is
+    * spec-pinned (MlModelSpec) on a fixed layout, and coefficients are
+    * layout-stable to optimizer tolerance. */
+  def fitLogisticRegression(df: DataFrame, features: Seq[String],
+                            labelCol: String, maxIter: Int = 100,
+                            regParam: Double = 0.0,
+                            tol: Double = 1e-9): LinearClassifierModel = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    val labels = df.select(col(labelCol).cast(StringType)).na.drop()
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    require(labels.size >= 2, s"need ≥2 classes, got ${labels.size}")
+    val idx = labels.zipWithIndex.toMap
+    val idxExpr = labels.foldLeft(lit(null).cast(DoubleType)) { (acc, l) =>
+      when(col(labelCol).cast(StringType) === l, lit(idx(l).toDouble)).otherwise(acc)
+    }
+    val complete = (col(labelCol).isNotNull +:
+      features.map(c => col(c).isNotNull)).reduce(_ && _)
+    val train = new VectorAssembler().setInputCols(features.toArray)
+      .setOutputCol("__fv")
+      .transform(df.filter(complete).withColumn("__label", idxExpr))
+    val lr = new LogisticRegression().setFamily("multinomial")
+      .setFeaturesCol("__fv").setLabelCol("__label")
+      .setMaxIter(maxIter).setRegParam(regParam).setTol(tol)
+      .setStandardization(true).setFitIntercept(true)
+    val m = lr.fit(train)
+    val cm = m.coefficientMatrix
+    val weights = Array.tabulate(labels.size, features.size)((r, c) => cm(r, c))
+    LinearClassifierModel(features, labels,
+      m.interceptVector.toArray, weights)
+  }
 }
