@@ -887,6 +887,19 @@ object ExtQueries {
       Ml.linearRegressionByGroup(t(s, dir, "lineitem"), Seq("l_returnflag"),
           "l_quantity", "l_extendedprice")
         .orderBy(col("l_returnflag"))
+    },
+
+    // FULL descriptive-stats (reference dataset_api.clj:1300-1399
+    // all-descriptive-stats-names): n_valid/n_missing/min/q1/mean/mode/
+    // median/q3/max/stddev/skew/n_distinct/first/last in ONE call — exact
+    // third-moment skew, keyed first/last (o_orderkey is unique), quartiles
+    // by distributed rank-selection, mode via min_by (no global window).
+    "q106_descriptive_full" -> { (s, dir) =>
+      Reductions.descriptiveStatsFull(t(s, dir, "orders"),
+        Seq("o_totalprice", "o_custkey"), orderCol = Some("o_orderkey"),
+        squareScale = Map("o_totalprice" -> 0, "o_custkey" -> 2),
+        cubeDiv = Map("o_totalprice" -> 10000.0, "o_custkey" -> 100.0))
+        .orderBy(col("column"))
     }
   )
 
@@ -1524,6 +1537,45 @@ object ExtQueries {
            CASE WHEN sr < bs THEN 'R' ELSE bl END AS prediction,
            COUNT(*) AS n
          FROM f1 GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Full descriptive-stats mirror: per-column branch replaying the exact
+    // raw-moment sums (x at 1e4, x² at the column's squareScale, x³ coarse
+    // floor-div), the pinned skew sequence (Σ(x−μ)³ = sxxx − 3μ·sxx +
+    // 2μ²·sx; G1 = n/((n−1)(n−2))·m3/s³), quantile_cont quartiles (proven
+    // equal to the rank-selection interpolation by q65), min_by-equivalent
+    // mode (ORDER BY n DESC, v ASC LIMIT 1), and arg_min/arg_max first/last
+    // on the unique o_orderkey.
+    "q106_descriptive_full" -> {
+      def branch(c: String, dtype: String, sqP: Long, cubeDiv: Long): String =
+        s"""SELECT '$c' AS "column", '$dtype' AS datatype, n_valid, n_missing,
+             min, q1, mu AS mean, mode, median, q3, max, stddev,
+             CASE WHEN n_valid < 3 OR ssamp = 0 THEN 0.0
+                  ELSE (n / ((n - 1.0) * (n - 2.0)))
+                       * ((sxxx - 3.0 * mu * sxx + 2.0 * mu * mu * sx)
+                          / (ssamp * ssamp * ssamp)) END AS skew,
+             n_distinct, first, last
+           FROM (SELECT *, sx / n AS mu,
+               sqrt(greatest((sxx - sx * sx / n) / n, 0.0)) AS stddev,
+               sqrt(greatest((sxx - sx * sx / n) / (n - 1.0), 0.0)) AS ssamp
+             FROM (SELECT COUNT($c) AS n_valid, CAST(COUNT($c) AS DOUBLE) AS n,
+               CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+               CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max,
+               quantile_cont($c, 0.25) AS q1, quantile_cont($c, 0.5) AS median,
+               quantile_cont($c, 0.75) AS q3,
+               COUNT(DISTINCT $c) AS n_distinct,
+               CAST(arg_min($c, o_orderkey) AS DOUBLE) AS first,
+               CAST(arg_max($c, o_orderkey) AS DOUBLE) AS last,
+               CAST(SUM(CAST(FLOOR(($c) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS sx,
+               CAST(SUM(CAST(FLOOR((CAST($c AS DOUBLE) * CAST($c AS DOUBLE)) * $sqP.0) AS DECIMAL(30,0))) AS DOUBLE) / $sqP.0 AS sxx,
+               CAST(SUM(CAST(FLOOR((CAST($c AS DOUBLE) * CAST($c AS DOUBLE) * CAST($c AS DOUBLE)) / $cubeDiv.0) AS DECIMAL(30,0))) AS DOUBLE) * $cubeDiv.0 AS sxxx,
+               (SELECT v FROM (SELECT CAST($c AS DOUBLE) AS v, COUNT(*) AS cnt
+                  FROM orders WHERE $c IS NOT NULL GROUP BY 1)
+                ORDER BY cnt DESC, v ASC LIMIT 1) AS mode
+             FROM orders) t1) t2"""
+      Seq(branch("o_totalprice", "double", 1L, 10000L),
+        branch("o_custkey", "bigint", 100L, 100L))
+        .mkString("SELECT * FROM (", " UNION ALL ", ") u ORDER BY \"column\"")
+    },
 
     // Per-group regression + metrics mirror: the q105 formula per group,
     // plus sse = max(syy − b0·sy − b1·sxy, 0), sst = syy − sy²/n,

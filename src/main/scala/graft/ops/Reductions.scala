@@ -210,6 +210,159 @@ object Reductions {
     out.toDF("column", "min", "q1", "median", "q3", "max")
   }
 
+  /** Coarse exact sum for large-magnitude products (third moments, big
+    * squares): floor(x/div) summed exactly in Int128, scaled back by div.
+    * Granularity `div` absolute — deterministic on any engine, PROVIDED div
+    * is exactly double-representable (use powers of ten ≥ 1; 0.01-style
+    * divisors are not exact in binary and would drift between engines). */
+  def isumCoarse(c: Column, div: Double): Column = {
+    require(div >= 1 && div == math.rint(div), s"div must be an integer ≥ 1, got $div")
+    call_function("graft_sum128", floor(c / lit(div)).cast(LongType), lit(0))
+      .cast(DoubleType) * lit(div)
+  }
+
+  /** FULL descriptive-stats (reference dataset_api.clj:1300-1399
+    * all-descriptive-stats-names, numeric variant): ONE call → one row per
+    * column with column/datatype/n_valid/n_missing/min/q1/mean/mode/median/
+    * q3/max/stddev/skew/n_distinct/first/last.
+    *
+    * Scale design: one exact-sum aggregation over all columns (x, x², x³
+    * Int128 sums + count-distinct + keyed first/last), then PER COLUMN —
+    * submitted concurrently — a distributed quartile rank-selection (the
+    * briefStats sort/zipWithIndex pick; no O(n) agg buffer) and a mode
+    * aggregation over the column's value-count frame. Driver traffic is
+    * O(cols) scalars.
+    *
+    * `orderCol`: unique key defining first/last via min_by/max_by — engine-
+    * independent and shuffle-stable. None falls back to the reference's
+    * positional semantics (limit(1)/tail(1) — tied to scan order; fine
+    * single-file, not oracle-checkable across engines).
+    *
+    * skew: sample skewness G1 = n/((n−1)(n−2)) · Σ(x−μ)³/s³ (the
+    * commons-math convention the reference's dfn/descriptive-statistics
+    * follows), computed from exact raw-moment sums with pinned op order —
+    * Σ(x−μ)³ = sxxx − 3μ·sxx + 2μ²·sx — and 0.0 when n<3 or s=0 (avoids a
+    * cross-engine NaN/NULL mismatch). `cubeDiv` coarsens the x³ sum for
+    * large-magnitude columns (e.g. 1e4 for values up to ~5e5, keeping
+    * floor(x³/div) under the Int128 addend bound); `squareScale` as
+    * descriptiveStats. */
+  def descriptiveStatsFull(df: DataFrame, cols: Seq[String],
+                           orderCol: Option[String] = None,
+                           squareScale: Map[String, Int] = Map.empty,
+                           cubeDiv: Map[String, Double] = Map.empty): DataFrame = {
+    val spark = df.sparkSession
+    val aggs: Seq[Column] = cols.flatMap { c0 =>
+      val c = col(c0)
+      val cube = c.cast(DoubleType) * c.cast(DoubleType) * c.cast(DoubleType)
+      Seq(
+        count(c).as(s"${c0}__nvalid"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${c0}__nmissing"),
+        min(c).cast(DoubleType).as(s"${c0}__min"),
+        max(c).cast(DoubleType).as(s"${c0}__max"),
+        isum(c, 4).as(s"${c0}__sx"),
+        isum(c * c, squareScale.getOrElse(c0, 4)).as(s"${c0}__sxx"),
+        cubeDiv.get(c0).map(d => isumCoarse(cube, d))
+          .getOrElse(isum(cube, 4)).as(s"${c0}__sxxx"),
+        countDistinct(c).as(s"${c0}__nd")) ++
+        orderCol.toSeq.flatMap { o =>
+          Seq(min_by(c, col(o)).cast(DoubleType).as(s"${c0}__first"),
+            max_by(c, col(o)).cast(DoubleType).as(s"${c0}__last"))
+        }
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val row = wide.collect()(0)
+    // positional fallback: ONE head + ONE tail job for all columns
+    val (posFirst, posLast) =
+      if (orderCol.isDefined) (null, null)
+      else {
+        val sel = df.select(cols.map(c => col(c).cast(DoubleType)): _*)
+        (sel.limit(1).collect().headOption.orNull,
+          sel.tail(1).headOption.orNull)
+      }
+    import spark.implicits._
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(cols.size, 8)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val dtypes = cols.map(c => c -> df.schema(c).dataType.simpleString).toMap
+    val futures = cols.map { c0 =>
+      Future {
+        def g(s: String): Double = {
+          val v = row.get(wide.columns.indexOf(s"${c0}__$s"))
+          if (v == null) Double.NaN else v match {
+            case d: Double => d
+            case l: Long => l.toDouble
+            case o => o.toString.toDouble
+          }
+        }
+        val nv = row.getLong(row.fieldIndex(s"${c0}__nvalid"))
+        val n = nv.toDouble
+        val sx = g("sx"); val sxx = g("sxx"); val sxxx = g("sxxx")
+        val mu = sx / n
+        val stddev = math.sqrt(math.max((sxx - sx * sx / n) / n, 0.0))
+        val sSamp =
+          if (nv > 1) math.sqrt(math.max((sxx - sx * sx / n) / (n - 1.0), 0.0))
+          else 0.0
+        val m3 = sxxx - 3.0 * mu * sxx + 2.0 * mu * mu * sx
+        val skew =
+          if (nv < 3 || sSamp == 0.0) 0.0
+          else (n / ((n - 1.0) * (n - 2.0))) * (m3 / (sSamp * sSamp * sSamp))
+        // distributed quartile rank-selection (briefStats formula:
+        // (hi−p)·v_lo + (p−lo)·v_hi at p = q·(n−1) — quantile_cont-exact)
+        val (q1, med, q3) =
+          if (nv == 0) (Double.NaN, Double.NaN, Double.NaN)
+          else {
+            val targets: Set[Long] = Seq(0.25, 0.5, 0.75)
+              .map(q => q * (n - 1))
+              .flatMap(p => Seq(p.floor.toLong, p.ceil.toLong)).toSet
+            val picked: Map[Long, Double] = df.select(col(c0).cast(DoubleType))
+              .filter(col(c0).isNotNull)
+              .rdd.map(_.getDouble(0))
+              .sortBy(identity)
+              .zipWithIndex()
+              .filter { case (_, i) => targets.contains(i) }
+              .map(_.swap)
+              .collect().toMap
+            def q(qq: Double): Double = {
+              val p = qq * (n - 1)
+              val lo = p.floor.toLong; val hi = p.ceil.toLong
+              if (hi == lo) picked(lo)
+              else (hi - p) * picked(lo) + (p - lo) * picked(hi)
+            }
+            (q(0.25), q(0.5), q(0.75))
+          }
+        // mode: max count, ties to the smallest value (modePerGroup
+        // semantics) — one aggregation over the value-count frame, the
+        // argmin rides min_by so no single-task window
+        val mode =
+          if (nv == 0) Double.NaN
+          else df.filter(col(c0).isNotNull)
+            .groupBy(col(c0).cast(DoubleType).as("__v"))
+            .agg(count(lit(1)).as("__n"))
+            .agg(min_by(col("__v"), struct(-col("__n"), col("__v"))).as("m"))
+            .collect()(0).getDouble(0)
+        val (first, last) = orderCol match {
+          case Some(_) => (g("first"), g("last"))
+          case None =>
+            val i = cols.indexOf(c0)
+            def p(r: org.apache.spark.sql.Row): Double =
+              if (r == null || r.isNullAt(i)) Double.NaN else r.getDouble(i)
+            (p(posFirst), p(posLast))
+        }
+        (c0, dtypes(c0), nv, row.getLong(row.fieldIndex(s"${c0}__nmissing")),
+          g("min"), q1, mu, mode, med, q3, g("max"), stddev, skew,
+          row.getLong(row.fieldIndex(s"${c0}__nd")), first, last)
+      }
+    }
+    val out =
+      try Await.result(Future.sequence(futures), Duration.Inf)
+      finally pool.shutdown()
+    out.toDF("column", "datatype", "n_valid", "n_missing", "min", "q1",
+      "mean", "mode", "median", "q3", "max", "stddev", "skew", "n_distinct",
+      "first", "last")
+  }
+
   /** mode — most frequent value per group, deterministic (max count, ties to
     * the smallest value). Reference descriptive-stats' :mode for categorical
     * columns. One count aggregation + one window, no collect. */

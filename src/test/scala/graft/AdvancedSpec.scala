@@ -437,4 +437,35 @@ class AdvancedSpec extends SparkSuite {
       c(0) * rows.head._2 + c(1) * rows.head._3 + c(2) * rows.head._4)
     assert(first.zip(manual).forall { case (a, b) => math.abs(a - b) < 1e-9 })
   }
+
+  test("descriptiveStatsFull: known moments, nulls, positional first/last") {
+    import spark.implicits._
+    // 5, 1..4, null, 5..9: hand-checkable stats, null mid-stream (the
+    // reference's positional first/last take raw endpoints, so a trailing
+    // null would legitimately make `last` missing)
+    val df = ((Seq(5.0, 1, 2, 3, 4).map(Option(_)) :+ (None: Option[Double])) ++
+      (5 to 9).map(d => Option(d.toDouble)))
+      .toDF("x").coalesce(1)
+    val r = graft.ops.Reductions.descriptiveStatsFull(df, Seq("x"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_valid") == 10 && r.getAs[Long]("n_missing") == 1)
+    assert(r.getAs[Long]("n_distinct") == 9)
+    assert(r.getAs[Double]("min") == 1.0 && r.getAs[Double]("max") == 9.0)
+    assert(r.getAs[Double]("mean") == 5.0)
+    assert(r.getAs[Double]("mode") == 5.0) // count 2 beats all the 1-counts
+    assert(r.getAs[Double]("median") == 5.0)
+    assert(r.getAs[String]("datatype") == "double")
+    // positional semantics on the single-partition frame
+    assert(r.getAs[Double]("first") == 5.0)
+    assert(r.getAs[Double]("last") == 9.0)
+    // symmetric-ish data: skew is small but the sign of the exact
+    // third moment: values {5,1..9} → Σ(x−5)³ = 0 → skew 0
+    assert(math.abs(r.getAs[Double]("skew")) < 1e-12)
+    // keyed first/last variant is partition-stable
+    val keyed = spark.range(0, 1000).repartition(7)
+      .select(col("id"), (col("id") % 13).cast("double").as("v"))
+    val kr = graft.ops.Reductions.descriptiveStatsFull(
+      keyed, Seq("v"), orderCol = Some("id")).collect()(0)
+    assert(kr.getAs[Double]("first") == 0.0 && kr.getAs[Double]("last") == 999 % 13)
+  }
 }
