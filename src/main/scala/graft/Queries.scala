@@ -540,11 +540,17 @@ object Stats {
   * the fitted value↔code map is itself a small DataFrame (broadcast on
   * transform), codes assigned by lexicographic order for determinism. */
 object Categorical {
+  /** Codes 0..n−1 by lexicographic value order, computed DISTRIBUTED: the
+    * distinct-value frame gets its rank from a range-partitioned sort +
+    * zipWithIndex (TableOps.withRowIndex) — no global window, so a
+    * high-cardinality categorical (1M+ distinct) ranks in parallel instead
+    * of funneling through one task. Output is byte-identical to the former
+    * dense_rank form (distinct values ⇒ dense_rank ≡ row_number). */
   def fitLabelMap(df: DataFrame, c: String, codeName: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.ops.TableOps._
     df.select(col(c)).distinct()
-      .withColumn(codeName,
-        (dense_rank().over(Window.orderBy(col(c))) - 1).cast(IntegerType))
+      .withRowIndex(Seq(col(c)), codeName)
+      .withColumn(codeName, col(codeName).cast(IntegerType))
   }
 
   def transform(df: DataFrame, labelMap: DataFrame, c: String): DataFrame =

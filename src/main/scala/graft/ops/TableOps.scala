@@ -62,24 +62,12 @@ object TableOps {
       * A distributed table has no implicit order, so the caller names one;
       * the index is then stable and reproducible.
       *
-      * SCALE WARNING: a global (partition-less) window funnels the table
-      * through one task — use only on small/medium frames, exactly like the
-      * reference's single-JVM index space. For big tables prefer key-based
-      * operators, or zipWithIndex on a sorted RDD if a global index is truly
-      * required. */
+      * This default is the SCALE PATH: distributed range sort (orderBy) +
+      * zipWithIndex (one extra O(partitions) offsets job) — no single-task
+      * stage anywhere. Costs an RDD round-trip, so the plan below it is a
+      * fresh scan barrier; withRowIndexLocal keeps the pure-plan window
+      * form for small frames. */
     def withRowIndex(order: Seq[Column], name: String = "row_idx"): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      df.withColumn(name,
-        row_number().over(Window.orderBy(order: _*)) - lit(1L))
-    }
-
-    /** The SCALE PATH for a global row index: distributed range sort
-      * (orderBy) + zipWithIndex (one extra O(partitions) offsets job) — no
-      * single-task window, unlike withRowIndex. Costs an RDD round-trip, so
-      * the plan below it is a fresh scan barrier; use when the table is big
-      * and a true positional index is genuinely required. */
-    def withRowIndexDistributed(order: Seq[Column],
-                                name: String = "row_idx"): DataFrame = {
       val sorted = df.orderBy(order: _*)
       val schema = sorted.schema.add(name, LongType, nullable = false)
       val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
@@ -88,11 +76,27 @@ object TableOps {
       df.sparkSession.createDataFrame(rdd, schema)
     }
 
+    /** Window-based row index — stays a pure Catalyst plan (no RDD barrier)
+      * but the partition-less window funnels the WHOLE table through one
+      * task. SCALE WARNING: small/medium frames only (the reference's
+      * single-JVM index space has the same bound); withRowIndex is the
+      * distributed default. */
+    def withRowIndexLocal(order: Seq[Column], name: String = "row_idx"): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn(name,
+        row_number().over(Window.orderBy(order: _*)) - lit(1L))
+    }
+
+    /** Former name of the distributed default; kept for source compatibility. */
+    def withRowIndexDistributed(order: Seq[Column],
+                                name: String = "row_idx"): DataFrame =
+      withRowIndex(order, name)
+
     /** take-nth (reference dataset_api.clj:99 re-export of base take-nth):
       * every n-th row of the named total order, distributed (see
-      * withRowIndexDistributed). */
+      * withRowIndex). */
     def takeNth(n: Int, order: Seq[Column]): DataFrame =
-      withRowIndexDistributed(order, "__takeN_idx")
+      withRowIndex(order, "__takeN_idx")
         .filter(col("__takeN_idx") % n === 0).drop("__takeN_idx")
 
     /** rand-nth (reference dataset_api.clj:504-507): one uniformly-chosen

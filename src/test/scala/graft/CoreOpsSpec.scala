@@ -132,6 +132,29 @@ class CoreOpsSpec extends SparkSuite {
       .orderBy("row_idx").collect().map(_.getString(0)).toSeq == Seq("a", "c"))
     assert(df.dropRows("row_idx", Seq(1L))
       .orderBy("row_idx").collect().map(_.getString(0)).toSeq == Seq("a", "c", "d"))
+    // the local window variant agrees on small frames
+    val loc = Seq("a", "b", "c", "d").toDF("v").withRowIndexLocal(Seq(col("v")))
+    assert(loc.orderBy("row_idx").collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("a", 0L), ("b", 1L), ("c", 2L), ("d", 3L)))
+  }
+
+  test("fitLabelMap: distributed ranking, no window stage, high cardinality") {
+    // 200k distinct values across 8 partitions — the former dense_rank form
+    // would funnel these through ONE window task
+    val big = spark.range(0, 200000).repartition(8)
+      .select(concat(lit("v"), format_string("%07d", col("id"))).as("c"))
+    val m = Categorical.fitLabelMap(big, "c", "code")
+    // no Window operator anywhere in the plan: the rank is a range-
+    // partitioned sort + zipWithIndex whose parallelism follows the data
+    // volume (AQE coalesces this small shuffle locally; at scale the sort
+    // spreads over the range partitions — nothing in the plan is
+    // single-task BY CONSTRUCTION, unlike a partition-less window)
+    assert(!m.queryExecution.executedPlan.toString.contains("Window"),
+      "fitLabelMap must not use a global window")
+    val sample = m.filter(col("c").isin("v0000000", "v0099999", "v0199999"))
+      .orderBy("code").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(sample.toSeq == Seq(("v0000000", 0), ("v0099999", 99999),
+      ("v0199999", 199999)))
   }
 
   test("fillAbb fills every missing slot from the observed value set") {
