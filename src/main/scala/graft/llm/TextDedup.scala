@@ -281,12 +281,16 @@ object TextDedup {
     * Two physical strategies behind one semantics, picked by edge count —
     * the same shape as Spark's own broadcast-join threshold:
     *
-    *  - **≤ `localEdgeThreshold` undirected edges** (default 2M — tens of
-    *    MB on the driver): collect the edge list and run exact union-find
-    *    with path compression, then broadcast the (id, group_id) labels
-    *    back. LSH near-dup edges are a sliver of any corpus, so this is
-    *    the common case, and it replaces ~4 shuffle stages PER ROUND with
-    *    one collect + one broadcast join.
+    *  - **≤ `localEdgeThreshold` undirected edges** (default 1M): collect
+    *    the edge list and run exact union-find with path compression, then
+    *    broadcast the (id, group_id) labels back. The collect is boxed
+    *    GenericRows plus a vertex hash map — budget ~100-300 bytes per edge
+    *    for long ids (more for string ids), i.e. a few hundred MB of driver
+    *    heap AT the default threshold; size the threshold to the driver,
+    *    the distributed path below costs no driver memory. LSH near-dup
+    *    edges are a sliver of any corpus, so this is the common case, and
+    *    it replaces ~4 shuffle stages PER ROUND with one collect + one
+    *    broadcast join.
     *  - **above the threshold** (or non-orderable driver-side id type):
     *    distributed iterative min-label propagation with POINTER JUMPING —
     *    each round takes the min label across edges (one hop), then
@@ -302,7 +306,7 @@ object TextDedup {
     * `.unpersist()` on the result when done with it (long-lived sessions
     * that skip this accumulate one cache per dedup run). */
   def dedupGroups(pairs: DataFrame, allIds: DataFrame, maxIter: Int = 5,
-                  localEdgeThreshold: Long = 2000000L): DataFrame = {
+                  localEdgeThreshold: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -311,11 +315,24 @@ object TextDedup {
       case LongType => Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
       case IntegerType => Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
       case ShortType => Some(Ordering.by((x: Any) => x.asInstanceOf[Short]))
-      case StringType => Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      // UTF-8 BINARY order, not String.compareTo's UTF-16 code-unit order:
+      // the distributed path's min() compares UTF8Strings bytewise, and the
+      // two plans must pick identical group labels (they differ for
+      // supplementary-plane chars vs U+E000–U+FFFF)
+      case StringType => Some(new Ordering[Any] {
+        import org.apache.spark.unsafe.types.UTF8String
+        def compare(a: Any, b: Any): Int =
+          UTF8String.fromString(a.asInstanceOf[String])
+            .compareTo(UTF8String.fromString(b.asInstanceOf[String]))
+      })
       case _ => None
     }
     if (nUndirected <= localEdgeThreshold && idOrdering.isDefined)
       return dedupGroupsLocal(edges, allIds, idOrdering.get)
+    // the monotone-sum convergence probe needs numeric ids (an ANSI cast of
+    // a string id to decimal throws); string/other ids use an explicit
+    // changed-row probe against the previous labels instead
+    val numericIds = pairs.schema("id_a").dataType.isInstanceOf[NumericType]
     def gidSum(df: DataFrame): java.math.BigDecimal = {
       // null sum ⇔ empty frame (no candidate pairs at all) — normalize to 0
       // so the convergence compare stays total
@@ -329,11 +346,13 @@ object TextDedup {
     // `edges` holds both directions, so id_a covers every incident vertex.
     var labels = edges.select(col("id_a").as("id")).distinct()
       .select(col("id"), col("id").as("group_id"))
-    // labels only ever DECREASE per row, so Σ group_id is strictly monotone
-    // until the fixpoint — an equal sum ⇔ no row changed. One exact-decimal
-    // aggregate per round both materializes the new cache and tests
-    // convergence (replaces the former extra join+filter probe).
-    var prevSum = gidSum(labels)
+    // Numeric ids: labels only ever DECREASE per row, so Σ group_id is
+    // strictly monotone until the fixpoint — an equal sum ⇔ no row changed;
+    // one exact-decimal aggregate per round both materializes the new cache
+    // and tests convergence. Non-numeric ids: an explicit changed-row
+    // anti-probe per round (one extra join, but exact — a hash-sum probe
+    // could falsely converge on a collision).
+    var prevSum = if (numericIds) gidSum(labels) else null
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -351,9 +370,15 @@ object TextDedup {
         .select(col("id"),
           least(col("group_id"), coalesce(col("gid2"), col("group_id"))).as("group_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val s = gidSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      if (numericIds) {
+        val s = gidSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+      } else
+        converged = next
+          .join(labels.select(col("id"), col("group_id").as("__prev")), Seq("id"))
+          .filter(col("group_id") =!= col("__prev"))
+          .isEmpty
       // the superseded iteration's cache is dead once `next` is materialized
       // (round 0's `labels` was never persisted; unpersist is a no-op there)
       labels.unpersist()

@@ -38,7 +38,8 @@ object Advanced {
     * Duplicate x values are averaged first (ascending-value sum order, so
     * the mean is partition-invariant). */
   def loessSmooth(df: DataFrame, groupCol: String, xCol: String, yCol: String,
-                  bandwidth: Double = 0.3, robustnessIters: Int = 2): DataFrame = {
+                  bandwidth: Double = 0.3, robustnessIters: Int = 2,
+                  maxGroupRows: Int = 2000000): DataFrame = {
     require(bandwidth > 0 && bandwidth <= 1,
       s"bandwidth must be in (0, 1], got $bandwidth")
     val spark = df.sparkSession
@@ -51,7 +52,20 @@ object Advanced {
       .as[(Long, Double, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (g, it) =>
-        val pts = it.toArray.groupBy(_._2).toArray
+        // LOESS inherently materializes the whole series in one executor
+        // (the reference holds it in one JVM); refuse LOUDLY past the cap
+        // instead of letting a runaway group OOM the task
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
+        while (it.hasNext) {
+          buf += it.next()
+          if (buf.length > maxGroupRows)
+            throw new IllegalArgumentException(
+              s"loessSmooth: series '$g' exceeds maxGroupRows=$maxGroupRows " +
+                "points — LOESS holds each series in one executor; " +
+                "downsample/pre-aggregate the series or raise maxGroupRows " +
+                "explicitly if the executor heap allows it")
+        }
+        val pts = buf.toArray.groupBy(_._2).toArray
           .map { case (x, rows) => (x, rows.map(_._3).sorted.sum / rows.length) }
           .sortBy(_._1)
         if (pts.length < 3) pts.iterator.map(p => (g, p._1, p._2, p._2))
@@ -331,8 +345,12 @@ object Advanced {
     * id is used, so the nondeterministic assignment is safe). */
   def kendallCorrelationTable(df: DataFrame, cols: Seq[String],
                               maxRows: Long = 10000L): DataFrame = {
-    val base = df.na.drop(cols)
-      .select(cols.map(c => col(c).cast(DoubleType).as(c)): _*)
+    // cast FIRST, then complete-case drop: a string/ill-typed column whose
+    // cast yields null (and double NaN) must fall out of the pair counts,
+    // not slip past a pre-cast na.drop and corrupt tie/inversion totals
+    // (na.drop on double columns removes both null and NaN)
+    val base = df.select(cols.map(c => col(c).cast(DoubleType).as(c)): _*)
+      .na.drop(cols)
       .withColumn("__uid", monotonically_increasing_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -539,13 +557,20 @@ object Advanced {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // key-run detection compares key values with Seq equality, which is
     // REFERENCE equality for array-backed types — a binary/array key would
-    // silently reset the state on every row. Refuse loudly instead.
+    // silently reset the state on every row. Refuse loudly instead, and
+    // recurse through structs: a StructType key containing a nested
+    // binary/array field has the same reference-equality hole.
+    def arrayBacked(dt: DataType): Boolean = dt match {
+      case _: BinaryType | _: ArrayType | _: MapType => true
+      case s: StructType => s.fields.exists(f => arrayBacked(f.dataType))
+      case _ => false
+    }
     keyCols.foreach { k =>
       val dt = df.schema(k).dataType
-      require(!dt.isInstanceOf[BinaryType] && !dt.isInstanceOf[ArrayType] &&
-        !dt.isInstanceOf[MapType],
+      require(!arrayBacked(dt),
         s"linearRecurrenceKeyed: key column '$k' has array-backed type $dt " +
-          "(value equality unsupported) — cast it to a scalar key first")
+          "(value equality unsupported, including nested in structs) — " +
+          "cast it to a scalar key first")
     }
     val sorted = df.withColumn(xCol, col(xCol).cast(DoubleType))
       .repartition(parts, keyCols.map(col): _*)
@@ -584,6 +609,14 @@ object Advanced {
     * after the terminal action, same contract as doubledAvgRankTable). */
   def linearRecurrence(df: DataFrame, orderCols: Seq[String], xCol: String,
                        a: Double, out: String): (DataFrame, () => Unit) = {
+    // divergent-recurrence limit: the carry algebra accumulates
+    // powA = a^rowsInPartition, which for |a| > 1 overflows to Inf within
+    // ~1000 rows per partition and would poison every downstream partition
+    // — a hard-wrong result, not reassociation tolerance (|a| ≤ 1's
+    // underflow to 0 is benign). Short divergent series are legitimate
+    // (integer carries stay exact up to 2^53), so instead of banning
+    // |a| > 1 outright the carry loop below REFUSES loudly the moment an
+    // overflowed factor would actually meet a non-zero carry.
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val sorted = df.withColumn(xCol, col(xCol).cast(DoubleType))
@@ -605,7 +638,21 @@ object Advanced {
     val carries = new Array[Double](rdd.getNumPartitions)
     var c = 0.0
     stats.foreach { case (pid, sLast, powA) =>
-      carries(pid) = c; c = sLast + powA * c }
+      carries(pid) = c
+      // zero carry needs no factor (and Inf·0 would be NaN, not 0); a
+      // non-zero carry meeting an overflowed a^n is the poisoned regime —
+      // refuse rather than emit Inf/NaN for every downstream row
+      if (c == 0.0) c = sLast
+      else {
+        if (!java.lang.Double.isFinite(powA))
+          throw new IllegalArgumentException(
+            s"linearRecurrence: carry factor a^n overflowed in partition " +
+              s"$pid (a=$a) — the segmented scan supports decaying " +
+              "recurrences (|a| ≤ 1) at any size, divergent ones only on " +
+              "short series; use linearRecurrenceKeyed or induction")
+        c = sLast + powA * c
+      }
+    }
     val bc = spark.sparkContext.broadcast(carries)
     val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
       var s = 0.0; var pow = a; val c0 = bc.value(pid)
@@ -614,7 +661,10 @@ object Advanced {
           throw new IllegalArgumentException(
             s"linearRecurrence: null $xCol — filter or impute first")
         s = a * s + r.getDouble(xIdx)
-        val v = s + pow * c0; pow *= a
+        // c0 == 0 ⇒ v = s exactly (skips the pow product, whose overflow
+        // for |a| > 1 would otherwise turn 0-carry partitions into NaN)
+        val v = if (c0 == 0.0) s else s + pow * c0
+        pow *= a
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v)
       }
     }

@@ -367,6 +367,44 @@ class AdvancedSpec extends SparkSuite {
     }
   }
 
+  test("linearRecurrence: divergent overflow meeting a carry refuses loudly") {
+    // |a| > 1 over enough rows per partition overflows a^n; with multiple
+    // partitions and non-zero carries that poisons downstream rows — the
+    // carry loop must throw, not emit Inf/NaN
+    val df = (0 until 20000).map(i => (i.toLong, 1.0)).toDF("id", "x")
+      .repartition(4)
+    val e = intercept[IllegalArgumentException] {
+      val (out, clean) = Advanced.linearRecurrence(df, Seq("id"), "x", 1.5, "s")
+      try out.count() finally clean()
+    }
+    assert(e.getMessage.contains("overflowed"))
+  }
+
+  test("linearRecurrenceKeyed: struct key with nested array refuses") {
+    val df = Seq((Seq(1, 2), "a", 1L, 1.0), (Seq(1, 2), "a", 2L, 2.0))
+      .toDF("arr", "s", "id", "x")
+      .select(struct(col("arr"), col("s")).as("k"), col("id"), col("x"))
+    val e = intercept[IllegalArgumentException] {
+      Advanced.linearRecurrenceKeyed(df, Seq("k"), Seq("id"), "x", 0.5, "out")
+    }
+    assert(e.getMessage.contains("array-backed"))
+    // struct of scalars is fine
+    val ok = Seq(("a", 1, 1L, 1.0), ("a", 1, 2L, 2.0))
+      .toDF("s", "i", "id", "x")
+      .select(struct(col("s"), col("i")).as("k"), col("id"), col("x"))
+    assert(Advanced.linearRecurrenceKeyed(ok, Seq("k"), Seq("id"), "x", 0.5, "out")
+      .count() == 2)
+  }
+
+  test("loessSmooth: series above maxGroupRows refuses loudly") {
+    val df = (0 until 500).map(i => (1L, i.toDouble, i.toDouble))
+      .toDF("g", "x", "y")
+    val e = intercept[org.apache.spark.SparkException] {
+      Advanced.loessSmooth(df, "g", "x", "y", maxGroupRows = 100).collect()
+    }
+    assert(e.getCause.getMessage.contains("maxGroupRows"))
+  }
+
   test("probDistToLabel: argmax name, first column wins ties, NaN raises") {
     import graft.ops.Ml
     val df = Seq((1L, 0.2, 0.5, 0.3), (2L, 0.4, 0.4, 0.2), (3L, 0.1, 0.2, 0.7))

@@ -308,6 +308,26 @@ class LlmOpsSpec extends SparkSuite {
     local.unpersist(); dist.unpersist()
   }
 
+  test("dedup groups: string ids use UTF-8 binary order in BOTH plans") {
+    // U+E000 is 3 UTF-8 bytes (EE 80 80) but sorts ABOVE the surrogate pair
+    // U+1F600 (F0 9F 98 80) in UTF-16 code units — String.compareTo and
+    // binary UTF-8 order disagree on this pair, so the local union-find must
+    // use UTF8String order to match the distributed min() labels
+    val privateUse = "\uE000"      // BMP private-use: UTF-8 smaller
+    val emoji = "\uD83D\uDE00"   // U+1F600: UTF-16 code-unit smaller
+    assert(privateUse.compareTo(emoji) > 0) // JVM order would pick emoji
+    val pairs = Seq((privateUse, emoji, 0.9)).toDF("id_a", "id_b", "est_jaccard")
+    val ids = Seq(privateUse, emoji).toDF("id")
+    val local = TextDedup.dedupGroups(pairs, ids)
+    val dist = TextDedup.dedupGroups(pairs, ids, maxIter = 3,
+      localEdgeThreshold = 0L)
+    val lm = local.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val dm = dist.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lm == dm, s"local $lm != distributed $dm")
+    assert(lm(emoji) == privateUse, "group label must be the UTF-8 binary min")
+    local.unpersist(); dist.unpersist()
+  }
+
   test("nearDupDedup keeps exactly one doc per duplicate cluster") {
     val out = TextDedup.nearDupDedup(docs, "doc_id", "text", minEstJaccard = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
