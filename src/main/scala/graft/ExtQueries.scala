@@ -900,6 +900,69 @@ object ExtQueries {
         squareScale = Map("o_totalprice" -> 0, "o_custkey" -> 2),
         cubeDiv = Map("o_totalprice" -> 10000.0, "o_custkey" -> 100.0))
         .orderBy(col("column"))
+    },
+
+    // Legacy .xls round-trip under the correctness gate (reference
+    // libs/poi.clj writes + reads .xls via POI; here both directions are
+    // pure-JVM BIFF8): longs, strings, doubles AND date-styled serials
+    // survive the OLE2/BIFF8 round trip or the oracle hash diverges.
+    // 1-in-16 sample keeps every SF under the format's 65,536-row cap.
+    "q107_xls" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q107").toString
+      val src = t(s, dir, "orders").filter(col("o_orderkey") % 16 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          to_date(col("o_orderdate")).as("o_date"))
+      graft.sources.XlsIo.write(src, s"$tmp/orders.xls")
+      graft.sources.XlsIo.read(s, s"$tmp/orders.xls")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice").cast(DoubleType)).as("sum_price"),
+          date_format(min(col("o_date").cast(DateType)), "yyyy-MM-dd")
+            .as("first_date"),
+          max(col("o_orderkey").cast(LongType)).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // Promotional CSV inference under the correctness gate (reference
+    // column_parsers.clj:310-345 promotion chain): a CSV written at query
+    // time exercises every rung — short/int/long narrowing by value range,
+    // double, relaxed-token boolean, timestamp, string fallback. Output =
+    // one row per column with the INFERRED type name plus a typed checksum;
+    // the oracle recomputes from the parquet originals with the expected
+    // types hardcoded, so a mis-promotion breaks datatype AND checksum.
+    "q108_csv_promote" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q108").toString
+      val src = t(s, dir, "events").filter(col("event_id") < 10000)
+        .select(
+          col("event_id"),                                  // < 32768 → short
+          (col("event_id") + 40000).as("mid"),              // → int
+          (col("event_id") + 3000000000L).as("big"),        // → long
+          col("value"),                                     // → double
+          when(col("event_id") % 3 === 0, "t")
+            .when(col("event_id") % 3 === 1, "yes")
+            .otherwise("false").as("flag"),                 // → boolean
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"), // → ts
+          col("event_type"))                                // stays string
+      graft.sources.Io.write(src, s"$tmp/ev_csv", "csv")
+      val inf = graft.sources.Io.readCsvPromotional(s, s"$tmp/ev_csv")
+      val checksums: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+        "event_id" -> sum(col("event_id")).cast(DoubleType),
+        "mid" -> sum(col("mid")).cast(DoubleType),
+        "big" -> sum(col("big")).cast(DoubleType),
+        "value" -> graft.ops.Reductions.isum(col("value"), 6),
+        "flag" -> count(when(col("flag"), lit(1))).cast(DoubleType),
+        "ts_s" -> sum(unix_timestamp(col("ts_s"))).cast(DoubleType),
+        "event_type" -> countDistinct(col("event_type")).cast(DoubleType))
+      val aggs = checksums.map { case (c, e) => e.as(s"${c}__sum") } ++
+        checksums.map { case (c, _) => count(col(c)).as(s"${c}__n") }
+      val row = inf.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val types = inf.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+      import s.implicits._
+      checksums.map { case (c, _) =>
+        (c, types(c), row.getLong(row.fieldIndex(s"${c}__n")),
+          row.getDouble(row.fieldIndex(s"${c}__sum")))
+      }.toDF("column", "datatype", "n_valid", "checksum")
+        .orderBy(col("column"))
     }
   )
 
@@ -1576,6 +1639,39 @@ object ExtQueries {
         branch("o_custkey", "bigint", 100L, 100L))
         .mkString("SELECT * FROM (", " UNION ALL ", ") u ORDER BY \"column\"")
     },
+
+    // xls round-trip mirror: the parquet originals are the oracle — any
+    // value/type/date disturbed by the OLE2/BIFF8 write+read shows up here.
+    "q107_xls" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price,
+           CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_date,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+         FROM orders WHERE o_orderkey % 16 = 0
+         GROUP BY 1 ORDER BY 1""",
+
+    // Promotional-inference mirror: expected narrowed type names hardcoded
+    // per column; checksums recomputed from the parquet originals (the
+    // boolean rung via the same relaxed-token truth table, the timestamp
+    // rung via second-truncated epoch sums).
+    "q108_csv_promote" ->
+      """WITH e AS (SELECT * FROM events WHERE event_id < 10000)
+         SELECT * FROM (
+           SELECT 'big' AS "column", 'bigint' AS datatype, COUNT(*) AS n_valid,
+             CAST(SUM(event_id + 3000000000) AS DOUBLE) AS checksum FROM e
+           UNION ALL SELECT 'event_id', 'smallint', COUNT(*),
+             CAST(SUM(event_id) AS DOUBLE) FROM e
+           UNION ALL SELECT 'event_type', 'string', COUNT(*),
+             CAST(COUNT(DISTINCT event_type) AS DOUBLE) FROM e
+           UNION ALL SELECT 'flag', 'boolean', COUNT(*),
+             CAST(COUNT(CASE WHEN event_id % 3 IN (0, 1) THEN 1 END) AS DOUBLE) FROM e
+           UNION ALL SELECT 'mid', 'int', COUNT(*),
+             CAST(SUM(event_id + 40000) AS DOUBLE) FROM e
+           UNION ALL SELECT 'ts_s', 'timestamp', COUNT(*),
+             CAST(SUM(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS DOUBLE) FROM e
+           UNION ALL SELECT 'value', 'double', COUNT(*),
+             CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 FROM e
+         ) t ORDER BY "column"""",
 
     // Per-group regression + metrics mirror: the q105 formula per group,
     // plus sse = max(syy − b0·sy − b1·sxy, 0), sst = syy − sy²/n,

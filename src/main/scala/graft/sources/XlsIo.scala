@@ -461,4 +461,227 @@ object XlsIo {
     ss.indices.map(i => XlsxIo.sheetToDataFrame(spark, ss(i),
       opts.copy(sheet = i)))
   }
+
+  // ------------------------------------------------------------- write
+
+  private final class LeBuf {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): this.type = { bos.write(v & 0xFF); this }
+    def u16(v: Int): this.type = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF); this }
+    def i32(v: Int): this.type = { u16(v & 0xFFFF); u16((v >>> 16) & 0xFFFF); this }
+    def f64(v: Double): this.type = {
+      var bits = java.lang.Double.doubleToLongBits(v)
+      var k = 0
+      while (k < 8) { bos.write((bits & 0xFF).toInt); bits >>>= 8; k += 1 }
+      this
+    }
+    def bytes(b: Array[Byte]): this.type = { bos.write(b); this }
+    def size: Int = bos.size()
+    def result(): Array[Byte] = bos.toByteArray
+  }
+
+  private def record(out: LeBuf, id: Int, body: LeBuf => Unit): Unit = {
+    val b = new LeBuf; body(b)
+    out.u16(id).u16(b.size).bytes(b.result())
+  }
+
+  /** Minimal legacy .xls (BIFF8 in OLE2) writer — the reference writes .xls
+    * via POI's HSSF (reference src/tech/v3/libs/poi.clj:1-171); this emits
+    * exactly the record subset the reader decodes (inline LABEL strings —
+    * no SST — NUMBER doubles, BOOLERR booleans, date/datetime serials
+    * through the SAME custom format codes as the xlsx writer, so the shared
+    * style classification round-trips identically in both containers).
+    * Missing values are simply absent cells; binary/nested columns refuse
+    * like the xlsx writer. Caps: 65,536 rows × 256 columns (the format's
+    * own limits), ≤ 4000 chars per string cell (inline LABEL record bound).
+    * Driver-side single stream, like the reference — bulk outputs belong in
+    * parquet/csv. */
+  def write(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit = {
+    val fields = df.schema.fields
+    require(fields.length <= 256,
+      s"xls sheets cap at 256 columns, got ${fields.length}")
+    val wb = new LeBuf
+    def bof(buf: LeBuf, dt: Int): Unit = record(buf, 0x0809, b =>
+      b.u16(0x0600).u16(dt).u16(0x0DBB).u16(0x07CC).i32(0).i32(0))
+    // globals: BOF, date formats (same codes as the xlsx writer's styles),
+    // three XFs (0 = general, 1 = date, 2 = datetime), BOUNDSHEET, EOF
+    bof(wb, 0x0005)
+    def format(id: Int, code: String): Unit = record(wb, 0x041E, b => {
+      b.u16(id).u16(code.length).u8(0)
+      b.bytes(code.getBytes("ISO-8859-1"))
+    })
+    format(164, "yyyy\\-mm\\-dd")
+    format(165, "yyyy\\-mm\\-dd\\ hh:mm:ss")
+    def xf(ifmt: Int): Unit = record(wb, 0x00E0, b => {
+      b.u16(0).u16(ifmt).u16(0x0001) // font 0, ifmt, cell-XF parent 0
+      b.u16(0).u16(0).u16(0).u16(0).u16(0).u16(0).u16(0)
+    })
+    xf(0); xf(164); xf(165)
+    // BOUNDSHEET with a placeholder stream offset, patched after globals EOF
+    val name = if (sheetName.length > 31) sheetName.take(31) else sheetName
+    val nameBytes = name.getBytes("ISO-8859-1")
+    var boundsheetPosFix = -1
+    record(wb, 0x0085, b => {
+      boundsheetPosFix = wb.size + 4 // i32 lands at record body start
+      b.i32(0).u16(0).u8(nameBytes.length).u8(0).bytes(nameBytes)
+    })
+    record(wb, 0x000A, _ => ())
+    val sheetStart = wb.size
+    bof(wb, 0x0010)
+    def cell(b: LeBuf, row: Int, colIdx: Int, v: Any, colName: String): Unit =
+      v match {
+        case null => // missing = absent cell
+        case s: String =>
+          require(s.length <= 4000,
+            s"xls string cells cap at 4000 chars (column $colName); " +
+              "write xlsx or parquet for longer text")
+          record(b, 0x0204, r => {
+            r.u16(row).u16(colIdx).u16(0).u16(s.length).u8(0x01)
+            r.bytes(s.getBytes("UTF-16LE"))
+          })
+        case bool: Boolean =>
+          record(b, 0x0205, r =>
+            r.u16(row).u16(colIdx).u16(0).u8(if (bool) 1 else 0).u8(0))
+        case d: java.sql.Date =>
+          val serial = XlsxIo.dateTimeToSerial(d.toLocalDate.atStartOfDay())
+          record(b, 0x0203, r =>
+            r.u16(row).u16(colIdx).u16(1).f64(serial.toLong.toDouble))
+        case ts: java.sql.Timestamp =>
+          val serial = XlsxIo.dateTimeToSerial(ts.toLocalDateTime)
+          record(b, 0x0203, r => r.u16(row).u16(colIdx).u16(2).f64(serial))
+        case n: java.lang.Number =>
+          record(b, 0x0203, r =>
+            r.u16(row).u16(colIdx).u16(0).f64(n.doubleValue()))
+        case _: Array[Byte] =>
+          throw new IllegalArgumentException(
+            s"xls cells cannot hold binary values (column $colName); " +
+              "base64-encode the column first or write parquet")
+        case nested @ (_: scala.collection.Seq[_] | _: scala.collection.Map[_, _] |
+                       _: org.apache.spark.sql.Row | _: Array[_]) =>
+          throw new IllegalArgumentException(
+            s"xls cells cannot hold nested values (column $colName, " +
+              s"value class ${nested.getClass.getSimpleName}); write parquet")
+        case other => cell(b, row, colIdx, other.toString, colName)
+      }
+    fields.indices.foreach(i => cell(wb, 0, i, fields(i).name, fields(i).name))
+    var rowIdx = 1
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      if (rowIdx >= 65536)
+        throw new IllegalStateException(
+          "xls sheets are limited to 65,536 rows; write parquet/csv/xlsx " +
+            "for larger outputs")
+      val row = it.next()
+      var i = 0
+      while (i < fields.length) {
+        cell(wb, rowIdx, i, row.get(i), fields(i).name)
+        i += 1
+      }
+      rowIdx += 1
+    }
+    record(wb, 0x000A, _ => ())
+    val stream = wb.result()
+    // patch the BOUNDSHEET lbPlyPos now that the globals length is known
+    stream(boundsheetPosFix) = (sheetStart & 0xFF).toByte
+    stream(boundsheetPosFix + 1) = ((sheetStart >> 8) & 0xFF).toByte
+    stream(boundsheetPosFix + 2) = ((sheetStart >> 16) & 0xFF).toByte
+    stream(boundsheetPosFix + 3) = ((sheetStart >> 24) & 0xFF).toByte
+    val bytes = compoundFile(stream)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** Wrap one "Workbook" stream in a minimal OLE2 compound file: header +
+    * FAT + 1 directory sector (+ miniFAT/mini-stream when the workbook is
+    * under the 4096-byte cutoff, per the CFB spec the reader follows). */
+  private def compoundFile(workbook: Array[Byte]): Array[Byte] = {
+    val SEC = 512; val MINI = 64; val CUTOFF = 4096
+    val END = 0xFFFFFFFE; val FREE = 0xFFFFFFFF; val FATSECT = 0xFFFFFFFD
+    val useMini = workbook.length < CUTOFF
+    def secCount(n: Int): Int = (n + SEC - 1) / SEC
+    val wbSecs = if (useMini) 0 else secCount(workbook.length)
+    val nMini = if (useMini) (workbook.length + MINI - 1) / MINI else 0
+    val containerLen = nMini * MINI
+    val containerSecs = if (useMini) secCount(containerLen) else 0
+    val miniFatSecs = if (useMini) 1 else 0
+    val dataSecs = 1 + miniFatSecs + containerSecs + wbSecs // dir first
+    var fatSecs = 1
+    while (fatSecs * (SEC / 4) < fatSecs + dataSecs) fatSecs += 1
+    require(fatSecs <= 109, "xls output too large for a header-DIFAT file")
+    val totalSecs = fatSecs + dataSecs
+    val dirSec = fatSecs
+    val miniFatSec = dirSec + 1
+    val containerStart = miniFatSec + miniFatSecs
+    val wbStart = if (useMini) -1 else dirSec + 1
+    // FAT
+    val fat = Array.fill(fatSecs * (SEC / 4))(FREE)
+    (0 until fatSecs).foreach(i => fat(i) = FATSECT)
+    fat(dirSec) = END
+    if (useMini) {
+      fat(miniFatSec) = END
+      (0 until containerSecs).foreach { i =>
+        fat(containerStart + i) =
+          if (i == containerSecs - 1) END else containerStart + i + 1
+      }
+    } else
+      (0 until wbSecs).foreach { i =>
+        fat(wbStart + i) = if (i == wbSecs - 1) END else wbStart + i + 1
+      }
+    val out = new LeBuf
+    // header
+    out.bytes(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
+      .map(_.toByte))
+    out.bytes(new Array[Byte](16))       // CLSID
+    out.u16(0x003E).u16(0x0003)          // minor/major version
+    out.u16(0xFFFE)                      // little-endian marker
+    out.u16(9).u16(6)                    // sector/mini shifts
+    out.bytes(new Array[Byte](6))        // reserved
+    out.i32(0)                           // dir sector count (v3: 0)
+    out.i32(fatSecs)
+    out.i32(dirSec)
+    out.i32(0)                           // transaction
+    out.i32(CUTOFF)
+    out.i32(if (useMini) miniFatSec else END)
+    out.i32(if (useMini) 1 else 0)
+    out.i32(END).i32(0)                  // DIFAT chain: none
+    (0 until 109).foreach(i => out.i32(if (i < fatSecs) i else FREE))
+    require(out.size == 512, s"bad CFB header size ${out.size}")
+    // FAT sectors
+    fat.foreach(out.i32)
+    // directory sector: Root Entry, Workbook, 2 empty
+    def dirEntry(name: String, typ: Int, start: Int, size: Int,
+                 child: Int): Unit = {
+      val nm = name.getBytes("UTF-16LE")
+      out.bytes(nm); out.bytes(new Array[Byte](64 - nm.length))
+      out.u16(if (name.isEmpty) 0 else nm.length + 2)
+      out.u8(typ).u8(1)                  // type, black
+      out.i32(-1).i32(-1).i32(child)     // siblings, child
+      out.bytes(new Array[Byte](16))     // CLSID
+      out.i32(0)                         // state
+      out.bytes(new Array[Byte](16))     // ctime/mtime
+      out.i32(start).i32(size).i32(0)
+    }
+    dirEntry("Root Entry", 5, if (useMini) containerStart else END,
+      if (useMini) containerLen else 0, 1)
+    dirEntry("Workbook", 2, if (useMini) 0 else wbStart, workbook.length, -1)
+    dirEntry("", 0, 0, 0, -1)
+    dirEntry("", 0, 0, 0, -1)
+    // miniFAT + mini-stream container (padded), or the workbook directly
+    if (useMini) {
+      (0 until nMini).foreach(i => out.i32(if (i == nMini - 1) END else i + 1))
+      (nMini until SEC / 4).foreach(_ => out.i32(FREE))
+      out.bytes(workbook)
+      out.bytes(new Array[Byte](containerLen - workbook.length))
+      val pad = containerSecs * SEC - containerLen
+      out.bytes(new Array[Byte](pad))
+    } else {
+      out.bytes(workbook)
+      out.bytes(new Array[Byte](wbSecs * SEC - workbook.length))
+    }
+    require(out.size == 512 + totalSecs * SEC,
+      s"CFB layout mismatch: ${out.size} vs ${512 + totalSecs * SEC}")
+    out.result()
+  }
 }
