@@ -963,6 +963,31 @@ object ExtQueries {
           row.getDouble(row.fieldIndex(s"${c}__sum")))
       }.toDF("column", "datatype", "n_valid", "checksum")
         .orderBy(col("column"))
+    },
+
+    // End-to-end LLM-pipeline classifier mechanics on the documents table:
+    // text-derived features (char/whitespace/'e' counts — exactly
+    // replayable in SQL) → nearest-centroid model → confusion matrix.
+    // NOTE the synthetic corpus draws every lang's text from one vocabulary
+    // (per-lang character distributions are identical — verified), so
+    // chance-level accuracy is EXPECTED here; what the oracle pins is the
+    // 5-class × 3-feature train+predict loop bit-for-bit (exact centroid
+    // sums, pinned distance order, sorted-label argmin fold) over 5000
+    // docs. Separable-data accuracy is spec-pinned in MlModelSpec.
+    "q111_lang_classifier" -> { (s, dir) =>
+      val feats = t(s, dir, "documents")
+        .select(col("lang"),
+          col("n_chars").cast(DoubleType).as("f_chars"),
+          (length(col("text")) -
+            length(translate(col("text"), " ", ""))).cast(DoubleType).as("f_spaces"),
+          (length(col("text")) -
+            length(translate(col("text"), "e", ""))).cast(DoubleType).as("f_e"))
+      val m = Ml.fitNearestCentroid(feats,
+        Seq("f_chars", "f_spaces", "f_e"), "lang")
+      m.predict(feats)
+        .groupBy(col("lang").as("actual"), col("prediction"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("actual"), col("prediction"))
     }
   )
 
@@ -1698,6 +1723,48 @@ object ExtQueries {
            CASE WHEN sst = 0 THEN 0.0 ELSE 1.0 - sse / sst END AS r2,
            sqrt(sse / n) AS rmse
          FROM m3 ORDER BY l_returnflag""",
+
+    // Language-classifier mirror (generated: 5 labels × 3 features): exact-
+    // mean centroids per lang, the SAME left-to-right squared-distance sums,
+    // and the SAME sorted-label argmin fold as CentroidModel.predict.
+    "q111_lang_classifier" -> {
+      val labels = Seq("de", "en", "es", "fr", "zh")
+      val fexprs = Seq(
+        "CAST(n_chars AS DOUBLE)",
+        "CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)",
+        "CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE)")
+      val featSel = fexprs.zipWithIndex
+        .map { case (e, i) => s"$e AS f${i + 1}" }.mkString(", ")
+      val sums = fexprs.indices.map(i =>
+        s"CAST(SUM(CAST(FLOOR((f${i + 1}) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS s${i + 1}")
+        .mkString(", ")
+      val mus = labels.flatMap(l => fexprs.indices.map(i =>
+        s"max(CASE WHEN lang = '$l' THEN s${i + 1} / n END) AS ${l}_${i + 1}"))
+        .mkString(", ")
+      val dists = labels.map(l => fexprs.indices.map(i =>
+        s"(f.f${i + 1} - mu.${l}_${i + 1}) * (f.f${i + 1} - mu.${l}_${i + 1})")
+        .mkString(" + ") + s" AS s_$l").mkString(", ")
+      // the pinned fold: labels visited in sorted order, strict < keeps ties
+      val fold = labels.tail.zipWithIndex.map { case (l, k) =>
+        val (pb, pbs) = if (k == 0) (s"'${labels.head}'", s"s_${labels.head}")
+          else (s"bl$k", s"bs$k")
+        s"""f$k AS (SELECT *,
+              CASE WHEN s_$l < $pbs THEN '$l' ELSE $pb END AS bl${k + 1},
+              CASE WHEN s_$l < $pbs THEN s_$l ELSE $pbs END AS bs${k + 1}
+            FROM ${if (k == 0) "scored" else s"f${k - 1}"})"""
+      }.mkString(",\n         ")
+      s"""WITH f AS (SELECT lang, $featSel FROM documents),
+         cen AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n, $sums
+                 FROM f WHERE lang IS NOT NULL AND f1 IS NOT NULL
+                   AND f2 IS NOT NULL AND f3 IS NOT NULL
+                 GROUP BY 1),
+         mu AS (SELECT $mus FROM cen),
+         scored AS (SELECT f.lang, $dists FROM f, mu),
+         $fold
+         SELECT lang AS actual, bl${labels.size - 1} AS prediction,
+           COUNT(*) AS n
+         FROM f${labels.size - 2} GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
 
     // q88's densify arithmetic over a GLOBAL (keyless) lead. NOTE: the
     // range(1, 4096) cross join caps inserted points per gap at 4095 —

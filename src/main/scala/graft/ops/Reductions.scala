@@ -262,8 +262,7 @@ object Reductions {
         isum(c, 4).as(s"${c0}__sx"),
         isum(c * c, squareScale.getOrElse(c0, 4)).as(s"${c0}__sxx"),
         cubeDiv.get(c0).map(d => isumCoarse(cube, d))
-          .getOrElse(isum(cube, 4)).as(s"${c0}__sxxx"),
-        countDistinct(c).as(s"${c0}__nd")) ++
+          .getOrElse(isum(cube, 4)).as(s"${c0}__sxxx")) ++
         orderCol.toSeq.flatMap { o =>
           Seq(min_by(c, col(o)).cast(DoubleType).as(s"${c0}__first"),
             max_by(c, col(o)).cast(DoubleType).as(s"${c0}__last"))
@@ -332,16 +331,22 @@ object Reductions {
             }
             (q(0.25), q(0.5), q(0.75))
           }
-        // mode: max count, ties to the smallest value (modePerGroup
-        // semantics) — one aggregation over the value-count frame, the
-        // argmin rides min_by so no single-task window
-        val mode =
-          if (nv == 0) Double.NaN
-          else df.filter(col(c0).isNotNull)
-            .groupBy(col(c0).cast(DoubleType).as("__v"))
-            .agg(count(lit(1)).as("__n"))
-            .agg(min_by(col("__v"), struct(-col("__n"), col("__v"))).as("m"))
-            .collect()(0).getDouble(0)
+        // mode + n-distinct from ONE aggregation over the value-count frame
+        // (a countDistinct per column in the main agg would Expand the scan
+        // once per column); max count, ties to the smallest value
+        // (modePerGroup semantics), the argmin rides min_by so no
+        // single-task window
+        val (mode, nDistinct) =
+          if (nv == 0) (Double.NaN, 0L)
+          else {
+            val m = df.filter(col(c0).isNotNull)
+              .groupBy(col(c0).cast(DoubleType).as("__v"))
+              .agg(count(lit(1)).as("__n"))
+              .agg(min_by(col("__v"), struct(-col("__n"), col("__v"))).as("m"),
+                count(lit(1)).as("nd"))
+              .collect()(0)
+            (m.getDouble(0), m.getLong(1))
+          }
         val (first, last) = orderCol match {
           case Some(_) => (g("first"), g("last"))
           case None =>
@@ -352,7 +357,7 @@ object Reductions {
         }
         (c0, dtypes(c0), nv, row.getLong(row.fieldIndex(s"${c0}__nmissing")),
           g("min"), q1, mu, mode, med, q3, g("max"), stddev, skew,
-          row.getLong(row.fieldIndex(s"${c0}__nd")), first, last)
+          nDistinct, first, last)
       }
     }
     val out =
