@@ -988,6 +988,17 @@ object ExtQueries {
         .groupBy(col("lang").as("actual"), col("prediction"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("actual"), col("prediction"))
+    },
+
+    // Model-per-group at scale: MULTIVARIATE (2-feature) regression fitted
+    // for every group in ONE exact-sum aggregation, the 3×3 normal-equation
+    // solve running as pure column expressions (pinned Cramer cofactors —
+    // whole-stage codegen, no driver round-trip, so a million groups fit a
+    // million models in one shuffle). Oracle replays moments + cofactors.
+    "q112_mlr_groups" -> { (s, dir) =>
+      Ml.linearRegressionByGroup2(t(s, dir, "lineitem"), Seq("l_returnflag"),
+          "l_quantity", "l_discount", "l_extendedprice")
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -1765,6 +1776,45 @@ object ExtQueries {
            COUNT(*) AS n
          FROM f${labels.size - 2} GROUP BY 1, 2 ORDER BY 1, 2"""
     },
+
+    // Multivariate per-group regression mirror: the same exact-sum moments
+    // (x at 1e4, y-products at 1e2), then the identical first-row Cramer
+    // cofactor expansion and metric formulas, per l_returnflag.
+    "q112_mlr_groups" ->
+      """WITH st AS (
+           SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(FLOOR((l_quantity) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS s1,
+             CAST(SUM(CAST(FLOOR((l_discount) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS s2,
+             CAST(SUM(CAST(FLOOR((l_quantity * l_quantity) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS p11,
+             CAST(SUM(CAST(FLOOR((l_quantity * l_discount) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS p12,
+             CAST(SUM(CAST(FLOOR((l_discount * l_discount) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS p22,
+             CAST(SUM(CAST(FLOOR((l_extendedprice) * 100.0) AS DECIMAL(30,0))) AS DOUBLE) / 100.0 AS sy,
+             CAST(SUM(CAST(FLOOR((l_quantity * l_extendedprice) * 100.0) AS DECIMAL(30,0))) AS DOUBLE) / 100.0 AS q1,
+             CAST(SUM(CAST(FLOOR((l_discount * l_extendedprice) * 100.0) AS DECIMAL(30,0))) AS DOUBLE) / 100.0 AS q2,
+             CAST(SUM(CAST(FLOOR((l_extendedprice * l_extendedprice) * 100.0) AS DECIMAL(30,0))) AS DOUBLE) / 100.0 AS syy
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+             AND l_extendedprice IS NOT NULL
+           GROUP BY 1),
+         d AS (SELECT *,
+             n * (p11 * p22 - p12 * p12) - s1 * (s1 * p22 - p12 * s2) + s2 * (s1 * p12 - p11 * s2) AS det,
+             sy * (p11 * p22 - p12 * p12) - s1 * (q1 * p22 - p12 * q2) + s2 * (q1 * p12 - p11 * q2) AS det0,
+             n * (q1 * p22 - p12 * q2) - sy * (s1 * p22 - p12 * s2) + s2 * (s1 * q2 - q1 * s2) AS det1,
+             n * (p11 * q2 - q1 * p12) - s1 * (s1 * q2 - q1 * s2) + sy * (s1 * p12 - p11 * s2) AS det2
+           FROM st),
+         b AS (SELECT *,
+             CASE WHEN det = 0 THEN sy / n ELSE det0 / det END AS intercept,
+             CASE WHEN det = 0 THEN 0.0 ELSE det1 / det END AS slope1,
+             CASE WHEN det = 0 THEN 0.0 ELSE det2 / det END AS slope2
+           FROM d),
+         m AS (SELECT *,
+             greatest(syy - intercept * sy - slope1 * q1 - slope2 * q2, 0.0) AS sse,
+             syy - sy * sy / n AS sst
+           FROM b)
+         SELECT l_returnflag, n, intercept, slope1, slope2,
+           CASE WHEN sst = 0 THEN 0.0 ELSE 1.0 - sse / sst END AS r2,
+           sqrt(sse / n) AS rmse
+         FROM m ORDER BY l_returnflag""",
 
     // q88's densify arithmetic over a GLOBAL (keyless) lead. NOTE: the
     // range(1, 4096) cross join caps inserted points per gap at 4095 —

@@ -321,6 +321,65 @@ object Ml {
       df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*))
   }
 
+  /** Per-group TWO-FEATURE linear regression y ~ b0 + b1·x1 + b2·x2, FULLY
+    * distributed and codegen-friendly: one exact-sum aggregation builds each
+    * group's normal-equation moments, and the 3×3 solve happens as pure
+    * column expressions in pinned Cramer cofactor order (first-row
+    * expansion, fixed parenthesization — the q112 oracle replays it
+    * op-for-op). Fitting a MILLION models — one per group — costs one
+    * shuffle and no driver involvement; use fitLinearRegression for a
+    * single model with d > 2.
+    *
+    * Output: groupCols, n, intercept, slope1, slope2, r2, rmse. Degenerate
+    * groups (singular normal matrix: constant or collinear features) emit
+    * 0-coefficients with intercept = mean(y), r2 = 0 — deterministic, no
+    * NaN propagation. Digits: x1/x2 sums at `xDigits`, y and every product
+    * involving y at `yDigits`, feature products at `xDigits`. */
+  def linearRegressionByGroup2(df: DataFrame, groupCols: Seq[String],
+                               x1: String, x2: String, y: String,
+                               xDigits: Int = 4, yDigits: Int = 2): DataFrame = {
+    val c1 = col(x1).cast(DoubleType); val c2 = col(x2).cast(DoubleType)
+    val cy = col(y).cast(DoubleType)
+    val complete = c1.isNotNull && c2.isNotNull && cy.isNotNull
+    def s(c: Column, d: Int) = isum(when(complete, c), d)
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
+      count(when(complete, lit(1))).cast(DoubleType).as("n"),
+      s(c1, xDigits).as("s1"), s(c2, xDigits).as("s2"),
+      s(c1 * c1, xDigits).as("p11"), s(c1 * c2, xDigits).as("p12"),
+      s(c2 * c2, xDigits).as("p22"),
+      s(cy, yDigits).as("sy"), s(c1 * cy, yDigits).as("q1"),
+      s(c2 * cy, yDigits).as("q2"), s(cy * cy, yDigits).as("syy"))
+    val n = col("n"); val s1 = col("s1"); val s2 = col("s2")
+    val p11 = col("p11"); val p12 = col("p12"); val p22 = col("p22")
+    val sy = col("sy"); val q1 = col("q1"); val q2 = col("q2")
+    val syy = col("syy")
+    // Cramer by first-row cofactors on A = [[n,s1,s2],[s1,p11,p12],[s2,p12,p22]]
+    val det = n * (p11 * p22 - p12 * p12) - s1 * (s1 * p22 - p12 * s2) +
+      s2 * (s1 * p12 - p11 * s2)
+    val det0 = sy * (p11 * p22 - p12 * p12) - s1 * (q1 * p22 - p12 * q2) +
+      s2 * (q1 * p12 - p11 * q2)
+    val det1 = n * (q1 * p22 - p12 * q2) - sy * (s1 * p22 - p12 * s2) +
+      s2 * (s1 * q2 - q1 * s2)
+    val det2 = n * (p11 * q2 - q1 * p12) - s1 * (s1 * q2 - q1 * s2) +
+      sy * (s1 * p12 - p11 * s2)
+    val sing = det === 0
+    val withB = agg
+      .withColumn("intercept", when(sing, sy / n).otherwise(det0 / det))
+      .withColumn("slope1", when(sing, lit(0.0)).otherwise(det1 / det))
+      .withColumn("slope2", when(sing, lit(0.0)).otherwise(det2 / det))
+    val sse = greatest(
+      syy - col("intercept") * sy - col("slope1") * q1 - col("slope2") * q2,
+      lit(0.0))
+    withB
+      .withColumn("sse", sse)
+      .withColumn("sst", syy - sy * sy / n)
+      .withColumn("r2", when(col("sst") === 0, lit(0.0))
+        .otherwise(lit(1.0) - col("sse") / col("sst")))
+      .withColumn("rmse", sqrt(col("sse") / n))
+      .drop("s1", "s2", "p11", "p12", "p22", "sy", "q1", "q2", "syy",
+        "sse", "sst")
+  }
+
   /** Deterministic in-place Gaussian elimination with partial pivoting on a
     * small (d+1)×(d+1) driver-side system (scalar work only — the data never
     * leaves the executors). Ties in pivot selection go to the lowest row

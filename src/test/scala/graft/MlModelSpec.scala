@@ -105,6 +105,45 @@ class MlModelSpec extends SparkSuite {
       m.weights.map(_.toSeq).toSeq == m2.weights.map(_.toSeq).toSeq)
   }
 
+  test("linearRegressionByGroup2: Cramer solve == Gauss solve, exact recovery") {
+    // per-group planted models: group 0 → y = 3 + 2a − 5b, group 1 → y = −1 + 4a + 0.5b
+    val df = spark.range(0, 6000).repartition(5)
+      .select((col("id") % 2).as("g"),
+        (col("id") % 97).cast("double").as("a"),
+        ((col("id") * 7) % 31).cast("double").as("b"))
+      .withColumn("y",
+        when(col("g") === 0, lit(3.0) + col("a") * 2.0 - col("b") * 5.0)
+          .otherwise(lit(-1.0) + col("a") * 4.0 + col("b") * 0.5))
+    val out = Ml.linearRegressionByGroup2(df, Seq("g"), "a", "b", "y",
+        xDigits = 4, yDigits = 4)
+      .orderBy("g").collect()
+    assert(out.length == 2)
+    val g0 = out(0); val g1 = out(1)
+    assert(math.abs(g0.getAs[Double]("intercept") - 3.0) < 1e-7)
+    assert(math.abs(g0.getAs[Double]("slope1") - 2.0) < 1e-9)
+    assert(math.abs(g0.getAs[Double]("slope2") + 5.0) < 1e-9)
+    assert(math.abs(g1.getAs[Double]("intercept") + 1.0) < 1e-7)
+    assert(math.abs(g1.getAs[Double]("slope1") - 4.0) < 1e-9)
+    assert(math.abs(g1.getAs[Double]("slope2") - 0.5) < 1e-9)
+    assert(g0.getAs[Double]("r2") == 1.0 || math.abs(g0.getAs[Double]("r2") - 1.0) < 1e-12)
+    assert(g0.getAs[Double]("rmse") < 1e-4)
+    // independent cross-check vs the Gauss-elimination path on one group
+    val only0 = df.filter(col("g") === 0)
+    val mv = Ml.fitLinearRegression(only0, Seq("a", "b"), "y")
+    assert(math.abs(mv.intercept - g0.getAs[Double]("intercept")) < 1e-7)
+    assert(math.abs(mv.coefficients(0) - g0.getAs[Double]("slope1")) < 1e-9)
+    assert(math.abs(mv.coefficients(1) - g0.getAs[Double]("slope2")) < 1e-9)
+    // degenerate group: constant feature → singular → mean fallback, no NaN
+    val dg = spark.range(0, 100)
+      .select(lit(0L).as("g"), lit(1.0).as("a"),
+        (col("id") % 5).cast("double").as("b"),
+        (col("id") % 7).cast("double").as("y"))
+    val dr = Ml.linearRegressionByGroup2(dg, Seq("g"), "a", "b", "y",
+      xDigits = 4, yDigits = 4).collect()(0)
+    assert(dr.getAs[Double]("slope1") == 0.0 && dr.getAs[Double]("slope2") == 0.0)
+    assert(!dr.getAs[Double]("intercept").isNaN)
+  }
+
   test("evaluateRegression: perfect fit → rmse 0 / r2 1; known residuals") {
     val df = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("y", "p")
     val r = Ml.evaluateRegression(df, "y", "p").collect()(0)
