@@ -187,6 +187,14 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // bigram-LM fluency score (CCNet/KenLM-style perplexity signal in
+    // exactly-replayable ratio form): corpus-fitted transition
+    // probabilities, mean per doc.
+    "q113_bigram_lm" -> { (s, dir) =>
+      TextStats.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // cross-corpus decontamination: flag training docs sharing any verbatim
     // 3-word shingle with the held-out benchmark slice (doc_id % 97 == 0).
     "q73_decontaminate" -> { (s, dir) =>
@@ -346,6 +354,25 @@ object LlmQueries {
     "q27_exact_dedup" ->
       s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    // bigram-LM mirror: same normalize/split, same "w1 w2" bigram keys,
+    // same MLE ratio cb/cu and floor-scaled exact mean per doc.
+    "q113_bigram_lm" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         p AS (SELECT doc_id,
+             unnest(list_transform(range(len(w) - 1),
+               i -> concat(w[i+1], ' ', w[i+2]))) AS bg
+           FROM d WHERE len(w) >= 2),
+         q AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM p),
+         cb AS (SELECT bg, COUNT(*) AS cb FROM q GROUP BY 1),
+         cu AS (SELECT w1, COUNT(*) AS cu FROM q GROUP BY 1),
+         s AS (SELECT q.doc_id,
+             CAST(cb.cb AS DOUBLE) / CAST(cu.cu AS DOUBLE) AS pr
+           FROM q JOIN cb USING (bg) JOIN cu USING (w1))
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(FLOOR((pr) * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0
+             / COUNT(*) AS mean_p
+         FROM s GROUP BY 1 ORDER BY 1""",
 
     "q28_ngram_jaccard" ->
       s"""WITH d AS (

@@ -249,4 +249,38 @@ object TextStats {
       size(regexp_extract_all(
         regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
           Ipv4Re, "<IP>"), lit(PhoneRe), lit(0)))
+
+  /** Bigram language-model fluency score per document: the mean MLE
+    * transition probability p(w_i | w_{i−1}) = c(w_{i−1} w_i) / c(w_{i−1}·)
+    * over the doc's bigrams, with the LM fitted on the whole corpus. The
+    * standard pipeline signal is log-perplexity under a corpus LM
+    * (CCNet/KenLM-style); the log makes scores engine-irreproducible at the
+    * last ulp, so this operator reports the RATIO form — monotone in the
+    * same fluency direction, exactly replayable (q113 oracle). Unigram
+    * denominators count bigram-LEFT occurrences (so p sums to 1 over the
+    * observed continuations of each left word).
+    *
+    * Scale shape (100 TB): one explode to the (doc, bigram) pair frame,
+    * bigram/left-unigram count tables via map-side-combined aggregations
+    * (vocab²-sized — joined by hash, NOT broadcast), probability join on
+    * the count tables' own hash partitioning, exact floor-scaled sum per
+    * doc (1e-6 granularity — deterministic on any partition layout).
+    * Docs with fewer than two tokens have no bigrams and are absent.
+    * Output: (id, n_bigrams, mean_p). */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = TextDedup.tokens(col(textCol))
+    val pairs = df
+      .select(col(idCol), explode(when(size(w) >= 2,
+        transform(sequence(lit(0), size(w) - 2),
+          i => concat(element_at(w, i + 1), lit(" "), element_at(w, i + 2))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val cb = pairs.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val cu = pairs.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    pairs.join(cb, "bg").join(cu, "w1")
+      .withColumn("pr", col("cb").cast(DoubleType) / col("cu").cast(DoubleType))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (graft.ops.Reductions.isum(col("pr"), 6) / count(lit(1))).as("mean_p"))
+  }
 }

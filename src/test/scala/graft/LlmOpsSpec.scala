@@ -109,6 +109,23 @@ class LlmOpsSpec extends SparkSuite {
     assert(hits >= (sq8.length * 2) / 3, s"SQ8 agreement too low: $hits/${sq8.length}")
   }
 
+  test("bigram LM score: hand-computed MLE transitions, short docs absent") {
+    val corpus = Seq((1L, "a b"), (2L, "A  b"), (3L, "a c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    // normalized tokens: [a,b] [a,b] [a,c] [x]; bigrams "a b"×2, "a c"×1;
+    // left-unigram a=3 ⇒ p(a b)=2/3, p(a c)=1/3; "x" has no bigram
+    val out = TextStats.bigramLmScore(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.forall(_.getLong(1) == 1L))
+    assert(math.abs(out(0).getDouble(2) - 2.0 / 3) < 2e-6) // 1e-6 floor grain
+    assert(math.abs(out(2).getDouble(2) - 1.0 / 3) < 2e-6)
+    // partition invariance of the exact-sum mean
+    val rep = TextStats.bigramLmScore(corpus.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getDouble(2)).toSeq == rep.map(_.getDouble(2)).toSeq)
+  }
+
   test("quality score bounded and sensitive to noise") {
     val out = Seq(
       (1L, "the cat sat on the mat and it was a fine day for everyone involved"),
