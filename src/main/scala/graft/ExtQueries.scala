@@ -999,6 +999,18 @@ object ExtQueries {
       Ml.linearRegressionByGroup2(t(s, dir, "lineitem"), Seq("l_returnflag"),
           "l_quantity", "l_discount", "l_extendedprice")
         .orderBy(col("l_returnflag"))
+    },
+
+    // evaluate-classification (per-class precision/recall/F1) on the q109
+    // centroid model — train, predict, AND score all inside the oracle
+    // gate: the SQL replays centroids, the argmin fold, the confusion
+    // matrix, and the pinned metric arithmetic.
+    "q114_classify_metrics" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val m = Ml.fitNearestCentroid(li, Seq("l_quantity", "l_discount"),
+        "l_returnflag")
+      Ml.evaluateClassification(m.predict(li), "l_returnflag", "prediction")
+        .orderBy(col("label"))
     }
   )
 
@@ -1776,6 +1788,58 @@ object ExtQueries {
            COUNT(*) AS n
          FROM f${labels.size - 2} GROUP BY 1, 2 ORDER BY 1, 2"""
     },
+
+    // Classification-metrics mirror: the q109 centroid/fold chain, then the
+    // confusion matrix and the SAME pinned precision/recall/F1 arithmetic.
+    "q114_classify_metrics" ->
+      """WITH cen AS (
+           SELECT l_returnflag AS lab, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(FLOOR((l_quantity) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS s1,
+             CAST(SUM(CAST(FLOOR((l_discount) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS s2
+           FROM lineitem
+           WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+             AND l_discount IS NOT NULL
+           GROUP BY 1),
+         mu AS (SELECT
+             max(CASE WHEN lab = 'A' THEN s1 / n END) AS a1,
+             max(CASE WHEN lab = 'A' THEN s2 / n END) AS a2,
+             max(CASE WHEN lab = 'N' THEN s1 / n END) AS n1,
+             max(CASE WHEN lab = 'N' THEN s2 / n END) AS n2,
+             max(CASE WHEN lab = 'R' THEN s1 / n END) AS r1,
+             max(CASE WHEN lab = 'R' THEN s2 / n END) AS r2
+           FROM cen),
+         scored AS (SELECT l.l_returnflag,
+             (l.l_quantity - mu.a1) * (l.l_quantity - mu.a1)
+               + (l.l_discount - mu.a2) * (l.l_discount - mu.a2) AS sa,
+             (l.l_quantity - mu.n1) * (l.l_quantity - mu.n1)
+               + (l.l_discount - mu.n2) * (l.l_discount - mu.n2) AS sn,
+             (l.l_quantity - mu.r1) * (l.l_quantity - mu.r1)
+               + (l.l_discount - mu.r2) * (l.l_discount - mu.r2) AS sr
+           FROM lineitem l, mu),
+         f1x AS (SELECT l_returnflag,
+             CASE WHEN sn < sa THEN 'N' ELSE 'A' END AS bl,
+             CASE WHEN sn < sa THEN sn ELSE sa END AS bs, sr
+           FROM scored),
+         conf AS (SELECT l_returnflag AS a,
+             CASE WHEN sr < bs THEN 'R' ELSE bl END AS p, COUNT(*) AS n
+           FROM f1x GROUP BY 1, 2),
+         ag AS (SELECT a AS label, CAST(SUM(n) AS BIGINT) AS n_actual,
+             CAST(SUM(CASE WHEN a = p THEN n ELSE 0 END) AS BIGINT) AS tp
+           FROM conf GROUP BY 1),
+         pg AS (SELECT p AS label, CAST(SUM(n) AS BIGINT) AS n_pred
+           FROM conf GROUP BY 1),
+         m AS (SELECT ag.label, n_actual, tp, COALESCE(n_pred, 0) AS n_pred
+           FROM ag LEFT JOIN pg USING (label)),
+         m2 AS (SELECT label, n_actual, tp,
+             CASE WHEN n_pred = 0 THEN 0.0
+                  ELSE CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS "precision",
+             CASE WHEN n_actual = 0 THEN 0.0
+                  ELSE CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE) END AS recall
+           FROM m)
+         SELECT label, n_actual, tp, "precision", recall,
+           CASE WHEN "precision" + recall = 0 THEN 0.0
+                ELSE 2.0 * "precision" * recall / ("precision" + recall) END AS f1
+         FROM m2 ORDER BY label""",
 
     // Multivariate per-group regression mirror: the same exact-sum moments
     // (x at 1e4, y-products at 1e2), then the identical first-row Cramer

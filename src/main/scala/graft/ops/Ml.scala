@@ -534,6 +534,42 @@ object Ml {
     CentroidModel(features, cents)
   }
 
+  /** Per-class classification metrics from (actual, predicted) columns —
+    * the evaluation half of the reference's classification surface
+    * (tribuo.clj routes to Tribuo evaluators). One confusion-matrix
+    * aggregation, then precision/recall/F1 as pinned column arithmetic
+    * (0.0 when a denominator is empty — no NaN): fully distributed over
+    * any number of classes, and exactly replayable (q114 oracle).
+    * Output: (label, n_actual, tp, precision, recall, f1) per class. */
+  def evaluateClassification(df: DataFrame, actual: String,
+                             predicted: String): DataFrame = {
+    val conf = df.groupBy(col(actual).cast(StringType).as("__a"),
+        col(predicted).cast(StringType).as("__p"))
+      .agg(count(lit(1)).as("__n"))
+    val byActual = conf.groupBy(col("__a").as("label"))
+      .agg(sum(col("__n")).as("n_actual"),
+        sum(when(col("__a") === col("__p"), col("__n")).otherwise(0L)).as("tp"))
+    val byPred = conf.groupBy(col("__p").as("label"))
+      .agg(sum(col("__n")).as("n_pred"))
+    // full outer: a class can appear only in predictions (precision row
+    // with zero recall support) or only in actuals
+    val m = byActual.join(byPred, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+    val p = when(col("n_pred") === 0, lit(0.0))
+      .otherwise(col("tp").cast(DoubleType) / col("n_pred").cast(DoubleType))
+    val r = when(col("n_actual") === 0, lit(0.0))
+      .otherwise(col("tp").cast(DoubleType) / col("n_actual").cast(DoubleType))
+    m.withColumn("precision", p).withColumn("recall", r)
+      .withColumn("f1",
+        when(col("precision") + col("recall") === 0, lit(0.0))
+          .otherwise(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
+      .drop("n_pred")
+  }
+
   /** Fitted linear (softmax) classifier: per-class scores
     * score_c = intercept_c + Σᵢ w_ci·xᵢ as pure column expressions;
     * `predict` emits the argmax label (ties → first label) plus one

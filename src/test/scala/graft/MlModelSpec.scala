@@ -144,6 +144,24 @@ class MlModelSpec extends SparkSuite {
     assert(!dr.getAs[Double]("intercept").isNaN)
   }
 
+  test("evaluateClassification: hand confusion matrix, asymmetric labels") {
+    // actuals: a×3 (2 right, 1→b), b×2 (1 right, 1→c); c never actual but
+    // predicted once — the full-outer path
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "c"))
+      .toDF("y", "p")
+    val m = Ml.evaluateClassification(df, "y", "p")
+      .orderBy("label").collect()
+    assert(m.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    val a = m(0); val b = m(1); val c = m(2)
+    assert(a.getAs[Long]("n_actual") == 3 && a.getAs[Long]("tp") == 2)
+    assert(a.getAs[Double]("precision") == 1.0) // 2 predicted-a, both right
+    assert(math.abs(a.getAs[Double]("recall") - 2.0 / 3) < 1e-15)
+    assert(math.abs(a.getAs[Double]("f1") - 0.8) < 1e-12)
+    assert(b.getAs[Double]("precision") == 0.5 && b.getAs[Double]("recall") == 0.5)
+    // c: no actuals → recall 0, precision 0 (1 prediction, 0 tp), f1 0
+    assert(c.getAs[Long]("n_actual") == 0 && c.getAs[Double]("f1") == 0.0)
+  }
+
   test("evaluateRegression: perfect fit → rmse 0 / r2 1; known residuals") {
     val df = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("y", "p")
     val r = Ml.evaluateRegression(df, "y", "p").collect()(0)
