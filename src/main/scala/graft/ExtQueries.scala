@@ -1011,6 +1011,15 @@ object ExtQueries {
         "l_returnflag")
       Ml.evaluateClassification(m.predict(li), "l_returnflag", "prediction")
         .orderBy(col("label"))
+    },
+
+    // Categorical descriptive-stats branch (reference :values/:histogram/
+    // :n-values for non-numeric columns), row-shaped: top values by
+    // (count desc, value asc) with rank + distinct totals.
+    "q115_cat_stats" -> { (s, dir) =>
+      Reductions.categoricalStats(t(s, dir, "orders"),
+          Seq("o_orderstatus", "o_orderpriority"), nValues = 21)
+        .orderBy(col("column"), col("rank"))
     }
   )
 
@@ -1787,6 +1796,22 @@ object ExtQueries {
          SELECT lang AS actual, bl${labels.size - 1} AS prediction,
            COUNT(*) AS n
          FROM f${labels.size - 2} GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+
+    // Categorical-stats mirror: per-column value counts, row_number ranking
+    // with the same (count desc, value asc) tie-break, distinct totals.
+    "q115_cat_stats" -> {
+      def branch(c: String): String =
+        s"""SELECT '$c' AS "column",
+             CAST(row_number() OVER (ORDER BY n DESC, value ASC) AS INT) AS rank,
+             value, n,
+             (SELECT COUNT(DISTINCT $c) FROM orders WHERE $c IS NOT NULL) AS n_values
+           FROM (SELECT CAST($c AS VARCHAR) AS value, COUNT(*) AS n
+                 FROM orders WHERE $c IS NOT NULL GROUP BY 1) t
+           QUALIFY rank <= 21"""
+      Seq(branch("o_orderstatus"), branch("o_orderpriority"))
+        .mkString("SELECT * FROM (", " UNION ALL ",
+          """) u ORDER BY "column", rank""")
     },
 
     // Classification-metrics mirror: the q109 centroid/fold chain, then the

@@ -368,6 +368,48 @@ object Reductions {
       "first", "last")
   }
 
+  /** Categorical descriptive stats — the reference's non-numeric
+    * descriptive-stats branch (dataset_api.clj:1362-1375: :mode, :n-values,
+    * :values top-N, :histogram), row-shaped for engine-independent
+    * comparison: one row per (column, value) among each column's top
+    * `nValues` by (count desc, value asc), with rank, count, and the
+    * column's total distinct count. Mode = the rank-1 row.
+    *
+    * Scale shape: per column one value-count aggregation, then the top-N by
+    * rank via TakeOrdered (no global window); columns are independent jobs
+    * submitted concurrently. */
+  def categoricalStats(df: DataFrame, cols: Seq[String],
+                       nValues: Int = 21): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(cols.size, 8)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futures = cols.map { c0 =>
+      Future {
+        val counts = df.filter(col(c0).isNotNull)
+          .groupBy(col(c0).cast(StringType).as("value"))
+          .agg(count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val nDistinct = counts.count()
+          counts.orderBy(col("n").desc, col("value").asc).limit(nValues)
+            .collect()
+            .zipWithIndex
+            .map { case (r, i) =>
+              (c0, i + 1, r.getString(0), r.getLong(1), nDistinct)
+            }.toSeq
+        } finally { counts.unpersist(); () }
+      }
+    }
+    val rows =
+      try Await.result(Future.sequence(futures), Duration.Inf).flatten
+      finally pool.shutdown()
+    rows.toDF("column", "rank", "value", "n", "n_values")
+  }
+
   /** mode — most frequent value per group, deterministic (max count, ties to
     * the smallest value). Reference descriptive-stats' :mode for categorical
     * columns. One count aggregation + one window, no collect. */
