@@ -268,15 +268,24 @@ object TextStats {
     * Docs with fewer than two tokens have no bigrams and are absent.
     * Output: (id, n_bigrams, mean_p). */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = TextDedup.tokens(col(textCol))
+    // materialize the token array behind an alias BEFORE the per-bigram
+    // lambda: referenced 4× from the transform, an inlined split would
+    // re-tokenize the whole text per bigram (O(len²) regex work per doc —
+    // measured 6× slower); CollapseProject keeps a multiply-referenced
+    // non-cheap alias materialized
+    val w = col("__w")
     val pairs = df
+      .select(col(idCol), TextDedup.tokens(col(textCol)).as("__w"))
       .select(col(idCol), explode(when(size(w) >= 2,
         transform(sequence(lit(0), size(w) - 2),
           i => concat(element_at(w, i + 1), lit(" "), element_at(w, i + 2))))
         .otherwise(array().cast("array<string>"))).as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val cb = pairs.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-    val cu = pairs.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    // left-unigram counts roll up from the (much smaller) bigram table —
+    // one corpus scan fewer; identical long counts
+    val cu = cb.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cb")).as("cu"))
     pairs.join(cb, "bg").join(cu, "w1")
       .withColumn("pr", col("cb").cast(DoubleType) / col("cu").cast(DoubleType))
       .groupBy(col(idCol))
