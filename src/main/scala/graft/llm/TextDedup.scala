@@ -29,13 +29,17 @@ object TextDedup {
 
   /** k-word shingles via a slice-transform over the token array (no explode —
     * one array expression per row). */
-  def shingles(text: Column, k: Int): Column = {
-    val w = tokens(text)
-    when(size(w) >= k,
-      transform(sequence(lit(0), size(w) - k),
-        i => concat_ws(" ", slice(w, i + 1, lit(k)))))
-      .otherwise(array(concat_ws(" ", w)))
-  }
+  def shingles(text: Column, k: Int): Column =
+    // the token array is BOUND as a lambda variable (single-element
+    // transform) so the inner per-shingle lambda reads a computed value —
+    // inlining `tokens(text)` directly would re-run the whole regex
+    // tokenize per shingle (O(len²) per doc; invisible on short synthetic
+    // docs, quadratic on real 10k-token documents)
+    element_at(transform(array(tokens(text)), w =>
+      when(size(w) >= k,
+        transform(sequence(lit(0), size(w) - k),
+          i => concat_ws(" ", slice(w, i + 1, lit(k)))))
+        .otherwise(array(concat_ws(" ", w)))), 1)
 
   /** 28-bit shingle hash (fits universal-hash arithmetic in a long).
     * md5-derived. (An xxhash64 variant was measured: the per-shingle hash is
