@@ -18,8 +18,39 @@ object Ml {
 
   import Reductions.isum
 
+  /** The PDatasetTransform contract (reference protocols.clj:68-70): a
+    * fitted object that maps datasets to datasets. Every fitted model here
+    * implements it, so stages compose into [[Pipeline]]s the way the
+    * reference's metamorph pipelines thread fitted state. */
+  trait DatasetTransform {
+    def transform(df: DataFrame): DataFrame
+  }
+
+  /** Fitted pipeline: stages applied in order (itself a stage). */
+  case class FittedPipeline(stages: Seq[DatasetTransform]) extends DatasetTransform {
+    def transform(df: DataFrame): DataFrame =
+      stages.foldLeft(df)((d, s) => s.transform(d))
+  }
+
+  /** metamorph-style pipeline fit (reference metamorph_api.clj): each
+    * fitter sees the OUTPUT of the previously fitted stages — so a PCA
+    * stage fits on scaled columns, a classifier on projected ones — and
+    * the fitted stages replay as one pure transform on any frame. */
+  object Pipeline {
+    def fit(df: DataFrame,
+            fitters: Seq[DataFrame => DatasetTransform]): FittedPipeline = {
+      var cur = df
+      val fitted = fitters.map { f =>
+        val stage = f(cur)
+        cur = stage.transform(cur)
+        stage
+      }
+      FittedPipeline(fitted)
+    }
+  }
+
   /** Fitted standard-scaler: (mean, stddev_pop) per column, exact. */
-  case class ScalerModel(stats: Map[String, (Double, Double)]) {
+  case class ScalerModel(stats: Map[String, (Double, Double)]) extends DatasetTransform {
     def transform(df: DataFrame): DataFrame =
       stats.foldLeft(df) { case (d, (c, (mu, sigma))) =>
         d.withColumn(s"${c}_z", (col(c) - lit(mu)) / lit(if (sigma == 0) 1.0 else sigma))
@@ -48,7 +79,7 @@ object Ml {
   }
 
   /** Fitted min-max scaler to [0,1]. */
-  case class MinMaxModel(ranges: Map[String, (Double, Double)]) {
+  case class MinMaxModel(ranges: Map[String, (Double, Double)]) extends DatasetTransform {
     def transform(df: DataFrame): DataFrame =
       ranges.foldLeft(df) { case (d, (c, (lo, hi))) =>
         val span = if (hi == lo) 1.0 else hi - lo
@@ -76,7 +107,7 @@ object Ml {
     * projected, covariance computed about the mean) — no vector UDT, no UDF,
     * stays in whole-stage codegen. */
   case class PcaModel(cols: Seq[String], components: Array[Array[Double]],
-                      eigenvalues: Array[Double]) {
+                      eigenvalues: Array[Double]) extends DatasetTransform {
     def transform(df: DataFrame): DataFrame =
       df.withColumn("pc", array(components.map { v =>
         cols.zip(v).map { case (c, w) => col(c).cast(DoubleType) * lit(w) }
@@ -250,7 +281,7 @@ object Ml {
     * left-to-right in `features` order (pinned so an external engine can
     * replay predictions bit-for-bit). */
   case class LinearModel(features: Seq[String], intercept: Double,
-                         coefficients: Array[Double]) {
+                         coefficients: Array[Double]) extends DatasetTransform {
     require(features.size == coefficients.length,
       s"${features.size} features but ${coefficients.length} coefficients")
     def predict(df: DataFrame, out: String = "prediction"): DataFrame =
@@ -258,6 +289,7 @@ object Ml {
         features.zip(coefficients.toIndexedSeq).foldLeft(lit(intercept): Column) {
           case (acc, (c, w)) => acc + col(c).cast(DoubleType) * lit(w)
         })
+    def transform(df: DataFrame): DataFrame = predict(df)
   }
 
   /** The shared simple-regression arithmetic, pinned op-for-op (the DuckDB
@@ -494,7 +526,7 @@ object Ml {
     * tribuo.clj:232-273 (the reference delegates to Tribuo trainers; the
     * centroid rule is this engine's closed-form, shuffle-once equivalent). */
   case class CentroidModel(features: Seq[String],
-                           centroids: Seq[(String, Array[Double])]) {
+                           centroids: Seq[(String, Array[Double])]) extends DatasetTransform {
     def predict(df: DataFrame, out: String = "prediction"): DataFrame = {
       val scored = centroids.map { case (label, mu) =>
         val dist = features.zip(mu.toIndexedSeq).map { case (c, m) =>
@@ -509,6 +541,7 @@ object Ml {
       }
       df.withColumn(out, bestLabel)
     }
+    def transform(df: DataFrame): DataFrame = predict(df)
   }
 
   /** Fit = one groupBy(label) exact-sum aggregation; the driver reads back
@@ -577,7 +610,7 @@ object Ml {
     * output shape (tribuo.clj:239-273: :prediction + a column per class). */
   case class LinearClassifierModel(features: Seq[String], labels: Seq[String],
                                    intercepts: Array[Double],
-                                   weights: Array[Array[Double]]) {
+                                   weights: Array[Array[Double]]) extends DatasetTransform {
     def predict(df: DataFrame, out: String = "prediction"): DataFrame = {
       val scores = labels.indices.map { ci =>
         features.zipWithIndex.foldLeft(lit(intercepts(ci)): Column) {
@@ -597,6 +630,7 @@ object Ml {
         }
       withProbs.withColumn(out, bestLabel)
     }
+    def transform(df: DataFrame): DataFrame = predict(df)
   }
 
   /** Multinomial logistic regression via MLlib (the iterative path — the

@@ -144,6 +144,32 @@ class MlModelSpec extends SparkSuite {
     assert(!dr.getAs[Double]("intercept").isNaN)
   }
 
+  test("Pipeline: stages fit on the previous stages' output and replay pure") {
+    val df = synth(2000, 4)
+    val pipe = Ml.Pipeline.fit(df, Seq(
+      d => Ml.fitStandardScaler(d, Seq("a", "b")),
+      // fits on the SCALED columns — metamorph threading; z-features are
+      // full-precision doubles, so the moment sums need a finer floor-scale
+      // than the integer-data default
+      d => Ml.fitLinearRegression(d, Seq("a_z", "b_z"), "y",
+        colScale = Map("a_z" -> 8, "b_z" -> 8, "y" -> 8))))
+    val out = pipe.transform(df)
+    assert(out.columns.contains("a_z") && out.columns.contains("prediction"))
+    // the regression on standardized features still reproduces y
+    val bad = out.filter(abs(col("prediction") - col("y")) > 1e-4).count()
+    assert(bad == 0)
+    // a fitted pipeline is a pure function: transforming a DIFFERENT frame
+    // uses the TRAINING fit (scaler means from the 2000-row frame)
+    val other = pipe.transform(synth(100, 2))
+    assert(other.filter(abs(col("prediction") - col("y")) > 1e-4).count() == 0)
+    // classifier models compose as stages too
+    val labDf = df.withColumn("lab", when(col("y") > 0, "hi").otherwise("lo"))
+    val p2 = Ml.Pipeline.fit(labDf, Seq(
+      d => Ml.fitStandardScaler(d, Seq("a", "b")),
+      d => Ml.fitNearestCentroid(d, Seq("a_z", "b_z"), "lab")))
+    assert(p2.transform(labDf).columns.contains("prediction"))
+  }
+
   test("evaluateClassification: hand confusion matrix, asymmetric labels") {
     // actuals: a×3 (2 right, 1→b), b×2 (1 right, 1→c); c never actual but
     // predicted once — the full-outer path
