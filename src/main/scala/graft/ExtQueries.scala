@@ -1020,6 +1020,20 @@ object ExtQueries {
       Reductions.categoricalStats(t(s, dir, "orders"),
           Seq("o_orderstatus", "o_orderpriority"), nValues = 21)
         .orderBy(col("column"), col("rank"))
+    },
+
+    // General-d model-per-group (executor-side Gauss solve over exact-sum
+    // moments). Partial pivoting has no practical SQL mirror, so this is a
+    // rows-only registration — the d=2 specialization q112 carries the
+    // bit-exact oracle, MlModelSpec pins d=3 recovery and d=2 agreement.
+    "q116_mlr_groups_n" -> { (s, dir) =>
+      Ml.linearRegressionByGroupN(t(s, dir, "lineitem"), Seq("l_returnflag"),
+          Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice")
+        .withColumn("b1", element_at(col("coefficients"), 1))
+        .withColumn("b2", element_at(col("coefficients"), 2))
+        .withColumn("b3", element_at(col("coefficients"), 3))
+        .drop("coefficients")
+        .orderBy(col("l_returnflag"))
     }
   )
 

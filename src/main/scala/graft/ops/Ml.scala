@@ -412,6 +412,77 @@ object Ml {
         "sse", "sst")
   }
 
+  /** Per-group multivariate regression for ARBITRARY d — the general form
+    * of [[linearRegressionByGroup2]]: one exact-sum aggregation builds each
+    * group's normal-equation moments (O(d²) scalars per group), then the
+    * (d+1)×(d+1) Gauss solve runs INSIDE the executors via mapPartitions
+    * over the tiny moment rows — no driver round-trip, no per-group job, so
+    * a million groups still fit a million models in one shuffle plus an
+    * embarrassingly parallel solve pass. Singular groups (collinear or
+    * constant features) fall back to intercept = mean(y) with zero slopes,
+    * deterministically. Spec-verified against the driver-side
+    * fitLinearRegression and the d=2 Cramer plan; not oracle-gated (partial
+    * pivoting has no practical SQL mirror — q112 pins the d=2 case).
+    * Output: groupCols…, n, intercept, coefficients array<double> (feature
+    * order). */
+  def linearRegressionByGroupN(df: DataFrame, groupCols: Seq[String],
+                               features: Seq[String], target: String,
+                               colScale: Map[String, Int] = Map.empty): DataFrame = {
+    val d = features.size
+    require(d >= 1, "need at least one feature")
+    def sc(a: String, b: String): Int =
+      math.min(colScale.getOrElse(a, 4), colScale.getOrElse(b, 4))
+    val complete = (features :+ target).map(c => col(c).isNotNull).reduce(_ && _)
+    def s(c: Column, dig: Int) = isum(when(complete, c), dig)
+    val pairs = for (i <- 0 until d; j <- i until d) yield (i, j)
+    val aggs =
+      count(when(complete, lit(1))).cast(DoubleType).as("__n") +:
+        (features.map(c => s(col(c).cast(DoubleType), sc(c, c)).as(s"__s_$c")) ++
+          pairs.map { case (i, j) =>
+            s(col(features(i)).cast(DoubleType) * col(features(j)).cast(DoubleType),
+              sc(features(i), features(j))).as(s"__p_${i}_$j") } ++
+          (s(col(target).cast(DoubleType), sc(target, target)).as("__sy") +:
+            features.zipWithIndex.map { case (c, i) =>
+              s(col(c).cast(DoubleType) * col(target).cast(DoubleType),
+                sc(c, target)).as(s"__q_$i") }))
+    val moments = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val mSchema = moments.schema
+    val outSchema = StructType(
+      groupCols.map(mSchema(_)) ++ Seq(
+        StructField("n", DoubleType, nullable = false),
+        StructField("intercept", DoubleType, nullable = false),
+        StructField("coefficients", ArrayType(DoubleType, containsNull = false),
+          nullable = false)))
+    val gIdx = groupCols.map(mSchema.fieldIndex)
+    val nIdx = mSchema.fieldIndex("__n")
+    val sIdx = features.map(c => mSchema.fieldIndex(s"__s_$c"))
+    val pIdx = pairs.map { case (i, j) => mSchema.fieldIndex(s"__p_${i}_$j") }
+    val syIdx = mSchema.fieldIndex("__sy")
+    val qIdx = features.indices.map(i => mSchema.fieldIndex(s"__q_$i"))
+    val rows = moments.rdd.mapPartitions { it =>
+      it.map { r =>
+        val n = r.getDouble(nIdx)
+        val a = Array.ofDim[Double](d + 1, d + 1)
+        val b = new Array[Double](d + 1)
+        a(0)(0) = n
+        sIdx.zipWithIndex.foreach { case (ix, i) =>
+          a(0)(i + 1) = r.getDouble(ix); a(i + 1)(0) = a(0)(i + 1) }
+        pairs.zip(pIdx).foreach { case ((i, j), ix) =>
+          a(i + 1)(j + 1) = r.getDouble(ix); a(j + 1)(i + 1) = a(i + 1)(j + 1) }
+        b(0) = r.getDouble(syIdx)
+        qIdx.zipWithIndex.foreach { case (ix, i) => b(i + 1) = r.getDouble(ix) }
+        val beta =
+          if (n == 0) Array.fill(d + 1)(0.0)
+          else try gaussSolve(a, b)
+          catch { case _: IllegalArgumentException =>
+            (b(0) / n) +: Array.fill(d)(0.0) }
+        org.apache.spark.sql.Row.fromSeq(
+          gIdx.map(r.get) ++ Seq(n, beta(0), beta.drop(1).toSeq))
+      }
+    }
+    df.sparkSession.createDataFrame(rows, outSchema)
+  }
+
   /** Deterministic in-place Gaussian elimination with partial pivoting on a
     * small (d+1)×(d+1) driver-side system (scalar work only — the data never
     * leaves the executors). Ties in pivot selection go to the lowest row

@@ -144,6 +144,43 @@ class MlModelSpec extends SparkSuite {
     assert(!dr.getAs[Double]("intercept").isNaN)
   }
 
+  test("linearRegressionByGroupN: d=3 exact recovery, agrees with d=2 Cramer") {
+    // three features, exact coefficients per group
+    val df = spark.range(0, 8000).repartition(6)
+      .select((col("id") % 2).as("g"),
+        (col("id") % 97).cast("double").as("a"),
+        ((col("id") * 7) % 31).cast("double").as("b"),
+        ((col("id") * 13) % 17).cast("double").as("c"))
+      .withColumn("y",
+        when(col("g") === 0, lit(2.0) + col("a") * 1.5 - col("b") * 3.0 + col("c") * 0.25)
+          .otherwise(lit(-4.0) + col("a") * 0.5 + col("b") * 2.0 - col("c") * 1.0))
+    val out = Ml.linearRegressionByGroupN(df, Seq("g"), Seq("a", "b", "c"), "y")
+      .orderBy("g").collect()
+    val g0 = out(0)
+    assert(math.abs(g0.getAs[Double]("intercept") - 2.0) < 1e-6)
+    val cs = g0.getSeq[Double](g0.fieldIndex("coefficients"))
+    assert(math.abs(cs(0) - 1.5) < 1e-8 && math.abs(cs(1) + 3.0) < 1e-8 &&
+      math.abs(cs(2) - 0.25) < 1e-8)
+    // d=2: executor Gauss == codegen Cramer to numerical agreement
+    val n2 = Ml.linearRegressionByGroupN(df, Seq("g"), Seq("a", "b"), "y")
+      .orderBy("g").collect()
+    val c2 = Ml.linearRegressionByGroup2(df, Seq("g"), "a", "b", "y")
+      .orderBy("g").collect()
+    n2.zip(c2).foreach { case (nr, cr) =>
+      assert(math.abs(nr.getAs[Double]("intercept") - cr.getAs[Double]("intercept")) < 1e-6)
+      val ncs = nr.getSeq[Double](nr.fieldIndex("coefficients"))
+      assert(math.abs(ncs(0) - cr.getAs[Double]("slope1")) < 1e-8)
+      assert(math.abs(ncs(1) - cr.getAs[Double]("slope2")) < 1e-8)
+    }
+    // singular group falls back per group without poisoning others
+    val mixed = df.withColumn("a",
+      when(col("g") === 1, lit(7.0)).otherwise(col("a")))
+    val ms = Ml.linearRegressionByGroupN(mixed, Seq("g"), Seq("a", "b"), "y")
+      .orderBy("g").collect()
+    assert(ms(1).getSeq[Double](ms(1).fieldIndex("coefficients")) == Seq(0.0, 0.0))
+    assert(!ms(0).getSeq[Double](ms(0).fieldIndex("coefficients")).contains(0.0))
+  }
+
   test("Pipeline: stages fit on the previous stages' output and replay pure") {
     val df = synth(2000, 4)
     val pipe = Ml.Pipeline.fit(df, Seq(
