@@ -592,25 +592,31 @@ object Ml {
     * centroids, sorted by label. Predict = argmin of the squared euclidean
     * distance, computed per class in pinned feature order with ties going to
     * the FIRST (smallest) label — pure column expressions replayable by an
-    * external engine (q109's oracle replays the same fold in SQL).
+    * external engine (q109's oracle replays the same selection in SQL:
+    * array_min + first-position ≡ the fold with strict <, because the min
+    * IS its first occurrence and both visit labels in sorted order).
+    * Selection is array-based — each score expression appears ONCE in the
+    * plan (a nested best-so-far fold doubles the tree per class, 2^k at
+    * 25+ classes). A row with a null feature yields a NULL prediction
+    * (scores are null → min is null), matching fit's exclusion of
+    * incomplete rows rather than silently assigning the first label.
     * Reference surface: train-classification / predict-classification
     * tribuo.clj:232-273 (the reference delegates to Tribuo trainers; the
     * centroid rule is this engine's closed-form, shuffle-once equivalent). */
   case class CentroidModel(features: Seq[String],
                            centroids: Seq[(String, Array[Double])]) extends DatasetTransform {
     def predict(df: DataFrame, out: String = "prediction"): DataFrame = {
-      val scored = centroids.map { case (label, mu) =>
-        val dist = features.zip(mu.toIndexedSeq).map { case (c, m) =>
+      val dists = centroids.map { case (_, mu) =>
+        features.zip(mu.toIndexedSeq).map { case (c, m) =>
           val dcol = col(c).cast(DoubleType) - lit(m)
           dcol * dcol
         }.reduce(_ + _)
-        (label, dist)
       }
-      val (bestLabel, _) = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-        case ((bl, bs), (l, sc)) =>
-          (when(sc < bs, lit(l)).otherwise(bl), when(sc < bs, sc).otherwise(bs))
-      }
-      df.withColumn(out, bestLabel)
+      val labelsArr = array(centroids.map(c => lit(c._1)): _*)
+      val scoreArr = array(dists: _*)
+      df.withColumn(out,
+        element_at(labelsArr,
+          array_position(scoreArr, array_min(scoreArr)).cast(IntegerType)))
     }
     def transform(df: DataFrame): DataFrame = predict(df)
   }
