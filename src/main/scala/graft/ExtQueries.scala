@@ -1022,10 +1022,11 @@ object ExtQueries {
         .orderBy(col("column"), col("rank"))
     },
 
-    // General-d model-per-group (executor-side Gauss solve over exact-sum
-    // moments). Partial pivoting has no practical SQL mirror, so this is a
-    // rows-only registration — the d=2 specialization q112 carries the
-    // bit-exact oracle, MlModelSpec pins d=3 recovery and d=2 agreement.
+    // General-d model-per-group: executor-side PIVOT-FREE Cholesky solve
+    // over exact-sum moments. The normal-equation matrix is SPD, so the
+    // factorization + both substitutions are a fixed left-to-right
+    // arithmetic sequence — the oracle replays the full 4×4 solve in SQL
+    // bit-for-bit (the q112 Cramer-mirror pattern, generalized).
     "q116_mlr_groups_n" -> { (s, dir) =>
       Ml.linearRegressionByGroupN(t(s, dir, "lineitem"), Seq("l_returnflag"),
           Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice")
@@ -1918,6 +1919,63 @@ object ExtQueries {
            CASE WHEN sst = 0 THEN 0.0 ELSE 1.0 - sse / sst END AS r2,
            sqrt(sse / n) AS rmse
          FROM m ORDER BY l_returnflag""",
+
+    // General-d (here d=3 + intercept) per-group regression mirror: the
+    // same exact-sum moments (everything at the 1e4 default scale), then
+    // the IDENTICAL pivot-free Cholesky sequence Ml.choleskySolve runs on
+    // the executors — factor L, forward-solve Ly=b, back-solve Lᵀx=y —
+    // with every subtraction in the same left-to-right order, so each
+    // scalar replays bit-for-bit. greatest(pv,0) inside sqrt only guards
+    // the (never-taken on this data) singular branch from a sqrt(<0)
+    // error; when pv > 0 it is the identity. CTE chain because each L
+    // entry feeds the next.
+    "q116_mlr_groups_n" ->
+      """WITH st AS (
+           SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(FLOOR((l_quantity) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS s1,
+             CAST(SUM(CAST(FLOOR((l_discount) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS s2,
+             CAST(SUM(CAST(FLOOR((l_tax) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS s3,
+             CAST(SUM(CAST(FLOOR((l_quantity * l_quantity) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS p11,
+             CAST(SUM(CAST(FLOOR((l_quantity * l_discount) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS p12,
+             CAST(SUM(CAST(FLOOR((l_quantity * l_tax) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS p13,
+             CAST(SUM(CAST(FLOOR((l_discount * l_discount) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS p22,
+             CAST(SUM(CAST(FLOOR((l_discount * l_tax) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS p23,
+             CAST(SUM(CAST(FLOOR((l_tax * l_tax) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS p33,
+             CAST(SUM(CAST(FLOOR((l_extendedprice) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS sy,
+             CAST(SUM(CAST(FLOOR((l_quantity * l_extendedprice) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS q1,
+             CAST(SUM(CAST(FLOOR((l_discount * l_extendedprice) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS q2,
+             CAST(SUM(CAST(FLOOR((l_tax * l_extendedprice) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS q3
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+             AND l_tax IS NOT NULL AND l_extendedprice IS NOT NULL
+           GROUP BY 1),
+         c1 AS (SELECT *, sqrt(n) AS l00 FROM st),
+         c2 AS (SELECT *, s1 / l00 AS l10, s2 / l00 AS l20, s3 / l00 AS l30 FROM c1),
+         c3 AS (SELECT *, p11 - l10 * l10 AS pv1 FROM c2),
+         c4 AS (SELECT *, sqrt(greatest(pv1, 0.0)) AS l11 FROM c3),
+         c5 AS (SELECT *, (p12 - l20 * l10) / l11 AS l21,
+                          (p13 - l30 * l10) / l11 AS l31 FROM c4),
+         c6 AS (SELECT *, p22 - l20 * l20 - l21 * l21 AS pv2 FROM c5),
+         c7 AS (SELECT *, sqrt(greatest(pv2, 0.0)) AS l22 FROM c6),
+         c8 AS (SELECT *, (p23 - l30 * l20 - l31 * l21) / l22 AS l32 FROM c7),
+         c9 AS (SELECT *, p33 - l30 * l30 - l31 * l31 - l32 * l32 AS pv3 FROM c8),
+         c10 AS (SELECT *, sqrt(greatest(pv3, 0.0)) AS l33 FROM c9),
+         f1 AS (SELECT *, sy / l00 AS fy0 FROM c10),
+         f2 AS (SELECT *, (q1 - l10 * fy0) / l11 AS fy1 FROM f1),
+         f3 AS (SELECT *, (q2 - l20 * fy0 - l21 * fy1) / l22 AS fy2 FROM f2),
+         f4 AS (SELECT *, (q3 - l30 * fy0 - l31 * fy1 - l32 * fy2) / l33 AS fy3 FROM f3),
+         b1_ AS (SELECT *, fy3 / l33 AS x3 FROM f4),
+         b2_ AS (SELECT *, (fy2 - l32 * x3) / l22 AS x2 FROM b1_),
+         b3_ AS (SELECT *, (fy1 - l21 * x2 - l31 * x3) / l11 AS x1 FROM b2_),
+         b4_ AS (SELECT *, (fy0 - l10 * x1 - l20 * x2 - l30 * x3) / l00 AS x0,
+                   (pv1 > p11 / 1073741824.0 AND pv2 > p22 / 1073741824.0
+                    AND pv3 > p33 / 1073741824.0) AS ok FROM b3_)
+         SELECT l_returnflag, n,
+           CASE WHEN ok THEN x0 ELSE sy / n END AS intercept,
+           CASE WHEN ok THEN x1 ELSE 0.0 END AS b1,
+           CASE WHEN ok THEN x2 ELSE 0.0 END AS b2,
+           CASE WHEN ok THEN x3 ELSE 0.0 END AS b3
+         FROM b4_ ORDER BY l_returnflag""",
 
     // q88's densify arithmetic over a GLOBAL (keyless) lead. NOTE: the
     // range(1, 4096) cross join caps inserted points per gap at 4095 —

@@ -336,7 +336,10 @@ object Ml {
                                 xDigits: Int = 4, yDigits: Int = 2): LinearModel = {
     val aggs = simpleRegressionAggs(x, y, xDigits, yDigits)
     val row = simpleRegressionFinish(df.agg(aggs.head, aggs.tail: _*))
-      .select(col("intercept"), col("slope")).collect()(0)
+      .select(col("intercept"), col("slope"), col("n")).collect()(0)
+    require(!row.isNullAt(2) && row.getDouble(2) >= 2,
+      s"fitSimpleLinearRegression needs >= 2 complete ($x, $y) rows, got " +
+        (if (row.isNullAt(2)) 0 else row.getDouble(2).toLong))
     LinearModel(Seq(x), row.getDouble(0), Array(row.getDouble(1)))
   }
 
@@ -415,14 +418,16 @@ object Ml {
   /** Per-group multivariate regression for ARBITRARY d — the general form
     * of [[linearRegressionByGroup2]]: one exact-sum aggregation builds each
     * group's normal-equation moments (O(d²) scalars per group), then the
-    * (d+1)×(d+1) Gauss solve runs INSIDE the executors via mapPartitions
-    * over the tiny moment rows — no driver round-trip, no per-group job, so
-    * a million groups still fit a million models in one shuffle plus an
-    * embarrassingly parallel solve pass. Singular groups (collinear or
-    * constant features) fall back to intercept = mean(y) with zero slopes,
-    * deterministically. Spec-verified against the driver-side
-    * fitLinearRegression and the d=2 Cramer plan; not oracle-gated (partial
-    * pivoting has no practical SQL mirror — q112 pins the d=2 case).
+    * (d+1)×(d+1) pivot-free Cholesky solve runs INSIDE the executors via
+    * mapPartitions over the tiny moment rows — no driver round-trip, no
+    * per-group job, so a million groups still fit a million models in one
+    * shuffle plus an embarrassingly parallel solve pass. Cholesky is both
+    * numerically preferable for SPD systems AND replayable: its fixed
+    * left-to-right op order lets the q116 oracle mirror the d=3 case in SQL
+    * bit-for-bit (the q112 pattern). Singular groups (collinear or constant
+    * features → non-positive pivot) fall back to intercept = mean(y) with
+    * zero slopes, deterministically. Also spec-verified against the
+    * driver-side fitLinearRegression and the d=2 Cramer plan.
     * Output: groupCols…, n, intercept, coefficients array<double> (feature
     * order). */
   def linearRegressionByGroupN(df: DataFrame, groupCols: Seq[String],
@@ -473,7 +478,7 @@ object Ml {
         qIdx.zipWithIndex.foreach { case (ix, i) => b(i + 1) = r.getDouble(ix) }
         val beta =
           if (n == 0) Array.fill(d + 1)(0.0)
-          else try gaussSolve(a, b)
+          else try choleskySolve(a, b)
           catch { case _: IllegalArgumentException =>
             (b(0) / n) +: Array.fill(d)(0.0) }
         org.apache.spark.sql.Row.fromSeq(
@@ -481,6 +486,54 @@ object Ml {
       }
     }
     df.sparkSession.createDataFrame(rows, outSchema)
+  }
+
+  /** Pivot-free Cholesky solve of the SPD system Ax = b. Normal-equation
+    * matrices XᵀX are symmetric positive-definite whenever the design has
+    * full rank, so no pivoting is needed — and because the factorization and
+    * both substitutions run in a FIXED left-to-right operation order
+    * (subtract terms sequentially, lowest k first; each divide last), an
+    * external engine can replay the arithmetic bit-for-bit as a flat
+    * expression sequence. The q116 oracle mirrors the d=3 (4×4) sequence in
+    * DuckDB SQL exactly the way q112 mirrors the d=2 Cramer expansion.
+    * Throws IllegalArgumentException on a near-zero pivot (singular or not
+    * positive-definite — e.g. collinear/constant features). The test is
+    * RELATIVE — pivot > a(j)(j) / 2³⁰ (≈1e-9 relative) — because unlike
+    * pivoted Gauss on exact floor-scaled moments, the sqrt/divide chain
+    * leaves a truly-singular pivot at roundoff scale (±1e-10·diag) rather
+    * than exactly 0. The divisor is a power of two so the comparison is
+    * IEEE-exact and replayable in the SQL mirror. */
+  private[graft] def choleskySolve(a: Array[Array[Double]],
+                                   b: Array[Double]): Array[Double] = {
+    val d = b.length
+    val l = Array.ofDim[Double](d, d)
+    for (j <- 0 until d) {
+      var s = a(j)(j)
+      for (k <- 0 until j) s = s - l(j)(k) * l(j)(k)
+      if (!(s > a(j)(j) / 1073741824.0))
+        throw new IllegalArgumentException(
+          s"normal equations not positive-definite (pivot $j = $s): " +
+            "features are linearly dependent or constant")
+      l(j)(j) = math.sqrt(s)
+      for (i <- j + 1 until d) {
+        var t = a(i)(j)
+        for (k <- 0 until j) t = t - l(i)(k) * l(j)(k)
+        l(i)(j) = t / l(j)(j)
+      }
+    }
+    val y = new Array[Double](d)
+    for (i <- 0 until d) {
+      var s = b(i)
+      for (k <- 0 until i) s = s - l(i)(k) * y(k)
+      y(i) = s / l(i)(i)
+    }
+    val x = new Array[Double](d)
+    for (i <- d - 1 to 0 by -1) {
+      var s = y(i)
+      for (k <- i + 1 until d) s = s - l(k)(i) * x(k)
+      x(i) = s / l(i)(i)
+    }
+    x
   }
 
   /** Deterministic in-place Gaussian elimination with partial pivoting on a
@@ -597,9 +650,13 @@ object Ml {
     * IS its first occurrence and both visit labels in sorted order).
     * Selection is array-based — each score expression appears ONCE in the
     * plan (a nested best-so-far fold doubles the tree per class, 2^k at
-    * 25+ classes). A row with a null feature yields a NULL prediction
-    * (scores are null → min is null), matching fit's exclusion of
-    * incomplete rows rather than silently assigning the first label.
+    * 25+ classes). A row with a null feature yields a NULL prediction via
+    * an EXPLICIT completeness gate, matching fit's exclusion of incomplete
+    * rows rather than silently assigning a label. (The gate must be
+    * explicit: Spark's element_at with a runtime-null index resolves to the
+    * LAST array element, not null — only the literal-null form folds to
+    * null — so relying on null-score propagation silently predicts the
+    * last label.)
     * Reference surface: train-classification / predict-classification
     * tribuo.clj:232-273 (the reference delegates to Tribuo trainers; the
     * centroid rule is this engine's closed-form, shuffle-once equivalent). */
@@ -614,9 +671,10 @@ object Ml {
       }
       val labelsArr = array(centroids.map(c => lit(c._1)): _*)
       val scoreArr = array(dists: _*)
+      val complete = features.map(col(_).isNotNull).reduce(_ && _)
       df.withColumn(out,
-        element_at(labelsArr,
-          array_position(scoreArr, array_min(scoreArr)).cast(IntegerType)))
+        when(complete, element_at(labelsArr,
+          array_position(scoreArr, array_min(scoreArr)).cast(IntegerType))))
     }
     def transform(df: DataFrame): DataFrame = predict(df)
   }
@@ -684,7 +742,14 @@ object Ml {
     * score_c = intercept_c + Σᵢ w_ci·xᵢ as pure column expressions;
     * `predict` emits the argmax label (ties → first label) plus one
     * probability column PER LABEL — the reference's predict-classification
-    * output shape (tribuo.clj:239-273: :prediction + a column per class). */
+    * output shape (tribuo.clj:239-273: :prediction + a column per class).
+    * Selection is array-based, same as CentroidModel: each score expression
+    * appears ONCE in the plan (a nested best-so-far fold doubles the tree
+    * per class — O(2^k) nodes at 20+ softmax classes). array_position finds
+    * the FIRST occurrence of the max, so ties go to the first (smallest)
+    * label exactly like the strict-> fold did. A row with any null feature
+    * gets a NULL prediction via the explicit completeness gate (see
+    * CentroidModel on why null-score propagation isn't enough). */
   case class LinearClassifierModel(features: Seq[String], labels: Seq[String],
                                    intercepts: Array[Double],
                                    weights: Array[Array[Double]]) extends DatasetTransform {
@@ -701,11 +766,12 @@ object Ml {
       val withProbs = labels.zip(exps).foldLeft(df) { case (d, (l, e)) =>
         d.withColumn(s"prob_$l", e / z)
       }
-      val (bestLabel, _) = labels.zip(scores).tail
-        .foldLeft((lit(labels.head), scores.head)) { case ((bl, bs), (l, sc)) =>
-          (when(sc > bs, lit(l)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
-        }
-      withProbs.withColumn(out, bestLabel)
+      val labelsArr = array(labels.map(lit): _*)
+      val scoreArr = array(scores: _*)
+      val complete = features.map(col(_).isNotNull).reduce(_ && _)
+      withProbs.withColumn(out,
+        when(complete, element_at(labelsArr,
+          array_position(scoreArr, array_max(scoreArr)).cast(IntegerType))))
     }
     def transform(df: DataFrame): DataFrame = predict(df)
   }

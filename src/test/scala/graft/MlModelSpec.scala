@@ -59,6 +59,26 @@ class MlModelSpec extends SparkSuite {
     }
   }
 
+  test("choleskySolve: SPD solve agrees with gaussSolve; non-SPD raises") {
+    // SPD 3×3 (a normal-equations shape): both solvers agree
+    val a = Array(Array(4.0, 2.0, 1.0), Array(2.0, 5.0, 3.0), Array(1.0, 3.0, 6.0))
+    val b = Array(7.0, 10.0, 10.0)
+    val xc = Ml.choleskySolve(a, b)
+    val xg = Ml.gaussSolve(a, b)
+    xc.zip(xg).foreach { case (c, g) => assert(math.abs(c - g) < 1e-12) }
+    // residual check: A·x == b
+    for (i <- 0 until 3)
+      assert(math.abs(a(i).zip(xc).map { case (m, x) => m * x }.sum - b(i)) < 1e-10)
+    // singular (rank-1) → non-positive pivot → raises like gaussSolve
+    intercept[IllegalArgumentException] {
+      Ml.choleskySolve(Array(Array(1.0, 2.0), Array(2.0, 4.0)), Array(1.0, 2.0))
+    }
+    // indefinite (negative first pivot) → raises, no NaN leakage
+    intercept[IllegalArgumentException] {
+      Ml.choleskySolve(Array(Array(-1.0, 0.0), Array(0.0, 1.0)), Array(1.0, 1.0))
+    }
+  }
+
   test("linearly dependent features raise, not silently mis-fit") {
     val df = synth(1000, 2).withColumn("a2", col("a") * 2.0)
     intercept[IllegalArgumentException] {
@@ -103,6 +123,22 @@ class MlModelSpec extends SparkSuite {
     val m2 = Ml.fitLogisticRegression(df, Seq("x1", "x2"), "lab", maxIter = 200)
     assert(m.intercepts.toSeq == m2.intercepts.toSeq &&
       m.weights.map(_.toSeq).toSeq == m2.weights.map(_.toSeq).toSeq)
+    // incomplete rows → NULL prediction (fit excluded them; CentroidModel
+    // contract), not a silent first-label default
+    val withNull = df.withColumn("x1",
+      when(col("x2") === 0, lit(null).cast("double")).otherwise(col("x1")))
+    val np = m.predict(withNull).filter(col("x1").isNull).collect()(0)
+    assert(np.isNullAt(np.fieldIndex("prediction")))
+    // many-class argmax stays array-shaped: plan analysis must not blow up
+    // (the old best-so-far fold doubled the tree per class — O(2^k))
+    val many = Ml.LinearClassifierModel(
+      Seq("x1"), (0 until 30).map(i => f"c$i%02d"),
+      Array.tabulate(30)(_.toDouble),
+      Array.tabulate(30)(i => Array(i * 0.1)))
+    val planned = many.predict(df.limit(5))
+    assert(planned.count() == 5)
+    val top = planned.select("prediction").distinct().collect().map(_.getString(0))
+    assert(top.forall(_ == "c29")) // highest intercept+weight wins on x1 >= 0
   }
 
   test("linearRegressionByGroup2: Cramer solve == Gauss solve, exact recovery") {
