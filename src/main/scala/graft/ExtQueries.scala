@@ -1035,6 +1035,28 @@ object ExtQueries {
         .withColumn("b3", element_at(col("coefficients"), 3))
         .drop("coefficients")
         .orderBy(col("l_returnflag"))
+    },
+
+    // Pure-data snapshot round-trip (reference dataset->data/data->dataset,
+    // base.clj:992-1088): write a frame — int64/string/float64/local-date
+    // columns — as the self-describing columnar EDN document, read it back
+    // through the :datatype-driven decoder, and aggregate. The oracle runs
+    // on the ORIGINAL parquet, so any value/dtype drift through the
+    // snapshot (date formatting, double rendering, missing slots) breaks
+    // the hash.
+    "q117_snapshot_roundtrip" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q117").toString
+      val src = t(s, dir, "orders").filter(col("o_orderkey") < 4000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate").cast(DateType).as("o_date"))
+      graft.sources.Snapshot.write(src, s"$tmp/orders.edn", "orders")
+      graft.sources.Snapshot.read(s, s"$tmp/orders.edn")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          max(col("o_orderkey")).as("max_key"),
+          date_format(min(col("o_date")), "yyyy-MM-dd").as("first_date"))
+        .orderBy(col("o_orderstatus"))
     }
   )
 
@@ -1976,6 +1998,16 @@ object ExtQueries {
            CASE WHEN ok THEN x2 ELSE 0.0 END AS b2,
            CASE WHEN ok THEN x3 ELSE 0.0 END AS b3
          FROM b4_ ORDER BY l_returnflag""",
+
+    // snapshot round-trip: oracle on the original parquet — the EDN
+    // document must carry values and dtypes losslessly for this to hash.
+    "q117_snapshot_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price,
+           MAX(o_orderkey) AS max_key,
+           strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS first_date
+         FROM orders WHERE o_orderkey < 4000
+         GROUP BY 1 ORDER BY o_orderstatus""",
 
     // q88's densify arithmetic over a GLOBAL (keyless) lead. NOTE: the
     // range(1, 4096) cross join caps inserted points per gap at 4095 —
