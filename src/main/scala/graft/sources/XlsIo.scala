@@ -454,6 +454,10 @@ object XlsIo {
     XlsxIo.sheetToDataFrame(spark, ss(opts.sheet), opts)
   }
 
+  /** Visible sheet names, in workbook order. */
+  def sheetNames(spark: SparkSession, path: String): Seq[String] =
+    sheets(spark, path).map(_.name)
+
   /** workbook->datasets for .xls: every visible sheet, in order. */
   def readAllSheets(spark: SparkSession, path: String,
                     opts: XlsxOptions = XlsxOptions()): Seq[DataFrame] = {
@@ -485,49 +489,83 @@ object XlsIo {
     out.u16(id).u16(b.size).bytes(b.result())
   }
 
+  /** Write a DataFrame as a single-sheet .xls — see [[writeWorkbook]]. */
+  def write(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit =
+    writeWorkbook(Seq(sheetName -> df), path)
+
+  // standard-preamble XF layout: 0-14 style XFs, 15 = default cell XF,
+  // 16 = date cell XF (fmt 164), 17 = datetime cell XF (fmt 165)
+  private val XfGeneral = 15
+  private val XfDate = 16
+  private val XfDatetime = 17
+
   /** Minimal legacy .xls (BIFF8 in OLE2) writer — the reference writes .xls
-    * via POI's HSSF (reference src/tech/v3/libs/poi.clj:1-171); this emits
-    * exactly the record subset the reader decodes (inline LABEL strings —
-    * no SST — NUMBER doubles, BOOLERR booleans, date/datetime serials
-    * through the SAME custom format codes as the xlsx writer, so the shared
-    * style classification round-trips identically in both containers).
-    * Missing values are simply absent cells; binary/nested columns refuse
-    * like the xlsx writer. Caps: 65,536 rows × 256 columns (the format's
-    * own limits), ≤ 4000 chars per string cell (inline LABEL record bound).
-    * Driver-side single stream, like the reference — bulk outputs belong in
-    * parquet/csv. */
-  def write(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit = {
-    val fields = df.schema.fields
-    require(fields.length <= 256,
-      s"xls sheets cap at 256 columns, got ${fields.length}")
+    * via POI's HSSF (reference src/tech/v3/libs/poi.clj:1-171); multi-sheet
+    * [[writeWorkbook]] mirrors its datasets->workbook! surface. Emits the
+    * standard BIFF8 preamble third-party consumers expect — CODEPAGE,
+    * WINDOW1, four FONTs, 15 style XFs with cell XFs from index 15 (the
+    * Excel/POI convention; a bare 3-XF table renders wrong outside this
+    * reader) — then the record subset the reader decodes (inline LABEL
+    * strings — no SST — NUMBER doubles, BOOLERR booleans, date/datetime
+    * serials through the SAME custom format codes as the xlsx writer, so
+    * the shared style classification round-trips identically in both
+    * containers). Missing values are simply absent cells; binary/nested
+    * columns refuse like the xlsx writer. Caps per sheet: 65,536 rows × 256
+    * columns (the format's own limits), ≤ 4000 chars per string cell
+    * (inline LABEL record bound). Driver-side single stream, like the
+    * reference — bulk outputs belong in parquet/csv. */
+  def writeWorkbook(sheets: Seq[(String, DataFrame)], path: String): Unit = {
+    require(sheets.nonEmpty, "writeWorkbook needs at least one sheet")
+    val names = sheets.map { case (nm, _) => nm.take(31) }
+    require(names.distinct.length == names.length,
+      s"duplicate sheet names (after the 31-char cap): ${names.mkString(", ")}")
+    sheets.foreach { case (nm, df) =>
+      require(df.schema.fields.length <= 256,
+        s"xls sheets cap at 256 columns, got ${df.schema.fields.length} ($nm)")
+    }
     val wb = new LeBuf
     def bof(buf: LeBuf, dt: Int): Unit = record(buf, 0x0809, b =>
       b.u16(0x0600).u16(dt).u16(0x0DBB).u16(0x07CC).i32(0).i32(0))
-    // globals: BOF, date formats (same codes as the xlsx writer's styles),
-    // three XFs (0 = general, 1 = date, 2 = datetime), BOUNDSHEET, EOF
     bof(wb, 0x0005)
+    record(wb, 0x0042, _.u16(0x04B0)) // CODEPAGE: UTF-16
+    record(wb, 0x003D, b =>           // WINDOW1: standard geometry
+      b.u16(0x0168).u16(0x010E).u16(0x3A5C).u16(0x23BE).u16(0x0038)
+        .u16(0).u16(0).u16(1).u16(0x0258))
+    // four identical default fonts — BIFF8 font indices 0-3 are reserved
+    // (index 4 is skipped by convention), consumers expect all four
+    val fontName = "Calibri".getBytes("UTF-16LE")
+    (0 until 4).foreach { _ =>
+      record(wb, 0x0031, b =>
+        b.u16(220).u16(0).u16(0x7FFF).u16(0x0190).u16(0)
+          .u8(0).u8(0).u8(0).u8(0)
+          .u8("Calibri".length).u8(0x01).bytes(fontName))
+    }
     def format(id: Int, code: String): Unit = record(wb, 0x041E, b => {
       b.u16(id).u16(code.length).u8(0)
       b.bytes(code.getBytes("ISO-8859-1"))
     })
     format(164, "yyyy\\-mm\\-dd")
     format(165, "yyyy\\-mm\\-dd\\ hh:mm:ss")
-    def xf(ifmt: Int): Unit = record(wb, 0x00E0, b => {
-      b.u16(0).u16(ifmt).u16(0x0001) // font 0, ifmt, cell-XF parent 0
+    // fStyle + parent 0xFFF for the 15 style XFs; cell XFs parent style 0
+    def xf(ifmt: Int, style: Boolean): Unit = record(wb, 0x00E0, b => {
+      b.u16(0).u16(ifmt).u16(if (style) 0xFFF5 else 0x0001)
       b.u16(0).u16(0).u16(0).u16(0).u16(0).u16(0).u16(0)
     })
-    xf(0); xf(164); xf(165)
-    // BOUNDSHEET with a placeholder stream offset, patched after globals EOF
-    val name = if (sheetName.length > 31) sheetName.take(31) else sheetName
-    val nameBytes = name.getBytes("ISO-8859-1")
-    var boundsheetPosFix = -1
-    record(wb, 0x0085, b => {
-      boundsheetPosFix = wb.size + 4 // i32 lands at record body start
-      b.i32(0).u16(0).u8(nameBytes.length).u8(0).bytes(nameBytes)
-    })
+    (0 until 15).foreach(_ => xf(0, style = true))
+    xf(0, style = false)   // 15: default cell XF (general)
+    xf(164, style = false) // 16: date
+    xf(165, style = false) // 17: datetime
+    // BOUNDSHEET per sheet with placeholder stream offsets, patched after
+    // the full stream is assembled
+    val boundsheetPosFix = new Array[Int](sheets.length)
+    names.zipWithIndex.foreach { case (name, ix) =>
+      val nameBytes = name.getBytes("ISO-8859-1")
+      record(wb, 0x0085, b => {
+        boundsheetPosFix(ix) = wb.size + 4 // i32 lands at record body start
+        b.i32(0).u16(0).u8(nameBytes.length).u8(0).bytes(nameBytes)
+      })
+    }
     record(wb, 0x000A, _ => ())
-    val sheetStart = wb.size
-    bof(wb, 0x0010)
     def cell(b: LeBuf, row: Int, colIdx: Int, v: Any, colName: String): Unit =
       v match {
         case null => // missing = absent cell
@@ -536,22 +574,23 @@ object XlsIo {
             s"xls string cells cap at 4000 chars (column $colName); " +
               "write xlsx or parquet for longer text")
           record(b, 0x0204, r => {
-            r.u16(row).u16(colIdx).u16(0).u16(s.length).u8(0x01)
+            r.u16(row).u16(colIdx).u16(XfGeneral).u16(s.length).u8(0x01)
             r.bytes(s.getBytes("UTF-16LE"))
           })
         case bool: Boolean =>
           record(b, 0x0205, r =>
-            r.u16(row).u16(colIdx).u16(0).u8(if (bool) 1 else 0).u8(0))
+            r.u16(row).u16(colIdx).u16(XfGeneral).u8(if (bool) 1 else 0).u8(0))
         case d: java.sql.Date =>
           val serial = XlsxIo.dateTimeToSerial(d.toLocalDate.atStartOfDay())
           record(b, 0x0203, r =>
-            r.u16(row).u16(colIdx).u16(1).f64(serial.toLong.toDouble))
+            r.u16(row).u16(colIdx).u16(XfDate).f64(serial.toLong.toDouble))
         case ts: java.sql.Timestamp =>
           val serial = XlsxIo.dateTimeToSerial(ts.toLocalDateTime)
-          record(b, 0x0203, r => r.u16(row).u16(colIdx).u16(2).f64(serial))
+          record(b, 0x0203, r =>
+            r.u16(row).u16(colIdx).u16(XfDatetime).f64(serial))
         case n: java.lang.Number =>
           record(b, 0x0203, r =>
-            r.u16(row).u16(colIdx).u16(0).f64(n.doubleValue()))
+            r.u16(row).u16(colIdx).u16(XfGeneral).f64(n.doubleValue()))
         case _: Array[Byte] =>
           throw new IllegalArgumentException(
             s"xls cells cannot hold binary values (column $colName); " +
@@ -563,32 +602,43 @@ object XlsIo {
               s"value class ${nested.getClass.getSimpleName}); write parquet")
         case other => cell(b, row, colIdx, other.toString, colName)
       }
-    fields.indices.foreach(i => cell(wb, 0, i, fields(i).name, fields(i).name))
-    var rowIdx = 1
-    val it = df.toLocalIterator()
-    while (it.hasNext) {
-      if (rowIdx >= 65536)
-        throw new IllegalStateException(
-          "xls sheets are limited to 65,536 rows; write parquet/csv/xlsx " +
-            "for larger outputs")
-      val row = it.next()
-      var i = 0
-      while (i < fields.length) {
-        cell(wb, rowIdx, i, row.get(i), fields(i).name)
-        i += 1
+    val sheetStarts = new Array[Int](sheets.length)
+    sheets.zipWithIndex.foreach { case ((sheetName, df), ix) =>
+      val fields = df.schema.fields
+      sheetStarts(ix) = wb.size
+      bof(wb, 0x0010)
+      fields.indices.foreach(i => cell(wb, 0, i, fields(i).name, fields(i).name))
+      var rowIdx = 1
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        if (rowIdx >= 65536)
+          throw new IllegalStateException(
+            s"xls sheets are limited to 65,536 rows (sheet $sheetName); " +
+              "write parquet/csv/xlsx for larger outputs")
+        val row = it.next()
+        var i = 0
+        while (i < fields.length) {
+          cell(wb, rowIdx, i, row.get(i), fields(i).name)
+          i += 1
+        }
+        rowIdx += 1
       }
-      rowIdx += 1
+      record(wb, 0x000A, _ => ())
     }
-    record(wb, 0x000A, _ => ())
     val stream = wb.result()
-    // patch the BOUNDSHEET lbPlyPos now that the globals length is known
-    stream(boundsheetPosFix) = (sheetStart & 0xFF).toByte
-    stream(boundsheetPosFix + 1) = ((sheetStart >> 8) & 0xFF).toByte
-    stream(boundsheetPosFix + 2) = ((sheetStart >> 16) & 0xFF).toByte
-    stream(boundsheetPosFix + 3) = ((sheetStart >> 24) & 0xFF).toByte
+    // patch each BOUNDSHEET lbPlyPos now that the stream layout is known
+    sheets.indices.foreach { ix =>
+      val pos = boundsheetPosFix(ix)
+      val start = sheetStarts(ix)
+      stream(pos) = (start & 0xFF).toByte
+      stream(pos + 1) = ((start >> 8) & 0xFF).toByte
+      stream(pos + 2) = ((start >> 16) & 0xFF).toByte
+      stream(pos + 3) = ((start >> 24) & 0xFF).toByte
+    }
     val bytes = compoundFile(stream)
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(
+      sheets.head._2.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(bytes) finally out.close()
   }

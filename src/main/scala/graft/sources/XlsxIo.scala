@@ -578,6 +578,12 @@ object XlsxIo {
       opts.copy(sheet = i)))
   }
 
+  /** Visible sheet names, in workbook order. */
+  def sheetNames(spark: SparkSession, path: String): Seq[String] = {
+    val in = openPath(spark, path)
+    (try parseWorkbook(in) finally in.close()).map(_.name)
+  }
+
   /** Many-workbook scale path: one task per file via binaryFiles, cells
     * canonically stringified executor-side, then one promotional-inference
     * pass types the union. Column set comes from the first file (all files
@@ -658,11 +664,22 @@ object XlsxIo {
     sb.toString
   }
 
-  /** Write a DataFrame as a single .xlsx (inline strings; date/timestamp
-    * columns styled with ISO-like numFmts). Streams via toLocalIterator —
-    * bounded by the format's 2^20-row sheet limit, enforced. */
-  def write(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit = {
-    val spark = df.sparkSession
+  /** Write a DataFrame as a single-sheet .xlsx — see [[writeWorkbook]]. */
+  def write(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit =
+    writeWorkbook(Seq(sheetName -> df), path)
+
+  /** Write a WORKBOOK of datasets — one sheet per (name, frame) pair, in
+    * order — the reference's workbook-of-datasets surface
+    * (/root/reference/src/tech/v3/libs/fastexcel.clj:178-200,
+    * poi.clj:171-194: datasets->workbook!). Inline strings; date/timestamp
+    * columns styled with ISO-like numFmts. Each sheet streams via
+    * toLocalIterator — bounded by the format's 2^20-row sheet limit,
+    * enforced per sheet. */
+  def writeWorkbook(sheets: Seq[(String, DataFrame)], path: String): Unit = {
+    require(sheets.nonEmpty, "writeWorkbook needs at least one sheet")
+    require(sheets.map(_._1).distinct.length == sheets.length,
+      s"duplicate sheet names: ${sheets.map(_._1).mkString(", ")}")
+    val spark = sheets.head._2.sparkSession
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -673,13 +690,15 @@ object XlsxIo {
       zos.closeEntry()
     }
     val xmlHead = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
+    val n = sheets.length
     try {
       entry("[Content_Types].xml", xmlHead +
         """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
         """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
         """<Default Extension="xml" ContentType="application/xml"/>""" +
         """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
-        """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+        (1 to n).map(i =>
+          s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""").mkString +
         """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>""" +
         """</Types>""")
       entry("_rels/.rels", xmlHead +
@@ -688,10 +707,15 @@ object XlsxIo {
         """</Relationships>""")
       entry("xl/workbook.xml", xmlHead +
         """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
-        s"""<sheets><sheet name="${xmlEscape(sheetName)}" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+        "<sheets>" +
+        sheets.zipWithIndex.map { case ((name, _), ix) =>
+          s"""<sheet name="${xmlEscape(name)}" sheetId="${ix + 1}" r:id="rId${ix + 1}"/>"""
+        }.mkString +
+        "</sheets></workbook>")
       entry("xl/_rels/workbook.xml.rels", xmlHead +
         """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
-        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+        (1 to n).map(i =>
+          s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""").mkString +
         """</Relationships>""")
       // style 1 = date (yyyy-mm-dd), style 2 = datetime
       entry("xl/styles.xml", xmlHead +
@@ -707,70 +731,73 @@ object XlsxIo {
         """<xf numFmtId="165" xfId="0" applyNumberFormat="true"/></cellXfs>""" +
         """</styleSheet>""")
 
-      zos.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
-      val w = new java.io.BufferedWriter(
-        new java.io.OutputStreamWriter(zos, "UTF-8"), 1 << 16)
-      w.write(xmlHead)
-      w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
-      val fields = df.schema.fields
-      def writeRow(rowIdx1: Int, vals: Int => (Any, DataType)): Unit = {
-        w.write(s"""<row r="$rowIdx1">""")
-        var i = 0
-        while (i < fields.length) {
-          val (v, t) = vals(i)
-          if (v != null) {
-            val ref = colRef(i) + rowIdx1
-            (v, t) match {
-              case (s: String, _) =>
-                w.write(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(s)}</t></is></c>""")
-              case (b: Boolean, _) =>
-                w.write(s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>""")
-              case (d: java.sql.Date, _) =>
-                val serial = dateTimeToSerial(d.toLocalDate.atStartOfDay())
-                w.write(s"""<c r="$ref" s="1"><v>${serial.toLong}</v></c>""")
-              case (ts: java.sql.Timestamp, _) =>
-                val serial = dateTimeToSerial(ts.toLocalDateTime)
-                w.write(s"""<c r="$ref" s="2"><v>$serial</v></c>""")
-              case (n: java.lang.Number, _) =>
-                w.write(s"""<c r="$ref"><v>$n</v></c>""")
-              case (_: Array[Byte], _) =>
-                // binary columns are not "nested" — they just have no
-                // faithful xlsx cell representation (toString would emit
-                // "[B@..." garbage); name the real problem
-                throw new IllegalArgumentException(
-                  s"xlsx cells cannot hold binary values (column ${fields(i).name}); " +
-                  "base64-encode the column first or write parquet for binary columns")
-              case (nested @ (_: scala.collection.Seq[_] |
-                              _: scala.collection.Map[_, _] |
-                              _: org.apache.spark.sql.Row | _: Array[_]), _) =>
-                // toString here would silently write "WrappedArray(…)" text;
-                // xlsx cells are atomic — nested data belongs in parquet
-                throw new IllegalArgumentException(
-                  s"xlsx cells cannot hold nested values (column ${fields(i).name}, " +
-                  s"value class ${nested.getClass.getSimpleName}); " +
-                  "write parquet for array/map/struct columns")
-              case (other, _) =>
-                w.write(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(other.toString)}</t></is></c>""")
+      sheets.zipWithIndex.foreach { case ((sheetName, df), ix) =>
+        zos.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${ix + 1}.xml"))
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(zos, "UTF-8"), 1 << 16)
+        w.write(xmlHead)
+        w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+        val fields = df.schema.fields
+        def writeRow(rowIdx1: Int, vals: Int => (Any, DataType)): Unit = {
+          w.write(s"""<row r="$rowIdx1">""")
+          var i = 0
+          while (i < fields.length) {
+            val (v, t) = vals(i)
+            if (v != null) {
+              val ref = colRef(i) + rowIdx1
+              (v, t) match {
+                case (s: String, _) =>
+                  w.write(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(s)}</t></is></c>""")
+                case (b: Boolean, _) =>
+                  w.write(s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>""")
+                case (d: java.sql.Date, _) =>
+                  val serial = dateTimeToSerial(d.toLocalDate.atStartOfDay())
+                  w.write(s"""<c r="$ref" s="1"><v>${serial.toLong}</v></c>""")
+                case (ts: java.sql.Timestamp, _) =>
+                  val serial = dateTimeToSerial(ts.toLocalDateTime)
+                  w.write(s"""<c r="$ref" s="2"><v>$serial</v></c>""")
+                case (num: java.lang.Number, _) =>
+                  w.write(s"""<c r="$ref"><v>$num</v></c>""")
+                case (_: Array[Byte], _) =>
+                  // binary columns are not "nested" — they just have no
+                  // faithful xlsx cell representation (toString would emit
+                  // "[B@..." garbage); name the real problem
+                  throw new IllegalArgumentException(
+                    s"xlsx cells cannot hold binary values (column ${fields(i).name}); " +
+                    "base64-encode the column first or write parquet for binary columns")
+                case (nested @ (_: scala.collection.Seq[_] |
+                                _: scala.collection.Map[_, _] |
+                                _: org.apache.spark.sql.Row | _: Array[_]), _) =>
+                  // toString here would silently write "WrappedArray(…)" text;
+                  // xlsx cells are atomic — nested data belongs in parquet
+                  throw new IllegalArgumentException(
+                    s"xlsx cells cannot hold nested values (column ${fields(i).name}, " +
+                    s"value class ${nested.getClass.getSimpleName}); " +
+                    "write parquet for array/map/struct columns")
+                case (other, _) =>
+                  w.write(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(other.toString)}</t></is></c>""")
+              }
             }
+            i += 1
           }
-          i += 1
+          w.write("</row>")
         }
-        w.write("</row>")
+        writeRow(1, i => (fields(i).name, StringType))
+        var rowIdx = 2
+        val it = df.toLocalIterator()
+        while (it.hasNext) {
+          if (rowIdx > 1048576)
+            throw new IllegalStateException(
+              s"xlsx sheets are limited to 1,048,576 rows (sheet $sheetName); " +
+              "write parquet/csv for larger outputs")
+          val row = it.next()
+          writeRow(rowIdx, i => (row.get(i), fields(i).dataType))
+          rowIdx += 1
+        }
+        w.write("</sheetData></worksheet>")
+        w.flush()
+        zos.closeEntry()
       }
-      writeRow(1, i => (fields(i).name, StringType))
-      var rowIdx = 2
-      val it = df.toLocalIterator()
-      while (it.hasNext) {
-        if (rowIdx > 1048576)
-          throw new IllegalStateException(
-            "xlsx sheets are limited to 1,048,576 rows; write parquet/csv for larger outputs")
-        val row = it.next()
-        writeRow(rowIdx, i => (row.get(i), fields(i).dataType))
-        rowIdx += 1
-      }
-      w.write("</sheetData></worksheet>")
-      w.flush()
-      zos.closeEntry()
     } finally {
       zos.close()
     }

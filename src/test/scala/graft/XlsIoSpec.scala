@@ -107,6 +107,31 @@ class XlsIoSpec extends SparkSuite {
     assert(ds.count() > 0)
   }
 
+  test("writeWorkbook: multi-sheet write reads back cell-exact, in order") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("xls_wb").toString
+    val s1 = Seq((1L, "a", 1.5), (2L, "b", -2.0)).toDF("id", "s", "v")
+    val s2 = Seq((10L, Some(java.sql.Date.valueOf("2021-06-30"))),
+      (11L, None)).toDF("k", "dt")
+    XlsIo.writeWorkbook(Seq("first" -> s1, "second" -> s2), s"$tmp/wb.xls")
+    val back = XlsIo.readAllSheets(spark, s"$tmp/wb.xls")
+    assert(back.length == 2)
+    val b1 = back(0).orderBy("id").collect()
+    assert(b1.map(r => (r.getAs[Number]("id").longValue(), r.getAs[String]("s"),
+      r.getAs[Number]("v").doubleValue())).toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b", -2.0)))
+    val b2 = back(1).orderBy("k").collect()
+    assert(back(1).schema("dt").dataType == DateType)
+    assert(b2(0).getAs[java.sql.Date]("dt").toString == "2021-06-30")
+    assert(b2(1).isNullAt(b2(1).fieldIndex("dt")))
+    // sheet names preserved in workbook order
+    assert(XlsIo.sheetNames(spark, s"$tmp/wb.xls") == Seq("first", "second"))
+    // duplicate names refuse
+    intercept[IllegalArgumentException] {
+      XlsIo.writeWorkbook(Seq("x" -> s1, "x" -> s2), s"$tmp/dup.xls")
+    }
+  }
+
   test("readAllSheets returns the workbook's visible sheets") {
     val sheets = XlsIo.readAllSheets(spark, s"$data/file_example_XLS_1000.xls")
     assert(sheets.nonEmpty)

@@ -169,6 +169,29 @@ class XlsxIoSpec extends SparkSuite {
       s"expected IllegalArgumentException(nested), got $e")
   }
 
+  test("writeWorkbook: multi-sheet xlsx reads back cell-exact, in order") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("xlsx_wb").toString
+    val s1 = Seq((1L, "a", 1.5), (2L, "b&<>", -2.0)).toDF("id", "s", "v")
+    val s2 = Seq((10L, Some(java.sql.Timestamp.valueOf("2021-06-30 08:15:00"))),
+      (11L, None)).toDF("k", "ts")
+    XlsxIo.writeWorkbook(Seq("metrics" -> s1, "times" -> s2), s"$tmp/wb.xlsx")
+    assert(XlsxIo.sheetNames(spark, s"$tmp/wb.xlsx") == Seq("metrics", "times"))
+    val back = XlsxIo.readAllSheets(spark, s"$tmp/wb.xlsx")
+    assert(back.length == 2)
+    val b1 = back(0).orderBy("id").collect()
+    assert(b1.map(r => (r.getAs[Number]("id").longValue(), r.getAs[String]("s"),
+      r.getAs[Number]("v").doubleValue())).toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b&<>", -2.0)))
+    val b2 = back(1).orderBy("k").collect()
+    assert(b2(0).getAs[java.sql.Timestamp]("ts").toString ==
+      "2021-06-30 08:15:00.0")
+    assert(b2(1).isNullAt(b2(1).fieldIndex("ts")))
+    intercept[IllegalArgumentException] {
+      XlsxIo.writeWorkbook(Seq("x" -> s1, "x" -> s2), s"$tmp/dup.xlsx")
+    }
+  }
+
   test("readAllSheets returns one dataset per sheet") {
     val sheets = XlsxIo.readAllSheets(spark, s"$data/stocks.xlsx")
     assert(sheets.nonEmpty)
