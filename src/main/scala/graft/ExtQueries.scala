@@ -310,13 +310,13 @@ object ExtQueries {
     },
 
     // reservoir sample per group (reference reductions.clj:254-303):
-    // k uniformly-chosen rows per key, one pass. Rows-only (seeded rand).
+    // k rows per key, one pass, md5-rank deterministic — the oracle
+    // replays the SAME row selection (content-level gate, not counts).
     "q57_reservoir" -> { (s, dir) =>
-      Reductions.reservoirPerGroup(
+      Reductions.reservoirPerGroupDeterministic(
         t(s, dir, "orders").selectColumns("o_custkey", "o_orderkey"),
-        Seq("o_custkey"), k = 2, seed = 42L)
-        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_sampled"))
-        .orderBy(col("o_custkey"))
+        Seq("o_custkey"), k = 2, seed = 42L, tiebreak = Seq("o_orderkey"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
     // rolling :edge-mode :clamp parity (reference rolling.clj:130-133):
@@ -2053,9 +2053,18 @@ object ExtQueries {
             ORDER BY o_orderkey DESC LIMIT 10)) t
          ORDER BY o_orderkey""",
 
+    // content-level reservoir mirror: identical md5(seed#key#tiebreak)
+    // rank, identical top-2-per-group row selection
     "q57_reservoir" ->
-      """SELECT o_custkey, CAST(least(2, COUNT(*)) AS BIGINT) AS n_sampled
-         FROM orders GROUP BY 1 ORDER BY 1""",
+      """WITH r AS (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY md5(concat_ws('#', '42',
+                 CAST(o_custkey AS VARCHAR), CAST(o_orderkey AS VARCHAR))) ASC,
+               o_orderkey ASC) AS rn
+           FROM orders)
+         SELECT o_custkey, o_orderkey FROM r WHERE rn <= 2
+         ORDER BY o_custkey, o_orderkey""",
 
     // mirrors TextDedup.nearDupDedup end-to-end: MinHash-LSH candidates
     // (shared SQL with q29), est-Jaccard >= 0.5 edges, connected components

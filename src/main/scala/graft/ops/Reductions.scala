@@ -453,6 +453,27 @@ object Reductions {
     df.withColumn("__r", row_number().over(w)).filter(col("__r") <= k).drop("__r")
   }
 
+  /** Deterministic reservoir: the per-group "random" order is
+    * md5(seed # key # tiebreak values) — value-derived like
+    * hashSampleRows, so the sampled ROWS (not just their counts) are
+    * identical on any cluster layout, file split, or engine, and an
+    * external engine can replay the exact selection (the q57 oracle
+    * does). `tiebreak` must make (keys ++ tiebreak) row-unique for a
+    * total order. Prefer this for reproducible 100 TB pipelines; use
+    * [[reservoirPerGroup]] when statistical independence from row values
+    * matters more than replayability. */
+  def reservoirPerGroupDeterministic(df: DataFrame, keys: Seq[String], k: Int,
+                                     seed: Long,
+                                     tiebreak: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hash = md5(concat_ws("#",
+      lit(seed.toString) +:
+        (keys ++ tiebreak).map(c => col(c).cast(StringType)): _*))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(hash.asc +: tiebreak.map(col(_).asc): _*)
+    df.withColumn("__r", row_number().over(w)).filter(col("__r") <= k).drop("__r")
+  }
+
   /** EXACT heavy hitters at scale, two passes, no full-cardinality shuffle:
     * pass 1 streams the column into a mergeable frequent-items sketch
     * (Misra-Gries family, O(maxMapSize) memory per task — see
