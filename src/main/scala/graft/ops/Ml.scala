@@ -99,19 +99,24 @@ object Ml {
     }.toMap)
   }
 
-  /** PCA fit/transform via MLlib (reference neanderthal.clj:73-331 →
-    * ml.feature.PCA). Output: `pc` vector column with k components. */
   /** Fitted PCA: top-k eigenvectors (rows of `components`, descending
-    * eigenvalue) of the population covariance matrix. Transform = pure column
-    * arithmetic (pc_j = Σ_i v_ji·x_i, the MLlib convention: RAW values
-    * projected, covariance computed about the mean) — no vector UDT, no UDF,
-    * stays in whole-stage codegen. */
+    * eigenvalue) of the covariance — or, for the :corr method, the
+    * correlation — matrix. Transform = pure column arithmetic
+    * (pc_j = Σ_i v_ji·x_i, the MLlib convention: RAW values projected,
+    * covariance computed about the mean; the corr method divides each
+    * column by its fitted stddev first, so the projection is
+    * scale-invariant) — no vector UDT, no UDF, stays in whole-stage
+    * codegen. `scale` holds the per-column stddev divisors when fitted
+    * with method="corr", None otherwise. */
   case class PcaModel(cols: Seq[String], components: Array[Array[Double]],
-                      eigenvalues: Array[Double]) extends DatasetTransform {
+                      eigenvalues: Array[Double],
+                      scale: Option[Array[Double]] = None) extends DatasetTransform {
     def transform(df: DataFrame): DataFrame =
       df.withColumn("pc", array(components.map { v =>
-        cols.zip(v).map { case (c, w) => col(c).cast(DoubleType) * lit(w) }
-          .reduce(_ + _)
+        cols.zip(v).zipWithIndex.map { case ((c, w), i) =>
+          val x = col(c).cast(DoubleType)
+          scale.fold(x * lit(w))(sd => x / lit(sd(i)) * lit(w))
+        }.reduce(_ + _)
       }.toIndexedSeq: _*))
   }
 
@@ -177,8 +182,27 @@ object Ml {
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
 
+  /** `method` (reference neanderthal.clj:73-150 fit-pca! options, plus the
+    * correlation variant):
+    *  - "cov" (default): eigen of the covariance matrix; eigenvalues are
+    *    the post-projection variances.
+    *  - "corr": eigen of the CORRELATION matrix — scale-invariant PCA
+    *    (multiplying a column by 1000 does not change the components);
+    *    transform standardizes by the fitted stddevs. The bias divisor
+    *    cancels in correlations, so `covarianceBias` is irrelevant here.
+    *  - "svd": same eigenvectors as "cov" (the reference notes both give
+    *    an identical projection matrix); eigenvalues are reported as the
+    *    SINGULAR VALUES of the mean-centered matrix, σ_i = sqrt(λ_i·divisor)
+    *    — the reference's :svd readout shape.
+    * `covarianceBias` = true divides by n (population — this engine's
+    * historical default, pinned by the q48 oracle); false divides by n-1
+    * (the reference's covariance-bias?=false default). */
   def fitPca(df: DataFrame, cols: Seq[String], k: Int,
-             colScale: Map[String, Int] = Map.empty): PcaModel = {
+             colScale: Map[String, Int] = Map.empty,
+             method: String = "cov",
+             covarianceBias: Boolean = true): PcaModel = {
+    require(Set("cov", "corr", "svd")(method),
+      s"pca method must be cov|corr|svd, got $method")
     val d = cols.size
     require(k >= 1 && k <= d, s"pca k must be in [1, $d], got $k")
     def scaleOf(a: String, b: String): Int =
@@ -193,14 +217,24 @@ object Ml {
           })
     val row = df.na.drop(cols).agg(aggs.head, aggs.tail: _*).collect()(0)
     val n = row.getDouble(row.fieldIndex("__n"))
+    val divisor = if (covarianceBias) n else n - 1.0
+    require(divisor > 0, s"pca needs ${if (covarianceBias) 1 else 2}+ rows")
     val s = cols.map(c => row.getDouble(row.fieldIndex(s"__s_$c"))).toArray
     val cov = Array.ofDim[Double](d, d)
     pairs.foreach { case (i, j) =>
       val p = row.getDouble(row.fieldIndex(s"__p_${i}_$j"))
-      val c = (p - s(i) * s(j) / n) / n
+      val c = (p - s(i) * s(j) / n) / divisor
       cov(i)(j) = c; cov(j)(i) = c
     }
-    val (evals, evecs) = jacobiEigen(cov)
+    val (matrix, sds) =
+      if (method == "corr") {
+        val sd = Array.tabulate(d)(i => math.sqrt(cov(i)(i)))
+        sd.zipWithIndex.foreach { case (v, i) => require(v > 0,
+          s"pca corr method: column ${cols(i)} is constant (stddev 0)") }
+        val corr = Array.tabulate(d, d)((i, j) => cov(i)(j) / (sd(i) * sd(j)))
+        (corr, Some(sd))
+      } else (cov, None)
+    val (evals, evecs) = jacobiEigen(matrix)
     val sorted = (0 until d).map(i => (evals(i),
         Array.tabulate(d)(r => evecs(r)(i))))
       .sortBy(-_._1).take(k)
@@ -208,7 +242,10 @@ object Ml {
       val m = v.indices.maxBy(i => math.abs(v(i)))
       if (v(m) < 0) v.map(-_) else v
     }.toArray
-    PcaModel(cols, comps, sorted.map(_._1).toArray)
+    val evalsOut = sorted.map(_._1).map { l =>
+      if (method == "svd") math.sqrt(math.max(l, 0.0) * divisor) else l
+    }.toArray
+    PcaModel(cols, comps, evalsOut, sds)
   }
 
   def pcaProject(df: DataFrame, cols: Seq[String], k: Int,

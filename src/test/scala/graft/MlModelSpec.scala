@@ -217,6 +217,44 @@ class MlModelSpec extends SparkSuite {
     assert(!ms(0).getSeq[Double](ms(0).fieldIndex("coefficients")).contains(0.0))
   }
 
+  test("PCA methods: corr is scale-invariant; svd reports singular values") {
+    val df = synth(4000, 3)
+    // corr method: multiplying a column by 1000 must not change components
+    val m1 = Ml.fitPca(df, Seq("a", "b"), 2, method = "corr")
+    val scaled = df.withColumn("a", col("a") * 1000.0)
+    val m2 = Ml.fitPca(scaled, Seq("a", "b"), 2, method = "corr")
+    m1.components.zip(m2.components).foreach { case (u, v) =>
+      u.zip(v).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+    // corr eigenvalues sum to d (trace of the correlation matrix)
+    assert(math.abs(m1.eigenvalues.sum - 2.0) < 1e-9)
+    // cov method is NOT scale-invariant (sanity that corr differs for a
+    // reason): blowing up the SMALLER-variance column flips pc1 to it
+    val c1 = Ml.fitPca(df, Seq("a", "b"), 2)
+    val cb = Ml.fitPca(df.withColumn("b", col("b") * 1000.0), Seq("a", "b"), 2)
+    assert(math.abs(c1.components(0)(0) - cb.components(0)(0)) > 0.5)
+    // svd: same components as cov, eigenvalues = sqrt(lambda * n)
+    val n = df.count().toDouble
+    val sv = Ml.fitPca(df, Seq("a", "b"), 2, method = "svd")
+    sv.components.zip(c1.components).foreach { case (u, v) =>
+      assert(u.toSeq == v.toSeq)
+    }
+    sv.eigenvalues.zip(c1.eigenvalues).foreach { case (s, l) =>
+      assert(math.abs(s - math.sqrt(l * n)) < 1e-9 * (1.0 + s))
+    }
+    // covarianceBias=false: eigenvalues scale by n/(n-1), components equal
+    val ub = Ml.fitPca(df, Seq("a", "b"), 2, covarianceBias = false)
+    ub.eigenvalues.zip(c1.eigenvalues).foreach { case (u, l) =>
+      assert(math.abs(u - l * n / (n - 1.0)) < 1e-9 * (1.0 + u))
+    }
+    // corr transform standardizes: projections match on raw vs scaled data
+    val p1 = m1.transform(df).select(element_at(col("pc"), 1)).collect()
+      .map(_.getDouble(0))
+    val p2 = m2.transform(scaled).select(element_at(col("pc"), 1)).collect()
+      .map(_.getDouble(0))
+    p1.zip(p2).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+  }
+
   test("Pipeline: stages fit on the previous stages' output and replay pure") {
     val df = synth(2000, 4)
     val pipe = Ml.Pipeline.fit(df, Seq(
