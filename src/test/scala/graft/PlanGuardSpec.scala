@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Enforced plan invariants for the scale-critical distributed defaults
+  * (round-10 verdict task: PlanCheck was a manual tool; this makes the
+  * guarantees regression-tested). For each guarded query the EXECUTED
+  * (post-AQE) plan must route data-sized row counts around single-partition
+  * chokepoints: any unpartitioned Window or SinglePartition shuffle may
+  * only carry O(P) bucket-boundary frames / O(1) fit readouts — asserted
+  * via the runtime numOutputRows metric, so a silent regression to a
+  * global row-level window (the classic "works on the laptop, dies at
+  * 100 TB" shape) fails the suite, not a code read. */
+class PlanGuardSpec extends SparkSuite {
+  init()
+
+  /** Expand AQE stages / reused exchanges to the full executed tree. */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+    case q: QueryStageExec => p +: flatten(q.plan)
+    case r: ReusedExchangeExec => p +: flatten(r.child)
+    case _ => p +: p.children.flatMap(flatten)
+  }
+
+  /** Rows flowing through a node: its own numOutputRows when exposed, the
+    * shuffle write-records metric for exchanges, else the max over its
+    * (AQE-expanded) children — Window/Sort nodes expose no row metric, but
+    * they are row-preserving, so the feeding exchange/scan count is the
+    * right answer. */
+  private def outputRows(p: SparkPlan): Long = {
+    def direct(n: SparkPlan): Option[Long] =
+      n.metrics.get("numOutputRows").map(_.value)
+        .orElse(n.metrics.get("shuffleRecordsWritten").map(_.value))
+    direct(p).getOrElse {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      if (kids.isEmpty) -1L
+      else kids.map(outputRows).max
+    }
+  }
+
+  /** Run a registered query and assert every single-partition chokepoint
+    * (unpartitioned Window, SinglePartition shuffle) emitted ≤ `bound`
+    * rows — i.e. it processed boundary/summary frames, not the data. */
+  private def guard(name: String, bound: Long): Unit = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    val total = df.collect().length.toLong // executes the df's OWN plan
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val offenders = Seq.newBuilder[String]
+    nodes.foreach {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        val n = outputRows(w)
+        if (n > bound)
+          offenders += s"unpartitioned Window emitted $n rows (> $bound)"
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+        val n = outputRows(e)
+        if (n > bound)
+          offenders += s"SinglePartition exchange carried $n rows (> $bound)"
+      case _ =>
+    }
+    val bad = offenders.result()
+    assert(bad.isEmpty,
+      s"$name (total output $total rows): ${bad.mkString("; ")}")
+  }
+
+  // sf0.001: lineitem ≈ 6k rows, orders ≈ 1.5k — a data-sized chokepoint
+  // would blow far past this bound, while the intended O(P)/O(k) frames
+  // (the 4 test partitions' boundaries, model moments) stay orders below.
+  // (q67 spearman is deliberately absent: its ≤1M-distinct gate routes a
+  // DISTINCT-VALUE table through one task, and for continuous columns
+  // distinct ≈ rows at test SF — no sharp numeric invariant exists below
+  // the gate; the gate itself is spec'd in AdvancedSpec.)
+  private val Bound = 500L
+
+  test("q101 keyless asof: boundary-frame windows only")(
+    guard("q101_keyless_asof", Bound))
+
+  test("q102 keyless fill-range: boundary-frame windows only")(
+    guard("q102_fill_range_keyless", Bound))
+
+  test("q71 take-nth: distributed row index, no global funnel")(
+    guard("q71_take_nth", Bound))
+
+  test("q75 sequence packing: O(P) prefix sums only")(
+    guard("q75_seq_pack", Bound))
+
+  test("q57 deterministic reservoir: fully keyed windows")(
+    guard("q57_reservoir", Bound))
+
+  test("detector self-test: a global row-level window IS flagged") {
+    // prove the guard can fire — a data-sized unpartitioned Window must
+    // trip the same detection path the real guards rely on. The window's
+    // output feeds an aggregate (NOT a rank<=k filter: Spark's
+    // WindowGroupLimit would legitimately prune that to a scale-safe
+    // top-k-per-partition plan — the first draft of this test was
+    // "caught" by the optimizer doing the right thing)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number, sum}
+    val df = Tables.t(spark, sfDir, "lineitem")
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("l_orderkey"), col("l_linenumber"))))
+      .agg(sum(col("rn")).as("s"))
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val hit = nodes.exists {
+      case w: WindowExec if w.partitionSpec.isEmpty => outputRows(w) > Bound
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning == SinglePartition => outputRows(e) > Bound
+      case _ => false
+    }
+    assert(hit, "global window over 6k rows was not detected — guard is blind")
+  }
+}
