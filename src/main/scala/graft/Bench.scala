@@ -14,13 +14,15 @@ object Bench {
     // measured query isn't charged for it
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // Noise self-defense: each query runs TWICE (a fresh plan each run — no
-    // shuffle/stage reuse between them) and reports the min, so transient
-    // box contention can't masquerade as a code regression (the r4→r6
-    // driver tails moved 2–4× on untouched queries). Caches any query
-    // legitimately hands back (e.g. dedupGroups' caller-owned result) are
-    // dropped between queries so no query's memory squeezes the next.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // Noise self-defense: each query runs THREE times (a fresh plan each
+    // run — no shuffle/stage reuse between them) and reports the min, so
+    // transient box contention can't masquerade as a code regression (the
+    // r4→r6 driver tails moved 2–4× on untouched queries; ±0.3 s jitter on
+    // min-of-2 still flagged phantom "regressions" in r9/r10). Caches any
+    // query legitimately hands back (e.g. dedupGroups' caller-owned
+    // result) are dropped between queries so no query's memory squeezes
+    // the next.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // The heaviest queries run LAST: their GC/scheduler backwash was shown
     // (r6/r7 driver tails) to inflate whatever query happens to follow them
     // by 2-4x. With nothing after them, the backwash lands on spark.stop().

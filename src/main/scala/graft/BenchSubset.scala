@@ -17,14 +17,21 @@ object BenchSubset {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted.exists(n.contains) }
       .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val times = (0 until runs).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+          val sec = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          if (ok) Some(sec) else None
+        }
+        System.gc()
+        name -> (if (times.size == runs) times.min else -1.0)
       }
     results.foreach { case (n, s) => println(f"$n%-28s $s%8.3f s") }
     spark.stop()

@@ -1057,6 +1057,26 @@ object ExtQueries {
           max(col("o_orderkey")).as("max_key"),
           date_format(min(col("o_date")), "yyyy-MM-dd").as("first_date"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // Workbook-of-datasets round-trip (reference datasets->workbook!,
+    // fastexcel.clj/poi.clj): TWO tables into one xlsx, read back by
+    // sheet, joined and aggregated — the oracle sees only the original
+    // parquet, so sheet routing or any cell drift breaks the hash.
+    "q118_workbook" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q118").toString
+      graft.sources.XlsxIo.writeWorkbook(Seq(
+        "nation" -> t(s, dir, "nation"),
+        "supplier" -> t(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey", "s_acctbal")), s"$tmp/wb.xlsx")
+      val back = graft.sources.XlsxIo.readAllSheets(s, s"$tmp/wb.xlsx")
+      val nation = back(0); val supplier = back(1)
+      supplier.join(nation,
+          supplier("s_nationkey") === nation("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          dsum(col("s_acctbal").cast(DoubleType)).as("sum_bal"))
+        .orderBy(col("n_name"))
     }
   )
 
@@ -1998,6 +2018,13 @@ object ExtQueries {
            CASE WHEN ok THEN x2 ELSE 0.0 END AS b2,
            CASE WHEN ok THEN x3 ELSE 0.0 END AS b3
          FROM b4_ ORDER BY l_returnflag""",
+
+    // workbook round-trip: oracle on the original parquet
+    "q118_workbook" ->
+      """SELECT n_name, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS sum_bal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY n_name""",
 
     // snapshot round-trip: oracle on the original parquet — the EDN
     // document must carry values and dtypes losslessly for this to hash.

@@ -36,17 +36,31 @@ object Tables {
 
   private def tRaw(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // The events table stores ts as parquet TIMESTAMP(NANOS), which Spark's
-      // vectorized reader rejects. Read nanos as long (legacy conf), then
-      // convert to a microsecond TimestampType column (the generator's values
-      // are µs-precision, so the floor division is lossless).
+      // The driver's events table stores ts as parquet TIMESTAMP(NANOS),
+      // which Spark's vectorized reader rejects. Read nanos as long (legacy
+      // conf), then convert to a microsecond TimestampType column (the
+      // generator's values are µs-precision, so the floor division is
+      // lossless). The shim is TYPE-GATED: a re-exported events table (e.g.
+      // the duckdb-scaled local sf1.0) stores a plain timestamp that the
+      // nanosAsLong conf leaves untouched — only apply `div` when the
+      // column actually surfaced as nanos-long.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      // integral division: `/` on longs goes through double, and epoch-nanos
-      // exceed 2^53, so the rounding error (±128ns) can flip the truncated
-      // microsecond by one — `div` stays in long arithmetic
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // integral division: `/` on longs goes through double, and
+          // epoch-nanos exceed 2^53, so the rounding error (±128ns) can
+          // flip the truncated microsecond — `div` stays in long arithmetic
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // scaled/re-exported copies come back NTZ; the driver's original
+          // is instant-semantics (UTC session) — align the two readings
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.to_timestamp(
+              org.apache.spark.sql.functions.col("ts")))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 }
