@@ -352,6 +352,16 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // IVF with SAMPLED quantizer fit (fitFraction 0.5): the 100 TB posture —
+    // k-means iterations touch a deterministic md5-sample, never the corpus;
+    // only the single final assignment pass reads every vector.
+    "q121_ivf_sampled_fit" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Similarity.ivfTopKPortable(emb.filter(col("vec_id") < 10), emb,
+        3, nCentroids = 10, nProbe = 3, iters = 2, fitFraction = 0.5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // point-in-interval join (parity-plus — SURVEY §2.3 theta/interval row):
     // binned equi-join + post-filter (Spark's native plan for the raw range
     // condition is a nested-loop join). Lineitem ship days against 7-day
@@ -1116,16 +1126,19 @@ object ExtQueries {
   }
 
   private def ivfOracle(nCent: Int, nProbe: Int, k: Int, iters: Int,
-                        dim: Int, queryPred: String): String = {
+                        dim: Int, queryPred: String,
+                        fitModThresh: Option[Long] = None): String = {
     def dist(e: String, c: String) =
       s"list_reduce(list_transform(list_zip($e, $c), s -> (s[1]-s[2])*(s[1]-s[2])), (a,b) -> a+b)"
+    // vf = the fit sample (mirrors kmeansPortable's md5-Bernoulli keep);
+    // init + every update iteration read vf, the final assignment reads v
     def iteration(i: Int): String = {
       val prev = s"c${i - 1}"
       s"""a$i AS (SELECT id, emb, centroid FROM (
            SELECT v.id, v.emb, c.centroid,
              row_number() OVER (PARTITION BY v.id
                ORDER BY ${dist("v.emb", "c.cent")}, c.centroid) AS rn
-           FROM v, $prev c) WHERE rn = 1),
+           FROM vf v, $prev c) WHERE rn = 1),
          u$i AS (SELECT centroid, i AS pos,
              (CAST(SUM(CAST(FLOOR(emb[i+1] * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0)
                / CAST(COUNT(*) AS DOUBLE) AS cd
@@ -1135,13 +1148,16 @@ object ExtQueries {
              FROM u$i GROUP BY centroid) u USING (centroid)),"""
     }
     val cf = s"c$iters"
+    val fitPred = fitModThresh.map(t => s"WHERE h % 1000000 < $t").getOrElse("")
     s"""WITH v AS (SELECT vec_id AS id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
          FROM embeddings),
+       vh AS (SELECT id, emb,
+           CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         FROM v),
+       vf AS (SELECT id, emb, h FROM vh $fitPred),
        c0 AS (SELECT row_number() OVER (ORDER BY h, id) - 1 AS centroid, emb AS cent
-         FROM (SELECT id, emb,
-             CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-           FROM v)
+         FROM vf
          ORDER BY h, id LIMIT $nCent),
        ${(1 to iters).map(iteration).mkString("\n")}
        ca AS (SELECT id AS corpus_id, centroid FROM (
@@ -1183,6 +1199,12 @@ object ExtQueries {
   val oracleSql: Map[String, String] = Map(
     "q61_ivf_ann" -> ivfOracle(nCent = 10, nProbe = 3, k = 3, iters = 2,
       dim = 64, queryPred = "v.id < 10"),
+
+    // sampled-fit IVF: the quantizer trains on the md5-Bernoulli half of the
+    // corpus (h % 10^6 < 500000), full corpus assigned once at the end
+    "q121_ivf_sampled_fit" -> ivfOracle(nCent = 10, nProbe = 3, k = 3,
+      iters = 2, dim = 64, queryPred = "v.id < 10",
+      fitModThresh = Some(500000L)),
 
     // LOESS mirror: replays Advanced.loessFit's exact op sequence for
     // robustnessIters = 0 — per-group sorted x/y lists, the one-step window

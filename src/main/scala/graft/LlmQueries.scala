@@ -206,6 +206,28 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Bloom-prefiltered decontamination (the no-broadcast 100 TB shape):
+    // bench shingle hashes fold into one distributed BloomFilterAggregate,
+    // train shingles drop through codegen'd might_contain BEFORE the shuffle,
+    // exact confirm join after. Result must be IDENTICAL to q73 — the bloom
+    // pass only prunes — so the oracle replays the exact-join semantics.
+    "q119_bloom_decontam" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextDedup.decontaminateBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", shingleLen = 3, fpp = 0.01)
+        .orderBy(col("doc_id"))
+    },
+
+    // Gopher rule-set filter (Rae et al. §A1.1): per-rule boolean flags +
+    // keep per doc, thresholds chosen to actually split this corpus.
+    "q120_gopher_rules" -> { (s, dir) =>
+      TextStats.gopherQualityFlags(t(s, dir, "documents"), "doc_id", "text",
+        minWords = 30, maxWords = 80, minMeanWordLen = 4.5)
+        .orderBy(col("doc_id"))
+    },
+
     // GPT-style sequence packing: concat docs in doc_id order, chunk into
     // 2048-token training sequences; per-doc token offset + sequence range.
     // Distributed prefix sum (no single-task window) — all integer math.
@@ -595,6 +617,62 @@ object LlmQueries {
          WHERE e.doc_id % 97 <> 0
          GROUP BY e.doc_id HAVING COUNT(*) >= 1
          ORDER BY e.doc_id""",
+
+    // mirrors TextDedup.decontaminateBloom — semantically q73 exactly (the
+    // Bloom filter is a pure prefilter; the confirm join restores exactness).
+    "q119_bloom_decontam" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(w) >= 3
+             THEN list_transform(range(len(w) - 2), i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3]))
+             ELSE [array_to_string(w, ' ')] END AS s FROM d),
+         ex AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(s,
+               g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)))) AS h
+           FROM sh),
+         bench AS (SELECT DISTINCT h FROM ex WHERE doc_id % 97 = 0)
+         SELECT e.doc_id, COUNT(*) AS overlap_shingles
+         FROM ex e JOIN bench b USING (h)
+         WHERE e.doc_id % 97 <> 0
+         GROUP BY e.doc_id HAVING COUNT(*) >= 1
+         ORDER BY e.doc_id""",
+
+    // mirrors TextStats.gopherQualityFlags: same normalized tokens, each
+    // ratio one int/int double division, flags as ints.
+    "q120_gopher_rules" ->
+      s"""WITH d AS (SELECT doc_id, text, string_split($normSql, ' ') AS w FROM documents),
+         m AS (SELECT doc_id,
+             len(w) AS nw_raw, greatest(len(w), 1) AS nw,
+             CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE)
+               / greatest(len(w), 1) AS mean_len,
+             (len(text) - len(replace(text, '#', ''))
+               + (len(text) - len(replace(text, '...', ''))) // 3) AS n_sym,
+             string_split(text, chr(10)) AS lines,
+             len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+             len(list_intersect(w, ['the','a','an','and','or','of','to','in',
+               'is','it','that','for','on','with','as','was','at','by','be',
+               'this'])) AS stop_hits
+           FROM d),
+         f AS (SELECT doc_id, nw_raw, nw, mean_len, n_sym, n_alpha, stop_hits,
+             greatest(len(lines), 1) AS nl,
+             len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS n_bullet,
+             len(list_filter(lines, l -> regexp_matches(rtrim(l), '\\.\\.\\.$$'))) AS n_ell
+           FROM m)
+         SELECT doc_id, CAST(nw_raw AS INT) AS n_words, mean_len AS mean_word_len,
+           CAST(nw_raw >= 30 AND nw_raw <= 80 AS INT) AS ok_words,
+           CAST(mean_len >= 4.5 AND mean_len <= 10.0 AS INT) AS ok_word_len,
+           CAST(CAST(n_sym AS DOUBLE) / nw <= 0.1 AS INT) AS ok_symbol,
+           CAST(CAST(n_bullet AS DOUBLE) / nl <= 0.9 AS INT) AS ok_bullet,
+           CAST(CAST(n_ell AS DOUBLE) / nl <= 0.3 AS INT) AS ok_ellipsis,
+           CAST(CAST(n_alpha AS DOUBLE) / nw >= 0.8 AS INT) AS ok_alpha,
+           CAST(stop_hits >= 2 AS INT) AS ok_stop,
+           CAST((nw_raw >= 30 AND nw_raw <= 80)
+             AND (mean_len >= 4.5 AND mean_len <= 10.0)
+             AND (CAST(n_sym AS DOUBLE) / nw <= 0.1)
+             AND (CAST(n_bullet AS DOUBLE) / nl <= 0.9)
+             AND (CAST(n_ell AS DOUBLE) / nl <= 0.3)
+             AND (CAST(n_alpha AS DOUBLE) / nw >= 0.8)
+             AND (stop_hits >= 2) AS INT) AS keep
+         FROM f ORDER BY doc_id""",
 
     // mirrors TextStats.repetitionMetrics: bigram/trigram md5-hash identity,
     // duplicate fraction = 1 − distinct/total, top fraction = max bigram

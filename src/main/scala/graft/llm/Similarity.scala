@@ -298,16 +298,30 @@ object Similarity {
     * why it cannot be oracle-checked. */
   def kmeansPortable(corpus: DataFrame, nCentroids: Int, iters: Int,
                      idCol: String = "vec_id",
-                     embCol: String = "embedding"): Seq[(Int, Array[Double])] = {
+                     embCol: String = "embedding",
+                     fitFraction: Double = 1.0): Seq[(Int, Array[Double])] = {
     require(nCentroids >= 1 && iters >= 0)
-    val v = corpus.select(col(idCol).cast(LongType).as("id"),
+    require(fitFraction > 0 && fitFraction <= 1.0,
+      s"fitFraction must be in (0,1], got $fitFraction")
+    // The SCALE knob: with fitFraction < 1 the quantizer trains on a
+    // deterministic md5-Bernoulli sample (h mod 10⁶ < fitFraction·10⁶ —
+    // value-derived, so the sample and therefore the centroids are identical
+    // on any partitioning/engine, q121 oracle). Centroid quality needs
+    // samples-per-centroid, not the corpus: at 10⁹ vectors a 1% fit pays
+    // 100× less per iteration and assigns the full corpus exactly once at
+    // the end — the standard IVF train-on-sample design.
+    val vh = corpus.select(col(idCol).cast(LongType).as("id"),
         col(embCol).cast("array<double>").as("emb"))
+      .withColumn("h", TextDedup.h60(col("id").cast(StringType)))
+    val v = (if (fitFraction >= 1.0) vh
+             else vh.filter(pmod(col("h"), lit(1000000L)) <
+               math.round(fitFraction * 1e6)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Seq[(Int, Array[Double])] =
-      v.withColumn("h", TextDedup.h60(col("id").cast(StringType)))
-        .orderBy(col("h"), col("id")).limit(nCentroids)
+      v.orderBy(col("h"), col("id")).limit(nCentroids)
         .select(col("emb")).collect().toSeq
         .map(_.getSeq[Double](0).toArray).zipWithIndex.map(_.swap)
+    require(cents.nonEmpty, "fit sample is empty — raise fitFraction")
     for (_ <- 1 to iters) {
       val sums = v.withColumn("centroid", argminCentroid(col("emb"), cents))
         .select(col("centroid"), posexplode(col("emb")).as(Seq("pos", "x")))
@@ -340,8 +354,10 @@ object Similarity {
   def ivfTopKPortable(queries: DataFrame, corpus: DataFrame, k: Int,
                       nCentroids: Int = 16, nProbe: Int = 3, iters: Int = 2,
                       idCol: String = "vec_id",
-                      embCol: String = "embedding"): DataFrame = {
-    val cents = kmeansPortable(corpus, nCentroids, iters, idCol, embCol)
+                      embCol: String = "embedding",
+                      fitFraction: Double = 1.0): DataFrame = {
+    val cents = kmeansPortable(corpus, nCentroids, iters, idCol, embCol,
+      fitFraction)
     val centDf = centroidFrame(corpus.sparkSession, cents)
     // final inverted-list assignment is ONE map pass over the corpus — no
     // join-back, no shuffle (the former design recomputed assignment via a

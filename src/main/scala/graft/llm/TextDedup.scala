@@ -205,6 +205,60 @@ object TextDedup {
       .filter(col("overlap_shingles") >= minOverlap)
   }
 
+  /** Decontamination with a BLOOM-FILTER prefilter — the shape for when the
+    * benchmark side is too large to broadcast as an exact hash set (many
+    * held-out suites × many shingles), i.e. the 100 TB regime where the
+    * confirm join must be shuffle-based. The benchmark's distinct shingle
+    * hashes are folded into one Bloom filter by a distributed aggregate
+    * (Spark's own `BloomFilterAggregate`, tree-merged partial filters — the
+    * driver reads back a single binary blob of ~1.2 bits·n/ln2²·ln(1/fpp)),
+    * and the train side drops non-candidate shingles with a codegen'd
+    * `BloomFilterMightContain` BEFORE anything shuffles: only the ~fpp false
+    * positives plus true overlaps pay the exchange. This is exactly Spark's
+    * InjectRuntimeFilter pattern, made explicit because the optimizer's
+    * version never fires across two independently-derived exploded sides.
+    *
+    * The result is EXACT (identical to [[decontaminate]], oracle q119 — the
+    * Bloom pass only prunes; the join re-confirms every survivor against the
+    * real hash set), so fpp trades shuffle volume against nothing else.
+    * Both expressions take the raw 60-bit md5 hash as the item (LongType
+    * child — no second xxhash layer), keeping the filter engine-portable in
+    * principle and, more importantly, keeping both sides trivially equal to
+    * the q73 semantics. */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, shingleLen: Int = 8,
+                         minOverlap: Long = 1L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val spark = train.sparkSession
+    graft.functions.DedupKernels.register(spark)
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    def hashes(c: Column) =
+      array_distinct(shingleHashes(c, shingleLen, 15))
+    val benchH = bench
+      .select(explode(hashes(col(textCol))).as("__h")).distinct()
+    // fit-side readouts: one count (sizes the filter) + one binary blob.
+    // n drives numBits via the standard m = -n·ln(fpp)/ln2² formula.
+    val n = math.max(benchH.count(), 1L)
+    val numBits = math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      es => new BloomFilterAggregate(es.head,
+        CatLit(n, LongType), CatLit(numBits, LongType)).toAggregateExpression(),
+      "scala_udf")
+    val blob = benchH.select(expr("graft_bloom_agg(__h)")).head().getAs[Array[Byte]](0)
+    reg.createOrReplaceTempFunction("graft_might_contain",
+      es => BloomFilterMightContain(CatLit(blob, BinaryType), es.head),
+      "scala_udf")
+    val trainH = train
+      .select(col(idCol), explode(hashes(col(textCol))).as("__h"))
+      .filter(expr("graft_might_contain(__h)"))
+    trainH.join(benchH, Seq("__h"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("overlap_shingles"))
+      .filter(col("overlap_shingles") >= minOverlap)
+  }
+
   /** Exact n-gram Jaccard between explicit pairs (the verify step after LSH,
     * or a direct quadratic check on small blocks). */
   def ngramJaccard(textA: Column, textB: Column, k: Int): Column = {

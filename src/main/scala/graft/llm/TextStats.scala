@@ -65,6 +65,64 @@ object TextStats {
       (lit(1.0) - punctPenalty) * 0.15 + (lit(1.0) - digitPenalty) * 0.15
   }
 
+  /** Gopher-style quality RULE FLAGS (Rae et al. 2021 §A1.1 — the standard
+    * pre-training document filters), one boolean per rule plus the
+    * conjunction `keep`, so a pipeline can audit WHICH rule dropped a doc
+    * (the flags are what you aggregate per-source to tune thresholds):
+    *   - ok_words:    word count in [minWords, maxWords]
+    *   - ok_word_len: mean word length in [minMeanWordLen, maxMeanWordLen]
+    *   - ok_symbol:   (# + ellipsis) per word ≤ maxSymbolRatio
+    *   - ok_bullet:   fraction of lines starting with a bullet ≤ maxBulletFrac
+    *   - ok_ellipsis: fraction of lines ending in "..." ≤ maxEllipsisFrac
+    *   - ok_alpha:    fraction of words containing a letter ≥ minAlphaWordFrac
+    *   - ok_stop:     ≥ minStopwordHits DISTINCT stopwords present
+    * All pure column expressions over the normalized token array (one
+    * tokenize per rule-set, codegen'd, flags cast to int for portable
+    * comparison) — each ratio is a single int/int double division so the
+    * whole rule set replays exactly in SQL (oracle q120). */
+  def gopherQualityFlags(df: DataFrame, idCol: String, textCol: String,
+                         minWords: Int = 50, maxWords: Int = 100000,
+                         minMeanWordLen: Double = 3.0,
+                         maxMeanWordLen: Double = 10.0,
+                         maxSymbolRatio: Double = 0.1,
+                         maxBulletFrac: Double = 0.9,
+                         maxEllipsisFrac: Double = 0.3,
+                         minAlphaWordFrac: Double = 0.8,
+                         minStopwordHits: Int = 2,
+                         stopwords: Seq[String] = englishStopwords): DataFrame = {
+    val text = col(textCol)
+    val toks = TextDedup.tokens(text)
+    val nwRaw = size(toks)
+    val nw = greatest(nwRaw, lit(1))
+    val meanLen = aggregate(transform(toks, t => length(t).cast(LongType)),
+      lit(0L), (a, v) => a + v).cast(DoubleType) / nw
+    val nHash = length(text) - length(regexp_replace(text, "#", ""))
+    val nEll = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = (nHash + nEll).cast(DoubleType) / nw
+    val lines = split(text, "\n")
+    val nLines = greatest(size(lines), lit(1))
+    val bulletFrac = size(filter(lines, l =>
+      trim(l).rlike("^[-*•]"))).cast(DoubleType) / nLines
+    val ellipsisFrac = size(filter(lines, l =>
+      rtrim(l).rlike("\\.\\.\\.$"))).cast(DoubleType) / nLines
+    val alphaFrac = size(filter(toks, t =>
+      t.rlike("[a-z]"))).cast(DoubleType) / nw
+    val swArr = array(stopwords.map(lit): _*)
+    val stopHits = size(array_intersect(array_distinct(toks), swArr))
+    val flags = Seq(
+      "ok_words" -> (nwRaw >= minWords && nwRaw <= maxWords),
+      "ok_word_len" -> (meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen),
+      "ok_symbol" -> (symbolRatio <= maxSymbolRatio),
+      "ok_bullet" -> (bulletFrac <= maxBulletFrac),
+      "ok_ellipsis" -> (ellipsisFrac <= maxEllipsisFrac),
+      "ok_alpha" -> (alphaFrac >= minAlphaWordFrac),
+      "ok_stop" -> (stopHits >= minStopwordHits))
+    df.select(
+      (col(idCol) +: nwRaw.as("n_words") +: meanLen.as("mean_word_len") +:
+        flags.map { case (n, c) => c.cast(IntegerType).as(n) }) :+
+        flags.map(_._2).reduce(_ && _).cast(IntegerType).as("keep"): _*)
+  }
+
   /** Tiny per-language marker-word profiles for the n-gram/stopword
     * language-ID heuristic. (Real pipelines plug fastText here; the operator
     * shape — score-per-language, argmax, confidence — is the deliverable.) */

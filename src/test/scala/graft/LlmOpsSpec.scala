@@ -43,6 +43,48 @@ class LlmOpsSpec extends SparkSuite {
       minOverlap = 100L).count() == 0)
   }
 
+  test("decontaminateBloom: identical to exact decontaminate, plan has bloom prefilter") {
+    val bench = docs.filter(col("doc_id") === 0L)
+    val train = docs.filter(col("doc_id").isin(2L, 3L))
+    val exact = TextDedup.decontaminate(train, bench, "doc_id", "text",
+      shingleLen = 3).orderBy("doc_id").collect().toSeq
+    // several fpp settings, incl. one high enough that false positives are
+    // likely — the confirm join must erase them
+    for (fpp <- Seq(0.5, 0.01, 1e-6)) {
+      val bloom = TextDedup.decontaminateBloom(train, bench, "doc_id", "text",
+        shingleLen = 3, fpp = fpp)
+      assert(bloom.orderBy("doc_id").collect().toSeq == exact, s"fpp=$fpp")
+    }
+    // the prefilter must sit in the plan (pruning BEFORE the join shuffle)
+    val plan = TextDedup.decontaminateBloom(train, bench, "doc_id", "text",
+      shingleLen = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+  }
+
+  test("gopherQualityFlags: each rule fires on its own pathological doc") {
+    val cases = Seq(
+      (1L, "the cat sat on the mat with a dog and it was fine here today ok"), // clean
+      (2L, "word " * 300),                                  // too many words
+      (3L, "a b c d e f g h i j k l m n o p"),              // mean len < 3
+      (4L, "### ### ### the ### quick ### fox ### runs"),   // symbol ratio
+      (5L, "- one\n- two\n- three\n- four"),                // bullet lines
+      (6L, "first line...\nsecond line...\nthird..."),      // ellipsis ends
+      (7L, "1 2 3 4 5 6 7 8 9 10 11 12 13 14"),             // no alpha words
+      (8L, "zebra quokka visits parks daily quietly")       // no stopwords
+    ).toDF("doc_id", "text")
+    val out = TextStats.gopherQualityFlags(cases, "doc_id", "text",
+      minWords = 5, maxWords = 100).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("keep") == 1)
+    assert(out(2L).getAs[Int]("ok_words") == 0 && out(2L).getAs[Int]("keep") == 0)
+    assert(out(3L).getAs[Int]("ok_word_len") == 0)
+    assert(out(4L).getAs[Int]("ok_symbol") == 0)
+    assert(out(5L).getAs[Int]("ok_bullet") == 0)
+    assert(out(6L).getAs[Int]("ok_ellipsis") == 0)
+    assert(out(7L).getAs[Int]("ok_alpha") == 0)
+    assert(out(8L).getAs[Int]("ok_stop") == 0)
+  }
+
   test("minhash: identical docs get identical signatures, est_jaccard 1") {
     val pairs = TextDedup.minhashCandidatePairs(docs, "doc_id", "text",
       shingleLen = 3, numHashes = 64, bands = 32).collect()
@@ -382,6 +424,24 @@ class LlmOpsSpec extends SparkSuite {
     val hits = top1.count(r => brute.contains(
       (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))))
     assert(hits >= top1.length / 2, s"portable IVF recall too low: $hits/${top1.length}")
+  }
+
+  test("sampled-fit ivf: deterministic, partition-invariant, sane recall") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val a = Similarity.ivfTopKPortable(q, emb, 3, nCentroids = 8, nProbe = 3,
+      iters = 2, fitFraction = 0.5).orderBy("query_id", "rank").collect()
+    // value-derived sample → identical under a different partitioning
+    val b = Similarity.ivfTopKPortable(q, emb.repartition(8), 3,
+      nCentroids = 8, nProbe = 3, iters = 2, fitFraction = 0.5)
+      .orderBy("query_id", "rank").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val brute = Similarity.bruteForceTopK(q, emb, 10).select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val top1 = a.filter(_.getAs[Int]("rank") == 1)
+    val hits = top1.count(r => brute.contains(
+      (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))))
+    assert(hits >= top1.length / 2, s"sampled-fit recall too low: $hits/${top1.length}")
   }
 
   test("repetition metrics: duplicate and top n-gram fractions") {
