@@ -228,6 +228,15 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // per-document overlapping token-window chunking (RAG indexing / context
+    // windows): 32-token windows advancing by 24 (8-token overlap), final
+    // window short, docs <= 32 tokens pass through whole. Pure map pass.
+    "q122_doc_chunking" -> { (s, dir) =>
+      SeqPack.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 32, strideTokens = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     // GPT-style sequence packing: concat docs in doc_id order, chunk into
     // 2048-token training sequences; per-doc token offset + sequence range.
     // Distributed prefix sum (no single-task window) — all integer math.
@@ -635,6 +644,22 @@ object LlmQueries {
          WHERE e.doc_id % 97 <> 0
          GROUP BY e.doc_id HAVING COUNT(*) >= 1
          ORDER BY e.doc_id""",
+
+    // mirrors SeqPack.chunkDocuments: same whitespace tokens, same
+    // ceil-division chunk count, 1-based inclusive list windows.
+    "q122_doc_chunking" ->
+      """WITH d AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+         c AS (SELECT doc_id, w,
+             CASE WHEN len(w) <= 32 THEN 1
+                  ELSE (len(w) - 32 + 23) // 24 + 1 END AS nc
+           FROM d),
+         e AS (SELECT doc_id, w,
+             CAST(unnest(range(0, nc)) AS INT) AS chunk_id FROM c)
+         SELECT doc_id, chunk_id,
+           array_to_string(w[chunk_id*24 + 1 : chunk_id*24 + 32], ' ') AS chunk_text,
+           CAST(len(w[chunk_id*24 + 1 : chunk_id*24 + 32]) AS INT) AS n_chunk_tokens
+         FROM e ORDER BY doc_id, chunk_id""",
 
     // mirrors TextStats.gopherQualityFlags: same normalized tokens, each
     // ratio one int/int double division, flags as ints.

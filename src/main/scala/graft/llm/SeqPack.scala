@@ -75,4 +75,40 @@ object SeqPack {
           .otherwise(floor((col("token_start") + col("n_tokens") - 1) / seqLen)))
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
   }
+
+  /** PER-DOCUMENT overlapping token-window chunking — the RAG-indexing /
+    * context-window-preparation counterpart of [[packSequences]] (which
+    * packs ACROSS documents; this one never crosses a document boundary).
+    * Each doc yields ceil((n - chunk)/stride) + 1 windows of `chunkTokens`
+    * whitespace tokens advancing by `strideTokens` (overlap = chunk -
+    * stride); a doc at or under `chunkTokens` yields itself as one chunk,
+    * and the final window is allowed to run short rather than re-reading
+    * tokens before it.
+    *
+    * Scale: tokenize → per-row `sequence` explode → `slice`, all column
+    * expressions on one map pass — no shuffle, no state; the natural plan
+    * at any corpus size (chunks inherit the input partitioning). Oracle
+    * q122 replays the windows verbatim. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(strideTokens >= 1 && strideTokens <= chunkTokens,
+      s"strideTokens must be in [1, chunkTokens], got $strideTokens")
+    val toks = TextStats.tokens(col(textCol))
+    // n counts split cells (empty text → one empty token), matching the SQL
+    // mirror's len(regexp_split_to_array(...)) so both sides chunk alike
+    val n = size(toks)
+    // ceil((n-chunk)/stride)+1; the int values are tiny so the double
+    // round-trip through `/` is exact
+    val nChunks = when(n <= chunkTokens, lit(1)).otherwise(
+      floor((n - chunkTokens + (strideTokens - 1)) / strideTokens).cast("int") + 1)
+    df.select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", slice(col("__toks"),
+          col("chunk_id") * strideTokens + 1, lit(chunkTokens))).as("chunk_text"),
+        size(slice(col("__toks"),
+          col("chunk_id") * strideTokens + 1, lit(chunkTokens))).as("n_chunk_tokens"))
+  }
 }

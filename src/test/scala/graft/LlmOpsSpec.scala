@@ -444,6 +444,23 @@ class LlmOpsSpec extends SparkSuite {
     assert(hits >= top1.length / 2, s"sampled-fit recall too low: $hits/${top1.length}")
   }
 
+  test("chunkDocuments: overlapping windows, short tail, small-doc passthrough") {
+    val d = Seq(
+      (1L, (1 to 11).map(i => s"t$i").mkString(" ")), // 11 tokens
+      (2L, "a b c")                                   // under one chunk
+    ).toDF("doc_id", "text")
+    val out = SeqPack.chunkDocuments(d, "doc_id", "text", 4, 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    val c1 = out.filter(_.getLong(0) == 1L).map(r =>
+      (r.getAs[Int]("chunk_id"), r.getAs[String]("chunk_text"), r.getAs[Int]("n_chunk_tokens")))
+    // ceil((11-4)/3)+1 = 4 windows; starts 1,4,7,10; final runs short
+    assert(c1.toSeq == Seq(
+      (0, "t1 t2 t3 t4", 4), (1, "t4 t5 t6 t7", 4),
+      (2, "t7 t8 t9 t10", 4), (3, "t10 t11", 2)))
+    val c2 = out.filter(_.getLong(0) == 2L)
+    assert(c2.length == 1 && c2.head.getAs[String]("chunk_text") == "a b c")
+  }
+
   test("repetition metrics: duplicate and top n-gram fractions") {
     val d = Seq(
       (1L, "a b a b a b"),            // bigrams: ab ba ab ba ab → 5 total, 2 distinct
