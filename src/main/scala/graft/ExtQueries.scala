@@ -362,6 +362,16 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Product Quantization ADC (Jégou et al.): per-subspace portable
+    // k-means codebooks (8 × 64 codewords), corpus scanned as 8-int codes,
+    // reconstructed-cosine ranking — the memory-compressed ANN scan path.
+    "q123_pq_adc" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      graft.llm.Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb,
+        3, numSub = 8, k = 64, iters = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // point-in-interval join (parity-plus — SURVEY §2.3 theta/interval row):
     // binned equi-join + post-filter (Spark's native plan for the raw range
     // condition is a nested-loop join). Lineitem ship days against 7-day
@@ -1196,7 +1206,92 @@ object ExtQueries {
        FROM scored WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** DuckDB replay of Similarity.pqTrainPortable + pqTopK: same md5
+    * bottom-k init (one sample seeds every subspace), same fixed-order
+    * distance folds and floor-scaled exact centroid sums, same
+    * ascending-subspace ADC summation (list(x ORDER BY m) → left fold). */
+  private def pqOracle(numSub: Int, k: Int, topK: Int, iters: Int, dim: Int,
+                       queryPred: String,
+                       fitModThresh: Option[Long] = None): String = {
+    val dsub = dim / numSub
+    def dist(e: String, c: String) =
+      s"list_reduce(list_transform(list_zip($e, $c), s -> (s[1]-s[2])*(s[1]-s[2])), (a,b) -> a+b)"
+    def iteration(i: Int): String = {
+      val prev = s"p${i - 1}"
+      s"""pa$i AS (SELECT m, sv, ci FROM (
+           SELECT s.id, s.m, s.sv, c.ci,
+             row_number() OVER (PARTITION BY s.id, s.m
+               ORDER BY ${dist("s.sv", "c.cent")}, c.ci) AS rn
+           FROM sub s JOIN $prev c ON s.m = c.m) WHERE rn = 1),
+         pu$i AS (SELECT m, ci, i AS pos,
+             (CAST(SUM(CAST(FLOOR(sv[i+1] * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0)
+               / CAST(COUNT(*) AS DOUBLE) AS cd
+           FROM pa$i CROSS JOIN range(0, $dsub) t(i) GROUP BY 1, 2, 3),
+         p$i AS (SELECT c.m, c.ci, COALESCE(u.cent, c.cent) AS cent
+           FROM $prev c LEFT JOIN (SELECT m, ci, list(cd ORDER BY pos) AS cent
+             FROM pu$i GROUP BY m, ci) u ON u.m = c.m AND u.ci = c.ci),"""
+    }
+    val pf = s"p$iters"
+    val fitPred = fitModThresh.map(t => s"WHERE h % 1000000 < $t").getOrElse("")
+    s"""WITH v AS (SELECT vec_id AS id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         FROM embeddings),
+       vh AS (SELECT id, emb,
+           CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         FROM v),
+       vf AS (SELECT id, emb, h FROM vh $fitPred),
+       ini AS (SELECT emb, row_number() OVER (ORDER BY h, id) - 1 AS rk
+         FROM vf ORDER BY h, id LIMIT $k),
+       p0 AS (SELECT m, rk AS ci, emb[m*$dsub + 1 : m*$dsub + $dsub] AS cent
+         FROM ini CROSS JOIN range(0, $numSub) t(m)),
+       sub AS (SELECT id, m, emb[m*$dsub + 1 : m*$dsub + $dsub] AS sv
+         FROM vf CROSS JOIN range(0, $numSub) t(m)),
+       ${(1 to iters).map(iteration).mkString("\n")}
+       vsub AS (SELECT id, m, emb[m*$dsub + 1 : m*$dsub + $dsub] AS sv
+         FROM v CROSS JOIN range(0, $numSub) t(m)),
+       codes AS (SELECT id, m, ci FROM (
+           SELECT s.id, s.m, c.ci,
+             row_number() OVER (PARTITION BY s.id, s.m
+               ORDER BY ${dist("s.sv", "c.cent")}, c.ci) AS rn
+           FROM vsub s JOIN $pf c ON s.m = c.m) WHERE rn = 1),
+       n2 AS (SELECT m, ci,
+           list_reduce(list_transform(cent, x -> x*x), (a,b) -> a+b) AS n2
+         FROM $pf),
+       qv AS (SELECT id, emb FROM v WHERE $queryPred),
+       qsub AS (SELECT id AS query_id, m,
+           emb[m*$dsub + 1 : m*$dsub + $dsub] AS qsv
+         FROM qv CROSS JOIN range(0, $numSub) t(m)),
+       qn AS (SELECT id AS query_id,
+           sqrt(list_reduce(list_transform(emb, x -> x*x), (a,b) -> a+b)) AS qn
+         FROM qv),
+       pm AS (SELECT q.query_id, cd.id AS corpus_id, q.m,
+           list_reduce(list_transform(list_zip(q.qsv, c.cent), s -> s[1]*s[2]), (a,b) -> a+b) AS dot_m,
+           n2.n2 AS n2_m
+         FROM qsub q
+         JOIN codes cd ON cd.m = q.m
+         JOIN $pf c ON c.m = cd.m AND c.ci = cd.ci
+         JOIN n2 ON n2.m = cd.m AND n2.ci = cd.ci
+         WHERE cd.id <> q.query_id),
+       ag AS (SELECT query_id, corpus_id,
+           list_reduce(list(dot_m ORDER BY m), (a,b) -> a+b) AS dot,
+           list_reduce(list(n2_m ORDER BY m), (a,b) -> a+b) AS rn2
+         FROM pm GROUP BY 1, 2),
+       sc AS (SELECT query_id, corpus_id,
+           CASE WHEN qn.qn * sqrt(rn2) > 0 THEN dot / (qn.qn * sqrt(rn2))
+                ELSE -1e308 END AS adc_cosine
+         FROM ag JOIN qn USING (query_id)),
+       r AS (SELECT query_id, corpus_id, adc_cosine,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_cosine DESC, corpus_id ASC) AS rank
+         FROM sc)
+       SELECT query_id, corpus_id, adc_cosine, CAST(rank AS INT) AS rank
+       FROM r WHERE rank <= $topK ORDER BY query_id, rank"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q123_pq_adc" -> pqOracle(numSub = 8, k = 64, topK = 3, iters = 2,
+      dim = 64, queryPred = "v.id < 10"),
+
     "q61_ivf_ann" -> ivfOracle(nCent = 10, nProbe = 3, k = 3, iters = 2,
       dim = 64, queryPred = "v.id < 10"),
 

@@ -442,4 +442,143 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("qcos"), col("rank"))
   }
+
+  /** Product-Quantization codebooks (Jégou et al. 2011): the embedding is
+    * split into `numSub` contiguous subvectors and each subspace gets its
+    * own k-means codebook, so a vector compresses to `numSub` small codes
+    * (here ints; 8×64 codewords ≈ 6 bits/subspace — a 64-dim float32
+    * vector becomes ~8 bytes). Training is the same deterministic portable
+    * k-means recipe as [[kmeansPortable]] — md5 bottom-k init (the SAME
+    * sample rows seed every subspace, as FAISS trains all subquantizers on
+    * one sample), fixed-order distance folds, exact floor-scaled centroid
+    * sums, fixed iterations — but ALL subspaces train in one set of jobs:
+    * rows explode to (id, subspace, subvector) and each iteration is a
+    * single aggregation shuffling numSub·k·dsub partial sums. Returns
+    * books(m)(ci) = codeword vector; every step replays in SQL (q123).
+    * `fitFraction` samples the training set exactly as kmeansPortable. */
+  def pqTrainPortable(corpus: DataFrame, numSub: Int, k: Int, iters: Int,
+                      idCol: String = "vec_id", embCol: String = "embedding",
+                      fitFraction: Double = 1.0): Seq[Seq[Array[Double]]] = {
+    require(numSub >= 1 && k >= 1 && iters >= 0)
+    require(fitFraction > 0 && fitFraction <= 1.0)
+    val vh = corpus.select(col(idCol).cast(LongType).as("id"),
+        col(embCol).cast("array<double>").as("emb"))
+      .withColumn("h", TextDedup.h60(col("id").cast(StringType)))
+    val fit = (if (fitFraction >= 1.0) vh
+               else vh.filter(pmod(col("h"), lit(1000000L)) <
+                 math.round(fitFraction * 1e6)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val initRows = fit.orderBy(col("h"), col("id")).limit(k)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+    require(initRows.nonEmpty, "fit sample is empty — raise fitFraction")
+    val dim = initRows.head.length
+    require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
+    val dsub = dim / numSub
+    var books: Seq[Seq[Array[Double]]] = (0 until numSub).map(m =>
+      initRows.toSeq.map(r => r.slice(m * dsub, (m + 1) * dsub)))
+    val sub = fit.select(col("id"), explode(transform(
+        sequence(lit(0), lit(numSub - 1)),
+        mm => struct(mm.as("m"),
+          slice(col("emb"), mm * dsub + 1, lit(dsub)).as("sv")))).as("e"))
+      .select(col("e.m").as("m"), col("e.sv").as("sv"))
+    for (_ <- 1 to iters) {
+      val sums = sub
+        .withColumn("ci", pqArgmin(col("sv"), col("m"), books))
+        .select(col("m"), col("ci"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("ci"), col("pos"))
+        .agg(graft.ops.Reductions.isum(col("x"), 6).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byKey = sums.map(r => ((r.getAs[Int]("m"), r.getAs[Int]("ci"))) -> r)
+        .groupBy(_._1).map { case (kk, vs) => kk -> vs.map(_._2) }
+      books = books.zipWithIndex.map { case (cb, m) =>
+        cb.zipWithIndex.map { case (old, ci) =>
+          byKey.get((m, ci)) match {
+            case None => old
+            case Some(rows) =>
+              val n = rows.head.getAs[Long]("n").toDouble
+              val arr = old.clone()
+              rows.foreach(r =>
+                arr(r.getAs[Int]("pos")) = r.getAs[Double]("s") / n)
+              arr
+          }
+        }
+      }
+    }
+    fit.unpersist()
+    books
+  }
+
+  /** Nearest-codeword index for one subspace's subvector: the full codebook
+    * set rides as ONE nested-array `typedLit` (constant expression size),
+    * distances are the ascending-dim [[sqDist]] fold, ties to the lower
+    * code — the per-subspace twin of [[argminCentroid]]. */
+  private[graft] def pqArgmin(sv: Column, m: Column,
+                              books: Seq[Seq[Array[Double]]]): Column = {
+    val mat = typedLit(books.map(_.map(_.toSeq)))
+    val cents = element_at(mat, m + 1)
+    val k = books.head.size
+    if (k == 1) lit(0)
+    else aggregate(sequence(lit(1), lit(k - 1)),
+      struct(sqDist(sv, element_at(cents, 1)).as("d"), lit(0).as("c")),
+      (acc, ci) => {
+        val d = sqDist(sv, element_at(cents, ci + 1))
+        when(d < acc.getField("d"), struct(d.as("d"), ci.as("c")))
+          .otherwise(acc)
+      }).getField("c")
+  }
+
+  /** PQ-ADC top-k (asymmetric distance computation, cosine form): the
+    * corpus is scanned as CODES — `numSub` ints per vector instead of the
+    * float embedding, the memory-compression that lets a 100 TB corpus'
+    * index live in RAM — while queries stay exact floats. Reconstructed
+    * cosine = Σₘ dot(qₘ, codeword) / (|q|·√Σₘ|codeword|²) (subspaces are
+    * orthogonal, so the reconstruction norm is exact), every fold in fixed
+    * ascending order → bit-reproducible and SQL-replayable (q123). Queries
+    * broadcast; the corpus never shuffles (the rank window partitions by
+    * query over the top candidates only after the scan). Production note:
+    * a real deployment hoists the per-query k·numSub distance table out of
+    * the scan loop; the per-pair fold here is the same arithmetic in the
+    * same order, chosen so the oracle replays it. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, topK: Int,
+             numSub: Int = 8, k: Int = 64, iters: Int = 2,
+             idCol: String = "vec_id", embCol: String = "embedding",
+             fitFraction: Double = 1.0): DataFrame = {
+    val books = pqTrainPortable(corpus, numSub, k, iters, idCol, embCol,
+      fitFraction)
+    val dsub = books.head.head.length
+    val mat = typedLit(books.map(_.map(_.toSeq)))
+    // norm² per codeword, computed once driver-side in ascending-dim order
+    val norm2 = typedLit(books.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x))))
+    val codesExpr = transform(sequence(lit(0), lit(numSub - 1)), mm =>
+      pqArgmin(slice(col("c_emb"), mm * dsub + 1, lit(dsub)), mm, books))
+    val enc = corpus.select(col(idCol).cast(LongType).as("corpus_id"),
+        col(embCol).cast("array<double>").as("c_emb"))
+      .withColumn("codes", codesExpr)
+      .select(col("corpus_id"), col("codes"))
+    val q = queries.select(col(idCol).cast(LongType).as("query_id"),
+        col(embCol).cast("array<double>").as("q_emb"))
+      .withColumn("q_norm", sqrt(aggregate(
+        transform(col("q_emb"), x => x * x), lit(0.0), (a, v) => a + v)))
+    val dot = aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0),
+      (acc, mm) => acc + aggregate(
+        zip_with(slice(col("q_emb"), mm * dsub + 1, lit(dsub)),
+          element_at(element_at(mat, mm + 1),
+            element_at(col("codes"), mm + 1) + 1),
+          (x, y) => x * y), lit(0.0), (a, v) => a + v))
+    val rnorm2 = aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0),
+      (acc, mm) => acc + element_at(element_at(norm2, mm + 1),
+        element_at(col("codes"), mm + 1) + 1))
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("adc_cosine",
+        when(col("q_norm") * sqrt(rnorm2) > 0, dot / (col("q_norm") * sqrt(rnorm2)))
+          .otherwise(lit(-1e308)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("corpus_id"), col("adc_cosine"),
+        col("rank").cast("int").as("rank"))
+  }
 }

@@ -461,6 +461,26 @@ class LlmOpsSpec extends SparkSuite {
     assert(c2.length == 1 && c2.head.getAs[String]("chunk_text") == "a b c")
   }
 
+  test("pq adc: deterministic, partition-invariant, sane recall") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val a = Similarity.pqTopK(q, emb, 3, numSub = 8, k = 64, iters = 2)
+      .orderBy("query_id", "rank").collect()
+    val b = Similarity.pqTopK(q, emb.repartition(8), 3, numSub = 8, k = 64,
+      iters = 2).orderBy("query_id", "rank").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val brute = Similarity.bruteForceTopK(q, emb, 10).select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val top1 = a.filter(_.getAs[Int]("rank") == 1)
+    val hits = top1.count(r => brute.contains(
+      (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))))
+    assert(hits >= top1.length / 2, s"PQ-ADC recall too low: $hits/${top1.length}")
+    // codes really compress: every code in [0, 64)
+    val books = Similarity.pqTrainPortable(emb, 8, 64, 2)
+    assert(books.size == 8 && books.forall(_.size == 64) &&
+      books.forall(_.forall(_.length == 8)))
+  }
+
   test("repetition metrics: duplicate and top n-gram fractions") {
     val d = Seq(
       (1L, "a b a b a b"),            // bigrams: ab ba ab ba ab → 5 total, 2 distinct
