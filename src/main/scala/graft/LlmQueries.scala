@@ -237,6 +237,22 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    // Unicode normalization (NFC compose + accent strip): the corpus text is
+    // DECORATED with decomposed combining sequences (U+0308/U+0301 riding
+    // separate code points) so the oracle proves both engines implement the
+    // same UAX #15 composition + Mn-strip tables — ASCII-only input would
+    // make the check vacuous.
+    "q124_unicode_norm" -> { (s, dir) =>
+      graft.functions.TextKernels.register(s)
+      t(s, dir, "documents").select(col("doc_id"),
+          TextStats.stripAccents(TextStats.nfcNormalize(
+            concat(lit("U\u0308ni\u0308co\u0308de\u0301 "),
+              substring(col("text"), 1, 40),
+              lit(" cafe\u0301")))).as("norm_text"))
+        .withColumn("n_chars_norm", length(col("norm_text")))
+        .orderBy(col("doc_id"))
+    },
+
     // GPT-style sequence packing: concat docs in doc_id order, chunk into
     // 2048-token training sequences; per-doc token offset + sequence range.
     // Distributed prefix sum (no single-task window) — all integer math.
@@ -660,6 +676,16 @@ object LlmQueries {
            array_to_string(w[chunk_id*24 + 1 : chunk_id*24 + 32], ' ') AS chunk_text,
            CAST(len(w[chunk_id*24 + 1 : chunk_id*24 + 32]) AS INT) AS n_chunk_tokens
          FROM e ORDER BY doc_id, chunk_id""",
+
+    // mirrors TextStats.nfcNormalize/stripAccents: the ̈/́
+    // combining marks resolve at the Scala level, so both engines receive
+    // byte-identical decomposed input and must agree on UAX #15 composition
+    // and Mn-stripping to hash-match.
+    "q124_unicode_norm" ->
+      s"""SELECT doc_id,
+           strip_accents(nfc_normalize('Ünïcödé ' || substr(text, 1, 40) || ' café')) AS norm_text,
+           CAST(length(strip_accents(nfc_normalize('Ünïcödé ' || substr(text, 1, 40) || ' café'))) AS INT) AS n_chars_norm
+         FROM documents ORDER BY doc_id""",
 
     // mirrors TextStats.gopherQualityFlags: same normalized tokens, each
     // ratio one int/int double division, flags as ints.

@@ -55,8 +55,73 @@ object TextKernels {
     override def prettyName: String = "graft_token_count"
   }
 
-  /** Register `graft_token_count(s)` on the session. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  /** Unicode NFC normalization (UAX #15 canonical composition) — composes
+    * combining sequences ("e" + U+0301 → "é") so visually-identical strings
+    * hash/dedup/join identically, the first step of any real text pipeline.
+    * Engine-portable: Java's Normalizer and DuckDB's utf8proc-backed
+    * `nfc_normalize` implement the same UAX #15 tables (q124 oracle). */
+  def nfcNormalize(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
+
+  /** Accent stripping = NFD → drop non-spacing marks (category Mn, by code
+    * point so astral-plane marks are handled) → NFC recompose. Matches
+    * DuckDB `strip_accents` on the canonical-composition range (é→e, ñ→n,
+    * Å→A; standalone letters like ø/ß and non-Latin scripts pass through —
+    * cross-checked value-by-value before the oracle was registered). */
+  def stripAccents(s: UTF8String): UTF8String = {
+    val nfd = java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val cp = nfd.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      sb.toString, java.text.Normalizer.Form.NFC))
+  }
+
+  abstract class StringKernel extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a string argument, got ${child.dataType}")
+  }
+
+  case class NfcNormalize(child: Expression) extends StringKernel {
+    override protected def nullSafeEval(input: Any): Any =
+      nfcNormalize(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfcNormalize($c)")
+    override protected def withNewChildInternal(c: Expression): NfcNormalize =
+      copy(child = c)
+    override def prettyName: String = "graft_nfc"
+  }
+
+  case class StripAccents(child: Expression) extends StringKernel {
+    override protected def nullSafeEval(input: Any): Any =
+      stripAccents(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.stripAccents($c)")
+    override protected def withNewChildInternal(c: Expression): StripAccents =
+      copy(child = c)
+    override def prettyName: String = "graft_strip_accents"
+  }
+
+  /** Register `graft_token_count(s)`, `graft_nfc(s)`,
+    * `graft_strip_accents(s)` on the session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_token_count", es => TokenCount(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_nfc", es => NfcNormalize(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_strip_accents", es => StripAccents(es.head), "scala_udf")
+  }
 }

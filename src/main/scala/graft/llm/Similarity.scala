@@ -476,15 +476,18 @@ object Similarity {
     val dsub = dim / numSub
     var books: Seq[Seq[Array[Double]]] = (0 until numSub).map(m =>
       initRows.toSeq.map(r => r.slice(m * dsub, (m + 1) * dsub)))
-    val sub = fit.select(col("id"), explode(transform(
-        sequence(lit(0), lit(numSub - 1)),
-        mm => struct(mm.as("m"),
-          slice(col("emb"), mm * dsub + 1, lit(dsub)).as("sv")))).as("e"))
-      .select(col("e.m").as("m"), col("e.sv").as("sv"))
+    val spark = corpus.sparkSession
+    // assignment via the codegen encode kernel (bit-identical to the
+    // pqArgmin HOF fold — DedupKernelsSpec-style pin in LlmOpsSpec);
+    // re-registered each iteration to capture the updated codebooks
     for (_ <- 1 to iters) {
-      val sums = sub
-        .withColumn("ci", pqArgmin(col("sv"), col("m"), books))
-        .select(col("m"), col("ci"), posexplode(col("sv")).as(Seq("pos", "x")))
+      graft.functions.PqKernels.register(spark, books)
+      val sums = fit
+        .select(col("emb"),
+          posexplode(expr("graft_pq_encode(emb)")).as(Seq("m", "ci")))
+        .select(col("m"), col("ci"),
+          posexplode(slice(col("emb"), col("m") * dsub + 1, lit(dsub)))
+            .as(Seq("pos", "x")))
         .groupBy(col("m"), col("ci"), col("pos"))
         .agg(graft.ops.Reductions.isum(col("x"), 6).as("s"),
           count(lit(1)).as("n"))
@@ -509,10 +512,12 @@ object Similarity {
     books
   }
 
-  /** Nearest-codeword index for one subspace's subvector: the full codebook
-    * set rides as ONE nested-array `typedLit` (constant expression size),
-    * distances are the ascending-dim [[sqDist]] fold, ties to the lower
-    * code — the per-subspace twin of [[argminCentroid]]. */
+  /** Nearest-codeword index for one subspace's subvector — the EXECUTABLE
+    * SPEC of [[graft.functions.PqKernels.encode]] (the HOF fold is
+    * CodegenFallback, so production paths use the kernel; LlmOpsSpec pins
+    * kernel == HOF bit-exactly). Codebooks ride as ONE nested-array
+    * `typedLit`, distances are the ascending-dim [[sqDist]] fold, ties to
+    * the lower code. */
   private[graft] def pqArgmin(sv: Column, m: Column,
                               books: Seq[Seq[Array[Double]]]): Column = {
     val mat = typedLit(books.map(_.map(_.toSeq)))
@@ -546,34 +551,18 @@ object Similarity {
              fitFraction: Double = 1.0): DataFrame = {
     val books = pqTrainPortable(corpus, numSub, k, iters, idCol, embCol,
       fitFraction)
-    val dsub = books.head.head.length
-    val mat = typedLit(books.map(_.map(_.toSeq)))
-    // norm² per codeword, computed once driver-side in ascending-dim order
-    val norm2 = typedLit(books.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x))))
-    val codesExpr = transform(sequence(lit(0), lit(numSub - 1)), mm =>
-      pqArgmin(slice(col("c_emb"), mm * dsub + 1, lit(dsub)), mm, books))
+    graft.functions.PqKernels.register(corpus.sparkSession, books)
     val enc = corpus.select(col(idCol).cast(LongType).as("corpus_id"),
         col(embCol).cast("array<double>").as("c_emb"))
-      .withColumn("codes", codesExpr)
+      .withColumn("codes", expr("graft_pq_encode(c_emb)"))
       .select(col("corpus_id"), col("codes"))
     val q = queries.select(col(idCol).cast(LongType).as("query_id"),
         col(embCol).cast("array<double>").as("q_emb"))
       .withColumn("q_norm", sqrt(aggregate(
         transform(col("q_emb"), x => x * x), lit(0.0), (a, v) => a + v)))
-    val dot = aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0),
-      (acc, mm) => acc + aggregate(
-        zip_with(slice(col("q_emb"), mm * dsub + 1, lit(dsub)),
-          element_at(element_at(mat, mm + 1),
-            element_at(col("codes"), mm + 1) + 1),
-          (x, y) => x * y), lit(0.0), (a, v) => a + v))
-    val rnorm2 = aggregate(sequence(lit(0), lit(numSub - 1)), lit(0.0),
-      (acc, mm) => acc + element_at(element_at(norm2, mm + 1),
-        element_at(col("codes"), mm + 1) + 1))
     val scored = enc.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("adc_cosine",
-        when(col("q_norm") * sqrt(rnorm2) > 0, dot / (col("q_norm") * sqrt(rnorm2)))
-          .otherwise(lit(-1e308)))
+      .withColumn("adc_cosine", expr("graft_pq_adc(q_emb, codes, q_norm)"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))

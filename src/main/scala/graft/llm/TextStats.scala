@@ -37,6 +37,13 @@ object TextStats {
   def upperRatio(text: Column): Column =
     classCount(text, "A-Z").cast(DoubleType) / greatest(length(text), lit(1))
 
+  /** Unicode NFC normalization / accent stripping (codegen kernels —
+    * [[graft.functions.TextKernels.NfcNormalize]] / `StripAccents`; requires
+    * `TextKernels.register`). NFC first so visually-identical combining
+    * sequences dedup/join identically; both replay in DuckDB (q124). */
+  def nfcNormalize(c: Column): Column = call_function("graft_nfc", c)
+  def stripAccents(c: Column): Column = call_function("graft_strip_accents", c)
+
   /** Mean token length (exact integer arithmetic, then one division). */
   def avgTokenLen(text: Column): Column =
     aggregate(transform(tokens(text), t => length(t).cast(LongType)),

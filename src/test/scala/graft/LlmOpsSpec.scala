@@ -168,6 +168,27 @@ class LlmOpsSpec extends SparkSuite {
     assert(out.map(_.getDouble(2)).toSeq == rep.map(_.getDouble(2)).toSeq)
   }
 
+  test("unicode kernels: NFC composes, strip removes marks, others pass through") {
+    graft.functions.TextKernels.register(spark)
+    val cases = Seq(
+      (1L, "e\u0301cole"),   // decomposed e+U+0301 -> NFC composes
+      (2L, "\u00e9cole"),    // precomposed U+00E9 - canonically equivalent
+      (3L, "nai\u0308ve son\u0303ar"),
+      (4L, "\u00f8 \u00df fin"), // o-slash/eszett are letters, not marks
+      (5L, "\u4e2d\u6587 ok")    // non-Latin passes through
+    ).toDF("doc_id", "text")
+    val out = cases.select(col("doc_id"),
+        TextStats.nfcNormalize(col("text")).as("nfc"),
+        TextStats.stripAccents(TextStats.nfcNormalize(col("text"))).as("st"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L)._1 == "\u00e9cole" && out(1L)._1.length == 5)
+    assert(out(1L) == out(2L))              // canonical equivalence
+    assert(out(1L)._2 == "ecole")
+    assert(out(3L)._2 == "naive sonar")
+    assert(out(4L)._2 == "\u00f8 \u00df fin")
+    assert(out(5L)._2 == "\u4e2d\u6587 ok")
+  }
+
   test("quality score bounded and sensitive to noise") {
     val out = Seq(
       (1L, "the cat sat on the mat and it was a fine day for everyone involved"),
@@ -479,6 +500,19 @@ class LlmOpsSpec extends SparkSuite {
     val books = Similarity.pqTrainPortable(emb, 8, 64, 2)
     assert(books.size == 8 && books.forall(_.size == 64) &&
       books.forall(_.forall(_.length == 8)))
+  }
+
+  test("pq kernels == HOF executable spec bit-exactly") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val books = Similarity.pqTrainPortable(emb, 8, 16, 1)
+    graft.functions.PqKernels.register(spark, books)
+    val dsub = books.head.head.length
+    val v = emb.select(col("embedding").cast("array<double>").as("emb"))
+    val hofCodes = transform(sequence(lit(0), lit(7)), mm =>
+      Similarity.pqArgmin(slice(col("emb"), mm * dsub + 1, lit(dsub)), mm, books))
+    val diff = v.select(expr("graft_pq_encode(emb)").as("a"), hofCodes.as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(diff == 0)
   }
 
   test("repetition metrics: duplicate and top n-gram fractions") {
