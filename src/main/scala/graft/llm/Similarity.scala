@@ -279,6 +279,23 @@ object Similarity {
       }).getField("c")
   }
 
+  /** Kernel-backed nearest-centroid assignment — [[argminCentroid]] is the
+    * executable spec (its `aggregate` fold is CodegenFallback and runs
+    * interpreted per row; LlmOpsSpec pins kernel == HOF incl. the NaN→0
+    * seed). A centroid set IS a single-subspace PQ codebook, so this
+    * reuses [[graft.functions.PqKernels.encode]] and takes element 1 of the
+    * one-element code array. Registration captures the centroid values, so
+    * call sites re-register per fit iteration. */
+  private def argminCentroidKernel(spark: org.apache.spark.sql.SparkSession,
+                                   emb: Column,
+                                   cents: Seq[(Int, Array[Double])]): Column = {
+    val ordered = cents.sortBy(_._1)
+    require(ordered.map(_._1) == ordered.indices,
+      s"centroid ids must be 0..${ordered.size - 1}")
+    graft.functions.PqKernels.register(spark, Seq(ordered.map(_._2).toSeq))
+    element_at(call_function("graft_pq_encode", emb), 1)
+  }
+
   /** Deterministic, engine-portable k-means coarse quantizer — the fit step
     * of [[ivfTopKPortable]]. Every step is a pure function of the data, so
     * the fit reproduces bit-for-bit on any partitioning, cluster size, or
@@ -322,8 +339,10 @@ object Similarity {
         .select(col("emb")).collect().toSeq
         .map(_.getSeq[Double](0).toArray).zipWithIndex.map(_.swap)
     require(cents.nonEmpty, "fit sample is empty — raise fitFraction")
+    val spark = corpus.sparkSession
     for (_ <- 1 to iters) {
-      val sums = v.withColumn("centroid", argminCentroid(col("emb"), cents))
+      val sums = v.withColumn("centroid",
+          argminCentroidKernel(spark, col("emb"), cents))
         .select(col("centroid"), posexplode(col("emb")).as(Seq("pos", "x")))
         .groupBy(col("centroid"), col("pos"))
         .agg(graft.ops.Reductions.isum(col("x"), 6).as("s"),
@@ -365,7 +384,8 @@ object Similarity {
     val c = corpus.select(col(idCol).cast(LongType).as("corpus_id"),
         col(embCol).as("c_emb"))
       .withColumn("centroid",
-        argminCentroid(col("c_emb").cast("array<double>"), cents))
+        argminCentroidKernel(corpus.sparkSession,
+          col("c_emb").cast("array<double>"), cents))
       .withColumn("c_norm", normExact(col("c_emb")))
     // probe lists: nProbe nearest centroids per query (ties → lower index)
     val qv = queries.select(col(idCol).cast(LongType).as("id"),

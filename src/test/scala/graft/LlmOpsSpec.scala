@@ -502,6 +502,22 @@ class LlmOpsSpec extends SparkSuite {
       books.forall(_.forall(_.length == 8)))
   }
 
+  test("centroid-assignment kernel == argminCentroid HOF, incl. NaN seed") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val nanRow = emb.limit(1).select(col("vec_id") + 100000,
+      transform(col("emb"), _ => lit(Double.NaN)).as("emb"))
+    val v = emb.union(nanRow)
+    val cents = Similarity.kmeansPortable(emb, 8, 1, idCol = "vec_id",
+      embCol = "emb")
+    graft.functions.PqKernels.register(spark, Seq(cents.sortBy(_._1).map(_._2).toSeq))
+    val diff = v.select(
+        element_at(call_function("graft_pq_encode", col("emb")), 1).as("a"),
+        Similarity.argminCentroid(col("emb"), cents).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(diff == 0)
+  }
+
   test("pq kernels == HOF executable spec bit-exactly") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val books = Similarity.pqTrainPortable(emb, 8, 16, 1)
