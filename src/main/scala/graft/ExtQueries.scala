@@ -871,6 +871,26 @@ object ExtQueries {
     // scalars to the driver), prediction as pure column arithmetic with the
     // coefficients as plan literals. The oracle replays the identical op
     // sequence (floor-scaled Int128 sums → slope/intercept → b0 + x·b1).
+    // metamorph pipeline END-TO-END through the oracle: stage 2 (simple
+    // linreg) fits on stage 1's OUTPUT (the z-scaled column), and the
+    // fitted pipeline replays as a pure transform on a DIFFERENT slice —
+    // the reference's fit-on-train / replay-on-anything contract. The
+    // oracle rebuilds both fitted stages from exact sums and chains them.
+    "q125_pipeline" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val pipe = Ml.Pipeline.fit(li, Seq(
+        (d: org.apache.spark.sql.DataFrame) =>
+          Ml.fitStandardScaler(d, Seq("l_quantity"),
+            squareScale = Map("l_quantity" -> 2)),
+        (d: org.apache.spark.sql.DataFrame) =>
+          Ml.fitSimpleLinearRegression(d, "l_quantity_z", "l_extendedprice")))
+      pipe.transform(li.filter(col("l_orderkey") % 50 === 0))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity_z"), col("prediction"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity_z"), col("prediction"))
+    },
+
     "q105_linreg" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
       val m = Ml.fitSimpleLinearRegression(li, "l_quantity", "l_extendedprice")
@@ -1776,6 +1796,38 @@ object ExtQueries {
     // Linear-regression mirror: replays fitSimpleLinearRegression's pinned
     // op sequence — floor-scaled Int128 sums (x/x² at 1e4, y/x·y at 1e2),
     // denom = n·sxx − sx·sx, slope, intercept, then b0 + x·b1 per row.
+    // pipeline mirror: q47's scaler fragment feeds q105's regression
+    // fragment on the DERIVED z column — same floor-scaled sums over the
+    // same derived doubles, same pinned slope/intercept order.
+    "q125_pipeline" ->
+      """WITH st AS (
+           SELECT
+             CAST(SUM(CAST(FLOOR(l_quantity * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 / COUNT(l_quantity) AS mu,
+             sqrt((CAST(SUM(CAST(FLOOR(l_quantity * l_quantity * 100.0) AS DECIMAL(30,0))) AS DOUBLE) / 100.0
+               - (CAST(SUM(CAST(FLOOR(l_quantity * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0)
+                 * (CAST(SUM(CAST(FLOOR(l_quantity * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0)
+                 / CAST(COUNT(l_quantity) AS DOUBLE)) / CAST(COUNT(l_quantity) AS DOUBLE)) AS sd
+           FROM lineitem),
+         z AS (SELECT l_orderkey, l_linenumber, l_extendedprice,
+             (l_quantity - mu) / (CASE WHEN sd = 0 THEN 1.0 ELSE sd END) AS zq
+           FROM lineitem CROSS JOIN st),
+         reg AS (
+           SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(FLOOR((zq) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS sx,
+             CAST(SUM(CAST(FLOOR((l_extendedprice) * 100.0) AS DECIMAL(30,0))) AS DOUBLE) / 100.0 AS sy,
+             CAST(SUM(CAST(FLOOR((zq * zq) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS sxx,
+             CAST(SUM(CAST(FLOOR((zq * l_extendedprice) * 100.0) AS DECIMAL(30,0))) AS DOUBLE) / 100.0 AS sxy
+           FROM z WHERE zq IS NOT NULL AND l_extendedprice IS NOT NULL),
+         m AS (SELECT n, sx, sy,
+                 CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                      ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope
+               FROM reg),
+         m2 AS (SELECT slope, (sy - slope * sx) / n AS intercept FROM m)
+         SELECT l_orderkey, l_linenumber, zq AS l_quantity_z,
+           m2.intercept + zq * m2.slope AS prediction
+         FROM z CROSS JOIN m2 WHERE l_orderkey % 50 = 0
+         ORDER BY l_orderkey, l_linenumber, l_quantity_z, prediction""",
+
     "q105_linreg" ->
       """WITH st AS (
            SELECT CAST(COUNT(*) AS DOUBLE) AS n,

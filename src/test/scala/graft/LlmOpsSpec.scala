@@ -465,6 +465,21 @@ class LlmOpsSpec extends SparkSuite {
     assert(hits >= top1.length / 2, s"sampled-fit recall too low: $hits/${top1.length}")
   }
 
+  test("chunkDocuments: stride == chunk reconstructs every document exactly") {
+    // non-overlapping windows partition the token stream: re-joining the
+    // chunks in order must reproduce the whitespace-normalized document
+    val d = Tables.t(spark, sfDir, "documents").limit(100)
+    val rebuilt = SeqPack.chunkDocuments(d, "doc_id", "text", 7, 7)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("chunk_id"), col("chunk_text"))))
+        .getField("chunk_text")).as("rebuilt"))
+    val orig = d.select(col("doc_id"),
+      concat_ws(" ", split(trim(col("text")), "\\s+")).as("norm"))
+    val bad = rebuilt.join(orig, "doc_id")
+      .filter(col("rebuilt") =!= col("norm")).count()
+    assert(bad == 0)
+  }
+
   test("chunkDocuments: overlapping windows, short tail, small-doc passthrough") {
     val d = Seq(
       (1L, (1 to 11).map(i => s"t$i").mkString(" ")), // 11 tokens
