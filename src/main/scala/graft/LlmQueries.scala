@@ -310,6 +310,63 @@ object LlmQueries {
       Multimodal.writeMediaFixtures(tmp, ids)
       Multimodal.mediaFileFeatures(s, tmp.toString)
         .orderBy(col("kind"), col("doc_id"))
+    },
+
+    // Okapi BM25 retrieval: top-20 documents for a fixed query-term bag
+    // (rational-idf form — every step IEEE-exact, see TextStats.bm25).
+    "q126_bm25" -> { (s, dir) =>
+      TextStats.bm25(t(s, dir, "documents"), "doc_id", "text",
+          Seq("join", "hash", "vector"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // CCNet-style per-language perplexity thirds under the corpus bigram LM
+    // (head/middle/tail, ntile(3) semantics without its single-task window).
+    "q127_perplexity_buckets" -> { (s, dir) =>
+      TextStats.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text",
+          "lang")
+        .select(col("doc_id"), col("lang"), col("n_bigrams"), col("mean_p"),
+          col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
+    // cross-document repeated 4-gram inventory (the fixed-n shuffle-native
+    // form of exact-substring duplicate mining).
+    "q128_crossdoc_ngrams" -> { (s, dir) =>
+      TextDedup.crossDocNgrams(t(s, dir, "documents"), "doc_id", "text",
+          n = 4, minDocs = 2)
+        .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("ngram"))
+        .limit(200)
+    },
+
+    // exact per-language stratified 80/20 split (md5-rank deterministic).
+    "q129_stratified_split" -> { (s, dir) =>
+      graft.ops.Ml.stratifiedSplit(t(s, dir, "documents")
+          .select(col("doc_id"), col("lang")), "doc_id", "lang", 0.8)
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
+    // sentence segmentation stats. The synthetic corpus carries no sentence
+    // punctuation, so the text is DECORATED first (deterministic word→punct
+    // rewrites, same in both engines) — the q124 policy: an input that
+    // cannot exercise the operator would make the oracle vacuous.
+    "q130_sentence_stats" -> { (s, dir) =>
+      val decorated = t(s, dir, "documents").withColumn("text",
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          " slow ", ". "), " fast ", "! "), " window ", "? "))
+      TextStats.sentenceStats(decorated, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // embedding outliers vs label centroid (mean + 2σ distance gate).
+    "q131_embedding_outliers" -> { (s, dir) =>
+      Similarity.centroidOutliers(t(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", z = 2.0)
+        .select(col("vec_id"), col("label"), col("sq_dist"),
+          col("is_outlier"))
+        .orderBy(col("vec_id"))
     }
   )
 
@@ -957,6 +1014,132 @@ object LlmQueries {
            WHERE x < d.w AND y < d.h AND f < d.n
            GROUP BY d.doc_id, d.w, d.h, d.n)
          SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid
-         ORDER BY kind, doc_id"""
+         ORDER BY kind, doc_id""",
+
+    // BM25 mirror: same tokenization, same one-row corpus stats, and the
+    // SAME IEEE op sequence per term (rational idf, constants forced to
+    // DOUBLE so DuckDB's decimal literals don't change the arithmetic).
+    "q126_bm25" -> {
+      def term(t: String, dfc: String) =
+        s"""((CAST(n - $dfc AS DOUBLE) + 0.5) / (CAST($dfc AS DOUBLE) + 0.5))
+            * (CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE)
+               * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+            / (CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE)
+               + CAST(1.2 AS DOUBLE)
+                 * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                    + (CAST(0.75 AS DOUBLE) * CAST(len(w) AS DOUBLE))
+                      / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))"""
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         st AS (SELECT COUNT(*) AS n, CAST(SUM(len(w)) AS BIGINT) AS sumdl,
+           CAST(SUM(CASE WHEN list_contains(w, 'join') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+           CAST(SUM(CASE WHEN list_contains(w, 'hash') THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+           CAST(SUM(CASE WHEN list_contains(w, 'vector') THEN 1 ELSE 0 END) AS BIGINT) AS df3
+           FROM d),
+         sc AS (SELECT doc_id,
+           ${term("join", "df1")} + ${term("hash", "df2")} + ${term("vector", "df3")} AS bm25
+           FROM d CROSS JOIN st)
+         SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20"""
+    },
+
+    // q113's LM CTEs + the lang join, with the per-language third-cut as a
+    // plain ntile(3) window — the engine replays ntile semantics in exact
+    // integer arithmetic without the single-task window.
+    "q127_perplexity_buckets" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         p AS (SELECT doc_id,
+             unnest(list_transform(range(len(w) - 1),
+               i -> concat(w[i+1], ' ', w[i+2]))) AS bg
+           FROM d WHERE len(w) >= 2),
+         q AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM p),
+         cb AS (SELECT bg, COUNT(*) AS cb FROM q GROUP BY 1),
+         cu AS (SELECT w1, COUNT(*) AS cu FROM q GROUP BY 1),
+         s AS (SELECT q.doc_id,
+             CAST(cb.cb AS DOUBLE) / CAST(cu.cu AS DOUBLE) AS pr
+           FROM q JOIN cb USING (bg) JOIN cu USING (w1)),
+         sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(FLOOR((pr) * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0
+             / COUNT(*) AS mean_p
+           FROM s GROUP BY 1),
+         j AS (SELECT sc.doc_id, dd.lang, sc.n_bigrams, sc.mean_p,
+             ntile(3) OVER (PARTITION BY dd.lang
+               ORDER BY sc.mean_p DESC, sc.doc_id) AS nt
+           FROM sc JOIN documents dd USING (doc_id))
+         SELECT doc_id, lang, n_bigrams, mean_p,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         FROM j ORDER BY doc_id""",
+
+    // same shingle construction as q28/q84 (whole-doc fallback under 4
+    // tokens), two-level aggregation, identical tiebreak under the LIMIT.
+    "q128_crossdoc_ngrams" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         g AS (SELECT doc_id, CASE WHEN len(w) >= 4
+             THEN list_transform(range(len(w) - 3),
+               i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3], ' ', w[i+4]))
+             ELSE [array_to_string(w, ' ')] END AS s FROM d),
+         e AS (SELECT doc_id, unnest(s) AS ngram FROM g),
+         pd AS (SELECT ngram, doc_id, COUNT(*) AS k FROM e GROUP BY 1, 2),
+         x AS (SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(k) AS BIGINT) AS n_occurrences
+           FROM pd GROUP BY 1)
+         SELECT ngram, n_docs, n_occurrences FROM x WHERE n_docs >= 2
+         ORDER BY n_docs DESC, n_occurrences DESC, ngram LIMIT 200""",
+
+    // mirrors Ml.stratifiedSplit: md5-rank within language vs ⌊n·0.8⌋.
+    "q129_stratified_split" ->
+      """WITH r AS (SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+         FROM documents)
+         SELECT doc_id, lang,
+           CASE WHEN rk <= CAST(FLOOR(CAST(n AS DOUBLE) * 0.8) AS BIGINT)
+             THEN 'train' ELSE 'test' END AS split
+         FROM r ORDER BY doc_id""",
+
+    // same punctuation decoration, same lookaround-free sentence split.
+    "q130_sentence_stats" ->
+      """WITH dec AS (SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             ' slow ', '. ', 'g'), ' fast ', '! ', 'g'), ' window ', '? ', 'g') AS text
+         FROM documents),
+         s AS (SELECT doc_id,
+           list_filter(string_split_regex(text, '[.!?]+\s+'),
+             x -> length(trim(x)) > 0) AS sents
+         FROM dec),
+         tc AS (SELECT doc_id,
+           list_transform(sents, x -> len(string_split_regex(trim(x), '\s+'))) AS tcs
+         FROM s)
+         SELECT doc_id,
+           CAST(len(tcs) AS INT) AS n_sentences,
+           CAST(list_sum(tcs) AS BIGINT) AS n_tokens,
+           CAST(list_sum(tcs) AS DOUBLE) / len(tcs) AS mean_sent_tokens,
+           CAST(list_max(tcs) AS INT) AS max_sent_tokens
+         FROM tc ORDER BY doc_id""",
+
+    // centroid means and distance sums replay the floor-scaled exact-sum
+    // forms; the mean+2σ gate repeats the identical IEEE op sequence.
+    "q131_embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         c AS (SELECT label, i,
+             CAST(SUM(CAST(FLOOR(CAST(embedding[i+1] AS DOUBLE) * 1000000.0)
+               AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 / COUNT(*) AS m
+           FROM e CROSS JOIN range(0, 64) t(i) GROUP BY 1, 2),
+         dist AS (SELECT e.vec_id, e.label,
+             CAST(SUM(CAST(FLOOR((CAST(e.embedding[t.i+1] AS DOUBLE) - c.m)
+               * (CAST(e.embedding[t.i+1] AS DOUBLE) - c.m) * 1000000.0)
+               AS BIGINT)) AS DOUBLE) / 1000000.0 AS sq_dist
+           FROM e CROSS JOIN range(0, 64) t(i)
+           JOIN c ON c.label = e.label AND c.i = t.i
+           GROUP BY 1, 2),
+         st AS (SELECT label,
+             CAST(SUM(CAST(FLOOR(sq_dist * 1000000.0) AS DECIMAL(30,0)))
+               AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_d,
+             CAST(SUM(CAST(FLOOR(sq_dist * sq_dist * 1000000.0) AS DECIMAL(30,0)))
+               AS DOUBLE) / 1000000.0 / COUNT(*) AS msq
+           FROM dist GROUP BY 1)
+         SELECT d.vec_id, d.label, d.sq_dist,
+           d.sq_dist > st.mean_d + CAST(2.0 AS DOUBLE)
+             * sqrt(greatest(st.msq - st.mean_d * st.mean_d, CAST(0.0 AS DOUBLE))) AS is_outlier
+         FROM dist d JOIN st USING (label) ORDER BY d.vec_id"""
   )
 }

@@ -364,6 +364,52 @@ object Similarity {
     cents
   }
 
+  /** Embedding outlier detection against per-label centroids: distance of
+    * every vector to its label's mean embedding, flagged when it exceeds
+    * mean + z·σ of the label's distance distribution — the standard
+    * embedding-space QA pass for labeled corpora (mislabeled / corrupted
+    * vectors sit in the tail). Everything is aggregation + broadcast join:
+    * centroids are a groupBy over (label, dim) — O(labels·dim) rows, never
+    * collected — and the mean/σ gate is a second tiny aggregate, so no
+    * window, no sort, no driver readout anywhere; the corpus is scanned
+    * twice and shuffled zero times (both joins broadcast).
+    *
+    * Determinism: per-dim centroid means and the distance sums use
+    * floor-scaled exact integer sums (order-independent on any partition
+    * layout), and every remaining step is an IEEE-exact op, so the flags
+    * replay bit-identically in SQL. */
+  def centroidOutliers(df: DataFrame, idCol: String = "vec_id",
+                       embCol: String = "embedding",
+                       labelCol: String = "label",
+                       z: Double = 2.0): DataFrame = {
+    val e = df.select(col(idCol), col(labelCol),
+      col(embCol).cast("array<double>").as("__e"))
+    val cent = e
+      .select(col(labelCol), posexplode(col("__e")).as(Seq("__i", "__x")))
+      .groupBy(col(labelCol), col("__i"))
+      .agg((sum(floor(col("__x") * lit(1e6)).cast(DecimalType(30, 0)))
+        .cast(DoubleType) / lit(1e6) / count(lit(1))).as("__m"))
+      .groupBy(col(labelCol))
+      .agg(transform(array_sort(collect_list(struct(col("__i"), col("__m")))),
+        s => s.getField("__m")).as("__cent"))
+    val dist = e.join(broadcast(cent), labelCol)
+      .withColumn("sq_dist",
+        aggregate(zip_with(col("__e"), col("__cent"),
+          (x, c) => floor((x - c) * (x - c) * lit(1e6)).cast(LongType)),
+          lit(0L), (a, v) => a + v).cast(DoubleType) / lit(1e6))
+    val stats = dist.groupBy(col(labelCol).as("__lbl"))
+      .agg(graft.ops.Reductions.isum(col("sq_dist"), 6).as("__s"),
+        graft.ops.Reductions.isum(col("sq_dist") * col("sq_dist"), 6).as("__s2"),
+        count(lit(1)).cast(DoubleType).as("__n"))
+      .select(col("__lbl"), (col("__s") / col("__n")).as("__mean"),
+        (col("__s2") / col("__n")).as("__msq"))
+      .withColumn("__thresh", col("__mean") + lit(z) *
+        sqrt(greatest(col("__msq") - col("__mean") * col("__mean"), lit(0.0))))
+    dist.join(broadcast(stats), col(labelCol) === col("__lbl"))
+      .select(col(idCol), col(labelCol), col("sq_dist"),
+        (col("sq_dist") > col("__thresh")).as("is_outlier"))
+  }
+
   /** IVF ANN with the portable quantizer: queries probe their `nProbe`
     * nearest centroids (same fixed-order distance fold, ties to lower
     * index), candidates are the corpus vectors assigned to those lists,

@@ -537,4 +537,28 @@ object TextDedup {
     df.withColumn("fp", fingerprint(col(textCol)))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Cross-document repeated n-gram inventory — the aggregate view of exact
+    * substring duplication (Lee et al. 2022 find substrings repeated across
+    * training documents; the suffix-array they build is a single-machine
+    * structure, and the shuffle-native equivalent for FIXED n is this
+    * two-level n-gram aggregation). Returns every n-token shingle appearing
+    * in at least `minDocs` distinct documents, with its document count and
+    * total occurrence count. [[TextStats.dupNgramSpanStats]] is the per-doc
+    * attribution of the same signal; this is the per-ngram table (what to
+    * strip / blocklist).
+    *
+    * Scale shape: explode to (ngram, doc) → two map-side-combined
+    * aggregations hashed on the ngram — the shuffle carries per-doc n-gram
+    * counts, never raw text pairs, and no all-pairs comparison exists. */
+  def crossDocNgrams(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 4, minDocs: Int = 2): DataFrame = {
+    val perDoc = df
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("ngram"))
+      .groupBy(col("ngram"), col(idCol))
+      .agg(count(lit(1)).as("__k"))
+    perDoc.groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__k")).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+  }
 }

@@ -357,4 +357,97 @@ object TextStats {
       .agg(count(lit(1)).as("n_bigrams"),
         (graft.ops.Reductions.isum(col("pr"), 6) / count(lit(1))).as("mean_p"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score every
+    * document under the corpus bigram LM ([[bigramLmScore]] — the ratio form
+    * of the perplexity signal), then cut each language's documents into
+    * head / middle / tail thirds by score. CCNet sorts by LM perplexity and
+    * keeps the head; the bucket label is the standard curation feature.
+    *
+    * Scale shape: the per-language third-cut needs a per-language rank. A
+    * `Window.partitionBy(lang)` would funnel each language through one task
+    * (5 languages = 5 tasks for a 100 TB corpus), so ranking routes through
+    * [[graft.ops.TableOps.DatasetExt.stratifiedRank]] — a distributed range
+    * sort + O(languages) offset frame. Bucket boundaries replay NTILE(3)
+    * semantics exactly (first n%3 buckets take the extra row), so the result
+    * is verbatim `ntile(3) OVER (PARTITION BY lang ORDER BY mean_p DESC)`
+    * without its single-task window. Docs with <2 tokens have no bigrams
+    * and are absent (as in bigramLmScore). */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        strataCol: String): DataFrame = {
+    import graft.ops.TableOps.DatasetExt
+    val scored = bigramLmScore(df, idCol, textCol)
+      .join(df.select(col(idCol), col(strataCol)), idCol)
+    val ranked = scored.stratifiedRank(strataCol,
+      Seq(col("mean_p").desc, col(idCol)), "__rk", "__ns")
+    // ntile(3) replay in exact integer arithmetic: q = n div 3 via an
+    // exactly-divisible double division, first (n mod 3) buckets hold q+1
+    val rem = col("__ns") % 3
+    val q = ((col("__ns") - rem) / 3).cast(LongType)
+    val s1 = q + when(rem >= 1, 1L).otherwise(0L)
+    val s2 = q + when(rem >= 2, 1L).otherwise(0L)
+    ranked.withColumn("bucket",
+        when(col("__rk") <= s1, lit("head"))
+          .when(col("__rk") <= s1 + s2, lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__rk", "__ns")
+  }
+
+  /** Okapi BM25 relevance of every document to a fixed bag of query terms
+    * (k1/b in the standard parameterization). The corpus statistics (N,
+    * avgdl, per-term document frequency) are ONE aggregate whose O(terms)
+    * result rides back as literals — a fit-side readout like the model fits,
+    * never a data-sized collect — and the score itself is a pure codegen
+    * column expression (tf via an array filter on the token array).
+    *
+    * The term weight uses the RATIONAL idf (N − df + ½)/(df + ½) rather
+    * than its logarithm: same per-term ordering, and — like
+    * [[bigramLmScore]] dropping log-perplexity for the ratio form — it
+    * keeps every arithmetic step an IEEE-exact op (+,×,/) that any engine
+    * replays bit-identically, where ln differs in the last ulp across math
+    * libraries. For the standard log weighting over a handful of terms,
+    * wrap the returned contributions in `log`; ordering is unchanged
+    * per term. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = df.select(col(idCol), TextDedup.tokens(col(textCol)).as("__w"))
+      .withColumn("__dl", size(col("__w")))
+    val aggs = count(lit(1)).as("__n") +:
+      sum(col("__dl").cast(LongType)).as("__sumdl") +:
+      terms.map(t =>
+        sum(when(array_contains(col("__w"), t), 1L).otherwise(0L)).as(s"__df_$t"))
+    val r = toks.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getLong(0)
+    require(n > 0, "bm25 needs a non-empty corpus")
+    val avgdl = r.getLong(1).toDouble / n
+    val dfs = terms.indices.map(i => r.getLong(2 + i))
+    val dlD = col("__dl").cast(DoubleType)
+    val score = terms.zip(dfs).map { case (t, dft) =>
+      val tf = size(filter(col("__w"), x => x === lit(t))).cast(DoubleType)
+      val idf = lit((n - dft + 0.5) / (dft + 0.5))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dlD / lit(avgdl)))
+    }.reduce(_ + _)
+    toks.select(col(idCol), score.as("bm25"))
+  }
+
+  /** Per-document sentence segmentation statistics: sentences split on
+    * `[.!?]+\s+` runs (deliberately lookaround-free so RE2-dialect engines
+    * segment identically — same policy as the PII patterns above),
+    * whitespace-empty segments dropped, token counts per sentence. One map
+    * pass, all integer arithmetic until the final mean division. */
+  def sentenceStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sents = filter(split(col(textCol), "[.!?]+\\s+"),
+      s => length(trim(s)) > 0)
+    val tokCounts = col("__tc")
+    df.select(col(idCol),
+        transform(sents, s => size(split(trim(s), "\\s+"))).as("__tc"))
+      .select(col(idCol),
+        size(tokCounts).as("n_sentences"),
+        aggregate(tokCounts, lit(0L), (a, v) => a + v).as("n_tokens"),
+        (aggregate(tokCounts, lit(0L), (a, v) => a + v).cast(DoubleType) /
+          size(tokCounts)).as("mean_sent_tokens"),
+        array_max(tokCounts).as("max_sent_tokens"))
+  }
 }

@@ -269,6 +269,34 @@ object Ml {
       pmod(conv(substring(md5(col(keyCol).cast(StringType)), 1, 15), 16, 10)
         .cast(LongType), lit(k)).cast(IntegerType))
 
+  /** EXACT stratified train/test split: within every stratum (language,
+    * domain, label…), rows rank by md5(key) — a deterministic pseudo-random
+    * shuffle, same device as [[trainTestSplit]]/[[withFold]] — and the first
+    * ⌊n_stratum · trainFrac⌋ go to train. Unlike the hash-threshold split
+    * (stratified only in expectation), the per-stratum proportions are exact
+    * to the row, which is what curation recipes fixing a domain mixture
+    * need.
+    *
+    * The per-stratum rank routes through
+    * [[graft.ops.TableOps.DatasetExt.stratifiedRank]] (distributed range
+    * sort + O(strata) broadcast offsets) — NOT `Window.partitionBy(stratum)`,
+    * which would funnel each stratum through one task. Replayable verbatim
+    * as `row_number() OVER (PARTITION BY stratum ORDER BY md5(key), key)`
+    * vs ⌊count·frac⌋ in any SQL engine. */
+  def stratifiedSplit(df: DataFrame, keyCol: String, strataCol: String,
+                      trainFrac: Double): DataFrame = {
+    require(trainFrac > 0 && trainFrac < 1,
+      s"trainFrac must be in (0,1), got $trainFrac")
+    import graft.ops.TableOps.DatasetExt
+    df.stratifiedRank(strataCol,
+        Seq(md5(col(keyCol).cast(StringType)), col(keyCol)), "__rk", "__ns")
+      .withColumn("split",
+        when(col("__rk") <=
+          floor(col("__ns").cast(DoubleType) * lit(trainFrac)).cast(LongType),
+          lit("train")).otherwise(lit("test")))
+      .drop("__rk", "__ns")
+  }
+
   /** set-inference-target (reference modelling.clj:26): records the target
     * in column metadata, like the reference stores it on the column. */
   def setInferenceTarget(df: DataFrame, target: String): DataFrame = {

@@ -92,6 +92,34 @@ object TableOps {
                                 name: String = "row_idx"): DataFrame =
       withRowIndex(order, name)
 
+    /** Per-stratum positional rank (1-based) over an explicit in-stratum
+      * order, DISTRIBUTED: one global range sort on (stratum, order…) +
+      * zipWithIndex (via [[withRowIndex]]), then per-stratum start offsets
+      * subtracted through a broadcast of the O(strata) count frame. The
+      * obvious `row_number().over(Window.partitionBy(stratum))` funnels each
+      * stratum through a SINGLE task — with a handful of languages over
+      * 100 TB that is a handful of tasks for the whole corpus — so this is
+      * the scale path for stratified splits and per-stratum quantile
+      * bucketing. Strata values must be non-null; `order` must be a total
+      * order within each stratum (callers append an id tiebreak). Adds
+      * `rankName` (1-based rank within stratum) and `nName` (stratum size). */
+    def stratifiedRank(strataCol: String, order: Seq[Column],
+                       rankName: String = "stratum_rank",
+                       nName: String = "stratum_n"): DataFrame = {
+      val idx = df.withRowIndex(col(strataCol) +: order, "__g_idx")
+      val counts = df.groupBy(col(strataCol))
+        .agg(count(lit(1)).as(nName))
+      // cumulative offsets over the tiny per-stratum frame: O(strata) rows,
+      // the unpartitioned window is bounded by construction
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(strataCol))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val offs = counts.withColumn("__off",
+        coalesce(sum(col(nName)).over(w), lit(0L)))
+      idx.join(broadcast(offs), strataCol)
+        .withColumn(rankName, col("__g_idx") - col("__off") + lit(1L))
+        .drop("__g_idx", "__off")
+    }
+
     /** take-nth (reference dataset_api.clj:99 re-export of base take-nth):
       * every n-th row of the named total order, distributed (see
       * withRowIndex). */

@@ -679,4 +679,127 @@ class LlmOpsSpec extends SparkSuite {
     assert(m2(1L).getAs[Double]("dup_frac") == 1.0)
     assert(m2(2L).getAs[Double]("dup_frac") == 0.0)
   }
+
+  test("crossDocNgrams: shared shingles counted across docs, singletons dropped") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "see the quick brown cat"),
+      (3L, "the quick brown fox runs and the quick brown fox sleeps")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.crossDocNgrams(d, "doc_id", "text", n = 3, minDocs = 2)
+      .collect().map(r => r.getAs[String]("ngram") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occurrences"))).toMap
+    // "the quick brown" is in all 3 docs, twice in doc 3 → (3, 4)
+    assert(out("the quick brown") == (3L, 4L))
+    // "quick brown fox" is in docs 1 and 3 (twice) → (2, 3)
+    assert(out("quick brown fox") == (2L, 3L))
+    // nothing that lives in a single doc survives
+    assert(!out.contains("brown fox jumps") && !out.contains("brown fox runs"))
+  }
+
+  test("bm25: term frequency and doc length drive the ranking") {
+    val d = Seq(
+      (1L, "spark spark spark engine"),        // tf=3, short
+      (2L, "spark engine cluster data query"), // tf=1
+      (3L, "totally unrelated words here now"),
+      (4L, "spark " * 30 + "pad")              // tf=30 but very long
+    ).toDF("doc_id", "text")
+    val out = TextStats.bm25(d, "doc_id", "text", Seq("spark"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    assert(out(3L) == 0.0)                     // no query term → zero
+    assert(out(1L) > out(2L))                  // higher tf wins
+    assert(out.values.forall(v => !v.isNaN && !v.isInfinite))
+    // saturation: tf=30 in a 31-token doc beats tf=1 but not by 30×
+    assert(out(4L) > out(2L) && out(4L) < 30 * out(2L))
+  }
+
+  test("sentenceStats: segmentation, empty segments dropped, token math") {
+    val d = Seq(
+      (1L, "one two three. four five! six?  seven"),
+      (2L, "no terminators at all"),
+      (3L, "ends with period. and more.")
+    ).toDF("doc_id", "text")
+    val m = TextStats.sentenceStats(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Int]("n_sentences") == 4)
+    assert(m(1L).getAs[Long]("n_tokens") == 7)
+    assert(m(1L).getAs[Int]("max_sent_tokens") == 3)
+    assert(m(1L).getAs[Double]("mean_sent_tokens") == 7.0 / 4)
+    assert(m(2L).getAs[Int]("n_sentences") == 1)
+    // trailing "and more." keeps its final dot (no trailing split) → 2 sents
+    assert(m(3L).getAs[Int]("n_sentences") == 2)
+  }
+
+  test("stratifiedRank == window row_number per stratum; stratifiedSplit exact") {
+    import graft.ops.TableOps.DatasetExt
+    import org.apache.spark.sql.expressions.Window
+    val d = (0 until 97).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "g")
+    val got = d.stratifiedRank("g", Seq(md5(col("id").cast("string")), col("id")))
+      .select(col("id"), col("stratum_rank"), col("stratum_n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = d.withColumn("rk", row_number().over(
+        Window.partitionBy(col("g"))
+          .orderBy(md5(col("id").cast("string")), col("id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("rk"), r.getAs[Long]("n"))).toMap
+    assert(got == want)
+    // split proportions exact per stratum: floor(n_g · 0.8)
+    val split = graft.ops.Ml.stratifiedSplit(d, "id", "g", 0.8)
+      .groupBy(col("g"), col("split")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sizes = Map("s0" -> 33L, "s1" -> 32L, "s2" -> 32L)
+    sizes.foreach { case (g, n) =>
+      val train = math.floor(n * 0.8).toLong
+      assert(split((g, "train")) == train && split((g, "test")) == n - train)
+    }
+  }
+
+  test("perplexityBuckets: ntile(3) replay, head scores >= tail scores") {
+    import org.apache.spark.sql.expressions.Window
+    val d = (0 until 40).map { i =>
+      val fluent = "the cat sat on the mat and the dog sat on the rug"
+      val weird = s"zx$i qq${i * 7} vv${i * 13} zx$i pp$i mm$i kk$i jj$i"
+      (i.toLong, if (i % 2 == 0) fluent else weird, s"l${i % 2}")
+    }.toDF("doc_id", "text", "lang")
+    val out = TextStats.perplexityBuckets(d, "doc_id", "text", "lang")
+    val got = out.select(col("doc_id"), col("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // reference replay via the plain (single-task) ntile window
+    val want = TextStats.bigramLmScore(d, "doc_id", "text")
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("nt", ntile(3).over(Window.partitionBy(col("lang"))
+        .orderBy(col("mean_p").desc, col("doc_id"))))
+      .withColumn("bucket", when(col("nt") === 1, "head")
+        .when(col("nt") === 2, "middle").otherwise("tail"))
+      .select(col("doc_id"), col("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want)
+    // within each lang, every head score >= every tail score
+    val scored = out.select(col("lang"), col("bucket"), col("mean_p")).collect()
+    for (l <- Seq("l0", "l1")) {
+      val h = scored.filter(r => r.getString(0) == l && r.getString(1) == "head")
+        .map(_.getDouble(2))
+      val t = scored.filter(r => r.getString(0) == l && r.getString(1) == "tail")
+        .map(_.getDouble(2))
+      assert(h.min >= t.max)
+    }
+  }
+
+  test("centroidOutliers: planted far vector flagged, inliers clean") {
+    val dim = 8
+    val base = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => ((i % 3) + d * 0.01).toFloat).toSeq, i % 3)
+    }
+    // vec 99: label 0 but sits far from label-0's centroid
+    val planted = (99L, Array.fill(dim)(50.0f).toSeq, 0)
+    val df = (base :+ planted).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidOutliers(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("sq_dist"), r.getAs[Boolean]("is_outlier"))).toMap
+    assert(out(99L)._2, "planted outlier must be flagged")
+    val inliers = base.map(_._1).filter(i => i % 3 != 0)
+    assert(inliers.forall(i => !out(i)._2), "other labels' members are clean")
+    assert(out.size == 31)
+  }
 }

@@ -95,6 +95,15 @@ class PlanGuardSpec extends SparkSuite {
   test("q57 deterministic reservoir: fully keyed windows")(
     guard("q57_reservoir", Bound))
 
+  test("q127 perplexity buckets: stratified rank, no per-language funnel")(
+    guard("q127_perplexity_buckets", Bound))
+
+  test("q129 stratified split: O(strata) offset frame only")(
+    guard("q129_stratified_split", Bound))
+
+  test("q131 embedding outliers: aggregation+broadcast only, no window")(
+    guard("q131_embedding_outliers", Bound))
+
   test("detector self-test: a global row-level window IS flagged") {
     // prove the guard can fire — a data-sized unpartitioned Window must
     // trip the same detection path the real guards rely on. The window's
