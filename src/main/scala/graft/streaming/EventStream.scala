@@ -17,21 +17,40 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** The events schema as Spark reads it (ts already converted from nanos). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** The events schema with `ts` as the given physical type — the file
+    * stream source needs an explicit schema, and the driver's generator has
+    * shipped `ts` as TIMESTAMP(NANOS) (→ long under the legacy conf),
+    * TIMESTAMP(MICROS), and NTZ across rounds, so the type is probed from
+    * the parquet footer rather than assumed (mirrors `Tables.tRaw`). */
+  private def eventsSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming read of the events table with `ts` normalized to a
+    * microsecond TimestampType column, whatever the file stores. One cheap
+    * driver-side footer read picks the schema; the stream itself is the
+    * normal distributed file source. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream.schema(eventsSchema(tsType))
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(dir)
+    tsType match {
+      // TIMESTAMP(NANOS) surfaced as long: integral `div` (not `/`, which
+      // rounds through double above 2^53) to lossless micros
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", to_timestamp(col("ts")))
+      case _ => raw
+    }
+  }
 
   /** Streaming hourly windowed aggregation with a watermark; reads the same
     * parquet directory as a file stream (one-file micro-batch in tests). */
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
     graft.Tables.ensureFunctions(spark) // isum → graft_sum128
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet") // file source needs a dir
-      .parquet(dir)
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -54,12 +73,9 @@ object EventStream {
                  gapMinutes: Long = 30): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    val events = raw.select(col("user_id"), expr("ts div 1000").as("ts_us"),
-      col("event_id")).as[Ev]
+    val events = eventsStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id")).as[Ev]
     val gapUs = gapMinutes * 60L * 1000000
 
     def update(user: Long, rows: Iterator[Ev],
@@ -95,11 +111,7 @@ object EventStream {
     * executors. */
   def dedupStream(spark: SparkSession, dir: String,
                   watermark: String = "2 hours"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    eventsStream(spark, dir)
       .withColumn("fp", md5(concat_ws("#", col("user_id"), col("event_type"),
         col("props"))))
       .withWatermark("ts", watermark)
@@ -116,11 +128,7 @@ object EventStream {
     * StreamingSpec pins the two equal. */
   def clickPurchaseJoin(spark: SparkSession, dir: String,
                         horizonMinutes: Long = 60): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventsStream(spark, dir)
     // the watermark must cover the attribution horizon: a click has to stay
     // buffered for the FULL horizon of late purchases, or pairs silently
     // vanish once horizonMinutes > the lateness bound
