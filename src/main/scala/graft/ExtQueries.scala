@@ -362,6 +362,16 @@ object ExtQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup —
+    // portable k-means cells, within-cell keep-first cosine pruning at
+    // tau = 0.85. Pair work stays O(Σ n_c²); nothing corpus-sized is
+    // collected or windowed.
+    "q132_semdedup" -> { (s, dir) =>
+      graft.llm.Similarity.semDedup(t(s, dir, "embeddings"),
+          nClusters = 16, tau = 0.85, iters = 2)
+        .orderBy(col("vec_id"))
+    },
+
     // Product Quantization ADC (Jégou et al.): per-subspace portable
     // k-means codebooks (8 × 64 codewords), corpus scanned as 8-int codes,
     // reconstructed-cosine ranking — the memory-compressed ANN scan path.
@@ -1155,11 +1165,18 @@ object ExtQueries {
       rows.mkString("SELECT * FROM (", " UNION ALL ", """) t ORDER BY "column"""")
   }
 
-  private def ivfOracle(nCent: Int, nProbe: Int, k: Int, iters: Int,
-                        dim: Int, queryPred: String,
-                        fitModThresh: Option[Long] = None): String = {
-    def dist(e: String, c: String) =
-      s"list_reduce(list_transform(list_zip($e, $c), s -> (s[1]-s[2])*(s[1]-s[2])), (a,b) -> a+b)"
+  private def sqDistSql(e: String, c: String) =
+    s"list_reduce(list_transform(list_zip($e, $c), s -> (s[1]-s[2])*(s[1]-s[2])), (a,b) -> a+b)"
+
+  /** DuckDB replay of Similarity.kmeansPortable, shared by the IVF and
+    * SemDeDup oracles: md5-ordered seeding, per-iteration argmin
+    * assignment (fixed-order distance fold, ties → lower centroid),
+    * floor-scaled exact means. Emits CTEs `v` (corpus as double lists),
+    * `c$iters` (final centroids) and `ca` (full-corpus assignment
+    * corpus_id → centroid); splice after WITH. */
+  private def kmeansCtes(nCent: Int, iters: Int, dim: Int,
+                         fitModThresh: Option[Long]): String = {
+    def dist(e: String, c: String) = sqDistSql(e, c)
     // vf = the fit sample (mirrors kmeansPortable's md5-Bernoulli keep);
     // init + every update iteration read vf, the final assignment reads v
     def iteration(i: Int): String = {
@@ -1179,7 +1196,7 @@ object ExtQueries {
     }
     val cf = s"c$iters"
     val fitPred = fitModThresh.map(t => s"WHERE h % 1000000 < $t").getOrElse("")
-    s"""WITH v AS (SELECT vec_id AS id,
+    s"""v AS (SELECT vec_id AS id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
          FROM embeddings),
        vh AS (SELECT id, emb,
@@ -1194,7 +1211,15 @@ object ExtQueries {
            SELECT v.id, c.centroid,
              row_number() OVER (PARTITION BY v.id
                ORDER BY ${dist("v.emb", "c.cent")}, c.centroid) AS rn
-           FROM v, $cf c) WHERE rn = 1),
+           FROM v, $cf c) WHERE rn = 1)"""
+  }
+
+  private def ivfOracle(nCent: Int, nProbe: Int, k: Int, iters: Int,
+                        dim: Int, queryPred: String,
+                        fitModThresh: Option[Long] = None): String = {
+    def dist(e: String, c: String) = sqDistSql(e, c)
+    val cf = s"c$iters"
+    s"""WITH ${kmeansCtes(nCent, iters, dim, fitModThresh)},
        pr AS (SELECT id AS query_id, centroid FROM (
            SELECT v.id, c.centroid,
              row_number() OVER (PARTITION BY v.id
@@ -1225,6 +1250,42 @@ object ExtQueries {
        SELECT query_id, corpus_id, cosine, CAST(rank AS INT) AS rank
        FROM scored WHERE rank <= $k ORDER BY query_id, rank"""
   }
+
+  /** DuckDB replay of Similarity.semDedup: shared k-means fit/assignment
+    * CTEs, then within-cluster lower-id pairs, exact floor-scaled dots and
+    * norms, cosine with the zero-norm null guard, and a max-aggregation for
+    * the keep-first bit — the same op sequence the Spark side runs. */
+  private def semDedupOracle(nClusters: Int, tau: Double, iters: Int,
+                             dim: Int): String =
+    s"""WITH ${kmeansCtes(nClusters, iters, dim, None)},
+       n AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR(
+             CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE) * 1e12)
+             AS DECIMAL(30,0))) AS DOUBLE) / 1e12) AS nrm
+           FROM embeddings CROSS JOIN range(0, $dim) t(i) GROUP BY 1),
+       pairs AS (SELECT a.corpus_id AS id_a, b.corpus_id AS id_b
+         FROM ca a JOIN ca b
+           ON a.centroid = b.centroid AND a.corpus_id < b.corpus_id),
+       dots AS (SELECT p.id_a, p.id_b,
+             CAST(SUM(CAST(FLOOR(
+               CAST(x.embedding[i+1] AS DOUBLE) * CAST(y.embedding[i+1] AS DOUBLE) * 1e12)
+               AS DECIMAL(30,0))) AS DOUBLE) / 1e12 AS dot
+           FROM pairs p
+           JOIN embeddings x ON x.vec_id = p.id_a
+           JOIN embeddings y ON y.vec_id = p.id_b
+           CROSS JOIN range(0, $dim) t(i)
+           GROUP BY 1, 2),
+       sc AS (SELECT d.id_b,
+             CASE WHEN na.nrm > 0 AND nb.nrm > 0
+                  THEN d.dot / (na.nrm * nb.nrm) END AS cos
+           FROM dots d
+           JOIN n na ON na.vec_id = d.id_a
+           JOIN n nb ON nb.vec_id = d.id_b),
+       mx AS (SELECT id_b, max(cos) AS max_lower_cos FROM sc GROUP BY 1)
+       SELECT ca.corpus_id AS vec_id, CAST(ca.centroid AS INT) AS cluster,
+              mx.max_lower_cos,
+              (mx.max_lower_cos IS NULL OR mx.max_lower_cos < $tau) AS kept
+       FROM ca LEFT JOIN mx ON mx.id_b = ca.corpus_id
+       ORDER BY vec_id"""
 
   /** DuckDB replay of Similarity.pqTrainPortable + pqTopK: same md5
     * bottom-k init (one sample seeds every subspace), same fixed-order
@@ -1311,6 +1372,9 @@ object ExtQueries {
   val oracleSql: Map[String, String] = Map(
     "q123_pq_adc" -> pqOracle(numSub = 8, k = 64, topK = 3, iters = 2,
       dim = 64, queryPred = "v.id < 10"),
+
+    "q132_semdedup" -> semDedupOracle(nClusters = 16, tau = 0.85, iters = 2,
+      dim = 64),
 
     "q61_ivf_ann" -> ivfOracle(nCent = 10, nProbe = 3, k = 3, iters = 2,
       dim = 64, queryPred = "v.id < 10"),

@@ -458,6 +458,53 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
 
+  /** SemDeDup — semantic near-duplicate pruning over an embedding column
+    * (the cluster-then-prune design of the SemDeDup paper: Abbas et al.
+    * 2023, arXiv:2303.09540). The corpus is partitioned into `nClusters`
+    * k-means cells by the portable quantizer (same deterministic fit as
+    * [[ivfTopKPortable]]: md5-ordered seeding, floor-scaled exact centroid
+    * means), and only WITHIN a cell is any pair compared: a vector whose
+    * max cosine to a lower-id cell-mate reaches `tau` is marked a
+    * duplicate (keep-first in id order — the paper keeps one point per
+    * ε-ball; id order makes the choice deterministic on any partitioning
+    * or engine). Pair work is O(Σ n_c²), not O(n²); at 100 TB `nClusters`
+    * grows with the corpus (≈√n keeps cells ≈√n) and the pair frame is a
+    * self-join on the cell id — one shuffle per side, no corpus-sized
+    * window, nothing collected beyond the O(centroids·dim) fit readout.
+    *
+    * Returns one row per input vector: (idCol, cluster, max_lower_cos,
+    * kept) — `max_lower_cos` null when the vector has no lower-id
+    * cell-mate with a defined cosine. Reference analog: the dedup family
+    * of tech.ml.dataset has no embedding-space member; this extends
+    * `cosineNearDupPairs` with the clustered scale path. */
+  def semDedup(df: DataFrame, nClusters: Int, tau: Double, iters: Int = 2,
+               idCol: String = "vec_id", embCol: String = "embedding",
+               fitFraction: Double = 1.0): DataFrame = {
+    val cents = kmeansPortable(df, nClusters, iters, idCol, embCol,
+      fitFraction)
+    val spark = df.sparkSession
+    val v = df.select(col(idCol).cast(LongType).as("id"), col(embCol).as("emb"))
+      .withColumn("cluster",
+        argminCentroidKernel(spark, col("emb").cast("array<double>"), cents))
+      .withColumn("norm", normExact(col("emb")))
+    val lo = v.select(col("cluster"), col("id").as("id_a"),
+      col("emb").as("emb_a"), col("norm").as("norm_a"))
+    val hi = v.select(col("cluster"), col("id").as("id_b"),
+      col("emb").as("emb_b"), col("norm").as("norm_b"))
+    // max-aggregation instead of exists+distinct: one pass over the pair
+    // frame yields both the keep bit and the nearest-lower-neighbor score
+    val best = lo.join(hi, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b"),
+        safeCosine(dotExact(col("emb_a"), col("emb_b")),
+          col("norm_a"), col("norm_b")).as("cos"))
+      .groupBy(col("id_b")).agg(max(col("cos")).as("max_lower_cos"))
+    v.join(best, col("id") === col("id_b"), "left")
+      .select(col("id").as(idCol), col("cluster"), col("max_lower_cos"),
+        (col("max_lower_cos").isNull || col("max_lower_cos") < tau)
+          .as("kept"))
+  }
+
   /** SQ8 scalar quantization (FAISS ScalarQuantizer-QT_8bit shape): each
     * vector is scaled by its own max-|x| to int8 codes in [-127, 127] —
     * 4× smaller than float32, 8× smaller than the float64 Spark would

@@ -802,4 +802,31 @@ class LlmOpsSpec extends SparkSuite {
     assert(inliers.forall(i => !out(i)._2), "other labels' members are clean")
     assert(out.size == 31)
   }
+
+  test("semDedup: near-identical vectors pruned keep-first, distinct kept") {
+    val dim = 8
+    // three tight groups of 3 near-identical vectors + one singleton;
+    // within a group cosine ≈ 1, across groups well below 0.95
+    val rows = (0 until 3).flatMap { g =>
+      (0 until 3).map { j =>
+        val id = (g * 3 + j).toLong
+        val v = Array.tabulate(dim)(d =>
+          (if (d == g) 10.0 + j * 0.001 else 0.1 * d).toFloat)
+        (id, v.toSeq)
+      }
+    } :+ (100L, Array.tabulate(dim)(d => (d - 4.0).toFloat).toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, nClusters = 4, tau = 0.95, iters = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Boolean]("kept"), Option(r.get(2)))).toMap
+    assert(out.size == 10)
+    // each group keeps exactly its lowest surviving id; singleton kept
+    assert(out(100L)._1)
+    val keptIds = out.filter(_._2._1).keySet
+    (0 until 3).foreach { g =>
+      val ids = (0 until 3).map(j => (g * 3 + j).toLong)
+      assert(ids.count(keptIds) == 1, s"group $g keeps exactly one: $keptIds")
+      assert(keptIds(ids.min), s"group $g keeps its min id")
+    }
+  }
 }
