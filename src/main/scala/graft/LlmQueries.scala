@@ -367,6 +367,17 @@ object LlmQueries {
         .select(col("vec_id"), col("label"), col("sq_dist"),
           col("is_outlier"))
         .orderBy(col("vec_id"))
+    },
+
+    // CCNet-style line-level boilerplate removal. The corpus carries no
+    // newlines, so line breaks are DECORATED in first (literal word→\n
+    // rewrites, identical left-to-right replace in both engines — the
+    // q124/q130 policy).
+    "q133_line_dedup" -> { (s, dir) =>
+      val decorated = t(s, dir, "documents").withColumn("text",
+        expr("replace(replace(replace(text, ' slow ', '\n'), ' fast ', '\n'), ' window ', '\n')"))
+      TextDedup.lineDedup(decorated, "doc_id", "text", minDocs = 2)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1140,6 +1151,28 @@ object LlmQueries {
          SELECT d.vec_id, d.label, d.sq_dist,
            d.sq_dist > st.mean_d + CAST(2.0 AS DOUBLE)
              * sqrt(greatest(st.msq - st.mean_d * st.mean_d, CAST(0.0 AS DOUBLE))) AS is_outlier
-         FROM dist d JOIN st USING (label) ORDER BY d.vec_id"""
+         FROM dist d JOIN st USING (label) ORDER BY d.vec_id""",
+
+    // mirrors TextDedup.lineDedup after the same literal decoration: line
+    // table via list-index explode, kill list = normalized-line hashes in
+    // >= 2 docs, survivors reassembled in position order.
+    "q133_line_dedup" ->
+      """WITH dec AS (SELECT doc_id,
+           replace(replace(replace(text, ' slow ', chr(10)), ' fast ', chr(10)), ' window ', chr(10)) AS text
+         FROM documents),
+         sp AS (SELECT doc_id, string_split(text, chr(10)) AS xs FROM dec),
+         lines AS (SELECT doc_id, i AS pos, xs[i+1] AS line
+           FROM sp CROSS JOIN range(0, 1024) t(i) WHERE i < len(xs)),
+         kill AS (SELECT md5(lower(trim(line))) AS lkey
+           FROM lines GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+           WHERE md5(lower(trim(l.line))) NOT IN (SELECT lkey FROM kill)),
+         reb AS (SELECT doc_id, count(*) AS n_lines_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+           FROM kept GROUP BY 1)
+         SELECT sp.doc_id, CAST(len(sp.xs) AS BIGINT) AS n_lines,
+           COALESCE(reb.n_lines_kept, 0) AS n_lines_kept,
+           COALESCE(reb.text_dedup, '') AS text_dedup
+         FROM sp LEFT JOIN reb USING (doc_id) ORDER BY sp.doc_id"""
   )
 }

@@ -259,6 +259,46 @@ object TextDedup {
       .filter(col("overlap_shingles") >= minOverlap)
   }
 
+  /** Line-level corpus dedup — the CCNet/RefinedWeb boilerplate pass that
+    * runs BEFORE document-level dedup: split every document into lines,
+    * count DISTINCT documents per normalized line across the corpus, strip
+    * each line appearing in at least `minDocs` documents, and reassemble
+    * the survivors in original order. Repeated headers / nav bars /
+    * license blurbs die here while unique prose survives.
+    *
+    * Scale: the kill list (lines in ≥ minDocs docs) is a tiny fraction of
+    * the line table, so the removal join is a broadcastable left-anti on
+    * the line hash; the other two shuffles (count on the hash, reassembly
+    * on the doc id) are plain key-bucketed aggregations. No window over
+    * the corpus, nothing collected, text never crosses a shuffle twice —
+    * only (hash, id, pos, line) rows do.
+    *
+    * Returns every input document as (idCol, n_lines, n_lines_kept,
+    * text_dedup) — an all-boilerplate document survives with empty text,
+    * preserving corpus alignment for downstream joins. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                minDocs: Int = 2): DataFrame = {
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lkey", md5(lower(trim(col("line")))))
+    val kill = lines.groupBy(col("lkey"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("lkey"))
+    val kept = lines.join(kill, Seq("lkey"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("text_dedup"))
+    df.select(col(idCol),
+        size(split(col(textCol), "\n")).cast(LongType).as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** Exact n-gram Jaccard between explicit pairs (the verify step after LSH,
     * or a direct quadratic check on small blocks). */
   def ngramJaccard(textA: Column, textB: Column, k: Int): Column = {

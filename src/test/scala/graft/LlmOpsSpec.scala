@@ -803,6 +803,25 @@ class LlmOpsSpec extends SparkSuite {
     assert(out.size == 31)
   }
 
+  test("lineDedup: corpus-repeated lines stripped, order preserved") {
+    val d = Seq(
+      (0L, "COMMON HEADER\nunique zero\nshared footer"),
+      (1L, "common header\nunique one\nShared Footer"), // dups after normalize
+      (2L, "all alone\nnothing shared"),
+      (3L, "common header") // all-boilerplate doc must survive as empty
+    ).toDF("doc_id", "text")
+    val out = TextDedup.lineDedup(d, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    assert(out(0).getAs[String]("text_dedup") == "unique zero")
+    assert(out(1).getAs[String]("text_dedup") == "unique one")
+    assert(out(2).getAs[String]("text_dedup") == "all alone\nnothing shared")
+    assert(out(3).getAs[String]("text_dedup") == "" &&
+      out(3).getAs[Long]("n_lines_kept") == 0L)
+    assert(out(0).getAs[Long]("n_lines") == 3L &&
+      out(0).getAs[Long]("n_lines_kept") == 1L)
+  }
+
   test("semDedup: near-identical vectors pruned keep-first, distinct kept") {
     val dim = 8
     // three tight groups of 3 near-identical vectors + one singleton;
