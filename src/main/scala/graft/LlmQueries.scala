@@ -369,6 +369,19 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     },
 
+    // Fuzzy MinHash-LSH join: every 50th doc, lightly perturbed (' data '
+    // → ' info ') and re-keyed +1e6, probes the corpus by Jaccard — the
+    // similarity-keyed join with no equality key.
+    "q134_fuzzy_join" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val probes = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("probe_id"),
+          expr("replace(text, ' data ', ' info ')").as("probe_text"))
+      TextDedup.fuzzyJoin(docs, probes, "doc_id", "text",
+          "probe_id", "probe_text", minEstJaccard = 0.5)
+        .orderBy(col("left_id"), col("right_id"))
+    },
+
     // CCNet-style line-level boilerplate removal. The corpus carries no
     // newlines, so line breaks are DECORATED in first (literal word→\n
     // rewrites, identical left-to-right replace in both engines — the
@@ -416,6 +429,36 @@ object LlmQueries {
            UNION ALL
            SELECT prev AS id_a, id AS id_b FROM p1 WHERE prev IS NOT NULL AND prev <> id) u)"""
   }
+
+  /** Signature CTEs for ONE side of the fuzzy join: `src` must yield
+    * (id, text); emits w$tag/sh$tag/hs$tag/sig$tag replaying
+    * normalize→shingle→h28→minhash with the shared coefficient family. */
+  private def minhashSigCtes(tag: String, src: String,
+                             shingleLen: Int = 3): String = {
+    val P = TextDedup.P
+    val coefs = (0 until 64).map(i =>
+      (((2L * i + 1) * 2654435761L) % P, (i.toLong * 40503L + 7) % P))
+    val sigElems = coefs.map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a*h + $b) % $P))"
+    }.mkString(", ")
+    val catShingle = (1 to shingleLen).map(k => s"w[i+$k]")
+      .mkString("concat(", ", ' ', ", ")")
+    s"""w$tag AS (SELECT id, string_split($normSql, ' ') AS w FROM $src),
+       sh$tag AS (SELECT id, CASE WHEN len(w) >= $shingleLen
+           THEN list_transform(range(len(w) - ${shingleLen - 1}), i -> $catShingle)
+           ELSE [array_to_string(w, ' ')] END AS s FROM w$tag),
+       hs$tag AS (SELECT id, list_transform(s, g -> CAST(concat('0x', substr(md5(g), 1, 7)) AS BIGINT)) AS hs FROM sh$tag),
+       sig$tag AS (SELECT id, [$sigElems] AS sig FROM hs$tag)"""
+  }
+
+  /** Band-key CTE over sig$tag for `bands` bands of `r` rows (matches
+    * TextDedup.lshBandKeys: md5 of the comma-joined band slice). */
+  private def bandCte(tag: String, bands: Int, r: Int): String =
+    s"""band$tag AS (SELECT id, concat(CAST(j AS VARCHAR), '#',
+         md5(array_to_string(list_transform(
+           sig[CAST(j*$r+1 AS INT):CAST(j*$r+$r AS INT)],
+           x -> CAST(x AS VARCHAR)), ','))) AS band
+       FROM sig$tag CROSS JOIN range($bands) t(j))"""
 
   private[graft] val estJaccardSql =
     """CAST(list_sum(list_transform(range(64),
@@ -1152,6 +1195,27 @@ object LlmQueries {
            d.sq_dist > st.mean_d + CAST(2.0 AS DOUBLE)
              * sqrt(greatest(st.msq - st.mean_d * st.mean_d, CAST(0.0 AS DOUBLE))) AS is_outlier
          FROM dist d JOIN st USING (label) ORDER BY d.vec_id""",
+
+    // mirrors TextDedup.fuzzyJoin: both sides minhashed with the shared
+    // coefficient family, band-key equi-join for candidates, estimated
+    // Jaccard (agreeing positions / 64 — exact k/64 doubles) gate.
+    "q134_fuzzy_join" ->
+      s"""WITH lsrc AS (SELECT doc_id AS id, text FROM documents),
+         rsrc AS (SELECT doc_id + 1000000 AS id,
+             replace(text, ' data ', ' info ') AS text
+           FROM documents WHERE doc_id % 50 = 0),
+         ${minhashSigCtes("L", "lsrc")},
+         ${minhashSigCtes("R", "rsrc")},
+         ${bandCte("L", 16, 4)},
+         ${bandCte("R", 16, 4)},
+         cand AS (SELECT DISTINCT l.id AS left_id, r.id AS right_id
+           FROM bandL l JOIN bandR r USING (band)),
+         est AS (SELECT c.left_id, c.right_id, ${estJaccardSql} AS est_jaccard
+           FROM cand c
+           JOIN sigL sa ON sa.id = c.left_id
+           JOIN sigR sb ON sb.id = c.right_id)
+         SELECT left_id, right_id, est_jaccard FROM est
+         WHERE est_jaccard >= 0.5 ORDER BY left_id, right_id""",
 
     // mirrors TextDedup.lineDedup after the same literal decoration: line
     // table via list-index explode, kill list = normalized-line hashes in

@@ -175,6 +175,46 @@ object TextDedup {
         estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
   }
 
+  /** Fuzzy MinHash-LSH JOIN between two tables — the cross-corpus form of
+    * near-dup detection (probe a reference set against the corpus by
+    * text similarity, no equality key anywhere): both sides are minhashed
+    * with the SAME hash family, candidates come from an equi-join on the
+    * LSH band key, and each candidate pair is scored by signature-estimated
+    * Jaccard. The reference's joins are all key-equality (hash-join /
+    * asof); this is the similarity-keyed join a curation pipeline needs
+    * (e.g. "which corpus docs fuzzily match any benchmark prompt").
+    *
+    * Scale: candidate generation is one shuffle on the band key; the probe
+    * side is typically tiny, so the band join and both signature join-backs
+    * broadcast — the corpus never reshuffles more than (id, sig). Pair
+    * count is bounded by matching-bucket products, not |L|×|R|. */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+                leftId: String, leftText: String,
+                rightId: String, rightText: String,
+                shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                minEstJaccard: Double = 0.5): DataFrame = {
+    graft.functions.DedupKernels.register(left.sparkSession)
+    val r = numHashes / bands
+    def sigs(df: DataFrame, idc: String, txt: String, out: String) =
+      df.filter(col(idc).isNotNull)
+        .select(col(idc).as(out),
+          minhashSignatureFromHashes(
+            shingleHashes(col(txt), shingleLen, 7), numHashes).as("sig"))
+        .repartition(col(out))
+    val sl = sigs(left, leftId, leftText, "left_id")
+    val sr = sigs(right, rightId, rightText, "right_id")
+    def banded(s: DataFrame, idc: String) = s.select(col(idc),
+      explode(lshBandKeys(col("sig"), bands, r)).as("band"))
+    val cand = banded(sl, "left_id").join(banded(sr, "right_id"), Seq("band"))
+      .select(col("left_id"), col("right_id")).distinct()
+    cand
+      .join(sl.select(col("left_id"), col("sig").as("sig_l")), "left_id")
+      .join(sr.select(col("right_id"), col("sig").as("sig_r")), "right_id")
+      .select(col("left_id"), col("right_id"),
+        estJaccard(col("sig_l"), col("sig_r")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
   /** Cross-corpus DECONTAMINATION — the benchmark-overlap removal step of a
     * training-data pipeline (flag/drop training docs that share verbatim
     * k-word shingles with an evaluation set). Returns per-doc

@@ -803,6 +803,27 @@ class LlmOpsSpec extends SparkSuite {
     assert(out.size == 31)
   }
 
+  test("fuzzyJoin: probes match their near-dup source, disjoint text never") {
+    val base = (1 to 20).map(i => s"word$i").mkString(" ")
+    val corpus = Seq(
+      (0L, base),
+      (1L, "totally unrelated content about spark catalyst plan rules " +
+        "and the tungsten execution engine internals")
+    ).toDF("doc_id", "text")
+    val probes = Seq(
+      (100L, base),                                    // exact copy
+      (101L, base.replace("word9", "changed"))         // one-word edit
+    ).toDF("probe_id", "probe_text")
+    val out = TextDedup.fuzzyJoin(corpus, probes, "doc_id", "text",
+        "probe_id", "probe_text", minEstJaccard = 0.3)
+      .collect().map(r => (r.getAs[Long]("left_id"),
+        r.getAs[Long]("right_id"), r.getAs[Double]("est_jaccard")))
+    val pairs = out.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((0L, 100L)) && pairs.contains((0L, 101L)))
+    assert(!pairs.exists(_._1 == 1L), s"unrelated doc matched: $pairs")
+    assert(out.find(t => t._2 == 100L).get._3 == 1.0) // identical signatures
+  }
+
   test("lineDedup: corpus-repeated lines stripped, order preserved") {
     val d = Seq(
       (0L, "COMMON HEADER\nunique zero\nshared footer"),
