@@ -369,6 +369,17 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     },
 
+    // quality-aware near-dup retention: connected components from the LSH
+    // candidate graph, each keeping its best-quality member (ties → lowest
+    // id) — composition of the q60 dedup machinery with the q34 scorer.
+    "q135_dedup_keep_best" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").withColumn("q_score",
+        TextStats.qualityScore(col("text")))
+      TextDedup.nearDupKeepBest(docs, "doc_id", "text", "q_score",
+          minEstJaccard = 0.5)
+        .orderBy(col("doc_id"))
+    },
+
     // Fuzzy MinHash-LSH join: every 50th doc, lightly perturbed (' data '
     // → ' info ') and re-keyed +1e6, probes the corpus by Jaccard — the
     // similarity-keyed join with no equality key.
@@ -1195,6 +1206,44 @@ object LlmQueries {
            d.sq_dist > st.mean_d + CAST(2.0 AS DOUBLE)
              * sqrt(greatest(st.msq - st.mean_d * st.mean_d, CAST(0.0 AS DOUBLE))) AS is_outlier
          FROM dist d JOIN st USING (label) ORDER BY d.vec_id""",
+
+    // mirrors TextDedup.nearDupKeepBest: q60's candidate/component CTEs +
+    // q34's quality expression, winner per component via row_number over
+    // (q_score DESC, id ASC) — the same order the Spark struct-max induces.
+    "q135_dedup_keep_best" ->
+      s"""WITH RECURSIVE ${minhashCandidateCtes(32)},
+         cand AS (
+           SELECT p.id_a, p.id_b FROM pairs0 p
+           JOIN sig sa ON sa.id = p.id_a JOIN sig sb ON sb.id = p.id_b
+           WHERE ${estJaccardSql} >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                   UNION SELECT id_b, id_a FROM cand),
+         reach AS (
+           SELECT id, id AS r FROM d
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         labels AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id),
+         q AS (SELECT doc_id AS id,
+             least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.4 +
+             least(CAST(sw_hits AS DOUBLE) / greatest(n_tok, 1) * 4.0, 1.0) * 0.3 +
+             (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars2, 1) * 5.0, 1.0)) * 0.15 +
+             (1.0 - least(CAST(n_digit AS DOUBLE) / greatest(n_chars2, 1) * 5.0, 1.0)) * 0.15 AS q_score
+           FROM (
+             SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+               length(text) AS n_chars2,
+               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 tk -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], tk))) AS sw_hits
+             FROM documents) t),
+         sel AS (SELECT l.id, l.group_id, q.q_score,
+             row_number() OVER (PARTITION BY l.group_id
+               ORDER BY q.q_score DESC, l.id ASC) AS rn
+           FROM labels l JOIN q ON q.id = l.id)
+         SELECT id AS doc_id, group_id, q_score, rn = 1 AS keep
+         FROM sel ORDER BY doc_id""",
 
     // mirrors TextDedup.fuzzyJoin: both sides minhashed with the shared
     // coefficient family, band-key equi-join for candidates, estimated

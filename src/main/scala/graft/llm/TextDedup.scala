@@ -611,6 +611,33 @@ object TextDedup {
       .withColumn("keep", col("id") === col("group_id"))
   }
 
+  /** Near-dup dedup with QUALITY-AWARE retention: same candidate graph and
+    * connected components as [[nearDupDedup]], but each component keeps its
+    * highest-`qualityCol` member (ties → lowest id) instead of blindly
+    * keeping the lowest id — the curation policy that survives is "of these
+    * near-identical documents, keep the best-written one". The arg-max is a
+    * struct-max aggregation ((quality, -id) — Spark compares fields left to
+    * right), one extra key-bucketed shuffle on the component label; no
+    * window over the corpus, no float-equality comparisons (the keep flag
+    * matches on the winner's ID). Returns (idCol, group_id, qualityCol,
+    * keep) for every input row. */
+  def nearDupKeepBest(df: DataFrame, idCol: String, textCol: String,
+                      qualityCol: String,
+                      minEstJaccard: Double = 0.7): DataFrame = {
+    val pairs = minhashCandidatePairs(df, idCol, textCol, bands = 32)
+      .filter(col("est_jaccard") >= minEstJaccard)
+    val groups = dedupGroups(pairs, df.select(col(idCol).as("id")))
+    val g = groups.join(
+      df.select(col(idCol).as("id"), col(qualityCol).as("__q")), Seq("id"))
+    val best = g.groupBy(col("group_id"))
+      .agg(max(struct(col("__q").as("q"), (-col("id")).as("negid")))
+        .as("__best"))
+    g.join(best, Seq("group_id"))
+      .select(col("id").as(idCol), col("group_id"),
+        col("__q").as(qualityCol),
+        (col("id") === -col("__best.negid")).as("keep"))
+  }
+
   /** Exact dedup: keep the smallest-id row per fingerprint, counting
     * duplicates (hash group-by — one shuffle on the 128-bit fingerprint). */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -803,6 +803,28 @@ class LlmOpsSpec extends SparkSuite {
     assert(out.size == 31)
   }
 
+  test("nearDupKeepBest: component keeps highest quality, not lowest id") {
+    val long = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (0L, long.split(" ").take(20).mkString(" ")), // short near-dup variant
+      (1L, long),                                   // longest → best quality
+      (2L, long.replace("tok30", "tok30x")),        // near-dup of 1
+      (9L, "entirely different content standing alone in its own group")
+    ).toDF("doc_id", "text")
+      .withColumn("q_score", TextStats.qualityScore(col("text")))
+    val out = TextDedup.nearDupKeepBest(d, "doc_id", "text", "q_score",
+        minEstJaccard = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("group_id"), r.getAs[Boolean]("keep"))).toMap
+    assert(out.size == 4)
+    assert(out(9L)._2, "singleton keeps itself")
+    // 1 and 2 are near-dups: same group; the longer doc 1 wins despite doc
+    // 2 not being the min id either way — and if 0 joined the group, the
+    // longest text STILL wins on the length-dominated score
+    assert(out(1L)._1 == out(2L)._1)
+    assert(out(1L)._2 && !out(2L)._2)
+  }
+
   test("fuzzyJoin: probes match their near-dup source, disjoint text never") {
     val base = (1 to 20).map(i => s"word$i").mkString(" ")
     val corpus = Seq(
