@@ -369,6 +369,15 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     },
 
+    // DSIR importance resampling: hashed-unigram target-vs-raw affinity
+    // (ratio form, no log), md5-uniform keep under the doc's affinity.
+    // Target domain = source 'src0'.
+    "q136_dsir_resample" -> { (s, dir) =>
+      DomainMix.dsirResample(t(s, dir, "documents"), "doc_id", "text",
+          col("source") === "src0", nBuckets = 4096)
+        .orderBy(col("doc_id"))
+    },
+
     // quality-aware near-dup retention: connected components from the LSH
     // candidate graph, each keeping its best-quality member (ties → lowest
     // id) — composition of the q60 dedup machinery with the q34 scorer.
@@ -1206,6 +1215,35 @@ object LlmQueries {
            d.sq_dist > st.mean_d + CAST(2.0 AS DOUBLE)
              * sqrt(greatest(st.msq - st.mean_d * st.mean_d, CAST(0.0 AS DOUBLE))) AS is_outlier
          FROM dist d JOIN st USING (label) ORDER BY d.vec_id""",
+
+    // mirrors DomainMix.dsirResample: same hashed buckets, add-one ratio
+    // affinity (exact integer products, one double division), floor-scaled
+    // exact mean, md5-uniform keep draw.
+    "q136_dsir_resample" ->
+      s"""WITH d AS (SELECT doc_id, (source = 'src0') AS tgt,
+           string_split($normSql, ' ') AS w FROM documents),
+         tok AS (SELECT doc_id, tgt, unnest(w) AS tok FROM d),
+         tb AS (SELECT doc_id, tgt,
+             CAST(concat('0x', substr(md5(tok), 1, 7)) AS BIGINT) % 4096 AS b
+           FROM tok),
+         counts AS (SELECT b,
+             SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+           FROM tb GROUP BY 1),
+         tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM counts),
+         aff AS (SELECT b,
+             CAST((ct+1)*(nr+4096) AS DOUBLE)
+               / CAST((ct+1)*(nr+4096) + (cr+1)*(nt+4096) AS DOUBLE) AS a
+           FROM counts, tot),
+         pd AS (SELECT t.doc_id, COUNT(*) AS n_tok,
+             CAST(SUM(CAST(FLOOR(a.a * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE)
+               / 1000000.0 / COUNT(*) AS affinity
+           FROM tb t JOIN aff a USING (b) GROUP BY 1)
+         SELECT doc_id, n_tok, affinity,
+           (CAST(CAST(concat('0x', substr(md5(concat('dsir#',
+              CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS DOUBLE)
+              / 1000000.0) < affinity AS selected
+         FROM pd ORDER BY doc_id""",
 
     // mirrors TextDedup.nearDupKeepBest: q60's candidate/component CTEs +
     // q34's quality expression, winner per component via row_number over

@@ -51,4 +51,52 @@ object DomainMix {
       .withColumn("copy_id", explode(sequence(lit(0L), col("n_copies") - 1)))
       .drop("n_copies")
   }
+
+  /** DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
+    * score every document by how target-like its hashed-unigram profile is,
+    * then keep it with probability equal to that score. Two smoothed
+    * unigram models over `nBuckets` hashed token buckets — target rows
+    * (`isTarget`) vs the rest — give each bucket a target AFFINITY
+    *   a(b) = p_t(b) / (p_t(b) + p_r(b))
+    *        = (c_t+1)(N_r+B) / ((c_t+1)(N_r+B) + (c_r+1)(N_t+B))
+    * (add-one smoothing; the ratio form keeps every term an exact integer
+    * product and ONE double division — no log, which differs in last-ulp
+    * across math libraries; same policy as the bigram-LM and TF-IDF ops).
+    * A document's affinity is the exact-sum mean of its tokens' bucket
+    * affinities, and the resample keep is an md5-uniform draw under it —
+    * reproducible on any engine/cluster, so the whole pipeline is
+    * oracle-checkable.
+    *
+    * Scale: token→bucket is map-side; the model is ONE aggregation to
+    * `nBuckets` rows (map-side combined), broadcast back; the per-doc mean
+    * is a key-bucketed aggregation on the doc id. Nothing is collected;
+    * the only corpus-sized shuffles carry (id, bucket) pairs. Returns
+    * (idCol, n_tok, affinity, selected) for every input document. */
+  def dsirResample(df: DataFrame, idCol: String, textCol: String,
+                   isTarget: Column, nBuckets: Int = 4096): DataFrame = {
+    val b = lit(nBuckets.toLong)
+    val tok = df.select(col(idCol).as("__id"), isTarget.as("__tgt"),
+        explode(TextDedup.tokens(col(textCol))).as("__tok"))
+      .withColumn("__b", pmod(TextDedup.h28(col("__tok")), b))
+    val counts = tok.groupBy(col("__b"))
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
+        sum(when(col("__tgt"), 0L).otherwise(1L)).as("__cr"))
+    val totals = counts.agg(sum(col("__ct")).as("__nt"),
+      sum(col("__cr")).as("__nr"))
+    val aff = counts.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (((col("__ct") + 1L) * (col("__nr") + b)).cast("double") /
+          ((col("__ct") + 1L) * (col("__nr") + b) +
+            (col("__cr") + 1L) * (col("__nt") + b)).cast("double")).as("__a"))
+    val perDoc = tok.join(broadcast(aff), Seq("__b"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tok"),
+        (graft.ops.Reductions.isum(col("__a"), 6) / count(lit(1)))
+          .as("affinity"))
+    val u = (pmod(conv(substring(md5(concat(lit("dsir#"),
+      col("__id").cast("string"))), 1, 15), 16, 10).cast(LongType),
+      lit(1000000L)).cast("double") / lit(1000000.0))
+    perDoc.select(col("__id").as(idCol), col("n_tok"), col("affinity"),
+      (u < col("affinity")).as("selected"))
+  }
 }

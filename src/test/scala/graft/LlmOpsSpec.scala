@@ -803,6 +803,21 @@ class LlmOpsSpec extends SparkSuite {
     assert(out.size == 31)
   }
 
+  test("dsirResample: target-vocabulary docs outscore raw-vocabulary docs") {
+    val tText = "alpha beta gamma delta epsilon " * 4
+    val rText = "uno dos tres cuatro cinco " * 4
+    val rows = (0 until 5).map(i => (i.toLong, tText, true)) ++
+      (10 until 15).map(i => (i.toLong, rText, false)) :+
+      ((20L, "alpha beta gamma uno dos tres", false))
+    val df = rows.toDF("doc_id", "text", "tgt")
+    val out = DomainMix.dsirResample(df, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("affinity")).toMap
+    assert(out.size == 11)
+    assert(out(0L) > out(20L) && out(20L) > out(10L),
+      s"target ${out(0L)} > mixed ${out(20L)} > raw ${out(10L)}")
+  }
+
   test("nearDupKeepBest: component keeps highest quality, not lowest id") {
     val long = (1 to 60).map(i => s"tok$i").mkString(" ")
     val d = Seq(
