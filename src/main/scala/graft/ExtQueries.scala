@@ -749,6 +749,35 @@ object ExtQueries {
         .orderBy(col("user_id"))
     },
 
+    // STREAMING exact dedup under the oracle gate
+    // (dropDuplicatesWithinWatermark, Append mode): exactly one row
+    // survives per content fingerprint, so the per-type survivor counts
+    // are deterministic even though WHICH duplicate row survives is
+    // stream-order-dependent — the aggregation projects only the
+    // fp-determined columns.
+    "q137_stream_dedup" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.OutputMode
+      val table = graft.streaming.EventStream.runToMemorySink(
+        graft.streaming.EventStream.dedupStream(s, dir),
+        s"q137_sink_${System.nanoTime()}", mode = OutputMode.Append())
+      table.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept")).orderBy(col("event_type"))
+    },
+
+    // STREAMING watermarked stream-stream range join under the oracle
+    // gate (Append): with one AvailableNow batch the watermark never
+    // advances mid-run, so the emitted pair set equals the batch
+    // click→purchase attribution join exactly.
+    "q138_stream_join" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.OutputMode
+      val table = graft.streaming.EventStream.runToMemorySink(
+        graft.streaming.EventStream.clickPurchaseJoin(s, dir, 60),
+        s"q138_sink_${System.nanoTime()}", mode = OutputMode.Append())
+      table.select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("c_ts"), col("p_ts"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    },
+
     // custom reducer (init/rfn/merge/finalize — reference
     // dataset/reductions.clj) under the oracle gate: the typed Aggregator
     // machinery (KahanSum: zero/reduce/merge/finish across partitions) over
@@ -2645,6 +2674,28 @@ object ExtQueries {
          COUNT(*) AS n,
          CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q137: one survivor per distinct fingerprint; event_type is a
+    // component of the fingerprint, so per-type survivor counts are
+    // COUNT(DISTINCT fp) grouped by type.
+    "q137_stream_dedup" ->
+      """SELECT event_type,
+         COUNT(DISTINCT md5(concat_ws('#', CAST(user_id AS VARCHAR),
+           event_type, props))) AS n_kept
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    // q138: the batch form of the attribution join — same pair set the
+    // single-batch streaming run emits.
+    "q138_stream_join" ->
+      """WITH c AS (SELECT user_id AS cu, ts AS c_ts, event_id AS click_id
+           FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id AS pu, ts AS p_ts, event_id AS purchase_id
+           FROM events WHERE event_type = 'purchase')
+         SELECT cu AS user_id, click_id, purchase_id,
+           CAST(c_ts AS TIMESTAMP) AS c_ts, CAST(p_ts AS TIMESTAMP) AS p_ts
+         FROM c JOIN p ON pu = cu AND p_ts >= c_ts
+           AND p_ts <= c_ts + INTERVAL 60 MINUTE
+         ORDER BY user_id, click_id, purchase_id""",
 
     // q97 streams through the same semantics as q39 — identical oracle.
     "q97_stream_sessionize" ->
