@@ -730,7 +730,7 @@ object ExtQueries {
     "q96_stream_hourly" -> { (s, dir) =>
       val table = graft.streaming.EventStream.runToMemorySink(
         graft.streaming.EventStream.hourlyCounts(s, dir),
-        s"q96_sink_${System.nanoTime()}")
+        s"q96_sink_${System.nanoTime()}", statePartitions = Some(8))
       table.orderBy(col("bucket"), col("event_type"))
     },
 
@@ -742,7 +742,8 @@ object ExtQueries {
       import org.apache.spark.sql.streaming.OutputMode
       val table = graft.streaming.EventStream.runToMemorySink(
         graft.streaming.EventStream.sessionize(s, dir),
-        s"q97_sink_${System.nanoTime()}", mode = OutputMode.Update())
+        s"q97_sink_${System.nanoTime()}", mode = OutputMode.Update(),
+        statePartitions = Some(8))
       table.groupBy(col("user_id"))
         .agg(max(col("n_sessions")).as("n_sessions"),
           max(col("max_session_events")).as("max_session_events"))
@@ -759,7 +760,8 @@ object ExtQueries {
       import org.apache.spark.sql.streaming.OutputMode
       val table = graft.streaming.EventStream.runToMemorySink(
         graft.streaming.EventStream.dedupStream(s, dir),
-        s"q137_sink_${System.nanoTime()}", mode = OutputMode.Append())
+        s"q137_sink_${System.nanoTime()}", mode = OutputMode.Append(),
+        statePartitions = Some(8))
       table.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_kept")).orderBy(col("event_type"))
     },
@@ -772,7 +774,8 @@ object ExtQueries {
       import org.apache.spark.sql.streaming.OutputMode
       val table = graft.streaming.EventStream.runToMemorySink(
         graft.streaming.EventStream.clickPurchaseJoin(s, dir, 60),
-        s"q138_sink_${System.nanoTime()}", mode = OutputMode.Append())
+        s"q138_sink_${System.nanoTime()}", mode = OutputMode.Append(),
+        statePartitions = Some(8))
       table.select(col("user_id"), col("click_id"), col("purchase_id"),
           col("c_ts"), col("p_ts"))
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))

@@ -369,6 +369,27 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     },
 
+    // BPE tokenizer TRAINING: 8 greedy merges learned from the corpus
+    // vocabulary (pair argmax totally ordered by count DESC, pair ASC);
+    // output is the learned merge table itself.
+    "q139_bpe_train" -> { (s, dir) =>
+      val (merges, vocab) = Bpe.train(t(s, dir, "documents"), "text", 8)
+      vocab.unpersist()
+      import s.implicits._
+      merges.map(m => (m.idx, m.left, m.right, m.count))
+        .toDF("merge_idx", "lhs", "rhs", "pair_count")
+        .orderBy(col("merge_idx"))
+    },
+
+    // BPE application: per-doc token counts under the 8-merge vocabulary —
+    // one broadcast join of the token stream against the trained vocab.
+    "q140_bpe_tokenize" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val (_, vocab) = Bpe.train(docs, "text", 8)
+      Bpe.tokenCounts(docs, "doc_id", "text", vocab)
+        .orderBy(col("doc_id"))
+    },
+
     // DSIR importance resampling: hashed-unigram target-vs-raw affinity
     // (ratio form, no log), md5-uniform keep under the doc's affinity.
     // Target domain = source 'src0'.
@@ -448,6 +469,39 @@ object LlmQueries {
            SELECT rep AS id_a, id AS id_b FROM p1 WHERE id <> rep
            UNION ALL
            SELECT prev AS id_a, id AS id_b FROM p1 WHERE prev IS NOT NULL AND prev <> id) u)"""
+  }
+
+  /** DuckDB replay of Bpe.train: vocabulary chars, then per-iteration
+    * pair-count argmax (count DESC, pair ASC) and a positional recursion
+    * applying the greedy leftmost-nonoverlapping merge fold — the same
+    * accumulator semantics as Bpe.applyMerge. Emits s1..s{n+1} (vocab
+    * states) and b1..bn (chosen merges). */
+  private def bpeCtes(nMerges: Int): String = {
+    def iter(i: Int) =
+      s"""p$i AS (SELECT syms[CAST(j AS INT)] AS x, syms[CAST(j+1 AS INT)] AS y,
+             SUM(cnt) AS c
+           FROM s$i CROSS JOIN range(1, 64) t(j)
+           WHERE j+1 <= len(syms) GROUP BY 1, 2),
+         b$i AS (SELECT x AS bx, y AS by, c FROM p$i
+           ORDER BY c DESC, x, y LIMIT 1),
+         am$i AS (
+           SELECT w, cnt, syms, bx, by, 1 AS pos,
+             CAST([] AS VARCHAR[]) AS acc
+           FROM s$i CROSS JOIN b$i
+           UNION ALL
+           SELECT w, cnt, syms, bx, by, pos+1,
+             CASE WHEN len(acc) > 0 AND acc[-1] = bx
+                   AND syms[CAST(pos AS INT)] = by
+               THEN list_append(acc[1:len(acc)-1], bx || by)
+               ELSE list_append(acc, syms[CAST(pos AS INT)]) END
+           FROM am$i WHERE pos <= len(syms)),
+         s${i + 1} AS (SELECT w, cnt, acc AS syms FROM am$i
+           WHERE pos = len(syms)+1)"""
+    s"""w0 AS (SELECT unnest(string_split($normSql, ' ')) AS w FROM documents),
+       wc AS (SELECT w, COUNT(*) AS cnt FROM w0 GROUP BY 1),
+       s1 AS (SELECT w, cnt, list_transform(range(1, length(w)+1),
+           i -> substr(w, CAST(i AS INT), 1)) AS syms FROM wc),
+       ${(1 to nMerges).map(iter).mkString(",\n")}"""
   }
 
   /** Signature CTEs for ONE side of the fuzzy join: `src` must yield
@@ -1215,6 +1269,26 @@ object LlmQueries {
            d.sq_dist > st.mean_d + CAST(2.0 AS DOUBLE)
              * sqrt(greatest(st.msq - st.mean_d * st.mean_d, CAST(0.0 AS DOUBLE))) AS is_outlier
          FROM dist d JOIN st USING (label) ORDER BY d.vec_id""",
+
+    // mirrors Bpe.train: the 8 chosen (pair, count) rows in learning order.
+    "q139_bpe_train" ->
+      s"""WITH RECURSIVE ${bpeCtes(8)}
+         SELECT * FROM (
+           ${(1 to 8).map(i =>
+             s"SELECT CAST($i AS INT) AS merge_idx, bx AS lhs, by AS rhs, c AS pair_count FROM b$i")
+             .mkString("\n UNION ALL ")}) u
+         ORDER BY merge_idx""",
+
+    // mirrors Bpe.tokenCounts under the same fit: token stream joined to
+    // the final vocabulary state's symbol counts.
+    "q140_bpe_tokenize" ->
+      s"""WITH RECURSIVE ${bpeCtes(8)},
+         d2 AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
+           FROM documents)
+         SELECT d2.doc_id, COUNT(*) AS n_words,
+           SUM(len(s9.syms)) AS n_bpe_tokens
+         FROM d2 JOIN s9 USING (w)
+         GROUP BY 1 ORDER BY 1""",
 
     // mirrors DomainMix.dsirResample: same hashed buckets, add-one ratio
     // affinity (exact integer products, one double division), floor-scaled

@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** BPE tokenizer TRAINING and APPLICATION (Sennrich et al. 2016) as
+  * distributed aggregations — the "train the tokenizer on the corpus" step
+  * of an LLM data pipeline (reference scope: tech.ml.dataset tokenizes by
+  * whitespace only; this is parity-plus mandated by the LLM-pipeline brief).
+  *
+  * Shape: the corpus collapses to its DISTINCT word table (word, count) —
+  * the classic BPE preprocessing — so every merge iteration aggregates a
+  * vocabulary-sized frame, never the corpus. Each of the `nMerges`
+  * iterations is one pair-count aggregation (weighted by word count, all
+  * map-side combined) plus an O(1) argmax readout; the merge is then
+  * applied map-side as a left fold over each word's symbol array. At 100 TB
+  * the vocabulary is millions of rows where the corpus is billions — the
+  * iteration cost is decoupled from corpus size, and the single corpus-sized
+  * job is the initial word count (one hash shuffle).
+  *
+  * Determinism: pair selection orders by (count DESC, left ASC, right ASC)
+  * — a total order, so the learned merge sequence is engine-portable and
+  * the whole fit replays in SQL (oracle q139/q140). The greedy
+  * leftmost-nonoverlapping application is a sequential fold per word —
+  * after a merge fires, the accumulator's tail is the MERGED symbol, which
+  * never equals the merge's left part, so "aaa" under (a,a) correctly
+  * yields [aa, a] in both engines.
+  */
+object Bpe {
+
+  /** Characters of a word as array<string> via explicit positional substr —
+    * unambiguous across engines (split-on-empty-pattern edge semantics
+    * differ). */
+  def charSyms(w: Column): Column =
+    when(length(w) > 0,
+      transform(sequence(lit(1), length(w)), i => substring(w, i, lit(1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Greedy leftmost-nonoverlapping application of ONE merge (x, y) → xy:
+    * a left fold that replaces the accumulator's tail when (tail, next)
+    * matches the pair. Pure array expression — codegen, no UDF. */
+  def applyMerge(syms: Column, x: String, y: String): Column =
+    aggregate(syms, array().cast(ArrayType(StringType)), (acc, e) =>
+      when(size(acc) > 0 && element_at(acc, -1) === x && e === y,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
+        .otherwise(concat(acc, array(e))))
+
+  /** One learned merge: rank, the two parts, and the weighted pair count
+    * that won the argmax. */
+  final case class Merge(idx: Int, left: String, right: String, count: Long)
+
+  /** The distinct-word table of a corpus: (w, cnt, syms). */
+  def wordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextDedup.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", charSyms(col("w")))
+
+  /** Learn `nMerges` merges. Returns the merge sequence and the final
+    * vocabulary frame (w, cnt, syms) with all merges applied — the
+    * trained tokenizer state. Only O(1) rows (the per-iteration argmax)
+    * are ever collected. */
+  def train(df: DataFrame, textCol: String,
+            nMerges: Int): (Seq[Merge], DataFrame) = {
+    var words = wordTable(df, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[Merge]
+    for (i <- 1 to nMerges) {
+      // Spark's sequence(1, 0) DESCENDS rather than yielding empty, so
+      // single-symbol words need the explicit guard (explode drops them)
+      val pairs = words.select(col("cnt"),
+          explode(when(size(col("syms")) > 1,
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              j => struct(element_at(col("syms"), j).as("x"),
+                element_at(col("syms"), j + 1).as("y"))))
+            .otherwise(array().cast("array<struct<x:string,y:string>>")))
+            .as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("cnt")).as("c"))
+      val top = pairs.orderBy(col("c").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (x, y, c) = (top(0).getAs[String]("x"), top(0).getAs[String]("y"),
+          top(0).getAs[Long]("c"))
+        merges += Merge(i, x, y, c)
+        val next = words.withColumn("syms", applyMerge(col("syms"), x, y))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the parent
+        words.unpersist()
+        words = next
+      }
+    }
+    (merges.result(), words)
+  }
+
+  /** Tokenize a corpus with a trained vocabulary: each document's BPE token
+    * count is the sum of its words' final symbol counts — one broadcastable
+    * join of the token stream against the vocabulary, no re-application of
+    * merges. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String,
+                  vocab: DataFrame): DataFrame = {
+    val v = vocab.select(col("w"), size(col("syms")).cast(LongType).as("__n"))
+    df.select(col(idCol), explode(TextDedup.tokens(col(textCol))).as("w"))
+      .join(broadcast(v), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__n")).as("n_bpe_tokens"))
+  }
+}

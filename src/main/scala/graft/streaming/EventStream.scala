@@ -165,15 +165,33 @@ object EventStream {
   }
 
   /** Run a streaming query to completion against the (finite) file source and
-    * return the materialized result — the test harness entry point. */
+    * return the materialized result — the test harness entry point.
+    *
+    * `statePartitions` sizes the query's state-store shard count (fixed at
+    * first start from `spark.sql.shuffle.partitions`): every shard pays a
+    * per-trigger store open/commit, so a stream-stream join at 32 shards
+    * spends more on 4×32 store commits than on the actual join at test
+    * scale (measured 8.9 s → 3.9 s at 8 shards for q138). At production
+    * scale this is the knob you RAISE — state volume per shard, not shard
+    * fixed cost, dominates there. The session conf is restored after the
+    * run so batch queries in the same session keep their parallelism. */
   def runToMemorySink(df: DataFrame, name: String,
-                      mode: OutputMode = OutputMode.Complete()): DataFrame = {
-    val q: StreamingQuery = df.writeStream
-      .outputMode(mode)
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+                      mode: OutputMode = OutputMode.Complete(),
+                      statePartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q: StreamingQuery = df.writeStream
+        .outputMode(mode)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     df.sparkSession.table(name)
   }
 }

@@ -803,6 +803,24 @@ class LlmOpsSpec extends SparkSuite {
     assert(out.size == 31)
   }
 
+  test("bpe: greedy merges with count-then-pair order; counts via vocab join") {
+    // the classic BPE corpus: low×3 lower×2 newest×4 widest×1
+    val df = Seq((0L,
+      "low low low lower lower newest newest newest newest widest"))
+      .toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.train(df, "text", 3)
+    // hand-computed: (w,e)=6; then (l,o)=5 ties (s,t)=5 → pair-asc picks
+    // (l,o); then (s,t)=5
+    assert(merges.map(m => (m.left, m.right, m.count)) ==
+      Seq(("w", "e", 6L), ("l", "o", 5L), ("s", "t", 5L)))
+    val counts = Bpe.tokenCounts(df, "doc_id", "text", vocab).collect()
+    assert(counts.length == 1)
+    // low=[lo,w]×3, lower=[lo,we,r]×2, newest=[n,e,we,st]×4, widest=[w,i,d,e,st]
+    assert(counts(0).getAs[Long]("n_words") == 10L)
+    assert(counts(0).getAs[Long]("n_bpe_tokens") == 33L)
+    vocab.unpersist()
+  }
+
   test("dsirResample: target-vocabulary docs outscore raw-vocabulary docs") {
     val tText = "alpha beta gamma delta epsilon " * 4
     val rText = "uno dos tres cuatro cinco " * 4
