@@ -369,12 +369,18 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     },
 
+    // corpus card: the per-source audit table (docs, tokens, quality,
+    // exact-dup share) a curation pipeline publishes with a release.
+    "q141_corpus_report" -> { (s, dir) =>
+      TextStats.corpusReport(t(s, dir, "documents"), "text", "source")
+        .orderBy(col("source"))
+    },
+
     // BPE tokenizer TRAINING: 8 greedy merges learned from the corpus
     // vocabulary (pair argmax totally ordered by count DESC, pair ASC);
     // output is the learned merge table itself.
     "q139_bpe_train" -> { (s, dir) =>
-      val (merges, vocab) = Bpe.train(t(s, dir, "documents"), "text", 8)
-      vocab.unpersist()
+      val (merges, _) = Bpe.train(t(s, dir, "documents"), "text", 8)
       import s.implicits._
       merges.map(m => (m.idx, m.left, m.right, m.count))
         .toDF("merge_idx", "lhs", "rhs", "pair_count")
@@ -1269,6 +1275,31 @@ object LlmQueries {
            d.sq_dist > st.mean_d + CAST(2.0 AS DOUBLE)
              * sqrt(greatest(st.msq - st.mean_d * st.mean_d, CAST(0.0 AS DOUBLE))) AS is_outlier
          FROM dist d JOIN st USING (label) ORDER BY d.vec_id""",
+
+    // mirrors TextStats.corpusReport: q34 scorer + fingerprint distincts,
+    // floor-scaled exact mean.
+    "q141_corpus_report" ->
+      s"""WITH per AS (SELECT source,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+           length(text) AS n_chars2,
+           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+           len(list_filter(string_split_regex(trim(text), '\\s+'),
+             tk -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], tk))) AS sw_hits,
+           md5($normSql) AS fp
+         FROM documents),
+         q AS (SELECT source, n_tok, fp,
+           least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.4 +
+           least(CAST(sw_hits AS DOUBLE) / greatest(n_tok, 1) * 4.0, 1.0) * 0.3 +
+           (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars2, 1) * 5.0, 1.0)) * 0.15 +
+           (1.0 - least(CAST(n_digit AS DOUBLE) / greatest(n_chars2, 1) * 5.0, 1.0)) * 0.15 AS q
+         FROM per)
+         SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+           CAST(SUM(CAST(FLOOR(q * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE)
+             / 1000000.0 / COUNT(*) AS mean_quality,
+           COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups
+         FROM q GROUP BY 1 ORDER BY 1""",
 
     // mirrors Bpe.train: the 8 chosen (pair, count) rows in learning order.
     "q139_bpe_train" ->

@@ -62,8 +62,13 @@ object Bpe {
     * are ever collected. */
   def train(df: DataFrame, textCol: String,
             nMerges: Int): (Seq[Merge], DataFrame) = {
-    var words = wordTable(df, textCol)
+    // ONE materialized frame for the whole fit: iteration i applies merges
+    // 1..i-1 as a lazy codegen fold chain over the cached base — per-word
+    // arrays are tiny, so re-folding beats materializing (and paying a
+    // cache write + count job for) every intermediate vocabulary state
+    val base = wordTable(df, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var words = base
     val merges = Seq.newBuilder[Merge]
     for (i <- 1 to nMerges) {
       // Spark's sequence(1, 0) DESCENDS rather than yielding empty, so
@@ -83,13 +88,13 @@ object Bpe {
         val (x, y, c) = (top(0).getAs[String]("x"), top(0).getAs[String]("y"),
           top(0).getAs[Long]("c"))
         merges += Merge(i, x, y, c)
-        val next = words.withColumn("syms", applyMerge(col("syms"), x, y))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before dropping the parent
-        words.unpersist()
-        words = next
+        words = words.withColumn("syms", applyMerge(col("syms"), x, y))
       }
     }
+    // the returned vocab recomputes its (cheap, deterministic) word count
+    // on use rather than pinning session cache the caller must remember to
+    // release
+    base.unpersist()
     (merges.result(), words)
   }
 

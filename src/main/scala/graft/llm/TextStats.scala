@@ -450,4 +450,21 @@ object TextStats {
           size(tokCounts)).as("mean_sent_tokens"),
         array_max(tokCounts).as("max_sent_tokens"))
   }
+
+  /** Corpus CARD — the per-group audit table a curation pipeline publishes
+    * with a dataset release (docs, token volume, mean quality, exact-dup
+    * share, language spread per source/domain/shard). One pass, one
+    * key-bucketed aggregation; the dup share reuses the exact-dedup
+    * fingerprint (distinct count per group), quality the q34 scorer with
+    * the exact floor-scaled sum. */
+  def corpusReport(df: DataFrame, textCol: String, byCol: String): DataFrame =
+    df.select(col(byCol), col(textCol).as("__t"),
+        TextDedup.fingerprint(col(textCol)).as("__fp"),
+        qualityScore(col(textCol)).as("__q"))
+      .groupBy(col(byCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("__t")).cast(LongType)).as("n_tokens"),
+        (graft.ops.Reductions.isum(col("__q"), 6) / count(lit(1)))
+          .as("mean_quality"),
+        (count(lit(1)) - countDistinct(col("__fp"))).as("n_exact_dups"))
 }

@@ -818,7 +818,6 @@ class LlmOpsSpec extends SparkSuite {
     // low=[lo,w]×3, lower=[lo,we,r]×2, newest=[n,e,we,st]×4, widest=[w,i,d,e,st]
     assert(counts(0).getAs[Long]("n_words") == 10L)
     assert(counts(0).getAs[Long]("n_bpe_tokens") == 33L)
-    vocab.unpersist()
   }
 
   test("dsirResample: target-vocabulary docs outscore raw-vocabulary docs") {

@@ -104,6 +104,24 @@ class PlanGuardSpec extends SparkSuite {
   test("q131 embedding outliers: aggregation+broadcast only, no window")(
     guard("q131_embedding_outliers", Bound))
 
+  test("q132 semdedup: pair frame confined to cells, no global funnel")(
+    guard("q132_semdedup", Bound))
+
+  test("q133 line dedup: key-bucketed aggregations only")(
+    guard("q133_line_dedup", Bound))
+
+  test("q134 fuzzy join: band-key candidates, no cross-table funnel")(
+    guard("q134_fuzzy_join", Bound))
+
+  test("q135 keep-best dedup: struct-max aggregation, no global window")(
+    guard("q135_dedup_keep_best", Bound))
+
+  test("q136 dsir resample: broadcast model, shuffles carry (id,bucket)")(
+    guard("q136_dsir_resample", Bound))
+
+  test("q140 bpe tokenize: vocab broadcast join, no funnel")(
+    guard("q140_bpe_tokenize", Bound))
+
   test("detector self-test: a global row-level window IS flagged") {
     // prove the guard can fire — a data-sized unpartitioned Window must
     // trip the same detection path the real guards rely on. The window's
