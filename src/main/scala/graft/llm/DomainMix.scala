@@ -75,9 +75,16 @@ object DomainMix {
   def dsirResample(df: DataFrame, idCol: String, textCol: String,
                    isTarget: Column, nBuckets: Int = 4096): DataFrame = {
     val b = lit(nBuckets.toLong)
+    // the repartition plants ONE shuffle whose map side pays the
+    // tokenize+md5 pass; both consumers (model counts, per-doc scoring)
+    // want __b partitioning, so Spark's exchange reuse computes it once —
+    // without it each consumer re-tokenizes the corpus (measured 2× at
+    // sf1.0)
     val tok = df.select(col(idCol).as("__id"), isTarget.as("__tgt"),
         explode(TextDedup.tokens(col(textCol))).as("__tok"))
       .withColumn("__b", pmod(TextDedup.h28(col("__tok")), b))
+      .drop("__tok")
+      .repartition(col("__b"))
     val counts = tok.groupBy(col("__b"))
       .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
         sum(when(col("__tgt"), 0L).otherwise(1L)).as("__cr"))
