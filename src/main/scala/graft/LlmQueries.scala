@@ -369,6 +369,14 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     },
 
+    // hard-negative mining: top-3 most-similar DIFFERENT-label vectors per
+    // query — the contrastive-training negatives prep (exact baseline).
+    "q142_hard_negatives" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 10), emb, 3)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // corpus card: the per-source audit table (docs, tokens, quality,
     // exact-dup share) a curation pipeline publishes with a release.
     "q141_corpus_report" -> { (s, dir) =>
@@ -1275,6 +1283,37 @@ object LlmQueries {
            d.sq_dist > st.mean_d + CAST(2.0 AS DOUBLE)
              * sqrt(greatest(st.msq - st.mean_d * st.mean_d, CAST(0.0 AS DOUBLE))) AS is_outlier
          FROM dist d JOIN st USING (label) ORDER BY d.vec_id""",
+
+    // mirrors Similarity.hardNegatives: q31's exact-cosine frame plus the
+    // label-inequality predicate.
+    "q142_hard_negatives" ->
+      """WITH n AS (
+           SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR(
+             CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE) * 1e12)
+             AS DECIMAL(30,0))) AS DOUBLE) / 1e12) AS nrm
+           FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY 1),
+         dots AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             c.label AS neg_label,
+             CAST(SUM(CAST(FLOOR(
+               CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE) * 1e12)
+               AS DECIMAL(30,0))) AS DOUBLE) / 1e12 AS dot
+           FROM embeddings q
+           CROSS JOIN embeddings c
+           CROSS JOIN range(0, 64) t(i)
+           WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+             AND c.label <> q.label
+           GROUP BY 1, 2, 3),
+         scored AS (
+           SELECT query_id, corpus_id, neg_label,
+             dot / (nq.nrm * nc.nrm) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dot / (nq.nrm * nc.nrm) DESC, corpus_id ASC) AS rank
+           FROM dots
+           JOIN n nq ON nq.vec_id = query_id
+           JOIN n nc ON nc.vec_id = corpus_id)
+         SELECT query_id, corpus_id, neg_label, cosine, CAST(rank AS INT) AS rank
+         FROM scored WHERE rank <= 3 ORDER BY query_id, rank""",
 
     // mirrors TextStats.corpusReport: q34 scorer + fingerprint distincts,
     // floor-scaled exact mean.

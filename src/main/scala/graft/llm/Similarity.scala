@@ -65,6 +65,37 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
 
+  /** HARD-NEGATIVE MINING for contrastive/embedding training data: for each
+    * query vector, the k most-similar corpus vectors with a DIFFERENT
+    * label — the "looks like it but isn't" examples a retrieval or
+    * classification trainer wants as negatives (the standard ANCE/DPR prep
+    * step). Same plan as [[bruteForceTopK]] plus the label-inequality
+    * predicate pushed into the scoring join; at scale the corpus side swaps
+    * to the IVF candidate path ([[ivfTopKPortable]]'s cell join) — this is
+    * the exact-baseline form, so it is the one the oracle replays. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    idCol: String = "vec_id", embCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("q_label"), col(embCol).as("q_emb"))
+      .withColumn("q_norm", normExact(col("q_emb")))
+    val c = corpus.select(col(idCol).as("corpus_id"),
+        col(labelCol).as("c_label"), col(embCol).as("c_emb"))
+      .withColumn("c_norm", normExact(col("c_emb")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id") &&
+        col("q_label") =!= col("c_label"))
+      .withColumn("cosine",
+        safeCosine(dotExact(col("q_emb"), col("c_emb")),
+          col("q_norm"), col("c_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        col("c_label").as("neg_label"), col("cosine"), col("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane component w(plane, dim) ∈ [-1, 1)
     * from md5 — stable across runs and cluster sizes. Computed DRIVER-SIDE
     * once (the matrix depends only on (plane, dim), not on rows — evaluating

@@ -803,6 +803,21 @@ class LlmOpsSpec extends SparkSuite {
     assert(out.size == 31)
   }
 
+  test("hardNegatives: same-label neighbors excluded, ranks deterministic") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val labels = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val out = Similarity.hardNegatives(emb.filter(col("vec_id") < 5), emb, 3)
+      .collect()
+    assert(out.length == 15)
+    out.foreach { r =>
+      val (q, c) = (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))
+      assert(q != c)
+      assert(labels(q) != labels(c), s"negative $c shares label with $q")
+      assert(r.getAs[Int]("neg_label") == labels(c))
+    }
+  }
+
   test("bpe: greedy merges with count-then-pair order; counts via vocab join") {
     // the classic BPE corpus: low×3 lower×2 newest×4 widest×1
     val df = Seq((0L,
