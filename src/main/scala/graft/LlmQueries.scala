@@ -369,6 +369,16 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     },
 
+    // BPE ENCODE: documents to token-id sequences under the trained
+    // vocabulary (dense ids in symbol sort order) — the final tokenizer
+    // output a training pipeline ships.
+    "q143_bpe_encode" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val (_, vocab) = Bpe.train(docs, "text", 8)
+      Bpe.encode(docs.filter(col("doc_id") < 200), "doc_id", "text", vocab)
+        .orderBy(col("doc_id"))
+    },
+
     // hard-negative mining: top-3 most-similar DIFFERENT-label vectors per
     // query — the contrastive-training negatives prep (exact baseline).
     "q142_hard_negatives" -> { (s, dir) =>
@@ -1283,6 +1293,24 @@ object LlmQueries {
            d.sq_dist > st.mean_d + CAST(2.0 AS DOUBLE)
              * sqrt(greatest(st.msq - st.mean_d * st.mean_d, CAST(0.0 AS DOUBLE))) AS is_outlier
          FROM dist d JOIN st USING (label) ORDER BY d.vec_id""",
+
+    // mirrors Bpe.encode under the same replayed fit: dense symbol ids by
+    // sort order, per-doc id sequence in (word, symbol) order.
+    "q143_bpe_encode" ->
+      s"""WITH RECURSIVE ${bpeCtes(8)},
+         vid AS (SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS id
+           FROM (SELECT DISTINCT unnest(syms) AS sym FROM s9)),
+         d2 AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+           FROM documents WHERE doc_id < 200),
+         words AS (SELECT doc_id, wp, ws[CAST(wp + 1 AS INT)] AS w
+           FROM d2 CROSS JOIN range(0, 4096) t(wp) WHERE wp < len(ws)),
+         syms AS (SELECT wo.doc_id, wo.wp, sp, s9.syms[CAST(sp + 1 AS INT)] AS sym
+           FROM words wo JOIN s9 USING (w)
+           CROSS JOIN range(0, 64) u(sp) WHERE sp < len(s9.syms))
+         SELECT s.doc_id, COUNT(*) AS n_ids,
+           string_agg(CAST(v.id AS VARCHAR), ',' ORDER BY s.wp, s.sp) AS ids
+         FROM syms s JOIN vid v USING (sym)
+         GROUP BY 1 ORDER BY 1""",
 
     // mirrors Similarity.hardNegatives: q31's exact-cosine frame plus the
     // label-inequality predicate.

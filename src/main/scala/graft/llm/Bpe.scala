@@ -98,6 +98,42 @@ object Bpe {
     (merges.result(), words)
   }
 
+  /** Dense id table of a trained vocabulary: every distinct final symbol,
+    * id = rank in symbol sort order. The symbol table is O(model) — tens of
+    * thousands of rows at production scale, like the merge list itself —
+    * so the unpartitioned ranking window processes model-sized, not
+    * corpus-sized, data (same posture as the k-means/PCA fit readouts). */
+  def vocabIds(vocab: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    vocab.select(explode(col("syms")).as("sym")).distinct()
+      .withColumn("id",
+        (row_number().over(Window.orderBy(col("sym"))) - 1).cast(LongType))
+  }
+
+  /** ENCODE documents to BPE token-id sequences under a trained vocabulary:
+    * token stream → word symbols (broadcast vocab join) → symbol ids
+    * (broadcast id join) → per-doc id sequence in (word, symbol) order.
+    * The corpus-sized shuffles carry (doc, pos, id) triples only; both
+    * model tables broadcast. Returns (idCol, n_ids, ids) with `ids` the
+    * comma-joined id sequence. */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+             vocab: DataFrame): DataFrame = {
+    val ids = vocabIds(vocab)
+    val words = df.select(col(idCol),
+      posexplode(TextDedup.tokens(col(textCol))).as(Seq("__wp", "w")))
+    val syms = words.join(broadcast(vocab.select(col("w"), col("syms"))),
+        Seq("w"))
+      .select(col(idCol), col("__wp"),
+        posexplode(col("syms")).as(Seq("__sp", "sym")))
+    syms.join(broadcast(ids), Seq("sym"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ids"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__wp"), col("__sp"),
+            col("id")))),
+          s => s.getField("id").cast(StringType)), ",").as("ids"))
+  }
+
   /** Tokenize a corpus with a trained vocabulary: each document's BPE token
     * count is the sum of its words' final symbol counts — one broadcastable
     * join of the token stream against the vocabulary, no re-application of

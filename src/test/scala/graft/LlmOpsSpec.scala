@@ -833,6 +833,14 @@ class LlmOpsSpec extends SparkSuite {
     // low=[lo,w]×3, lower=[lo,we,r]×2, newest=[n,e,we,st]×4, widest=[w,i,d,e,st]
     assert(counts(0).getAs[Long]("n_words") == 10L)
     assert(counts(0).getAs[Long]("n_bpe_tokens") == 33L)
+    // encode: vocab syms sorted = d,e,i,lo,n,r,st,w,we → ids 0..8;
+    // low=[3,7] lower=[3,8,5] newest=[4,1,8,6] widest=[7,2,0,1,6]
+    val enc = Bpe.encode(df, "doc_id", "text", vocab).collect()
+    assert(enc.length == 1 && enc(0).getAs[Long]("n_ids") == 33L)
+    val expected = (Seq.fill(3)(Seq(3, 7)) ++ Seq.fill(2)(Seq(3, 8, 5)) ++
+      Seq.fill(4)(Seq(4, 1, 8, 6)) :+ Seq(7, 2, 0, 1, 6))
+      .flatten.mkString(",")
+    assert(enc(0).getAs[String]("ids") == expected)
   }
 
   test("dsirResample: target-vocabulary docs outscore raw-vocabulary docs") {
