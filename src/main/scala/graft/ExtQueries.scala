@@ -824,6 +824,17 @@ object ExtQueries {
         .orderBy(col("event_id"))
     },
 
+    // EWMA smoothing per user (pandas ewm(adjust=False) semantics) through
+    // the keyed streaming fold — the anomaly-baseline op.
+    "q144_ewma" -> { (s, dir) =>
+      Advanced.ewmaKeyed(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts"), col("value")),
+        Seq("user_id"), Seq("ts", "event_id"), "value", 0.3, "ewma")
+        .select(col("event_id"), col("user_id"), col("ewma"))
+        .orderBy(col("event_id"))
+    },
+
     // The projection/repair conveniences under the oracle gate in one
     // chain: add-column (scalar lit broadcast), parse-column :relaxed?
     // (try_cast + boolean `_unparsed` side column), remove-empty-columns
@@ -1862,6 +1873,21 @@ object ExtQueries {
            SELECT e.event_id, e.user_id, e.x, e.rn, 0.9 * r.s + e.x AS s
            FROM rec r JOIN seq e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
          SELECT event_id, user_id, s AS decay FROM rec ORDER BY event_id""",
+
+    // mirrors Advanced.ewmaKeyed: s_1 = x_1, then 0.7*s + 0.3*x — the same
+    // (a*s)+(b*x) IEEE op order per row as the Scala fold.
+    "q144_ewma" ->
+      """WITH RECURSIVE seq AS (
+           SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         rec AS (
+           SELECT event_id, user_id, x, rn, x AS s
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT e.event_id, e.user_id, e.x, e.rn, 0.7 * r.s + 0.3 * e.x AS s
+           FROM rec r JOIN seq e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT event_id, user_id, s AS ewma FROM rec ORDER BY event_id""",
 
     // DuckDB's native ASOF JOIN — an independent implementation of
     // backward-allow-exact as-of semantics — mirrors the keyless carry.

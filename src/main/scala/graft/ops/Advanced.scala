@@ -552,7 +552,9 @@ object Advanced {
     * fold order. */
   def linearRecurrenceKeyed(df: DataFrame, keyCols: Seq[String],
                             orderCols: Seq[String], xCol: String,
-                            a: Double, out: String): DataFrame = {
+                            a: Double, out: String,
+                            b: Double = 1.0,
+                            seedFirst: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // key-run detection compares key values with Seq equality, which is
@@ -581,17 +583,34 @@ object Advanced {
     val rows = sorted.rdd.mapPartitions { it =>
       var curKey: Seq[Any] = null
       var s = 0.0
+      var first = true
       it.map { r =>
         if (r.isNullAt(xIdx))
           throw new IllegalArgumentException(
             s"linearRecurrenceKeyed: null $xCol — filter or impute first")
         val k = keyIdx.map(r.get)
-        if (k != curKey) { curKey = k; s = 0.0 }
-        s = a * s + r.getDouble(xIdx)
+        if (k != curKey) { curKey = k; s = 0.0; first = true }
+        val x = r.getDouble(xIdx)
+        s = if (first && seedFirst) x else a * s + b * x
+        first = false
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s)
       }
     }
     spark.createDataFrame(rows, schema)
+  }
+
+  /** Exponentially weighted moving average per key (pandas
+    * `ewm(alpha, adjust=False).mean()` semantics: s_1 = x_1, then
+    * s_t = (1-alpha)*s_{t-1} + alpha*x_t) — the standard smoothing /
+    * anomaly-baseline op, expressed through the same distributed keyed
+    * streaming fold as [[linearRecurrenceKeyed]] (one hash shuffle on the
+    * key, O(1) state per key run, bit-exact sequential replay per key —
+    * oracle q144 replays it with a per-key recursive CTE). */
+  def ewmaKeyed(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+                xCol: String, alpha: Double, out: String): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    linearRecurrenceKeyed(df, keyCols, orderCols, xCol, 1.0 - alpha, out,
+      b = alpha, seedFirst = true)
   }
 
   /** Keyless (whole-table) linear recurrence via a SEGMENTED scan: range

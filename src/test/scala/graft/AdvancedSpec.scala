@@ -337,6 +337,29 @@ class AdvancedSpec extends SparkSuite {
     assert(e.getMessage.contains("null x") || e.getCause != null)
   }
 
+  test("ewmaKeyed == pandas ewm(adjust=False) per-key fold, bitwise") {
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 3000).map(i =>
+      (i.toLong, (i % 23).toLong, rnd.nextDouble() * 50 - 10))
+    val df = data.toDF("id", "k", "x").repartition(5)
+    val out = Advanced.ewmaKeyed(df, Seq("k"), Seq("id"), "x", 0.3, "ewma")
+      .select("id", "ewma").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect = data.groupBy(_._2).flatMap { case (_, rows) =>
+      var s = 0.0; var first = true
+      rows.sortBy(_._1).map { case (id, _, x) =>
+        s = if (first) x else 0.7 * s + 0.3 * x
+        first = false
+        id -> s
+      }
+    }
+    assert(out.size == 3000)
+    expect.foreach { case (id, v) =>
+      assert(java.lang.Double.doubleToRawLongBits(out(id)) ==
+        java.lang.Double.doubleToRawLongBits(v), s"id=$id")
+    }
+  }
+
   test("linearRecurrence keyless segmented scan: exact on integer data, " +
     "close on doubles") {
     // integer-representable states: segmented carries are exact, so the
