@@ -824,6 +824,20 @@ object ExtQueries {
         .orderBy(col("event_id"))
     },
 
+    // rolling Pearson correlation (5-row left window per customer) between
+    // price and order day-of-month — exact scaled co-moment window sums.
+    "q145_rolling_corr" -> { (s, dir) =>
+      graft.ops.Rolling.rolling(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), dayofmonth(col("o_orderdate")).as("oday")),
+        5, graft.ops.Rolling.Left,
+        Seq(col("o_orderkey")), Seq(col("o_custkey")),
+        "roll_corr" -> graft.ops.Rolling.rCorr(col("o_totalprice"),
+          col("oday")))
+        .select(col("o_orderkey"), col("o_custkey"), col("roll_corr"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // EWMA smoothing per user (pandas ewm(adjust=False) semantics) through
     // the keyed streaming fold — the anomaly-baseline op.
     "q144_ewma" -> { (s, dir) =>
@@ -1873,6 +1887,30 @@ object ExtQueries {
            SELECT e.event_id, e.user_id, e.x, e.rn, 0.9 * r.s + e.x AS s
            FROM rec r JOIN seq e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
          SELECT event_id, user_id, s AS decay FROM rec ORDER BY event_id""",
+
+    // mirrors Rolling.rCorr: identical scaled window sums and closed-form
+    // op order; zero-variance windows null on both sides.
+    "q145_rolling_corr" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS x,
+           CAST(day(o_orderdate) AS DOUBLE) AS y
+         FROM orders),
+         s AS (SELECT o_orderkey, o_custkey,
+           CAST(COUNT(*) OVER win AS DOUBLE) AS n,
+           CAST(SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) OVER win AS DOUBLE) / 1000000.0 AS sx,
+           CAST(SUM(CAST(FLOOR(y * 1000000.0) AS BIGINT)) OVER win AS DOUBLE) / 1000000.0 AS sy,
+           CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS BIGINT)) OVER win AS DOUBLE) / 1000000.0 AS sxx,
+           CAST(SUM(CAST(FLOOR(y * y * 1000000.0) AS BIGINT)) OVER win AS DOUBLE) / 1000000.0 AS syy,
+           CAST(SUM(CAST(FLOOR(x * y * 1000000.0) AS BIGINT)) OVER win AS DOUBLE) / 1000000.0 AS sxy
+           FROM b
+           WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         SELECT o_orderkey, o_custkey,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN (n * sxy - sx * sy)
+                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+           END AS roll_corr
+         FROM s ORDER BY o_orderkey""",
 
     // mirrors Advanced.ewmaKeyed: s_1 = x_1, then 0.7*s + 0.3*x — the same
     // (a*s)+(b*x) IEEE op order per row as the Scala fold.

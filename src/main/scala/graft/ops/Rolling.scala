@@ -71,6 +71,26 @@ object Rolling {
   def rVariance(c: Column): WindowSpec => Column = w => var_samp(c).over(w)
   def rStddev(c: Column): WindowSpec => Column = w => stddev_samp(c).over(w)
 
+  /** ROLLING PEARSON CORRELATION between two columns (parity-plus window
+    * reducer — the pairs-trading / sensor-drift signal): all five co-moments
+    * come from floor-scaled exact integer window sums (order-independent on
+    * any partitioning, so the result replays bit-exactly in SQL), the
+    * closed form runs in a fixed IEEE op sequence, and degenerate windows
+    * (zero variance on either side) yield null. One window pass, keyed
+    * partitioning — no single-task funnel. */
+  def rCorr(x: Column, y: Column): WindowSpec => Column = { w =>
+    def sL(c: Column): WindowSpec => Column = wi =>
+      sum(floor(c * lit(1e6)).cast("long")).over(wi).cast("double") / lit(1e6)
+    val n = count(lit(1)).over(w).cast("double")
+    val (sx, sy) = (sL(x.cast("double"))(w), sL(y.cast("double"))(w))
+    val (sxx, syy) = (sL(x.cast("double") * x.cast("double"))(w),
+      sL(y.cast("double") * y.cast("double"))(w))
+    val sxy = sL(x.cast("double") * y.cast("double"))(w)
+    val cov = n * sxy - sx * sy
+    val (vx, vy) = (n * sxx - sx * sx, n * syy - sy * sy)
+    when(vx > 0 && vy > 0, cov / (sqrt(vx) * sqrt(vy)))
+  }
+
   /** TMD `:edge-mode :clamp` parity (rolling.clj:130-133): the reference
     * keeps windows at size n by REPEATING the edge value; Spark frames shrink.
     * For sum/mean the clamped result is recovered exactly from the shrunk

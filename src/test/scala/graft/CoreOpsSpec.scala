@@ -200,6 +200,25 @@ class CoreOpsSpec extends SparkSuite {
     assert(out.toSeq == Seq(4.0, 6.0, 9.0, 11.0))
   }
 
+  test("rolling corr: perfect linear pair = 1, anti = -1, degenerate null") {
+    val df = Seq(
+      (0, 1.0, 2.0, 5.0), (1, 2.0, 4.0, 4.0), (2, 3.0, 6.0, 3.0),
+      (3, 4.0, 8.0, 2.0), (4, 5.0, 10.0, 1.0)).toDF("i", "x", "y", "z")
+    val out = Rolling.rolling(df, 3, Rolling.Left, Seq(col("i")), Seq(),
+      "cxy" -> Rolling.rCorr(col("x"), col("y")),
+      "cxz" -> Rolling.rCorr(col("x"), col("z")),
+      "cxc" -> Rolling.rCorr(col("x"), lit(7.0)))
+      .orderBy("i").collect()
+    // full 3-row frames: y = 2x exactly -> corr 1; z = 6-x -> corr -1
+    (2 to 4).foreach { i =>
+      assert(math.abs(out(i).getAs[Double]("cxy") - 1.0) < 1e-9)
+      assert(math.abs(out(i).getAs[Double]("cxz") + 1.0) < 1e-9)
+      assert(out(i).isNullAt(out(i).fieldIndex("cxc")), "constant side null")
+    }
+    // single-row frame: zero variance -> null
+    assert(out(0).isNullAt(out(0).fieldIndex("cxy")))
+  }
+
   test("rolling clamp does not pad for nulls inside a full frame") {
     val df = Seq((0, Some(5.0)), (1, None), (2, Some(7.0)), (3, Some(8.0)))
       .toDF("i", "v")
