@@ -824,6 +824,18 @@ object ExtQueries {
         .orderBy(col("event_id"))
     },
 
+    // Holt linear (level+trend) smoothing per user with one-step forecast.
+    "q146_holt" -> { (s, dir) =>
+      Advanced.holtKeyed(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts"), col("value")),
+        Seq("user_id"), Seq("ts", "event_id"), "value",
+        alpha = 0.4, beta = 0.2)
+        .select(col("event_id"), col("user_id"), col("level"), col("trend"),
+          col("forecast"))
+        .orderBy(col("event_id"))
+    },
+
     // rolling Pearson correlation (5-row left window per customer) between
     // price and order day-of-month — exact scaled co-moment window sums.
     "q145_rolling_corr" -> { (s, dir) =>
@@ -1887,6 +1899,26 @@ object ExtQueries {
            SELECT e.event_id, e.user_id, e.x, e.rn, 0.9 * r.s + e.x AS s
            FROM rec r JOIN seq e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
          SELECT event_id, user_id, s AS decay FROM rec ORDER BY event_id""",
+
+    // mirrors Advanced.holtKeyed: two-state per-key recursion; the damping
+    // factors are written (1.0 - a) exactly as the Scala computes them (a
+    // literal 0.6 can differ from 1.0-0.4 in the last ulp).
+    "q146_holt" ->
+      """WITH RECURSIVE seq AS (
+           SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         rec AS (
+           SELECT event_id, user_id, x, rn, x AS l, CAST(0.0 AS DOUBLE) AS b
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT e.event_id, e.user_id, e.x, e.rn,
+             0.4 * e.x + (1.0 - 0.4) * (r.l + r.b) AS l,
+             0.2 * ((0.4 * e.x + (1.0 - 0.4) * (r.l + r.b)) - r.l)
+               + (1.0 - 0.2) * r.b AS b
+           FROM rec r JOIN seq e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT event_id, user_id, l AS level, b AS trend, l + b AS forecast
+         FROM rec ORDER BY event_id""",
 
     // mirrors Rolling.rCorr: identical scaled window sums and closed-form
     // op order; zero-variance windows null on both sides.

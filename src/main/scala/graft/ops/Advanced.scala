@@ -599,6 +599,54 @@ object Advanced {
     spark.createDataFrame(rows, schema)
   }
 
+  /** HOLT LINEAR (double exponential / level+trend) smoothing per key —
+    * the next step up from [[ewmaKeyed]] when series have drift:
+    *   l_1 = x_1, b_1 = 0;
+    *   l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+    *   b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+    * Emits the smoothed level, trend, and the one-step-ahead forecast
+    * (l + b). Same distributed shape as the keyed fold: one hash shuffle on
+    * the key, in-partition sort, O(1) state per key run; the fixed IEEE op
+    * sequence replays per key in SQL (oracle q146). */
+  def holtKeyed(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+                xCol: String, alpha: Double, beta: Double,
+                levelOut: String = "level", trendOut: String = "trend",
+                forecastOut: String = "forecast"): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1,
+      s"alpha in (0,1], beta in [0,1], got ($alpha, $beta)")
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.withColumn(xCol, col(xCol).cast(DoubleType))
+      .repartition(parts, keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
+    val schema = sorted.schema
+      .add(levelOut, DoubleType, nullable = false)
+      .add(trendOut, DoubleType, nullable = false)
+      .add(forecastOut, DoubleType, nullable = false)
+    val keyIdx = keyCols.map(sorted.schema.fieldIndex)
+    val xIdx = sorted.schema.fieldIndex(xCol)
+    val rows = sorted.rdd.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var l = 0.0; var b = 0.0; var first = true
+      it.map { r =>
+        if (r.isNullAt(xIdx))
+          throw new IllegalArgumentException(
+            s"holtKeyed: null $xCol — filter or impute first")
+        val k = keyIdx.map(r.get)
+        if (k != curKey) { curKey = k; first = true }
+        val x = r.getDouble(xIdx)
+        if (first) { l = x; b = 0.0; first = false }
+        else {
+          val lPrev = l
+          l = alpha * x + (1.0 - alpha) * (lPrev + b)
+          b = beta * (l - lPrev) + (1.0 - beta) * b
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ l :+ b :+ (l + b))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Exponentially weighted moving average per key (pandas
     * `ewm(alpha, adjust=False).mean()` semantics: s_1 = x_1, then
     * s_t = (1-alpha)*s_{t-1} + alpha*x_t) — the standard smoothing /

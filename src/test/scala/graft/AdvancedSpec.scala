@@ -360,6 +360,35 @@ class AdvancedSpec extends SparkSuite {
     }
   }
 
+  test("holtKeyed == two-state per-key fold, bitwise; forecast = l + b") {
+    val rnd = new scala.util.Random(3)
+    val data = (0 until 2000).map(i =>
+      (i.toLong, (i % 11).toLong, rnd.nextDouble() * 30 + i * 0.01))
+    val df = data.toDF("id", "k", "x").repartition(4)
+    val out = Advanced.holtKeyed(df, Seq("k"), Seq("id"), "x", 0.4, 0.2)
+      .select("id", "level", "trend", "forecast").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val expect = data.groupBy(_._2).flatMap { case (_, rows) =>
+      var l = 0.0; var b = 0.0; var first = true
+      rows.sortBy(_._1).map { case (id, _, x) =>
+        if (first) { l = x; b = 0.0; first = false }
+        else {
+          val lp = l
+          l = 0.4 * x + (1.0 - 0.4) * (lp + b)
+          b = 0.2 * (l - lp) + (1.0 - 0.2) * b
+        }
+        id -> (l, b)
+      }
+    }
+    assert(out.size == 2000)
+    expect.foreach { case (id, (l, b)) =>
+      def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+      assert(bits(out(id)._1) == bits(l) && bits(out(id)._2) == bits(b), s"id=$id")
+      assert(bits(out(id)._3) == bits(l + b), s"forecast id=$id")
+    }
+  }
+
   test("linearRecurrence keyless segmented scan: exact on integer data, " +
     "close on doubles") {
     // integer-representable states: segmented carries are exact, so the
