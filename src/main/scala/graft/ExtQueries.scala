@@ -824,6 +824,32 @@ object ExtQueries {
         .orderBy(col("event_id"))
     },
 
+    // winsorize at [1%, 99%]: the clip is visible through per-flag min/max
+    // (pinned to the global cutoffs) and the exact-sum mean.
+    "q147_winsorize" -> { (s, dir) =>
+      val w = graft.ops.Ml.winsorize(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice"), 0.01, 0.99)
+      w.groupBy(col("l_returnflag"))
+        .agg(min(col("l_quantity")).as("min_q"),
+          max(col("l_quantity")).as("max_q"),
+          (Reductions.isum(col("l_extendedprice"), 4) / count(lit(1)))
+            .as("mean_p"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // robust scaler (median/IQR): per-flag exact-sum mean of the scaled
+    // column proves fit + transform end-to-end.
+    "q148_robust_scale" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val m = graft.ops.Ml.fitRobustScaler(li, Seq("l_extendedprice"))
+      m.transform(li)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          (Reductions.isum(col("l_extendedprice_rs"), 6) / count(lit(1)))
+            .as("mean_rs"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Holt linear (level+trend) smoothing per user with one-step forecast.
     "q146_holt" -> { (s, dir) =>
       Advanced.holtKeyed(
@@ -1899,6 +1925,41 @@ object ExtQueries {
            SELECT e.event_id, e.user_id, e.x, e.rn, 0.9 * r.s + e.x AS s
            FROM rec r JOIN seq e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
          SELECT event_id, user_id, s AS decay FROM rec ORDER BY event_id""",
+
+    // mirrors Ml.winsorize: quantile_cont == Spark exact percentile (q21
+    // precedent), identical clip and exact-sum mean.
+    "q147_winsorize" ->
+      """WITH c AS (SELECT
+           quantile_cont(l_quantity, 0.01) AS qlo,
+           quantile_cont(l_quantity, 0.99) AS qhi,
+           quantile_cont(l_extendedprice, 0.01) AS plo,
+           quantile_cont(l_extendedprice, 0.99) AS phi
+         FROM lineitem),
+         w AS (SELECT l_returnflag,
+           least(greatest(CAST(l_quantity AS DOUBLE), qlo), qhi) AS q,
+           least(greatest(CAST(l_extendedprice AS DOUBLE), plo), phi) AS p
+         FROM lineitem, c)
+         SELECT l_returnflag, min(q) AS min_q, max(q) AS max_q,
+           CAST(SUM(CAST(FLOOR(p * 10000.0) AS DECIMAL(30,0))) AS DOUBLE)
+             / 10000.0 / COUNT(*) AS mean_p
+         FROM w GROUP BY 1 ORDER BY 1""",
+
+    // mirrors Ml.fitRobustScaler + transform: same median/IQR fit, same
+    // (x - med) / iqr op order, zero-IQR guard to divisor 1.
+    "q148_robust_scale" ->
+      """WITH f AS (SELECT
+           quantile_cont(l_extendedprice, 0.5) AS med,
+           quantile_cont(l_extendedprice, 0.75)
+             - quantile_cont(l_extendedprice, 0.25) AS iqr
+         FROM lineitem),
+         sc AS (SELECT l_returnflag,
+           (CAST(l_extendedprice AS DOUBLE) - med)
+             / (CASE WHEN iqr = 0 THEN 1.0 ELSE iqr END) AS v
+         FROM lineitem, f)
+         SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(v * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE)
+             / 1000000.0 / COUNT(*) AS mean_rs
+         FROM sc GROUP BY 1 ORDER BY 1""",
 
     // mirrors Advanced.holtKeyed: two-state per-key recursion; the damping
     // factors are written (1.0 - a) exactly as the Scala computes them (a

@@ -78,6 +78,54 @@ object Ml {
     }.toMap)
   }
 
+  /** WINSORIZE at global [pLow, pHigh] percentile cutoffs — the standard
+    * robust-preprocessing clip for heavy-tailed features (fares, latencies,
+    * token counts). The fit is ONE tiny aggregation (2·|cols| doubles)
+    * broadcast back; the clip itself is codegen least/greatest. Spark's
+    * exact interpolating `percentile` matches DuckDB `quantile_cont`
+    * bit-for-bit (the q21 precedent), so the whole op replays in SQL.
+    * Nulls pass through (least/greatest would otherwise absorb them into
+    * the cutoff). */
+  def winsorize(df: DataFrame, cols: Seq[String],
+                pLow: Double = 0.01, pHigh: Double = 0.99): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh)
+    val aggs = cols.flatMap { c =>
+      Seq(percentile(col(c), lit(pLow)).as(s"__lo_$c"),
+        percentile(col(c), lit(pHigh)).as(s"__hi_$c"))
+    }
+    val cut = df.agg(aggs.head, aggs.tail: _*)
+    val clipped = cols.foldLeft(df.crossJoin(broadcast(cut))) { (d, c) =>
+      d.withColumn(c, when(col(c).isNotNull,
+        least(greatest(col(c).cast(DoubleType), col(s"__lo_$c")),
+          col(s"__hi_$c"))))
+    }
+    clipped.drop(cols.flatMap(c => Seq(s"__lo_$c", s"__hi_$c")): _*)
+  }
+
+  /** Fitted robust scaler: (x − median) / IQR per column — the outlier-proof
+    * sibling of the standard scaler. Zero-IQR (constant-ish) columns map to
+    * x − median (divisor 1), mirroring fitMinMax's degenerate-span rule. */
+  case class RobustModel(stats: Map[String, (Double, Double)]) extends DatasetTransform {
+    def transform(df: DataFrame): DataFrame =
+      stats.foldLeft(df) { case (d, (c, (med, iqr))) =>
+        val span = if (iqr == 0.0) 1.0 else iqr
+        d.withColumn(s"${c}_rs", (col(c) - lit(med)) / lit(span))
+      }
+  }
+
+  def fitRobustScaler(df: DataFrame, cols: Seq[String]): RobustModel = {
+    val aggs = cols.flatMap { c =>
+      Seq(percentile(col(c), lit(0.5)).as(s"${c}__med"),
+        (percentile(col(c), lit(0.75)) - percentile(col(c), lit(0.25)))
+          .as(s"${c}__iqr"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    RobustModel(cols.map { c =>
+      c -> (row.getDouble(row.fieldIndex(s"${c}__med")),
+        row.getDouble(row.fieldIndex(s"${c}__iqr")))
+    }.toMap)
+  }
+
   /** Fitted min-max scaler to [0,1]. */
   case class MinMaxModel(ranges: Map[String, (Double, Double)]) extends DatasetTransform {
     def transform(df: DataFrame): DataFrame =

@@ -311,4 +311,30 @@ class MlModelSpec extends SparkSuite {
     assert(math.abs(r2.getAs[Double]("rmse") - 1.0) < 1e-9)
     assert(math.abs(r2.getAs[Double]("mae") - 1.0) < 1e-9)
   }
+
+  test("winsorize clips to percentile cutoffs, nulls pass through") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (i.toLong, Some(i.toDouble))) :+
+      (101L, None: Option[Double])).toDF("id", "v")
+    val w = Ml.winsorize(df, Seq("v"), 0.05, 0.95).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // percentile(0.05) over 1..100 = 5.95; (0.95) = 95.05 (interpolated)
+    assert(w(1L).get == 5.95 && w(100L).get == 95.05)
+    assert(w(50L).get == 50.0, "interior values untouched")
+    assert(w(101L).isEmpty, "null passes through")
+  }
+
+  test("robust scaler: median 0, IQR 1 on the fitted column; constant col safe") {
+    import spark.implicits._
+    val df = (1 to 101).map(i => (i.toLong, i.toDouble, 7.0)).toDF("id", "v", "c")
+    val m = Ml.fitRobustScaler(df, Seq("v", "c"))
+    val out = m.transform(df).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("v_rs"), r.getAs[Double]("c_rs"))).toMap
+    assert(out(51L)._1 == 0.0, "median maps to 0")
+    // v: med=51, IQR=76-26=50 → v=76 maps to 0.5
+    assert(out(76L)._1 == 0.5)
+    assert(out(1L)._2 == 0.0, "constant column maps to 0 (divisor 1)")
+  }
 }
