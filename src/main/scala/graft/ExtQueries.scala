@@ -887,6 +887,82 @@ object ExtQueries {
         .orderBy(col("event_id"))
     },
 
+    // PageRank over the customer↔supplier trading graph — fixed-point
+    // BIGINT ranks (scale 10^12), so 5 iterations replay integer-exact in
+    // any engine regardless of partitioning or reduce order.
+    "q149_pagerank" -> { (s, dir) =>
+      Graph.pageRank(
+        Graph.tradingPairsGraph(t(s, dir, "orders"), t(s, dir, "lineitem")),
+        "src", "dst", iters = 5, damp = 85)
+        .orderBy(col("r").desc, col("id")).limit(20)
+    },
+
+    // Autocorrelation of the event value series at lags 1..3 (per-user
+    // series, pooled pairs) — exact scaled co-moment sums.
+    "q150_acf" -> { (s, dir) =>
+      Stats.acf(t(s, dir, "events"), Seq("user_id"), Seq("ts", "event_id"),
+        "value", Seq(1, 2, 3))
+        .withColumnRenamed("lag", "lag_k")
+    },
+
+    // Mann-Whitney U: click vs purchase value distributions, distributed
+    // pooled average ranks (doubled → integer-exact rank sums).
+    "q151_mann_whitney" -> { (s, dir) =>
+      Stats.mannWhitneyU(t(s, dir, "events"), "value", "event_type",
+        "click", "purchase")
+    },
+
+    // Two-sample Kolmogorov-Smirnov: D as an exact integer max over the
+    // distributed cumulative-count frame.
+    "q152_ks_test" -> { (s, dir) =>
+      Stats.ksTest(t(s, dir, "events"), "value", "event_type",
+        "click", "purchase")
+    },
+
+    // Chi-square independence of lang × source over documents — per-cell
+    // terms floor-scale-summed exactly.
+    "q153_chi_square" -> { (s, dir) =>
+      Stats.chiSquareIndependence(t(s, dir, "documents"), "lang", "source")
+    },
+
+    // Equal-frequency quantile binning (k=4) of l_extendedprice: the fit
+    // is the distributed rank-selection (no percentile agg buffer), the
+    // transform a codegen CASE chain; per-bin stats prove both.
+    "q154_quantile_bin" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val m = graft.ops.Ml.fitQuantileBinner(li, Seq("l_extendedprice"), 4)
+      m.transform(li)
+        .groupBy(col("l_extendedprice_bin").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).cast(DoubleType).as("min_p"),
+          max(col("l_extendedprice")).cast(DoubleType).as("max_p"),
+          (Reductions.isum(col("l_extendedprice"), 4) / count(lit(1)))
+            .as("mean_p"))
+        .orderBy(col("bin"))
+    },
+
+    // Funnel conversion view→click→purchase (strictly-after,
+    // earliest-completion semantics), k−1 keyed joins on the user key.
+    "q156_funnel" -> { (s, dir) =>
+      Behavior.funnel(t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+        .orderBy(col("stage_idx"))
+    },
+
+    // Cohort retention triangle: ISO-week cohorts × active-week offsets.
+    "q157_cohort_retention" -> { (s, dir) =>
+      Behavior.cohortRetention(t(s, dir, "events"), "user_id", "ts")
+    },
+
+    // Deterministic weighted Bernoulli sample (P ∝ n_chars), md5-keyed —
+    // the "sample long documents more" curation primitive.
+    "q158_weighted_sample" -> { (s, dir) =>
+      t(s, dir, "documents").hashSampleRowsWeighted("n_chars", Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+        .orderBy(col("lang"))
+    },
+
     // The projection/repair conveniences under the oracle gate in one
     // chain: add-column (scalar lit broadcast), parse-column :relaxed?
     // (try_cast + boolean `_unparsed` side column), remove-empty-columns
@@ -1925,6 +2001,202 @@ object ExtQueries {
            SELECT e.event_id, e.user_id, e.x, e.rn, 0.9 * r.s + e.x AS s
            FROM rec r JOIN seq e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
          SELECT event_id, user_id, s AS decay FROM rec ORDER BY event_id""",
+
+    // mirrors Graph.pageRank over Graph.tradingPairsGraph: the whole
+    // iteration is BIGINT fixed-point (truncating //), so 5 unrolled
+    // rounds replay integer-exact — no float reduce-order drift possible.
+    "q149_pagerank" -> {
+      val iters = (1 to 5).map { k =>
+        s"""r$k AS (SELECT e.dst AS id,
+             (SELECT b FROM base) + (85 * SUM(r.r // d.outdeg)) // 100 AS r
+           FROM e JOIN r${k - 1} r ON e.src = r.id JOIN deg d ON d.src = e.src
+           GROUP BY e.dst)"""
+      }.mkString(",\n         ")
+      s"""WITH pairs AS (
+           SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS (SELECT cnode AS src, snode AS dst FROM pairs
+               UNION ALL SELECT snode, cnode FROM pairs),
+         deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+         n AS (SELECT COUNT(*) AS nn FROM deg),
+         base AS (SELECT (15 * (1000000000000 // nn)) // 100 AS b FROM n),
+         r0 AS (SELECT src AS id, (SELECT 1000000000000 // nn FROM n) AS r FROM deg),
+         $iters
+         SELECT id, CAST(r AS BIGINT) AS r FROM r5
+         ORDER BY r DESC, id LIMIT 20"""
+    },
+
+    // mirrors Stats.acf: keyed lag windows, pooled pairs per lag, the
+    // q145 closed-form Pearson over floor-scaled exact sums.
+    "q150_acf" ->
+      """WITH b AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS x
+           FROM events),
+         l AS (SELECT x, lag(x, 1) OVER w AS y1, lag(x, 2) OVER w AS y2,
+                 lag(x, 3) OVER w AS y3
+               FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         p AS (SELECT 1 AS lag_k, x, y1 AS y FROM l
+               UNION ALL SELECT 2, x, y2 FROM l
+               UNION ALL SELECT 3, x, y3 FROM l),
+         f AS (SELECT lag_k, x, y FROM p
+               WHERE x IS NOT NULL AND y IS NOT NULL
+                 AND NOT isnan(x) AND NOT isnan(y)),
+         s AS (SELECT lag_k, CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS sx,
+           CAST(SUM(CAST(FLOOR(y * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS sy,
+           CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS sxx,
+           CAST(SUM(CAST(FLOOR(y * y * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS syy,
+           CAST(SUM(CAST(FLOOR(x * y * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS sxy
+           FROM f GROUP BY 1)
+         SELECT lag_k, CAST(n AS BIGINT) AS n,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN (n * sxy - sx * sy)
+                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+           END AS acf
+         FROM s ORDER BY lag_k""",
+
+    // mirrors Stats.mannWhitneyU: 2·avgrank = 2·rank + ties − 1 (always an
+    // integer), exact rank/tie sums, then the identical scalar z formula.
+    "q151_mann_whitney" ->
+      """WITH f AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE event_type IN ('click', 'purchase')
+             AND value IS NOT NULL AND NOT isnan(value)),
+         r AS (SELECT g,
+             2 * rank() OVER (ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY x) - 1 AS dr
+           FROM f),
+         agg AS (SELECT
+             CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN g = 'click' THEN dr ELSE 0 END) AS BIGINT) AS r1d
+           FROM r),
+         tie AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tt
+           FROM (SELECT COUNT(*) AS t FROM f GROUP BY x) z)
+         SELECT n1, n2, r1d AS r1_doubled,
+           CAST(r1d - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+           (CAST(r1d - n1 * (n1 + 1) AS DOUBLE) / 2.0
+             - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+           / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+               * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                  - CAST(tt AS DOUBLE)
+                    / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0))))
+           AS z
+         FROM agg, tie""",
+
+    // mirrors Stats.ksTest: D as an exact integer max over cumulative
+    // per-value counts; the only divisions happen once, at the end.
+    "q152_ks_test" ->
+      """WITH f AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE event_type IN ('click', 'purchase')
+             AND value IS NOT NULL AND NOT isnan(value)),
+         g AS (SELECT x,
+             CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           FROM f GROUP BY x),
+         c AS (SELECT CAST(SUM(c1) OVER (ORDER BY x) AS BIGINT) AS cc1,
+                      CAST(SUM(c2) OVER (ORDER BY x) AS BIGINT) AS cc2 FROM g),
+         n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                      CAST(SUM(c2) AS BIGINT) AS n2 FROM g),
+         d AS (SELECT CAST(MAX(ABS(cc1 * n2 - cc2 * n1)) AS BIGINT) AS d_num
+               FROM c, n)
+         SELECT n1, n2, d_num,
+           CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d,
+           CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) AS ks_stat
+         FROM n, d""",
+
+    // mirrors Stats.chiSquareIndependence: identical per-cell term op
+    // order from integer counts, floor-scale-9 exact term sum.
+    "q153_chi_square" ->
+      """WITH cells AS (SELECT lang AS a, source AS b,
+             CAST(COUNT(*) AS BIGINT) AS o
+           FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+         rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rtot FROM cells GROUP BY 1),
+         ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS ctot FROM cells GROUP BY 1),
+         nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                       COUNT(DISTINCT a) AS ra, COUNT(DISTINCT b) AS rb
+                FROM cells),
+         term AS (SELECT
+             (CAST(o AS DOUBLE)
+               - CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(o AS DOUBLE)
+               - CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE))
+             AS t
+           FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN nt)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           (SELECT (ra - 1) * (rb - 1) FROM nt) AS dof,
+           CAST(SUM(CAST(FLOOR(t * 1000000000.0) AS DECIMAL(30,0))) AS DOUBLE)
+             / 1000000000.0 AS chi2
+         FROM term""",
+
+    // mirrors Ml.fitQuantileBinner(k=4) + transform: quantile_cont ==
+    // the rank-selection interpolation (q106 precedent), same CASE-chain
+    // bin assignment, exact-sum per-bin mean.
+    "q154_quantile_bin" ->
+      """WITH c AS (SELECT
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS c1,
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50) AS c2,
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS c3
+         FROM lineitem),
+         b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+           1 + (CASE WHEN CAST(l_extendedprice AS DOUBLE) > c1 THEN 1 ELSE 0 END)
+             + (CASE WHEN CAST(l_extendedprice AS DOUBLE) > c2 THEN 1 ELSE 0 END)
+             + (CASE WHEN CAST(l_extendedprice AS DOUBLE) > c3 THEN 1 ELSE 0 END)
+           AS bin
+         FROM lineitem, c)
+         SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(x) AS min_p, MAX(x) AS max_p,
+           CAST(SUM(CAST(FLOOR(x * 10000.0) AS DECIMAL(30,0))) AS DOUBLE)
+             / 10000.0 / COUNT(*) AS mean_p
+         FROM b GROUP BY 1 ORDER BY 1""",
+
+    // mirrors Behavior.funnel(view→click→purchase): per-stage earliest
+    // completion, strictly-after joins on the user key.
+    "q156_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+         SELECT * FROM (
+           SELECT 1 AS stage_idx, 'view' AS stage,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+           UNION ALL SELECT 2, 'click',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+           UNION ALL SELECT 3, 'purchase',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)) u
+         ORDER BY stage_idx""",
+
+    // mirrors Behavior.cohortRetention: date_trunc('week') Mondays both
+    // engines; offsets are integer day-diffs // 7.
+    "q157_cohort_retention" ->
+      """WITH ev AS (SELECT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+         c AS (SELECT user_id, MIN(wk) AS cohort FROM ev GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, wk FROM ev)
+         SELECT c.cohort AS cohort_week,
+           CAST((a.wk - c.cohort) // 7 AS INT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+         FROM a JOIN c ON a.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirrors TableOps.hashSampleRowsWeighted(n_chars, doc_id): the keep
+    // decision u·maxW < w·10⁶ is pure integer arithmetic (q52's md5 idiom).
+    "q158_weighted_sample" ->
+      """WITH mx AS (SELECT MAX(n_chars) AS maxw FROM documents)
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+         FROM documents, mx
+         WHERE (CAST(concat('0x', substr(md5(concat_ws('#', doc_id)), 1, 15))
+                  AS BIGINT) % 1000000) * maxw < n_chars * 1000000
+         GROUP BY 1 ORDER BY 1""",
 
     // mirrors Ml.winsorize: quantile_cont == Spark exact percentile (q21
     // precedent), identical clip and exact-sum mean.

@@ -63,6 +63,15 @@ object LlmQueries {
         .limit(100)
     },
 
+    // Edit-distance-VERIFIED near-dup pairs: LSH proposes, exact
+    // prefix-Levenshtein disposes — the sketch→exact verification ladder.
+    "q155_lev_dedup" -> { (s, dir) =>
+      TextDedup.levenshteinVerifiedPairs(t(s, dir, "documents"),
+        "doc_id", "text", shingleLen = 3, numHashes = 64, bands = 32,
+        minEstJaccard = 0.2, prefixLen = 200, maxDist = 40)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // SimHash near-dup candidates.
     "q30_simhash_pairs" -> { (s, dir) =>
       TextDedup.simhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
@@ -771,6 +780,25 @@ object LlmQueries {
          SELECT p.id_a, p.id_b, $estJaccardSql AS est_jaccard
          FROM pairs0 p JOIN sig sa ON sa.id = p.id_a JOIN sig sb ON sb.id = p.id_b
          ORDER BY est_jaccard DESC, id_a, id_b LIMIT 100""",
+
+    // mirrors TextDedup.levenshteinVerifiedPairs: the q29 candidate CTEs,
+    // the est-Jaccard gate, then DuckDB's own levenshtein over the same
+    // 200-char prefixes — two independent edit-distance implementations
+    // must agree pair for pair.
+    "q155_lev_dedup" ->
+      s"""WITH ${minhashCandidateCtes(32)},
+         cand AS (SELECT p.id_a, p.id_b, $estJaccardSql AS est_jaccard
+           FROM pairs0 p
+           JOIN sig sa ON sa.id = p.id_a JOIN sig sb ON sb.id = p.id_b
+           WHERE $estJaccardSql >= 0.2),
+         pref AS (SELECT doc_id AS pid, substr(text, 1, 200) AS pr
+                  FROM documents)
+         SELECT c.id_a, c.id_b, c.est_jaccard,
+           CAST(levenshtein(pa.pr, pb.pr) AS INT) AS lev
+         FROM cand c
+         JOIN pref pa ON pa.pid = c.id_a JOIN pref pb ON pb.pid = c.id_b
+         WHERE levenshtein(pa.pr, pb.pr) <= 40
+         ORDER BY c.id_a, c.id_b""",
 
     // mirrors TextDedup.simhashCandidatePairs: 60-bit per-bit majority vote
     // of md5-derived token hashes, 4×15-bit band collisions, exact hamming.

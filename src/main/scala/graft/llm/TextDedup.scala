@@ -175,6 +175,39 @@ object TextDedup {
         estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
   }
 
+  /** Edit-distance-VERIFIED near-dup pairs: MinHash-LSH candidates
+    * (linear rep+adjacent pairing, see [[minhashCandidatePairs]]) whose
+    * estimated Jaccard clears `minEstJaccard`, then confirmed by exact
+    * Levenshtein distance over the first `prefixLen` characters — the
+    * cheap sketch proposes, the exact-but-quadratic metric disposes.
+    *
+    * Scale: the O(prefixLen²) DP runs ONLY on surviving candidate pairs
+    * (a sliver of the corpus), and the prefix cap bounds each evaluation —
+    * full-document Levenshtein at 100 TB would be O(L²) per pair on
+    * multi-KB docs. The text join-back ships (id, prefix) for candidate
+    * ids only; `levenshtein` is a codegen builtin on both engines, so the
+    * verdict replays in SQL. */
+  def levenshteinVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                               shingleLen: Int = 3, numHashes: Int = 64,
+                               bands: Int = 32, minEstJaccard: Double = 0.2,
+                               prefixLen: Int = 200, maxDist: Int = 40)
+      : DataFrame = {
+    val cand = minhashCandidatePairs(df, idCol, textCol, shingleLen,
+        numHashes, bands)
+      .filter(col("est_jaccard") >= minEstJaccard)
+    val pref = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__pid"),
+        substring(col(textCol), 1, prefixLen).as("__prefix"))
+    cand
+      .join(pref.select(col("__pid").as("id_a"), col("__prefix").as("__pa")),
+        "id_a")
+      .join(pref.select(col("__pid").as("id_b"), col("__prefix").as("__pb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        levenshtein(col("__pa"), col("__pb")).as("lev"))
+      .filter(col("lev") <= maxDist)
+  }
+
   /** Fuzzy MinHash-LSH JOIN between two tables — the cross-corpus form of
     * near-dup detection (probe a reference set against the corpus by
     * text similarity, no equality key anywhere): both sides are minhashed

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Link-graph operators for corpus curation. Web-scale pretraining
+  * pipelines score pages by link structure (PageRank/harmonic centrality
+  * over the crawl graph) before text filters ever run; this is that
+  * operator expressed Spark-first.
+  *
+  * Determinism design: ranks are FIXED-POINT BIGINTs (scale 10¹²) and every
+  * update is integer arithmetic — truncating division for the per-edge
+  * share and the damping factor — so the result is a pure function of the
+  * edge set: independent of partitioning, merge order, cluster size, and
+  * engine (the DuckDB oracle replays all iterations with `//`). Float
+  * PageRank drifts with reduce order; integer PageRank does not.
+  */
+object Graph {
+
+  val Scale = 1000000000000L // 10^12 fixed-point scale
+
+  /** PageRank with damping d = damp/100 (integer percent) for `iters`
+    * rounds over a directed edge list (srcCol, dstCol) — duplicate edges
+    * are collapsed first. Node set = every edge endpoint; nodes with no
+    * out-edges would leak rank (classic dangling-node term), so callers
+    * wanting the undirected flavor pass both directions (see
+    * [[tradingPairsGraph]]).
+    *
+    * Per iteration: share = r div outdeg per out-edge (truncating), then
+    * r' = base + (damp·Σ_in share) div 100 with
+    * base = (100−damp)·(Scale div N) div 100. All BIGINT; Σ share ≤ Scale
+    * total so damp·Σ never overflows.
+    *
+    * Plan at scale: the degree-annotated edge list is hash-partitioned on
+    * src and persisted ONCE; each iteration is one shuffle join
+    * (ranks ⋈ edges on src — co-partitioned after the first round) + one
+    * keyed aggregation on dst. Rank frames are O(N) rows of two BIGINTs.
+    * Iterations build one linear lazy DAG (each rank frame is consumed
+    * exactly once), so the whole run is a single multi-stage job. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 5, damp: Int = 85): DataFrame = {
+    require(iters >= 1 && damp >= 0 && damp <= 100)
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edged = e.join(deg, "src")
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // N: one O(1) driver readout (the fit-side pattern) — needed to place
+    // the integer literals r0/base into the plan
+    val n = edged.select(col("src")).distinct().count()
+    val r0 = Scale / n
+    val base = (100 - damp) * (Scale / n) / 100
+    var ranks = edged.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(r0).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = edged.join(ranks, edged("src") === ranks("id"))
+        .select(col("dst"), expr("r div outdeg").as("share"))
+        .groupBy(col("dst"))
+        .agg(sum(col("share")).as("s"))
+        .select(col("dst").as("id"),
+          (lit(base) + expr(s"(${damp}L * s) div 100")).as("r"))
+    }
+    ranks
+  }
+
+  /** The TPC-H trading graph: an undirected customer↔supplier edge for
+    * every distinct pair that traded (orders ⋈ lineitem), encoded into one
+    * node space (customer c → 2c, supplier s → 2s+1) and emitted in both
+    * directions so every node has out-edges. */
+  def tradingPairsGraph(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val pairs = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("cnode"),
+        (col("l_suppkey") * 2 + 1).as("snode"))
+      .distinct()
+    pairs.select(col("cnode").as("src"), col("snode").as("dst"))
+      .unionByName(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+  }
+}

@@ -147,6 +147,58 @@ object Ml {
     }.toMap)
   }
 
+  /** Fitted equal-frequency discretizer: k quantile bins per column.
+    * `cuts(c)` holds the k−1 interior cutpoints (exact interpolated
+    * percentiles at i/k); transform assigns bin = 1 + Σ_i [x > cut_i] —
+    * a codegen CASE chain, ties at a cutpoint go to the lower bin, nulls
+    * stay null. The inverse of one-hot-style bucketing skew: every bin
+    * gets ≈ n/k rows regardless of the distribution's shape. */
+  case class QuantileBinModel(cuts: Map[String, Seq[Double]]) extends DatasetTransform {
+    def transform(df: DataFrame): DataFrame =
+      cuts.foldLeft(df) { case (d, (c, cs)) =>
+        val x = col(c).cast(DoubleType)
+        d.withColumn(s"${c}_bin", when(x.isNotNull,
+          cs.map(ct => when(x > lit(ct), 1).otherwise(0)).reduce(_ + _) + 1))
+      }
+  }
+
+  /** Quantile-binner fit WITHOUT Spark's exact `percentile` (whose agg
+    * buffer holds every value — an executor OOM at 100 TB): per column,
+    * one count aggregate, then ONE distributed range-partitioned sort +
+    * `zipWithIndex` filter picks the ≤ 2(k−1) order statistics the
+    * interpolation needs (the briefStats shape) — O(k) scalars reach the
+    * driver. Interpolation reproduces `percentile`'s
+    * `(hi−p)·v_lo + (p−lo)·v_hi` at p = q·(n−1) bit-for-bit, which DuckDB's
+    * `quantile_cont` agrees with on these inputs (q106/q147 precedent). */
+  def fitQuantileBinner(df: DataFrame, cols: Seq[String], k: Int)
+      : QuantileBinModel = {
+    require(k >= 2, s"need k ≥ 2 bins, got $k")
+    val qs = (1 until k).map(_.toDouble / k)
+    QuantileBinModel(cols.map { c0 =>
+      val vals = df.select(col(c0).cast(DoubleType))
+        .filter(col(c0).isNotNull && !isnan(col(c0).cast(DoubleType)))
+      val n = vals.count()
+      val cuts = if (n == 0) Seq.empty[Double] else {
+        val targets: Set[Long] = qs.flatMap { q =>
+          val p = q * (n - 1); Seq(p.floor.toLong, p.ceil.toLong)
+        }.toSet
+        val picked: Map[Long, Double] = vals.rdd.map(_.getDouble(0))
+          .sortBy(identity)
+          .zipWithIndex()
+          .filter { case (_, i) => targets.contains(i) }
+          .map(_.swap)
+          .collect().toMap
+        qs.map { q =>
+          val p = q * (n - 1)
+          val lo = p.floor.toLong; val hi = p.ceil.toLong
+          if (hi == lo) picked(lo)
+          else (hi - p) * picked(lo) + (p - lo) * picked(hi)
+        }
+      }
+      c0 -> cuts
+    }.toMap)
+  }
+
   /** Fitted PCA: top-k eigenvectors (rows of `components`, descending
     * eigenvalue) of the covariance — or, for the :corr method, the
     * correlation — matrix. Transform = pure column arithmetic

@@ -1,0 +1,209 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Hypothesis tests and series diagnostics over distributed frames — the
+  * data-QA layer a curation pipeline runs before/after every transform
+  * (did the dedup shift the length distribution? is quality independent of
+  * source? is the metric series autocorrelated?).
+  *
+  * Every statistic here is an EXACT integer/fixed-point reduction followed
+  * by one fixed IEEE-double op sequence, so results are bit-identical on
+  * any cluster size and replayable by an external engine (the DuckDB
+  * oracles recompute them add-for-add). Nothing holds O(n) state in an
+  * aggregation buffer and nothing data-sized reaches the driver:
+  *  - ranks come from [[Advanced.doubledAvgRankTable]] (range-partitioned
+  *    distinct values + O(partitions) offsets);
+  *  - cumulative counts use the same per-partition-totals shape;
+  *  - cell/contingency work is plain keyed aggregation.
+  */
+object Stats {
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) two-sample test: are `valueCol`'s
+    * distributions under `groupCol == a` vs `== b` stochastically equal?
+    * Complete-case (null/NaN rows dropped). Returns one row:
+    * (n1, n2, r1_doubled, u1, z) where r1_doubled = Σ 2·avgrank over group
+    * a (an exact integer — average ranks are half-integers), u1 the U
+    * statistic for group a, z the tie-corrected normal approximation.
+    *
+    * Plan: one distributed rank build over the pooled values + two keyed
+    * aggregations; the per-(group, value) count frame — not the data —
+    * carries the rank join. Driver sees O(1) scalars. */
+  def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
+                   a: String, b: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pooled = df
+      .filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast(DoubleType)))
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast(DoubleType).as("__x"))
+      // consumed by the rank build AND the per-group count frame
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (ranks, cleanup) =
+      Advanced.doubledAvgRankTable(pooled.select(col("__x")), "__x", "__dr")
+    // per-(group, value) counts — the only frame that joins the rank table
+    val perVal = pooled.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__n"))
+    val agg = perVal.join(ranks, perVal("__x") === ranks("__v"))
+      .agg(
+        sum(when(col("__g") === a, col("__n")).otherwise(0L)).as("n1"),
+        sum(when(col("__g") === b, col("__n")).otherwise(0L)).as("n2"),
+        sum(when(col("__g") === a, col("__dr") * col("__n")).otherwise(0L))
+          .as("r1d"))
+      .collect()(0)
+    // tie term Σ t³−t over POOLED per-value counts (t = Σ_g n): a second
+    // value-keyed aggregation over the same cached frame
+    val tieTerm = pooled.groupBy(col("__x")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tt"))
+      .collect()(0).getLong(0)
+    pooled.unpersist(); cleanup()
+    val n1 = agg.getLong(0); val n2 = agg.getLong(1); val r1d = agg.getLong(2)
+    // U1 from the doubled rank sum: 2·U1 = 2·R1 − n1(n1+1)
+    val u1 = (r1d - n1 * (n1 + 1)).toDouble / 2.0
+    val nn = (n1 + n2).toDouble
+    val mu = n1.toDouble * n2.toDouble / 2.0
+    val sig2 = n1.toDouble * n2.toDouble / 12.0 *
+      ((nn + 1.0) - tieTerm.toDouble / (nn * (nn - 1.0)))
+    val z = if (sig2 > 0) (u1 - mu) / math.sqrt(sig2) else Double.NaN
+    Seq((n1, n2, r1d, u1, z)).toDF("n1", "n2", "r1_doubled", "u1", "z")
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic D = max_v |F_a(v) − F_b(v)|,
+    * computed EXACTLY as a max over integers: d_num = max |c1·n2 − c2·n1|
+    * where c1/c2 are cumulative counts at each distinct pooled value —
+    * D = d_num / (n1·n2) with one final division. Returns one row
+    * (n1, n2, d_num, d, ks_stat) with ks_stat = D·√(n1·n2/(n1+n2)).
+    *
+    * Plan: per-value (c1, c2) counts (one shuffle), range-partitioned sort
+    * of the DISTINCT values, O(partitions) partial totals to the driver,
+    * streaming per-partition cumulate — the briefStats/rank-table shape;
+    * no single-partition window, no O(n) buffer. */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+             a: String, b: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val grouped = df
+      .filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast(DoubleType)))
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast(DoubleType).as("__x"))
+      .groupBy(col("__x"))
+      .agg(sum(when(col("__g") === a, 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("__g") === b, 1L).otherwise(0L)).as("__c2"))
+      .as[(Double, Long, Long)]
+      // persisted: the range partitioner SAMPLES its child, and the sorted
+      // frame feeds two passes (totals + cumulate)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = grouped
+      .repartitionByRange(parts, col("__x"))
+      .sortWithinPartitions(col("__x"))
+      .as[(Double, Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partTotals = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s1 = 0L; var s2 = 0L
+      it.foreach { case (_, c1, c2) => s1 += c1; s2 += c2 }
+      Iterator((pid, s1, s2))
+    }.collect().sortBy(_._1)
+    val off1 = partTotals.map(_._2).scanLeft(0L)(_ + _)
+    val off2 = partTotals.map(_._3).scanLeft(0L)(_ + _)
+    val n1 = partTotals.map(_._2).sum
+    val n2 = partTotals.map(_._3).sum
+    val bc = spark.sparkContext.broadcast((off1, off2))
+    val dNum =
+      if (n1 == 0 || n2 == 0) 0L
+      else sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var c1 = bc.value._1(pid); var c2 = bc.value._2(pid)
+        var best = 0L
+        it.foreach { case (_, d1, d2) =>
+          c1 += d1; c2 += d2
+          val diff = math.abs(c1 * n2 - c2 * n1)
+          if (diff > best) best = diff
+        }
+        Iterator(best)
+      }.fold(0L)(math.max)
+    sorted.unpersist(); grouped.unpersist()
+    val d =
+      if (n1 == 0 || n2 == 0) Double.NaN
+      else dNum.toDouble / (n1.toDouble * n2.toDouble)
+    val ks = if (n1 == 0 || n2 == 0) Double.NaN
+      else d * math.sqrt(n1.toDouble * n2.toDouble / (n1.toDouble + n2.toDouble))
+    Seq((n1, n2, dNum, d, ks)).toDF("n1", "n2", "d_num", "d", "ks_stat")
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns. Returns one row (n_cells, dof, chi2) where chi2 is the
+    * floor-scaled exact sum of per-cell (o−e)²/e terms (scale 10⁹ —
+    * order-independent across engines; each TERM is the same fixed double
+    * op sequence from integer counts). Declarative plan: cell counts →
+    * broadcast-joined row/column totals → one exact-sum aggregate; no
+    * collect. Double-exactness bound: rowTotal·colTotal must stay < 2^53
+    * (10⁸ × 10⁸-row margins — beyond any contingency table). */
+  def chiSquareIndependence(df: DataFrame, colA: String, colB: String)
+      : DataFrame = {
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowTot = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__rt"))
+    val colTot = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__ct"))
+    val nTot = cells.agg(sum(col("__o")).as("__n"),
+      countDistinct(col("__a")).as("__ra"),
+      countDistinct(col("__b")).as("__rb"))
+    val term = cells
+      .join(broadcast(rowTot), "__a")
+      .join(broadcast(colTot), "__b")
+      .crossJoin(broadcast(nTot))
+      .withColumn("__e",
+        col("__rt").cast(DoubleType) * col("__ct").cast(DoubleType) /
+          col("__n").cast(DoubleType))
+      .withColumn("__term",
+        (col("__o").cast(DoubleType) - col("__e")) *
+          (col("__o").cast(DoubleType) - col("__e")) / col("__e"))
+    term.agg(
+      count(lit(1)).as("n_cells"),
+      ((first(col("__ra")) - 1L) * (first(col("__rb")) - 1L)).as("dof"),
+      Reductions.isum(col("__term"), 9).as("chi2"))
+  }
+
+  /** Autocorrelation function: Pearson correlation between the series and
+    * its lag-L shift, per lag, pooled across keys (each key is an
+    * independent series; pairs never cross keys). One keyed window pass
+    * computes every lag column, one explode + tiny aggregation finishes —
+    * a single data shuffle regardless of |lags|. Exact scaled co-moment
+    * sums (q145's closed form); |x| must stay ≲ 3·10⁶ for the scale-6
+    * floor products to fit a long per row (Int128 accumulates them
+    * exactly). Returns (lag, n, acf) per lag. */
+  def acf(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+          valueCol: String, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be ≥ 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    val x = col(valueCol).cast(DoubleType)
+    val withLags = lags.foldLeft(
+      df.select((keyCols ++ orderCols).map(col) :+ x.as("__x"): _*)) {
+      (d, l) => d.withColumn(s"__lag_$l", lag(col("__x"), l).over(w))
+    }
+    val pairs = withLags.select(explode(array(lags.map(l =>
+      struct(lit(l).as("lag"), col("__x").as("x"),
+        col(s"__lag_$l").as("y"))): _*)).as("p"))
+      .select(col("p.lag").as("lag"), col("p.x").as("x"), col("p.y").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull &&
+        !isnan(col("x")) && !isnan(col("y")))
+    val n = count(lit(1)).cast(DoubleType)
+    val sx = Reductions.isum(col("x"), 6); val sy = Reductions.isum(col("y"), 6)
+    val sxx = Reductions.isum(col("x") * col("x"), 6)
+    val syy = Reductions.isum(col("y") * col("y"), 6)
+    val sxy = Reductions.isum(col("x") * col("y"), 6)
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        when((n * sxx - sx * sx) > 0 && (n * syy - sy * sy) > 0,
+          (n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+          .as("acf"))
+      .orderBy(col("lag"))
+  }
+}

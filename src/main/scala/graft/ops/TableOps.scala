@@ -169,6 +169,25 @@ object TableOps {
         pmod(conv(substring(md5(concat_ws("#", keyCols.map(col): _*)), 1, 15),
           16, 10).cast(LongType), lit(100L)) < percent)
 
+    /** Deterministic WEIGHTED Bernoulli sample: row kept with probability
+      * ∝ its (non-negative integer) weight — P(keep) = w / max(w), decided
+      * by the same md5-derived per-key uniform as hashSampleRows, so the
+      * kept set is a pure function of key + weight values (engine/layout/
+      * rescale-invariant; an incremental rebuild keeps its sample). The
+      * comparison u·maxW < w·10⁶ is pure integer arithmetic — no float
+      * threshold to drift. maxW comes from a 1-row broadcast aggregate,
+      * not a collect. Bound: maxW < 2^53/10⁶ ≈ 9·10⁹ per-row weight. */
+    def hashSampleRowsWeighted(weightCol: String, keyCols: Seq[String])
+        : DataFrame = {
+      val mx = df.agg(max(col(weightCol).cast(LongType)).as("__maxw"))
+      df.crossJoin(broadcast(mx))
+        .filter(
+          pmod(conv(substring(md5(concat_ws("#", keyCols.map(col): _*)), 1, 15),
+            16, 10).cast(LongType), lit(1000000L)) * col("__maxw") <
+            col(weightCol).cast(LongType) * lit(1000000L))
+        .drop("__maxw")
+    }
+
     /** sort-by-column with TMD nulls-first default (reference base.clj:596-616;
       * :nan-strategy handled by normalizeNan below). */
     def sortByColumn(name: String, descending: Boolean = false,

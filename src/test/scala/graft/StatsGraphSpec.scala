@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Behavior, Graph, Ml, Stats}
+import graft.ops.TableOps._
+
+/** Specs for the round-14 stats / graph / behavior operators. The DuckDB
+  * oracles (q149-q158) pin cross-engine exactness; these pin the
+  * closed-form math on small frames where the expected values are
+  * hand-computable, plus the partition-invariance contracts. */
+class StatsGraphSpec extends SparkSuite {
+  init()
+  import spark.implicits._
+
+  test("pageRank: two-node symmetric graph converges to equal ranks") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iters = 5, damp = 85)
+      .orderBy("id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // symmetric graph → identical ranks, and mass ≈ Scale (minus
+    // truncation dust)
+    assert(r(0).getLong(1) == r(1).getLong(1))
+    val total = r.map(_.getLong(1)).sum
+    assert(total > Graph.Scale * 9 / 10 && total <= Graph.Scale)
+  }
+
+  test("pageRank: a hub node outranks leaves and ranks are partition-invariant") {
+    // star graph: hub 0 ↔ leaves 1..4
+    val pairs = (1L to 4L).flatMap(l => Seq((0L, l), (l, 0L)))
+    val edges = pairs.toDF("src", "dst")
+    val byId = Graph.pageRank(edges, "src", "dst").orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(0L) > byId(1L), s"hub ${byId(0L)} should beat leaf ${byId(1L)}")
+    assert((1L to 4L).map(byId).distinct.size == 1, "leaves must tie")
+    val repartitioned = Graph.pageRank(edges.repartition(7), "src", "dst")
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId == repartitioned, "integer ranks must not depend on layout")
+  }
+
+  test("mannWhitneyU: hand-computed small sample with ties") {
+    // A = {1, 2, 2}, B = {2, 3}: pooled avg ranks 1→1, 2→3 (ranks 2,3,4),
+    // 3→5, so doubled ranks are 2, 6, 10
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "x")
+    val r = Stats.mannWhitneyU(df, "x", "g", "a", "b").collect()(0)
+    assert(r.getAs[Long]("n1") == 3 && r.getAs[Long]("n2") == 2)
+    assert(r.getAs[Long]("r1_doubled") == 2 + 6 + 6)
+    // U1 = R1 − n1(n1+1)/2 = 7 − 6 = 1
+    assert(r.getAs[Double]("u1") == 1.0)
+  }
+
+  test("ksTest: disjoint supports give D = 1, identical samples D = 0") {
+    val disjoint = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 6.0))
+      .toDF("g", "x")
+    val r1 = Stats.ksTest(disjoint, "x", "g", "a", "b").collect()(0)
+    assert(r1.getAs[Double]("d") == 1.0)
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)).toDF("g", "x")
+    val r2 = Stats.ksTest(same, "x", "g", "a", "b").collect()(0)
+    assert(r2.getAs[Double]("d") == 0.0)
+  }
+
+  test("chiSquare: independent 2x2 gives chi2 = 0, dof = 1") {
+    // perfectly proportional counts → observed == expected
+    val rows = Seq.fill(10)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(30)(("y", "u")) ++ Seq.fill(60)(("y", "v"))
+    val r = Stats.chiSquareIndependence(rows.toDF("a", "b"), "a", "b")
+      .collect()(0)
+    assert(r.getAs[Long]("n_cells") == 4)
+    assert(r.getAs[Long]("dof") == 1)
+    assert(math.abs(r.getAs[Double]("chi2")) < 1e-8)
+  }
+
+  test("acf: a constant-increment series has lag-k pairs but NaN-free output") {
+    // x_t = t per key: perfectly linear → acf = 1 at every lag
+    val df = (1 to 50).map(i => (1L, i, i.toDouble)).toDF("k", "o", "x")
+    val out = Stats.acf(df, Seq("k"), Seq("o"), "x", Seq(1, 2)).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("acf") - 1.0) < 1e-9,
+        s"linear series must have acf 1, got $r")
+    }
+  }
+
+  test("fitQuantileBinner: bins are ≈ equal frequency and cover all rows") {
+    val df = (1 to 1000).map(i => i.toDouble).toDF("x")
+    val m = Ml.fitQuantileBinner(df, Seq("x"), 4)
+    val counts = m.transform(df).groupBy("x_bin").count()
+      .orderBy("x_bin").collect()
+    assert(counts.map(_.getAs[Int]("x_bin")).toSeq == Seq(1, 2, 3, 4))
+    counts.foreach(r => assert(math.abs(r.getAs[Long]("count") - 250L) <= 1))
+    // null passes through
+    val withNull = m.transform(Seq(Some(5.0), None).toDF("x"))
+    assert(withNull.filter(col("x").isNull && col("x_bin").isNull).count() == 1)
+  }
+
+  test("funnel: ordering is enforced (stage events before prior stage don't count)") {
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "buy", 30L), // full path
+      (2L, "view", 10L), (2L, "click", 5L),                    // click too early
+      (3L, "click", 10L), (3L, "buy", 20L)                     // never viewed
+    ).toDF("u", "t", "s").withColumn("s", timestamp_seconds(col("s")))
+    val out = Behavior.funnel(ev, "u", "t", "s", Seq("view", "click", "buy"))
+      .orderBy("stage_idx").collect()
+    assert(out.map(_.getAs[Long]("n_users")).toSeq == Seq(2L, 1L, 1L))
+  }
+
+  test("cohortRetention: offsets count weeks since first-activity week") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), // Monday week 0
+      (1L, "2024-01-10 10:00:00"), // week 1
+      (2L, "2024-01-03 10:00:00"), // same cohort week
+      (2L, "2024-01-17 10:00:00")  // week 2
+    ).toDF("u", "s").withColumn("s", to_timestamp(col("s")))
+    val out = Behavior.cohortRetention(ev, "u", "s").collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_week").toString,
+        r.getAs[Int]("week_offset"), r.getAs[Long]("n_users"))).toSeq
+    assert(out == Seq(("2024-01-01", 0, 2), ("2024-01-01", 1, 1),
+      ("2024-01-01", 2, 1)))
+  }
+
+  test("hashSampleRowsWeighted: max-weight rows always kept, zero-weight never") {
+    val df = (1 to 500).map(i => (i.toLong, if (i % 2 == 0) 100L else 0L))
+      .toDF("id", "w")
+    val kept = df.hashSampleRowsWeighted("w", Seq("id"))
+    assert(kept.filter(col("w") === 0L).count() == 0)
+    assert(kept.count() == 250) // P(keep) = w/maxW = 1 for every even row
+  }
+
+  test("levenshteinVerifiedPairs: near-identical docs pass, dissimilar filtered") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
+    val docs = Seq(
+      (1L, base), (2L, base + " extra"),
+      (3L, "completely different content about database engines and queries " * 3)
+    ).toDF("id", "text")
+    val pairs = graft.llm.TextDedup.levenshteinVerifiedPairs(
+      docs, "id", "text", minEstJaccard = 0.2, prefixLen = 100, maxDist = 20)
+      .collect()
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 1L &&
+      r.getAs[Long]("id_b") == 2L))
+    assert(!pairs.exists(r => r.getAs[Long]("id_b") == 3L ||
+      r.getAs[Long]("id_a") == 3L))
+  }
+}
