@@ -950,8 +950,12 @@ object ExtQueries {
     },
 
     // Cohort retention triangle: ISO-week cohorts × active-week offsets.
+    // (cohort week emitted as yyyy-MM-dd text — DATE columns round-trip
+    // differently through the two engines' parquet/pandas paths.)
     "q157_cohort_retention" -> { (s, dir) =>
       Behavior.cohortRetention(t(s, dir, "events"), "user_id", "ts")
+        .withColumn("cohort_week",
+          date_format(col("cohort_week"), "yyyy-MM-dd"))
     },
 
     // Deterministic weighted Bernoulli sample (P ∝ n_chars), md5-keyed —
@@ -2181,7 +2185,7 @@ object ExtQueries {
              CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
          c AS (SELECT user_id, MIN(wk) AS cohort FROM ev GROUP BY 1),
          a AS (SELECT DISTINCT user_id, wk FROM ev)
-         SELECT c.cohort AS cohort_week,
+         SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week,
            CAST((a.wk - c.cohort) // 7 AS INT) AS week_offset,
            CAST(COUNT(*) AS BIGINT) AS n_users
          FROM a JOIN c ON a.user_id = c.user_id
