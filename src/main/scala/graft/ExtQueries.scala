@@ -893,7 +893,7 @@ object ExtQueries {
     "q149_pagerank" -> { (s, dir) =>
       Graph.pageRank(
         Graph.tradingPairsGraph(t(s, dir, "orders"), t(s, dir, "lineitem")),
-        "src", "dst", iters = 5, damp = 85)
+        "src", "dst", iters = 5, damp = 85, dedupEdges = false)
         .orderBy(col("r").desc, col("id")).limit(20)
     },
 
@@ -956,6 +956,20 @@ object ExtQueries {
       Behavior.cohortRetention(t(s, dir, "events"), "user_id", "ts")
         .withColumn("cohort_week",
           date_format(col("cohort_week"), "yyyy-MM-dd"))
+    },
+
+    // Two-sided CUSUM changepoint monitor per user on the event value
+    // series — genuinely non-linear state (max clamp) through the keyed
+    // streaming fold.
+    "q160_cusum" -> { (s, dir) =>
+      Advanced.cusumKeyed(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts"), col("value")),
+        Seq("user_id"), Seq("ts", "event_id"), "value",
+        target = 50.0, slack = 5.0, threshold = 100.0)
+        .select(col("event_id"), col("user_id"), col("cusum_pos"),
+          col("cusum_neg"), col("alarm"))
+        .orderBy(col("event_id"))
     },
 
     // Deterministic weighted Bernoulli sample (P ∝ n_chars), md5-keyed —
@@ -2190,6 +2204,28 @@ object ExtQueries {
            CAST(COUNT(*) AS BIGINT) AS n_users
          FROM a JOIN c ON a.user_id = c.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirrors Advanced.cusumKeyed: per-key recursion with the identical
+    // max-clamp op order (q144's recursive-CTE pattern); NaN stickiness
+    // agrees between engines.
+    "q160_cusum" ->
+      """WITH RECURSIVE seq AS (
+           SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         rec AS (
+           SELECT event_id, user_id, x, rn,
+             GREATEST(CAST(0.0 AS DOUBLE), 0.0 + ((x - 50.0) - 5.0)) AS sp,
+             GREATEST(CAST(0.0 AS DOUBLE), 0.0 + ((50.0 - x) - 5.0)) AS sn
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT e.event_id, e.user_id, e.x, e.rn,
+             GREATEST(CAST(0.0 AS DOUBLE), r.sp + ((e.x - 50.0) - 5.0)) AS sp,
+             GREATEST(CAST(0.0 AS DOUBLE), r.sn + ((50.0 - e.x) - 5.0)) AS sn
+           FROM rec r JOIN seq e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT event_id, user_id, sp AS cusum_pos, sn AS cusum_neg,
+           (sp > 100.0 OR sn > 100.0) AS alarm
+         FROM rec ORDER BY event_id""",
 
     // mirrors TableOps.hashSampleRowsWeighted(n_chars, doc_id): the keep
     // decision u·maxW < w·10⁶ is pure integer arithmetic (q52's md5 idiom).

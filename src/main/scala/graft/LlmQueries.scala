@@ -330,6 +330,37 @@ object LlmQueries {
         .limit(20)
     },
 
+    // Reciprocal-rank fusion of lexical (BM25 top-50) and dense (cosine
+    // top-50 for query vector 0) retrieval — hybrid-search merging without
+    // score calibration.
+    "q159_rrf_fusion" -> { (s, dir) =>
+      val bm = TextStats.bm25(t(s, dir, "documents"), "doc_id", "text",
+          Seq("join", "hash", "vector"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+        .select(col("doc_id").as("id"), col("bm25").as("score"))
+      val emb = t(s, dir, "embeddings")
+      val cos = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0),
+          emb, 50)
+        .select(col("corpus_id").as("id"), col("cosine").as("score"))
+      Similarity.rrfFuse(Seq(bm, cos), "id", "score", 60)
+        .orderBy(col("rrf").desc, col("id")).limit(20)
+    },
+
+    // MMR diversified selection: 5 "relevant but not redundant" picks out
+    // of the top-20 cosine candidates for query vector 0.
+    "q161_mmr_select" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val cos = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0),
+        emb, 20)
+      val cand = cos
+        .join(emb.select(col("vec_id").as("corpus_id"), col("embedding")),
+          "corpus_id")
+        .select(col("corpus_id").as("id"), col("embedding"),
+          col("cosine").as("rel"))
+      Similarity.mmrSelect(cand, "id", "embedding", "rel", 5, 0.7)
+        .orderBy(col("pick_idx"))
+    },
+
     // CCNet-style per-language perplexity thirds under the corpus bigram LM
     // (head/middle/tail, ntile(3) semantics without its single-task window).
     "q127_perplexity_buckets" -> { (s, dir) =>
@@ -1219,6 +1250,132 @@ object LlmQueries {
            ${term("join", "df1")} + ${term("hash", "df2")} + ${term("vector", "df3")} AS bm25
            FROM d CROSS JOIN st)
          SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20"""
+    },
+
+    // mirrors Similarity.rrfFuse(bm25 top-50, cosine top-50): the q126
+    // BM25 CTEs + the q31 exact-cosine CTEs for query 0, per-list
+    // row_number ranks, and the identical two-term reciprocal sum.
+    "q159_rrf_fusion" -> {
+      def term(t: String, dfc: String) =
+        s"""((CAST(n - $dfc AS DOUBLE) + 0.5) / (CAST($dfc AS DOUBLE) + 0.5))
+            * (CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE)
+               * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+            / (CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE)
+               + CAST(1.2 AS DOUBLE)
+                 * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                    + (CAST(0.75 AS DOUBLE) * CAST(len(w) AS DOUBLE))
+                      / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))"""
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         st AS (SELECT COUNT(*) AS n, CAST(SUM(len(w)) AS BIGINT) AS sumdl,
+           CAST(SUM(CASE WHEN list_contains(w, 'join') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+           CAST(SUM(CASE WHEN list_contains(w, 'hash') THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+           CAST(SUM(CASE WHEN list_contains(w, 'vector') THEN 1 ELSE 0 END) AS BIGINT) AS df3
+           FROM d),
+         sc AS (SELECT doc_id,
+           ${term("join", "df1")} + ${term("hash", "df2")} + ${term("vector", "df3")} AS bm25
+           FROM d CROSS JOIN st),
+         bmtop AS (SELECT doc_id AS id, bm25 AS score FROM sc
+           ORDER BY bm25 DESC, doc_id LIMIT 50),
+         bmr AS (SELECT id,
+           row_number() OVER (ORDER BY score DESC NULLS LAST, id) AS r1
+           FROM bmtop),
+         nrm AS (
+           SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR(
+             CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE) * 1e12)
+             AS DECIMAL(30,0))) AS DOUBLE) / 1e12) AS nrm
+           FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY 1),
+         dots AS (
+           SELECT c.vec_id AS id,
+             CAST(SUM(CAST(FLOOR(
+               CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE) * 1e12)
+               AS DECIMAL(30,0))) AS DOUBLE) / 1e12 AS dot
+           FROM embeddings q
+           CROSS JOIN embeddings c
+           CROSS JOIN range(0, 64) t(i)
+           WHERE q.vec_id = 0 AND c.vec_id <> 0
+           GROUP BY 1),
+         cosl AS (SELECT dots.id,
+             CASE WHEN qn.nrm > 0 AND cn.nrm > 0
+                  THEN dot / (qn.nrm * cn.nrm) END AS score
+           FROM dots
+           JOIN nrm qn ON qn.vec_id = 0
+           JOIN nrm cn ON cn.vec_id = dots.id),
+         costop AS (SELECT id, score FROM cosl
+           ORDER BY score DESC NULLS LAST, id LIMIT 50),
+         cosr AS (SELECT id,
+           row_number() OVER (ORDER BY score DESC NULLS LAST, id) AS r2
+           FROM costop),
+         f AS (SELECT COALESCE(bmr.id, cosr.id) AS id,
+             COALESCE(CAST(1.0 AS DOUBLE)
+               / (CAST(60.0 AS DOUBLE) + CAST(r1 AS DOUBLE)), CAST(0.0 AS DOUBLE))
+           + COALESCE(CAST(1.0 AS DOUBLE)
+               / (CAST(60.0 AS DOUBLE) + CAST(r2 AS DOUBLE)), CAST(0.0 AS DOUBLE))
+             AS rrf
+           FROM bmr FULL OUTER JOIN cosr ON bmr.id = cosr.id)
+         SELECT id, rrf FROM f ORDER BY rrf DESC, id LIMIT 20"""
+    },
+
+    // mirrors Similarity.mmrSelect over the top-20 cosine candidates:
+    // exact pairwise cosines, then each greedy pick as one unrolled CTE
+    // with the identical λ·rel − (1−λ)·maxsim op order and
+    // DESC NULLS LAST, id tie-break.
+    "q161_mmr_select" -> {
+      val steps = (2 to 5).map { t =>
+        s"""s$t AS (SELECT c.id FROM cand c
+             WHERE c.id NOT IN (SELECT id FROM sel${t - 1})
+             ORDER BY (CAST(0.7 AS DOUBLE) * c.rel
+               - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                 * (SELECT MAX(p.cs) FROM psim p
+                    WHERE p.ia = c.id AND p.ib IN (SELECT id FROM sel${t - 1})))
+               DESC NULLS LAST, c.id LIMIT 1),
+           sel$t AS (SELECT id FROM sel${t - 1} UNION ALL SELECT id FROM s$t)"""
+      }.mkString(",\n         ")
+      s"""WITH nrm AS (
+           SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR(
+             CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE) * 1e12)
+             AS DECIMAL(30,0))) AS DOUBLE) / 1e12) AS nrm
+           FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY 1),
+         dots AS (
+           SELECT c.vec_id AS id,
+             CAST(SUM(CAST(FLOOR(
+               CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE) * 1e12)
+               AS DECIMAL(30,0))) AS DOUBLE) / 1e12 AS dot
+           FROM embeddings q CROSS JOIN embeddings c CROSS JOIN range(0, 64) t(i)
+           WHERE q.vec_id = 0 AND c.vec_id <> 0
+           GROUP BY 1),
+         cosl AS (SELECT dots.id,
+             CASE WHEN qn.nrm > 0 AND cn.nrm > 0
+                  THEN dot / (qn.nrm * cn.nrm) END AS score
+           FROM dots
+           JOIN nrm qn ON qn.vec_id = 0
+           JOIN nrm cn ON cn.vec_id = dots.id),
+         costop AS (SELECT id, score FROM cosl
+           ORDER BY score DESC NULLS LAST, id LIMIT 20),
+         cand AS (SELECT id, score AS rel FROM costop),
+         pd AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(SUM(CAST(FLOOR(
+               CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE) * 1e12)
+               AS DECIMAL(30,0))) AS DOUBLE) / 1e12 AS dot
+           FROM embeddings a
+           JOIN cand ca ON a.vec_id = ca.id
+           JOIN embeddings b ON b.vec_id <> a.vec_id
+           JOIN cand cb ON b.vec_id = cb.id
+           CROSS JOIN range(0, 64) t(i)
+           GROUP BY 1, 2),
+         psim AS (SELECT ia, ib,
+             CASE WHEN na.nrm > 0 AND nb.nrm > 0
+                  THEN dot / (na.nrm * nb.nrm) END AS cs
+           FROM pd JOIN nrm na ON na.vec_id = ia JOIN nrm nb ON nb.vec_id = ib),
+         s1 AS (SELECT id FROM cand ORDER BY rel DESC NULLS LAST, id LIMIT 1),
+         sel1 AS (SELECT id FROM s1),
+         $steps
+         SELECT * FROM (
+           SELECT 1 AS pick_idx, id FROM s1
+           UNION ALL SELECT 2, id FROM s2
+           UNION ALL SELECT 3, id FROM s3
+           UNION ALL SELECT 4, id FROM s4
+           UNION ALL SELECT 5, id FROM s5) u
+         ORDER BY pick_idx"""
     },
 
     // q113's LM CTEs + the lang join, with the per-language third-cut as a

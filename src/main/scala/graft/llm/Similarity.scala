@@ -96,6 +96,109 @@ object Similarity {
         col("c_label").as("neg_label"), col("cosine"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009): combine N retrieval
+    * rankings of the same id space into one score
+    * Σ_i 1/(k + rank_i), missing-from-list contributing 0. The standard
+    * way to merge lexical (BM25) and dense (cosine) retrieval without
+    * score calibration. Each input frame carries (idCol, scoreCol);
+    * ranks are dense row_numbers under (score DESC NULLS LAST, id ASC).
+    *
+    * Scale note: inputs are top-N RETRIEVAL LISTS (bounded by
+    * construction — callers limit upstream), so the per-list rank window
+    * is over N rows, not the corpus; the fusion join is trivially
+    * broadcastable. Summation is a fixed left-to-right fold over the
+    * list order — deterministic IEEE. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, scoreCol: String,
+              k: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranking")
+    val ranked = lists.zipWithIndex.map { case (df, i) =>
+      val w = Window.orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
+      df.select(col(idCol).as("id"),
+        row_number().over(w).as(s"__rank_$i"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    joined.select(col("id").as(idCol),
+      ranked.indices.map(i =>
+        coalesce(lit(1.0) / (lit(k.toDouble) + col(s"__rank_$i").cast(DoubleType)),
+          lit(0.0))).reduce(_ + _).as("rrf"))
+  }
+
+  /** MMR (maximal-marginal-relevance, Carbonell & Goldstein 1998)
+    * diversified selection: greedily pick `k` items maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s) — the standard
+    * "relevant but not redundant" re-rank for retrieval results and for
+    * picking diverse exemplars out of a near-dup cluster.
+    *
+    * The input is a BOUNDED candidate frame (a top-N retrieval list —
+    * the output of bruteForceTopK/ivfTopKPortable — never a corpus);
+    * greedy MMR is inherently sequential in the selection, so the
+    * candidates are collected and scored driver-side (O(N·k·dim) work,
+    * refused loudly above `maxCandidates`). All similarities use the
+    * same floor-scaled exact dot as the distributed ops, and the 1−λ
+    * damping is computed as the literal IEEE expression `1.0 − λ`, so an
+    * external engine replays every pick (oracle q161). Null rel /
+    * zero-norm similarities rank last, ties break on ascending id. */
+  def mmrSelect(candidates: DataFrame, idCol: String, embCol: String,
+                relCol: String, k: Int, lambda: Double,
+                maxCandidates: Int = 100000): DataFrame = {
+    require(k >= 1 && lambda >= 0 && lambda <= 1)
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rows = candidates
+      .select(col(idCol).cast(LongType), col(embCol),
+        col(relCol).cast(DoubleType))
+      .collect()
+    require(rows.length <= maxCandidates,
+      s"mmrSelect: ${rows.length} candidates exceed $maxCandidates — " +
+        "pass a top-N retrieval list, not a corpus")
+    case class Cand(id: Long, emb: Array[Double], rel: Option[Double])
+    val cands = rows.map { r =>
+      val emb: Array[Double] =
+        if (r.isNullAt(1)) Array.empty
+        else r.getSeq[Any](1).map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+          case x => x.toString.toDouble
+        }.toArray
+      Cand(r.getLong(0), emb,
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }.toIndexedSeq
+    def normOf(a: Array[Double]): Double =
+      math.sqrt(a.map(x => math.floor(x * x * S).toLong).sum / S)
+    val norms = cands.map(c => c.id -> normOf(c.emb)).toMap
+    def sim(a: Cand, b: Cand): Option[Double] = {
+      val na = norms(a.id); val nb = norms(b.id)
+      if (na > 0 && nb > 0) {
+        val dot = a.emb.zip(b.emb)
+          .map { case (x, y) => math.floor(x * y * S).toLong }.sum / S
+        Some(dot / (na * nb))
+      } else None
+    }
+    // (score desc nulls-last, id asc) — the same total order the SQL
+    // ORDER BY ... DESC NULLS LAST, id applies
+    def pick(scored: Seq[(Cand, Option[Double])]): Cand =
+      scored.minBy { case (c, s) =>
+        (s.isEmpty, s.map(-_).getOrElse(0.0), c.id)
+      }._1
+    val selected = scala.collection.mutable.ArrayBuffer[Cand]()
+    if (cands.nonEmpty) {
+      selected += pick(cands.map(c => c -> c.rel))
+      while (selected.length < math.min(k, cands.length)) {
+        val rest = cands.filterNot(c => selected.exists(_.id == c.id))
+        selected += pick(rest.map { c =>
+          val maxSim: Option[Double] =
+            selected.toSeq.flatMap(s => sim(c, s)).maxOption
+          val score = c.rel.flatMap(r =>
+            maxSim.map(m => lambda * r - (1.0 - lambda) * m))
+          c -> score
+        })
+      }
+    }
+    selected.zipWithIndex
+      .map { case (c, i) => (i + 1, c.id) }.toSeq
+      .toDF("pick_idx", idCol)
+  }
+
   /** Deterministic pseudo-random hyperplane component w(plane, dim) ∈ [-1, 1)
     * from md5 — stable across runs and cluster sizes. Computed DRIVER-SIDE
     * once (the matrix depends only on (plane, dim), not on rows — evaluating

@@ -661,6 +661,54 @@ object Advanced {
       b = alpha, seedFirst = true)
   }
 
+  /** Two-sided CUSUM changepoint detector per key (Page 1954):
+    *   S⁺_t = max(0, S⁺_{t-1} + ((x_t − target) − slack))
+    *   S⁻_t = max(0, S⁻_{t-1} + ((target − x_t) − slack))
+    * with alarm when either side exceeds `threshold` — the standard
+    * drift/shift monitor for metric series (and for data-quality streams:
+    * "did the mean doc quality shift after this crawl snapshot?").
+    * Genuinely non-linear state (the max clamp), so it rides the keyed
+    * streaming fold (one hash shuffle + in-partition sort, O(1) state),
+    * NOT a window function; the fixed IEEE op sequence replays per key in
+    * a recursive CTE (oracle q160). NaN inputs propagate NaN from that
+    * point on (both engines agree); nulls throw — filter or impute first. */
+  def cusumKeyed(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+                 xCol: String, target: Double, slack: Double,
+                 threshold: Double, posOut: String = "cusum_pos",
+                 negOut: String = "cusum_neg", alarmOut: String = "alarm")
+      : DataFrame = {
+    require(slack >= 0 && threshold > 0,
+      s"slack ≥ 0, threshold > 0, got ($slack, $threshold)")
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.withColumn(xCol, col(xCol).cast(DoubleType))
+      .repartition(parts, keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
+    val schema = sorted.schema
+      .add(posOut, DoubleType, nullable = false)
+      .add(negOut, DoubleType, nullable = false)
+      .add(alarmOut, BooleanType, nullable = false)
+    val keyIdx = keyCols.map(sorted.schema.fieldIndex)
+    val xIdx = sorted.schema.fieldIndex(xCol)
+    val rows = sorted.rdd.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var sp = 0.0; var sn = 0.0
+      it.map { r =>
+        if (r.isNullAt(xIdx))
+          throw new IllegalArgumentException(
+            s"cusumKeyed: null $xCol — filter or impute first")
+        val k = keyIdx.map(r.get)
+        if (k != curKey) { curKey = k; sp = 0.0; sn = 0.0 }
+        val x = r.getDouble(xIdx)
+        sp = math.max(0.0, sp + ((x - target) - slack))
+        sn = math.max(0.0, sn + ((target - x) - slack))
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ sp :+ sn :+ (sp > threshold || sn > threshold))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Keyless (whole-table) linear recurrence via a SEGMENTED scan: range
     * partition on `orderCols`, fold each partition from zero, carry the
     * boundary states across partitions (s_i = s_local_i + a^(i_local+1)·c_p,

@@ -39,12 +39,16 @@ object Graph {
     * Iterations build one linear lazy DAG (each rank frame is consumed
     * exactly once), so the whole run is a single multi-stage job. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 5, damp: Int = 85): DataFrame = {
+               iters: Int = 5, damp: Int = 85,
+               dedupEdges: Boolean = true): DataFrame = {
     require(iters >= 1 && damp >= 0 && damp <= 100)
-    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+    // dedupEdges=false skips a full edge shuffle when the caller's edge
+    // list is already distinct (e.g. tradingPairsGraph); duplicate edges
+    // would otherwise act as weighted (parallel) edges.
+    val e0 = edges.select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+    val e = if (dedupEdges) e0.distinct() else e0
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val edged = e.join(deg, "src")
       .repartition(col("src"))

@@ -127,6 +127,46 @@ class StatsGraphSpec extends SparkSuite {
     assert(kept.count() == 250) // P(keep) = w/maxW = 1 for every even row
   }
 
+  test("cusumKeyed: detects an upward shift and resets per key") {
+    // key 1: flat at target → both sides clamp to 0; then a +20 shift
+    // (slack 2) accumulates 18 per step
+    val ev = (1 to 5).map(i => (1L, i, 10.0)) ++
+      (6 to 8).map(i => (1L, i, 30.0)) ++ Seq((2L, 1, 10.0))
+    val out = graft.ops.Advanced.cusumKeyed(ev.toDF("k", "o", "x"),
+      Seq("k"), Seq("o"), "x", target = 10.0, slack = 2.0, threshold = 30.0)
+    val k1 = out.filter(col("k") === 1L).orderBy("o")
+      .select("cusum_pos", "alarm").collect()
+    assert(k1.take(5).forall(r => r.getDouble(0) == 0.0 && !r.getBoolean(1)))
+    assert(k1.drop(5).map(_.getDouble(0)).toSeq == Seq(18.0, 36.0, 54.0))
+    assert(k1.drop(5).map(_.getBoolean(1)).toSeq == Seq(false, true, true))
+    // key 2 starts fresh
+    assert(out.filter(col("k") === 2L).select("cusum_pos")
+      .collect()(0).getDouble(0) == 0.0)
+  }
+
+  test("rrfFuse: hand-computed two-list fusion with a missing id") {
+    val l1 = Seq((10L, 5.0), (20L, 3.0)).toDF("id", "score") // ranks 1, 2
+    val l2 = Seq((20L, 9.0), (30L, 1.0)).toDF("id", "score") // ranks 1, 2
+    val out = graft.llm.Similarity.rrfFuse(Seq(l1, l2), "id", "score", 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(10L) == 1.0 / 61 + 0.0)
+    assert(out(20L) == 1.0 / 62 + 1.0 / 61)
+    assert(out(30L) == 0.0 + 1.0 / 62)
+  }
+
+  test("mmrSelect: skips the redundant near-duplicate of the top pick") {
+    // a and its copy b are identical; c is orthogonal with lower rel —
+    // MMR must pick a then c (b's similarity penalty sinks it)
+    val cand = Seq(
+      (1L, Array(1.0f, 0.0f), 0.9),  // a
+      (2L, Array(1.0f, 0.0f), 0.89), // b = duplicate of a
+      (3L, Array(0.0f, 1.0f), 0.5)   // c orthogonal
+    ).toDF("id", "embedding", "rel")
+    val picks = graft.llm.Similarity.mmrSelect(cand, "id", "embedding",
+      "rel", 2, 0.7).orderBy("pick_idx").collect().map(_.getLong(1)).toSeq
+    assert(picks == Seq(1L, 3L))
+  }
+
   test("levenshteinVerifiedPairs: near-identical docs pass, dissimilar filtered") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
     val docs = Seq(
