@@ -958,6 +958,45 @@ object ExtQueries {
           date_format(col("cohort_week"), "yyyy-MM-dd"))
     },
 
+    // Gini impurity of the language mix per source — the log-free
+    // concentration metric a corpus card reports.
+    "q162_gini" -> { (s, dir) =>
+      Stats.giniImpurity(t(s, dir, "documents"), Seq("source"), "lang")
+        .orderBy(col("source"))
+    },
+
+    // Dataset diff between two snapshot variants of customer — the
+    // data-versioning primitive: one full-outer key join, per-column
+    // null-safe change flags.
+    "q163_dataset_diff" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_acctbal"))
+      val a = cust.filter(col("c_custkey") <= 1400)
+      val b = cust.filter(col("c_custkey") >= 101)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 13 === 0, col("c_acctbal") + 1.0)
+            .otherwise(col("c_acctbal")))
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 17 === 0, lit("CHANGED"))
+            .otherwise(col("c_mktsegment")))
+      Behavior.diffDatasets(a, b, Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // SCD2 dimension-history build: per-customer order-status runs with
+    // validity intervals (one keyed window pass).
+    "q164_scd2" -> { (s, dir) =>
+      Behavior.scd2History(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_orderstatus")),
+        Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"),
+        Seq("o_orderstatus"), "o_orderdate", carryCols = Seq("o_orderkey"))
+        .withColumn("valid_from", date_format(col("valid_from"), "yyyy-MM-dd"))
+        .withColumn("valid_to", date_format(col("valid_to"), "yyyy-MM-dd"))
+        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+    },
+
     // Two-sided CUSUM changepoint monitor per user on the event value
     // series — genuinely non-linear state (max clamp) through the keyed
     // streaming fold.
@@ -2204,6 +2243,69 @@ object ExtQueries {
            CAST(COUNT(*) AS BIGINT) AS n_users
          FROM a JOIN c ON a.user_id = c.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirrors Stats.giniImpurity: exact integer cell counts, fixed
+    // 1.0 − Σc²/n² op order.
+    "q162_gini" ->
+      """WITH cells AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2)
+         SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_labels,
+           1.0 - CAST(SUM(c * c) AS DOUBLE)
+             / CAST(SUM(c) * SUM(c) AS DOUBLE) AS gini
+         FROM cells GROUP BY 1 ORDER BY 1""",
+
+    // mirrors Behavior.diffDatasets: full-outer key join, IS DISTINCT
+    // FROM change flags, concat_ws skipping non-changed names.
+    "q163_dataset_diff" ->
+      """WITH cust AS (SELECT c_custkey, c_name, c_mktsegment,
+             CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM customer),
+         a AS (SELECT * FROM cust WHERE c_custkey <= 1400),
+         b AS (SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 17 = 0 THEN 'CHANGED'
+                  ELSE c_mktsegment END AS c_mktsegment,
+             CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 1.0
+                  ELSE c_acctbal END AS c_acctbal
+           FROM cust WHERE c_custkey >= 101)
+         SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+           CASE WHEN a.c_custkey IS NULL THEN 'added'
+                WHEN b.c_custkey IS NULL THEN 'removed'
+                WHEN a.c_name IS NOT DISTINCT FROM b.c_name
+                 AND a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment
+                 AND a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal
+                THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           CASE WHEN a.c_custkey IS NOT NULL AND b.c_custkey IS NOT NULL
+                THEN concat_ws(',',
+                  CASE WHEN a.c_name IS DISTINCT FROM b.c_name
+                       THEN 'c_name' END,
+                  CASE WHEN a.c_mktsegment IS DISTINCT FROM b.c_mktsegment
+                       THEN 'c_mktsegment' END,
+                  CASE WHEN a.c_acctbal IS DISTINCT FROM b.c_acctbal
+                       THEN 'c_acctbal' END)
+                ELSE '' END AS changed_cols
+         FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+         ORDER BY 1""",
+
+    // mirrors Behavior.scd2History: run-open detection by null-safe lag
+    // inequality, validity from lead over the opens frame.
+    "q164_scd2" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+             CAST(o_orderdate AS DATE) AS d, o_orderstatus FROM orders),
+         l AS (SELECT *, lag(o_orderstatus) OVER w AS prev,
+                 lag(d) OVER w AS prevd
+               FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)),
+         opens AS (SELECT * FROM l
+           WHERE prevd IS NULL OR o_orderstatus IS DISTINCT FROM prev),
+         iv AS (SELECT o_custkey, o_orderkey, o_orderstatus, d AS vf,
+             lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS vt
+           FROM opens)
+         SELECT o_custkey, o_orderkey, o_orderstatus,
+           strftime(vf, '%Y-%m-%d') AS valid_from,
+           strftime(vt, '%Y-%m-%d') AS valid_to,
+           (vt IS NULL) AS is_current
+         FROM iv ORDER BY o_custkey, valid_from, o_orderkey""",
 
     // mirrors Advanced.cusumKeyed: per-key recursion with the identical
     // max-clamp op order (q144's recursive-CTE pattern); NaN stickiness

@@ -42,6 +42,74 @@ object Behavior {
     counts.toSeq.toDF("stage_idx", "stage", "n_users")
   }
 
+  /** Dataset DIFF between two keyed snapshots — the data-versioning
+    * primitive (what changed between yesterday's corpus build and
+    * today's?). Emits one row per key present in either side:
+    * status ∈ {added, removed, changed, unchanged} plus a comma-joined
+    * list of the non-key columns whose values differ (null-safe
+    * comparison, so null→value and value→null both count as changes).
+    * Compared columns = the non-key columns the two frames SHARE, in the
+    * left frame's order.
+    *
+    * Plan: ONE full-outer shuffle join on the key — both sides
+    * hash-partition once; the per-column comparison is a codegen CASE
+    * chain, no window, no collect. At 100 TB this is the same cost as
+    * any key-equality join of the two snapshots. */
+  def diffDatasets(a: DataFrame, b: DataFrame, keyCols: Seq[String])
+      : DataFrame = {
+    val shared = a.columns.filter(c => !keyCols.contains(c) &&
+      b.columns.contains(c)).toSeq
+    val al = a.select((keyCols ++ shared).map(c => col(c).as(s"__a_$c")): _*)
+      .withColumn("__in_a", lit(1))
+    val bl = b.select((keyCols ++ shared).map(c => col(c).as(s"__b_$c")): _*)
+      .withColumn("__in_b", lit(1))
+    val cond = keyCols.map(c => al(s"__a_$c") === bl(s"__b_$c")).reduce(_ && _)
+    val joined = al.join(bl, cond, "full_outer")
+    val changedCols = concat_ws(",", shared.map(c =>
+      when(!(col(s"__a_$c") <=> col(s"__b_$c")), lit(c))): _*)
+    joined.select(
+      (keyCols.map(c => coalesce(col(s"__a_$c"), col(s"__b_$c")).as(c)) ++
+        Seq(
+          when(col("__in_a").isNull, "added")
+            .when(col("__in_b").isNull, "removed")
+            .when(shared.map(c => col(s"__a_$c") <=> col(s"__b_$c"))
+              .reduceOption(_ && _).getOrElse(lit(true)), "unchanged")
+            .otherwise("changed").as("status"),
+          when(col("__in_a").isNotNull && col("__in_b").isNotNull,
+            changedCols).otherwise(lit("")).as("changed_cols"))): _*)
+  }
+
+  /** SCD2 (slowly-changing-dimension type 2) history build: collapse a
+    * keyed, time-ordered attribute stream into validity intervals — one
+    * row per (key, attribute-state run) with valid_from / valid_to /
+    * is_current. A row opens an interval when ANY tracked attribute
+    * null-safely differs from its predecessor (or it is the key's first
+    * observation); valid_to = the next interval's valid_from (null while
+    * current). One keyed window (hash shuffle on the key), no collect —
+    * the standard warehouse dimension-history op at any scale. */
+  def scd2History(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+                  attrCols: Seq[String], tsCol: String,
+                  carryCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(attrCols.nonEmpty, "scd2History needs at least one attribute")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val changed = attrCols.map(c =>
+      !(col(c) <=> lag(col(c), 1).over(w))).reduce(_ || _)
+    val opens = df
+      .withColumn("__first", lag(col(orderCols.head), 1).over(w).isNull)
+      .withColumn("__open", col("__first") || changed)
+      .filter(col("__open"))
+    val w2 = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    opens
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((keyCols ++ carryCols ++ attrCols).map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
+
   /** Cohort retention: users bucketed by the ISO week of their first event
     * (the cohort), counted by how many were active in each subsequent week.
     * Returns (cohort_week DATE, week_offset INT, n_users) — the classic

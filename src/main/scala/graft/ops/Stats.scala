@@ -169,6 +169,28 @@ object Stats {
       Reductions.isum(col("__term"), 9).as("chi2"))
   }
 
+  /** Gini impurity of a label distribution per group:
+    * 1 − Σ_l (c_l/n)² — the log-free diversity/imbalance metric (what a
+    * corpus card reports as "language concentration per source"; entropy
+    * needs ln, whose last-ulp varies by libm — Gini is exact rational
+    * arithmetic from integer counts). Two keyed aggregations; the final
+    * double op sequence 1.0 − Σc²/n² is fixed. Exactness bound: Σc² and
+    * n·n must stay < 2^53 (n ≲ 9·10⁷ rows per group — per-GROUP, not
+    * corpus). */
+  def giniImpurity(df: DataFrame, groupCols: Seq[String], labelCol: String)
+      : DataFrame = {
+    val cells = df
+      .filter(col(labelCol).isNotNull &&
+        groupCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy((groupCols :+ labelCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    cells.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__c")).as("n"),
+        count(lit(1)).as("n_labels"),
+        (lit(1.0) - sum(col("__c") * col("__c")).cast(DoubleType) /
+          (sum(col("__c")) * sum(col("__c"))).cast(DoubleType)).as("gini"))
+  }
+
   /** Autocorrelation function: Pearson correlation between the series and
     * its lag-L shift, per lag, pooled across keys (each key is an
     * independent series; pairs never cross keys). One keyed window pass

@@ -167,6 +167,50 @@ class StatsGraphSpec extends SparkSuite {
     assert(picks == Seq(1L, 3L))
   }
 
+  test("giniImpurity: pure group 0, uniform k-label group 1-1/k") {
+    val df = (Seq.fill(10)(("pure", "a")) ++
+      Seq(("mixed", "a"), ("mixed", "b"), ("mixed", "c"), ("mixed", "d")))
+      .toDF("g", "l")
+    val out = Stats.giniImpurity(df, Seq("g"), "l").orderBy("g").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("gini")).toMap
+    assert(out("pure") == 0.0)
+    assert(math.abs(out("mixed") - 0.75) < 1e-12)
+  }
+
+  test("diffDatasets: added/removed/changed/unchanged with null-safe flags") {
+    val a = Seq((1L, Some("x"), 1.0), (2L, Some("y"), 2.0),
+      (3L, None: Option[String], 3.0)).toDF("k", "s", "v")
+    val b = Seq((2L, Some("y"), 2.5), (3L, Some("z"), 3.0), (4L, Some("w"), 4.0))
+      .toDF("k", "s", "v")
+    val out = Behavior.diffDatasets(a, b, Seq("k")).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(out == Seq(
+      (1L, "removed", ""),
+      (2L, "changed", "v"),
+      (3L, "changed", "s"), // null → "z" counts as a change
+      (4L, "added", "")))
+  }
+
+  test("scd2History: runs collapse, validity chains, last run is current") {
+    val rows = Seq(
+      (1L, 1, "A", "2024-01-01"), (1L, 2, "A", "2024-02-01"), // same run
+      (1L, 3, "B", "2024-03-01"),                             // change
+      (1L, 4, "A", "2024-04-01"),                             // change back
+      (2L, 5, "C", "2024-01-15")
+    ).toDF("k", "o", "st", "d").withColumn("d", to_date(col("d")))
+    val out = Behavior.scd2History(rows, Seq("k"), Seq("d", "o"), Seq("st"),
+      "d").orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.sql.Date]("valid_from").toString,
+        Option(r.getAs[java.sql.Date]("valid_to")).map(_.toString),
+        r.getBoolean(r.fieldIndex("is_current")))).toSeq
+    assert(out == Seq(
+      (1L, "A", "2024-01-01", Some("2024-03-01"), false),
+      (1L, "B", "2024-03-01", Some("2024-04-01"), false),
+      (1L, "A", "2024-04-01", None, true),
+      (2L, "C", "2024-01-15", None, true)))
+  }
+
   test("levenshteinVerifiedPairs: near-identical docs pass, dissimilar filtered") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
     val docs = Seq(
