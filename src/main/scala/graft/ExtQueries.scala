@@ -958,6 +958,21 @@ object ExtQueries {
           date_format(col("cohort_week"), "yyyy-MM-dd"))
     },
 
+    // Per-group EXACT interpolated quantiles without a percentile buffer
+    // or per-group sort window (stratifiedRank + order-stat selection).
+    "q165_group_quantiles" -> { (s, dir) =>
+      Reductions.groupQuantiles(t(s, dir, "events"), "event_type", "value",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))
+        .orderBy(col("event_type"))
+    },
+
+    // Median absolute deviation per group — robust spread via two
+    // distributed quantile passes.
+    "q166_mad" -> { (s, dir) =>
+      Stats.madByGroup(t(s, dir, "events"), "event_type", "value")
+        .orderBy(col("event_type"))
+    },
+
     // Gini impurity of the language mix per source — the log-free
     // concentration metric a corpus card reports.
     "q162_gini" -> { (s, dir) =>
@@ -2243,6 +2258,29 @@ object ExtQueries {
            CAST(COUNT(*) AS BIGINT) AS n_users
          FROM a JOIN c ON a.user_id = c.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirrors Reductions.groupQuantiles: per-group quantile_cont == the
+    // rank-selection interpolation (q106 precedent), complete-case.
+    "q165_group_quantiles" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(x, 0.25) AS p25,
+           quantile_cont(x, 0.5) AS p50,
+           quantile_cont(x, 0.9) AS p90
+         FROM (SELECT event_type, CAST(value AS DOUBLE) AS x FROM events
+               WHERE value IS NOT NULL AND NOT isnan(value)) f
+         GROUP BY 1 ORDER BY 1""",
+
+    // mirrors Stats.madByGroup: median, then median of absolute
+    // deviations, identical join-back and complete-case policy.
+    "q166_mad" ->
+      """WITH f AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         m AS (SELECT g, quantile_cont(x, 0.5) AS median FROM f GROUP BY 1),
+         d AS (SELECT f.g, abs(f.x - m.median) AS ad FROM f JOIN m USING (g)),
+         md AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             quantile_cont(ad, 0.5) AS mad FROM d GROUP BY 1)
+         SELECT md.g AS event_type, md.n, m.median, md.mad
+         FROM md JOIN m USING (g) ORDER BY 1""",
 
     // mirrors Stats.giniImpurity: exact integer cell counts, fixed
     // 1.0 − Σc²/n² op order.

@@ -210,6 +210,54 @@ object Reductions {
     out.toDF("column", "min", "q1", "median", "q3", "max")
   }
 
+  /** PER-GROUP exact interpolated quantiles WITHOUT Spark's `percentile`
+    * (whose agg buffer holds every group value — an executor OOM on a hot
+    * group at 100 TB) and WITHOUT a per-group sort window funnel: ranks
+    * come from `stratifiedRank` (one distributed range sort over
+    * (group, value) + O(groups) broadcast offsets), the ≤ 2·|qs| needed
+    * order statistics per group survive a codegen filter, and one tiny
+    * keyed aggregation interpolates with `percentile`'s exact
+    * `(hi−p)·v_lo + (p−lo)·v_hi` formula at p = q·(n−1) — which DuckDB's
+    * per-group `quantile_cont` matches bit-for-bit (q106 precedent).
+    * Returns (group, n, <name per quantile>) wide. Null/NaN values are
+    * complete-case dropped. */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     qs: Seq[(String, Double)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0 && q <= 1 })
+    import graft.ops.TableOps._
+    val vals = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast(DoubleType).as("__x"))
+      .filter(col("__g").isNotNull && col("__x").isNotNull &&
+        !isnan(col("__x")))
+    val ranked = vals.stratifiedRank("__g", Seq(col("__x")), "__r", "__n")
+    val zeroIdx = col("__r") - 1
+    def pRow(q: Double) = lit(q) * (col("__n") - 1).cast(DoubleType)
+    val keep = qs.map { case (_, q) =>
+      (zeroIdx === floor(pRow(q)).cast(LongType)) ||
+        (zeroIdx === ceil(pRow(q)).cast(LongType))
+    }.reduce(_ || _)
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      max(col("__n")).as("n") +: qs.flatMap { case (name, q) =>
+        Seq(
+          max(when(zeroIdx === floor(pRow(q)).cast(LongType), col("__x")))
+            .as(s"__lo_$name"),
+          max(when(zeroIdx === ceil(pRow(q)).cast(LongType), col("__x")))
+            .as(s"__hi_$name"))
+      }
+    val picked = ranked.filter(keep)
+      .groupBy(col("__g")).agg(aggs.head, aggs.tail: _*)
+    def pAgg(q: Double) = lit(q) * (col("n") - 1).cast(DoubleType)
+    picked.select(
+      col("__g").as(groupCol) +: col("n") +: qs.map { case (name, q) =>
+        val p = pAgg(q)
+        val lo = floor(p); val hi = ceil(p)
+        when(hi === lo, col(s"__lo_$name"))
+          .otherwise((hi.cast(DoubleType) - p) * col(s"__lo_$name") +
+            (p - lo.cast(DoubleType)) * col(s"__hi_$name"))
+          .as(name)
+      }: _*)
+  }
+
   /** Coarse exact sum for large-magnitude products (third moments, big
     * squares): floor(x/div) summed exactly in Int128, scaled back by div.
     * Granularity `div` absolute — deterministic on any engine, PROVIDED div

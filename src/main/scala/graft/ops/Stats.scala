@@ -191,6 +191,26 @@ object Stats {
           (sum(col("__c")) * sum(col("__c"))).cast(DoubleType)).as("gini"))
   }
 
+  /** Median absolute deviation per group — the robust spread statistic
+    * (mad = median(|x − median(x)|)), composed from two
+    * [[Reductions.groupQuantiles]] passes with the O(groups) median frame
+    * broadcast back between them. Returns (group, n, median, mad).
+    * Complete-case (null/NaN dropped); no percentile buffer, no per-group
+    * window — scales like two range sorts. */
+  def madByGroup(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val med = Reductions.groupQuantiles(df, groupCol, valueCol,
+        Seq("median" -> 0.5))
+      .select(col(groupCol), col("median"))
+    val dev = df
+      .select(col(groupCol), col(valueCol).cast(DoubleType).as("__v"))
+      .join(broadcast(med), groupCol)
+      .withColumn("__ad", abs(col("__v") - col("median")))
+    Reductions.groupQuantiles(dev, groupCol, "__ad", Seq("mad" -> 0.5))
+      .join(broadcast(med), groupCol)
+      .select(col(groupCol), col("n"), col("median"), col("mad"))
+  }
+
   /** Autocorrelation function: Pearson correlation between the series and
     * its lag-L shift, per lag, pooled across keys (each key is an
     * independent series; pairs never cross keys). One keyed window pass

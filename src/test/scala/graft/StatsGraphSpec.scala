@@ -211,6 +211,40 @@ class StatsGraphSpec extends SparkSuite {
       (2L, "C", "2024-01-15", None, true)))
   }
 
+  test("groupQuantiles: matches percentile interpolation, per group") {
+    // group a: 1..5 → p50 = 3, p25 = 2; group b: 10, 20 → p50 = 15
+    val df = ((1 to 5).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 10.0), ("b", 20.0))).toDF("g", "x")
+    val out = graft.ops.Reductions.groupQuantiles(df, "g", "x",
+      Seq("p25" -> 0.25, "p50" -> 0.5)).orderBy("g").collect()
+    assert(out(0).getAs[Double]("p25") == 2.0)
+    assert(out(0).getAs[Double]("p50") == 3.0)
+    assert(out(1).getAs[Double]("p50") == 15.0)
+    assert(out(1).getAs[Double]("p25") == 12.5)
+    // cross-check vs Spark's exact percentile on a bigger frame
+    val ev = Tables.t(spark, sfDir, "events")
+      .filter(col("value").isNotNull && !isnan(col("value")))
+    val mine = graft.ops.Reductions.groupQuantiles(ev, "event_type", "value",
+      Seq("p50" -> 0.5, "p90" -> 0.9)).orderBy("event_type").collect()
+    val ref = ev.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.9)).as("p90"))
+      .orderBy("event_type").collect()
+    mine.zip(ref).foreach { case (m, r) =>
+      assert(m.getAs[Double]("p50") == r.getAs[Double]("p50"))
+      assert(m.getAs[Double]("p90") == r.getAs[Double]("p90"))
+    }
+  }
+
+  test("madByGroup: hand-computed median and MAD") {
+    // {1, 2, 3, 4, 100}: median 3, |dev| = {2, 1, 0, 1, 97} → mad 1
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("g", _)).toDF("g", "x")
+    val r = Stats.madByGroup(df, "g", "x").collect()(0)
+    assert(r.getAs[Double]("median") == 3.0)
+    assert(r.getAs[Double]("mad") == 1.0)
+    assert(r.getAs[Long]("n") == 5)
+  }
+
   test("levenshteinVerifiedPairs: near-identical docs pass, dissimilar filtered") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
     val docs = Seq(
