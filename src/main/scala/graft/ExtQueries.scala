@@ -958,6 +958,20 @@ object ExtQueries {
           date_format(col("cohort_week"), "yyyy-MM-dd"))
     },
 
+    // Holt-Winters additive seasonal smoothing per user (period 4) — the
+    // triple-exponential member of the q144/q146 family; the oracle
+    // carries the seasonal ring as a list through the recursion.
+    "q167_holt_winters" -> { (s, dir) =>
+      Advanced.holtWintersKeyed(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts"), col("value")),
+        Seq("user_id"), Seq("ts", "event_id"), "value",
+        alpha = 0.3, beta = 0.1, gamma = 0.2, period = 4)
+        .select(col("event_id"), col("user_id"), col("level"), col("trend"),
+          col("seasonal"), col("forecast"))
+        .orderBy(col("event_id"))
+    },
+
     // Per-group EXACT interpolated quantiles without a percentile buffer
     // or per-group sort window (stratifiedRank + order-stat selection).
     "q165_group_quantiles" -> { (s, dir) =>
@@ -2258,6 +2272,39 @@ object ExtQueries {
            CAST(COUNT(*) AS BIGINT) AS n_users
          FROM a JOIN c ON a.user_id = c.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirrors Advanced.holtWintersKeyed: per-key recursion carrying the
+    // last-4 seasonal ring as a LIST; the level expression is repeated
+    // verbatim inside trend/seasonal (q146's policy — no alias reuse in a
+    // recursive step), damping written (1.0 - a) as the Scala computes it.
+    "q167_holt_winters" ->
+      """WITH RECURSIVE seq AS (
+           SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         rec AS (
+           SELECT event_id, user_id, x, rn,
+             x AS l, CAST(0.0 AS DOUBLE) AS b,
+             0.2 * (x - x) + (1.0 - 0.2) * 0.0 AS sn,
+             list_append([CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+               CAST(0.0 AS DOUBLE)],
+               0.2 * (x - x) + (1.0 - 0.2) * 0.0) AS slist
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT e.event_id, e.user_id, e.x, e.rn,
+             0.3 * (e.x - r.slist[1]) + (1.0 - 0.3) * (r.l + r.b) AS l,
+             0.1 * ((0.3 * (e.x - r.slist[1]) + (1.0 - 0.3) * (r.l + r.b))
+               - r.l) + (1.0 - 0.1) * r.b AS b,
+             0.2 * (e.x - (0.3 * (e.x - r.slist[1])
+               + (1.0 - 0.3) * (r.l + r.b))) + (1.0 - 0.2) * r.slist[1] AS sn,
+             list_append(r.slist[2:],
+               0.2 * (e.x - (0.3 * (e.x - r.slist[1])
+                 + (1.0 - 0.3) * (r.l + r.b)))
+                 + (1.0 - 0.2) * r.slist[1]) AS slist
+           FROM rec r JOIN seq e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT event_id, user_id, l AS level, b AS trend, sn AS seasonal,
+           l + b + slist[1] AS forecast
+         FROM rec ORDER BY event_id""",
 
     // mirrors Reductions.groupQuantiles: per-group quantile_cont == the
     // rank-selection interpolation (q106 precedent), complete-case.

@@ -661,6 +661,70 @@ object Advanced {
       b = alpha, seedFirst = true)
   }
 
+  /** HOLT-WINTERS additive seasonal smoothing per key (triple
+    * exponential) — level + trend + period-m seasonal state:
+    *   l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    *   s_t = γ(x_t − l_t) + (1−γ)s_{t−m}
+    * with the fully-specified cold start l_1 = x_1, b_1 = 0, s_j = 0 for
+    * j ≤ 0 (no warmup block — the seasonal estimate converges after a few
+    * periods, and the closed init makes every value a pure function of
+    * the series, replayable by an engine carrying the last m seasonals as
+    * a list in a recursive CTE — oracle q167). Emits level, trend,
+    * seasonal, and the one-step forecast l + b + s_{t+1−m}. Same
+    * distributed shape as [[holtKeyed]]: one hash shuffle on the key,
+    * in-partition sort, O(period) state per key run. */
+  def holtWintersKeyed(df: DataFrame, keyCols: Seq[String],
+                       orderCols: Seq[String], xCol: String,
+                       alpha: Double, beta: Double, gamma: Double,
+                       period: Int): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1 &&
+      gamma >= 0 && gamma <= 1 && period >= 2,
+      s"alpha in (0,1], beta/gamma in [0,1], period ≥ 2")
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.withColumn(xCol, col(xCol).cast(DoubleType))
+      .repartition(parts, keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
+    val schema = sorted.schema
+      .add("level", DoubleType, nullable = false)
+      .add("trend", DoubleType, nullable = false)
+      .add("seasonal", DoubleType, nullable = false)
+      .add("forecast", DoubleType, nullable = false)
+    val keyIdx = keyCols.map(sorted.schema.fieldIndex)
+    val xIdx = sorted.schema.fieldIndex(xCol)
+    val rows = sorted.rdd.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var l = 0.0; var b = 0.0; var first = true
+      var ring: Array[Double] = null; var pos = 0
+      it.map { r =>
+        if (r.isNullAt(xIdx))
+          throw new IllegalArgumentException(
+            s"holtWintersKeyed: null $xCol — filter or impute first")
+        val k = keyIdx.map(r.get)
+        if (k != curKey) {
+          curKey = k; first = true
+          ring = new Array[Double](period); pos = 0
+        }
+        val x = r.getDouble(xIdx)
+        val sOld = ring(pos) // s_{t−m} (0.0 during the first period)
+        if (first) { l = x; b = 0.0; first = false }
+        else {
+          val lPrev = l
+          l = alpha * (x - sOld) + (1.0 - alpha) * (lPrev + b)
+          b = beta * (l - lPrev) + (1.0 - beta) * b
+        }
+        val sNew = gamma * (x - l) + (1.0 - gamma) * sOld
+        ring(pos) = sNew
+        pos = (pos + 1) % period
+        val forecast = l + b + ring(pos) // next step reads s_{t+1−m}
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ l :+ b :+ sNew :+ forecast)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Two-sided CUSUM changepoint detector per key (Page 1954):
     *   S⁺_t = max(0, S⁺_{t-1} + ((x_t − target) − slack))
     *   S⁻_t = max(0, S⁻_{t-1} + ((target − x_t) − slack))

@@ -245,6 +245,27 @@ class StatsGraphSpec extends SparkSuite {
     assert(r.getAs[Long]("n") == 5)
   }
 
+  test("holtWintersKeyed: learns a pure period-4 pattern, forecast converges") {
+    // x_t cycles 10, 20, 30, 40 — after enough periods the one-step
+    // forecast should be close to the next value
+    val xs = (0 until 80).map(i => (1L, i, Seq(10.0, 20.0, 30.0, 40.0)(i % 4)))
+    val out = graft.ops.Advanced.holtWintersKeyed(xs.toDF("k", "o", "x"),
+      Seq("k"), Seq("o"), "x", 0.3, 0.1, 0.2, 4)
+      .orderBy("o").select("forecast").collect().map(_.getDouble(0))
+    val expectedNext = (0 until 80).map(i => Seq(10.0, 20.0, 30.0, 40.0)((i + 1) % 4))
+    // late forecasts within 15% of the true next value
+    out.zip(expectedNext).drop(60).foreach { case (f, e) =>
+      assert(math.abs(f - e) < 0.15 * e, s"forecast $f vs next $e")
+    }
+    // state resets per key: a second key's first seasonal is 0
+    val two = graft.ops.Advanced.holtWintersKeyed(
+      (xs ++ Seq((2L, 0, 99.0))).toDF("k", "o", "x"),
+      Seq("k"), Seq("o"), "x", 0.3, 0.1, 0.2, 4)
+    val k2 = two.filter(col("k") === 2L).collect()(0)
+    assert(k2.getAs[Double]("seasonal") == 0.0 &&
+      k2.getAs[Double]("level") == 99.0)
+  }
+
   test("levenshteinVerifiedPairs: near-identical docs pass, dissimilar filtered") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
     val docs = Seq(
