@@ -958,6 +958,39 @@ object ExtQueries {
           date_format(col("cohort_week"), "yyyy-MM-dd"))
     },
 
+    // Calibration/reliability deciles: length-score bins vs the
+    // English-language label over documents.
+    "q168_calibration" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("label", when(col("lang") === "en", 1L).otherwise(0L))
+      graft.ops.Ml.calibrationBins(docs, "n_chars", "label", 10)
+        .orderBy(col("bin"))
+    },
+
+    // Two-proportion z-test: error rate, even- vs odd-id user cohorts.
+    "q169_prop_ztest" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("cohort",
+          when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+        .withColumn("is_error",
+          when(col("event_type") === "error", 1L).otherwise(0L))
+      Stats.proportionZTest(ev, "cohort", "even", "odd", "is_error")
+    },
+
+    // Per-group winsorize: per-flag [5%, 95%] cutoffs from the
+    // distributed group-quantile fit, broadcast back for the clip.
+    "q170_group_winsorize" -> { (s, dir) =>
+      graft.ops.Ml.winsorizeByGroup(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice", 0.05, 0.95)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("min_p"),
+          max(col("l_extendedprice")).as("max_p"),
+          (Reductions.isum(col("l_extendedprice"), 4) / count(lit(1)))
+            .as("mean_p"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Holt-Winters additive seasonal smoothing per user (period 4) — the
     // triple-exponential member of the q144/q146 family; the oracle
     // carries the seasonal ring as a list through the recursion.
@@ -2272,6 +2305,68 @@ object ExtQueries {
            CAST(COUNT(*) AS BIGINT) AS n_users
          FROM a JOIN c ON a.user_id = c.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirrors Ml.calibrationBins(k=10): decile cutpoints via
+    // quantile_cont (q154 pattern), CASE-chain bins, exact-sum means.
+    "q168_calibration" -> {
+      val cutDefs = (1 to 9).map(i =>
+        s"quantile_cont(CAST(n_chars AS DOUBLE), 0.$i) AS c$i").mkString(",\n           ")
+      val binExpr = (1 to 9).map(i =>
+        s"(CASE WHEN CAST(n_chars AS DOUBLE) > c$i THEN 1 ELSE 0 END)")
+        .mkString("\n             + ")
+      s"""WITH c AS (SELECT
+           $cutDefs
+         FROM documents),
+         b AS (SELECT CAST(n_chars AS DOUBLE) AS x,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+           1 + $binExpr AS bin
+         FROM documents, c)
+         SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE)
+             / 1000000.0 / COUNT(*) AS mean_score,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           CAST(SUM(label) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_pos
+         FROM b GROUP BY 1 ORDER BY 1"""
+    },
+
+    // mirrors Stats.proportionZTest: four integer counts, identical
+    // pooled-variance scalar sequence.
+    "q169_prop_ztest" ->
+      """WITH e AS (SELECT
+           CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS cohort,
+           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS s
+         FROM events),
+         agg AS (SELECT
+           CAST(SUM(CASE WHEN cohort = 'even' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN cohort = 'even' THEN s ELSE 0 END) AS BIGINT) AS x1,
+           CAST(SUM(CASE WHEN cohort = 'odd' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(SUM(CASE WHEN cohort = 'odd' THEN s ELSE 0 END) AS BIGINT) AS x2
+         FROM e)
+         SELECT n1, x1, n2, x2,
+           CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+           CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+           (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+               * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS z
+         FROM agg""",
+
+    // mirrors Ml.winsorizeByGroup: per-group quantile_cont cutoffs,
+    // identical clip and exact-sum mean (q147's shape, grouped).
+    "q170_group_winsorize" ->
+      """WITH c AS (SELECT l_returnflag,
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi
+         FROM lineitem GROUP BY 1),
+         w AS (SELECT l.l_returnflag,
+           least(greatest(CAST(l_extendedprice AS DOUBLE), lo), hi) AS p
+         FROM lineitem l JOIN c ON l.l_returnflag = c.l_returnflag)
+         SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(p) AS min_p, MAX(p) AS max_p,
+           CAST(SUM(CAST(FLOOR(p * 10000.0) AS DECIMAL(30,0))) AS DOUBLE)
+             / 10000.0 / COUNT(*) AS mean_p
+         FROM w GROUP BY 1 ORDER BY 1""",
 
     // mirrors Advanced.holtWintersKeyed: per-key recursion carrying the
     // last-4 seasonal ring as a LIST; the level expression is repeated

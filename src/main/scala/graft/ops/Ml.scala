@@ -199,6 +199,44 @@ object Ml {
     }.toMap)
   }
 
+  /** Calibration/reliability table for a score against a binary label:
+    * equal-frequency score deciles (via [[fitQuantileBinner]] — no
+    * percentile buffer), then per-bin n, exact-sum mean score, and
+    * positive fraction. The plot every classifier eval draws; also the
+    * quality-score audit for curation filters ("does the score's top
+    * decile actually contain the good documents?"). One fit pass + one
+    * keyed aggregation. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      k: Int = 10): DataFrame = {
+    val m = fitQuantileBinner(df, Seq(scoreCol), k)
+    m.transform(df)
+      .filter(col(s"${scoreCol}_bin").isNotNull)
+      .groupBy(col(s"${scoreCol}_bin").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        (isum(col(scoreCol), 6) / count(lit(1))).as("mean_score"),
+        sum(col(labelCol)).as("n_pos"),
+        (sum(col(labelCol)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("frac_pos"))
+      .orderBy(col("bin"))
+  }
+
+  /** Per-group winsorize: [[winsorize]]'s clip with PER-GROUP percentile
+    * cutoffs from [[graft.ops.Reductions.groupQuantiles]] (no percentile
+    * agg buffer, no per-group sort window) broadcast-joined back. Nulls
+    * pass through. */
+  def winsorizeByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                       pLow: Double, pHigh: Double): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh)
+    val cuts = graft.ops.Reductions.groupQuantiles(df, groupCol, valueCol,
+        Seq("__lo" -> pLow, "__hi" -> pHigh))
+      .select(col(groupCol), col("__lo"), col("__hi"))
+    df.join(broadcast(cuts), groupCol)
+      .withColumn(valueCol, when(col(valueCol).isNotNull,
+        least(greatest(col(valueCol).cast(DoubleType), col("__lo")),
+          col("__hi"))))
+      .drop("__lo", "__hi")
+  }
+
   /** Fitted PCA: top-k eigenvectors (rows of `components`, descending
     * eigenvalue) of the covariance — or, for the :corr method, the
     * correlation — matrix. Transform = pure column arithmetic

@@ -191,6 +191,33 @@ object Stats {
           (sum(col("__c")) * sum(col("__c"))).cast(DoubleType)).as("gini"))
   }
 
+  /** Two-proportion z-test: does the success rate differ between groups
+    * `a` and `b`? `successCol` must be 0/1. Declarative: one conditional
+    * aggregation (no collect), then the pooled-variance z in a fixed
+    * scalar op sequence from the four integer counts. Returns one row
+    * (n1, x1, n2, x2, p1, p2, z). The A/B-test primitive (and the
+    * filter-drift check: "did source X's keep-rate change?"). */
+  def proportionZTest(df: DataFrame, groupCol: String, a: String, b: String,
+                      successCol: String): DataFrame = {
+    val agg = df.filter(col(groupCol).isin(a, b))
+      .agg(
+        sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("n1"),
+        sum(when(col(groupCol) === a, col(successCol).cast(LongType))
+          .otherwise(0L)).as("x1"),
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("n2"),
+        sum(when(col(groupCol) === b, col(successCol).cast(LongType))
+          .otherwise(0L)).as("x2"))
+    val n1 = col("n1").cast(DoubleType); val x1 = col("x1").cast(DoubleType)
+    val n2 = col("n2").cast(DoubleType); val x2 = col("x2").cast(DoubleType)
+    val p1 = x1 / n1; val p2 = x2 / n2
+    val pp = (col("x1") + col("x2")).cast(DoubleType) /
+      (col("n1") + col("n2")).cast(DoubleType)
+    agg.select(col("n1"), col("x1"), col("n2"), col("x2"),
+      p1.as("p1"), p2.as("p2"),
+      ((p1 - p2) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / n1 + lit(1.0) / n2))).as("z"))
+  }
+
   /** Median absolute deviation per group — the robust spread statistic
     * (mad = median(|x − median(x)|)), composed from two
     * [[Reductions.groupQuantiles]] passes with the O(groups) median frame

@@ -266,6 +266,32 @@ class StatsGraphSpec extends SparkSuite {
       k2.getAs[Double]("level") == 99.0)
   }
 
+  test("proportionZTest: equal rates give z = 0, disjoint rates large |z|") {
+    val even = Seq.fill(50)(("a", 1L)) ++ Seq.fill(50)(("a", 0L)) ++
+      Seq.fill(50)(("b", 1L)) ++ Seq.fill(50)(("b", 0L))
+    val r0 = Stats.proportionZTest(even.toDF("g", "s"), "g", "a", "b", "s")
+      .collect()(0)
+    assert(r0.getAs[Double]("z") == 0.0)
+    val skew = Seq.fill(90)(("a", 1L)) ++ Seq.fill(10)(("a", 0L)) ++
+      Seq.fill(10)(("b", 1L)) ++ Seq.fill(90)(("b", 0L))
+    val r1 = Stats.proportionZTest(skew.toDF("g", "s"), "g", "a", "b", "s")
+      .collect()(0)
+    assert(r1.getAs[Double]("p1") == 0.9 && r1.getAs[Double]("p2") == 0.1)
+    assert(r1.getAs[Double]("z") > 10.0)
+  }
+
+  test("winsorizeByGroup: per-group cutoffs clip independently") {
+    // group a spans 1..100, group b spans 1001..1100 — a global clip
+    // would crush group a entirely; per-group clips keep both shapes
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      (1001 to 1100).map(i => ("b", i.toDouble))).toDF("g", "x")
+    val out = graft.ops.Ml.winsorizeByGroup(df, "g", "x", 0.1, 0.9)
+      .groupBy("g").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy("g").collect()
+    assert(out(0).getDouble(1) > 1.0 && out(0).getDouble(2) < 100.0)
+    assert(out(1).getDouble(1) > 1001.0 && out(1).getDouble(2) < 1100.0)
+  }
+
   test("levenshteinVerifiedPairs: near-identical docs pass, dissimilar filtered") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
     val docs = Seq(
