@@ -89,17 +89,15 @@ object Ml {
   def winsorize(df: DataFrame, cols: Seq[String],
                 pLow: Double = 0.01, pHigh: Double = 0.99): DataFrame = {
     require(pLow >= 0 && pHigh <= 1 && pLow < pHigh)
-    val aggs = cols.flatMap { c =>
-      Seq(percentile(col(c), lit(pLow)).as(s"__lo_$c"),
-        percentile(col(c), lit(pHigh)).as(s"__hi_$c"))
-    }
-    val cut = df.agg(aggs.head, aggs.tail: _*)
-    val clipped = cols.foldLeft(df.crossJoin(broadcast(cut))) { (d, c) =>
+    // fit = distributed rank-selection per column (the former single
+    // `percentile` aggregation buffered every value in the agg buffer —
+    // an executor OOM at scale and 6s at sf0.1; the rank pick is two
+    // small jobs per column and bit-identical)
+    cols.foldLeft(df) { (d, c) =>
+      val Seq(lo, hi) = exactQuantilesRankPick(df, c, Seq(pLow, pHigh))
       d.withColumn(c, when(col(c).isNotNull,
-        least(greatest(col(c).cast(DoubleType), col(s"__lo_$c")),
-          col(s"__hi_$c"))))
+        least(greatest(col(c).cast(DoubleType), lit(lo)), lit(hi))))
     }
-    clipped.drop(cols.flatMap(c => Seq(s"__lo_$c", s"__hi_$c")): _*)
   }
 
   /** Fitted robust scaler: (x − median) / IQR per column — the outlier-proof
@@ -114,15 +112,12 @@ object Ml {
   }
 
   def fitRobustScaler(df: DataFrame, cols: Seq[String]): RobustModel = {
-    val aggs = cols.flatMap { c =>
-      Seq(percentile(col(c), lit(0.5)).as(s"${c}__med"),
-        (percentile(col(c), lit(0.75)) - percentile(col(c), lit(0.25)))
-          .as(s"${c}__iqr"))
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // rank-selection fit (see winsorize) — med/q1/q3 from one sort pass
+    // per column, iqr = q3 − q1 in the same op order as the SQL mirror
     RobustModel(cols.map { c =>
-      c -> (row.getDouble(row.fieldIndex(s"${c}__med")),
-        row.getDouble(row.fieldIndex(s"${c}__iqr")))
+      val Seq(med, q1, q3) =
+        exactQuantilesRankPick(df, c, Seq(0.5, 0.25, 0.75))
+      c -> (med, q3 - q1)
     }.toMap)
   }
 
@@ -170,32 +165,43 @@ object Ml {
     * driver. Interpolation reproduces `percentile`'s
     * `(hi−p)·v_lo + (p−lo)·v_hi` at p = q·(n−1) bit-for-bit, which DuckDB's
     * `quantile_cont` agrees with on these inputs (q106/q147 precedent). */
+  /** Exact interpolated quantiles of one column by distributed
+    * rank-selection (count + range sort + zipWithIndex pick of the
+    * ≤ 2·|qs| needed order statistics — O(qs) scalars to the driver, no
+    * O(n) agg buffer). Reproduces Spark `percentile` / DuckDB
+    * `quantile_cont` bit-for-bit (q106 precedent). Empty input → NaNs. */
+  private[graft] def exactQuantilesRankPick(df: DataFrame, c0: String,
+                                            qs: Seq[Double]): Seq[Double] = {
+    val vals = df.select(col(c0).cast(DoubleType))
+      .filter(col(c0).isNotNull && !isnan(col(c0).cast(DoubleType)))
+    val n = vals.count()
+    if (n == 0) qs.map(_ => Double.NaN)
+    else {
+      val targets: Set[Long] = qs.flatMap { q =>
+        val p = q * (n - 1); Seq(p.floor.toLong, p.ceil.toLong)
+      }.toSet
+      val picked: Map[Long, Double] = vals.rdd.map(_.getDouble(0))
+        .sortBy(identity)
+        .zipWithIndex()
+        .filter { case (_, i) => targets.contains(i) }
+        .map(_.swap)
+        .collect().toMap
+      qs.map { q =>
+        val p = q * (n - 1)
+        val lo = p.floor.toLong; val hi = p.ceil.toLong
+        if (hi == lo) picked(lo)
+        else (hi - p) * picked(lo) + (p - lo) * picked(hi)
+      }
+    }
+  }
+
   def fitQuantileBinner(df: DataFrame, cols: Seq[String], k: Int)
       : QuantileBinModel = {
     require(k >= 2, s"need k ≥ 2 bins, got $k")
     val qs = (1 until k).map(_.toDouble / k)
     QuantileBinModel(cols.map { c0 =>
-      val vals = df.select(col(c0).cast(DoubleType))
-        .filter(col(c0).isNotNull && !isnan(col(c0).cast(DoubleType)))
-      val n = vals.count()
-      val cuts = if (n == 0) Seq.empty[Double] else {
-        val targets: Set[Long] = qs.flatMap { q =>
-          val p = q * (n - 1); Seq(p.floor.toLong, p.ceil.toLong)
-        }.toSet
-        val picked: Map[Long, Double] = vals.rdd.map(_.getDouble(0))
-          .sortBy(identity)
-          .zipWithIndex()
-          .filter { case (_, i) => targets.contains(i) }
-          .map(_.swap)
-          .collect().toMap
-        qs.map { q =>
-          val p = q * (n - 1)
-          val lo = p.floor.toLong; val hi = p.ceil.toLong
-          if (hi == lo) picked(lo)
-          else (hi - p) * picked(lo) + (p - lo) * picked(hi)
-        }
-      }
-      c0 -> cuts
+      val cuts = exactQuantilesRankPick(df, c0, qs)
+      c0 -> (if (cuts.exists(_.isNaN)) Seq.empty[Double] else cuts)
     }.toMap)
   }
 
