@@ -122,6 +122,24 @@ class PlanGuardSpec extends SparkSuite {
   test("q140 bpe tokenize: vocab broadcast join, no funnel")(
     guard("q140_bpe_tokenize", Bound))
 
+  test("q149 pagerank: iteration joins + keyed aggs, no global funnel")(
+    guard("q149_pagerank", Bound))
+
+  test("q152 ks test: range-partitioned cumulate, no single-task sort")(
+    guard("q152_ks_test", Bound))
+
+  test("q164 scd2: keyed windows only")(
+    guard("q164_scd2", Bound))
+
+  test("q165 group quantiles: stratified rank + O(groups) offsets only")(
+    guard("q165_group_quantiles", Bound))
+
+  // (q151 Mann-Whitney is deliberately absent for the q67 reason: its
+  // ≤1M-distinct gate routes the DISTINCT-VALUE table through one task,
+  // and for continuous columns distinct ≈ rows at test SF. q159 RRF and
+  // q161 MMR run bounded-by-contract candidate lists — their unpartitioned
+  // windows are the documented design, not a regression.)
+
   test("detector self-test: a global row-level window IS flagged") {
     // prove the guard can fire — a data-sized unpartitioned Window must
     // trip the same detection path the real guards rely on. The window's
