@@ -72,6 +72,15 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Jaro-Winkler-verified near-dup pairs through the native codegen
+    // kernel — two independent JW implementations must agree bit-for-bit.
+    "q171_jaro_dedup" -> { (s, dir) =>
+      TextDedup.jaroWinklerVerifiedPairs(t(s, dir, "documents"),
+        "doc_id", "text", shingleLen = 3, numHashes = 64, bands = 32,
+        minEstJaccard = 0.2, prefixLen = 80, minSim = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // SimHash near-dup candidates.
     "q30_simhash_pairs" -> { (s, dir) =>
       TextDedup.simhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
@@ -829,6 +838,25 @@ object LlmQueries {
          FROM cand c
          JOIN pref pa ON pa.pid = c.id_a JOIN pref pb ON pb.pid = c.id_b
          WHERE levenshtein(pa.pr, pb.pr) <= 40
+         ORDER BY c.id_a, c.id_b""",
+
+    // mirrors TextDedup.jaroWinklerVerifiedPairs: q29's candidate CTEs +
+    // DuckDB's own jaro_winkler_similarity (the kernel is pinned to it
+    // byte-for-byte, incl. the bytes-not-codepoints comparison, the
+    // ""→0 edge, and the 0.7 boost threshold).
+    "q171_jaro_dedup" ->
+      s"""WITH ${minhashCandidateCtes(32)},
+         cand AS (SELECT p.id_a, p.id_b, $estJaccardSql AS est_jaccard
+           FROM pairs0 p
+           JOIN sig sa ON sa.id = p.id_a JOIN sig sb ON sb.id = p.id_b
+           WHERE $estJaccardSql >= 0.2),
+         pref AS (SELECT doc_id AS pid, substr(text, 1, 80) AS pr
+                  FROM documents)
+         SELECT c.id_a, c.id_b, c.est_jaccard,
+           jaro_winkler_similarity(pa.pr, pb.pr) AS jw
+         FROM cand c
+         JOIN pref pa ON pa.pid = c.id_a JOIN pref pb ON pb.pid = c.id_b
+         WHERE jaro_winkler_similarity(pa.pr, pb.pr) >= 0.8
          ORDER BY c.id_a, c.id_b""",
 
     // mirrors TextDedup.simhashCandidatePairs: 60-bit per-bit majority vote

@@ -27,6 +27,7 @@ object Tables {
       graft.functions.ExactSum.register(spark)
       graft.functions.DedupKernels.register(spark)
       graft.functions.Kmv.register(spark)
+      graft.functions.StringSim.register(spark)
     }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {

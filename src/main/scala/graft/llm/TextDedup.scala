@@ -208,6 +208,36 @@ object TextDedup {
       .filter(col("lev") <= maxDist)
   }
 
+  /** Jaro-Winkler-verified near-dup pairs: [[levenshteinVerifiedPairs]]'
+    * sibling with the similarity (not distance) verdict — the
+    * record-linkage metric that weights shared prefixes, via the native
+    * codegen kernel `functions.StringSim` (pinned bit-for-bit to DuckDB's
+    * jaro_winkler_similarity, so the verdict replays in SQL). Same scale
+    * posture: the O(len·window) kernel runs only on LSH-surviving
+    * candidates over capped prefixes. */
+  def jaroWinklerVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                               shingleLen: Int = 3, numHashes: Int = 64,
+                               bands: Int = 32, minEstJaccard: Double = 0.2,
+                               prefixLen: Int = 80, minSim: Double = 0.8)
+      : DataFrame = {
+    graft.functions.StringSim.register(df.sparkSession)
+    val cand = minhashCandidatePairs(df, idCol, textCol, shingleLen,
+        numHashes, bands)
+      .filter(col("est_jaccard") >= minEstJaccard)
+    val pref = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__pid"),
+        substring(col(textCol), 1, prefixLen).as("__prefix"))
+    cand
+      .join(pref.select(col("__pid").as("id_a"), col("__prefix").as("__pa")),
+        "id_a")
+      .join(pref.select(col("__pid").as("id_b"), col("__prefix").as("__pb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        call_function("graft_jaro_winkler", col("__pa"), col("__pb"))
+          .as("jw"))
+      .filter(col("jw") >= minSim)
+  }
+
   /** Fuzzy MinHash-LSH JOIN between two tables — the cross-corpus form of
     * near-dup detection (probe a reference set against the corpus by
     * text similarity, no equality key anywhere): both sides are minhashed

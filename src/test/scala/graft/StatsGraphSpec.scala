@@ -292,6 +292,33 @@ class StatsGraphSpec extends SparkSuite {
     assert(out(1).getDouble(1) > 1001.0 && out(1).getDouble(2) < 1100.0)
   }
 
+  test("jaroWinkler kernel: DuckDB-pinned values, byte semantics, edges") {
+    import graft.functions.StringSim.jaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // classic pairs — values are DuckDB jaro_winkler_similarity outputs
+    assert(jaroWinkler(u("MARTHA"), u("MARHTA")) == 0.96111111111111114)
+    assert(jaroWinkler(u("DWAYNE"), u("DUANE")) == 0.84000000000000008)
+    assert(jaroWinkler(u("DIXON"), u("DICKSONX")) == 0.81333333333333324)
+    // no boost at jaro ≤ 0.7 even with a shared prefix
+    assert(jaroWinkler(u("ab"), u("ac")) == 0.66666666666666663)
+    // byte-level (not codepoint) comparison on multibyte text
+    assert(jaroWinkler(u("straße"), u("strasse")) == 0.88571428571428579)
+    assert(jaroWinkler(u("日本語テスト"), u("日本語テフト")) == 0.94305555555555554)
+    // empty edges: DuckDB returns 0 even for "" vs ""
+    assert(jaroWinkler(u(""), u("")) == 0.0)
+    assert(jaroWinkler(u(""), u("abc")) == 0.0)
+    assert(jaroWinkler(u("abc"), u("abc")) == 1.0)
+    // the expression stays in whole-stage codegen (no CodegenFallback) —
+    // the input derives from range(id) so constant folding can't swallow it
+    graft.functions.StringSim.register(spark)
+    val out = spark.range(1)
+      .selectExpr("concat('MARTHA', repeat('x', int(id))) AS a",
+        "concat('MARHTA', repeat('x', int(id))) AS b")
+      .selectExpr("graft_jaro_winkler(a, b) AS jw")
+    assert(out.collect()(0).getDouble(0) == 0.96111111111111114)
+    assert(out.queryExecution.executedPlan.toString.contains("WholeStageCodegen"))
+  }
+
   test("levenshteinVerifiedPairs: near-identical docs pass, dissimilar filtered") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
     val docs = Seq(
