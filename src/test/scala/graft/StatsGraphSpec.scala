@@ -316,7 +316,10 @@ class StatsGraphSpec extends SparkSuite {
         "concat('MARHTA', repeat('x', int(id))) AS b")
       .selectExpr("graft_jaro_winkler(a, b) AS jw")
     assert(out.collect()(0).getDouble(0) == 0.96111111111111114)
-    assert(out.queryExecution.executedPlan.toString.contains("WholeStageCodegen"))
+    val hasWsc = out.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty
+    assert(hasWsc, s"expected WholeStageCodegen in:\n${out.queryExecution.executedPlan}")
   }
 
   test("levenshteinVerifiedPairs: near-identical docs pass, dissimilar filtered") {
