@@ -1059,6 +1059,26 @@ object ExtQueries {
         .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
     },
 
+    // STREAMING per-user CUSUM anomaly monitor under the oracle gate
+    // (flatMapGroupsWithState, Update mode): per-user event count n only
+    // grows, so a struct-max collapses multi-batch updates to the final
+    // state deterministically (q97's policy).
+    "q172_stream_cusum" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.OutputMode
+      val table = graft.streaming.EventStream.runToMemorySink(
+        graft.streaming.EventStream.cusumMonitor(s, dir),
+        s"q172_sink_${System.nanoTime()}", mode = OutputMode.Update(),
+        statePartitions = Some(8))
+      table.groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("cusum_pos"), col("cusum_neg"),
+          col("n_alarms"))).as("f"))
+        .select(col("user_id"), col("f.n_events").as("n_events"),
+          col("f.cusum_pos").as("cusum_pos"),
+          col("f.cusum_neg").as("cusum_neg"),
+          col("f.n_alarms").as("n_alarms"))
+        .orderBy(col("user_id"))
+    },
+
     // Two-sided CUSUM changepoint monitor per user on the event value
     // series — genuinely non-linear state (max clamp) through the keyed
     // streaming fold.
@@ -2486,6 +2506,35 @@ object ExtQueries {
            strftime(vt, '%Y-%m-%d') AS valid_to,
            (vt IS NULL) AS is_current
          FROM iv ORDER BY o_custkey, valid_from, o_orderkey""",
+
+    // mirrors EventStream.cusumMonitor: q160's recursion, then the final
+    // per-user state (row at max rn) + alarm-row count.
+    "q172_stream_cusum" ->
+      """WITH RECURSIVE seq AS (
+           SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         rec AS (
+           SELECT event_id, user_id, x, rn,
+             GREATEST(CAST(0.0 AS DOUBLE), 0.0 + ((x - 50.0) - 5.0)) AS sp,
+             GREATEST(CAST(0.0 AS DOUBLE), 0.0 + ((50.0 - x) - 5.0)) AS sn
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT e.event_id, e.user_id, e.x, e.rn,
+             GREATEST(CAST(0.0 AS DOUBLE), r.sp + ((e.x - 50.0) - 5.0)) AS sp,
+             GREATEST(CAST(0.0 AS DOUBLE), r.sn + ((50.0 - e.x) - 5.0)) AS sn
+           FROM rec r JOIN seq e ON e.user_id = r.user_id AND e.rn = r.rn + 1),
+         fin AS (SELECT user_id, MAX(rn) AS mr FROM rec GROUP BY 1),
+         lastrow AS (SELECT r.user_id, r.rn AS n_events, r.sp, r.sn
+           FROM rec r JOIN fin ON r.user_id = fin.user_id AND r.rn = fin.mr),
+         al AS (SELECT user_id,
+             CAST(SUM(CASE WHEN sp > 100.0 OR sn > 100.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_alarms
+           FROM rec GROUP BY 1)
+         SELECT l.user_id, CAST(l.n_events AS BIGINT) AS n_events,
+           l.sp AS cusum_pos, l.sn AS cusum_neg, a.n_alarms
+         FROM lastrow l JOIN al a ON l.user_id = a.user_id
+         ORDER BY l.user_id""",
 
     // mirrors Advanced.cusumKeyed: per-key recursion with the identical
     // max-clamp op order (q144's recursive-CTE pattern); NaN stickiness

@@ -101,6 +101,50 @@ object EventStream {
       .toDF()
   }
 
+  case class CuEv(user_id: Long, ts_us: Long, event_id: Long, value: Double)
+  case class CuState(n: Long, sp: Double, sn: Double, alarms: Long)
+  case class UserCusum(user_id: Long, n_events: Long, cusum_pos: Double,
+                       cusum_neg: Double, n_alarms: Long)
+
+  /** STREAMING ANOMALY MONITOR: per-user two-sided CUSUM
+    * (Advanced.cusumKeyed's recursion) as standing stateful streaming —
+    * the "alert when a metric drifts" pipeline. Per-user state is one
+    * fixed-size record (n, S⁺, S⁻, alarm count); each micro-batch folds
+    * its (event-time-sorted) group slice into the state with the exact
+    * batch op order, so the final state is bit-identical to the batch
+    * fold and the DuckDB recursive CTE replays it (oracle q172). Update
+    * mode emits a state snapshot per user per batch; n strictly grows, so
+    * a struct-max on (n, …) collapses multi-batch output to the final
+    * state deterministically. */
+  def cusumMonitor(spark: SparkSession, dir: String, target: Double = 50.0,
+                   slack: Double = 5.0, threshold: Double = 100.0)
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val events = eventsStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value")).as[CuEv]
+
+    def update(user: Long, rows: Iterator[CuEv],
+               state: GroupState[CuState]): Iterator[UserCusum] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var s = state.getOption.getOrElse(CuState(0L, 0.0, 0.0, 0L))
+      sorted.foreach { e =>
+        val sp = math.max(0.0, s.sp + ((e.value - target) - slack))
+        val sn = math.max(0.0, s.sn + ((target - e.value) - slack))
+        s = CuState(s.n + 1, sp, sn,
+          s.alarms + (if (sp > threshold || sn > threshold) 1L else 0L))
+      }
+      state.update(s)
+      Iterator(UserCusum(user, s.n, s.sp, s.sn, s.alarms))
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
+
   /** Streaming EXACT DEDUP — the standing-ingest form of the LLM pipeline's
     * dedup stage (TextDedup.exactDedup is the batch analog): keep the first
     * occurrence of each md5 content fingerprint. The watermark bounds the
