@@ -51,6 +51,35 @@ class StreamingSpec extends SparkSuite {
     assert(key(streamed) == key(batch))
   }
 
+  test("streaming CUSUM monitor equals the batch keyed fold bit-for-bit") {
+    val streamed = EventStream.runToMemorySink(
+      EventStream.cusumMonitor(spark, sfDir), "cusum_test",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("cusum_pos"), col("cusum_neg"),
+        col("n_alarms"))).as("f"))
+      .select(col("user_id"), col("f.cusum_pos"), col("f.cusum_neg"),
+        col("f.n_alarms"))
+      .orderBy("user_id").collect()
+    val batch = graft.ops.Advanced.cusumKeyed(
+        Tables.t(spark, sfDir, "events"),
+        Seq("user_id"), Seq("ts", "event_id"), "value", 50.0, 5.0, 100.0)
+      .groupBy(col("user_id"))
+      .agg(max(struct(unix_micros(col("ts")), col("event_id"),
+          col("cusum_pos"), col("cusum_neg"))).as("f"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"))
+      .select(col("user_id"), col("f.cusum_pos"), col("f.cusum_neg"),
+        col("n_alarms"))
+      .orderBy("user_id").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[Long]("user_id") == b.getAs[Long]("user_id"))
+      assert(s.getAs[Double]("cusum_pos") == b.getAs[Double]("cusum_pos"))
+      assert(s.getAs[Double]("cusum_neg") == b.getAs[Double]("cusum_neg"))
+      assert(s.getAs[Long]("n_alarms") == b.getAs[Long]("n_alarms"))
+    }
+  }
+
   test("streaming hourly agg equals batch q38") {
     val streamed = EventStream.runToMemorySink(
       EventStream.hourlyCounts(spark, sfDir), "hourly_test")
