@@ -1437,6 +1437,44 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_suppliers"),
           dsum(col("s_acctbal").cast(DoubleType)).as("sum_bal"))
         .orderBy(col("n_name"))
+    },
+
+    // ROC-AUC via the exact rank-sum identity: does document length
+    // predict English-ness? (the classifier-evaluation primitive for
+    // quality filters). Integer-exact until one final division.
+    "q173_roc_auc" -> { (s, dir) =>
+      Stats.rocAuc(
+        t(s, dir, "documents")
+          .withColumn("label", when(col("lang") === "en", 1L).otherwise(0L)),
+        "n_chars", "label")
+    },
+
+    // Welch's unequal-variance t: click vs purchase event values —
+    // floor-scaled exact moments, fixed scalar op sequence.
+    "q174_welch_t" -> { (s, dir) =>
+      Stats.welchTTest(t(s, dir, "events"), "value", "event_type",
+        "click", "purchase")
+    },
+
+    // One-way ANOVA F across ALL event types (k groups, not two) — the
+    // between-group terms re-floor-scaled so cross-group sum order can't
+    // perturb the statistic.
+    "q175_anova" -> { (s, dir) =>
+      Stats.anovaOneWay(t(s, dir, "events"), "value", "event_type")
+    },
+
+    // Benjamini-Hochberg FDR adjustment over a per-document p-value
+    // table (deterministic md5-uniform p's — the op is agnostic to how p
+    // was produced; md5 makes the whole pipeline engine-replayable).
+    // Distributed suffix-min: range partitions + O(P) offsets, no global
+    // window.
+    "q176_bh_fdr" -> { (s, dir) =>
+      val p = pmod(conv(substring(md5(concat_ws("#", col("doc_id"))), 1, 15),
+        16, 10).cast(LongType), lit(1000000L)).cast(DoubleType) / 1000000.0
+      val tests = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), p.as("p_value"))
+      Stats.bhAdjust(tests, "doc_id", "p_value")
+        .orderBy(col("bh_rank"))
     }
   )
 
@@ -3518,6 +3556,118 @@ object ExtQueries {
            SELECT user_id, sess_id, COUNT(*) AS n_events
            FROM sess GROUP BY 1, 2)
          SELECT user_id, COUNT(*) AS n_sessions, max(n_events) AS max_session_events
-         FROM per_sess GROUP BY 1 ORDER BY 1"""
+         FROM per_sess GROUP BY 1 ORDER BY 1""",
+
+    // mirrors Stats.rocAuc: the q151 doubled-avg-rank build with a 0/1
+    // label, then the integer rank-sum AUC identity — one division at
+    // the very end.
+    "q173_roc_auc" ->
+      """WITH f AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CAST(n_chars AS DOUBLE) AS x
+           FROM documents WHERE n_chars IS NOT NULL),
+         r AS (SELECT y,
+             2 * rank() OVER (ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY x) - 1 AS dr
+           FROM f),
+         agg AS (SELECT
+             CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+             CAST(SUM(CASE WHEN y = 1 THEN dr ELSE 0 END) AS BIGINT) AS r1d
+           FROM r)
+         SELECT np AS n_pos, nn AS n_neg, r1d AS r_pos_doubled,
+           CAST(r1d - np * (np + 1) AS DOUBLE)
+             / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) AS auc
+         FROM agg""",
+
+    // mirrors Stats.welchTTest: identical scale-6 floor sums and the
+    // same fixed variance/t/df double sequence.
+    "q174_welch_t" ->
+      """WITH f AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE event_type IN ('click', 'purchase')
+             AND value IS NOT NULL AND NOT isnan(value)),
+         agg AS (SELECT
+             CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN g = 'click'
+               THEN CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0)) END) AS DOUBLE)
+               / 1000000.0 AS sx1,
+             CAST(SUM(CASE WHEN g = 'purchase'
+               THEN CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0)) END) AS DOUBLE)
+               / 1000000.0 AS sx2,
+             CAST(SUM(CASE WHEN g = 'click'
+               THEN CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(38,0)) END) AS DOUBLE)
+               / 1000000.0 AS sxx1,
+             CAST(SUM(CASE WHEN g = 'purchase'
+               THEN CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(38,0)) END) AS DOUBLE)
+               / 1000000.0 AS sxx2
+           FROM f),
+         s AS (SELECT n1, n2,
+             sx1 / CAST(n1 AS DOUBLE) AS m1, sx2 / CAST(n2 AS DOUBLE) AS m2,
+             (sxx1 - sx1 * sx1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+             (sxx2 - sx2 * sx2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+           FROM agg)
+         SELECT n1, n2, m1 AS mean1, m2 AS mean2,
+           (m1 - m2) / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)) AS t,
+           (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+             * (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+             / (v1 * v1 / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+                + v2 * v2 / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))
+           AS df
+         FROM s""",
+
+    // mirrors Stats.anovaOneWay: per-group scale-6 floor sums, the
+    // between-terms re-floored at scale 9 and exact-summed, identical
+    // final F sequence.
+    "q175_anova" ->
+      """WITH f AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE event_type IS NOT NULL
+             AND value IS NOT NULL AND NOT isnan(value)),
+         pg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000.0 AS sx,
+             CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000.0 AS sxx
+           FROM f GROUP BY g),
+         pg2 AS (SELECT *, sx * sx / CAST(n AS DOUBLE) AS bt FROM pg),
+         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(sx * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000.0 AS s,
+             CAST(SUM(CAST(FLOOR(sxx * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000.0 AS sxx,
+             CAST(SUM(CAST(FLOOR(bt * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000000.0 AS bt
+           FROM pg2)
+         SELECT k, n,
+           bt - s * s / CAST(n AS DOUBLE) AS ssb,
+           sxx - bt AS ssw,
+           ((bt - s * s / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+             / ((sxx - bt) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f
+         FROM agg""",
+
+    // mirrors Stats.bhAdjust: the same md5-uniform p draw, row_number
+    // rank over (p, id), q = p*m/rank, suffix cummin from the
+    // descending-p side, clamp at 1.
+    "q176_bh_fdr" ->
+      """WITH tests AS (SELECT doc_id,
+             CAST(CAST(concat('0x', substr(md5(concat_ws('#', doc_id)), 1, 15))
+               AS BIGINT) % 1000000 AS DOUBLE) / 1000000.0 AS p_value
+           FROM documents WHERE doc_id % 7 = 0),
+         m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM tests),
+         r AS (SELECT doc_id, p_value,
+             CAST(row_number() OVER (ORDER BY p_value, doc_id) AS BIGINT)
+               AS bh_rank
+           FROM tests),
+         q AS (SELECT doc_id, p_value, bh_rank,
+             p_value * m / CAST(bh_rank AS DOUBLE) AS qv
+           FROM r, m),
+         adj AS (SELECT doc_id, p_value, bh_rank,
+             least(1.0, MIN(qv) OVER (ORDER BY bh_rank DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_adj
+           FROM q)
+         SELECT doc_id, p_value, bh_rank, p_adj
+         FROM adj ORDER BY bh_rank"""
   )
 }

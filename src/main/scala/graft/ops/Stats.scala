@@ -275,4 +275,194 @@ object Stats {
           .as("acf"))
       .orderBy(col("lag"))
   }
+
+  /** ROC-AUC of a score against a binary label, computed EXACTLY via the
+    * rank-sum identity AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with average
+    * ranks (ties contribute 1/2 — the standard trapezoidal ROC area).
+    * All quantities stay integers until one final division: the doubled
+    * average-rank sum over positives is integer-exact, so
+    * auc = (r1d − n⁺(n⁺+1)) / (2·n⁺·n⁻). Returns one row
+    * (n_pos, n_neg, r_pos_doubled, auc).
+    *
+    * Plan: the [[Advanced.doubledAvgRankTable]] distributed rank build
+    * over the pooled scores (range-partitioned distinct values,
+    * O(partitions) offsets) + one keyed count frame join + one scalar
+    * aggregation — the classifier-evaluation primitive (quality-filter
+    * thresholds, dedup-verifier scores) at one shuffle of the
+    * per-value count frame, never the data. */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pooled = df
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull &&
+        !isnan(col(scoreCol).cast(DoubleType)))
+      .select(col(labelCol).cast(LongType).as("__y"),
+        col(scoreCol).cast(DoubleType).as("__x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (ranks, cleanup) =
+      Advanced.doubledAvgRankTable(pooled.select(col("__x")), "__x", "__dr")
+    val perVal = pooled.groupBy(col("__y"), col("__x"))
+      .agg(count(lit(1)).as("__n"))
+    val agg = perVal.join(ranks, perVal("__x") === ranks("__v"))
+      .agg(
+        sum(when(col("__y") === 1L, col("__n")).otherwise(0L)).as("np"),
+        sum(when(col("__y") === 0L, col("__n")).otherwise(0L)).as("nn"),
+        sum(when(col("__y") === 1L, col("__dr") * col("__n")).otherwise(0L))
+          .as("r1d"))
+      .collect()(0)
+    pooled.unpersist(); cleanup()
+    val np = agg.getLong(0); val nn = agg.getLong(1); val r1d = agg.getLong(2)
+    val auc =
+      if (np == 0L || nn == 0L) Double.NaN
+      else (r1d - np * (np + 1)).toDouble / (2.0 * np.toDouble * nn.toDouble)
+    Seq((np, nn, r1d, auc)).toDF("n_pos", "n_neg", "r_pos_doubled", "auc")
+  }
+
+  /** Welch's unequal-variance two-sample t-test. Per-group moments come
+    * from floor-scaled EXACT sums (Σ⌊x·10⁶⌋, Σ⌊x²·10⁶⌋ through the
+    * Int128 accumulator — identical integers on any engine/cluster
+    * size), then one fixed IEEE op sequence: sample variance
+    * s² = (sxx − sx²/n)/(n−1), t = (m₁−m₂)/√(s₁²/n₁ + s₂²/n₂), and the
+    * Welch–Satterthwaite df. Returns one row
+    * (n1, n2, mean1, mean2, t, df). Complete-case. One conditional
+    * aggregation — no rank build, no collect beyond the scalar row.
+    * |x| ≲ 3·10⁶ for the scale-6 squared-term floors to fit a long. */
+  def welchTTest(df: DataFrame, valueCol: String, groupCol: String,
+                 a: String, b: String): DataFrame = {
+    val x = col(valueCol).cast(DoubleType)
+    val agg = df
+      .filter(col(groupCol).isin(a, b) && x.isNotNull && !isnan(x))
+      .select(col(groupCol).as("__g"), x.as("__x"))
+      .agg(
+        sum(when(col("__g") === a, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__g") === b, 1L).otherwise(0L)).as("n2"),
+        Reductions.isum(when(col("__g") === a, col("__x")), 6).as("sx1"),
+        Reductions.isum(when(col("__g") === b, col("__x")), 6).as("sx2"),
+        Reductions.isum(when(col("__g") === a, col("__x") * col("__x")), 6)
+          .as("sxx1"),
+        Reductions.isum(when(col("__g") === b, col("__x") * col("__x")), 6)
+          .as("sxx2"))
+    val n1 = col("n1").cast(DoubleType); val n2 = col("n2").cast(DoubleType)
+    val m1 = col("sx1") / n1; val m2 = col("sx2") / n2
+    val v1 = (col("sxx1") - col("sx1") * col("sx1") / n1) / (n1 - 1.0)
+    val v2 = (col("sxx2") - col("sx2") * col("sx2") / n2) / (n2 - 1.0)
+    val se2 = v1 / n1 + v2 / n2
+    val dfW = se2 * se2 /
+      (v1 * v1 / (n1 * n1 * (n1 - 1.0)) + v2 * v2 / (n2 * n2 * (n2 - 1.0)))
+    agg.select(col("n1"), col("n2"), m1.as("mean1"), m2.as("mean2"),
+      when(col("n1") > 1 && col("n2") > 1 && se2 > 0,
+        (m1 - m2) / sqrt(se2)).as("t"),
+      when(col("n1") > 1 && col("n2") > 1 && se2 > 0, dfW).as("df"))
+  }
+
+  /** One-way ANOVA F-statistic across the groups of `groupCol`. Group
+    * moments are floor-scaled exact sums; the k per-group between-terms
+    * s_g²/n_g (doubles) are re-floor-scaled at 10⁹ and exact-summed so
+    * the cross-group reduction order can't perturb the result (the
+    * chi-square per-cell-term pattern). SSB = Σ_g s_g²/n_g − S²/N,
+    * SSW = Σ⌊x²⌋ − Σ_g s_g²/n_g, F = (SSB/(k−1))/(SSW/(N−k)).
+    * Returns one row (k, n, ssb, ssw, f). Two keyed aggregations;
+    * nothing data-sized leaves the executors. */
+  def anovaOneWay(df: DataFrame, valueCol: String, groupCol: String)
+      : DataFrame = {
+    val x = col(valueCol).cast(DoubleType)
+    val perGroup = df
+      .filter(col(groupCol).isNotNull && x.isNotNull && !isnan(x))
+      .select(col(groupCol).as("__g"), x.as("__x"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"),
+        Reductions.isum(col("__x"), 6).as("__sx"),
+        Reductions.isum(col("__x") * col("__x"), 6).as("__sxx"))
+      .withColumn("__bt", col("__sx") * col("__sx") / col("__n").cast(DoubleType))
+    val agg = perGroup.agg(
+      count(lit(1)).as("k"),
+      sum(col("__n")).as("n"),
+      Reductions.isum(col("__sx"), 6).as("s"),
+      Reductions.isum(col("__sxx"), 6).as("sxx"),
+      Reductions.isum(col("__bt"), 9).as("bt"))
+    val nD = col("n").cast(DoubleType); val kD = col("k").cast(DoubleType)
+    val ssb = col("bt") - col("s") * col("s") / nD
+    val ssw = col("sxx") - col("bt")
+    agg.select(col("k"), col("n"), ssb.as("ssb"), ssw.as("ssw"),
+      when(col("k") > 1 && col("n") > col("k") && ssw > 0,
+        (ssb / (kD - 1.0)) / (ssw / (nD - kD))).as("f"))
+  }
+
+  /** Benjamini–Hochberg FDR adjustment over a table of per-test p-values:
+    * adj_p_i = min(1, min_{j ≥ i} p_(j)·m/j) over the ascending-p order
+    * (ties broken by `idCol` so the order — and therefore the result —
+    * is total and engine-replayable). Returns (id, p, bh_rank, p_adj).
+    *
+    * Plan: the hypothesis table is range-partitioned and sorted by
+    * (p, id); per-partition counts give rank offsets and per-partition
+    * minima of the q = p·m/rank candidates give suffix-min offsets —
+    * both O(partitions) on the driver, the ksTest/rank-table shape. The
+    * suffix cumulative min then runs within partitions (each scanned
+    * backwards once). No global window, no O(n) driver state — BH over
+    * 10⁹ hypotheses costs one range shuffle. */
+  def bhAdjust(df: DataFrame, idCol: String, pCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = col(pCol).cast(DoubleType)
+    val base = df
+      .filter(col(idCol).isNotNull && p.isNotNull && !isnan(p))
+      .select(col(idCol).cast(LongType).as("__id"), p.as("__p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = base.count()
+    val sorted = base
+      .repartitionByRange(parts, col("__p"), col("__id"))
+      .sortWithinPartitions(col("__p"), col("__id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sorted.count()
+    import spark.implicits._
+    val typed = sorted.as[(Long, Double)]
+    // pass 1: per-partition (count, min q) given the rank offset — but q
+    // needs the global rank, so partials carry counts first …
+    val counts = typed.rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator((pid, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val rankOff = counts.scanLeft(0L)(_ + _)
+    // … then per-partition min of q over now-known global ranks
+    val bcOff = spark.sparkContext.broadcast(rankOff)
+    val mD = m.toDouble
+    val partMins = typed.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var r = bcOff.value(pid); var best = Double.PositiveInfinity
+      it.foreach { case (_, pv) =>
+        r += 1
+        val q = pv * mD / r.toDouble
+        if (q < best) best = q
+      }
+      Iterator((pid, best))
+    }.collect().sortBy(_._1).map(_._2)
+    // suffix-min across partitions: the min over every LATER partition
+    val sufMin = partMins.scanRight(Double.PositiveInfinity)(math.min).tail
+    val bcSuf = spark.sparkContext.broadcast(sufMin)
+    val out = typed.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rows = it.toArray
+      val ranks = new Array[Long](rows.length)
+      val qs = new Array[Double](rows.length)
+      var r = bcOff.value(pid)
+      var i = 0
+      while (i < rows.length) {
+        r += 1; ranks(i) = r; qs(i) = rows(i)._2 * mD / r.toDouble; i += 1
+      }
+      // backwards within-partition suffix min, seeded by later partitions
+      var run = bcSuf.value(pid)
+      val adj = new Array[Double](rows.length)
+      i = rows.length - 1
+      while (i >= 0) {
+        if (qs(i) < run) run = qs(i)
+        adj(i) = math.min(1.0, run)
+        i -= 1
+      }
+      rows.iterator.zipWithIndex.map { case ((id, pv), j) =>
+        (id, pv, ranks(j), adj(j))
+      }
+    }.toDF("__id", "__p", "bh_rank", "p_adj")
+      .withColumnRenamed("__id", idCol).withColumnRenamed("__p", pCol)
+    val ret = out.cache()
+    ret.count()
+    sorted.unpersist(); base.unpersist()
+    ret
+  }
 }

@@ -336,4 +336,82 @@ class StatsGraphSpec extends SparkSuite {
     assert(!pairs.exists(r => r.getAs[Long]("id_b") == 3L ||
       r.getAs[Long]("id_a") == 3L))
   }
+
+  test("rocAuc: perfect separation → 1.0; random labels on equal scores → 0.5") {
+    val perfect = Seq((1.0, 0L), (2.0, 0L), (3.0, 1L), (4.0, 1L))
+      .toDF("score", "label")
+    val r1 = Stats.rocAuc(perfect, "score", "label").collect()(0)
+    assert(r1.getAs[Double]("auc") == 1.0)
+    // all scores tied → every pair contributes 1/2 → AUC exactly 0.5
+    val tied = Seq((5.0, 0L), (5.0, 1L), (5.0, 0L), (5.0, 1L))
+      .toDF("score", "label")
+    val r2 = Stats.rocAuc(tied, "score", "label").collect()(0)
+    assert(r2.getAs[Double]("auc") == 0.5)
+  }
+
+  test("rocAuc: hand-computed with ties matches the rank-sum identity") {
+    // scores: neg {1, 2}, pos {2, 3}. avg ranks: 1→1, 2→2.5, 3→4.
+    // R+ = 2.5 + 4 = 6.5, AUC = (6.5 − 2·3/2) / (2·2) = 3.5/4 = 0.875
+    val df = Seq((1.0, 0L), (2.0, 0L), (2.0, 1L), (3.0, 1L))
+      .toDF("score", "label")
+    val r = Stats.rocAuc(df, "score", "label").collect()(0)
+    assert(r.getAs[Long]("r_pos_doubled") == 13L)
+    assert(r.getAs[Double]("auc") == 0.875)
+  }
+
+  test("welchTTest: equal samples → t = 0; known asymmetric case") {
+    val eq = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "x")
+    val r = Stats.welchTTest(eq, "x", "g", "a", "b").collect()(0)
+    assert(r.getAs[Double]("t") == 0.0)
+    // a = {1,2,3} (mean 2, var 1), b = {2,4,6} (mean 4, var 4)
+    // se² = 1/3 + 4/3 = 5/3, t = −2/√(5/3)
+    val df2 = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0)).toDF("g", "x")
+    val r2 = Stats.welchTTest(df2, "x", "g", "a", "b").collect()(0)
+    assert(math.abs(r2.getAs[Double]("t") - (-2.0 / math.sqrt(5.0 / 3.0))) < 1e-12)
+    assert(r2.getAs[Double]("mean1") == 2.0 && r2.getAs[Double]("mean2") == 4.0)
+  }
+
+  test("anovaOneWay: identical groups → F = 0; separated groups → large F") {
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "x")
+    val r = Stats.anovaOneWay(same, "x", "g").collect()(0)
+    assert(math.abs(r.getAs[Double]("ssb")) < 1e-9)
+    // textbook: groups {1,2,3}, {4,5,6}, {7,8,9} → SSB = 54, SSW = 6,
+    // F = (54/2)/(6/6) = 27
+    val sep = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0, "b" -> 4.0, "b" -> 5.0,
+      "b" -> 6.0, "c" -> 7.0, "c" -> 8.0, "c" -> 9.0).toDF("g", "x")
+    val r2 = Stats.anovaOneWay(sep, "x", "g").collect()(0)
+    assert(math.abs(r2.getAs[Double]("ssb") - 54.0) < 1e-9)
+    assert(math.abs(r2.getAs[Double]("ssw") - 6.0) < 1e-9)
+    assert(math.abs(r2.getAs[Double]("f") - 27.0) < 1e-9)
+  }
+
+  test("bhAdjust: hand-computed adjustment with the monotonicity clamp") {
+    // p = (0.01, 0.04, 0.03, 0.05) over ids 1..4, m = 4:
+    // sorted (0.01,1) (0.03,3) (0.04,2) (0.05,4)
+    // q = 0.04, 0.06, 0.0533.., 0.05 → suffix-min: 0.04, 0.05, 0.05, 0.05
+    val df = Seq((1L, 0.01), (2L, 0.04), (3L, 0.03), (4L, 0.05))
+      .toDF("id", "p")
+    val r = Stats.bhAdjust(df, "id", "p").orderBy("bh_rank").collect()
+    assert(r.map(_.getAs[Long]("id")).toSeq == Seq(1L, 3L, 2L, 4L))
+    assert(r.map(_.getAs[Long]("bh_rank")).toSeq == Seq(1L, 2L, 3L, 4L))
+    val adj = r.map(_.getAs[Double]("p_adj"))
+    assert(math.abs(adj(0) - 0.04) < 1e-12)
+    assert(math.abs(adj(1) - 0.05) < 1e-12)
+    assert(math.abs(adj(2) - 0.05) < 1e-12)
+    assert(math.abs(adj(3) - 0.05) < 1e-12)
+    // adjusted p's are monotone along the rank order
+    assert(adj.sliding(2).forall(w => w(0) <= w(1) + 1e-15))
+  }
+
+  test("bhAdjust: result is partition-layout invariant") {
+    val df = (1L to 200L).map(i => (i, ((i * 37) % 101).toDouble / 101.0))
+      .toDF("id", "p")
+    val a = Stats.bhAdjust(df, "id", "p").orderBy("id").collect().toSeq
+    val b = Stats.bhAdjust(df.repartition(13), "id", "p")
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
 }
