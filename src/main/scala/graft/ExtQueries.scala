@@ -1475,6 +1475,45 @@ object ExtQueries {
         .select(col("doc_id"), p.as("p_value"))
       Stats.bhAdjust(tests, "doc_id", "p_value")
         .orderBy(col("bh_rank"))
+    },
+
+    // Referential-integrity audit across four FK relationships — child
+    // ships only its key column, parent only its distinct keys; the
+    // events→customer relation is the one with real orphans.
+    "q177_fk_audit" -> { (s, dir) =>
+      Quality.fkAudit(Seq(
+        Quality.FkRelation("lineitem->orders", t(s, dir, "lineitem"),
+          "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+        Quality.FkRelation("orders->customer", t(s, dir, "orders"),
+          "o_custkey", t(s, dir, "customer"), "c_custkey"),
+        Quality.FkRelation("lineitem->part", t(s, dir, "lineitem"),
+          "l_partkey", t(s, dir, "part"), "p_partkey"),
+        Quality.FkRelation("events->customer", t(s, dir, "events"),
+          "user_id", t(s, dir, "customer"), "c_custkey")))
+        .orderBy(col("relation"))
+    },
+
+    // Declarative expectation suite over orders: all row-level rules fuse
+    // into ONE scan; each uniqueness rule is a distinct-count of its key
+    // tuple. The (o_custkey, o_orderstatus) rule is the failing one.
+    "q178_expectations" -> { (s, dir) =>
+      Quality.checkExpectations(t(s, dir, "orders"), Seq(
+        Quality.NotNull("status_not_null", "o_orderstatus"),
+        Quality.InSet("status_domain", "o_orderstatus", Seq("O", "F", "P")),
+        Quality.InRange("price_range", "o_totalprice", 1.0, 500000.0),
+        Quality.MatchesRegex("priority_format", "o_orderpriority",
+          "[1-5]-[A-Z]+"),
+        Quality.Unique("pk_unique", Seq("o_orderkey")),
+        Quality.Unique("cust_status_unique",
+          Seq("o_custkey", "o_orderstatus"))))
+        .orderBy(col("rule"))
+    },
+
+    // Benford first-significant-digit audit of l_extendedprice — digit
+    // extraction via scale-12 fixed-point rendering (no libm log10 on
+    // either engine; expected fractions are shared literals).
+    "q179_benford" -> { (s, dir) =>
+      Quality.benfordAudit(t(s, dir, "lineitem"), "l_extendedprice")
     }
   )
 
@@ -3668,6 +3707,117 @@ object ExtQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_adj
            FROM q)
          SELECT doc_id, p_value, bh_rank, p_adj
-         FROM adj ORDER BY bh_rank"""
+         FROM adj ORDER BY bh_rank""",
+
+    // mirrors Quality.fkAudit: per-relation anti-join orphan counts over
+    // key frames only.
+    "q177_fk_audit" ->
+      """WITH r1 AS (SELECT 'lineitem->orders' AS relation,
+           CAST(COUNT(*) AS BIGINT) AS child_rows,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_keys,
+           CAST(COUNT(CASE WHEN l_orderkey IS NOT NULL
+             AND l_orderkey NOT IN (SELECT o_orderkey FROM orders) THEN 1 END)
+             AS BIGINT) AS orphan_rows,
+           CAST(COUNT(DISTINCT CASE WHEN l_orderkey IS NOT NULL
+             AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+             THEN l_orderkey END) AS BIGINT) AS orphan_keys
+           FROM lineitem),
+         r2 AS (SELECT 'orders->customer',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(CASE WHEN o_custkey IS NOT NULL
+             AND o_custkey NOT IN (SELECT c_custkey FROM customer) THEN 1 END)
+             AS BIGINT),
+           CAST(COUNT(DISTINCT CASE WHEN o_custkey IS NOT NULL
+             AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+             THEN o_custkey END) AS BIGINT)
+           FROM orders),
+         r3 AS (SELECT 'lineitem->part',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(CASE WHEN l_partkey IS NOT NULL
+             AND l_partkey NOT IN (SELECT p_partkey FROM part) THEN 1 END)
+             AS BIGINT),
+           CAST(COUNT(DISTINCT CASE WHEN l_partkey IS NOT NULL
+             AND l_partkey NOT IN (SELECT p_partkey FROM part)
+             THEN l_partkey END) AS BIGINT)
+           FROM lineitem),
+         r4 AS (SELECT 'events->customer',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(CASE WHEN user_id IS NOT NULL
+             AND user_id NOT IN (SELECT c_custkey FROM customer) THEN 1 END)
+             AS BIGINT),
+           CAST(COUNT(DISTINCT CASE WHEN user_id IS NOT NULL
+             AND user_id NOT IN (SELECT c_custkey FROM customer)
+             THEN user_id END) AS BIGINT)
+           FROM events)
+         SELECT * FROM r1 UNION ALL SELECT * FROM r2
+         UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+         ORDER BY relation""",
+
+    // mirrors Quality.checkExpectations over orders: same violation
+    // semantics per rule (complete-case range/regex/set checks; unique =
+    // rows − distinct key tuples).
+    "q178_expectations" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)
+         SELECT rule, violations, n_rows, violations = 0 AS pass FROM (
+           SELECT 'status_not_null' AS rule,
+             (SELECT CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) FROM orders) AS violations, n_rows FROM n
+           UNION ALL
+           SELECT 'status_domain',
+             (SELECT CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                AND o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+                AS BIGINT) FROM orders), n_rows FROM n
+           UNION ALL
+           SELECT 'price_range',
+             (SELECT CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                AND NOT isnan(o_totalprice)
+                AND (CAST(o_totalprice AS DOUBLE) < 1.0
+                     OR CAST(o_totalprice AS DOUBLE) > 500000.0)
+                THEN 1 ELSE 0 END) AS BIGINT) FROM orders), n_rows FROM n
+           UNION ALL
+           SELECT 'priority_format',
+             (SELECT CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                AND NOT regexp_full_match(o_orderpriority, '[1-5]-[A-Z]+')
+                THEN 1 ELSE 0 END) AS BIGINT) FROM orders), n_rows FROM n
+           UNION ALL
+           SELECT 'pk_unique',
+             (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+              FROM orders), n_rows FROM n
+           UNION ALL
+           SELECT 'cust_status_unique',
+             (SELECT CAST(COUNT(*) - COUNT(DISTINCT (o_custkey, o_orderstatus))
+                AS BIGINT) FROM orders), n_rows FROM n
+         ) t ORDER BY rule""",
+
+    // mirrors Quality.benfordAudit: identical scale-12 fixed-point digit
+    // extraction and the same shared Benford literals.
+    "q179_benford" ->
+      """WITH d AS (SELECT CAST(substr(regexp_replace(
+             CAST(CAST(FLOOR(ABS(CAST(l_extendedprice AS DOUBLE)) * 1e12)
+               AS BIGINT) AS VARCHAR), '^0+', ''), 1, 1) AS INTEGER) AS digit
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL
+             AND NOT isnan(l_extendedprice)
+             AND ABS(CAST(l_extendedprice AS DOUBLE)) > 0.0),
+         c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d
+           WHERE digit IS NOT NULL AND digit >= 1 GROUP BY digit),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c),
+         bf AS (SELECT * FROM (VALUES
+           (1, 3.0102999566398120e-1), (2, 1.7609125905568124e-1),
+           (3, 1.2493873660829993e-1), (4, 9.691001300805642e-2),
+           (5, 7.918124604762482e-2), (6, 6.694678963061322e-2),
+           (7, 5.799194697768673e-2), (8, 5.115252244738129e-2),
+           (9, 4.575749056067514e-2)) AS v(digit, benford_frac))
+         SELECT bf.digit, COALESCE(c.n, 0) AS n,
+           CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(t AS DOUBLE) AS frac,
+           bf.benford_frac,
+           ABS(CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(t AS DOUBLE)
+             - bf.benford_frac) AS abs_dev
+         FROM bf LEFT JOIN c ON bf.digit = c.digit CROSS JOIN tot
+         ORDER BY bf.digit"""
   )
 }
