@@ -1514,6 +1514,46 @@ object ExtQueries {
     // either engine; expected fractions are shared literals).
     "q179_benford" -> { (s, dir) =>
       Quality.benfordAudit(t(s, dir, "lineitem"), "l_extendedprice")
+    },
+
+    // Ridge regression per group: q116's executor-side Cholesky with
+    // XᵀX + λI (intercept unpenalized) — λ large enough to visibly
+    // shrink the slopes, oracle replays the same sequence with p_kk + λ.
+    "q180_ridge_groups" -> { (s, dir) =>
+      Ml.linearRegressionByGroupN(t(s, dir, "lineitem"), Seq("l_returnflag"),
+          Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice",
+          ridgeLambda = 100000.0)
+        .withColumn("b1", element_at(col("coefficients"), 1))
+        .withColumn("b2", element_at(col("coefficients"), 2))
+        .withColumn("b3", element_at(col("coefficients"), 3))
+        .drop("coefficients")
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Theil-Sen robust trend per user (value over event time): median of
+    // pairwise slopes + median-residual intercept via the group-quantile
+    // rank-selection — the pair frame is group-keyed and LOUDLY bounded.
+    "q181_theil_sen" -> { (s, dir) =>
+      val ev = t(s, dir, "events").filter(col("user_id") < 20)
+        .select(col("user_id"),
+          unix_micros(col("ts")).cast(DoubleType).as("ts_us"),
+          col("value"))
+      Stats.theilSen(ev, "user_id", "ts_us", "value")
+        .orderBy(col("user_id"))
+    },
+
+    // Seasonal-naive (lag-4) forecast evaluation per user: MAE/RMSE/
+    // sMAPE/MASE from floor-scaled exact error sums — the forecast-QA
+    // primitive for the q146/q167 smoother family.
+    "q182_forecast_acc" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("sn_forecast", lag(col("value"), 4).over(w))
+      Stats.forecastAccuracy(ev, Seq("user_id"), Seq("ts", "event_id"),
+          "value", "sn_forecast")
+        .orderBy(col("user_id"))
     }
   )
 
@@ -3818,6 +3858,118 @@ object ExtQueries {
            ABS(CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(t AS DOUBLE)
              - bf.benford_frac) AS abs_dev
          FROM bf LEFT JOIN c ON bf.digit = c.digit CROSS JOIN tot
-         ORDER BY bf.digit"""
+         ORDER BY bf.digit""",
+
+    // mirrors linearRegressionByGroupN(ridgeLambda = 1e5): the q116
+    // Cholesky CTE chain with p_kk + λ on the feature diagonal (the
+    // intercept row is unpenalized) — including the relative pivot check
+    // against the penalized diagonal.
+    "q180_ridge_groups" ->
+      """WITH st AS (
+           SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(FLOOR((l_quantity) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS s1,
+             CAST(SUM(CAST(FLOOR((l_discount) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS s2,
+             CAST(SUM(CAST(FLOOR((l_tax) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS s3,
+             CAST(SUM(CAST(FLOOR((l_quantity * l_quantity) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS p11,
+             CAST(SUM(CAST(FLOOR((l_quantity * l_discount) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS p12,
+             CAST(SUM(CAST(FLOOR((l_quantity * l_tax) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS p13,
+             CAST(SUM(CAST(FLOOR((l_discount * l_discount) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS p22,
+             CAST(SUM(CAST(FLOOR((l_discount * l_tax) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS p23,
+             CAST(SUM(CAST(FLOOR((l_tax * l_tax) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS p33,
+             CAST(SUM(CAST(FLOOR((l_extendedprice) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS sy,
+             CAST(SUM(CAST(FLOOR((l_quantity * l_extendedprice) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS q1,
+             CAST(SUM(CAST(FLOOR((l_discount * l_extendedprice) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS q2,
+             CAST(SUM(CAST(FLOOR((l_tax * l_extendedprice) * 10000.0) AS DECIMAL(30,0))) AS DOUBLE) / 10000.0 AS q3
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+             AND l_tax IS NOT NULL AND l_extendedprice IS NOT NULL
+           GROUP BY 1),
+         rg AS (SELECT *, p11 + 100000.0 AS r11, p22 + 100000.0 AS r22,
+                          p33 + 100000.0 AS r33 FROM st),
+         c1 AS (SELECT *, sqrt(n) AS l00 FROM rg),
+         c2 AS (SELECT *, s1 / l00 AS l10, s2 / l00 AS l20, s3 / l00 AS l30 FROM c1),
+         c3 AS (SELECT *, r11 - l10 * l10 AS pv1 FROM c2),
+         c4 AS (SELECT *, sqrt(greatest(pv1, 0.0)) AS l11 FROM c3),
+         c5 AS (SELECT *, (p12 - l20 * l10) / l11 AS l21,
+                          (p13 - l30 * l10) / l11 AS l31 FROM c4),
+         c6 AS (SELECT *, r22 - l20 * l20 - l21 * l21 AS pv2 FROM c5),
+         c7 AS (SELECT *, sqrt(greatest(pv2, 0.0)) AS l22 FROM c6),
+         c8 AS (SELECT *, (p23 - l30 * l20 - l31 * l21) / l22 AS l32 FROM c7),
+         c9 AS (SELECT *, r33 - l30 * l30 - l31 * l31 - l32 * l32 AS pv3 FROM c8),
+         c10 AS (SELECT *, sqrt(greatest(pv3, 0.0)) AS l33 FROM c9),
+         f1 AS (SELECT *, sy / l00 AS fy0 FROM c10),
+         f2 AS (SELECT *, (q1 - l10 * fy0) / l11 AS fy1 FROM f1),
+         f3 AS (SELECT *, (q2 - l20 * fy0 - l21 * fy1) / l22 AS fy2 FROM f2),
+         f4 AS (SELECT *, (q3 - l30 * fy0 - l31 * fy1 - l32 * fy2) / l33 AS fy3 FROM f3),
+         b1_ AS (SELECT *, fy3 / l33 AS x3 FROM f4),
+         b2_ AS (SELECT *, (fy2 - l32 * x3) / l22 AS x2 FROM b1_),
+         b3_ AS (SELECT *, (fy1 - l21 * x2 - l31 * x3) / l11 AS x1 FROM b2_),
+         b4_ AS (SELECT *, (fy0 - l10 * x1 - l20 * x2 - l30 * x3) / l00 AS x0,
+                   (pv1 > r11 / 1073741824.0 AND pv2 > r22 / 1073741824.0
+                    AND pv3 > r33 / 1073741824.0) AS ok FROM b3_)
+         SELECT l_returnflag, n,
+           CASE WHEN ok THEN x0 ELSE sy / n END AS intercept,
+           CASE WHEN ok THEN x1 ELSE 0.0 END AS b1,
+           CASE WHEN ok THEN x2 ELSE 0.0 END AS b2,
+           CASE WHEN ok THEN x3 ELSE 0.0 END AS b3
+         FROM b4_ ORDER BY l_returnflag""",
+
+    // mirrors Stats.theilSen: identical pair frame (a.x < b.x), DuckDB's
+    // quantile_cont == the groupQuantiles rank-selection interpolation
+    // (q165 precedent) for both medians.
+    "q181_theil_sen" ->
+      """WITH base AS (SELECT user_id AS g,
+             CAST(epoch_us(ts) AS DOUBLE) AS x, CAST(value AS DOUBLE) AS y
+           FROM events
+           WHERE user_id < 20 AND ts IS NOT NULL
+             AND value IS NOT NULL AND NOT isnan(value)),
+         slopes AS (SELECT a.g, (b.y - a.y) / (b.x - a.x) AS s
+           FROM base a JOIN base b ON a.g = b.g AND a.x < b.x),
+         med AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             quantile_cont(s, 0.5) AS slope
+           FROM slopes GROUP BY g),
+         resid AS (SELECT base.g, y - slope * x AS r
+           FROM base JOIN med ON base.g = med.g),
+         ic AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             quantile_cont(r, 0.5) AS intercept
+           FROM resid GROUP BY g)
+         SELECT ic.g AS user_id, n, n_pairs, slope, intercept
+         FROM ic JOIN med ON ic.g = med.g ORDER BY user_id""",
+
+    // mirrors Stats.forecastAccuracy over the lag-4 seasonal-naive
+    // forecast: identical keyed lags, scale-6/scale-9 floor sums, and
+    // final metric op order.
+    "q182_forecast_acc" ->
+      """WITH l AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS y,
+             lag(CAST(value AS DOUBLE), 4) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS f
+           FROM events),
+         b AS (SELECT user_id, y,
+             CASE WHEN f IS NOT NULL AND NOT isnan(f) THEN f END AS f2,
+             lag(y) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ylag
+           FROM l WHERE y IS NOT NULL AND NOT isnan(y)),
+         agg AS (SELECT user_id,
+             CAST(SUM(CASE WHEN f2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(ABS(f2 - y) * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS sae,
+             CAST(SUM(CAST(FLOOR((f2 - y) * (f2 - y) * 1000000.0)
+               AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sse,
+             CAST(SUM(CAST(FLOOR((CASE WHEN ABS(f2) + ABS(y) > 0.0
+                 THEN ABS(f2 - y) * 2.0 / (ABS(f2) + ABS(y)) ELSE 0.0 END)
+                 * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000000.0 AS ssm,
+             CAST(SUM(CASE WHEN ylag IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS nn,
+             CAST(SUM(CAST(FLOOR(ABS(y - ylag) * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS sn
+           FROM b GROUP BY user_id)
+         SELECT user_id, n,
+           sae / CAST(n AS DOUBLE) AS mae,
+           sqrt(sse / CAST(n AS DOUBLE)) AS rmse,
+           ssm / CAST(n AS DOUBLE) AS smape,
+           CASE WHEN nn > 0 AND sn > 0.0
+             THEN (sae / CAST(n AS DOUBLE)) / (sn / CAST(nn AS DOUBLE)) END
+             AS mase
+         FROM agg ORDER BY user_id"""
   )
 }

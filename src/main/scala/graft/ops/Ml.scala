@@ -641,7 +641,9 @@ object Ml {
     * order). */
   def linearRegressionByGroupN(df: DataFrame, groupCols: Seq[String],
                                features: Seq[String], target: String,
-                               colScale: Map[String, Int] = Map.empty): DataFrame = {
+                               colScale: Map[String, Int] = Map.empty,
+                               ridgeLambda: Double = 0.0): DataFrame = {
+    require(ridgeLambda >= 0.0, "ridgeLambda must be ≥ 0")
     val d = features.size
     require(d >= 1, "need at least one feature")
     def sc(a: String, b: String): Int =
@@ -683,6 +685,12 @@ object Ml {
           a(0)(i + 1) = r.getDouble(ix); a(i + 1)(0) = a(0)(i + 1) }
         pairs.zip(pIdx).foreach { case ((i, j), ix) =>
           a(i + 1)(j + 1) = r.getDouble(ix); a(j + 1)(i + 1) = a(i + 1)(j + 1) }
+        // ridge: L2 penalty on the feature weights only — the intercept
+        // row (0) is never shrunk. XᵀX + λI stays SPD for any λ > 0, so
+        // the same pivot-free Cholesky sequence (and its SQL mirror)
+        // applies with p_kk + λ on the diagonal.
+        if (ridgeLambda != 0.0)
+          for (i <- 1 to d) a(i)(i) += ridgeLambda
         b(0) = r.getDouble(syIdx)
         qIdx.zipWithIndex.foreach { case (ix, i) => b(i + 1) = r.getDouble(ix) }
         val beta =

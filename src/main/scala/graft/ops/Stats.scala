@@ -465,4 +465,101 @@ object Stats {
     sorted.unpersist(); base.unpersist()
     ret
   }
+
+  /** Theil–Sen robust regression per group: slope = median of all
+    * pairwise slopes (y_j−y_i)/(x_j−x_i) over pairs with x_i < x_j,
+    * intercept = median of (y − slope·x) — the outlier-resistant trend
+    * estimator (metric drift over time per source/user). Returns
+    * (group, n, n_pairs, slope, intercept).
+    *
+    * Plan: a group-keyed self-join builds the O(n²)-per-group pair frame
+    * (one shuffle each side, pairs never cross groups), then two
+    * [[Reductions.groupQuantiles]] rank-selection passes (no percentile
+    * buffer). The quadratic blowup is guarded LOUDLY: any group above
+    * `maxGroupRows` raises instead of silently running an n² join — at
+    * scale, subsample per group first (hashSampleRows) or bound the
+    * window. Equal-x pairs are skipped (slope undefined); complete-case.
+    */
+  def theilSen(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+               maxGroupRows: Long = 100000L): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+        col(xCol).cast(DoubleType).as("__x"),
+        col(yCol).cast(DoubleType).as("__y"))
+      .filter(col("__g").isNotNull && col("__x").isNotNull &&
+        col("__y").isNotNull && !isnan(col("__x")) && !isnan(col("__y")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = base.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tooBig = counts.filter(col("__n") > maxGroupRows).limit(1).collect()
+    if (tooBig.nonEmpty)
+      throw new IllegalArgumentException(
+        s"theilSen: group '${tooBig(0).get(0)}' has ${tooBig(0).getLong(1)} " +
+          s"rows > maxGroupRows=$maxGroupRows — the pairwise frame would be " +
+          "quadratic; subsample per group (hashSampleRows) or raise the " +
+          "bound explicitly")
+    val a = base.select(col("__g"), col("__x").as("__xa"), col("__y").as("__ya"))
+    val b = base.select(col("__g"), col("__x").as("__xb"), col("__y").as("__yb"))
+    val slopes = a.join(b, Seq("__g"))
+      .filter(col("__xa") < col("__xb"))
+      .select(col("__g"),
+        ((col("__yb") - col("__ya")) / (col("__xb") - col("__xa")))
+          .as("__slope"))
+    val med = Reductions.groupQuantiles(slopes, "__g", "__slope",
+        Seq("slope" -> 0.5))
+      .select(col("__g"), col("n").as("n_pairs"), col("slope"))
+    val resid = base.join(broadcast(med), "__g")
+      .select(col("__g"), (col("__y") - col("slope") * col("__x")).as("__r"))
+    val icept = Reductions.groupQuantiles(resid, "__g", "__r",
+        Seq("intercept" -> 0.5))
+      .select(col("__g"), col("n"), col("intercept"))
+    val out = icept.join(broadcast(med), "__g")
+      .select(col("__g").as(groupCol), col("n"), col("n_pairs"),
+        col("slope"), col("intercept"))
+    base.unpersist(); counts.unpersist()
+    out
+  }
+
+  /** Forecast-accuracy metrics per key for an (actual, forecast) column
+    * pair: MAE, RMSE, sMAPE (0..2 convention), and MASE with the
+    * one-step-naive denominator mean |y_t − y_{t−1}| over the key's
+    * order. All error sums are floor-scaled exact (scale 6) so the
+    * metrics are engine/partition-order exact; the only windows are
+    * keyed lags. Returns (key…, n, mae, rmse, smape, mase). Rows where
+    * either side is null/NaN are dropped from the error sums; the naive
+    * denominator uses the actual series' own complete-case lag. */
+  def forecastAccuracy(df: DataFrame, keyCols: Seq[String],
+                       orderCols: Seq[String], actualCol: String,
+                       forecastCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val y = col(actualCol).cast(DoubleType)
+    val f = col(forecastCol).cast(DoubleType)
+    val ok = y.isNotNull && !isnan(y) && f.isNotNull && !isnan(f)
+    val base = df
+      .select((keyCols ++ orderCols).map(col) ++
+        Seq(y.as("__y"), when(ok, f).as("__f")): _*)
+      .filter(col("__y").isNotNull && !isnan(col("__y")))
+      .withColumn("__ylag", lag(col("__y"), 1).over(w))
+    val e = col("__f") - col("__y")
+    val absDenom = abs(col("__f")) + abs(col("__y"))
+    val n = sum(when(col("__f").isNotNull, 1L).otherwise(0L))
+    val sae = Reductions.isum(abs(e), 6)
+    val sse = Reductions.isum(e * e, 6)
+    val ssm = Reductions.isum(
+      when(absDenom > 0.0, abs(e) * lit(2.0) / absDenom).otherwise(lit(0.0)), 9)
+    val nNaive = sum(when(col("__ylag").isNotNull, 1L).otherwise(0L))
+    val sNaive = Reductions.isum(abs(col("__y") - col("__ylag")), 6)
+    base.groupBy(keyCols.map(col): _*)
+      .agg(n.as("n"), sae.as("__sae"), sse.as("__sse"), ssm.as("__ssm"),
+        nNaive.as("__nn"), sNaive.as("__sn"))
+      .select(keyCols.map(col) ++ Seq(
+        col("n"),
+        (col("__sae") / col("n").cast(DoubleType)).as("mae"),
+        sqrt(col("__sse") / col("n").cast(DoubleType)).as("rmse"),
+        (col("__ssm") / col("n").cast(DoubleType)).as("smape"),
+        when(col("__nn") > 0 && col("__sn") > 0.0,
+          (col("__sae") / col("n").cast(DoubleType)) /
+            (col("__sn") / col("__nn").cast(DoubleType))).as("mase")): _*)
+  }
 }

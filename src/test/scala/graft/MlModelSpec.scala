@@ -337,4 +337,23 @@ class MlModelSpec extends SparkSuite {
     assert(out(76L)._1 == 0.5)
     assert(out(1L)._2 == 0.0, "constant column maps to 0 (divisor 1)")
   }
+
+  test("ridge: λ=0 equals OLS; growing λ shrinks slopes monotonically to 0") {
+    import spark.implicits._
+    val df = (1 to 60).map { i =>
+      val x1 = (i % 10).toDouble; val x2 = (i % 7).toDouble
+      ("g", x1, x2, 3.0 + 2.0 * x1 - 1.5 * x2)
+    }.toDF("g", "x1", "x2", "y")
+    def fit(lambda: Double) =
+      Ml.linearRegressionByGroupN(df, Seq("g"), Seq("x1", "x2"), "y",
+        ridgeLambda = lambda).collect()(0)
+        .getAs[scala.collection.Seq[Double]]("coefficients")
+    val ols = fit(0.0)
+    assert(math.abs(ols(0) - 2.0) < 1e-6 && math.abs(ols(1) + 1.5) < 1e-6)
+    val l1 = fit(100.0); val l2 = fit(10000.0)
+    assert(math.abs(l1(0)) < math.abs(ols(0)) + 1e-12)
+    assert(math.abs(l2(0)) < math.abs(l1(0)))
+    assert(math.abs(l2(1)) < math.abs(l1(1)))
+    assert(math.abs(l2(0)) < 0.9, "heavy penalty shrinks hard")
+  }
 }

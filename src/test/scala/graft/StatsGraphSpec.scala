@@ -406,6 +406,50 @@ class StatsGraphSpec extends SparkSuite {
     assert(adj.sliding(2).forall(w => w(0) <= w(1) + 1e-15))
   }
 
+  test("theilSen: recovers a clean slope and shrugs off one wild outlier") {
+    // y = 2x + 1 on x = 1..9, plus one gross outlier at x = 10
+    val pts = (1 to 9).map(i => ("g", i.toDouble, 2.0 * i + 1.0)) :+
+      (("g", 10.0, 1000.0))
+    val r = Stats.theilSen(pts.toDF("g", "x", "y"), "g", "x", "y")
+      .collect()(0)
+    assert(r.getAs[Double]("slope") == 2.0, "median slope ignores the outlier")
+    assert(r.getAs[Double]("intercept") == 1.0)
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("n_pairs") == 45L)
+  }
+
+  test("theilSen: oversized groups refuse loudly") {
+    val big = (1 to 50).map(i => ("g", i.toDouble, i.toDouble)).toDF("g", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Stats.theilSen(big, "g", "x", "y", maxGroupRows = 10L)
+    }
+    assert(e.getMessage.contains("maxGroupRows"))
+  }
+
+  test("forecastAccuracy: hand-computed MAE/RMSE/MASE on a tiny series") {
+    // actual 1,2,3,4; forecast 1,3,2,6 → e = 0,1,-1,2
+    // MAE = 1, RMSE = sqrt(6/4), naive mean |Δy| = 1 → MASE = 1
+    val df = Seq((1, 1.0, Some(1.0)), (2, 2.0, Some(3.0)),
+      (3, 3.0, Some(2.0)), (4, 4.0, Some(6.0)))
+      .toDF("t", "y", "f").withColumn("k", lit("a"))
+    val r = Stats.forecastAccuracy(df, Seq("k"), Seq("t"), "y", "f")
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("mae") == 1.0)
+    assert(math.abs(r.getAs[Double]("rmse") - math.sqrt(1.5)) < 1e-9)
+    assert(r.getAs[Double]("mase") == 1.0)
+  }
+
+  test("forecastAccuracy: null forecasts excluded from errors, not from naive") {
+    val df = Seq((1, 10.0, None: Option[Double]), (2, 12.0, Some(12.0)),
+      (3, 14.0, Some(10.0))).toDF("t", "y", "f").withColumn("k", lit("a"))
+    val r = Stats.forecastAccuracy(df, Seq("k"), Seq("t"), "y", "f")
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 2L)           // row 1 has no forecast
+    assert(r.getAs[Double]("mae") == 2.0)      // |0| + |4| over 2... e=0,-4
+    // naive denominator uses all three actuals: |2| + |2| over 2 = 2
+    assert(r.getAs[Double]("mase") == 1.0)
+  }
+
   test("bhAdjust: result is partition-layout invariant") {
     val df = (1L to 200L).map(i => (i, ((i * 37) % 101).toDouble / 101.0))
       .toDF("id", "p")
