@@ -1554,6 +1554,27 @@ object ExtQueries {
       Stats.forecastAccuracy(ev, Seq("user_id"), Seq("ts", "event_id"),
           "value", "sn_forecast")
         .orderBy(col("user_id"))
+    },
+
+    // Triangle counting over the nation-level trade graph: nations are
+    // linked when their customer→supplier flow is strictly above the
+    // average flow (integer cross-multiplied — no float threshold);
+    // per-node triangle membership counts from the canonical edge-join.
+    "q184_triangles" -> { (s, dir) =>
+      val flows = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      val tot = flows.agg(sum(col("cnt")).as("ts"), count(lit(1)).as("np"))
+      val strong = flows.crossJoin(broadcast(tot))
+        .filter(col("cnt") * col("np") > col("ts"))
+      Graph.triangleCount(strong, "src", "dst").orderBy(col("id"))
     }
   )
 
@@ -3970,6 +3991,34 @@ object ExtQueries {
            CASE WHEN nn > 0 AND sn > 0.0
              THEN (sae / CAST(n AS DOUBLE)) / (sn / CAST(nn AS DOUBLE)) END
              AS mase
-         FROM agg ORDER BY user_id"""
+         FROM agg ORDER BY user_id""",
+
+    // mirrors Graph.triangleCount over the above-average nation trade
+    // graph: identical integer threshold, canonical a<b edges, the same
+    // wedge-close joins and per-node membership counts.
+    "q184_triangles" ->
+      """WITH flows AS (SELECT c_nationkey AS src, s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           GROUP BY 1, 2),
+         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS ts,
+                        CAST(COUNT(*) AS BIGINT) AS np FROM flows),
+         und AS (SELECT DISTINCT
+             CAST(LEAST(src, dst) AS BIGINT) AS a,
+             CAST(GREATEST(src, dst) AS BIGINT) AS b
+           FROM flows, tot
+           WHERE cnt * np > ts AND src <> dst),
+         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM und e1
+           JOIN und e2 ON e1.b = e2.a
+           JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+         SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles
+         FROM (SELECT x AS id FROM tri
+               UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri) m
+         GROUP BY 1 ORDER BY id"""
   )
 }

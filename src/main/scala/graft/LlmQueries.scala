@@ -436,6 +436,16 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // kNN classification (k=5) of a held-out query split against the rest
+    // of the corpus — exact-cosine neighbors + deterministic majority
+    // vote; the label-recovery eval for an embedding space.
+    "q183_knn_classify" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnClassify(emb.filter(col("vec_id") < 40),
+          emb.filter(col("vec_id") >= 40), 5)
+        .orderBy(col("query_id"))
+    },
+
     // corpus card: the per-source audit table (docs, tokens, quality,
     // exact-dup share) a curation pipeline publishes with a release.
     "q141_corpus_report" -> { (s, dir) =>
@@ -1555,6 +1565,46 @@ object LlmQueries {
            JOIN n nc ON nc.vec_id = corpus_id)
          SELECT query_id, corpus_id, neg_label, cosine, CAST(rank AS INT) AS rank
          FROM scored WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // mirrors Similarity.knnClassify: the q142 exact-cosine scoring with
+    // a disjoint query/corpus split, k=5 window top-k, then the same
+    // deterministic (votes DESC, best rank ASC, label ASC) vote pick.
+    "q183_knn_classify" ->
+      """WITH n AS (
+           SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR(
+             CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE) * 1e12)
+             AS DECIMAL(30,0))) AS DOUBLE) / 1e12) AS nrm
+           FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY 1),
+         dots AS (
+           SELECT q.vec_id AS query_id, q.label AS true_label,
+             c.vec_id AS corpus_id, c.label AS c_label,
+             CAST(SUM(CAST(FLOOR(
+               CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE) * 1e12)
+               AS DECIMAL(30,0))) AS DOUBLE) / 1e12 AS dot
+           FROM embeddings q
+           CROSS JOIN embeddings c
+           CROSS JOIN range(0, 64) t(i)
+           WHERE q.vec_id < 40 AND c.vec_id >= 40 AND c.vec_id <> q.vec_id
+           GROUP BY 1, 2, 3, 4),
+         topk AS (
+           SELECT query_id, true_label, c_label,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dot / (nq.nrm * nc.nrm) DESC, corpus_id ASC) AS rank
+           FROM dots
+           JOIN n nq ON nq.vec_id = query_id
+           JOIN n nc ON nc.vec_id = corpus_id),
+         votes AS (
+           SELECT query_id, true_label, c_label,
+             CAST(COUNT(*) AS BIGINT) AS votes,
+             MIN(rank) AS best_rank
+           FROM topk WHERE rank <= 5 GROUP BY 1, 2, 3),
+         pick AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY votes DESC, best_rank ASC, c_label ASC) AS vr
+           FROM votes)
+         SELECT query_id, true_label, c_label AS pred_label, votes,
+           c_label = true_label AS correct
+         FROM pick WHERE vr = 1 ORDER BY query_id""",
 
     // mirrors TextStats.corpusReport: q34 scorer + fingerprint distincts,
     // floor-scaled exact mean.

@@ -65,6 +65,49 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
 
+  /** k-nearest-neighbor classification over an embedding column: each
+    * query vector takes the majority label among its k nearest corpus
+    * vectors by exact cosine. Vote ties break deterministically by
+    * (votes DESC, best (lowest) rank ASC, label ASC) — total, and
+    * replayable in SQL. Returns
+    * (query_id, true_label, pred_label, votes, correct).
+    *
+    * This is the exact brute-force baseline (same plan as
+    * [[bruteForceTopK]]: corpus scan × broadcast queries, one window
+    * top-k); at scale the corpus side swaps to the IVF candidate path
+    * ([[ivfTopKPortable]]'s probed-cell join) exactly as hardNegatives
+    * documents — the vote step is unchanged since it only sees k rows
+    * per query. */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int,
+                  idCol: String = "vec_id", embCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("true_label"), col(embCol).as("q_emb"))
+      .withColumn("q_norm", normExact(col("q_emb")))
+    val c = corpus.select(col(idCol).as("corpus_id"),
+        col(labelCol).as("c_label"), col(embCol).as("c_emb"))
+      .withColumn("c_norm", normExact(col("c_emb")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine",
+        safeCosine(dotExact(col("q_emb"), col("c_emb")),
+          col("q_norm"), col("c_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    val topk = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val votes = topk.groupBy(col("query_id"), col("true_label"),
+        col("c_label"))
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
+    val vw = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("best_rank").asc, col("c_label").asc)
+    votes.withColumn("__vr", row_number().over(vw))
+      .filter(col("__vr") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("c_label").as("pred_label"), col("votes"),
+        (col("c_label") === col("true_label")).as("correct"))
+  }
+
   /** HARD-NEGATIVE MINING for contrastive/embedding training data: for each
     * query vector, the k most-similar corpus vectors with a DIFFERENT
     * label — the "looks like it but isn't" examples a retrieval or

@@ -71,6 +71,42 @@ object Graph {
     ranks
   }
 
+  /** Per-node triangle counts over an undirected graph given as a
+    * directed edge list (direction and duplicates are collapsed to the
+    * canonical a < b form; self-loops dropped). A triangle {x < y < z}
+    * needs edges (x,y), (y,z), (x,z); each contributes 1 to all three
+    * nodes. Returns (id, triangles) for nodes in ≥ 1 triangle.
+    *
+    * Plan: two hash-joins over the canonical edge frame — wedges
+    * (x,y)⋈(y,z) on the middle node, closed by (x,z) — then one
+    * explode + keyed count. Pure integer counting, order-invariant.
+    * Scale note: the wedge frame is Σ_v deg(v)²-sized; for power-law
+    * graphs cap or pre-filter hub degrees (the standard
+    * highest-degree-last orientation halves the constant but the bound
+    * is inherent). Edges live in ONE persisted frame consumed three
+    * times. */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
+        greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = und.select(col("a").as("x"), col("b").as("y"))
+      .join(und.select(col("a").as("y"), col("b").as("z")), "y")
+    val tris = wedges.join(
+      und.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+    val out = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize before releasing the edge cache
+    und.unpersist()
+    out
+  }
+
   /** The TPC-H trading graph: an undirected customer↔supplier edge for
     * every distinct pair that traded (orders ⋈ lineitem), encoded into one
     * node space (customer c → 2c, supplier s → 2s+1) and emitted in both

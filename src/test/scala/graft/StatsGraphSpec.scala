@@ -406,6 +406,43 @@ class StatsGraphSpec extends SparkSuite {
     assert(adj.sliding(2).forall(w => w(0) <= w(1) + 1e-15))
   }
 
+  test("triangleCount: K4 gives every node 3 triangles; direction collapses") {
+    // K4 with edges given in mixed directions and duplicates
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (3L, 3L)).toDF("src", "dst")
+    val r = graft.ops.Graph.triangleCount(edges, "src", "dst")
+      .orderBy("id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(r.forall(_.getLong(1) == 3L), "each K4 node is in 3 triangles")
+  }
+
+  test("triangleCount: a triangle-free path graph returns no rows") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(graft.ops.Graph.triangleCount(path, "src", "dst").count() == 0L)
+  }
+
+  test("knnClassify: majority vote with the deterministic tiebreak") {
+    import graft.llm.Similarity
+    def vec(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    // query at (1,0); corpus: two label-1 near it, one label-2 nearer,
+    // k=3 → label 1 wins on votes despite label 2 having the best rank
+    val corpus = Seq(
+      (10L, vec(0.99, 0.14), 2),
+      (11L, vec(0.9, 0.43), 1),
+      (12L, vec(0.9, -0.43), 1),
+      (13L, vec(-1.0, 0.0), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq((1L, vec(1.0, 0.0), 1)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnClassify(queries, corpus, 3).collect()(0)
+    assert(r.getAs[Int]("pred_label") == 1)
+    assert(r.getAs[Long]("votes") == 2L)
+    assert(r.getAs[Boolean]("correct"))
+    // k=1 → the single nearest neighbor (label 2) wins
+    val r1 = Similarity.knnClassify(queries, corpus, 1).collect()(0)
+    assert(r1.getAs[Int]("pred_label") == 2)
+    assert(!r1.getAs[Boolean]("correct"))
+  }
+
   test("theilSen: recovers a clean slope and shrugs off one wild outlier") {
     // y = 2x + 1 on x = 1..9, plus one gross outlier at x = 10
     val pts = (1 to 9).map(i => ("g", i.toDouble, 2.0 * i + 1.0)) :+
