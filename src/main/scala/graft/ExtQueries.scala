@@ -1575,6 +1575,25 @@ object ExtQueries {
       val strong = flows.crossJoin(broadcast(tot))
         .filter(col("cnt") * col("np") > col("ts"))
       Graph.triangleCount(strong, "src", "dst").orderBy(col("id"))
+    },
+
+    // Rolling EXACT median (trailing 5) of the event value per user —
+    // the robust rolling center the mean/var reducers can't give;
+    // bounded-frame collect + total-order index pick.
+    "q185_rolling_median" -> { (s, dir) =>
+      Rolling.rolling(t(s, dir, "events"), 5, Rolling.Left,
+          Seq(col("ts"), col("event_id")), Seq(col("user_id")),
+          "med5" -> Rolling.rMedian(col("value")))
+        .select(col("event_id"), col("user_id"), col("value"), col("med5"))
+        .orderBy(col("event_id"))
+    },
+
+    // Time-weighted average of the event value per user (TWAP): integer
+    // microsecond hold durations × floor-scaled exact weighted sums.
+    "q186_twap" -> { (s, dir) =>
+      Rolling.timeWeightedAvg(t(s, dir, "events"), Seq(col("user_id")),
+          col("ts"), Seq(col("event_id")), col("value"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -4019,6 +4038,37 @@ object ExtQueries {
          FROM (SELECT x AS id FROM tri
                UNION ALL SELECT y FROM tri
                UNION ALL SELECT z FROM tri) m
-         GROUP BY 1 ORDER BY id"""
+         GROUP BY 1 ORDER BY id""",
+
+    // mirrors Rolling.rMedian: DuckDB's list() window + list_sort and
+    // the identical (v[(m−1)÷2] + v[m÷2])/2 index pick (1-based both).
+    "q185_rolling_median" ->
+      """WITH l AS (SELECT event_id, user_id, value,
+             list_sort(list(CAST(value AS DOUBLE)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS a
+           FROM events)
+         SELECT event_id, user_id, value,
+           (a[(len(a) - 1) // 2 + 1] + a[len(a) // 2 + 1]) / 2.0 AS med5
+         FROM l ORDER BY event_id""",
+
+    // mirrors Rolling.timeWeightedAvg: identical integer lead-µs
+    // durations and scale-4 floor-scaled weighted sum.
+    "q186_twap" ->
+      """WITH d AS (SELECT user_id, CAST(value AS DOUBLE) AS v,
+             lead(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)
+               - epoch_us(ts) AS dus
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL),
+         agg AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(dus), 0) AS BIGINT) AS span_us,
+             CAST(SUM(CAST(FLOOR(v * CAST(dus AS DOUBLE) * 10000.0)
+               AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS wsum
+           FROM d GROUP BY user_id)
+         SELECT user_id, n, span_us,
+           CASE WHEN span_us > 0 THEN wsum / CAST(span_us AS DOUBLE) END
+             AS twap
+         FROM agg ORDER BY user_id"""
   )
 }

@@ -91,6 +91,55 @@ object Rolling {
     when(vx > 0 && vy > 0, cov / (sqrt(vx) * sqrt(vy)))
   }
 
+  /** ROLLING EXACT MEDIAN (parity-plus window reducer): the frame's
+    * non-null values are collected, sorted, and the median read as
+    * (v[(m−1) div 2] + v[m div 2]) / 2 — for odd m the two indices
+    * coincide, so no interpolation noise; for even m the symmetric
+    * midpoint. State is bounded by the frame width n (this is a FIXED
+    * window reducer — never use over an unbounded frame), so the window
+    * stays a streaming in-partition pass. The sort order and index pick
+    * are total → engine-replayable (DuckDB: list() window + list_sort). */
+  def rMedian(c: Column): WindowSpec => Column = { w =>
+    val arr = array_sort(collect_list(c.cast("double")).over(w))
+    val m = size(arr)
+    // integer index arithmetic (Column./ is float division — cast back)
+    val lo = ((m - lit(1)) / lit(2)).cast("int") + lit(1)
+    val hi = (m / lit(2)).cast("int") + lit(1)
+    when(m > 0, (element_at(arr, lo) + element_at(arr, hi)) / lit(2.0))
+  }
+
+  /** Time-weighted average per key (the TWAP / sensor-sampling mean):
+    * each sample holds its value until the next sample's timestamp, so
+    * twap = Σ vᵢ·Δᵢ / Σ Δᵢ with Δᵢ = t_{i+1} − tᵢ in integer
+    * MICROSECONDS (the last sample has no duration and contributes
+    * nothing). Weights are exact integers; the weighted sum is a
+    * floor-scaled exact sum (scale 4 — |v|·Δus must stay < 9·10¹⁴, i.e.
+    * |v| ≲ 250 per hour-scale gap, far above the metric columns this
+    * aggregates). Returns (key…, n, span_us, twap); keys whose span is
+    * zero (single sample or all-equal timestamps) yield null twap.
+    * One keyed window pass (lead) + one keyed aggregation. */
+  def timeWeightedAvg(df: DataFrame, keyCols: Seq[Column], tsCol: Column,
+                      orderTiebreak: Seq[Column], valueCol: Column,
+                      outName: String = "twap"): DataFrame = {
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(tsCol +: orderTiebreak: _*)
+    val us = unix_micros(tsCol)
+    val base = df
+      .filter(valueCol.isNotNull && !isnan(valueCol.cast("double")) &&
+        tsCol.isNotNull)
+      .withColumn("__dus", lead(us, 1).over(w) - us)
+      .withColumn("__v", valueCol.cast("double"))
+    base.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__dus")), lit(0L)).as("span_us"),
+        Reductions.isum(col("__v") * col("__dus").cast("double"), 4)
+          .as("__wsum"))
+      .withColumn(outName,
+        when(col("span_us") > 0L,
+          col("__wsum") / col("span_us").cast("double")))
+      .drop("__wsum")
+  }
+
   /** TMD `:edge-mode :clamp` parity (rolling.clj:130-133): the reference
     * keeps windows at size n by REPEATING the edge value; Spark frames shrink.
     * For sum/mean the clamped result is recovered exactly from the shrunk

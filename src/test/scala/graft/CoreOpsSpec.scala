@@ -219,6 +219,38 @@ class CoreOpsSpec extends SparkSuite {
     assert(out(0).isNullAt(out(0).fieldIndex("cxy")))
   }
 
+  test("rolling median: odd frame = middle, even = midpoint, nulls skipped") {
+    val df = Seq((0, Some(5.0)), (1, Some(1.0)), (2, Some(9.0)),
+      (3, None: Option[Double]), (4, Some(3.0))).toDF("i", "v")
+    val out = Rolling.rolling(df, 3, Rolling.Left, Seq(col("i")), Seq(),
+      "med" -> Rolling.rMedian(col("v"))).orderBy("i").collect()
+    assert(out(0).getAs[Double]("med") == 5.0)   // {5}
+    assert(out(1).getAs[Double]("med") == 3.0)   // {1,5} → (1+5)/2
+    assert(out(2).getAs[Double]("med") == 5.0)   // {1,5,9}
+    assert(out(3).getAs[Double]("med") == 5.0)   // {1,9} null skipped → 5
+    assert(out(4).getAs[Double]("med") == 6.0)   // {3,9} → 6
+  }
+
+  test("timeWeightedAvg: hand-computed hold-until-next weighting") {
+    import java.sql.Timestamp
+    // value 10 held 2s, 20 held 1s, 40 has no duration:
+    // twap = (10·2e6 + 20·1e6)/3e6 = 40/3
+    val df = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 10.0),
+      ("a", Timestamp.valueOf("2024-01-01 00:00:02"), 2L, 20.0),
+      ("a", Timestamp.valueOf("2024-01-01 00:00:03"), 3L, 40.0),
+      ("b", Timestamp.valueOf("2024-01-01 00:00:00"), 4L, 7.0)
+    ).toDF("k", "ts", "id", "v")
+    val out = Rolling.timeWeightedAvg(df, Seq(col("k")), col("ts"),
+      Seq(col("id")), col("v")).orderBy("k").collect()
+    assert(out(0).getAs[Long]("n") == 3L)
+    assert(out(0).getAs[Long]("span_us") == 3000000L)
+    assert(math.abs(out(0).getAs[Double]("twap") - 40.0 / 3.0) < 1e-9)
+    // single sample → zero span → null twap
+    assert(out(1).getAs[Long]("span_us") == 0L)
+    assert(out(1).isNullAt(out(1).fieldIndex("twap")))
+  }
+
   test("rolling clamp does not pad for nulls inside a full frame") {
     val df = Seq((0, Some(5.0)), (1, None), (2, Some(7.0)), (3, Some(8.0)))
       .toDF("i", "v")
