@@ -1594,6 +1594,55 @@ object ExtQueries {
       Rolling.timeWeightedAvg(t(s, dir, "events"), Seq(col("user_id")),
           col("ts"), Seq(col("event_id")), col("value"))
         .orderBy(col("user_id"))
+    },
+
+    // STREAM-STATIC enrichment under the oracle gate: the event stream
+    // joined to the broadcast customer dimension, aggregated per nation —
+    // the actual streaming execution (memory sink, AvailableNow) must
+    // match the batch SQL.
+    "q187_stream_enrich" -> { (s, dir) =>
+      val table = graft.streaming.EventStream.runToMemorySink(
+        graft.streaming.EventStream.enrichedNationAgg(s, dir),
+        s"q187_sink_${System.nanoTime()}", statePartitions = Some(8))
+      table.orderBy(col("c_nationkey"), col("event_type"))
+    },
+
+    // CDC MERGE (SCD1 upsert): a change feed derived from orders —
+    // every 10th order rewrites its customer's balance, every 100th
+    // deletes the customer; latest change per key wins, one key shuffle.
+    "q188_cdc_merge" -> { (s, dir) =>
+      val base = t(s, dir, "customer")
+      val changes = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .join(base, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("o_totalprice").as("c_acctbal"), col("c_mktsegment"),
+          col("o_orderkey").as("version"),
+          (col("o_orderkey") % 100 === 0).as("is_delete"))
+      Behavior.applyChanges(base, changes, Seq("c_custkey"),
+          Seq("version"), "is_delete")
+        .orderBy(col("c_custkey"))
+    },
+
+    // Jaccard link prediction on the q184 strong-trade graph:
+    // non-adjacent nation pairs sharing ≥ 2 strong partners, scored by
+    // integer common/union neighbor counts.
+    "q189_jaccard_links" -> { (s, dir) =>
+      val flows = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      val tot = flows.agg(sum(col("cnt")).as("ts"), count(lit(1)).as("np"))
+      val strong = flows.crossJoin(broadcast(tot))
+        .filter(col("cnt") * col("np") > col("ts"))
+      Graph.jaccardLinks(strong, "src", "dst", minCommon = 2L)
+        .orderBy(col("a"), col("b"))
     }
   )
 
@@ -4069,6 +4118,74 @@ object ExtQueries {
          SELECT user_id, n, span_us,
            CASE WHEN span_us > 0 THEN wsum / CAST(span_us AS DOUBLE) END
              AS twap
-         FROM agg ORDER BY user_id"""
+         FROM agg ORDER BY user_id""",
+
+    // the batch mirror of the stream-static enrichment — identical join
+    // + scale-6 exact value sums.
+    "q187_stream_enrich" ->
+      """SELECT c_nationkey, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(38,0)))
+             AS DOUBLE) / 1000000.0 AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirrors Behavior.applyChanges: same union-tag + per-key
+    // latest-wins pick with the base sentinel sorting last.
+    "q188_cdc_merge" ->
+      """WITH ch AS (SELECT c_custkey, c_name, c_nationkey,
+             o_totalprice AS c_acctbal, c_mktsegment,
+             o_orderkey AS version, (o_orderkey % 100 = 0) AS del
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE o_orderkey % 10 = 0),
+         uni AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             CAST(NULL AS BIGINT) AS version, FALSE AS del, 0 AS pri
+           FROM customer
+           UNION ALL
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             version, del, 1 FROM ch),
+         r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+             ORDER BY pri DESC, version DESC NULLS LAST) AS rn
+           FROM uni)
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM r WHERE rn = 1 AND NOT del ORDER BY c_custkey""",
+
+    // mirrors Graph.jaccardLinks on the q184 strong-trade edges: integer
+    // common/degree counts, existing edges anti-joined away, one final
+    // division.
+    "q189_jaccard_links" ->
+      """WITH flows AS (SELECT c_nationkey AS src, s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           GROUP BY 1, 2),
+         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS ts,
+                        CAST(COUNT(*) AS BIGINT) AS np FROM flows),
+         und AS (SELECT DISTINCT
+             CAST(LEAST(src, dst) AS BIGINT) AS a,
+             CAST(GREATEST(src, dst) AS BIGINT) AS b
+           FROM flows, tot
+           WHERE cnt * np > ts AND src <> dst),
+         nbrs AS (SELECT a AS id, b AS nbr FROM und
+                  UNION ALL SELECT b, a FROM und),
+         deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+                 FROM nbrs GROUP BY 1),
+         cand AS (SELECT x.id AS a, y.id AS b,
+             CAST(COUNT(*) AS BIGINT) AS common
+           FROM nbrs x JOIN nbrs y ON x.nbr = y.nbr AND x.id < y.id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         non AS (SELECT cand.* FROM cand
+           LEFT JOIN und ON und.a = cand.a AND und.b = cand.b
+           WHERE und.a IS NULL)
+         SELECT non.a, non.b, common,
+           da.deg AS deg_a, db.deg AS deg_b,
+           CAST(common AS DOUBLE)
+             / CAST(da.deg + db.deg - common AS DOUBLE) AS score
+         FROM non
+         JOIN deg da ON da.id = non.a
+         JOIN deg db ON db.id = non.b
+         ORDER BY non.a, non.b"""
   )
 }

@@ -134,4 +134,41 @@ object Behavior {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
+
+  /** CDC MERGE (lakehouse SCD1 upsert): apply a change feed to a base
+    * snapshot and return the next snapshot. Per key, the LATEST change
+    * (by `orderCols`, ties broken by the full order tuple which must be
+    * total) wins over the base row; a winning change with
+    * `deleteCol = true` removes the key. Base rows with no change pass
+    * through. `changes` must carry the base's columns plus `orderCols`
+    * and `deleteCol`.
+    *
+    * Plan: one union (base tagged priority 0 / changes 1), ONE key
+    * shuffle, a per-key row_number pick — the exact shape of a
+    * Delta/Iceberg MERGE's shuffle stage. No driver round trips; the
+    * window frame is per-key (change sets per key are small by nature —
+    * a hot key's feed is still one group, never the table). */
+  def applyChanges(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+                   orderCols: Seq[String], deleteCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dataCols = base.columns.toSeq
+    require(dataCols.forall(changes.columns.contains),
+      "changes must carry every base column")
+    val zeroOrder = orderCols.map(c =>
+      lit(null).cast(changes.schema(c).dataType).as(c))
+    val taggedBase = base.select(
+      dataCols.map(col) ++ zeroOrder ++
+        Seq(lit(false).as("__del"), lit(0).as("__pri")): _*)
+    val taggedChanges = changes.select(
+      dataCols.map(col) ++ orderCols.map(col) ++
+        Seq(col(deleteCol).cast("boolean").as("__del"), lit(1).as("__pri")): _*)
+    // priority first (any change beats base), then the change order —
+    // nulls (the base sentinel) last under desc
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__pri").desc +: orderCols.map(col(_).desc_nulls_last): _*)
+    taggedBase.unionByName(taggedChanges)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col("__del"))
+      .select(dataCols.map(col): _*)
+  }
 }

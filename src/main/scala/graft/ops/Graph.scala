@@ -107,6 +107,49 @@ object Graph {
     out
   }
 
+  /** Jaccard link prediction over an undirected graph: for every
+    * non-adjacent node pair sharing ≥ `minCommon` neighbors, score
+    * |N(a)∩N(b)| / |N(a)∪N(b)| = c / (deg(a) + deg(b) − c) — pure
+    * integer counts with one final division, the classic
+    * common-neighbors recommender ("suppliers you should also trade
+    * with"). Returns (a, b, common, deg_a, deg_b, score) with a < b.
+    *
+    * Plan: symmetric neighbor frame (2|E| rows) self-joined on the
+    * shared neighbor → candidate pairs, one keyed count, degree joins,
+    * and a left-anti join against the edge set to drop existing links.
+    * Same Σdeg² wedge bound as [[triangleCount]] — cap hub degrees
+    * upstream for power-law graphs. */
+  def jaccardLinks(edges: DataFrame, srcCol: String, dstCol: String,
+                   minCommon: Long = 1L): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
+        greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nbrs = und.select(col("a").as("id"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("id"), col("a").as("nbr")))
+    val deg = nbrs.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val cand = nbrs.select(col("nbr").as("via"), col("id").as("a"))
+      .join(nbrs.select(col("nbr").as("via"), col("id").as("b")), "via")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    val nonEdges = cand.join(und, Seq("a", "b"), "left_anti")
+    val out = nonEdges
+      .join(deg.select(col("id").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
+        (col("common").cast(DoubleType) /
+          (col("deg_a") + col("deg_b") - col("common")).cast(DoubleType))
+          .as("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    und.unpersist()
+    out
+  }
+
   /** The TPC-H trading graph: an undirected customer↔supplier edge for
     * every distinct pair that traded (orders ⋈ lineitem), encoded into one
     * node space (customer c → 2c, supplier s → 2s+1) and emitted in both

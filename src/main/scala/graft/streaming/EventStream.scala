@@ -59,6 +59,24 @@ object EventStream {
         col("sum_value"))
   }
 
+  /** STREAM-STATIC ENRICHMENT: the event stream joined against the
+    * static customer dimension (broadcast — at scale the standing
+    * pattern: dim snapshots broadcast to every executor, refreshed per
+    * restart), then aggregated per nation × event type. Inner join —
+    * events from users outside the dimension are dropped, the standard
+    * enrich-or-discard gate. The batch analog is the same plan minus the
+    * state store; q187 pins the streaming execution to the batch oracle. */
+  def enrichedNationAgg(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.ensureFunctions(spark)
+    val dim = graft.Tables.t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    eventsStream(spark, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.Reductions.isum(col("value"), 6).as("sum_value"))
+  }
+
   case class Ev(user_id: Long, ts_us: Long, event_id: Long)
   case class SessState(sessions: Long, current_start_us: Long, last_us: Long,
                        current_events: Long, max_events: Long)

@@ -421,6 +421,41 @@ class StatsGraphSpec extends SparkSuite {
     assert(graft.ops.Graph.triangleCount(path, "src", "dst").count() == 0L)
   }
 
+  test("applyChanges: upsert, delete, and untouched rows; latest change wins") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "bal")
+    val changes = Seq(
+      (1L, "a", 11.0, 5L, false),   // older update
+      (1L, "a", 12.0, 9L, false),   // latest update wins
+      (2L, "b", 0.0, 7L, true),     // delete key 2
+      (4L, "d", 40.0, 3L, false)    // insert new key
+    ).toDF("id", "name", "bal", "v", "del")
+    val out = graft.ops.Behavior.applyChanges(base, changes, Seq("id"),
+        Seq("v"), "del")
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+    assert(out(0).getDouble(2) == 12.0, "latest version wins")
+    assert(out(1).getDouble(2) == 30.0, "untouched row passes through")
+    assert(out(2).getDouble(2) == 40.0, "insert lands")
+  }
+
+  test("jaccardLinks: path predicts the closing edge; squares cross-link") {
+    // path 1-2-3: predict (1,3) via common neighbor 2, score 1/(1+1-1)=1
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = graft.ops.Graph.jaccardLinks(path, "src", "dst", 1L).collect()
+    assert(p.length == 1)
+    assert(p(0).getLong(0) == 1L && p(0).getLong(1) == 3L)
+    assert(p(0).getAs[Long]("common") == 1L)
+    assert(p(0).getAs[Double]("score") == 1.0)
+    // square 1-2-3-4-1: predicts both diagonals with 2 common, score 2/2=1
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val d = graft.ops.Graph.jaccardLinks(sq, "src", "dst", 2L)
+      .orderBy("a", "b").collect()
+    assert(d.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 3L), (2L, 4L)))
+    assert(d.forall(_.getAs[Long]("common") == 2L))
+  }
+
   test("knnClassify: majority vote with the deterministic tiebreak") {
     import graft.llm.Similarity
     def vec(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
