@@ -1643,6 +1643,55 @@ object ExtQueries {
         .filter(col("cnt") * col("np") > col("ts"))
       Graph.jaccardLinks(strong, "src", "dst", minCommon = 2L)
         .orderBy(col("a"), col("b"))
+    },
+
+    // k-core (k=12, 6 peel rounds) of the strong-trade graph: iterative
+    // degree peeling, per-round persisted edge frames — the cohesive
+    // trading cluster extraction.
+    "q190_kcore" -> { (s, dir) =>
+      val flows = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      val tot = flows.agg(sum(col("cnt")).as("ts"), count(lit(1)).as("np"))
+      val strong = flows.crossJoin(broadcast(tot))
+        .filter(col("cnt") * col("np") > col("ts"))
+      Graph.kCore(strong, "src", "dst", k = 12, rounds = 6)
+        .orderBy(col("id"))
+    },
+
+    // ORC round-trip under the correctness gate (parity-plus source/sink
+    // breadth — Spark-native columnar ORC): write supplier, read back,
+    // aggregate; the oracle sees only the original parquet.
+    "q191_orc_roundtrip" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q191").toString
+      t(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite").orc(s"$tmp/supplier_orc")
+      s.read.orc(s"$tmp/supplier_orc")
+        .groupBy(col("s_nationkey").cast(IntegerType).as("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("s_acctbal").cast(DoubleType)).as("sum_bal"),
+          min(col("s_name")).as("first_name"))
+        .orderBy(col("s_nationkey"))
+    },
+
+    // Cross-correlation: does the click indicator LEAD the value series?
+    // x_t vs y_{t−lag} per user at lags 0..3, pooled — q150's exact
+    // co-moment machinery over two columns.
+    "q192_ccf" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("is_click",
+          when(col("event_type") === "click", 1.0).otherwise(0.0))
+      Stats.ccf(ev, Seq("user_id"), Seq("ts", "event_id"),
+          "value", "is_click", Seq(0, 1, 2, 3))
+        .withColumnRenamed("lag", "lag_k")
     }
   )
 
@@ -1679,6 +1728,42 @@ object ExtQueries {
       s"${cols.mkString(", ")} FROM lineitem WHERE $whereSql), " +
       s"s AS (SELECT ${cnts.mkString(", ")} FROM d a JOIN d b ON a.rid < b.rid) " +
       rows.mkString("SELECT * FROM (", " UNION ALL ", """) t ORDER BY "column"""")
+  }
+
+  /** DuckDB mirror of Graph.kCore over the strong-trade graph: the peel
+    * rounds unrolled as CTEs (degree → keep ≥ k → surviving edges),
+    * ending in the surviving-node degree table. */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val head =
+      """WITH flows AS (SELECT c_nationkey AS src, s_nationkey AS dst,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY 1, 2),
+       tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS ts,
+                      CAST(COUNT(*) AS BIGINT) AS np FROM flows),
+       e0 AS MATERIALIZED (SELECT DISTINCT CAST(LEAST(src, dst) AS BIGINT) AS a,
+                CAST(GREATEST(src, dst) AS BIGINT) AS b
+              FROM flows, tot WHERE cnt * np > ts AND src <> dst)"""
+    // MATERIALIZED: each round references the previous edge CTE three
+    // times; inlining would expand the base scan 3^rounds times (DuckDB
+    // ran out of file handles before the fix)
+    val mids = (1 to rounds).map { r =>
+      val p = r - 1
+      s""",
+       d$r AS (SELECT id, COUNT(*) AS d FROM (
+            SELECT a AS id FROM e$p UNION ALL SELECT b FROM e$p) s$r GROUP BY 1),
+       k$r AS (SELECT id FROM d$r WHERE d >= $k),
+       e$r AS MATERIALIZED (SELECT e$p.a, e$p.b FROM e$p
+            JOIN k$r x ON e$p.a = x.id JOIN k$r y ON e$p.b = y.id)"""
+    }.mkString
+    val tail = s"""
+       SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+         SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds) fin
+       GROUP BY 1 ORDER BY id"""
+    head + mids + tail
   }
 
   private def sqDistSql(e: String, c: String) =
@@ -4186,6 +4271,48 @@ object ExtQueries {
          FROM non
          JOIN deg da ON da.id = non.a
          JOIN deg db ON db.id = non.b
-         ORDER BY non.a, non.b"""
+         ORDER BY non.a, non.b""",
+
+    // mirrors Graph.kCore(k=5, rounds=6) on the strong-trade graph: the
+    // peel rounds unrolled as CTEs (degree → keep → filtered edges).
+    "q190_kcore" -> kcoreOracle(12, 6),
+
+    // ORC round-trip: oracle on the original parquet (q80 aggregation).
+    "q191_orc_roundtrip" ->
+      """SELECT CAST(s_nationkey AS INTEGER) AS s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS sum_bal,
+           MIN(s_name) AS first_name
+         FROM supplier GROUP BY 1 ORDER BY 1""",
+
+    // mirrors Stats.ccf: the q150 co-moment machinery with y = the click
+    // indicator, lags 0..3 (lag 0 contemporaneous).
+    "q192_ccf" ->
+      """WITH b AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS x,
+             CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS yv
+           FROM events),
+         l AS (SELECT x, yv AS y0, lag(yv, 1) OVER w AS y1,
+                 lag(yv, 2) OVER w AS y2, lag(yv, 3) OVER w AS y3
+               FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         p AS (SELECT 0 AS lag_k, x, y0 AS y FROM l
+               UNION ALL SELECT 1, x, y1 FROM l
+               UNION ALL SELECT 2, x, y2 FROM l
+               UNION ALL SELECT 3, x, y3 FROM l),
+         f AS (SELECT lag_k, x, y FROM p
+               WHERE x IS NOT NULL AND y IS NOT NULL
+                 AND NOT isnan(x) AND NOT isnan(y)),
+         s AS (SELECT lag_k, CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS sx,
+           CAST(SUM(CAST(FLOOR(y * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS sy,
+           CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS sxx,
+           CAST(SUM(CAST(FLOOR(y * y * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS syy,
+           CAST(SUM(CAST(FLOOR(x * y * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS sxy
+           FROM f GROUP BY 1)
+         SELECT lag_k, CAST(n AS BIGINT) AS n,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN (n * sxy - sx * sy)
+                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+           END AS ccf
+         FROM s ORDER BY lag_k"""
   )
 }

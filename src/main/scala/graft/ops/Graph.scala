@@ -107,6 +107,47 @@ object Graph {
     out
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly drop nodes
+    * with degree < k (and their edges) for a FIXED number of rounds —
+    * deterministic, partition-invariant, and SQL-replayable (the oracle
+    * unrolls the rounds; a fixpoint is reached when a round removes
+    * nothing, and `rounds` ≥ the peel depth guarantees it — the peel
+    * depth is ≤ the node count but in practice a handful). Returns the
+    * surviving nodes with their in-core degrees (id, degree).
+    *
+    * Plan per round: one keyed degree count + two semi-joins (both
+    * endpoints must survive). Each round EAGERLY localCheckpoints its
+    * edge frame: a plain persist keeps the full nested lineage alive, so
+    * Catalyst re-analyzes a plan that doubles every round (the classic
+    * iterative-algorithm analysis blowup — measured: a 5-edge toy graph
+    * took 60 s / OOM'd at 6 rounds); checkpointing truncates the plan to
+    * the materialized partitions, making every round O(current frame).
+    * (Executor-local, non-reliable storage — fine for derived state that
+    * a retry recomputes from the start.) */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            rounds: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var e = edges.select(
+        least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
+        greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    def sym(ed: DataFrame) =
+      ed.select(col("a").as("id")).unionByName(ed.select(col("b").as("id")))
+    for (_ <- 1 to rounds) {
+      val deg = sym(e).groupBy(col("id")).agg(count(lit(1)).as("__d"))
+      val keep = deg.filter(col("__d") >= k).select(col("id"))
+      e = e
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+    }
+    sym(e).groupBy(col("id")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Jaccard link prediction over an undirected graph: for every
     * non-adjacent node pair sharing ≥ `minCommon` neighbors, score
     * |N(a)∩N(b)| / |N(a)∪N(b)| = c / (deg(a) + deg(b) − c) — pure

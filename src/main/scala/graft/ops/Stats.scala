@@ -466,6 +466,44 @@ object Stats {
     ret
   }
 
+  /** Cross-correlation function: Pearson correlation between x_t and
+    * y_{t−lag} per lag (lag 0 = contemporaneous), pooled across keys —
+    * [[acf]] generalized to two columns (does the click series LEAD the
+    * value series?). Same single-window-pass plan and exact scaled
+    * co-moment sums; returns (lag, n, ccf) per lag. */
+  def ccf(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+          xCol: String, yCol: String, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 0), "lags must be ≥ 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val x = col(xCol).cast(DoubleType)
+    val yv = col(yCol).cast(DoubleType)
+    val withLags = lags.foldLeft(
+      df.select((keyCols ++ orderCols).map(col) ++
+        Seq(x.as("__x"), yv.as("__yv")): _*)) {
+      (d, l) => d.withColumn(s"__lag_$l", lag(col("__yv"), l).over(w))
+    }
+    val pairs = withLags.select(explode(array(lags.map(l =>
+      struct(lit(l).as("lag"), col("__x").as("x"),
+        col(s"__lag_$l").as("y"))): _*)).as("p"))
+      .select(col("p.lag").as("lag"), col("p.x").as("x"), col("p.y").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull &&
+        !isnan(col("x")) && !isnan(col("y")))
+    val n = count(lit(1)).cast(DoubleType)
+    val sx = Reductions.isum(col("x"), 6); val sy = Reductions.isum(col("y"), 6)
+    val sxx = Reductions.isum(col("x") * col("x"), 6)
+    val syy = Reductions.isum(col("y") * col("y"), 6)
+    val sxy = Reductions.isum(col("x") * col("y"), 6)
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        when((n * sxx - sx * sx) > 0 && (n * syy - sy * sy) > 0,
+          (n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+          .as("ccf"))
+      .orderBy(col("lag"))
+  }
+
   /** Theil–Sen robust regression per group: slope = median of all
     * pairwise slopes (y_j−y_i)/(x_j−x_i) over pairs with x_i < x_j,
     * intercept = median of (y − slope·x) — the outlier-resistant trend

@@ -421,6 +421,29 @@ class StatsGraphSpec extends SparkSuite {
     assert(graft.ops.Graph.triangleCount(path, "src", "dst").count() == 0L)
   }
 
+  test("kCore: peeling cascades — tail falls off, the clique survives") {
+    // triangle {1,2,3} + pendant chain 3-4-5: 2-core = the triangle only
+    // (4 survives round 1 with degree 2, but loses 5 and peels in round 2)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val r = graft.ops.Graph.kCore(edges, "src", "dst", 2, 4)
+      .orderBy("id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(r.forall(_.getLong(1) == 2L))
+    // k=3: the triangle has degree 2 everywhere → empty core
+    assert(graft.ops.Graph.kCore(edges, "src", "dst", 3, 4).count() == 0L)
+  }
+
+  test("ccf: lag-0 of a column with itself is 1; indicator lead is detected") {
+    val df = (1 to 40).map { i =>
+      ("k", i, i.toDouble % 7, (i % 7).toDouble) }.toDF("k", "t", "x", "y")
+    val r = Stats.ccf(df, Seq("k"), Seq("t"), "x", "y", Seq(0, 1))
+      .orderBy("lag").collect()
+    assert(math.abs(r(0).getAs[Double]("ccf") - 1.0) < 1e-9,
+      "identical series → lag-0 ccf 1")
+    assert(r(1).getAs[Double]("ccf") < 1.0)
+  }
+
   test("applyChanges: upsert, delete, and untouched rows; latest change wins") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("id", "name", "bal")
