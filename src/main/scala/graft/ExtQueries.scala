@@ -1645,7 +1645,7 @@ object ExtQueries {
         .orderBy(col("a"), col("b"))
     },
 
-    // k-core (k=12, 6 peel rounds) of the strong-trade graph: iterative
+    // k-core (k=8, 6 peel rounds) of the strong-trade graph: iterative
     // degree peeling, per-round persisted edge frames — the cohesive
     // trading cluster extraction.
     "q190_kcore" -> { (s, dir) =>
@@ -1662,7 +1662,7 @@ object ExtQueries {
       val tot = flows.agg(sum(col("cnt")).as("ts"), count(lit(1)).as("np"))
       val strong = flows.crossJoin(broadcast(tot))
         .filter(col("cnt") * col("np") > col("ts"))
-      Graph.kCore(strong, "src", "dst", k = 12, rounds = 6)
+      Graph.kCore(strong, "src", "dst", k = 8, rounds = 6)
         .orderBy(col("id"))
     },
 
@@ -4275,7 +4275,7 @@ object ExtQueries {
 
     // mirrors Graph.kCore(k=5, rounds=6) on the strong-trade graph: the
     // peel rounds unrolled as CTEs (degree → keep → filtered edges).
-    "q190_kcore" -> kcoreOracle(12, 6),
+    "q190_kcore" -> kcoreOracle(8, 6),
 
     // ORC round-trip: oracle on the original parquet (q80 aggregation).
     "q191_orc_roundtrip" ->
