@@ -1692,6 +1692,33 @@ object ExtQueries {
       Stats.ccf(ev, Seq("user_id"), Seq("ts", "event_id"),
           "value", "is_click", Seq(0, 1, 2, 3))
         .withColumnRenamed("lag", "lag_k")
+    },
+
+    // Equi-width histogram (12 bins) of l_extendedprice: O(1) min/max
+    // fit broadcast, codegen bin assignment, empty bins materialized.
+    "q193_histogram" -> { (s, dir) =>
+      Reductions.histogramEqWidth(t(s, dir, "lineitem"), "l_extendedprice", 12)
+    },
+
+    // Market-basket association rules: brand pairs co-ordered in ≥ 2% of
+    // orders — integer support threshold, confidences/lift from exact
+    // counts.
+    "q194_assoc_rules" -> { (s, dir) =>
+      val baskets = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+      Advanced.assocRules(baskets, "l_orderkey", "p_brand", minSupportPct = 2)
+        .orderBy(col("item_a"), col("item_b"))
+    },
+
+    // ABC / Pareto classification of parts by revenue: exact integer
+    // cumulative shares over the range-partitioned prefix sum (no global
+    // window), integer threshold tests.
+    "q195_abc" -> { (s, dir) =>
+      Reductions.abcClassification(t(s, dir, "lineitem"), "l_partkey",
+          "l_extendedprice")
+        .orderBy(col("cum"))
     }
   )
 
@@ -4313,6 +4340,72 @@ object ExtQueries {
                 THEN (n * sxy - sx * sy)
                   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
            END AS ccf
-         FROM s ORDER BY lag_k"""
+         FROM s ORDER BY lag_k""",
+
+    // mirrors Reductions.histogramEqWidth: identical min/max fit, width,
+    // floor-assignment with the last-bin clamp, and the full bin shell.
+    "q193_histogram" ->
+      """WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)),
+         mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM b),
+         c AS (SELECT LEAST(CAST(FLOOR((x - mn) / ((mx - mn) / 12.0)) AS INTEGER),
+                 11) AS bin
+           FROM b, mm),
+         n AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1),
+         shell AS (SELECT CAST(i AS INTEGER) AS bin FROM range(0, 12) t(i))
+         SELECT shell.bin,
+           mn + CAST(shell.bin AS DOUBLE) * ((mx - mn) / 12.0) AS lo,
+           mn + CAST(shell.bin + 1 AS DOUBLE) * ((mx - mn) / 12.0) AS hi,
+           COALESCE(n.n, 0) AS n
+         FROM shell LEFT JOIN n ON shell.bin = n.bin CROSS JOIN mm
+         ORDER BY shell.bin""",
+
+    // mirrors Advanced.assocRules: distinct (basket, brand), basket-keyed
+    // pair frame a<b, integer support gate, same final divisions.
+    "q194_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b,
+             CAST(p_brand AS VARCHAR) AS i
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_orderkey IS NOT NULL AND p_brand IS NOT NULL),
+         nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM bi),
+         ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS ni FROM bi GROUP BY 1),
+         pr AS (SELECT x.i AS item_a, y.i AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+           FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+           GROUP BY 1, 2),
+         f AS (SELECT pr.* FROM pr, nb WHERE n_pairs * 100 >= 2 * nb.n)
+         SELECT item_a, item_b, n_pairs,
+           ia.ni AS n_a, ib.ni AS n_b,
+           CAST(n_pairs AS DOUBLE) / CAST(ia.ni AS DOUBLE) AS conf_ab,
+           CAST(n_pairs AS DOUBLE) / CAST(ib.ni AS DOUBLE) AS conf_ba,
+           CAST(n_pairs AS DOUBLE) * CAST(nb.n AS DOUBLE)
+             / (CAST(ia.ni AS DOUBLE) * CAST(ib.ni AS DOUBLE)) AS lift
+         FROM f
+         JOIN ic ia ON ia.i = f.item_a
+         JOIN ic ib ON ib.i = f.item_b
+         CROSS JOIN nb
+         ORDER BY item_a, item_b""",
+
+    // mirrors Reductions.abcClassification: exact integer value sums,
+    // cumulative over (v DESC, k ASC), integer cross-multiplied class
+    // thresholds on the BEFORE-cumulative.
+    "q195_abc" ->
+      """WITH a AS (SELECT CAST(l_partkey AS VARCHAR) AS k,
+             CAST(SUM(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 10000.0)
+               AS DECIMAL(38,0))) AS BIGINT) AS v
+           FROM lineitem
+           WHERE l_partkey IS NOT NULL AND l_extendedprice IS NOT NULL
+             AND NOT isnan(l_extendedprice)
+           GROUP BY 1),
+         t AS (SELECT CAST(SUM(v) AS BIGINT) AS total FROM a),
+         c AS (SELECT k, v, CAST(SUM(v) OVER (ORDER BY v DESC, k ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum
+           FROM a)
+         SELECT k AS l_partkey, v AS value, cum,
+           CASE WHEN (cum - v) * 100 < 80 * total THEN 'A'
+                WHEN (cum - v) * 100 < 95 * total THEN 'B'
+                ELSE 'C' END AS abc_class
+         FROM c, t ORDER BY cum"""
   )
 }

@@ -876,4 +876,53 @@ object Advanced {
     }
     inv
   }
+
+  /** Market-basket association rules over (basket, item) pairs: for every
+    * co-occurring item pair with support ≥ minSupportPct% of baskets
+    * (integer cross-multiplied — no float threshold), emit the pair's
+    * basket counts and both directed confidences plus lift, all from
+    * exact integer counts with divisions only in the final projection.
+    * Returns (item_a, item_b, n_pairs, n_a, n_b, conf_ab, conf_ba, lift)
+    * with item_a < item_b.
+    *
+    * Plan: items are DISTINCT per basket first (dup lines collapse), the
+    * pair frame is a basket-keyed self-join (a < b), then keyed counts.
+    * The pair frame is bounded by Σ_b k_b² over per-basket item counts —
+    * baskets are small by nature (an order has a handful of brands); a
+    * degenerate giant basket should be capped upstream. */
+  def assocRules(df: org.apache.spark.sql.DataFrame, basketCol: String,
+                 itemCol: String, minSupportPct: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(minSupportPct >= 1 && minSupportPct <= 100)
+    val bi = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).cast("string").as("__i"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBaskets = bi.select(col("__b")).distinct().count()
+    val itemCnt = bi.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    val pairs = bi.select(col("__b"), col("__i").as("item_a"))
+      .join(bi.select(col("__b"), col("__i").as("item_b")), "__b")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") * 100L >= lit(minSupportPct.toLong) * nBaskets)
+    val out = pairs
+      .join(itemCnt.select(col("__i").as("item_a"), col("__ni").as("n_a")),
+        "item_a")
+      .join(itemCnt.select(col("__i").as("item_b"), col("__ni").as("n_b")),
+        "item_b")
+      .select(col("item_a"), col("item_b"), col("n_pairs"), col("n_a"),
+        col("n_b"),
+        (col("n_pairs").cast("double") / col("n_a").cast("double"))
+          .as("conf_ab"),
+        (col("n_pairs").cast("double") / col("n_b").cast("double"))
+          .as("conf_ba"),
+        (col("n_pairs").cast("double") * lit(nBaskets.toDouble) /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    bi.unpersist()
+    out
+  }
 }

@@ -588,4 +588,93 @@ object Reductions {
     * the Double encoder would otherwise throw on null input). */
   def kahanSum(c: Column): Column =
     udaf(new KahanSum(), Encoders.scalaDouble).apply(coalesce(c, lit(0.0)))
+
+  /** Equi-width histogram of a numeric column: `bins` equal-width buckets
+    * over [min, max], bin i = ⌊(x − min)/w⌋ clamped so x = max lands in
+    * the last bin. Returns (bin, lo, hi, n) for ALL bins including empty
+    * ones. Fit = one O(1) min/max aggregate broadcast back; assignment is
+    * pure codegen arithmetic; one keyed count. Complete-case. Constant
+    * columns get one bin holding everything. */
+  def histogramEqWidth(df: DataFrame, valueCol: String, bins: Int)
+      : DataFrame = {
+    require(bins >= 1, "bins must be ≥ 1")
+    val x = col(valueCol).cast(DoubleType)
+    val base = df.select(x.as("__x"))
+      .filter(col("__x").isNotNull && !isnan(col("__x")))
+    val mm = base.agg(min(col("__x")).as("__mn"), max(col("__x")).as("__mx"))
+    val w = (col("__mx") - col("__mn")) / lit(bins.toDouble)
+    val counts = base.crossJoin(broadcast(mm))
+      .select(least(
+        floor((col("__x") - col("__mn")) / w).cast(IntegerType),
+        lit(bins - 1)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val shell = df.sparkSession.range(bins)
+      .select(col("id").cast(IntegerType).as("bin"))
+    shell.join(counts, Seq("bin"), "left").crossJoin(broadcast(mm))
+      .select(col("bin"),
+        (col("__mn") + col("bin").cast(DoubleType) * w).as("lo"),
+        (col("__mn") + (col("bin") + 1).cast(DoubleType) * w).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("bin"))
+  }
+
+  /** ABC / Pareto classification: rank keys by their exact integer value
+    * sum (descending, key-tiebroken), accumulate the cumulative total,
+    * and label A while the cumulative share BEFORE the key is < aPct%,
+    * B while < bPct%, else C — all threshold tests are integer
+    * cross-multiplications (no float share ever compared). Returns
+    * (key, value, cum, abc_class) where value/cum are the scaled integer
+    * sums (scale-`digits` fixed point).
+    *
+    * Plan: one keyed aggregation (the only data-sized pass), then the
+    * ksTest-shaped range-partitioned prefix sum over the AGGREGATED frame
+    * — O(partitions) totals to the driver, no global window, so the
+    * classification scales to vocabulary-sized key sets. */
+  def abcClassification(df: DataFrame, keyCol: String, valueCol: String,
+                        digits: Int = 4, aPct: Int = 80, bPct: Int = 95)
+      : DataFrame = {
+    require(aPct >= 1 && bPct > aPct && bPct <= 100)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = math.pow(10, digits)
+    val agg = df
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast(DoubleType)))
+      .groupBy(col(keyCol).cast(StringType).as("__k"))
+      .agg(call_function("graft_sum128",
+        floor(col(valueCol).cast(DoubleType) * lit(p)).cast(LongType), lit(0))
+        .cast(DecimalType(38, 0)).cast(LongType).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = agg
+      .repartitionByRange(parts, col("__v").desc, col("__k").asc)
+      .sortWithinPartitions(col("__v").desc, col("__k").asc)
+      .as[(String, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sorted.count()
+    val partTotals = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val total = partTotals.sum
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val out = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = bcOff.value(pid)
+      it.map { case (k, v) =>
+        val before = cum
+        cum += v
+        // integer threshold tests: before·100 < pct·total
+        val cls =
+          if (before * 100L < aPct.toLong * total) "A"
+          else if (before * 100L < bPct.toLong * total) "B"
+          else "C"
+        (k, v, cum, cls)
+      }
+    }.toDF("__k", "value", "cum", "abc_class")
+      .withColumnRenamed("__k", keyCol)
+    val ret = out.cache()
+    ret.count()
+    sorted.unpersist(); agg.unpersist()
+    ret
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Behavior, Graph, Ml, Stats}
+import graft.ops.{Behavior, Graph, Ml, Reductions, Stats}
 import graft.ops.TableOps._
 
 /** Specs for the round-14 stats / graph / behavior operators. The DuckDB
@@ -419,6 +419,44 @@ class StatsGraphSpec extends SparkSuite {
   test("triangleCount: a triangle-free path graph returns no rows") {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
     assert(graft.ops.Graph.triangleCount(path, "src", "dst").count() == 0L)
+  }
+
+  test("histogramEqWidth: edges, clamp, and empty bins") {
+    val df = Seq(0.0, 1.0, 2.5, 5.0, 5.0, 10.0).toDF("v")
+    val r = Reductions.histogramEqWidth(df, "v", 4).collect()
+    assert(r.length == 4)
+    // width 2.5: bins [0,2.5) [2.5,5) [5,7.5) [7.5,10]; max clamps to last
+    assert(r.map(_.getAs[Long]("n")).toSeq == Seq(2L, 1L, 2L, 1L))
+    assert(r(0).getAs[Double]("lo") == 0.0 && r(3).getAs[Double]("hi") == 10.0)
+  }
+
+  test("assocRules: counts, confidence, and lift on a hand basket set") {
+    // baskets: {a,b}, {a,b}, {a,c}, {b} → n=4, a:3 b:3 c:1, ab:2 ac:1
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (2L, "b"),
+      (3L, "a"), (3L, "c"), (4L, "b")).toDF("basket", "item")
+    val r = graft.ops.Advanced.assocRules(df, "basket", "item", 25)
+      .orderBy("item_a", "item_b").collect()
+    val ab = r.find(x => x.getString(0) == "a" && x.getString(1) == "b").get
+    assert(ab.getAs[Long]("n_pairs") == 2L)
+    assert(ab.getAs[Double]("conf_ab") == 2.0 / 3.0)
+    assert(ab.getAs[Double]("lift") == 2.0 * 4.0 / 9.0)
+    // ac has support 1/4 = 25% → included at minSupportPct=25
+    assert(r.exists(x => x.getString(0) == "a" && x.getString(1) == "c"))
+  }
+
+  test("abcClassification: 80/95 split with the crossing item in class A") {
+    // values 80, 15, 4, 1 → cum-before 0, 80, 95, 99
+    val df = Seq(("w", 80.0), ("x", 15.0), ("y", 4.0), ("z", 1.0))
+      .toDF("k", "v")
+    val r = Reductions.abcClassification(df, "k", "v")
+      .orderBy("cum").collect()
+    assert(r.map(_.getAs[String]("k")).toSeq == Seq("w", "x", "y", "z"))
+    assert(r.map(_.getAs[String]("abc_class")).toSeq ==
+      Seq("A", "B", "C", "C"))
+    // partition-layout invariance of the distributed prefix sum
+    val r2 = Reductions.abcClassification(df.repartition(7), "k", "v")
+      .orderBy("cum").collect()
+    assert(r.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
   }
 
   test("kCore: peeling cascades — tail falls off, the clique survives") {
