@@ -1719,6 +1719,29 @@ object ExtQueries {
       Reductions.abcClassification(t(s, dir, "lineitem"), "l_partkey",
           "l_extendedprice")
         .orderBy(col("cum"))
+    },
+
+    // Kaplan-Meier survival of days-to-first-purchase per user (censored
+    // at the user's last event): one duration groupBy, the O(distinct
+    // days) risk table folded left-to-right.
+    "q196_kaplan_meier" -> { (s, dir) =>
+      val per = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("p_ts"))
+        .select(
+          when(col("p_ts").isNotNull,
+            datediff(col("p_ts").cast(DateType), col("first_ts").cast(DateType)))
+            .otherwise(datediff(col("last_ts").cast(DateType),
+              col("first_ts").cast(DateType))).as("dur"),
+          when(col("p_ts").isNotNull, 1L).otherwise(0L).as("ev"))
+      Stats.kaplanMeier(per, "dur", "ev").orderBy(col("t"))
+    },
+
+    // Partition-skew report for keying a shuffle on user_id: top-5
+    // heaviest keys + the salting-decision skew factor.
+    "q197_skew_report" -> { (s, dir) =>
+      Quality.skewReport(t(s, dir, "events"), Seq("user_id"), topK = 5)
+        .orderBy(col("key_rank"))
     }
   )
 
@@ -4406,6 +4429,56 @@ object ExtQueries {
            CASE WHEN (cum - v) * 100 < 80 * total THEN 'A'
                 WHEN (cum - v) * 100 < 95 * total THEN 'B'
                 ELSE 'C' END AS abc_class
-         FROM c, t ORDER BY cum"""
+         FROM c, t ORDER BY cum""",
+
+    // mirrors Stats.kaplanMeier: same duration derivation, suffix risk
+    // counts, and the recursive left-fold product (multiplying by
+    // exactly 1.0 at censor-only times is the identity, so the fold can
+    // run at every row and filter d>0 after).
+    "q196_kaplan_meier" ->
+      """WITH RECURSIVE per AS (SELECT user_id, MIN(ts) AS f, MAX(ts) AS l,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+           FROM events GROUP BY 1),
+         dr AS (SELECT CASE WHEN p IS NOT NULL
+                 THEN date_diff('day', CAST(f AS DATE), CAST(p AS DATE))
+                 ELSE date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) END
+                 AS t,
+               CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS e
+           FROM per),
+         g AS (SELECT CAST(t AS BIGINT) AS t, CAST(SUM(e) AS BIGINT) AS d,
+             CAST(SUM(1 - e) AS BIGINT) AS c
+           FROM dr GROUP BY 1),
+         ord AS (SELECT t, d, c,
+             CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rn,
+             (SELECT SUM(d + c) FROM g)
+               - COALESCE(SUM(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+           FROM g),
+         rec AS (
+           SELECT rn, t, CAST(n_risk AS BIGINT) AS n_risk, d,
+             (1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS s
+           FROM ord WHERE rn = 1
+           UNION ALL
+           SELECT o.rn, o.t, CAST(o.n_risk AS BIGINT), o.d,
+             r.s * (1.0 - CAST(o.d AS DOUBLE) / CAST(o.n_risk AS DOUBLE))
+           FROM ord o JOIN rec r ON o.rn = r.rn + 1)
+         SELECT t, n_risk, d AS d_events, s AS survival
+         FROM rec WHERE d > 0 ORDER BY t""",
+
+    // mirrors Quality.skewReport keyed on user_id.
+    "q197_skew_report" ->
+      """WITH c AS (SELECT concat_ws('#', user_id) AS key,
+             CAST(COUNT(*) AS BIGINT) AS key_rows
+           FROM events GROUP BY 1),
+         t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                      CAST(SUM(key_rows) AS BIGINT) AS n_rows FROM c),
+         top AS (SELECT * FROM c ORDER BY key_rows DESC, key ASC LIMIT 5)
+         SELECT CAST(row_number() OVER (ORDER BY key_rows DESC, key ASC)
+             AS INTEGER) AS key_rank,
+           key, key_rows, n_keys, n_rows,
+           CAST(key_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+             / CAST(n_rows AS DOUBLE) AS skew_factor
+         FROM top, t ORDER BY key_rank"""
   )
 }

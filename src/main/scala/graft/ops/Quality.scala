@@ -146,6 +146,44 @@ object Quality {
       .orderBy(col("__o")).drop("__o")
   }
 
+  /** Partition-skew report for a prospective shuffle key: the ops check
+    * run BEFORE keying a 100 TB shuffle on a column. Returns the top-K
+    * heaviest keys with the totals alongside:
+    * (key_rank, key, key_rows, n_keys, n_rows, skew_factor) where
+    * skew_factor = key_rows·n_keys/n_rows (1 = perfectly even; the
+    * heaviest key's factor is how much slower its reducer runs than
+    * average — the number that decides salting).
+    *
+    * Plan: one keyed count (the only data-sized pass), a 1-row totals
+    * aggregate broadcast back, and a TakeOrdered top-K — the rank window
+    * runs on the K-row frame only. */
+  def skewReport(df: DataFrame, keyCols: Seq[String], topK: Int = 5)
+      : DataFrame = {
+    require(topK >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(concat_ws("#", keyCols.map(col(_).cast(StringType)): _*)
+        .as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("key_rows"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("key_rows")).as("n_rows"))
+    val top = counts
+      .orderBy(col("key_rows").desc, col("key").asc)
+      .limit(topK)
+    val w = Window.orderBy(col("key_rows").desc, col("key").asc)
+    val out = top.crossJoin(broadcast(tot))
+      .withColumn("key_rank", row_number().over(w))
+      .select(col("key_rank"), col("key"), col("key_rows"),
+        col("n_keys"), col("n_rows"),
+        (col("key_rows").cast(DoubleType) * col("n_keys").cast(DoubleType) /
+          col("n_rows").cast(DoubleType)).as("skew_factor"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    counts.unpersist()
+    out
+  }
+
   /** Benford first-significant-digit audit of a positive numeric column:
     * observed digit frequencies vs the Benford expectation
     * log10(1 + 1/d) — fabricated or truncated financial/measurement data

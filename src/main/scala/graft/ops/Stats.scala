@@ -466,6 +466,45 @@ object Stats {
     ret
   }
 
+  /** Kaplan-Meier survival estimator over (duration, event) pairs —
+    * event = 1 observed, 0 right-censored. Returns one row per EVENT
+    * time: (t, n_risk, d_events, survival) with
+    * S(t) = Π_{t_i ≤ t} (1 − d_i/n_i), the left-to-right fold over
+    * ascending event times (deterministic IEEE — the oracle replays it
+    * as a recursive CTE).
+    *
+    * Plan: the data-sized pass is ONE groupBy on the duration (d/c
+    * counts per distinct time); the risk table (O(distinct durations)
+    * rows — durations should be bucketed units like days, so this is
+    * small by construction) is collected for the sequential product and
+    * parallelized back — the sketch/fit-side readout pattern. Suffix
+    * risk counts come from total − prefix on the sorted tiny table. */
+  def kaplanMeier(df: DataFrame, durationCol: String, eventCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val per = df
+      .filter(col(durationCol).isNotNull &&
+        col(eventCol).isNotNull)
+      .groupBy(col(durationCol).cast(LongType).as("__t"))
+      .agg(sum(col(eventCol).cast(LongType)).as("__d"),
+        sum(lit(1L) - col(eventCol).cast(LongType)).as("__c"))
+      .orderBy(col("__t"))
+      .as[(Long, Long, Long)]
+      .collect()
+    var atRisk = per.map(r => r._2 + r._3).sum
+    var s = 1.0
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    per.foreach { case (t, d, c) =>
+      if (d > 0) {
+        s = s * (1.0 - d.toDouble / atRisk.toDouble)
+        out += ((t, atRisk, d, s))
+      }
+      atRisk -= (d + c)
+    }
+    out.toSeq.toDF("t", "n_risk", "d_events", "survival")
+  }
+
   /** Cross-correlation function: Pearson correlation between x_t and
     * y_{t−lag} per lag (lag 0 = contemporaneous), pooled across keys —
     * [[acf]] generalized to two columns (does the click series LEAD the

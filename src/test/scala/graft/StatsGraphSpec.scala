@@ -421,6 +421,34 @@ class StatsGraphSpec extends SparkSuite {
     assert(graft.ops.Graph.triangleCount(path, "src", "dst").count() == 0L)
   }
 
+  test("kaplanMeier: textbook small sample with censoring") {
+    // durations: 1(event) 2(censor) 3(event) 3(event) 4(censor)
+    // t=1: n=5, d=1 → S = 4/5 = 0.8
+    // t=3: n=3, d=2 → S = 0.8·(1/3)
+    val df = Seq((1L, 1L), (2L, 0L), (3L, 1L), (3L, 1L), (4L, 0L))
+      .toDF("dur", "ev")
+    val r = Stats.kaplanMeier(df, "dur", "ev").orderBy("t").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("t") == 1L && r(0).getAs[Long]("n_risk") == 5L)
+    assert(r(0).getAs[Double]("survival") == 0.8)
+    assert(r(1).getAs[Long]("t") == 3L && r(1).getAs[Long]("n_risk") == 3L)
+    assert(r(1).getAs[Long]("d_events") == 2L)
+    assert(math.abs(r(1).getAs[Double]("survival") -
+      0.8 * (1.0 - 2.0 / 3.0)) < 1e-15)
+  }
+
+  test("skewReport: a hot key dominates and the factor says by how much") {
+    val rows = (Seq.fill(60)(("hot", 1)) ++
+      (1 to 4).flatMap(i => Seq.fill(10)((s"k$i", 1)))).toDF("k", "v")
+    val r = graft.ops.Quality.skewReport(rows, Seq("k"), topK = 3)
+      .orderBy("key_rank").collect()
+    assert(r.length == 3)
+    assert(r(0).getAs[String]("key") == "hot")
+    assert(r(0).getAs[Long]("key_rows") == 60L)
+    assert(r(0).getAs[Long]("n_keys") == 5L && r(0).getAs[Long]("n_rows") == 100L)
+    assert(r(0).getAs[Double]("skew_factor") == 3.0) // 60·5/100
+  }
+
   test("histogramEqWidth: edges, clamp, and empty bins") {
     val df = Seq(0.0, 1.0, 2.5, 5.0, 5.0, 10.0).toDF("v")
     val r = Reductions.histogramEqWidth(df, "v", 4).collect()
