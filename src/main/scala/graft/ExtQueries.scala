@@ -1742,6 +1742,28 @@ object ExtQueries {
     "q197_skew_report" -> { (s, dir) =>
       Quality.skewReport(t(s, dir, "events"), Seq("user_id"), topK = 5)
         .orderBy(col("key_rank"))
+    },
+
+    // Additive seasonal decomposition (period 5) of the event value per
+    // user: centered exact-mean trend, re-centered per-phase seasonal,
+    // residual — all floor-scaled exact means.
+    "q199_seasonal_decompose" -> { (s, dir) =>
+      Advanced.seasonalDecompose(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts"), col("value")),
+        Seq("user_id"), Seq("ts", "event_id"), "value", period = 5)
+        .select(col("event_id"), col("user_id"), col("phase"),
+          col("trend"), col("seasonal"), col("resid"))
+        .orderBy(col("event_id"))
+    },
+
+    // Global percent-rank of the order price WITHOUT a single-task
+    // window: range-partitioned per-value min-ranks joined back.
+    "q200_percent_rank" -> { (s, dir) =>
+      Reductions.globalPercentRank(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice")
+        .orderBy(col("o_orderkey"))
     }
   )
 
@@ -4479,6 +4501,47 @@ object ExtQueries {
            key, key_rows, n_keys, n_rows,
            CAST(key_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
              / CAST(n_rows AS DOUBLE) AS skew_factor
-         FROM top, t ORDER BY key_rank"""
+         FROM top, t ORDER BY key_rank""",
+
+    // mirrors Advanced.seasonalDecompose(period=5): identical centered
+    // window exact mean, phase assignment, per-phase exact means and the
+    // re-centering, same final arithmetic.
+    "q199_seasonal_decompose" ->
+      """WITH b AS (SELECT event_id, user_id, ts,
+             CAST(value AS DOUBLE) AS x,
+             CAST((row_number() OVER wk - 1) % 5 AS INTEGER) AS phase,
+             CASE WHEN COUNT(x) OVER w5 = 5 THEN
+               CAST(SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) OVER w5
+                 AS DOUBLE) / 1000000.0 / 5 END AS trend
+           FROM events
+           WINDOW wk AS (PARTITION BY user_id ORDER BY ts, event_id),
+             w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+         det AS (SELECT *, x - trend AS d FROM b),
+         pm AS (SELECT user_id, phase,
+             CAST(SUM(CAST(FLOOR(d * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000.0 / COUNT(*) AS pmean
+           FROM det WHERE d IS NOT NULL AND NOT isnan(d)
+           GROUP BY 1, 2),
+         ctr AS (SELECT user_id,
+             CAST(SUM(CAST(FLOOR(pmean * 1000000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000000.0 / COUNT(*) AS pc
+           FROM pm GROUP BY 1)
+         SELECT det.event_id, det.user_id, det.phase, det.trend,
+           pm.pmean - ctr.pc AS seasonal,
+           CASE WHEN det.trend IS NOT NULL
+             THEN det.x - det.trend - (pm.pmean - ctr.pc) END AS resid
+         FROM det
+         LEFT JOIN pm ON pm.user_id = det.user_id AND pm.phase = det.phase
+         LEFT JOIN ctr ON ctr.user_id = det.user_id
+         ORDER BY det.event_id""",
+
+    // mirrors Reductions.globalPercentRank against DuckDB's NATIVE
+    // percent_rank — an independent implementation, not a replay.
+    "q200_percent_rank" ->
+      """SELECT o_orderkey, o_totalprice,
+           percent_rank() OVER (ORDER BY CAST(o_totalprice AS DOUBLE))
+             AS pct_rank
+         FROM orders ORDER BY o_orderkey"""
   )
 }

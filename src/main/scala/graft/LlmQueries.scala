@@ -446,6 +446,29 @@ object LlmQueries {
         .orderBy(col("query_id"))
     },
 
+    // Tokenizer-fertility report per language: the tokens/word and
+    // chars/token table a tokenizer release ships (which languages pay
+    // more tokens per word under this vocab?) — BPE fit + apply + one
+    // keyed aggregation over exact integer counts.
+    "q198_tokenizer_fertility" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val (_, vocab) = Bpe.train(docs, "text", 8)
+      Bpe.tokenCounts(docs, "doc_id", "text", vocab)
+        .join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id")
+        .filter(col("lang").isNotNull)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          (sum(col("n_bpe_tokens")).cast(DoubleType) /
+            sum(col("n_words")).cast(DoubleType)).as("tokens_per_word"),
+          (sum(col("n_chars")).cast(DoubleType) /
+            sum(col("n_bpe_tokens")).cast(DoubleType)).as("chars_per_token"))
+        .orderBy(col("lang"))
+    },
+
     // corpus card: the per-source audit table (docs, tokens, quality,
     // exact-dup share) a curation pipeline publishes with a release.
     "q141_corpus_report" -> { (s, dir) =>
@@ -1649,6 +1672,27 @@ object LlmQueries {
          SELECT d2.doc_id, COUNT(*) AS n_words,
            SUM(len(s9.syms)) AS n_bpe_tokens
          FROM d2 JOIN s9 USING (w)
+         GROUP BY 1 ORDER BY 1""",
+
+    // mirrors q198: the q140 fit+apply replay aggregated per language.
+    "q198_tokenizer_fertility" ->
+      s"""WITH RECURSIVE ${bpeCtes(8)},
+         d2 AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
+           FROM documents),
+         tc AS (SELECT d2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(len(s9.syms)) AS BIGINT) AS n_bpe
+           FROM d2 JOIN s9 USING (w)
+           GROUP BY 1)
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)
+             AS tokens_per_word,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_bpe) AS DOUBLE)
+             AS chars_per_token
+         FROM tc JOIN documents USING (doc_id)
+         WHERE lang IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
 
     // mirrors DomainMix.dsirResample: same hashed buckets, add-one ratio

@@ -877,6 +877,62 @@ object Advanced {
     inv
   }
 
+  /** Additive seasonal decomposition per key (the STL-lite a metrics
+    * pipeline runs before anomaly rules): trend = centered `period`-row
+    * moving mean (exact floor-scaled window sums; null until the window
+    * is full so edges never fake a trend), seasonal = per-phase mean of
+    * the detrended series re-centered to sum ≈ 0 across phases, resid =
+    * x − trend − seasonal. Requires ODD period (symmetric window).
+    * Returns the input + (phase, trend, seasonal, resid).
+    *
+    * Plan: one keyed window pass for the trend, one (key, phase)
+    * aggregation + one key aggregation (both tiny) broadcast back —
+    * no data-sized collect, no global window. Exactness: every mean is
+    * a floor-scaled exact sum over counts, so the decomposition replays
+    * bit-for-bit in SQL. */
+  def seasonalDecompose(df: org.apache.spark.sql.DataFrame,
+                        keyCols: Seq[String], orderCols: Seq[String],
+                        valueCol: String, period: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      "period must be odd and >= 3 (symmetric centered window)")
+    import org.apache.spark.sql.expressions.Window
+    val half = period / 2
+    val base = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val w = base.rowsBetween(-half, half)
+    val x = col(valueCol).cast("double")
+    def wsum(c: org.apache.spark.sql.Column) =
+      sum(floor(c * lit(1e6)).cast("long")).over(w).cast("double") / lit(1e6)
+    val withTrend = df
+      .withColumn("__x", x)
+      .withColumn("__phase",
+        ((row_number().over(base) - 1) % period).cast("int"))
+      .withColumn("trend",
+        when(count(col("__x")).over(w) === period, wsum(col("__x")) / period))
+    val det = withTrend.withColumn("__d", col("__x") - col("trend"))
+    val phaseMeans = det
+      .filter(col("__d").isNotNull && !isnan(col("__d")))
+      .groupBy((keyCols.map(col) :+ col("__phase")): _*)
+      .agg((graft.ops.Reductions.isum(col("__d"), 6) / count(lit(1)))
+        .as("__pm"))
+    // re-center: subtract the mean of the phase means so Σ seasonal ≈ 0
+    val center = phaseMeans.groupBy(keyCols.map(col): _*)
+      .agg((graft.ops.Reductions.isum(col("__pm"), 9) / count(lit(1)))
+        .as("__pc"))
+    // keys×period / keys-sized frames: let AQE pick broadcast vs shuffle
+    // (a million-key series set must NOT be forced through the driver)
+    val out = det
+      .join(phaseMeans, keyCols :+ "__phase", "left")
+      .join(center, keyCols, "left")
+      .withColumn("seasonal", col("__pm") - col("__pc"))
+      .withColumn("resid",
+        when(col("trend").isNotNull, col("__x") - col("trend") - col("seasonal")))
+      .drop("__x", "__d", "__pm", "__pc")
+      .withColumnRenamed("__phase", "phase")
+    out
+  }
+
   /** Market-basket association rules over (basket, item) pairs: for every
     * co-occurring item pair with support ≥ minSupportPct% of baskets
     * (integer cross-multiplied — no float threshold), emit the pair's

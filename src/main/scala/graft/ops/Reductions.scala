@@ -589,6 +589,52 @@ object Reductions {
   def kahanSum(c: Column): Column =
     udaf(new KahanSum(), Encoders.scalaDouble).apply(coalesce(c, lit(0.0)))
 
+  /** GLOBAL percent-rank of a numeric column — SQL
+    * percent_rank() = (min_rank − 1)/(n − 1) — WITHOUT the global
+    * single-task window Spark's `percent_rank().over(Window.orderBy)`
+    * plans. Min-ranks come from the range-partitioned per-value count
+    * frame (prefix counts via O(partitions) offsets — the rank-table
+    * shape); the result joins back on the value. Returns the input plus
+    * `outName`. Null/NaN values get a null rank. */
+  def globalPercentRank(df: DataFrame, valueCol: String,
+                        outName: String = "pct_rank"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val x = col(valueCol).cast(DoubleType)
+    val grouped = df
+      .filter(x.isNotNull && !isnan(x))
+      .groupBy(x.as("__v")).agg(count(lit(1)).as("__c"))
+      .as[(Double, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = grouped
+      .repartitionByRange(parts, col("__v"))
+      .sortWithinPartitions(col("__v"))
+      .as[(Double, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sorted.count()
+    val partTotals = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val n = partTotals.sum
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val ranks = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var before = bcOff.value(pid)
+      it.map { case (v, c) =>
+        val minRank = before + 1
+        before += c
+        (v, if (n <= 1) 0.0
+            else (minRank - 1).toDouble / (n - 1).toDouble)
+      }
+    }.toDF("__v", outName)
+    val out = df.join(ranks, x === col("__v"), "left").drop("__v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sorted.unpersist(); grouped.unpersist()
+    out
+  }
+
   /** Equi-width histogram of a numeric column: `bins` equal-width buckets
     * over [min, max], bin i = ⌊(x − min)/w⌋ clamped so x = max lands in
     * the last bin. Returns (bin, lo, hi, n) for ALL bins including empty

@@ -421,6 +421,31 @@ class StatsGraphSpec extends SparkSuite {
     assert(graft.ops.Graph.triangleCount(path, "src", "dst").count() == 0L)
   }
 
+  test("seasonalDecompose: recovers a pure period pattern on a flat base") {
+    // x = base 10 + seasonal pattern (period 5, mean 0): trend ≈ 10,
+    // seasonal ≈ the pattern, resid ≈ 0 on interior rows
+    val pat = Seq(2.0, -1.0, 0.0, 1.0, -2.0)
+    val rows = (0 until 30).map(i => ("k", i, 10.0 + pat(i % 5)))
+    val out = graft.ops.Advanced.seasonalDecompose(
+      rows.toDF("k", "i", "x"), Seq("k"), Seq("i"), "x", 5)
+      .orderBy("i").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("trend")), "edge has no trend")
+    val mid = out(10)
+    assert(math.abs(mid.getAs[Double]("trend") - 10.0) < 1e-6)
+    assert(math.abs(mid.getAs[Double]("seasonal") - pat(10 % 5)) < 1e-6)
+    assert(math.abs(mid.getAs[Double]("resid")) < 1e-6)
+  }
+
+  test("globalPercentRank: matches the closed form, ties share min rank") {
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 20.0), (4L, 30.0), (5L, 40.0))
+      .toDF("id", "v")
+    val r = Reductions.globalPercentRank(df, "v").orderBy("id").collect()
+      .map(x => x.getLong(0) -> x.getAs[Double]("pct_rank")).toMap
+    assert(r(1L) == 0.0)
+    assert(r(2L) == 0.25 && r(3L) == 0.25, "ties share the min rank")
+    assert(r(4L) == 0.75 && r(5L) == 1.0)
+  }
+
   test("kaplanMeier: textbook small sample with censoring") {
     // durations: 1(event) 2(censor) 3(event) 3(event) 4(censor)
     // t=1: n=5, d=1 → S = 4/5 = 0.8
