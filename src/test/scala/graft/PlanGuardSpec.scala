@@ -134,6 +134,33 @@ class PlanGuardSpec extends SparkSuite {
   test("q165 group quantiles: stratified rank + O(groups) offsets only")(
     guard("q165_group_quantiles", Bound))
 
+  test("q176 BH-FDR: range-partitioned suffix-min, no global window")(
+    guard("q176_bh_fdr", Bound))
+
+  test("q182 forecast accuracy: keyed lag windows only")(
+    guard("q182_forecast_acc", Bound))
+
+  test("q185 rolling median: keyed bounded frames only")(
+    guard("q185_rolling_median", Bound))
+
+  test("q188 cdc merge: one key shuffle, per-key pick only")(
+    guard("q188_cdc_merge", Bound))
+
+  test("q190 kcore: per-round keyed degree counts + semi joins only")(
+    guard("q190_kcore", Bound))
+
+  test("q195 abc: range-partitioned prefix sum, no global window")(
+    guard("q195_abc", Bound))
+
+  test("q196 kaplan-meier: one duration groupBy; risk table is O(days)")(
+    guard("q196_kaplan_meier", Bound))
+
+  test("q199 seasonal decompose: keyed windows + tiny phase frames")(
+    guard("q199_seasonal_decompose", Bound))
+
+  test("q200 percent rank: per-value offsets, no single-task window")(
+    guard("q200_percent_rank", Bound))
+
   // (q151 Mann-Whitney is deliberately absent for the q67 reason: its
   // ≤1M-distinct gate routes the DISTINCT-VALUE table through one task,
   // and for continuous columns distinct ≈ rows at test SF. q159 RRF and
