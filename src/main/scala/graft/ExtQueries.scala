@@ -1764,6 +1764,35 @@ object ExtQueries {
         t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
         "o_totalprice")
         .orderBy(col("o_orderkey"))
+    },
+
+    // STREAMING sliding windows (2h / 1h) under the oracle gate — each
+    // event lands in two overlapping windows; the batch mirror
+    // duplicates events into both window starts.
+    "q201_stream_sliding" -> { (s, dir) =>
+      val table = graft.streaming.EventStream.runToMemorySink(
+        graft.streaming.EventStream.slidingCounts(s, dir),
+        s"q201_sink_${System.nanoTime()}", statePartitions = Some(8))
+      table.orderBy(col("bucket"), col("event_type"))
+    },
+
+    // Incremental aggregation: day-1 partials written to parquet, day-2
+    // partials merged in WITHOUT rescanning day 1 — the decimal partial
+    // sums make the merge bit-identical to the single-pass aggregation
+    // (which is exactly what the oracle runs).
+    "q203_incremental_agg" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q203").toString
+      val orders = t(s, dir, "orders")
+      Reductions.aggPartials(orders.filter(col("o_orderkey") % 2 === 0),
+          Seq("o_orderstatus"), "o_totalprice")
+        .write.mode("overwrite").parquet(s"$tmp/day1")
+      val day2 = Reductions.aggPartials(
+        orders.filter(col("o_orderkey") % 2 =!= 0),
+        Seq("o_orderstatus"), "o_totalprice")
+      Reductions.mergeAggPartials(
+          Seq(s.read.parquet(s"$tmp/day1"), day2),
+          Seq("o_orderstatus"), "sum_price")
+        .orderBy(col("o_orderstatus"))
     }
   )
 
@@ -4542,6 +4571,28 @@ object ExtQueries {
       """SELECT o_orderkey, o_totalprice,
            percent_rank() OVER (ORDER BY CAST(o_totalprice AS DOUBLE))
              AS pct_rank
-         FROM orders ORDER BY o_orderkey"""
+         FROM orders ORDER BY o_orderkey""",
+
+    // batch mirror of the 2h/1h sliding windows: every event duplicated
+    // into its two hour-aligned window starts.
+    "q201_stream_sliding" ->
+      """WITH x AS (
+           SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+             event_type, value FROM events
+           UNION ALL
+           SELECT CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP),
+             event_type, value FROM events)
+         SELECT bucket, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(38,0)))
+             AS DOUBLE) / 1000000.0 AS sum_value
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the oracle for incremental aggregation IS the single-pass
+    // aggregation — the partial/merge path must land on it exactly.
+    "q203_incremental_agg" ->
+      """SELECT o_orderstatus, CAST(COUNT(o_totalprice) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+             AS sum_price
+         FROM orders GROUP BY 1 ORDER BY 1"""
   )
 }

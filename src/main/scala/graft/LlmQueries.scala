@@ -446,6 +446,20 @@ object LlmQueries {
         .orderBy(col("query_id"))
     },
 
+    // Flesch-Kincaid readability per language: vowel-group syllable
+    // proxy, sentence-run counting, the standard grade formula — pure
+    // codegen regexp counting, exact-sum language means.
+    "q202_readability" -> { (s, dir) =>
+      t(s, dir, "documents").filter(col("lang").isNotNull)
+        .withColumn("fk", TextStats.fleschKincaid(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(col("fk")).as("n_docs"),
+          (graft.ops.Reductions.isum(col("fk"), 6) / count(col("fk")))
+            .as("mean_fk"),
+          min(col("fk")).as("min_fk"), max(col("fk")).as("max_fk"))
+        .orderBy(col("lang"))
+    },
+
     // Tokenizer-fertility report per language: the tokens/word and
     // chars/token table a tokenizer release ships (which languages pay
     // more tokens per word under this vocab?) — BPE fit + apply + one
@@ -1673,6 +1687,28 @@ object LlmQueries {
            SUM(len(s9.syms)) AS n_bpe_tokens
          FROM d2 JOIN s9 USING (w)
          GROUP BY 1 ORDER BY 1""",
+
+    // mirrors TextStats.fleschKincaid: identical word/sentence/syllable
+    // regexp counts and the fixed grade formula (e-notation constants —
+    // DuckDB parses plain decimals as DECIMAL, not DOUBLE).
+    "q202_readability" ->
+      """WITH f AS (SELECT lang,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS w,
+           GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+           len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+           FROM documents WHERE lang IS NOT NULL),
+         g AS (SELECT lang,
+           CASE WHEN w > 0 THEN
+             3.9e-1 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+             + 1.18e1 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE))
+             - 1.559e1 END AS fk
+           FROM f)
+         SELECT lang, CAST(COUNT(fk) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(FLOOR(fk * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+             / 1000000.0 / COUNT(fk) AS mean_fk,
+           MIN(fk) AS min_fk, MAX(fk) AS max_fk
+         FROM g GROUP BY 1 ORDER BY 1""",
 
     // mirrors q198: the q140 fit+apply replay aggregated per language.
     "q198_tokenizer_fertility" ->

@@ -21,6 +21,23 @@ object TextStats {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Flesch-Kincaid grade-level heuristic per document:
+    * 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59 with
+    * sentences = max(1, count of [.!?]+ runs) and syllables = count of
+    * [aeiouy]+ runs in the lowercased text (the standard vowel-group
+    * proxy; no per-word min-1 clamp — documented heuristic, identical
+    * on both engines). Empty/whitespace docs → null. Pure codegen
+    * regexp counting — no UDF. */
+  def fleschKincaid(text: Column): Column = {
+    val w = tokenCount(text).cast("double")
+    val sents = greatest(lit(1),
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0)))).cast("double")
+    val syl = size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      .cast("double")
+    when(w > 0,
+      lit(0.39) * (w / sents) + lit(11.8) * (syl / w) - lit(15.59))
+  }
+
   def charCount(text: Column): Column = length(text)
 
   /** Count of chars in `charClass` (a regex character class body). */

@@ -589,6 +589,32 @@ object Reductions {
   def kahanSum(c: Column): Column =
     udaf(new KahanSum(), Encoders.scalaDouble).apply(coalesce(c, lit(0.0)))
 
+  /** INCREMENTAL AGGREGATION state: per-key mergeable partials
+    * (count + exact decimal sum) that can be written to storage and
+    * later combined with more partials WITHOUT rescanning history — the
+    * standing daily-rollup pattern at 100 TB (each day aggregates only
+    * its own data; the merge touches O(keys) rows). The partial sum
+    * stays a Decimal(38,scale) through the round-trip so merging is
+    * exact; [[mergeAggPartials]] finishes to the same (n, sum) the
+    * single-pass aggregation produces — bit-for-bit, because decimal
+    * addition is associative. */
+  def aggPartials(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                  scale: Int = 4): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(col(valueCol)).as("__pn"),
+        sum(col(valueCol).cast(DecimalType(38, scale))).as("__ps"))
+
+  /** Merge any number of [[aggPartials]] frames into final
+    * (keys…, n, sum) — one keyed aggregation over O(keys·parts) rows. */
+  def mergeAggPartials(parts: Seq[DataFrame], keyCols: Seq[String],
+                       outSum: String = "sum"): DataFrame = {
+    require(parts.nonEmpty)
+    parts.reduce(_.unionByName(_))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__pn")).as("n"),
+        sum(col("__ps")).cast(DoubleType).as(outSum))
+  }
+
   /** GLOBAL percent-rank of a numeric column — SQL
     * percent_rank() = (min_rank − 1)/(n − 1) — WITHOUT the global
     * single-task window Spark's `percent_rank().over(Window.orderBy)`

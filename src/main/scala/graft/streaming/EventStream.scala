@@ -59,6 +59,25 @@ object EventStream {
         col("sum_value"))
   }
 
+  /** Streaming SLIDING-window counts (2 h windows advancing hourly) with
+    * a watermark — each event lands in two overlapping windows, the
+    * trending-detection shape (a spike shows in consecutive windows
+    * before a tumbling bucket would commit it). State is
+    * O(open windows × event types); the batch analog duplicates each
+    * event into its two window starts, which is exactly what q201's
+    * oracle does. */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.ensureFunctions(spark)
+    eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.Reductions.isum(col("value"), 6).as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"),
+        col("sum_value"))
+  }
+
   /** STREAM-STATIC ENRICHMENT: the event stream joined against the
     * static customer dimension (broadcast — at scale the standing
     * pattern: dim snapshots broadcast to every executor, refreshed per

@@ -421,6 +421,33 @@ class StatsGraphSpec extends SparkSuite {
     assert(graft.ops.Graph.triangleCount(path, "src", "dst").count() == 0L)
   }
 
+  test("fleschKincaid: hand-computed grade; empty text is null") {
+    import graft.llm.TextStats
+    // "The cat sat. It ran!" → w=5, sentences=2, vowel groups:
+    // e,a,a,i,a → 5 → fk = 0.39·2.5 + 11.8·1.0 − 15.59
+    val df = Seq("The cat sat. It ran!", "   ").toDF("t")
+      .withColumn("fk", TextStats.fleschKincaid(col("t")))
+    val r = df.collect()
+    assert(math.abs(r(0).getAs[Double]("fk") -
+      (0.39 * 2.5 + 11.8 * 1.0 - 15.59)) < 1e-12)
+    assert(r(1).isNullAt(1), "blank doc has no grade")
+  }
+
+  test("aggPartials merge equals the single-pass aggregation exactly") {
+    val df = Seq(("a", 1.25), ("a", 2.5), ("b", 10.0), ("b", 0.0001),
+      ("a", 3.75)).toDF("k", "v")
+    val p1 = Reductions.aggPartials(df.filter(col("v") < 3.0), Seq("k"), "v")
+    val p2 = Reductions.aggPartials(df.filter(col("v") >= 3.0), Seq("k"), "v")
+    val merged = Reductions.mergeAggPartials(Seq(p1, p2), Seq("k"))
+      .orderBy("k").collect()
+    val direct = df.groupBy(col("k"))
+      .agg(count(col("v")).as("n"),
+        sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+          .cast("double").as("sum"))
+      .orderBy("k").collect()
+    assert(merged.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+  }
+
   test("seasonalDecompose: recovers a pure period pattern on a flat base") {
     // x = base 10 + seasonal pattern (period 5, mean 0): trend ≈ 10,
     // seasonal ≈ the pattern, resid ≈ 0 on interior rows

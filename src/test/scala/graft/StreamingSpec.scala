@@ -95,4 +95,28 @@ class StreamingSpec extends SparkSuite {
       assert(math.abs(s.getAs[Double]("sum_value") - b.getAs[Double]("sum_value")) < 1e-9)
     }
   }
+
+  test("sliding windows: every event lands in exactly two hourly windows") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.runToMemorySink(
+      EventStream.slidingCounts(spark, sfDir), "sliding_test")
+    val nEvents = graft.Tables.t(spark, sfDir, "events").count()
+    val totalWindowed = streamed.agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(totalWindowed == 2 * nEvents,
+      s"2h/1h sliding must double-count: $totalWindowed vs 2×$nEvents")
+    // and the hourly tumbling counts are recoverable: each event's two
+    // windows are (h-1h, h), so Σ over windows starting at h of tumbling
+    // hour h and h+1 — spot-check one bucket against the batch hourly agg
+    val hourly = Queries.queries("q38_time_bucket")(spark, sfDir)
+      .groupBy(col("bucket")).agg(sum(col("n")).as("hn"))
+      .orderBy(col("bucket")).collect()
+    if (hourly.length >= 2) {
+      val h0 = hourly(0); val h1 = hourly(1)
+      val w = streamed
+        .filter(col("bucket") === h0.getAs[java.sql.Timestamp]("bucket"))
+        .agg(sum(col("n"))).collect()(0).getLong(0)
+      assert(w == h0.getAs[Long]("hn") + h1.getAs[Long]("hn"),
+        "window at h covers tumbling hours h and h+1")
+    }
+  }
 }
