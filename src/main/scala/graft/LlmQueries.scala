@@ -446,6 +446,15 @@ object LlmQueries {
         .orderBy(col("query_id"))
     },
 
+    // Exact duplicated-span REMOVAL (the Lee-et-al dedup ACTION, not
+    // just the q84 measurement): tokens covered by any corpus-repeated
+    // 3-gram are stripped, survivors rejoined in position order.
+    "q204_remove_dup_spans" -> { (s, dir) =>
+      TextDedup.removeDupSpans(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, minCount = 2)
+        .orderBy(col("doc_id"))
+    },
+
     // Flesch-Kincaid readability per language: vowel-group syllable
     // proxy, sentence-run counting, the standard grade formula — pure
     // codegen regexp counting, exact-sum language means.
@@ -1687,6 +1696,40 @@ object LlmQueries {
            SUM(len(s9.syms)) AS n_bpe_tokens
          FROM d2 JOIN s9 USING (w)
          GROUP BY 1 ORDER BY 1""",
+
+    // mirrors TextDedup.removeDupSpans: the q84 shingle-hash replay with
+    // positions, covered-token expansion, anti-join survival, and
+    // position-ordered reassembly.
+    "q204_remove_dup_spans" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         g AS (SELECT doc_id, len(w) AS lw, CASE WHEN len(w) >= 3
+             THEN list_transform(range(len(w) - 2), i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3]))
+             ELSE [array_to_string(w, ' ')] END AS s FROM d),
+         h0 AS (SELECT doc_id, lw, unnest(list_transform(range(len(s)),
+             i -> {'p': i, 'hh': CAST(concat('0x',
+               substr(md5(s[CAST(i+1 AS INT)]), 1, 15)) AS BIGINT)})) AS ph
+           FROM g),
+         h AS (SELECT doc_id, lw, ph.p AS p, ph.hh AS hh FROM h0),
+         c AS (SELECT hh, COUNT(*) AS c FROM h GROUP BY 1),
+         dup AS (SELECT hh FROM c WHERE c >= 2),
+         cov AS (SELECT DISTINCT doc_id,
+             unnest(range(p, LEAST(p + 3, lw))) AS tp
+           FROM h JOIN dup USING (hh)),
+         tok0 AS (SELECT doc_id, unnest(list_transform(range(len(w)),
+             i -> {'tp': i, 'tok': w[CAST(i+1 AS INT)]})) AS pt FROM d),
+         tok AS (SELECT doc_id, pt.tp AS tp, pt.tok AS tok FROM tok0),
+         kept AS (SELECT tok.doc_id, tok.tp, tok.tok
+           FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id
+             AND cov.tp = tok.tp
+           WHERE cov.doc_id IS NULL),
+         agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS kept
+           FROM kept GROUP BY 1)
+         SELECT d.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+           CAST(len(d.w) AS INTEGER) AS n_tokens,
+           CAST(len(d.w) - COALESCE(agg.kept, 0) AS BIGINT) AS n_removed
+         FROM d LEFT JOIN agg USING (doc_id)
+         ORDER BY d.doc_id""",
 
     // mirrors TextStats.fleschKincaid: identical word/sentence/syllable
     // regexp counts and the fixed grade formula (e-notation constants —

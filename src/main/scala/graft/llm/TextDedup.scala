@@ -731,4 +731,63 @@ object TextDedup {
       .agg(count(lit(1)).as("n_docs"), sum(col("__k")).as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
   }
+
+  /** EXACT duplicated-span REMOVAL — the action counterpart of
+    * [[graft.llm.TextStats.dupNgramSpanStats]] (Lee et al. 2022: strip
+    * the spans that repeat across the corpus, keep the rest of the
+    * document). A token position is covered when ANY n-gram occurrence
+    * through it has corpus count ≥ minCount; covered tokens are dropped
+    * and the survivors are rejoined (normalized single-space text — the
+    * same token stream the shingle kernel hashes, so positions line up
+    * exactly and the whole pipeline replays in SQL). Documents shorter
+    * than n tokens are treated as one whole-document shingle (the
+    * shingle kernel's own convention). Returns
+    * (id, clean_text, n_tokens, n_removed).
+    *
+    * Scale shape: same as dupNgramSpanStats (hash-keyed counts, one
+    * doc-keyed shuffle) plus a positions explode bounded by token count
+    * — per-doc arrays only ever live inside their own row/group. */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, minCount: Int = 2): DataFrame = {
+    graft.functions.DedupKernels.register(df.sparkSession)
+    val base = df.repartition(col(idCol))
+      .select(col(idCol), tokens(col(textCol)).as("__w"),
+        shingleHashes(col(textCol), n, 15).as("__hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = base.select(explode(col("__hs")).as("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("__h"))
+    val occ = base
+      .select(col(idCol), size(col("__w")).as("__len"),
+        posexplode(col("__hs")))
+      .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__h")
+    val covered = occ.join(dup, "__h")
+      .select(col(idCol),
+        explode(sequence(col("__p"),
+          least(col("__p") + lit(n - 1), col("__len") - 1))).as("__tp"))
+      .distinct()
+    val toks = base
+      .select(col(idCol), posexplode(col("__w")))
+      .withColumnRenamed("pos", "__tp").withColumnRenamed("col", "__tok")
+    val kept = toks.join(covered, Seq(idCol, "__tp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("__tp").as("p"),
+              col("__tok").as("t")))),
+            x => x.getField("t")), " ").as("clean_text"),
+        count(lit(1)).as("__kept"))
+    val out = base
+      .select(col(idCol), size(col("__w")).as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    base.unpersist()
+    out
+  }
 }

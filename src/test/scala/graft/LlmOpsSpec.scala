@@ -946,4 +946,24 @@ class LlmOpsSpec extends SparkSuite {
       assert(keptIds(ids.min), s"group $g keeps its min id")
     }
   }
+
+  test("removeDupSpans: shared trigram stripped from both docs, rest kept") {
+    import graft.llm.TextDedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta unique one"),
+      (2L, "other words alpha beta gamma delta trailing"),
+      (3L, "completely different text here now")
+    ).toDF("id", "text")
+    val out = TextDedup.removeDupSpans(docs, "id", "text", n = 3, minCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getLong(3))).toMap
+    // shared trigrams: "alpha beta gamma" and "beta gamma delta" →
+    // covered tokens alpha..delta in both docs
+    assert(out(1L)._1 == "unique one")
+    assert(out(1L)._3 == 4L)
+    assert(out(2L)._1 == "other words trailing")
+    assert(out(2L)._3 == 4L)
+    assert(out(3L)._1 == "completely different text here now")
+    assert(out(3L)._3 == 0L, "unique doc untouched")
+  }
 }
