@@ -446,6 +446,17 @@ object LlmQueries {
         .orderBy(col("query_id"))
     },
 
+    // Rank-biased overlap between two queries' cosine top-20 lists —
+    // "how much do these two queries agree?" weighted toward the top;
+    // truncated RBO with repeated-multiplication weights.
+    "q205_rbo" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      def top(q: Long) = Similarity
+        .bruteForceTopK(emb.filter(col("vec_id") === q), emb, 20)
+        .select(col("corpus_id").as("id"), col("cosine").as("score"))
+      Similarity.rboOverlap(top(0L), top(1L), "id", "score", p = 0.9, k = 20)
+    },
+
     // Exact duplicated-span REMOVAL (the Lee-et-al dedup ACTION, not
     // just the q84 measurement): tokens covered by any corpus-repeated
     // 3-gram are stripped, survivors rejoined in position order.
@@ -1696,6 +1707,57 @@ object LlmQueries {
            SUM(len(s9.syms)) AS n_bpe_tokens
          FROM d2 JOIN s9 USING (w)
          GROUP BY 1 ORDER BY 1""",
+
+    // mirrors Similarity.rboOverlap over the two cosine top-20 lists:
+    // identical rank build, max-rank overlap counting, and the SAME
+    // repeated-multiplication weight doubles embedded as e-notation
+    // literals (a plain decimal literal would parse as DECIMAL).
+    "q205_rbo" -> {
+      val p = 0.9; val k = 20
+      val weights = { var w = 1.0
+        (1 to k).map { d => val cur = w; w *= p; (d, cur) } }
+      val values = weights.map { case (d, w) =>
+        f"($d, $w%.17e)" }.mkString(", ")
+      val oneMinusP = f"${1.0 - p}%.17e"
+      def side(q: Int, name: String) =
+        s"""dots$name AS (
+           SELECT c.vec_id AS id,
+             CAST(SUM(CAST(FLOOR(
+               CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE) * 1e12)
+               AS DECIMAL(30,0))) AS DOUBLE) / 1e12 AS dot
+           FROM embeddings q CROSS JOIN embeddings c CROSS JOIN range(0, 64) t(i)
+           WHERE q.vec_id = $q AND c.vec_id <> $q
+           GROUP BY 1),
+         cosl$name AS (SELECT dots$name.id,
+             CASE WHEN qn.nrm > 0 AND cn.nrm > 0
+                  THEN dot / (qn.nrm * cn.nrm) END AS score
+           FROM dots$name
+           JOIN nrm qn ON qn.vec_id = $q
+           JOIN nrm cn ON cn.vec_id = dots$name.id),
+         r$name AS (SELECT id, r FROM (SELECT id,
+             row_number() OVER (ORDER BY score DESC NULLS LAST, id) AS r
+           FROM cosl$name) z WHERE r <= $k)"""
+      s"""WITH nrm AS (
+           SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR(
+             CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE) * 1e12)
+             AS DECIMAL(30,0))) AS DOUBLE) / 1e12) AS nrm
+           FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY 1),
+         ${side(0, "a")},
+         ${side(1, "b")},
+         m AS (SELECT GREATEST(ra.r, rb.r) AS m
+           FROM ra JOIN rb USING (id)),
+         terms AS (SELECT v.d, v.w,
+             (SELECT COUNT(*) FROM m WHERE m.m <= v.d) AS ov
+           FROM (VALUES $values) v(d, w))
+         SELECT CAST($k AS INTEGER) AS k, CAST(9.0e-1 AS DOUBLE) AS p,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS overlap_at_k,
+           CAST($oneMinusP AS DOUBLE) *
+             (CAST(SUM(CAST(FLOOR(
+               (w * CAST(ov AS DOUBLE) / CAST(d AS DOUBLE))
+               * 1000000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+              / 1000000000000.0) AS rbo
+         FROM terms"""
+    },
 
     // mirrors TextDedup.removeDupSpans: the q84 shingle-hash replay with
     // positions, covered-token expansion, anti-join survival, and

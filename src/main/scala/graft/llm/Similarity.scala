@@ -65,6 +65,53 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
 
+  /** Rank-biased overlap (Webber et al. 2010, truncated form — no
+    * extrapolation): agreement between two top-k rankings weighted
+    * toward the top, RBO@k = (1−p)·Σ_{d=1..k} p^(d−1)·|A_d ∩ B_d|/d.
+    * The overlap at depth d counts ids whose max(rank_A, rank_B) ≤ d, so
+    * one join + a cumulative count over the BOUNDED depth frame computes
+    * every depth at once. Weights p^(d−1) are built by repeated
+    * multiplication (no libm pow — identical literals replay in SQL);
+    * the k-term sum is floor-scale-12 exact so reduce order can't move
+    * it. Returns one row (k, p, overlap_at_k, rbo).
+    *
+    * Scale note: inputs are top-k RETRIEVAL LISTS (bounded by
+    * construction, the rrfFuse contract) — every frame here is ≤ k
+    * rows. */
+  def rboOverlap(a: DataFrame, b: DataFrame, idCol: String,
+                 scoreCol: String, p: Double, k: Int): DataFrame = {
+    require(p > 0.0 && p < 1.0 && k >= 1)
+    val spark = a.sparkSession
+    import spark.implicits._
+    def ranked(df: DataFrame, rName: String) = {
+      val w = Window.orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
+      df.select(col(idCol).as("id"), col(scoreCol))
+        .withColumn(rName, row_number().over(w))
+        .filter(col(rName) <= k)
+        .select(col("id"), col(rName))
+    }
+    val m = ranked(a, "__ra").join(ranked(b, "__rb"), "id")
+      .select(greatest(col("__ra"), col("__rb")).as("__m"))
+    // weights p^(d-1) via repeated multiplication — deterministic
+    val weights = {
+      var w = 1.0
+      (1 to k).map { d => val cur = w; w *= p; (d, cur) }
+    }
+    val depths = weights.toDF("d", "w")
+    val terms = depths.join(m, col("__m") <= col("d"), "left")
+      .groupBy(col("d"), col("w"))
+      .agg(count(col("__m")).as("__ov"))
+      .select(col("d"), col("__ov"),
+        (col("w") * col("__ov").cast("double") / col("d").cast("double"))
+          .as("__term"))
+    terms.agg(
+        max(when(col("d") === k, col("__ov"))).as("overlap_at_k"),
+        (lit(1.0 - p) * graft.ops.Reductions.isum(col("__term"), 12))
+          .as("rbo"))
+      .select(lit(k).as("k"), lit(p).as("p"), col("overlap_at_k"),
+        col("rbo"))
+  }
+
   /** k-nearest-neighbor classification over an embedding column: each
     * query vector takes the majority label among its k nearest corpus
     * vectors by exact cosine. Vote ties break deterministically by

@@ -947,6 +947,21 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("rboOverlap: identical lists → 1−p^k mass; disjoint lists → 0") {
+    import graft.llm.Similarity
+    val la = (1 to 5).map(i => (i.toLong, (10 - i).toDouble)).toDF("id", "s")
+    // identical ranking: overlap_d = d at every depth →
+    // RBO = (1−p)·Σ p^(d−1) = 1 − p^k
+    val same = Similarity.rboOverlap(la, la, "id", "s", 0.5, 5).collect()(0)
+    assert(same.getAs[Long]("overlap_at_k") == 5L)
+    assert(math.abs(same.getAs[Double]("rbo") -
+      (1.0 - math.pow(0.5, 5))) < 1e-9)
+    val lb = (11 to 15).map(i => (i.toLong, (20 - i).toDouble)).toDF("id", "s")
+    val disj = Similarity.rboOverlap(la, lb, "id", "s", 0.5, 5).collect()(0)
+    assert(disj.getAs[Long]("overlap_at_k") == 0L)
+    assert(disj.getAs[Double]("rbo") == 0.0)
+  }
+
   test("removeDupSpans: shared trigram stripped from both docs, rest kept") {
     import graft.llm.TextDedup
     val docs = Seq(
