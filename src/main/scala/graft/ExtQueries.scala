@@ -1776,6 +1776,25 @@ object ExtQueries {
       table.orderBy(col("bucket"), col("event_type"))
     },
 
+    // Avro container round-trip (hand-built codec on the Avro core
+    // jars — distributed part-file write, timestamp-micros logical
+    // type): the oracle sees only the original parquet.
+    "q206_avro_roundtrip" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q206").toString
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+      graft.sources.AvroIo.write(src, s"$tmp/orders_avro")
+      graft.sources.AvroIo.read(s, s"$tmp/orders_avro")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          max(col("o_orderkey")).as("max_key"),
+          date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")
+            .as("first_date"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // Incremental aggregation: day-1 partials written to parquet, day-2
     // partials merged in WITHOUT rescanning day 1 — the decimal partial
     // sums make the merge bit-identical to the single-pass aggregation
@@ -4586,6 +4605,17 @@ object ExtQueries {
            CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(38,0)))
              AS DOUBLE) / 1000000.0 AS sum_value
          FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // avro round-trip: oracle on the original parquet — values, types,
+    // and the timestamp logical type must survive the container.
+    "q206_avro_roundtrip" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+             AS sum_price,
+           MAX(o_orderkey) AS max_key,
+           strftime(MIN(CAST(o_orderdate AS TIMESTAMP)),
+             '%Y-%m-%d %H:%M:%S') AS first_date
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     // the oracle for incremental aggregation IS the single-pass
     // aggregation — the partial/merge path must land on it exactly.
