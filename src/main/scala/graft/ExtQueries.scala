@@ -1776,6 +1776,24 @@ object ExtQueries {
       table.orderBy(col("bucket"), col("event_type"))
     },
 
+    // As-of join with a merge_asof tolerance: only purchases within the
+    // previous hour attribute; farther carries are nulled as if
+    // unmatched (conditional projection on the q14 plan — no extra
+    // shuffle).
+    "q207_asof_tolerance" -> { (s, dir) =>
+      val ev = t(s, dir, "events").selectColumns("event_id", "user_id", "ts")
+      val purch = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("p_event_id"))
+        .select(col("user_id"), col("ts").as("p_ts"), col("p_event_id"))
+      Joins.asofJoinTolerance(ev, purch, "ts", "p_ts",
+          Seq(("user_id", "user_id")), Joins.Backward,
+          allowExactMatch = false, tolerance = 3600.0)
+        .selectColumns("event_id", "user_id", "p_event_id")
+        .orderBy(col("event_id"))
+    },
+
     // Avro container round-trip (hand-built codec on the Avro core
     // jars — distributed part-file write, timestamp-micros logical
     // type): the oracle sees only the original parquet.
@@ -4605,6 +4623,21 @@ object ExtQueries {
            CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(38,0)))
              AS DOUBLE) / 1000000.0 AS sum_value
          FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirrors asofJoinTolerance: DuckDB native ASOF with the same
+    // cast-to-seconds tolerance nulling.
+    "q207_asof_tolerance" ->
+      """SELECT event_id, user_id,
+           CASE WHEN p_ts IS NOT NULL
+                AND abs(epoch(ts) - epoch(p_ts)) <= 3600.0
+             THEN p_event_id END AS p_event_id
+         FROM (
+           SELECT e.event_id, e.user_id, e.ts, p.p_ts, p.p_event_id
+           FROM events e ASOF LEFT JOIN (
+             SELECT user_id, ts AS p_ts, max(event_id) AS p_event_id
+             FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+           ON e.user_id = p.user_id AND e.ts > p.p_ts) j
+         ORDER BY event_id""",
 
     // avro round-trip: oracle on the original parquet — values, types,
     // and the timestamp logical type must survive the container.

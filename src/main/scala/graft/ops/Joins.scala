@@ -111,6 +111,39 @@ object Joins {
     joined.unionByName(left.filter(leftInvalid), allowMissingColumns = true)
   }
 
+  /** pandas `merge_asof(tolerance=...)` parity on top of [[asofJoin]]:
+    * a carried match farther than `tolerance` from the left row (in the
+    * time columns' units after cast to double — seconds for timestamps)
+    * has its entire payload nulled, exactly as if no match existed. The
+    * plan is the asofJoin plan plus a codegen conditional projection —
+    * no extra shuffle. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, leftTime: String,
+                        rightTime: String, by: Seq[(String, String)] = Seq.empty,
+                        direction: AsofDirection = Backward,
+                        allowExactMatch: Boolean = true,
+                        tolerance: Double): DataFrame = {
+    require(tolerance >= 0.0, "tolerance must be ≥ 0")
+    val joined = asofJoin(left, right, leftTime, rightTime, by, direction,
+      allowExactMatch)
+    val byRight = by.map(_._2).toSet
+    val payload = right.columns.filterNot(byRight.contains).toSeq
+    def outName(p: String) =
+      if (left.columns.contains(p)) s"right.$p" else p
+    val rtOut = outName(rightTime)
+    def ref(n: String) = col(s"`$n`")
+    val tooFar = ref(rtOut).isNotNull &&
+      abs(col(leftTime).cast("double") - ref(rtOut).cast("double")) >
+        tolerance
+    // materialize the verdict BEFORE nulling: the fold overwrites the
+    // right-time column first, and a guard re-evaluated against the
+    // already-nulled time would wave every later column through
+    val flagged = joined.withColumn("__toofar", tooFar)
+    payload.foldLeft(flagged) { (d, p) =>
+      val o = outName(p)
+      d.withColumn(o, when(!col("__toofar"), ref(o)))
+    }.drop("__toofar")
+  }
+
   private def asofJoinNonNull(left: DataFrame, right: DataFrame, leftTime: String,
                rightTime: String, by: Seq[(String, String)],
                direction: AsofDirection,

@@ -226,4 +226,28 @@ class AsofJoinSpec extends SparkSuite {
         Joins.Nearest).collect()
     assert(nearest.length == 50 && nearest.forall(_.getAs[Double]("px") == 7.0))
   }
+
+  test("asofJoinTolerance: far matches null the WHOLE payload atomically") {
+    import spark.implicits._
+    val l = Seq(("k", 10.0, 1L), ("k", 100.0, 2L), ("k", 103.0, 3L))
+      .toDF("g", "t", "id")
+    val r = Seq(("k", 5.0, 50.0), ("k", 99.0, 99.9)).toDF("g", "rt", "px")
+    val out = Joins.asofJoinTolerance(l, r, "t", "rt", Seq(("g", "g")),
+        Joins.Backward, allowExactMatch = true, tolerance = 5.0)
+      .orderBy("id").collect()
+    // id 1: nearest earlier rt=5, diff 5 ≤ 5 → kept
+    assert(out(0).getAs[Double]("px") == 50.0)
+    assert(out(0).getAs[Double]("rt") == 5.0)
+    // id 2: rt=99, diff 1 → kept
+    assert(out(1).getAs[Double]("px") == 99.9)
+    // id 3: rt=99, diff 4 ≤ 5 kept; now tolerance 3 rejects BOTH columns
+    val tight = Joins.asofJoinTolerance(l, r, "t", "rt", Seq(("g", "g")),
+        Joins.Backward, allowExactMatch = true, tolerance = 3.0)
+      .orderBy("id").collect()
+    assert(tight(2).isNullAt(tight(2).fieldIndex("px")))
+    assert(tight(2).isNullAt(tight(2).fieldIndex("rt")),
+      "time column nulls too — no half-matched row")
+    assert(tight(1).getAs[Double]("px") == 99.9, "near match survives")
+    assert(tight(0).isNullAt(tight(0).fieldIndex("px")), "diff 5 > 3 nulled")
+  }
 }
