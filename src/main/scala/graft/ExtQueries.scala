@@ -1776,6 +1776,30 @@ object ExtQueries {
       table.orderBy(col("bucket"), col("event_type"))
     },
 
+    // Native session_window STREAMING aggregation (Update mode,
+    // AvailableNow — single batch emits final session states): the
+    // declarative sibling of the q97 fMGWS sessionizer, with the native
+    // boundary rule (gap-equal starts a NEW session) oracle-pinned.
+    "q208_session_window" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.OutputMode
+      val table = graft.streaming.EventStream.runToMemorySink(
+        graft.streaming.EventStream.sessionWindowAgg(s, dir),
+        s"q208_sink_${System.nanoTime()}", mode = OutputMode.Append(),
+        statePartitions = Some(8))
+      table.orderBy(col("user_id"), col("session_start"))
+    },
+
+    // Distribution-drift report: click (reference) vs purchase (current)
+    // event values over reference-fitted equal-frequency deciles — TVD +
+    // chi-square drift, the log-free PSI.
+    "q209_drift_report" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      Quality.driftReport(
+        ev.filter(col("event_type") === "click").select(col("value")),
+        ev.filter(col("event_type") === "purchase").select(col("value")),
+        "value", bins = 10)
+    },
+
     // As-of join with a merge_asof tolerance: only purchases within the
     // previous hour attribute; farther carries are nulled as if
     // unmatched (conditional projection on the q14 plan — no extra
@@ -4623,6 +4647,82 @@ object ExtQueries {
            CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(38,0)))
              AS DOUBLE) / 1000000.0 AS sum_value
          FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirrors the NATIVE session_window semantics: diff >= gap starts a
+    // new session (one notch off the q97 strict-> rule), session end =
+    // last event + gap.
+    "q208_session_window" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     >= 30*60*1000000
+                  THEN 1 ELSE 0 END AS ns
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts, value,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g),
+         per AS (SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(38,0)))
+             AS DOUBLE) / 1000000.0 AS sum_value
+         FROM s GROUP BY user_id, sid)
+         SELECT user_id, session_start, session_end, n, sum_value
+         FROM per
+         WHERE session_end <= (SELECT CAST(MAX(ts) AS TIMESTAMP) FROM events)
+         ORDER BY user_id, session_start""",
+
+    // mirrors Quality.driftReport: reference-fitted decile cuts
+    // (quantile_cont == the rank-selection binner), same CASE-chain bin
+    // assignment on both sides, identical exact-sum TVD/chi2 arithmetic.
+    "q209_drift_report" ->
+      s"""WITH ref AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+           WHERE event_type = 'click' AND value IS NOT NULL
+             AND NOT isnan(value)),
+         cur AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+           WHERE event_type = 'purchase' AND value IS NOT NULL
+             AND NOT isnan(value)),
+         c AS (SELECT ${(1 to 9).map(i =>
+             s"quantile_cont(x, 0.$i) AS c$i").mkString(", ")} FROM ref),
+         rb AS (SELECT 1 ${(1 to 9).map(i =>
+             s"+ (CASE WHEN x > c$i THEN 1 ELSE 0 END)").mkString(" ")}
+             AS bin FROM ref, c),
+         cb AS (SELECT 1 ${(1 to 9).map(i =>
+             s"+ (CASE WHEN x > c$i THEN 1 ELSE 0 END)").mkString(" ")}
+             AS bin FROM cur, c),
+         rc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS nr FROM rb GROUP BY 1),
+         cc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS nc FROM cb GROUP BY 1),
+         shell AS (SELECT CAST(i AS INTEGER) AS bin FROM range(1, 11) t(i)),
+         bb AS (SELECT shell.bin, COALESCE(rc.nr, 0) AS nr,
+             COALESCE(cc.nc, 0) AS nc
+           FROM shell LEFT JOIN rc ON rc.bin = shell.bin
+           LEFT JOIN cc ON cc.bin = shell.bin),
+         tot AS (SELECT CAST(SUM(nr) AS BIGINT) AS tr,
+                        CAST(SUM(nc) AS BIGINT) AS tc FROM bb),
+         terms AS (SELECT
+             ABS(CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE)
+               - CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE)) AS ad,
+             CASE WHEN CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE) > 0.0
+               THEN (CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE)
+                     - CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE))
+                  * (CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE)
+                     - CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE))
+                  / (CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE))
+               ELSE 0.0 END AS chi
+           FROM bb, tot)
+         SELECT CAST(10 AS INTEGER) AS bins,
+           (SELECT tr FROM tot) AS n_ref, (SELECT tc FROM tot) AS n_cur,
+           CAST(SUM(CAST(FLOOR(ad * 1000000000000.0) AS DECIMAL(38,0)))
+             AS DOUBLE) / 1000000000000.0 * 0.5 AS tvd,
+           CAST((SELECT tc FROM tot) AS DOUBLE)
+             * (CAST(SUM(CAST(FLOOR(chi * 1000000000.0) AS DECIMAL(38,0)))
+                AS DOUBLE) / 1000000000.0) AS chi2_drift
+         FROM terms""",
 
     // mirrors asofJoinTolerance: DuckDB native ASOF with the same
     // cast-to-seconds tolerance nulling.

@@ -184,6 +184,51 @@ object Quality {
     out
   }
 
+  /** Distribution-drift report between a REFERENCE batch and a CURRENT
+    * batch of the same metric (the log-free sibling of PSI — PSI's ln
+    * would break cross-engine exactness): equal-frequency bins are
+    * fitted on the reference ([[Ml.fitQuantileBinner]]'s rank-selection,
+    * no percentile buffer), both sides are counted per bin, and the
+    * report carries total-variation distance ½·Σ|p−q| plus the
+    * chi-square drift statistic n_cur·Σ(q−p)²/p (p>0 bins). Returns one
+    * row (bins, n_ref, n_cur, tvd, chi2_drift). All sums over the
+    * O(bins) frame are floor-scaled exact; two data-sized passes total
+    * (one per side) after the fit. */
+  def driftReport(reference: DataFrame, current: DataFrame, valueCol: String,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2)
+    val model = Ml.fitQuantileBinner(reference, Seq(valueCol), bins)
+    val binCol = s"${valueCol}_bin"
+    def counts(df: DataFrame, name: String) =
+      model.transform(df)
+        .filter(col(valueCol).isNotNull &&
+          !isnan(col(valueCol).cast(DoubleType)))
+        .groupBy(col(binCol).as("bin")).agg(count(lit(1)).as(name))
+    val shell = reference.sparkSession.range(1, bins + 1)
+      .select(col("id").cast(IntegerType).as("bin"))
+    val both = shell
+      .join(counts(reference, "__nr"), Seq("bin"), "left")
+      .join(counts(current, "__nc"), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("__nr"), lit(0L)).as("__nr"),
+        coalesce(col("__nc"), lit(0L)).as("__nc"))
+    val tot = both.agg(sum(col("__nr")).as("__tr"), sum(col("__nc")).as("__tc"))
+    val terms = both.crossJoin(broadcast(tot))
+      .withColumn("__p", col("__nr").cast(DoubleType) / col("__tr").cast(DoubleType))
+      .withColumn("__q", col("__nc").cast(DoubleType) / col("__tc").cast(DoubleType))
+      .withColumn("__ad", abs(col("__p") - col("__q")))
+      .withColumn("__chi",
+        when(col("__p") > 0.0,
+          (col("__q") - col("__p")) * (col("__q") - col("__p")) / col("__p"))
+          .otherwise(lit(0.0)))
+    terms.agg(
+      first(col("__tr")).as("n_ref"), first(col("__tc")).as("n_cur"),
+      (Reductions.isum(col("__ad"), 12) * lit(0.5)).as("tvd"),
+      (first(col("__tc")).cast(DoubleType) *
+        Reductions.isum(col("__chi"), 9)).as("chi2_drift"))
+      .select(lit(bins).as("bins"), col("n_ref"), col("n_cur"), col("tvd"),
+        col("chi2_drift"))
+  }
+
   /** Benford first-significant-digit audit of a positive numeric column:
     * observed digit frequencies vs the Benford expectation
     * log10(1 + 1/d) — fabricated or truncated financial/measurement data

@@ -78,6 +78,29 @@ object EventStream {
         col("sum_value"))
   }
 
+  /** Native `session_window` streaming aggregation (Spark's built-in
+    * merging session windows — the declarative sibling of the custom
+    * [[sessionize]] fMGWS state machine): per (user, session) event
+    * counts and value sums, sessions closing after a 30-minute gap.
+    * Session end = last event + gap, and an event at EXACTLY
+    * prev_last + gap starts a NEW session (t < end joins) — a boundary
+    * one notch different from sessionize's strict-> rule; the q208
+    * oracle pins the native semantics. Append mode (the only mode
+    * session windows support) with a ZERO watermark delay: the final
+    * watermark lands on max(ts), so exactly the sessions whose end ≤
+    * max(ts) emit — the oracle applies the same cutoff. */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.ensureFunctions(spark)
+    eventsStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.Reductions.isum(col("value"), 6).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"), col("sum_value"))
+  }
+
   /** STREAM-STATIC ENRICHMENT: the event stream joined against the
     * static customer dimension (broadcast — at scale the standing
     * pattern: dim snapshots broadcast to every executor, refreshed per

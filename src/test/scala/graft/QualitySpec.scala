@@ -53,6 +53,21 @@ class QualitySpec extends SparkSuite {
     assert(rows.forall(_.getAs[Boolean]("pass")))
   }
 
+  test("driftReport: identical batches → 0 TVD; shifted batch → large TVD") {
+    import spark.implicits._
+    val ref = (1 to 1000).map(_.toDouble).toDF("v")
+    val same = Quality.driftReport(ref, ref, "v", bins = 10).collect()(0)
+    assert(same.getAs[Double]("tvd") == 0.0)
+    assert(same.getAs[Double]("chi2_drift") == 0.0)
+    // current lives entirely in the reference's top decile
+    val cur = (901 to 1000).map(_.toDouble).toDF("v")
+    val drift = Quality.driftReport(ref, cur, "v", bins = 10).collect()(0)
+    assert(drift.getAs[Long]("n_cur") == 100L)
+    // TVD = 0.5·(9·0.1 + |1−0.1|) = 0.9
+    assert(math.abs(drift.getAs[Double]("tvd") - 0.9) < 1e-9)
+    assert(drift.getAs[Double]("chi2_drift") > 100.0)
+  }
+
   test("benfordAudit: digits extracted across magnitudes; zero rows dropped") {
     val df = Seq(123.45, 0.00456, 9.0, 912.0, 1.0e-13, 0.0, -234.0)
       .toDF("v")
