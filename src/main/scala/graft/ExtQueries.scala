@@ -1776,6 +1776,19 @@ object ExtQueries {
       table.orderBy(col("bucket"), col("event_type"))
     },
 
+    // Exponentially weighted mean + variance per user (volatility /
+    // adaptive anomaly bands): the exact coupled West recursion through
+    // the keyed streaming fold.
+    "q210_ewm_var" -> { (s, dir) =>
+      Advanced.ewmVarKeyed(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts"), col("value")),
+        Seq("user_id"), Seq("ts", "event_id"), "value", alpha = 0.3)
+        .select(col("event_id"), col("user_id"), col("ewm_mean"),
+          col("ewm_var"), col("ewm_std"))
+        .orderBy(col("event_id"))
+    },
+
     // Native session_window STREAMING aggregation (Update mode,
     // AvailableNow — single batch emits final session states): the
     // declarative sibling of the q97 fMGWS sessionizer, with the native
@@ -4647,6 +4660,26 @@ object ExtQueries {
            CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(38,0)))
              AS DOUBLE) / 1000000.0 AS sum_value
          FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirrors Advanced.ewmVarKeyed: the same coupled mean/variance
+    // recursion replayed per key (d uses the PREVIOUS mean).
+    "q210_ewm_var" ->
+      """WITH RECURSIVE seq AS (
+           SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS rn
+           FROM events),
+         rec AS (
+           SELECT event_id, user_id, x, rn, x AS m, CAST(0.0 AS DOUBLE) AS v
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT e.event_id, e.user_id, e.x, e.rn,
+             (1.0 - 0.3) * r.m + 0.3 * e.x AS m,
+             (1.0 - 0.3) * (r.v + 0.3 * (e.x - r.m) * (e.x - r.m)) AS v
+           FROM rec r JOIN seq e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT event_id, user_id, m AS ewm_mean, v AS ewm_var,
+           sqrt(v) AS ewm_std
+         FROM rec ORDER BY event_id""",
 
     // mirrors the NATIVE session_window semantics: diff >= gap starts a
     // new session (one notch off the q97 strict-> rule), session end =

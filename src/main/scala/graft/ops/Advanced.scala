@@ -661,6 +661,54 @@ object Advanced {
       b = alpha, seedFirst = true)
   }
 
+  /** Exponentially weighted mean AND variance per key (the volatility /
+    * adaptive-anomaly-band primitive): the exact coupled recursion
+    *   m_1 = x_1, v_1 = 0;
+    *   d_t = x_t − m_{t−1}
+    *   m_t = (1−α)·m_{t−1} + α·x_t
+    *   v_t = (1−α)·(v_{t−1} + α·d_t²)
+    * (West's recursive form — pandas `ewm(adjust=False).var(bias=True)`
+    * family). Same distributed keyed streaming fold as [[holtKeyed]]:
+    * one hash shuffle, in-partition sort, O(1) state per key run, every
+    * value a pure function of its series — the q210 oracle replays the
+    * recursion per key. Emits `<out>_mean`, `<out>_var`, `<out>_std`. */
+  def ewmVarKeyed(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+                  xCol: String, alpha: Double, out: String = "ewm")
+      : DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.withColumn(xCol, col(xCol).cast(DoubleType))
+      .repartition(parts, keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
+    val schema = sorted.schema
+      .add(s"${out}_mean", DoubleType, nullable = false)
+      .add(s"${out}_var", DoubleType, nullable = false)
+      .add(s"${out}_std", DoubleType, nullable = false)
+    val keyIdx = keyCols.map(sorted.schema.fieldIndex)
+    val xIdx = sorted.schema.fieldIndex(xCol)
+    val rows = sorted.rdd.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var m = 0.0; var v = 0.0; var first = true
+      it.map { r =>
+        if (r.isNullAt(xIdx))
+          throw new IllegalArgumentException(
+            s"ewmVarKeyed: null $xCol — filter or impute first")
+        val k = keyIdx.map(r.get)
+        if (k != curKey) { curKey = k; first = true }
+        val x = r.getDouble(xIdx)
+        if (first) { m = x; v = 0.0; first = false }
+        else {
+          val d = x - m
+          m = (1.0 - alpha) * m + alpha * x
+          v = (1.0 - alpha) * (v + alpha * d * d)
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ m :+ v :+ math.sqrt(v))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** HOLT-WINTERS additive seasonal smoothing per key (triple
     * exponential) — level + trend + period-m seasonal state:
     *   l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})

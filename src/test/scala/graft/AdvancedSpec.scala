@@ -5,6 +5,28 @@ import org.apache.spark.sql.functions._
 import graft.ops.Advanced
 
 class AdvancedSpec extends SparkSuite {
+
+  test("ewmVarKeyed: hand recursion; constant tail decays variance to ~0") {
+    init()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("k", 1, 10.0), ("k", 2, 20.0), ("k", 3, 20.0),
+      ("j", 1, 5.0)).toDF("g", "t", "x")
+    val r = graft.ops.Advanced
+      .ewmVarKeyed(df, Seq("g"), Seq("t"), "x", alpha = 0.5)
+      .orderBy("g", "t").collect()
+    // j: single row → m = 5, v = 0
+    assert(r(0).getAs[Double]("ewm_mean") == 5.0 &&
+      r(0).getAs[Double]("ewm_var") == 0.0)
+    // k: m1=10,v1=0; d=10 → m2=15, v2=0.5·(0+0.5·100)=25
+    assert(r(1).getAs[Double]("ewm_mean") == 10.0)
+    assert(r(2).getAs[Double]("ewm_mean") == 15.0)
+    assert(r(2).getAs[Double]("ewm_var") == 25.0)
+    // d=5 → m3=17.5, v3=0.5·(25+0.5·25)=18.75
+    assert(r(3).getAs[Double]("ewm_mean") == 17.5)
+    assert(r(3).getAs[Double]("ewm_var") == 18.75)
+    assert(r(3).getAs[Double]("ewm_std") == math.sqrt(18.75))
+  }
   init()
   import spark.implicits._
 
