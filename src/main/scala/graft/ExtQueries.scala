@@ -1776,6 +1776,38 @@ object ExtQueries {
       table.orderBy(col("bucket"), col("event_type"))
     },
 
+    // replace-missing :mode — categorical imputation per nation: nulled
+    // segments refilled with the nation's most frequent segment
+    // (ties → lowest), the deterministic mode pick.
+    "q211_impute_mode" -> { (s, dir) =>
+      val damaged = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          when(col("c_custkey") % 7 === 0, lit(null).cast(StringType))
+            .otherwise(col("c_mktsegment")).as("segment"))
+      Missing.fillModeByGroup(damaged, "c_nationkey", "segment")
+        .orderBy(col("c_custkey"))
+    },
+
+    // Weighted least squares per returnflag: y = a + b·quantity under
+    // weight 1 + discount — closed form from exact weighted moments.
+    "q212_wls_groups" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .withColumn("w", lit(1.0) + col("l_discount"))
+      Ml.weightedRegressionByGroup(li, Seq("l_returnflag"),
+          "l_quantity", "l_extendedprice", "w")
+        .orderBy(col("l_returnflag"))
+    },
+
+    // QQ table: click vs purchase value deciles side by side (the
+    // drift-visual companion of q209) — exact rank-selection quantiles.
+    "q213_qq_table" -> { (s, dir) =>
+      Reductions.groupQuantiles(
+        t(s, dir, "events").filter(col("event_type").isin("click", "purchase")),
+        "event_type", "value",
+        (1 to 9).map(i => s"q$i" -> i / 10.0))
+        .orderBy(col("event_type"))
+    },
+
     // Exponentially weighted mean + variance per user (volatility /
     // adaptive anomaly bands): the exact coupled West recursion through
     // the keyed streaming fold.
@@ -4660,6 +4692,67 @@ object ExtQueries {
            CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(38,0)))
              AS DOUBLE) / 1000000.0 AS sum_value
          FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirrors Missing.fillModeByGroup: same (count DESC, value ASC) mode
+    // pick and coalesce.
+    "q211_impute_mode" ->
+      """WITH m AS (SELECT c_custkey, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL
+                  ELSE c_mktsegment END AS segment
+           FROM customer),
+         cnt AS (SELECT c_nationkey, segment, COUNT(*) AS c
+           FROM m WHERE segment IS NOT NULL GROUP BY 1, 2),
+         md AS (SELECT c_nationkey, segment AS mode FROM (
+             SELECT *, row_number() OVER (PARTITION BY c_nationkey
+               ORDER BY c DESC, segment ASC) AS rn FROM cnt) z
+           WHERE rn = 1)
+         SELECT m.c_custkey, m.c_nationkey,
+           COALESCE(m.segment, md.mode) AS segment
+         FROM m LEFT JOIN md USING (c_nationkey)
+         ORDER BY m.c_custkey""",
+
+    // mirrors Ml.weightedRegressionByGroup: identical scale-4 weighted
+    // moment floors and the closed-form op sequence.
+    "q212_wls_groups" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+             CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y,
+             CAST(1.0 + l_discount AS DOUBLE) AS w
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+             AND l_discount IS NOT NULL),
+         agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(w * 10000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 10000.0 AS sw,
+             CAST(SUM(CAST(FLOOR(w * x * 10000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 10000.0 AS swx,
+             CAST(SUM(CAST(FLOOR(w * y * 10000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 10000.0 AS swy,
+             CAST(SUM(CAST(FLOOR(w * x * x * 10000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 10000.0 AS swxx,
+             CAST(SUM(CAST(FLOOR(w * x * y * 10000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 10000.0 AS swxy
+           FROM b GROUP BY 1)
+         SELECT g AS l_returnflag, n, sw,
+           CASE WHEN sw > 0 AND (sw * swxx - swx * swx) > 0
+             THEN (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+             ELSE 0.0 END AS slope,
+           CASE WHEN sw > 0 THEN
+             (swy - (CASE WHEN sw > 0 AND (sw * swxx - swx * swx) > 0
+               THEN (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+               ELSE 0.0 END) * swx) / sw END AS intercept
+         FROM agg ORDER BY l_returnflag""",
+
+    // mirrors Reductions.groupQuantiles == quantile_cont (q165
+    // precedent), nine deciles per event type.
+    "q213_qq_table" ->
+      ("""WITH f AS (SELECT event_type, CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE event_type IN ('click', 'purchase')
+             AND value IS NOT NULL AND NOT isnan(value))
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, """ +
+        (1 to 9).map(i => s"quantile_cont(x, 0.$i) AS q$i").mkString(", ") +
+        """ FROM f GROUP BY 1 ORDER BY event_type"""),
 
     // mirrors Advanced.ewmVarKeyed: the same coupled mean/variance
     // recursion replayed per key (d uses the PREVIOUS mean).

@@ -230,4 +230,28 @@ object Missing {
       .withColumn("__next", coalesce(col("__next"), col("__succ")))
       .drop("__pid", "__bpid", "__succ")
   }
+
+  /** replace-missing :mode — fill nulls with the group's MOST FREQUENT
+    * non-null value (ties → lowest value, a total deterministic rule).
+    * The categorical imputation the :value/:down/:lerp family can't
+    * express. One (group, value) count aggregation + a per-GROUP
+    * row_number pick over the count frame (bounded by the group's
+    * distinct values, not its rows) broadcast back; groups that are
+    * entirely null stay null. */
+  def fillModeByGroup(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("__c").desc, col("__v").asc)
+    val modes = counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__g"), col("__v").as("__mode"))
+    df.join(modes, col(groupCol) === col("__g"), "left")
+      .withColumn(valueCol, coalesce(col(valueCol), col("__mode")))
+      .drop("__g", "__mode")
+  }
 }

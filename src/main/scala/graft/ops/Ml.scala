@@ -579,6 +579,47 @@ object Ml {
     * 0-coefficients with intercept = mean(y), r2 = 0 — deterministic, no
     * NaN propagation. Digits: x1/x2 sums at `xDigits`, y and every product
     * involving y at `yDigits`, feature products at `xDigits`. */
+  /** WEIGHTED least squares per group: simple regression y = a + b·x
+    * under a per-row weight column — the heteroscedasticity /
+    * importance-weighted fit. Closed form from floor-scaled exact
+    * weighted moments (w, wx, wy, wxx, wxy — products of bounded-decimal
+    * data stay exact at the combined scale):
+    *   b = (Sw·Swxy − Swx·Swy) / (Sw·Swxx − Swx²),  a = (Swy − b·Swx)/Sw.
+    * Zero-variance (or all-zero-weight) groups fall back to b = 0,
+    * a = Swy/Sw, deterministically. One keyed aggregation; the oracle
+    * replays moments and the final op sequence. Negative weights are
+    * refused (they make XᵀWX indefinite). */
+  def weightedRegressionByGroup(df: DataFrame, groupCols: Seq[String],
+                                x: String, y: String, w: String,
+                                digits: Int = 4): DataFrame = {
+    val complete = col(x).isNotNull && col(y).isNotNull && col(w).isNotNull
+    def sc(c: Column) = isum(when(complete, c), digits)
+    val xd = col(x).cast(DoubleType); val yd = col(y).cast(DoubleType)
+    val wd = col(w).cast(DoubleType)
+    val agg = df
+      .withColumn("__wneg", when(wd < 0, lit(1)).otherwise(lit(0)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__wneg")).as("__neg"),
+        count(when(complete, lit(1))).as("n"),
+        sc(wd).as("sw"), sc(wd * xd).as("swx"), sc(wd * yd).as("swy"),
+        sc(wd * xd * xd).as("swxx"), sc(wd * xd * yd).as("swxy"))
+    val den = col("sw") * col("swxx") - col("swx") * col("swx")
+    val b = (col("sw") * col("swxy") - col("swx") * col("swy")) / den
+    // negative-weight refusal rides the SAME pass as the fit (assert_true
+    // poisons the group row in the executor) — no second scan just for
+    // the guard
+    val guard = expr(
+      "assert_true(__neg = 0, 'weightedRegressionByGroup: negative " +
+        "weights present — WLS needs w >= 0')")
+    agg
+      .withColumn("slope",
+        when(guard.isNull && col("sw") > 0 && den > 0, b).otherwise(0.0))
+      .withColumn("intercept",
+        when(col("sw") > 0,
+          (col("swy") - col("slope") * col("swx")) / col("sw")))
+      .drop("swx", "swy", "swxx", "swxy", "__neg")
+  }
+
   def linearRegressionByGroup2(df: DataFrame, groupCols: Seq[String],
                                x1: String, x2: String, y: String,
                                xDigits: Int = 4, yDigits: Int = 2): DataFrame = {

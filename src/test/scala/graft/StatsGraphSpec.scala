@@ -421,6 +421,35 @@ class StatsGraphSpec extends SparkSuite {
     assert(graft.ops.Graph.triangleCount(path, "src", "dst").count() == 0L)
   }
 
+  test("fillModeByGroup: mode fills nulls, ties go low, all-null stays null") {
+    val df = Seq(
+      ("g1", Some("b")), ("g1", Some("b")), ("g1", Some("a")), ("g1", None),
+      ("g2", Some("x")), ("g2", Some("y")), ("g2", None),  // tie → "x"
+      ("g3", None: Option[String])
+    ).toDF("g", "v")
+    val out = graft.ops.Missing.fillModeByGroup(df, "g", "v")
+      .collect().map(r => (r.getString(0), Option(r.getString(1))))
+    assert(out.count(_ == ("g1", Some("b"))) == 3)  // null filled with mode b
+    assert(out.contains(("g2", Some("x"))), "tie broken to lowest value")
+    assert(out.contains(("g3", None)), "all-null group stays null")
+  }
+
+  test("weightedRegressionByGroup: weights steer the fit; negatives refuse") {
+    // two populations: w emphasizes the y=2x points over the y=0 points
+    val pts = (1 to 10).map(i => ("g", i.toDouble, 2.0 * i, 10.0)) ++
+      (1 to 10).map(i => ("g", i.toDouble, 0.0, 0.0001))
+    val r = Ml.weightedRegressionByGroup(pts.toDF("g", "x", "y", "w"),
+      Seq("g"), "x", "y", "w").collect()(0)
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 0.01,
+      s"heavy weights dominate: ${r.getAs[Double]("slope")}")
+    val neg = Seq(("g", 1.0, 1.0, -1.0)).toDF("g", "x", "y", "w")
+    val e = intercept[Exception] {
+      Ml.weightedRegressionByGroup(neg, Seq("g"), "x", "y", "w").collect()
+    }
+    assert(e.getMessage.contains("negative") ||
+      e.getCause != null && e.getCause.getMessage.contains("negative"))
+  }
+
   test("fleschKincaid: hand-computed grade; empty text is null") {
     import graft.llm.TextStats
     // "The cat sat. It ran!" → w=5, sentences=2, vowel groups:
