@@ -1776,6 +1776,29 @@ object ExtQueries {
       table.orderBy(col("bucket"), col("event_type"))
     },
 
+    // Per-cell chi-square diagnostics: which (lang, source) cells drive
+    // q153's statistic — expected counts, contributions, adjusted
+    // standardized residuals.
+    "q214_chi_cells" -> { (s, dir) =>
+      Stats.chiSquareCells(t(s, dir, "documents"), "lang", "source")
+        .orderBy(col("a"), col("b"))
+    },
+
+    // Daily user growth: first-seen day per user → new users per day →
+    // running total (the cumulate runs over the O(days) frame — bounded
+    // by construction, like the RRF/MMR candidate windows).
+    "q217_user_growth" -> { (s, dir) =>
+      val firstDay = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("day"))
+      val daily = firstDay.groupBy(col("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("cum_users", sum(col("new_users")).over(w))
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy(col("day"))
+    },
+
     // replace-missing :mode — categorical imputation per nation: nulled
     // segments refilled with the nation's most frequent segment
     // (ties → lowest), the deterministic mode pick.
@@ -4692,6 +4715,50 @@ object ExtQueries {
            CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(38,0)))
              AS DOUBLE) / 1000000.0 AS sum_value
          FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirrors Stats.chiSquareCells: q153's margins with per-cell
+    // expected/contribution/adjusted-residual arithmetic.
+    "q214_chi_cells" ->
+      """WITH cells AS (SELECT lang AS a, source AS b,
+             CAST(COUNT(*) AS BIGINT) AS observed
+           FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+         rt AS (SELECT a, CAST(SUM(observed) AS BIGINT) AS rtot
+           FROM cells GROUP BY 1),
+         ct AS (SELECT b, CAST(SUM(observed) AS BIGINT) AS ctot
+           FROM cells GROUP BY 1),
+         nt AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells)
+         SELECT a, b, observed,
+           CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE)
+             AS expected,
+           (CAST(observed AS DOUBLE)
+             - CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(observed AS DOUBLE)
+             - CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE))
+             AS contribution,
+           (CAST(observed AS DOUBLE)
+             - CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt(CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE)
+               * (1.0 - CAST(rtot AS DOUBLE) / CAST(n AS DOUBLE))
+               * (1.0 - CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE)))
+             AS std_residual
+         FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN nt
+         ORDER BY a, b""",
+
+    // mirrors the user-growth cumulate (DATE emitted as text — q157
+    // policy).
+    "q217_user_growth" ->
+      """WITH f AS (SELECT user_id, CAST(MIN(CAST(ts AS DATE)) AS DATE)
+             AS day
+           FROM events GROUP BY 1),
+         d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+           FROM f GROUP BY 1)
+         SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+         FROM d ORDER BY day""",
 
     // mirrors Missing.fillModeByGroup: same (count DESC, value ASC) mode
     // pick and coalesce.

@@ -446,6 +446,15 @@ object LlmQueries {
         .orderBy(col("query_id"))
     },
 
+    // Collocation mining by lift (log-free PMI): the phrase-extraction
+    // pass — word bigrams beating independence, integer counts with one
+    // final division chain.
+    "q218_collocations" -> { (s, dir) =>
+      TextStats.collocations(t(s, dir, "documents"), "text", minCount = 5L)
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(100)
+    },
+
     // Rank-biased overlap between two queries' cosine top-20 lists —
     // "how much do these two queries agree?" weighted toward the top;
     // truncated RBO with repeated-multiplication weights.
@@ -1707,6 +1716,35 @@ object LlmQueries {
            SUM(len(s9.syms)) AS n_bpe_tokens
          FROM d2 JOIN s9 USING (w)
          GROUP BY 1 ORDER BY 1""",
+
+    // mirrors TextStats.collocations: q74's bigram lists, unfiltered
+    // pair total, identical lift op order, (lift DESC, w1, w2) cut.
+    "q218_collocations" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         g2 AS (SELECT doc_id, CASE WHEN len(w) >= 2
+             THEN list_transform(range(len(w) - 1), i -> concat(w[i+1], ' ', w[i+2]))
+             ELSE [array_to_string(w, ' ')] END AS s FROM d),
+         prs AS (SELECT unnest(s) AS s FROM g2),
+         sp AS (SELECT string_split(s, ' ') AS p FROM prs),
+         f AS (SELECT p[1] AS w1, p[2] AS w2 FROM sp WHERE len(p) = 2),
+         pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+           FROM f GROUP BY 1, 2),
+         np AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS np FROM pc),
+         toks AS (SELECT unnest(w) AS w FROM d),
+         uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu
+           FROM toks GROUP BY 1),
+         nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks)
+         SELECT pc.w1, pc.w2, pc.n_pair,
+           u1.cu AS n_w1, u2.cu AS n_w2,
+           CAST(pc.n_pair AS DOUBLE) / CAST(np.np AS DOUBLE)
+             / (CAST(u1.cu AS DOUBLE) / CAST(nt.n AS DOUBLE)
+                * (CAST(u2.cu AS DOUBLE) / CAST(nt.n AS DOUBLE))) AS lift
+         FROM pc
+         JOIN uni u1 ON u1.w = pc.w1
+         JOIN uni u2 ON u2.w = pc.w2
+         CROSS JOIN np CROSS JOIN nt
+         WHERE pc.n_pair >= 5
+         ORDER BY lift DESC, pc.w1, pc.w2 LIMIT 100""",
 
     // mirrors Similarity.rboOverlap over the two cosine top-20 lists:
     // identical rank build, max-rank overlap counting, and the SAME

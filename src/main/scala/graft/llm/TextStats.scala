@@ -305,6 +305,50 @@ object TextStats {
         col("dup_occ").cast(DoubleType) / col("n_ngrams").cast(DoubleType))
   }
 
+  /** Collocation mining by LIFT (log-free PMI): word bigrams whose
+    * corpus frequency beats independence,
+    * lift = (c_ab/N_pairs) / ((c_a/N)·(c_b/N)) — all integer counts,
+    * divisions only in the final projection, so the ranking replays
+    * exactly (ln-PMI would not). The phrase-extraction pass a tokenizer
+    * or glossary build runs. Returns
+    * (w1, w2, n_pair, n_w1, n_w2, lift) for pairs with
+    * n_pair ≥ minCount.
+    *
+    * Plan: one bigram explode + keyed count (shuffle volume = distinct
+    * bigrams), unigram counts broadcast-joined twice; the same
+    * normalized token stream as the shingle kernel. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long)
+      : DataFrame = {
+    val toks = df.select(
+      explode(graft.llm.TextDedup.tokens(col(textCol))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("__cu"))
+    val totals = toks.agg(count(lit(1)).as("__n"))
+    val bi = df.select(
+        explode(graft.llm.TextDedup.shingles(col(textCol), 2)).as("s"))
+      .select(split(col("s"), " ").as("__p"))
+      .filter(size(col("__p")) === 2)
+      .select(element_at(col("__p"), 1).as("w1"),
+        element_at(col("__p"), 2).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // P(ab)'s denominator is ALL bigram occurrences, not the filtered set
+    val pairTot = bi.agg(sum(col("n_pair")).as("__np"))
+    val out = bi.filter(col("n_pair") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("__cu").as("n_w1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("__cu").as("n_w2")), "w2")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(pairTot))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        (col("n_pair").cast("double") / col("__np").cast("double") /
+          (col("n_w1").cast("double") / col("__n").cast("double") *
+            (col("n_w2").cast("double") / col("__n").cast("double"))))
+          .as("lift"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    toks.unpersist(); bi.unpersist()
+    out
+  }
+
   /** PII redaction for training corpora: emails, IPv4 addresses, and
     * phone-shaped digit runs replaced by typed placeholders. Patterns are
     * deliberately RE2-compatible (no lookaround/backrefs) so the operator

@@ -169,6 +169,36 @@ object Stats {
       Reductions.isum(col("__term"), 9).as("chi2"))
   }
 
+  /** Per-cell chi-square diagnostics — WHICH cells drive the q153
+    * statistic: observed, expected, the cell's chi² contribution, and
+    * the adjusted standardized residual
+    * (o−e)/√(e·(1−rt/n)·(1−ct/n)) (|stdres| ≳ 2 flags the cell). Same
+    * declarative shape as [[chiSquareIndependence]]: cell counts +
+    * broadcast margins, one pass, no collect; every per-cell value is a
+    * fixed double sequence from integer counts. */
+  def chiSquareCells(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("observed"))
+    val rowTot = cells.groupBy(col("a")).agg(sum(col("observed")).as("__rt"))
+    val colTot = cells.groupBy(col("b")).agg(sum(col("observed")).as("__ct"))
+    val nTot = cells.agg(sum(col("observed")).as("__n"))
+    val nD = col("__n").cast(DoubleType)
+    val e = col("__rt").cast(DoubleType) * col("__ct").cast(DoubleType) / nD
+    val o = col("observed").cast(DoubleType)
+    cells
+      .join(broadcast(rowTot), "a")
+      .join(broadcast(colTot), "b")
+      .crossJoin(broadcast(nTot))
+      .select(col("a"), col("b"), col("observed"),
+        e.as("expected"),
+        ((o - e) * (o - e) / e).as("contribution"),
+        ((o - e) / sqrt(e *
+          (lit(1.0) - col("__rt").cast(DoubleType) / nD) *
+          (lit(1.0) - col("__ct").cast(DoubleType) / nD))).as("std_residual"))
+  }
+
   /** Gini impurity of a label distribution per group:
     * 1 − Σ_l (c_l/n)² — the log-free diversity/imbalance metric (what a
     * corpus card reports as "language concentration per source"; entropy

@@ -421,6 +421,36 @@ class StatsGraphSpec extends SparkSuite {
     assert(graft.ops.Graph.triangleCount(path, "src", "dst").count() == 0L)
   }
 
+  test("chiSquareCells: independent table → ~0 residuals; loaded cell flags") {
+    // 2x2 heavily dependent: (a,x)=90, (a,y)=10, (b,x)=10, (b,y)=90
+    val rows = Seq.fill(90)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(90)(("b", "y"))
+    val r = Stats.chiSquareCells(rows.toDF("u", "v"), "u", "v")
+      .orderBy("a", "b").collect()
+    assert(r.length == 4)
+    val ax = r.find(x => x.getString(0) == "a" && x.getString(1) == "x").get
+    assert(ax.getAs[Double]("expected") == 50.0)
+    assert(ax.getAs[Double]("std_residual") > 2.0, "loaded cell flagged")
+    // contributions sum to the chi2 statistic of q153's op
+    val chi2 = Stats.chiSquareIndependence(rows.toDF("u", "v"), "u", "v")
+      .collect()(0).getAs[Double]("chi2")
+    val sumContrib = r.map(_.getAs[Double]("contribution")).sum
+    assert(math.abs(sumContrib - chi2) < 1e-6)
+  }
+
+  test("collocations: a glued phrase beats independent fillers on lift") {
+    import graft.llm.TextStats
+    // "new york" always together; "the" is everywhere
+    val docs = (1 to 20).map(i =>
+      (i.toLong, s"the city of new york is the place $i")).toDF("id", "text")
+    val r = TextStats.collocations(docs, "text", 5L).collect()
+    val ny = r.find(x => x.getString(0) == "new" && x.getString(1) == "york")
+    assert(ny.isDefined)
+    val cityOf = r.find(x => x.getString(0) == "of" && x.getString(1) == "new")
+    assert(ny.get.getAs[Double]("lift") >= cityOf.get.getAs[Double]("lift"))
+    assert(ny.get.getAs[Long]("n_pair") == 20L)
+  }
+
   test("fillModeByGroup: mode fills nulls, ties go low, all-null stays null") {
     val df = Seq(
       ("g1", Some("b")), ("g1", Some("b")), ("g1", Some("a")), ("g1", None),
