@@ -1784,6 +1784,23 @@ object ExtQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // Two-sample Poisson rate test: events per distinct user, even vs
+    // odd cohorts — four integers, fixed scalar sequence.
+    "q215_rate_test" -> { (s, dir) =>
+      val ev = t(s, dir, "events").withColumn("cohort",
+        when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+      Stats.poissonRateTest(ev, "cohort", "even", "odd", "user_id")
+    },
+
+    // Spearman rank correlation per group (quantity vs price per
+    // returnflag): keyed rank windows → integer doubled ranks → exact
+    // decimal Pearson.
+    "q216_group_spearman" -> { (s, dir) =>
+      Stats.spearmanByGroup(t(s, dir, "lineitem"), "l_returnflag",
+          "l_quantity", "l_extendedprice")
+        .orderBy(col("l_returnflag"))
+    },
+
     // Daily user growth: first-seen day per user → new users per day →
     // running total (the cumulate runs over the O(days) frame — bounded
     // by construction, like the RRF/MMR candidate windows).
@@ -4745,6 +4762,61 @@ object ExtQueries {
              AS std_residual
          FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN nt
          ORDER BY a, b""",
+
+    // mirrors Stats.poissonRateTest: same four integers, same scalar z.
+    "q215_rate_test" ->
+      """WITH f AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'even'
+               ELSE 'odd' END AS c, user_id
+           FROM events),
+         agg AS (SELECT
+             CAST(SUM(CASE WHEN c = 'even' THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+             CAST(COUNT(DISTINCT CASE WHEN c = 'even' THEN user_id END)
+               AS BIGINT) AS t1,
+             CAST(SUM(CASE WHEN c = 'odd' THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+             CAST(COUNT(DISTINCT CASE WHEN c = 'odd' THEN user_id END)
+               AS BIGINT) AS t2
+           FROM f)
+         SELECT x1, t1, x2, t2,
+           CAST(x1 AS DOUBLE) / CAST(t1 AS DOUBLE) AS rate1,
+           CAST(x2 AS DOUBLE) / CAST(t2 AS DOUBLE) AS rate2,
+           (CAST(x1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+             - CAST(x2 AS DOUBLE) / CAST(t2 AS DOUBLE))
+           / sqrt(CAST(x1 AS DOUBLE) / (CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE))
+               + CAST(x2 AS DOUBLE) / (CAST(t2 AS DOUBLE) * CAST(t2 AS DOUBLE)))
+             AS z
+         FROM agg""",
+
+    // mirrors Stats.spearmanByGroup: keyed doubled-avg-rank windows and
+    // the exact-decimal Pearson sequence.
+    "q216_group_spearman" ->
+      """WITH f AS (SELECT l_returnflag AS g,
+             CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+           FROM lineitem
+           WHERE l_returnflag IS NOT NULL
+             AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+             AND NOT isnan(l_quantity) AND NOT isnan(l_extendedprice)),
+         r AS (SELECT g,
+             2 * rank() OVER (PARTITION BY g ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY g, x) - 1 AS dx,
+             2 * rank() OVER (PARTITION BY g ORDER BY y)
+               + COUNT(*) OVER (PARTITION BY g, y) - 1 AS dy
+           FROM f),
+         agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(dx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(dy AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(dx * dx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(dy * dy AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(dx * dy AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+           FROM r GROUP BY 1)
+         SELECT g AS l_returnflag, n,
+           CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+                 AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+             THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                  * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+           END AS rho
+         FROM agg ORDER BY l_returnflag""",
 
     // mirrors the user-growth cumulate (DATE emitted as text — q157
     // policy).

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -246,6 +246,70 @@ object Stats {
       p1.as("p1"), p2.as("p2"),
       ((p1 - p2) / sqrt(pp * (lit(1.0) - pp) *
         (lit(1.0) / n1 + lit(1.0) / n2))).as("z"))
+  }
+
+  /** Two-sample Poisson RATE test: do cohorts a and b generate events at
+    * the same per-exposure rate? Exposure = distinct exposure units per
+    * cohort (e.g. users), events = rows. z = (r₁−r₂)/√(x₁/t₁² + x₂/t₂²)
+    * with rᵢ = xᵢ/tᵢ — one conditional aggregation, four integers, fixed
+    * scalar sequence. Returns one row
+    * (x1, t1, x2, t2, rate1, rate2, z). */
+  def poissonRateTest(df: DataFrame, cohortCol: String, a: String, b: String,
+                      exposureCol: String): DataFrame = {
+    val agg = df.filter(col(cohortCol).isin(a, b))
+      .agg(
+        sum(when(col(cohortCol) === a, 1L).otherwise(0L)).as("x1"),
+        countDistinct(when(col(cohortCol) === a, col(exposureCol))).as("t1"),
+        sum(when(col(cohortCol) === b, 1L).otherwise(0L)).as("x2"),
+        countDistinct(when(col(cohortCol) === b, col(exposureCol))).as("t2"))
+    val x1 = col("x1").cast(DoubleType); val t1 = col("t1").cast(DoubleType)
+    val x2 = col("x2").cast(DoubleType); val t2 = col("t2").cast(DoubleType)
+    val r1 = x1 / t1; val r2 = x2 / t2
+    agg.select(col("x1"), col("t1"), col("x2"), col("t2"),
+      r1.as("rate1"), r2.as("rate2"),
+      when(col("t1") > 0 && col("t2") > 0 && (col("x1") + col("x2")) > 0,
+        (r1 - r2) / sqrt(x1 / (t1 * t1) + x2 / (t2 * t2))).as("z"))
+  }
+
+  /** Spearman rank correlation between two columns PER GROUP (the
+    * whole-table matrix form is q67; this is the grouped pairwise form):
+    * doubled average ranks come from keyed windows
+    * (2·rank + ties − 1 — always an integer), then Pearson on the rank
+    * pairs via exact decimal sums (products of doubled ranks stay
+    * integers; decimal accumulation is order-exact). One shuffle on the
+    * group key; rank windows are group-partitioned — no global funnel.
+    * Returns (group, n, rho). */
+  def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
+                      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = col(xCol).cast(DoubleType); val y = col(yCol).cast(DoubleType)
+    val base = df
+      .filter(col(groupCol).isNotNull && x.isNotNull && y.isNotNull &&
+        !isnan(x) && !isnan(y))
+      .select(col(groupCol).as("__g"), x.as("__x"), y.as("__y"))
+    def dr(c: Column, part: Column*) = {
+      val wRank = Window.partitionBy(col("__g")).orderBy(c)
+      val wTies = Window.partitionBy((col("__g") +: part): _*)
+      lit(2) * rank().over(wRank) + count(lit(1)).over(wTies) - lit(1)
+    }
+    val ranked = base
+      .withColumn("__dx", dr(col("__x"), col("__x")).cast(LongType))
+      .withColumn("__dy", dr(col("__y"), col("__y")).cast(LongType))
+    def dsumL(c: Column) = sum(c.cast(DecimalType(38, 0))).cast(DoubleType)
+    val n = count(lit(1)).cast(DoubleType)
+    val agg = ranked.groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        dsumL(col("__dx")).as("sx"), dsumL(col("__dy")).as("sy"),
+        dsumL(col("__dx") * col("__dx")).as("sxx"),
+        dsumL(col("__dy") * col("__dy")).as("syy"),
+        dsumL(col("__dx") * col("__dy")).as("sxy"))
+    val nD = col("n").cast(DoubleType)
+    val vx = nD * col("sxx") - col("sx") * col("sx")
+    val vy = nD * col("syy") - col("sy") * col("sy")
+    agg.select(col(groupCol), col("n"),
+      when(vx > 0 && vy > 0,
+        (nD * col("sxy") - col("sx") * col("sy")) / (sqrt(vx) * sqrt(vy)))
+        .as("rho"))
   }
 
   /** Median absolute deviation per group — the robust spread statistic

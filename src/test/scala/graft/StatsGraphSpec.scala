@@ -421,6 +421,28 @@ class StatsGraphSpec extends SparkSuite {
     assert(graft.ops.Graph.triangleCount(path, "src", "dst").count() == 0L)
   }
 
+  test("spearmanByGroup: monotone → 1, anti-monotone → −1, ties handled") {
+    val df = ((1 to 20).map(i => ("up", i.toDouble, (i * i).toDouble)) ++
+      (1 to 20).map(i => ("dn", i.toDouble, (21 - i).toDouble)) ++
+      Seq(("tie", 1.0, 5.0), ("tie", 1.0, 5.0), ("tie", 2.0, 7.0)))
+      .toDF("g", "x", "y")
+    val r = Stats.spearmanByGroup(df, "g", "x", "y")
+      .collect().map(x => x.getString(0) -> x.getAs[Double]("rho")).toMap
+    assert(r("up") == 1.0, "any monotone map is rank-perfect")
+    assert(r("dn") == -1.0)
+    // with ties the closed form can exceed 1 by an ulp (deterministically
+    // — the oracle reproduces the same bits)
+    assert(r("tie") > 0.8 && r("tie") <= 1.0 + 1e-12)
+  }
+
+  test("poissonRateTest: equal rates → z = 0") {
+    val df = (1 to 100).map(i =>
+      (if (i % 2 == 0) "even" else "odd", (i % 10).toLong)).toDF("c", "u")
+    val r = Stats.poissonRateTest(df, "c", "even", "odd", "u").collect()(0)
+    assert(r.getAs[Long]("x1") == 50L && r.getAs[Long]("x2") == 50L)
+    assert(r.getAs[Double]("z") == 0.0)
+  }
+
   test("chiSquareCells: independent table → ~0 residuals; loaded cell flags") {
     // 2x2 heavily dependent: (a,x)=90, (a,y)=10, (b,x)=10, (b,y)=90
     val rows = Seq.fill(90)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
