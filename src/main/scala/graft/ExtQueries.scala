@@ -1784,6 +1784,33 @@ object ExtQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // Funnel time-to-convert: view→click→purchase stage-pair duration
+    // quartiles (seconds) under the q156 earliest-completion semantics.
+    "q219_funnel_durations" -> { (s, dir) =>
+      Behavior.funnelDurations(t(s, dir, "events"), "user_id", "event_type",
+          "ts", Seq("view", "click", "purchase"))
+        .orderBy(col("stage_idx"))
+    },
+
+    // Robust outlier flags: |price − median| > 2·MAD per returnflag —
+    // the median/MAD rule over the rank-selection stats.
+    "q220_robust_outliers" -> { (s, dir) =>
+      Stats.robustOutliers(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice", k = 2.0)
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+    },
+
+    // Markov transition matrix of event types per user journey: counts
+    // + row-normalized probabilities from one keyed lead pass.
+    "q221_transitions" -> { (s, dir) =>
+      Behavior.transitionMatrix(t(s, dir, "events"), "user_id",
+          Seq("ts", "event_id"), "event_type")
+        .orderBy(col("from_state"), col("to_state"))
+    },
+
     // Two-sample Poisson rate test: events per distinct user, even vs
     // odd cohorts — four integers, fixed scalar sequence.
     "q215_rate_test" -> { (s, dir) =>
@@ -4762,6 +4789,77 @@ object ExtQueries {
              AS std_residual
          FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN nt
          ORDER BY a, b""",
+
+    // mirrors Behavior.funnelDurations: the q156 stage-join chain with
+    // carried previous times, micro-second diffs, quantile_cont
+    // quartiles.
+    "q219_funnel_durations" ->
+      """WITH r1 AS (SELECT user_id AS u, MIN(epoch_us(ts)) AS cur
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         n2 AS (SELECT e.user_id AS u, r1.cur AS prev,
+             MIN(epoch_us(e.ts)) AS cur
+           FROM events e JOIN r1 ON e.user_id = r1.u
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > r1.cur
+           GROUP BY 1, 2),
+         n3 AS (SELECT e.user_id AS u, n2.cur AS prev,
+             MIN(epoch_us(e.ts)) AS cur
+           FROM events e JOIN n2 ON e.user_id = n2.u
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > n2.cur
+           GROUP BY 1, 2),
+         durs AS (
+           SELECT 1 AS stage_idx, 'view' AS from_stage, 'click' AS to_stage,
+             CAST(cur - prev AS DOUBLE) / 1000000.0 AS d FROM n2
+           UNION ALL
+           SELECT 2, 'click', 'purchase',
+             CAST(cur - prev AS DOUBLE) / 1000000.0 FROM n3)
+         SELECT stage_idx, from_stage, to_stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           quantile_cont(d, 0.25) AS p25_s,
+           quantile_cont(d, 0.5) AS median_s,
+           quantile_cont(d, 0.75) AS p75_s
+         FROM durs GROUP BY 1, 2, 3 ORDER BY stage_idx""",
+
+    // mirrors Stats.robustOutliers: q166's median/MAD machinery per
+    // returnflag + the same flag rule and robust z.
+    "q220_robust_outliers" ->
+      """WITH m1 AS (SELECT l_returnflag AS g,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+           GROUP BY 1),
+         m2 AS (SELECT g, quantile_cont(ad, 0.5) AS mad FROM (
+             SELECT m1.g,
+               ABS(CAST(l_extendedprice AS DOUBLE) - med) AS ad
+             FROM lineitem JOIN m1 ON l_returnflag = m1.g
+             WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice))
+           z GROUP BY 1)
+         SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+           med AS median, mad,
+           (CAST(l_extendedprice AS DOUBLE) - med) / mad AS robust_z
+         FROM lineitem
+         JOIN m1 ON l_returnflag = m1.g
+         JOIN m2 ON m2.g = m1.g
+         WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+           AND mad > 0.0
+           AND ABS(CAST(l_extendedprice AS DOUBLE) - med) > 2.0 * mad
+         ORDER BY l_orderkey, l_linenumber, l_extendedprice""",
+
+    // mirrors Behavior.transitionMatrix: keyed lead pairs, row totals,
+    // one division.
+    "q221_transitions" ->
+      """WITH l AS (SELECT user_id, event_type AS from_state,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_state
+           FROM events),
+         c AS (SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+           FROM l WHERE to_state IS NOT NULL AND from_state IS NOT NULL
+           GROUP BY 1, 2),
+         r AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS tot
+           FROM c GROUP BY 1)
+         SELECT c.from_state, c.to_state, c.n,
+           CAST(c.n AS DOUBLE) / CAST(r.tot AS DOUBLE) AS p
+         FROM c JOIN r ON r.from_state = c.from_state
+         ORDER BY c.from_state, c.to_state""",
 
     // mirrors Stats.poissonRateTest: same four integers, same scalar z.
     "q215_rate_test" ->

@@ -42,6 +42,52 @@ object Behavior {
     counts.toSeq.toDF("stage_idx", "stage", "n_users")
   }
 
+  /** Funnel TIME-TO-CONVERT: for each consecutive stage pair, the
+    * earliest-completion duration distribution (median and quartiles in
+    * SECONDS) over users who reached the later stage — the "where do
+    * users stall" companion to [[funnel]]'s counts. Same
+    * strictly-after / earliest-completion semantics; durations come from
+    * the identical keyed-join chain, quantiles from the rank-selection
+    * [[Reductions.groupQuantiles]] (no percentile buffers). Returns
+    * (stage_idx, from_stage, to_stage, n_users, p25_s, median_s, p75_s). */
+  def funnelDurations(df: DataFrame, userCol: String, typeCol: String,
+                      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "funnelDurations needs at least two stages")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(col(userCol).as("__u"), col(typeCol).as("__t"),
+      unix_micros(col(tsCol)).as("__us"))
+    var reached = ev.filter(col("__t") === stages.head)
+      .groupBy(col("__u")).agg(min(col("__us")).as("__cur"))
+    val pieces = stages.zipWithIndex.drop(1).map { case (st, i) =>
+      val next = ev.filter(col("__t") === st)
+        .join(reached, "__u")
+        .filter(col("__us") > col("__cur"))
+        .groupBy(col("__u"), col("__cur").as("__prev"))
+        .agg(min(col("__us")).as("__cur"))
+      val durs = next.select(lit(i).as("__stage"),
+        ((col("__cur") - col("__prev")).cast("double") / lit(1e6))
+          .as("__dur"))
+      reached = next.select(col("__u"), col("__cur"))
+      durs
+    }
+    val allDurs = pieces.reduce(_.unionByName(_))
+    Reductions.groupQuantiles(allDurs, "__stage", "__dur",
+        Seq("p25_s" -> 0.25, "median_s" -> 0.5, "p75_s" -> 0.75))
+      .withColumn("from_stage",
+        stages.zipWithIndex.drop(1).foldLeft(lit(null).cast("string")) {
+          case (acc, (_, i)) =>
+            when(col("__stage") === i, stages(i - 1)).otherwise(acc)
+        })
+      .withColumn("to_stage",
+        stages.zipWithIndex.drop(1).foldLeft(lit(null).cast("string")) {
+          case (acc, (st, i)) => when(col("__stage") === i, st).otherwise(acc)
+        })
+      .select(col("__stage").as("stage_idx"), col("from_stage"),
+        col("to_stage"), col("n").as("n_users"),
+        col("p25_s"), col("median_s"), col("p75_s"))
+  }
+
   /** Dataset DIFF between two keyed snapshots — the data-versioning
     * primitive (what changed between yesterday's corpus build and
     * today's?). Emits one row per key present in either side:
@@ -133,6 +179,28 @@ object Behavior {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** First-order Markov TRANSITION MATRIX over per-key event sequences:
+    * counts and row-normalized probabilities of state s → next state t
+    * (sessions/journeys never cross keys). One keyed lead window + two
+    * keyed aggregations; probabilities are one division from integer
+    * counts. Returns (from_state, to_state, n, p). */
+  def transitionMatrix(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                       stateCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val pairs = df
+      .select(col(keyCol) +: col(stateCol).as("from_state") +:
+        orderCols.map(col): _*)
+      .withColumn("to_state", lead(col("from_state"), 1).over(w))
+      .filter(col("to_state").isNotNull && col("from_state").isNotNull)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = pairs.groupBy(col("from_state")).agg(sum(col("n")).as("__tot"))
+    pairs.join(broadcast(rowTot), "from_state")
+      .select(col("from_state"), col("to_state"), col("n"),
+        (col("n").cast("double") / col("__tot").cast("double")).as("p"))
   }
 
   /** CDC MERGE (lakehouse SCD1 upsert): apply a change feed to a base

@@ -332,6 +332,25 @@ object Stats {
       .select(col(groupCol), col("n"), col("median"), col("mad"))
   }
 
+  /** Robust per-group outlier flags: rows where
+    * |x − median_g| > k·MAD_g (the median/MAD rule — immune to the
+    * outliers it hunts, unlike mean/stddev z-scores). Composition of
+    * [[madByGroup]]'s two rank-selection passes with the O(groups) stats
+    * broadcast back; returns the flagged rows plus
+    * (median, mad, robust_z) with robust_z = (x − median)/mad.
+    * Zero-MAD groups (≥ half the group identical) flag nothing. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     k: Double): DataFrame = {
+    require(k > 0)
+    val stats = madByGroup(df, groupCol, valueCol)
+      .select(col(groupCol), col("median"), col("mad"))
+    val x = col(valueCol).cast(DoubleType)
+    df.join(broadcast(stats), groupCol)
+      .filter(x.isNotNull && !isnan(x) &&
+        col("mad") > 0.0 && abs(x - col("median")) > lit(k) * col("mad"))
+      .withColumn("robust_z", (x - col("median")) / col("mad"))
+  }
+
   /** Autocorrelation function: Pearson correlation between the series and
     * its lag-L shift, per lag, pooled across keys (each key is an
     * independent series; pairs never cross keys). One keyed window pass
