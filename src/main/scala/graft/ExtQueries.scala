@@ -1784,6 +1784,40 @@ object ExtQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // Bucketed-storage join under the oracle gate: orders and customer
+    // co-bucketed on the customer key (saveAsTable), joined and
+    // aggregated shuffle-free — the 100 TB repeated-join pattern, with
+    // the VALUES (not just the plan shape, which IoSpec asserts)
+    // verified against the original parquet.
+    "q222_bucketed_join" -> { (s, dir) =>
+      val tag = math.abs(dir.hashCode).toString
+      graft.sources.Io.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        s"q222_orders_$tag", 8, Seq("o_custkey"))
+      graft.sources.Io.writeBucketed(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        s"q222_customer_$tag", 8, Seq("c_custkey"))
+      s.table(s"q222_orders_$tag")
+        .join(s.table(s"q222_customer_$tag"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    // Hourly percentile bands of the event value (p50/p90/p99 per
+    // hour-of-day) — the metrics-dashboard quantile series over the
+    // rank-selection machinery.
+    "q223_hourly_percentiles" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("hour", hour(col("ts")).cast(IntegerType))
+      Reductions.groupQuantiles(ev, "hour", "value",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .orderBy(col("hour"))
+    },
+
     // Funnel time-to-convert: view→click→purchase stage-pair duration
     // quartiles (seconds) under the q156 earliest-completion semantics.
     "q219_funnel_durations" -> { (s, dir) =>
@@ -4789,6 +4823,27 @@ object ExtQueries {
              AS std_residual
          FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN nt
          ORDER BY a, b""",
+
+    // bucketed join: oracle on the original parquet — bucketing must not
+    // disturb values.
+    "q222_bucketed_join" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+             AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+
+    // mirrors groupQuantiles == quantile_cont per hour bucket.
+    "q223_hourly_percentiles" ->
+      """WITH f AS (SELECT CAST(hour(ts) AS INTEGER) AS hour,
+             CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value))
+         SELECT hour, CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(x, 0.5) AS p50,
+           quantile_cont(x, 0.9) AS p90,
+           quantile_cont(x, 0.99) AS p99
+         FROM f GROUP BY 1 ORDER BY hour""",
 
     // mirrors Behavior.funnelDurations: the q156 stage-join chain with
     // carried previous times, micro-second diffs, quantile_cont
