@@ -1791,6 +1791,16 @@ object ExtQueries {
     // verified against the original parquet.
     "q222_bucketed_join" -> { (s, dir) =>
       val tag = math.abs(dir.hashCode).toString
+      // a FRESH session's catalog doesn't know last run's managed table,
+      // but its warehouse directory survives on disk — drop both or
+      // saveAsTable refuses with LOCATION_ALREADY_EXISTS
+      Seq(s"q222_orders_$tag", s"q222_customer_$tag").foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+        wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(wh, true)
+      }
       graft.sources.Io.writeBucketed(
         t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice")),
