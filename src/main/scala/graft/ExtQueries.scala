@@ -1784,6 +1784,34 @@ object ExtQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // Clamped running balance per user (inventory semantics): purchases
+    // add value, clicks consume it, the floor-at-zero clamp records
+    // unmet demand — the non-linear keyed fold.
+    "q224_clamped_balance" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("delta",
+          when(col("event_type") === "purchase", col("value"))
+            .when(col("event_type") === "click", -col("value"))
+            .otherwise(lit(0.0)))
+        .select(col("event_id"), col("user_id"), col("ts"), col("delta"))
+      Advanced.clampedRunningSumKeyed(ev, Seq("user_id"),
+          Seq("ts", "event_id"), "delta", floor = 0.0)
+        .select(col("event_id"), col("user_id"), col("balance"),
+          col("balance_lost"))
+        .orderBy(col("event_id"))
+    },
+
+    // Union-of-intervals coverage: total active time per user with each
+    // event opening a 30-minute presence interval, overlaps merged
+    // exactly in integer microseconds.
+    "q225_interval_union" -> { (s, dir) =>
+      val iv = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) + lit(1800000000L)).as("e_us"))
+      Behavior.intervalUnionCoverage(iv, "user_id", "s_us", "e_us")
+        .orderBy(col("user_id"))
+    },
+
     // Bucketed-storage join under the oracle gate: orders and customer
     // co-bucketed on the customer key (saveAsTable), joined and
     // aggregated shuffle-free — the 100 TB repeated-join pattern, with
@@ -4833,6 +4861,47 @@ object ExtQueries {
              AS std_residual
          FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN nt
          ORDER BY a, b""",
+
+    // mirrors Advanced.clampedRunningSumKeyed: per-key recursion with
+    // the identical clamp and lost-amount arithmetic.
+    "q224_clamped_balance" ->
+      """WITH RECURSIVE seq AS (
+           SELECT event_id, user_id,
+             CASE WHEN event_type = 'purchase' THEN CAST(value AS DOUBLE)
+                  WHEN event_type = 'click' THEN -CAST(value AS DOUBLE)
+                  ELSE 0.0 END AS x,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events),
+         rec AS (
+           SELECT event_id, user_id, x, rn,
+             GREATEST(0.0, 0.0 + x) AS s,
+             GREATEST(0.0, 0.0 + x) - (0.0 + x) AS lost
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT e.event_id, e.user_id, e.x, e.rn,
+             GREATEST(0.0, r.s + e.x),
+             GREATEST(0.0, r.s + e.x) - (r.s + e.x)
+           FROM rec r JOIN seq e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT event_id, user_id, s AS balance, lost AS balance_lost
+         FROM rec ORDER BY event_id""",
+
+    // mirrors Behavior.intervalUnionCoverage: running-max-of-previous-
+    // ends window, clamped contributions, integer sums.
+    "q225_interval_union" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s_us,
+             epoch_us(ts) + 1800000000 AS e_us
+           FROM events WHERE ts IS NOT NULL),
+         c AS (SELECT user_id,
+             GREATEST(0, e_us - GREATEST(s_us,
+               COALESCE(MAX(e_us) OVER (PARTITION BY user_id
+                 ORDER BY s_us, e_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), s_us)))
+               AS contrib
+           FROM iv WHERE e_us > s_us)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(contrib) AS BIGINT) AS covered_us
+         FROM c GROUP BY 1 ORDER BY user_id""",
 
     // bucketed join: oracle on the original parquet — bucketing must not
     // disturb values.

@@ -661,6 +661,46 @@ object Advanced {
       b = alpha, seedFirst = true)
   }
 
+  /** CLAMPED running sum per key (inventory/stock semantics): the
+    * balance accumulates deltas but can never drop below `floor` —
+    * s_t = max(floor, s_{t−1} + x_t), with s_0 = floor. Non-linear
+    * (the clamp), so it can't ride [[linearRecurrenceKeyed]]; same keyed
+    * streaming fold shape (one hash shuffle, O(1) state), replayed by a
+    * per-key recursive CTE. Emits `<out>` plus `<out>_lost` — how much
+    * of this delta the clamp swallowed (the unmet-demand signal). */
+  def clampedRunningSumKeyed(df: DataFrame, keyCols: Seq[String],
+                             orderCols: Seq[String], xCol: String,
+                             floor: Double, out: String = "balance")
+      : DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.withColumn(xCol, col(xCol).cast(DoubleType))
+      .repartition(parts, keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
+    val schema = sorted.schema
+      .add(out, DoubleType, nullable = false)
+      .add(s"${out}_lost", DoubleType, nullable = false)
+    val keyIdx = keyCols.map(sorted.schema.fieldIndex)
+    val xIdx = sorted.schema.fieldIndex(xCol)
+    val rows = sorted.rdd.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var s = floor
+      it.map { r =>
+        if (r.isNullAt(xIdx))
+          throw new IllegalArgumentException(
+            s"clampedRunningSumKeyed: null $xCol — filter or impute first")
+        val k = keyIdx.map(r.get)
+        if (k != curKey) { curKey = k; s = floor }
+        val raw = s + r.getDouble(xIdx)
+        val clamped = math.max(floor, raw)
+        val lost = clamped - raw
+        s = clamped
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s :+ lost)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Exponentially weighted mean AND variance per key (the volatility /
     * adaptive-anomaly-band primitive): the exact coupled recursion
     *   m_1 = x_1, v_1 = 0;

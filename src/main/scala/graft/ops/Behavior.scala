@@ -181,6 +181,30 @@ object Behavior {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** UNION-OF-INTERVALS coverage per key: total time covered by a set
+    * of (possibly overlapping) [start, end) intervals — "how long was
+    * the user actually active", sessions merged. The classic windowed
+    * trick: with intervals sorted by (start, end), each one contributes
+    * end − max(start, running-max-of-previous-ends) when positive; the
+    * contributions sum to the union length EXACTLY (integer
+    * microseconds). One keyed window pass + one keyed aggregation.
+    * Returns (key, n_intervals, covered_us). */
+  def intervalUnionCoverage(df: DataFrame, keyCol: String, startCol: String,
+                            endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val s = col(startCol).cast("long"); val e = col(endCol).cast("long")
+    df.filter(col(keyCol).isNotNull && s.isNotNull && e.isNotNull && e > s)
+      .withColumn("__runMax", max(e).over(w))
+      .withColumn("__contrib",
+        greatest(lit(0L), e - greatest(s, coalesce(col("__runMax"), s))))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__contrib")).as("covered_us"))
+  }
+
   /** First-order Markov TRANSITION MATRIX over per-key event sequences:
     * counts and row-normalized probabilities of state s → next state t
     * (sessions/journeys never cross keys). One keyed lead window + two

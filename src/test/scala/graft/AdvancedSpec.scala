@@ -6,6 +6,36 @@ import graft.ops.Advanced
 
 class AdvancedSpec extends SparkSuite {
 
+  test("clampedRunningSumKeyed: floor clamps, lost records the shortfall") {
+    init()
+    import spark.implicits._
+    // deltas +5, −8, +2: balance 5, 0 (lost 3), 2; second key resets
+    val df = Seq(("k", 1, 5.0), ("k", 2, -8.0), ("k", 3, 2.0),
+      ("j", 1, -4.0)).toDF("g", "t", "x")
+    val r = graft.ops.Advanced
+      .clampedRunningSumKeyed(df, Seq("g"), Seq("t"), "x", floor = 0.0)
+      .orderBy("g", "t").collect()
+    assert(r(0).getAs[Double]("balance") == 0.0 &&
+      r(0).getAs[Double]("balance_lost") == 4.0, "j clamps instantly")
+    assert(r(1).getAs[Double]("balance") == 5.0)
+    assert(r(2).getAs[Double]("balance") == 0.0 &&
+      r(2).getAs[Double]("balance_lost") == 3.0)
+    assert(r(3).getAs[Double]("balance") == 2.0 &&
+      r(3).getAs[Double]("balance_lost") == 0.0)
+  }
+
+  test("intervalUnionCoverage: overlaps merge, gaps don't bridge") {
+    init()
+    import spark.implicits._
+    // [0,10) ∪ [5,12) ∪ [20,25) → 12 + 5 = 17; duplicate interval free
+    val df = Seq(("u", 0L, 10L), ("u", 5L, 12L), ("u", 20L, 25L),
+      ("u", 5L, 12L)).toDF("k", "s", "e")
+    val r = graft.ops.Behavior.intervalUnionCoverage(df, "k", "s", "e")
+      .collect()(0)
+    assert(r.getAs[Long]("covered_us") == 17L)
+    assert(r.getAs[Long]("n_intervals") == 4L)
+  }
+
   test("ewmVarKeyed: hand recursion; constant tail decays variance to ~0") {
     init()
     import spark.implicits._
