@@ -2038,6 +2038,30 @@ object ExtQueries {
           Seq(s.read.parquet(s"$tmp/day1"), day2),
           Seq("o_orderstatus"), "sum_price")
         .orderBy(col("o_orderstatus"))
+    },
+
+    // Kruskal-Wallis: do the 5 event types draw `value` from the same
+    // distribution? The ≥3-group rank test — distributed rank build,
+    // per-group exact doubled rank sums, tie-corrected H.
+    "q226_kruskal_wallis" -> { (s, dir) =>
+      Stats.kruskalWallis(t(s, dir, "events"), "value", "event_type")
+    },
+
+    // Weighted quantiles per group (weighted median + p90): each event
+    // weighted by a deterministic integer weight — the smallest value
+    // whose cumulative weight crosses q·W, picked by exact integer
+    // cross-multiplication over the range-partitioned prefix sum.
+    "q227_weighted_median" -> { (s, dir) =>
+      Reductions.weightedQuantilesByGroup(t(s, dir, "events"),
+          "event_type", "value", pmod(col("user_id"), lit(10L)) + lit(1L),
+          Seq(("wp50", 1, 2), ("wp90", 9, 10)))
+        .orderBy(col("event_type"))
+    },
+
+    // Brown-Forsythe (median-based Levene): is `value`'s SPREAD
+    // homogeneous across event types? ANOVA F over |x − group median|.
+    "q228_brown_forsythe" -> { (s, dir) =>
+      Stats.brownForsythe(t(s, dir, "events"), "value", "event_type")
     }
   )
 
@@ -5253,6 +5277,101 @@ object ExtQueries {
       """SELECT o_orderstatus, CAST(COUNT(o_totalprice) AS BIGINT) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
              AS sum_price
-         FROM orders GROUP BY 1 ORDER BY 1"""
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // mirrors Stats.kruskalWallis: q151's doubled-avg-rank build over all
+    // groups, per-group exact rank sums, each group's s-term pre-divided
+    // by N(N+1) then floor-scale-summed (the same 10⁶ fixed point the
+    // Spark side uses), tie correction from pooled per-value counts.
+    "q226_kruskal_wallis" ->
+      """WITH f AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE event_type IS NOT NULL
+             AND value IS NOT NULL AND NOT isnan(value)),
+         r AS (SELECT g,
+             2 * rank() OVER (ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY x) - 1 AS dr
+           FROM f),
+         pg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(dr) AS BIGINT) AS r2d
+           FROM r GROUP BY g),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ng) AS BIGINT) AS n FROM pg),
+         s AS (SELECT k, n,
+             CAST(SUM(CAST(FLOOR(
+               3.0 * CAST(r2d AS DOUBLE) * CAST(r2d AS DOUBLE)
+               / (CAST(ng AS DOUBLE) * CAST(n AS DOUBLE)
+                  * (CAST(n AS DOUBLE) + 1.0)) * 1000000.0)
+               AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS s
+           FROM pg, tot GROUP BY 1, 2),
+         tie AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_tt
+           FROM (SELECT COUNT(*) AS t FROM f GROUP BY x) z)
+         SELECT k, n, tie_tt, s,
+           CASE WHEN n > 1 AND 1.0 - CAST(tie_tt AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  - CAST(n AS DOUBLE)) > 0.0
+             THEN (s - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+               / (1.0 - CAST(tie_tt AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     - CAST(n AS DOUBLE)))
+           END AS h
+         FROM s, tie""",
+
+    // mirrors Reductions.weightedQuantilesByGroup: per-(group,value)
+    // integer weight sums, per-group cumulative weights, pick by exact
+    // integer cross-multiplication den·cum ≥ num·W (the lower-weighted-
+    // rank rule) — the picked values are actual data values.
+    "q227_weighted_median" ->
+      """WITH f AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x,
+             CAST(user_id % 10 + 1 AS BIGINT) AS w
+           FROM events
+           WHERE event_type IS NOT NULL
+             AND value IS NOT NULL AND NOT isnan(value)),
+         pv AS (SELECT g, x, CAST(SUM(w) AS BIGINT) AS w
+           FROM f GROUP BY 1, 2),
+         c AS (SELECT g, x, w,
+             CAST(SUM(w) OVER (PARTITION BY g ORDER BY x) AS BIGINT) AS cin,
+             CAST(SUM(w) OVER (PARTITION BY g) AS BIGINT) AS tw
+           FROM pv)
+         SELECT g AS event_type, MAX(tw) AS total_w,
+           MAX(CASE WHEN 2 * cin >= tw AND 2 * (cin - w) < tw
+             THEN x END) AS wp50,
+           MAX(CASE WHEN 10 * cin >= 9 * tw AND 10 * (cin - w) < 9 * tw
+             THEN x END) AS wp90
+         FROM c GROUP BY 1 ORDER BY 1""",
+
+    // mirrors Stats.brownForsythe: quantile_cont group medians (the q165
+    // rank-pick/interpolation equivalence), then q175's exact-sum ANOVA
+    // over z = |x − med|.
+    "q228_brown_forsythe" ->
+      """WITH raw AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE event_type IS NOT NULL
+             AND value IS NOT NULL AND NOT isnan(value)),
+         med AS (SELECT g, quantile_cont(x, 0.5) AS m FROM raw GROUP BY g),
+         f AS (SELECT raw.g, ABS(raw.x - med.m) AS x
+           FROM raw JOIN med ON raw.g = med.g),
+         pg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000.0 AS sx,
+             CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000.0 AS sxx
+           FROM f GROUP BY g),
+         pg2 AS (SELECT *, sx * sx / CAST(n AS DOUBLE) AS bt FROM pg),
+         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(sx * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000.0 AS s,
+             CAST(SUM(CAST(FLOOR(sxx * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000.0 AS sxx,
+             CAST(SUM(CAST(FLOOR(bt * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000000.0 AS bt
+           FROM pg2)
+         SELECT k, n,
+           bt - s * s / CAST(n AS DOUBLE) AS ssb,
+           sxx - bt AS ssw,
+           ((bt - s * s / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+             / ((sxx - bt) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f
+         FROM agg"""
   )
 }

@@ -749,4 +749,72 @@ object Reductions {
     sorted.unpersist(); agg.unpersist()
     ret
   }
+
+  /** Weighted quantiles per group: for each level of `groupCol`, the
+    * smallest value v with cumWeight(≤ v) ≥ q·totalWeight — the
+    * lower-weighted-rank pick, tested as the exact integer
+    * cross-multiplication den·cum ≥ num·W (quantile q = num/den; no float
+    * share is ever compared), so the picked values are actual data values
+    * and the whole result replays bit-for-bit in SQL. Weights must be
+    * non-negative integers (cast to long). Returns
+    * (groupCol [string], total_w, <one column per named quantile>).
+    *
+    * Plan: one keyed (group, value) weight aggregation — the only
+    * data-sized pass — then the [[abcClassification]]-shaped
+    * range-partitioned prefix sum over the AGGREGATED frame ordered by
+    * (group, value): O(partitions) totals to the driver, no global or
+    * per-group data-sized window. Per-group offsets come from the tiny
+    * per-group totals frame (O(groups) rows, stratifiedRank precedent).
+    * A 10⁹-row group costs one range shuffle of its distinct values. */
+  def weightedQuantilesByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: Column,
+      qs: Seq[(String, Int, Int)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, num, den) =>
+      den > 0 && num > 0 && num <= den })
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val perVal = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast(DoubleType)) && weightCol.cast(LongType) > 0L)
+      .groupBy(col(groupCol).cast(StringType).as("__g"),
+        col(valueCol).cast(DoubleType).as("__x"))
+      .agg(sum(weightCol.cast(LongType)).as("__w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = perVal
+      .repartitionByRange(parts, col("__g").asc, col("__x").asc)
+      .sortWithinPartitions(col("__g").asc, col("__x").asc)
+      .as[(String, Double, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sorted.count()
+    val partTotals = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(s += _._3); Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val cum = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var c = bcOff.value(pid)
+      it.map { case (g, x, w) => c += w; (g, x, w, c) }
+    }.toDF("__g", "__x", "__w", "__cum")
+    // per-group totals + global cumulative offset BEFORE each group —
+    // O(groups) rows, the one unpartitioned window is bounded by construction
+    val perGroup = perVal.groupBy(col("__g")).agg(sum(col("__w")).as("__tw"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__g"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = perGroup.withColumn("__goff",
+      coalesce(sum(col("__tw")).over(w), lit(0L)))
+    val joined = cum.join(broadcast(offs), "__g")
+      .withColumn("__cin", col("__cum") - col("__goff"))
+    val picks = qs.map { case (name, num, den) =>
+      val hit = (lit(den.toLong) * col("__cin") >= lit(num.toLong) * col("__tw")) &&
+        (lit(den.toLong) * (col("__cin") - col("__w")) < lit(num.toLong) * col("__tw"))
+      max(when(hit, col("__x"))).as(name)
+    }
+    val out = joined.groupBy(col("__g"))
+      .agg(max(col("__tw")).as("total_w"), picks: _*)
+      .withColumnRenamed("__g", groupCol)
+    val ret = out.cache(); ret.count()
+    sorted.unpersist(); perVal.unpersist()
+    ret
+  }
 }

@@ -752,4 +752,79 @@ object Stats {
           (col("__sae") / col("n").cast(DoubleType)) /
             (col("__sn") / col("__nn").cast(DoubleType))).as("mase")): _*)
   }
+
+  /** Kruskal-Wallis H (k-sample rank ANOVA — the ≥3-group sibling of
+    * [[mannWhitneyU]]): are `valueCol`'s distributions equal across ALL
+    * levels of `groupCol`? Complete-case. Returns one row
+    * (k, n, tie_tt, s, h): `s` = 12/(N(N+1))·Σ_g R_g²/n_g built from the
+    * exact doubled rank sums — each group's term is pre-divided by
+    * N(N+1) so its magnitude stays O(N) at any scale (the raw R_g² would
+    * overflow the 10⁶ fixed-point long at ~10⁶ rows), computed as one
+    * fixed IEEE op sequence, floor-scaled at 10⁶ and summed exactly so
+    * cross-group reduce order cannot move it; `h` the tie-corrected
+    * statistic H = [s − 3(N+1)] / (1 − Σ(t³−t)/(N³−N)).
+    *
+    * Plan: the [[Advanced.doubledAvgRankTable]] distributed rank build over
+    * pooled values, then two keyed aggregations (per-(group,value) counts →
+    * per-group exact rank sums; pooled per-value counts → tie term). No
+    * data-sized window; the driver sees only the final one-row aggregate. */
+  def kruskalWallis(df: DataFrame, valueCol: String, groupCol: String)
+      : DataFrame = {
+    val pooled = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast(DoubleType)))
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast(DoubleType).as("__x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (ranks, cleanup) =
+      Advanced.doubledAvgRankTable(pooled.select(col("__x")), "__x", "__dr")
+    val perVal = pooled.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__n"))
+    // per-group exact integers: n_g and the doubled rank sum Σ dr·n
+    val perGroup = perVal.join(ranks, perVal("__x") === ranks("__v"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__n")).as("__ng"),
+        sum(col("__dr") * col("__n")).as("__r2d"))
+    val tots = perGroup.agg(count(lit(1)).as("k"), sum(col("__ng")).as("n"))
+    val nD = col("n").cast(DoubleType)
+    // 12/(N(N+1))·R_g²/n_g with R_g = r2d/2 — one fixed double op
+    // sequence per group, floor-scaled at 10⁶ and summed exactly
+    val term = lit(3.0) * col("__r2d").cast(DoubleType) *
+      col("__r2d").cast(DoubleType) /
+      (col("__ng").cast(DoubleType) * nD * (nD + 1.0))
+    val agg = perGroup.crossJoin(tots).groupBy(col("k"), col("n"))
+      .agg(Reductions.isum(term, 6).as("s"))
+    val tie = pooled.groupBy(col("__x")).agg(count(lit(1)).as("__t"))
+      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t"))
+        .as("tie_tt"))
+    val hRaw = col("s") - lit(3.0) * (nD + 1.0)
+    val corr = lit(1.0) - col("tie_tt").cast(DoubleType) / (nD * nD * nD - nD)
+    val out = agg.crossJoin(tie)
+      .select(col("k"), col("n"), col("tie_tt"), col("s"),
+        when(col("n") > 1 && corr > 0.0, hRaw / corr).as("h"))
+    val ret = out.cache(); ret.count()
+    pooled.unpersist(); cleanup()
+    ret
+  }
+
+  /** Brown-Forsythe test (Levene's test with medians): homogeneity of
+    * variance across the levels of `groupCol`, robust to non-normality —
+    * the one-way ANOVA F applied to z = |x − median(group)|. Returns the
+    * [[anovaOneWay]] row (k, n, ssb, ssw, f) computed over z.
+    *
+    * Plan: one distributed per-group median (the [[Reductions.groupQuantiles]]
+    * stratified rank-pick — no percentile buffer), broadcast-joined back
+    * (O(groups) rows), then the exact-sum ANOVA aggregation. */
+  def brownForsythe(df: DataFrame, valueCol: String, groupCol: String)
+      : DataFrame = {
+    val x = col(valueCol).cast(DoubleType)
+    val clean = df
+      .filter(col(groupCol).isNotNull && x.isNotNull && !isnan(x))
+      .select(col(groupCol).as("__g"), x.as("__x"))
+    val med = Reductions.groupQuantiles(clean, "__g", "__x",
+      Seq("__med" -> 0.5)).select(col("__g"), col("__med"))
+    val z = clean.join(broadcast(med), "__g")
+      .select(col("__g"), abs(col("__x") - col("__med")).as("__z"))
+    anovaOneWay(z, "__z", "__g")
+  }
 }

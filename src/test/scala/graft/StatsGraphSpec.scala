@@ -752,4 +752,68 @@ class StatsGraphSpec extends SparkSuite {
       .orderBy("id").collect().toSeq
     assert(a == b)
   }
+
+  test("kruskalWallis: hand-computed 3-group no-tie case, layout-invariant") {
+    // a={1,2}, b={3,4}, c={5,6}: ranks 1..6, R = 3, 7, 11;
+    // H = 12/(6·7)·(9/2 + 49/2 + 121/2) − 3·7 = 179/7 − 21 ≈ 4.5714
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 5.0), ("c", 6.0)).toDF("g", "x")
+    val r = Stats.kruskalWallis(df, "x", "g").collect()(0)
+    assert(r.getAs[Long]("k") == 3 && r.getAs[Long]("n") == 6)
+    assert(r.getAs[Long]("tie_tt") == 0)
+    assert(math.abs(r.getAs[Double]("h") - (179.0 / 7.0 - 21.0)) < 1e-4)
+    val r2 = Stats.kruskalWallis(df.repartition(7), "x", "g").collect()(0)
+    assert(r.toSeq == r2.toSeq, "H must not depend on layout")
+  }
+
+  test("kruskalWallis: identical distributions give H near zero") {
+    val df = (1L to 300L).map(i => (("g" + (i % 3)).toString,
+      ((i * 7) % 50).toDouble)).toDF("g", "x")
+    val h = Stats.kruskalWallis(df, "x", "g").collect()(0).getAs[Double]("h")
+    assert(math.abs(h) < 1.0, s"cyclic assignment should give tiny H, got $h")
+  }
+
+  test("weightedQuantilesByGroup: hand-computed picks, layout-invariant") {
+    // group a: (1, w=1) (2, w=2) (3, w=1) → W=4, cum 1,3,4
+    //   wp50: first 2·cum ≥ 4 → x=2; wp90: first 10·cum ≥ 36 → x=3
+    // group b: (10, w=5) → both quantiles = 10
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("a", 3.0, 1L),
+      ("b", 10.0, 5L)).toDF("g", "x", "w")
+    val r = Reductions.weightedQuantilesByGroup(df, "g", "x", col("w"),
+      Seq(("wp50", 1, 2), ("wp90", 9, 10))).orderBy("g").collect()
+    assert(r(0).getAs[Long]("total_w") == 4L)
+    assert(r(0).getAs[Double]("wp50") == 2.0)
+    assert(r(0).getAs[Double]("wp90") == 3.0)
+    assert(r(1).getAs[Double]("wp50") == 10.0)
+    val r2 = Reductions.weightedQuantilesByGroup(df.repartition(7), "g", "x",
+      col("w"), Seq(("wp50", 1, 2), ("wp90", 9, 10))).orderBy("g").collect()
+    assert(r.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
+  }
+
+  test("weightedQuantilesByGroup: unit weights equal the unweighted pick") {
+    val df = (1L to 100L).map(i => ("k", i.toDouble)).toDF("g", "x")
+    val r = Reductions.weightedQuantilesByGroup(df, "g", "x", lit(1L),
+      Seq(("wp50", 1, 2))).collect()(0)
+    // smallest x with cum ≥ 50 out of 100 → 50
+    assert(r.getAs[Double]("wp50") == 50.0)
+  }
+
+  test("brownForsythe: equal |deviation| groups give zero spread F") {
+    // {0,2} and {10,12}: medians 1, 11 → every z = 1 → ssb = ssw = 0,
+    // F guard nulls out
+    val df = Seq(("a", 0.0), ("a", 2.0), ("b", 10.0), ("b", 12.0))
+      .toDF("g", "x")
+    val r = Stats.brownForsythe(df, "x", "g").collect()(0)
+    assert(r.getAs[Long]("k") == 2 && r.getAs[Long]("n") == 4)
+    assert(r.getAs[Double]("ssb") == 0.0 && r.getAs[Double]("ssw") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("f")))
+  }
+
+  test("brownForsythe: wider group drives F up") {
+    val narrow = (1 to 50).map(i => ("n", 100.0 + (i % 3).toDouble))
+    val wide = (1 to 50).map(i => ("w", 100.0 + (i % 21).toDouble * 5.0))
+    val df = (narrow ++ wide).toDF("g", "x")
+    val f = Stats.brownForsythe(df, "x", "g").collect()(0).getAs[Double]("f")
+    assert(f > 10.0, s"clearly unequal spreads should give large F, got $f")
+  }
 }
