@@ -2062,6 +2062,45 @@ object ExtQueries {
     // homogeneous across event types? ANOVA F over |x − group median|.
     "q228_brown_forsythe" -> { (s, dir) =>
       Stats.brownForsythe(t(s, dir, "events"), "value", "event_type")
+    },
+
+    // Two-group log-rank test: do even- vs odd-id users convert (first
+    // purchase) on different survival curves? Same duration/event build
+    // as q196's Kaplan-Meier, plus the cohort label.
+    "q229_log_rank" -> { (s, dir) =>
+      val per = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("p_ts"))
+        .select(col("user_id"),
+          when(col("p_ts").isNotNull,
+            datediff(col("p_ts").cast(DateType), col("first_ts").cast(DateType)))
+            .otherwise(datediff(col("last_ts").cast(DateType),
+              col("first_ts").cast(DateType))).as("dur"),
+          when(col("p_ts").isNotNull, 1L).otherwise(0L).as("ev"))
+        .withColumn("grp",
+          when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+      Stats.logRank(per, "dur", "ev", "grp", "even", "odd")
+    },
+
+    // Nelson-Aalen cumulative hazard over the same duration/event frame —
+    // the additive sibling of q196's Kaplan-Meier product.
+    "q230_nelson_aalen" -> { (s, dir) =>
+      val per = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("p_ts"))
+        .select(
+          when(col("p_ts").isNotNull,
+            datediff(col("p_ts").cast(DateType), col("first_ts").cast(DateType)))
+            .otherwise(datediff(col("last_ts").cast(DateType),
+              col("first_ts").cast(DateType))).as("dur"),
+          when(col("p_ts").isNotNull, 1L).otherwise(0L).as("ev"))
+      Stats.nelsonAalen(per, "dur", "ev")
+    },
+
+    // Entropy / mutual information between market segment and nation:
+    // the (source × label) dependence audit on the customer table.
+    "q231_entropy_mi" -> { (s, dir) =>
+      Stats.entropyMi(t(s, dir, "customer"), "c_mktsegment", "c_nationkey")
     }
   )
 
@@ -5372,6 +5411,130 @@ object ExtQueries {
            sxx - bt AS ssw,
            ((bt - s * s / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
              / ((sxx - bt) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f
-         FROM agg"""
+         FROM agg""",
+
+    // mirrors Stats.logRank: the q196 duration/event build + cohort, the
+    // complete (time × group) grid, keyed prefix at-risk counts, then
+    // floor-scaled exact sums of the identical E/V term sequences.
+    "q229_log_rank" ->
+      """WITH per AS (SELECT user_id, MIN(ts) AS f, MAX(ts) AS l,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+           FROM events GROUP BY 1),
+         dr AS (SELECT
+             CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g,
+             CASE WHEN p IS NOT NULL
+                 THEN date_diff('day', CAST(f AS DATE), CAST(p AS DATE))
+                 ELSE date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) END
+               AS t,
+             CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS e
+           FROM per),
+         ptg AS (SELECT CAST(t AS BIGINT) AS t, g,
+             CAST(SUM(e) AS BIGINT) AS d, CAST(SUM(1 - e) AS BIGINT) AS c
+           FROM dr GROUP BY 1, 2),
+         times AS (SELECT DISTINCT t FROM ptg),
+         gtot AS (SELECT g, SUM(d + c) AS tot FROM ptg GROUP BY 1),
+         grid AS (SELECT times.t, gtot.g, gtot.tot,
+             COALESCE(ptg.d, 0) AS d, COALESCE(ptg.c, 0) AS c
+           FROM times CROSS JOIN gtot
+           LEFT JOIN ptg ON ptg.t = times.t AND ptg.g = gtot.g),
+         risk AS (SELECT t, g, d,
+             tot - COALESCE(SUM(d + c) OVER (PARTITION BY g ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+           FROM grid),
+         byt AS (SELECT t,
+             SUM(CASE WHEN g = 'even' THEN n END) AS n1,
+             SUM(CASE WHEN g = 'even' THEN d END) AS d1,
+             SUM(CASE WHEN g = 'odd' THEN n END) AS n2,
+             SUM(CASE WHEN g = 'odd' THEN d END) AS d2
+           FROM risk GROUP BY 1),
+         ft AS (SELECT *, n1 + n2 AS nt, d1 + d2 AS dt FROM byt
+           WHERE d1 + d2 > 0 AND n1 + n2 > 1),
+         terms AS (SELECT d1,
+             CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE)
+               AS et,
+             CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+               * (CAST(n2 AS DOUBLE) / CAST(nt AS DOUBLE))
+               * (CAST(nt AS DOUBLE) - CAST(dt AS DOUBLE))
+               / (CAST(nt AS DOUBLE) - 1.0) AS vt
+           FROM ft),
+         agg AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             CAST(SUM(CAST(FLOOR(et * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000.0 AS e1,
+             CAST(SUM(CAST(FLOOR(vt * 1000000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000000.0 AS v
+           FROM terms)
+         SELECT o1, e1, v,
+           CASE WHEN v > 0.0 THEN (CAST(o1 AS DOUBLE) - e1)
+             * (CAST(o1 AS DOUBLE) - e1) / v END AS chi2
+         FROM agg""",
+
+    // mirrors Stats.nelsonAalen: q196's duration build, prefix at-risk
+    // counts over the O(times) frame, floor-scaled (10⁹) hazard
+    // increments cumulated by the same window.
+    "q230_nelson_aalen" ->
+      """WITH per AS (SELECT user_id, MIN(ts) AS f, MAX(ts) AS l,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+           FROM events GROUP BY 1),
+         dr AS (SELECT CASE WHEN p IS NOT NULL
+                 THEN date_diff('day', CAST(f AS DATE), CAST(p AS DATE))
+                 ELSE date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) END
+                 AS t,
+               CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS e
+           FROM per),
+         g AS (SELECT CAST(t AS BIGINT) AS t, CAST(SUM(e) AS BIGINT) AS d,
+             CAST(SUM(1 - e) AS BIGINT) AS c
+           FROM dr GROUP BY 1),
+         tot AS (SELECT SUM(d + c) AS al FROM g),
+         risk AS (SELECT t, d,
+             al - COALESCE(SUM(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+           FROM g CROSS JOIN tot),
+         inc AS (SELECT t, d, n,
+             CAST(FLOOR(CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+               * 1000000000.0) AS BIGINT) AS i
+           FROM risk),
+         cum AS (SELECT t, d, n,
+             SUM(i) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS hs
+           FROM inc)
+         SELECT t, n AS n_risk, d AS d_events,
+           CAST(hs AS DOUBLE) / 1000000000.0 AS h
+         FROM cum WHERE d > 0 ORDER BY t""",
+
+    // mirrors Stats.entropyMi: joint/marginal counts, per-cell fixed
+    // IEEE term sequences floor-scaled at 10⁹ and summed exactly.
+    "q231_entropy_mi" ->
+      """WITH c AS (SELECT c_mktsegment AS a, c_nationkey AS b
+           FROM customer
+           WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL),
+         j AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nij
+           FROM c GROUP BY 1, 2),
+         ma AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ni FROM c GROUP BY 1),
+         mb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nj FROM c GROUP BY 1),
+         tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+         mi AS (SELECT n,
+             CAST(SUM(CAST(FLOOR((CAST(nij AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(nij AS DOUBLE) * CAST(n AS DOUBLE)
+                 / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
+               * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000000.0 AS mi
+           FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tt
+           GROUP BY n),
+         ha AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS k_a,
+             CAST(SUM(CAST(FLOOR((-(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE)))
+               * ln(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000000.0 AS h_a
+           FROM ma CROSS JOIN tt GROUP BY n),
+         hb AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS k_b,
+             CAST(SUM(CAST(FLOOR((-(CAST(nj AS DOUBLE) / CAST(n AS DOUBLE)))
+               * ln(CAST(nj AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000000.0 AS h_b
+           FROM mb CROSS JOIN tt GROUP BY n)
+         SELECT mi.n AS n, k_a, k_b, h_a, h_b, mi,
+           CASE WHEN h_a > 0.0 AND h_b > 0.0
+             THEN mi / sqrt(h_a * h_b) END AS nmi
+         FROM mi JOIN ha USING (n) JOIN hb USING (n)"""
   )
 }

@@ -528,4 +528,46 @@ object TextStats {
         (graft.ops.Reductions.isum(col("__q"), 6) / count(lit(1)))
           .as("mean_quality"),
         (count(lit(1)) - countDistinct(col("__fp"))).as("n_exact_dups"))
+
+  /** ZIPF FIT over the corpus vocabulary: OLS of ln(freq) on ln(rank)
+    * across the top `topN` terms — natural-language corpora sit near
+    * slope −1, so a far-off slope is a cheap corpus-health flag
+    * (boilerplate floods flatten it, template spam steepens it).
+    * Terms are lowercased letter runs; ranks are the total order
+    * (count DESC, term ASC) so ties break deterministically. Returns one
+    * row (n_terms, slope, intercept, r2).
+    *
+    * Plan: one explode + keyed count over the corpus (the data-sized
+    * pass), a TakeOrdered top-N (no global sort), then a row_number
+    * window + OLS moments over the O(topN) frame — floor-scaled (10⁶)
+    * exact sums, one fixed IEEE closed form. */
+  def zipfSlope(df: DataFrame, textCol: String, topN: Int = 500)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df
+      .select(explode(split(lower(col(textCol)), "[^\\p{L}]+")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w").asc)
+      .limit(topN)
+    val wR = Window.orderBy(col("__c").desc, col("__w").asc)
+    val pts = terms.withColumn("__r", row_number().over(wR))
+      .select(log(col("__r").cast(DoubleType)).as("__x"),
+        log(col("__c").cast(DoubleType)).as("__y"))
+    def fsum(c: Column) = graft.ops.Reductions.isum(c, 6)
+    val m = pts.agg(count(lit(1)).cast(DoubleType).as("__n"),
+      fsum(col("__x")).as("__sx"), fsum(col("__y")).as("__sy"),
+      fsum(col("__x") * col("__x")).as("__sxx"),
+      fsum(col("__x") * col("__y")).as("__sxy"),
+      fsum(col("__y") * col("__y")).as("__syy"))
+    val vx = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val vy = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    val cv = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    m.select(col("__n").cast(LongType).as("n_terms"),
+      when(vx > 0.0, cv / vx).as("slope"),
+      when(vx > 0.0, (col("__sy") - (cv / vx) * col("__sx")) / col("__n"))
+        .as("intercept"),
+      when(vx > 0.0 && vy > 0.0, (cv / sqrt(vx)) * (cv / sqrt(vx)) / vy)
+        .as("r2"))
+  }
 }

@@ -263,4 +263,124 @@ object Behavior {
       .filter(col("__rn") === 1 && !col("__del"))
       .select(dataCols.map(col): _*)
   }
+
+  /** RFM SEGMENTATION over a transactions frame: per customer, recency
+    * (days since last order, against the dataset's max date), frequency
+    * (order count) and monetary (exact 2-decimal sum), each scored into
+    * quintiles 1–5 where 5 = best (most recent / most frequent / highest
+    * spend). Returns the segment roll-up (r_score, f_score, m_score,
+    * n_customers, avg_monetary) — the marketing-ops cut.
+    *
+    * Scores come from [[Reductions.globalPercentRank]] (range-partitioned
+    * rank table, O(partitions) offsets — NO global single-task window),
+    * bucketed as ⌊pct·5⌋+1 clamped to 5; ties share a percent-rank and
+    * hence a score, exactly like SQL percent_rank, so the scoring
+    * replays in any engine. The per-customer frame is the only shuffle
+    * ancestor; three rank tables over its O(distinct metric) values. */
+  def rfm(df: DataFrame, custCol: String, dateCol: String,
+          amountCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val ref = df.agg(max(to_date(col(dateCol))).as("__ref"))
+    val per = df.crossJoin(broadcast(ref))
+      .groupBy(col(custCol).as("__cust"))
+      .agg(min(datediff(col("__ref"), to_date(col(dateCol)))).as("__rec"),
+        count(lit(1)).cast("double").as("__freq"),
+        sum(col(amountCol).cast(DecimalType(38, 2))).as("__mon"))
+      .withColumn("__recNeg", -col("__rec").cast(DoubleType))
+      .withColumn("__monD", col("__mon").cast(DoubleType))
+    def score(in: DataFrame, c: String, out: String): DataFrame =
+      Reductions.globalPercentRank(in, c, s"__p_$out")
+        .withColumn(out,
+          least(lit(5), (floor(col(s"__p_$out") * 5.0) + 1).cast("int")))
+        .drop(s"__p_$out")
+    // recency negated so pct 1 (=best score) is the MOST recent
+    val scored = score(score(score(per, "__recNeg", "r_score"),
+      "__freq", "f_score"), "__monD", "m_score")
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("__mon")).cast(DoubleType) / count(lit(1)))
+          .as("avg_monetary"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  /** CUPED variance reduction for A/B metrics (Deng et al. 2013): adjust
+    * each user's post-period metric y by the pre-period covariate x,
+    * y' = y − θ(x − x̄) with θ = cov(x,y)/var(x) fitted on the POOLED
+    * users, then report per-cohort means before/after adjustment and the
+    * pooled variance-reduction factor 1 − ρ². Returns one row per cohort:
+    * (cohort, n, mean_x, mean_y, mean_y_cuped, theta, var_reduction).
+    *
+    * All moments are floor-scaled (10⁶) exact sums over the per-user
+    * frame, so θ and every mean replay bit-exactly in SQL; the adjusted
+    * mean needs no second pass (mean y' = ȳ_c − θ(x̄_c − x̄) by
+    * linearity). Two keyed aggregations, one O(1) broadcast. */
+  def cuped(users: DataFrame, cohortCol: String, preCol: String,
+            postCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val x = col(preCol).cast(DoubleType)
+    val y = col(postCol).cast(DoubleType)
+    val clean = users
+      .filter(col(cohortCol).isNotNull && x.isNotNull && y.isNotNull &&
+        !isnan(x) && !isnan(y))
+      .select(col(cohortCol).as("__g"), x.as("__x"), y.as("__y"))
+    def fsum(c: org.apache.spark.sql.Column) = Reductions.isum(c, 6)
+    val pooled = clean.agg(count(lit(1)).cast(DoubleType).as("__n"),
+      fsum(col("__x")).as("__sx"), fsum(col("__y")).as("__sy"),
+      fsum(col("__x") * col("__x")).as("__sxx"),
+      fsum(col("__x") * col("__y")).as("__sxy"),
+      fsum(col("__y") * col("__y")).as("__syy"))
+    val vx = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val vy = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    val cv = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val fit = pooled.select(col("__n"), col("__sx"),
+      when(vx > 0.0, cv / vx).otherwise(lit(0.0)).as("__theta"),
+      when(vx > 0.0 && vy > 0.0, lit(1.0) - (cv / sqrt(vx)) * (cv / sqrt(vx)) / vy)
+        .as("var_reduction"))
+    val perG = clean.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), fsum(col("__x")).as("__gx"),
+        fsum(col("__y")).as("__gy"))
+    perG.crossJoin(broadcast(fit))
+      .select(col("__g").as("cohort"), col("n"),
+        (col("__gx") / col("n")).as("mean_x"),
+        (col("__gy") / col("n")).as("mean_y"),
+        (col("__gy") / col("n") - col("__theta") *
+          (col("__gx") / col("n") - col("__sx") / col("__n")))
+          .as("mean_y_cuped"),
+        col("__theta").as("theta"), col("var_reduction"))
+      .orderBy(col("cohort"))
+  }
+
+  /** LORENZ CURVE / concentration table: rank units (e.g. customers) by
+    * an exact integer-cents amount, cut into `buckets` percent-rank
+    * bands, and report each band's share and cumulative share of the
+    * total — "the top decile holds X% of revenue". Returns
+    * (bucket, n_units, amount_cents, share, cum_share); shares are one
+    * integer-to-double division each, the cumulative sum runs over the
+    * O(buckets) frame. Banding uses [[Reductions.globalPercentRank]]
+    * (ties share a band), so the table replays as SQL percent_rank. */
+  def lorenz(df: DataFrame, unitCol: String, amountCol: String,
+             buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val per = df.groupBy(col(unitCol).as("__u"))
+      .agg((sum(col(amountCol).cast(DecimalType(38, 2))) * 100)
+        .cast(LongType).as("__cents"))
+      .withColumn("__centsD", col("__cents").cast(DoubleType))
+    val banded = Reductions.globalPercentRank(per, "__centsD", "__p")
+      .withColumn("bucket",
+        least(lit(buckets), (floor(col("__p") * buckets) + 1).cast("int")))
+    val byB = banded.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_units"), sum(col("__cents")).as("amount_cents"))
+    val tot = byB.agg(sum(col("amount_cents")).as("__tot"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byB.crossJoin(broadcast(tot))
+      .withColumn("__cum", sum(col("amount_cents")).over(wCum))
+      .select(col("bucket"), col("n_units"), col("amount_cents"),
+        (col("amount_cents").cast(DoubleType) /
+          col("__tot").cast(DoubleType)).as("share"),
+        (col("__cum").cast(DoubleType) /
+          col("__tot").cast(DoubleType)).as("cum_share"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -91,6 +91,44 @@ object Rolling {
     when(vx > 0 && vy > 0, cov / (sqrt(vx) * sqrt(vy)))
   }
 
+  /** ROLLING SKEWNESS (population, moment-based): m₃/m₂^1.5 over the
+    * frame, from floor-scaled exact integer window sums of x, x², x³
+    * (order-independent ⇒ replays bit-exactly in SQL). Scales: 10⁶ for
+    * x and x², 10⁴ for x³ — the x³ addend must keep |x|³·10⁴ < 9·10¹⁸/n,
+    * fine for metric-sized columns on FIXED windows (this is a fixed
+    * window reducer, not for unbounded frames). Degenerate frames
+    * (m₂ ≤ 0) yield null. */
+  def rSkew(c: Column): WindowSpec => Column = { w =>
+    def sL(e: Column, p: Double): Column =
+      sum(floor(e * lit(p)).cast("long")).over(w).cast("double") / lit(p)
+    val x = c.cast("double")
+    val n = count(lit(1)).over(w).cast("double")
+    val s1 = sL(x, 1e6); val s2 = sL(x * x, 1e6); val s3 = sL(x * x * x, 1e4)
+    val mean = s1 / n
+    val m2 = s2 / n - mean * mean
+    val m3 = s3 / n - lit(3.0) * mean * (s2 / n) + lit(2.0) * mean * mean * mean
+    when(n > 2 && m2 > 0.0, m3 / sqrt(m2 * m2 * m2))
+  }
+
+  /** ROLLING EXCESS KURTOSIS (population): m₄/m₂² − 3 over the frame,
+    * same floor-scaled exact-sum construction as [[rSkew]] (x⁴ at 10²:
+    * |x|⁴·10²·n must stay < 9·10¹⁸ — metric-sized columns on fixed
+    * windows). Degenerate frames yield null. */
+  def rKurt(c: Column): WindowSpec => Column = { w =>
+    def sL(e: Column, p: Double): Column =
+      sum(floor(e * lit(p)).cast("long")).over(w).cast("double") / lit(p)
+    val x = c.cast("double")
+    val n = count(lit(1)).over(w).cast("double")
+    val s1 = sL(x, 1e6); val s2 = sL(x * x, 1e6)
+    val s3 = sL(x * x * x, 1e4); val s4 = sL(x * x * x * x, 1e2)
+    val mean = s1 / n
+    val m2 = s2 / n - mean * mean
+    val m4 = s4 / n - lit(4.0) * mean * (s3 / n) +
+      lit(6.0) * mean * mean * (s2 / n) -
+      lit(3.0) * mean * mean * mean * mean
+    when(n > 3 && m2 > 0.0, m4 / (m2 * m2) - lit(3.0))
+  }
+
   /** ROLLING EXACT MEDIAN (parity-plus window reducer): the frame's
     * non-null values are collected, sorted, and the median read as
     * (v[(m−1) div 2] + v[m div 2]) / 2 — for odd m the two indices

@@ -827,4 +827,192 @@ object Stats {
       .select(col("__g"), abs(col("__x") - col("__med")).as("__z"))
     anovaOneWay(z, "__z", "__g")
   }
+
+  /** Floor-scaled exact sum over an aggregation (shared with the DuckDB
+    * mirrors: SUM(CAST(FLOOR(x·10^d) AS DECIMAL)) / 10^d). */
+  private def fs(c: Column, digits: Int): Column =
+    Reductions.isum(c, digits)
+
+  /** Two-group LOG-RANK test (Mantel-Cox): do the survival curves of
+    * `groupCol == a` vs `== b` differ? Input rows are (duration, event,
+    * group) with event = 1 observed / 0 right-censored (the
+    * [[kaplanMeier]] contract plus a group). Returns one row
+    * (o1, e1, v, chi2): observed events in group a, their expectation and
+    * hypergeometric variance under H₀ accumulated over pooled event
+    * times, and the χ²₁ statistic (o1−e1)²/v.
+    *
+    * The at-risk counts n_g(t) = total_g − Σ_{t'<t}(d_g+c_g) come from a
+    * keyed cumulative window over the per-(time, group) COUNT frame —
+    * O(distinct durations) rows (durations are bucketed units like days,
+    * so the frame is small by construction; the data-sized pass is the
+    * one groupBy). Per-time E/V terms are one fixed IEEE op sequence,
+    * floor-scaled and summed exactly so reduce order cannot move them. */
+  def logRank(df: DataFrame, durationCol: String, eventCol: String,
+              groupCol: String, a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull &&
+        col(groupCol).isin(a, b))
+      .groupBy(col(durationCol).cast(LongType).as("__t"),
+        col(groupCol).as("__g"))
+      .agg(sum(col(eventCol).cast(LongType)).as("__d"),
+        sum(lit(1L) - col(eventCol).cast(LongType)).as("__c"))
+    // complete (time × group) grid so cumulative at-risk counts see every
+    // decrement, then keyed prefix sums over the O(times) frame
+    val times = per.select(col("__t")).distinct()
+    val groups = per.groupBy(col("__g"))
+      .agg(sum(col("__d") + col("__c")).as("__tot"))
+    val grid = times.crossJoin(broadcast(groups))
+      .join(per, Seq("__t", "__g"), "left")
+      .na.fill(0L, Seq("__d", "__c"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = grid.withColumn("__n",
+      col("__tot") - coalesce(sum(col("__d") + col("__c")).over(w), lit(0L)))
+    val byT = risk.groupBy(col("__t"))
+      .agg(sum(when(col("__g") === a, col("__n"))).as("__n1"),
+        sum(when(col("__g") === a, col("__d"))).as("__d1"),
+        sum(when(col("__g") === b, col("__n"))).as("__n2"),
+        sum(when(col("__g") === b, col("__d"))).as("__d2"))
+      .withColumn("__nt", col("__n1") + col("__n2"))
+      .withColumn("__dt", col("__d1") + col("__d2"))
+      .filter(col("__dt") > 0 && col("__nt") > 1)
+    val ntD = col("__nt").cast(DoubleType)
+    val dtD = col("__dt").cast(DoubleType)
+    val eTerm = dtD * col("__n1").cast(DoubleType) / ntD
+    val vTerm = dtD * (col("__n1").cast(DoubleType) / ntD) *
+      (col("__n2").cast(DoubleType) / ntD) *
+      (ntD - dtD) / (ntD - 1.0)
+    byT.agg(sum(col("__d1")).as("o1"),
+        fs(eTerm, 6).as("e1"), fs(vTerm, 9).as("v"))
+      .select(col("o1"), col("e1"), col("v"),
+        when(col("v") > 0.0,
+          (col("o1").cast(DoubleType) - col("e1")) *
+            (col("o1").cast(DoubleType) - col("e1")) / col("v"))
+          .as("chi2"))
+  }
+
+  /** NELSON-AALEN cumulative hazard estimator — the additive sibling of
+    * [[kaplanMeier]]: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ over event times. Returns one
+    * row per event time: (t, n_risk, d_events, h).
+    *
+    * Plan: ONE data-sized groupBy on the duration; at-risk counts are
+    * total − prefix over the O(distinct durations) count frame; the
+    * cumulative hazard is a window sum of floor-scaled (10⁹) per-time
+    * increments over the same bounded frame, so the fold replays
+    * bit-exactly in SQL regardless of engine or partitioning (unlike a
+    * raw double running sum). The unpartitioned windows run on the
+    * O(times) frame, never the data. */
+  def nelsonAalen(df: DataFrame, durationCol: String, eventCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .groupBy(col(durationCol).cast(LongType).as("__t"))
+      .agg(sum(col(eventCol).cast(LongType)).as("__d"),
+        sum(lit(1L) - col(eventCol).cast(LongType)).as("__c"))
+    val wPrior = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = per.agg(sum(col("__d") + col("__c")).as("__all"))
+    val risk = per.crossJoin(broadcast(total))
+      .withColumn("__n",
+        col("__all") - coalesce(sum(col("__d") + col("__c")).over(wPrior),
+          lit(0L)))
+      .withColumn("__inc",
+        floor(col("__d").cast(DoubleType) / col("__n").cast(DoubleType) *
+          lit(1e9)).cast(LongType))
+    risk.withColumn("__hs", sum(col("__inc")).over(wCum))
+      .filter(col("__d") > 0)
+      .select(col("__t").as("t"), col("__n").as("n_risk"),
+        col("__d").as("d_events"),
+        (col("__hs").cast(DoubleType) / lit(1e9)).as("h"))
+      .orderBy(col("t"))
+  }
+
+  /** Shannon entropies and MUTUAL INFORMATION between two categorical
+    * columns (natural log): the dependence audit a curation pipeline runs
+    * on (source × language), (shard × label), … — NMI near 1 means one
+    * column is a relabeling of the other. Complete-case. Returns one row
+    * (n, k_a, k_b, h_a, h_b, mi, nmi) with
+    * MI = Σ_cells (n_ij/N)·ln(n_ij·N/(n_i·n_j)) and
+    * NMI = MI/√(H_a·H_b) (null when either marginal entropy is 0).
+    *
+    * Plan: one keyed count per frame (joint + two marginals — the
+    * marginals broadcast back onto the O(cells) joint frame), per-cell
+    * terms in one fixed IEEE op sequence, floor-scaled (10⁹) exact sums
+    * so cross-cell reduce order cannot move the result. */
+  def entropyMi(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val clean = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(colA).as("__a"), col(colB).as("__b"))
+    val joint = clean.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__nij"))
+    val ma = clean.groupBy(col("__a")).agg(count(lit(1)).as("__ni"))
+    val mb = clean.groupBy(col("__b")).agg(count(lit(1)).as("__nj"))
+    val tot = clean.agg(count(lit(1)).as("__n"))
+    val nD = col("__n").cast(DoubleType)
+    val miTerm = (col("__nij").cast(DoubleType) / nD) *
+      log(col("__nij").cast(DoubleType) * nD /
+        (col("__ni").cast(DoubleType) * col("__nj").cast(DoubleType)))
+    val miAgg = joint.join(broadcast(ma), "__a").join(broadcast(mb), "__b")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("__n"))
+      .agg(fs(miTerm, 9).as("mi"))
+    def entropy(cnt: String): Column = {
+      val p = col(cnt).cast(DoubleType) / col("__n").cast(DoubleType)
+      fs(-p * log(p), 9)
+    }
+    val ha = ma.crossJoin(broadcast(tot)).groupBy(col("__n"))
+      .agg(count(lit(1)).as("k_a"), entropy("__ni").as("h_a"))
+    val hb = mb.crossJoin(broadcast(tot)).groupBy(col("__n"))
+      .agg(count(lit(1)).as("k_b"), entropy("__nj").as("h_b"))
+    miAgg.join(ha, "__n").join(hb, "__n")
+      .select(col("__n").as("n"), col("k_a"), col("k_b"),
+        col("h_a"), col("h_b"), col("mi"),
+        when(col("h_a") > 0.0 && col("h_b") > 0.0,
+          col("mi") / sqrt(col("h_a") * col("h_b"))).as("nmi"))
+  }
+
+  /** LJUNG-BOX portmanteau statistic over the panel [[acf]]: is the
+    * series white noise through `lags`? Q = Σ_k n_k(n_k+2)·r_k²/(n_k−k)
+    * with n_k the pair count actually observed at lag k (the panel
+    * variant — each key contributes its own lagged pairs, exactly the
+    * [[acf]] estimator the statistic is built from). Returns one row
+    * (h_lags, q_stat); the per-lag terms are one fixed IEEE op sequence
+    * floor-scaled (10⁶) and summed exactly over the O(lags) frame.
+    *
+    * Plan: the [[acf]] single-window pass + one O(lags) aggregation. */
+  def ljungBox(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+               valueCol: String, lags: Seq[Int]): DataFrame = {
+    val r = acf(df, keyCols, orderCols, valueCol, lags)
+    val nD = col("n").cast(DoubleType)
+    val term = nD * (nD + 2.0) * col("acf") * col("acf") /
+      (nD - col("lag").cast(DoubleType))
+    r.filter(col("acf").isNotNull && nD > col("lag"))
+      .agg(count(lit(1)).as("h_lags"), fs(term, 6).as("q_stat"))
+  }
+
+  /** McNEMAR's test on paired classifier correctness: given per-row
+    * booleans "was A right" / "was B right", do A and B disagree
+    * symmetrically? Returns one row (n00, n01, n10, n11, chi2) where
+    * n01 = A wrong ∧ B right, n10 = A right ∧ B wrong, and
+    * chi2 = (n01−n10)²/(n01+n10) (continuity-uncorrected; null when the
+    * discordant count is 0). One keyed-free aggregation — all counts stay
+    * integers until the single final division. */
+  def mcnemar(df: DataFrame, aCorrect: Column, bCorrect: Column)
+      : DataFrame = {
+    val a = aCorrect.cast(BooleanType)
+    val b = bCorrect.cast(BooleanType)
+    val cnt = (pa: Boolean, pb: Boolean) =>
+      sum(when(a === lit(pa) && b === lit(pb), 1L).otherwise(0L))
+    df.filter(a.isNotNull && b.isNotNull)
+      .agg(cnt(false, false).as("n00"), cnt(false, true).as("n01"),
+        cnt(true, false).as("n10"), cnt(true, true).as("n11"))
+      .select(col("n00"), col("n01"), col("n10"), col("n11"),
+        when(col("n01") + col("n10") > 0,
+          (col("n01") - col("n10")).cast(DoubleType) *
+            (col("n01") - col("n10")).cast(DoubleType) /
+            (col("n01") + col("n10")).cast(DoubleType)).as("chi2"))
+  }
 }
