@@ -2101,6 +2101,93 @@ object ExtQueries {
     // the (source × label) dependence audit on the customer table.
     "q231_entropy_mi" -> { (s, dir) =>
       Stats.entropyMi(t(s, dir, "customer"), "c_mktsegment", "c_nationkey")
+    },
+
+    // Ljung-Box portmanteau over the q150 panel ACF (lags 1–5): is the
+    // per-user value series white noise?
+    "q232_ljung_box" -> { (s, dir) =>
+      Stats.ljungBox(t(s, dir, "events"), Seq("user_id"),
+        Seq("ts", "event_id"), "value", Seq(1, 2, 3, 4, 5))
+    },
+
+    // Rolling 10-row skewness + excess kurtosis per user — the shape
+    // siblings of q11/q145's rolling mean/corr, exact-sum windows.
+    "q233_rolling_moments" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
+      t(s, dir, "events")
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .withColumn("r_skew", Rolling.rSkew(col("value"))(w))
+        .withColumn("r_kurt", Rolling.rKurt(col("value"))(w))
+        .select(col("event_id"), col("user_id"), col("r_skew"),
+          col("r_kurt"))
+        .orderBy(col("event_id"))
+    },
+
+    // RFM segmentation of customers from their orders — quintile scores
+    // via the distributed percent-rank (q200's machinery), rolled up to
+    // the segment table.
+    "q234_rfm" -> { (s, dir) =>
+      Behavior.rfm(t(s, dir, "orders"), "o_custkey", "o_orderdate",
+        "o_totalprice")
+    },
+
+    // CUPED variance-reduced A/B readout: per-user pre/post metric sums
+    // (exact decimal), pooled theta, per-cohort adjusted means.
+    "q235_cuped" -> { (s, dir) =>
+      val split = lit("2024-01-16").cast(TimestampType)
+      val z = lit(0).cast(DecimalType(38, 2))
+      val per = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(
+          coalesce(sum(when(col("ts") < split, col("value"))
+            .cast(DecimalType(38, 2))), z).cast(DoubleType).as("pre"),
+          coalesce(sum(when(col("ts") >= split, col("value"))
+            .cast(DecimalType(38, 2))), z).cast(DoubleType).as("post"))
+        .withColumn("cohort",
+          when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      Behavior.cuped(per, "cohort", "pre", "post")
+    },
+
+    // McNemar's paired test: do the quantity rule and the price rule
+    // misclassify returns symmetrically?
+    "q236_mcnemar" -> { (s, dir) =>
+      val truth = col("l_returnflag") === "R"
+      Stats.mcnemar(t(s, dir, "lineitem"),
+        (col("l_quantity") > 25) === truth,
+        (col("l_extendedprice") > 30000) === truth)
+    },
+
+    // Lorenz / concentration deciles of customer spend — "the top decile
+    // holds X% of revenue", integer cents end-to-end.
+    "q237_lorenz" -> { (s, dir) =>
+      Behavior.lorenz(t(s, dir, "orders"), "o_custkey", "o_totalprice", 10)
+    },
+
+    // Hive-partitioned parquet sink round-trip: write orders partitioned
+    // by month, read back ONE partition (the scan must prune to it —
+    // IoSpec pins the plan), aggregate. The 100 TB layout primitive.
+    "q239_partitioned_sink" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q239").toString
+      val src = t(s, dir, "orders")
+        .withColumn("o_month", month(col("o_orderdate")))
+      src.write.mode("overwrite").partitionBy("o_month")
+        .parquet(s"$tmp/orders_part")
+      s.read.parquet(s"$tmp/orders_part")
+        .filter(col("o_month") === 1)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // Z-order (Morton) clustering quality: bucket events by the top z
+    // bits over (user_id, value) cells and report each bucket's bounding
+    // box — tight boxes are what parquet min/max file stats prune on.
+    "q240_zorder" -> { (s, dir) =>
+      Layout.zorderStats(
+        t(s, dir, "events")
+          .filter(col("value").isNotNull && !isnan(col("value"))),
+        "user_id", "value", 64)
     }
   )
 
@@ -5535,6 +5622,238 @@ object ExtQueries {
          SELECT mi.n AS n, k_a, k_b, h_a, h_b, mi,
            CASE WHEN h_a > 0.0 AND h_b > 0.0
              THEN mi / sqrt(h_a * h_b) END AS nmi
-         FROM mi JOIN ha USING (n) JOIN hb USING (n)"""
+         FROM mi JOIN ha USING (n) JOIN hb USING (n)""",
+
+    // mirrors Stats.ljungBox: the q150 ACF build extended to lags 1-5,
+    // then the floor-scaled Q-term sum over the O(lags) frame.
+    "q232_ljung_box" ->
+      """WITH b AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS x
+           FROM events),
+         l AS (SELECT x, lag(x, 1) OVER w AS y1, lag(x, 2) OVER w AS y2,
+                 lag(x, 3) OVER w AS y3, lag(x, 4) OVER w AS y4,
+                 lag(x, 5) OVER w AS y5
+               FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         p AS (SELECT 1 AS lag_k, x, y1 AS y FROM l
+               UNION ALL SELECT 2, x, y2 FROM l
+               UNION ALL SELECT 3, x, y3 FROM l
+               UNION ALL SELECT 4, x, y4 FROM l
+               UNION ALL SELECT 5, x, y5 FROM l),
+         f AS (SELECT lag_k, x, y FROM p
+               WHERE x IS NOT NULL AND y IS NOT NULL
+                 AND NOT isnan(x) AND NOT isnan(y)),
+         s AS (SELECT lag_k, CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS sx,
+           CAST(SUM(CAST(FLOOR(y * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS sy,
+           CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS sxx,
+           CAST(SUM(CAST(FLOOR(y * y * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS syy,
+           CAST(SUM(CAST(FLOOR(x * y * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS sxy
+           FROM f GROUP BY 1),
+         r AS (SELECT lag_k, n,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN (n * sxy - sx * sy)
+                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+           END AS acf
+           FROM s),
+         tq AS (SELECT n * (n + 2.0) * acf * acf
+               / (n - CAST(lag_k AS DOUBLE)) AS term
+           FROM r WHERE acf IS NOT NULL AND n > CAST(lag_k AS DOUBLE))
+         SELECT CAST(COUNT(*) AS BIGINT) AS h_lags,
+           CAST(SUM(CAST(FLOOR(term * 1000000.0) AS DECIMAL(38,0)))
+             AS DOUBLE) / 1000000.0 AS q_stat
+         FROM tq""",
+
+    // mirrors Rolling.rSkew/rKurt: identical floor-scaled window sums of
+    // x..x⁴ over the same 10-row keyed frame and the identical central-
+    // moment closed forms.
+    "q233_rolling_moments" ->
+      """WITH b AS (SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value)),
+         w AS (SELECT event_id, user_id,
+             CAST(COUNT(*) OVER win AS DOUBLE) AS n,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) OVER win
+               AS DOUBLE) / 1000000.0 AS s1,
+             CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS BIGINT)) OVER win
+               AS DOUBLE) / 1000000.0 AS s2,
+             CAST(SUM(CAST(FLOOR(x * x * x * 10000.0) AS BIGINT)) OVER win
+               AS DOUBLE) / 10000.0 AS s3,
+             CAST(SUM(CAST(FLOOR(x * x * x * x * 100.0) AS BIGINT)) OVER win
+               AS DOUBLE) / 100.0 AS s4
+           FROM b WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+         m AS (SELECT event_id, user_id, n, s1 / n AS mean, s2, s3, s4
+           FROM w),
+         mm AS (SELECT event_id, user_id, n, mean, s2, s3, s4,
+             s2 / n - mean * mean AS m2
+           FROM m),
+         mo AS (SELECT event_id, user_id, n, m2,
+             s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean AS m3,
+             s4 / n - 4.0 * mean * (s3 / n)
+               + 6.0 * mean * mean * (s2 / n)
+               - 3.0 * mean * mean * mean * mean AS m4
+           FROM mm)
+         SELECT event_id, user_id,
+           CASE WHEN n > 2 AND m2 > 0.0
+             THEN m3 / sqrt(m2 * m2 * m2) END AS r_skew,
+           CASE WHEN n > 3 AND m2 > 0.0
+             THEN m4 / (m2 * m2) - 3.0 END AS r_kurt
+         FROM mo ORDER BY event_id""",
+
+    // mirrors Behavior.rfm: recency/frequency/monetary per customer,
+    // percent_rank quintile scores (the q200-equivalent SQL windows),
+    // segment roll-up.
+    "q234_rfm" ->
+      """WITH ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS r FROM orders),
+         per AS (SELECT o_custkey,
+             MIN(date_diff('day', CAST(o_orderdate AS DATE), r)) AS rec,
+             CAST(COUNT(*) AS DOUBLE) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS mon
+           FROM orders CROSS JOIN ref GROUP BY o_custkey, r),
+         sc AS (SELECT o_custkey, mon,
+             LEAST(5, CAST(FLOOR(percent_rank() OVER
+               (ORDER BY -CAST(rec AS DOUBLE)) * 5.0) AS INTEGER) + 1)
+               AS r_score,
+             LEAST(5, CAST(FLOOR(percent_rank() OVER
+               (ORDER BY freq) * 5.0) AS INTEGER) + 1) AS f_score,
+             LEAST(5, CAST(FLOOR(percent_rank() OVER
+               (ORDER BY CAST(mon AS DOUBLE)) * 5.0) AS INTEGER) + 1)
+               AS m_score
+           FROM per)
+         SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(mon) AS DOUBLE) / COUNT(*) AS avg_monetary
+         FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    // mirrors Behavior.cuped: exact-decimal per-user pre/post sums, the
+    // pooled floor-scaled moments, identical theta / adjusted-mean
+    // closed forms.
+    "q235_cuped" ->
+      """WITH per AS (SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+               THEN CAST(value AS DECIMAL(38,2)) END), 0) AS DOUBLE) AS x,
+             CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+               THEN CAST(value AS DECIMAL(38,2)) END), 0) AS DOUBLE) AS y,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g
+           FROM events GROUP BY 1),
+         pool AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sx,
+             CAST(SUM(CAST(FLOOR(y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sy,
+             CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxx,
+             CAST(SUM(CAST(FLOOR(x * y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxy,
+             CAST(SUM(CAST(FLOOR(y * y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS syy
+           FROM per),
+         fit AS (SELECT n, sx,
+             CASE WHEN n * sxx - sx * sx > 0.0
+               THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+               ELSE 0.0 END AS theta,
+             CASE WHEN n * sxx - sx * sx > 0.0 AND n * syy - sy * sy > 0.0
+               THEN 1.0 - ((n * sxy - sx * sy) / sqrt(n * sxx - sx * sx))
+                 * ((n * sxy - sx * sy) / sqrt(n * sxx - sx * sx))
+                 / (n * syy - sy * sy) END AS var_reduction
+           FROM pool),
+         pg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS gx,
+             CAST(SUM(CAST(FLOOR(y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS gy
+           FROM per GROUP BY 1)
+         SELECT g AS cohort, ng AS n,
+           gx / ng AS mean_x, gy / ng AS mean_y,
+           gy / ng - theta * (gx / ng - sx / fit.n) AS mean_y_cuped,
+           theta, var_reduction
+         FROM pg CROSS JOIN fit ORDER BY cohort""",
+
+    // mirrors Stats.mcnemar over the two returns rules: null-propagating
+    // boolean equality, integer discordant counts, one final division.
+    "q236_mcnemar" ->
+      """WITH f AS (SELECT
+             ((l_quantity > 25) = (l_returnflag = 'R')) AS a,
+             ((l_extendedprice > 30000) = (l_returnflag = 'R')) AS b
+           FROM lineitem),
+         g AS (SELECT a, b FROM f WHERE a IS NOT NULL AND b IS NOT NULL),
+         c AS (SELECT
+             CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+             CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11
+           FROM g)
+         SELECT n00, n01, n10, n11,
+           CASE WHEN n01 + n10 > 0
+             THEN CAST(n01 - n10 AS DOUBLE) * CAST(n01 - n10 AS DOUBLE)
+               / CAST(n01 + n10 AS DOUBLE) END AS chi2
+         FROM c""",
+
+    // mirrors Behavior.lorenz: integer cents per customer, percent_rank
+    // decile bands, exact integer shares with the O(buckets) cumulate.
+    "q237_lorenz" ->
+      """WITH per AS (SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) * 100 AS BIGINT)
+               AS cents
+           FROM orders GROUP BY 1),
+         sc AS (SELECT cents,
+             LEAST(10, CAST(FLOOR(percent_rank() OVER
+               (ORDER BY CAST(cents AS DOUBLE)) * 10) AS INTEGER) + 1)
+               AS bucket
+           FROM per),
+         byb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM(cents) AS BIGINT) AS amount_cents
+           FROM sc GROUP BY 1),
+         tot AS (SELECT SUM(amount_cents) AS t FROM byb),
+         cum AS (SELECT bucket, n_units, amount_cents,
+             SUM(amount_cents) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+           FROM byb)
+         SELECT bucket, n_units, amount_cents,
+           CAST(amount_cents AS DOUBLE) / CAST(t AS DOUBLE) AS share,
+           CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS cum_share
+         FROM cum CROSS JOIN tot ORDER BY bucket""",
+
+    // the q239 partition-pruned read-back equals a plain filtered
+    // aggregate over the source table.
+    "q239_partitioned_sink" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+             AS sum_price
+         FROM orders WHERE month(o_orderdate) = 1
+         GROUP BY 1 ORDER BY 1""",
+
+    // mirrors Layout.zorderStats: identical min-max 16-bit cells, the
+    // mask-shift Morton spread, prefix-bucket grouping — pure integer
+    // arithmetic end to end.
+    "q240_zorder" ->
+      """WITH f AS (SELECT user_id, CAST(value AS DOUBLE) AS v FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value)),
+         fit AS (SELECT MIN(user_id) AS xmn, MAX(user_id) AS xmx,
+             MIN(v) AS ymn, MAX(v) AS ymx FROM f),
+         cells AS (SELECT
+             CASE WHEN CAST(xmx AS DOUBLE) - CAST(xmn AS DOUBLE) > 0.0
+               THEN CAST(FLOOR((CAST(user_id AS DOUBLE)
+                 - CAST(xmn AS DOUBLE))
+                 / (CAST(xmx AS DOUBLE) - CAST(xmn AS DOUBLE)) * 65535.0)
+                 AS BIGINT)
+               ELSE 0 END AS xc,
+             CASE WHEN ymx - ymn > 0.0
+               THEN CAST(FLOOR((v - ymn) / (ymx - ymn) * 65535.0) AS BIGINT)
+               ELSE 0 END AS yc
+           FROM f CROSS JOIN fit),
+         sx AS (SELECT xc, yc,
+             (((xc | (xc << 8)) & 16711935)) AS a1,
+             (((yc | (yc << 8)) & 16711935)) AS b1
+           FROM cells),
+         s2 AS (SELECT xc, yc,
+             ((a1 | (a1 << 4)) & 252645135) AS a2,
+             ((b1 | (b1 << 4)) & 252645135) AS b2
+           FROM sx),
+         s3 AS (SELECT xc, yc,
+             ((a2 | (a2 << 2)) & 858993459) AS a3,
+             ((b2 | (b2 << 2)) & 858993459) AS b3
+           FROM s2),
+         s4 AS (SELECT xc, yc,
+             ((a3 | (a3 << 1)) & 1431655765) AS a4,
+             ((b3 | (b3 << 1)) & 1431655765) AS b4
+           FROM s3),
+         z AS (SELECT xc, yc, (a4 | (b4 << 1)) AS zv FROM s4)
+         SELECT (zv >> 26) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(xc) AS x_min, MAX(xc) AS x_max,
+           MIN(yc) AS y_min, MAX(yc) AS y_max
+         FROM z GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -581,6 +581,13 @@ object LlmQueries {
         expr("replace(replace(replace(text, ' slow ', '\n'), ' fast ', '\n'), ' window ', '\n')"))
       TextDedup.lineDedup(decorated, "doc_id", "text", minDocs = 2)
         .orderBy(col("doc_id"))
+    },
+
+    // Zipf-slope corpus health: log-log OLS over the top-500 term
+    // frequencies from the house tokenizer — natural corpora sit near
+    // slope −1; boilerplate floods flatten it.
+    "q238_zipf" -> { (s, dir) =>
+      TextStats.zipfSlope(t(s, dir, "documents"), "text", topN = 500)
     }
   )
 
@@ -1982,6 +1989,37 @@ object LlmQueries {
          SELECT sp.doc_id, CAST(len(sp.xs) AS BIGINT) AS n_lines,
            COALESCE(reb.n_lines_kept, 0) AS n_lines_kept,
            COALESCE(reb.text_dedup, '') AS text_dedup
-         FROM sp LEFT JOIN reb USING (doc_id) ORDER BY sp.doc_id"""
+         FROM sp LEFT JOIN reb USING (doc_id) ORDER BY sp.doc_id""",
+
+    // mirrors TextStats.zipfSlope: the normSql token stream, top-500
+    // terms on (count DESC, term ASC), ln-ln OLS from floor-scaled sums.
+    "q238_zipf" ->
+      s"""WITH toks AS (SELECT unnest(string_split($normSql, ' ')) AS w
+           FROM documents),
+         tc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+           WHERE len(w) > 0 GROUP BY 1),
+         top AS (SELECT w, c FROM tc ORDER BY c DESC, w ASC LIMIT 500),
+         pts AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w ASC)
+               AS DOUBLE)) AS x,
+             ln(CAST(c AS DOUBLE)) AS y
+           FROM top),
+         m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sx,
+             CAST(SUM(CAST(FLOOR(y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sy,
+             CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxx,
+             CAST(SUM(CAST(FLOOR(x * y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxy,
+             CAST(SUM(CAST(FLOOR(y * y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS syy
+           FROM pts)
+         SELECT CAST(n AS BIGINT) AS n_terms,
+           CASE WHEN n * sxx - sx * sx > 0.0
+             THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+           CASE WHEN n * sxx - sx * sx > 0.0
+             THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+               / n END AS intercept,
+           CASE WHEN n * sxx - sx * sx > 0.0 AND n * syy - sy * sy > 0.0
+             THEN ((n * sxy - sx * sy) / sqrt(n * sxx - sx * sx))
+               * ((n * sxy - sx * sy) / sqrt(n * sxx - sx * sx))
+               / (n * syy - sy * sy) END AS r2
+         FROM m"""
   )
 }

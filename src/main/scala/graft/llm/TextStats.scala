@@ -533,9 +533,11 @@ object TextStats {
     * across the top `topN` terms — natural-language corpora sit near
     * slope −1, so a far-off slope is a cheap corpus-health flag
     * (boilerplate floods flatten it, template spam steepens it).
-    * Terms are lowercased letter runs; ranks are the total order
-    * (count DESC, term ASC) so ties break deterministically. Returns one
-    * row (n_terms, slope, intercept, r2).
+    * Terms come from the house corpus tokenizer ([[TextDedup.tokens]] —
+    * whitespace-normalized lowercase words, the same stream every dedup
+    * op counts); ranks are the total order (count DESC, term ASC) so
+    * ties break deterministically. Returns one row
+    * (n_terms, slope, intercept, r2).
     *
     * Plan: one explode + keyed count over the corpus (the data-sized
     * pass), a TakeOrdered top-N (no global sort), then a row_number
@@ -545,7 +547,7 @@ object TextStats {
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val terms = df
-      .select(explode(split(lower(col(textCol)), "[^\\p{L}]+")).as("__w"))
+      .select(explode(TextDedup.tokens(col(textCol))).as("__w"))
       .filter(length(col("__w")) > 0)
       .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("__w").asc)

@@ -128,6 +128,34 @@ class PlanGuardSpec extends SparkSuite {
   test("q152 ks test: range-partitioned cumulate, no single-task sort")(
     guard("q152_ks_test", Bound))
 
+  test("q229 log-rank: at-risk windows ride the O(times) frame")(
+    guard("q229_log_rank", Bound))
+
+  test("q230 nelson-aalen: hazard cumulate over the O(times) frame")(
+    guard("q230_nelson_aalen", Bound))
+
+  test("q234 rfm: percent-rank tables, no global score window")(
+    guard("q234_rfm", Bound))
+
+  test("q237 lorenz: O(buckets) cumulate only")(
+    guard("q237_lorenz", Bound))
+
+  test("q238 zipf: OLS confined to the top-N frame")(
+    guard("q238_zipf", Bound))
+
+  test("q239 partitioned sink: read-back prunes to the filtered partition") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("q239_partitioned_sink")(spark, sfDir)
+    df.collect()
+    val scans = flatten(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    val part = scans.filter(_.relation.partitionSchema.nonEmpty)
+    assert(part.nonEmpty, "expected a scan over the hive-partitioned sink")
+    assert(part.forall(_.partitionFilters.nonEmpty),
+      "o_month = 1 must reach the scan as a PARTITION filter " +
+        "(directory pruning), not a row filter")
+  }
+
   test("q164 scd2: keyed windows only")(
     guard("q164_scd2", Bound))
 

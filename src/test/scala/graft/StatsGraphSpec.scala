@@ -816,4 +816,124 @@ class StatsGraphSpec extends SparkSuite {
     val f = Stats.brownForsythe(df, "x", "g").collect()(0).getAs[Double]("f")
     assert(f > 10.0, s"clearly unequal spreads should give large F, got $f")
   }
+
+  test("logRank: mirror-image groups give O = E exactly (chi2 = 0)") {
+    // identical survival experience in both groups → at every event time
+    // n1 = n2 and d1 = d2, so E1 = dt/2 = d1 term-for-term
+    val one = Seq((1L, 1L), (2L, 1L), (3L, 0L), (5L, 1L))
+    val df = (one.map { case (t, e) => (t, e, "even") } ++
+      one.map { case (t, e) => (t, e, "odd") }).toDF("dur", "ev", "grp")
+    val r = Stats.logRank(df, "dur", "ev", "grp", "even", "odd").collect()(0)
+    assert(r.getAs[Long]("o1") == 3L)
+    assert(r.getAs[Double]("e1") == 3.0)
+    assert(r.getAs[Double]("chi2") == 0.0)
+  }
+
+  test("logRank: censoring decrements at-risk before later event times") {
+    // even: 1(event), 4(event); odd: 2(censor), 4(event)
+    // t=1: n1=2,n2=2,d=1 → e += 1·2/4 = 0.5
+    // t=4: n1=1,n2=1,d=2 → e += 2·1/2 = 1.0 (the censor at 2 already
+    // removed odd's first subject)
+    val df = Seq((1L, 1L, "even"), (4L, 1L, "even"),
+      (2L, 0L, "odd"), (4L, 1L, "odd")).toDF("dur", "ev", "grp")
+    val r = Stats.logRank(df, "dur", "ev", "grp", "even", "odd").collect()(0)
+    assert(r.getAs[Long]("o1") == 2L)
+    assert(r.getAs[Double]("e1") == 1.5)
+  }
+
+  test("nelsonAalen: textbook hazard fold with censoring") {
+    // same sample as the KM spec: 1(e) 2(c) 3(e) 3(e) 4(c)
+    // h(1) = 1/5 = .2; h(3) = .2 + 2/3 (floor-scaled at 1e9)
+    val df = Seq((1L, 1L), (2L, 0L), (3L, 1L), (3L, 1L), (4L, 0L))
+      .toDF("dur", "ev")
+    val r = Stats.nelsonAalen(df, "dur", "ev").orderBy("t").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("t") == 1L && r(0).getAs[Long]("n_risk") == 5L)
+    assert(r(0).getAs[Double]("h") == 0.2)
+    assert(r(1).getAs[Long]("n_risk") == 3L &&
+      r(1).getAs[Long]("d_events") == 2L)
+    assert(r(1).getAs[Double]("h") == (200000000L + 666666666L) / 1e9)
+  }
+
+  test("entropyMi: independent columns → MI 0; identical columns → NMI 1") {
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("u", "v")
+    val ri = Stats.entropyMi(ind, "u", "v").collect()(0)
+    assert(ri.getAs[Double]("mi") == 0.0)
+    assert(ri.getAs[Double]("nmi") == 0.0)
+    assert(ri.getAs[Long]("k_a") == 2L && ri.getAs[Long]("k_b") == 2L)
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("u", "v")
+    val rd = Stats.entropyMi(dep, "u", "v").collect()(0)
+    assert(rd.getAs[Double]("nmi") == 1.0,
+      "a relabeling must score NMI exactly 1 (identical floored sums)")
+    assert(rd.getAs[Double]("mi") == rd.getAs[Double]("h_a"))
+  }
+
+  test("mcnemar: discordant counts and the chi-square") {
+    val rows = Seq.fill(3)((true, true)) ++ Seq.fill(2)((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(4)((false, false))
+    val df = rows.toDF("a", "b")
+    val r = Stats.mcnemar(df, col("a"), col("b")).collect()(0)
+    assert(r.getAs[Long]("n11") == 3L && r.getAs[Long]("n10") == 2L)
+    assert(r.getAs[Long]("n01") == 1L && r.getAs[Long]("n00") == 4L)
+    assert(r.getAs[Double]("chi2") == 1.0 / 3.0)
+  }
+
+  test("ljungBox: white-noise-scale Q from the panel ACF") {
+    // one key, a short deterministic series; just pin shape + bounds:
+    // every lag with n > lag contributes, Q ≥ 0
+    val xs = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 7.0, 6.0, 9.0, 8.0, 11.0)
+    val df = xs.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("k", "pos", "x")
+    val r = Stats.ljungBox(df, Seq("k"), Seq("pos"), "x", Seq(1, 2, 3))
+      .collect()(0)
+    assert(r.getAs[Long]("h_lags") == 3L)
+    assert(r.getAs[Double]("q_stat") >= 0.0)
+  }
+
+  test("cuped: perfectly correlated covariate removes all variance") {
+    val users = (1 to 40).map { i =>
+      val x = (i % 7).toDouble + 1.0
+      (if (i % 2 == 0) "A" else "B", x, 2.0 * x)
+    }.toDF("cohort", "pre", "post")
+    val r = Behavior.cuped(users, "cohort", "pre", "post")
+      .orderBy("cohort").collect()
+    assert(r.length == 2)
+    val theta = r(0).getAs[Double]("theta")
+    assert(math.abs(theta - 2.0) < 1e-6, s"theta should fit y=2x, got $theta")
+    assert(math.abs(r(0).getAs[Double]("var_reduction")) < 1e-6,
+      "y = 2x leaves ~no residual variance")
+    // adjusted means collapse to the pooled mean on both cohorts
+    val adj = r.map(_.getAs[Double]("mean_y_cuped"))
+    assert(math.abs(adj(0) - adj(1)) < 1e-5)
+  }
+
+  test("rfm: the dominant customer lands in the (5,5,5) segment") {
+    val orders = (1 to 5).flatMap { c =>
+      (1 to c).map(j => (c.toLong, f"2024-01-${c}%02d", 10.0 * c))
+    }.toDF("cust", "d", "amt")
+      .withColumn("d", col("d").cast("date"))
+    val segs = Behavior.rfm(orders, "cust", "d", "amt").collect()
+    assert(segs.map(_.getAs[Long]("n_customers")).sum == 5L)
+    val top = segs.find(r => r.getAs[Int]("r_score") == 5 &&
+      r.getAs[Int]("f_score") == 5 && r.getAs[Int]("m_score") == 5)
+    assert(top.isDefined, "customer 5 (latest, most orders, biggest spend)")
+    assert(top.get.getAs[Long]("n_customers") == 1L)
+    val bottom = segs.find(r => r.getAs[Int]("r_score") == 1 &&
+      r.getAs[Int]("f_score") == 1 && r.getAs[Int]("m_score") == 1)
+    assert(bottom.isDefined, "customer 1 is worst on all three axes")
+  }
+
+  test("lorenz: concentration shares are exact integer ratios") {
+    val df = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 97.0))
+      .toDF("u", "amt")
+    val r = Behavior.lorenz(df, "u", "amt", buckets = 4).collect()
+    assert(r.length == 2, "ties share a band; only bands 1 and 4 fill")
+    assert(r(0).getAs[Int]("bucket") == 1 && r(0).getAs[Long]("n_units") == 3L)
+    assert(r(0).getAs[Double]("share") == 0.03)
+    assert(r(1).getAs[Int]("bucket") == 4)
+    assert(r(1).getAs[Double]("share") == 0.97)
+    assert(r(1).getAs[Double]("cum_share") == 1.0)
+  }
 }
