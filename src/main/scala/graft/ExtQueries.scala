@@ -2188,6 +2188,73 @@ object ExtQueries {
         t(s, dir, "events")
           .filter(col("value").isNotNull && !isnan(col("value"))),
         "user_id", "value", 64)
+    },
+
+    // Schema evolution: two parquet batches with DIFFERENT schemas (an
+    // added column, a dropped one) merged on read — the long-lived-table
+    // reality every 100 TB lake hits. mergeSchema unions the fields;
+    // missing columns surface as nulls, audited per batch.
+    "q241_schema_evolution" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q241").toString
+      val c = t(s, dir, "customer")
+      c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_acctbal"), lit(1).as("src"))
+        .write.mode("overwrite").parquet(s"$tmp/b1")
+      c.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_mktsegment"), lit(2).as("src"))
+        .write.mode("overwrite").parquet(s"$tmp/b2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$tmp/b1", s"$tmp/b2")
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n"),
+          count(col("c_acctbal")).as("n_bal"),
+          count(col("c_mktsegment")).as("n_seg"),
+          dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("src"))
+    },
+
+    // Small-file compaction: 50 tiny shuffled files rewritten into 4
+    // range-partitioned, internally sorted ones (IoSpec pins the file
+    // count and the per-file key ranges); values must survive untouched.
+    "q242_compaction" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q242").toString
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      ev.repartition(50).write.mode("overwrite").parquet(s"$tmp/small")
+      val compacted = Layout.compact(s.read.parquet(s"$tmp/small"), 4,
+        Seq("user_id", "event_id"))
+      compacted.write.mode("overwrite").parquet(s"$tmp/compacted")
+      s.read.parquet(s"$tmp/compacted")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    },
+
+    // Dynamic partition pruning: month-partitioned orders joined to a
+    // tiny quarter dim filtered to Q1 — the runtime filter must prune the
+    // fact scan to 3 of 12 partitions (PlanGuardSpec pins the
+    // dynamicpruning subquery in the executed plan).
+    "q243_dpp" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q243").toString
+      t(s, dir, "orders")
+        .withColumn("o_month", month(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_month")
+        .parquet(s"$tmp/orders_part")
+      // the dim must be a REAL source (not a folded LocalRelation) or
+      // the DPP rule sees no selective predicate to reuse
+      (1 to 12).map(m => (m, s"Q${(m - 1) / 3 + 1}"))
+        .toDF("m_month", "m_quarter")
+        .write.mode("overwrite").parquet(s"$tmp/quarters")
+      val quarters = s.read.parquet(s"$tmp/quarters")
+      s.read.parquet(s"$tmp/orders_part")
+        .join(quarters.filter(col("m_quarter") === "Q1"),
+          col("o_month") === col("m_month"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
     }
   )
 
@@ -5854,6 +5921,37 @@ object ExtQueries {
          SELECT (zv >> 26) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
            MIN(xc) AS x_min, MAX(xc) AS x_max,
            MIN(yc) AS y_min, MAX(yc) AS y_max
-         FROM z GROUP BY 1 ORDER BY 1"""
+         FROM z GROUP BY 1 ORDER BY 1""",
+
+    // the merged-schema read-back equals the per-branch audit computed
+    // from the source table directly.
+    "q241_schema_evolution" ->
+      """WITH u AS (
+           SELECT c_custkey, c_acctbal, NULL AS c_mktsegment, 1 AS src
+             FROM customer WHERE c_custkey % 2 = 0
+           UNION ALL
+           SELECT c_custkey, NULL, c_mktsegment, 2 AS src
+             FROM customer WHERE c_custkey % 2 = 1)
+         SELECT src, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(c_acctbal) AS BIGINT) AS n_bal,
+           CAST(COUNT(c_mktsegment) AS BIGINT) AS n_seg,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS sum_bal
+         FROM u GROUP BY 1 ORDER BY 1""",
+
+    // compaction must not change a single value: the round-tripped
+    // aggregate equals the direct one.
+    "q242_compaction" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    // the DPP-pruned fact join equals a plain Q1-months filter.
+    "q243_dpp" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+             AS sum_price
+         FROM orders WHERE month(o_orderdate) IN (1, 2, 3)
+         GROUP BY 1 ORDER BY 1"""
   )
 }

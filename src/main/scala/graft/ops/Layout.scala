@@ -76,6 +76,17 @@ object Layout {
       .repartitionByRange(files, col("z"))
       .sortWithinPartitions(col("z"))
 
+  /** SMALL-FILE COMPACTION shape: rewrite a frame into `files`
+    * range-partitioned, internally sorted output partitions — the
+    * OPTIMIZE/compact action that turns a shower of tiny files (the
+    * classic streaming-ingest pathology; at 100 TB, file-count pressure
+    * on the metastore/driver is as real as data size) into few
+    * fat, sorted, min/max-prunable ones. One range shuffle, no driver
+    * involvement; pair with `.write` at the call site. */
+  def compact(df: DataFrame, files: Int, sortCols: Seq[String]): DataFrame =
+    df.repartitionByRange(files, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+
   /** CLUSTERING QUALITY table for a z-order layout: bucket rows by the
     * top `log2(buckets)` z bits (bucket = z >> (32 − log₂ buckets) — the
     * prefix ranges a range-partitioner would cut) and report each

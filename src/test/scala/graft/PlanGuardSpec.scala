@@ -143,6 +143,39 @@ class PlanGuardSpec extends SparkSuite {
   test("q238 zipf: OLS confined to the top-N frame")(
     guard("q238_zipf", Bound))
 
+  test("compact: exact file count and disjoint sort-key ranges") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val ev = Tables.t(spark, sfDir, "events").select("event_id", "user_id")
+    ev.repartition(20).write.parquet(s"$tmp/small")
+    graft.ops.Layout.compact(spark.read.parquet(s"$tmp/small"), 3,
+      Seq("user_id", "event_id")).write.parquet(s"$tmp/out")
+    val files = new java.io.File(s"$tmp/out").listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 3, s"expected 3 compacted files, got ${files.length}")
+    // each file covers a contiguous user_id range — that's what makes
+    // min/max file stats prunable after compaction
+    val ranges = files.toSeq.map { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(min(col("user_id")), max(col("user_id"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"file ranges overlap: $ranges")
+      case _ =>
+    }
+  }
+
+  test("q243 dpp: runtime partition pruning reaches the fact scan") {
+    val df = SparkEntry.queries("q243_dpp")(spark, sfDir)
+    df.collect()
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.toLowerCase.contains("dynamicpruning"),
+      "expected a dynamicpruningexpression partition filter on the " +
+        "month-partitioned scan (DPP off = full 12-partition read)")
+  }
+
   test("q239 partitioned sink: read-back prunes to the filtered partition") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val df = SparkEntry.queries("q239_partitioned_sink")(spark, sfDir)
