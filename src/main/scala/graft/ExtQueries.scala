@@ -2255,6 +2255,56 @@ object ExtQueries {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // Isotonic (PAV) calibration of the q168 reliability table: monotone
+    // probability fit via the minimax closed form over the decile frame.
+    "q244_isotonic" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("label", when(col("lang") === "en", 1L).otherwise(0L))
+      graft.ops.Ml.isotonicCalibration(docs, "n_chars", "label", 10)
+    },
+
+    // Mann-Kendall trend test on monthly revenue (exact integer cents):
+    // the nonparametric sibling of q181's Theil-Sen slope.
+    "q245_mann_kendall" -> { (s, dir) =>
+      val monthly = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(38, 2))) * 100)
+          .cast(LongType).as("cents"))
+      Stats.mannKendall(monthly, "m", "cents")
+    },
+
+    // Cochran-Mantel-Haenszel: does even-custkey exposure associate with
+    // 'F' status AFTER stratifying by order priority?
+    "q246_cmh" -> { (s, dir) =>
+      Stats.cmh(t(s, dir, "orders"), "o_orderpriority",
+        col("o_custkey") % 2 === 0, col("o_orderstatus") === "F")
+    },
+
+    // Sketch-partial persistence: per-day KMV user sketches written to
+    // parquet, merged MONTHS later without rescanning history — the
+    // incremental COUNT DISTINCT (q203's pattern for a non-associative
+    // aggregate made associative by the sketch). Oracle replays the
+    // portable bottom-k estimate exactly.
+    "q247_sketch_persist" -> { (s, dir) =>
+      graft.functions.Kmv.register(s)
+      val k = 256
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q247").toString
+      t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"),
+          graft.llm.TextDedup.h60(col("user_id").cast(StringType)).as("h"))
+        .groupBy(col("day")).agg(expr(s"kmv_sketch(h, $k)").as("sk"))
+        .write.mode("overwrite").parquet(s"$tmp/daily")
+      val daily = s.read.parquet(s"$tmp/daily")
+      val merged = daily.select(explode(col("sk")).as("h")).distinct()
+        .orderBy(col("h")).limit(k)
+        .collect().map(_.getLong(0))
+      val exact = t(s, dir, "events")
+        .agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+      import s.implicits._
+      Seq((daily.count(), graft.functions.Kmv.estimate(merged, k), exact))
+        .toDF("n_days", "est_users", "exact_users")
     }
   )
 
@@ -5952,6 +6002,135 @@ object ExtQueries {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
              AS sum_price
          FROM orders WHERE month(o_orderdate) IN (1, 2, 3)
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+
+    // mirrors Ml.isotonicCalibration: the q168 decile table, then PAV by
+    // the minimax closed form — segment rates from exact prefix-sum
+    // diffs, MIN/MAX over identical doubles.
+    "q244_isotonic" -> {
+      val cutDefs = (1 to 9).map(i =>
+        s"quantile_cont(CAST(n_chars AS DOUBLE), 0.$i) AS c$i")
+        .mkString(",\n           ")
+      val binExpr = (1 to 9).map(i =>
+        s"(CASE WHEN CAST(n_chars AS DOUBLE) > c$i THEN 1 ELSE 0 END)")
+        .mkString("\n             + ")
+      s"""WITH c AS (SELECT
+           $cutDefs
+         FROM documents),
+         b AS (SELECT CAST(n_chars AS DOUBLE) AS x,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+           1 + $binExpr AS bin
+         FROM documents, c),
+         t AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE)
+             / 1000000.0 / COUNT(*) AS mean_score,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           CAST(SUM(label) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_pos
+         FROM b GROUP BY 1),
+         pre AS (SELECT bin, n, n_pos,
+             SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cn,
+             SUM(n_pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cp
+           FROM t),
+         segs AS (SELECT j.bin AS jb, q.bin AS kb,
+             CAST(q.cp - (j.cp - j.n_pos) AS DOUBLE)
+               / CAST(q.cn - (j.cn - j.n) AS DOUBLE) AS a
+           FROM pre j JOIN pre q ON j.bin <= q.bin),
+         mn AS (SELECT i.bin AS i, s.jb, MIN(s.a) AS mn
+           FROM pre i JOIN segs s ON s.jb <= i.bin AND i.bin <= s.kb
+           GROUP BY 1, 2),
+         iso AS (SELECT i, MAX(mn) AS iso_prob FROM mn GROUP BY 1)
+         SELECT t.bin, t.n, t.mean_score, t.frac_pos, iso.iso_prob
+         FROM t JOIN iso ON iso.i = t.bin ORDER BY t.bin"""
+    },
+
+    // mirrors Stats.mannKendall over monthly integer cents: exact sign
+    // sums over the bounded pair frame, tie-corrected variance, the
+    // identical continuity-corrected z.
+    "q245_mann_kendall" ->
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS mt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) * 100 AS BIGINT)
+               AS cents
+           FROM orders GROUP BY 1),
+         sg AS (SELECT CAST(COALESCE(SUM(CASE WHEN b.cents > a.cents THEN 1
+               WHEN b.cents < a.cents THEN -1 ELSE 0 END), 0) AS BIGINT) AS s
+           FROM m a JOIN m b ON a.mt < b.mt),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM m),
+         tt AS (SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tt
+           FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM m
+             GROUP BY cents)),
+         f AS (SELECT n, s,
+             (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+               * (2.0 * CAST(n AS DOUBLE) + 5.0) - CAST(tt AS DOUBLE))
+               / 18.0 AS var_s
+           FROM nn CROSS JOIN sg CROSS JOIN tt)
+         SELECT n, s, var_s,
+           CASE WHEN var_s > 0.0 THEN
+             CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var_s)
+                  WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var_s)
+                  ELSE 0.0 END
+           END AS z
+         FROM f""",
+
+    // mirrors Stats.cmh: per-stratum integer margins, identical E/V
+    // term sequences floor-scaled and summed exactly.
+    "q246_cmh" ->
+      """WITH per AS (SELECT o_orderpriority AS s,
+             CAST(SUM(CASE WHEN o_custkey % 2 = 0 AND o_orderstatus = 'F'
+               THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS r1,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+         f AS (SELECT * FROM per WHERE n > 1),
+         terms AS (SELECT
+             CAST(a AS DOUBLE)
+               - CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)
+               AS et,
+             CAST(r1 AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(r1 AS DOUBLE))
+               * CAST(c1 AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(c1 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 * (CAST(n AS DOUBLE) - 1.0)) AS vt
+           FROM f),
+         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_strata,
+             CAST(SUM(CAST(FLOOR(et * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS o_minus_e,
+             CAST(SUM(CAST(FLOOR(vt * 1000000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000000.0 AS v
+           FROM terms)
+         SELECT k_strata, o_minus_e, v,
+           CASE WHEN v > 0.0 THEN o_minus_e * o_minus_e / v END AS chi2
+         FROM agg""",
+
+    // mirrors q247's persisted-sketch merge: per-day bottom-k (the q62
+    // portable KMV), distinct union re-bottom-k, identical estimate.
+    "q247_sketch_persist" ->
+      """WITH hs AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h
+           FROM events),
+         ranked AS (SELECT day, h,
+             row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+           FROM hs),
+         kept AS (SELECT day, h FROM ranked WHERE rn <= 256),
+         days AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+           FROM kept),
+         uh AS (SELECT DISTINCT h FROM kept),
+         ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+             COUNT(*) OVER () AS cnt
+           FROM uh),
+         est AS (SELECT CASE WHEN max(cnt) < 256
+             THEN CAST(max(cnt) AS DOUBLE)
+             ELSE 255.0 * pow(2.0, 60)
+               / CAST(max(CASE WHEN rn = 256 THEN h END) AS DOUBLE) END
+               AS est_users
+           FROM ur WHERE rn <= 256),
+         ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+             AS exact_users FROM events)
+         SELECT n_days, est_users, exact_users
+         FROM days CROSS JOIN est CROSS JOIN ex"""
   )
 }

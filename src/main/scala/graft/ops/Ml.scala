@@ -226,6 +226,49 @@ object Ml {
       .orderBy(col("bin"))
   }
 
+  /** ISOTONIC CALIBRATION over the [[calibrationBins]] reliability table:
+    * the pool-adjacent-violators fit computed by its minimax closed form
+    * f(i) = max_{j≤i} min_{k≥i} Ā(j,k), with Ā(j,k) the positive rate of
+    * bins j..k pooled — the standard monotone probability calibrator
+    * (Zadrozny & Elkan 2002), no iteration needed. Returns one row per
+    * bin: (bin, n, mean_score, frac_pos, iso_prob) with iso_prob
+    * non-decreasing in bin.
+    *
+    * Plan: the data-sized work is all inside [[calibrationBins]]; the PAV
+    * itself runs on the O(k²) segment frame (k = 10 deciles → 55 rows).
+    * Segment rates come from prefix-sum DIFFS, so numerators/denominators
+    * stay exact integers until one division — the whole table replays
+    * bit-exactly in SQL (min/max over identical doubles is
+    * order-independent). */
+  def isotonicCalibration(df: DataFrame, scoreCol: String, labelCol: String,
+                          k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = calibrationBins(df, scoreCol, labelCol, k)
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins.select(col("bin"), col("n"), col("n_pos"))
+      .withColumn("__cn", sum(col("n")).over(wCum))
+      .withColumn("__cp", sum(col("n_pos")).over(wCum))
+    val js = pre.select(col("bin").as("__jb"),
+      (col("__cn") - col("n")).as("__cnj"),
+      (col("__cp") - col("n_pos")).as("__cpj"))
+    val ks = pre.select(col("bin").as("__kb"), col("__cn").as("__cnk"),
+      col("__cp").as("__cpk"))
+    val segs = js.join(ks, col("__jb") <= col("__kb"))
+      .select(col("__jb"), col("__kb"),
+        ((col("__cpk") - col("__cpj")).cast(DoubleType) /
+          (col("__cnk") - col("__cnj")).cast(DoubleType)).as("__a"))
+    val ids = pre.select(col("bin").as("__i"))
+    val iso = segs
+      .join(ids, col("__jb") <= col("__i") && col("__i") <= col("__kb"))
+      .groupBy(col("__i"), col("__jb")).agg(min(col("__a")).as("__mn"))
+      .groupBy(col("__i")).agg(max(col("__mn")).as("iso_prob"))
+    bins.join(iso, bins("bin") === iso("__i"))
+      .select(col("bin"), col("n"), col("mean_score"), col("frac_pos"),
+        col("iso_prob"))
+      .orderBy(col("bin"))
+  }
+
   /** Per-group winsorize: [[winsorize]]'s clip with PER-GROUP percentile
     * cutoffs from [[graft.ops.Reductions.groupQuantiles]] (no percentile
     * agg buffer, no per-group sort window) broadcast-joined back. Nulls

@@ -993,6 +993,74 @@ object Stats {
       .agg(count(lit(1)).as("h_lags"), fs(term, 6).as("q_stat"))
   }
 
+  /** MANN-KENDALL trend test over an AGGREGATED series frame (monthly /
+    * daily rollups — the caller reduces the data first; this runs on the
+    * O(m) result, m bounded by the calendar, so the O(m²) pair frame is
+    * bounded by construction). `valueCol` must be an exact integer metric
+    * (cents, counts) so sign comparisons are tie-exact. Returns one row
+    * (n, s, var_s, z): S = Σ_{j<k} sign(v_k − v_j), the tie-corrected
+    * variance, and the continuity-corrected normal score. Everything is
+    * integer until the final two-op division. */
+  def mannKendall(df: DataFrame, orderCol: String, valueCol: String)
+      : DataFrame = {
+    val a = df.select(col(orderCol).as("__t1"),
+      col(valueCol).cast(LongType).as("__v1"))
+    val b = df.select(col(orderCol).as("__t2"),
+      col(valueCol).cast(LongType).as("__v2"))
+    val sAgg = a.join(b, col("__t1") < col("__t2"))
+      .agg(sum(signum(col("__v2") - col("__v1")).cast(LongType)).as("s"))
+    val nAgg = a.agg(count(lit(1)).as("n"))
+    val tieAgg = a.groupBy(col("__v1")).agg(count(lit(1)).as("__t"))
+      .agg(coalesce(sum(col("__t") * (col("__t") - 1) *
+        (lit(2) * col("__t") + 5)), lit(0L)).as("__tt"))
+    val nD = col("n").cast(DoubleType)
+    val varS = (nD * (nD - 1.0) * (lit(2.0) * nD + 5.0) -
+      col("__tt").cast(DoubleType)) / lit(18.0)
+    nAgg.crossJoin(sAgg).crossJoin(tieAgg)
+      .select(col("n"), col("s"), varS.as("var_s"),
+        when(varS > 0.0,
+          when(col("s") > 0, (col("s").cast(DoubleType) - 1.0) / sqrt(varS))
+            .when(col("s") < 0,
+              (col("s").cast(DoubleType) + 1.0) / sqrt(varS))
+            .otherwise(lit(0.0))).as("z"))
+  }
+
+  /** COCHRAN-MANTEL-HAENSZEL test for a 2×2 association ACROSS strata
+    * (the Simpson's-paradox-proof A/B readout: does exposure associate
+    * with outcome after stratifying?). Returns one row
+    * (k_strata, o_minus_e, v, chi2) with
+    * χ² = (Σ(aᵢ − E aᵢ))² / Σ Vᵢ (continuity-uncorrected).
+    *
+    * Plan: ONE keyed aggregation builds each stratum's four integer
+    * margins; per-stratum E/V terms are a fixed IEEE sequence
+    * floor-scaled (10⁶/10⁹) and summed exactly over the O(strata)
+    * frame. Strata with a single subject (n ≤ 1) drop out, as in the
+    * standard definition. */
+  def cmh(df: DataFrame, stratumCol: String, exposure: Column,
+          outcome: Column): DataFrame = {
+    val e = exposure.cast(BooleanType)
+    val o = outcome.cast(BooleanType)
+    val per = df
+      .filter(col(stratumCol).isNotNull && e.isNotNull && o.isNotNull)
+      .groupBy(col(stratumCol).as("__s"))
+      .agg(sum(when(e && o, 1L).otherwise(0L)).as("__a"),
+        sum(when(e, 1L).otherwise(0L)).as("__r1"),
+        sum(when(o, 1L).otherwise(0L)).as("__c1"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+    val nt = col("__n").cast(DoubleType)
+    val r1 = col("__r1").cast(DoubleType)
+    val c1 = col("__c1").cast(DoubleType)
+    val eTerm = col("__a").cast(DoubleType) - r1 * c1 / nt
+    val vTerm = r1 * (nt - r1) * c1 * (nt - c1) /
+      (nt * nt * (nt - 1.0))
+    per.agg(count(lit(1)).as("k_strata"),
+        fs(eTerm, 6).as("o_minus_e"), fs(vTerm, 9).as("v"))
+      .select(col("k_strata"), col("o_minus_e"), col("v"),
+        when(col("v") > 0.0,
+          col("o_minus_e") * col("o_minus_e") / col("v")).as("chi2"))
+  }
+
   /** McNEMAR's test on paired classifier correctness: given per-row
     * booleans "was A right" / "was B right", do A and B disagree
     * symmetrically? Returns one row (n00, n01, n10, n11, chi2) where

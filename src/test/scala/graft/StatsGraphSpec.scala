@@ -925,6 +925,59 @@ class StatsGraphSpec extends SparkSuite {
     assert(bottom.isDefined, "customer 1 is worst on all three axes")
   }
 
+  test("isotonic calibration: monotone fit that preserves total positives") {
+    // one spiked decile (scores 41..50 all positive) forces PAV pooling
+    val rows = (1 to 100).map(i =>
+      (i.toDouble, if (i > 40 && i <= 50) 1L else 0L))
+    val df = rows.toDF("score", "label")
+    val r = Ml.isotonicCalibration(df, "score", "label", 10)
+      .orderBy("bin").collect()
+    val iso = r.map(_.getAs[Double]("iso_prob"))
+    iso.sliding(2).foreach { case Array(a, b) =>
+      assert(a <= b, s"iso_prob must be non-decreasing: ${iso.toSeq}")
+    }
+    // the projection property: pooled blocks preserve the positive mass
+    val fitted = r.map(x => x.getAs[Long]("n") * x.getAs[Double]("iso_prob")).sum
+    assert(math.abs(fitted - 10.0) < 1e-9,
+      s"PAV must preserve total positives, got $fitted")
+    // the spike was pooled down: no bin may keep the raw 1.0 rate
+    assert(iso.max < 1.0)
+  }
+
+  test("mannKendall: monotone series gives S = ±maxPairs") {
+    val up = Seq((1, 10L), (2, 20L), (3, 30L)).toDF("t", "v")
+    val r = Stats.mannKendall(up, "t", "v").collect()(0)
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("s") == 3L)
+    val varS = (3.0 * 2.0 * 11.0 - 0.0) / 18.0
+    assert(r.getAs[Double]("var_s") == varS)
+    assert(r.getAs[Double]("z") == 2.0 / math.sqrt(varS))
+    val down = Seq((1, 30L), (2, 20L), (3, 10L)).toDF("t", "v")
+    assert(Stats.mannKendall(down, "t", "v").collect()(0)
+      .getAs[Long]("s") == -3L)
+  }
+
+  test("mannKendall: ties reduce the variance via the correction term") {
+    val tied = Seq((1, 10L), (2, 10L), (3, 20L)).toDF("t", "v")
+    val r = Stats.mannKendall(tied, "t", "v").collect()(0)
+    assert(r.getAs[Long]("s") == 2L) // one tied pair contributes 0
+    // tt = 2·1·9 = 18 → var = (66 − 18)/18
+    assert(r.getAs[Double]("var_s") == (66.0 - 18.0) / 18.0)
+  }
+
+  test("cmh: independence within every stratum gives chi2 = 0") {
+    // each stratum: perfectly balanced 2×2 (a = r1·c1/n exactly)
+    val rows = for {
+      s <- Seq("hi", "lo"); e <- Seq(true, false); o <- Seq(true, false)
+      _ <- 1 to 5
+    } yield (s, e, o)
+    val df = rows.toDF("stratum", "e", "o")
+    val r = Stats.cmh(df, "stratum", col("e"), col("o")).collect()(0)
+    assert(r.getAs[Long]("k_strata") == 2L)
+    assert(r.getAs[Double]("o_minus_e") == 0.0)
+    assert(r.getAs[Double]("v") > 0.0)
+    assert(r.getAs[Double]("chi2") == 0.0)
+  }
+
   test("lorenz: concentration shares are exact integer ratios") {
     val df = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 97.0))
       .toDF("u", "amt")
