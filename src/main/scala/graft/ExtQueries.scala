@@ -2305,6 +2305,38 @@ object ExtQueries {
       import s.implicits._
       Seq((daily.count(), graft.functions.Kmv.estimate(merged, k), exact))
         .toDF("n_days", "est_users", "exact_users")
+    },
+
+    // Hill tail-index of the customer order-count distribution — the
+    // power-law / heavy-tail audit (degree distributions, doc lengths).
+    "q249_power_law" -> { (s, dir) =>
+      val deg = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("degree"))
+      Stats.hillTailIndex(deg, "degree", 3L)
+    },
+
+    // Point-in-time feature join (the feature-store materialization):
+    // each event enriched with the user's LATEST order strictly at or
+    // before the event — no leakage from the future. Keyed as-of join
+    // against the per-(customer, day) latest-order frame.
+    "q250_pit_features" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val od = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("__m"))
+        .select(col("o_custkey"), col("o_orderdate"),
+          col("__m.o_orderkey").as("last_orderkey"),
+          col("__m.o_totalprice").as("last_total"))
+      Joins.asofJoin(ev, od, "ts", "o_orderdate",
+          Seq(("user_id", "o_custkey")), Joins.Backward,
+          allowExactMatch = true)
+        .select(col("event_id"), col("user_id"), col("last_orderkey"),
+          datediff(col("ts").cast(DateType),
+            col("o_orderdate").cast(DateType)).cast(LongType)
+            .as("days_since"),
+          col("last_total"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -6131,6 +6163,36 @@ object ExtQueries {
          ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
              AS exact_users FROM events)
          SELECT n_days, est_users, exact_users
-         FROM days CROSS JOIN est CROSS JOIN ex"""
+         FROM days CROSS JOIN est CROSS JOIN ex""",
+
+    // mirrors Stats.hillTailIndex over the order-count degrees.
+    "q249_power_law" ->
+      """WITH d AS (SELECT CAST(COUNT(*) AS DOUBLE) AS x FROM orders
+           GROUP BY o_custkey),
+         t AS (SELECT x FROM d WHERE x >= 3.0),
+         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+             CAST(SUM(CAST(FLOOR(ln(x / 3.0) * 1000000000.0)
+               AS DECIMAL(38,0))) AS DOUBLE) / 1000000000.0 AS s
+           FROM t)
+         SELECT n_tail, CAST(3 AS BIGINT) AS x_min,
+           CASE WHEN s > 0.0
+             THEN 1.0 + CAST(n_tail AS DOUBLE) / s END AS alpha
+         FROM agg""",
+
+    // mirrors q250 with DuckDB's native ASOF join over the identical
+    // per-(customer, day) latest-order frame (arg_max on the unique
+    // order key = the struct-max pick).
+    "q250_pit_features" ->
+      """WITH od AS (SELECT o_custkey, o_orderdate,
+             arg_max(o_orderkey, o_orderkey) AS last_orderkey,
+             arg_max(o_totalprice, o_orderkey) AS last_total
+           FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, od.last_orderkey,
+           CAST(date_diff('day', CAST(od.o_orderdate AS DATE),
+             CAST(e.ts AS DATE)) AS BIGINT) AS days_since,
+           od.last_total
+         FROM events e ASOF LEFT JOIN od
+           ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+         ORDER BY e.event_id"""
   )
 }

@@ -588,6 +588,40 @@ object LlmQueries {
     // slope −1; boilerplate floods flatten it.
     "q238_zipf" -> { (s, dir) =>
       TextStats.zipfSlope(t(s, dir, "documents"), "text", topN = 500)
+    },
+
+    // Embedding-dimension ablation (the Matryoshka question): how much
+    // of the exact top-10 survives truncating 64 dims to the first 16?
+    // recall@k per query from two brute-force rankings.
+    "q248_dim_truncation" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val trunc = emb.withColumn("embedding", slice(col("embedding"), 1, 16))
+      val full = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5),
+        emb, 10)
+      val cut = Similarity.bruteForceTopK(trunc.filter(col("vec_id") < 5),
+        trunc, 10)
+      full.select(col("query_id"), col("corpus_id"))
+        .join(cut.select(col("query_id"), col("corpus_id"),
+          lit(1L).as("__hit")), Seq("query_id", "corpus_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          coalesce(sum(col("__hit")), lit(0L)).as("overlap"),
+          (coalesce(sum(col("__hit")), lit(0L)).cast(DoubleType) /
+            count(lit(1))).as("recall_at_k"))
+        .orderBy(col("query_id"))
+    },
+
+    // URL canonicalization dedup: the crawl-curation kernel (fragment /
+    // query-string / scheme+host case / trailing slash), per-host dup
+    // recovery report. URLs are decorated deterministically from the
+    // documents table (the corpus carries none) — the q133 policy.
+    "q251_url_canonical" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").withColumn("url",
+        concat(lit("HTTPS://"), upper(col("source")), lit(".Example.COM/Page/"),
+          (col("doc_id") % 50).cast(StringType),
+          when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source="), col("lang"), lit("#sec")))
+      TextStats.urlDedupReport(docs, "url")
     }
   )
 
@@ -2020,6 +2054,69 @@ object LlmQueries {
              THEN ((n * sxy - sx * sy) / sqrt(n * sxx - sx * sx))
                * ((n * sxy - sx * sy) / sqrt(n * sxx - sx * sx))
                / (n * syy - sy * sy) END AS r2
-         FROM m"""
+         FROM m""",
+
+    // mirrors q248: the q31 exact-cosine machinery at 64 and at 16 dims,
+    // rank ≤ 10, then the per-query recall join.
+    "q248_dim_truncation" -> {
+      def topk(dims: Int, alias: String) =
+        s"""${alias}n AS (
+           SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR(
+             CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE) * 1e12)
+             AS DECIMAL(30,0))) AS DOUBLE) / 1e12) AS nrm
+           FROM embeddings CROSS JOIN range(0, $dims) t(i) GROUP BY 1),
+         ${alias}d AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             CAST(SUM(CAST(FLOOR(
+               CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE) * 1e12)
+               AS DECIMAL(30,0))) AS DOUBLE) / 1e12 AS dot
+           FROM embeddings q
+           CROSS JOIN embeddings c
+           CROSS JOIN range(0, $dims) t(i)
+           WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         ${alias}s AS (
+           SELECT query_id, corpus_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dot / (nq.nrm * nc.nrm) DESC, corpus_id ASC) AS rank
+           FROM ${alias}d
+           JOIN ${alias}n nq ON nq.vec_id = query_id
+           JOIN ${alias}n nc ON nc.vec_id = corpus_id),
+         ${alias}k AS (SELECT query_id, corpus_id FROM ${alias}s
+           WHERE rank <= 10)"""
+      s"""WITH ${topk(64, "f")},
+         ${topk(16, "t")}
+         SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COALESCE(SUM(CASE WHEN t.corpus_id IS NOT NULL
+             THEN 1 ELSE 0 END), 0) AS BIGINT) AS overlap,
+           CAST(COALESCE(SUM(CASE WHEN t.corpus_id IS NOT NULL
+             THEN 1 ELSE 0 END), 0) AS DOUBLE) / CAST(COUNT(*) AS BIGINT)
+             AS recall_at_k
+         FROM fk f LEFT JOIN tk t
+           ON t.query_id = f.query_id AND t.corpus_id = f.corpus_id
+         GROUP BY 1 ORDER BY 1"""
+    },
+
+    // mirrors TextStats.canonicalUrl/urlDedupReport: the identical
+    // regexp strip/extract/lower sequence over the decorated URLs.
+    "q251_url_canonical" ->
+      """WITH u AS (SELECT concat('HTTPS://', upper(source),
+             '.Example.COM/Page/', CAST(doc_id % 50 AS VARCHAR),
+             CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+             '?utm_source=', lang, '#sec') AS url
+           FROM documents),
+         c0 AS (SELECT regexp_replace(regexp_replace(url, '#.*$', ''),
+             '\?.*$', '') AS nq FROM u),
+         c1 AS (SELECT nq,
+             regexp_extract(nq, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', 0)
+               AS pre FROM c0),
+         c2 AS (SELECT concat(lower(pre),
+             regexp_replace(substr(nq, length(pre) + 1), '/$', '')) AS c
+           FROM c1),
+         h AS (SELECT c, regexp_extract(c, '://([^/]+)', 1) AS host FROM c2)
+         SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT c) AS BIGINT) AS n_canonical,
+           CAST(COUNT(*) - COUNT(DISTINCT c) AS BIGINT) AS n_dups
+         FROM h GROUP BY 1 ORDER BY 1"""
   )
 }

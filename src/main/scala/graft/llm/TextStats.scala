@@ -529,6 +529,34 @@ object TextStats {
           .as("mean_quality"),
         (count(lit(1)) - countDistinct(col("__fp"))).as("n_exact_dups"))
 
+  /** URL CANONICALIZATION — the dedup key for web-crawl curation (the
+    * same page arrives as http/HTTPS, with/without tracking params,
+    * fragments, trailing slashes): strip the fragment, strip the query
+    * string, lowercase scheme+host (path case is significant and kept),
+    * drop one trailing slash. Pure regexp column expressions (RE2-safe,
+    * engine-portable). */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noQuery = regexp_replace(noFrag, "\\?.*$", "")
+    val prefix = regexp_extract(noQuery, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", 0)
+    val path = substring(noQuery, length(prefix) + lit(1), lit(1000000))
+    concat(lower(prefix), regexp_replace(path, "/$", ""))
+  }
+
+  /** Per-host URL dedup report over [[canonicalUrl]]: raw URL count,
+    * canonical-distinct count, and the dup share the canonicalization
+    * recovered. One keyed aggregation after the per-row kernel. */
+  def urlDedupReport(df: DataFrame, urlCol: String): DataFrame = {
+    val canon = canonicalUrl(col(urlCol))
+    df.select(canon.as("__c"))
+      .withColumn("__host", regexp_extract(col("__c"), "://([^/]+)", 1))
+      .groupBy(col("__host").as("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("__c")).as("n_canonical"),
+        (count(lit(1)) - countDistinct(col("__c"))).as("n_dups"))
+      .orderBy(col("host"))
+  }
+
   /** ZIPF FIT over the corpus vocabulary: OLS of ln(freq) on ln(rank)
     * across the top `topN` terms — natural-language corpora sit near
     * slope −1, so a far-off slope is a cheap corpus-health flag

@@ -1025,6 +1025,28 @@ object Stats {
             .otherwise(lit(0.0))).as("z"))
   }
 
+  /** HILL TAIL-INDEX estimator for a power-law-ish positive metric
+    * (degree distributions, document lengths, purchase sizes):
+    * α̂ = 1 + n / Σ_{x ≥ xmin} ln(x/xmin) — the discrete MLE form
+    * (Clauset et al. 2009). Heavy-tailed web/social degree data sits
+    * near α ∈ [2, 3]; a far-off α̂ flags truncation or spam. Returns one
+    * row (n_tail, x_min, alpha); null α when the tail is empty or all
+    * at xmin. One filter + one aggregation; the log terms are
+    * floor-scaled (10⁹) exact sums. */
+  def hillTailIndex(df: DataFrame, valueCol: String, xmin: Long)
+      : DataFrame = {
+    require(xmin >= 1, "xmin must be ≥ 1")
+    val x = col(valueCol).cast(DoubleType)
+    val tail = df.filter(x >= lit(xmin.toDouble))
+    val lnTerm = log(x / lit(xmin.toDouble))
+    tail.agg(count(lit(1)).as("n_tail"),
+        fs(lnTerm, 9).as("__s"))
+      .select(col("n_tail"), lit(xmin).as("x_min"),
+        when(col("__s") > 0.0,
+          lit(1.0) + col("n_tail").cast(DoubleType) / col("__s"))
+          .as("alpha"))
+  }
+
   /** COCHRAN-MANTEL-HAENSZEL test for a 2×2 association ACROSS strata
     * (the Simpson's-paradox-proof A/B readout: does exposure associate
     * with outcome after stratifying?). Returns one row

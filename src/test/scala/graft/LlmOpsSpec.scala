@@ -981,4 +981,19 @@ class LlmOpsSpec extends SparkSuite {
     assert(out(3L)._1 == "completely different text here now")
     assert(out(3L)._3 == 0L, "unique doc untouched")
   }
+
+  test("canonicalUrl: fragment/query/case/trailing-slash normalization") {
+    import graft.llm.TextStats.canonicalUrl
+    val urls = Seq(
+      "HTTPS://WWW.Ex.COM/Path/?q=1#f",   // all four rules at once
+      "https://www.ex.com/Path",          // already canonical
+      "http://A.B/x/",                    // trailing slash only
+      "no-scheme/Path/?x=1").toDF("u")
+    val out = urls.select(canonicalUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out(0) == "https://www.ex.com/Path", s"got ${out(0)}")
+    assert(out(0) == out(1), "the two spellings must collapse")
+    assert(out(2) == "http://a.b/x")
+    assert(out(3) == "no-scheme/Path", "path CASE is kept, slash dropped")
+  }
 }

@@ -978,6 +978,20 @@ class StatsGraphSpec extends SparkSuite {
     assert(r.getAs[Double]("chi2") == 0.0)
   }
 
+  test("hillTailIndex: MLE alpha from floor-scaled log terms") {
+    val df = Seq(1L, 2L, 3L, 6L, 12L).toDF("d")
+    val r = Stats.hillTailIndex(df, "d", 3L).collect()(0)
+    assert(r.getAs[Long]("n_tail") == 3L && r.getAs[Long]("x_min") == 3L)
+    val s = (math.floor(math.log(3.0 / 3.0) * 1e9) +
+      math.floor(math.log(6.0 / 3.0) * 1e9) +
+      math.floor(math.log(12.0 / 3.0) * 1e9)) / 1e9
+    assert(r.getAs[Double]("alpha") == 1.0 + 3.0 / s)
+    // a tail entirely at xmin has zero log mass → alpha undefined
+    val flat = Seq(3L, 3L, 3L).toDF("d")
+    val rf = Stats.hillTailIndex(flat, "d", 3L).collect()(0)
+    assert(rf.isNullAt(rf.fieldIndex("alpha")))
+  }
+
   test("lorenz: concentration shares are exact integer ratios") {
     val df = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 97.0))
       .toDF("u", "amt")
