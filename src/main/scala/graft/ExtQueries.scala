@@ -2337,6 +2337,67 @@ object ExtQueries {
             .as("days_since"),
           col("last_total"))
         .orderBy(col("event_id"))
+    },
+
+    // Top-k per group — the "3 biggest accounts per nation" shape. At
+    // scale Spark rewrites the rank filter into WindowGroupLimit (a
+    // per-partition top-k heap BEFORE the shuffle; PlanGuardSpec pins
+    // it), so no group's full membership is ever sorted.
+    "q252_topk_per_group" -> { (s, dir) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("c_nationkey"), col("rnk"), col("c_custkey"),
+          col("c_acctbal"))
+        .orderBy(col("c_nationkey"), col("rnk"))
+    },
+
+    // Portable count-min sketch: O(d·w) counters no matter the key
+    // cardinality; md5-derived row hashes replay in SQL (the KMV
+    // contract for frequencies). est ≥ exact, audited side by side.
+    "q253_cms_freq" -> { (s, dir) =>
+      Reductions.cmsFrequency(t(s, dir, "lineitem"), "l_partkey",
+        (1 to 10).map(_.toString), depth = 4, width = 256)
+    },
+
+    // 10% two-sided trimmed mean per flag: groupQuantiles cutoffs
+    // broadcast back, conditional exact-decimal mean — the robust mean
+    // between plain mean and median.
+    "q254_trimmed_mean" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val cuts = Reductions.groupQuantiles(li, "l_returnflag",
+          "l_extendedprice", Seq("lo" -> 0.1, "hi" -> 0.9))
+        .select(col("l_returnflag"), col("lo"), col("hi"))
+      li.join(broadcast(cuts), "l_returnflag")
+        .filter(col("l_extendedprice") >= col("lo") &&
+          col("l_extendedprice") <= col("hi"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_kept"),
+          (dsum(col("l_extendedprice"), 2) / count(lit(1)))
+            .as("trimmed_mean"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Longest consecutive-day activity streak per user — the classic
+    // gaps-and-islands grouping (day − row_number is constant within a
+    // run); ties on length go to the latest start (struct max).
+    "q255_streaks" -> { (s, dir) =>
+      val days = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val grp = days.withColumn("grp",
+        datediff(col("day"), lit("2024-01-01").cast(DateType)) -
+          row_number().over(w))
+      grp.groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("len"), col("start_day"))).as("__m"))
+        .select(col("user_id"), col("__m.len").as("longest_streak"),
+          date_format(col("__m.start_day"), "yyyy-MM-dd")
+            .as("streak_start"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -6193,6 +6254,77 @@ object ExtQueries {
            od.last_total
          FROM events e ASOF LEFT JOIN od
            ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
-         ORDER BY e.event_id"""
+         ORDER BY e.event_id""",
+
+    // row_number top-3 per nation, identical tiebreak.
+    "q252_topk_per_group" ->
+      """WITH r AS (SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+           FROM customer)
+         SELECT c_nationkey, CAST(rnk AS BIGINT) AS rnk, c_custkey,
+           c_acctbal
+         FROM r WHERE rnk <= 3 ORDER BY c_nationkey, rnk""",
+
+    // mirrors Reductions.cmsFrequency: identical md5-derived cells,
+    // min-over-depths estimate, exact counts side by side.
+    "q253_cms_freq" ->
+      """WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+           WHERE l_partkey IS NOT NULL),
+         dd AS (SELECT * FROM range(0, 4) t(d)),
+         tab AS (SELECT d,
+             CAST(concat('0x', substr(md5(concat(CAST(d AS VARCHAR), '|', k)),
+               1, 15)) AS BIGINT) % 256 AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM k CROSS JOIN dd GROUP BY 1, 2),
+         p AS (SELECT CAST(x AS VARCHAR) AS key FROM range(1, 11) t(x)),
+         pd AS (SELECT key, d,
+             CAST(concat('0x', substr(md5(concat(CAST(d AS VARCHAR), '|',
+               key)), 1, 15)) AS BIGINT) % 256 AS b
+           FROM p CROSS JOIN dd),
+         est AS (SELECT key, MIN(COALESCE(tab.c, 0)) AS est
+           FROM pd LEFT JOIN tab ON tab.d = pd.d AND tab.b = pd.b
+           GROUP BY 1),
+         ex AS (SELECT k AS key, CAST(COUNT(*) AS BIGINT) AS exact
+           FROM k GROUP BY 1)
+         SELECT est.key, CAST(est AS BIGINT) AS est,
+           COALESCE(ex.exact, 0) AS exact
+         FROM est LEFT JOIN ex USING (key) ORDER BY est.key""",
+
+    // mirrors q254: quantile_cont cutoffs (== groupQuantiles, the q165
+    // pin), conditional exact-decimal mean.
+    "q254_trimmed_mean" ->
+      """WITH c AS (SELECT l_returnflag,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.1) AS lo,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9) AS hi
+           FROM lineitem GROUP BY 1),
+         f AS (SELECT l.l_returnflag, l_extendedprice
+           FROM lineitem l JOIN c USING (l_returnflag)
+           WHERE l_extendedprice >= lo AND l_extendedprice <= hi)
+         SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS trimmed_mean
+         FROM f GROUP BY 1 ORDER BY 1""",
+
+    // mirrors q255: the same islands grouping; the struct max is the
+    // (len DESC, start DESC) row_number pick.
+    "q255_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           FROM events),
+         g AS (SELECT user_id, day,
+             date_diff('day', DATE '2024-01-01', day)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+           FROM days),
+         st AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(day) AS start_day
+           FROM g GROUP BY 1, 2),
+         rk AS (SELECT user_id, len, start_day,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY len DESC, start_day DESC) AS rn
+           FROM st)
+         SELECT user_id, len AS longest_streak,
+           strftime(start_day, '%Y-%m-%d') AS streak_start
+         FROM rk WHERE rn = 1 ORDER BY user_id"""
   )
 }

@@ -817,4 +817,44 @@ object Reductions {
     sorted.unpersist(); perVal.unpersist()
     ret
   }
+
+  /** PORTABLE COUNT-MIN SKETCH frequency estimates: the d×w counter
+    * table built from md5-derived row hashes (`h60(d || '|' || key) mod
+    * w` — deterministic on any engine, like the KMV/MinHash family), and
+    * point estimates min_d(cell) for `probes`. Overestimates only —
+    * est ≥ exact always; the sketch table is O(d·w) no matter the key
+    * cardinality, which is the whole point at 100 TB (billions of keys
+    * → 4·2¹⁶ counters). Returns (key, est, exact) per probe key, exact
+    * counted in the same pass for the error audit.
+    *
+    * Plan: one explode(d) + keyed count builds the table (the data-sized
+    * pass); probes broadcast against the O(d·w) table. */
+  def cmsFrequency(df: DataFrame, keyCol: String, probes: Seq[String],
+                   depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    val spark = df.sparkSession
+    import spark.implicits._
+    def cell(d: Column, key: Column): Column =
+      pmod(graft.llm.TextDedup.h60(
+        concat(d.cast(StringType), lit("|"), key.cast(StringType))),
+        lit(width.toLong))
+    val keyed = df.select(col(keyCol).cast(StringType).as("__k"))
+      .filter(col("__k").isNotNull)
+    val table = keyed
+      .select(explode(array((0 until depth).map(lit): _*)).as("__d"),
+        col("__k"))
+      .groupBy(col("__d"), cell(col("__d"), col("__k")).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val probeDf = probes.toDF("key")
+      .select(col("key"),
+        explode(array((0 until depth).map(lit): _*)).as("__d"))
+      .withColumn("__b", cell(col("__d"), col("key")))
+    val est = probeDf.join(table, Seq("__d", "__b"), "left")
+      .na.fill(0L, Seq("__c"))
+      .groupBy(col("key")).agg(min(col("__c")).as("est"))
+    val exact = keyed.groupBy(col("__k").as("key"))
+      .agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("key"), "left").na.fill(0L, Seq("exact"))
+      .orderBy(col("key"))
+  }
 }

@@ -143,6 +143,16 @@ class PlanGuardSpec extends SparkSuite {
   test("q238 zipf: OLS confined to the top-N frame")(
     guard("q238_zipf", Bound))
 
+  test("q252 top-k per group: WindowGroupLimit prunes before the shuffle") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val df = SparkEntry.queries("q252_topk_per_group")(spark, sfDir)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[WindowGroupLimitExec]),
+      "rank <= 3 must rewrite to a per-partition top-k heap " +
+        "(WindowGroupLimit), not a full per-group sort")
+  }
+
   test("compact: exact file count and disjoint sort-key ranges") {
     import org.apache.spark.sql.functions.{col, max, min}
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
