@@ -2380,6 +2380,71 @@ object ExtQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // k-fold cross-validated regression in ONE data pass: train moments
+    // by SUBTRACTION from the totals (associative exact partials), k
+    // closed forms on the O(k) frame, one scoring pass for RMSE.
+    "q256_cv_scores" -> { (s, dir) =>
+      Ml.crossValidateSimpleRegression(t(s, dir, "lineitem"),
+        "l_orderkey", "l_quantity", "l_extendedprice", 5)
+    },
+
+    // Leave-one-out target encoding: each customer's segment encoded by
+    // the segment's mean balance EXCLUDING the row itself — the feature
+    // that avoids self-leakage; exact decimal sums, one broadcast join.
+    "q257_target_encode" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val agg = c.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("__n"),
+          sum(col("c_acctbal").cast(DecimalType(38, 2))).as("__s"))
+      c.join(broadcast(agg), "c_mktsegment")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          when(col("__n") > 1,
+            (col("__s").cast(DoubleType) - col("c_acctbal")) /
+              (col("__n") - 1).cast(DoubleType)).as("loo_mean_bal"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Feature hashing (the hashing trick): categorical features folded
+    // into 64 signed buckets via md5-derived hash+sign — fixed-width
+    // vectors at ANY vocabulary size; per-bucket sums audited.
+    "q258_feature_hash" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val feats = c.select(explode(array(
+        concat(lit("seg="), col("c_mktsegment")),
+        concat(lit("nation="), col("c_nationkey").cast(StringType))))
+        .as("feat"))
+      val h = graft.llm.TextDedup.h60(col("feat"))
+      feats
+        .select(pmod(h, lit(64L)).as("bucket"),
+          when(shiftright(h, 6).bitwiseAND(lit(1L)) === 0L,
+            lit(1L)).otherwise(lit(-1L)).as("sign"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("sign")).as("signed_sum"))
+        .orderBy(col("bucket"))
+    },
+
+    // Difference-in-differences: treated (even users) vs control around
+    // the 2024-01-16 split — the causal-readout arithmetic from four
+    // exact-sum cell means.
+    "q259_did" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("treated", col("user_id") % 2 === 0)
+        .withColumn("post", col("ts") >= lit("2024-01-16").cast(TimestampType))
+      val cells = ev.groupBy(col("treated"), col("post"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("value").cast(DecimalType(38, 2))).cast(DoubleType) /
+            count(lit(1))).as("mean_value"))
+      val m = (t: Boolean, p: Boolean) =>
+        max(when(col("treated") === t && col("post") === p,
+          col("mean_value")))
+      cells.agg(m(true, false).as("treat_pre"), m(true, true).as("treat_post"),
+          m(false, false).as("ctrl_pre"), m(false, true).as("ctrl_post"))
+        .select(col("treat_pre"), col("treat_post"), col("ctrl_pre"),
+          col("ctrl_post"),
+          ((col("treat_post") - col("treat_pre")) -
+            (col("ctrl_post") - col("ctrl_pre"))).as("did"))
+    },
+
     // Longest consecutive-day activity streak per user — the classic
     // gaps-and-islands grouping (day − row_number is constant within a
     // run); ties on length go to the latest start (struct max).
@@ -6255,6 +6320,102 @@ object ExtQueries {
          FROM events e ASOF LEFT JOIN od
            ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
          ORDER BY e.event_id""",
+
+    // mirrors Ml.crossValidateSimpleRegression: md5 fold ids, per-fold
+    // exact decimal moment partials, train = totals − fold partial,
+    // identical closed forms and floor-scaled error sums.
+    "q256_cv_scores" ->
+      """WITH base AS (SELECT
+             CAST(CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)),
+               1, 15)) AS BIGINT) % 5 AS INT) AS fold,
+             CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+             AND NOT isnan(CAST(l_quantity AS DOUBLE))
+             AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+         pf AS (SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(FLOOR(x * 10000.0) AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(FLOOR(y * 100.0) AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(FLOOR(x * x * 10000.0) AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(FLOOR(x * y * 100.0) AS DECIMAL(38,0))) AS sxy
+           FROM base GROUP BY 1),
+         tt AS (SELECT SUM(n) AS tn, SUM(sx) AS tsx, SUM(sy) AS tsy,
+             SUM(sxx) AS tsxx, SUM(sxy) AS tsxy FROM pf),
+         mdl0 AS (SELECT fold,
+             CAST(tn - n AS BIGINT) AS n_train, n AS n_test,
+             CAST(tn - n AS DOUBLE) AS ntd,
+             CAST(tsx - sx AS DOUBLE) / 10000.0 AS msx,
+             CAST(tsy - sy AS DOUBLE) / 100.0 AS msy,
+             CAST(tsxx - sxx AS DOUBLE) / 10000.0 AS msxx,
+             CAST(tsxy - sxy AS DOUBLE) / 100.0 AS msxy
+           FROM pf CROSS JOIN tt),
+         mdl AS (SELECT fold, n_train, n_test,
+             CASE WHEN ntd * msxx - msx * msx > 0.0
+               THEN (ntd * msxy - msx * msy) / (ntd * msxx - msx * msx)
+             END AS slope,
+             CASE WHEN ntd * msxx - msx * msx > 0.0
+               THEN (msy - (ntd * msxy - msx * msy)
+                 / (ntd * msxx - msx * msx) * msx) / ntd
+             END AS intercept
+           FROM mdl0),
+         sc AS (SELECT b.fold, m.n_train, m.n_test, m.slope, m.intercept,
+             b.y - (m.intercept + m.slope * b.x) AS e
+           FROM base b JOIN mdl m USING (fold)),
+         agg AS (SELECT fold, n_train, n_test, slope, intercept,
+             CAST(SUM(CAST(FLOOR(e * e * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS sse
+           FROM sc GROUP BY 1, 2, 3, 4, 5)
+         SELECT fold, n_train, n_test, slope, intercept,
+           sqrt(sse / CAST(n_test AS DOUBLE)) AS rmse
+         FROM agg ORDER BY fold""",
+
+    // mirrors q257: exact decimal segment sums, identical LOO division.
+    "q257_target_encode" ->
+      """WITH a AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS s
+           FROM customer GROUP BY 1)
+         SELECT c.c_custkey, c.c_mktsegment,
+           CASE WHEN a.n > 1 THEN (CAST(a.s AS DOUBLE) - c_acctbal)
+             / CAST(a.n - 1 AS DOUBLE) END AS loo_mean_bal
+         FROM customer c JOIN a USING (c_mktsegment)
+         ORDER BY c.c_custkey""",
+
+    // mirrors q258: identical md5 bucket + sign-bit arithmetic.
+    "q258_feature_hash" ->
+      """WITH f AS (SELECT unnest([concat('seg=', c_mktsegment),
+             concat('nation=', CAST(c_nationkey AS VARCHAR))]) AS feat
+           FROM customer),
+         h AS (SELECT CAST(concat('0x', substr(md5(feat), 1, 15)) AS BIGINT)
+             AS hv FROM f),
+         b AS (SELECT hv % 64 AS bucket,
+             CASE WHEN (hv >> 6) & 1 = 0 THEN 1 ELSE -1 END AS sign
+           FROM h)
+         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(sign) AS BIGINT) AS signed_sum
+         FROM b GROUP BY 1 ORDER BY 1""",
+
+    // mirrors q259: four exact-sum cell means, the DiD arithmetic.
+    "q259_did" ->
+      """WITH ev AS (SELECT user_id % 2 = 0 AS treated,
+             ts >= TIMESTAMP '2024-01-16' AS post, value FROM events),
+         cells AS (SELECT treated, post,
+             CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*)
+               AS mean_value
+           FROM ev GROUP BY 1, 2),
+         p AS (SELECT
+             MAX(CASE WHEN treated AND NOT post THEN mean_value END)
+               AS treat_pre,
+             MAX(CASE WHEN treated AND post THEN mean_value END)
+               AS treat_post,
+             MAX(CASE WHEN NOT treated AND NOT post THEN mean_value END)
+               AS ctrl_pre,
+             MAX(CASE WHEN NOT treated AND post THEN mean_value END)
+               AS ctrl_post
+           FROM cells)
+         SELECT treat_pre, treat_post, ctrl_pre, ctrl_post,
+           (treat_post - treat_pre) - (ctrl_post - ctrl_pre) AS did
+         FROM p""",
 
     // row_number top-3 per nation, identical tiebreak.
     "q252_topk_per_group" ->

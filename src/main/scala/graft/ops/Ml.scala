@@ -595,6 +595,62 @@ object Ml {
     LinearModel(Seq(x), row.getDouble(0), Array(row.getDouble(1)))
   }
 
+  /** K-FOLD CROSS-VALIDATED simple regression in ONE data pass + one
+    * scoring pass: per-fold EXACT integer moment partials (floored
+    * fixed-point, decimal-summed), each fold's TRAIN moments obtained by
+    * SUBTRACTING its partial from the totals — the leave-one-fold-out
+    * fit costs k closed forms on an O(k) frame instead of k rescans
+    * (moments are associative; this is [[graft.ops.Reductions.aggPartials]]'
+    * lesson applied to model fitting). The second pass broadcasts the k
+    * models back and accumulates test-fold squared errors exactly.
+    * Returns one row per fold: (fold, n_train, n_test, slope, intercept,
+    * rmse) — deterministic on any layout and replayed add-for-add by the
+    * SQL oracle. */
+  def crossValidateSimpleRegression(df: DataFrame, keyCol: String,
+                                    x: String, y: String, k: Int)
+      : DataFrame = {
+    require(k >= 2, s"need k ≥ 2 folds, got $k")
+    val xC = col(x).cast(DoubleType); val yC = col(y).cast(DoubleType)
+    val base = withFold(
+      df.filter(xC.isNotNull && yC.isNotNull && !isnan(xC) && !isnan(yC)),
+      keyCol, k)
+      .select(col("fold"), xC.as("__x"), yC.as("__y"))
+    def fsum(c: Column, p: Double): Column =
+      sum(floor(c * lit(p)).cast(DecimalType(38, 0)))
+    val perFold = base.groupBy(col("fold"))
+      .agg(count(lit(1)).as("__n"),
+        fsum(col("__x"), 1e4).as("__sx"), fsum(col("__y"), 1e2).as("__sy"),
+        fsum(col("__x") * col("__x"), 1e4).as("__sxx"),
+        fsum(col("__x") * col("__y"), 1e2).as("__sxy"))
+    val tot = perFold.agg(sum(col("__n")).as("__tn"),
+      sum(col("__sx")).as("__tsx"), sum(col("__sy")).as("__tsy"),
+      sum(col("__sxx")).as("__tsxx"), sum(col("__sxy")).as("__tsxy"))
+    // train moments = totals − the fold's own partial (exact decimals)
+    val nT = (col("__tn") - col("__n")).cast(DoubleType)
+    def d(c: Column, p: Double) = c.cast(DoubleType) / lit(p)
+    val sx = d(col("__tsx") - col("__sx"), 1e4)
+    val sy = d(col("__tsy") - col("__sy"), 1e2)
+    val sxx = d(col("__tsxx") - col("__sxx"), 1e4)
+    val sxy = d(col("__tsxy") - col("__sxy"), 1e2)
+    val vx = nT * sxx - sx * sx
+    val slope = when(vx > 0.0, (nT * sxy - sx * sy) / vx)
+    val models = perFold.crossJoin(broadcast(tot))
+      .select(col("fold"), (col("__tn") - col("__n")).as("n_train"),
+        col("__n").as("n_test"), slope.as("slope"),
+        when(vx > 0.0, (sy - (nT * sxy - sx * sy) / vx * sx) / nT)
+          .as("intercept"))
+    val scored = base.join(broadcast(models), "fold")
+      .withColumn("__e",
+        col("__y") - (col("intercept") + col("slope") * col("__x")))
+    scored.groupBy(col("fold"), col("n_train"), col("n_test"),
+        col("slope"), col("intercept"))
+      .agg(Reductions.isum(col("__e") * col("__e"), 6).as("__sse"))
+      .select(col("fold"), col("n_train"), col("n_test"), col("slope"),
+        col("intercept"),
+        sqrt(col("__sse") / col("n_test").cast(DoubleType)).as("rmse"))
+      .orderBy(col("fold"))
+  }
+
   /** Per-group simple linear regression WITH evaluation metrics
     * (n/slope/intercept/r2/rmse — the reference's evaluate-regression
     * surface, tribuo.clj:302-315), fully distributed: one exact-sum

@@ -978,6 +978,27 @@ class StatsGraphSpec extends SparkSuite {
     assert(r.getAs[Double]("chi2") == 0.0)
   }
 
+  test("crossValidateSimpleRegression: subtracted moments == direct fold fit") {
+    val rows = (1 to 200).map(i =>
+      (i.toLong, (i % 23).toDouble, (i % 23) * 2.0 + 5.0 + (i % 7) * 0.01))
+    val df = rows.toDF("id", "x", "y")
+    val cv = Ml.crossValidateSimpleRegression(df, "id", "x", "y", 4)
+      .collect()
+    assert(cv.length == 4)
+    assert(cv.map(r => r.getAs[Long]("n_train") + r.getAs[Long]("n_test"))
+      .distinct.toSeq == Seq(200L), "folds must partition the data")
+    // the subtraction shortcut must reproduce an honest fit on fold 0's
+    // complement (same fixed-point scales → tiny closed-form drift only)
+    val folded = Ml.withFold(df, "id", 4)
+    val direct = Ml.fitSimpleLinearRegression(
+      folded.filter(col("fold") =!= 0), "x", "y")
+    val f0 = cv.find(_.getAs[Int]("fold") == 0).get
+    assert(math.abs(f0.getAs[Double]("slope") - direct.coefficients(0)) < 1e-9,
+      s"slope ${f0.getAs[Double]("slope")} vs ${direct.coefficients(0)}")
+    assert(math.abs(f0.getAs[Double]("intercept") - direct.intercept) < 1e-9)
+    cv.foreach(r => assert(r.getAs[Double]("rmse") >= 0.0))
+  }
+
   test("hillTailIndex: MLE alpha from floor-scaled log terms") {
     val df = Seq(1L, 2L, 3L, 6L, 12L).toDF("d")
     val r = Stats.hillTailIndex(df, "d", 3L).collect()(0)
