@@ -2445,6 +2445,46 @@ object ExtQueries {
             (col("ctrl_post") - col("ctrl_pre"))).as("did"))
     },
 
+    // Box-Cox ladder: which variance-stabilizing transform fits the
+    // value metric — profile log-likelihood over the libm-free λ grid.
+    "q260_boxcox" -> { (s, dir) =>
+      Stats.boxCoxLadder(t(s, dir, "events"), "value")
+    },
+
+    // Weight-of-evidence / information value of source vs English —
+    // the credit-scoring encoder as a curation audit.
+    "q261_woe" -> { (s, dir) =>
+      Stats.woeTable(t(s, dir, "documents"), "source",
+        col("lang") === "en")
+    },
+
+    // Economic Gini of customer spend (integer cents, exact): the
+    // single-number inequality companion to q237's Lorenz table,
+    // computed from the range-partitioned distinct-value frame —
+    // no global window.
+    "q262_gini_coeff" -> { (s, dir) =>
+      val per = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(38, 2))) * 100)
+          .cast(LongType).as("cents"))
+      Reductions.giniCoefficient(per, "cents")
+    },
+
+    // Inter-arrival time quantiles per event type — the ops latency
+    // profile of the event stream (keyed lead + groupQuantiles).
+    "q263_interarrival" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .withColumn("__next", lead(unix_micros(col("ts")), 1).over(w))
+        .filter(col("__next").isNotNull)
+        .withColumn("gap_s",
+          (col("__next") - unix_micros(col("ts"))).cast(DoubleType) /
+            lit(1e6))
+      Reductions.groupQuantiles(gaps, "event_type", "gap_s",
+          Seq("p50" -> 0.5, "p90" -> 0.9))
+        .orderBy(col("event_type"))
+    },
+
     // Longest consecutive-day activity streak per user — the classic
     // gaps-and-islands grouping (day − row_number is constant within a
     // run); ties on length go to the latest start (struct max).
@@ -6465,6 +6505,111 @@ object ExtQueries {
          SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_kept,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
              / COUNT(*) AS trimmed_mean
+         FROM f GROUP BY 1 ORDER BY 1""",
+
+    // mirrors Stats.boxCoxLadder: the identical libm-free transform
+    // grid, floor-scaled moment sums, fixed LL sequence.
+    "q260_boxcox" -> {
+      val zs = Seq(
+        ("-1.0", "(1.0 / x - 1.0) / (-1.0)"),
+        ("0.0", "ln(x)"),
+        ("0.5", "(sqrt(x) - 1.0) / 0.5"),
+        ("1.0", "x - 1.0"),
+        ("2.0", "(x * x - 1.0) / 2.0"))
+      val aggCols = zs.zipWithIndex.map { case ((_, z), i) =>
+        s"""CAST(SUM(CAST(FLOOR(($z) * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS s$i,
+           CAST(SUM(CAST(FLOOR(($z) * ($z) * 100.0) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS ss$i"""
+      }.mkString(",\n           ")
+      val rowSel = zs.zipWithIndex.map { case ((l, _), i) =>
+        s"""SELECT $l AS lambda, n,
+             (ss$i - s$i * s$i / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+               AS var_z, slnx FROM agg"""
+      }.mkString("\n           UNION ALL ")
+      s"""WITH c AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value) AND value > 0.0),
+         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(ln(x) * 1000000.0) AS DECIMAL(38,0)))
+             AS DOUBLE) / 1000000.0 AS slnx,
+           $aggCols
+           FROM c),
+         rows_ AS ($rowSel),
+         ll AS (SELECT lambda, n, var_z,
+             CASE WHEN var_z > 0.0 THEN (-0.5) * CAST(n AS DOUBLE)
+               * ln(var_z) + (lambda - 1.0) * slnx END AS loglik
+           FROM rows_)
+         SELECT lambda, n, var_z, loglik,
+           row_number() OVER (ORDER BY loglik DESC NULLS LAST,
+             lambda ASC) = 1 AS is_best
+         FROM ll ORDER BY lambda"""
+    },
+
+    // mirrors Stats.woeTable: integer counts, identical ln/IV sequence.
+    "q261_woe" ->
+      """WITH per AS (SELECT source AS category,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS goods,
+             CAST(SUM(CASE WHEN NOT (lang = 'en') THEN 1 ELSE 0 END)
+               AS BIGINT) AS bads
+           FROM documents
+           WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1),
+         tot AS (SELECT SUM(goods) AS g, SUM(bads) AS b FROM per),
+         base AS (SELECT category, n, goods, bads,
+             CASE WHEN goods > 0 AND bads > 0
+               THEN ln((CAST(goods AS DOUBLE) / CAST(g AS DOUBLE))
+                 / (CAST(bads AS DOUBLE) / CAST(b AS DOUBLE))) END AS woe,
+             CASE WHEN goods > 0 AND bads > 0
+               THEN (CAST(goods AS DOUBLE) / CAST(g AS DOUBLE)
+                 - CAST(bads AS DOUBLE) / CAST(b AS DOUBLE))
+                 * ln((CAST(goods AS DOUBLE) / CAST(g AS DOUBLE))
+                   / (CAST(bads AS DOUBLE) / CAST(b AS DOUBLE)))
+               ELSE 0.0 END AS term
+           FROM per CROSS JOIN tot),
+         iv AS (SELECT CAST(SUM(CAST(FLOOR(term * 1000000000.0)
+             AS DECIMAL(38,0))) AS DOUBLE) / 1000000000.0 AS iv
+           FROM base)
+         SELECT category, n, goods, bads,
+           CAST(CAST(FLOOR(woe * 1000000000.0) AS BIGINT) AS DOUBLE)
+             / 1000000000.0 AS woe,
+           iv
+         FROM base CROSS JOIN iv ORDER BY category""",
+
+    // mirrors Reductions.giniCoefficient: the tie-invariant sorted-sum
+    // numerator in exact HUGEINT, one final double division.
+    "q262_gini_coeff" ->
+      """WITH per AS (SELECT
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) * 100 AS BIGINT)
+               AS cents
+           FROM orders GROUP BY o_custkey),
+         f AS (SELECT cents FROM per
+           WHERE cents IS NOT NULL AND cents >= 0),
+         r AS (SELECT cents,
+             row_number() OVER (ORDER BY cents) AS i,
+             COUNT(*) OVER () AS n, SUM(cents) OVER () AS s
+           FROM f),
+         num AS (SELECT
+             CAST(SUM(CAST(2 * i - n - 1 AS HUGEINT)
+               * CAST(cents AS HUGEINT)) AS DECIMAL(38,0)) AS num,
+             MAX(n) AS n, MAX(s) AS s
+           FROM r)
+         SELECT CAST(n AS BIGINT) AS n, CAST(s AS DECIMAL(38,0)) AS total,
+           CASE WHEN n > 0 AND s > 0
+             THEN CAST(num AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) END AS gini
+         FROM num""",
+
+    // mirrors q263: keyed lead gaps in integer microseconds, identical
+    // /1e6 seconds, quantile_cont per type (the groupQuantiles pin).
+    "q263_interarrival" ->
+      """WITH g AS (SELECT event_type,
+             CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) - epoch_us(ts) AS BIGINT) AS gap_us
+           FROM events),
+         f AS (SELECT event_type,
+             CAST(gap_us AS DOUBLE) / 1000000.0 AS x
+           FROM g WHERE gap_us IS NOT NULL AND event_type IS NOT NULL)
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(x, 0.5) AS p50, quantile_cont(x, 0.9) AS p90
          FROM f GROUP BY 1 ORDER BY 1""",
 
     // mirrors q255: the same islands grouping; the struct max is the

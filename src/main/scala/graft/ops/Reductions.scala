@@ -818,6 +818,73 @@ object Reductions {
     ret
   }
 
+  /** ECONOMIC GINI COEFFICIENT of a non-negative integer metric (cents,
+    * counts), EXACT: G = Σᵢ(2i − n − 1)·x₍ᵢ₎ / (n·Σx) with i the sorted
+    * position. The numerator is tie-invariant (equal values make block
+    * order irrelevant), so it collapses to the per-DISTINCT-value form
+    * v·(2cp + c(c+1) − c(n+1)) with p = values-before count — computed
+    * from the range-partitioned distinct-value frame with O(partitions)
+    * prefix offsets (the [[globalPercentRank]] shape; NO global window,
+    * no data-sized single task). Block terms are exact BigIntegers
+    * carried as Decimal(38,0); one final double division. Returns one
+    * row (n, total, gini). */
+  def giniCoefficient(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val grouped = df
+      .select(col(valueCol).cast(LongType).as("__v"))
+      .filter(col("__v").isNotNull && col("__v") >= 0)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .as[(Long, Long)]
+    val sorted = grouped
+      .repartitionByRange(parts, col("__v"))
+      .sortWithinPartitions(col("__v"))
+      .as[(Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sorted.count()
+    val partTotals = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var c = 0L; var s = java.math.BigInteger.ZERO
+      it.foreach { case (v, k) =>
+        c += k
+        s = s.add(java.math.BigInteger.valueOf(v)
+          .multiply(java.math.BigInteger.valueOf(k)))
+      }
+      Iterator((pid, c, s))
+    }.collect().sortBy(_._1)
+    val offsets = partTotals.map(_._2).scanLeft(0L)(_ + _)
+    val n = partTotals.map(_._2).sum
+    val total = partTotals.map(_._3)
+      .foldLeft(java.math.BigInteger.ZERO)(_ add _)
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val terms = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var p = bcOff.value(pid)
+      it.map { case (v, c) =>
+        // Σ_{i=p+1..p+c}(2i − n − 1)·v = v·(2cp + c(c+1) − c(n+1))
+        val cB = java.math.BigInteger.valueOf(c)
+        val w = java.math.BigInteger.valueOf(2L * p).multiply(cB)
+          .add(cB.multiply(java.math.BigInteger.valueOf(c + 1)))
+          .subtract(cB.multiply(java.math.BigInteger.valueOf(n + 1)))
+        p += c
+        // ship as string: the default java-BigDecimal encoder is
+        // (38,18) and would overflow big numerators before the cast
+        java.math.BigInteger.valueOf(v).multiply(w).toString
+      }
+    }.toDF("__t")
+    val num = terms.agg(sum(col("__t").cast(DecimalType(38, 0))).as("__num"))
+    val out = num.select(lit(n).as("n"),
+      lit(new java.math.BigDecimal(total)).cast(DecimalType(38, 0))
+        .as("total"),
+      when(lit(n) > 0 && lit(total.signum()) > 0,
+        col("__num").cast(DoubleType) /
+          (lit(n).cast(DoubleType) *
+            lit(new java.math.BigDecimal(total)).cast(DoubleType)))
+        .as("gini"))
+    val ret = out.cache(); ret.count()
+    sorted.unpersist()
+    ret
+  }
+
   /** PORTABLE COUNT-MIN SKETCH frequency estimates: the d×w counter
     * table built from md5-derived row hashes (`h60(d || '|' || key) mod
     * w` — deterministic on any engine, like the KMV/MinHash family), and

@@ -1025,6 +1025,90 @@ object Stats {
             .otherwise(lit(0.0))).as("z"))
   }
 
+  /** BOX-COX LADDER fit: profile log-likelihood of the classic
+    * ladder-of-powers transforms λ ∈ {−1, 0, ½, 1, 2} for a POSITIVE
+    * metric — which variance-stabilizing transform should the pipeline
+    * apply before z-scoring? LL(λ) = −n/2·ln(var_pop z_λ) + (λ−1)·Σln x.
+    * Returns one row per λ: (lambda, n, var_z, loglik, is_best)
+    * (best = max LL, ties to the smaller λ).
+    *
+    * The grid is DELIBERATELY libm-pow-free: 1/x, ln x, √x, x, x² are
+    * exact or correctly-rounded IEEE ops on every engine, so the
+    * floor-scaled moment sums replay bit-exactly — a pow(x, 0.3)-style
+    * grid would differ in last-ulp between libms and poison the floors.
+    * One pass: the 5 transforms ride a single aggregation. */
+  def boxCoxLadder(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast(DoubleType)
+    val clean = df.filter(x.isNotNull && !isnan(x) && x > 0.0)
+      .select(x.as("__x"))
+    val lambdas: Seq[(Double, Column => Column)] = Seq(
+      (-1.0, c => (lit(1.0) / c - 1.0) / lit(-1.0)),
+      (0.0, c => log(c)),
+      (0.5, c => (sqrt(c) - 1.0) / lit(0.5)),
+      (1.0, c => c - 1.0),
+      (2.0, c => (c * c - 1.0) / lit(2.0)))
+    val zCols = lambdas.zipWithIndex.flatMap { case ((_, f), i) =>
+      val z = f(col("__x"))
+      Seq(fs(z, 6).as(s"__s_$i"), fs(z * z, 2).as(s"__ss_$i"))
+    }
+    val agg = clean.agg(count(lit(1)).as("n"),
+      (fs(log(col("__x")), 6).as("__slnx") +: zCols): _*)
+    val nD = col("n").cast(DoubleType)
+    val rows = lambdas.zipWithIndex.map { case ((l, _), i) =>
+      val s = col(s"__s_$i"); val ss = col(s"__ss_$i")
+      val varZ = (ss - s * s / nD) / nD
+      struct(lit(l).as("lambda"), col("n").as("n"), varZ.as("var_z"),
+        when(varZ > 0.0,
+          lit(-0.5) * nD * log(varZ) + (lit(l) - 1.0) * col("__slnx"))
+          .as("loglik"))
+    }
+    val exploded = agg.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.lambda").as("lambda"), col("r.n").as("n"),
+        col("r.var_z").as("var_z"), col("r.loglik").as("loglik"))
+    import org.apache.spark.sql.expressions.Window
+    val wBest = Window.orderBy(col("loglik").desc_nulls_last,
+      col("lambda").asc)
+    exploded
+      .withColumn("is_best", row_number().over(wBest) === 1)
+      .orderBy(col("lambda"))
+  }
+
+  /** WEIGHT-OF-EVIDENCE table + INFORMATION VALUE for a categorical
+    * feature against a binary label (the credit-scoring encoder; also
+    * the "which source predicts quality" curation audit):
+    * WoE_i = ln((g_i/G)/(b_i/B)), IV = Σ (g_i/G − b_i/B)·WoE_i over
+    * categories with both counts positive. Returns one row per category
+    * (category, n, goods, bads, woe, iv) — iv is the total, repeated
+    * (broadcast) for table-shaped output.
+    *
+    * Integer counts until the fixed ln sequence; the IV sum is
+    * floor-scaled (10⁹) over the O(categories) frame. */
+  def woeTable(df: DataFrame, catCol: String, label: Column): DataFrame = {
+    val l = label.cast(BooleanType)
+    val per = df.filter(col(catCol).isNotNull && l.isNotNull)
+      .groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(l, 1L).otherwise(0L)).as("goods"),
+        sum(when(!l, 1L).otherwise(0L)).as("bads"))
+    val tot = per.agg(sum(col("goods")).as("__g"), sum(col("bads")).as("__b"))
+    val gD = col("goods").cast(DoubleType) / col("__g").cast(DoubleType)
+    val bD = col("bads").cast(DoubleType) / col("__b").cast(DoubleType)
+    val woe = when(col("goods") > 0 && col("bads") > 0, log(gD / bD))
+    val base = per.crossJoin(broadcast(tot))
+      .withColumn("woe", woe)
+      .withColumn("__term",
+        when(col("woe").isNotNull, (gD - bD) * col("woe")).otherwise(0.0))
+    val iv = base.agg(fs(col("__term"), 9).as("iv"))
+    base.crossJoin(broadcast(iv))
+      .select(col("category"), col("n"), col("goods"), col("bads"),
+        // ln() differs in last ulp between libms: floor-scale the
+        // DISPLAYED woe at 10⁹ (the IV term is floor-summed already)
+        (floor(col("woe") * lit(1e9)).cast(LongType).cast(DoubleType) /
+          lit(1e9)).as("woe"),
+        col("iv"))
+      .orderBy(col("category"))
+  }
+
   /** HILL TAIL-INDEX estimator for a power-law-ish positive metric
     * (degree distributions, document lengths, purchase sizes):
     * α̂ = 1 + n / Σ_{x ≥ xmin} ln(x/xmin) — the discrete MLE form

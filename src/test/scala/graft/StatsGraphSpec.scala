@@ -999,6 +999,48 @@ class StatsGraphSpec extends SparkSuite {
     cv.foreach(r => assert(r.getAs[Double]("rmse") >= 0.0))
   }
 
+  test("giniCoefficient: textbook extremes") {
+    val equal = Seq(100L, 100L, 100L, 100L).toDF("cents")
+    val re = Reductions.giniCoefficient(equal, "cents").collect()(0)
+    assert(re.getAs[Long]("n") == 4L)
+    assert(re.getAs[Double]("gini") == 0.0)
+    val conc = Seq(0L, 0L, 0L, 100L).toDF("cents")
+    val rc = Reductions.giniCoefficient(conc, "cents").collect()(0)
+    // Σ(2i−n−1)x = (8−5)·100 = 300; /(4·100) = 0.75
+    assert(rc.getAs[Double]("gini") == 0.75)
+  }
+
+  test("giniCoefficient: layout-invariant on a tied distribution") {
+    val df = Seq(5L, 5L, 9L, 1L, 5L, 20L, 9L, 1L).toDF("cents")
+    val a = Reductions.giniCoefficient(df, "cents").collect()(0)
+    val b = Reductions.giniCoefficient(df.repartition(7), "cents")
+      .collect()(0)
+    assert(a.getAs[Double]("gini") == b.getAs[Double]("gini"))
+    assert(a.getAs[Double]("gini") > 0.0 && a.getAs[Double]("gini") < 1.0)
+  }
+
+  test("boxCoxLadder: log-normal data picks lambda = 0") {
+    val zs = Seq(-1.0, -0.5, 0.0, 0.5, 1.0)
+    val xs = (1 to 40).flatMap(i => zs.map(z => math.exp(z + (i % 3) * 0.01)))
+    val r = Stats.boxCoxLadder(xs.toDF("x"), "x").collect()
+    assert(r.length == 5)
+    val best = r.find(_.getAs[Boolean]("is_best")).get
+    assert(best.getAs[Double]("lambda") == 0.0,
+      s"exp(z) data wants the log transform, got λ=${best.getAs[Double]("lambda")}")
+  }
+
+  test("woeTable: symmetric categories get opposite WoE and positive IV") {
+    val rows = Seq.fill(3)(("A", "en")) ++ Seq(("A", "de")) ++
+      Seq(("B", "en")) ++ Seq.fill(3)(("B", "de"))
+    val r = Stats.woeTable(rows.toDF("cat", "lang"), "cat",
+      col("lang") === "en").orderBy("category").collect()
+    val (wa, wb) = (r(0).getAs[Double]("woe"), r(1).getAs[Double]("woe"))
+    assert(math.abs(wa - math.log(3.0)) < 1e-8)
+    assert(math.abs(wa + wb) < 2e-9, "mirror categories must cancel")
+    assert(r(0).getAs[Double]("iv") > 0.0)
+    assert(r(0).getAs[Double]("iv") == r(1).getAs[Double]("iv"))
+  }
+
   test("hillTailIndex: MLE alpha from floor-scaled log terms") {
     val df = Seq(1L, 2L, 3L, 6L, 12L).toDF("d")
     val r = Stats.hillTailIndex(df, "d", 3L).collect()(0)
