@@ -2445,6 +2445,38 @@ object ExtQueries {
             (col("ctrl_post") - col("ctrl_pre"))).as("did"))
     },
 
+    // STREAMING daily rollup + batch serving cut: the stream maintains
+    // the windowed counts; the top-2-types-per-day rank runs on the
+    // O(days × types) sink table, never inside the stream.
+    "q264_stream_topn" -> { (s, dir) =>
+      val sink = graft.streaming.EventStream.runToMemorySink(
+        graft.streaming.EventStream.dailyTypeCounts(s, dir),
+        s"q264_sink_${System.nanoTime()}", statePartitions = Some(8))
+      val w = Window.partitionBy(col("day"))
+        .orderBy(col("n").desc, col("event_type"))
+      sink.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("rnk").cast(LongType).as("rnk"), col("event_type"), col("n"))
+        .orderBy(col("day"), col("rnk"))
+    },
+
+    // STREAMING foreachBatch change-log ingestion + latest-wins
+    // compaction on read — CDC without a table format: the stream only
+    // ever APPENDS; per-user current state is the struct-max pick.
+    "q265_stream_changelog" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q265").toString
+      val log = graft.streaming.EventStream.changeLogSink(
+        graft.streaming.EventStream.eventsStream(s, dir), s"$tmp/log")
+      log.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("__m"))
+        .select(col("user_id"), col("__m.event_id").as("last_event_id"),
+          col("__m.event_type").as("last_type"),
+          col("__m.value").as("last_value"))
+        .orderBy(col("user_id"))
+    },
+
     // Box-Cox ladder: which variance-stabilizing transform fits the
     // value metric — profile log-likelihood over the libm-free λ grid.
     "q260_boxcox" -> { (s, dir) =>
@@ -6506,6 +6538,32 @@ object ExtQueries {
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
              / COUNT(*) AS trimmed_mean
          FROM f GROUP BY 1 ORDER BY 1""",
+
+    // batch replay of q264: daily windows, rank, top 2 (Complete-mode
+    // sink emits every window, so no watermark cutoff applies).
+    "q264_stream_topn" ->
+      """WITH c AS (SELECT date_trunc('day', ts) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT day, event_type, n,
+             row_number() OVER (PARTITION BY day
+               ORDER BY n DESC, event_type ASC) AS rnk
+           FROM c)
+         SELECT strftime(day, '%Y-%m-%d') AS day, CAST(rnk AS BIGINT)
+             AS rnk, event_type, n
+         FROM r WHERE rnk <= 2 ORDER BY day, rnk""",
+
+    // batch replay of q265: latest-wins per user over the full log ==
+    // argmax over the source events (the appended batch ids are
+    // metadata, not state).
+    "q265_stream_changelog" ->
+      """WITH m AS (SELECT user_id,
+             MAX(struct_pack(ts := ts, event_id := event_id,
+               event_type := event_type, value := value)) AS s
+           FROM events GROUP BY 1)
+         SELECT user_id, s.event_id AS last_event_id,
+           s.event_type AS last_type, s.value AS last_value
+         FROM m ORDER BY user_id""",
 
     // mirrors Stats.boxCoxLadder: the identical libm-free transform
     // grid, floor-scaled moment sums, fixed LL sequence.

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -57,6 +57,39 @@ object EventStream {
         graft.ops.Reductions.isum(col("value"), 6).as("sum_value"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n"),
         col("sum_value"))
+  }
+
+  /** Streaming DAILY windowed type counts — the rollup feeding the
+    * q264 "top types per day" serving cut (stream keeps the windows
+    * hot; ranking happens on the O(days × types) sink table, never in
+    * the stream). */
+  def dailyTypeCounts(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.ensureFunctions(spark)
+    eventsStream(spark, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("day"), col("event_type"), col("n"))
+  }
+
+  /** foreachBatch CHANGE-LOG sink: each micro-batch appends its rows
+    * (tagged with the batch id) to a parquet log directory — the
+    * lakehouse ingestion half of CDC without a table format. Latest-wins
+    * compaction happens ON READ (the q188 applyChanges shape); at scale
+    * the log is partition-append-only, so ingestion never rewrites
+    * history. Returns the log path's DataFrame after the stream drains. */
+  def changeLogSink(stream: DataFrame, logPath: String): DataFrame = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(logPath)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(logPath)
   }
 
   /** Streaming SLIDING-window counts (2 h windows advancing hourly) with

@@ -143,6 +143,22 @@ class PlanGuardSpec extends SparkSuite {
   test("q238 zipf: OLS confined to the top-N frame")(
     guard("q238_zipf", Bound))
 
+  test("pushdown: filter and projection reach the parquet scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    val df = Tables.t(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    df.collect()
+    val scan = flatten(df.queryExecution.executedPlan)
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    assert(scan.dataFilters.nonEmpty,
+      "the l_quantity predicate must reach the scan (PushedFilters), " +
+        "not evaluate post-scan only")
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("l_orderkey", "l_quantity"),
+      s"ReadSchema must prune to the projected columns, read $readCols")
+  }
+
   test("q252 top-k per group: WindowGroupLimit prunes before the shuffle") {
     import org.apache.spark.sql.execution.window.WindowGroupLimitExec
     val df = SparkEntry.queries("q252_topk_per_group")(spark, sfDir)
