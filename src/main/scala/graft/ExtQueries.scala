@@ -2477,6 +2477,97 @@ object ExtQueries {
         .orderBy(col("user_id"))
     },
 
+    // Cohen's kappa between the two returns rules — chance-corrected
+    // agreement, integers until the final two divisions.
+    "q267_cohens_kappa" -> { (s, dir) =>
+      val a = col("l_quantity") > 25
+      val b = col("l_extendedprice") > 30000
+      val cnt = (pa: Boolean, pb: Boolean) =>
+        sum(when(a === lit(pa) && b === lit(pb), 1L).otherwise(0L))
+      val agg = t(s, dir, "lineitem")
+        .filter(a.isNotNull && b.isNotNull)
+        .agg(cnt(false, false).as("n00"), cnt(false, true).as("n01"),
+          cnt(true, false).as("n10"), cnt(true, true).as("n11"))
+      val n = (col("n00") + col("n01") + col("n10") + col("n11"))
+        .cast(DoubleType)
+      val po = (col("n00") + col("n11")).cast(DoubleType) / n
+      val pe = ((col("n10") + col("n11")).cast(DoubleType) *
+        (col("n01") + col("n11")).cast(DoubleType) +
+        (col("n00") + col("n01")).cast(DoubleType) *
+          (col("n00") + col("n10")).cast(DoubleType)) / (n * n)
+      agg.select(col("n00"), col("n01"), col("n10"), col("n11"),
+        po.as("po"), pe.as("pe"),
+        when(pe < 1.0, (po - pe) / (lit(1.0) - pe)).as("kappa"))
+    },
+
+    // Wilson score interval for the incident rate (value > 90) per
+    // event type — the small-n-safe proportion CI (z = 1.96 literal).
+    "q268_wilson_ci" -> { (s, dir) =>
+      val per = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > 90.0, 1L).otherwise(0L)).as("x"))
+      val nD = col("n").cast(DoubleType); val xD = col("x").cast(DoubleType)
+      val z = lit(1.96); val z2 = z * z
+      val p = xD / nD
+      val denom = lit(1.0) + z2 / nD
+      val center = (p + z2 / (lit(2.0) * nD)) / denom
+      val half = z * sqrt(p * (lit(1.0) - p) / nD +
+        z2 / (lit(4.0) * nD * nD)) / denom
+      per.select(col("event_type"), col("n"), col("x"),
+          p.as("p_hat"), (center - half).as("ci_lo"),
+          (center + half).as("ci_hi"))
+        .orderBy(col("event_type"))
+    },
+
+    // Cohen's d / Hedges' g effect size of value between the even/odd
+    // cohorts — "is the significant difference actually big?"
+    "q269_effect_size" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("g", when(col("user_id") % 2 === 0, "even")
+          .otherwise("odd"))
+        .filter(col("value").isNotNull && !isnan(col("value")))
+      def m(gv: String, f: org.apache.spark.sql.Column) =
+        max(when(col("g") === gv, f))
+      val per = ev.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), isum(col("value"), 6).as("s"),
+          isum(col("value") * col("value"), 6).as("ss"))
+      val wide = per.agg(m("even", col("n")).as("n1"),
+        m("even", col("s")).as("s1"), m("even", col("ss")).as("ss1"),
+        m("odd", col("n")).as("n2"), m("odd", col("s")).as("s2"),
+        m("odd", col("ss")).as("ss2"))
+      val n1 = col("n1").cast(DoubleType); val n2 = col("n2").cast(DoubleType)
+      val m1 = col("s1") / n1; val m2 = col("s2") / n2
+      val v1 = (col("ss1") - col("s1") * col("s1") / n1) / (n1 - 1.0)
+      val v2 = (col("ss2") - col("s2") * col("s2") / n2) / (n2 - 1.0)
+      val sp = sqrt(((n1 - 1.0) * v1 + (n2 - 1.0) * v2) / (n1 + n2 - 2.0))
+      val d = (m1 - m2) / sp
+      wide.select(col("n1"), col("n2"), m1.as("mean1"), m2.as("mean2"),
+        d.as("cohens_d"),
+        (d * (lit(1.0) - lit(3.0) / (lit(4.0) * (n1 + n2) - 9.0)))
+          .as("hedges_g"))
+    },
+
+    // Flagship star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    // region('ASIA') → revenue per nation. PlanGuardSpec pins the dims
+    // to BROADCAST joins (no cartesian, no shuffled dim) — the plan
+    // shape that decides a 100 TB fact-table query.
+    "q270_star_join" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      li.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          isum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"))
+        .orderBy(col("n_name"))
+    },
+
     // Box-Cox ladder: which variance-stabilizing transform fits the
     // value metric — profile log-likelihood over the libm-free λ grid.
     "q260_boxcox" -> { (s, dir) =>
@@ -6564,6 +6655,98 @@ object ExtQueries {
          SELECT user_id, s.event_id AS last_event_id,
            s.event_type AS last_type, s.value AS last_value
          FROM m ORDER BY user_id""",
+
+    // mirrors q267: four integer cells, identical po/pe/kappa sequence.
+    "q267_cohens_kappa" ->
+      """WITH f AS (SELECT (l_quantity > 25) AS a,
+             (l_extendedprice > 30000) AS b
+           FROM lineitem
+           WHERE (l_quantity > 25) IS NOT NULL
+             AND (l_extendedprice > 30000) IS NOT NULL),
+         c AS (SELECT
+             CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+             CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11
+           FROM f),
+         k AS (SELECT n00, n01, n10, n11,
+             CAST(n00 + n11 AS DOUBLE)
+               / CAST(n00 + n01 + n10 + n11 AS DOUBLE) AS po,
+             (CAST(n10 + n11 AS DOUBLE) * CAST(n01 + n11 AS DOUBLE)
+               + CAST(n00 + n01 AS DOUBLE) * CAST(n00 + n10 AS DOUBLE))
+               / (CAST(n00 + n01 + n10 + n11 AS DOUBLE)
+                 * CAST(n00 + n01 + n10 + n11 AS DOUBLE)) AS pe
+           FROM c)
+         SELECT n00, n01, n10, n11, po, pe,
+           CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END AS kappa
+         FROM k""",
+
+    // mirrors q268: integer counts, the identical Wilson sequence with
+    // the 1.96 literal.
+    "q268_wilson_ci" ->
+      """WITH per AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value > 90.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS x
+           FROM events GROUP BY 1),
+         c AS (SELECT event_type, n, x,
+             CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE) AS denom
+           FROM per)
+         SELECT event_type, n, x, p AS p_hat,
+           (p + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2.0 * CAST(n AS DOUBLE))) / denom
+             - CAST(1.96 AS DOUBLE) * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+               + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (4.0 * CAST(n AS DOUBLE)
+                 * CAST(n AS DOUBLE))) / denom AS ci_lo,
+           (p + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2.0 * CAST(n AS DOUBLE))) / denom
+             + CAST(1.96 AS DOUBLE) * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+               + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (4.0 * CAST(n AS DOUBLE)
+                 * CAST(n AS DOUBLE))) / denom AS ci_hi
+         FROM c ORDER BY event_type""",
+
+    // mirrors q269: exact per-cohort moments, pooled-SD d, Hedges' g.
+    "q269_effect_size" ->
+      """WITH ev AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'even'
+               ELSE 'odd' END AS g, CAST(value AS DOUBLE) AS x
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS s,
+             CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS ss
+           FROM ev GROUP BY 1),
+         wide AS (SELECT
+             MAX(CASE WHEN g = 'even' THEN n END) AS n1,
+             MAX(CASE WHEN g = 'even' THEN s END) AS s1,
+             MAX(CASE WHEN g = 'even' THEN ss END) AS ss1,
+             MAX(CASE WHEN g = 'odd' THEN n END) AS n2,
+             MAX(CASE WHEN g = 'odd' THEN s END) AS s2,
+             MAX(CASE WHEN g = 'odd' THEN ss END) AS ss2
+           FROM per),
+         mm AS (SELECT n1, n2,
+             s1 / CAST(n1 AS DOUBLE) AS m1, s2 / CAST(n2 AS DOUBLE) AS m2,
+             (ss1 - s1 * s1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+             (ss2 - s2 * s2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+           FROM wide),
+         dd AS (SELECT n1, n2, m1, m2,
+             (m1 - m2) / sqrt(((CAST(n1 AS DOUBLE) - 1.0) * v1
+               + (CAST(n2 AS DOUBLE) - 1.0) * v2)
+               / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)) AS d
+           FROM mm)
+         SELECT n1, n2, m1 AS mean1, m2 AS mean2, d AS cohens_d,
+           d * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE)
+             + CAST(n2 AS DOUBLE)) - 9.0)) AS hedges_g
+         FROM dd""",
+
+    // the flagship star join replayed directly.
+    "q270_star_join" ->
+      """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+             * 10000.0) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY 1 ORDER BY 1""",
 
     // mirrors Stats.boxCoxLadder: the identical libm-free transform
     // grid, floor-scaled moment sums, fixed LL sequence.

@@ -611,6 +611,35 @@ object LlmQueries {
         .orderBy(col("query_id"))
     },
 
+    // Label-centroid affinity matrix: which embedding classes sit close
+    // together? Exact-sum centroids (O(labels × dims) frame), pairwise
+    // centroid cosine — the clustering-confusion audit.
+    "q266_label_affinity" -> { (s, dir) =>
+      val comp = t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), col("pos"), col("v").cast(DoubleType).as("v"))
+      val cent = comp.groupBy(col("label"), col("pos"))
+        .agg((graft.ops.Reductions.isum(col("v"), 9) / count(lit(1)))
+          .as("c"))
+      val norms = cent.groupBy(col("label"))
+        .agg(sqrt(graft.ops.Reductions.isum(col("c") * col("c"), 12))
+          .as("nrm"))
+      val a = cent.select(col("label").as("la"), col("pos"),
+        col("c").as("ca"))
+      val b = cent.select(col("label").as("lb"), col("pos"),
+        col("c").as("cb"))
+      a.join(b, "pos").filter(col("la") < col("lb"))
+        .groupBy(col("la"), col("lb"))
+        .agg(graft.ops.Reductions.isum(col("ca") * col("cb"), 12).as("dot"))
+        .join(broadcast(norms.select(col("label").as("la"),
+          col("nrm").as("na"))), "la")
+        .join(broadcast(norms.select(col("label").as("lb"),
+          col("nrm").as("nb"))), "lb")
+        .select(col("la"), col("lb"),
+          (col("dot") / (col("na") * col("nb"))).as("cosine"))
+        .orderBy(col("la"), col("lb"))
+    },
+
     // URL canonicalization dedup: the crawl-curation kernel (fragment /
     // query-string / scheme+host case / trailing slash), per-host dup
     // recovery report. URLs are decorated deterministically from the
@@ -2096,6 +2125,31 @@ object LlmQueries {
            ON t.query_id = f.query_id AND t.corpus_id = f.corpus_id
          GROUP BY 1 ORDER BY 1"""
     },
+
+    // mirrors q266: exact-sum centroids over range(64), floor-scaled
+    // norm/dot sums, identical cosine sequence.
+    "q266_label_affinity" ->
+      """WITH comp AS (SELECT label, i AS pos,
+             CAST(embedding[i+1] AS DOUBLE) AS v
+           FROM embeddings CROSS JOIN range(0, 64) t(i)),
+         cent AS (SELECT label, pos,
+             CAST(SUM(CAST(FLOOR(v * 1000000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000000.0 / COUNT(*) AS c
+           FROM comp GROUP BY 1, 2),
+         norms AS (SELECT label,
+             sqrt(CAST(SUM(CAST(FLOOR(c * c * 1e12) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1e12) AS nrm
+           FROM cent GROUP BY 1),
+         dots AS (SELECT a.label AS la, b.label AS lb,
+             CAST(SUM(CAST(FLOOR(a.c * b.c * 1e12) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1e12 AS dot
+           FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+           GROUP BY 1, 2)
+         SELECT la, lb, dot / (na.nrm * nb.nrm) AS cosine
+         FROM dots
+         JOIN norms na ON na.label = la
+         JOIN norms nb ON nb.label = lb
+         ORDER BY la, lb""",
 
     // mirrors TextStats.canonicalUrl/urlDedupReport: the identical
     // regexp strip/extract/lower sequence over the decorated URLs.

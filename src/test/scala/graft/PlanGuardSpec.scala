@@ -143,6 +143,18 @@ class PlanGuardSpec extends SparkSuite {
   test("q238 zipf: OLS confined to the top-N frame")(
     guard("q238_zipf", Bound))
 
+  test("q270 star join: dims broadcast, no cartesian product") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+    val df = SparkEntry.queries("q270_star_join")(spark, sfDir)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val bhj = nodes.count(_.isInstanceOf[BroadcastHashJoinExec])
+    assert(bhj >= 2,
+      s"nation/region (at least) must ride broadcast joins, saw $bhj")
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "a star join must never degrade to a cartesian product")
+  }
+
   test("pushdown: filter and projection reach the parquet scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions.col
