@@ -2477,6 +2477,48 @@ object ExtQueries {
         .orderBy(col("user_id"))
     },
 
+    // Partial correlation: quantity ↔ price with tax controlled —
+    // three Pearsons from ONE exact co-moment aggregation.
+    "q271_partial_corr" -> { (s, dir) =>
+      Stats.partialCorr(t(s, dir, "lineitem"), "l_quantity",
+        "l_extendedprice", "l_tax")
+    },
+
+    // Cronbach's alpha over three lineitem "items" — the internal-
+    // consistency reliability of a composite score.
+    "q272_cronbach" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .withColumn("i1", col("l_quantity").cast(DoubleType))
+        .withColumn("i2", col("l_discount") * 100.0)
+        .withColumn("i3", col("l_tax") * 100.0)
+      Stats.cronbachAlpha(li, Seq("i1", "i2", "i3"))
+    },
+
+    // Median with a distribution-free order-statistic CI per flag —
+    // rank-pick endpoints, no bootstrap, no normality assumption.
+    "q273_median_ci" -> { (s, dir) =>
+      Reductions.medianWithCI(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice")
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Index series: monthly revenue rebased to first month = 100 — the
+    // BI normalization (integer cents, one bounded-frame window).
+    "q274_index_series" -> { (s, dir) =>
+      val monthly = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(38, 2))) * 100)
+          .cast(LongType).as("cents"))
+      val w = Window.orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthly.withColumn("__first", first(col("cents")).over(w))
+        .select(date_format(col("m"), "yyyy-MM-dd").as("month"),
+          col("cents"),
+          (lit(100.0) * col("cents").cast(DoubleType) /
+            col("__first").cast(DoubleType)).as("idx"))
+        .orderBy(col("month"))
+    },
+
     // Cohen's kappa between the two returns rules — chance-corrected
     // agreement, integers until the final two divisions.
     "q267_cohens_kappa" -> { (s, dir) =>
@@ -6655,6 +6697,145 @@ object ExtQueries {
          SELECT user_id, s.event_id AS last_event_id,
            s.event_type AS last_type, s.value AS last_value
          FROM m ORDER BY user_id""",
+
+    // mirrors Stats.partialCorr: one co-moment aggregation, identical
+    // Pearson and partialling sequences.
+    "q271_partial_corr" ->
+      """WITH f AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y,
+             CAST(l_tax AS DOUBLE) AS z
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+             AND l_tax IS NOT NULL
+             AND NOT isnan(CAST(l_quantity AS DOUBLE))
+             AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+             AND NOT isnan(CAST(l_tax AS DOUBLE))),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sx,
+             CAST(SUM(CAST(FLOOR(y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sy,
+             CAST(SUM(CAST(FLOOR(z * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sz,
+             CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxx,
+             CAST(SUM(CAST(FLOOR(y * y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS syy,
+             CAST(SUM(CAST(FLOOR(z * z * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS szz,
+             CAST(SUM(CAST(FLOOR(x * y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxy,
+             CAST(SUM(CAST(FLOOR(x * z * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxz,
+             CAST(SUM(CAST(FLOOR(y * z * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS syz
+           FROM f),
+         rr AS (SELECT n, CAST(n AS DOUBLE) AS nd, sx, sy, sz,
+             sxx, syy, szz, sxy, sxz, syz FROM a),
+         rs AS (SELECT n,
+             CASE WHEN (nd * sxx - sx * sx) > 0.0
+                   AND (nd * syy - sy * sy) > 0.0
+               THEN (nd * sxy - sx * sy)
+                 / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+             END AS r_xy,
+             CASE WHEN (nd * sxx - sx * sx) > 0.0
+                   AND (nd * szz - sz * sz) > 0.0
+               THEN (nd * sxz - sx * sz)
+                 / (sqrt(nd * sxx - sx * sx) * sqrt(nd * szz - sz * sz))
+             END AS r_xz,
+             CASE WHEN (nd * syy - sy * sy) > 0.0
+                   AND (nd * szz - sz * sz) > 0.0
+               THEN (nd * syz - sy * sz)
+                 / (sqrt(nd * syy - sy * sy) * sqrt(nd * szz - sz * sz))
+             END AS r_yz
+           FROM rr)
+         SELECT n, r_xy, r_xz, r_yz,
+           CASE WHEN r_xy IS NOT NULL AND r_xz IS NOT NULL
+                 AND r_yz IS NOT NULL
+                 AND (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 0.0
+             THEN (r_xy - r_xz * r_yz)
+               / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz))
+           END AS r_xy_z
+         FROM rs""",
+
+    // mirrors Stats.cronbachAlpha over the three derived items.
+    "q272_cronbach" ->
+      """WITH f AS (SELECT CAST(l_quantity AS DOUBLE) AS i1,
+             l_discount * 100.0 AS i2, l_tax * 100.0 AS i3
+           FROM lineitem
+           WHERE CAST(l_quantity AS DOUBLE) IS NOT NULL
+             AND NOT isnan(CAST(l_quantity AS DOUBLE))
+             AND l_discount * 100.0 IS NOT NULL
+             AND NOT isnan(l_discount * 100.0)
+             AND l_tax * 100.0 IS NOT NULL AND NOT isnan(l_tax * 100.0)),
+         g AS (SELECT i1, i2, i3, i1 + i2 + i3 AS tot FROM f),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(i1 * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS s0,
+             CAST(SUM(CAST(FLOOR(i1 * i1 * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS ss0,
+             CAST(SUM(CAST(FLOOR(i2 * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS s1,
+             CAST(SUM(CAST(FLOOR(i2 * i2 * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS ss1,
+             CAST(SUM(CAST(FLOOR(i3 * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS s2,
+             CAST(SUM(CAST(FLOOR(i3 * i3 * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS ss2,
+             CAST(SUM(CAST(FLOOR(tot * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS st,
+             CAST(SUM(CAST(FLOOR(tot * tot * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sst
+           FROM g),
+         v AS (SELECT n,
+             (ss0 - s0 * s0 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+               + (ss1 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+               + (ss2 - s2 * s2 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+               AS sum_item_var,
+             (sst - st * st / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+               AS total_var
+           FROM a)
+         SELECT n, 3 AS k, sum_item_var, total_var,
+           CASE WHEN total_var > 0.0
+             THEN 1.5 * (1.0 - sum_item_var / total_var) END AS alpha
+         FROM v""",
+
+    // mirrors Reductions.medianWithCI: row_number rank build (value-at-
+    // rank is tie-invariant), identical rank-bound and interpolation
+    // formulas (1.96 CAST to DOUBLE — the q268 literal rule).
+    "q273_median_ci" ->
+      """WITH f AS (SELECT l_returnflag AS g,
+             CAST(l_extendedprice AS DOUBLE) AS x
+           FROM lineitem
+           WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+             AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+         r AS (SELECT g, x,
+             row_number() OVER (PARTITION BY g ORDER BY x) AS r,
+             COUNT(*) OVER (PARTITION BY g) AS n
+           FROM f),
+         b AS (SELECT g, x, r, n,
+             GREATEST(1, CAST(CEIL((CAST(n AS DOUBLE)
+               - CAST(1.96 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))) / 2.0)
+               AS BIGINT)) AS lo,
+             LEAST(n, CAST(CEIL((CAST(n AS DOUBLE)
+               + CAST(1.96 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))) / 2.0)
+               AS BIGINT) + 1) AS hi,
+             0.5 * CAST(n - 1 AS DOUBLE) AS pm
+           FROM r),
+         p AS (SELECT g, MAX(n) AS n,
+             MAX(CASE WHEN r - 1 = CAST(FLOOR(pm) AS BIGINT) THEN x END)
+               AS mlo,
+             MAX(CASE WHEN r - 1 = CAST(CEIL(pm) AS BIGINT) THEN x END)
+               AS mhi,
+             MAX(CASE WHEN r = lo THEN x END) AS ci_lo,
+             MAX(CASE WHEN r = hi THEN x END) AS ci_hi
+           FROM b GROUP BY g)
+         SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+           CASE WHEN CEIL(0.5 * CAST(n - 1 AS DOUBLE))
+               = FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) THEN mlo
+             ELSE (CEIL(0.5 * CAST(n - 1 AS DOUBLE))
+                 - 0.5 * CAST(n - 1 AS DOUBLE)) * mlo
+               + (0.5 * CAST(n - 1 AS DOUBLE)
+                 - FLOOR(0.5 * CAST(n - 1 AS DOUBLE))) * mhi END AS median,
+           ci_lo, ci_hi
+         FROM p ORDER BY g""",
+
+    // mirrors q274: integer monthly cents, first-value rebase.
+    "q274_index_series" ->
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS mt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) * 100 AS BIGINT)
+               AS cents
+           FROM orders GROUP BY 1),
+         w AS (SELECT mt, cents,
+             first_value(cents) OVER (ORDER BY mt ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS f
+           FROM m)
+         SELECT strftime(mt, '%Y-%m-%d') AS month, cents,
+           100.0 * CAST(cents AS DOUBLE) / CAST(f AS DOUBLE) AS idx
+         FROM w ORDER BY month""",
 
     // mirrors q267: four integer cells, identical po/pe/kappa sequence.
     "q267_cohens_kappa" ->

@@ -818,6 +818,52 @@ object Reductions {
     ret
   }
 
+  /** MEDIAN WITH ORDER-STATISTIC CONFIDENCE INTERVAL per group: the
+    * distribution-free CI (no bootstrap, no normality) — the interval
+    * endpoints are the values at ranks
+    * l = max(1, ⌈(n − 1.96√n)/2⌉), u = min(n, ⌈(n + 1.96√n)/2⌉ + 1),
+    * the normal approximation to the binomial order-statistic bounds.
+    * Returns (group, n, median, ci_lo, ci_hi). Value-at-rank is
+    * tie-permutation-invariant, so the [[graft.ops.TableOps.stratifiedRank]]
+    * build (range-partitioned, no per-group sort window) replays in SQL
+    * row_number form exactly. One rank pass + one keyed aggregation. */
+  def medianWithCI(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    import graft.ops.TableOps._
+    val vals = df
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast(DoubleType).as("__x"))
+      .filter(col("__g").isNotNull && col("__x").isNotNull &&
+        !isnan(col("__x")))
+    val ranked = vals.stratifiedRank("__g", Seq(col("__x")), "__r", "__n")
+    val nD = col("__n").cast(DoubleType)
+    val loR = greatest(lit(1L),
+      ceil((nD - lit(1.96) * sqrt(nD)) / lit(2.0)).cast(LongType))
+    val hiR = least(col("__n"),
+      ceil((nD + lit(1.96) * sqrt(nD)) / lit(2.0)).cast(LongType) + 1L)
+    val zero = col("__r") - 1
+    val pM = lit(0.5) * (col("__n") - 1).cast(DoubleType)
+    val keep = zero === floor(pM).cast(LongType) ||
+      zero === ceil(pM).cast(LongType) ||
+      col("__r") === loR || col("__r") === hiR
+    val picked = ranked.filter(keep)
+      .groupBy(col("__g"))
+      .agg(max(col("__n")).as("n"),
+        max(when(zero === floor(pM).cast(LongType), col("__x")))
+          .as("__mlo"),
+        max(when(zero === ceil(pM).cast(LongType), col("__x")))
+          .as("__mhi"),
+        max(when(col("__r") === loR, col("__x"))).as("ci_lo"),
+        max(when(col("__r") === hiR, col("__x"))).as("ci_hi"))
+    val p = lit(0.5) * (col("n") - 1).cast(DoubleType)
+    val lo = floor(p); val hi = ceil(p)
+    picked.select(col("__g").as(groupCol), col("n"),
+      when(hi === lo, col("__mlo"))
+        .otherwise((hi.cast(DoubleType) - p) * col("__mlo") +
+          (p - lo.cast(DoubleType)) * col("__mhi")).as("median"),
+      col("ci_lo"), col("ci_hi"))
+  }
+
   /** ECONOMIC GINI COEFFICIENT of a non-negative integer metric (cents,
     * counts), EXACT: G = Σᵢ(2i − n − 1)·x₍ᵢ₎ / (n·Σx) with i the sorted
     * position. The numerator is tie-invariant (equal values make block

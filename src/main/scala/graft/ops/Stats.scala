@@ -1025,6 +1025,77 @@ object Stats {
             .otherwise(lit(0.0))).as("z"))
   }
 
+  /** PARTIAL CORRELATION r_xy·z — the x↔y association with the
+    * confounder z regressed out: (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)).
+    * All three Pearsons come from ONE aggregation of floor-scaled exact
+    * co-moments (9 sums + count), then a fixed IEEE sequence — the
+    * "does quality still predict engagement after controlling for
+    * length" audit. Returns one row (n, r_xy, r_xz, r_yz, r_xy_z). */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String, zCol: String)
+      : DataFrame = {
+    val x = col(xCol).cast(DoubleType); val y = col(yCol).cast(DoubleType)
+    val z = col(zCol).cast(DoubleType)
+    val clean = df.filter(x.isNotNull && y.isNotNull && z.isNotNull &&
+        !isnan(x) && !isnan(y) && !isnan(z))
+      .select(x.as("__x"), y.as("__y"), z.as("__z"))
+    val agg = clean.agg(count(lit(1)).as("n"),
+      fs(col("__x"), 6).as("sx"), fs(col("__y"), 6).as("sy"),
+      fs(col("__z"), 6).as("sz"),
+      fs(col("__x") * col("__x"), 6).as("sxx"),
+      fs(col("__y") * col("__y"), 6).as("syy"),
+      fs(col("__z") * col("__z"), 6).as("szz"),
+      fs(col("__x") * col("__y"), 6).as("sxy"),
+      fs(col("__x") * col("__z"), 6).as("sxz"),
+      fs(col("__y") * col("__z"), 6).as("syz"))
+    val nD = col("n").cast(DoubleType)
+    def r(sab: Column, sa: Column, sb: Column, saa: Column, sbb: Column) = {
+      val va = nD * saa - sa * sa; val vb = nD * sbb - sb * sb
+      when(va > 0.0 && vb > 0.0,
+        (nD * sab - sa * sb) / (sqrt(va) * sqrt(vb)))
+    }
+    val rxy = r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+    val rxz = r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+    val ryz = r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+    agg.select(col("n"), rxy.as("r_xy"), rxz.as("r_xz"), ryz.as("r_yz"),
+      when(rxy.isNotNull && rxz.isNotNull && ryz.isNotNull &&
+        (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz) > 0.0,
+        (rxy - rxz * ryz) /
+          sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)))
+        .as("r_xy_z"))
+  }
+
+  /** CRONBACH'S ALPHA internal-consistency reliability over k item
+    * columns: α = k/(k−1)·(1 − Σ varᵢ / var(total)). Population
+    * variances from floor-scaled exact sums in ONE aggregation (each
+    * item's moments plus the row-total's). Returns one row
+    * (n, k, sum_item_var, total_var, alpha). */
+  def cronbachAlpha(df: DataFrame, itemCols: Seq[String]): DataFrame = {
+    require(itemCols.size >= 2, "alpha needs ≥ 2 items")
+    val items = itemCols.map(c => col(c).cast(DoubleType))
+    val clean = df.filter(items.map(c => c.isNotNull && !isnan(c))
+        .reduce(_ && _))
+      .select(items.zipWithIndex.map { case (c, i) => c.as(s"__i$i") }: _*)
+      .withColumn("__tot",
+        itemCols.indices.map(i => col(s"__i$i")).reduce(_ + _))
+    val aggs = itemCols.indices.flatMap { i =>
+      Seq(fs(col(s"__i$i"), 6).as(s"s$i"),
+        fs(col(s"__i$i") * col(s"__i$i"), 6).as(s"ss$i"))
+    } ++ Seq(fs(col("__tot"), 6).as("st"),
+      fs(col("__tot") * col("__tot"), 6).as("sst"))
+    val agg = clean.agg(count(lit(1)).as("n"), aggs: _*)
+    val nD = col("n").cast(DoubleType)
+    def varPop(s: Column, ss: Column) = (ss - s * s / nD) / nD
+    val sumVars = itemCols.indices
+      .map(i => varPop(col(s"s$i"), col(s"ss$i")))
+      .reduce(_ + _)
+    val totVar = varPop(col("st"), col("sst"))
+    val k = itemCols.size.toDouble
+    agg.select(col("n"), lit(itemCols.size).as("k"),
+      sumVars.as("sum_item_var"), totVar.as("total_var"),
+      when(totVar > 0.0,
+        lit(k / (k - 1.0)) * (lit(1.0) - sumVars / totVar)).as("alpha"))
+  }
+
   /** BOX-COX LADDER fit: profile log-likelihood of the classic
     * ladder-of-powers transforms λ ∈ {−1, 0, ½, 1, 2} for a POSITIVE
     * metric — which variance-stabilizing transform should the pipeline

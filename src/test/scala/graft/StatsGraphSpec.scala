@@ -999,6 +999,55 @@ class StatsGraphSpec extends SparkSuite {
     cv.foreach(r => assert(r.getAs[Double]("rmse") >= 0.0))
   }
 
+  test("partialCorr: controlling for the confounder removes the link") {
+    // y = z + noise-free, x = z exactly: x↔y correlation is pure z
+    val rows = (1 to 60).map { i =>
+      val z = (i % 11).toDouble
+      (z, z * 2.0 + 1.0, z)
+    }
+    val r = Stats.partialCorr(rows.toDF("x", "y", "z"), "x", "y", "z")
+      .collect()(0)
+    assert(math.abs(r.getAs[Double]("r_xy") - 1.0) < 1e-9)
+    // degenerate partialling (rxz = ryz = 1) nulls out, not NaN
+    assert(r.isNullAt(r.fieldIndex("r_xy_z")))
+  }
+
+  test("partialCorr: independent confounder leaves r intact") {
+    val rows = (1 to 120).map { i =>
+      val x = (i % 7).toDouble
+      (x, 3.0 * x + 2.0, (i % 2).toDouble)
+    }
+    val r = Stats.partialCorr(rows.toDF("x", "y", "z"), "x", "y", "z")
+      .collect()(0)
+    assert(math.abs(r.getAs[Double]("r_xy") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r_xy_z") - 1.0) < 1e-6)
+  }
+
+  test("cronbachAlpha: parallel items score near 1, random items near 0") {
+    val good = (1 to 100).map { i =>
+      val t = (i % 13).toDouble
+      (t + 0.01 * (i % 3), t + 0.02 * (i % 5), t)
+    }
+    val a = Stats.cronbachAlpha(good.toDF("a", "b", "c"),
+      Seq("a", "b", "c")).collect()(0).getAs[Double]("alpha")
+    assert(a > 0.95, s"parallel items must be reliable, got $a")
+    val bad = (1 to 100).map(i =>
+      ((i % 7).toDouble, (i * 3 % 11).toDouble, (i * 5 % 13).toDouble))
+    val ab = Stats.cronbachAlpha(bad.toDF("a", "b", "c"),
+      Seq("a", "b", "c")).collect()(0).getAs[Double]("alpha")
+    assert(ab < 0.5, s"unrelated items must score low, got $ab")
+  }
+
+  test("medianWithCI: hand-checked rank bounds on 1..9") {
+    val df = (1 to 9).map(i => ("g", i.toDouble)).toDF("g", "x")
+    val r = Reductions.medianWithCI(df, "g", "x").collect()(0)
+    assert(r.getAs[Long]("n") == 9L)
+    assert(r.getAs[Double]("median") == 5.0)
+    // lo = ceil((9 − 1.96·3)/2) = 2; hi = min(9, ceil((9 + 5.88)/2)+1) = 9
+    assert(r.getAs[Double]("ci_lo") == 2.0)
+    assert(r.getAs[Double]("ci_hi") == 9.0)
+  }
+
   test("giniCoefficient: textbook extremes") {
     val equal = Seq(100L, 100L, 100L, 100L).toDF("cents")
     val re = Reductions.giniCoefficient(equal, "cents").collect()(0)
