@@ -2477,6 +2477,36 @@ object ExtQueries {
         .orderBy(col("user_id"))
     },
 
+    // Two-factor cell-means decomposition of value over
+    // (event_type × even/odd cohort) — main-effect F's + the
+    // interaction remainder.
+    "q275_two_way_anova" -> { (s, dir) =>
+      val ev = t(s, dir, "events").withColumn("cohort",
+        when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+      Stats.twoWayAnova(ev, "event_type", "cohort", "value")
+    },
+
+    // Friedman test: do the five event types rank the same within every
+    // complete user block? Scores = per-(user, type) exact mean value.
+    "q276_friedman" -> { (s, dir) =>
+      val scores = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg((sum(col("value").cast(DecimalType(38, 2))).cast(DoubleType) /
+          count(lit(1))).as("score"))
+      Stats.friedman(scores, "user_id", "event_type", "score")
+    },
+
+    // Wald-Wolfowitz runs test on the daily-revenue series, mean-split:
+    // too few runs = trending, too many = oscillating.
+    "q277_runs_test" -> { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(38, 2))) * 100)
+          .cast(LongType).as("cents"))
+      Stats.runsTest(daily, "d", "cents",
+        sum(col("cents")).cast(DoubleType) / count(lit(1)))
+    },
+
     // Partial correlation: quantity ↔ price with tax controlled —
     // three Pearsons from ONE exact co-moment aggregation.
     "q271_partial_corr" -> { (s, dir) =>
@@ -6697,6 +6727,130 @@ object ExtQueries {
          SELECT user_id, s.event_id AS last_event_id,
            s.event_type AS last_type, s.value AS last_value
          FROM m ORDER BY user_id""",
+
+    // mirrors Stats.twoWayAnova: cell moment sums, margin re-floors,
+    // the identical between-term/correction sequence (q228's pattern
+    // with two factors).
+    "q275_two_way_anova" ->
+      """WITH c0 AS (SELECT event_type AS a,
+             CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS b,
+             CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL
+             AND NOT isnan(value)),
+         cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS s,
+             CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS ss
+           FROM c0 GROUP BY 1, 2),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(s * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS s,
+             CAST(SUM(CAST(FLOOR(ss * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS ss
+           FROM cells),
+         ma AS (SELECT a, CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(s * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS s
+           FROM cells GROUP BY 1),
+         mb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(s * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS s
+           FROM cells GROUP BY 1),
+         bta AS (SELECT CAST(COUNT(*) AS BIGINT) AS ka,
+             CAST(SUM(CAST(FLOOR(s * s / CAST(n AS DOUBLE) * 1000000000.0)
+               AS DECIMAL(38,0))) AS DOUBLE) / 1000000000.0 AS bt
+           FROM ma),
+         btb AS (SELECT CAST(COUNT(*) AS BIGINT) AS kb,
+             CAST(SUM(CAST(FLOOR(s * s / CAST(n AS DOUBLE) * 1000000000.0)
+               AS DECIMAL(38,0))) AS DOUBLE) / 1000000000.0 AS bt
+           FROM mb),
+         btc AS (SELECT CAST(COUNT(*) AS BIGINT) AS kc,
+             CAST(SUM(CAST(FLOOR(s * s / CAST(n AS DOUBLE) * 1000000000.0)
+               AS DECIMAL(38,0))) AS DOUBLE) / 1000000000.0 AS bt
+           FROM cells),
+         fin AS (SELECT tot.n, ka, kb, kc,
+             bta.bt - tot.s * tot.s / CAST(tot.n AS DOUBLE) AS ss_a,
+             btb.bt - tot.s * tot.s / CAST(tot.n AS DOUBLE) AS ss_b,
+             btc.bt - (bta.bt - tot.s * tot.s / CAST(tot.n AS DOUBLE))
+               - (btb.bt - tot.s * tot.s / CAST(tot.n AS DOUBLE))
+               - tot.s * tot.s / CAST(tot.n AS DOUBLE) AS ss_int,
+             tot.ss - btc.bt AS ss_within
+           FROM tot CROSS JOIN bta CROSS JOIN btb CROSS JOIN btc)
+         SELECT n, ka, kb, ss_a, ss_b, ss_int, ss_within,
+           CASE WHEN CAST(n AS DOUBLE) - CAST(kc AS DOUBLE) > 0.0
+                 AND ss_within / (CAST(n AS DOUBLE) - CAST(kc AS DOUBLE))
+                   > 0.0 AND ka > 1
+             THEN (ss_a / (CAST(ka AS DOUBLE) - 1.0))
+               / (ss_within / (CAST(n AS DOUBLE) - CAST(kc AS DOUBLE)))
+           END AS f_a,
+           CASE WHEN CAST(n AS DOUBLE) - CAST(kc AS DOUBLE) > 0.0
+                 AND ss_within / (CAST(n AS DOUBLE) - CAST(kc AS DOUBLE))
+                   > 0.0 AND kb > 1
+             THEN (ss_b / (CAST(kb AS DOUBLE) - 1.0))
+               / (ss_within / (CAST(n AS DOUBLE) - CAST(kc AS DOUBLE)))
+           END AS f_b
+         FROM fin""",
+
+    // mirrors Stats.friedman: complete blocks, doubled avg ranks inside
+    // each block, the folded 3·ΣR2²/(bk(k+1)) sequence.
+    "q276_friedman" ->
+      """WITH base AS (SELECT user_id AS blk, event_type AS t,
+             CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*)
+               AS x
+           FROM events GROUP BY 1, 2),
+         kk AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM base),
+         comp AS (SELECT blk FROM base GROUP BY blk
+           HAVING COUNT(DISTINCT t) = (SELECT k FROM kk)),
+         kept AS (SELECT base.* FROM base JOIN comp USING (blk)),
+         bb AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM comp),
+         rk AS (SELECT t,
+             2 * rank() OVER (PARTITION BY blk ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY blk, x) - 1 AS dr
+           FROM kept),
+         pt AS (SELECT t, CAST(SUM(dr) AS BIGINT) AS r2 FROM rk
+           GROUP BY 1),
+         agg AS (SELECT MAX(b) AS b, MAX(k) AS k,
+             CAST(SUM(CAST(FLOOR(3.0 * CAST(r2 AS DOUBLE)
+               * CAST(r2 AS DOUBLE) / (CAST(b AS DOUBLE)
+                 * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))
+               * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS s
+           FROM pt CROSS JOIN bb CROSS JOIN kk)
+         SELECT b, k,
+           s - 3.0 * CAST(b AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)
+             AS chi2_f
+         FROM agg""",
+
+    // mirrors Stats.runsTest on the mean-split daily revenue series.
+    "q277_runs_test" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) * 100
+               AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         m AS (SELECT CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mn
+           FROM daily),
+         s AS (SELECT d, CAST(cents AS DOUBLE) AS x, mn
+           FROM daily CROSS JOIN m WHERE CAST(cents AS DOUBLE) <> mn),
+         u AS (SELECT d, CASE WHEN x > mn THEN 1 ELSE 0 END AS up FROM s),
+         l AS (SELECT up, lag(up) OVER (ORDER BY d) AS prev FROM u),
+         agg AS (SELECT CAST(SUM(up) AS BIGINT) AS n1,
+             CAST(SUM(1 - up) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN prev IS NULL OR prev <> up THEN 1
+               ELSE 0 END) AS BIGINT) AS runs
+           FROM l)
+         SELECT n1, n2, runs,
+           CASE WHEN 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+               / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)) > 0.0
+             THEN (CAST(runs AS DOUBLE) - (1.0 + 2.0 * CAST(n1 AS DOUBLE)
+                 * CAST(n2 AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+               / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                   - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                 / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                   * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                   * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))
+           END AS z
+         FROM agg""",
 
     // mirrors Stats.partialCorr: one co-moment aggregation, identical
     // Pearson and partialling sequences.

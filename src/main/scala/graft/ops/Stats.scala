@@ -833,6 +833,13 @@ object Stats {
   private def fs(c: Column, digits: Int): Column =
     Reductions.isum(c, digits)
 
+  /** Re-aggregate already-floor-scaled (10⁶) partial sums: the same
+    * floor(·10⁶) pass — not "exact" in the mathematical sense (the
+    * scaled-back double may sit an ulp under the integer), but BOTH
+    * engines floor the same doubles, which is the property the oracle
+    * needs (the q228 margin-resum pattern). */
+  private def fs2(c: Column): Column = fs(c, 6)
+
   /** Two-group LOG-RANK test (Mantel-Cox): do the survival curves of
     * `groupCol == a` vs `== b` differ? Input rows are (duration, event,
     * group) with event = 1 observed / 0 right-censored (the
@@ -1023,6 +1030,136 @@ object Stats {
             .when(col("s") < 0,
               (col("s").cast(DoubleType) + 1.0) / sqrt(varS))
             .otherwise(lit(0.0))).as("z"))
+  }
+
+  /** TWO-FACTOR cell-means DECOMPOSITION (two-way ANOVA, Type-I-style):
+    * SS_A, SS_B, SS_cells (⇒ interaction = cells − A − B as the
+    * remainder — exact algebra for balanced designs, the standard
+    * descriptive decomposition otherwise, which is what a data audit
+    * wants), SS_within = total − cells, and the two main-effect F's.
+    * Returns one row (n, ka, kb, ss_a, ss_b, ss_int, ss_within, f_a,
+    * f_b).
+    *
+    * Everything reduces to per-group exact moment sums (one pass builds
+    * cell/margin/global sums); the between-terms are floor-scaled at
+    * 10⁹ per the ANOVA house pattern so reduce order cannot move F. */
+  def twoWayAnova(df: DataFrame, aCol: String, bCol: String,
+                  valueCol: String): DataFrame = {
+    val x = col(valueCol).cast(DoubleType)
+    val clean = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        x.isNotNull && !isnan(x))
+      .select(col(aCol).as("__a"), col(bCol).as("__b"), x.as("__x"))
+    val cells = clean.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__n"), fs(col("__x"), 6).as("__s"),
+        fs(col("__x") * col("__x"), 6).as("__ss"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cells.count()
+    val tot = cells.agg(sum(col("__n")).as("n"),
+      fs2(col("__s")).as("s"), fs2(col("__ss")).as("ss"))
+    val nD = col("n").cast(DoubleType)
+    // between-term for a margin frame: Σ s_g²/n_g, floor-scaled at 10⁹
+    def between(margin: DataFrame, k: String): DataFrame =
+      margin.agg(count(lit(1)).as(k),
+        fs(col("__s") * col("__s") / col("__n").cast(DoubleType), 9)
+          .as(s"__bt_$k"))
+    val byA = between(cells.groupBy(col("__a"))
+      .agg(sum(col("__n")).as("__n"), fs2(col("__s")).as("__s")), "ka")
+    val byB = between(cells.groupBy(col("__b"))
+      .agg(sum(col("__n")).as("__n"), fs2(col("__s")).as("__s")), "kb")
+    val byC = cells.agg(count(lit(1)).as("kc"),
+      fs(col("__s") * col("__s") / col("__n").cast(DoubleType), 9)
+        .as("__bt_kc"))
+    val cm = col("s") * col("s") / nD // correction term
+    val out = tot.crossJoin(broadcast(byA)).crossJoin(broadcast(byB))
+      .crossJoin(broadcast(byC))
+      .select(col("n"), col("ka"), col("kb"),
+        (col("__bt_ka") - cm).as("ss_a"), (col("__bt_kb") - cm).as("ss_b"),
+        (col("__bt_kc") - (col("__bt_ka") - cm) - (col("__bt_kb") - cm) -
+          cm).as("ss_int"),
+        (col("ss") - col("__bt_kc")).as("ss_within"),
+        col("kc"), col("__bt_kc").as("__btc"))
+    val dfw = col("n").cast(DoubleType) - col("kc").cast(DoubleType)
+    val msw = col("ss_within") / dfw
+    out.select(col("n"), col("ka"), col("kb"), col("ss_a"), col("ss_b"),
+      col("ss_int"), col("ss_within"),
+      when(dfw > 0.0 && msw > 0.0 && col("ka") > 1,
+        (col("ss_a") / (col("ka").cast(DoubleType) - 1.0)) / msw)
+        .as("f_a"),
+      when(dfw > 0.0 && msw > 0.0 && col("kb") > 1,
+        (col("ss_b") / (col("kb").cast(DoubleType) - 1.0)) / msw)
+        .as("f_b"))
+  }
+
+  /** FRIEDMAN test over complete blocks: do the k treatments rank the
+    * same within every block (user)? Input is the long
+    * (block, treatment, score) frame; blocks missing any treatment are
+    * dropped (complete-case, the standard requirement). Doubled average
+    * ranks keep everything integer until one fixed scalar sequence:
+    * χ²_F = 3·Σ_j R2_j²/(b·k·(k+1)) − 3·b·(k+1) with R2_j the doubled
+    * rank sum of treatment j. Returns one row (b, k, chi2_f).
+    *
+    * Plan: ranks come from per-block keyed windows over k rows each
+    * (bounded by the treatment count); one keyed aggregation per side. */
+  def friedman(df: DataFrame, blockCol: String, treatCol: String,
+               scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(blockCol).isNotNull &&
+        col(treatCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(blockCol).as("__blk"), col(treatCol).as("__t"),
+        col(scoreCol).cast(DoubleType).as("__x"))
+    val k = base.select(col("__t")).distinct().count()
+    val complete = base.groupBy(col("__blk"))
+      .agg(countDistinct(col("__t")).as("__kt"))
+      .filter(col("__kt") === k).select(col("__blk"))
+    val kept = base.join(complete, "__blk")
+    val wR = Window.partitionBy(col("__blk")).orderBy(col("__x"))
+    val wT = Window.partitionBy(col("__blk"), col("__x"))
+    // doubled average rank: 2·rank + ties − 1 (always integer)
+    val ranked = kept.withColumn("__dr",
+      lit(2) * rank().over(wR) + count(lit(1)).over(wT) - 1)
+    val perT = ranked.groupBy(col("__t"))
+      .agg(sum(col("__dr")).as("__r2"))
+    val b = complete.count()
+    val kD = k.toDouble; val bD = b.toDouble
+    // 12/(bk(k+1))·Σ(R2/2)² = 3·ΣR2²/(bk(k+1)) — the /4 folds into 12
+    val term = lit(3.0) * col("__r2").cast(DoubleType) *
+      col("__r2").cast(DoubleType) /
+      (lit(bD) * lit(kD) * lit(kD + 1.0))
+    perT.agg(fs(term, 6).as("__s"))
+      .select(lit(b).as("b"), lit(k).as("k"),
+        (col("__s") - lit(3.0) * lit(bD) * lit(kD + 1.0)).as("chi2_f"))
+  }
+
+  /** WALD-WOLFOWITZ RUNS TEST for randomness of a median-split series:
+    * too few runs = trending, too many = oscillating. Input is an
+    * AGGREGATED ordered series frame (the Mann-Kendall contract);
+    * values equal to the split point drop (standard). Returns one row
+    * (n1, n2, runs, z) — integers until the fixed z sequence. The
+    * lag/run count rides the O(m) bounded frame. */
+  def runsTest(df: DataFrame, orderCol: String, valueCol: String,
+               split: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(orderCol))
+    val signed = df
+      .select(col(orderCol), col(valueCol).cast(DoubleType).as("__x"))
+      .crossJoin(broadcast(df.agg(split.as("__m"))))
+      .filter(col("__x") =!= col("__m"))
+      .withColumn("__up", (col("__x") > col("__m")).cast("int"))
+    val runs = signed
+      .withColumn("__prev", lag(col("__up"), 1).over(w))
+      .agg(sum(col("__up")).cast(LongType).as("n1"),
+        sum(lit(1) - col("__up")).cast(LongType).as("n2"),
+        (sum(when(col("__prev").isNull ||
+          col("__prev") =!= col("__up"), 1L).otherwise(0L)))
+          .as("runs"))
+    val n1 = col("n1").cast(DoubleType); val n2 = col("n2").cast(DoubleType)
+    val nT = n1 + n2
+    val e = lit(1.0) + lit(2.0) * n1 * n2 / nT
+    val v = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2) /
+      (nT * nT * (nT - 1.0))
+    runs.select(col("n1"), col("n2"), col("runs"),
+      when(v > 0.0, (col("runs").cast(DoubleType) - e) / sqrt(v)).as("z"))
   }
 
   /** PARTIAL CORRELATION r_xy·z — the x↔y association with the

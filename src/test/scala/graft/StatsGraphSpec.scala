@@ -999,6 +999,46 @@ class StatsGraphSpec extends SparkSuite {
     cv.foreach(r => assert(r.getAs[Double]("rmse") >= 0.0))
   }
 
+  test("twoWayAnova: additive balanced design → near-zero interaction") {
+    val rows = for {
+      a <- Seq("a1", "a2"); b <- Seq("b1", "b2"); i <- 1 to 25
+    } yield (a, b,
+      (if (a == "a2") 10.0 else 0.0) + (if (b == "b2") 1.0 else 0.0) +
+        (i % 5) * 0.01)
+    val r = Stats.twoWayAnova(rows.toDF("a", "b", "x"), "a", "b", "x")
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Long]("ka") == 2L && r.getAs[Long]("kb") == 2L)
+    assert(math.abs(r.getAs[Double]("ss_int")) < 1e-3,
+      s"additive design must have ~no interaction, got ${r.getAs[Double]("ss_int")}")
+    val (fa, fb) = (r.getAs[Double]("f_a"), r.getAs[Double]("f_b"))
+    assert(fa > fb && fb > 0.0, s"10-unit effect must dwarf 1-unit: $fa vs $fb")
+  }
+
+  test("friedman: unanimous treatment order gives the textbook statistic") {
+    // 6 blocks, 3 treatments, same order everywhere → χ² = 12 exactly
+    val rows = for (blk <- 1 to 6; (t, v) <- Seq(("t1", 1.0), ("t2", 2.0),
+      ("t3", 3.0))) yield (blk.toLong, t, v + blk * 10.0 % 1.0)
+    val r = Stats.friedman(rows.toDF("blk", "t", "x"), "blk", "t", "x")
+      .collect()(0)
+    assert(r.getAs[Long]("b") == 6L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Double]("chi2_f") == 12.0)
+  }
+
+  test("runsTest: alternating vs monotone series") {
+    val alt = (1 to 8).map(i => (i, if (i % 2 == 0) 10L else 1L))
+      .toDF("d", "v")
+    val meanSplit = sum(col("v")).cast("double") / count(lit(1))
+    val ra = Stats.runsTest(alt, "d", "v", meanSplit).collect()(0)
+    assert(ra.getAs[Long]("n1") == 4L && ra.getAs[Long]("n2") == 4L)
+    assert(ra.getAs[Long]("runs") == 8L)
+    assert(ra.getAs[Double]("z") > 2.0, "perfect alternation = too many runs")
+    val mono = (1 to 8).map(i => (i, i.toLong * 10)).toDF("d", "v")
+    val rm = Stats.runsTest(mono, "d", "v", meanSplit).collect()(0)
+    assert(rm.getAs[Long]("runs") == 2L)
+    assert(rm.getAs[Double]("z") < -2.0, "monotone trend = too few runs")
+  }
+
   test("partialCorr: controlling for the confounder removes the link") {
     // y = z + noise-free, x = z exactly: x↔y correlation is pure z
     val rows = (1 to 60).map { i =>
