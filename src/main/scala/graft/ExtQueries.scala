@@ -6087,14 +6087,13 @@ object ExtQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
            FROM g CROSS JOIN tot),
          inc AS (SELECT t, d, n,
-             CAST(FLOOR(CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
-               * 1000000000.0) AS BIGINT) AS i
+             (d * 1000000000) // n AS i
            FROM risk),
          cum AS (SELECT t, d, n,
              SUM(i) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
                AND CURRENT ROW) AS hs
            FROM inc)
-         SELECT t, n AS n_risk, d AS d_events,
+         SELECT t, CAST(n AS BIGINT) AS n_risk, d AS d_events,
            CAST(hs AS DOUBLE) / 1000000000.0 AS h
          FROM cum WHERE d > 0 ORDER BY t""",
 
@@ -6530,7 +6529,8 @@ object ExtQueries {
     "q249_power_law" ->
       """WITH d AS (SELECT CAST(COUNT(*) AS DOUBLE) AS x FROM orders
            GROUP BY o_custkey),
-         t AS (SELECT x FROM d WHERE x >= 3.0),
+         t AS (SELECT x FROM d
+           WHERE x IS NOT NULL AND NOT isnan(x) AND x >= 3.0),
          agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
              CAST(SUM(CAST(FLOOR(ln(x / 3.0) * 1000000000.0)
                AS DECIMAL(38,0))) AS DOUBLE) / 1000000000.0 AS s
@@ -7168,10 +7168,11 @@ object ExtQueries {
                * CAST(cents AS HUGEINT)) AS DECIMAL(38,0)) AS num,
              MAX(n) AS n, MAX(s) AS s
            FROM r)
-         SELECT CAST(n AS BIGINT) AS n, CAST(s AS DECIMAL(38,0)) AS total,
+         SELECT CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS total,
            CASE WHEN n > 0 AND s > 0
-             THEN CAST(num AS DOUBLE)
-               / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) END AS gini
+             THEN CAST((CAST(num AS HUGEINT) * 1000000000)
+               // (CAST(n AS HUGEINT) * CAST(s AS HUGEINT)) AS DOUBLE)
+               / 1000000000.0 END AS gini
          FROM num""",
 
     // mirrors q263: keyed lead gaps in integer microseconds, identical

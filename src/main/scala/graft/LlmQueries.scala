@@ -1756,14 +1756,19 @@ object LlmQueries {
            md5($normSql) AS fp
          FROM documents),
          q AS (SELECT source, n_tok, fp,
-           least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.4 +
-           least(CAST(sw_hits AS DOUBLE) / greatest(n_tok, 1) * 4.0, 1.0) * 0.3 +
-           (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars2, 1) * 5.0, 1.0)) * 0.15 +
-           (1.0 - least(CAST(n_digit AS DOUBLE) / greatest(n_chars2, 1) * 5.0, 1.0)) * 0.15 AS q
+           4000 * least(n_tok, 100)
+           + (300000 * least(4 * sw_hits, greatest(n_tok, 1)))
+             // greatest(n_tok, 1)
+           + (150000 * (greatest(n_chars2, 1)
+               - least(5 * n_punct, greatest(n_chars2, 1))))
+             // greatest(n_chars2, 1)
+           + (150000 * (greatest(n_chars2, 1)
+               - least(5 * n_digit, greatest(n_chars2, 1))))
+             // greatest(n_chars2, 1) AS ppm
          FROM per)
-         SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
-           CAST(SUM(CAST(FLOOR(q * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE)
-             / 1000000.0 / COUNT(*) AS mean_quality,
+         SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(ppm) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_quality,
            COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups
          FROM q GROUP BY 1 ORDER BY 1""",
 
@@ -1772,7 +1777,7 @@ object LlmQueries {
       s"""WITH RECURSIVE ${bpeCtes(8)}
          SELECT * FROM (
            ${(1 to 8).map(i =>
-             s"SELECT CAST($i AS INT) AS merge_idx, bx AS lhs, by AS rhs, c AS pair_count FROM b$i")
+             s"SELECT CAST($i AS INT) AS merge_idx, bx AS lhs, by AS rhs, CAST(c AS BIGINT) AS pair_count FROM b$i")
              .mkString("\n UNION ALL ")}) u
          ORDER BY merge_idx""",
 
@@ -1783,7 +1788,7 @@ object LlmQueries {
          d2 AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS w
            FROM documents)
          SELECT d2.doc_id, COUNT(*) AS n_words,
-           SUM(len(s9.syms)) AS n_bpe_tokens
+           CAST(SUM(len(s9.syms)) AS BIGINT) AS n_bpe_tokens
          FROM d2 JOIN s9 USING (w)
          GROUP BY 1 ORDER BY 1""",
 

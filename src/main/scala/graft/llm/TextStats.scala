@@ -89,6 +89,34 @@ object TextStats {
       (lit(1.0) - punctPenalty) * 0.15 + (lit(1.0) - digitPenalty) * 0.15
   }
 
+  /** [[qualityScore]] in EXACT integer parts-per-million: each of the four
+    * components is its own floored ppm term computed with integer `div`
+    * (never an IEEE intermediate), so corpus-level means of the score are
+    * bit-identical across engines — the aggregate-safe form [[corpusReport]]
+    * uses. Per-component flooring differs from floor(1e6·qualityScore) by
+    * < 4 ulp-of-ppm per doc; the definition here IS the contract.
+    *   c1 = 4000·min(n_tok, 100)                        (0.4 · len score)
+    *   c2 = 300000·min(4·sw, nt) div nt                 (0.3 · stopword)
+    *   c3 = 150000·(nc − min(5·punct, nc)) div nc       (0.15 · punct)
+    *   c4 = 150000·(nc − min(5·digit, nc)) div nc       (0.15 · digit)
+    * with nt = max(tokens, 1), nc = max(chars, 1). */
+  def qualityScorePpm(text: Column): Column = {
+    val nt = greatest(tokenCount(text), lit(1)).cast(LongType)
+    val nc = greatest(length(text), lit(1)).cast(LongType)
+    val sw = size(filter(tokens(text),
+      t => array_contains(array(englishStopwords.map(lit): _*), t)))
+      .cast(LongType)
+    val np = classCount(text, ".,!?;:").cast(LongType)
+    val nd = classCount(text, "0-9").cast(LongType)
+    val c1 = lit(4000L) * least(tokenCount(text).cast(LongType), lit(100L))
+    val c2 = call_function("div", lit(300000L) * least(lit(4L) * sw, nt), nt)
+    val c3 = call_function("div",
+      lit(150000L) * (nc - least(lit(5L) * np, nc)), nc)
+    val c4 = call_function("div",
+      lit(150000L) * (nc - least(lit(5L) * nd, nc)), nc)
+    c1 + c2 + c3 + c4
+  }
+
   /** Gopher-style quality RULE FLAGS (Rae et al. 2021 §A1.1 — the standard
     * pre-training document filters), one boolean per rule plus the
     * conjunction `keep`, so a pipeline can audit WHICH rule dropped a doc
@@ -516,16 +544,18 @@ object TextStats {
     * with a dataset release (docs, token volume, mean quality, exact-dup
     * share, language spread per source/domain/shard). One pass, one
     * key-bucketed aggregation; the dup share reuses the exact-dedup
-    * fingerprint (distinct count per group), quality the q34 scorer with
-    * the exact floor-scaled sum. */
+    * fingerprint (distinct count per group), quality the
+    * [[qualityScorePpm]] exact-integer scorer (flooring an IEEE composite
+    * double at 10⁶ diverged from the SQL mirror at bucket boundaries —
+    * the integer form sums and divides identically on any engine). */
   def corpusReport(df: DataFrame, textCol: String, byCol: String): DataFrame =
     df.select(col(byCol), col(textCol).as("__t"),
         TextDedup.fingerprint(col(textCol)).as("__fp"),
-        qualityScore(col(textCol)).as("__q"))
+        qualityScorePpm(col(textCol)).as("__q"))
       .groupBy(col(byCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(tokenCount(col("__t")).cast(LongType)).as("n_tokens"),
-        (graft.ops.Reductions.isum(col("__q"), 6) / count(lit(1)))
+        (sum(col("__q")).cast(DoubleType) / lit(1000000.0) / count(lit(1)))
           .as("mean_quality"),
         (count(lit(1)) - countDistinct(col("__fp"))).as("n_exact_dups"))
 

@@ -872,7 +872,9 @@ object Reductions {
     * from the range-partitioned distinct-value frame with O(partitions)
     * prefix offsets (the [[globalPercentRank]] shape; NO global window,
     * no data-sized single task). Block terms are exact BigIntegers
-    * carried as Decimal(38,0); one final double division. Returns one
+    * carried as Decimal(38,0); the final ratio is the exact integer
+    * (num·10⁹) div (n·total) followed by one /1e9 so it replays
+    * bit-exactly against a HUGEINT SQL mirror. Returns one
     * row (n, total, gini). */
   def giniCoefficient(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -918,13 +920,21 @@ object Reductions {
       }
     }.toDF("__t")
     val num = terms.agg(sum(col("__t").cast(DecimalType(38, 0))).as("__num"))
+    // total as BIGINT on both sides (a Decimal(38,0) column arrives in
+    // pandas as object-of-Decimal from Spark parquet but float64 from
+    // DuckDB — the driver's hash is dtype-sensitive); cents totals stay
+    // far under 2⁶³ even at 100 TB
     val out = num.select(lit(n).as("n"),
-      lit(new java.math.BigDecimal(total)).cast(DecimalType(38, 0))
-        .as("total"),
+      lit(new java.math.BigDecimal(total)).cast(LongType).as("total"),
+      // exact integer ratio (num·10⁹) div (n·total) then ONE /1e9 — the
+      // direct num/(n·total) double division rounds total → double in an
+      // engine-specific order and diverged from DuckDB's HUGEINT replay
+      // in the last ulp
       when(lit(n) > 0 && lit(total.signum()) > 0,
-        col("__num").cast(DoubleType) /
-          (lit(n).cast(DoubleType) *
-            lit(new java.math.BigDecimal(total)).cast(DoubleType)))
+        expr("CAST((__num * CAST(1000000000 AS DECIMAL(38,0))) div " +
+          s"(CAST($n AS DECIMAL(38,0)) * " +
+          s"CAST('${total.toString}' AS DECIMAL(38,0))) AS DOUBLE)") /
+          lit(1e9))
         .as("gini"))
     val ret = out.cache(); ret.count()
     sorted.unpersist()

@@ -905,10 +905,11 @@ object Stats {
     *
     * Plan: ONE data-sized groupBy on the duration; at-risk counts are
     * total − prefix over the O(distinct durations) count frame; the
-    * cumulative hazard is a window sum of floor-scaled (10⁹) per-time
-    * increments over the same bounded frame, so the fold replays
+    * cumulative hazard is a window sum of exact integer (d·10⁹ div n)
+    * per-time increments over the same bounded frame, so the fold replays
     * bit-exactly in SQL regardless of engine or partitioning (unlike a
-    * raw double running sum). The unpartitioned windows run on the
+    * raw double running sum, or a floored IEEE quotient, which can land
+    * on either side of an exact boundary). The unpartitioned windows run on the
     * O(times) frame, never the data. */
   def nelsonAalen(df: DataFrame, durationCol: String, eventCol: String)
       : DataFrame = {
@@ -927,9 +928,10 @@ object Stats {
       .withColumn("__n",
         col("__all") - coalesce(sum(col("__d") + col("__c")).over(wPrior),
           lit(0L)))
-      .withColumn("__inc",
-        floor(col("__d").cast(DoubleType) / col("__n").cast(DoubleType) *
-          lit(1e9)).cast(LongType))
+      // exact integer arithmetic: (d·10⁹) div n — flooring the IEEE
+      // quotient d/n instead can land on either side of an exact-boundary
+      // result depending on the engine's rounding of the division
+      .withColumn("__inc", expr("(__d * CAST(1000000000 AS BIGINT)) div __n"))
     risk.withColumn("__hs", sum(col("__inc")).over(wCum))
       .filter(col("__d") > 0)
       .select(col("__t").as("t"), col("__n").as("n_risk"),
@@ -1081,7 +1083,8 @@ object Stats {
         col("kc"), col("__bt_kc").as("__btc"))
     val dfw = col("n").cast(DoubleType) - col("kc").cast(DoubleType)
     val msw = col("ss_within") / dfw
-    out.select(col("n"), col("ka"), col("kb"), col("ss_a"), col("ss_b"),
+    val res = out.select(col("n"), col("ka"), col("kb"), col("ss_a"),
+      col("ss_b"),
       col("ss_int"), col("ss_within"),
       when(dfw > 0.0 && msw > 0.0 && col("ka") > 1,
         (col("ss_a") / (col("ka").cast(DoubleType) - 1.0)) / msw)
@@ -1089,6 +1092,12 @@ object Stats {
       when(dfw > 0.0 && msw > 0.0 && col("kb") > 1,
         (col("ss_b") / (col("kb").cast(DoubleType) - 1.0)) / msw)
         .as("f_b"))
+    // materialize the one-row result so the cells cache can be released
+    // before returning (otherwise each call leaks a session-lifetime
+    // MEMORY_AND_DISK frame)
+    val ret = res.cache(); ret.count()
+    cells.unpersist()
+    ret
   }
 
   /** FRIEDMAN test over complete blocks: do the k treatments rank the
@@ -1329,7 +1338,9 @@ object Stats {
       : DataFrame = {
     require(xmin >= 1, "xmin must be ≥ 1")
     val x = col(valueCol).cast(DoubleType)
-    val tail = df.filter(x >= lit(xmin.toDouble))
+    // NaN sorts greatest in Spark (NaN >= xmin is TRUE) — guard it out
+    // explicitly, matching the NOT isnan predicate in the SQL mirror
+    val tail = df.filter(x.isNotNull && !isnan(x) && x >= lit(xmin.toDouble))
     val lnTerm = log(x / lit(xmin.toDouble))
     tail.agg(count(lit(1)).as("n_tail"),
         fs(lnTerm, 9).as("__s"))
