@@ -71,21 +71,32 @@ object Bench {
       "duplicate bench short keys: " +
         results.map(r => shortKey(r._1)).groupBy(identity)
           .collect { case (k, v) if v.size > 1 => k }.mkString(","))
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Belt and braces for the driver's tail-capture: the JSON goes to a
-    // known FILE (cwd = repo root under sbt's forked run) as well as being
-    // the last stdout line; build.sbt sets run/outputStrategy=StdoutOutput
-    // so the forked JVM's stdout is NOT re-logged behind sbt's "[info] "
-    // prefix, which defeated line-oriented JSON extraction in r5–r8.
+    def mkJson(entries: Seq[(String, Double)]): String = {
+      val qs = entries.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","full":"BENCH_LOCAL.json"}"""
+    }
+    // FULL per-query map → BENCH_LOCAL.json (cwd = repo root under sbt's
+    // forked run; committed each round, the judge reads it from the repo).
+    val fullJson = mkJson(results)
     try {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json", "UTF-8")
-      try w.println(json) finally w.close()
+      try w.println(fullJson) finally w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
-    println(json)
+    // The driver captures only the LAST 2000 chars of stdout and parses the
+    // final line as JSON (BENCH_r12 "parsed": null — the 277-query line was
+    // ~3.5 KB and got cut MID-LINE by the window). The stdout line therefore
+    // carries only as many per-query entries as fit under the window, chosen
+    // by time DESCENDING (slow queries are the informative ones; the dropped
+    // tail is uniformly sub-0.3 s session overhead). Full map: see the file.
+    val tailBudget = 1800
+    val byTime = results.sortBy { case (k, v) => (-v, k) }
+    var keep = byTime
+    while (keep.nonEmpty && mkJson(keep.sortBy(_._1)).length > tailBudget)
+      keep = keep.dropRight(math.max(1, (mkJson(keep).length - tailBudget) / 12))
+    println(mkJson(keep.sortBy(_._1)))
     System.out.flush()
     spark.stop()
   }

@@ -45,6 +45,15 @@ def main(sf_dir, out_dir):
         bad = []
         for c in got.columns:
             g, w = got[c], want[c]
+            # the driver's hash is dtype-sensitive: an int64 Spark column vs
+            # a float64 oracle column (e.g. DuckDB SUM(BIGINT) -> HUGEINT ->
+            # pandas float64) hashes differently even when values agree —
+            # flag kind mismatches as failures so local checks catch what
+            # the driver catches (r12: q139/q140/q141 pair/token counts)
+            if g.dtype.kind != w.dtype.kind and not (
+                    g.dtype.kind in 'iu' and w.dtype.kind in 'iu'):
+                bad.append(f"{c}[DTYPE]: got={g.dtype} want={w.dtype}")
+                continue
             if g.dtype.kind == 'f' or w.dtype.kind == 'f':
                 ga, wa = g.astype(float).values, w.astype(float).values
                 both_nan = np.isnan(ga) & np.isnan(wa)
