@@ -1298,8 +1298,11 @@ object ExtQueries {
           (col("event_id") + 40000).as("mid"),              // → int
           (col("event_id") + 3000000000L).as("big"),        // → long
           col("value"),                                     // → double
-          when(col("event_id") % 3 === 0, "t")
-            .when(col("event_id") % 3 === 1, "yes")
+          // STRICT bool table (exact "true"/"false" — the reference's
+          // default :bool coercer; t/yes promote to string, pinned in
+          // IoSpec)
+          when(col("event_id") % 3 === 0, "true")
+            .when(col("event_id") % 3 === 1, "true")
             .otherwise("false").as("flag"),                 // → boolean
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"), // → ts
           col("event_type"))                                // stays string

@@ -245,9 +245,16 @@ object TableOps {
 
     /** parse-column `:relaxed?` (reference src/tech/v3/dataset/column.clj:139-165):
       * try_cast semantics — parse failures become null and are recorded in a
-      * boolean side column `<name>_unparsed` instead of failing the job. */
+      * boolean side column `<name>_unparsed` instead of failing the job.
+      * String→date goes through the reference's multi-pattern local-date
+      * ladder ([[graft.sources.Io.parseLocalDateFlex]]) so "Jan 1 2000"
+      * columns parse as the reference's `[:packed-local-date :relaxed?]`
+      * does (parse_test.clj bad-csv-relaxed-1/2). */
     def columnCastRelaxed(name: String, to: DataType): DataFrame = {
-      val casted = col(name).try_cast(to)
+      val casted =
+        if (to == DateType && df.schema(name).dataType == StringType)
+          graft.sources.Io.parseLocalDateFlex(col(name))
+        else col(name).try_cast(to)
       df.withColumn(s"${name}_unparsed", col(name).isNotNull && casted.isNull)
         .withColumn(name, casted)
     }

@@ -255,24 +255,70 @@ object Io {
     * Boolean uses the reference's relaxed coercion table only when every
     * value is in it (column_parsers.clj:56-80).
     */
-  def inferPromotional(df: DataFrame): DataFrame = {
+  /** Flexible LOCAL-DATE parse of a string column, mirroring the
+    * reference's multi-pattern formatter
+    * (io/datetime.clj:14-47 local-date-parser-patterns): separators
+    * `[/,-. ]+` normalize to one space, then the pattern ladder tries
+    * year-first, month-first, day-first and named-month forms in the
+    * reference's order; unparseable → null (relaxed semantics). Pure
+    * codegen `try_to_date` chain — no UDF. */
+  def parseLocalDateFlex(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val boolTokens = Seq("true", "false", "t", "f", "y", "n", "yes", "no")
-    val cols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
-    if (cols.isEmpty) return df
+    val prep = regexp_replace(c, "[/,\\-. ]+", " ")
+    coalesce(
+      try_to_date(prep, "yyyy M d"),
+      try_to_date(prep, "yyyyMMdd"),
+      try_to_date(prep, "M d yyyy"),
+      try_to_date(prep, "d MMM yyyy"),
+      try_to_date(prep, "M d yy"),
+      try_to_date(prep, "MMM d yyyy"),
+      try_to_date(prep, "MMM d yy"))
+    // NB deliberately NO bare try_to_date(c) fallback: Spark's string→date
+    // cast accepts year-only strings ("1212" → 1212-01-01) where the
+    // reference's ISO_LOCAL_DATE rejects them; ISO dates are covered by
+    // "yyyy M d" after separator normalization.
+  }
+
+  def inferPromotional(df: DataFrame, naAsMissing: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    if (strCols.isEmpty) return df
+    // the reference treats "" and case-insensitive "NA" as missing for
+    // EVERY column (column_parsers.clj:177-191 missing-value?, default
+    // disable-na-as-missing? = false) — nullify before inference so an
+    // int column with NA holes still narrows (ames LotFrontage → int16)
+    val base = if (!naAsMissing) df
+      else strCols.foldLeft(df)((d, c0) =>
+        d.withColumn(c0,
+          when(lower(qcol(c0)) === "na", lit(null)).otherwise(qcol(c0))))
+    val cols = strCols
     val aggs = cols.flatMap { c0 =>
       val c = qcol(c0) // exact-name: dots must not parse as struct paths
       val longV = c.try_cast("long"); val dblV = c.try_cast("double")
+      val tsV = c.try_cast("timestamp")
       Seq(
         count(c).as(s"${c0}__n"),
         count(longV).as(s"${c0}__nlong"),
         count(dblV).as(s"${c0}__ndbl"),
-        count(c.try_cast("timestamp")).as(s"${c0}__nts"),
+        count(tsV).as(s"${c0}__nts"),
+        // the reference tries :packed-local-date before :string — the
+        // flexible multi-pattern date parse (io/datetime.clj) covers
+        // "Jan 1 2000"-style columns; the midnight count disambiguates
+        // "yyyy-MM-dd HH:mm" columns (date-castable by prefix) from
+        // genuine date columns
+        count(parseLocalDateFlex(c)).as(s"${c0}__ndate"),
+        count(when(tsV === date_trunc("day", tsV), 1)).as(s"${c0}__nmid"),
         min(longV).as(s"${c0}__min"), max(longV).as(s"${c0}__max"),
-        count(when(lower(c).isin(boolTokens: _*), 1)).as(s"${c0}__nbool"))
+        // STRICT bool, exact-case "true"/"false" only — the reference's
+        // default promotional sequence uses :bool (column_parsers.clj:54,
+        // default-parser-datatype-sequence:310); the relaxed t/y/yes
+        // :boolean table applies only when a caller asks for :boolean,
+        // which keeps Y/N flag columns (ames CentralAir) as strings
+        count(when(c.isin("true", "false"), 1)).as(s"${c0}__nbool"))
     }
-    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    cols.foldLeft(df) { (d, c0) =>
+    val r = base.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.foldLeft(base) { (d, c0) =>
       def g(s: String): Long = {
         val v = r.get(r.fieldIndex(s"${c0}__$s")); if (v == null) 0L else v.asInstanceOf[Long]
       }
@@ -287,12 +333,14 @@ object Io {
           else Some(LongType)
         }
         else if (g("ndbl") == n) Some(DoubleType)
+        else if (g("ndate") == n && (g("nts") != n || g("nmid") == n))
+          Some(DateType)
         else if (g("nts") == n) Some(TimestampType)
         else None
       target match {
-        case Some(BooleanType) =>
-          // relaxed boolean coercion (t/y/yes/true → true)
-          d.withColumn(c0, lower(qcol(c0)).isin("true", "t", "y", "yes"))
+        case Some(BooleanType) => d.withColumn(c0, qcol(c0) === "true")
+        case Some(DateType) =>
+          d.withColumn(c0, parseLocalDateFlex(qcol(c0)))
         case Some(t) => d.withColumn(c0, qcol(c0).cast(t))
         case None => d
       }

@@ -237,6 +237,133 @@ class IoSpec extends SparkSuite {
     assert(Io.readParquet(spark, s"$data/2024-03-03.parquet").count() == 1725)
   }
 
+  // ---- reference parse_test.clj parity sweep (round 13) -----------------
+  // Each block mirrors one deftest from
+  // /root/reference/test/tech/v3/dataset/parse_test.clj against the same
+  // fixture files, with :int16/:int32/:string → Short/Integer/String.
+
+  test("ames promotional parity: all 80 dtypes + NA missing counts (base-ames-parser-test)") {
+    import org.apache.spark.sql.types._
+    val df = Io.readCsvPromotional(spark,
+      "/root/reference/test/data/ames-train.csv.gz")
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // parse_test.clj:46-130 datatype-answers, verbatim
+    val int16 = Seq("1stFlrSF", "2ndFlrSF", "3SsnPorch", "BedroomAbvGr",
+      "BsmtFinSF1", "BsmtFinSF2", "BsmtFullBath", "BsmtHalfBath",
+      "BsmtUnfSF", "EnclosedPorch", "Fireplaces", "FullBath", "GarageArea",
+      "GarageCars", "GarageYrBlt", "GrLivArea", "HalfBath", "Id",
+      "KitchenAbvGr", "LotFrontage", "LowQualFinSF", "MSSubClass",
+      "MasVnrArea", "MiscVal", "MoSold", "OpenPorchSF", "OverallCond",
+      "OverallQual", "PoolArea", "ScreenPorch", "TotRmsAbvGrd",
+      "TotalBsmtSF", "WoodDeckSF", "YearBuilt", "YearRemodAdd", "YrSold")
+    val int32 = Seq("LotArea", "SalePrice")
+    val strs = Seq("Alley", "BldgType", "BsmtCond", "BsmtExposure",
+      "BsmtFinType1", "BsmtFinType2", "BsmtQual", "CentralAir",
+      "Condition1", "Condition2", "Electrical", "ExterCond", "ExterQual",
+      "Exterior1st", "Exterior2nd", "Fence", "FireplaceQu", "Foundation",
+      "Functional", "GarageCond", "GarageFinish", "GarageQual",
+      "GarageType", "Heating", "HeatingQC", "HouseStyle", "KitchenQual",
+      "LandContour", "LandSlope", "LotConfig", "LotShape", "MSZoning",
+      "MasVnrType", "MiscFeature", "Neighborhood", "PavedDrive", "PoolQC",
+      "RoofMatl", "RoofStyle", "SaleCondition", "SaleType", "Street",
+      "Utilities")
+    for (c <- int16) assert(types(c) == ShortType, s"$c should be int16, was ${types(c)}")
+    for (c <- int32) assert(types(c) == IntegerType, s"$c should be int32, was ${types(c)}")
+    for (c <- strs) assert(types(c) == StringType, s"$c should be string, was ${types(c)}")
+    // parse_test.clj:23-44 missing-data (NA-as-missing), verbatim
+    val missingWant = Map("LotFrontage" -> 259L, "Alley" -> 1369L,
+      "MasVnrType" -> 8L, "MasVnrArea" -> 8L, "BsmtQual" -> 37L,
+      "BsmtCond" -> 37L, "BsmtExposure" -> 38L, "BsmtFinType1" -> 37L,
+      "BsmtFinType2" -> 38L, "Electrical" -> 1L, "FireplaceQu" -> 690L,
+      "GarageType" -> 81L, "GarageYrBlt" -> 81L, "GarageFinish" -> 81L,
+      "GarageQual" -> 81L, "GarageCond" -> 81L, "PoolQC" -> 1453L,
+      "Fence" -> 1179L, "MiscFeature" -> 1406L)
+    val n = df.count()
+    val missingGot = df.select(missingWant.keys.toSeq.map(c =>
+      count(col(c)).as(c)): _*).collect()(0)
+    for ((c, want) <- missingWant)
+      assert(n - missingGot.getAs[Long](c) == want,
+        s"$c missing: got ${n - missingGot.getAs[Long](c)} want $want")
+    // n-records + column-whitelist path (base-ames-load-test)
+    val limited = Io.readCsv(spark,
+      "/root/reference/test/data/ames-train.csv.gz",
+      Io.ReadOptions(numRows = Some(100),
+        columnAllowlist = Seq("Id", "SalePrice", "YearBuilt")))
+    assert(limited.columns.length == 3 && limited.count() == 100)
+  }
+
+  test("semicolon-delimited file parses to 3 columns (semi-colon-delimited-file)") {
+    val df = Io.readCsv(spark, "/root/reference/test/data/sample01.csv",
+      Io.ReadOptions(separator = ";"))
+    assert(df.columns.length == 3)
+  }
+
+  test("tough file: skip rows + ragged widening gives 5 columns (tough-file)") {
+    val df = Io.readCsvRagged(spark, "/root/reference/test/data/essential.csv",
+      Io.ReadOptions(skipRows = 1))
+    assert(df.columns.length == 5, df.columns.toSeq.toString)
+  }
+
+  test("date inference: stocks → date, seattle-temps → timestamp (date-time-format-test-1)") {
+    import org.apache.spark.sql.types._
+    val stocks = Io.readCsvPromotional(spark,
+      "/root/reference/test/data/stocks.csv")
+    assert(stocks.schema("date").dataType == DateType)   // "Jan 1 2000"
+    assert(stocks.count() == 560)
+    assert(stocks.filter(col("date") === to_date(lit("2000-01-01"))).count() > 0)
+    val temps = Io.readCsvPromotional(spark,
+      "/root/reference/test/data/seattle-temps.csv")
+    assert(temps.schema("date").dataType == TimestampType) // zoned
+    assert(temps.schema("temp").dataType == DoubleType)
+  }
+
+  test("bad dates stay string; relaxed parse recovers good rows (bad-csv-relaxed-1)") {
+    import org.apache.spark.sql.types._
+    import graft.ops.TableOps._
+    val ds = Io.readCsvPromotional(spark,
+      "/root/reference/test/data/stocks-bad-date.csv")
+    assert(ds.schema("date").dataType == StringType)
+    assert(ds.filter(col("date").isin("hello", "1212")).count() == 2)
+    val parsed = ds.columnCastRelaxed("date", DateType)
+    assert(parsed.schema("date").dataType == DateType)
+    assert(parsed.filter(col("date_unparsed")).count() == 2)
+    assert(parsed.filter(col("date").isNotNull).count() == ds.count() - 2)
+  }
+
+  test("empty header cell → column-0 name (parse-empty-column-name)") {
+    val df = Io.readCsvRagged(spark, "/root/reference/test/data/rcsv.csv")
+    assert(df.columns.toSet == Set("column-0", "Urban Female", "Urban Male",
+      "Rural Female", "Rural Male"))
+  }
+
+  test("small doubles parse without flushing to zero (parse-small-doubles)") {
+    val df = Io.readCsvPromotional(spark,
+      "/root/reference/test/data/double_parse_test.csv")
+    assert(df.schema("pvalue").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(df.filter(col("pvalue") =!= 0.0).count() == 197)
+  }
+
+  test("empty csv variants (empty-csv)") {
+    val hdr = Io.readCsv(spark, "/root/reference/test/data/empty-csv-header.csv")
+    assert(hdr.columns.length == 7)
+    assert(hdr.count() == 0)
+    val empty = Io.readCsv(spark, "/root/reference/test/data/empty-csv.csv")
+    assert(empty.columns.isEmpty && empty.count() == 0)
+  }
+
+  test("skip-rows mid-file re-headers (issue-304)") {
+    val ds = Io.readCsv(spark, "/root/reference/test/data/issue-292.csv",
+      Io.ReadOptions(skipRows = 10))
+    assert(ds.select(col("`10`")).first().get(0).toString == "11")
+  }
+
+  test("quoted list cells survive intact (pokemon-csv)") {
+    val ds = Io.readCsv(spark, "/root/reference/test/data/pokemon.csv")
+    assert(ds.select(col("abilities")).first().getString(0) ==
+      "['Overgrow', 'Chlorophyll']")
+  }
+
   test("libsvm round-trip exact incl. sparse zero-drop") {
     val tmp = Files.createTempDirectory("graft_svm").toString
     val src = spark.sql("""
