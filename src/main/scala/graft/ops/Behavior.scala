@@ -271,12 +271,14 @@ object Behavior {
     * spend). Returns the segment roll-up (r_score, f_score, m_score,
     * n_customers, avg_monetary) — the marketing-ops cut.
     *
-    * Scores come from [[Reductions.globalPercentRank]] (range-partitioned
-    * rank table, O(partitions) offsets — NO global single-task window),
-    * bucketed as ⌊pct·5⌋+1 clamped to 5; ties share a percent-rank and
-    * hence a score, exactly like SQL percent_rank, so the scoring
-    * replays in any engine. The per-customer frame is the only shuffle
-    * ancestor; three rank tables over its O(distinct metric) values. */
+    * Scores come from ONE fused
+    * [[Reductions.globalPercentRankTable]] pass (range-partitioned
+    * (metric, value) rank table, O(partitions·3) offsets — NO global
+    * single-task window, and one persist/offset job chain where the
+    * per-metric form pays three), bucketed as ⌊pct·5⌋+1 clamped to 5;
+    * ties share a percent-rank and hence a score, exactly like SQL
+    * percent_rank, so the scoring replays in any engine. The
+    * per-customer frame is the only shuffle ancestor. */
   def rfm(df: DataFrame, custCol: String, dateCol: String,
           amountCol: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -286,16 +288,24 @@ object Behavior {
       .agg(min(datediff(col("__ref"), to_date(col(dateCol)))).as("__rec"),
         count(lit(1)).cast("double").as("__freq"),
         sum(col(amountCol).cast(DecimalType(38, 2))).as("__mon"))
+      // recency negated so pct 1 (=best score) is the MOST recent
       .withColumn("__recNeg", -col("__rec").cast(DoubleType))
       .withColumn("__monD", col("__mon").cast(DoubleType))
-    def score(in: DataFrame, c: String, out: String): DataFrame =
-      Reductions.globalPercentRank(in, c, s"__p_$out")
-        .withColumn(out,
-          least(lit(5), (floor(col(s"__p_$out") * 5.0) + 1).cast("int")))
-        .drop(s"__p_$out")
-    // recency negated so pct 1 (=best score) is the MOST recent
-    val scored = score(score(score(per, "__recNeg", "r_score"),
-      "__freq", "f_score"), "__monD", "m_score")
+    val melted = per.select(col("__cust"), explode(array(
+        struct(lit("r").as("__t"), col("__recNeg").as("__v")),
+        struct(lit("f").as("__t"), col("__freq").as("__v")),
+        struct(lit("m").as("__t"), col("__monD").as("__v")))).as("__e"))
+      .select(col("__cust"), col("__e.__t").as("__t"), col("__e.__v").as("__v"))
+    val ranks = Reductions.globalPercentRankTable(melted, "__t", "__v", "__p")
+    val scores = melted.join(ranks, Seq("__t", "__v"), "left")
+      .withColumn("__score",
+        least(lit(5), (floor(col("__p") * 5.0) + 1).cast("int")))
+      .groupBy(col("__cust"))
+      .agg(max(when(col("__t") === "r", col("__score"))).as("r_score"),
+        max(when(col("__t") === "f", col("__score"))).as("f_score"),
+        max(when(col("__t") === "m", col("__score"))).as("m_score"))
+    val scored = per.select(col("__cust"), col("__mon"))
+      .join(scores, Seq("__cust"))
     scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_customers"),
         (sum(col("__mon")).cast(DoubleType) / count(lit(1)))

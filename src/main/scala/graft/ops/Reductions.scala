@@ -661,6 +661,67 @@ object Reductions {
     out
   }
 
+  /** Fused MULTI-METRIC [[globalPercentRank]]: ONE range-partitioned rank
+    * table keyed by (tag, value) serves every metric of a melted
+    * (tag, value) frame — one keyed count + one repartitionByRange + one
+    * O(partitions·tags) offset readout, where calling the single-metric
+    * form per metric pays the whole persist/count/offset job chain k
+    * times (q234 RFM: 3 chains → 1). Returns the per-(tag, value) rank
+    * table `(tagCol, valueCol, outName)` with
+    * percent_rank = (min_rank − 1)/(n_tag − 1); callers join it back on
+    * (tag, value) — null/NaN values are absent (left-join → null rank).
+    * Ranks and ties are bit-identical to [[globalPercentRank]] run per
+    * metric: the same before/(n−1) double division. */
+  def globalPercentRankTable(df: DataFrame, tagCol: String, valueCol: String,
+                             outName: String = "pct_rank"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val x = col(valueCol).cast(DoubleType)
+    val sorted = df
+      .filter(col(tagCol).isNotNull && x.isNotNull && !isnan(x))
+      .groupBy(col(tagCol).cast(StringType).as("__t"), x.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .repartitionByRange(parts, col("__t"), col("__v"))
+      .sortWithinPartitions(col("__t"), col("__v"))
+      .as[(String, Double, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sorted.count()
+    // O(partitions·tags) readout — range partitioning on (tag, value)
+    // keeps each tag's values globally ordered across partitions
+    val partTag = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (t, _, c) => m.update(t, m.getOrElse(t, 0L) + c) }
+      m.iterator.map { case (t, s) => (pid, t, s) }.toList.iterator
+    }.collect()
+    val totals: Map[String, Long] =
+      partTag.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._3).sum }
+    val offsets: Map[(Int, String), Long] =
+      partTag.groupBy(_._2).flatMap { case (t, xs) =>
+        var acc = 0L
+        xs.sortBy(_._1).map { case (pid, _, s) =>
+          val o = ((pid, t), acc); acc += s; o
+        }
+      }
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcTot = spark.sparkContext.broadcast(totals)
+    val ranks = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val before = scala.collection.mutable.HashMap.empty[String, Long]
+      it.map { case (t, v, c) =>
+        val b = before.getOrElse(t, bcOff.value.getOrElse((pid, t), 0L))
+        val n = bcTot.value(t)
+        before.update(t, b + c)
+        (t, v, if (n <= 1) 0.0 else b.toDouble / (n - 1).toDouble)
+      }
+    }.toDF(tagCol, valueCol, outName)
+    // materialize before releasing the lineage source
+    val out = ranks
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sorted.unpersist()
+    out
+  }
+
   /** Equi-width histogram of a numeric column: `bins` equal-width buckets
     * over [min, max], bin i = ⌊(x − min)/w⌋ clamped so x = max lands in
     * the last bin. Returns (bin, lo, hi, n) for ALL bins including empty
