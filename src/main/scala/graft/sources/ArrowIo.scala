@@ -59,9 +59,14 @@ import org.apache.spark.sql.types._
   *  - DICTIONARY-ENCODED columns (the memory-format index vector + the
   *    dictionary batches) are decoded to their VALUE type on read — a
   *    dict-encoded utf8 column surfaces as a plain StringType column, like
-  *    the reference's preparse dictionary handling (arrow.clj:1601). Write
-  *    stays plain-encoded (Tungsten's columnar cache is the in-memory
-  *    compression story; dict re-encoding on export adds nothing).
+  *    the reference's preparse dictionary handling (arrow.clj:1601). The
+  *    WRITE side dictionary-encodes low-cardinality string columns on
+  *    request (`dictColumns`) — the reference writes dictionaries for its
+  *    string-table columns (arrow.clj:2264 ds->schema dictionary path):
+  *    one distinct-aggregation job fits each global dictionary (capped at
+  *    `maxDictSize`; larger columns silently fall back to plain utf8),
+  *    the values broadcast to every writer task, and each part file
+  *    carries int32 index vectors plus the dictionary batch.
   */
 object ArrowIo {
 
@@ -333,20 +338,70 @@ object ArrowIo {
     * `format = "stream"` → IPC stream framing; `"file"` → random-access
     * file framing (Feather V2). */
   def write(df: DataFrame, path: String, batchRows: Int = 4096,
-            format: String = "stream", codec: String = "none"): Unit = {
+            format: String = "stream", codec: String = "none",
+            dictColumns: Seq[String] = Seq.empty,
+            maxDictSize: Int = 1 << 16): Unit = {
     require(format == "stream" || format == "file", s"format=$format")
     require(Set("none", "lz4", "zstd")(codec), s"codec=$codec")
     val schema = df.schema
     val suffix = if (format == "stream") "arrows" else "arrow"
+    // Fit each requested dictionary with ONE distinct-aggregation job
+    // (sorted for a deterministic id→value order); columns whose
+    // cardinality exceeds the cap fall back to plain utf8 — dictionary
+    // encoding only ever helps when |values| << |rows|, which is exactly
+    // when this fit is cheap and the broadcast tiny.
+    val dicts: Map[String, Array[String]] = dictColumns.flatMap { c =>
+      require(schema(c).dataType == StringType,
+        s"dictColumns must be string columns; $c is ${schema(c).dataType}")
+      val vals = df.select(org.apache.spark.sql.functions.col(c))
+        .filter(org.apache.spark.sql.functions.col(c).isNotNull)
+        .distinct().orderBy(org.apache.spark.sql.functions.col(c))
+        .limit(maxDictSize + 1)
+        .collect().map(_.getString(0))
+      if (vals.length > maxDictSize) None else Some(c -> vals)
+    }.toMap
     // driver creates the dir (and validates the schema maps) up front
     toArrowSchema(schema)
     val conf = new Configuration()
     val dir = new HPath(path)
     val fsD = dir.getFileSystem(conf)
     fsD.mkdirs(dir)
+    val sc = df.sparkSession.sparkContext
+    val bcDicts = sc.broadcast(dicts)
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
-      val aschema = toArrowSchema(schema) // task-side rebuild (Schema isn't serializable)
+      import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryProvider}
+      import org.apache.arrow.vector.types.pojo.DictionaryEncoding
       val alloc = new RootAllocator()
+      // task-side schema rebuild (Schema isn't serializable): dict columns
+      // become int32 index fields carrying their DictionaryEncoding; the
+      // writer emits the dictionary batches from the provider
+      val localDicts = bcDicts.value
+      val provider = new DictionaryProvider.MapDictionaryProvider()
+      val dictVectors = scala.collection.mutable.ArrayBuffer.empty[VarCharVector]
+      val idxMaps = scala.collection.mutable.HashMap.empty[String, java.util.HashMap[String, Int]]
+      val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+        localDicts.get(f.name) match {
+          case Some(vals) =>
+            val enc = new DictionaryEncoding(i.toLong, false,
+              new ArrowType.Int(32, true))
+            val dv = new VarCharVector(s"${f.name}-dict", alloc)
+            dv.allocateNew(vals.length)
+            val m = new java.util.HashMap[String, Int](vals.length * 2)
+            vals.zipWithIndex.foreach { case (s, j) =>
+              dv.setSafe(j, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              m.put(s, j)
+            }
+            dv.setValueCount(vals.length)
+            provider.put(new Dictionary(dv, enc))
+            dictVectors += dv
+            idxMaps(f.name) = m
+            new Field(f.name,
+              new FieldType(f.nullable, new ArrowType.Int(32, true), enc),
+              java.util.Collections.emptyList[Field]())
+          case None => toArrowField(f)
+        }
+      }
+      val aschema = new ArrowSchema(java.util.Arrays.asList(fields: _*))
       val root = VectorSchemaRoot.create(aschema, alloc)
       val part = new HPath(path, f"part-$pid%05d.$suffix")
       val fs = part.getFileSystem(new Configuration())
@@ -355,26 +410,38 @@ object ArrowIo {
       val chan = java.nio.channels.Channels.newChannel(buffered)
       val writer = codec match {
         case "none" =>
-          if (suffix == "arrows") new ArrowStreamWriter(root, null, chan)
-          else new ArrowFileWriter(root, null, chan)
+          if (suffix == "arrows") new ArrowStreamWriter(root, provider, chan)
+          else new ArrowFileWriter(root, provider, chan)
         case c =>
           val ct =
             if (c == "lz4") CompressionUtil.CodecType.LZ4_FRAME
             else CompressionUtil.CodecType.ZSTD
           if (suffix == "arrows")
-            new ArrowStreamWriter(root, null, chan, IpcOption.DEFAULT,
+            new ArrowStreamWriter(root, provider, chan, IpcOption.DEFAULT,
               CommonsCompressionFactory.INSTANCE, ct)
           else
-            new ArrowFileWriter(root, null, chan, null, IpcOption.DEFAULT,
+            new ArrowFileWriter(root, provider, chan, null, IpcOption.DEFAULT,
               CommonsCompressionFactory.INSTANCE, ct)
       }
       writer.start()
       val vectors = root.getFieldVectors.asScala.toArray
+      val colNames = schema.fieldNames
       var n = 0
       rows.foreach { row =>
         var c = 0
         while (c < vectors.length) {
-          setVector(vectors(c), n, row.get(c))
+          idxMaps.get(colNames(c)) match {
+            case Some(m) =>
+              val v = row.get(c)
+              if (v == null) setNull(vectors(c), n)
+              else {
+                val idx = m.get(v.asInstanceOf[String])
+                // values not in the fitted dictionary cannot occur: the
+                // fit ran over this same frame
+                vectors(c).asInstanceOf[IntVector].setSafe(n, idx)
+              }
+            case None => setVector(vectors(c), n, row.get(c))
+          }
           c += 1
         }
         n += 1
@@ -384,8 +451,15 @@ object ArrowIo {
       }
       if (n > 0) { root.setRowCount(n); writer.writeBatch() }
       writer.end()
-      chan.close(); buffered.close()
-      root.close(); alloc.close()
+      // writer.close(), not just chan.close(): ArrowStreamWriter keeps a
+      // COPY of every written dictionary (previousDictionaries, for
+      // delta/replacement detection) that only close() releases — skipping
+      // it leaks the copies' buffers and fails the allocator teardown
+      writer.close()
+      buffered.close()
+      root.close()
+      dictVectors.foreach(_.close())
+      alloc.close()
       Iterator.single(1)
     }.count() // force the write job
     ()
