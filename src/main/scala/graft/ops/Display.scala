@@ -26,8 +26,9 @@ object Display {
   /** Mirror of the reference's print options (print.clj:99-121 option map;
     * defaults follow *default-table-row-print-length* = 25 etc.). */
   case class PrintOptions(
-      indexRange: Int = 25,
-      style: String = "first-last", // first-last | first | last
+      // reference *default-table-row-print-length* (print.clj:26)
+      indexRange: Int = 20,
+      style: String = "first-last", // first-last | first | last | all
       columnTypes: Boolean = false,
       maxColWidth: Int = Int.MaxValue,
       linePolicy: String = "repl", // repl | markdown | single
@@ -171,6 +172,10 @@ object Display {
     val nRows = df.count()
     val fields = df.schema.fields
     val (rows, ellipsis) = opts.style match {
+      case "all" =>
+        // print-range :all (print.clj:341-349) — explicit opt-in, the
+        // only style that collects the whole frame
+        (df.collect().toSeq, false)
       case "first" =>
         (df.limit(opts.indexRange).collect().toSeq, false)
       case "last" =>

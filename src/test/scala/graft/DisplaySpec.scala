@@ -69,6 +69,20 @@ class DisplaySpec extends SparkSuite {
     assert(!last.contains("[2 2]") && !last.contains("| 1 ") && last.contains("b"))
   }
 
+  test("datasetToStr: print-all style and the 20-row default guard") {
+    import org.apache.spark.sql.functions.col
+    // 50 rows, default options → first-last window of 20 + ellipsis row
+    val df = spark.range(50).toDF("id").coalesce(1).orderBy(col("id"))
+    val guarded = Display.datasetToStr(df)
+    val gLines = guarded.split("\n").count(_.startsWith("|"))
+    assert(gLines == 2 + 21, s"got $gLines") // hdr+sep + 10 first + ... + 10 last
+    assert(guarded.contains("...") && !guarded.contains("| 25 "))
+    // print-range :all — every row, no ellipsis
+    val all = Display.datasetToStr(df, opts = PrintOptions(style = "all"))
+    assert(all.split("\n").count(_.startsWith("|")) == 2 + 50)
+    assert(!all.contains("..."))
+  }
+
   test("datasetToStr on a real table collects only the window") {
     val li = Tables.t(spark, sfDir, "lineitem").orderBy("l_orderkey", "l_linenumber")
     val out = Display.datasetToStr(li, "lineitem", PrintOptions(indexRange = 6))

@@ -101,4 +101,78 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  // ---- round-13 boundary fuzz: the keyless asof / fill-range distributed
+  // plans carry bucket-boundary state through O(P) frames; these cases force
+  // duplicated timestamps to land ON bucket boundaries for partition counts
+  // 1/7/32 and check exact equality with a driver-side brute force.
+
+  test("keyless asof (fwd/bwd, exact/strict) equals brute force under tie-heavy boundary data") {
+    import graft.ops.Joins
+    val r13 = new scala.util.Random(13)
+    (1 to 6).foreach { round =>
+      // tiny value domain → many exact ties; duplicates guaranteed
+      val lts = List.fill(20 + r13.nextInt(40))(r13.nextInt(12).toLong)
+      val rts0 = List.fill(10 + r13.nextInt(30))(r13.nextInt(12).toLong)
+      val rts = rts0.distinct // payload keyed by time: unique right times
+      for (parts <- Seq(1, 7, 32); fwd <- Seq(false, true);
+           exact <- Seq(true, false)) {
+        val dir: Joins.AsofDirection =
+          if (fwd) Joins.Forward else Joins.Backward
+        val l = lts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("lid", "t")
+          .repartition(parts)
+        val r = rts.map(t => (t, s"p$t")).toDF("rt", "payload")
+          .repartition(parts)
+        val got = Joins.asofJoin(l, r, "t", "rt", direction = dir,
+            allowExactMatch = exact)
+          .select("lid", "payload").as[(Long, String)].collect().toMap
+        val want: Map[Long, String] = lts.zipWithIndex.map { case (t, i) =>
+          val cands =
+            if (fwd) rts.filter(rt => if (exact) rt >= t else rt > t)
+            else rts.filter(rt => if (exact) rt <= t else rt < t)
+          val best =
+            if (cands.isEmpty) null
+            else if (fwd) s"p${cands.min}" else s"p${cands.max}"
+          i.toLong -> best
+        }.toMap
+        assert(got.size == want.size)
+        want.foreach { case (k, v) =>
+          assert(got.getOrElse(k, null) == v,
+            s"round=$round parts=$parts fwd=$fwd exact=$exact lid=$k: " +
+              s"got=${got.getOrElse(k, null)} want=$v")
+        }
+      }
+    }
+  }
+
+  test("keyless fill-range equals brute-force grid under duplicate axis values") {
+    val r13 = new scala.util.Random(131)
+    (1 to 6).foreach { round =>
+      val xs = List.fill(15 + r13.nextInt(25))(r13.nextInt(10) * 3.0)
+      val maxSpan = 2.0
+      for (parts <- Seq(1, 7, 32)) {
+        val df = xs.zipWithIndex.map { case (x, i) => (x, i.toLong) }
+          .toDF("x", "id").repartition(parts)
+        val got = Missing.fillRange(df, "x", maxSpan)
+          .select("x").as[Double].collect().toSeq.sorted
+        // brute force: for each consecutive DISTINCT-value gap > span,
+        // insert steps-1 evenly spaced points (duplicates produce one
+        // lead-gap row per duplicate occurrence of the gap's left edge)
+        val sortedXs = xs.sorted
+        val inserted = sortedXs.zip(sortedXs.tail).flatMap { case (a, b) =>
+          if (b - a > maxSpan) {
+            val steps = math.ceil((b - a) / maxSpan).toInt
+            (1 until steps).map(k => a + (b - a) * k / steps.toDouble)
+          } else Nil
+        }
+        val want = (xs ++ inserted).sorted
+        assert(got.size == want.size,
+          s"round=$round parts=$parts got=${got.size} want=${want.size}")
+        got.zip(want).foreach { case (g, w) =>
+          assert(math.abs(g - w) < 1e-9, s"round=$round parts=$parts $g != $w")
+        }
+      }
+    }
+  }
 }
