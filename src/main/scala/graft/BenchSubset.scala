@@ -31,6 +31,9 @@ object BenchSubset {
           if (ok) Some(sec) else None
         }
         System.gc()
+        if (sys.env.get("SPARK_GRAFT_BENCH_ALLRUNS").contains("1"))
+          println(f"$name%-28s runs: " +
+            times.map(t => f"$t%.3f").mkString(" "))
         name -> (if (times.size == runs) times.min else -1.0)
       }
     results.foreach { case (n, s) => println(f"$n%-28s $s%8.3f s") }
