@@ -548,6 +548,43 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // UniMax/T5 temperature rebalancing at α = ½ (the bit-portable sqrt
+    // case): one keyed count to O(domains) rows broadcast back, map-side
+    // epoch replication, md5-uniform fractional keep.
+    "q278_temperature_sample" -> { (s, dir) =>
+      DomainMix.temperatureSample(t(s, dir, "documents"), "doc_id", "source")
+        .orderBy(col("doc_id"), col("copy_id"))
+    },
+
+    // sharded JSONL export + release manifest: md5-deterministic shard
+    // assignment (cluster-size/engine independent), one shard-keyed write,
+    // O(shards) manifest. The oracle replays the manifest; the files
+    // themselves are round-trip-checked in LlmOpsSpec.
+    "q280_export_manifest" -> { (s, dir) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q280").toString
+      Export.exportJsonlShards(t(s, dir, "documents"), "doc_id", "text",
+          s"$tmp/shards", nShards = 8)
+        .orderBy(col("shard"))
+    },
+
+    // content-defined chunk dedup report: CDC boundaries (windowed
+    // md5 ≡ 0 mod 64), chunk fingerprints, per-source duplicate-chunk
+    // share — the partial-overlap dedup audit a fixed-size chunker
+    // cannot provide.
+    "q279_cdc_chunks" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextDedup.cdcChunks(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk_md5")).as("n_unique_chunks"),
+          sum(col("chunk_len")).as("sum_chunk_len"),
+          ((count(lit(1)) - countDistinct(col("chunk_md5")))
+            .cast(DoubleType) / count(lit(1))).as("dup_share"))
+        .orderBy(col("source"))
+    },
+
     // quality-aware near-dup retention: connected components from the LSH
     // candidate graph, each keeping its best-quality member (ties → lowest
     // id) — composition of the q60 dedup machinery with the q34 scorer.
@@ -1305,6 +1342,73 @@ object LlmQueries {
          SELECT lang, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars, CAST(MAX(copy_id) AS BIGINT) AS max_copy
          FROM x GROUP BY lang ORDER BY lang""",
+
+    // mirrors DomainMix.temperatureSample at α = ½: sqrt weights (IEEE
+    // correctly-rounded on both engines), floor-scaled exact weight sum,
+    // the pinned w/S*N/n_d*1e6 rate sequence, and the md5-uniform
+    // fractional epoch.
+    "q278_temperature_sample" ->
+      """WITH cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(SUM(nd) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(sqrt(CAST(nd AS DOUBLE)) * 1000000000.0)
+               AS DECIMAL(30,0))) AS DOUBLE) / 1000000000.0 AS s
+           FROM cnt),
+         r AS (SELECT source, nd,
+             CAST(FLOOR(sqrt(CAST(nd AS DOUBLE)) / s * CAST(n AS DOUBLE)
+               / CAST(nd AS DOUBLE) * 1000000.0) AS BIGINT) AS ppm
+           FROM cnt CROSS JOIN tot),
+         j AS (SELECT d.doc_id, d.source, r.nd, r.ppm,
+             r.ppm // 1000000 + CASE WHEN
+               CAST(concat('0x', substr(md5(concat('temp#',
+                 CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000
+               < r.ppm % 1000000 THEN 1 ELSE 0 END AS copies
+           FROM documents d JOIN r USING (source))
+         SELECT doc_id, source, nd AS n_domain, ppm AS rate_ppm,
+           CAST(unnest(generate_series(0, copies - 1)) AS BIGINT) AS copy_id
+         FROM j WHERE copies > 0 ORDER BY doc_id, copy_id""",
+
+    // mirrors Export.shardManifest: the same md5 shard draw and per-shard
+    // aggregates (tokenization per the q26 whitespace contract).
+    "q280_export_manifest" ->
+      """WITH m AS (SELECT doc_id, text,
+             CAST(concat('0x', substr(md5(concat('shard#',
+               CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 8 AS shard,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+           FROM documents)
+         SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         FROM m GROUP BY 1 ORDER BY 1""",
+
+    // mirrors TextDedup.cdcChunks: same normalization, boundary at
+    // h28(window) % 64 == 0 for i in 2..len-7, [1]-prefixed starts,
+    // substring slicing between consecutive starts, md5 fingerprints.
+    "q279_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, source,
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+           FROM documents),
+         s AS (SELECT doc_id, source, t, length(t) AS len,
+             CASE WHEN length(t) >= 9 THEN
+               [1] || list_filter(range(2, length(t) - 6),
+                 i -> CAST(concat('0x', substr(md5(substr(t,
+                   CAST(i AS INT), 8)), 1, 7)) AS BIGINT) % 64 = 0)
+             ELSE [1] END AS sts
+           FROM d),
+         c AS (SELECT doc_id, source,
+             unnest(list_transform(range(len(sts)), j ->
+               substr(t, CAST(sts[CAST(j+1 AS INT)] AS INT),
+                 CAST(coalesce(sts[CAST(j+2 AS INT)], len + 1)
+                   - sts[CAST(j+1 AS INT)] AS INT)))) AS chunk
+           FROM s)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT md5(chunk)) AS BIGINT) AS n_unique_chunks,
+           CAST(SUM(length(chunk)) AS BIGINT) AS sum_chunk_len,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(chunk)) AS DOUBLE) / COUNT(*)
+             AS dup_share
+         FROM c GROUP BY 1 ORDER BY 1""",
 
     // mirrors Reductions.heavyHittersExact: exact token counts with a
     // ceil(phi·n) threshold (same IEEE double multiply + ceil as the Spark

@@ -52,6 +52,59 @@ object DomainMix {
       .drop("n_copies")
   }
 
+  /** TEMPERATURE-BASED domain rebalancing (UniMax / T5-style α-sampling,
+    * Xue et al. 2021 §3.1; Chung et al. 2023 UniMax): resample so domain
+    * d's share of the output is ∝ n_d^α instead of its natural share n_d
+    * — α < 1 flattens the mixture, boosting small domains (multiple
+    * epochs) and trimming the head, with total output volume ≈ the input
+    * volume. The expected copy count for a row of domain d is
+    *   rate_d = (n_d^α / Σ_d' n_d'^α) · N / n_d
+    * realized as floor(rate) full epochs plus an md5-uniform fractional
+    * keep (same reproducible-draw policy as [[sampleByDomain]]/
+    * [[dsirResample]] — a pure function of the doc id, engine-portable).
+    *
+    * The default α = 1/2 keeps the whole computation bit-portable across
+    * engines: IEEE sqrt is correctly rounded everywhere, the weight sum is
+    * a floor-scaled exact sum, and the final rate is one pinned IEEE op
+    * sequence floored at 10⁶ (oracle q278). Other α values use pow(),
+    * whose last ulp is libm-specific — deterministic within Spark, but
+    * the SQL replay is only rate-approximate.
+    *
+    * Scale: ONE keyed count to O(domains) rows, broadcast back; the
+    * replication is the map-side explode — no corpus shuffle at all.
+    * Returns one row per output copy:
+    * (idCol, domainCol, n_domain, rate_ppm, copy_id). */
+  def temperatureSample(df: DataFrame, idCol: String, domainCol: String,
+                        alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val cnt = df.groupBy(col(domainCol).as("__d"))
+      .agg(count(lit(1)).as("__nd"))
+    val w = if (alpha == 0.5) sqrt(col("__nd").cast("double"))
+            else pow(col("__nd").cast("double"), lit(alpha))
+    val weights = cnt.select(col("__d"), col("__nd"), w.as("__w"))
+    val tot = weights.agg(sum(col("__nd")).as("__n"),
+      graft.ops.Reductions.isum(col("__w"), 9).as("__s"))
+    // pinned op order: w / S * N / n_d * 1e6, floored — identical sequence
+    // in the SQL mirror
+    val rates = weights.crossJoin(broadcast(tot))
+      .select(col("__d"), col("__nd"),
+        floor(col("__w") / col("__s") * col("__n").cast("double") /
+          col("__nd").cast("double") * lit(1000000.0)).cast(LongType)
+          .as("__ppm"))
+    val u = pmod(conv(substring(md5(concat(lit("temp#"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast(LongType),
+      lit(1000000L))
+    df.select(col(idCol), col(domainCol))
+      .join(broadcast(rates), col(domainCol) === col("__d"))
+      .withColumn("__copies",
+        expr("__ppm div 1000000") +
+          when(u < pmod(col("__ppm"), lit(1000000L)), 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("copy_id", explode(sequence(lit(0L), col("__copies") - 1)))
+      .select(col(idCol), col(domainCol), col("__nd").as("n_domain"),
+        col("__ppm").as("rate_ppm"), col("copy_id"))
+  }
+
   /** DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
     * score every document by how target-like its hashed-unigram profile is,
     * then keep it with probability equal to that score. Two smoothed

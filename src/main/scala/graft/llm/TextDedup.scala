@@ -41,6 +41,50 @@ object TextDedup {
           i => concat_ws(" ", slice(w, i + 1, lit(k)))))
         .otherwise(array(concat_ws(" ", w)))), 1)
 
+  /** CONTENT-DEFINED CHUNKING for partial-overlap dedup (the rsync/LBFS/
+    * FastCDC family): a chunk boundary is a pure function of LOCAL content
+    * — position i (1-based, i ≥ 2) opens a new chunk whenever the 28-bit
+    * md5 hash of the `window`-char substring starting at i is ≡ 0
+    * (mod `divisor`) — so shared passages chunk identically no matter
+    * where they sit in a document, where a fixed-size chunker misaligns
+    * after one inserted character. Expected chunk length ≈ `divisor`
+    * chars. The boundary rule is windowed, not rolling, so every
+    * position's verdict is independent: the whole chunker is one codegen
+    * array expression, and it replays exactly in SQL via the same
+    * md5-derived [[h28]] (oracle q279). Documents shorter than
+    * window + 1 normalized chars are one chunk; the empty document is one
+    * empty chunk.
+    *
+    * Returns one row per chunk: (idCol, chunk_idx, chunk_md5, chunk_len).
+    *
+    * Scale: boundary hashing is map-side array work — O(len) md5 calls
+    * per document, the CPU price of content-defined boundaries, paid in
+    * the scan stage with nothing but (id, hash, len) reaching any
+    * shuffle. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                window: Int = 8, divisor: Int = 64): DataFrame = {
+    require(window >= 2 && divisor >= 2, "window/divisor too small")
+    // bind the normalized text once as a lambda value (same trick as
+    // shingles: inlining would re-run the regex normalize per position)
+    val rows = df.select(col(idCol),
+      element_at(transform(array(normalizeText(col(textCol))), t => {
+        val len = length(t)
+        val starts = when(len >= window + 1,
+          concat(array(lit(1)),
+            filter(sequence(lit(2), len - lit(window - 1)),
+              i => pmod(h28(t.substr(i, lit(window))), lit(divisor)) === 0)))
+          .otherwise(array(lit(1)))
+        transform(sequence(lit(0), size(starts) - 1), j =>
+          t.substr(get(starts, j),
+            coalesce(get(starts, j + 1), len + lit(1)) - get(starts, j)))
+      }), 1).as("__chunks"))
+    rows.select(col(idCol),
+        posexplode(col("__chunks")).as(Seq("chunk_idx", "__chunk")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        md5(col("__chunk")).as("chunk_md5"),
+        length(col("__chunk")).cast("long").as("chunk_len"))
+  }
+
   /** 28-bit shingle hash (fits universal-hash arithmetic in a long).
     * md5-derived. (An xxhash64 variant was measured: the per-shingle hash is
     * NOT the bottleneck once signatures are computed a single pass — and the

@@ -996,4 +996,72 @@ class LlmOpsSpec extends SparkSuite {
     assert(out(2) == "http://a.b/x")
     assert(out(3) == "no-scheme/Path", "path CASE is kept, slash dropped")
   }
+
+  test("temperatureSample: flattens the mixture, preserves total volume") {
+    // heavily skewed domains: 900 'big', 90 'mid', 10 'small'
+    val skewed = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 990).map(i => (i.toLong, "mid")) ++
+      (990 until 1000).map(i => (i.toLong, "small"))).toDF("id", "dom")
+    val out = DomainMix.temperatureSample(skewed, "id", "dom")
+    val byDom = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    val total = byDom.values.sum
+    // α=½ targets shares ∝ sqrt(n): big 30/42.3, mid 9.5/42.3, small 3.2/42.3
+    // volume ≈ input (fractional draws wobble it a few %)
+    assert(math.abs(total - 1000L) < 100, s"total=$total")
+    assert(byDom("big") < 900, "head domain must be trimmed")
+    assert(byDom("small") > 10, "tail domain must be boosted (epochs > 1)")
+    // every small-domain doc appears ⌊rate⌋ or ⌈rate⌉ times — same rate
+    val smallCopies = out.filter(col("dom") === "small")
+      .groupBy("id").count().select("count").as[Long].collect()
+    assert(smallCopies.max - smallCopies.min <= 1)
+    // deterministic: identical on re-run
+    val out2 = DomainMix.temperatureSample(skewed, "id", "dom")
+    assert(out.orderBy("id", "copy_id").collect().toSeq ==
+      out2.orderBy("id", "copy_id").collect().toSeq)
+  }
+
+  test("cdcChunks: chunks reassemble; shared passage chunks identically under shift") {
+    val base = "the quick brown fox jumps over the lazy dog and then " * 8
+    val d = Seq((0L, base), (1L, "PREFIX INSERTED HERE " + base), (2L, ""))
+      .toDF("doc_id", "text")
+    val ch = TextDedup.cdcChunks(d, "doc_id", "text")
+    // per-doc chunk lengths sum to the normalized length
+    val lens = ch.groupBy("doc_id").agg(sum("chunk_len").as("s"))
+      .as[(Long, Long)].collect().toMap
+    val normLens = d.select(col("doc_id"),
+        length(TextDedup.normalizeText(col("text"))))
+      .as[(Long, Int)].collect().toMap
+    assert(lens(0L) == normLens(0L) && lens(1L) == normLens(1L))
+    assert(lens(2L) == 0L, "empty doc is one empty chunk")
+    // content-defined: despite the shifted prefix, most of doc 0's chunk
+    // fingerprints reappear in doc 1 (a fixed-size chunker would share ~none)
+    val c0 = ch.filter(col("doc_id") === 0).select("chunk_md5")
+      .as[String].collect().toSet
+    val c1 = ch.filter(col("doc_id") === 1).select("chunk_md5")
+      .as[String].collect().toSet
+    val shared = c0.intersect(c1).size
+    assert(shared >= c0.size / 2, s"shared=$shared of ${c0.size}")
+  }
+
+  test("exportJsonlShards: manifest matches files; sharding is id-deterministic") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_export").toString
+    val d = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val manifest = Export.exportJsonlShards(d, "doc_id", "text",
+      s"$tmp/shards", nShards = 4).orderBy("shard").collect()
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum == d.count())
+    // files agree with the manifest per shard
+    val back = spark.read.json(s"$tmp/shards")
+    val fileCounts = back.groupBy("shard").count()
+      .as[(Long, Long)].collect().toMap
+    manifest.foreach { r =>
+      assert(fileCounts(r.getAs[Long]("shard")) == r.getAs[Long]("n_docs"))
+    }
+    // assignment is a pure function of the id: same shard on re-read
+    val reassigned = back.select(col("doc_id"),
+        col("shard").as("written"),
+        Export.shardId(col("doc_id"), 4).as("recomputed"))
+      .filter(col("written") =!= col("recomputed")).count()
+    assert(reassigned == 0)
+  }
 }
