@@ -306,8 +306,12 @@ object Io {
         // flexible multi-pattern date parse (io/datetime.clj) covers
         // "Jan 1 2000"-style columns; the midnight count disambiguates
         // "yyyy-MM-dd HH:mm" columns (date-castable by prefix) from
-        // genuine date columns
-        count(parseLocalDateFlex(c)).as(s"${c0}__ndate"),
+        // genuine date columns. The 7-pattern ladder is the priciest
+        // probe here, so it only runs where the double cast failed —
+        // all-numeric columns take the numeric branch before the date
+        // decision anyway, so the gate cannot change any classification
+        count(when(dblV.isNull, parseLocalDateFlex(c)))
+          .as(s"${c0}__ndate"),
         count(when(tsV === date_trunc("day", tsV), 1)).as(s"${c0}__nmid"),
         min(longV).as(s"${c0}__min"), max(longV).as(s"${c0}__max"),
         // STRICT bool, exact-case "true"/"false" only — the reference's
