@@ -140,6 +140,15 @@ class PlanGuardSpec extends SparkSuite {
   test("q237 lorenz: O(buckets) cumulate only")(
     guard("q237_lorenz", Bound))
 
+  test("q278 temperature sample: O(domains) rate frame, map-side epochs")(
+    guard("q278_temperature_sample", Bound))
+
+  test("q279 cdc chunks: boundary hashing map-side, keyed aggregation only")(
+    guard("q279_cdc_chunks", Bound))
+
+  test("q280 export manifest: O(shards) aggregation only")(
+    guard("q280_export_manifest", Bound))
+
   test("q238 zipf: OLS confined to the top-N frame")(
     guard("q238_zipf", Bound))
 
