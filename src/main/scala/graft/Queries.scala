@@ -208,6 +208,24 @@ object Queries {
         .orderBy(col("event_id"))
     },
 
+    // q14's exact semantics through the CUSTOM CATALYST OPERATOR
+    // (graft.plans.AsofJoinExec: merge exec, SMJ-style shuffle+sort
+    // wiring, no union/window machinery) — same oracle, different plan;
+    // AsofMergeSpec pins plan shape and fuzz equivalence.
+    "q281_asof_merge" -> { (s, dir) =>
+      val ev = t(s, dir, "events").selectColumns("event_id", "user_id", "ts")
+      val purch = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("p_event_id"))
+        .select(col("user_id"), col("ts").as("p_ts"), col("p_event_id"))
+      graft.plans.AsofMerge.asofJoinMerge(ev, purch, "ts", "p_ts",
+          Seq(("user_id", "user_id")), forward = false,
+          allowExactMatch = false)
+        .selectColumns("event_id", "user_id", "p_event_id")
+        .orderBy(col("event_id"))
+    },
+
     // concat with type widening + missing-column padding (SURVEY §2.6;
     // reference base.clj:619-750).
     "q15_concat" -> { (s, dir) =>
@@ -432,6 +450,16 @@ object Queries {
          ORDER BY event_id""",
 
     "q14_asof_join" ->
+      """SELECT e.event_id, e.user_id, p.p_event_id
+         FROM events e ASOF LEFT JOIN (
+           SELECT user_id, ts AS p_ts, max(event_id) AS p_event_id
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+         ON e.user_id = p.user_id AND e.ts > p.p_ts
+         ORDER BY e.event_id""",
+
+    // identical semantics to q14 — the custom merge exec must agree with
+    // DuckDB's native ASOF JOIN bit-for-bit
+    "q281_asof_merge" ->
       """SELECT e.event_id, e.user_id, p.p_event_id
          FROM events e ASOF LEFT JOIN (
            SELECT user_id, ts AS p_ts, max(event_id) AS p_event_id
