@@ -2510,6 +2510,16 @@ object ExtQueries {
         sum(col("cents")).cast(DoubleType) / count(lit(1)))
     },
 
+    // descriptive stats over DATETIME columns — min/mean/max AS
+    // timestamps (reference datetime_test.clj stocks-descriptive-stats);
+    // exact integer epoch-micros mean (decimal sum, one integer div).
+    "q282_datetime_stats" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("ts"), col("ts").cast(DateType).as("day"))
+      Reductions.descriptiveStatsDatetime(ev, Seq("day", "ts"))
+        .orderBy(col("column"))
+    },
+
     // Partial correlation: quantity ↔ price with tax controlled —
     // three Pearsons from ONE exact co-moment aggregation.
     "q271_partial_corr" -> { (s, dir) =>
@@ -6820,6 +6830,32 @@ object ExtQueries {
          FROM agg""",
 
     // mirrors Stats.runsTest on the mean-split daily revenue series.
+    // mirrors Reductions.descriptiveStatsDatetime: exact HUGEINT
+    // epoch-micros sums, one integer division, make_timestamp back.
+    "q282_datetime_stats" ->
+      """WITH b AS (SELECT ts, CAST(ts AS DATE) AS day FROM events),
+         s AS (
+           SELECT 'day' AS "column",
+             CAST(COUNT(day) AS BIGINT) AS n_valid,
+             CAST(SUM(CASE WHEN day IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing,
+             make_timestamp(MIN(epoch_us(CAST(day AS TIMESTAMP)))) AS min,
+             make_timestamp(CAST(
+               SUM(CAST(epoch_us(CAST(day AS TIMESTAMP)) AS HUGEINT))
+               // COUNT(day) AS BIGINT)) AS mean,
+             make_timestamp(MAX(epoch_us(CAST(day AS TIMESTAMP)))) AS max
+           FROM b
+           UNION ALL
+           SELECT 'ts',
+             CAST(COUNT(ts) AS BIGINT),
+             CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             make_timestamp(MIN(epoch_us(ts))),
+             make_timestamp(CAST(SUM(CAST(epoch_us(ts) AS HUGEINT))
+               // COUNT(ts) AS BIGINT)),
+             make_timestamp(MAX(epoch_us(ts)))
+           FROM b)
+         SELECT * FROM s ORDER BY "column"""",
+
     "q277_runs_test" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) * 100

@@ -146,6 +146,51 @@ object Reductions {
     }.toDF("column", "n_valid", "n_missing", "min", "mean", "max", "stddev")
   }
 
+  /** descriptive-stats over DATETIME columns — the reference computes
+    * min/mean/max of date columns AS datetimes
+    * (/root/reference/test/tech/v3/dataset/datetime_test.clj
+    * stocks-descriptive-stats); here each timestamp/date column reduces
+    * over exact integer epoch-micros (decimal sum — a long sum of micros
+    * overflows at ~5k modern timestamps — then ONE integer division), so
+    * the mean replays bit-exactly in SQL. Date columns are treated as
+    * midnight timestamps (UTC session). Returns one row per column:
+    * (column, n_valid, n_missing, min, mean, max) with the three stats
+    * TimestampType. One aggregation; O(columns) driver reshape. */
+  def descriptiveStatsDatetime(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    val aggs: Seq[Column] = cols.flatMap { c0 =>
+      val raw = df.schema(c0).dataType match {
+        case TimestampType => col(c0)
+        case DateType => col(c0).cast(TimestampType)
+        case other => throw new IllegalArgumentException(
+          s"$c0: not a datetime column ($other)")
+      }
+      val us = unix_micros(raw)
+      Seq(count(us).as(s"${c0}__nvalid"),
+        sum(when(us.isNull, 1L).otherwise(0L)).as(s"${c0}__nmissing"),
+        min(us).as(s"${c0}__min"),
+        expr(s"CAST(sum(CAST(unix_micros(CAST(`$c0` AS TIMESTAMP)) " +
+          s"AS DECIMAL(38,0))) div count(unix_micros(CAST(`$c0` AS " +
+          "TIMESTAMP))) AS BIGINT)").as(s"${c0}__mean"),
+        max(us).as(s"${c0}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val row = wide.collect()(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    cols.map { c0 =>
+      def g(s: String): java.lang.Long = {
+        val v = row.get(wide.columns.indexOf(s"${c0}__$s"))
+        if (v == null) null else java.lang.Long.valueOf(v.asInstanceOf[Long])
+      }
+      (c0, g("nvalid"), g("nmissing"), g("min"), g("mean"), g("max"))
+    }.toDF("column", "n_valid", "n_missing", "__min", "__mean", "__max")
+      .select(col("column"), col("n_valid"), col("n_missing"),
+        timestamp_micros(col("__min")).as("min"),
+        timestamp_micros(col("__mean")).as("mean"),
+        timestamp_micros(col("__max")).as("max"))
+  }
+
   /** brief (reference dataset_api.clj:1300-1399's quartile-bearing variant):
     * one row per column with min/q1/median/q3/max via EXACT percentiles.
     *
