@@ -174,6 +174,128 @@ object DedupKernels {
     new GenericArrayData(out)
   }
 
+  /** Fused CONTENT-DEFINED-CHUNKING kernel: normalize → per-position
+    * windowed h28 boundary test → chunk slicing → md5 fingerprint + length,
+    * in ONE byte-level pass with a reused MessageDigest.
+    *
+    * Bit-identical to the HOF expression form in
+    * [[graft.llm.TextDedup.cdcChunksHof]] (which stands as the executable
+    * spec; DedupKernelsSpec pins kernel == HOF):
+    *   - normalize = `lower(trim(regexp_replace(text, "\\s+", " ")))`:
+    *     ASCII whitespace runs (0x09–0x0d, 0x20 — Java regex `\s`) collapse
+    *     to one 0x20 over the RAW bytes (multibyte UTF-8 bytes are ≥ 0x80,
+    *     never whitespace), leading/trailing single spaces trim, then
+    *     [[org.apache.spark.unsafe.types.UTF8String.toLowerCase]] — the
+    *     same function the `lower` expression calls;
+    *   - positions are CODE POINTS (Spark substr/length semantics): a
+    *     boundary opens at position i ≥ 2 iff
+    *     `h28(substr(norm, i, window)) % divisor == 0` with h28 the
+    *     md5-top-28-bit hash, testable only when the window fits
+    *     (i ≤ len − window + 1 and len ≥ window + 1);
+    *   - chunks are the slices between consecutive starts (1 is always a
+    *     start); each yields (md5 lowercase hex of the chunk's UTF-8
+    *     bytes, code-point length).
+    *
+    * The HOF form pays one interpreted md5-expression + hex round-trip +
+    * `conv` string parse PER POSITION; this kernel digests byte ranges
+    * in place (measured: the q279 boundary pass on a 500 k-doc corpus
+    * dropped from ~790 s single-task CPU to seconds). */
+  def cdcChunks(text: org.apache.spark.unsafe.types.UTF8String,
+                window: Int, divisor: Int): ArrayData = {
+    // normalize: collapse ws runs over raw bytes, trim edge spaces, lower
+    val raw = text.getBytes
+    val collapsed = new Array[Byte](raw.length)
+    var w = 0
+    var i = 0
+    while (i < raw.length) {
+      val b = raw(i)
+      val ws = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+      if (ws) {
+        while (i < raw.length && {
+          val c = raw(i); c == 0x20 || (c >= 0x09 && c <= 0x0d)
+        }) i += 1
+        collapsed(w) = 0x20; w += 1
+      } else { collapsed(w) = b; w += 1; i += 1 }
+    }
+    var lo = 0; var hi = w
+    if (hi > lo && collapsed(lo) == 0x20) lo += 1
+    if (hi > lo && collapsed(hi - 1) == 0x20) hi -= 1
+    val norm = org.apache.spark.unsafe.types.UTF8String
+      .fromBytes(collapsed, lo, hi - lo).toLowerCase.getBytes
+    // code-point byte offsets (UTF-8 lead bytes), offsets(L) = byte length
+    val nB = norm.length
+    var l = 0
+    var p = 0
+    while (p < nB) { if ((norm(p) & 0xc0) != 0x80) l += 1; p += 1 }
+    val len = l
+    val off = new Array[Int](len + 1)
+    var cp = 0
+    p = 0
+    while (p < nB) {
+      if ((norm(p) & 0xc0) != 0x80) { off(cp) = p; cp += 1 }
+      p += 1
+    }
+    off(len) = nB
+    val digest = mdLocal.get()
+    // starts (0-based code-point indices); 0 is always a start
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    if (len >= window + 1) {
+      var s = 1 // 1-based position 2 .. len - window + 1
+      while (s <= len - window) {
+        digest.update(norm, off(s), off(s + window) - off(s))
+        if (topBits(digest.digest(), 7) % divisor == 0) starts.add(s)
+        s += 1
+      }
+    }
+    val m = starts.size()
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val a = starts.get(j).intValue()
+      val b = if (j + 1 < m) starts.get(j + 1).intValue() else len
+      digest.update(norm, off(a), off(b) - off(a))
+      val d = digest.digest()
+      val hex = new Array[Byte](32)
+      var h = 0
+      while (h < 16) {
+        val v = d(h) & 0xff
+        hex(2 * h) = Character.forDigit(v >>> 4, 16).toByte
+        hex(2 * h + 1) = Character.forDigit(v & 0xf, 16).toByte
+        h += 1
+      }
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(hex),
+        (b - a).toLong)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class CdcChunks(child: Expression, window: Int, divisor: Int)
+    extends UnaryExpression {
+    require(window >= 2 && divisor >= 2, "cdc_chunks: window/divisor too small")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("chunk_md5", StringType, nullable = false),
+      StructField("chunk_len", LongType, nullable = false))),
+      containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs a string argument, got $other")
+      }
+    override protected def nullSafeEval(input: Any): Any =
+      cdcChunks(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        window, divisor)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.DedupKernels.cdcChunks($c, $window, $divisor)")
+    override protected def withNewChildInternal(c: Expression): CdcChunks =
+      copy(child = c)
+    override def prettyName: String = "graft_cdc_chunks"
+  }
+
   private def requireLongArray(e: Expression, name: String): TypeCheckResult =
     e.dataType match {
       case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -262,6 +384,14 @@ object DedupKernels {
           s"graft_shingle_hashes $what must be an int literal, got $other")
       }
       ShingleHashes(es.head, intLit(es(1), "k"), intLit(es(2), "nibbles"))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cdc_chunks", { es =>
+      def intLit(e: Expression, what: String): Int = e match {
+        case Literal(i: Int, IntegerType) => i
+        case other => throw new IllegalArgumentException(
+          s"graft_cdc_chunks $what must be an int literal, got $other")
+      }
+      CdcChunks(es.head, intLit(es(1), "window"), intLit(es(2), "divisor"))
     }, "scala_udf")
   }
 }

@@ -64,6 +64,35 @@ object TextDedup {
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
                 window: Int = 8, divisor: Int = 64): DataFrame = {
     require(window >= 2 && divisor >= 2, "window/divisor too small")
+    // the boundary test is one md5 per CHARACTER — CPU-heavy, bytes-light.
+    // A small parquet scan coalesces to one partition and would serialize
+    // the whole corpus through one core (measured: 790 s single-task at
+    // 500 k docs), so spread the minimal (id, text) projection across the
+    // session's parallelism first; at real scale the scan already has
+    // more partitions than cores and this is a no-op.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val slim0 = df.select(col(idCol), col(textCol))
+    val slim = if (slim0.rdd.getNumPartitions < par)
+      slim0.repartition(par) else slim0
+    graft.functions.DedupKernels.register(df.sparkSession)
+    val rows = slim.select(col(idCol),
+      call_function("graft_cdc_chunks", col(textCol), lit(window),
+        lit(divisor)).as("__chunks"))
+    rows.select(col(idCol),
+        posexplode(col("__chunks")).as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("__c.chunk_md5").as("chunk_md5"),
+        col("__c.chunk_len").as("chunk_len"))
+  }
+
+  /** The higher-order-function expression form of [[cdcChunks]] — retained
+    * as the executable SPECIFICATION of the kernel (DedupKernelsSpec pins
+    * kernel == HOF bit-exactly, the ShingleHashes/MinHashSig pattern); the
+    * kernel replaces a per-position interpreted md5 + hex + conv chain
+    * with one byte-level pass. */
+  private[graft] def cdcChunksHof(df: DataFrame, idCol: String,
+                                  textCol: String, window: Int = 8,
+                                  divisor: Int = 64): DataFrame = {
     // bind the normalized text once as a lambda value (same trick as
     // shingles: inlining would re-run the regex normalize per position)
     val rows = df.select(col(idCol),

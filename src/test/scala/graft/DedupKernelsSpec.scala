@@ -98,4 +98,24 @@ class DedupKernelsSpec extends SparkSuite {
     assert(out(2L) == 0L)
     assert(out(3L) == 0L)
   }
+
+  test("cdc-chunk kernel == HOF boundary/slice/md5 pipeline on corpus + edges") {
+    val docs = documents.unionByName(Seq(
+      (9000001L, ""), (9000002L, "   "), (9000003L, "short"),
+      (9000004L, "exactly8!"), (9000005L, "Ünïcødé çhärs ünd mörę  tëxt " * 20),
+      (9000006L, "a\tb\r\nc   d" * 40)).toDF("doc_id", "text"))
+    val kernel = TextDedup.cdcChunks(docs, "doc_id", "text")
+      .select("doc_id", "chunk_idx", "chunk_md5", "chunk_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    val hof = TextDedup.cdcChunksHof(docs, "doc_id", "text")
+      .select("doc_id", "chunk_idx", "chunk_md5", "chunk_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    assert(kernel.size == hof.size,
+      s"chunk counts differ: kernel=${kernel.size} hof=${hof.size}")
+    hof.foreach { case (k, v) =>
+      assert(kernel.get(k).contains(v), s"chunk $k: kernel=${kernel.get(k)} hof=$v")
+    }
+  }
 }
