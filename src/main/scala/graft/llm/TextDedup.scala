@@ -64,16 +64,9 @@ object TextDedup {
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
                 window: Int = 8, divisor: Int = 64): DataFrame = {
     require(window >= 2 && divisor >= 2, "window/divisor too small")
-    // the boundary test is one md5 per CHARACTER — CPU-heavy, bytes-light.
-    // A small parquet scan coalesces to one partition and would serialize
-    // the whole corpus through one core (measured: 790 s single-task at
-    // 500 k docs), so spread the minimal (id, text) projection across the
-    // session's parallelism first; at real scale the scan already has
-    // more partitions than cores and this is a no-op.
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val slim0 = df.select(col(idCol), col(textCol))
-    val slim = if (slim0.rdd.getNumPartitions < par)
-      slim0.repartition(par) else slim0
+    // the boundary test is one md5 per CHARACTER — CPU-heavy, bytes-light;
+    // see [[spreadForKernel]] (measured: 790 s single-task before)
+    val slim = spreadForKernel(df.select(col(idCol), col(textCol)))
     graft.functions.DedupKernels.register(df.sparkSession)
     val rows = slim.select(col(idCol),
       call_function("graft_cdc_chunks", col(textCol), lit(window),
@@ -213,10 +206,11 @@ object TextDedup {
     // isNotNull mirrors the IsNotNull the joins push into their branches —
     // without it the banding branch's exchange canonicalizes differently and
     // reuse breaks (null ids never produce pairs in either design).
-    val sigs = df.filter(col(idCol).isNotNull)
-      .select(col(idCol).as("id"),
+    val sigs = spreadForKernel(df.filter(col(idCol).isNotNull)
+        .select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
         minhashSignatureFromHashes(
-          shingleHashes(col(textCol), shingleLen, 7), numHashes).as("sig"))
+          shingleHashes(col("__t"), shingleLen, 7), numHashes).as("sig"))
       .repartition(col("id"))
     val banded = sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, r)).as("band"))
@@ -487,9 +481,20 @@ object TextDedup {
   /** 60-bit SimHash: per-bit majority vote of token hashes, one md5 per
     * token, all 60 votes in one codegen pass over the hash array
     * ([[graft.functions.DedupKernels.SimHashBits]]). */
+  /** Spread a CPU-bound kernel's input across the session's parallelism
+    * when the scan produced fewer partitions: a small parquet file
+    * coalesces to ONE map task, and a per-char/per-token md5 kernel then
+    * serializes the whole corpus through one core (q279's boundary pass
+    * measured 790 s single-task) while the rest idle. No-op at real scale,
+    * where scans out-partition cores — the guard only ever upsizes. */
+  private[graft] def spreadForKernel(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame = {
     graft.functions.DedupKernels.register(df.sparkSession)
-    df.withColumn(out,
+    spreadForKernel(df).withColumn(out,
       call_function("graft_simhash", shingleHashes(col(textCol), 1, 15)))
   }
 
