@@ -413,9 +413,14 @@ object Io {
     * binary snapshot format (replacing the reference's nippy). */
   def write(df: DataFrame, path: String, format: String = "parquet",
             mode: SaveMode = SaveMode.Overwrite,
-            partitionBy: Seq[String] = Seq.empty): Unit = {
+            partitionBy: Seq[String] = Seq.empty,
+            /** text-format codec: "gzip" | "bzip2" | "lz4" | "zstd" | …
+              * (the reference's bzip2.clj path — Hadoop ships BZip2Codec,
+              * so .csv.bz2 reads transparently and writes via this). */
+            compression: Option[String] = None): Unit = {
     var w = df.write.mode(mode).format(format)
     if (format == "csv") w = w.option("header", true)
+    compression.foreach(c => w = w.option("compression", c))
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     w.save(path)
   }

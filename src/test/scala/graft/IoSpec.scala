@@ -364,6 +364,25 @@ class IoSpec extends SparkSuite {
       "['Overgrow', 'Chlorophyll']")
   }
 
+  test("bzip2 csv: reads .csv.bz2 transparently; write round-trips (reference bzip2.clj)") {
+    val tmp = Files.createTempDirectory("graft_bz2").toString
+    val src = Tables.t(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    Io.write(src, s"$tmp/n_bz2", format = "csv",
+      compression = Some("bzip2"))
+    val files = new java.io.File(s"$tmp/n_bz2").listFiles()
+      .filter(_.getName.endsWith(".csv.bz2"))
+    assert(files.nonEmpty, "writer must emit .csv.bz2 part files")
+    val back = Io.readCsv(spark, s"$tmp/n_bz2")
+    assert(back.count() == src.count())
+    assert(back.select(sum(col("n_nationkey"))).first().getLong(0) ==
+      src.select(sum(col("n_nationkey"))).first().getLong(0))
+    // promotional inference works through the codec too
+    val promo = Io.readCsvPromotional(spark, s"$tmp/n_bz2")
+    assert(promo.schema("n_nationkey").dataType ==
+      org.apache.spark.sql.types.ShortType)
+  }
+
   test("libsvm round-trip exact incl. sparse zero-drop") {
     val tmp = Files.createTempDirectory("graft_svm").toString
     val src = spark.sql("""
