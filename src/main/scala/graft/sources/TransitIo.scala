@@ -1,0 +1,327 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.Base64
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Transit interchange for datasets — the reference's
+  * `tech.v3.libs.clj-transit` (clj_transit.clj:166-172 dataset->data,
+  * :216-260 data->dataset): a dataset serializes to the transit-safe data
+  * map `{:metadata {} :flavor :transit :version 1 :columns [...]}` where
+  * each column is `{:metadata {:name :datatype} :missing [idx...] :data}`
+  * with numeric data as BASE64 LITTLE-ENDIAN bytes
+  * (clj_transit.clj:37-78), strings as a string table + int32 index
+  * buffer (:82-96), booleans as uint8 bytes, dates as int32
+  * days-since-epoch and instants as int64 millis (:146-153) — and that
+  * map rides transit-json.
+  *
+  * The transit-json layer here is a compatible subset implemented on
+  * Jackson (already on Spark's classpath): the WRITER emits verbose
+  * transit (no cache codes — legal per the spec, readers must accept
+  * it); the READER handles cache codes (`^N`), `"^ "` array-maps, plain
+  * JSON-object maps, keywords `~:k`, escaped strings `~~`/`~^`, 64-bit
+  * ints `~i`, and passes unknown tags through as strings.
+  *
+  * SCALE POSTURE: transit is the reference's single-node interchange
+  * format — one string per whole dataset. Export collects through
+  * `toLocalIterator` (one partition in memory at a time) and is meant
+  * for model/config/fixture-sized frames, not corpus shards; the
+  * corpus-scale interchange paths are parquet/Arrow/Avro/ORC. */
+object TransitIo {
+
+  /** Clojure keyword stand-in. */
+  final case class Kw(name: String) {
+    override def toString: String = ":" + name
+  }
+
+  // ---------------------------------------------------------------- write
+
+  private val mapper = new ObjectMapper()
+
+  private def jsonString(s: String): String =
+    mapper.writeValueAsString(s)
+
+  private def writeVal(v: Any, sb: StringBuilder): Unit = v match {
+    case null => sb.append("null")
+    case Kw(n) => sb.append(jsonString("~:" + n))
+    case s: String =>
+      val esc = if (s.startsWith("~") || s.startsWith("^")) "~" + s else s
+      sb.append(jsonString(esc))
+    case b: Boolean => sb.append(if (b) "true" else "false")
+    case i: Int => sb.append(i.toString)
+    case l: Long =>
+      if (l <= (1L << 53) && l >= -(1L << 53)) sb.append(l.toString)
+      else sb.append(jsonString("~i" + l))
+    case d: Double => sb.append(d.toString)
+    case m: scala.collection.Map[_, _] =>
+      sb.append("[\"^ \"")
+      m.foreach { case (k, mv) =>
+        sb.append(','); writeVal(k, sb); sb.append(','); writeVal(mv, sb)
+      }
+      sb.append(']')
+    case xs: Seq[_] =>
+      sb.append('[')
+      var first = true
+      xs.foreach { x =>
+        if (!first) sb.append(','); first = false; writeVal(x, sb)
+      }
+      sb.append(']')
+    case other =>
+      throw new IllegalArgumentException(
+        s"transit write: unsupported ${other.getClass}")
+  }
+
+  /** Serialize a transit-safe value (maps/seqs/Kw/scalars) to a
+    * transit-json string. */
+  def writeTransitJson(v: Any): String = {
+    val sb = new StringBuilder
+    writeVal(v, sb)
+    sb.toString
+  }
+
+  // ---------------------------------------------------------------- read
+
+  private final class Cache {
+    private val entries = mutable.ArrayBuffer.empty[Any]
+    def isCode(s: String): Boolean =
+      s.length > 1 && s.charAt(0) == '^' && s.charAt(1) != ' '
+    def lookup(s: String): Any = {
+      // transit-java's code scheme: single char = index + 48; two chars =
+      // hi*44 + lo with each char - 48 (CACHE_CODE_DIGITS = 44)
+      val code = s.substring(1)
+      val idx =
+        if (code.length == 1) code.charAt(0) - 48
+        else (code.charAt(0) - 48) * 44 + (code.charAt(1) - 48)
+      entries(idx)
+    }
+    def maybeCache(raw: String, decoded: Any, asMapKey: Boolean): Unit =
+      if (raw.length > 3 &&
+          (asMapKey || raw.startsWith("~:") || raw.startsWith("~#") ||
+            raw.startsWith("~$")))
+        entries += decoded
+  }
+
+  private def decodeString(raw: String, cache: Cache,
+                           asMapKey: Boolean): Any = {
+    if (cache.isCode(raw)) return cache.lookup(raw)
+    val decoded: Any =
+      if (raw.startsWith("~:")) Kw(raw.substring(2))
+      else if (raw.startsWith("~i")) raw.substring(2).toLong
+      else if (raw.startsWith("~~") || raw.startsWith("~^")) raw.substring(1)
+      else if (raw.startsWith("~")) raw // unknown tag: passthrough
+      else raw
+    cache.maybeCache(raw, decoded, asMapKey)
+    decoded
+  }
+
+  private def decodeNode(n: JsonNode, cache: Cache,
+                         asMapKey: Boolean = false): Any = {
+    if (n.isTextual) decodeString(n.asText(), cache, asMapKey)
+    else if (n.isNull) null
+    else if (n.isBoolean) n.asBoolean()
+    else if (n.isIntegralNumber) n.asLong()
+    else if (n.isFloatingPointNumber) n.asDouble()
+    else if (n.isObject) {
+      val m = mutable.LinkedHashMap.empty[Any, Any]
+      val it = n.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        m.put(decodeString(e.getKey, cache, asMapKey = true),
+          decodeNode(e.getValue, cache))
+      }
+      m
+    }
+    else if (n.isArray) {
+      if (n.size() > 0 && n.get(0).isTextual && n.get(0).asText() == "^ ") {
+        val m = mutable.LinkedHashMap.empty[Any, Any]
+        var i = 1
+        while (i < n.size() - 1) {
+          m.put(decodeNode(n.get(i), cache, asMapKey = true),
+            decodeNode(n.get(i + 1), cache))
+          i += 2
+        }
+        m
+      } else {
+        val b = mutable.ArrayBuffer.empty[Any]
+        var i = 0
+        while (i < n.size()) { b += decodeNode(n.get(i), cache); i += 1 }
+        b.toSeq
+      }
+    }
+    else throw new IllegalArgumentException(s"transit read: $n")
+  }
+
+  /** Parse a transit-json string to maps/seqs/Kw/scalars. */
+  def readTransitJson(s: String): Any =
+    decodeNode(mapper.readTree(s), new Cache)
+
+  // ---------------------------------------------- dataset <-> data map
+
+  private def b64LE(n: Int, put: ByteBuffer => Unit, width: Int): String = {
+    val bb = ByteBuffer.allocate(n * width).order(ByteOrder.LITTLE_ENDIAN)
+    put(bb)
+    Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  /** dataset->transit-str (clj_transit.clj:290-300): the reference's data
+    * layout, verbose transit-json. Row order = the frame's current order
+    * (collected one partition at a time). */
+  def datasetToTransitStr(df: DataFrame, name: String = "_unnamed"): String = {
+    val rows = {
+      val it = df.toLocalIterator()
+      val b = mutable.ArrayBuffer.empty[Row]
+      while (it.hasNext) b += it.next()
+      b
+    }
+    val n = rows.length
+    val cols: Seq[Any] = df.schema.fields.zipWithIndex.map { case (f, ci) =>
+      val missing: Seq[Long] =
+        rows.zipWithIndex.collect {
+          case (r, i) if r.isNullAt(ci) => i.toLong
+        }.toSeq
+      def longs(get: Row => Long): IndexedSeq[Long] =
+        rows.map(r => if (r.isNullAt(ci)) 0L else get(r)).toIndexedSeq
+      val (dtKw: String, data: Any) = f.dataType match {
+        case ByteType => ("int8", b64LE(n, bb =>
+          longs(_.getAs[Byte](ci).toLong).foreach(v => bb.put(v.toByte)), 1))
+        case ShortType => ("int16", b64LE(n, bb =>
+          longs(_.getAs[Short](ci).toLong).foreach(v => bb.putShort(v.toShort)), 2))
+        case IntegerType => ("int32", b64LE(n, bb =>
+          longs(_.getAs[Int](ci).toLong).foreach(v => bb.putInt(v.toInt)), 4))
+        case LongType => ("int64", b64LE(n, bb =>
+          longs(_.getAs[Long](ci)).foreach(bb.putLong), 8))
+        case FloatType => ("float32", b64LE(n, bb =>
+          rows.foreach(r => bb.putFloat(
+            if (r.isNullAt(ci)) 0f else r.getAs[Float](ci))), 4))
+        case DoubleType => ("float64", b64LE(n, bb =>
+          rows.foreach(r => bb.putDouble(
+            if (r.isNullAt(ci)) 0d else r.getAs[Double](ci))), 8))
+        case BooleanType => ("boolean", b64LE(n, bb =>
+          rows.foreach(r => bb.put(
+            (if (!r.isNullAt(ci) && r.getAs[Boolean](ci)) 1 else 0).toByte)), 1))
+        case DateType => ("local-date", b64LE(n, bb =>
+          rows.foreach(r => bb.putInt(
+            if (r.isNullAt(ci)) 0
+            else r.getAs[java.sql.Date](ci).toLocalDate.toEpochDay.toInt)), 4))
+        case TimestampType => ("instant", b64LE(n, bb =>
+          rows.foreach(r => bb.putLong(
+            if (r.isNullAt(ci)) 0L
+            else r.getAs[java.sql.Timestamp](ci).getTime)), 8))
+        case StringType =>
+          // string table + int32 indexes (clj_transit.clj:82-96; missing
+          // encodes as "")
+          val table = mutable.ArrayBuffer.empty[String]
+          val seen = mutable.HashMap.empty[String, Int]
+          val idxs = rows.map { r =>
+            val s = if (r.isNullAt(ci)) "" else r.getString(ci)
+            seen.getOrElseUpdate(s, { table += s; table.length - 1 })
+          }
+          ("string", mutable.LinkedHashMap[Any, Any](
+            Kw("strtable") -> table.toSeq,
+            Kw("indexes") -> b64LE(n, bb => idxs.foreach(bb.putInt), 4)))
+        case other => throw new IllegalArgumentException(
+          s"transit write: unsupported column type $other (${f.name})")
+      }
+      mutable.LinkedHashMap[Any, Any](
+        Kw("metadata") -> mutable.LinkedHashMap[Any, Any](
+          Kw("name") -> f.name, Kw("datatype") -> Kw(dtKw)),
+        Kw("missing") -> missing,
+        Kw("data") -> data)
+    }
+    writeTransitJson(mutable.LinkedHashMap[Any, Any](
+      Kw("metadata") -> mutable.LinkedHashMap[Any, Any](Kw("name") -> name),
+      Kw("flavor") -> Kw("transit"),
+      Kw("version") -> 1L,
+      Kw("columns") -> cols))
+  }
+
+  private def b64Bytes(s: String): ByteBuffer =
+    ByteBuffer.wrap(Base64.getDecoder.decode(s))
+      .order(ByteOrder.LITTLE_ENDIAN)
+
+  /** transit-str->dataset (clj_transit.clj:303-312). */
+  def transitStrToDataset(spark: SparkSession, str: String): DataFrame = {
+    val root = readTransitJson(str).asInstanceOf[mutable.LinkedHashMap[Any, Any]]
+    val cols = root(Kw("columns")).asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[mutable.LinkedHashMap[Any, Any]])
+    val decoded: Seq[(String, DataType, IndexedSeq[Any])] = cols.map { c =>
+      val meta = c(Kw("metadata")).asInstanceOf[mutable.LinkedHashMap[Any, Any]]
+      val nm = meta(Kw("name")) match {
+        case Kw(k) => k
+        case s: String => s
+      }
+      val dt = meta(Kw("datatype")).asInstanceOf[Kw].name
+      val missing = c(Kw("missing")).asInstanceOf[Seq[Any]]
+        .map(x => x.asInstanceOf[Long].toInt).toSet
+      def mask[A](vals: IndexedSeq[A]): IndexedSeq[Any] =
+        vals.zipWithIndex.map { case (v, i) =>
+          if (missing.contains(i)) null else v
+        }
+      c(Kw("data")) match {
+        case b64: String =>
+          val bb = b64Bytes(b64)
+          dt match {
+            case "int8" =>
+              (nm, ByteType, mask((0 until bb.limit()).map(bb.get)))
+            case "int16" =>
+              val sb = bb.asShortBuffer()
+              (nm, ShortType, mask((0 until sb.limit()).map(sb.get)))
+            case "int32" =>
+              val ib = bb.asIntBuffer()
+              (nm, IntegerType, mask((0 until ib.limit()).map(ib.get)))
+            case "int64" =>
+              val lb = bb.asLongBuffer()
+              (nm, LongType, mask((0 until lb.limit()).map(lb.get)))
+            case "float32" =>
+              val fb = bb.asFloatBuffer()
+              (nm, FloatType, mask((0 until fb.limit()).map(fb.get)))
+            case "float64" =>
+              val db = bb.asDoubleBuffer()
+              (nm, DoubleType, mask((0 until db.limit()).map(db.get)))
+            case "boolean" =>
+              (nm, BooleanType,
+                mask((0 until bb.limit()).map(i => bb.get(i) != 0)))
+            case "local-date" | "packed-local-date" =>
+              val ib = bb.asIntBuffer()
+              (nm, DateType, mask((0 until ib.limit()).map(i =>
+                java.sql.Date.valueOf(
+                  java.time.LocalDate.ofEpochDay(ib.get(i).toLong)))))
+            case "instant" | "packed-instant" | "packed-milli-instant" =>
+              val lb = bb.asLongBuffer()
+              (nm, TimestampType, mask((0 until lb.limit()).map(i =>
+                new java.sql.Timestamp(lb.get(i)))))
+            case other => throw new IllegalArgumentException(
+              s"transit read: b64 datatype $other")
+          }
+        case m: mutable.LinkedHashMap[_, _] =>
+          val mm = m.asInstanceOf[mutable.LinkedHashMap[Any, Any]]
+          val table = mm(Kw("strtable")).asInstanceOf[Seq[Any]]
+            .map(_.asInstanceOf[String]).toIndexedSeq
+          val ib = b64Bytes(mm(Kw("indexes")).asInstanceOf[String]).asIntBuffer()
+          (nm, StringType,
+            mask((0 until ib.limit()).map(i => table(ib.get(i)))))
+        case plain: Seq[_] => // the reference's :else punt — plain vector
+          (nm, StringType,
+            mask(plain.toIndexedSeq.map(v => if (v == null) null else v.toString)))
+        case other => throw new IllegalArgumentException(
+          s"transit read: column data $other")
+      }
+    }
+    val nRows = decoded.headOption.map(_._3.length).getOrElse(0)
+    val schema = StructType(decoded.map { case (nm, dt, _) =>
+      StructField(nm, dt, nullable = true)
+    })
+    val rows = (0 until nRows).map { i =>
+      Row.fromSeq(decoded.map(_._3(i)))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, math.min(8, nRows))),
+      schema)
+  }
+}
