@@ -266,14 +266,23 @@ object Io {
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val prep = regexp_replace(c, "[/,\\-. ]+", " ")
+    // Every try_to_date that FAILS costs a thrown-and-caught
+    // DateTimeParseException inside Spark — microseconds per attempt, ×7
+    // patterns × every non-date string value (the promotional probe over a
+    // 2.77M-row table measured 22 k rows/s, exception-bound). Each pattern
+    // therefore sits behind a SUPERSET shape regex (~100 ns rlike): a
+    // value that can't possibly parse never reaches the parser, and a
+    // value that passes its gate almost always parses without throwing.
+    def gated(shape: String, fmt: String) =
+      when(prep.rlike(shape), try_to_date(prep, fmt))
     coalesce(
-      try_to_date(prep, "yyyy M d"),
-      try_to_date(prep, "yyyyMMdd"),
-      try_to_date(prep, "M d yyyy"),
-      try_to_date(prep, "d MMM yyyy"),
-      try_to_date(prep, "M d yy"),
-      try_to_date(prep, "MMM d yyyy"),
-      try_to_date(prep, "MMM d yy"))
+      gated("^\\d{1,4} \\d{1,2} \\d{1,2}$", "yyyy M d"),
+      gated("^\\d{8}$", "yyyyMMdd"),
+      gated("^\\d{1,2} \\d{1,2} \\d{3,4}$", "M d yyyy"),
+      gated("^\\d{1,2} [A-Za-z]{3} \\d{1,4}$", "d MMM yyyy"),
+      gated("^\\d{1,2} \\d{1,2} \\d{1,2}$", "M d yy"),
+      gated("^[A-Za-z]{3} \\d{1,2} \\d{3,4}$", "MMM d yyyy"),
+      gated("^[A-Za-z]{3} \\d{1,2} \\d{1,2}$", "MMM d yy"))
     // NB deliberately NO bare try_to_date(c) fallback: Spark's string→date
     // cast accepts year-only strings ("1212" → 1212-01-01) where the
     // reference's ISO_LOCAL_DATE rejects them; ISO dates are covered by
@@ -293,35 +302,77 @@ object Io {
         d.withColumn(c0,
           when(lower(qcol(c0)) === "na", lit(null)).otherwise(qcol(c0))))
     val cols = strCols
-    val aggs = cols.flatMap { c0 =>
+    // gzip (and small files) cap the scan's parallelism — 4 .gz part
+    // files = 4 cores doing ALL the probe parsing. The probe pass is
+    // CPU-bound per value, so spread it across the session first (one
+    // string-row shuffle, only when the scan under-partitions); the
+    // RETURNED frame keeps the streaming scan — only the one-pass probe
+    // needs the spread.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (base.rdd.getNumPartitions < par)
+      base.repartition(par) else base
+    // Probe in TWO STAGES — a projection computing per-column probe values
+    // (the long/double/timestamp casts and the multi-pattern date parse,
+    // each bound ONCE as a named column), then a count aggregation over
+    // them. Inlining every probe into 8·k aggregate expressions made the
+    // generated aggregate method blow Janino's size limits on wide tables
+    // and fall back to interpreted evaluation — the 12-column baseline
+    // table probed at 22 k rows/s; the staged form keeps each expression
+    // small and codegen'd, and the date ladder's regexp_replace runs once
+    // per value instead of once per pattern.
+    val probed = spread.select(cols.flatMap { c0 =>
       val c = qcol(c0) // exact-name: dots must not parse as struct paths
-      val longV = c.try_cast("long"); val dblV = c.try_cast("double")
-      val tsV = c.try_cast("timestamp")
+      // EVERY failing try_cast throws-and-catches inside Spark (ANSI
+      // parse paths) — on a table of mostly-non-numeric strings that is
+      // millions of exceptions per probe column. Same cure as the date
+      // ladder: a superset shape regex (~100 ns) in front of each parse,
+      // so only values that will (almost always) parse reach the parser.
+      val t = trim(c)
+      val longV = when(t.rlike("^[+-]?\\d{1,19}$"), c.try_cast("long"))
+      val dblV = when(
+        t.rlike("^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?[dDfF]?$" +
+          "|^[+-]?(Infinity|NaN)$"),
+        c.try_cast("double"))
+      // timestamps: digits+separator structure or a bare 4-digit year —
+      // keeps bare ints out of the exception path
+      val tsV = when(
+        t.rlike("^[+-]?\\d{1,6}[-T:. ].+$|^[+-]?\\d{4}$"),
+        c.try_cast("timestamp"))
       Seq(
-        count(c).as(s"${c0}__n"),
-        count(longV).as(s"${c0}__nlong"),
-        count(dblV).as(s"${c0}__ndbl"),
-        count(tsV).as(s"${c0}__nts"),
+        c.as(s"${c0}__v"),
+        longV.as(s"${c0}__long"),
+        dblV.as(s"${c0}__dbl"),
+        tsV.as(s"${c0}__ts"),
         // the reference tries :packed-local-date before :string — the
         // flexible multi-pattern date parse (io/datetime.clj) covers
-        // "Jan 1 2000"-style columns; the midnight count disambiguates
-        // "yyyy-MM-dd HH:mm" columns (date-castable by prefix) from
-        // genuine date columns. The 7-pattern ladder is the priciest
-        // probe here, so it only runs where the double cast failed —
+        // "Jan 1 2000"-style columns. The 7-pattern ladder is the
+        // priciest probe, so it only runs where the double cast failed —
         // all-numeric columns take the numeric branch before the date
         // decision anyway, so the gate cannot change any classification
-        count(when(dblV.isNull, parseLocalDateFlex(c)))
-          .as(s"${c0}__ndate"),
-        count(when(tsV === date_trunc("day", tsV), 1)).as(s"${c0}__nmid"),
-        min(longV).as(s"${c0}__min"), max(longV).as(s"${c0}__max"),
+        when(dblV.isNull, parseLocalDateFlex(c)).as(s"${c0}__date"),
+        // midnight flag disambiguates "yyyy-MM-dd HH:mm" columns
+        // (date-castable by prefix) from genuine date columns
+        (tsV === date_trunc("day", tsV)).as(s"${c0}__midf"),
         // STRICT bool, exact-case "true"/"false" only — the reference's
         // default promotional sequence uses :bool (column_parsers.clj:54,
         // default-parser-datatype-sequence:310); the relaxed t/y/yes
         // :boolean table applies only when a caller asks for :boolean,
         // which keeps Y/N flag columns (ames CentralAir) as strings
-        count(when(c.isin("true", "false"), 1)).as(s"${c0}__nbool"))
+        c.isin("true", "false").as(s"${c0}__boolf"))
+    }: _*)
+    val aggs = cols.flatMap { c0 =>
+      Seq(
+        count(col(s"`${c0}__v`")).as(s"${c0}__n"),
+        count(col(s"`${c0}__long`")).as(s"${c0}__nlong"),
+        count(col(s"`${c0}__dbl`")).as(s"${c0}__ndbl"),
+        count(col(s"`${c0}__ts`")).as(s"${c0}__nts"),
+        count(col(s"`${c0}__date`")).as(s"${c0}__ndate"),
+        count(when(col(s"`${c0}__midf`"), 1)).as(s"${c0}__nmid"),
+        min(col(s"`${c0}__long`")).as(s"${c0}__min"),
+        max(col(s"`${c0}__long`")).as(s"${c0}__max"),
+        count(when(col(s"`${c0}__boolf`"), 1)).as(s"${c0}__nbool"))
     }
-    val r = base.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val r = probed.agg(aggs.head, aggs.tail: _*).collect()(0)
     cols.foldLeft(base) { (d, c0) =>
       def g(s: String): Long = {
         val v = r.get(r.fieldIndex(s"${c0}__$s")); if (v == null) 0L else v.asInstanceOf[Long]
