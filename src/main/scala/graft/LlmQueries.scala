@@ -556,6 +556,18 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("copy_id"))
     },
 
+    // multi-eval-set contamination matrix: ONE hash-keyed join answers
+    // per-suite contamination for every suite at once (q73's shingle
+    // hashes; src0-src2 stand in for held-out benchmarks).
+    "q283_contamination_matrix" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val sets = Seq("src0", "src1", "src2")
+      TextDedup.contaminationMatrix(
+        docs.filter(!col("source").isin(sets: _*)), "doc_id", "text",
+        docs.filter(col("source").isin(sets: _*)), "source", "text",
+        shingleLen = 3)
+    },
+
     // sharded JSONL export + release manifest: md5-deterministic shard
     // assignment (cluster-size/engine independent), one shard-keyed write,
     // O(shards) manifest. The oracle replays the manifest; the files
@@ -1367,6 +1379,37 @@ object LlmQueries {
          SELECT doc_id, source, nd AS n_domain, ppm AS rate_ppm,
            CAST(unnest(generate_series(0, copies - 1)) AS BIGINT) AS copy_id
          FROM j WHERE copies > 0 ORDER BY doc_id, copy_id""",
+
+    // mirrors TextDedup.contaminationMatrix: q73's 60-bit shingle hashes,
+    // distinct per side, one hash join, per-set distinct-doc counts.
+    "q283_contamination_matrix" ->
+      s"""WITH d AS (SELECT doc_id, source,
+             string_split($normSql, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id, source, CASE WHEN len(w) >= 3
+             THEN list_transform(range(len(w) - 2), i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3]))
+             ELSE [array_to_string(w, ' ')] END AS s FROM d),
+         ex AS (SELECT doc_id, source,
+             unnest(list_distinct(list_transform(s,
+               g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)))) AS h
+           FROM sh),
+         ev AS (SELECT DISTINCT source AS eval_set, h FROM ex
+           WHERE source IN ('src0', 'src1', 'src2')),
+         co AS (SELECT DISTINCT doc_id, h FROM ex
+           WHERE source NOT IN ('src0', 'src1', 'src2')),
+         hits AS (SELECT eval_set,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_contaminated
+           FROM co JOIN ev USING (h) GROUP BY 1),
+         sizes AS (SELECT source AS eval_set,
+             CAST(COUNT(*) AS BIGINT) AS n_eval_docs FROM documents
+           WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+         nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus_docs
+           FROM documents WHERE source NOT IN ('src0', 'src1', 'src2'))
+         SELECT s.eval_set, s.n_eval_docs, nc.n_corpus_docs,
+           COALESCE(h.n_contaminated, 0) AS n_contaminated,
+           CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / nc.n_corpus_docs
+             AS share
+         FROM sizes s LEFT JOIN hits h USING (eval_set) CROSS JOIN nc
+         ORDER BY eval_set""",
 
     // mirrors Export.shardManifest: the same md5 shard draw and per-shard
     // aggregates (tokenization per the q26 whitespace contract).

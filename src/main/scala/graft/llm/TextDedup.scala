@@ -358,6 +358,48 @@ object TextDedup {
     * to broadcast, so the train side — the 100 TB side — never reshuffles
     * more than (id, hash) pairs. md5-derived hashes keep the whole op
     * engine-portable (oracle-checked, q73). */
+  /** MULTI-EVAL-SET CONTAMINATION MATRIX — the release-audit view of
+    * [[decontaminate]]: one pass answers "how much of the corpus collides
+    * with EACH held-out suite" (the table a model card publishes per
+    * benchmark), instead of one job per suite. n-gram hits use the same
+    * 60-bit shingle hashes as q73's decontamination; a corpus document is
+    * contaminated FOR A SET iff it shares ≥ 1 n-gram hash with any doc of
+    * that set. Returns one row per eval set:
+    * (eval_set, n_eval_docs, n_corpus_docs, n_contaminated, share).
+    *
+    * Plan: both sides explode to DISTINCT (key, hash) pairs; ONE
+    * hash-keyed join covers every set simultaneously (the per-set shape
+    * would rescan the corpus k times); per-set counts are keyed
+    * aggregations. At 100 TB the eval side is tiny and the join's build
+    * side broadcasts; the corpus side shuffles (id, hash) pairs once. */
+  def contaminationMatrix(corpus: DataFrame, corpusId: String,
+                          corpusText: String, evalSets: DataFrame,
+                          setCol: String, evalText: String,
+                          shingleLen: Int = 8): DataFrame = {
+    graft.functions.DedupKernels.register(corpus.sparkSession)
+    def hashes(c: Column) = array_distinct(shingleHashes(c, shingleLen, 15))
+    val evalH = evalSets
+      .select(col(setCol).as("eval_set"), explode(hashes(col(evalText))).as("__h"))
+      .distinct()
+    val corpusH = corpus
+      .select(col(corpusId).as("__id"), explode(hashes(col(corpusText))).as("__h"))
+      .distinct()
+    val hits = corpusH.join(broadcast(evalH), Seq("__h"))
+      .select(col("eval_set"), col("__id")).distinct()
+      .groupBy(col("eval_set"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    val sizes = evalSets.groupBy(col(setCol).as("eval_set"))
+      .agg(count(lit(1)).as("n_eval_docs"))
+    val nCorpus = corpus.agg(count(lit(1)).as("n_corpus_docs"))
+    sizes.join(hits, Seq("eval_set"), "left")
+      .crossJoin(broadcast(nCorpus))
+      .select(col("eval_set"), col("n_eval_docs"), col("n_corpus_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_corpus_docs")).as("share"))
+      .orderBy(col("eval_set"))
+  }
+
   def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, shingleLen: Int = 8,
                     minOverlap: Long = 1L): DataFrame = {
