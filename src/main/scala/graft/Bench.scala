@@ -92,7 +92,9 @@ object Bench {
     // by time DESCENDING (slow queries are the informative ones; the dropped
     // tail is uniformly sub-0.3 s session overhead). Full map: see the file.
     val tailBudget = 1800
-    val byTime = results.sortBy { case (k, v) => (-v, k) }
+    // Failures carry the sentinel -1.0: they must sort FIRST (never be
+    // truncated away), so order by (failed-first, time desc, name).
+    val byTime = results.sortBy { case (k, v) => (v >= 0, -v, k) }
     var keep = byTime
     while (keep.nonEmpty && mkJson(keep.sortBy(_._1)).length > tailBudget)
       keep = keep.dropRight(math.max(1, (mkJson(keep).length - tailBudget) / 12))

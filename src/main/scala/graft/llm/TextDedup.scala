@@ -381,7 +381,11 @@ object TextDedup {
     val evalH = evalSets
       .select(col(setCol).as("eval_set"), explode(hashes(col(evalText))).as("__h"))
       .distinct()
+    // null corpus ids are excluded (matching decontaminate and the oracle's
+    // COUNT(DISTINCT doc_id), which ignores NULLs — a null __id row would
+    // otherwise count as one contaminated "document")
     val corpusH = corpus
+      .filter(col(corpusId).isNotNull)
       .select(col(corpusId).as("__id"), explode(hashes(col(corpusText))).as("__h"))
       .distinct()
     val hits = corpusH.join(broadcast(evalH), Seq("__h"))

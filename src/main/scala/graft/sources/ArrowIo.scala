@@ -378,7 +378,7 @@ object ArrowIo {
       val localDicts = bcDicts.value
       val provider = new DictionaryProvider.MapDictionaryProvider()
       val dictVectors = scala.collection.mutable.ArrayBuffer.empty[VarCharVector]
-      val idxMaps = scala.collection.mutable.HashMap.empty[String, java.util.HashMap[String, Int]]
+      val idxMaps = scala.collection.mutable.HashMap.empty[String, java.util.HashMap[String, java.lang.Integer]]
       val fields = schema.fields.zipWithIndex.map { case (f, i) =>
         localDicts.get(f.name) match {
           case Some(vals) =>
@@ -386,7 +386,7 @@ object ArrowIo {
               new ArrowType.Int(32, true))
             val dv = new VarCharVector(s"${f.name}-dict", alloc)
             dv.allocateNew(vals.length)
-            val m = new java.util.HashMap[String, Int](vals.length * 2)
+            val m = new java.util.HashMap[String, java.lang.Integer](vals.length * 2)
             vals.zipWithIndex.foreach { case (s, j) =>
               dv.setSafe(j, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
               m.put(s, j)
@@ -435,10 +435,17 @@ object ArrowIo {
               val v = row.get(c)
               if (v == null) setNull(vectors(c), n)
               else {
-                val idx = m.get(v.asInstanceOf[String])
-                // values not in the fitted dictionary cannot occur: the
-                // fit ran over this same frame
-                vectors(c).asInstanceOf[IntVector].setSafe(n, idx)
+                // fit and write are two separate Spark jobs over the same
+                // frame; a non-deterministic source (rand columns, files
+                // changed between jobs) can surface a value the fit never
+                // saw. The unboxed get would silently map it to index 0 —
+                // fail fast instead.
+                val boxed = m.get(v.asInstanceOf[String])
+                if (boxed == null)
+                  throw new IllegalStateException(
+                    s"value not in fitted dictionary for column ${colNames(c)}: $v " +
+                      "(is the input frame non-deterministic between the fit and write jobs?)")
+                vectors(c).asInstanceOf[IntVector].setSafe(n, boxed.intValue)
               }
             case None => setVector(vectors(c), n, row.get(c))
           }

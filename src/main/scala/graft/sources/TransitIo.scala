@@ -32,7 +32,14 @@ import org.apache.spark.sql.types._
   * format — one string per whole dataset. Export collects through
   * `toLocalIterator` (one partition in memory at a time) and is meant
   * for model/config/fixture-sized frames, not corpus shards; the
-  * corpus-scale interchange paths are parquet/Arrow/Avro/ORC. */
+  * corpus-scale interchange paths are parquet/Arrow/Avro/ORC.
+  *
+  * PRECISION CONTRACT: timestamps serialize as int64 MILLIS (the
+  * reference's packed-instant layout, clj_transit.clj:146-153), so
+  * Spark's microsecond-precision timestamps truncate sub-millisecond
+  * digits on a transit round-trip. Use parquet/Arrow when micros
+  * matter. Non-finite doubles in metadata encode as the transit
+  * special strings ~zNaN/~zINF/~z-INF (read back symmetrically). */
 object TransitIo {
 
   /** Clojure keyword stand-in. */
@@ -58,7 +65,13 @@ object TransitIo {
     case l: Long =>
       if (l <= (1L << 53) && l >= -(1L << 53)) sb.append(l.toString)
       else sb.append(jsonString("~i" + l))
-    case d: Double => sb.append(d.toString)
+    case d: Double =>
+      // NaN/Infinity render as bare words — invalid JSON. Transit-json
+      // encodes them as the special strings ~zNaN / ~zINF / ~z-INF.
+      if (java.lang.Double.isNaN(d)) sb.append(jsonString("~zNaN"))
+      else if (d == Double.PositiveInfinity) sb.append(jsonString("~zINF"))
+      else if (d == Double.NegativeInfinity) sb.append(jsonString("~z-INF"))
+      else sb.append(d.toString)
     case m: scala.collection.Map[_, _] =>
       sb.append("[\"^ \"")
       m.foreach { case (k, mv) =>
@@ -113,6 +126,9 @@ object TransitIo {
     val decoded: Any =
       if (raw.startsWith("~:")) Kw(raw.substring(2))
       else if (raw.startsWith("~i")) raw.substring(2).toLong
+      else if (raw == "~zNaN") Double.NaN
+      else if (raw == "~zINF") Double.PositiveInfinity
+      else if (raw == "~z-INF") Double.NegativeInfinity
       else if (raw.startsWith("~~") || raw.startsWith("~^")) raw.substring(1)
       else if (raw.startsWith("~")) raw // unknown tag: passthrough
       else raw

@@ -39,6 +39,30 @@ class TransitIoSpec extends SparkSuite {
     assert(back.collect().toSeq == rows)
   }
 
+  test("non-finite doubles and sub-milli timestamps: documented contract holds") {
+    // NaN/±Inf render as the transit special strings (bare words would be
+    // invalid JSON), and they read back symmetrically
+    val json = TransitIo.writeTransitJson(Seq(Double.NaN,
+      Double.PositiveInfinity, Double.NegativeInfinity, 1.5))
+    com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .readTree(json) // must be valid JSON
+    val back = TransitIo.readTransitJson(json).asInstanceOf[Seq[Any]]
+    assert(back(0).asInstanceOf[Double].isNaN)
+    assert(back(1) == Double.PositiveInfinity)
+    assert(back(2) == Double.NegativeInfinity)
+    assert(back(3) == 1.5)
+    // timestamps are int64 MILLIS on the wire (the reference's packed
+    // layout): micros truncate on a round-trip — pinned, not accidental
+    val ts = Timestamp.valueOf("2024-01-02 03:04:05.123456")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(ts)), 1),
+      StructType(Seq(StructField("t", TimestampType))))
+    val got = TransitIo.transitStrToDataset(spark,
+        TransitIo.datasetToTransitStr(df, "t")).collect()(0)
+      .getAs[Timestamp](0)
+    assert(got == Timestamp.valueOf("2024-01-02 03:04:05.123"))
+  }
+
   test("string columns use the reference's strtable+indexes layout") {
     val df = Seq("x", "y", "x", "x").toDF("s")
     val data = TransitIo.readTransitJson(
