@@ -95,6 +95,36 @@ object Joins {
                rightTime: String, by: Seq[(String, String)] = Seq.empty,
                direction: AsofDirection = Backward,
                allowExactMatch: Boolean = true): DataFrame = {
+    if (direction == Nearest)
+      require(allowExactMatch,
+        "Nearest implies exact matches allowed (reference :nearest semantics)")
+    // KEYED as-of joins run through the first-class Catalyst merge
+    // operator ([[graft.plans.AsofMerge]]): same output contract and
+    // null semantics as the composed plan below (pinned by AsofMergeSpec
+    // fuzz across all modes), but one SMJ-style shuffle+sort per side and
+    // an O(n+m) two-pointer sweep instead of three extra full-width
+    // passes over a tagged union. The composed plan remains the KEYLESS
+    // path (a global merge has no by-key to distribute on; the composed
+    // form distributes via value-derived time buckets).
+    if (by.nonEmpty)
+      graft.plans.AsofMerge.asofJoinMerge(left, right, leftTime,
+        rightTime, by, forward = direction == Forward,
+        allowExactMatch = allowExactMatch || direction == Nearest,
+        nearest = direction == Nearest)
+    else
+      asofJoinComposed(left, right, leftTime, rightTime, by, direction,
+        allowExactMatch)
+  }
+
+  /** The composed union+window as-of plan — the KEYLESS path (a global
+    * merge has no by-key to distribute on; this form distributes via
+    * value-derived time buckets), and the independent implementation the
+    * merge exec is fuzz-pinned against (AsofMergeSpec). */
+  private[graft] def asofJoinComposed(
+      left: DataFrame, right: DataFrame, leftTime: String,
+      rightTime: String, by: Seq[(String, String)] = Seq.empty,
+      direction: AsofDirection = Backward,
+      allowExactMatch: Boolean = true): DataFrame = {
     // reference semantics: missing matches nothing (join.clj:204-266 uses
     // object-space keys where nil ≠ nil). Right rows with a null time or a
     // null by-key are dropped; left rows with a null time or null by-key come

@@ -33,15 +33,26 @@ import org.apache.spark.sql.SparkSessionExtensions
   *  - backward (`forward = false`): match = LAST right row with
   *    rt < lt (strict) / rt ≤ lt (allowExact);
   *  - forward: match = FIRST right row with rt > lt / rt ≥ lt;
+  *  - nearest (`nearest = true`, `forward` ignored): match = the right
+  *    row minimizing |rt - lt|, backward candidate winning distance ties
+  *    (the composed asofNearest's tie rule); exact matches always count;
   *  - right rows with a null time or any null key never match (filtered
-  *    by the API wrapper); left rows with a null time or any null key
-  *    surface with a null payload (object-space nil ≠ nil, like the
-  *    reference).
+  *    in the exec); left rows with a null time or any null key surface
+  *    with a null payload (object-space nil ≠ nil, like the reference).
+  *
+  * DUPLICATE (key, time) RIGHT ROWS are resolved deterministically: the
+  * right side's required ordering appends every remaining ORDERABLE right
+  * column as a tiebreaker, so the sweep always sees duplicates in one
+  * fixed order — backward/nearest-backward keep the LAST of the group
+  * (greatest in tiebreak order), forward/nearest-forward the FIRST
+  * (least). Rows identical in every orderable column are
+  * indistinguishable, so the choice among them cannot affect output.
   */
 case class AsofJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                     leftTime: Expression, rightTime: Expression,
-                    forward: Boolean, allowExact: Boolean)
+                    forward: Boolean, allowExact: Boolean,
+                    nearest: Boolean = false)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -52,8 +63,9 @@ case class AsofJoin(left: LogicalPlan, right: LogicalPlan,
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt, fwd, ex) =>
-      AsofJoinExec(lk, rk, lt, rt, fwd, ex, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, fwd, ex, near) =>
+      AsofJoinExec(lk, rk, lt, rt, fwd, ex, near,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -67,6 +79,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 case class AsofJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftTime: Expression, rightTime: Expression,
                         forward: Boolean, allowExact: Boolean,
+                        nearest: Boolean,
                         left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode {
 
@@ -81,9 +94,20 @@ case class AsofJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
-    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
+    // deterministic duplicate-(key, time) resolution: every remaining
+    // ORDERABLE right column joins the sort as a tiebreaker, so the sweep
+    // sees duplicates in one fixed order regardless of shuffle tie order
+    val rKeySet = rightKeys.toSet ++ Set[Expression](rightTime)
+    val tiebreak = right.output
+      .filterNot(a => rKeySet.exists(_.semanticEquals(a)))
+      .filter(a => RowOrdering.isOrderable(a.dataType))
+      .map(a => SortOrder(a, Ascending))
+    Seq(
+      leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+      (rightKeys.map(SortOrder(_, Ascending)) :+
+        SortOrder(rightTime, Ascending)) ++ tiebreak)
+  }
 
   override def outputOrdering: Seq[SortOrder] =
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
@@ -105,8 +129,29 @@ case class AsofJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     val rTimeExpr = rightTime
     val fwd = forward
     val exact = allowExact
+    val near = nearest
     val outAttrs = output
     val rWidth = rOut.size
+    // nearest needs numeric time distances; raw internal values are fine
+    // (micros/days/etc differ from the composed plan's cast("double")
+    // seconds only by a positive scale factor — |a-b| comparisons agree)
+    val timeAsDouble: InternalRow => Double = {
+      import org.apache.spark.sql.types._
+      timeType match {
+        case ByteType => r => r.getByte(0).toDouble
+        case ShortType => r => r.getShort(0).toDouble
+        case IntegerType | DateType => r => r.getInt(0).toDouble
+        case LongType | TimestampType | TimestampNTZType =>
+          r => r.getLong(0).toDouble
+        case FloatType => r => r.getFloat(0).toDouble
+        case DoubleType => r => r.getDouble(0)
+        case d: DecimalType => r => r.getDecimal(0, d.precision, d.scale).toDouble
+        case other =>
+          if (near) throw new IllegalArgumentException(
+            s"asof nearest: unsupported time type $other")
+          else _ => 0.0
+      }
+    }
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
@@ -136,6 +181,7 @@ case class AsofJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
 
       var lastMatch: UnsafeRow = null    // backward: best-so-far
       var lastMatchKey: UnsafeRow = null
+      var lastMatchTime: UnsafeRow = null
 
       lIt.map { lrow =>
         val lkey = lKeyProj(lrow)
@@ -147,7 +193,30 @@ case class AsofJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
             while (rHead != null && keyOrd.compare(rHeadKey, lkey) < 0) {
               advanceRight()
             }
-            if (fwd) {
+            if (near) {
+              // consume rights with rt <= lt (exact always counts for
+              // nearest): lastMatch = backward candidate; after the loop
+              // rHead (same key) = first rt > lt = forward candidate
+              while (rHead != null && keyOrd.compare(rHeadKey, lkey) == 0 &&
+                     timeOrd.compare(rHeadTime, ltime) <= 0) {
+                lastMatch = rHead; lastMatchKey = rHeadKey
+                lastMatchTime = rHeadTime
+                advanceRight()
+              }
+              val b = if (lastMatch != null &&
+                keyOrd.compare(lastMatchKey, lkey) == 0) lastMatch else null
+              val f = if (rHead != null &&
+                keyOrd.compare(rHeadKey, lkey) == 0) rHead else null
+              if (b == null && f == null) nullRight
+              else if (f == null) b
+              else if (b == null) f
+              else {
+                // backward wins distance ties (composed asofNearest rule)
+                val lt = timeAsDouble(ltime)
+                if (math.abs(lt - timeAsDouble(lastMatchTime)) <=
+                    math.abs(timeAsDouble(rHeadTime) - lt)) b else f
+              }
+            } else if (fwd) {
               // first right in this key with rt > lt (or ≥ when exact)
               while (rHead != null && keyOrd.compare(rHeadKey, lkey) == 0 &&
                      (if (exact) timeOrd.compare(rHeadTime, ltime) < 0
@@ -162,6 +231,7 @@ case class AsofJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                      (if (exact) timeOrd.compare(rHeadTime, ltime) <= 0
                       else timeOrd.compare(rHeadTime, ltime) < 0)) {
                 lastMatch = rHead; lastMatchKey = rHeadKey
+                lastMatchTime = rHeadTime
                 advanceRight()
               }
               if (lastMatch != null &&
@@ -186,7 +256,8 @@ object AsofMerge {
                     leftTime: String, rightTime: String,
                     by: Seq[(String, String)],
                     forward: Boolean = false,
-                    allowExactMatch: Boolean = true): DataFrame = {
+                    allowExactMatch: Boolean = true,
+                    nearest: Boolean = false): DataFrame = {
     require(by.nonEmpty, "asofJoinMerge is the KEYED path; " +
       "use Joins.asofJoin for the keyless bucketed plan")
     val spark: SparkSession = left.sparkSession
@@ -209,15 +280,28 @@ object AsofMerge {
       sys.error(s"no column $leftTime"))
     val rt0 = rPlan0.output.find(_.name == rTimeName).getOrElse(
       sys.error(s"no column $rTimeName"))
-    require(lt.dataType == rt0.dataType,
-      s"asof time types must match (${lt.dataType} vs ${rt0.dataType}); " +
-        "cast before joining")
+    // mixed time types (timestamp vs timestamp_ntz, int vs long, date vs
+    // timestamp) compare through Spark's own union-widening rule, exactly
+    // like the composed plan's unionByName coercion — the Cast wraps only
+    // the COMPARATOR expressions; output columns keep their source types
+    val (ltE: Expression, rtE: Expression) =
+      if (lt.dataType == rt0.dataType) (lt, rt0)
+      else {
+        val common = GraftSqlInternal.widerTypeForTwo(lt.dataType, rt0.dataType)
+          .getOrElse(throw new IllegalArgumentException(
+            s"asof time types incompatible (${lt.dataType} vs " +
+              s"${rt0.dataType}); cast before joining"))
+        val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+        (org.apache.spark.sql.catalyst.expressions.Cast(lt, common, tz),
+          org.apache.spark.sql.catalyst.expressions.Cast(rt0, common, tz))
+      }
     val lk = by.map(b => lPlan.output.find(_.name == b._1).getOrElse(
       sys.error(s"no left key ${b._1}")))
     val rk = by.map(b => rPlan0.output.find(_.name == b._2).getOrElse(
       sys.error(s"no right key ${b._2}")))
     val joined = GraftSqlInternal.ofRows(spark,
-      AsofJoin(lPlan, rPlan0, lk, rk, lt, rt0, forward, allowExactMatch))
+      AsofJoin(lPlan, rPlan0, lk, rk, ltE, rtE, forward, allowExactMatch,
+        nearest))
     // drop the right by-keys POSITIONALLY (a name-based drop would also
     // take the left key of the same name): unique temp names, select,
     // restore

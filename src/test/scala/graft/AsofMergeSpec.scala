@@ -41,7 +41,7 @@ class AsofMergeSpec extends SparkSuite {
       "merge path must not union the sides")
   }
 
-  test("matches the composed asofJoin on tie-heavy fuzz (all 4 modes × partitions)") {
+  test("matches the composed asofJoin on tie-heavy fuzz (back/fwd/nearest × exact × partitions)") {
     val rnd = new scala.util.Random(4242)
     (1 to 4).foreach { _ =>
       val l = List.fill(60 + rnd.nextInt(60))(
@@ -51,28 +51,83 @@ class AsofMergeSpec extends SparkSuite {
         (rnd.nextInt(4).toLong, rnd.nextInt(15).toLong))
         .distinct // unique (k, rt) so the expected match value is unique
         .map { case (k, t) => (k, t, s"p$k-$t") }
-      for (parts <- Seq(1, 5, 32); fwd <- Seq(false, true);
-           exact <- Seq(true, false)) {
+      for (parts <- Seq(1, 5, 32); mode <- Seq("back", "fwd", "near");
+           exact <- Seq(true, false) if !(mode == "near" && !exact)) {
         val lDf = l.toDF("k", "t", "lid").repartition(parts)
         val rDf = r.toDF("k", "rt", "rv").repartition(parts)
-        val dir: Joins.AsofDirection =
-          if (fwd) Joins.Forward else Joins.Backward
+        val dir: Joins.AsofDirection = mode match {
+          case "back" => Joins.Backward
+          case "fwd" => Joins.Forward
+          case "near" => Joins.Nearest
+        }
         val got = AsofMerge.asofJoinMerge(lDf, rDf, "t", "rt",
-            Seq("k" -> "k"), forward = fwd, allowExactMatch = exact)
+            Seq("k" -> "k"), forward = mode == "fwd",
+            allowExactMatch = exact, nearest = mode == "near")
           .select(col("lid"), col("rv"))
           .as[(Long, String)].collect().toMap
-        val want = Joins.asofJoin(lDf, rDf, "t", "rt",
+        val want = Joins.asofJoinComposed(lDf, rDf, "t", "rt",
             by = Seq("k" -> "k"), direction = dir, allowExactMatch = exact)
           .select(col("lid"), col("rv"))
           .as[(Long, String)].collect().toMap
         assert(got.size == l.size && want.size == l.size)
         want.foreach { case (lid, rv) =>
           assert(got.getOrElse(lid, null) == rv,
-            s"parts=$parts fwd=$fwd exact=$exact lid=$lid: " +
+            s"parts=$parts mode=$mode exact=$exact lid=$lid: " +
               s"got=${got.getOrElse(lid, null)} want=$rv")
         }
       }
     }
+  }
+
+  test("the API asofJoin routes keyed joins through the merge exec") {
+    val l = Seq((1L, 10L, "a")).toDF("k", "t", "lv")
+    val r = Seq((1L, 5L, "x")).toDF("k", "rt", "rv")
+    val out = Joins.asofJoin(l, r, "t", "rt", by = Seq("k" -> "k"))
+    assert(collectPlan(out).exists(_.isInstanceOf[AsofJoinExec]),
+      "keyed asofJoin must plan the Catalyst merge exec")
+  }
+
+  test("duplicate (key, time) right rows resolve deterministically across partitionings") {
+    // dup groups at rt=5 and rt=12: the exec's tiebreak ordering makes
+    // backward keep the LAST of a dup group (greatest remaining-column
+    // order) and forward the FIRST (least) — same answer at any
+    // parallelism, where an unordered sweep would depend on shuffle tie
+    // order
+    val l = Seq((1L, 10L, 0L), (1L, 3L, 1L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 5L, "a"), (1L, 5L, "c"), (1L, 5L, "b"),
+      (1L, 12L, "x"), (1L, 12L, "z"), (1L, 12L, "y")).toDF("k", "rt", "rv")
+    for (parts <- Seq(1, 3, 32)) {
+      val lDf = l.repartition(parts)
+      val rDf = r.repartition(parts)
+      val back = AsofMerge.asofJoinMerge(lDf, rDf, "t", "rt",
+          Seq("k" -> "k"))
+        .select(col("lid"), col("rv")).as[(Long, String)].collect().toMap
+      assert(back(0L) == "c", s"parts=$parts backward dup winner: ${back(0L)}")
+      val fwd = AsofMerge.asofJoinMerge(lDf, rDf, "t", "rt",
+          Seq("k" -> "k"), forward = true)
+        .select(col("lid"), col("rv")).as[(Long, String)].collect().toMap
+      assert(fwd(1L) == "a", s"parts=$parts forward dup winner: ${fwd(1L)}")
+    }
+  }
+
+  test("mixed time types (timestamp vs timestamp_ntz) coerce like the composed plan") {
+    // q250's shape: left carries timestamp, right timestamp_ntz — the
+    // merge path must compare through the union-widening cast, not refuse
+    val l = Seq((1L, "2024-01-01 10:00:00", 0L), (1L, "2024-01-01 12:00:00", 1L))
+      .toDF("k", "ts", "lid")
+      .select(col("k"), col("ts").cast("timestamp").as("t"), col("lid"))
+    val r = Seq((1L, "2024-01-01 09:00:00", "a"), (1L, "2024-01-01 11:00:00", "b"))
+      .toDF("k", "ts", "rv")
+      .select(col("k"), col("ts").cast("timestamp_ntz").as("rt"), col("rv"))
+    val got = Joins.asofJoin(l, r, "t", "rt", by = Seq("k" -> "k"))
+    assert(collectPlan(got).exists(_.isInstanceOf[AsofJoinExec]),
+      "mixed time types must still take the merge exec")
+    val gotM = got.select(col("lid"), col("rv")).as[(Long, String)].collect().toMap
+    val want = Joins.asofJoinComposed(l, r, "t", "rt", by = Seq("k" -> "k"))
+      .select(col("lid"), col("rv")).as[(Long, String)].collect().toMap
+    assert(gotM == want && want == Map(0L -> "a", 1L -> "b"))
+    // right time column keeps its source type in the output
+    assert(got.schema("rt").dataType.typeName == "timestamp_ntz")
   }
 
   test("null keys / null times: right never matches, left surfaces with null payload") {
