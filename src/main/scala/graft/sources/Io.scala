@@ -32,7 +32,15 @@ object Io {
       schema: Option[StructType] = None,
       comment: Option[Char] = None,
       /** `:n-initial-skip-rows`: physical lines dropped before the header. */
-      skipRows: Int = 0)
+      skipRows: Int = 0,
+      /** Promotional reads: decompress unsplittable (.gz) inputs to a
+        * splittable staged copy first ([[Io.stageSplittableCopy]]) so both
+        * the probe pass and the returned frame parse at full parallelism
+        * instead of one core per .gz part. */
+      stageCompressed: Boolean = true,
+      /** Where the staged copy lands; None = driver-local temp (local
+        * mode). On a cluster, point at shared storage. */
+      stageDir: Option[String] = None)
 
   def readCsv(spark: SparkSession, path: String,
               opts: ReadOptions = ReadOptions()): DataFrame = {
@@ -64,6 +72,86 @@ object Io {
     import spark.implicits._
     spark.read.textFile(path).rdd.zipWithIndex()
       .filter(_._2 >= skip).map(_._1).toDS()
+  }
+
+  /** Stage unsplittably-compressed text inputs as uncompressed copies so
+    * the scan parallelizes. A `.gz` (or `.deflate`) part file caps Hadoop
+    * at ONE core for the whole file — a 4-part gzipped corpus uses 4 of 32
+    * cores for every parse pass, twice (probe + returned frame). Plain
+    * text is line-splittable: after staging, Spark's file index carves the
+    * uncompressed bytes into `totalBytes / defaultParallelism` splits and
+    * every core parses.
+    *
+    * Shape: one Spark task per input file (the decompress itself is
+    * sequential per file — that's inherent to gzip), a raw stream copy
+    * (no line decoding), output beside-named in `stageDir`. `.bz2` inputs
+    * are NOT staged (Hadoop's BZip2Codec is block-splittable already);
+    * uncompressed inputs return None (read in place).
+    *
+    * Returns the staged directory, or None when staging doesn't apply.
+    * Cleanup: a default (temp-dir) stage registers a JVM shutdown hook;
+    * pass `stageDir` to manage lifetime yourself. CLUSTER NOTE: the
+    * default stages to the driver-local java.io.tmpdir which is only
+    * correct in local mode; on a real cluster pass `stageDir` on shared
+    * storage (e.g. an HDFS/object-store temp prefix) — each task writes
+    * its file through the Hadoop FileSystem for exactly this reason. */
+  private[graft] def stageSplittableCopy(
+      spark: SparkSession, path: String,
+      stageDir: Option[String] = None): Option[String] = {
+    import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+    import org.apache.hadoop.io.compress.{CompressionCodecFactory, SplittableCompressionCodec}
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new HPath(path)
+    val fs = p.getFileSystem(hconf)
+    val statuses: Array[FileStatus] =
+      if (path.exists(c => c == '*' || c == '?' || c == '['))
+        Option(fs.globStatus(p)).getOrElse(Array.empty)
+      else if (fs.exists(p) && fs.getFileStatus(p).isDirectory) fs.listStatus(p)
+      else if (fs.exists(p)) Array(fs.getFileStatus(p))
+      else Array.empty
+    val files = statuses.filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    if (files.isEmpty) return None
+    val factory = new CompressionCodecFactory(hconf)
+    val allUnsplittable = files.forall { f =>
+      val c = factory.getCodec(f)
+      c != null && !c.isInstanceOf[SplittableCompressionCodec]
+    }
+    if (!allUnsplittable) return None
+    val dir = stageDir.getOrElse {
+      val d = java.nio.file.Files.createTempDirectory("graft_stage")
+      val dirFile = d.toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(dirFile)
+      }))
+      "file:" + d.toString
+    }
+    val names = files.map(_.toString).toSeq
+    spark.sparkContext.parallelize(names, names.length).foreach { f =>
+      // Configuration is not serializable; executor-side default config
+      // picks up core-site.xml from the classpath (correct on clusters too)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val fac = new CompressionCodecFactory(conf)
+      val src = new HPath(f)
+      val sfs = src.getFileSystem(conf)
+      val codec = fac.getCodec(src)
+      val base = CompressionCodecFactory.removeSuffix(
+        src.getName, codec.getDefaultExtension)
+      val out = new HPath(dir, base)
+      val ofs = out.getFileSystem(conf)
+      val in = codec.createInputStream(sfs.open(src))
+      val os = ofs.create(out, true)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) os.write(buf, 0, n); n = in.read(buf) }
+      } finally { in.close(); os.close() }
+    }
+    Some(dir)
   }
 
   /** Quote-aware CSV field count: separators inside a double-quoted field
@@ -263,6 +351,18 @@ object Io {
     * reference's order; unparseable → null (relaxed semantics). Pure
     * codegen `try_to_date` chain — no UDF. */
   def parseLocalDateFlex(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlInternal.column(
+      graft.functions.CsvProbe.FlexLocalDate(
+        org.apache.spark.sql.GraftSqlInternal.expression(c)))
+
+  /** The original composed form of [[parseLocalDateFlex]] — 1 regex
+    * rewrite + 7 gated try_to_date patterns. Superseded in every code
+    * path by the fused [[graft.functions.CsvProbe.FlexLocalDate]] kernel
+    * (~8× cheaper per value, measured on the promotional probe); kept as
+    * the independent semantic spec the kernel is fuzz-pinned against
+    * (IoSpec date-kernel equivalence). */
+  private[graft] def parseLocalDateFlexLadder(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val prep = regexp_replace(c, "[/,\\-. ]+", " ")
@@ -320,24 +420,29 @@ object Io {
     // table probed at 22 k rows/s; the staged form keeps each expression
     // small and codegen'd, and the date ladder's regexp_replace runs once
     // per value instead of once per pattern.
-    val probed = spread.select(cols.flatMap { c0 =>
-      val c = qcol(c0) // exact-name: dots must not parse as struct paths
-      // EVERY failing try_cast throws-and-catches inside Spark (ANSI
-      // parse paths) — on a table of mostly-non-numeric strings that is
-      // millions of exceptions per probe column. Same cure as the date
-      // ladder: a superset shape regex (~100 ns) in front of each parse,
-      // so only values that will (almost always) parse reach the parser.
-      val t = trim(c)
-      val longV = when(t.rlike("^[+-]?\\d{1,19}$"), c.try_cast("long"))
-      val dblV = when(
-        t.rlike("^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?[dDfF]?$" +
-          "|^[+-]?(Infinity|NaN)$"),
-        c.try_cast("double"))
-      // timestamps: digits+separator structure or a bare 4-digit year —
-      // keeps bare ints out of the exception path
-      val tsV = when(
-        t.rlike("^[+-]?\\d{1,6}[-T:. ].+$|^[+-]?\\d{4}$"),
-        c.try_cast("timestamp"))
+    // All gate verdicts come from ONE fused byte-scan kernel per value
+    // ([[graft.functions.CsvProbe]] — bit-identical to the rlike gates it
+    // replaced, which probed this same table at ~1/8 the throughput). The
+    // mask binds as its own named column in a first projection so the
+    // kernel runs ONCE per value (sibling aliases can't be referenced
+    // within one select, and relying on codegen CSE across five uses is
+    // fragile); the probe parses in the second projection then only fire
+    // where their gate bit is set — EVERY failing try_cast/try_to_date
+    // throws-and-caught inside Spark (ANSI parse paths), so the gates are
+    // what keep the probe off the exception path.
+    graft.functions.CsvProbe.register(df.sparkSession)
+    import graft.functions.CsvProbe.{LONG, DOUBLE, TS, DATE, BOOL}
+    val masked = spread.select(cols.flatMap { c0 =>
+      Seq(qcol(c0).as(s"${c0}__v"),
+        call_function("graft_csv_shape", qcol(c0)).as(s"${c0}__m"))
+    }: _*)
+    val probed = masked.select(cols.flatMap { c0 =>
+      val c = col("`" + s"${c0}__v".replace("`", "``") + "`")
+      val m = col("`" + s"${c0}__m".replace("`", "``") + "`")
+      def bit(b: Int) = m.bitwiseAND(lit(b)) =!= 0
+      val longV = when(bit(LONG), c.try_cast("long"))
+      val dblV = when(bit(DOUBLE), c.try_cast("double"))
+      val tsV = when(bit(TS), c.try_cast("timestamp"))
       Seq(
         c.as(s"${c0}__v"),
         longV.as(s"${c0}__long"),
@@ -346,10 +451,13 @@ object Io {
         // the reference tries :packed-local-date before :string — the
         // flexible multi-pattern date parse (io/datetime.clj) covers
         // "Jan 1 2000"-style columns. The 7-pattern ladder is the
-        // priciest probe, so it only runs where the double cast failed —
+        // priciest probe, so it only runs where the double cast failed
+        // AND the token-shape gate passes (the gate accepts a superset
+        // of every ladder pattern, so the parse count is unchanged) —
         // all-numeric columns take the numeric branch before the date
-        // decision anyway, so the gate cannot change any classification
-        when(dblV.isNull, parseLocalDateFlex(c)).as(s"${c0}__date"),
+        // decision anyway, so the gates cannot change any classification
+        when(dblV.isNull && bit(DATE), parseLocalDateFlex(c))
+          .as(s"${c0}__date"),
         // midnight flag disambiguates "yyyy-MM-dd HH:mm" columns
         // (date-castable by prefix) from genuine date columns
         (tsV === date_trunc("day", tsV)).as(s"${c0}__midf"),
@@ -358,7 +466,7 @@ object Io {
         // default-parser-datatype-sequence:310); the relaxed t/y/yes
         // :boolean table applies only when a caller asks for :boolean,
         // which keeps Y/N flag columns (ames CentralAir) as strings
-        c.isin("true", "false").as(s"${c0}__boolf"))
+        bit(BOOL).as(s"${c0}__boolf"))
     }: _*)
     val aggs = cols.flatMap { c0 =>
       Seq(
@@ -372,7 +480,25 @@ object Io {
         max(col(s"`${c0}__long`")).as(s"${c0}__max"),
         count(when(col(s"`${c0}__boolf`"), 1)).as(s"${c0}__nbool"))
     }
-    val r = probed.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // 9 aggregates × k columns exceeds spark.sql.codegen.maxFields (100)
+    // on tables wider than ~11 columns, silently dropping the whole probe
+    // out of whole-stage codegen (measured ~4 s of the 12-col baseline
+    // table's probe). Raise it for THIS job only and restore after —
+    // each aggregate expression is small, so the generated code splits
+    // cleanly into helper methods well under Janino's limits.
+    val sess = probed.sparkSession
+    val maxFieldsKey = "spark.sql.codegen.maxFields"
+    val prevMaxFields = sess.conf.getOption(maxFieldsKey)
+    val r =
+      try {
+        sess.conf.set(maxFieldsKey, math.max(200, aggs.size * 2))
+        probed.agg(aggs.head, aggs.tail: _*).collect()(0)
+      } finally {
+        prevMaxFields match {
+          case Some(v) => sess.conf.set(maxFieldsKey, v)
+          case None => sess.conf.unset(maxFieldsKey)
+        }
+      }
     cols.foldLeft(base) { (d, c0) =>
       def g(s: String): Long = {
         val v = r.get(r.fieldIndex(s"${c0}__$s")); if (v == null) 0L else v.asInstanceOf[Long]
@@ -407,11 +533,18 @@ object Io {
     * narrows each to the tightest type. */
   def readCsvPromotional(spark: SparkSession, path: String,
                          opts: ReadOptions = ReadOptions()): DataFrame = {
+    // gzip parts cap the scan at one core per file, and the promotional
+    // path scans TWICE (probe + returned frame) — stage a splittable
+    // uncompressed copy once, then both passes parse at full parallelism
+    val effPath =
+      if (opts.stageCompressed)
+        stageSplittableCopy(spark, path, opts.stageDir).getOrElse(path)
+      else path
     var r = spark.read
       .option("header", opts.headerRow)
       .option("sep", opts.separator)
     opts.comment.foreach(c => r = r.option("comment", c.toString))
-    var df = r.csv(path)
+    var df = r.csv(effPath)
     if (opts.columnAllowlist.nonEmpty)
       df = df.select(opts.columnAllowlist.map(qcol): _*)
     if (opts.columnBlocklist.nonEmpty) df = df.drop(opts.columnBlocklist: _*)

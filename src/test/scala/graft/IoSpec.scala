@@ -45,6 +45,39 @@ class IoSpec extends SparkSuite {
     assert(df.filter(col("bool")).count() == 2)
   }
 
+  test("fused date kernel ≡ the regex/try_to_date ladder (edge cases + fuzz)") {
+    // the kernel (CsvProbe.FlexLocalDate) replaced the 7-pattern ladder in
+    // every code path; the ladder stays as the independent semantic spec
+    val edge = Seq(
+      "2020-01-03", "2020/1/3", "20200103", "Jan 1 2000", "JAN 1 2000",
+      "jan 1 2000", "1 Jan 2000", "01 02 2000", "1 2 34", "5 3 2",
+      "123 4 5", "Feb 30 2020", "Feb 29 2020", "Feb 29 1900", "0000 1 1",
+      "00 1 1", "31 12 1999", "12 31 1999", "1999 12 31", " 2020-01-03",
+      "2020-01-03 ", "2020 - 01 - 03", "0001 1 1", "9999 12 31",
+      "Sep 5 21", "Sept 5 2021", "May 05 0005", "13 13 13", "12 12 12",
+      "1.2.2003", "1,2,2003", "2020.01.03", "99 1 1", "031 4 5",
+      "2-3-4", "0004 02 29", "1 13 2000", "0 1 2000", "2000 0 1",
+      "2000 1 0", "2000 13 1", "", "-", "a b c", "Jan Feb Mar",
+      "00000000", "99991231", "00010101", "20200230", "2020--01--03",
+      "2e3 1 1", "+2020 1 1", "2020 +1 1", "x", "May 5", "May 5 5 5")
+    val rnd = new scala.util.Random(77)
+    val toks = Seq("1", "12", "123", "1234", "0", "05", "31", "30", "29",
+      "2020", "1900", "2000", "99", "Jan", "Dec", "May", "xyz", "JAN",
+      "dec", "20200103", "abc")
+    val seps = Seq(" ", "-", "/", ".", ",", " - ", "")
+    val fuzz = (1 to 4000).map { _ =>
+      val k = 1 + rnd.nextInt(3)
+      (1 to k).map(_ => toks(rnd.nextInt(toks.size)))
+        .mkString(seps(rnd.nextInt(seps.size)))
+    }
+    val df = (edge ++ fuzz).toDF("s")
+      .withColumn("kernel", Io.parseLocalDateFlex(col("s")))
+      .withColumn("ladder", Io.parseLocalDateFlexLadder(col("s")))
+    val bad = df.filter(!(col("kernel") <=> col("ladder"))).collect()
+    assert(bad.isEmpty, bad.take(10).map(r =>
+      s"[${r.get(0)}] kernel=${r.get(1)} ladder=${r.get(2)}").mkString("; "))
+  }
+
   test("salted join equals plain join on skewed keys") {
     val left = (Seq.fill(500)(1) ++ Seq(2, 3)).toDF("k")
     val right = Seq((1, "hot"), (2, "b"), (3, "c")).toDF("k", "v")
