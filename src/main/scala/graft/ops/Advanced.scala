@@ -1032,17 +1032,35 @@ object Advanced {
     * Plan: items are DISTINCT per basket first (dup lines collapse), the
     * pair frame is a basket-keyed self-join (a < b), then keyed counts.
     * The pair frame is bounded by Σ_b k_b² over per-basket item counts —
-    * baskets are small by nature (an order has a handful of brands); a
-    * degenerate giant basket should be capped upstream. */
+    * baskets are small by nature (an order has a handful of brands), but
+    * a degenerate giant basket (a reseller account, a crawler cart) makes
+    * one basket contribute k² pairs on its own: pass `maxBasketSize` to
+    * EXCLUDE such baskets up front (one keyed count + semi-join; the
+    * dropped-basket count is logged). Capped baskets leave the support
+    * denominator too, keeping confidences consistent. */
   def assocRules(df: org.apache.spark.sql.DataFrame, basketCol: String,
-                 itemCol: String, minSupportPct: Int)
+                 itemCol: String, minSupportPct: Int,
+                 maxBasketSize: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     require(minSupportPct >= 1 && minSupportPct <= 100)
-    val bi = df
+    require(maxBasketSize.forall(_ >= 2), "maxBasketSize must be >= 2")
+    val bi0 = df
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__b"), col(itemCol).cast("string").as("__i"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bi = (maxBasketSize match {
+      case None => bi0
+      case Some(cap) =>
+        val sizes = bi0.groupBy(col("__b")).agg(count(lit(1)).as("__k"))
+        val dropped = sizes.filter(col("__k") > cap)
+        val nDropped = dropped.count() // O(1) readout; frame is keyed counts
+        if (nDropped > 0)
+          System.err.println(
+            s"[graft] assocRules: excluded $nDropped basket(s) larger than " +
+              s"$cap items (wedge-bound cap)")
+        bi0.join(sizes.filter(col("__k") <= cap).select(col("__b")),
+          Seq("__b"), "left_semi")
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBaskets = bi.select(col("__b")).distinct().count()
     val itemCnt = bi.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
     val pairs = bi.select(col("__b"), col("__i").as("item_a"))

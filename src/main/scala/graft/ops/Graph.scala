@@ -20,28 +20,63 @@ object Graph {
 
   val Scale = 1000000000000L // 10^12 fixed-point scale
 
+  /** Wedge-bound hub cap shared by [[triangleCount]] / [[jaccardLinks]]:
+    * drop every node whose (undirected, deduped) degree exceeds
+    * `maxDegree`, and all its edges (both endpoints must survive — two
+    * semi-joins on a keyed degree count). The dropped-hub count is an
+    * O(1) readout off the degree frame, logged so a cap is never silent.
+    * None = no cap (the Σdeg² bound is then the caller's to own). */
+  private def capHubs(und: DataFrame, maxDegree: Option[Long],
+                      op: String): DataFrame = maxDegree match {
+    case None => und
+    case Some(cap) =>
+      require(cap >= 1, s"$op: maxDegree must be >= 1")
+      val deg = und.select(col("a").as("id"))
+        .unionByName(und.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("__d"))
+      val nHubs = deg.filter(col("__d") > cap).count()
+      if (nHubs > 0)
+        System.err.println(s"[graft] $op: excluded $nHubs hub node(s) with " +
+          s"degree > $cap (wedge-bound cap)")
+      val keep = deg.filter(col("__d") <= cap).select(col("id"))
+      und
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+  }
+
   /** PageRank with damping d = damp/100 (integer percent) for `iters`
     * rounds over a directed edge list (srcCol, dstCol) — duplicate edges
-    * are collapsed first. Node set = every edge endpoint; nodes with no
-    * out-edges would leak rank (classic dangling-node term), so callers
-    * wanting the undirected flavor pass both directions (see
-    * [[tradingPairsGraph]]).
+    * are collapsed first. Node set = every edge endpoint.
     *
     * Per iteration: share = r div outdeg per out-edge (truncating), then
-    * r' = base + (damp·Σ_in share) div 100 with
-    * base = (100−damp)·(Scale div N) div 100. All BIGINT; Σ share ≤ Scale
-    * total so damp·Σ never overflows.
+    * r' = base + (damp·(Σ_in share + D div N)) div 100 with
+    * base = (100−damp)·(Scale div N) div 100 and D = Σ rank over DANGLING
+    * nodes (no out-edges) — the standard redistribution term, so rank
+    * mass no longer drains on graphs with sinks (both-directions graphs
+    * like [[tradingPairsGraph]] have D = 0 identically and are
+    * bit-unchanged). All BIGINT; Σ share + D ≤ Scale total so damp·Σ
+    * never overflows. Nodes with no in-edges keep contributing (the rank
+    * frame is rebuilt over the FULL node universe each round, not just
+    * the aggregation's dst keys).
     *
     * Plan at scale: the degree-annotated edge list is hash-partitioned on
     * src and persisted ONCE; each iteration is one shuffle join
-    * (ranks ⋈ edges on src — co-partitioned after the first round) + one
-    * keyed aggregation on dst. Rank frames are O(N) rows of two BIGINTs.
-    * Iterations build one linear lazy DAG (each rank frame is consumed
-    * exactly once), so the whole run is a single multi-stage job. */
+    * (ranks ⋈ edges on src — co-partitioned after the first round), one
+    * keyed aggregation on dst, one co-partitioned join back to the node
+    * universe, and a 1-ROW broadcast dangling-mass frame (never a driver
+    * action — the whole run stays lazy between checkpoints). Rank frames
+    * are O(N) rows. ITERATIVE-LINEAGE HYGIENE (the lesson [[kCore]]
+    * measured: plan analysis doubles per round once a frame is consumed
+    * twice — 60 s/OOM at 6 rounds on a 5-edge toy): each round consumes
+    * `ranks` twice (contrib + dangling mass), so every `checkpointEvery`
+    * rounds the rank frame is eagerly localCheckpointed, truncating the
+    * lazy plan to the materialized partitions and keeping deep runs
+    * (iters ≈ 30+) linear-time in iters. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 5, damp: Int = 85,
-               dedupEdges: Boolean = true): DataFrame = {
-    require(iters >= 1 && damp >= 0 && damp <= 100)
+               dedupEdges: Boolean = true,
+               checkpointEvery: Int = 5): DataFrame = {
+    require(iters >= 1 && damp >= 0 && damp <= 100 && checkpointEvery >= 1)
     // dedupEdges=false skips a full edge shuffle when the caller's edge
     // list is already distinct (e.g. tradingPairsGraph); duplicate edges
     // would otherwise act as weighted (parallel) edges.
@@ -53,22 +88,37 @@ object Graph {
     val edged = e.join(deg, "src")
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // node universe: every endpoint, annotated dangling when no out-edge
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .join(deg.select(col("src").as("id"), lit(false).as("__dang")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__dang"), lit(true)).as("__dang"))
+      .repartition(col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // N: one O(1) driver readout (the fit-side pattern) — needed to place
     // the integer literals r0/base into the plan
-    val n = edged.select(col("src")).distinct().count()
+    val n = nodes.count()
     val r0 = Scale / n
     val base = (100 - damp) * (Scale / n) / 100
-    var ranks = edged.select(col("src").as("id")).distinct()
-      .select(col("id"), lit(r0).as("r"))
-    for (_ <- 1 to iters) {
-      ranks = edged.join(ranks, edged("src") === ranks("id"))
+    var ranks = nodes.select(col("id"), col("__dang"), lit(r0).as("r"))
+    for (i <- 1 to iters) {
+      val dang = ranks.filter(col("__dang"))
+        .agg(coalesce(sum(col("r")), lit(0L)).as("__dmass"))
+      val contrib = edged.join(ranks, edged("src") === ranks("id"))
         .select(col("dst"), expr("r div outdeg").as("share"))
         .groupBy(col("dst"))
         .agg(sum(col("share")).as("s"))
-        .select(col("dst").as("id"),
-          (lit(base) + expr(s"(${damp}L * s) div 100")).as("r"))
+      ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(nodes("id"), nodes("__dang"),
+          (lit(base) + expr(
+            s"(${damp}L * (coalesce(s, 0L) + __dmass div ${n}L)) div 100"))
+            .as("r"))
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
     }
-    ranks
+    ranks.select(col("id"), col("r"))
   }
 
   /** Per-node triangle counts over an undirected graph given as a
@@ -80,19 +130,21 @@ object Graph {
     * Plan: two hash-joins over the canonical edge frame — wedges
     * (x,y)⋈(y,z) on the middle node, closed by (x,z) — then one
     * explode + keyed count. Pure integer counting, order-invariant.
-    * Scale note: the wedge frame is Σ_v deg(v)²-sized; for power-law
-    * graphs cap or pre-filter hub degrees (the standard
-    * highest-degree-last orientation halves the constant but the bound
-    * is inherent). Edges live in ONE persisted frame consumed three
-    * times. */
-  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String)
-      : DataFrame = {
-    val und = edges.select(
+    * Scale note: the wedge frame is Σ_v deg(v)²-sized; on power-law
+    * graphs pass `maxDegree` to EXCLUDE hub nodes (and their edges) up
+    * front — one keyed degree count + two semi-joins, dropped-hub count
+    * logged — bounding the wedge frame to |E|·maxDegree. (The standard
+    * highest-degree-last orientation halves the constant but the Σdeg²
+    * bound is inherent without a cap.) Edges live in ONE persisted frame
+    * consumed three times. */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String,
+                    maxDegree: Option[Long] = None): DataFrame = {
+    val und = capHubs(edges.select(
         least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
         greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull &&
         col("a") =!= col("b"))
-      .distinct()
+      .distinct(), maxDegree, "triangleCount")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wedges = und.select(col("a").as("x"), col("b").as("y"))
       .join(und.select(col("a").as("y"), col("b").as("z")), "y")
@@ -158,16 +210,19 @@ object Graph {
     * Plan: symmetric neighbor frame (2|E| rows) self-joined on the
     * shared neighbor → candidate pairs, one keyed count, degree joins,
     * and a left-anti join against the edge set to drop existing links.
-    * Same Σdeg² wedge bound as [[triangleCount]] — cap hub degrees
-    * upstream for power-law graphs. */
+    * Same Σdeg² wedge bound as [[triangleCount]] — pass `maxDegree` to
+    * exclude hub nodes up front on power-law graphs (dropped-hub count
+    * logged); scores are then computed over the capped graph's degrees,
+    * consistently. */
   def jaccardLinks(edges: DataFrame, srcCol: String, dstCol: String,
-                   minCommon: Long = 1L): DataFrame = {
-    val und = edges.select(
+                   minCommon: Long = 1L,
+                   maxDegree: Option[Long] = None): DataFrame = {
+    val und = capHubs(edges.select(
         least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
         greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull &&
         col("a") =!= col("b"))
-      .distinct()
+      .distinct(), maxDegree, "jaccardLinks")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nbrs = und.select(col("a").as("id"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("id"), col("a").as("nbr")))

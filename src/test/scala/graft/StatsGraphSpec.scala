@@ -1144,6 +1144,81 @@ class StatsGraphSpec extends SparkSuite {
     assert(rf.isNullAt(rf.fieldIndex("alpha")))
   }
 
+  test("pageRank: dangling-node mass redistributes (sum conserved), hand case") {
+    // 1 → 2 only: node 2 is a sink. Without the redistribution term,
+    // 42.5% of total rank drains PER ITERATION; with it the total stays
+    // within integer-truncation error of Scale.
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val S = Graph.Scale
+    val r = Graph.pageRank(edges, "src", "dst", iters = 1, damp = 85)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("r")).toMap
+    // hand: N=2, r0=S/2, D=S/2, base=15*(S/2)/100
+    val base = 15L * (S / 2) / 100
+    assert(r(1L) == base + 85L * (S / 2 / 2) / 100)
+    assert(r(2L) == base + 85L * (S / 2 + S / 2 / 2) / 100)
+    val deep = Graph.pageRank(edges, "src", "dst", iters = 8, damp = 85)
+      .agg(sum(col("r"))).collect()(0).getLong(0)
+    assert(math.abs(deep - S) < S / 1000, s"mass drained: $deep vs $S")
+  }
+
+  test("pageRank: iters=30 on a 50k-node graph is bounded (lineage checkpoints)") {
+    // each round consumes the rank frame twice (contrib + dangling mass);
+    // without checkpointEvery the lazy plan doubles per round — kCore
+    // measured 60 s/OOM at depth 6 on a 5-edge toy. 30 rounds must stay
+    // linear-time.
+    val n = 50000L
+    val edges = spark.range(n).select(col("id").as("src"),
+        ((col("id") * 7 + 1) % n).as("dst"))
+    val r = Graph.pageRank(edges, "src", "dst", iters = 30, damp = 85,
+      dedupEdges = false)
+    assert(r.count() == n)
+    val total = r.agg(sum(col("r"))).collect()(0).getLong(0)
+    assert(math.abs(total - Graph.Scale) < Graph.Scale / 100)
+  }
+
+  test("triangleCount/jaccardLinks: maxDegree excludes the hub, keeps the rest") {
+    // a 100-leaf star (hub 0) plus a separate triangle 101-102-103: the
+    // uncapped wedge frame is deg(hub)²≈10k pairs; capped, the hub and
+    // its edges vanish while the triangle still counts
+    val star = (1L to 100L).map(i => (0L, i))
+    val tri = Seq((101L, 102L), (102L, 103L), (101L, 103L))
+    val edges = (star ++ tri).toDF("src", "dst")
+    val capped = Graph.triangleCount(edges, "src", "dst",
+      maxDegree = Some(10L)).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("triangles")).toMap
+    assert(!capped.contains(0L), "hub must be excluded")
+    assert(capped(101L) == 1L && capped(102L) == 1L && capped(103L) == 1L)
+    // jaccard: leaves 1,2 share only the hub; with the hub capped out no
+    // candidate pair survives from the star, but 101/102/103's common
+    // neighbors still score (existing edges are anti-joined away, so the
+    // only scored pairs come via shared neighbors outside the edge set)
+    val unc = Graph.jaccardLinks(edges, "src", "dst").collect()
+    assert(unc.exists(r => r.getAs[Long]("a") == 1L && r.getAs[Long]("b") == 2L))
+    val cap = Graph.jaccardLinks(edges, "src", "dst",
+      maxDegree = Some(10L)).collect()
+    assert(!cap.exists(r => r.getAs[Long]("a") == 1L),
+      "star pairs must vanish once the hub is capped")
+  }
+
+  test("assocRules: maxBasketSize drops the degenerate basket from counts AND denominator") {
+    // 3 small baskets {a,b}, one 50-item reseller basket containing a,b
+    val small = (1 to 3).flatMap(b => Seq((s"b$b", "a"), (s"b$b", "b")))
+    val big = (1 to 50).map(i => ("huge", s"i$i")) ++
+      Seq(("huge", "a"), ("huge", "b"))
+    val df = (small ++ big).toDF("basket", "item")
+    val capped = graft.ops.Advanced.assocRules(df, "basket", "item", 50,
+      maxBasketSize = Some(10)).collect()
+    val ab = capped.find(r => r.getAs[String]("item_a") == "a" &&
+      r.getAs[String]("item_b") == "b").get
+    // denominator = 3 baskets (huge excluded): conf(a→b) = 3/3
+    assert(ab.getAs[Long]("n_pairs") == 3L)
+    assert(ab.getAs[Double]("conf_ab") == 1.0)
+    val unc = graft.ops.Advanced.assocRules(df, "basket", "item", 50).collect()
+    val ab2 = unc.find(r => r.getAs[String]("item_a") == "a" &&
+      r.getAs[String]("item_b") == "b").get
+    assert(ab2.getAs[Long]("n_pairs") == 4L, "uncapped counts all 4")
+  }
+
   test("lorenz: concentration shares are exact integer ratios") {
     val df = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 97.0))
       .toDF("u", "amt")
