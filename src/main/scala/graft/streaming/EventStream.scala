@@ -80,16 +80,41 @@ object EventStream {
     * history. Returns the log path's DataFrame after the stream drains. */
   def changeLogSink(stream: DataFrame, logPath: String): DataFrame = {
     val spark = stream.sparkSession
-    val q = stream.writeStream
-      .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        batch.withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(logPath)
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withRocksDbState(spark) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: Dataset[Row], id: Long) =>
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(logPath)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(logPath)
+  }
+
+  /** Every stateful stream in this engine starts under the RocksDB state
+    * store provider. The default in-memory (HDFSBackedStateStore) provider
+    * keeps EVERY shard's full key-value map on-heap — at 100 TB the state
+    * store (dedup fingerprints, open sessions, join buffers) is the scale
+    * boundary, and executor heap caps total state. RocksDB keeps state on
+    * executor-local disk with a bounded block cache, so state volume
+    * scales with disk, not heap (`StreamingSpec` pins the provider and
+    * runs a wide-state stream under a capped driver to prove it).
+    * Restored after the run: the provider is fixed per CHECKPOINT at
+    * first start anyway; restoring keeps unrelated sessions explicit. */
+  private[graft] val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private def withRocksDbState[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, RocksDbProvider)
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Streaming SLIDING-window counts (2 h windows advancing hourly) with
@@ -319,7 +344,7 @@ object EventStream {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
-    try {
+    try withRocksDbState(spark) {
       val q: StreamingQuery = df.writeStream
         .outputMode(mode)
         .format("memory").queryName(name)

@@ -24,6 +24,38 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("stateful streams run on the RocksDB state store (provider pinned)") {
+    // every stateful stream starts under withRocksDbState; the proof is
+    // in the progress events — RocksDB's state-store custom metrics
+    // (rocksdb*-prefixed) only appear when that provider actually ran.
+    // (State scale under a capped heap: graft.StreamStateCheck.)
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        e.progress.stateOperators.foreach(
+          _.customMetrics.keySet().forEach(k => { seen.add(k); () }))
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      EventStream.runToMemorySink(
+        EventStream.dedupStream(spark, sfDir), "rocks_pin_test",
+        org.apache.spark.sql.streaming.OutputMode.Append()).count()
+      // listener delivery is async — poll briefly
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline &&
+        !seen.iterator().hasNext) Thread.sleep(100)
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.exists(_.startsWith("rocksdb")),
+        s"no rocksdb state metrics in progress; saw: ${seen.asScala.toSet}")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("streaming dedup keeps one row per fingerprint, equals batch distinct") {
     val streamed = EventStream.runToMemorySink(
       EventStream.dedupStream(spark, sfDir), "dedup_test",
