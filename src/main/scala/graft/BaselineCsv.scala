@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.ops.Bounded._
 
 /** Direct re-creation of the reference's headline benchmark
   * (BASELINE.md: 8,588 ms for 2,769,708 rows × 12 cols from a 44 MB
@@ -54,16 +55,16 @@ object BaselineCsv {
     time("native inferSchema read") {
       spark.read.option("sep", "\t").option("header", true)
         .option("inferSchema", true).csv(s"$tmp/base_tsv")
-        .agg(count(lit(1)), sum(col("d1"))).collect()
+        .agg(count(lit(1)), sum(col("d1"))).collectBounded(1, "one-row agg")
     }
     time("promotional inference read") {
       graft.sources.Io.readCsvPromotional(spark, s"$tmp/base_tsv",
           graft.sources.Io.ReadOptions(separator = "\t"))
-        .agg(count(lit(1)), sum(col("d1"))).collect()
+        .agg(count(lit(1)), sum(col("d1"))).collectBounded(1, "one-row agg")
     }
     time("parquet snapshot re-read") {
       spark.read.parquet(s"$tmp/base_parquet")
-        .agg(count(lit(1)), sum(col("d1"))).collect()
+        .agg(count(lit(1)), sum(col("d1"))).collectBounded(1, "one-row agg")
     }
     spark.stop()
   }

@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import graft.ops.Bounded._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,7 +13,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm up session machinery (codegen, file-source init) so the first
     // measured query isn't charged for it
-    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(1000).selectExpr("sum(id)").collectBounded(1, "warmup")
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // Noise self-defense: each query runs THREE times (a fresh plan each
     // run — no shuffle/stage reuse between them) and reports the min, so

@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import graft.ops.Bounded._
 
 /** Targeted bench: run only the queries named in SPARK_GRAFT_QUERIES
   * (comma-separated substrings) — for iterating on the slow tail without
@@ -15,7 +16,7 @@ object BenchSubset {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(1000).selectExpr("sum(id)").collectBounded(1, "warmup")
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -9,6 +9,7 @@ import graft.ops._
 import graft.ops.TableOps._
 import graft.ops.Reductions._
 import org.apache.spark.ml.functions.vector_to_array
+import graft.ops.Bounded._
 
 /** Typed rows for the induction query (top-level for Encoders.product). */
 case class OrderRow(o_orderkey: Long, o_totalprice: Double)
@@ -211,7 +212,7 @@ object ExtQueries {
           graft.llm.TextDedup.h60(col("l_partkey").cast(StringType)).as("h"))
         .groupBy(col("l_returnflag"))
         .agg(expr(s"kmv_sketch(h, $k)").as("sk"))
-        .collect().toSeq
+        .collectBounded(64, "O(flags) sketch readout").toSeq
         .map(r => (r.getString(0),
           graft.functions.Kmv.estimate(r.getSeq[Long](1).toArray, k)))
         .toDF("l_returnflag", "kmv_parts")
@@ -416,7 +417,7 @@ object ExtQueries {
           graft.llm.TextDedup.h60(col("l_partkey").cast(StringType)).as("h"))
         .groupBy(col("l_returnflag"))
         .agg(expr(s"kmv_sketch(h, $k)").as("sk"))
-        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+        .collectBounded(64, "O(flags) sketch readout").map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
       val flags = sk.keys.toSeq.sorted
       val rows = for (a <- flags; b <- flags if a < b) yield
         (a, b,
@@ -697,7 +698,7 @@ object ExtQueries {
       val tmp = java.nio.file.Files.createTempDirectory("graft_q94")
       val rows = t(s, dir, "nation")
         .select("n_nationkey", "n_name", "n_regionkey")
-        .orderBy("n_nationkey").collect()
+        .orderBy("n_nationkey").collectBounded(32, "25-row nation table")
       def writeZip(file: java.nio.file.Path,
                    parts: Seq[(String, Seq[org.apache.spark.sql.Row])]): Unit = {
         val z = new java.util.zip.ZipOutputStream(
@@ -1318,7 +1319,7 @@ object ExtQueries {
         "event_type" -> countDistinct(col("event_type")).cast(DoubleType))
       val aggs = checksums.map { case (c, e) => e.as(s"${c}__sum") } ++
         checksums.map { case (c, _) => count(col(c)).as(s"${c}__n") }
-      val row = inf.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val row = inf.agg(aggs.head, aggs.tail: _*).collectBounded(1, "one-row checksum agg")(0)
       val types = inf.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
       import s.implicits._
       checksums.map { case (c, _) =>
@@ -2302,9 +2303,9 @@ object ExtQueries {
       val daily = s.read.parquet(s"$tmp/daily")
       val merged = daily.select(explode(col("sk")).as("h")).distinct()
         .orderBy(col("h")).limit(k)
-        .collect().map(_.getLong(0))
+        .collectBounded(k, "top-k merged sketch hashes").map(_.getLong(0))
       val exact = t(s, dir, "events")
-        .agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+        .agg(countDistinct(col("user_id"))).collectBounded(1, "one-row distinct count")(0).getLong(0)
       import s.implicits._
       Seq((daily.count(), graft.functions.Kmv.estimate(merged, k), exact))
         .toDF("n_days", "est_users", "exact_users")

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.llm._
 import graft.ops.TableOps._
+import graft.ops.Bounded._
 
 /** LLM-data-pipeline operator queries (dedup, similarity search, text
   * analysis, multimodal) over the documents/embeddings tables. Oracle SQL is
@@ -322,7 +323,7 @@ object LlmQueries {
     "q87_media_files" -> { (s, dir) =>
       import s.implicits._
       val ids = t(s, dir, "documents").filter(col("doc_id") < 64)
-        .select(col("doc_id").cast(LongType)).as[Long].collect().toSeq
+        .select(col("doc_id").cast(LongType)).as[Long].collectBounded(64, "doc_id < 64 id list").toSeq
       val tmp = java.nio.file.Files.createTempDirectory("graft_media_files")
       tmp.toFile.deleteOnExit()
       Multimodal.writeMediaFixtures(tmp, ids)

@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import graft.ops.Bounded._
 
 /** Plan-audit tool: executes a registered query and prints its FINAL
   * adaptive physical plan (post-AQE, so ReusedExchange / reused query
@@ -28,7 +29,7 @@ object PlanCheck {
       val t0 = System.nanoTime()
       // collect() (not count()) so the df's OWN plan executes — count()
       // builds a separate agg plan and leaves this one unfinalized under AQE
-      val n = df.collect().length
+      val n = df.collectBounded(1 << 22, "plan-check result").length
       val sec = (System.nanoTime() - t0) / 1e9
       println(s"=== $name: $n rows in ${"%.2f".format(sec)} s ===")
       // executedPlan after an action = the final adaptive plan (reuse visible)

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.ops.Bounded._
 
 /** BPE tokenizer TRAINING and APPLICATION (Sennrich et al. 2016) as
   * distributed aggregations — the "train the tokenizer on the corpus" step
@@ -83,7 +84,7 @@ object Bpe {
         .groupBy(col("p.x").as("x"), col("p.y").as("y"))
         .agg(sum(col("cnt")).as("c"))
       val top = pairs.orderBy(col("c").desc, col("x").asc, col("y").asc)
-        .limit(1).collect()
+        .limit(1).collectBounded(1, "argmax pair")
       if (top.nonEmpty) {
         val (x, y, c) = (top(0).getAs[String]("x"), top(0).getAs[String]("y"),
           top(0).getAs[Long]("c"))
@@ -128,7 +129,7 @@ object Bpe {
     // fit-readout posture — not a data collect.
     val vlocal = spark.createDataFrame(
       spark.sparkContext.parallelize(
-        vocab.select(col("w"), col("syms")).collect().toIndexedSeq, 1),
+        vocab.select(col("w"), col("syms")).collectBounded(1 << 22, "model-sized vocab readout").toIndexedSeq, 1),
       StructType(Seq(StructField("w", StringType),
         StructField("syms", ArrayType(StringType)))))
     val ids = vocabIds(vlocal)

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import graft.ops.Bounded._
 
 /** GPT-style sequence packing for training-data pipelines: documents are
   * concatenated in a named total order and chunked into fixed-length token
@@ -49,7 +50,7 @@ object SeqPack {
     def v(r: Row): Long = if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx)
     val partSums = sortedRdd.mapPartitionsWithIndex { (i, it) =>
       var s = 0L; it.foreach(r => s += v(r)); Iterator((i, s))
-    }.collect().sortBy(_._1).map(_._2)
+    }.collectBounded(1 << 20, "O(P) partition sums").sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _)
     val schema = sorted.schema.add(name, LongType, nullable = false)
     val rdd = sortedRdd.mapPartitionsWithIndex { (i, it) =>

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.ops.Bounded._
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -237,7 +238,7 @@ object Similarity {
     val rows = candidates
       .select(col(idCol).cast(LongType), col(embCol),
         col(relCol).cast(DoubleType))
-      .collect()
+      .collectBounded(maxCandidates, "bounded candidate frame")
     require(rows.length <= maxCandidates,
       s"mmrSelect: ${rows.length} candidates exceed $maxCandidates — " +
         "pass a top-N retrieval list, not a corpus")
@@ -560,7 +561,7 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Seq[(Int, Array[Double])] =
       v.orderBy(col("h"), col("id")).limit(nCentroids)
-        .select(col("emb")).collect().toSeq
+        .select(col("emb")).collectBounded(nCentroids, "O(k) centroid init").toSeq
         .map(_.getSeq[Double](0).toArray).zipWithIndex.map(_.swap)
     require(cents.nonEmpty, "fit sample is empty — raise fitFraction")
     val spark = corpus.sparkSession
@@ -571,7 +572,7 @@ object Similarity {
         .groupBy(col("centroid"), col("pos"))
         .agg(graft.ops.Reductions.isum(col("x"), 6).as("s"),
           count(lit(1)).as("n"))
-        .collect()
+        .collectBounded(1 << 22, "O(k*d) centroid sums")
       val byCent = sums.groupBy(_.getAs[Int]("centroid"))
       cents = cents.map { case (ci, old) =>
         byCent.get(ci) match {
@@ -806,7 +807,7 @@ object Similarity {
                  math.round(fitFraction * 1e6)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val initRows = fit.orderBy(col("h"), col("id")).limit(k)
-      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+      .select(col("emb")).collectBounded(k, "O(k) centroid init").map(_.getSeq[Double](0).toArray)
     require(initRows.nonEmpty, "fit sample is empty — raise fitFraction")
     val dim = initRows.head.length
     require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
@@ -828,7 +829,7 @@ object Similarity {
         .groupBy(col("m"), col("ci"), col("pos"))
         .agg(graft.ops.Reductions.isum(col("x"), 6).as("s"),
           count(lit(1)).as("n"))
-        .collect()
+        .collectBounded(1 << 22, "O(m*k*dsub) codebook sums")
       val byKey = sums.map(r => ((r.getAs[Int]("m"), r.getAs[Int]("ci"))) -> r)
         .groupBy(_._1).map { case (kk, vs) => kk -> vs.map(_._2) }
       books = books.zipWithIndex.map { case (cb, m) =>

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.ops.Bounded._
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -661,7 +662,7 @@ object TextDedup {
     def gidSum(df: DataFrame): java.math.BigDecimal = {
       // null sum ⇔ empty frame (no candidate pairs at all) — normalize to 0
       // so the convergence compare stays total
-      val s = df.agg(sum(col("group_id").cast(DecimalType(38, 0)))).collect()(0).getDecimal(0)
+      val s = df.agg(sum(col("group_id").cast(DecimalType(38, 0)))).collectBounded(1, "one-row convergence checksum")(0).getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s
     }
     // Only vertices incident to an edge can ever change label — iterate
@@ -744,7 +745,7 @@ object TextDedup {
                                ord: Ordering[Any]): DataFrame = {
     val spark = edges.sparkSession
     // each undirected edge once (edges holds both directions)
-    val rows = edges.filter(col("id_a") < col("id_b")).collect()
+    val rows = edges.filter(col("id_a") < col("id_b")).collectBounded(2 << 20, "local CC fast path (<1M edges, gated)")
     val idx = new java.util.HashMap[Any, Integer]()
     val vals = new scala.collection.mutable.ArrayBuffer[Any]()
     def ix(v: Any): Int = {

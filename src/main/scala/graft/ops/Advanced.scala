@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.ops.Bounded._
 
 /** The reference's genuinely-sequential / numeric-kernel operators:
   * induction, LOESS smoothing, correlation table, crosstab.
@@ -180,7 +181,7 @@ object Advanced {
         s(col(b) * col(b), sc(b)).as(s"syy_${a}__$b"),
         s(col(a) * col(b), math.min(sc(a), sc(b))).as(s"sxy_${a}__$b"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = df.agg(aggs.head, aggs.tail: _*).collectBounded(1, "one-row moment agg")(0)
     def g(name: String): Double = row.getDouble(row.fieldIndex(name))
     def corr(a: String, b: String): Double =
       if (a == b) 1.0
@@ -261,7 +262,7 @@ object Advanced {
       val partTotals = sorted.rdd
         .mapPartitionsWithIndex { (pid, it) =>
           var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
-        }.collect().sortBy(_._1).map(_._2)
+        }.collectBounded(1 << 20, "O(P) partition totals").sortBy(_._1).map(_._2)
       val offsets = partTotals.scanLeft(0L)(_ + _)
       val bc = spark.sparkContext.broadcast(offsets)
       val ranks = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -378,7 +379,7 @@ object Advanced {
           Seq(count(when(s > 0, 1)).as(s"c_${a}__$b"),
             count(when(s < 0, 1)).as(s"d_${a}__$b"))
         }
-    val row = p.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = p.agg(aggs.head, aggs.tail: _*).collectBounded(1, "one-row concordance agg")(0)
     def g(name: String): Long = row.getLong(row.fieldIndex(name))
     tauFrame(base.sparkSession, cols, g("n0"), c => g(s"t_$c"),
       { case (x, y) => (g(s"c_${x}__$y"), g(s"d_${x}__$y")) })
@@ -400,7 +401,7 @@ object Advanced {
     // Σ g·(g−1) is summed as a long (exact) and halved driver-side.
     def tiePairs(gcols: Seq[String]): Long = {
       val r = base.groupBy(gcols.map(col): _*).agg(count(lit(1)).as("__n"))
-        .agg(sum(col("__n") * (col("__n") - lit(1L)))).collect()(0)
+        .agg(sum(col("__n") * (col("__n") - lit(1L)))).collectBounded(1, "one-row tie agg")(0)
       if (r.isNullAt(0)) 0L else r.getLong(0) / 2
     }
     val pairs = for (a <- cols; b <- cols if a < b) yield (a, b)
@@ -518,7 +519,7 @@ object Advanced {
             i = j
           }
           Iterator.single((bucket, inv, counts))
-        }.collect().sortBy(_._1)
+        }.collectBounded(1 << 20, "O(P) bucket summaries").sortBy(_._1)
       val sameBucket = buckets.map(_._2).sum
       // cross-bucket: element in a HIGHER-b bucket pairs inverted with every
       // lower-bucket element of a strictly larger srcPid
@@ -901,7 +902,7 @@ object Advanced {
         s = a * s + r.getDouble(xIdx); powA *= a
       }
       Iterator.single((pid, s, powA))
-    }.collect().sortBy(_._1)
+    }.collectBounded(1 << 20, "O(P) recurrence carries").sortBy(_._1)
     val carries = new Array[Double](rdd.getNumPartitions)
     var c = 0.0
     stats.foreach { case (pid, sLast, powA) =>

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
+import graft.ops.Bounded._
 
 /** dataset->str pretty printing (reference src/tech/v3/dataset/print.clj:
   * 99-376) and the R-derived shared-column float formatter (reference
@@ -175,16 +176,16 @@ object Display {
       case "all" =>
         // print-range :all (print.clj:341-349) — explicit opt-in, the
         // only style that collects the whole frame
-        (df.collect().toSeq, false)
+        (df.collectBounded(1 << 22, "print-range :all explicit opt-in").toSeq, false)
       case "first" =>
-        (df.limit(opts.indexRange).collect().toSeq, false)
+        (df.limit(opts.indexRange).collectBounded(opts.indexRange, "print head range").toSeq, false)
       case "last" =>
         (df.tail(math.min(opts.indexRange.toLong, nRows).toInt).toSeq, false)
       case "first-last" =>
         if (nRows > opts.indexRange) {
           val half = opts.indexRange / 2
-          (df.limit(half).collect().toSeq ++ df.tail(half).toSeq, true)
-        } else (df.limit(opts.indexRange).collect().toSeq, false)
+          (df.limit(half).collectBounded(half, "print head half").toSeq ++ df.tail(half).toSeq, true)
+        } else (df.limit(opts.indexRange).collectBounded(opts.indexRange, "print head range").toSeq, false)
       case other =>
         throw new IllegalArgumentException(s"unknown print style '$other'")
     }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Bounded._
 
 /** Missing-data engine: the reference's replace-missing strategies
   * (reference src/tech/v3/dataset/missing.clj:209-293) on SQL-null semantics.
@@ -162,7 +163,7 @@ object Missing {
     * that are entirely null — one counting pass, then a driver-side select. */
   def removeEmptyColumns(df: DataFrame): DataFrame = {
     val counts = df.agg(count(lit(1)).as("__n"),
-      df.columns.map(c => count(col(c)).as(c)).toSeq: _*).collect()(0)
+      df.columns.map(c => count(col(c)).as(c)).toSeq: _*).collectBounded(1, "one-row count agg")(0)
     val keep = df.columns.filter(c => counts.getAs[Long](c) > 0L)
     df.select(keep.map(col).toSeq: _*)
   }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.ops.Bounded._
 
 /** Modelling / feature-engineering surface (reference SURVEY §2.9):
   * fit/transform objects — std-scale, min-max, PCA, train/test split, k-fold —
@@ -71,7 +72,7 @@ object Ml {
       Seq((sx / count(c)).as(s"${c0}__mu"),
         sqrt(greatest((sxx - sx * sx / n) / n, lit(0.0))).as(s"${c0}__sd"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = df.agg(aggs.head, aggs.tail: _*).collectBounded(1, "one-row fit agg")(0)
     ScalerModel(cols.map { c =>
       c -> (row.getDouble(row.fieldIndex(s"${c}__mu")),
         row.getDouble(row.fieldIndex(s"${c}__sd")))
@@ -135,7 +136,7 @@ object Ml {
       Seq(min(col(c0)).cast(DoubleType).as(s"${c0}__lo"),
         max(col(c0)).cast(DoubleType).as(s"${c0}__hi"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = df.agg(aggs.head, aggs.tail: _*).collectBounded(1, "one-row fit agg")(0)
     MinMaxModel(cols.map { c =>
       c -> (row.getDouble(row.fieldIndex(s"${c}__lo")),
         row.getDouble(row.fieldIndex(s"${c}__hi")))
@@ -185,7 +186,7 @@ object Ml {
         .zipWithIndex()
         .filter { case (_, i) => targets.contains(i) }
         .map(_.swap)
-        .collect().toMap
+        .collectBounded(64, "O(quantile targets)").toMap
       qs.map { q =>
         val p = q * (n - 1)
         val lo = p.floor.toLong; val hi = p.ceil.toLong
@@ -402,7 +403,7 @@ object Ml {
             isum(col(cols(i)) * col(cols(j)), scaleOf(cols(i), cols(j)))
               .as(s"__p_${i}_$j")
           })
-    val row = df.na.drop(cols).agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = df.na.drop(cols).agg(aggs.head, aggs.tail: _*).collectBounded(1, "one-row moment agg")(0)
     val n = row.getDouble(row.fieldIndex("__n"))
     val divisor = if (covarianceBias) n else n - 1.0
     require(divisor > 0, s"pca needs ${if (covarianceBias) 1 else 2}+ rows")
@@ -588,7 +589,7 @@ object Ml {
                                 xDigits: Int = 4, yDigits: Int = 2): LinearModel = {
     val aggs = simpleRegressionAggs(x, y, xDigits, yDigits)
     val row = simpleRegressionFinish(df.agg(aggs.head, aggs.tail: _*))
-      .select(col("intercept"), col("slope"), col("n")).collect()(0)
+      .select(col("intercept"), col("slope"), col("n")).collectBounded(1, "one-row fit readout")(0)
     require(!row.isNullAt(2) && row.getDouble(2) >= 2,
       s"fitSimpleLinearRegression needs >= 2 complete ($x, $y) rows, got " +
         (if (row.isNullAt(2)) 0 else row.getDouble(2).toLong))
@@ -952,7 +953,7 @@ object Ml {
             features.zipWithIndex.map { case (c, i) =>
               s(col(c).cast(DoubleType) * col(target).cast(DoubleType),
                 sc(c, target)).as(s"__q_$i") }))
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = df.agg(aggs.head, aggs.tail: _*).collectBounded(1, "one-row normal-equations agg")(0)
     def g(name: String) = row.getDouble(row.fieldIndex(name))
     val n = g("__n")
     require(n > d, s"need more than ${d} complete rows, got ${n.toLong}")
@@ -1049,7 +1050,7 @@ object Ml {
     val rows = df.filter(col(labelCol).isNotNull)
       .groupBy(col(labelCol).cast(StringType).as("__label"))
       .agg(aggs.head, aggs.tail: _*)
-      .collect()
+      .collectBounded(1 << 16, "O(labels) centroid frame")
     val cents = rows.map { r =>
       val n = r.getDouble(r.fieldIndex("__n"))
       require(n > 0, s"class ${r.getString(0)} has no complete rows")
@@ -1150,7 +1151,7 @@ object Ml {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.feature.VectorAssembler
     val labels = df.select(col(labelCol).cast(StringType)).na.drop()
-      .distinct().collect().map(_.getString(0)).sorted.toSeq
+      .distinct().collectBounded(1 << 16, "O(classes) label set").map(_.getString(0)).sorted.toSeq
     require(labels.size >= 2, s"need ≥2 classes, got ${labels.size}")
     val idx = labels.zipWithIndex.toMap
     val idxExpr = labels.foldLeft(lit(null).cast(DoubleType)) { (acc, l) =>

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.ops.Bounded._
 
 /** Aggregation surface: the reference's out-of-core reducer framework
   * (`tech.v3.dataset.reductions`, reference src/tech/v3/dataset/reductions.clj)
@@ -129,7 +130,7 @@ object Reductions {
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // driver-side reshape of ONE row → per-column rows (no distributed cost)
-    val row = wide.collect()(0)
+    val row = wide.collectBounded(1, "one-row stats agg")(0)
     val spark = df.sparkSession
     import spark.implicits._
     cols.map { c0 =>
@@ -175,7 +176,7 @@ object Reductions {
         max(us).as(s"${c0}__max"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val row = wide.collect()(0)
+    val row = wide.collectBounded(1, "one-row stats agg")(0)
     val spark = df.sparkSession
     import spark.implicits._
     cols.map { c0 =>
@@ -211,7 +212,7 @@ object Reductions {
         min(c).cast(DoubleType).as(s"${c0}__min"),
         max(c).cast(DoubleType).as(s"${c0}__max"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row = df.agg(aggs.head, aggs.tail: _*).collectBounded(1, "one-row stats agg")(0)
     import spark.implicits._
     // the per-column quartile-selection sorts are independent Spark jobs —
     // submit them CONCURRENTLY (Spark's scheduler interleaves their stages
@@ -237,7 +238,7 @@ object Reductions {
             .zipWithIndex()
             .filter { case (_, i) => targets.contains(i) }
             .map(_.swap)
-            .collect().toMap           // ≤ 6 values — not a data collect
+            .collectBounded(8, "<=6 rank targets").toMap           // ≤ 6 values — not a data collect
           def q(qq: Double): Double = {
             val p = qq * (n - 1)
             val lo = p.floor.toLong; val hi = p.ceil.toLong
@@ -362,13 +363,13 @@ object Reductions {
         }
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val row = wide.collect()(0)
+    val row = wide.collectBounded(1, "one-row stats agg")(0)
     // positional fallback: ONE head + ONE tail job for all columns
     val (posFirst, posLast) =
       if (orderCol.isDefined) (null, null)
       else {
         val sel = df.select(cols.map(c => col(c).cast(DoubleType)): _*)
-        (sel.limit(1).collect().headOption.orNull,
+        (sel.limit(1).collectBounded(1, "head row").headOption.orNull,
           sel.tail(1).headOption.orNull)
       }
     import spark.implicits._
@@ -415,7 +416,7 @@ object Reductions {
               .zipWithIndex()
               .filter { case (_, i) => targets.contains(i) }
               .map(_.swap)
-              .collect().toMap
+              .collectBounded(8, "<=6 rank targets").toMap
             def q(qq: Double): Double = {
               val p = qq * (n - 1)
               val lo = p.floor.toLong; val hi = p.ceil.toLong
@@ -437,7 +438,7 @@ object Reductions {
               .agg(count(lit(1)).as("__n"))
               .agg(min_by(col("__v"), struct(-col("__n"), col("__v"))).as("m"),
                 count(lit(1)).as("nd"))
-              .collect()(0)
+              .collectBounded(1, "one-row mode readout")(0)
             (m.getDouble(0), m.getLong(1))
           }
         val (first, last) = orderCol match {
@@ -489,7 +490,7 @@ object Reductions {
         try {
           val nDistinct = counts.count()
           counts.orderBy(col("n").desc, col("value").asc).limit(nValues)
-            .collect()
+            .collectBounded(nValues, "top-k categorical values")
             .zipWithIndex
             .map { case (r, i) =>
               (c0, i + 1, r.getString(0), r.getLong(1), nDistinct)
@@ -585,7 +586,7 @@ object Reductions {
                         lgMaxMapSize: Int = 12): DataFrame = {
     graft.functions.Sketches.register(df.sparkSession)
     val bytes = df.select(expr(s"freq_sketch(`$c`, $lgMaxMapSize)").as("sk"))
-      .collect()(0).getAs[Array[Byte]](0)
+      .collectBounded(1, "O(k) sketch readout")(0).getAs[Array[Byte]](0)
     val (items, n, maxErr) = graft.functions.Sketches.freqItems(bytes)
     val thr = math.ceil(phi * n).toLong
     require(thr > maxErr,
@@ -686,7 +687,7 @@ object Reductions {
     sorted.count()
     val partTotals = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
-    }.collect().sortBy(_._1).map(_._2)
+    }.collectBounded(1 << 20, "O(P) partition totals").sortBy(_._1).map(_._2)
     val offsets = partTotals.scanLeft(0L)(_ + _)
     val n = partTotals.sum
     val bcOff = spark.sparkContext.broadcast(offsets)
@@ -738,7 +739,7 @@ object Reductions {
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       it.foreach { case (t, _, c) => m.update(t, m.getOrElse(t, 0L) + c) }
       m.iterator.map { case (t, s) => (pid, t, s) }.toList.iterator
-    }.collect()
+    }.collectBounded(1 << 20, "O(P*tags) partition totals")
     val totals: Map[String, Long] =
       partTag.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._3).sum }
     val offsets: Map[(Int, String), Long] =
@@ -832,7 +833,7 @@ object Reductions {
     sorted.count()
     val partTotals = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
-    }.collect().sortBy(_._1).map(_._2)
+    }.collectBounded(1 << 20, "O(P) partition totals").sortBy(_._1).map(_._2)
     val offsets = partTotals.scanLeft(0L)(_ + _)
     val total = partTotals.sum
     val bcOff = spark.sparkContext.broadcast(offsets)
@@ -895,7 +896,7 @@ object Reductions {
     sorted.count()
     val partTotals = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L; it.foreach(s += _._3); Iterator((pid, s))
-    }.collect().sortBy(_._1).map(_._2)
+    }.collectBounded(1 << 20, "O(P) partition totals").sortBy(_._1).map(_._2)
     val offsets = partTotals.scanLeft(0L)(_ + _)
     val bcOff = spark.sparkContext.broadcast(offsets)
     val cum = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -1005,7 +1006,7 @@ object Reductions {
           .multiply(java.math.BigInteger.valueOf(k)))
       }
       Iterator((pid, c, s))
-    }.collect().sortBy(_._1)
+    }.collectBounded(1 << 20, "O(P) partition totals").sortBy(_._1)
     val offsets = partTotals.map(_._2).scanLeft(0L)(_ + _)
     val n = partTotals.map(_._2).sum
     val total = partTotals.map(_._3)

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Bounded._
 
 /** Reshape operators (SURVEY §2.6): melt / pivot / explode.
   *
@@ -51,7 +52,7 @@ object Reshape {
     val idCols = df.columns.filterNot(valueCols.contains).toSeq
     val melted = melt(df, idCols, valueCols, "label", "value")
     val names = melted.columns
-    melted.collect().iterator
+    melted.collectBounded(1 << 22, "driver-side mapseq API contract").iterator
       .map(r => names.zip(r.toSeq).toMap).toSeq
   }
 

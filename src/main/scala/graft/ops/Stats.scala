@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.ops.Bounded._
 
 /** Hypothesis tests and series diagnostics over distributed frames — the
   * data-QA layer a curation pipeline runs before/after every transform
@@ -53,12 +54,12 @@ object Stats {
         sum(when(col("__g") === b, col("__n")).otherwise(0L)).as("n2"),
         sum(when(col("__g") === a, col("__dr") * col("__n")).otherwise(0L))
           .as("r1d"))
-      .collect()(0)
+      .collectBounded(1, "one-row rank agg")(0)
     // tie term Σ t³−t over POOLED per-value counts (t = Σ_g n): a second
     // value-keyed aggregation over the same cached frame
     val tieTerm = pooled.groupBy(col("__x")).agg(count(lit(1)).as("t"))
       .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tt"))
-      .collect()(0).getLong(0)
+      .collectBounded(1, "one-row tie-term agg")(0).getLong(0)
     pooled.unpersist(); cleanup()
     val n1 = agg.getLong(0); val n2 = agg.getLong(1); val r1d = agg.getLong(2)
     // U1 from the doubled rank sum: 2·U1 = 2·R1 − n1(n1+1)
@@ -107,7 +108,7 @@ object Stats {
       var s1 = 0L; var s2 = 0L
       it.foreach { case (_, c1, c2) => s1 += c1; s2 += c2 }
       Iterator((pid, s1, s2))
-    }.collect().sortBy(_._1)
+    }.collectBounded(1 << 20, "O(P) partition totals").sortBy(_._1)
     val off1 = partTotals.map(_._2).scanLeft(0L)(_ + _)
     val off2 = partTotals.map(_._3).scanLeft(0L)(_ + _)
     val n1 = partTotals.map(_._2).sum
@@ -422,7 +423,7 @@ object Stats {
         sum(when(col("__y") === 0L, col("__n")).otherwise(0L)).as("nn"),
         sum(when(col("__y") === 1L, col("__dr") * col("__n")).otherwise(0L))
           .as("r1d"))
-      .collect()(0)
+      .collectBounded(1, "one-row rank agg")(0)
     pooled.unpersist(); cleanup()
     val np = agg.getLong(0); val nn = agg.getLong(1); val r1d = agg.getLong(2)
     val auc =
@@ -533,7 +534,7 @@ object Stats {
     // needs the global rank, so partials carry counts first …
     val counts = typed.rdd.mapPartitionsWithIndex { (pid, it) =>
       Iterator((pid, it.size.toLong))
-    }.collect().sortBy(_._1).map(_._2)
+    }.collectBounded(1 << 20, "O(P) partition counts").sortBy(_._1).map(_._2)
     val rankOff = counts.scanLeft(0L)(_ + _)
     // … then per-partition min of q over now-known global ranks
     val bcOff = spark.sparkContext.broadcast(rankOff)
@@ -546,7 +547,7 @@ object Stats {
         if (q < best) best = q
       }
       Iterator((pid, best))
-    }.collect().sortBy(_._1).map(_._2)
+    }.collectBounded(1 << 20, "O(P) partition minima").sortBy(_._1).map(_._2)
     // suffix-min across partitions: the min over every LATER partition
     val sufMin = partMins.scanRight(Double.PositiveInfinity)(math.min).tail
     val bcSuf = spark.sparkContext.broadcast(sufMin)
@@ -604,7 +605,7 @@ object Stats {
         sum(lit(1L) - col(eventCol).cast(LongType)).as("__c"))
       .orderBy(col("__t"))
       .as[(Long, Long, Long)]
-      .collect()
+      .collectBounded(1 << 20, "O(distinct event times) survival readout")
     var atRisk = per.map(r => r._2 + r._3).sum
     var s = 1.0
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
@@ -680,7 +681,7 @@ object Stats {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = base.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tooBig = counts.filter(col("__n") > maxGroupRows).limit(1).collect()
+    val tooBig = counts.filter(col("__n") > maxGroupRows).limit(1).collectBounded(1, "limit(1) guard probe")
     if (tooBig.nonEmpty)
       throw new IllegalArgumentException(
         s"theilSen: group '${tooBig(0).get(0)}' has ${tooBig(0).getLong(1)} " +

@@ -18,6 +18,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
+import graft.ops.Bounded._
 
 /** Arrow IPC read/write (reference src/tech/v3/libs/arrow.clj — its largest
   * IO module: `dataset->stream!` arrow.clj:2430, `stream->dataset`
@@ -357,7 +358,7 @@ object ArrowIo {
         .filter(org.apache.spark.sql.functions.col(c).isNotNull)
         .distinct().orderBy(org.apache.spark.sql.functions.col(c))
         .limit(maxDictSize + 1)
-        .collect().map(_.getString(0))
+        .collectBounded(maxDictSize + 1, "dict overflow probe").map(_.getString(0))
       if (vals.length > maxDictSize) None else Some(c -> vals)
     }.toMap
     // driver creates the dir (and validates the schema maps) up front

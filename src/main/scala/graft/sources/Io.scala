@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types._
+import graft.ops.Bounded._
 
 /** IO breadth (reference SURVEY §2.1): csv/tsv/json/parquet read-write with
   * the reference's ingest options mapped onto DataFrameReader options.
@@ -215,7 +216,7 @@ object Io {
         // fall back to column-i
         var hr = spark.read.option("sep", opts.separator)
         opts.comment.foreach(c => hr = hr.option("comment", c.toString))
-        hr.csv(Seq(lines.first()).toDS()).collect().headOption match {
+        hr.csv(Seq(lines.first()).toDS()).collectBounded(2, "one header line").headOption match {
           case None => Seq.empty
           case Some(hdr) =>
             (0 until hdr.length).map { i =>
@@ -492,7 +493,8 @@ object Io {
     val r =
       try {
         sess.conf.set(maxFieldsKey, math.max(200, aggs.size * 2))
-        probed.agg(aggs.head, aggs.tail: _*).collect()(0)
+        probed.agg(aggs.head, aggs.tail: _*)
+          .collectBounded(1, "one-row probe agg")(0)
       } finally {
         prevMaxFields match {
           case Some(v) => sess.conf.set(maxFieldsKey, v)

@@ -275,6 +275,30 @@ class PlanGuardSpec extends SparkSuite {
   // q161 MMR run bounded-by-contract candidate lists — their unpartitioned
   // windows are the documented design, not a regression.)
 
+  test("no raw .collect() in src/main — everything routes through collectBounded") {
+    // graft.ops.Bounded is the only sanctioned driver-side
+    // materialization (plan-level limit cap + loud bound assertion);
+    // allowlist: Bounded.scala itself and OutOfCoreCheck's NEGATIVE
+    // control, whose entire job is to OOM on an unbounded collect.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    assert(java.nio.file.Files.isDirectory(root),
+      s"spec must run from the repo root (cwd=${System.getProperty("user.dir")})")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filterNot(p => p.toString.endsWith("ops/Bounded.scala") ||
+        p.toString.endsWith("OutOfCoreCheck.scala"))
+      .flatMap { p =>
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          .split("\n").zipWithIndex
+          .filter(_._1.contains(".collect()"))
+          .map { case (l, i) => s"$p:${i + 1}: ${l.trim}" }
+      }.toList
+    assert(offenders.isEmpty,
+      "raw .collect() outside Bounded/OutOfCoreCheck:\n" +
+        offenders.mkString("\n"))
+  }
+
   test("detector self-test: a global row-level window IS flagged") {
     // prove the guard can fire — a data-sized unpartitioned Window must
     // trip the same detection path the real guards rely on. The window's
