@@ -1,0 +1,174 @@
+package graft.japi
+
+import java.{util => ju}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Display, Joins, Missing, Reductions}
+import graft.ops.TableOps._
+
+/** JAVA-FACING API FACADE — the analog of the reference's
+  * `java_public_api/tech/v3/TMD.java` (a static-method surface over the
+  * engine for callers without the host language's idioms,
+  * /root/reference/java_public_api/tech/v3/TMD.java:188-892).
+  *
+  * A Scala `object` compiles to a class with STATIC FORWARDERS, so every
+  * method here is a plain `Graft.method(...)` call from Java; all
+  * signatures use only Java types (`java.util.List`/`java.util.Map`,
+  * `DataFrame`, boxed primitives) — no Scala collections, default
+  * arguments, or implicits leak through. Pass a `LinkedHashMap` where
+  * entry ORDER is meaningful (join keys, agg columns); plain `Map.of` is
+  * fine where it is not (rename). `JavaApiSpec` runs the representative
+  * queries through a genuine .java test class.
+  *
+  * Everything delegates to the Scala operators — this file adds no
+  * semantics, so the oracle coverage of the underlying ops carries over.
+  */
+object Graft {
+
+  // ---- io ----------------------------------------------------------------
+
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    graft.sources.Io.readCsv(spark, path)
+
+  /** Reference-parity promotional inference read (all-strings, then
+    * narrow; NA-as-missing, strict bool, flexible dates). */
+  def readCsvPromotional(spark: SparkSession, path: String,
+                         separator: String): DataFrame =
+    graft.sources.Io.readCsvPromotional(spark, path,
+      graft.sources.Io.ReadOptions(separator = separator))
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  // ---- projection / rows -------------------------------------------------
+
+  def selectColumns(df: DataFrame, cols: ju.List[String]): DataFrame =
+    df.selectColumns(cols.asScala.toSeq: _*)
+
+  def dropColumns(df: DataFrame, cols: ju.List[String]): DataFrame =
+    df.dropColumns(cols.asScala.toSeq: _*)
+
+  def renameColumns(df: DataFrame, mapping: ju.Map[String, String]): DataFrame =
+    df.renameColumns(mapping.asScala.toSeq: _*)
+
+  /** Filter by a SQL boolean expression (`"l_quantity > 30 AND
+    * l_returnflag = 'R'"`) — the Java-friendly predicate form. */
+  def filterSql(df: DataFrame, sqlExpr: String): DataFrame =
+    df.filter(sqlExpr)
+
+  def head(df: DataFrame, n: Int): DataFrame = df.limit(n)
+
+  /** Last n rows in `orderCols` ascending order. */
+  def tail(df: DataFrame, n: Int, orderCols: ju.List[String]): DataFrame =
+    df.tail(n, orderCols.asScala.toSeq.map(col))
+
+  def sortByColumn(df: DataFrame, name: String, descending: Boolean,
+                   nullsFirst: Boolean): DataFrame =
+    df.sortByColumn(name, descending, nullsFirst)
+
+  /** unique-by: one row per key, smallest `tiebreak` value wins
+    * (deterministic at any parallelism). */
+  def uniqueBy(df: DataFrame, keys: ju.List[String],
+               tiebreak: ju.List[String]): DataFrame =
+    df.uniqueByColumn(keys.asScala.toSeq,
+      tiebreak.asScala.toSeq.map(col))
+
+  /** concat with the reference's type widening (missing columns null-pad,
+    * numerics widen). */
+  def concat(frames: ju.List[DataFrame]): DataFrame = {
+    val all = frames.asScala.toSeq
+    require(all.nonEmpty, "concat of zero frames")
+    all.head.concatWidening(all.tail: _*)
+  }
+
+  // ---- aggregation -------------------------------------------------------
+
+  /** Named-reducer group-by: `aggSpecs` maps OUTPUT column name →
+    * `"fn:column"` where fn ∈ sum | mean | min | max | count |
+    * count_distinct | first | stddev (`"count:*"` = row count). Use a
+    * LinkedHashMap to control output column order. */
+  def groupByAgg(df: DataFrame, keys: ju.List[String],
+                 aggSpecs: ju.Map[String, String]): DataFrame = {
+    val aggs = aggSpecs.entrySet().asScala.toSeq.map { e =>
+      val Array(fn, c) = e.getValue.split(":", 2)
+      val cc: Column = fn match {
+        case "count" => if (c == "*") count(lit(1)) else count(col(c))
+        case "sum" => sum(col(c))
+        case "mean" => avg(col(c))
+        case "min" => min(col(c))
+        case "max" => max(col(c))
+        case "count_distinct" => countDistinct(col(c))
+        case "first" => first(col(c), ignoreNulls = true)
+        case "stddev" => stddev(col(c))
+        case other => throw new IllegalArgumentException(
+          s"unknown agg fn '$other' in '${e.getValue}'")
+      }
+      e.getKey -> cc
+    }
+    Reductions.groupByAgg(df, keys.asScala.toSeq, aggs: _*)
+  }
+
+  /** One row per numeric column: n-valid / min / mean / max / stddev. */
+  def descriptiveStats(df: DataFrame, cols: ju.List[String]): DataFrame =
+    Reductions.descriptiveStats(df, cols.asScala.toSeq)
+
+  /** Top/bottom-k by a column without a global sort
+    * (TakeOrderedAndProject); `tiebreak` makes boundary ties stable. */
+  def minNByColumn(df: DataFrame, name: String, n: Int, descending: Boolean,
+                   tiebreak: ju.List[String]): DataFrame =
+    Reductions.minNByColumn(df, name, n, descending,
+      tiebreak.asScala.toSeq.map(col))
+
+  // ---- joins -------------------------------------------------------------
+
+  /** Equi join; right-side name collisions get the reference's `right.`
+    * prefix. `how`: inner | left | right | outer | left_semi | left_anti. */
+  def join(left: DataFrame, right: DataFrame, leftOn: ju.List[String],
+           rightOn: ju.List[String], how: String): DataFrame =
+    Joins.keyJoin(left, right, leftOn.asScala.toSeq,
+      rightOn.asScala.toSeq, how)
+
+  /** Keyed/keyless as-of join. `by` maps left key → right key (use a
+    * LinkedHashMap; may be empty). `direction`: backward | forward |
+    * nearest. Keyed joins plan the O(n+m) Catalyst merge exec. */
+  def asofJoin(left: DataFrame, right: DataFrame, leftTime: String,
+               rightTime: String, by: ju.Map[String, String],
+               direction: String, allowExactMatch: Boolean): DataFrame = {
+    val dir = direction match {
+      case "backward" => Joins.Backward
+      case "forward" => Joins.Forward
+      case "nearest" => Joins.Nearest
+      case other => throw new IllegalArgumentException(
+        s"unknown as-of direction '$other'")
+    }
+    Joins.asofJoin(left, right, leftTime, rightTime,
+      by.entrySet().asScala.toSeq.map(e => e.getKey -> e.getValue),
+      dir, allowExactMatch)
+  }
+
+  // ---- missing -----------------------------------------------------------
+
+  def dropMissing(df: DataFrame, cols: ju.List[String]): DataFrame =
+    Missing.dropMissing(df, cols.asScala.toSeq)
+
+  def fillValue(df: DataFrame, values: ju.Map[String, Object]): DataFrame =
+    Missing.fillValue(df, values.asScala.toMap)
+
+  /** replace-missing :down (carry last valid forward in `order`). */
+  def fillDown(df: DataFrame, column: String,
+               order: ju.List[String]): DataFrame =
+    Missing.fillDown(df, column, order.asScala.toSeq.map(col))
+
+  // ---- display -----------------------------------------------------------
+
+  /** The reference's print format (markdown-ish table). */
+  def datasetToString(df: DataFrame, name: String): String =
+    Display.datasetToStr(df, name)
+}

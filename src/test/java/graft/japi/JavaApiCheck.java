@@ -1,0 +1,79 @@
+package graft.japi;
+
+import java.util.LinkedHashMap;
+import java.util.List;
+import java.util.Map;
+
+import org.apache.spark.sql.Dataset;
+import org.apache.spark.sql.Row;
+import org.apache.spark.sql.SparkSession;
+
+/**
+ * Pure-Java exercise of the {@link Graft} facade — the analog of the
+ * reference's java_test/java/jtest/TMDDemo.java: proves the whole surface
+ * is callable from Java source with no Scala idioms (static forwarders,
+ * java.util collections, boxed primitives). Invoked by the ScalaTest
+ * wrapper {@code JavaApiSpec}; throws AssertionError on any mismatch.
+ */
+public final class JavaApiCheck {
+
+  private JavaApiCheck() {}
+
+  private static void check(boolean cond, String msg) {
+    if (!cond) throw new AssertionError(msg);
+  }
+
+  public static void run(SparkSession spark, String sfDir) {
+    Dataset<Row> lineitem = graft.Tables.t(spark, sfDir, "lineitem");
+    Dataset<Row> orders = graft.Tables.t(spark, sfDir, "orders");
+
+    // 1. q01's shape: grouped named reducers through the Java map API
+    LinkedHashMap<String, String> aggs = new LinkedHashMap<>();
+    aggs.put("sum_qty", "sum:l_quantity");
+    aggs.put("n", "count:*");
+    aggs.put("mean_price", "mean:l_extendedprice");
+    Dataset<Row> byFlag = Graft.sortByColumn(
+        Graft.groupByAgg(lineitem, List.of("l_returnflag"), aggs),
+        "l_returnflag", false, true);
+    List<Row> flags = byFlag.collectAsList();
+    check(flags.size() >= 2, "expected >=2 return flags");
+    check(byFlag.columns().length == 4, "key + 3 aggs");
+    long n0 = flags.get(0).getLong(flags.get(0).fieldIndex("n"));
+    check(n0 > 0, "group counts must be positive");
+
+    // 2. q03's shape: join + filter + top-k through the facade
+    Dataset<Row> joined = Graft.join(
+        Graft.filterSql(orders, "o_totalprice > 1000.0"),
+        lineitem, List.of("o_orderkey"), List.of("l_orderkey"), "inner");
+    Dataset<Row> top = Graft.minNByColumn(joined, "o_totalprice", 5, true,
+        List.of("o_orderkey", "l_linenumber"));
+    check(top.count() == 5, "top-k must return k rows");
+
+    // 3. keyed as-of join (backward) — plans the Catalyst merge exec
+    Dataset<Row> lastOrder = Graft.asofJoin(
+        Graft.selectColumns(orders, List.of("o_custkey", "o_orderdate")),
+        Graft.renameColumns(
+            Graft.selectColumns(orders, List.of("o_custkey", "o_orderdate",
+                "o_totalprice")),
+            Map.of("o_orderdate", "prev_date")),
+        "o_orderdate", "prev_date",
+        new LinkedHashMap<>(Map.of("o_custkey", "o_custkey")),
+        "backward", true);
+    check(lastOrder.count() == orders.count(),
+        "as-of keeps every left row");
+    check(java.util.Arrays.asList(lastOrder.columns())
+        .contains("o_totalprice"), "payload column must surface");
+
+    // 4. missing-data + stats + display round out the surface
+    Dataset<Row> stats = Graft.descriptiveStats(lineitem,
+        List.of("l_quantity", "l_extendedprice"));
+    check(stats.count() == 2, "one stats row per column");
+    String printed = Graft.datasetToString(Graft.head(byFlag, 3), "flags");
+    check(printed.contains("l_returnflag"), "print includes header");
+    Dataset<Row> filled = Graft.fillValue(
+        Graft.selectColumns(lineitem, List.of("l_returnflag")),
+        Map.of("l_returnflag", "none"));
+    check(Graft.dropMissing(filled, List.of("l_returnflag")).count()
+        == lineitem.count(), "fill then drop-missing keeps all rows");
+  }
+}
