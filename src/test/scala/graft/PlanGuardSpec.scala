@@ -275,6 +275,25 @@ class PlanGuardSpec extends SparkSuite {
   // q161 MMR run bounded-by-contract candidate lists — their unpartitioned
   // windows are the documented design, not a regression.)
 
+  test("q14/q63/q207: keyed as-of queries plan the Catalyst merge exec") {
+    // round-14 routing: the composed union+window plan remains only for
+    // KEYLESS as-of; every keyed query must carry AsofJoinExec (one
+    // SMJ-style shuffle+sort per side, O(n+m) sweep) and no WindowExec
+    // carry pass
+    Seq("q14_asof_join", "q63_asof_nearest", "q207_asof_tolerance")
+      .foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.collect()
+        val nodes = flatten(df.queryExecution.executedPlan)
+        assert(nodes.exists(_.isInstanceOf[graft.plans.AsofJoinExec]),
+          s"$name must plan AsofJoinExec")
+        assert(!nodes.exists {
+          case w: WindowExec => w.output.exists(_.name == "__pc")
+          case _ => false
+        }, s"$name must not run the composed union+window carry")
+      }
+  }
+
   test("no raw .collect() in src/main — everything routes through collectBounded") {
     // graft.ops.Bounded is the only sanctioned driver-side
     // materialization (plan-level limit cap + loud bound assertion);
