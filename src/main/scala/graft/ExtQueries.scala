@@ -4666,7 +4666,7 @@ object ExtQueries {
             FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) p
           WHERE p.user_id = e.user_id
           ORDER BY abs(epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(p.p_ts AS TIMESTAMP))) ASC,
-                   CASE WHEN p.p_ts <= e.ts THEN 0 ELSE 1 END ASC
+                   CASE WHEN p.p_ts > e.ts THEN 0 ELSE 1 END ASC
           LIMIT 1) AS p_event_id
          FROM events e ORDER BY e.event_id""",
 

@@ -57,6 +57,13 @@ object CsvProbe {
     val n = s.numBytes()
     var mask = 0
 
+    // NA: case-insensitive exact "na" on the raw value (the separate
+    // lower(c) === 'na' gate in Io uses the same definition)
+    if (n == 2) {
+      val b0 = s.getByte(0); val b1 = s.getByte(1)
+      if ((b0 == 'n' || b0 == 'N') && (b1 == 'a' || b1 == 'A')) mask |= NA
+    }
+
     // BOOL: exact match on the raw value (the old gate was c.isin(...))
     if (n == 4 && s.getByte(0) == 't' && s.getByte(1) == 'r' &&
         s.getByte(2) == 'u' && s.getByte(3) == 'e') mask |= BOOL

@@ -97,7 +97,12 @@ object Graft {
   def groupByAgg(df: DataFrame, keys: ju.List[String],
                  aggSpecs: ju.Map[String, String]): DataFrame = {
     val aggs = aggSpecs.entrySet().asScala.toSeq.map { e =>
-      val Array(fn, c) = e.getValue.split(":", 2)
+      val parts = e.getValue.split(":", 2)
+      if (parts.length != 2) throw new IllegalArgumentException(
+        s"malformed agg spec '${e.getValue}' for output column " +
+          s"'${e.getKey}': expected 'fn:column' (e.g. 'sum:l_quantity', " +
+          "'count:*')")
+      val Array(fn, c) = parts
       val cc: Column = fn match {
         case "count" => if (c == "*") count(lit(1)) else count(col(c))
         case "sum" => sum(col(c))

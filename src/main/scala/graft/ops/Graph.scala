@@ -68,14 +68,19 @@ object Graph {
     * are O(N) rows. ITERATIVE-LINEAGE HYGIENE (the lesson [[kCore]]
     * measured: plan analysis doubles per round once a frame is consumed
     * twice — 60 s/OOM at 6 rounds on a 5-edge toy): each round consumes
-    * `ranks` twice (contrib + dangling mass), so every `checkpointEvery`
-    * rounds the rank frame is eagerly localCheckpointed, truncating the
-    * lazy plan to the materialized partitions and keeping deep runs
-    * (iters ≈ 30+) linear-time in iters. */
+    * `ranks` twice (contrib + dangling mass) WHEN dangling nodes exist,
+    * so in that case the rank frame is eagerly localCheckpointed EVERY
+    * round (checkpoint cadence = consumption depth; r14's cadence-5
+    * default never fired at iters=5 and the doubling plan cost a
+    * measured 3.3× at sf0.1). Graphs with NO dangling nodes — an O(1)
+    * pre-check — skip the dangling aggregate entirely (the term is 0L
+    * identically), leaving the single-consumption linear plan where
+    * `checkpointEvery` only bounds analysis depth for deep runs
+    * (iters ≈ 30+). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 5, damp: Int = 85,
                dedupEdges: Boolean = true,
-               checkpointEvery: Int = 5): DataFrame = {
+               checkpointEvery: Int = 2): DataFrame = {
     require(iters >= 1 && damp >= 0 && damp <= 100 && checkpointEvery >= 1)
     // dedupEdges=false skips a full edge shuffle when the caller's edge
     // list is already distinct (e.g. tradingPairsGraph); duplicate edges
@@ -99,23 +104,43 @@ object Graph {
     // N: one O(1) driver readout (the fit-side pattern) — needed to place
     // the integer literals r0/base into the plan
     val n = nodes.count()
+    // Dangling-node existence is an O(1) readout off the persisted node
+    // frame. When the graph has NO dangling nodes (e.g. both-directions
+    // graphs like tradingPairsGraph) the redistribution term is 0L every
+    // round identically, so the per-round dangling aggregate + 1-row
+    // broadcast — and the double consumption of `ranks` it causes — are
+    // skipped outright; the loop is then the single-consumption linear
+    // plan. When dangling nodes DO exist, `ranks` is consumed twice per
+    // round, so the frame is localCheckpointed EVERY round (consumption
+    // depth = checkpoint cadence): both consumers read materialized
+    // partitions and nothing is recomputed inside the broadcast subtree.
+    val hasDangling = nodes.filter(col("__dang")).limit(1).count() > 0L
     val r0 = Scale / n
     val base = (100 - damp) * (Scale / n) / 100
     var ranks = nodes.select(col("id"), col("__dang"), lit(r0).as("r"))
     for (i <- 1 to iters) {
-      val dang = ranks.filter(col("__dang"))
-        .agg(coalesce(sum(col("r")), lit(0L)).as("__dmass"))
       val contrib = edged.join(ranks, edged("src") === ranks("id"))
         .select(col("dst"), expr("r div outdeg").as("share"))
         .groupBy(col("dst"))
         .agg(sum(col("share")).as("s"))
-      ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
-        .crossJoin(broadcast(dang))
-        .select(nodes("id"), nodes("__dang"),
-          (lit(base) + expr(
-            s"(${damp}L * (coalesce(s, 0L) + __dmass div ${n}L)) div 100"))
-            .as("r"))
-      if (i % checkpointEvery == 0 && i < iters)
+      ranks =
+        if (!hasDangling)
+          nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+            .select(nodes("id"), nodes("__dang"),
+              (lit(base) +
+                expr(s"(${damp}L * coalesce(s, 0L)) div 100")).as("r"))
+        else {
+          val dang = ranks.filter(col("__dang"))
+            .agg(coalesce(sum(col("r")), lit(0L)).as("__dmass"))
+          nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+            .crossJoin(broadcast(dang))
+            .select(nodes("id"), nodes("__dang"),
+              (lit(base) + expr(
+                s"(${damp}L * (coalesce(s, 0L) + __dmass div ${n}L)) div 100"))
+                .as("r"))
+        }
+      val cadence = if (hasDangling) 1 else checkpointEvery
+      if (i % cadence == 0 && i < iters)
         ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("id"), col("r"))

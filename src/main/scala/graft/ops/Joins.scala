@@ -368,8 +368,10 @@ object Joins {
     * the same keyed sort as the directional joins, carry the right payload
     * BOTH ways (last-before via a preceding frame, first-after via a
     * following frame — one exchange+sort, two frame scans), then per left row
-    * keep the side with the smaller |Δt|; backward wins ties, matching the
-    * reference's `<=` distance comparison. No global window, no re-join. */
+    * keep the side with the smaller |Δt|; FORWARD wins equidistant ties,
+    * matching the reference (join.clj abs-diff-bin-pred only keeps the
+    * current right row when it is STRICTLY closer than the next — `<` on
+    * the distance delta). No global window, no re-join. */
   private def asofNearest(left: DataFrame, right: DataFrame, leftTime: String,
                           rightTime: String,
                           by: Seq[(String, String)]): DataFrame = {
@@ -403,7 +405,7 @@ object Joins {
     val lt = asNum(col("__t"))
     val bt = asNum(col("__b").getField(rightTime))
     val ft = asNum(col("__f").getField(rightTime))
-    val useB = bt.isNotNull && (ft.isNull || abs(lt - bt) <= abs(ft - lt))
+    val useB = bt.isNotNull && (ft.isNull || abs(lt - bt) < abs(ft - lt))
     val resolved = carried.withColumn("__pc",
       when(useB, col("__b")).otherwise(col("__f")))
     unpackPayload(resolved.filter(col("__side") === 1), left, payload, "__pc")

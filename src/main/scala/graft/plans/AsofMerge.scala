@@ -211,9 +211,11 @@ case class AsofJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
               else if (f == null) b
               else if (b == null) f
               else {
-                // backward wins distance ties (composed asofNearest rule)
+                // FORWARD wins distance ties (reference join.clj
+                // abs-diff-bin-pred: keep current only when STRICTLY
+                // closer than next; composed asofNearest matches)
                 val lt = timeAsDouble(ltime)
-                if (math.abs(lt - timeAsDouble(lastMatchTime)) <=
+                if (math.abs(lt - timeAsDouble(lastMatchTime)) <
                     math.abs(timeAsDouble(rHeadTime) - lt)) b else f
               }
             } else if (fwd) {

@@ -92,10 +92,18 @@ object Io {
     * Returns the staged directory, or None when staging doesn't apply.
     * Cleanup: a default (temp-dir) stage registers a JVM shutdown hook;
     * pass `stageDir` to manage lifetime yourself. CLUSTER NOTE: the
-    * default stages to the driver-local java.io.tmpdir which is only
-    * correct in local mode; on a real cluster pass `stageDir` on shared
-    * storage (e.g. an HDFS/object-store temp prefix) — each task writes
-    * its file through the Hadoop FileSystem for exactly this reason. */
+    * driver-local java.io.tmpdir default is only correct in local mode
+    * (executors on other hosts would write to THEIR tmpdirs and the
+    * driver-side read would see an empty directory), so when no
+    * `stageDir` is given and the master is not local, staging is SKIPPED
+    * (read in place, one core per .gz part — slow but correct); on a
+    * real cluster pass `stageDir` on shared storage (an HDFS/object-store
+    * temp prefix) — each task writes its file through the Hadoop
+    * FileSystem for exactly this reason. Executor tasks rebuild their
+    * Hadoop Configuration from a broadcast of the driver's, so
+    * programmatic `spark.hadoop.*` settings (object-store credentials,
+    * endpoints) propagate instead of being dropped by a bare
+    * `new Configuration()`. */
   private[graft] def stageSplittableCopy(
       spark: SparkSession, path: String,
       stageDir: Option[String] = None): Option[String] = {
@@ -120,6 +128,9 @@ object Io {
       c != null && !c.isInstanceOf[SplittableCompressionCodec]
     }
     if (!allUnsplittable) return None
+    // No shared stageDir on a non-local master: the tmpdir fallback would
+    // scatter staged files across executor-local disks — skip staging.
+    if (stageDir.isEmpty && !spark.sparkContext.isLocal) return None
     val dir = stageDir.getOrElse {
       val d = java.nio.file.Files.createTempDirectory("graft_stage")
       val dirFile = d.toFile
@@ -132,10 +143,13 @@ object Io {
       "file:" + d.toString
     }
     val names = files.map(_.toString).toSeq
+    // Hadoop Configuration is not serializable directly; broadcast the
+    // driver's via SerializableConfiguration so spark.hadoop.* overrides
+    // (credentials, endpoints) reach the executor-side copy tasks.
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(hconf))
     spark.sparkContext.parallelize(names, names.length).foreach { f =>
-      // Configuration is not serializable; executor-side default config
-      // picks up core-site.xml from the classpath (correct on clusters too)
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = bcConf.value.value
       val fac = new CompressionCodecFactory(conf)
       val src = new HPath(f)
       val sfs = src.getFileSystem(conf)

@@ -50,7 +50,7 @@ class AsofJoinSpec extends SparkSuite {
     assert(m(("A", 10L)) == Some(3.0))  // exact excluded → 14
   }
 
-  test("nearest picks closest, backward wins ties") {
+  test("nearest picks closest (forward wins equidistant ties)") {
     val m = run(Joins.Nearest, exact = true)
     assert(m(("A", 5L)) == Some(1.0))   // |5-4|=1 < |10-5|=5
     assert(m(("A", 15L)) == Some(3.0))  // |15-14|=1
@@ -178,8 +178,9 @@ class AsofJoinSpec extends SparkSuite {
           case "b" => if (cand.isEmpty) None else Some(cand.maxBy(_._1))
           case "f" => if (cand.isEmpty) None else Some(cand.minBy(_._1))
           case "n" => if (cand.isEmpty) None
-            else Some(cand.minBy(p => (math.abs(p._1 - t), p._1 - t)))
-          // nearest tie → backward wins (smaller rt), matching `<=` pick
+            else Some(cand.minBy(p => (math.abs(p._1 - t), t - p._1)))
+          // nearest tie → FORWARD wins (larger rt), matching the
+          // reference's strict-`<` distance advance
         }
         // among equal rt duplicates any payload is a valid carry; compare
         // the matched TIME, which is deterministic
