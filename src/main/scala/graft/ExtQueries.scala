@@ -2521,6 +2521,23 @@ object ExtQueries {
         .orderBy(col("column"))
     },
 
+    // Calendar-unit variable rolling window (reference rolling.clj
+    // :variable windows with :units :months): per customer, trailing
+    // 3-calendar-month order count + exact sum — the frame DuckDB writes
+    // as RANGE BETWEEN INTERVAL 3 MONTH PRECEDING AND CURRENT ROW.
+    // Month-bucketed join-aggregate, no global window (Rolling.scala).
+    "q284_calendar_rolling" -> { (s, dir) =>
+      Rolling.rollingRangeCalendar(
+        t(s, dir, "orders"), "o_orderdate", 3, "months", Seq("o_custkey"),
+        Seq(
+          ("n_3m", "o_orderkey", c => count(c)),
+          ("sum_3m", "o_totalprice", c =>
+            sum(floor(c * lit(100)).cast(DecimalType(30, 0)))
+              .cast(DoubleType) / lit(100))))
+        .selectColumns("o_orderkey", "o_custkey", "n_3m", "sum_3m")
+        .orderBy(col("o_orderkey"))
+    },
+
     // Partial correlation: quantity ↔ price with tax controlled —
     // three Pearsons from ONE exact co-moment aggregation.
     "q271_partial_corr" -> { (s, dir) =>
@@ -6856,6 +6873,20 @@ object ExtQueries {
              make_timestamp(MAX(epoch_us(ts)))
            FROM b)
          SELECT * FROM s ORDER BY "column"""",
+
+    // mirrors Rolling.rollingRangeCalendar: DuckDB's calendar-interval
+    // range frame IS the semantics being matched (clamped month-end
+    // subtraction, inclusive lower bound, peers included).
+    "q284_calendar_rolling" ->
+      """SELECT o_orderkey, o_custkey,
+         COUNT(o_orderkey) OVER w AS n_3m,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS DECIMAL(30,0))) OVER w
+           AS DOUBLE) / 100 AS sum_3m
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 3 MONTHS PRECEDING
+                        AND CURRENT ROW)
+         ORDER BY o_orderkey""",
 
     "q277_runs_test" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,

@@ -52,6 +52,69 @@ object Rolling {
     aggs.foldLeft(df) { case (d, (name, f)) => d.withColumn(name, f(w)) }
   }
 
+  /** Calendar-unit variable rolling window (reference rolling.clj:286-301
+    * with `:units :months`/`:years` — dtype-next's between-op in calendar
+    * units): for each row, named reducers over all rows of the same
+    * partition whose time lies in `[t − span·unit, t]`, where the
+    * subtraction is CALENDAR arithmetic with month-end clamping
+    * (2020-03-31 − 1 month = 2020-02-29) — inexpressible as a Spark
+    * `rangeBetween` (the frame width varies row to row in physical time).
+    *
+    * Plan (no global window, no per-row span trick): windows depend only
+    * on (partition, t), so (1) distinct anchors get their clamped lower
+    * bound via `add_months`/`timestampadd`; (2) every value row is
+    * replicated to the `span+1` month buckets it can serve
+    * (`explode(sequence(m, m+span))` on the year·12+month index — a row's
+    * calendar-window lower bound always lands exactly `span` month slots
+    * back); (3) one equi shuffle join on (partition, bucket) + the exact
+    * range filter; (4) one keyed aggregation per anchor; (5) join back.
+    * Cost: one shuffle of |anchors| + (span+1)·|rows| — replication factor
+    * O(span), never O(n²), and survives arbitrary partition counts.
+    *
+    * `aggs` entries are (outputCol, valueCol, reducer) — the reducer gets
+    * the joined value column (e.g. `c => avg(c)`). Rows with a NULL time
+    * keep their row but get NULL aggregates (left join back). `unit` ∈
+    * months | years (years = 12·span months; identical clamp rule). */
+  def rollingRangeCalendar(df: DataFrame, timeCol: String, span: Int,
+                           unit: String, part: Seq[String],
+                           aggs: Seq[(String, String, Column => Column)]): DataFrame = {
+    require(span >= 1, s"rollingRangeCalendar: span must be >= 1, got $span")
+    require(aggs.nonEmpty, "rollingRangeCalendar: no reducers given")
+    val months = unit match {
+      case "months" => span
+      case "years"  => span * 12
+      case other => throw new IllegalArgumentException(
+        s"rollingRangeCalendar: unit must be months|years, got '$other'")
+    }
+    val isDate =
+      df.schema(timeCol).dataType == org.apache.spark.sql.types.DateType
+    def mIdx(c: Column): Column = year(c) * lit(12) + month(c) - lit(1)
+    val lowerBound =
+      if (isDate) add_months(col("__anchor_t"), -months)
+      else expr(s"timestampadd(MONTH, ${-months}, __anchor_t)")
+    val anchors = df
+      .select((part.map(col) :+ col(timeCol).as("__anchor_t")): _*)
+      .filter(col("__anchor_t").isNotNull).distinct()
+      .withColumn("__lb", lowerBound)
+      .withColumn("__b", mIdx(col("__anchor_t")))
+    val valueCols = aggs.map(_._2).distinct
+    val rv = df
+      .select((part.map(col) :+ col(timeCol).as("__rt")) ++
+        valueCols.map(c => col(c).as(s"__rv_$c")): _*)
+      .filter(col("__rt").isNotNull)
+      .withColumn("__b",
+        explode(sequence(mIdx(col("__rt")), mIdx(col("__rt")) + lit(months))))
+    val joined = anchors.join(rv, part :+ "__b")
+      .filter(col("__rt") >= col("__lb") && col("__rt") <= col("__anchor_t"))
+    val aggExprs = aggs.map { case (out, vc, fn) =>
+      fn(col(s"__rv_$vc")).as(out) }
+    val agged = joined
+      .groupBy((part.map(col) :+ col("__anchor_t")): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .withColumnRenamed("__anchor_t", timeCol)
+    df.join(agged, part :+ timeCol, "left")
+  }
+
   /** Expanding / cumulative windows (rolling.clj:307-314). */
   def expanding(df: DataFrame, order: Seq[Column], part: Seq[Column],
                 aggs: (String, WindowSpec => Column)*): DataFrame = {

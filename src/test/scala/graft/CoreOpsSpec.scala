@@ -180,6 +180,48 @@ class CoreOpsSpec extends SparkSuite {
     assert(out.getDouble(0) == 10.0 && out.getDouble(1) == 20.0 && out.getString(2) == "s")
   }
 
+  test("rollingRangeCalendar: month-end clamping hand case") {
+    // 1-month trailing window anchored 2020-03-31: lower bound is
+    // 2020-03-31 minus 1 calendar month = 2020-02-29 (clamped), so the
+    // window holds {02-29, 03-31}; anchored 2020-02-29 the bound is
+    // 2020-01-29 which EXCLUDES 2020-01-28.
+    val df = Seq(
+      (1, "2020-01-28"), (2, "2020-02-29"), (3, "2020-03-31"),
+      (4, "2020-04-30"))
+      .toDF("id", "d")
+      .withColumn("d", col("d").cast("timestamp"))
+      .withColumn("v", col("id").cast("double"))
+    val out = Rolling.rollingRangeCalendar(df, "d", 1, "months", Seq(),
+      Seq(("n", "id", c => count(c)), ("sv", "v", c => sum(c))))
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("n")).toSeq == Seq(1L, 1L, 2L, 2L))
+    assert(out.map(_.getAs[Double]("sv")).toSeq == Seq(1.0, 2.0, 5.0, 7.0))
+  }
+
+  test("rollingRangeCalendar: equals brute force, keyed, across partitions") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 300).map { i =>
+      val day = 1 + rnd.nextInt(28)
+      val mon = 1 + rnd.nextInt(12)
+      val yr = 2019 + rnd.nextInt(3)
+      (i, s"k${rnd.nextInt(4)}", java.sql.Timestamp.valueOf(
+        f"$yr-$mon%02d-$day%02d 00:00:00"), rnd.nextInt(100).toDouble)
+    }
+    val df = rows.toDF("id", "k", "t", "v").repartition(7)
+    val got = Rolling.rollingRangeCalendar(df, "t", 3, "months", Seq("k"),
+      Seq(("n", "id", c => count(c)), ("sv", "v", c => sum(c))))
+      .select("id", "n", "sv").collect()
+      .map(r => r.getInt(0) -> ((r.getAs[Long]("n"), r.getAs[Double]("sv"))))
+      .toMap
+    rows.foreach { case (id, k, t, _) =>
+      val lb = t.toLocalDateTime.minusMonths(3)
+      val in = rows.filter(r => r._2 == k &&
+        !r._3.toLocalDateTime.isBefore(lb) && !r._3.after(t))
+      assert(got(id) == ((in.size.toLong, in.map(_._4).sum)),
+        s"row $id anchor $t")
+    }
+  }
+
   test("rolling clamp matches hand-computed reference semantics") {
     // values 1,2,3,4 / window 3 trailing, clamp-left:
     // row0: [1,1,1]=3; row1: [1,1,2]=4; row2: [1,2,3]=6; row3: [2,3,4]=9
