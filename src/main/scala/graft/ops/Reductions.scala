@@ -268,14 +268,25 @@ object Reductions {
     * Returns (group, n, <name per quantile>) wide. Null/NaN values are
     * complete-case dropped. */
   def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
-                     qs: Seq[(String, Double)]): DataFrame = {
+                     qs: Seq[(String, Double)],
+                     /** Optional precomputed complete-case counts
+                       * (columns: groupCol, "n") from an earlier pass over
+                       * the same rows — skips the counts scan, so `df` is
+                       * consumed ONCE (the range sort). */
+                     precounts: Option[DataFrame] = None): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0 && q <= 1 })
     import graft.ops.TableOps._
     val vals = df
       .select(col(groupCol).as("__g"), col(valueCol).cast(DoubleType).as("__x"))
       .filter(col("__g").isNotNull && col("__x").isNotNull &&
         !isnan(col("__x")))
-    val ranked = vals.stratifiedRank("__g", Seq(col("__x")), "__r", "__n")
+    val ranked = precounts match {
+      case None => vals.stratifiedRank("__g", Seq(col("__x")), "__r", "__n")
+      case Some(cnts) => vals.stratifiedRankPrecounted("__g",
+        Seq(col("__x")),
+        cnts.select(col(groupCol).as("__g"), col("n").cast(LongType).as("__n")),
+        "__r", "__n")
+    }
     val zeroIdx = col("__r") - 1
     def pRow(q: Double) = lit(q) * (col("__n") - 1).cast(DoubleType)
     val keep = qs.map { case (_, q) =>

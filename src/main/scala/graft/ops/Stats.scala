@@ -321,14 +321,33 @@ object Stats {
     * window — scales like two range sorts. */
   def madByGroup(df: DataFrame, groupCol: String, valueCol: String)
       : DataFrame = {
-    val med = Reductions.groupQuantiles(df, groupCol, valueCol,
+    import graft.ops.Bounded._
+    // Pass 1's O(groups) result is materialized ONCE (bounded collect —
+    // no new constraint: the frame is broadcast downstream anyway, which
+    // already requires it to fit in memory) and re-planted as a local
+    // relation. Without this, every broadcast consumer of the median
+    // frame (the deviation join, the precount offsets, the final join)
+    // re-executes pass 1's full range sort inside one action — measured
+    // ~2× the whole operator's cost at sf0.1.
+    val medN = Reductions.groupQuantiles(df, groupCol, valueCol,
         Seq("median" -> 0.5))
-      .select(col(groupCol), col("median"))
+      .select(col(groupCol), col("n"), col("median"))
+    val medRows = medN.collectBounded(1 << 20,
+      "O(groups) median frame (broadcast-bound anyway)")
+    val medLocal = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(medRows: _*), medN.schema)
+    val med = medLocal.select(col(groupCol), col("median"))
     val dev = df
       .select(col(groupCol), col(valueCol).cast(DoubleType).as("__v"))
       .join(broadcast(med), groupCol)
       .withColumn("__ad", abs(col("__v") - col("median")))
-    Reductions.groupQuantiles(dev, groupCol, "__ad", Seq("mad" -> 0.5))
+    // |x−median| is null exactly when x is null, so pass 1's complete-case
+    // counts ARE pass 2's: feeding them in drops the second counts scan —
+    // the second range sort is then dev's only consumer. (The second sort
+    // itself is irreducible: the |x−m| order folds the value order around
+    // a group-dependent pivot, so pass 1's range layout can't serve it.)
+    Reductions.groupQuantiles(dev, groupCol, "__ad", Seq("mad" -> 0.5),
+        precounts = Some(medLocal.select(col(groupCol), col("n"))))
       .join(broadcast(med), groupCol)
       .select(col(groupCol), col("n"), col("median"), col("mad"))
   }

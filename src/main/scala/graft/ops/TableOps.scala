@@ -120,6 +120,27 @@ object TableOps {
         .drop("__g_idx", "__off")
     }
 
+    /** [[stratifiedRank]] with a CALLER-SUPPLIED per-stratum count frame
+      * (strataCol, nName columns): skips the counts scan of `df`, leaving
+      * the range sort as df's ONLY consumer. Use when the counts are
+      * already known from an earlier pass over the same rows (e.g. MAD's
+      * second selection — |x−median| has exactly the first pass's
+      * complete-case counts). The caller owns count correctness: wrong
+      * counts silently mis-rank. */
+    def stratifiedRankPrecounted(strataCol: String, order: Seq[Column],
+                                 counts: DataFrame,
+                                 rankName: String = "stratum_rank",
+                                 nName: String = "stratum_n"): DataFrame = {
+      val idx = df.withRowIndex(col(strataCol) +: order, "__g_idx")
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(strataCol))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val offs = counts.select(col(strataCol), col(nName))
+        .withColumn("__off", coalesce(sum(col(nName)).over(w), lit(0L)))
+      idx.join(broadcast(offs), strataCol)
+        .withColumn(rankName, col("__g_idx") - col("__off") + lit(1L))
+        .drop("__g_idx", "__off")
+    }
+
     /** take-nth (reference dataset_api.clj:99 re-export of base take-nth):
       * every n-th row of the named total order, distributed (see
       * withRowIndex). */
