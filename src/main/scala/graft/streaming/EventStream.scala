@@ -188,10 +188,18 @@ object EventStream {
     * two equal. At scale the state store shards by user across executors and
     * the watermark bounds retention. */
   def sessionize(spark: SparkSession, dir: String,
-                 gapMinutes: Long = 30): DataFrame = {
+                 gapMinutes: Long = 30): DataFrame =
+    sessionizeEvents(eventsStream(spark, dir), gapMinutes)
+
+  /** [[sessionize]] over a caller-built streaming events frame
+    * (user_id, ts: timestamp, event_id) — the seam the restart-recovery
+    * spec uses to feed a multi-file (multi-micro-batch) source. */
+  def sessionizeEvents(eventsDf: DataFrame,
+                       gapMinutes: Long = 30): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = eventsDf.sparkSession
     import spark.implicits._
-    val events = eventsStream(spark, dir)
+    val events = eventsDf
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id")).as[Ev]
     val gapUs = gapMinutes * 60L * 1000000

@@ -24,6 +24,83 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("sessionization survives a mid-stream kill: restart from checkpoint " +
+    "is exactly-once vs batch q39") {
+    // Failure-recovery contract: the state store + source offsets in the
+    // checkpoint make a killed stateful query resumable with no lost and
+    // no double-counted events. Shape: the events table split into 3
+    // time-ordered files -> 3 micro-batches (maxFilesPerTrigger=1, file
+    // source picks oldest modTime first); the query is HARD-stopped after
+    // the first batch commits, then a fresh query on the SAME checkpoint
+    // drains the rest. If restart re-ingested batch 1 (or recomputed
+    // state from scratch), per-user n_sessions/max_session_events would
+    // inflate; if it dropped the in-flight batch, they'd undercount —
+    // final equality with the batch oracle pins exactly-once.
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val evb = graft.Tables.t(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("__us", unix_micros(col("ts")))
+    val cuts = evb.stat.approxQuantile("__us", Array(0.34, 0.67), 0.01)
+    val (c1, c2) = (cuts(0).toLong, cuts(1).toLong)
+    // sequential writes => strictly increasing modTimes => trigger order
+    Seq(col("__us") < c1, col("__us") >= c1 && col("__us") < c2,
+      col("__us") >= c2).foreach { pred =>
+      evb.filter(pred).drop("__us").coalesce(1)
+        .write.mode("append").parquet(s"$tmp/src")
+      Thread.sleep(1100)
+    }
+    val srcSchema = spark.read.parquet(s"$tmp/src").schema
+    def stream() = EventStream.sessionizeEvents(
+      spark.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src"))
+    // idempotent driver-side sink: max-merge (both metrics are monotonic
+    // in event count, so a replayed uncommitted batch can't inflate it)
+    val acc = scala.collection.concurrent.TrieMap[Long, (Long, Long)]()
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    def sink(b: Dataset[Row], id: Long): Unit = {
+      val rows = b.collect()
+      if (id == 0L) Thread.sleep(800) // widen the kill window
+      rows.foreach { r =>
+        val u = r.getAs[Long]("user_id")
+        val v = (r.getAs[Long]("n_sessions"),
+          r.getAs[Long]("max_session_events"))
+        acc.updateWith(u) {
+          case Some((a, b0)) => Some((math.max(a, v._1), math.max(b0, v._2)))
+          case None => Some(v)
+        }
+      }
+      batches.incrementAndGet(); ()
+    }
+    def start() = stream().writeStream.outputMode(OutputMode.Update())
+      .foreachBatch(sink _)
+      .option("checkpointLocation", s"$tmp/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    val q1 = start()
+    val deadline = System.nanoTime() + 60L * 1000000000
+    while (batches.get() < 1 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(batches.get() >= 1, "first micro-batch never committed")
+    q1.stop() // the kill — may land mid-batch-2
+    val killPoint = batches.get()
+    assert(killPoint < 3,
+      s"kill landed after the full drain ($killPoint batches) — vacuous")
+    val q2 = start()
+    q2.awaitTermination()
+    assert(batches.get() > killPoint,
+      "restart processed nothing — checkpoint resume never happened")
+    val batch = Queries.queries("q39_sessionize")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("max_session_events"))))
+      .toMap
+    assert(acc.size == batch.size,
+      s"user coverage ${acc.size} vs batch ${batch.size}")
+    batch.foreach { case (u, v) =>
+      assert(acc.get(u).contains(v), s"user $u: got ${acc.get(u)}, want $v")
+    }
+  }
+
   test("stateful streams run on the RocksDB state store (provider pinned)") {
     // every stateful stream starts under withRocksDbState; the proof is
     // in the progress events — RocksDB's state-store custom metrics
