@@ -2538,6 +2538,32 @@ object ExtQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // Logical :uuid dtype tag (reference io/column_parsers.clj:54-120):
+    // md5-derived uuid strings with injected uppercase + invalid values,
+    // parsed/normalized via Dtypes.parseTagged (lowercase canonical,
+    // parse-failure -> NULL), round-tripped through the Snapshot sink
+    // (tag rides :spark-meta; DtypesSpec pins Arrow/Transit too).
+    "q285_uuid_tags" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q285").toString
+      val m = md5(col("o_orderkey").cast(StringType))
+      val raw = t(s, dir, "orders").filter(col("o_orderkey") < 4000)
+        .select(col("o_orderkey"),
+          concat_ws("-", substring(m, 1, 8), substring(m, 9, 4),
+            substring(m, 13, 4), substring(m, 17, 4),
+            substring(m, 21, 12)).as("u"))
+        .withColumn("u",
+          when(col("o_orderkey") % 7 === 0, upper(col("u")))
+            .when(col("o_orderkey") % 13 === 0, lit("bogus"))
+            .otherwise(col("u")))
+      val parsed = graft.ops.Dtypes.parseTagged(raw, "u", "uuid")
+      graft.sources.Snapshot.write(parsed, s"$tmp/u.edn", "uuids")
+      val back = graft.sources.Snapshot.read(s, s"$tmp/u.edn")
+      require(graft.ops.Dtypes.tagOf(back.schema, "u").contains("uuid"),
+        "uuid tag lost through snapshot")
+      back.withColumn("is_valid", col("u").isNotNull)
+        .orderBy(col("o_orderkey"))
+    },
+
     // Partial correlation: quantity ↔ price with tax controlled —
     // three Pearsons from ONE exact co-moment aggregation.
     "q271_partial_corr" -> { (s, dir) =>
@@ -6873,6 +6899,27 @@ object ExtQueries {
              make_timestamp(MAX(epoch_us(ts)))
            FROM b)
          SELECT * FROM s ORDER BY "column"""",
+
+    // mirrors q285: uuid canonicalization is lower() on the valid shape,
+    // parse failure is NULL; %7 uppercase normalizes back to the original
+    // lowercase md5-derived form, %13 (minus 91-multiples) goes missing.
+    "q285_uuid_tags" ->
+      """WITH raw AS (
+           SELECT o_orderkey,
+             concat_ws('-', substr(md5(CAST(o_orderkey AS VARCHAR)),1,8),
+               substr(md5(CAST(o_orderkey AS VARCHAR)),9,4),
+               substr(md5(CAST(o_orderkey AS VARCHAR)),13,4),
+               substr(md5(CAST(o_orderkey AS VARCHAR)),17,4),
+               substr(md5(CAST(o_orderkey AS VARCHAR)),21,12)) AS u0
+           FROM orders WHERE o_orderkey < 4000)
+         SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN u0
+                WHEN o_orderkey % 13 = 0 THEN NULL
+                ELSE u0 END AS u,
+           CASE WHEN o_orderkey % 7 = 0 THEN TRUE
+                WHEN o_orderkey % 13 = 0 THEN FALSE
+                ELSE TRUE END AS is_valid
+         FROM raw ORDER BY o_orderkey""",
 
     // mirrors Rolling.rollingRangeCalendar: DuckDB's calendar-interval
     // range frame IS the semantics being matched (clamped month-end

@@ -90,8 +90,22 @@ object ArrowIo {
     case other => throw new IllegalArgumentException(s"arrow: unsupported type $other")
   }
 
-  def toArrowField(f: StructField): Field =
-    toArrowFieldRec(f.name, f.dataType, f.nullable)
+  /** Top-level fields carry the logical dtype tag (graft.ops.Dtypes —
+    * keyword/symbol/uuid) as Arrow CUSTOM FIELD METADATA, the IPC
+    * format's sanctioned channel for exactly this (column-level
+    * key→value strings survive any conforming reader/writer). */
+  def toArrowField(f: StructField): Field = {
+    val base = toArrowFieldRec(f.name, f.dataType, f.nullable)
+    graft.ops.Dtypes.tagOf(StructType(Seq(f)), f.name) match {
+      case None => base
+      case Some(tag) =>
+        val md = new java.util.HashMap[String, String]()
+        md.put(graft.ops.Dtypes.TagKey, tag)
+        new Field(f.name,
+          new FieldType(base.isNullable, base.getType, base.getDictionary, md),
+          base.getChildren)
+    }
+  }
 
   /** Recursive field mapping: atomics, List, Struct, and Map, nested
     * arbitrarily (list-of-struct, map values of any type — arrow.clj reads
@@ -170,9 +184,23 @@ object ArrowIo {
     case t => fromArrowType(t)
   }
 
+  /** Arrow custom field metadata (only the graft.dtype tag for now) back
+    * into Spark StructField metadata — the read half of the dtype-tag
+    * round-trip. */
+  private def sparkMetaOf(f: Field): Metadata = {
+    val tag = Option(f.getMetadata).flatMap(m =>
+      Option(m.get(graft.ops.Dtypes.TagKey)))
+    tag match {
+      case Some(t) => new MetadataBuilder()
+        .putString(graft.ops.Dtypes.TagKey, t).build()
+      case None => Metadata.empty
+    }
+  }
+
   def fromArrowSchema(schema: ArrowSchema): StructType =
     StructType(schema.getFields.asScala.map(f =>
-      StructField(f.getName, fromArrowField(f), f.isNullable)).toArray)
+      StructField(f.getName, fromArrowField(f), f.isNullable,
+        sparkMetaOf(f))).toArray)
 
   // ---- row -> vector ------------------------------------------------------
 
@@ -396,8 +424,12 @@ object ArrowIo {
             provider.put(new Dictionary(dv, enc))
             dictVectors += dv
             idxMaps(f.name) = m
+            val md = graft.ops.Dtypes.tagOf(schema, f.name).map { tag =>
+              val m = new java.util.HashMap[String, String]()
+              m.put(graft.ops.Dtypes.TagKey, tag); m
+            }.orNull
             new Field(f.name,
-              new FieldType(f.nullable, new ArrowType.Int(32, true), enc),
+              new FieldType(f.nullable, new ArrowType.Int(32, true), enc, md),
               java.util.Collections.emptyList[Field]())
           case None => toArrowField(f)
         }
@@ -563,8 +595,10 @@ object ArrowIo {
               "available (zero-row stream-framed file? its value type is " +
               "unrecoverable — use file framing for empty dict-encoded data)")
           StructField(f.getName,
-            fromArrowType(dict.getVector.getField.getType), f.isNullable)
-        case None => StructField(f.getName, fromArrowField(f), f.isNullable)
+            fromArrowType(dict.getVector.getField.getType), f.isNullable,
+            sparkMetaOf(f))
+        case None => StructField(f.getName, fromArrowField(f), f.isNullable,
+          sparkMetaOf(f))
       }
     }.toArray)
   }

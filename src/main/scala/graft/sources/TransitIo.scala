@@ -238,9 +238,15 @@ object TransitIo {
             val s = if (r.isNullAt(ci)) "" else r.getString(ci)
             seen.getOrElseUpdate(s, { table += s; table.length - 1 })
           }
-          ("string", mutable.LinkedHashMap[Any, Any](
-            Kw("strtable") -> table.toSeq,
-            Kw("indexes") -> b64LE(n, bb => idxs.foreach(bb.putInt), 4)))
+          // logical dtype tags (keyword/symbol/uuid) ride the column's
+          // :datatype keyword over the same string-table encoding — the
+          // reference's transit flavor keeps the column dtype in
+          // :metadata :datatype and force-datatypes it back on read
+          // (clj_transit.clj data->dataset)
+          (graft.ops.Dtypes.tagOf(df.schema, f.name).getOrElse("string"),
+            mutable.LinkedHashMap[Any, Any](
+              Kw("strtable") -> table.toSeq,
+              Kw("indexes") -> b64LE(n, bb => idxs.foreach(bb.putInt), 4)))
         case other => throw new IllegalArgumentException(
           s"transit write: unsupported column type $other (${f.name})")
       }
@@ -329,9 +335,25 @@ object TransitIo {
           s"transit read: column data $other")
       }
     }
+    // logical dtype tags back into StructField metadata (read half of
+    // the keyword/symbol/uuid round-trip)
+    val tags: Map[String, String] = cols.flatMap { c =>
+      val meta = c(Kw("metadata")).asInstanceOf[mutable.LinkedHashMap[Any, Any]]
+      val nm = meta(Kw("name")) match {
+        case Kw(k) => k
+        case s: String => s
+      }
+      val dt = meta(Kw("datatype")).asInstanceOf[Kw].name
+      if (graft.ops.Dtypes.Tags(dt)) Some(nm -> dt) else None
+    }.toMap
     val nRows = decoded.headOption.map(_._3.length).getOrElse(0)
     val schema = StructType(decoded.map { case (nm, dt, _) =>
-      StructField(nm, dt, nullable = true)
+      val md = tags.get(nm) match {
+        case Some(t) => new MetadataBuilder()
+          .putString(graft.ops.Dtypes.TagKey, t).build()
+        case None => Metadata.empty
+      }
+      StructField(nm, dt, nullable = true, md)
     })
     val rows = (0 until nRows).map { i =>
       Row.fromSeq(decoded.map(_._3(i)))
