@@ -74,12 +74,19 @@ object Rolling {
     * `aggs` entries are (outputCol, valueCol, reducer) — the reducer gets
     * the joined value column (e.g. `c => avg(c)`). Rows with a NULL time
     * keep their row but get NULL aggregates (left join back). `unit` ∈
-    * months | years (years = 12·span months; identical clamp rule). */
+    * months | years (years = 12·span months; identical clamp rule).
+    * `position` mirrors the reference's `:relative-window-position` for
+    * variable windows: Left (default) = trailing `[t − span, t]`, Right =
+    * leading `[t, t + span]` (Center is not defined for calendar spans —
+    * half a month is not a calendar quantity). */
   def rollingRangeCalendar(df: DataFrame, timeCol: String, span: Int,
                            unit: String, part: Seq[String],
-                           aggs: Seq[(String, String, Column => Column)]): DataFrame = {
+                           aggs: Seq[(String, String, Column => Column)],
+                           position: Position = Left): DataFrame = {
     require(span >= 1, s"rollingRangeCalendar: span must be >= 1, got $span")
     require(aggs.nonEmpty, "rollingRangeCalendar: no reducers given")
+    require(position != Center,
+      "rollingRangeCalendar: Center is undefined for calendar units")
     val months = unit match {
       case "months" => span
       case "years"  => span * 12
@@ -89,23 +96,32 @@ object Rolling {
     val isDate =
       df.schema(timeCol).dataType == org.apache.spark.sql.types.DateType
     def mIdx(c: Column): Column = year(c) * lit(12) + month(c) - lit(1)
-    val lowerBound =
-      if (isDate) add_months(col("__anchor_t"), -months)
-      else expr(s"timestampadd(MONTH, ${-months}, __anchor_t)")
+    def shifted(m: Int): Column =
+      if (isDate) add_months(col("__anchor_t"), m)
+      else expr(s"timestampadd(MONTH, $m, __anchor_t)")
+    val farBound = shifted(if (position == Left) -months else months)
     val anchors = df
       .select((part.map(col) :+ col(timeCol).as("__anchor_t")): _*)
       .filter(col("__anchor_t").isNotNull).distinct()
-      .withColumn("__lb", lowerBound)
+      .withColumn("__fb", farBound)
       .withColumn("__b", mIdx(col("__anchor_t")))
     val valueCols = aggs.map(_._2).distinct
+    // replication: a value row in month slot m can serve anchors whose
+    // slot is in [m, m+span] for trailing windows, [m−span, m] for leading
+    val (repLo, repHi) =
+      if (position == Left) (lit(0), lit(months)) else (lit(-months), lit(0))
     val rv = df
       .select((part.map(col) :+ col(timeCol).as("__rt")) ++
         valueCols.map(c => col(c).as(s"__rv_$c")): _*)
       .filter(col("__rt").isNotNull)
       .withColumn("__b",
-        explode(sequence(mIdx(col("__rt")), mIdx(col("__rt")) + lit(months))))
-    val joined = anchors.join(rv, part :+ "__b")
-      .filter(col("__rt") >= col("__lb") && col("__rt") <= col("__anchor_t"))
+        explode(sequence(mIdx(col("__rt")) + repLo, mIdx(col("__rt")) + repHi)))
+    val rangePred =
+      if (position == Left)
+        col("__rt") >= col("__fb") && col("__rt") <= col("__anchor_t")
+      else
+        col("__rt") >= col("__anchor_t") && col("__rt") <= col("__fb")
+    val joined = anchors.join(rv, part :+ "__b").filter(rangePred)
     val aggExprs = aggs.map { case (out, vc, fn) =>
       fn(col(s"__rv_$vc")).as(out) }
     val agged = joined

@@ -222,6 +222,46 @@ class CoreOpsSpec extends SparkSuite {
     }
   }
 
+  test("rollingRangeCalendar: leading (Right) windows, years unit, DateType") {
+    // Right position: window [t, t + span]; years = 12·span months with
+    // the same clamp; date-typed axis goes through add_months
+    val df = Seq(
+      (1, "2019-02-28"), (2, "2020-02-29"), (3, "2021-02-28"),
+      (4, "2021-06-30"))
+      .toDF("id", "d")
+      .withColumn("d", col("d").cast("date"))
+      .withColumn("v", col("id").cast("double"))
+    // 1-year leading window anchored 2019-02-28: ub = 2020-02-28 — the
+    // 2020-02-29 leap-day row is OUTSIDE (strictly after the clamp-free
+    // bound); anchored 2020-02-29: ub = 2021-02-28 (clamped) INCLUDES
+    // 2021-02-28
+    val out = Rolling.rollingRangeCalendar(df, "d", 1, "years", Seq(),
+      Seq(("n", "id", c => count(c))), position = Rolling.Right)
+      .orderBy("id").collect().map(_.getAs[Long]("n"))
+    assert(out.toSeq == Seq(1L, 2L, 2L, 1L))
+  }
+
+  test("rollingRangeCalendar: leading windows equal brute force, keyed") {
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 200).map { i =>
+      (i, s"k${rnd.nextInt(3)}", java.sql.Timestamp.valueOf(
+        f"${2020 + rnd.nextInt(2)}-${1 + rnd.nextInt(12)}%02d-" +
+          f"${1 + rnd.nextInt(28)}%02d 00:00:00"),
+        rnd.nextInt(50).toDouble)
+    }
+    val df = rows.toDF("id", "k", "t", "v").repartition(5)
+    val got = Rolling.rollingRangeCalendar(df, "t", 2, "months", Seq("k"),
+      Seq(("sv", "v", c => sum(c))), position = Rolling.Right)
+      .select("id", "sv").collect()
+      .map(r => r.getInt(0) -> r.getAs[Double]("sv")).toMap
+    rows.foreach { case (id, k, t, _) =>
+      val ub = t.toLocalDateTime.plusMonths(2)
+      val in = rows.filter(r => r._2 == k &&
+        !r._3.before(t) && !r._3.toLocalDateTime.isAfter(ub))
+      assert(got(id) == in.map(_._4).sum, s"row $id anchor $t")
+    }
+  }
+
   test("rolling clamp matches hand-computed reference semantics") {
     // values 1,2,3,4 / window 3 trailing, clamp-left:
     // row0: [1,1,1]=3; row1: [1,1,2]=4; row2: [1,2,3]=6; row3: [2,3,4]=9
