@@ -898,6 +898,34 @@ object ExtQueries {
         .orderBy(col("r").desc, col("id")).limit(20)
     },
 
+    // Categorical naive Bayes (tribuo.clj classifier surface): priors +
+    // Laplace-smoothed per-(feature,value,class) counts, log-free product
+    // scoring in one pinned op sequence, ties to the first sorted label.
+    // Train and self-predict on orders; the confusion matrix (pure
+    // integers) is the oracle surface.
+    "q288_naive_bayes" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .withColumn("pb",
+          floor(col("o_totalprice") / lit(100000.0)).cast(LongType)
+            .cast(StringType))
+      val m = graft.ops.Ml.fitNaiveBayes(o,
+        Seq("o_orderpriority", "pb"), "o_orderstatus")
+      m.predict(o)
+        .groupBy(col("o_orderstatus").as("actual"), col("nb_pred").as("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("actual"), col("pred"))
+    },
+
+    // Label-propagation communities over the trading graph (deterministic
+    // min-label tie-break, 3 synchronous rounds — a pure function of the
+    // edge set, replayed round by round in SQL).
+    "q287_label_propagation" -> { (s, dir) =>
+      Graph.labelPropagation(
+        Graph.tradingPairsGraph(t(s, dir, "orders"), t(s, dir, "lineitem")),
+        "src", "dst", iters = 3)
+        .orderBy(col("id"))
+    },
+
     // Autocorrelation of the event value series at lags 1..3 (per-user
     // series, pooled pairs) — exact scaled co-moment sums.
     "q150_acf" -> { (s, dir) =>
@@ -3517,6 +3545,79 @@ object ExtQueries {
          $iters
          SELECT id, CAST(r AS BIGINT) AS r FROM r5
          ORDER BY r DESC, id LIMIT 20"""
+    },
+
+    // mirrors Ml.fitNaiveBayes/predict: identical count tables, the same
+    // left-fold product ((prior/total) * f0term) * f1term with literal
+    // integer denominators, and the >=-chain argmax = ties to the first
+    // sorted label (o_orderstatus is always {F,O,P} in TPC-H shapes).
+    "q288_naive_bayes" ->
+      """WITH b AS (SELECT o_orderstatus AS y, o_orderpriority AS f0,
+             CAST(CAST(FLOOR(o_totalprice / 100000.0) AS BIGINT) AS VARCHAR) AS f1
+           FROM orders),
+         pri AS (SELECT
+             CAST(SUM(CASE WHEN y = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS nf,
+             CAST(SUM(CASE WHEN y = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS no,
+             CAST(SUM(CASE WHEN y = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(COUNT(*) AS BIGINT) AS t FROM b),
+         v AS (SELECT CAST(COUNT(DISTINCT f0) AS BIGINT) AS v0,
+             CAST(COUNT(DISTINCT f1) AS BIGINT) AS v1 FROM b),
+         p0 AS (SELECT f0 AS val,
+             SUM(CASE WHEN y = 'F' THEN 1 ELSE 0 END) AS cf,
+             SUM(CASE WHEN y = 'O' THEN 1 ELSE 0 END) AS co,
+             SUM(CASE WHEN y = 'P' THEN 1 ELSE 0 END) AS cp
+           FROM b GROUP BY 1),
+         p1 AS (SELECT f1 AS val,
+             SUM(CASE WHEN y = 'F' THEN 1 ELSE 0 END) AS cf,
+             SUM(CASE WHEN y = 'O' THEN 1 ELSE 0 END) AS co,
+             SUM(CASE WHEN y = 'P' THEN 1 ELSE 0 END) AS cp
+           FROM b GROUP BY 1),
+         s AS (SELECT b.y AS actual,
+             ((CAST(pri.nf AS DOUBLE) / CAST(pri.t AS DOUBLE))
+               * ((CAST(COALESCE(p0.cf, 0) AS DOUBLE) + 1.0)
+                  / CAST(pri.nf + v.v0 AS DOUBLE)))
+               * ((CAST(COALESCE(p1.cf, 0) AS DOUBLE) + 1.0)
+                  / CAST(pri.nf + v.v1 AS DOUBLE)) AS sf,
+             ((CAST(pri.no AS DOUBLE) / CAST(pri.t AS DOUBLE))
+               * ((CAST(COALESCE(p0.co, 0) AS DOUBLE) + 1.0)
+                  / CAST(pri.no + v.v0 AS DOUBLE)))
+               * ((CAST(COALESCE(p1.co, 0) AS DOUBLE) + 1.0)
+                  / CAST(pri.no + v.v1 AS DOUBLE)) AS so,
+             ((CAST(pri.np AS DOUBLE) / CAST(pri.t AS DOUBLE))
+               * ((CAST(COALESCE(p0.cp, 0) AS DOUBLE) + 1.0)
+                  / CAST(pri.np + v.v0 AS DOUBLE)))
+               * ((CAST(COALESCE(p1.cp, 0) AS DOUBLE) + 1.0)
+                  / CAST(pri.np + v.v1 AS DOUBLE)) AS sp
+           FROM b
+           LEFT JOIN p0 ON b.f0 = p0.val
+           LEFT JOIN p1 ON b.f1 = p1.val
+           CROSS JOIN pri CROSS JOIN v)
+         SELECT actual,
+           CASE WHEN sf >= so AND sf >= sp THEN 'F'
+                WHEN so >= sp THEN 'O' ELSE 'P' END AS pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM s GROUP BY 1, 2 ORDER BY actual, pred""",
+
+    // mirrors Graph.labelPropagation: 3 synchronous rounds, most-frequent
+    // neighbor label with min-label ties (row_number ORDER BY c DESC,
+    // lbl ASC) over the same symmetric trading-pairs edge set as q149.
+    "q287_label_propagation" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""l$k AS (SELECT a AS id, lbl FROM (
+             SELECT e.a, l.lbl, COUNT(*) AS c,
+               row_number() OVER (PARTITION BY e.a
+                 ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+             FROM e JOIN l${k - 1} l ON e.b = l.id
+             GROUP BY e.a, l.lbl) t WHERE rn = 1)"""
+      }.mkString(",\n         ")
+      s"""WITH pairs AS (
+           SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS (SELECT cnode AS a, snode AS b FROM pairs
+               UNION ALL SELECT snode, cnode FROM pairs),
+         l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM e),
+         $rounds
+         SELECT id, lbl AS community FROM l3 ORDER BY id"""
     },
 
     // mirrors Stats.acf: keyed lag windows, pooled pairs per lag, the

@@ -410,6 +410,24 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // HTML/markup stripping — the crawl→text extraction gate. The corpus
+    // is plain text, so each doc is DECORATED into an HTML payload first
+    // (q124 policy: scripts/styles with angle brackets inside, attributes,
+    // comments, a double-encodable entity), then stripMarkup recovers the
+    // prose and markupStats reports the markup share.
+    "q286_strip_markup" -> { (s, dir) =>
+      val html = t(s, dir, "documents").withColumn("html",
+        concat(lit("<html><head><style>p{color:red}</style></head>" +
+            "<body data-id=\""),
+          col("doc_id").cast(StringType),
+          lit("\"><p>"),
+          regexp_replace(col("text"), " the ", " &amp;the "),
+          lit("</p><br/><script type=\"text/javascript\">var x = 1 < 2;" +
+            "</script><!-- trailer --></body></html>")))
+      TextStats.markupStats(html, "doc_id", "html")
+        .orderBy(col("doc_id"))
+    },
+
     // embedding outliers vs label centroid (mean + 2σ distance gate).
     "q131_embedding_outliers" -> { (s, dir) =>
       Similarity.centroidOutliers(t(s, dir, "embeddings"), "vec_id",
@@ -1774,6 +1792,46 @@ object LlmQueries {
            CAST(list_sum(tcs) AS DOUBLE) / len(tcs) AS mean_sent_tokens,
            CAST(list_max(tcs) AS INT) AS max_sent_tokens
          FROM tc ORDER BY doc_id""",
+
+    // mirrors TextStats.stripMarkup step by step: script/style elements,
+    // comments, tags, the six entities (&amp; last), [ \t\n\r]+ collapse —
+    // identical pattern strings, 'g' because DuckDB replaces first-only
+    // by default where Spark replaces all.
+    "q286_strip_markup" ->
+      """WITH h AS (SELECT doc_id,
+           '<html><head><style>p{color:red}</style></head><body data-id="'
+             || CAST(doc_id AS VARCHAR) || '"><p>'
+             || regexp_replace(text, ' the ', ' &amp;the ', 'g')
+             || '</p><br/><script type="text/javascript">var x = 1 < 2;</script><!-- trailer --></body></html>'
+             AS html
+         FROM documents),
+         s AS (SELECT doc_id, html,
+           trim(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(html,
+                 '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]*>', ' ', 'g'),
+               '&nbsp;', ' ', 'g'),
+               '&lt;', '<', 'g'),
+               '&gt;', '>', 'g'),
+               '&quot;', '"', 'g'),
+               '&#39;', '''', 'g'),
+               '&amp;', '&', 'g'),
+             '[ \t\n\r]+', ' ', 'g')) AS text
+         FROM h)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+           CAST(length(html) AS BIGINT) AS raw_len,
+           CAST(length(text) AS BIGINT) AS text_len,
+           CASE WHEN length(html) > 0
+             THEN (10000 * (CAST(length(html) AS BIGINT)
+                            - CAST(length(text) AS BIGINT)))
+                  // CAST(length(html) AS BIGINT)
+             ELSE 0 END AS markup_bp,
+           text
+         FROM s ORDER BY doc_id""",
 
     // centroid means and distance sums replay the floor-scaled exact-sum
     // forms; the mean+2σ gate repeats the identical IEEE op sequence.

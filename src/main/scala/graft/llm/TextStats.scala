@@ -573,6 +573,50 @@ object TextStats {
     concat(lower(prefix), regexp_replace(path, "/$", ""))
   }
 
+  /** HTML/markup stripping — the crawl→text extraction step that runs
+    * BEFORE every quality/dedup filter in a web-scale pretraining
+    * pipeline (raw Common-Crawl-style payloads are markup, not prose).
+    * Pure per-row regexp kernel (no UDF, RE2-compatible patterns like
+    * [[redactPii]] so the DuckDB mirror replays it verbatim):
+    *   1. drop <script>/<style> ELEMENTS including their content
+    *      ((?is) non-greedy — their text is code, not prose);
+    *   2. drop HTML comments;
+    *   3. replace every remaining <...> tag with a space (block/inline
+    *      distinction doesn't survive whitespace collapse anyway);
+    *   4. decode the six ubiquitous entities, &amp; LAST so
+    *      double-encoded text decodes one level per pass (standard);
+    *   5. collapse [ \t\n\r]+ runs to one space and trim (an explicit
+    *      class, not \s — Java and RE2 disagree on \v). */
+  def stripMarkup(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+  }
+
+  /** Per-doc markup extraction report: tag count, raw/stripped lengths,
+    * and the markup share 1 − stripped/raw — the "mostly boilerplate"
+    * gate a crawl pipeline applies right after [[stripMarkup]]. One map
+    * pass; integer ratio in basis points so the oracle replays exactly. */
+  def markupStats(df: DataFrame, idCol: String, htmlCol: String)
+      : DataFrame = {
+    val raw = col(htmlCol)
+    val stripped = stripMarkup(raw)
+    df.select(col(idCol),
+      regexp_count(raw, lit("<[^>]*>")).cast(LongType).as("n_tags"),
+      length(raw).cast(LongType).as("raw_len"),
+      length(stripped).cast(LongType).as("text_len"),
+      stripped.as("text"))
+      .withColumn("markup_bp",
+        when(col("raw_len") > 0,
+          expr("(10000 * (raw_len - text_len)) div raw_len"))
+          .otherwise(lit(0L)))
+  }
+
   /** Per-host URL dedup report over [[canonicalUrl]]: raw URL count,
     * canonical-distinct count, and the dup share the canonicalization
     * recovered. One keyed aggregation after the per-row kernel. */

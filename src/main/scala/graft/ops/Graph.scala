@@ -146,6 +146,54 @@ object Graph {
     ranks.select(col("id"), col("r"))
   }
 
+  /** Synchronous LABEL-PROPAGATION community detection (Raghavan et al.
+    * 2007, the near-linear-time community baseline): every node starts
+    * as its own label; each round, every node adopts the most frequent
+    * label among its neighbors, ties broken to the SMALLEST label — the
+    * deterministic variant (the original's random tie-break is
+    * irreproducible across cluster sizes, so this engine pins min-label,
+    * making `iters` rounds a pure function of the edge set that any
+    * engine replays). Communities ≈ dense regions; the label propagation
+    * frontier is how web-scale corpus curation groups mutually-linked
+    * site clusters without an O(n²) similarity pass.
+    *
+    * Input edge list is symmetrized (both directions), deduped, and
+    * self-loops dropped. Returns (id, community) over every endpoint.
+    *
+    * Plan at scale: the symmetric edge frame is hash-partitioned on the
+    * neighbor key and persisted ONCE; each round is one co-partitioned
+    * join (labels ⋈ edges on b), a keyed count, and a struct-max argmax
+    * (max count, min label) — two shuffles per round, O(|E|) rows, no
+    * window. Single consumption of the label frame per round keeps the
+    * lazy plan linear; `checkpointEvery` bounds analysis depth on deep
+    * runs (the [[pageRank]] lineage lesson). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 3, checkpointEvery: Int = 2)
+      : DataFrame = {
+    require(iters >= 1 && checkpointEvery >= 1)
+    val e0 = edges.select(col(srcCol).cast(LongType).as("a"),
+        col(dstCol).cast(LongType).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+    val e = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .repartition(col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    for (i <- 1 to iters) {
+      val nb = e.join(labels, e("b") === labels("id"))
+        .groupBy(col("a"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      labels = nb.groupBy(col("a"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("a").as("id"), (-col("m.nl")).as("lbl"))
+      if (i % checkpointEvery == 0 && i < iters)
+        labels = labels.localCheckpoint(true)
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
+
   /** Per-node triangle counts over an undirected graph given as a
     * directed edge list (direction and duplicates are collapsed to the
     * canonical a < b form; self-loops dropped). A triangle {x < y < z}

@@ -1037,6 +1037,97 @@ object Ml {
     def transform(df: DataFrame): DataFrame = predict(df)
   }
 
+  /** Categorical (multinomial) NAIVE BAYES — the count-based classifier
+    * the reference's tribuo.clj surface exposes for discrete features.
+    * Entirely integer at fit time: class priors n_c and per-(feature,
+    * value, class) counts with add-one (Laplace) smoothing,
+    * P(v|c) = (count + 1)/(n_c + V_f). Scoring is the LOG-FREE product
+    * form (this engine's no-transcendental policy — log/exp would cost
+    * cross-engine libm parity): score_c = (n_c/N)·Π_f P(v_f|c) as ONE
+    * pinned multiplication sequence in feature order, so the oracle
+    * replays every double bit-for-bit; argmax ties break to the
+    * FIRST label in sorted order. Unseen values at predict time get the
+    * pure-smoothing likelihood 1/(n_c + V_f) (standard).
+    *
+    * Scale: fit = one count aggregation per feature (driver reads
+    * O(Σ cardinalities) rows, bounded); predict = one BROADCAST join per
+    * feature against its O(V_f) value table + pure column arithmetic —
+    * no shuffle of the scored frame at all. */
+  case class NaiveBayesModel(features: Seq[String], labels: Seq[String],
+                             priors: Seq[Long], total: Long,
+                             cards: Seq[Long],
+                             tables: Seq[Seq[(String, Seq[Long])]])
+      extends DatasetTransform {
+    def predict(df: DataFrame, out: String = "nb_pred"): DataFrame = {
+      val spark = df.sparkSession
+      val k = labels.length
+      val joined = features.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
+        val schema = StructType(StructField(s"__nbv_$i", StringType) +:
+          labels.indices.map(j => StructField(s"__nbc_${i}_$j", LongType)))
+        val rows = tables(i).map { case (v, cnts) =>
+          org.apache.spark.sql.Row.fromSeq(v +: cnts)
+        }
+        val tbl = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), schema)
+        d.join(broadcast(tbl),
+          col(f).cast(StringType) === col(s"__nbv_$i"), "left")
+      }
+      val scores = labels.indices.map { j =>
+        features.indices.foldLeft(
+          lit(priors(j).toDouble) / lit(total.toDouble)) { (acc, i) =>
+          acc * ((coalesce(col(s"__nbc_${i}_$j"), lit(0L))
+            .cast(DoubleType) + lit(1.0)) /
+            lit(priors(j).toDouble + cards(i).toDouble))
+        }
+      }
+      // argmax, ties to the first (sorted) label: max on (score, −index)
+      val best = array_max(array(scores.zipWithIndex.map { case (s, j) =>
+        struct(s.as("s"), lit(-j).as("nj"))
+      }: _*))
+      val labelArr = array(labels.map(lit): _*)
+      joined
+        .withColumn(out,
+          element_at(labelArr, (-best.getField("nj") + 1).cast(IntegerType)))
+        .drop((features.indices.flatMap(i =>
+          s"__nbv_$i" +: labels.indices.map(j => s"__nbc_${i}_$j"))): _*)
+    }
+    def transform(df: DataFrame): DataFrame = predict(df)
+  }
+
+  /** Fit: per feature one (value, class) count aggregation; classes and
+    * priors from one more. Rows with a null label or any null feature are
+    * excluded (the fitNearestCentroid contract). */
+  def fitNaiveBayes(df: DataFrame, features: Seq[String],
+                    labelCol: String): NaiveBayesModel = {
+    require(features.nonEmpty, "fitNaiveBayes: no features")
+    val complete = (col(labelCol).isNotNull +:
+      features.map(c => col(c).isNotNull)).reduce(_ && _)
+    val base = df.filter(complete)
+      .select(col(labelCol).cast(StringType).as("__y") +:
+        features.zipWithIndex.map { case (f, i) =>
+          col(f).cast(StringType).as(s"__f$i") }: _*)
+    val priorRows = base.groupBy(col("__y")).agg(count(lit(1)).as("n"))
+      .collectBounded(1 << 16, "O(classes) prior frame")
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(priorRows.nonEmpty, "fitNaiveBayes: no complete training rows")
+    val labels = priorRows.map(_._1).toSeq
+    val priors = priorRows.map(_._2).toSeq
+    val total = priors.sum
+    val labelIdx = labels.zipWithIndex.toMap
+    val tabs = features.indices.map { i =>
+      val rows = base.groupBy(col(s"__f$i").as("v"), col("__y"))
+        .agg(count(lit(1)).as("n"))
+        .collectBounded(1 << 20, "O(cardinality × classes) count table")
+      rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (v, rs) =>
+        val cnts = Array.fill(labels.length)(0L)
+        rs.foreach(r => cnts(labelIdx(r.getString(1))) = r.getLong(2))
+        v -> cnts.toSeq
+      }
+    }
+    NaiveBayesModel(features, labels, priors, total,
+      tabs.map(_.length.toLong), tabs)
+  }
+
   /** Fit = one groupBy(label) exact-sum aggregation; the driver reads back
     * O(classes · d) scalars. Null-labeled or incomplete rows are excluded
     * (the reference's missing-label rows cannot form Tribuo examples either). */

@@ -581,6 +581,30 @@ class LlmOpsSpec extends SparkSuite {
     assert(out(4L)._1 == "<EMAIL> and <IP> and <PHONE>" && out(4L)._2 == 3)
   }
 
+  test("stripMarkup: scripts/styles/comments/entities/whitespace hand cases") {
+    val d = Seq(
+      (1L, "<p>hello <b>world</b></p>"),
+      (2L, "<script>if (a < b) { x(); }</script>keep<style>p{}</style>me"),
+      (3L, "a &amp;amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;end"),
+      (4L, "<!-- gone --><div\nclass='x'>multi\n\n  line</div>"),
+      (5L, "no markup at all")
+    ).toDF("id", "html")
+    val out = d.select(col("id"), TextStats.stripMarkup(col("html")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "hello world")
+    assert(out(2L) == "keep me", "script content incl. '<' must vanish")
+    // &amp;amp; decodes ONE level (amp last): "&amp;"
+    assert(out(3L) == "a &amp; b <tag> \"q\" 's' end")
+    assert(out(4L) == "multi line")
+    assert(out(5L) == "no markup at all")
+    val stats = TextStats.markupStats(d, "id", "html")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tags"), r.getAs[Long]("markup_bp")))).toMap
+    assert(stats(1L)._1 == 4L)
+    assert(stats(5L) == ((0L, 0L)))
+    assert(stats(2L)._2 > 5000L, "mostly-markup doc must show a high share")
+  }
+
   test("langId mechanism: marker words drive prediction") {
     val out = TextStats.withLangId(Seq(
       (1L, "der hund ist nicht mit der katze"),

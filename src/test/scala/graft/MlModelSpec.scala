@@ -86,6 +86,42 @@ class MlModelSpec extends SparkSuite {
     }
   }
 
+  test("naive bayes: hand-computed posteriors, unseen values, tie to first") {
+    // 6 rows, one feature: P(c|A) dominated by the A-heavy class
+    //   class "x": f = A,A,B   class "y": f = B,B,B
+    val df = Seq(("x", "A"), ("x", "A"), ("x", "B"),
+      ("y", "B"), ("y", "B"), ("y", "B")).toDF("lab", "f")
+    val m = Ml.fitNaiveBayes(df, Seq("f"), "lab")
+    assert(m.labels == Seq("x", "y") && m.priors == Seq(3L, 3L))
+    assert(m.cards == Seq(2L))
+    val pred = m.predict(Seq(("A"), ("B"), ("Z")).toDF("f"))
+      .select("f", "nb_pred").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // A: x has (2+1)/(3+2)=0.6 vs y (0+1)/5=0.2 → x
+    assert(pred("A") == "x")
+    // B: x (1+1)/5=0.4 vs y (3+1)/5=0.8 → y
+    assert(pred("B") == "y")
+    // Z unseen: both fall to 1/(3+2) — exact tie → first sorted label
+    assert(pred("Z") == "x")
+  }
+
+  test("naive bayes: two features improve over either alone (sanity)") {
+    val rnd = new scala.util.Random(37)
+    val rows = (0 until 400).map { i =>
+      val c = if (i % 2 == 0) "p" else "q"
+      val f1 = if (c == "p") (if (rnd.nextInt(10) < 8) "u" else "v")
+               else (if (rnd.nextInt(10) < 8) "v" else "u")
+      val f2 = if (c == "p") (if (rnd.nextInt(10) < 7) "s" else "t")
+               else (if (rnd.nextInt(10) < 7) "t" else "s")
+      (c, f1, f2)
+    }
+    val df = rows.toDF("lab", "f1", "f2")
+    val m = Ml.fitNaiveBayes(df, Seq("f1", "f2"), "lab")
+    val acc = m.predict(df)
+      .filter(col("nb_pred") === col("lab")).count().toDouble / rows.size
+    assert(acc > 0.7, s"accuracy $acc")
+  }
+
   test("nearest centroid separates clean clusters; ties go to first label") {
     val df = spark.range(0, 300)
       .select(when(col("id") % 2 === 0, "lo").otherwise("hi").as("lab"),

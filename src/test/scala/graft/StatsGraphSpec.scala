@@ -13,6 +13,42 @@ class StatsGraphSpec extends SparkSuite {
   init()
   import spark.implicits._
 
+  test("labelPropagation: two triangles + bridge settle into two communities") {
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3-4; one direction
+    // given — the op symmetrizes. With min-label ties, each triangle
+    // floods to its own minimum; the bridge can't overturn in-triangle
+    // majorities.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).map(got).distinct.size == 1, s"left: $got")
+    assert(Seq(5L, 6L).map(got).distinct.size == 1, s"right: $got")
+    assert(got(1L) != got(5L), s"communities merged: $got")
+  }
+
+  test("labelPropagation: equals a sequential synchronous simulation, " +
+    "partition-invariant") {
+    val rnd = new scala.util.Random(31)
+    val pairs = (0 until 120).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).filter(p => p._1 != p._2)
+    val sym = (pairs ++ pairs.map(_.swap)).distinct
+    val nbrs = sym.groupBy(_._1).map { case (a, es) => a -> es.map(_._2) }
+    var lbl: Map[Long, Long] = nbrs.keys.map(k => k -> k).toMap
+    for (_ <- 1 to 3) {
+      lbl = nbrs.map { case (a, ns) =>
+        val counts = ns.groupBy(lbl).map { case (l, xs) => (l, xs.size) }
+        a -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    for (parts <- Seq(1, 7)) {
+      val got = Graph.labelPropagation(
+          pairs.toDF("src", "dst").repartition(parts), "src", "dst", iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == lbl, s"parts=$parts")
+    }
+  }
+
   test("pageRank: two-node symmetric graph converges to equal ranks") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val r = Graph.pageRank(edges, "src", "dst", iters = 5, damp = 85)
