@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Display, Joins, Missing, Reductions}
+import graft.ops.{Display, Joins, Missing, Reductions, Rolling}
 import graft.ops.TableOps._
 
 /** JAVA-FACING API FACADE — the analog of the reference's
@@ -176,4 +176,56 @@ object Graft {
   /** The reference's print format (markdown-ish table). */
   def datasetToString(df: DataFrame, name: String): String =
     Display.datasetToStr(df, name)
+
+  // ---- round-15 surface --------------------------------------------------
+
+  /** Calendar-unit trailing rolling window: for every row, `fn:column`
+    * reducers (sum | mean | min | max | count) over partition rows whose
+    * `timeCol` lies in [t − span·unit, t] (clamped calendar arithmetic);
+    * `unit` ∈ months | years. `aggSpecs` maps output name → "fn:column". */
+  def rollingCalendar(df: DataFrame, timeCol: String, span: Int,
+                      unit: String, part: ju.List[String],
+                      aggSpecs: ju.Map[String, String]): DataFrame = {
+    val aggs = aggSpecs.entrySet().asScala.toSeq.map { e =>
+      val parts = e.getValue.split(":", 2)
+      if (parts.length != 2) throw new IllegalArgumentException(
+        s"malformed agg spec '${e.getValue}' for output column " +
+          s"'${e.getKey}': expected 'fn:column'")
+      val fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        parts(0) match {
+          case "sum" => sum(_)
+          case "mean" => avg(_)
+          case "min" => min(_)
+          case "max" => max(_)
+          case "count" => count(_)
+          case other => throw new IllegalArgumentException(
+            s"unknown rolling fn '$other' in '${e.getValue}'")
+        }
+      (e.getKey, parts(1), fn)
+    }
+    Rolling.rollingRangeCalendar(df, timeCol, span, unit,
+      part.asScala.toSeq, aggs)
+  }
+
+  /** Tag + canonicalize a logical dtype column (keyword | symbol | uuid);
+    * the tag rides StructField metadata through Snapshot/Arrow/Transit. */
+  def parseTagged(df: DataFrame, column: String, tag: String): DataFrame =
+    graft.ops.Dtypes.parseTagged(df, column, tag)
+
+  /** Deterministic label-propagation communities (min-label ties). */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+                       iters: Int): DataFrame =
+    graft.ops.Graph.labelPropagation(edges, src, dst, iters)
+
+  /** Fit categorical naive Bayes and predict `outCol` on `score`. */
+  def naiveBayesPredict(train: DataFrame, features: ju.List[String],
+                        labelCol: String, score: DataFrame,
+                        outCol: String): DataFrame =
+    graft.ops.Ml.fitNaiveBayes(train, features.asScala.toSeq, labelCol)
+      .predict(score, outCol)
+
+  /** Strip HTML/markup from a string column into `outCol`. */
+  def stripMarkup(df: DataFrame, column: String,
+                  outCol: String): DataFrame =
+    df.withColumn(outCol, graft.llm.TextStats.stripMarkup(col(column)))
 }

@@ -75,5 +75,40 @@ public final class JavaApiCheck {
         Map.of("l_returnflag", "none"));
     check(Graft.dropMissing(filled, List.of("l_returnflag")).count()
         == lineitem.count(), "fill then drop-missing keeps all rows");
+
+    // 5. round-15 surface: calendar rolling, dtype tags, LPA, naive
+    // Bayes, markup stripping
+    LinkedHashMap<String, String> cal = new LinkedHashMap<>();
+    cal.put("n_3m", "count:o_orderkey");
+    Dataset<Row> rolled = Graft.rollingCalendar(orders, "o_orderdate", 3,
+        "months", List.of("o_custkey"), cal);
+    check(rolled.count() == orders.count(),
+        "calendar rolling keeps every row");
+
+    Dataset<Row> tagged = Graft.parseTagged(
+        Graft.renameColumns(
+            Graft.selectColumns(orders, List.of("o_orderpriority")),
+            Map.of("o_orderpriority", "kw")),
+        "kw", "keyword");
+    check(tagged.schema().apply("kw").metadata().contains("graft.dtype"),
+        "dtype tag must land in metadata");
+
+    Dataset<Row> edges = Graft.renameColumns(
+        Graft.selectColumns(orders, List.of("o_custkey", "o_orderkey")),
+        Map.of("o_custkey", "src", "o_orderkey", "dst"));
+    check(Graft.labelPropagation(edges, "src", "dst", 2).count() > 0,
+        "LPA returns a community per node");
+
+    Dataset<Row> nb = Graft.naiveBayesPredict(orders,
+        List.of("o_orderpriority"), "o_orderstatus", orders, "pred");
+    check(java.util.Arrays.asList(nb.columns()).contains("pred"),
+        "NB prediction column must surface");
+
+    Dataset<Row> stripped = Graft.stripMarkup(
+        Graft.renameColumns(
+            Graft.selectColumns(orders, List.of("o_orderpriority")),
+            Map.of("o_orderpriority", "html")),
+        "html", "text");
+    check(stripped.count() == orders.count(), "stripMarkup is per-row");
   }
 }
