@@ -926,6 +926,31 @@ object ExtQueries {
         .orderBy(col("id"))
     },
 
+    // Multi-touch attribution over event journeys: purchases credit the
+    // preceding touches per user under first/last/linear/position models
+    // at once — integer micro-credits, one user-key shuffle.
+    "q289_attribution" -> { (s, dir) =>
+      Behavior.attribution(t(s, dir, "events"), "user_id", "event_type",
+          Seq("ts", "event_id"), "purchase")
+        .orderBy(col("channel"))
+    },
+
+    // mSPRT always-valid sequential A/B monitor (Johari et al.): click vs
+    // view value lift, pooled-variance mixture LR in log form — exact
+    // moments, the single ln floor-scaled at 1e9.
+    "q290_msprt" -> { (s, dir) =>
+      Stats.msprt(t(s, dir, "events"), "value", "event_type",
+        "click", "view", tau2 = 0.01)
+    },
+
+    // Poisson-bootstrap CI for mean document length: B=200 deterministic
+    // md5-derived Poisson(1) weights per doc, replicate means from exact
+    // weighted sums, order-statistic CI over the O(B) frame.
+    "q291_poisson_bootstrap" -> { (s, dir) =>
+      Stats.poissonBootstrapCI(t(s, dir, "documents"), "n_chars",
+        Seq("doc_id"), reps = 200, alpha = 0.05)
+    },
+
     // Autocorrelation of the event value series at lags 1..3 (per-user
     // series, pooled pairs) — exact scaled co-moment sums.
     "q150_acf" -> { (s, dir) =>
@@ -3619,6 +3644,123 @@ object ExtQueries {
          $rounds
          SELECT id, lbl AS community FROM l3 ORDER BY id"""
     },
+
+    // mirrors Behavior.attribution: keyed conversion-counter cumsum,
+    // per-journey rank/size windows, identical integer micro-credits.
+    "q289_attribution" ->
+      """WITH e AS (SELECT user_id, event_type AS channel, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+           FROM events),
+         t1 AS (SELECT *,
+             SUM(is_conv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(is_conv) OVER (PARTITION BY user_id) AS tot
+           FROM e),
+         touch AS (SELECT user_id, channel, ts, event_id, cum + 1 AS j
+           FROM t1 WHERE is_conv = 0 AND cum + 1 <= tot),
+         rk AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id, j
+               ORDER BY ts, event_id) AS pos,
+             COUNT(*) OVER (PARTITION BY user_id, j) AS n
+           FROM touch),
+         cr AS (SELECT channel, user_id, j,
+             CASE WHEN pos = 1 THEN 1000000 ELSE 0 END AS first_c,
+             CASE WHEN pos = n THEN 1000000 ELSE 0 END AS last_c,
+             CAST(FLOOR(1000000.0 / n) AS BIGINT) AS linear_c,
+             CASE WHEN n = 1 THEN 1000000
+                  WHEN n = 2 THEN 500000
+                  WHEN pos = 1 OR pos = n THEN 400000
+                  ELSE CAST(FLOOR(200000.0 / (n - 2)) AS BIGINT) END AS pos_c
+           FROM rk)
+         SELECT channel, CAST(COUNT(*) AS BIGINT) AS touches,
+           CAST(COUNT(DISTINCT (user_id, j)) AS BIGINT)
+             AS conversions_touched,
+           CAST(SUM(first_c) AS BIGINT) AS first_micro,
+           CAST(SUM(last_c) AS BIGINT) AS last_micro,
+           CAST(SUM(linear_c) AS BIGINT) AS linear_micro,
+           CAST(SUM(pos_c) AS BIGINT) AS position_micro
+         FROM cr GROUP BY 1 ORDER BY 1""",
+
+    // mirrors Stats.msprt: same exact floor-scaled moments as q174, the
+    // fixed mixture-LR scalar sequence, the single ln floor-scaled 1e9.
+    "q290_msprt" ->
+      """WITH f AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE event_type IN ('click', 'view')
+             AND value IS NOT NULL AND NOT isnan(value)),
+         agg AS (SELECT
+             CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             CAST(SUM(CASE WHEN g = 'click'
+               THEN CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0)) END)
+               AS DOUBLE) / 1000000.0 AS sx1,
+             CAST(SUM(CASE WHEN g = 'view'
+               THEN CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0)) END)
+               AS DOUBLE) / 1000000.0 AS sx2,
+             CAST(SUM(CASE WHEN g = 'click'
+               THEN CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(38,0)) END)
+               AS DOUBLE) / 1000000.0 AS sxx1,
+             CAST(SUM(CASE WHEN g = 'view'
+               THEN CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(38,0)) END)
+               AS DOUBLE) / 1000000.0 AS sxx2
+           FROM f),
+         s AS (SELECT n1, n2,
+             sx1 / CAST(n1 AS DOUBLE) AS m1, sx2 / CAST(n2 AS DOUBLE) AS m2,
+             ((sxx1 - sx1 * sx1 / CAST(n1 AS DOUBLE)) +
+              (sxx2 - sx2 * sx2 / CAST(n2 AS DOUBLE))) /
+               (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0) AS vp
+           FROM agg),
+         r AS (SELECT n1, n2, m1, m2, (m1 - m2) AS delta,
+             vp * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))
+               AS rho
+           FROM s)
+         SELECT n1, n2, m1 AS mean1, m2 AS mean2, delta,
+           CASE WHEN n1 > 1 AND n2 > 1 THEN rho END AS rho,
+           CASE WHEN n1 > 1 AND n2 > 1 AND rho > 0 THEN
+             CAST(CAST(FLOOR((0.5 * ln(rho / (rho + 0.01)) +
+               0.01 * delta * delta / (2.0 * rho * (rho + 0.01)))
+               * 1000000000.0) AS BIGINT) AS DOUBLE) / 1000000000.0
+           END AS log_lambda
+         FROM r""",
+
+    // mirrors Stats.poissonBootstrapCI: q158's md5-uniform, the same
+    // integer-quantized Poisson(1) CDF thresholds, floor-scaled exact
+    // weighted sums, rank-5/rank-195 order statistics over the B frame.
+    "q291_poisson_bootstrap" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x
+           FROM documents
+           WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))),
+         reps AS (SELECT t.b AS b, base.doc_id, base.x,
+             CAST(concat('0x', substr(md5(concat_ws('#', doc_id, t.b)),
+               1, 15)) AS BIGINT) % 1000000 AS u
+           FROM base CROSS JOIN
+             (SELECT CAST(range AS INT) AS b FROM range(0, 200)) t),
+         w AS (SELECT b, x,
+             CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+                  WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+                  WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+                  WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7
+                  ELSE 8 END AS wt
+           FROM reps),
+         rm AS (SELECT b,
+             CAST(SUM(CAST(FLOOR((CAST(wt AS DOUBLE) * x) * 1000000.0)
+               AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0
+               / CAST(SUM(wt) AS DOUBLE) AS m
+           FROM w GROUP BY b HAVING SUM(wt) > 0),
+         rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS r FROM rm),
+         ci AS (SELECT MAX(CASE WHEN r = 5 THEN m END) AS ci_lo,
+                       MAX(CASE WHEN r = 195 THEN m END) AS ci_hi
+                FROM rk),
+         pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS sx
+           FROM base)
+         SELECT n, CAST(200 AS INT) AS reps,
+           CASE WHEN n > 0 THEN sx / CAST(n AS DOUBLE) END AS point_mean,
+           ci_lo, ci_hi
+         FROM pt, ci""",
 
     // mirrors Stats.acf: keyed lag windows, pooled pairs per lag, the
     // q145 closed-form Pearson over floor-scaled exact sums.

@@ -227,6 +227,76 @@ object Behavior {
         (col("n").cast("double") / col("__tot").cast("double")).as("p"))
   }
 
+  /** Multi-touch ATTRIBUTION over event journeys — the marketing/growth
+    * sibling of [[funnel]]: each conversion (`convType` event) distributes
+    * credit over the touch events that preceded it, under the four
+    * standard models at once (first-touch, last-touch, linear,
+    * position-based 40/20/40). A touch credits the NEXT conversion of its
+    * user (journeys reset at each conversion); touches after the user's
+    * last conversion earn nothing.
+    *
+    * Credits are integer MICRO-credits (per-conversion budget 10⁶,
+    * integer division — reduce-order invariant, so per-channel sums are
+    * hash-exact; the driver can divide by 10⁶ for display):
+    *   linear:   ⌊10⁶/n⌋ each of the n touches
+    *   first/last: 10⁶ to the respective endpoint
+    *   position: n=1 → 10⁶; n=2 → 5·10⁵ each; n≥3 → 4·10⁵ to each
+    *             endpoint, middles split ⌊2·10⁵/(n−2)⌋
+    * Returns (channel, touches, conversions_touched, first_micro,
+    * last_micro, linear_micro, position_micro) per touch channel.
+    *
+    * Plan: ONE shuffle on the user key drives both keyed windows (the
+    * conversion-counter cumsum and the per-journey rank/size), then a
+    * tiny per-channel aggregation — per-user frames only, never a global
+    * window. At 100 TB journeys are bounded by per-user event counts;
+    * hot synthetic users are the caller's salting problem, as with
+    * [[transitionMatrix]]. `orderCols` must totally order a user's
+    * events (ts + a unique id) or journey boundaries are ambiguous. */
+  def attribution(df: DataFrame, userCol: String, typeCol: String,
+                  orderCols: Seq[String], convType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(userCol)).orderBy(orderCols.map(col): _*)
+    val wAll = Window.partitionBy(col(userCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val isConv = col("channel") === lit(convType)
+    val tagged = df
+      .select(col(userCol) +: col(typeCol).as("channel") +:
+        orderCols.map(col): _*)
+      .withColumn("__cum", sum(when(isConv, 1L).otherwise(0L)).over(wOrd))
+      .withColumn("__tot", max(col("__cum")).over(wAll))
+    // a touch with c conversions at-or-before it belongs to journey c+1
+    val touches = tagged
+      .filter(!isConv && col("__cum") + 1 <= col("__tot"))
+      .withColumn("__j", col("__cum") + 1)
+    val wJ = Window.partitionBy(col(userCol), col("__j"))
+      .orderBy(orderCols.map(col): _*)
+    val wJAll = Window.partitionBy(col(userCol), col("__j"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val M = lit(1000000L)
+    val credited = touches
+      .withColumn("__pos", row_number().over(wJ))
+      .withColumn("__n", count(lit(1)).over(wJAll))
+      .withColumn("__first", when(col("__pos") === 1, M).otherwise(0L))
+      .withColumn("__last", when(col("__pos") === col("__n"), M).otherwise(0L))
+      // ⌊10⁶/n⌋ via floor(double div): exact for these magnitudes (the
+      // correctly-rounded quotient can't cross an integer — gap ≥ 1/n vs
+      // error ≤ ½ulp), and both engines floor the same double
+      .withColumn("__linear", floor(M / col("__n")).cast("long"))
+      .withColumn("__position",
+        when(col("__n") === 1, M)
+          .when(col("__n") === 2, lit(500000L))
+          .when(col("__pos") === 1 || col("__pos") === col("__n"),
+            lit(400000L))
+          .otherwise(floor(lit(200000L) / (col("__n") - 2)).cast("long")))
+    credited.groupBy(col("channel"))
+      .agg(count(lit(1)).as("touches"),
+        countDistinct(col(userCol), col("__j")).as("conversions_touched"),
+        sum(col("__first")).as("first_micro"),
+        sum(col("__last")).as("last_micro"),
+        sum(col("__linear")).as("linear_micro"),
+        sum(col("__position")).as("position_micro"))
+  }
+
   /** CDC MERGE (lakehouse SCD1 upsert): apply a change feed to a base
     * snapshot and return the next snapshot. Per key, the LATEST change
     * (by `orderCols`, ties broken by the full order tuple which must be

@@ -488,6 +488,123 @@ object Stats {
       when(col("n1") > 1 && col("n2") > 1 && se2 > 0, dfW).as("df"))
   }
 
+  /** mSPRT — the mixture sequential probability ratio test (Johari et
+    * al. 2017, "Peeking at A/B tests"), the always-valid sequential
+    * monitor: unlike a fixed-horizon t-test, its e-value Λ may be
+    * checked after EVERY new batch of events without inflating the
+    * false-positive rate, so a dashboard can stop an experiment the
+    * moment Λ crosses 1/α. Two-sample normal form with the N(0, τ²)
+    * mixture prior over the true lift:
+    *   ρ  = s²_pooled · (1/n₁ + 1/n₂)        (variance of Δ = m̄₁ − m̄₂)
+    *   ln Λ = ½·ln(ρ/(ρ+τ²)) + τ²·Δ² / (2ρ(ρ+τ²))
+    * Reject when ln Λ > ln(1/α) — monotone in Λ, so the log form loses
+    * nothing and avoids exp() entirely.
+    *
+    * Determinism: one conditional aggregation of exact floor-scaled
+    * moments (the welchTTest pattern); the single ln() lands only in
+    * the DISPLAYED statistic, floor-scaled at 10⁹ (the q261 WoE libm
+    * guard). Returns one row (n1, n2, mean1, mean2, delta, rho,
+    * log_lambda); log_lambda null when a cohort has < 2 rows or ρ ≤ 0.
+    * One scan, nothing data-sized leaves the executors — at 100 TB the
+    * cost is the scan, and incremental re-checks compose with the
+    * aggPartials pattern (q203). */
+  def msprt(df: DataFrame, valueCol: String, groupCol: String,
+            a: String, b: String, tau2: Double = 0.01): DataFrame = {
+    require(tau2 > 0, "mixture variance tau2 must be > 0")
+    val x = col(valueCol).cast(DoubleType)
+    val agg = df
+      .filter(col(groupCol).isin(a, b) && x.isNotNull && !isnan(x))
+      .select(col(groupCol).as("__g"), x.as("__x"))
+      .agg(
+        sum(when(col("__g") === a, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__g") === b, 1L).otherwise(0L)).as("n2"),
+        Reductions.isum(when(col("__g") === a, col("__x")), 6).as("sx1"),
+        Reductions.isum(when(col("__g") === b, col("__x")), 6).as("sx2"),
+        Reductions.isum(when(col("__g") === a, col("__x") * col("__x")), 6)
+          .as("sxx1"),
+        Reductions.isum(when(col("__g") === b, col("__x") * col("__x")), 6)
+          .as("sxx2"))
+    val n1 = col("n1").cast(DoubleType); val n2 = col("n2").cast(DoubleType)
+    val m1 = col("sx1") / n1; val m2 = col("sx2") / n2
+    val delta = m1 - m2
+    // pooled variance: ((Σx² − (Σx)²/n)_1 + (Σx² − (Σx)²/n)_2) / (n−2)
+    val vp = ((col("sxx1") - col("sx1") * col("sx1") / n1) +
+      (col("sxx2") - col("sx2") * col("sx2") / n2)) / (n1 + n2 - 2.0)
+    val rho = vp * (lit(1.0) / n1 + lit(1.0) / n2)
+    val t2 = lit(tau2)
+    val logLambda = lit(0.5) * log(rho / (rho + t2)) +
+      t2 * delta * delta / (lit(2.0) * rho * (rho + t2))
+    agg.select(col("n1"), col("n2"), m1.as("mean1"), m2.as("mean2"),
+      delta.as("delta"),
+      when(col("n1") > 1 && col("n2") > 1, rho).as("rho"),
+      when(col("n1") > 1 && col("n2") > 1 && rho > 0,
+        // ln() differs in last ulp between libms — floor-scale at 10⁹
+        floor(logLambda * lit(1e9)).cast(LongType).cast(DoubleType) /
+          lit(1e9)).as("log_lambda"))
+  }
+
+  /** Poisson-bootstrap confidence interval for the mean — the resampling
+    * scheme that actually scales (Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams"): instead of drawing B
+    * size-n resamples (impossible distributed — a resample is a global
+    * shuffle of the whole table), each row independently contributes a
+    * Poisson(1) weight to every replicate, so the entire bootstrap is
+    * ONE map-side pass + a B-row shuffle. Weights are DETERMINISTIC:
+    * u = md5(unit#b) mod 10⁶ (the q158 hash-uniform), inverted through
+    * the integer-quantized Poisson(1) CDF (thresholds ⌊CDF·10⁶⌋ as
+    * literals — both engines compare integers; the tail is capped at 8,
+    * P(>8) at this quantization = 11/10⁶, absorbed into w=8).
+    *
+    * Replicate means are floor-scaled exact weighted sums; the CI is
+    * distribution-free order statistics over the O(reps) replicate
+    * frame (rank window on B rows — the q197 K-row precedent; ties
+    * broken by replicate id). Returns one row
+    * (n, reps, point_mean, ci_lo, ci_hi). */
+  def poissonBootstrapCI(df: DataFrame, valueCol: String,
+                         unitCols: Seq[String], reps: Int = 200,
+                         alpha: Double = 0.05): DataFrame = {
+    require(reps >= 40 && reps <= 10000, s"reps=$reps out of [40, 10000]")
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha out of (0, 1)")
+    val x = col(valueCol).cast(DoubleType)
+    val clean = df.filter(x.isNotNull && !isnan(x))
+    val u = pmod(conv(substring(md5(concat_ws("#",
+      unitCols.map(col) :+ col("__b"): _*)), 1, 15), 16, 10)
+      .cast(LongType), lit(1000000L))
+    // integer-quantized Poisson(1) inverse CDF: ⌊cumP·10⁶⌋ literals
+    val w = when(u < 367879L, 0L).when(u < 735758L, 1L)
+      .when(u < 919698L, 2L).when(u < 981011L, 3L)
+      .when(u < 996340L, 4L).when(u < 999405L, 5L)
+      .when(u < 999916L, 6L).when(u < 999989L, 7L).otherwise(8L)
+    val repMeans = clean
+      .select(unitCols.map(col) :+ x.as("__x"): _*)
+      .withColumn("__b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("__w", w)
+      .groupBy(col("__b"))
+      .agg(
+        Reductions.isum(col("__w").cast(DoubleType) * col("__x"), 6)
+          .as("__swx"),
+        sum(col("__w")).as("__sw"))
+      .select(col("__b"),
+        when(col("__sw") > 0, col("__swx") / col("__sw").cast(DoubleType))
+          .as("__m"))
+      .filter(col("__m").isNotNull)
+    val loRank = math.max(1, math.ceil(alpha / 2 * reps).toInt)
+    val hiRank = math.min(reps, math.ceil((1 - alpha / 2) * reps).toInt)
+    // O(reps) frame: the partition-less rank window sees ≤ B rows
+    val wB = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__m"), col("__b"))
+    val ci = repMeans.withColumn("__r", row_number().over(wB))
+      .agg(
+        max(when(col("__r") === loRank, col("__m"))).as("ci_lo"),
+        max(when(col("__r") === hiRank, col("__m"))).as("ci_hi"))
+    val point = clean.agg(count(lit(1)).as("n"),
+      Reductions.isum(x, 6).as("__sx"))
+      .select(col("n"), lit(reps).as("reps"),
+        when(col("n") > 0, col("__sx") / col("n").cast(DoubleType))
+          .as("point_mean"))
+    point.crossJoin(broadcast(ci))
+  }
+
   /** One-way ANOVA F-statistic across the groups of `groupCol`. Group
     * moments are floor-scaled exact sums; the k per-group between-terms
     * s_g²/n_g (doubles) are re-floor-scaled at 10⁹ and exact-summed so

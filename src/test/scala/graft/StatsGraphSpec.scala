@@ -1266,4 +1266,92 @@ class StatsGraphSpec extends SparkSuite {
     assert(r(1).getAs[Double]("share") == 0.97)
     assert(r(1).getAs[Double]("cum_share") == 1.0)
   }
+
+  test("attribution: hand journeys credit all four models exactly") {
+    // user 1: click,view → purchase | error → purchase | click (orphan)
+    // user 2: a 3-touch journey exercising the 40/20/40 split
+    val ev = Seq(
+      (1L, 1L, 1L, "click"), (1L, 2L, 2L, "view"), (1L, 3L, 3L, "purchase"),
+      (1L, 4L, 4L, "error"), (1L, 5L, 5L, "purchase"), (1L, 6L, 6L, "click"),
+      (2L, 1L, 7L, "aa"), (2L, 2L, 8L, "bb"), (2L, 3L, 9L, "cc"),
+      (2L, 4L, 10L, "purchase"))
+      .toDF("u", "ts", "id", "etype")
+    val got = Behavior.attribution(ev, "u", "etype", Seq("ts", "id"),
+      "purchase").collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("touches"), r.getAs[Long]("first_micro"),
+          r.getAs[Long]("last_micro"), r.getAs[Long]("linear_micro"),
+          r.getAs[Long]("position_micro"))).toMap
+    // click: only t1 credits (the post-purchase click earns nothing)
+    assert(got("click") == ((1L, 1000000L, 0L, 500000L, 500000L)), s"$got")
+    assert(got("view") == ((1L, 0L, 1000000L, 500000L, 500000L)))
+    // error: a 1-touch journey takes the full budget in every model
+    assert(got("error") == ((1L, 1000000L, 1000000L, 1000000L, 1000000L)))
+    // 3-touch journey: endpoints 40%, middle floor(2e5/1)
+    assert(got("aa") == ((1L, 1000000L, 0L, 333333L, 400000L)))
+    assert(got("bb") == ((1L, 0L, 0L, 333333L, 200000L)))
+    assert(got("cc") == ((1L, 0L, 1000000L, 333333L, 400000L)))
+    assert(!got.contains("purchase"), "conversions are not touches")
+  }
+
+  test("attribution: per-model totals conserve the journey budget") {
+    // every credited journey hands out exactly 1e6 first/last micro;
+    // linear/position leak only the integer-division remainders
+    val rnd = new scala.util.Random(7)
+    val types = Array("a", "b", "c", "d", "purchase")
+    val ev = (0 until 400).map(i =>
+      (rnd.nextInt(8).toLong, i.toLong, i.toLong,
+        types(rnd.nextInt(types.length)))).toSeq
+      .toDF("u", "ts", "id", "etype")
+    val rows = Behavior.attribution(ev, "u", "etype", Seq("ts", "id"),
+      "purchase").collect()
+    val journeys = rows.map(_.getAs[Long]("first_micro")).sum / 1000000L
+    assert(rows.map(_.getAs[Long]("last_micro")).sum == journeys * 1000000L)
+    val lin = rows.map(_.getAs[Long]("linear_micro")).sum
+    assert(lin <= journeys * 1000000L &&
+      lin > journeys * 1000000L - journeys * 50L,
+      s"linear leaks only remainders: $lin vs $journeys journeys")
+  }
+
+  test("msprt: effect raises log-lambda above the null, guards hold") {
+    val a = (1 to 20).map(i => ("a", i.toDouble))
+    val bNull = (1 to 20).map(i => ("b", i.toDouble))
+    val bShift = (1 to 20).map(i => ("b", i.toDouble + 5.0))
+    val nul = Stats.msprt((a ++ bNull).toDF("g", "x"), "x", "g", "a", "b",
+      tau2 = 1.0).collect()(0)
+    val eff = Stats.msprt((a ++ bShift).toDF("g", "x"), "x", "g", "a", "b",
+      tau2 = 1.0).collect()(0)
+    assert(nul.getAs[Double]("delta") == 0.0)
+    // zero lift: lnΛ = ½ln(ρ/(ρ+τ²)) < 0 — the e-value shrinks
+    assert(nul.getAs[Double]("log_lambda") < 0.0)
+    assert(eff.getAs[Double]("log_lambda") > nul.getAs[Double]("log_lambda"))
+    assert(eff.getAs[Double]("log_lambda") > 0.5, "5-sigma-ish lift rejects")
+    // degenerate cohort (n=1): statistic nulls rather than divides by 0
+    val tiny = Stats.msprt(Seq(("a", 1.0), ("a", 2.0), ("b", 3.0))
+      .toDF("g", "x"), "x", "g", "a", "b").collect()(0)
+    assert(tiny.isNullAt(tiny.fieldIndex("log_lambda")))
+    intercept[IllegalArgumentException] {
+      Stats.msprt(a.toDF("g", "x"), "x", "g", "a", "b", tau2 = 0.0)
+    }
+  }
+
+  test("poissonBootstrapCI: CI brackets the mean, fully deterministic") {
+    // 24 whole cycles of 21 values → the mean is exactly 100.0
+    val df = (0 until 504).map(i => (i.toLong, 100.0 + (i % 21) - 10.0))
+      .toSeq.toDF("id", "x")
+    def run() = Stats.poissonBootstrapCI(df, "x", Seq("id"), reps = 200)
+      .collect()(0)
+    val r = run()
+    assert(r.getAs[Long]("n") == 504L && r.getAs[Int]("reps") == 200)
+    val (lo, pt, hi) = (r.getAs[Double]("ci_lo"),
+      r.getAs[Double]("point_mean"), r.getAs[Double]("ci_hi"))
+    assert(pt == 100.0)
+    assert(lo < pt && pt < hi, s"[$lo, $hi] must bracket $pt")
+    // sd≈6.06/√500 → CI half-width ~0.5; a 3× envelope catches breakage
+    assert(hi - lo > 0.1 && hi - lo < 1.6, s"width ${hi - lo}")
+    assert(run() == r, "md5-derived weights: bit-identical reruns")
+    intercept[IllegalArgumentException] {
+      Stats.poissonBootstrapCI(df, "x", Seq("id"), reps = 10)
+    }
+  }
 }
