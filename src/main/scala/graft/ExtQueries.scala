@@ -951,6 +951,21 @@ object ExtQueries {
         Seq("doc_id"), reps = 200, alpha = 0.05)
     },
 
+    // Quantile normalization of doc length across sources: within-source
+    // ECDF (max-rank ties) → pooled 21-point grid interpolation; per-source
+    // rollup of the normalized column proves the distributions aligned.
+    "q292_quantile_normalize" -> { (s, dir) =>
+      graft.ops.Ml.quantileNormalizeByGroup(t(s, dir, "documents"),
+          "source", "n_chars", gridK = 21)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          (Reductions.isum(col("n_chars_qn"), 6) / count(lit(1)))
+            .as("mean_qn"),
+          min(col("n_chars_qn")).as("min_qn"),
+          max(col("n_chars_qn")).as("max_qn"))
+        .orderBy(col("source"))
+    },
+
     // Autocorrelation of the event value series at lags 1..3 (per-user
     // series, pooled pairs) — exact scaled co-moment sums.
     "q150_acf" -> { (s, dir) =>
@@ -3761,6 +3776,46 @@ object ExtQueries {
            CASE WHEN n > 0 THEN sx / CAST(n AS DOUBLE) END AS point_mean,
            ci_lo, ci_hi
          FROM pt, ci""",
+
+    // mirrors Ml.quantileNormalizeByGroup: quantile_cont grid (q154
+    // precedent), RANGE-frame count-≤ as the max-rank ECDF, identical
+    // two-product interpolation, exact-sum rollup.
+    "q292_quantile_normalize" ->
+      """WITH v AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS x
+           FROM documents
+           WHERE source IS NOT NULL AND n_chars IS NOT NULL
+             AND NOT isnan(CAST(n_chars AS DOUBLE))),
+         grid AS (SELECT quantile_cont(x, [0.0, 0.05, 0.1, 0.15, 0.2,
+             0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7,
+             0.75, 0.8, 0.85, 0.9, 0.95, 1.0]) AS qs
+           FROM v),
+         e AS (SELECT g, x,
+             COUNT(*) OVER (PARTITION BY g ORDER BY x
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r,
+             COUNT(*) OVER (PARTITION BY g) AS n
+           FROM v),
+         d AS (SELECT g, x, MAX(r) AS r, MAX(n) AS n FROM e GROUP BY g, x),
+         m AS (SELECT g, x,
+             (CASE WHEN n = 1 THEN 0.5
+                   ELSE CAST(r - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+              END) * 20.0 AS t
+           FROM d),
+         i AS (SELECT g, x, t, CAST(FLOOR(t) AS INT) AS lo,
+             CAST(CEIL(t) AS INT) AS hi
+           FROM m),
+         q AS (SELECT g, x,
+             CASE WHEN lo = hi THEN qs[lo + 1]
+                  ELSE (CAST(hi AS DOUBLE) - t) * qs[lo + 1] +
+                       (t - CAST(lo AS DOUBLE)) * qs[hi + 1]
+             END AS xqn
+           FROM i, grid),
+         rows0 AS (SELECT v.g, q.xqn FROM v JOIN q
+             ON v.g = q.g AND v.x = q.x)
+         SELECT g AS source, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(xqn * 1000000.0) AS DECIMAL(38,0)))
+             AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_qn,
+           MIN(xqn) AS min_qn, MAX(xqn) AS max_qn
+         FROM rows0 GROUP BY 1 ORDER BY 1""",
 
     // mirrors Stats.acf: keyed lag windows, pooled pairs per lag, the
     // q145 closed-form Pearson over floor-scaled exact sums.

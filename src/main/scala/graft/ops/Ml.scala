@@ -196,6 +196,63 @@ object Ml {
     }
   }
 
+  /** QUANTILE NORMALIZATION across groups — the cross-source curation
+    * primitive: each group's value distribution is mapped onto the POOLED
+    * distribution, so one global threshold afterwards treats every source
+    * fairly (a quality score of "top 10%" means top 10% *within* CommonCrawl
+    * and *within* arXiv, not whatever the raw scales happened to be). The
+    * sklearn-QuantileTransformer shape: within-group empirical CDF position
+    * → pooled quantile via a k-point interpolation grid.
+    *
+    * Determinism: the within-group position uses the MAX rank of a tied
+    * value block ((count of rows ≤ x) − 1)/(n − 1) — partition-invariant,
+    * unlike per-row tie ranks; singleton groups map to p = 0.5. The pooled
+    * grid is the exact rank-selection quantile fit (== quantile_cont, the
+    * q154 precedent), interpolated with the same (hi−t)·lo + (t−lo)·hi
+    * two-product form as the fit itself; t landing on a grid point takes
+    * the point value exactly.
+    *
+    * Scale: one range-sort rank pass + one (group, value) aggregation +
+    * one join back to rows — all keyed, no per-group window over row-sized
+    * partitions (a 10 TB source is NOT one window partition); the grid is
+    * O(k) literals compiled into codegen. Appends `<valueCol>_qn`; rows
+    * with null/NaN value or null group get null. */
+  def quantileNormalizeByGroup(df: DataFrame, groupCol: String,
+                               valueCol: String, gridK: Int = 21)
+      : DataFrame = {
+    require(gridK >= 2 && gridK <= 1001, s"gridK=$gridK out of [2, 1001]")
+    import graft.ops.TableOps._
+    val vals = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast(DoubleType).as("__x"))
+      .filter(col("__g").isNotNull && col("__x").isNotNull &&
+        !isnan(col("__x")))
+    // pooled grid over exactly the rows being normalized (null-group rows
+    // are excluded from the pool, matching their null output)
+    val grid = exactQuantilesRankPick(vals, "__x",
+      (0 until gridK).map(_.toDouble / (gridK - 1)))
+    val gridArr = array(grid.map(lit): _*)
+    val ecdf = vals.stratifiedRank("__g", Seq(col("__x")), "__r", "__n")
+      .groupBy(col("__g"), col("__x"))
+      .agg(max(col("__r")).as("__r"), max(col("__n")).as("__n"))
+    val p = when(col("__n") === 1, lit(0.5))
+      .otherwise((col("__r") - 1).cast(DoubleType) /
+        (col("__n") - 1).cast(DoubleType))
+    val t = p * lit((gridK - 1).toDouble)
+    val lo = floor(t).cast(IntegerType)
+    val hi = ceil(t).cast(IntegerType)
+    val glo = element_at(gridArr, lo + 1)
+    val ghi = element_at(gridArr, hi + 1)
+    val qn = when(lo === hi, glo)
+      .otherwise((hi.cast(DoubleType) - t) * glo +
+        (t - lo.cast(DoubleType)) * ghi)
+    val mapped = ecdf.select(col("__g"), col("__x"),
+      qn.as(s"${valueCol}_qn"))
+    df.join(mapped,
+      col(groupCol) === col("__g") &&
+        col(valueCol).cast(DoubleType) === col("__x"), "left")
+      .drop("__g", "__x")
+  }
+
   def fitQuantileBinner(df: DataFrame, cols: Seq[String], k: Int)
       : QuantileBinModel = {
     require(k >= 2, s"need k ≥ 2 bins, got $k")

@@ -392,4 +392,41 @@ class MlModelSpec extends SparkSuite {
     assert(math.abs(l2(1)) < math.abs(l1(1)))
     assert(math.abs(l2(0)) < 0.9, "heavy penalty shrinks hard")
   }
+
+  test("quantileNormalizeByGroup: extremes map to pooled min/max; ties share " +
+       "one value; singleton group gets the pooled median; nulls pass through") {
+    import spark.implicits._
+    // group a: 1..9 (shifted scale), group b: 101..109, group c: singleton,
+    // plus a null-value row and a null-group row that must survive un-normalized
+    val rows: Seq[(String, java.lang.Double)] =
+      (1 to 9).map(i => ("a", java.lang.Double.valueOf(i.toDouble))) ++
+      (101 to 109).map(i => ("b", java.lang.Double.valueOf(i.toDouble))) ++
+      Seq(("c", java.lang.Double.valueOf(55.0)),
+          ("a", null.asInstanceOf[java.lang.Double]),
+          (null.asInstanceOf[String], java.lang.Double.valueOf(5.0)))
+    val df = rows.toDF("g", "v")
+    val out = Ml.quantileNormalizeByGroup(df, "g", "v", gridK = 21)
+    assert(out.count() == rows.size, "row-preserving (no join fanout)")
+    val got = out.collect().map { r =>
+      (Option(r.getAs[String]("g")), Option(r.getAs[Any]("v")).map(_.toString.toDouble),
+       Option(r.getAs[Any]("v_qn")).map(_.toString.toDouble))
+    }
+    // pooled min = 1, pooled max = 109: each group's extremes hit them
+    val aMin = got.find(r => r._1.contains("a") && r._2.contains(1.0)).get._3.get
+    val bMax = got.find(r => r._1.contains("b") && r._2.contains(109.0)).get._3.get
+    assert(aMin == 1.0 && bMax == 109.0, s"extremes: $aMin, $bMax")
+    // same-scale groups align: a's rank-k row and b's rank-k row normalize equal
+    val aVals = got.filter(r => r._1.contains("a") && r._2.nonEmpty)
+      .sortBy(_._2.get).map(_._3.get)
+    val bVals = got.filter(r => r._1.contains("b") && r._2.nonEmpty)
+      .sortBy(_._2.get).map(_._3.get)
+    assert(aVals.sameElements(bVals), "equal in-group positions → equal qn")
+    assert(aVals.sorted.sameElements(aVals), "monotone within group")
+    // singleton group → p=0.5 → t lands exactly on the grid's midpoint,
+    // which is the pooled median: sorted pool (19 values) index 9 = 55
+    val cQn = got.find(_._1.contains("c")).get._3.get
+    assert(cQn == 55.0, s"singleton maps to pooled median exactly: $cQn")
+    // null value / null group rows keep null qn
+    assert(got.filter(r => r._2.isEmpty || r._1.isEmpty).forall(_._3.isEmpty))
+  }
 }
