@@ -966,6 +966,40 @@ object ExtQueries {
         .orderBy(col("source"))
     },
 
+    // AR(2) Yule-Walker fit per user series: lag-1/2 autocorrelations →
+    // Levinson-Durbin order-2 coefficients. One window pass + one keyed agg.
+    "q293_ar_fit" -> { (s, dir) =>
+      Stats.arFit2(t(s, dir, "events"), Seq("user_id"),
+          Seq("ts", "event_id"), "value")
+        .orderBy(col("user_id"))
+    },
+
+    // Single changepoint per user series: the split maximizing the
+    // between-segment SSE reduction, ties to the smallest index.
+    "q294_changepoint" -> { (s, dir) =>
+      Stats.changepoint(t(s, dir, "events"), Seq("user_id"),
+          Seq("ts", "event_id"), "value")
+        .orderBy(col("user_id"))
+    },
+
+    // Population stability index of the event value distribution,
+    // first half of January (reference) vs second half (current),
+    // 10 reference-decile bins.
+    "q295_psi" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val split = lit("2024-01-16 00:00:00").cast(TimestampType)
+      Stats.psi(e, "value", col("ts") < split, col("ts") >= split, bins = 10)
+    },
+
+    // Cramér's V association table over the orders categorical triple
+    // (status, priority, order year) — the categorical correlation-table.
+    "q296_assoc_table" -> { (s, dir) =>
+      Stats.associationTable(
+          t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate"))),
+          Seq("o_orderstatus", "o_orderpriority", "o_year"))
+        .orderBy(col("col_x"), col("col_y"))
+    },
+
     // Autocorrelation of the event value series at lags 1..3 (per-user
     // series, pooled pairs) — exact scaled co-moment sums.
     "q150_acf" -> { (s, dir) =>
@@ -3816,6 +3850,173 @@ object ExtQueries {
              AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_qn,
            MIN(xqn) AS min_qn, MAX(xqn) AS max_qn
          FROM rows0 GROUP BY 1 ORDER BY 1""",
+
+    // mirrors Stats.arFit2: complete-case series, keyed lag windows,
+    // per-key conditional floor-scaled pair sums, the q150 Pearson form,
+    // then the order-2 Levinson-Durbin closed form.
+    "q293_ar_fit" ->
+      """WITH b AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+         l AS (SELECT user_id, x,
+             lag(x, 1) OVER w AS y1, lag(x, 2) OVER w AS y2
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN y1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN y1 IS NOT NULL THEN CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0)) END) AS DOUBLE) / 1000000.0 AS sx1,
+             CAST(SUM(CAST(FLOOR(y1 * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sy1,
+             CAST(SUM(CASE WHEN y1 IS NOT NULL THEN CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(38,0)) END) AS DOUBLE) / 1000000.0 AS sxx1,
+             CAST(SUM(CAST(FLOOR(y1 * y1 * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS syy1,
+             CAST(SUM(CAST(FLOOR(x * y1 * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxy1,
+             CAST(SUM(CASE WHEN y2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN y2 IS NOT NULL THEN CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0)) END) AS DOUBLE) / 1000000.0 AS sx2,
+             CAST(SUM(CAST(FLOOR(y2 * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sy2,
+             CAST(SUM(CASE WHEN y2 IS NOT NULL THEN CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(38,0)) END) AS DOUBLE) / 1000000.0 AS sxx2,
+             CAST(SUM(CAST(FLOOR(y2 * y2 * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS syy2,
+             CAST(SUM(CAST(FLOOR(x * y2 * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxy2
+           FROM l GROUP BY user_id),
+         r AS (SELECT user_id, n, n1, n2,
+             CASE WHEN n1 >= 2 AND (CAST(n1 AS DOUBLE) * sxx1 - sx1 * sx1) > 0
+                    AND (CAST(n1 AS DOUBLE) * syy1 - sy1 * sy1) > 0
+                  THEN (CAST(n1 AS DOUBLE) * sxy1 - sx1 * sy1)
+                    / (sqrt(CAST(n1 AS DOUBLE) * sxx1 - sx1 * sx1)
+                       * sqrt(CAST(n1 AS DOUBLE) * syy1 - sy1 * sy1)) END AS r1,
+             CASE WHEN n2 >= 2 AND (CAST(n2 AS DOUBLE) * sxx2 - sx2 * sx2) > 0
+                    AND (CAST(n2 AS DOUBLE) * syy2 - sy2 * sy2) > 0
+                  THEN (CAST(n2 AS DOUBLE) * sxy2 - sx2 * sy2)
+                    / (sqrt(CAST(n2 AS DOUBLE) * sxx2 - sx2 * sx2)
+                       * sqrt(CAST(n2 AS DOUBLE) * syy2 - sy2 * sy2)) END AS r2
+           FROM s)
+         SELECT user_id, n, n1, n2, r1, r2,
+           CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL AND (1.0 - r1 * r1) <> 0
+                THEN r1 * (1.0 - r2) / (1.0 - r1 * r1) END AS phi1,
+           CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL AND (1.0 - r1 * r1) <> 0
+                THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS phi2
+         FROM r ORDER BY user_id""",
+
+    // mirrors Stats.changepoint: exact integer prefix sums, the identical
+    // floor-scaled gain, argmax via (gain DESC, t ASC) row_number.
+    "q294_changepoint" ->
+      """WITH b AS (SELECT user_id, ts, event_id,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT) AS xi
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+         p AS (SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t,
+             SUM(xi) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             SUM(xi) OVER (PARTITION BY user_id) AS sn
+           FROM b),
+         g AS (SELECT user_id, t, n,
+             CAST(s AS DOUBLE) / 1000000.0 / CAST(t AS DOUBLE) AS ml,
+             CAST(sn - s AS DOUBLE) / 1000000.0
+               / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) AS mr
+           FROM p WHERE t < n),
+         c AS (SELECT user_id, n, t, ml, mr,
+             CAST(FLOOR(CAST(t AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))
+               / CAST(n AS DOUBLE) * (ml - mr) * (ml - mr) * 1000000.0)
+               AS BIGINT) AS gs
+           FROM g)
+         SELECT user_id, CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS cp_index,
+           CAST(gs AS DOUBLE) / 1000000.0 AS gain,
+           ml AS mean_left, mr AS mean_right
+         FROM c
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+           ORDER BY gs DESC, t ASC) = 1
+         ORDER BY user_id""",
+
+    // mirrors Stats.psi: quantile_cont reference deciles, ties-to-lower
+    // binning, dense side x bin grid, Haldane-smoothed proportions, the
+    // q231 floor-scaled ln term sum.
+    "q295_psi" ->
+      """WITH v AS (SELECT
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'ref'
+                  ELSE 'cur' END AS side,
+             CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+             AND (ts < TIMESTAMP '2024-01-16 00:00:00'
+                  OR ts >= TIMESTAMP '2024-01-16 00:00:00')),
+         q AS (SELECT quantile_cont(x,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+           FROM v WHERE side = 'ref'),
+         binned AS (SELECT side,
+             1 + len(list_filter(qs, e -> x > e)) AS bin FROM v, q),
+         cnt AS (SELECT side, bin, CAST(COUNT(*) AS BIGINT) AS c
+           FROM binned GROUP BY 1, 2),
+         grid AS (SELECT s.side, b.bin
+           FROM (VALUES ('ref'), ('cur')) s(side)
+           CROSS JOIN (SELECT UNNEST(generate_series(1, 10)) AS bin) b),
+         dense AS (SELECT g.side, g.bin, COALESCE(c.c, 0) AS c
+           FROM grid g LEFT JOIN cnt c ON g.side = c.side AND g.bin = c.bin),
+         tot AS (SELECT side, SUM(c) AS tot FROM dense GROUP BY 1),
+         wp AS (SELECT d.side, d.bin, d.c,
+             (CAST(d.c AS DOUBLE) + 0.5) / (CAST(t.tot AS DOUBLE) + 5.0) AS p
+           FROM dense d JOIN tot t ON d.side = t.side),
+         per AS (SELECT bin,
+             SUM(CASE WHEN side = 'ref' THEN c ELSE 0 END) AS cr,
+             MAX(CASE WHEN side = 'ref' THEN p END) AS pr,
+             SUM(CASE WHEN side = 'cur' THEN c ELSE 0 END) AS cc,
+             MAX(CASE WHEN side = 'cur' THEN p END) AS pc
+           FROM wp GROUP BY 1)
+         SELECT CAST(SUM(cr) AS BIGINT) AS n_ref,
+           CAST(SUM(cc) AS BIGINT) AS n_cur,
+           CAST(COUNT(*) AS BIGINT) AS k_bins,
+           CAST(SUM(CAST(FLOOR((pc - pr) * ln(pc / pr) * 1000000000.0)
+             AS DECIMAL(38,0))) AS DOUBLE) / 1000000000.0 AS psi
+         FROM per""",
+
+    // mirrors Stats.associationTable: per-pair joint/marginal counts,
+    // floor-scaled chi-square cell terms, V = sqrt(chi2/(n*(min k - 1))).
+    "q296_assoc_table" ->
+      """WITH o AS (SELECT CAST(o_orderstatus AS VARCHAR) AS st,
+             CAST(o_orderpriority AS VARCHAR) AS pr,
+             CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS yr
+           FROM orders),
+         pairs AS (
+           SELECT 'o_orderstatus' AS cx, 'o_orderpriority' AS cy,
+                  st AS a, pr AS b FROM o
+           UNION ALL SELECT 'o_orderstatus', 'o_year', st, yr FROM o
+           UNION ALL SELECT 'o_orderpriority', 'o_year', pr, yr FROM o),
+         f AS (SELECT cx, cy, a, b FROM pairs
+           WHERE a IS NOT NULL AND b IS NOT NULL),
+         j AS (SELECT cx, cy, a, b, CAST(COUNT(*) AS BIGINT) AS nij
+           FROM f GROUP BY 1, 2, 3, 4),
+         ma AS (SELECT cx, cy, a, CAST(COUNT(*) AS BIGINT) AS ni
+           FROM f GROUP BY 1, 2, 3),
+         mb AS (SELECT cx, cy, b, CAST(COUNT(*) AS BIGINT) AS nj
+           FROM f GROUP BY 1, 2, 3),
+         tt AS (SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n
+           FROM f GROUP BY 1, 2),
+         ka AS (SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS k_x
+           FROM ma GROUP BY 1, 2),
+         kb AS (SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS k_y
+           FROM mb GROUP BY 1, 2),
+         x2 AS (SELECT j.cx, j.cy, tt.n,
+             CAST(tt.n AS DOUBLE) +
+             CAST(SUM(CAST(FLOOR(
+               ((CAST(nij AS DOUBLE)
+                 - CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(nij AS DOUBLE)
+                 - CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE) / CAST(n AS DOUBLE))
+               - CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS chi2
+           FROM j
+           JOIN ma ON j.cx = ma.cx AND j.cy = ma.cy AND j.a = ma.a
+           JOIN mb ON j.cx = mb.cx AND j.cy = mb.cy AND j.b = mb.b
+           JOIN tt ON j.cx = tt.cx AND j.cy = tt.cy
+           GROUP BY 1, 2, 3)
+         SELECT x2.cx AS col_x, x2.cy AS col_y, x2.n AS n,
+           ka.k_x, kb.k_y, chi2,
+           CASE WHEN x2.n > 0 AND CAST(LEAST(ka.k_x, kb.k_y) AS DOUBLE) > 1.0
+             THEN sqrt(chi2 / (CAST(x2.n AS DOUBLE)
+               * (CAST(LEAST(ka.k_x, kb.k_y) AS DOUBLE) - 1.0))) END AS v
+         FROM x2
+         JOIN ka ON x2.cx = ka.cx AND x2.cy = ka.cy
+         JOIN kb ON x2.cx = kb.cx AND x2.cy = kb.cy
+         ORDER BY col_x, col_y""",
 
     // mirrors Stats.acf: keyed lag windows, pooled pairs per lag, the
     // q145 closed-form Pearson over floor-scaled exact sums.

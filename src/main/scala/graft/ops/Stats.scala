@@ -1545,4 +1545,237 @@ object Stats {
             (col("n01") - col("n10")).cast(DoubleType) /
             (col("n01") + col("n10")).cast(DoubleType)).as("chi2"))
   }
+
+  /** AR(2) fit per series via YULE-WALKER (Levinson–Durbin order 2
+    * closed form): the next-step structure of a metric series — is today
+    * predictable from yesterday and the day before, and with what signs?
+    * Per key: lag-1/lag-2 sample autocorrelations r₁, r₂ (the [[acf]]
+    * Pearson-over-lag-pairs estimator, per key instead of pooled), then
+    *   φ₂ = (r₂ − r₁²)/(1 − r₁²),  φ₁ = r₁(1 − r₂)/(1 − r₁²).
+    * A pure AR(1) series has r₂ = r₁² exactly → φ₂ = 0, so the fit
+    * doubles as a "is one lag enough" diagnostic. COMPLETE-CASE SERIES:
+    * null/NaN rows are removed BEFORE lagging (unlike [[acf]], which lags
+    * the raw series and drops incomplete pairs — here the fitted model
+    * needs one coherent series). Returns per key
+    * (key…, n, n1, n2, r1, r2, phi1, phi2); r/φ null when a lag has < 2
+    * pairs, a variance side is 0, or 1 − r₁² = 0.
+    *
+    * Plan: ONE keyed window pass (both lag columns share the exchange) +
+    * one keyed aggregation with conditional floor-scaled exact sums — a
+    * single data shuffle; every key computes independently (10⁹ series
+    * scale out, no pooled state). */
+  def arFit2(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+             valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x0 = col(valueCol).cast(DoubleType)
+    val clean = df.filter(x0.isNotNull && !isnan(x0))
+      .select((keyCols ++ orderCols).map(col) :+ x0.as("__x"): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val lagged = clean
+      .withColumn("__y1", lag(col("__x"), 1).over(w))
+      .withColumn("__y2", lag(col("__x"), 2).over(w))
+    def pairSums(yc: String, k: Int): Seq[Column] = {
+      val y = col(yc); val x = col("__x")
+      val on = y.isNotNull
+      Seq(sum(when(on, 1L).otherwise(0L)).as(s"__n$k"),
+        Reductions.isum(when(on, x), 6).as(s"__sx$k"),
+        Reductions.isum(y, 6).as(s"__sy$k"),
+        Reductions.isum(when(on, x * x), 6).as(s"__sxx$k"),
+        Reductions.isum(y * y, 6).as(s"__syy$k"),
+        Reductions.isum(x * y, 6).as(s"__sxy$k"))
+    }
+    val aggd = lagged.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        pairSums("__y1", 1) ++ pairSums("__y2", 2): _*)
+    def r(k: Int): Column = {
+      val n = col(s"__n$k").cast(DoubleType)
+      val sx = col(s"__sx$k"); val sy = col(s"__sy$k")
+      val sxx = col(s"__sxx$k"); val syy = col(s"__syy$k")
+      val sxy = col(s"__sxy$k")
+      when(col(s"__n$k") >= 2 &&
+        (n * sxx - sx * sx) > 0 && (n * syy - sy * sy) > 0,
+        (n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+    }
+    val r1 = r(1); val r2 = r(2)
+    val den = lit(1.0) - r1 * r1
+    val phi2 = when(r1.isNotNull && r2.isNotNull && den =!= 0.0,
+      (r2 - r1 * r1) / den)
+    val phi1 = when(r1.isNotNull && r2.isNotNull && den =!= 0.0,
+      r1 * (lit(1.0) - r2) / den)
+    aggd.select(keyCols.map(col) ++ Seq(col("n"),
+      col("__n1").as("n1"), col("__n2").as("n2"),
+      r1.as("r1"), r2.as("r2"),
+      phi1.as("phi1"), phi2.as("phi2")): _*)
+  }
+
+  /** SINGLE CHANGEPOINT per series (binary-segmentation step 1 / CUSUM
+    * argmax): the split index that maximizes the between-segment
+    * sum-of-squares reduction
+    *   gain(t) = t(n−t)/n · (mean_left − mean_right)²,  1 ≤ t < n —
+    * "where did this metric's level shift?". Complete-case series (the
+    * index is over observed values). Returns per key
+    * (key…, n, cp_index, gain, mean_left, mean_right) with cp_index the
+    * 1-based length of the left segment; keys with n < 2 are absent.
+    *
+    * Determinism: prefix sums are EXACT integers (Σ⌊x·10⁶⌋ longs in a
+    * keyed running window), gain is one fixed IEEE sequence floor-scaled
+    * at 10⁶ before the argmax, so the winning split — including ties,
+    * broken toward the SMALLEST index — is engine-invariant.
+    *
+    * Plan: one keyed window pass (running sum + row number + per-key
+    * totals share the exchange) + one keyed max-of-struct aggregation;
+    * no per-key buffers, no driver data. */
+  def changepoint(df: DataFrame, keyCols: Seq[String],
+                  orderCols: Seq[String], valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x0 = col(valueCol).cast(DoubleType)
+    val clean = df.filter(x0.isNotNull && !isnan(x0))
+      .select((keyCols ++ orderCols).map(col) :+
+        floor(x0 * lit(1e6)).cast(LongType).as("__xi"): _*)
+    val wOrd = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    val pre = clean
+      .withColumn("__t", row_number().over(wOrd))
+      .withColumn("__s", sum(col("__xi")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__sn", sum(col("__xi")).over(wAll))
+      .filter(col("__t") < col("__n"))
+    val tD = col("__t").cast(DoubleType)
+    val nD = col("__n").cast(DoubleType)
+    val sL = col("__s").cast(DoubleType) / lit(1e6)
+    val sR = (col("__sn") - col("__s")).cast(DoubleType) / lit(1e6)
+    val mL = sL / tD
+    val mR = sR / (nD - tD)
+    val d = mL - mR
+    val gainS = floor(tD * (nD - tD) / nD * d * d * lit(1e6))
+      .cast(LongType)
+    pre.select(keyCols.map(col) :+ struct(
+        gainS.as("g"), (-col("__t")).as("nt"), col("__n").as("n"),
+        mL.as("ml"), mR.as("mr")).as("__c"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("__c")).as("__w"))
+      .select(keyCols.map(col) ++ Seq(
+        col("__w.n").as("n"),
+        (-col("__w.nt")).cast(LongType).as("cp_index"),
+        (col("__w.g").cast(DoubleType) / lit(1e6)).as("gain"),
+        col("__w.ml").as("mean_left"), col("__w.mr").as("mean_right")): _*)
+  }
+
+  /** POPULATION STABILITY INDEX between a reference and a current slice
+    * of one numeric column — the model-monitoring drift scalar
+    * (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted):
+    *   PSI = Σ_bins (p_cur − p_ref) · ln(p_cur/p_ref)
+    * over `bins` equal-frequency bins cut from the REFERENCE slice's
+    * exact quantiles (ties → lower bin, the q154 binning convention).
+    * Proportions are Haldane-smoothed — p = (c + ½)/(C + b/2) — so an
+    * empty current bin contributes a finite (and loud) term instead of ∞.
+    * Returns one row (n_ref, n_cur, k_bins, psi). Rows matching neither
+    * condition are ignored; null/NaN values are complete-cased.
+    *
+    * Plan: one rank-selection quantile fit on the reference (O(bins)
+    * scalars to the driver), bin edges compiled as literals into ONE
+    * codegen pass over the data, then an O(2·bins) frame carries the
+    * per-bin ln terms (floor-scaled 10⁹, the q231 ln convention). */
+  def psi(df: DataFrame, valueCol: String, refCond: Column,
+          curCond: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins=$bins out of [2, 1000]")
+    val x = col(valueCol).cast(DoubleType)
+    val clean = df.filter(x.isNotNull && !isnan(x) &&
+        (refCond || curCond))
+      .select(when(refCond, lit("ref")).otherwise(lit("cur")).as("__side"),
+        x.as("__x"))
+    val edges = Ml.exactQuantilesRankPick(
+      clean.filter(col("__side") === "ref"), "__x",
+      (1 until bins).map(_.toDouble / bins))
+    val bin = edges.foldLeft(lit(1)) { (acc, e) =>
+      acc + when(col("__x") > lit(e), 1).otherwise(0) }
+    val counts = clean
+      .select(col("__side"), bin.as("__bin"))
+      .groupBy(col("__side"), col("__bin"))
+      .agg(count(lit(1)).as("__c"))
+    // dense (side × bin) grid so empty bins still contribute their
+    // smoothed term — O(2·bins) rows, broadcast-joined
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grid = spark.range(1, bins + 1).toDF("__bin")
+      .crossJoin(Seq("ref", "cur").toDF("__side"))
+    val dense = grid.join(counts, Seq("__side", "__bin"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val tot = dense.groupBy(col("__side"))
+      .agg(sum(col("__c")).as("__tot"))
+    val withTot = dense.join(broadcast(tot), "__side")
+    val p = (col("__c").cast(DoubleType) + lit(0.5)) /
+      (col("__tot").cast(DoubleType) + lit(bins.toDouble) / 2.0)
+    val perBin = withTot.groupBy(col("__bin"))
+      .agg(
+        sum(when(col("__side") === "ref", col("__c")).otherwise(0L))
+          .as("__cr"),
+        max(when(col("__side") === "ref", p)).as("__pr"),
+        sum(when(col("__side") === "cur", col("__c")).otherwise(0L))
+          .as("__cc"),
+        max(when(col("__side") === "cur", p)).as("__pc"))
+    val term = (col("__pc") - col("__pr")) * log(col("__pc") / col("__pr"))
+    perBin.agg(sum(col("__cr")).as("n_ref"), sum(col("__cc")).as("n_cur"),
+      count(lit(1)).as("k_bins"), fs(term, 9).as("psi"))
+  }
+
+  /** CRAMÉR'S V association table over every pair of categorical columns
+    * — the categorical analog of the reference's correlation-table
+    * (stats.clj correlation-table): V = √(χ²/(n·(min(kₓ,k_y)−1))) ∈ [0,1],
+    * with χ² the Pearson contingency statistic. The curation use: which
+    * metadata columns are (near-)determined by which others — V ≈ 1 on
+    * (shard, source) means sharding leaked the source. Complete-case per
+    * pair. Returns one row per unordered pair
+    * (col_x, col_y, n, k_x, k_y, chi2, v); v null when a side is
+    * constant (min k = 1) or n = 0.
+    *
+    * Plan: per pair, one keyed joint-count aggregation (O(observed
+    * cells) frame) + two broadcast marginal joins. Zero cells are never
+    * materialized — a (k_x × k_y) densification explodes on two
+    * high-cardinality columns — their contribution Σ_zero E folds in
+    * algebraically: since Σ_all E = n,
+    *   χ² = n + Σ_observed ((O−E)²/E − E).
+    * Cell terms are a fixed IEEE sequence floor-scaled (10⁶) and summed
+    * exactly. Pairs are independent single-shuffle jobs unioned into one
+    * result frame. */
+  def associationTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct.size == cols.size, "duplicate column names")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    pairs.map { case (ca, cb) =>
+      val clean = df.filter(col(ca).isNotNull && col(cb).isNotNull)
+        .select(col(ca).cast(StringType).as("__a"),
+          col(cb).cast(StringType).as("__b"))
+      val joint = clean.groupBy(col("__a"), col("__b"))
+        .agg(count(lit(1)).as("__nij"))
+      val ma = clean.groupBy(col("__a")).agg(count(lit(1)).as("__ni"))
+      val mb = clean.groupBy(col("__b")).agg(count(lit(1)).as("__nj"))
+      val tot = clean.agg(count(lit(1)).as("__n"))
+      val ka = ma.agg(count(lit(1)).as("__ka"))
+      val kb = mb.agg(count(lit(1)).as("__kb"))
+      val nD = col("__n").cast(DoubleType)
+      val e = col("__ni").cast(DoubleType) * col("__nj").cast(DoubleType) / nD
+      val o = col("__nij").cast(DoubleType)
+      val chi2 = joint.join(broadcast(ma), "__a").join(broadcast(mb), "__b")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("__n"))
+        .agg(fs((o - e) * (o - e) / e - e, 6).as("__obs"))
+        .select(col("__n"),
+          (col("__n").cast(DoubleType) + col("__obs")).as("chi2"))
+      val minK = least(col("__ka"), col("__kb")).cast(DoubleType)
+      chi2.crossJoin(broadcast(ka)).crossJoin(broadcast(kb))
+        .select(lit(ca).as("col_x"), lit(cb).as("col_y"),
+          col("__n").as("n"), col("__ka").as("k_x"), col("__kb").as("k_y"),
+          col("chi2"),
+          when(col("__n") > 0 && minK > 1.0,
+            sqrt(col("chi2") / (col("__n").cast(DoubleType) * (minK - 1.0))))
+            .as("v"))
+    }.reduce(_.unionByName(_))
+  }
 }

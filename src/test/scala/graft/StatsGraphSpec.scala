@@ -1354,4 +1354,100 @@ class StatsGraphSpec extends SparkSuite {
       Stats.poissonBootstrapCI(df, "x", Seq("id"), reps = 10)
     }
   }
+
+  test("arFit2: alternating series hits r1 = -1 (phi degenerate); short " +
+       "series null out; NaN rows drop before lagging") {
+    // key a: +1,-1,+1,... → lag-1 pairs anticorrelate (r1 → -1 up to the
+    //        sqrt rounding of the Pearson form)
+    // key b: 2 points → no lag-2 pairs → r2 null → phi null
+    // key c: NaN in the middle — complete-cased BEFORE lagging, so the
+    //        remaining 3 points form 2 lag-1 pairs and 1 lag-2 pair
+    // key d: 1,2,3,4 — r2 comes from exactly TWO lag-2 pairs, where the
+    //        Pearson form collapses to (u−v)(w−z)/(|u−v||w−z|) = ±1 with
+    //        no rounding; r1 (three pairs) only approaches 1 (√6·√6 ≠ 6)
+    val rows =
+      (1 to 8).map(i => ("a", i.toLong, if (i % 2 == 0) -1.0 else 1.0)) ++
+      Seq(("b", 1L, 3.0), ("b", 2L, 4.0),
+          ("c", 1L, 1.0), ("c", 2L, Double.NaN), ("c", 3L, 2.0),
+          ("c", 4L, 4.0),
+          ("d", 1L, 1.0), ("d", 2L, 2.0), ("d", 3L, 3.0), ("d", 4L, 4.0))
+    val out = Stats.arFit2(rows.toDF("k", "i", "x"), Seq("k"), Seq("i"), "x")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val a = out("a")
+    assert(math.abs(a.getAs[Double]("r1") + 1.0) < 1e-12,
+      s"alternating series: r1 ~ -1, got ${a.getAs[Double]("r1")}")
+    val d = out("d")
+    assert(math.abs(d.getAs[Double]("r1") - 1.0) < 1e-12)
+    assert(d.getAs[Double]("r2") == 1.0,
+      "two-pair lag: the Pearson form is exact ±1")
+    val b = out("b")
+    assert(b.getAs[Long]("n1") == 1L && b.getAs[Long]("n2") == 0L)
+    assert(b.isNullAt(b.fieldIndex("r1")), "single pair: no variance -> null")
+    assert(b.isNullAt(b.fieldIndex("phi1")))
+    val c = out("c")
+    assert(c.getAs[Long]("n") == 3L, "NaN row removed from the series")
+    assert(c.getAs[Long]("n1") == 2L && c.getAs[Long]("n2") == 1L,
+      "lags run over the cleaned series, not the raw one")
+  }
+
+  test("changepoint: level shift found exactly; constant ties to smallest " +
+       "index; n=1 series absent") {
+    val rows = Seq(
+      ("s", 1L, 0.0), ("s", 2L, 0.0), ("s", 3L, 0.0),   // shift after t=3
+      ("s", 4L, 10.0), ("s", 5L, 10.0),
+      ("f", 1L, 5.0), ("f", 2L, 5.0), ("f", 3L, 5.0),   // flat
+      ("one", 1L, 7.0))                                  // no split exists
+    val out = Stats.changepoint(rows.toDF("k", "i", "x"), Seq("k"),
+        Seq("i"), "x")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val s = out("s")
+    assert(s.getAs[Long]("cp_index") == 3L)
+    assert(s.getAs[Double]("mean_left") == 0.0 &&
+      s.getAs[Double]("mean_right") == 10.0)
+    // gain = t(n-t)/n (mL-mR)^2 = 3*2/5 * 100 = 120
+    assert(s.getAs[Double]("gain") == 120.0)
+    val f = out("f")
+    assert(f.getAs[Long]("cp_index") == 1L, "all-zero gains tie to t=1")
+    assert(f.getAs[Double]("gain") == 0.0)
+    assert(!out.contains("one"), "n < 2 has no candidate split")
+  }
+
+  test("psi: identical distributions give exactly 0; a hard shift clears " +
+       "the 0.25 alarm; empty current bins stay finite") {
+    val base = (1 to 200).map(i => (i % 100).toDouble)
+    // ref and cur are the SAME multiset → pc == pr per bin → every term 0
+    val same = (base.map(x => ("r", x)) ++ base.map(x => ("c", x)))
+      .toDF("side", "x")
+    val p0 = Stats.psi(same, "x", col("side") === "r", col("side") === "c")
+      .collect()(0)
+    assert(p0.getAs[Double]("psi") == 0.0, "identical halves: PSI exactly 0")
+    assert(p0.getAs[Long]("n_ref") == 200L && p0.getAs[Long]("n_cur") == 200L)
+    // current shifted way right: most reference bins empty on the current
+    // side — smoothing keeps terms finite and the alarm loud
+    val shifted = (base.map(x => ("r", x)) ++
+      base.map(x => ("c", x + 1000.0))).toDF("side", "x")
+    val p1 = Stats.psi(shifted, "x", col("side") === "r", col("side") === "c")
+      .collect()(0)
+    val v = p1.getAs[Double]("psi")
+    assert(!v.isNaN && !v.isInfinite && v > 0.25, s"shift alarm: $v")
+  }
+
+  test("associationTable: identical columns score V = 1; a balanced " +
+       "cross product scores V = 0") {
+    val dep = (1 to 60).map(i => (s"g${i % 3}", s"g${i % 3}", s"h${i % 2}"))
+      .toDF("a", "b", "c")
+    val out = Stats.associationTable(dep, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("a", "b"))
+    assert(math.abs(ab.getAs[Double]("v") - 1.0) < 1e-6,
+      "a determines b exactly -> V = 1 (up to the 10^-6 floor-scale)")
+    assert(ab.getAs[Long]("k_x") == 3L && ab.getAs[Long]("k_y") == 3L)
+    // i%3 and i%2 over 60 rows hit every (3x2) cell exactly 10 times:
+    // observed == expected everywhere -> chi2 = 0 -> V = 0
+    val ac = out(("a", "c"))
+    assert(ac.getAs[Double]("chi2") == 0.0 && ac.getAs[Double]("v") == 0.0)
+    intercept[IllegalArgumentException] {
+      Stats.associationTable(dep, Seq("a"))
+    }
+  }
 }
