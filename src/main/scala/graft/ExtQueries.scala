@@ -1000,6 +1000,41 @@ object ExtQueries {
         .orderBy(col("col_x"), col("col_y"))
     },
 
+    // RAKE corpus keywords: stopword/punctuation-delimited phrases,
+    // degree/freq word scores, floor-scaled phrase score sums, top 50.
+    "q297_rake_keywords" -> { (s, dir) =>
+      graft.llm.TextStats.rakeKeywords(t(s, dir, "documents"), "text",
+          minFreq = 2, topK = 50)
+        .orderBy(col("score").desc, col("phrase"))
+    },
+
+    // Newman modularity of the 3-round label-propagation partition over
+    // the trading graph — "was the community detection any good".
+    "q298_modularity" -> { (s, dir) =>
+      val g = Graph.tradingPairsGraph(t(s, dir, "orders"),
+        t(s, dir, "lineitem"))
+      Graph.modularity(g, "src", "dst",
+        Graph.labelPropagation(g, "src", "dst", iters = 3),
+        "id", "community")
+    },
+
+    // Weighted sample WITHOUT replacement: exactly 100 documents via the
+    // Efraimidis-Spirakis md5 race, P(win) ∝ n_chars.
+    "q299_weighted_topk" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .hashSampleTopKWeighted("n_chars", 100, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Sequential pattern support: for every ordered event-type pair, how
+    // many users did A (first occurrence) strictly before B.
+    "q300_seq_support" -> { (s, dir) =>
+      Behavior.sequenceSupport(t(s, dir, "events"), "user_id",
+          Seq("ts", "event_id"), "event_type")
+        .orderBy(col("antecedent"), col("consequent"))
+    },
+
     // Autocorrelation of the event value series at lags 1..3 (per-user
     // series, pooled pairs) — exact scaled co-moment sums.
     "q150_acf" -> { (s, dir) =>
@@ -4017,6 +4052,118 @@ object ExtQueries {
          JOIN ka ON x2.cx = ka.cx AND x2.cy = ka.cy
          JOIN kb ON x2.cx = kb.cx AND x2.cy = kb.cy
          ORDER BY col_x, col_y""",
+
+    // mirrors TextStats.rakeKeywords: the same two regexp_replace passes
+    // (shared stopword alternation), degree/freq word scores, floor-scaled
+    // phrase score sums, (score DESC, phrase) top-50.
+    "q297_rake_keywords" -> {
+      val sw = graft.llm.TextStats.englishStopwords.mkString("|")
+      s"""WITH ph0 AS (SELECT unnest(string_split(regexp_replace(
+             regexp_replace(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+               '[^a-z0-9'' ]', '|', 'g'),
+             '\\b($sw)\\b', '|', 'g'), '|')) AS p0
+           FROM documents),
+         ph AS (SELECT trim(regexp_replace(p0, ' +', ' ', 'g')) AS phrase
+           FROM ph0),
+         ph2 AS (SELECT phrase, string_split(phrase, ' ') AS w,
+             CAST(len(string_split(phrase, ' ')) AS BIGINT) AS l
+           FROM ph WHERE phrase <> ''),
+         ws AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(l) AS BIGINT) AS deg
+           FROM (SELECT unnest(w) AS word, l FROM ph2) GROUP BY 1),
+         occ AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(MAX(l) AS BIGINT) AS n_words
+           FROM ph2 GROUP BY 1 HAVING COUNT(*) >= 2),
+         pw AS (SELECT o.phrase, o.n_words, o.n_occurrences,
+             unnest(string_split(o.phrase, ' ')) AS word FROM occ o),
+         sc AS (SELECT phrase, n_words, n_occurrences,
+             CAST(SUM(CAST(FLOOR(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)
+               * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS score
+           FROM pw JOIN ws USING (word) GROUP BY 1, 2, 3)
+         SELECT phrase, n_words, n_occurrences, score FROM sc
+         ORDER BY score DESC, phrase ASC LIMIT 50"""
+    },
+
+    // mirrors Graph.modularity over the q287 label-propagation replay:
+    // intra-community directed edge share minus the squared degree-mass
+    // expectation, floor-scaled (10^9) per community.
+    "q298_modularity" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""l$k AS (SELECT a AS id, lbl FROM (
+             SELECT e.a, l.lbl, COUNT(*) AS c,
+               row_number() OVER (PARTITION BY e.a
+                 ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+             FROM e JOIN l${k - 1} l ON e.b = l.id
+             GROUP BY e.a, l.lbl) t WHERE rn = 1)"""
+      }.mkString(",\n         ")
+      s"""WITH pairs AS (
+           SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS (SELECT cnode AS a, snode AS b FROM pairs
+               UNION ALL SELECT snode, cnode FROM pairs),
+         l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM e),
+         $rounds,
+         lab AS (SELECT id, lbl FROM l3),
+         m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM e),
+         intra AS (SELECT CAST(SUM(CASE WHEN la.lbl = lb.lbl THEN 1 ELSE 0
+             END) AS BIGINT) AS intra
+           FROM e JOIN lab la ON e.a = la.id JOIN lab lb ON e.b = lb.id),
+         degc AS (SELECT la.lbl, CAST(SUM(d.deg) AS BIGINT) AS dc
+           FROM (SELECT a, COUNT(*) AS deg FROM e GROUP BY 1) d
+           JOIN lab la ON d.a = la.id GROUP BY 1),
+         st AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_communities,
+             CAST(SUM(CAST(FLOOR(CAST(dc AS DOUBLE) / CAST(m2.m2 AS DOUBLE)
+               * (CAST(dc AS DOUBLE) / CAST(m2.m2 AS DOUBLE))
+               * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000000.0 AS expterm
+           FROM degc, m2)
+         SELECT k_communities, CAST(m2.m2 / 2 AS BIGINT) AS m_edges,
+           CAST(intra.intra / 2 AS BIGINT) AS intra_edges,
+           CAST(intra.intra AS DOUBLE) / CAST(m2.m2 AS DOUBLE) - expterm
+             AS modularity
+         FROM st, intra, m2"""
+    },
+
+    // mirrors hashSampleTopKWeighted: the q158 md5 uniform offset to
+    // (0,1), the Efraimidis-Spirakis ln(u)/w race floor-scaled to 10^9
+    // integers, (race DESC, doc_id) top-100.
+    "q299_weighted_topk" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+             CAST(FLOOR(ln((CAST(CAST(concat('0x', substr(md5(
+               concat_ws('#', doc_id)), 1, 15)) AS BIGINT) % 1000000
+               AS DOUBLE) + 0.5) / 1000000.0)
+               / CAST(n_chars AS DOUBLE) * 1000000000.0) AS BIGINT) AS race
+           FROM documents
+           WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0.0),
+         top AS (SELECT doc_id, lang, n_chars FROM r
+           ORDER BY race DESC, doc_id ASC LIMIT 100)
+         SELECT doc_id, lang, n_chars FROM top ORDER BY doc_id""",
+
+    // mirrors Behavior.sequenceSupport: first-occurrence positions, the
+    // per-user (state, first-pos) self-join, exact count ratios.
+    "q300_seq_support" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+           WHERE event_type IS NOT NULL),
+         pos AS (SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS p
+           FROM e),
+         f AS (SELECT user_id AS u, event_type AS st, MIN(p) AS fp
+           FROM pos GROUP BY 1, 2),
+         nu AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS nu FROM f),
+         na AS (SELECT st AS antecedent, CAST(COUNT(*) AS BIGINT) AS n_users_a
+           FROM f GROUP BY 1),
+         ab AS (SELECT x.st AS antecedent, y.st AS consequent,
+             CAST(COUNT(*) AS BIGINT) AS n_users_ab
+           FROM f x JOIN f y ON x.u = y.u AND x.st <> y.st AND x.fp < y.fp
+           GROUP BY 1, 2)
+         SELECT ab.antecedent, ab.consequent, n_users_ab, n_users_a,
+           nu AS n_users,
+           CAST(n_users_ab AS DOUBLE) / CAST(nu AS DOUBLE) AS support,
+           CAST(n_users_ab AS DOUBLE) / CAST(n_users_a AS DOUBLE)
+             AS confidence
+         FROM ab JOIN na ON ab.antecedent = na.antecedent CROSS JOIN nu
+         ORDER BY 1, 2""",
 
     // mirrors Stats.acf: keyed lag windows, pooled pairs per lag, the
     // q145 closed-form Pearson over floor-scaled exact sums.

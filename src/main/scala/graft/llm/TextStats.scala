@@ -674,4 +674,63 @@ object TextStats {
       when(vx > 0.0 && vy > 0.0, (cv / sqrt(vx)) * (cv / sqrt(vx)) / vy)
         .as("r2"))
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010) over the whole corpus —
+    * the unsupervised "what is this corpus about" pass that needs no
+    * model: candidate phrases are maximal runs between stopwords and
+    * punctuation; a word scores degree/freq (degree = Σ length of every
+    * phrase it appears in — words keeping long-phrase company score
+    * high); a phrase scores the sum of its word scores.
+    *
+    * Determinism: phrase extraction is two regexp_replace passes
+    * (punctuation → '|', stopword-with-boundaries → '|') over the house
+    * normalization — RE2-compatible patterns, no lookaround, shared
+    * verbatim with the SQL mirror; word scores are single divisions of
+    * exact counts; phrase scores are floor-scaled (10⁶) exact sums; the
+    * top-k order is (score, phrase) — fully tie-broken.
+    *
+    * Scale: the phrase and word frames are corpus-token-sized keyed
+    * aggregations (one shuffle each), the score join is vocab-sized, and
+    * the final top-k is a TakeOrderedAndProject — no global sort, no
+    * driver data. Returns ≤ topK rows
+    * (phrase, n_words, n_occurrences, score). */
+  def rakeKeywords(df: DataFrame, textCol: String, minFreq: Long = 2,
+                   topK: Int = 50,
+                   stopwords: Seq[String] = englishStopwords): DataFrame = {
+    require(topK > 0 && minFreq >= 1)
+    val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    val noPunct = regexp_replace(norm, "[^a-z0-9' ]", "|")
+    val stopPat = "\\b(" + stopwords.mkString("|") + ")\\b"
+    val cut = regexp_replace(noPunct, stopPat, "|")
+    val phrases = df
+      .select(explode(split(cut, "\\|")).as("__p0"))
+      .select(trim(regexp_replace(col("__p0"), " +", " ")).as("phrase"))
+      .filter(col("phrase") =!= "")
+      .withColumn("__w", split(col("phrase"), " "))
+      .withColumn("__len", size(col("__w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wordStats = phrases
+      .select(explode(col("__w")).as("word"), col("__len"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .select(col("word"),
+        (col("__deg").cast(DoubleType) / col("__freq").cast(DoubleType))
+          .as("__score"))
+    val occ = phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        max(col("__len")).cast(LongType).as("n_words"))
+      .filter(col("n_occurrences") >= minFreq)
+    val scored = occ
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).as("word"))
+      .join(wordStats, "word")
+      .groupBy(col("phrase"), col("n_words"), col("n_occurrences"))
+      .agg(graft.ops.Reductions.isum(col("__score"), 6).as("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(topK)
+    val out = scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    phrases.unpersist()
+    out
+  }
 }

@@ -463,4 +463,55 @@ object Behavior {
           col("__tot").cast(DoubleType)).as("cum_share"))
       .orderBy(col("bucket"))
   }
+
+  /** SEQUENTIAL PATTERN SUPPORT over per-user journeys — the length-2
+    * slice of PrefixSpan that answers "does A lead to B?" at corpus
+    * scale: for every ordered pair of distinct states, the number of
+    * users whose FIRST A strictly precedes their FIRST B (first-occurrence
+    * semantics — re-visits don't re-count), its support against the whole
+    * user base, and its confidence against users who did A at all.
+    * Returns (antecedent, consequent, n_users_ab, n_users_a, n_users,
+    * support, confidence) for every pair with n_users_ab > 0.
+    *
+    * Plan: one keyed window pass assigns first-occurrence positions, one
+    * (user, state) aggregation shrinks the data to ≤ |states| rows per
+    * user, and the pair build is a PER-USER self-join of that tiny frame
+    * — Σ_users k² with k = distinct states per user (bounded by the
+    * event-type vocabulary, NOT the journey length), then one O(pairs)
+    * aggregation. No cross-user pair explosion. */
+  def sequenceSupport(df: DataFrame, userCol: String,
+                      orderCols: Seq[String], stateCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(orderCols.map(col): _*)
+    val firsts = df
+      .filter(col(stateCol).isNotNull)
+      .withColumn("__pos", row_number().over(w))
+      .groupBy(col(userCol).as("__u"), col(stateCol).as("__st"))
+      .agg(min(col("__pos")).as("__fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val users = firsts.agg(countDistinct(col("__u")).as("__nu"))
+    val perA = firsts.groupBy(col("__st").as("antecedent"))
+      .agg(count(lit(1)).as("n_users_a"))
+    val b = firsts.select(col("__u").as("__u2"), col("__st").as("__st2"),
+      col("__fp").as("__fp2"))
+    val ab = firsts.join(b,
+        col("__u") === col("__u2") && col("__st") =!= col("__st2") &&
+          col("__fp") < col("__fp2"))
+      .groupBy(col("__st").as("antecedent"), col("__st2").as("consequent"))
+      .agg(count(lit(1)).as("n_users_ab"))
+    val out = ab.join(perA, "antecedent").crossJoin(broadcast(users))
+      .select(col("antecedent"), col("consequent"),
+        col("n_users_ab"), col("n_users_a"),
+        col("__nu").cast(LongType).as("n_users"),
+        (col("n_users_ab").cast(DoubleType) / col("__nu").cast(DoubleType))
+          .as("support"),
+        (col("n_users_ab").cast(DoubleType) /
+          col("n_users_a").cast(DoubleType)).as("confidence"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    firsts.unpersist()
+    out
+  }
 }

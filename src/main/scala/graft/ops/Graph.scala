@@ -333,4 +333,45 @@ object Graph {
     pairs.select(col("cnode").as("src"), col("snode").as("dst"))
       .unionByName(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
   }
+
+  /** NEWMAN MODULARITY of a node partition — the "was this community
+    * detection any good" scalar (Q > 0.3 ≈ real structure; Q ≈ 0 ≈ a
+    * random split): over a SYMMETRIC directed edge list (both directions
+    * present, the [[labelPropagation]]/[[tradingPairsGraph]] convention),
+    *   Q = intra/M2 − Σ_c (d_c / M2)²
+    * with M2 the directed edge count (= 2m), intra the directed count of
+    * within-community edges, d_c the summed out-degrees of community c.
+    * Nodes missing from `labels` drop their edges from intra but keep
+    * their degree mass — pass a complete labeling (LP emits one).
+    * Returns one row (k_communities, m_edges, intra_edges, modularity).
+    *
+    * Plan: two label joins on the edge frame (keyed; the label frame is
+    * node-sized), one degree aggregation, one O(communities) term frame
+    * with the Σ floor-scaled (10⁹) — no densification, no driver data. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, idCol: String, labelCol: String)
+      : DataFrame = {
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+    val la = labels.select(col(idCol).as("__sid"), col(labelCol).as("__sl"))
+    val lb = labels.select(col(idCol).as("__did"), col(labelCol).as("__dl"))
+    val m2 = e.agg(count(lit(1)).as("__m2"))
+    val intra = e.join(la, col("__s") === col("__sid"))
+      .join(lb, col("__d") === col("__did"))
+      .agg(sum(when(col("__sl") === col("__dl"), 1L).otherwise(0L))
+        .as("__intra"))
+    val degByC = e.groupBy(col("__s")).agg(count(lit(1)).as("__deg"))
+      .join(la, col("__s") === col("__sid"))
+      .groupBy(col("__sl")).agg(sum(col("__deg")).as("__dc"))
+    val m2D = col("__m2").cast(DoubleType)
+    val r = col("__dc").cast(DoubleType) / m2D
+    val sumTerm = degByC.crossJoin(broadcast(m2))
+      .agg(count(lit(1)).as("k_communities"),
+        Reductions.isum(r * r, 9).as("__expTerm"))
+    sumTerm.crossJoin(broadcast(intra)).crossJoin(broadcast(m2))
+      .select(col("k_communities"),
+        (col("__m2") / 2).cast(LongType).as("m_edges"),
+        (col("__intra") / 2).cast(LongType).as("intra_edges"),
+        (col("__intra").cast(DoubleType) / col("__m2").cast(DoubleType) -
+          col("__expTerm")).as("modularity"))
+  }
 }

@@ -209,6 +209,35 @@ object TableOps {
         .drop("__maxw")
     }
 
+    /** WEIGHTED SAMPLE WITHOUT REPLACEMENT, exactly k rows
+      * (Efraimidis–Spirakis 2006 exponential race): each row draws a
+      * deterministic uniform u from the md5 of its key columns (the q158
+      * hash-uniform, offset to (0,1) as (h+½)/10⁶) and races with key
+      * ln(u)/w — the k largest win, which IS the weighted
+      * without-replacement draw (P(row first) = wᵢ/Σw, then recurse).
+      * Unlike [[hashSampleRowsWeighted]] (independent Bernoulli, random
+      * output size), this returns exactly min(k, eligible) rows. Rows
+      * with null/zero/negative weight never win. Race keys are
+      * floor-scaled (10⁹) to integers and tie-broken by the key columns,
+      * so the winning set is engine- and partition-invariant.
+      *
+      * Plan: one codegen pass computes the race key; the selection is a
+      * TakeOrderedAndProject (per-partition top-k heaps + one O(k) merge
+      * — no global sort, no shuffle of the losers). */
+    def hashSampleTopKWeighted(weightCol: String, k: Int,
+                               keyCols: Seq[String]): DataFrame = {
+      require(k > 0, s"k=$k must be positive")
+      val h = pmod(conv(substring(md5(concat_ws("#", keyCols.map(col): _*)),
+        1, 15), 16, 10).cast(LongType), lit(1000000L))
+      val u = (h.cast(DoubleType) + 0.5) / lit(1e6)
+      val w = col(weightCol).cast(DoubleType)
+      df.filter(w.isNotNull && !isnan(w) && w > 0.0)
+        .withColumn("__race", floor(log(u) / w * lit(1e9)).cast(LongType))
+        .orderBy(col("__race").desc +: keyCols.map(c => col(c).asc): _*)
+        .limit(k)
+        .drop("__race")
+    }
+
     /** sort-by-column with TMD nulls-first default (reference base.clj:596-616;
       * :nan-strategy handled by normalizeNan below). */
     def sortByColumn(name: String, descending: Boolean = false,

@@ -1088,4 +1088,29 @@ class LlmOpsSpec extends SparkSuite {
       .filter(col("written") =!= col("recomputed")).count()
     assert(reassigned == 0)
   }
+
+  test("rakeKeywords: phrases split on stopwords+punctuation; long-phrase " +
+       "words outscore isolated ones; minFreq prunes") {
+    import spark.implicits._
+    // "machine learning systems" appears 3x as one phrase (stopword-flanked);
+    // "data" always alone. degree/freq: machine=learning=systems=3 (always in
+    // a 3-phrase), data=1 → phrase scores 9 vs 1.
+    val docs = Seq(
+      "the machine learning systems of this era, and the data.",
+      "machine learning systems in the data!",
+      "it is machine learning systems and data")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val out = TextStats.rakeKeywords(docs, "text", minFreq = 2, topK = 10)
+      .collect().map(r => r.getAs[String]("phrase") -> r).toMap
+    val mls = out("machine learning systems")
+    assert(mls.getAs[Long]("n_occurrences") == 3L &&
+      mls.getAs[Long]("n_words") == 3L)
+    assert(mls.getAs[Double]("score") == 9.0,
+      s"3 words x degree/freq 3 = 9, got ${mls.getAs[Double]("score")}")
+    val data = out("data")
+    assert(data.getAs[Long]("n_occurrences") == 3L &&
+      data.getAs[Double]("score") == 1.0)
+    // single-occurrence phrases are pruned by minFreq = 2
+    assert(!out.contains("era"))
+  }
 }

@@ -1450,4 +1450,72 @@ class StatsGraphSpec extends SparkSuite {
       Stats.associationTable(dep, Seq("a"))
     }
   }
+
+  test("modularity: two perfectly-labeled triangles score exactly 0.5; " +
+       "a random-ish split scores lower") {
+    import spark.implicits._
+    // two triangles {1,2,3}, {4,5,6}; symmetric directed list
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val good = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L),
+      (6L, 2L)).toDF("id", "community")
+    val g = Graph.modularity(edges, "src", "dst", good, "id", "community")
+      .collect()(0)
+    assert(g.getAs[Long]("k_communities") == 2L)
+    assert(g.getAs[Long]("m_edges") == 6L && g.getAs[Long]("intra_edges") == 6L)
+    // Q = intra/M2 - sum_c (d_c/M2)^2 = 1 - 2*(6/12)^2 = 0.5 exactly
+    assert(g.getAs[Double]("modularity") == 0.5)
+    val bad = Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L), (5L, 1L),
+      (6L, 2L)).toDF("id", "community")
+    val b = Graph.modularity(edges, "src", "dst", bad, "id", "community")
+      .collect()(0)
+    assert(b.getAs[Double]("modularity") < 0.0,
+      "splitting triangles across communities is worse than random")
+  }
+
+  test("sequenceSupport: first-occurrence semantics, exact ratios") {
+    import spark.implicits._
+    // u1: a b a c   (a->b, a->c, b->c; the second a never re-counts)
+    // u2: b a       (b->a only)
+    // u3: a         (antecedent-only user)
+    val ev = Seq(
+      ("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "a"), ("u1", 4L, "c"),
+      ("u2", 1L, "b"), ("u2", 2L, "a"),
+      ("u3", 1L, "a"))
+      .toDF("u", "i", "st")
+    val out = Behavior.sequenceSupport(ev, "u", Seq("i"), "st")
+      .collect()
+      .map(r => (r.getAs[String]("antecedent"),
+        r.getAs[String]("consequent")) -> r).toMap
+    val abP = out(("a", "b"))
+    assert(abP.getAs[Long]("n_users_ab") == 1L &&
+      abP.getAs[Long]("n_users_a") == 3L &&
+      abP.getAs[Long]("n_users") == 3L)
+    assert(abP.getAs[Double]("support") == 1.0 / 3.0)
+    assert(abP.getAs[Double]("confidence") == 1.0 / 3.0)
+    val baP = out(("b", "a"))
+    assert(baP.getAs[Long]("n_users_ab") == 1L,
+      "u1's later 'a' must NOT count b->a: first occurrences only")
+    assert(baP.getAs[Long]("n_users_a") == 2L)
+    assert(out(("a", "c")).getAs[Long]("n_users_ab") == 1L)
+    assert(!out.contains(("c", "a")), "zero-support pairs are absent")
+  }
+
+  test("hashSampleTopKWeighted: exactly k, deterministic, weight-ineligible " +
+       "rows never win, heavy weights dominate") {
+    import spark.implicits._
+    val df = ((1 to 200).map(i => (i.toLong, 1.0)) ++
+      (201 to 210).map(i => (i.toLong, 1e6)) ++
+      Seq((900L, 0.0), (901L, -3.0))).toDF("id", "w")
+    def run() = df.hashSampleTopKWeighted("w", 20, Seq("id"))
+      .collect().map(_.getAs[Long]("id")).toSet
+    val s = run()
+    assert(s.size == 20, "exactly k distinct rows")
+    assert(run() == s, "md5 race: bit-identical reruns")
+    assert(!s.contains(900L) && !s.contains(901L), "w <= 0 never wins")
+    // ten 1e6-weight rows vs two hundred weight-1 rows: all ten must win
+    assert((201L to 210L).forall(s.contains), s"heavy rows all in: $s")
+    // k larger than the eligible set: return all eligible, no crash
+    assert(df.hashSampleTopKWeighted("w", 5000, Seq("id")).count() == 210L)
+  }
 }
