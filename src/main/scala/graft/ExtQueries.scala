@@ -1035,6 +1035,49 @@ object ExtQueries {
         .orderBy(col("antecedent"), col("consequent"))
     },
 
+    // Binned mutual information between quantity and price — the
+    // nonlinear-dependence audit over decile grids.
+    "q301_binned_mi" -> { (s, dir) =>
+      Stats.binnedMi(t(s, dir, "lineitem"), "l_quantity",
+        "l_extendedprice", bins = 10)
+    },
+
+    // Jensen-Shannon divergence of the event-type mix, first vs second
+    // half of January — the smoothing-free drift companion to q295.
+    "q302_jsd" -> { (s, dir) =>
+      val split = lit("2024-01-16 00:00:00").cast(TimestampType)
+      Stats.jsDivergence(t(s, dir, "events"), "event_type",
+        col("ts") < split, col("ts") >= split)
+    },
+
+    // Dwell time per event type: exact microsecond spell durations from
+    // one keyed lead pass.
+    "q303_dwell" -> { (s, dir) =>
+      Behavior.dwellTimes(t(s, dir, "events"), "user_id",
+          Seq("ts", "event_id"), "ts", "event_type")
+        .orderBy(col("state"))
+    },
+
+    // Fleiss' kappa: do a user's events agree on their type — the
+    // multi-rater agreement form over the (user, event_type) rating log.
+    "q304_fleiss_kappa" -> { (s, dir) =>
+      Stats.fleissKappa(t(s, dir, "events"), "user_id", "event_type")
+    },
+
+    // Murphy decomposition of the Brier score for the min-max-scaled
+    // n_chars "probability" forecasting lang = en.
+    "q305_brier" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val mm = docs.agg(min(col("n_chars")).as("__mn"),
+        max(col("n_chars")).as("__mx"))
+      val d = docs.crossJoin(broadcast(mm))
+        .withColumn("p",
+          (col("n_chars") - col("__mn")).cast(DoubleType) /
+            (col("__mx") - col("__mn")).cast(DoubleType))
+        .withColumn("label", when(col("lang") === "en", 1L).otherwise(0L))
+      graft.ops.Ml.brierDecomposition(d, "p", "label", bins = 10)
+    },
+
     // Autocorrelation of the event value series at lags 1..3 (per-user
     // series, pooled pairs) — exact scaled co-moment sums.
     "q150_acf" -> { (s, dir) =>
@@ -4164,6 +4207,188 @@ object ExtQueries {
              AS confidence
          FROM ab JOIN na ON ab.antecedent = na.antecedent CROSS JOIN nu
          ORDER BY 1, 2""",
+
+    // mirrors Stats.binnedMi: quantile_cont decile edges, ties-to-lower
+    // binning, then the q231 MI body verbatim over the bin ids.
+    "q301_binned_mi" ->
+      """WITH src AS (SELECT CAST(l_quantity AS DOUBLE) AS xa,
+             CAST(l_extendedprice AS DOUBLE) AS xb
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL
+             AND NOT isnan(CAST(l_quantity AS DOUBLE))
+             AND l_extendedprice IS NOT NULL
+             AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+         qa AS (SELECT quantile_cont(xa,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs FROM src),
+         qb AS (SELECT quantile_cont(xb,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs FROM src),
+         c AS (SELECT 1 + len(list_filter(qa.qs, e -> xa > e)) AS a,
+                      1 + len(list_filter(qb.qs, e -> xb > e)) AS b
+           FROM src, qa, qb),
+         j AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nij
+           FROM c GROUP BY 1, 2),
+         ma AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ni FROM c GROUP BY 1),
+         mb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nj FROM c GROUP BY 1),
+         tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+         mi AS (SELECT n,
+             CAST(SUM(CAST(FLOOR((CAST(nij AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(nij AS DOUBLE) * CAST(n AS DOUBLE)
+                 / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
+               * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000000.0 AS mi
+           FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tt
+           GROUP BY n),
+         ha AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS k_a,
+             CAST(SUM(CAST(FLOOR((-(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE)))
+               * ln(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000000.0 AS h_a
+           FROM ma CROSS JOIN tt GROUP BY n),
+         hb AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS k_b,
+             CAST(SUM(CAST(FLOOR((-(CAST(nj AS DOUBLE) / CAST(n AS DOUBLE)))
+               * ln(CAST(nj AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000000.0 AS h_b
+           FROM mb CROSS JOIN tt GROUP BY n)
+         SELECT mi.n AS n, k_a, k_b, h_a, h_b, mi,
+           CASE WHEN h_a > 0.0 AND h_b > 0.0
+             THEN mi / sqrt(h_a * h_b) END AS nmi
+         FROM mi JOIN ha USING (n) JOIN hb USING (n)""",
+
+    // mirrors Stats.jsDivergence: one category-count frame, the mixture
+    // m = (p+q)/2, 0 ln 0 = 0, floor-scaled (10^9) term sums.
+    "q302_jsd" ->
+      """WITH v AS (SELECT event_type AS cat,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1
+                  ELSE 0 END AS isr
+           FROM events
+           WHERE event_type IS NOT NULL
+             AND (ts < TIMESTAMP '2024-01-16 00:00:00'
+                  OR ts >= TIMESTAMP '2024-01-16 00:00:00')),
+         per AS (SELECT cat,
+             CAST(SUM(CASE WHEN isr = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+             CAST(SUM(CASE WHEN isr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc
+           FROM v GROUP BY 1),
+         tot AS (SELECT CAST(SUM(nr) AS BIGINT) AS tr,
+             CAST(SUM(nc) AS BIGINT) AS tc FROM per),
+         terms AS (SELECT tr, tc,
+             CASE WHEN nr > 0 THEN (CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE))
+               * ln((CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE))
+                 / ((CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE)
+                     + CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE)) / 2.0))
+               ELSE 0.0 END AS tp,
+             CASE WHEN nc > 0 THEN (CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE))
+               * ln((CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE))
+                 / ((CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE)
+                     + CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE)) / 2.0))
+               ELSE 0.0 END AS tq
+           FROM per, tot)
+         SELECT tr AS n_ref, tc AS n_cur,
+           CAST(COUNT(*) AS BIGINT) AS k_categories,
+           CASE WHEN tr > 0 AND tc > 0 THEN
+             0.5 * (CAST(SUM(CAST(FLOOR(tp * 1000000000.0)
+               AS DECIMAL(38,0))) AS DOUBLE) / 1000000000.0)
+             + 0.5 * (CAST(SUM(CAST(FLOOR(tq * 1000000000.0)
+               AS DECIMAL(38,0))) AS DOUBLE) / 1000000000.0) END AS jsd
+         FROM terms GROUP BY tr, tc""",
+
+    // mirrors Behavior.dwellTimes: exact epoch-microsecond lead
+    // differences, one state aggregation, divisions only at the end.
+    "q303_dwell" ->
+      """WITH g AS (SELECT event_type AS state,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) - epoch_us(ts) AS dw
+           FROM events),
+         f AS (SELECT state, dw FROM g
+           WHERE dw IS NOT NULL AND state IS NOT NULL)
+         SELECT state, CAST(COUNT(*) AS BIGINT) AS n_spells,
+           CAST(SUM(dw) AS DOUBLE) / 1000000.0 AS total_secs,
+           CAST(SUM(dw) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / 1000000.0 AS mean_secs,
+           CAST(MAX(dw) AS DOUBLE) / 1000000.0 AS max_secs
+         FROM f GROUP BY 1 ORDER BY 1""",
+
+    // mirrors Stats.fleissKappa: (item, category) cells, per-item P_i over
+    // items with >= 2 ratings, marginal P_e, both floor-scaled (10^9).
+    "q304_fleiss_kappa" ->
+      """WITH cell AS (SELECT user_id AS it, event_type AS ct,
+             CAST(COUNT(*) AS BIGINT) AS nij
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+         pi AS (SELECT it, CAST(SUM(nij) AS BIGINT) AS ni,
+             CAST(SUM(nij * nij) AS BIGINT) AS s2
+           FROM cell GROUP BY 1 HAVING SUM(nij) >= 2),
+         pb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(ni) AS BIGINT) AS n_ratings,
+             CAST(SUM(CAST(FLOOR(CAST(s2 - ni AS DOUBLE)
+               / (CAST(ni AS DOUBLE) * (CAST(ni AS DOUBLE) - 1.0))
+               * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000000.0 AS spi
+           FROM pi),
+         ctt AS (SELECT cell.ct, CAST(SUM(nij) AS BIGINT) AS cj
+           FROM cell JOIN pi ON cell.it = pi.it GROUP BY 1),
+         t AS (SELECT CAST(SUM(cj) AS BIGINT) AS t FROM ctt),
+         pe AS (SELECT CAST(SUM(CAST(FLOOR(
+             CAST(cj AS DOUBLE) / CAST(t.t AS DOUBLE)
+             * (CAST(cj AS DOUBLE) / CAST(t.t AS DOUBLE))
+             * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+             / 1000000000.0 AS p_e
+           FROM ctt, t)
+         SELECT n_items, n_ratings,
+           spi / CAST(n_items AS DOUBLE) AS p_bar, p_e,
+           CASE WHEN p_e <> 1.0 THEN
+             (spi / CAST(n_items AS DOUBLE) - p_e) / (1.0 - p_e)
+           END AS kappa
+         FROM pb, pe""",
+
+    // mirrors Ml.brierDecomposition over the min-max-scaled forecast:
+    // fixed-width bins, exact label counts + floor-scaled forecast sums,
+    // the Murphy reliability/resolution/uncertainty closed forms.
+    "q305_brier" ->
+      """WITH mm AS (SELECT CAST(MIN(n_chars) AS BIGINT) AS mn,
+             CAST(MAX(n_chars) AS BIGINT) AS mx FROM documents),
+         d AS (SELECT
+             CAST(n_chars - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) AS p,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents, mm
+           WHERE n_chars IS NOT NULL),
+         b AS (SELECT LEAST(10, CAST(FLOOR(p * 10) AS INTEGER) + 1) AS bin,
+             p, y FROM d),
+         per AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS nk,
+             CAST(SUM(CAST(FLOOR(p * 1000000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000000.0 AS sp,
+             CAST(SUM(y) AS BIGINT) AS sy
+           FROM b GROUP BY 1),
+         tot AS (SELECT CAST(SUM(nk) AS BIGINT) AS n,
+             CAST(SUM(sy) AS BIGINT) AS syt FROM per),
+         terms AS (SELECT n, syt,
+             (CAST(nk AS DOUBLE) / CAST(n AS DOUBLE))
+               * (sp / CAST(nk AS DOUBLE) - CAST(sy AS DOUBLE)
+                 / CAST(nk AS DOUBLE))
+               * (sp / CAST(nk AS DOUBLE) - CAST(sy AS DOUBLE)
+                 / CAST(nk AS DOUBLE)) AS rel,
+             (CAST(nk AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE)
+                 - CAST(syt AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE)
+                 - CAST(syt AS DOUBLE) / CAST(n AS DOUBLE)) AS res
+           FROM per, tot)
+         SELECT n, CAST(COUNT(*) AS BIGINT) AS k_bins,
+           CAST(SUM(CAST(FLOOR(rel * 1000000000.0) AS DECIMAL(38,0)))
+             AS DOUBLE) / 1000000000.0 AS reliability,
+           CAST(SUM(CAST(FLOOR(res * 1000000000.0) AS DECIMAL(38,0)))
+             AS DOUBLE) / 1000000000.0 AS resolution,
+           CAST(syt AS DOUBLE) / CAST(n AS DOUBLE)
+             * (1.0 - CAST(syt AS DOUBLE) / CAST(n AS DOUBLE))
+             AS uncertainty,
+           CAST(SUM(CAST(FLOOR(rel * 1000000000.0) AS DECIMAL(38,0)))
+             AS DOUBLE) / 1000000000.0
+           - CAST(SUM(CAST(FLOOR(res * 1000000000.0) AS DECIMAL(38,0)))
+             AS DOUBLE) / 1000000000.0
+           + CAST(syt AS DOUBLE) / CAST(n AS DOUBLE)
+             * (1.0 - CAST(syt AS DOUBLE) / CAST(n AS DOUBLE)) AS brier
+         FROM terms GROUP BY n, syt""",
 
     // mirrors Stats.acf: keyed lag windows, pooled pairs per lag, the
     // q145 closed-form Pearson over floor-scaled exact sums.

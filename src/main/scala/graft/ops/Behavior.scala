@@ -464,6 +464,36 @@ object Behavior {
       .orderBy(col("bucket"))
   }
 
+  /** DWELL-TIME ANALYSIS: how long do users SIT in each state? Every
+    * event opens a spell in its state that the user's next event closes
+    * (the last event of a journey has no close and is excluded — open
+    * spells are unknowable in a batch). Durations are exact microsecond
+    * longs (unix_micros of the lead-ts difference); seconds appear only
+    * in the final divisions. Returns per state
+    * (state, n_spells, total_secs, mean_secs, max_secs).
+    *
+    * Plan: one keyed window pass (lead over the user exchange) + one
+    * state aggregation — a single data shuffle. */
+  def dwellTimes(df: DataFrame, userCol: String, orderCols: Seq[String],
+                 tsCol: String, stateCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("__next", lead(unix_micros(col(tsCol)), 1).over(w))
+      .filter(col("__next").isNotNull && col(stateCol).isNotNull)
+      .withColumn("__dw", col("__next") - unix_micros(col(tsCol)))
+      .groupBy(col(stateCol).as("state"))
+      .agg(count(lit(1)).as("n_spells"),
+        sum(col("__dw")).as("__tus"),
+        max(col("__dw")).as("__mus"))
+      .select(col("state"), col("n_spells"),
+        (col("__tus").cast(DoubleType) / lit(1e6)).as("total_secs"),
+        (col("__tus").cast(DoubleType) / col("n_spells").cast(DoubleType) /
+          lit(1e6)).as("mean_secs"),
+        (col("__mus").cast(DoubleType) / lit(1e6)).as("max_secs"))
+  }
+
   /** SEQUENTIAL PATTERN SUPPORT over per-user journeys — the length-2
     * slice of PrefixSpan that answers "does A lead to B?" at corpus
     * scale: for every ordered pair of distinct states, the number of

@@ -253,6 +253,57 @@ object Ml {
       .drop("__g", "__x")
   }
 
+  /** MURPHY DECOMPOSITION of the Brier score over fixed-width forecast
+    * bins — the "is my probability model honest" triple:
+    *   reliability  Σ (n_k/N)(f̄_k − ō_k)²   (calibration error — lower better)
+    *   resolution   Σ (n_k/N)(ō_k − ō)²     (discrimination — higher better)
+    *   uncertainty  ō(1 − ō)                 (the data's own entropy floor)
+    * and brier = reliability − resolution + uncertainty (the identity is
+    * exact when forecasts are constant within a bin; with binned f̄ it is
+    * the standard binned estimate). `probCol` must lie in [0, 1]; bin k =
+    * min(bins, ⌊p·bins⌋+1). Complete-case. Returns one row
+    * (n, k_bins, reliability, resolution, uncertainty, brier).
+    *
+    * Plan: one keyed bin aggregation (exact label counts + floor-scaled
+    * forecast sums) → an O(bins) term frame, floor-scaled (10⁹) sums —
+    * the q168 calibration table's quality-scalar companion. */
+  def brierDecomposition(df: DataFrame, probCol: String, labelCol: String,
+                         bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins=$bins out of [2, 1000]")
+    val p = col(probCol).cast(DoubleType)
+    val y = col(labelCol).cast(LongType)
+    val clean = df.filter(p.isNotNull && !isnan(p) && y.isNotNull)
+      .select(least(lit(bins), (floor(p * bins) + 1).cast(IntegerType))
+          .as("__bin"),
+        p.as("__p"), y.as("__y"))
+    val per = clean.groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__nk"),
+        graft.ops.Reductions.isum(col("__p"), 9).as("__sp"),
+        sum(col("__y")).as("__sy"))
+    val tot = per.agg(sum(col("__nk")).as("__n"), sum(col("__sy")).as("__syt"))
+    val nD = col("__n").cast(DoubleType)
+    val nkD = col("__nk").cast(DoubleType)
+    val fbar = col("__sp") / nkD
+    val obark = col("__sy").cast(DoubleType) / nkD
+    val obar = col("__syt").cast(DoubleType) / nD
+    val rel = (nkD / nD) * (fbar - obark) * (fbar - obark)
+    val res = (nkD / nD) * (obark - obar) * (obark - obar)
+    per.crossJoin(broadcast(tot))
+      .groupBy(col("__n"), col("__syt"))
+      .agg(count(lit(1)).as("k_bins"),
+        graft.ops.Reductions.isum(rel, 9).as("reliability"),
+        graft.ops.Reductions.isum(res, 9).as("resolution"))
+      .select(col("__n").as("n"), col("k_bins"),
+        col("reliability"), col("resolution"),
+        (col("__syt").cast(DoubleType) / col("__n").cast(DoubleType) *
+          (lit(1.0) - col("__syt").cast(DoubleType) /
+            col("__n").cast(DoubleType))).as("uncertainty"),
+        (col("reliability") - col("resolution") +
+          col("__syt").cast(DoubleType) / col("__n").cast(DoubleType) *
+            (lit(1.0) - col("__syt").cast(DoubleType) /
+              col("__n").cast(DoubleType))).as("brier"))
+  }
+
   def fitQuantileBinner(df: DataFrame, cols: Seq[String], k: Int)
       : QuantileBinModel = {
     require(k >= 2, s"need k ≥ 2 bins, got $k")

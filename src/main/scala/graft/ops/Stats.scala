@@ -1723,6 +1723,115 @@ object Stats {
       count(lit(1)).as("k_bins"), fs(term, 9).as("psi"))
   }
 
+  /** BINNED MUTUAL INFORMATION between two NUMERIC columns — the
+    * nonlinear-dependence audit Pearson misses (a U-shaped relation
+    * correlates ~0 but carries high MI): both columns are cut into
+    * `bins` equal-frequency bins (exact rank-selection quantile edges,
+    * ties → lower bin, the q154 convention), then [[entropyMi]] runs on
+    * the bin ids. Complete-case on the PAIR. Returns one row
+    * (n, k_a, k_b, h_a, h_b, mi, nmi) — k can be < bins when edge values
+    * tie. Plan: two O(bins)-scalar quantile fits + the entropyMi keyed
+    * count frames; the bin edges are codegen literals. */
+  def binnedMi(df: DataFrame, colA: String, colB: String, bins: Int = 10)
+      : DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins=$bins out of [2, 1000]")
+    val xa = col(colA).cast(DoubleType); val xb = col(colB).cast(DoubleType)
+    val clean = df
+      .filter(xa.isNotNull && !isnan(xa) && xb.isNotNull && !isnan(xb))
+      .select(xa.as("__xa"), xb.as("__xb"))
+    val qs = (1 until bins).map(_.toDouble / bins)
+    val ea = Ml.exactQuantilesRankPick(clean, "__xa", qs)
+    val eb = Ml.exactQuantilesRankPick(clean, "__xb", qs)
+    def binOf(c: Column, edges: Seq[Double]): Column =
+      edges.foldLeft(lit(1)) { (acc, e) =>
+        acc + when(c > lit(e), 1).otherwise(0) }
+    entropyMi(clean.select(binOf(col("__xa"), ea).as("__ba"),
+      binOf(col("__xb"), eb).as("__bb")), "__ba", "__bb")
+  }
+
+  /** JENSEN-SHANNON DIVERGENCE between a reference and a current
+    * CATEGORICAL composition (source mix, language mix, event mix) —
+    * the symmetric, always-finite drift scalar (∈ [0, ln 2]; no
+    * smoothing needed: the mixture m = (p+q)/2 is positive wherever
+    * either side is):
+    *   JSD = ½ Σ p·ln(p/m) + ½ Σ q·ln(q/m),  0·ln(0/m) ≡ 0.
+    * Rows matching neither condition are ignored. Returns one row
+    * (n_ref, n_cur, k_categories, jsd); null when a side is empty.
+    *
+    * Plan: ONE keyed aggregation builds both sides' category counts,
+    * per-category terms are a fixed IEEE sequence floor-scaled (10⁹,
+    * the q231 ln convention) over the O(categories) frame. */
+  def jsDivergence(df: DataFrame, catCol: String, refCond: Column,
+                   curCond: Column): DataFrame = {
+    val clean = df.filter(col(catCol).isNotNull && (refCond || curCond))
+      .select(col(catCol).as("__cat"),
+        when(refCond, lit(1)).otherwise(lit(0)).as("__isr"))
+    val per = clean.groupBy(col("__cat"))
+      .agg(sum(when(col("__isr") === 1, 1L).otherwise(0L)).as("__nr"),
+        sum(when(col("__isr") === 0, 1L).otherwise(0L)).as("__nc"))
+    val tot = per.agg(sum(col("__nr")).as("__tr"), sum(col("__nc")).as("__tc"))
+    val p = col("__nr").cast(DoubleType) / col("__tr").cast(DoubleType)
+    val q = col("__nc").cast(DoubleType) / col("__tc").cast(DoubleType)
+    val m = (p + q) / 2.0
+    val termP = when(col("__nr") > 0, p * log(p / m)).otherwise(lit(0.0))
+    val termQ = when(col("__nc") > 0, q * log(q / m)).otherwise(lit(0.0))
+    per.crossJoin(broadcast(tot))
+      .groupBy(col("__tr"), col("__tc"))
+      .agg(count(lit(1)).as("k_categories"),
+        fs(termP, 9).as("__sp"), fs(termQ, 9).as("__sq"))
+      .select(col("__tr").as("n_ref"), col("__tc").as("n_cur"),
+        col("k_categories"),
+        when(col("__tr") > 0 && col("__tc") > 0,
+          lit(0.5) * col("__sp") + lit(0.5) * col("__sq")).as("jsd"))
+  }
+
+  /** FLEISS' KAPPA multi-rater agreement from a (item, category) rating
+    * log — one row per individual rating, any number of raters per item
+    * (the generalized per-item-nᵢ form; items with < 2 ratings drop, as
+    * agreement is undefined on them):
+    *   P̄ = meanᵢ (Σⱼ n²ᵢⱼ − nᵢ)/(nᵢ(nᵢ−1)),  P̄ₑ = Σⱼ p²ⱼ,
+    *   κ = (P̄ − P̄ₑ)/(1 − P̄ₑ).
+    * Returns one row (n_items, n_ratings, p_bar, p_e, kappa); kappa null
+    * when P̄ₑ = 1 (a single category — agreement is vacuous).
+    *
+    * Plan: one (item, category) count aggregation → one O(items) per-item
+    * term frame + one O(categories) marginal frame, both floor-scaled
+    * (10⁹) exact sums. Nothing data-sized past the first groupBy. */
+  def fleissKappa(df: DataFrame, itemCol: String, catCol: String)
+      : DataFrame = {
+    val cell = df.filter(col(itemCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(itemCol).as("__it"), col(catCol).as("__ct"))
+      .agg(count(lit(1)).as("__nij"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perItem = cell.groupBy(col("__it"))
+      .agg(sum(col("__nij")).as("__ni"),
+        sum(col("__nij") * col("__nij")).as("__s2"))
+      .filter(col("__ni") >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val niD = col("__ni").cast(DoubleType)
+    val pi = (col("__s2") - col("__ni")).cast(DoubleType) /
+      (niD * (niD - 1.0))
+    val pbarAgg = perItem.agg(count(lit(1)).as("n_items"),
+      sum(col("__ni")).as("n_ratings"), fs(pi, 9).as("__spi"))
+    val catTot = cell.join(perItem.select(col("__it")), "__it")
+      .groupBy(col("__ct")).agg(sum(col("__nij")).as("__cj"))
+    val tAgg = catTot.agg(sum(col("__cj")).as("__t"))
+    val pj = col("__cj").cast(DoubleType) / col("__t").cast(DoubleType)
+    val peAgg = catTot.crossJoin(broadcast(tAgg))
+      .agg(fs(pj * pj, 9).as("p_e"))
+    val out = pbarAgg.crossJoin(broadcast(peAgg))
+      .select(col("n_items"), col("n_ratings"),
+        (col("__spi") / col("n_items").cast(DoubleType)).as("p_bar"),
+        col("p_e"),
+        when(col("p_e") =!= 1.0,
+          (col("__spi") / col("n_items").cast(DoubleType) - col("p_e")) /
+            (lit(1.0) - col("p_e"))).as("kappa"))
+    val res = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    cell.unpersist(); perItem.unpersist()
+    res
+  }
+
   /** CRAMÉR'S V association table over every pair of categorical columns
     * — the categorical analog of the reference's correlation-table
     * (stats.clj correlation-table): V = √(χ²/(n·(min(kₓ,k_y)−1))) ∈ [0,1],

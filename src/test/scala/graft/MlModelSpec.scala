@@ -429,4 +429,27 @@ class MlModelSpec extends SparkSuite {
     // null value / null group rows keep null qn
     assert(got.filter(r => r._2.isEmpty || r._1.isEmpty).forall(_._3.isEmpty))
   }
+
+  test("brierDecomposition: a perfect forecaster has zero reliability and " +
+       "resolution = uncertainty; a constant forecaster has zero resolution") {
+    import spark.implicits._
+    // 40 rows, 25% positives; perfect: p = y exactly
+    val perfect = ((1 to 30).map(_ => (0.0, 0L)) ++
+      (1 to 10).map(_ => (1.0, 1L))).toDF("p", "y")
+    val pr = Ml.brierDecomposition(perfect, "p", "y", bins = 10).collect()(0)
+    assert(pr.getAs[Long]("n") == 40L)
+    assert(pr.getAs[Double]("reliability") == 0.0)
+    assert(pr.getAs[Double]("uncertainty") == 0.25 * 0.75)
+    assert(math.abs(pr.getAs[Double]("resolution") -
+      pr.getAs[Double]("uncertainty")) < 1e-9)
+    assert(math.abs(pr.getAs[Double]("brier")) < 1e-9)
+    // constant forecaster at the base rate: rel 0, res 0, brier = unc
+    val flat = ((1 to 30).map(_ => (0.25, 0L)) ++
+      (1 to 10).map(_ => (0.25, 1L))).toDF("p", "y")
+    val fl = Ml.brierDecomposition(flat, "p", "y", bins = 10).collect()(0)
+    assert(fl.getAs[Long]("k_bins") == 1L)
+    assert(math.abs(fl.getAs[Double]("reliability")) < 1e-9 &&
+      fl.getAs[Double]("resolution") == 0.0)
+    assert(math.abs(fl.getAs[Double]("brier") - 0.1875) < 1e-9)
+  }
 }

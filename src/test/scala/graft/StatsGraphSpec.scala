@@ -1501,6 +1501,79 @@ class StatsGraphSpec extends SparkSuite {
     assert(!out.contains(("c", "a")), "zero-support pairs are absent")
   }
 
+  test("binnedMi: identical columns saturate NMI; hash-independent columns " +
+       "carry almost none") {
+    import spark.implicits._
+    val xs = (1 to 2000).map(_.toDouble)
+    val same = xs.map(x => (x, x)).toDF("a", "b")
+    val s = Stats.binnedMi(same, "a", "b", bins = 10).collect()(0)
+    assert(s.getAs[Long]("k_a") == 10L && s.getAs[Long]("k_b") == 10L)
+    assert(math.abs(s.getAs[Double]("nmi") - 1.0) < 1e-6,
+      s"identical deciles: NMI = 1, got ${s.getAs[Double]("nmi")}")
+    val indep = xs.map(x => (x, (x * 2654435761.0) % 977)).toDF("a", "b")
+    val i = Stats.binnedMi(indep, "a", "b", bins = 10).collect()(0)
+    assert(i.getAs[Double]("nmi") < 0.05,
+      s"hash scramble: NMI ~ 0, got ${i.getAs[Double]("nmi")}")
+  }
+
+  test("jsDivergence: identical mixes score exactly 0; disjoint supports " +
+       "score ln 2") {
+    import spark.implicits._
+    val mix = Seq("x", "x", "y", "z")
+    val same = (mix.map(c => ("r", c)) ++ mix.map(c => ("c", c)))
+      .toDF("side", "cat")
+    val s = Stats.jsDivergence(same, "cat", col("side") === "r",
+      col("side") === "c").collect()(0)
+    assert(s.getAs[Double]("jsd") == 0.0, "p = q per category: every term 0")
+    assert(s.getAs[Long]("k_categories") == 3L)
+    val disjoint = (Seq("a", "b").map(c => ("r", c)) ++
+      Seq("x", "y").map(c => ("c", c))).toDF("side", "cat")
+    val d = Stats.jsDivergence(disjoint, "cat", col("side") === "r",
+      col("side") === "c").collect()(0)
+    assert(math.abs(d.getAs[Double]("jsd") - math.log(2.0)) < 1e-6,
+      s"disjoint supports hit the ln 2 ceiling: ${d.getAs[Double]("jsd")}")
+  }
+
+  test("fleissKappa: perfect agreement scores 1, perfect disagreement -1 " +
+       "on the balanced two-category design; singleton items drop") {
+    import spark.implicits._
+    val agree = Seq(("i1", "a"), ("i1", "a"), ("i2", "b"), ("i2", "b"),
+      ("lone", "a")).toDF("item", "cat")
+    val a = Stats.fleissKappa(agree, "item", "cat").collect()(0)
+    assert(a.getAs[Long]("n_items") == 2L && a.getAs[Long]("n_ratings") == 4L,
+      "the single-rating item is excluded everywhere")
+    assert(a.getAs[Double]("p_bar") == 1.0 && a.getAs[Double]("p_e") == 0.5)
+    assert(a.getAs[Double]("kappa") == 1.0)
+    val fight = Seq(("i1", "a"), ("i1", "b"), ("i2", "a"), ("i2", "b"))
+      .toDF("item", "cat")
+    val f = Stats.fleissKappa(fight, "item", "cat").collect()(0)
+    assert(f.getAs[Double]("kappa") == -1.0,
+      "every pair disagrees: kappa = (0 - 0.5)/(1 - 0.5) = -1")
+  }
+
+  test("dwellTimes: exact spell durations; last events never close; " +
+       "per-user isolation") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000L)
+    val ev = Seq(
+      ("u1", 1L, at(0), "browse"), ("u1", 2L, at(10), "cart"),
+      ("u1", 3L, at(25), "buy"),
+      ("u2", 1L, at(100), "browse"), ("u2", 2L, at(103), "browse"),
+      ("u2", 3L, at(109), "exit"))
+      .toDF("u", "i", "ts", "st")
+    val out = Behavior.dwellTimes(ev, "u", Seq("ts", "i"), "ts", "st")
+      .collect().map(r => r.getAs[String]("state") -> r).toMap
+    // browse spells: u1 0->10 (10s), u2 100->103 (3s) and 103->109 (6s)
+    val b = out("browse")
+    assert(b.getAs[Long]("n_spells") == 3L)
+    assert(b.getAs[Double]("total_secs") == 19.0)
+    assert(b.getAs[Double]("max_secs") == 10.0)
+    assert(out("cart").getAs[Double]("total_secs") == 15.0)
+    assert(!out.contains("buy") && !out.contains("exit"),
+      "terminal events have no next event: no spell")
+  }
+
   test("hashSampleTopKWeighted: exactly k, deterministic, weight-ineligible " +
        "rows never win, heavy weights dominate") {
     import spark.implicits._
