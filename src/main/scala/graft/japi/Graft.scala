@@ -228,4 +228,83 @@ object Graft {
   def stripMarkup(df: DataFrame, column: String,
                   outCol: String): DataFrame =
     df.withColumn(outCol, graft.llm.TextStats.stripMarkup(col(column)))
+
+  /** Quantile-normalize `valueCol` across `groupCol` onto the pooled
+    * distribution (appends `<valueCol>_qn`). */
+  def quantileNormalizeByGroup(df: DataFrame, groupCol: String,
+                               valueCol: String, gridK: Int): DataFrame =
+    graft.ops.Ml.quantileNormalizeByGroup(df, groupCol, valueCol, gridK)
+
+  /** AR(2) Yule-Walker fit per key series (r1, r2, phi1, phi2). */
+  def arFit(df: DataFrame, keys: ju.List[String],
+            order: ju.List[String], valueCol: String): DataFrame =
+    graft.ops.Stats.arFit2(df, keys.asScala.toSeq, order.asScala.toSeq,
+      valueCol)
+
+  /** Single changepoint per key series: the split index maximizing the
+    * between-segment SSE reduction. */
+  def changepoint(df: DataFrame, keys: ju.List[String],
+                  order: ju.List[String], valueCol: String): DataFrame =
+    graft.ops.Stats.changepoint(df, keys.asScala.toSeq,
+      order.asScala.toSeq, valueCol)
+
+  /** Population stability index of `valueCol` between two SQL-expression
+    * slices over `bins` reference-quantile bins. */
+  def psi(df: DataFrame, valueCol: String, refExpr: String,
+          curExpr: String, bins: Int): DataFrame =
+    graft.ops.Stats.psi(df, valueCol, expr(refExpr), expr(curExpr), bins)
+
+  /** Jensen-Shannon divergence of `catCol`'s composition between two
+    * SQL-expression slices. */
+  def jsDivergence(df: DataFrame, catCol: String, refExpr: String,
+                   curExpr: String): DataFrame =
+    graft.ops.Stats.jsDivergence(df, catCol, expr(refExpr), expr(curExpr))
+
+  /** Cramér's V association table over every pair of the given columns. */
+  def associationTable(df: DataFrame, cols: ju.List[String]): DataFrame =
+    graft.ops.Stats.associationTable(df, cols.asScala.toSeq)
+
+  /** Binned mutual information between two numeric columns. */
+  def binnedMi(df: DataFrame, colA: String, colB: String,
+               bins: Int): DataFrame =
+    graft.ops.Stats.binnedMi(df, colA, colB, bins)
+
+  /** Fleiss' kappa over a (item, category) rating log. */
+  def fleissKappa(df: DataFrame, itemCol: String, catCol: String): DataFrame =
+    graft.ops.Stats.fleissKappa(df, itemCol, catCol)
+
+  /** Murphy decomposition of the Brier score over fixed-width bins. */
+  def brierDecomposition(df: DataFrame, probCol: String, labelCol: String,
+                         bins: Int): DataFrame =
+    graft.ops.Ml.brierDecomposition(df, probCol, labelCol, bins)
+
+  /** Newman modularity of a labeled partition over a symmetric edge list. */
+  def modularity(edges: DataFrame, src: String, dst: String,
+                 labels: DataFrame, idCol: String,
+                 labelCol: String): DataFrame =
+    graft.ops.Graph.modularity(edges, src, dst, labels, idCol, labelCol)
+
+  /** Exactly-k weighted sample without replacement (md5 race, P ∝ w). */
+  def weightedSampleK(df: DataFrame, weightCol: String, k: Int,
+                      keyCols: ju.List[String]): DataFrame = {
+    import graft.ops.TableOps._
+    df.hashSampleTopKWeighted(weightCol, k, keyCols.asScala.toSeq)
+  }
+
+  /** Per-state dwell times from per-user event journeys. */
+  def dwellTimes(df: DataFrame, userCol: String, order: ju.List[String],
+                 tsCol: String, stateCol: String): DataFrame =
+    graft.ops.Behavior.dwellTimes(df, userCol, order.asScala.toSeq,
+      tsCol, stateCol)
+
+  /** Length-2 sequential pattern support over per-user journeys. */
+  def sequenceSupport(df: DataFrame, userCol: String,
+                      order: ju.List[String], stateCol: String): DataFrame =
+    graft.ops.Behavior.sequenceSupport(df, userCol, order.asScala.toSeq,
+      stateCol)
+
+  /** RAKE corpus keywords from a text column. */
+  def rakeKeywords(df: DataFrame, textCol: String, minFreq: Long,
+                   topK: Int): DataFrame =
+    graft.llm.TextStats.rakeKeywords(df, textCol, minFreq, topK)
 }

@@ -351,9 +351,16 @@ object Graph {
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
                  labels: DataFrame, idCol: String, labelCol: String)
       : DataFrame = {
+    // the edge frame is consumed three times (count, intra join, degree
+    // pass) and the label frame twice — persist both so an expensive
+    // upstream (a joins-built graph, an iterative LP labeling) computes
+    // ONCE; released after the one-row result materializes
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
-    val la = labels.select(col(idCol).as("__sid"), col(labelCol).as("__sl"))
-    val lb = labels.select(col(idCol).as("__did"), col(labelCol).as("__dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lab = labels.select(col(idCol).as("__lid"), col(labelCol).as("__ll"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val la = lab.select(col("__lid").as("__sid"), col("__ll").as("__sl"))
+    val lb = lab.select(col("__lid").as("__did"), col("__ll").as("__dl"))
     val m2 = e.agg(count(lit(1)).as("__m2"))
     val intra = e.join(la, col("__s") === col("__sid"))
       .join(lb, col("__d") === col("__did"))
@@ -367,11 +374,15 @@ object Graph {
     val sumTerm = degByC.crossJoin(broadcast(m2))
       .agg(count(lit(1)).as("k_communities"),
         Reductions.isum(r * r, 9).as("__expTerm"))
-    sumTerm.crossJoin(broadcast(intra)).crossJoin(broadcast(m2))
+    val out = sumTerm.crossJoin(broadcast(intra)).crossJoin(broadcast(m2))
       .select(col("k_communities"),
         (col("__m2") / 2).cast(LongType).as("m_edges"),
         (col("__intra") / 2).cast(LongType).as("intra_edges"),
         (col("__intra").cast(DoubleType) / col("__m2").cast(DoubleType) -
           col("__expTerm")).as("modularity"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the one-row result, then release the caches
+    e.unpersist(); lab.unpersist()
+    out
   }
 }

@@ -110,5 +110,48 @@ public final class JavaApiCheck {
             Map.of("o_orderpriority", "html")),
         "html", "text");
     check(stripped.count() == orders.count(), "stripMarkup is per-row");
+
+    // 6. series / drift / agreement surface
+    Dataset<Row> qn = Graft.quantileNormalizeByGroup(lineitem,
+        "l_returnflag", "l_quantity", 21);
+    check(java.util.Arrays.asList(qn.columns()).contains("l_quantity_qn"),
+        "quantile-normalized column must surface");
+
+    Dataset<Row> psi = Graft.psi(orders, "o_totalprice",
+        "o_orderstatus = 'F'", "o_orderstatus <> 'F'", 10);
+    check(psi.count() == 1, "psi is a one-row scalar frame");
+
+    Dataset<Row> jsd = Graft.jsDivergence(orders, "o_orderpriority",
+        "o_orderstatus = 'F'", "o_orderstatus <> 'F'");
+    check(jsd.count() == 1, "jsd is a one-row scalar frame");
+
+    Dataset<Row> assoc = Graft.associationTable(orders,
+        List.of("o_orderstatus", "o_orderpriority"));
+    check(assoc.count() == 1, "one row per unordered pair");
+
+    Dataset<Row> mi = Graft.binnedMi(lineitem, "l_quantity",
+        "l_extendedprice", 10);
+    check(mi.count() == 1, "binned MI is a one-row scalar frame");
+
+    Dataset<Row> kappa = Graft.fleissKappa(orders, "o_custkey",
+        "o_orderpriority");
+    check(kappa.count() == 1, "kappa is a one-row scalar frame");
+
+    Dataset<Row> sampled = Graft.weightedSampleK(lineitem,
+        "l_quantity", 25, List.of("l_orderkey", "l_linenumber"));
+    check(sampled.count() == 25, "weighted race returns exactly k");
+
+    Dataset<Row> cp = Graft.changepoint(
+        Graft.selectColumns(lineitem,
+            List.of("l_returnflag", "l_orderkey", "l_extendedprice")),
+        List.of("l_returnflag"), List.of("l_orderkey"), "l_extendedprice");
+    check(cp.count() > 0, "one changepoint row per series");
+
+    Dataset<Row> ar = Graft.arFit(
+        Graft.selectColumns(lineitem,
+            List.of("l_returnflag", "l_orderkey", "l_extendedprice")),
+        List.of("l_returnflag"), List.of("l_orderkey"), "l_extendedprice");
+    check(java.util.Arrays.asList(ar.columns()).contains("phi1"),
+        "AR coefficients must surface");
   }
 }

@@ -32,7 +32,7 @@ def main():
          "src/main/scala/graft/ExtQueries.scala",
          "src/main/scala/graft/LlmQueries.scala"],
         capture_output=True, text=True).stdout
-    n_queries = len(set(src.split()))
+    n_queries = len(set(t for t in src.split() if t.startswith('"q')))
     if n_queries == 0:
         sys.exit("no query registrations found — wrong cwd?")
 
