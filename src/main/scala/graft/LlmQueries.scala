@@ -64,6 +64,15 @@ object LlmQueries {
         .limit(100)
     },
 
+    // EXACT Jaccard self-join via the lossless PPJoin prefix filter — the
+    // oracle is the BRUTE-FORCE pair join, so a hash match proves the
+    // pruning missed nothing.
+    "q306_jaccard_join" -> { (s, dir) =>
+      TextDedup.jaccardJoin(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Edit-distance-VERIFIED near-dup pairs: LSH proposes, exact
     // prefix-Levenshtein disposes — the sketch→exact verification ladder.
     "q155_lev_dedup" -> { (s, dir) =>
@@ -1025,6 +1034,30 @@ object LlmQueries {
            FROM pairs0 p JOIN v a ON a.id = p.id_a JOIN v b ON b.id = p.id_b)
          SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
          ORDER BY cosine DESC, id_a, id_b LIMIT 100""",
+
+    // mirrors TextDedup.jaccardJoin by BRUTE FORCE — no prefix filter at
+    // all: the hash match against the engine's pruned plan proves the
+    // prefix filter is lossless. The length prefilter below is implied by
+    // J >= t (min/max >= t), so it cannot change the result set.
+    "q306_jaccard_join" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS w
+           FROM documents),
+         g AS (SELECT doc_id, CASE WHEN len(w) >= 3
+             THEN list_distinct(list_transform(range(len(w) - 2),
+               i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3])))
+             ELSE [array_to_string(w, ' ')] END AS ts FROM w),
+         s AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS l FROM g
+           WHERE len(ts) > 0),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS i,
+             a.l AS la, b.l AS lb
+           FROM s a JOIN s b ON a.doc_id < b.doc_id
+             AND b.l >= ceil(0.5 * a.l) AND a.l >= ceil(0.5 * b.l))
+         SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) AS jaccard
+         FROM p
+         WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.5
+         ORDER BY 1, 2""",
 
     // mirrors TextDedup.minhashCandidatePairs end-to-end (signatures,
     // banding, rep+adjacent pairing, estimated Jaccard) — every hash is

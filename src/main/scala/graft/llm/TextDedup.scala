@@ -923,4 +923,69 @@ object TextDedup {
     base.unpersist()
     out
   }
+
+  /** EXACT set-similarity self-join with a PREFIX FILTER (the
+    * PPJoin/AllPairs family, Xiao et al. 2008) — every pair of documents
+    * whose k-shingle sets have Jaccard ≥ `threshold`, with NO
+    * approximation: where MinHash-LSH ([[lshCandidatePairs]]) trades
+    * recall for speed, this is the exact-answer scale path. The filter is
+    * LOSSLESS: under any one global shingle order, two sets with
+    * J ≥ t must share a shingle among each set's first
+    * |s| − ⌈t·|s|⌉ + 1 shingles (else even perfect overlap of the
+    * remainder leaves the intersection below t) — so candidate
+    * generation by prefix-shingle equality misses nothing, and the
+    * DuckDB oracle can be the BRUTE-FORCE join: a hash match proves the
+    * pruning dropped no pair. Rare-first ordering (ascending document
+    * frequency) makes prefixes collide as little as possible.
+    *
+    * Plan: shingle-set build (map-side array exprs) → one distributed
+    * rank of the shingle vocabulary (range sort — the vocab never sits
+    * on one node) → per-doc prefix pick (keyed window) → prefix-token
+    * equi-join with the implied length filter → exact array_intersect
+    * verify on candidates only. Returns (id_a, id_b, jaccard), id_a <
+    * id_b. */
+  def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold=$threshold")
+    require(k >= 1 && k <= 16, s"k=$k")
+    import graft.ops.TableOps._
+    val sets = df.select(col(idCol).cast(LongType).as("__id"),
+        array_distinct(shingles(col(textCol), k)).as("__ts"))
+      .filter(col("__id").isNotNull && size(col("__ts")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = sets.select(col("__id"), size(col("__ts")).as("__l"),
+      explode(col("__ts")).as("__sh"))
+    val ranked = exploded.groupBy(col("__sh"))
+      .agg(count(lit(1)).as("__df"))
+      .withRowIndex(Seq(col("__df"), col("__sh")), "__rank")
+    val w = Window.partitionBy(col("__id")).orderBy(col("__rank"))
+    val prefix = exploded
+      .join(ranked.select(col("__sh"), col("__rank")), "__sh")
+      .withColumn("__pos", row_number().over(w))
+      .filter(col("__pos") <=
+        col("__l") - ceil(lit(threshold) * col("__l")) + 1)
+      .select(col("__sh"), col("__id"), col("__l"))
+    val cand = prefix.select(col("__sh"), col("__id").as("id_a"),
+        col("__l").as("__la"))
+      .join(prefix.select(col("__sh"), col("__id").as("id_b"),
+        col("__l").as("__lb")), "__sh")
+      .filter(col("id_a") < col("id_b") &&
+        col("__lb") >= ceil(lit(threshold) * col("__la")) &&
+        col("__la") >= ceil(lit(threshold) * col("__lb")))
+      .select(col("id_a"), col("id_b")).distinct()
+    val inter = size(array_intersect(col("__tsa"), col("__tsb")))
+    val out = cand
+      .join(sets.select(col("__id").as("id_a"), col("__ts").as("__tsa")),
+        "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__ts").as("__tsb")),
+        "id_b")
+      .withColumn("jaccard", inter.cast(DoubleType) /
+        (size(col("__tsa")) + size(col("__tsb")) - inter).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sets.unpersist()
+    out
+  }
 }

@@ -1113,4 +1113,40 @@ class LlmOpsSpec extends SparkSuite {
     // single-occurrence phrases are pruned by minFreq = 2
     assert(!out.contains("era"))
   }
+
+  test("jaccardJoin: matches the brute-force answer exactly (lossless " +
+       "prefix filter), keeps the at-threshold pair, orders id_a < id_b") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),     // 5/7 vs doc 1
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six seven"),      // exact dup of 3
+      (5L, "completely different words here entirely"),
+      (6L, "alpha beta gamma delta epsilon zeta"))    // exact dup of 1
+      .toDF("doc_id", "text")
+    val got = graft.llm.TextDedup
+      .jaccardJoin(docs, "doc_id", "text", k = 3, threshold = 0.3)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    // brute force over the same shingle sets, computed independently
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val texts = Map(1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon eta",
+      3L -> "one two three four five six seven",
+      4L -> "one two three four five six seven",
+      5L -> "completely different words here entirely",
+      6L -> "alpha beta gamma delta epsilon zeta")
+    val want = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      ia = sh(texts(a)).intersect(sh(texts(b))).size
+      j = ia.toDouble / (sh(texts(a)).size + sh(texts(b)).size - ia)
+      if j >= 0.3
+    } yield (a, b) -> j).toMap
+    assert(got == want, s"got=$got want=$want")
+    assert(got((3L, 4L)) == 1.0 && got((1L, 6L)) == 1.0, "exact dups at 1")
+    assert(!got.contains((1L, 5L)), "unrelated docs never pair")
+  }
 }
