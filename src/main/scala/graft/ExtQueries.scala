@@ -1064,6 +1064,14 @@ object ExtQueries {
       Stats.fleissKappa(t(s, dir, "events"), "user_id", "event_type")
     },
 
+    // STREAMING PSI drift monitor under the oracle gate: reference bins
+    // fit statically, the current side streamed (Complete-mode O(bins)
+    // state), the scalar finished on the sink table — equals batch PSI.
+    "q307_stream_psi" -> { (s, dir) =>
+      graft.streaming.EventStream.psiDrift(s, dir,
+        "2024-01-16 00:00:00", bins = 10)
+    },
+
     // Murphy decomposition of the Brier score for the min-max-scaled
     // n_chars "probability" forecasting lang = en.
     "q305_brier" -> { (s, dir) =>
@@ -4341,6 +4349,46 @@ object ExtQueries {
              (spi / CAST(n_items AS DOUBLE) - p_e) / (1.0 - p_e)
            END AS kappa
          FROM pb, pe""",
+
+    // q307: the AvailableNow-drained streaming PSI equals the batch PSI
+    // of the same split — the q295 SQL verbatim.
+    "q307_stream_psi" ->
+      """WITH v AS (SELECT
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'ref'
+                  ELSE 'cur' END AS side,
+             CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+             AND (ts < TIMESTAMP '2024-01-16 00:00:00'
+                  OR ts >= TIMESTAMP '2024-01-16 00:00:00')),
+         q AS (SELECT quantile_cont(x,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+           FROM v WHERE side = 'ref'),
+         binned AS (SELECT side,
+             1 + len(list_filter(qs, e -> x > e)) AS bin FROM v, q),
+         cnt AS (SELECT side, bin, CAST(COUNT(*) AS BIGINT) AS c
+           FROM binned GROUP BY 1, 2),
+         grid AS (SELECT s.side, b.bin
+           FROM (VALUES ('ref'), ('cur')) s(side)
+           CROSS JOIN (SELECT UNNEST(generate_series(1, 10)) AS bin) b),
+         dense AS (SELECT g.side, g.bin, COALESCE(c.c, 0) AS c
+           FROM grid g LEFT JOIN cnt c ON g.side = c.side AND g.bin = c.bin),
+         tot AS (SELECT side, SUM(c) AS tot FROM dense GROUP BY 1),
+         wp AS (SELECT d.side, d.bin, d.c,
+             (CAST(d.c AS DOUBLE) + 0.5) / (CAST(t.tot AS DOUBLE) + 5.0) AS p
+           FROM dense d JOIN tot t ON d.side = t.side),
+         per AS (SELECT bin,
+             SUM(CASE WHEN side = 'ref' THEN c ELSE 0 END) AS cr,
+             MAX(CASE WHEN side = 'ref' THEN p END) AS pr,
+             SUM(CASE WHEN side = 'cur' THEN c ELSE 0 END) AS cc,
+             MAX(CASE WHEN side = 'cur' THEN p END) AS pc
+           FROM wp GROUP BY 1)
+         SELECT CAST(SUM(cr) AS BIGINT) AS n_ref,
+           CAST(SUM(cc) AS BIGINT) AS n_cur,
+           CAST(COUNT(*) AS BIGINT) AS k_bins,
+           CAST(SUM(CAST(FLOOR((pc - pr) * ln(pc / pr) * 1000000000.0)
+             AS DECIMAL(38,0))) AS DOUBLE) / 1000000000.0 AS psi
+         FROM per""",
 
     // mirrors Ml.brierDecomposition over the min-max-scaled forecast:
     // fixed-width bins, exact label counts + floor-scaled forecast sums,

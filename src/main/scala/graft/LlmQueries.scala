@@ -73,6 +73,14 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // c-TF-IDF cluster term profiles (BERTopic labeling step): the top-5
+    // terms that CHARACTERIZE each source, not just occur in it.
+    "q308_cluster_terms" -> { (s, dir) =>
+      TextStats.clusterTerms(t(s, dir, "documents"), "source", "text",
+          topK = 5)
+        .orderBy(col("cluster"), col("rank"))
+    },
+
     // Edit-distance-VERIFIED near-dup pairs: LSH proposes, exact
     // prefix-Levenshtein disposes — the sketch→exact verification ladder.
     "q155_lev_dedup" -> { (s, dir) =>
@@ -1058,6 +1066,34 @@ object LlmQueries {
          FROM p
          WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.5
          ORDER BY 1, 2""",
+
+    // mirrors TextStats.clusterTerms: the same c-TF-IDF closed form,
+    // score floor-scaled (10^9) BEFORE the per-cluster rank so near-tie
+    // order cannot drift, ties by term.
+    "q308_cluster_terms" ->
+      s"""WITH toks AS (SELECT source AS cluster,
+             unnest(string_split($normSql, ' ')) AS term
+           FROM documents WHERE source IS NOT NULL),
+         cell AS (SELECT cluster, term, CAST(COUNT(*) AS BIGINT) AS n_term
+           FROM toks WHERE term <> '' GROUP BY 1, 2),
+         nc AS (SELECT cluster, CAST(SUM(n_term) AS BIGINT) AS nc
+           FROM cell GROUP BY 1),
+         kw AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS kw
+           FROM cell GROUP BY 1),
+         kt AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM nc),
+         scored AS (SELECT cell.cluster, cell.term, cell.n_term,
+             CAST(FLOOR(CAST(n_term AS DOUBLE) / CAST(nc AS DOUBLE)
+               * ln(1.0 + CAST(k AS DOUBLE) / CAST(kw AS DOUBLE))
+               * 1000000000.0) AS BIGINT) AS s
+           FROM cell JOIN nc USING (cluster) JOIN kw USING (term)
+           CROSS JOIN kt),
+         ranked AS (SELECT cluster, term, n_term,
+             CAST(s AS DOUBLE) / 1000000000.0 AS score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+               ORDER BY s DESC, term ASC) AS BIGINT) AS rank
+           FROM scored)
+         SELECT cluster, term, n_term, score, rank FROM ranked
+         WHERE rank <= 5 ORDER BY cluster, rank""",
 
     // mirrors TextDedup.minhashCandidatePairs end-to-end (signatures,
     // banding, rep+adjacent pairing, estimated Jaccard) — every hash is

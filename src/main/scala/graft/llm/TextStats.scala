@@ -675,6 +675,58 @@ object TextStats {
         .as("r2"))
   }
 
+  /** c-TF-IDF CLUSTER TERM PROFILES (the BERTopic labeling step): which
+    * terms CHARACTERIZE each cluster (source, topic id, dedup community),
+    * not just occur in it —
+    *   score(w, c) = (n_{w,c} / N_c) · ln(1 + K / k_w)
+    * with N_c the cluster's token count, K the cluster count, k_w the
+    * number of clusters containing w: a term everywhere scores ≈ tf·ln 2
+    * regardless of frequency, a cluster-exclusive term gets the full
+    * ln(1 + K) boost. Scores are floor-scaled (10⁹) BEFORE the per-cluster
+    * top-k rank so near-tie ordering cannot drift between engines; ties
+    * break by term. Returns ≤ topK rows per cluster
+    * (cluster, term, n_term, score, rank).
+    *
+    * Plan: one (cluster, term) count aggregation, an O(terms) cluster-df
+    * frame, an O(clusters) total frame broadcast back, then a per-cluster
+    * window rank (WindowGroupLimit prunes to topK per partition before
+    * the shuffle). */
+  def clusterTerms(df: DataFrame, clusterCol: String, textCol: String,
+                   topK: Int = 10): DataFrame = {
+    require(topK > 0)
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.filter(col(clusterCol).isNotNull)
+      .select(col(clusterCol).as("cluster"),
+        explode(TextDedup.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val cell = toks.groupBy(col("cluster"), col("term"))
+      .agg(count(lit(1)).as("n_term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nc = cell.groupBy(col("cluster")).agg(sum(col("n_term")).as("__nc"))
+    val kw = cell.groupBy(col("term")).agg(count(lit(1)).as("__kw"))
+    val kTot = nc.agg(count(lit(1)).as("__k"))
+    val tf = col("n_term").cast(DoubleType) / col("__nc").cast(DoubleType)
+    val idf = log(lit(1.0) +
+      col("__k").cast(DoubleType) / col("__kw").cast(DoubleType))
+    val scored = cell
+      .join(broadcast(nc), "cluster")
+      .join(kw, "term")
+      .crossJoin(broadcast(kTot))
+      .withColumn("__s",
+        floor(tf * idf * lit(1e9)).cast(LongType))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("__s").desc, col("term").asc)
+    val out = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("cluster"), col("term"), col("n_term"),
+        (col("__s").cast(DoubleType) / lit(1e9)).as("score"),
+        col("rank").cast(LongType).as("rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    cell.unpersist()
+    out
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010) over the whole corpus —
     * the unsupervised "what is this corpus about" pass that needs no
     * model: candidate phrases are maximal runs between stopwords and

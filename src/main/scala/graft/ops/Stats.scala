@@ -1697,9 +1697,19 @@ object Stats {
       .select(col("__side"), bin.as("__bin"))
       .groupBy(col("__side"), col("__bin"))
       .agg(count(lit(1)).as("__c"))
+    psiFromCounts(counts, bins)
+  }
+
+  /** The PSI finishing arithmetic over a sparse (side, bin, count) frame
+    * — `__side ∈ {ref, cur}`, `__bin ∈ 1..bins`, `__c` — shared by the
+    * batch [[psi]] and the streaming drift monitor (which accumulates the
+    * same count frame through a streaming aggregation and finishes on the
+    * O(bins) sink table). Missing (side, bin) cells count 0. */
+  private[graft] def psiFromCounts(counts: DataFrame, bins: Int)
+      : DataFrame = {
     // dense (side × bin) grid so empty bins still contribute their
     // smoothed term — O(2·bins) rows, broadcast-joined
-    val spark = df.sparkSession
+    val spark = counts.sparkSession
     import spark.implicits._
     val grid = spark.range(1, bins + 1).toDF("__bin")
       .crossJoin(Seq("ref", "cur").toDF("__side"))
@@ -1722,6 +1732,11 @@ object Stats {
     perBin.agg(sum(col("__cr")).as("n_ref"), sum(col("__cc")).as("n_cur"),
       count(lit(1)).as("k_bins"), fs(term, 9).as("psi"))
   }
+
+  /** The q154-convention bin expression for PSI-style edge lists: 1 +
+    * (count of edges strictly below x), ties → lower bin. */
+  private[graft] def psiBin(x: Column, edges: Seq[Double]): Column =
+    edges.foldLeft(lit(1)) { (acc, e) => acc + when(x > lit(e), 1).otherwise(0) }
 
   /** BINNED MUTUAL INFORMATION between two NUMERIC columns — the
     * nonlinear-dependence audit Pearson misses (a U-shaped relation

@@ -345,6 +345,41 @@ object EventStream {
     * scale this is the knob you RAISE — state volume per shard, not shard
     * fixed cost, dominates there. The session conf is restored after the
     * run so batch queries in the same session keep their parallelism. */
+  /** STREAMING PSI DRIFT MONITOR: the model-monitoring loop that pages a
+    * human — bin edges fit ONCE on a static reference slice (rank-selected
+    * exact quantiles, compiled into the stream as literals), the live
+    * stream aggregates per-bin counts (Complete mode over an O(bins)
+    * state — the state store holds `bins` longs, nothing data-sized), and
+    * the PSI scalar finishes on the O(bins) sink table with the SAME
+    * arithmetic as the batch [[graft.ops.Stats.psi]]. With AvailableNow
+    * the drained result equals the batch PSI of the same split — which is
+    * exactly what the DuckDB oracle checks. At scale the stream keeps
+    * running and every micro-batch refreshes the scalar incrementally.
+    * Returns one row (n_ref, n_cur, k_bins, psi). */
+  def psiDrift(spark: SparkSession, dir: String,
+               splitTs: String, bins: Int = 10): DataFrame = {
+    graft.Tables.ensureFunctions(spark)
+    val split = lit(splitTs).cast(org.apache.spark.sql.types.TimestampType)
+    val x = col("value").cast(org.apache.spark.sql.types.DoubleType)
+    val ref = graft.Tables.t(spark, dir, "events")
+      .filter(col("ts") < split && x.isNotNull && !isnan(x))
+      .select(x.as("__x"))
+    val edges = graft.ops.Ml.exactQuantilesRankPick(ref, "__x",
+      (1 until bins).map(_.toDouble / bins))
+    val refCounts = ref
+      .select(graft.ops.Stats.psiBin(col("__x"), edges).as("__bin"))
+      .groupBy(col("__bin")).agg(count(lit(1)).as("__c"))
+      .select(lit("ref").as("__side"), col("__bin"), col("__c"))
+    val curStream = eventsStream(spark, dir)
+      .filter(col("ts") >= split && x.isNotNull && !isnan(x))
+      .select(graft.ops.Stats.psiBin(x, edges).as("__bin"))
+      .groupBy(col("__bin")).agg(count(lit(1)).as("__c"))
+    val curTable = runToMemorySink(curStream,
+      s"psi_drift_${System.nanoTime()}", statePartitions = Some(8))
+      .select(lit("cur").as("__side"), col("__bin"), col("__c"))
+    graft.ops.Stats.psiFromCounts(refCounts.unionByName(curTable), bins)
+  }
+
   def runToMemorySink(df: DataFrame, name: String,
                       mode: OutputMode = OutputMode.Complete(),
                       statePartitions: Option[Int] = None): DataFrame = {

@@ -1149,4 +1149,30 @@ class LlmOpsSpec extends SparkSuite {
     assert(got((3L, 4L)) == 1.0 && got((1L, 6L)) == 1.0, "exact dups at 1")
     assert(!got.contains((1L, 5L)), "unrelated docs never pair")
   }
+
+  test("clusterTerms: exclusive terms outrank ubiquitous ones; scores " +
+       "follow the c-TF-IDF closed form") {
+    import spark.implicits._
+    // 'common' appears in every cluster; each cluster has an exclusive term
+    val docs = Seq(
+      ("c1", "common alpha alpha alpha"),
+      ("c2", "common beta beta beta"),
+      ("c3", "common gamma gamma gamma"))
+      .toDF("src", "text")
+    val out = TextStats.clusterTerms(docs, "src", "text", topK = 2)
+      .collect().map(r => (r.getAs[String]("cluster"),
+        r.getAs[Long]("rank")) -> r).toMap
+    // rank 1 in c1 must be the exclusive 'alpha', not 'common'
+    val top = out(("c1", 1L))
+    assert(top.getAs[String]("term") == "alpha")
+    assert(top.getAs[Long]("n_term") == 3L)
+    // score = (3/4)·ln(1 + 3/1), floor-scaled at 1e9
+    val want = math.floor(3.0 / 4.0 * math.log(1.0 + 3.0) * 1e9) / 1e9
+    assert(top.getAs[Double]("score") == want)
+    // 'common' scores (1/4)·ln(1 + 3/3) — strictly lower
+    val second = out(("c1", 2L))
+    assert(second.getAs[String]("term") == "common")
+    assert(second.getAs[Double]("score") ==
+      math.floor(1.0 / 4.0 * math.log(2.0) * 1e9) / 1e9)
+  }
 }

@@ -228,4 +228,20 @@ class StreamingSpec extends SparkSuite {
         "window at h covers tumbling hours h and h+1")
     }
   }
+
+  test("streaming PSI drift monitor equals the batch PSI bit-for-bit") {
+    val split = "2024-01-16 00:00:00"
+    val streamed = EventStream.psiDrift(spark, sfDir, split, bins = 10)
+      .collect()(0)
+    val splitC = org.apache.spark.sql.functions.lit(split)
+      .cast(org.apache.spark.sql.types.TimestampType)
+    val batch = graft.ops.Stats.psi(Tables.t(spark, sfDir, "events"),
+        "value", col("ts") < splitC, col("ts") >= splitC, bins = 10)
+      .collect()(0)
+    assert(streamed == batch,
+      s"streamed=$streamed batch=$batch — the drained stream must " +
+        "reproduce the batch scalar exactly")
+    assert(streamed.getAs[Long]("n_ref") > 0 &&
+      streamed.getAs[Long]("n_cur") > 0)
+  }
 }
