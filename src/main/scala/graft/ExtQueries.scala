@@ -1064,6 +1064,24 @@ object ExtQueries {
       Stats.fleissKappa(t(s, dir, "events"), "user_id", "event_type")
     },
 
+    // Mahalanobis outliers on the (value, hour-of-day) joint — the
+    // multivariate anomaly gate per-column z-scores miss.
+    "q309_mahalanobis" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("hr", hour(col("ts")).cast(DoubleType))
+      Stats.mahalanobisOutliers(ev, "value", "hr", threshold = 9.21)
+        .select(col("event_id"), col("value"), col("hr"), col("d2"))
+        .orderBy(col("event_id"))
+    },
+
+    // Split-conformal prediction interval for price ~ quantity: md5-split
+    // halves, OLS on train, exact order-statistic residual quantile.
+    "q310_conformal" -> { (s, dir) =>
+      graft.ops.Ml.splitConformal(t(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice",
+        Seq("l_orderkey", "l_linenumber"), alpha = 0.1)
+    },
+
     // STREAMING PSI drift monitor under the oracle gate: reference bins
     // fit statically, the current side streamed (Complete-mode O(bins)
     // state), the scalar finished on the sink table — equals batch PSI.
@@ -4349,6 +4367,76 @@ object ExtQueries {
              (spi / CAST(n_items AS DOUBLE) - p_e) / (1.0 - p_e)
            END AS kappa
          FROM pb, pe""",
+
+    // mirrors Stats.mahalanobisOutliers: floor-scaled moment sums, the
+    // closed-form 2x2 inverse, the identical d2 expression and filter.
+    "q309_mahalanobis" ->
+      """WITH b AS (SELECT event_id, CAST(value AS DOUBLE) AS x,
+             CAST(extract(hour FROM ts) AS DOUBLE) AS y
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+             AND ts IS NOT NULL),
+         s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sx,
+             CAST(SUM(CAST(FLOOR(y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sy,
+             CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxx,
+             CAST(SUM(CAST(FLOOR(y * y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS syy,
+             CAST(SUM(CAST(FLOOR(x * y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxy
+           FROM b),
+         m AS (SELECT n,
+             sx / CAST(n AS DOUBLE) AS mx, sy / CAST(n AS DOUBLE) AS my,
+             sxx / CAST(n AS DOUBLE)
+               - sx / CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE)) AS cxx,
+             syy / CAST(n AS DOUBLE)
+               - sy / CAST(n AS DOUBLE) * (sy / CAST(n AS DOUBLE)) AS cyy,
+             sxy / CAST(n AS DOUBLE)
+               - sx / CAST(n AS DOUBLE) * (sy / CAST(n AS DOUBLE)) AS cxy
+           FROM s),
+         d AS (SELECT event_id, x, y,
+             (cyy * (x - mx) * (x - mx)
+               - 2.0 * cxy * (x - mx) * (y - my)
+               + cxx * (y - my) * (y - my))
+             / (cxx * cyy - cxy * cxy) AS d2,
+             n, cxx * cyy - cxy * cxy AS det
+           FROM b, m)
+         SELECT event_id, x AS value, y AS hr, d2 FROM d
+         WHERE n >= 2 AND det <> 0.0 AND d2 > 9.21
+         ORDER BY event_id""",
+
+    // mirrors Ml.splitConformal: md5 side bit, exact train moments, the
+    // OLS closed form, row_number order-statistic residual pick.
+    "q310_conformal" ->
+      """WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y,
+             (CAST(concat('0x', substr(md5(concat_ws('#', l_orderkey,
+               l_linenumber)), 1, 15)) AS BIGINT) % 2) AS side
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL
+             AND NOT isnan(CAST(l_quantity AS DOUBLE))
+             AND l_extendedprice IS NOT NULL
+             AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+         tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sx,
+             CAST(SUM(CAST(FLOOR(y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sy,
+             CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxx,
+             CAST(SUM(CAST(FLOOR(x * y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxy
+           FROM b WHERE side = 0),
+         fit AS (SELECT n AS n_train,
+             (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+             (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+               / CAST(n AS DOUBLE) AS intercept
+           FROM tr),
+         cal AS (SELECT abs(y - (slope * x + intercept)) AS r
+           FROM b, fit WHERE side = 1),
+         nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+         kk AS (SELECT n_cal, LEAST(n_cal,
+             CAST(CEIL((n_cal + 1) * (1.0 - 0.1)) AS BIGINT)) AS k FROM nc),
+         rr AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn FROM cal)
+         SELECT fit.n_train, kk.n_cal, fit.slope, fit.intercept,
+           kk.k AS k_rank, rr.r AS q_hat
+         FROM fit, kk, rr WHERE rr.rn = kk.k""",
 
     // q307: the AvailableNow-drained streaming PSI equals the batch PSI
     // of the same split — the q295 SQL verbatim.

@@ -304,6 +304,63 @@ object Ml {
               col("__n").cast(DoubleType))).as("brier"))
   }
 
+  /** SPLIT-CONFORMAL PREDICTION INTERVAL for a simple regression — the
+    * distribution-free "how wide must the band be to cover 1−α of new
+    * points" guarantee (Vovk et al.; the modern ML-uncertainty staple):
+    * rows split by a content-derived md5 bit (deterministic, engine- and
+    * partition-invariant), OLS fit on the train half from exact moment
+    * sums, and q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest absolute residual on
+    * the calibration half — an EXACT order statistic (no interpolation:
+    * conformal validity needs the k-th value itself), found by
+    * distributed rank selection. [ŷ ± q̂] then covers ≥ 1−α of exchangeable
+    * new rows. Returns one row
+    * (n_train, n_cal, slope, intercept, k_rank, q_hat).
+    *
+    * Plan: one aggregation (train moments) + one range-sort rank pick on
+    * the calibration residuals — O(1) scalars to the driver. `splitCols`
+    * must be integer-typed (their string rendering feeds md5). */
+  def splitConformal(df: DataFrame, xCol: String, yCol: String,
+                     splitCols: Seq[String], alpha: Double = 0.1)
+      : DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha=$alpha")
+    require(splitCols.nonEmpty)
+    val x = col(xCol).cast(DoubleType); val y = col(yCol).cast(DoubleType)
+    val side = pmod(conv(substring(md5(concat_ws("#",
+      splitCols.map(col): _*)), 1, 15), 16, 10).cast(LongType), lit(2L))
+    val clean = df.filter(x.isNotNull && !isnan(x) && y.isNotNull && !isnan(y))
+      .select(x.as("__x"), y.as("__y"), side.as("__side"))
+    val tr = clean.filter(col("__side") === 0L)
+      .agg(count(lit(1)).as("__n"),
+        Reductions.isum(col("__x"), 6).as("__sx"),
+        Reductions.isum(col("__y"), 6).as("__sy"),
+        Reductions.isum(col("__x") * col("__x"), 6).as("__sxx"),
+        Reductions.isum(col("__x") * col("__y"), 6).as("__sxy"))
+    val nD = col("__n").cast(DoubleType)
+    val slope = (nD * col("__sxy") - col("__sx") * col("__sy")) /
+      (nD * col("__sxx") - col("__sx") * col("__sx"))
+    val fit = tr.select(col("__n").as("n_train"), slope.as("slope"),
+      ((col("__sy") - slope * col("__sx")) / nD).as("intercept"))
+    val cal = clean.filter(col("__side") === 1L)
+      .crossJoin(broadcast(fit))
+      .select(col("n_train"), col("slope"), col("intercept"),
+        abs(col("__y") - (col("slope") * col("__x") + col("intercept")))
+          .as("__r"))
+    val nCal = cal.count()
+    val k = math.min(nCal, math.ceil((nCal + 1) * (1.0 - alpha)).toLong)
+    val qHat: Double =
+      if (nCal == 0L) Double.NaN
+      else cal.select(col("__r")).rdd.map(_.getDouble(0))
+        .sortBy(identity).zipWithIndex()
+        .filter(_._2 == k - 1).map(_._1)
+        .collectBounded(1, "one order statistic")(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    fit.select(col("n_train"), lit(nCal).as("n_cal"),
+      col("slope"), col("intercept"), lit(k).as("k_rank"),
+      (if (qHat.isNaN) lit(null).cast(DoubleType) else lit(qHat))
+        .as("q_hat"))
+  }
+
   def fitQuantileBinner(df: DataFrame, cols: Seq[String], k: Int)
       : QuantileBinModel = {
     require(k >= 2, s"need k ≥ 2 bins, got $k")

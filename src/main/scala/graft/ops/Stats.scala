@@ -1847,6 +1847,40 @@ object Stats {
     res
   }
 
+  /** MAHALANOBIS OUTLIERS over a numeric PAIR — the multivariate anomaly
+    * gate a per-column z-score misses (a point can be ordinary in x and
+    * ordinary in y yet wildly off the joint ellipse): population moments
+    * from floor-scaled exact sums, the 2×2 covariance inverted in closed
+    * form, d² computed per row in one codegen expression. Returns the
+    * rows with d² > `threshold` (χ²₂: 9.21 = 99 %, 13.82 = 99.9 %) with a
+    * `d2` column appended; complete-case; empty when the covariance is
+    * singular (a constant or perfectly collinear pair).
+    *
+    * Plan: ONE aggregation → a one-row broadcast of 6 scalars → one
+    * map-side filter pass. Nothing else shuffles. */
+  def mahalanobisOutliers(df: DataFrame, colX: String, colY: String,
+                          threshold: Double): DataFrame = {
+    require(threshold > 0.0, s"threshold=$threshold")
+    val x = col(colX).cast(DoubleType); val y = col(colY).cast(DoubleType)
+    val clean = df.filter(x.isNotNull && !isnan(x) && y.isNotNull && !isnan(y))
+    val m = clean.agg(count(lit(1)).as("__n"),
+      fs(x, 6).as("__sx"), fs(y, 6).as("__sy"),
+      fs(x * x, 6).as("__sxx"), fs(y * y, 6).as("__syy"),
+      fs(x * y, 6).as("__sxy"))
+    val nD = col("__n").cast(DoubleType)
+    val mx = col("__sx") / nD; val my = col("__sy") / nD
+    val cxx = col("__sxx") / nD - mx * mx
+    val cyy = col("__syy") / nD - my * my
+    val cxy = col("__sxy") / nD - mx * my
+    val det = cxx * cyy - cxy * cxy
+    val dx = x - mx; val dy = y - my
+    val d2 = (cyy * dx * dx - lit(2.0) * cxy * dx * dy + cxx * dy * dy) / det
+    clean.crossJoin(broadcast(m))
+      .filter(col("__n") >= 2 && det =!= 0.0 && d2 > threshold)
+      .withColumn("d2", d2)
+      .drop("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")
+  }
+
   /** CRAMÉR'S V association table over every pair of categorical columns
     * — the categorical analog of the reference's correlation-table
     * (stats.clj correlation-table): V = √(χ²/(n·(min(kₓ,k_y)−1))) ∈ [0,1],

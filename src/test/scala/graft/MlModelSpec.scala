@@ -452,4 +452,33 @@ class MlModelSpec extends SparkSuite {
       fl.getAs[Double]("resolution") == 0.0)
     assert(math.abs(fl.getAs[Double]("brier") - 0.1875) < 1e-9)
   }
+
+  test("splitConformal: exact fit gives zero-width band; k is the " +
+       "ceil((n+1)(1-alpha)) order statistic; bad alpha rejected") {
+    import spark.implicits._
+    // y = 3x exactly: residuals are 0 on both halves -> q_hat = 0
+    val df = (1 to 400).map(i => (i.toLong, i % 50 + 1.0, 3.0 * (i % 50 + 1)))
+      .toDF("id", "x", "y")
+    val r = Ml.splitConformal(df, "x", "y", Seq("id"), alpha = 0.1)
+      .collect()(0)
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_cal") == 400L)
+    assert(math.abs(r.getAs[Double]("slope") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept")) < 1e-9)
+    assert(r.getAs[Double]("q_hat") < 1e-9, "perfect fit: zero-width band")
+    val nCal = r.getAs[Long]("n_cal")
+    assert(r.getAs[Long]("k_rank") ==
+      math.min(nCal, math.ceil((nCal + 1) * 0.9).toLong))
+    // a known noise magnitude bounds the band: |resid| <= 30 everywhere
+    val noisy = (1 to 400).map { i =>
+      (i.toLong, (i % 50 + 1).toDouble,
+        3.0 * (i % 50 + 1) + (i % 7 - 3) * 10.0)
+    }.toDF("id", "x", "y")
+    val n = Ml.splitConformal(noisy, "x", "y", Seq("id"), alpha = 0.1)
+      .collect()(0)
+    val q = n.getAs[Double]("q_hat")
+    assert(q > 0.0 && q <= 40.0, s"band must reflect the noise scale: $q")
+    intercept[IllegalArgumentException] {
+      Ml.splitConformal(df, "x", "y", Seq("id"), alpha = 1.5)
+    }
+  }
 }

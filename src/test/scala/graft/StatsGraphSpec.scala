@@ -1574,6 +1574,26 @@ class StatsGraphSpec extends SparkSuite {
       "terminal events have no next event: no spell")
   }
 
+  test("mahalanobisOutliers: flags the joint-ellipse violator that both " +
+       "marginals miss; singular covariance flags nothing") {
+    import spark.implicits._
+    // x and y strongly correlated on the diagonal; (10, -10) is ordinary
+    // in each marginal but wildly off the joint ellipse
+    val rows = (1 to 50).flatMap(i =>
+      Seq((i.toLong, i % 21 - 10.0, i % 21 - 10.0 + (i % 3) * 0.1))) :+
+      (99L, 10.0, -10.0)
+    val out = Stats.mahalanobisOutliers(rows.toDF("id", "x", "y"),
+      "x", "y", threshold = 9.21).collect()
+    assert(out.map(_.getAs[Long]("id")).contains(99L),
+      "the anti-diagonal point must be flagged")
+    assert(out.forall(_.getAs[Double]("d2") > 9.21))
+    assert(out.length < 5, s"the diagonal bulk stays unflagged: ${out.length}")
+    // perfectly collinear pair: det = 0 -> empty, no crash
+    val lin = (1 to 20).map(i => (i.toLong, i.toDouble, 2.0 * i))
+      .toDF("id", "x", "y")
+    assert(Stats.mahalanobisOutliers(lin, "x", "y", 1.0).count() == 0L)
+  }
+
   test("hashSampleTopKWeighted: exactly k, deterministic, weight-ineligible " +
        "rows never win, heavy weights dominate") {
     import spark.implicits._
