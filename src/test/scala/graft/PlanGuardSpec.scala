@@ -18,11 +18,15 @@ import org.apache.spark.sql.execution.window.WindowExec
 class PlanGuardSpec extends SparkSuite {
   init()
 
-  /** Expand AQE stages / reused exchanges to the full executed tree. */
+  /** Expand AQE stages / reused exchanges / cached relations to the full
+    * executed tree (operators that persist internally park their real
+    * plan inside an InMemoryRelation — descend into it). */
   private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
     case q: QueryStageExec => p +: flatten(q.plan)
     case r: ReusedExchangeExec => p +: flatten(r.child)
+    case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      p +: flatten(s.relation.cachedPlan)
     case _ => p +: p.children.flatMap(flatten)
   }
 
@@ -178,6 +182,55 @@ class PlanGuardSpec extends SparkSuite {
     val readCols = scan.requiredSchema.fieldNames.toSet
     assert(readCols == Set("l_orderkey", "l_quantity"),
       s"ReadSchema must prune to the projected columns, read $readCols")
+  }
+
+  test("q292 quantile normalize: keyed ECDF, O(strata) offsets only")(
+    guard("q292_quantile_normalize", Bound))
+
+  test("q293 AR fit: keyed lag windows, no global funnel")(
+    guard("q293_ar_fit", Bound))
+
+  test("q294 changepoint: keyed prefix sums + struct-max argmax only")(
+    guard("q294_changepoint", Bound))
+
+  test("q295 psi: O(bins) term frame only")(
+    guard("q295_psi", Bound))
+
+  test("q300 sequence support: per-user pair frame, O(pairs) rollup")(
+    guard("q300_seq_support", Bound))
+
+  test("q301 binned MI: O(bins^2) cell frames only")(
+    guard("q301_binned_mi", Bound))
+
+  test("q303 dwell times: keyed lead pass, O(states) rollup")(
+    guard("q303_dwell", Bound))
+
+  test("q306 jaccard join: vocab rank via boundary frames, keyed prefix " +
+       "windows")(
+    guard("q306_jaccard_join", Bound))
+
+  test("q309 mahalanobis: one-row moment broadcast, map-side filter")(
+    guard("q309_mahalanobis", Bound))
+
+  test("q299 weighted sample: TakeOrderedAndProject, no global sort") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import graft.ops.TableOps._
+    val df = graft.Tables.t(spark, sfDir, "documents")
+      .hashSampleTopKWeighted("n_chars", 50, Seq("doc_id"))
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "the k-winner race must plan as per-partition top-k heaps " +
+        "(TakeOrderedAndProject), not a global sort + limit")
+  }
+
+  test("q308 cluster terms: WindowGroupLimit prunes the per-cluster rank") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val df = graft.llm.TextStats.clusterTerms(
+      graft.Tables.t(spark, sfDir, "documents"), "source", "text", topK = 5)
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[WindowGroupLimitExec]),
+      "rank <= topK must rewrite to a per-partition group-limit heap")
   }
 
   test("q252 top-k per group: WindowGroupLimit prunes before the shuffle") {
