@@ -1064,6 +1064,15 @@ object ExtQueries {
       Stats.fleissKappa(t(s, dir, "events"), "user_id", "event_type")
     },
 
+    // Segmented trend: split each user series at its changepoint and fit
+    // OLS slopes on both sides — "the level shifted AND the trend went
+    // from +a to -b per step".
+    "q311_segmented_trend" -> { (s, dir) =>
+      Stats.segmentedTrend(t(s, dir, "events"), Seq("user_id"),
+          Seq("ts", "event_id"), "value")
+        .orderBy(col("user_id"))
+    },
+
     // Mahalanobis outliers on the (value, hour-of-day) joint — the
     // multivariate anomaly gate per-column z-scores miss.
     "q309_mahalanobis" -> { (s, dir) =>
@@ -4367,6 +4376,68 @@ object ExtQueries {
              (spi / CAST(n_items AS DOUBLE) - p_e) / (1.0 - p_e)
            END AS kappa
          FROM pb, pe""",
+
+    // mirrors Stats.segmentedTrend: the q294 argmax replay + per-segment
+    // OLS from exact integer position sums and floor-scaled value sums.
+    "q311_segmented_trend" ->
+      """WITH b AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS x,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT) AS xi
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+         p AS (SELECT user_id, x,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t,
+             SUM(xi) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             SUM(xi) OVER (PARTITION BY user_id) AS sn
+           FROM b),
+         g AS (SELECT user_id, t, n,
+             CAST(s AS DOUBLE) / 1000000.0 / CAST(t AS DOUBLE)
+               - CAST(sn - s AS DOUBLE) / 1000000.0
+                 / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) AS d
+           FROM p WHERE t < n),
+         c AS (SELECT user_id, n, t,
+             CAST(FLOOR(CAST(t AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))
+               / CAST(n AS DOUBLE) * d * d * 1000000.0) AS BIGINT) AS gs
+           FROM g),
+         cpw AS (SELECT user_id, t AS cp FROM c
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+             ORDER BY gs DESC, t ASC) = 1),
+         seg AS (SELECT p.user_id, p.n, cpw.cp, p.t, p.x,
+             p.t <= cpw.cp AS lft
+           FROM p JOIN cpw ON p.user_id = cpw.user_id),
+         m AS (SELECT user_id, CAST(n AS BIGINT) AS n,
+             CAST(cp AS BIGINT) AS cp_index,
+             CAST(SUM(CASE WHEN lft THEN 1 ELSE 0 END) AS BIGINT) AS ln,
+             CAST(SUM(CASE WHEN lft THEN t END) AS BIGINT) AS lst,
+             CAST(SUM(CASE WHEN lft THEN t * t END) AS BIGINT) AS lstt,
+             CAST(SUM(CASE WHEN lft THEN CAST(FLOOR(x * 1000000.0)
+               AS DECIMAL(38,0)) END) AS DOUBLE) / 1000000.0 AS lsx,
+             CAST(SUM(CASE WHEN lft THEN CAST(FLOOR(CAST(t AS DOUBLE) * x
+               * 1000000.0) AS DECIMAL(38,0)) END) AS DOUBLE) / 1000000.0 AS lstx,
+             CAST(SUM(CASE WHEN NOT lft THEN 1 ELSE 0 END) AS BIGINT) AS rn,
+             CAST(SUM(CASE WHEN NOT lft THEN t END) AS BIGINT) AS rst,
+             CAST(SUM(CASE WHEN NOT lft THEN t * t END) AS BIGINT) AS rstt,
+             CAST(SUM(CASE WHEN NOT lft THEN CAST(FLOOR(x * 1000000.0)
+               AS DECIMAL(38,0)) END) AS DOUBLE) / 1000000.0 AS rsx,
+             CAST(SUM(CASE WHEN NOT lft THEN CAST(FLOOR(CAST(t AS DOUBLE) * x
+               * 1000000.0) AS DECIMAL(38,0)) END) AS DOUBLE) / 1000000.0 AS rstx
+           FROM seg GROUP BY 1, 2, 3),
+         sl AS (SELECT user_id, n, cp_index,
+             CASE WHEN ln >= 2 AND (CAST(ln AS DOUBLE) * CAST(lstt AS DOUBLE)
+                 - CAST(lst AS DOUBLE) * CAST(lst AS DOUBLE)) > 0.0
+               THEN (CAST(ln AS DOUBLE) * lstx - CAST(lst AS DOUBLE) * lsx)
+                 / (CAST(ln AS DOUBLE) * CAST(lstt AS DOUBLE)
+                   - CAST(lst AS DOUBLE) * CAST(lst AS DOUBLE)) END AS slope_left,
+             CASE WHEN rn >= 2 AND (CAST(rn AS DOUBLE) * CAST(rstt AS DOUBLE)
+                 - CAST(rst AS DOUBLE) * CAST(rst AS DOUBLE)) > 0.0
+               THEN (CAST(rn AS DOUBLE) * rstx - CAST(rst AS DOUBLE) * rsx)
+                 / (CAST(rn AS DOUBLE) * CAST(rstt AS DOUBLE)
+                   - CAST(rst AS DOUBLE) * CAST(rst AS DOUBLE)) END AS slope_right
+           FROM m)
+         SELECT user_id, n, cp_index, slope_left, slope_right,
+           slope_right - slope_left AS slope_change
+         FROM sl ORDER BY user_id""",
 
     // mirrors Stats.mahalanobisOutliers: floor-scaled moment sums, the
     // closed-form 2x2 inverse, the identical d2 expression and filter.

@@ -1665,6 +1665,82 @@ object Stats {
         col("__w.ml").as("mean_left"), col("__w.mr").as("mean_right")): _*)
   }
 
+  /** SEGMENTED TREND — the [[changepoint]] made actionable: split each
+    * series at its detected changepoint and fit an OLS slope (vs the
+    * 1-based observation index) on each side, so "the level shifted at
+    * t=47" becomes "…and the trend went from +0.2/step to −1.4/step".
+    * Same detection as [[changepoint]] (exact integer prefix sums,
+    * floor-scaled gain, smallest-index ties); slopes come from exact
+    * moment sums over integer positions (Σt, Σt² are exact longs; Σx,
+    * Σtx floor-scaled). Returns per key
+    * (key…, n, cp_index, slope_left, slope_right, slope_change); a
+    * segment with < 2 points or zero index variance yields a null slope.
+    * Keys with n < 2 are absent.
+    *
+    * Plan: the changepoint window pass + one broadcast of the O(keys)
+    * winner frame back onto the indexed rows + one keyed segment
+    * aggregation — two shuffles total. */
+  def segmentedTrend(df: DataFrame, keyCols: Seq[String],
+                     orderCols: Seq[String], valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x0 = col(valueCol).cast(DoubleType)
+    val clean = df.filter(x0.isNotNull && !isnan(x0))
+      .select((keyCols ++ orderCols).map(col) :+ x0.as("__x"): _*)
+    val wOrd = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    val idx = clean
+      .withColumn("__xi", floor(col("__x") * lit(1e6)).cast(LongType))
+      .withColumn("__t", row_number().over(wOrd))
+      .withColumn("__s", sum(col("__xi")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__sn", sum(col("__xi")).over(wAll))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tD = col("__t").cast(DoubleType)
+    val nD = col("__n").cast(DoubleType)
+    val sL = col("__s").cast(DoubleType) / lit(1e6)
+    val sR = (col("__sn") - col("__s")).cast(DoubleType) / lit(1e6)
+    val d = sL / tD - sR / (nD - tD)
+    val gainS = floor(tD * (nD - tD) / nD * d * d * lit(1e6)).cast(LongType)
+    val win = idx.filter(col("__t") < col("__n"))
+      .select(keyCols.map(col) :+
+        struct(gainS.as("g"), (-col("__t")).as("nt")).as("__c"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("__c")).as("__w"))
+      .select(keyCols.map(col) :+ (-col("__w.nt")).as("__cp"): _*)
+    def slope(pfx: String): Column = {
+      val n = col(s"${pfx}n").cast(DoubleType)
+      val den = n * col(s"${pfx}stt").cast(DoubleType) -
+        col(s"${pfx}st").cast(DoubleType) * col(s"${pfx}st").cast(DoubleType)
+      when(col(s"${pfx}n") >= 2 && den > 0.0,
+        (n * col(s"${pfx}stx") -
+          col(s"${pfx}st").cast(DoubleType) * col(s"${pfx}sx")) / den)
+    }
+    val seg = idx.join(win, keyCols)
+      .withColumn("__left", col("__t") <= col("__cp"))
+    def side(isLeft: Boolean, pfx: String): Seq[Column] = {
+      val on = if (isLeft) col("__left") else !col("__left")
+      Seq(sum(when(on, 1L).otherwise(0L)).as(s"${pfx}n"),
+        sum(when(on, col("__t").cast(LongType))).as(s"${pfx}st"),
+        sum(when(on, col("__t").cast(LongType) * col("__t").cast(LongType)))
+          .as(s"${pfx}stt"),
+        Reductions.isum(when(on, col("__x")), 6).as(s"${pfx}sx"),
+        Reductions.isum(when(on, tD * col("__x")), 6).as(s"${pfx}stx"))
+    }
+    val aggs = side(true, "__l") ++ side(false, "__r")
+    val out = seg.groupBy((keyCols.map(col) :+ col("__n") :+ col("__cp")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(keyCols.map(col) ++ Seq(
+        col("__n").as("n"), col("__cp").cast(LongType).as("cp_index"),
+        slope("__l").as("slope_left"), slope("__r").as("slope_right"),
+        (slope("__r") - slope("__l")).as("slope_change")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    idx.unpersist()
+    out
+  }
+
   /** POPULATION STABILITY INDEX between a reference and a current slice
     * of one numeric column — the model-monitoring drift scalar
     * (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted):

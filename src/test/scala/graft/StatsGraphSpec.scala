@@ -1412,6 +1412,31 @@ class StatsGraphSpec extends SparkSuite {
     assert(!out.contains("one"), "n < 2 has no candidate split")
   }
 
+  test("segmentedTrend: splits at the level break and fits both slopes " +
+       "exactly on an integer piecewise-linear series") {
+    import spark.implicits._
+    // level break at t=10 (the mean-split criterion lands there) with
+    // slope +1 before and slope -2 after — all-integer values make the
+    // fitted slopes IEEE-exact
+    val xs = (1 to 10).map(t => (t - 1).toDouble) ++        // 0..9, slope 1
+      (11 to 20).map(t => (122 - 2 * t).toDouble)           // 100..82, slope -2
+    val df = xs.zipWithIndex.map { case (v, i) => ("s", i + 1L, v) }
+      .toDF("k", "i", "x")
+    val r = Stats.segmentedTrend(df, Seq("k"), Seq("i"), "x").collect()(0)
+    assert(r.getAs[Long]("n") == 20L)
+    assert(r.getAs[Long]("cp_index") == 10L,
+      s"level break at t=10, got ${r.getAs[Long]("cp_index")}")
+    assert(r.getAs[Double]("slope_left") == 1.0)
+    assert(r.getAs[Double]("slope_right") == -2.0)
+    assert(r.getAs[Double]("slope_change") == -3.0)
+    // a 2-point series: each side is a single point -> slopes null
+    val tiny = Seq(("t", 1L, 1.0), ("t", 2L, 5.0)).toDF("k", "i", "x")
+    val t2 = Stats.segmentedTrend(tiny, Seq("k"), Seq("i"), "x").collect()(0)
+    assert(t2.getAs[Long]("cp_index") == 1L)
+    assert(t2.isNullAt(t2.fieldIndex("slope_left")) &&
+      t2.isNullAt(t2.fieldIndex("slope_right")))
+  }
+
   test("psi: identical distributions give exactly 0; a hard shift clears " +
        "the 0.25 alarm; empty current bins stay finite") {
     val base = (1 to 200).map(i => (i % 100).toDouble)
