@@ -336,29 +336,34 @@ object Ml {
         Reductions.isum(col("__x") * col("__x"), 6).as("__sxx"),
         Reductions.isum(col("__x") * col("__y"), 6).as("__sxy"))
     val nD = col("__n").cast(DoubleType)
-    val slope = (nD * col("__sxy") - col("__sx") * col("__sy")) /
+    val slopeC = (nD * col("__sxy") - col("__sx") * col("__sy")) /
       (nD * col("__sxx") - col("__sx") * col("__sx"))
-    val fit = tr.select(col("__n").as("n_train"), slope.as("slope"),
-      ((col("__sy") - slope * col("__sx")) / nD).as("intercept"))
+    // materialize-once: the fit is 3 scalars consumed by every downstream
+    // pass — left lazy, the train aggregation re-executes per consumer
+    val f = tr.select(col("__n"), slopeC.as("__slope"),
+        ((col("__sy") - slopeC * col("__sx")) / nD).as("__icept"))
+      .collectBounded(1, "O(1) fit readout")(0)
+    val nTrain = f.getLong(0)
+    val slope = f.getDouble(1); val icept = f.getDouble(2)
     val cal = clean.filter(col("__side") === 1L)
-      .crossJoin(broadcast(fit))
-      .select(col("n_train"), col("slope"), col("intercept"),
-        abs(col("__y") - (col("slope") * col("__x") + col("intercept")))
-          .as("__r"))
+      .select(abs(col("__y") - (lit(slope) * col("__x") + lit(icept)))
+        .as("__r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nCal = cal.count()
     val k = math.min(nCal, math.ceil((nCal + 1) * (1.0 - alpha)).toLong)
     val qHat: Double =
       if (nCal == 0L) Double.NaN
-      else cal.select(col("__r")).rdd.map(_.getDouble(0))
+      else cal.rdd.map(_.getDouble(0))
         .sortBy(identity).zipWithIndex()
         .filter(_._2 == k - 1).map(_._1)
         .collectBounded(1, "one order statistic")(0)
+    cal.unpersist()
     val spark = df.sparkSession
     import spark.implicits._
-    fit.select(col("n_train"), lit(nCal).as("n_cal"),
-      col("slope"), col("intercept"), lit(k).as("k_rank"),
-      (if (qHat.isNaN) lit(null).cast(DoubleType) else lit(qHat))
-        .as("q_hat"))
+    Seq((nTrain, nCal, slope, icept, k)).toDF(
+        "n_train", "n_cal", "slope", "intercept", "k_rank")
+      .withColumn("q_hat",
+        if (qHat.isNaN) lit(null).cast(DoubleType) else lit(qHat))
   }
 
   def fitQuantileBinner(df: DataFrame, cols: Seq[String], k: Int)

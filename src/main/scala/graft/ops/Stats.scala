@@ -1767,6 +1767,10 @@ object Stats {
     val edges = Ml.exactQuantilesRankPick(
       clean.filter(col("__side") === "ref"), "__x",
       (1 until bins).map(_.toDouble / bins))
+    // an empty reference yields NaN edges — every comparison false, all
+    // rows silently landing in bin 1; fail loudly instead
+    require(!edges.exists(_.isNaN),
+      "psi: the reference slice is empty — no bin edges can be fit")
     val bin = edges.foldLeft(lit(1)) { (acc, e) =>
       acc + when(col("__x") > lit(e), 1).otherwise(0) }
     val counts = clean

@@ -366,6 +366,8 @@ object EventStream {
       .select(x.as("__x"))
     val edges = graft.ops.Ml.exactQuantilesRankPick(ref, "__x",
       (1 until bins).map(_.toDouble / bins))
+    require(!edges.exists(_.isNaN),
+      "psiDrift: the reference slice is empty — no bin edges can be fit")
     val refCounts = ref
       .select(graft.ops.Stats.psiBin(col("__x"), edges).as("__bin"))
       .groupBy(col("__bin")).agg(count(lit(1)).as("__c"))

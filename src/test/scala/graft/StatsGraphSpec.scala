@@ -1455,6 +1455,10 @@ class StatsGraphSpec extends SparkSuite {
       .collect()(0)
     val v = p1.getAs[Double]("psi")
     assert(!v.isNaN && !v.isInfinite && v > 0.25, s"shift alarm: $v")
+    // an empty reference must fail loudly, not bin everything silently
+    intercept[IllegalArgumentException] {
+      Stats.psi(same, "x", col("side") === "nope", col("side") === "c")
+    }
   }
 
   test("associationTable: identical columns score V = 1; a balanced " +
