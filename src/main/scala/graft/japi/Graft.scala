@@ -307,4 +307,32 @@ object Graft {
   def rakeKeywords(df: DataFrame, textCol: String, minFreq: Long,
                    topK: Int): DataFrame =
     graft.llm.TextStats.rakeKeywords(df, textCol, minFreq, topK)
+
+  /** Exact Jaccard set-similarity self-join (lossless prefix filter). */
+  def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                  shingleLen: Int, threshold: Double): DataFrame =
+    graft.llm.TextDedup.jaccardJoin(df, idCol, textCol, shingleLen,
+      threshold)
+
+  /** c-TF-IDF top terms per cluster (BERTopic labeling step). */
+  def clusterTerms(df: DataFrame, clusterCol: String, textCol: String,
+                   topK: Int): DataFrame =
+    graft.llm.TextStats.clusterTerms(df, clusterCol, textCol, topK)
+
+  /** Mahalanobis outliers over a numeric pair (d2 > threshold). */
+  def mahalanobisOutliers(df: DataFrame, colX: String, colY: String,
+                          threshold: Double): DataFrame =
+    graft.ops.Stats.mahalanobisOutliers(df, colX, colY, threshold)
+
+  /** Split-conformal prediction interval for y ~ x. */
+  def splitConformal(df: DataFrame, xCol: String, yCol: String,
+                     splitCols: ju.List[String], alpha: Double): DataFrame =
+    graft.ops.Ml.splitConformal(df, xCol, yCol, splitCols.asScala.toSeq,
+      alpha)
+
+  /** Segmented trend: per-series changepoint + OLS slope on each side. */
+  def segmentedTrend(df: DataFrame, keys: ju.List[String],
+                     order: ju.List[String], valueCol: String): DataFrame =
+    graft.ops.Stats.segmentedTrend(df, keys.asScala.toSeq,
+      order.asScala.toSeq, valueCol)
 }

@@ -153,5 +153,21 @@ public final class JavaApiCheck {
         List.of("l_returnflag"), List.of("l_orderkey"), "l_extendedprice");
     check(java.util.Arrays.asList(ar.columns()).contains("phi1"),
         "AR coefficients must surface");
+
+    Dataset<Row> conf = Graft.splitConformal(lineitem, "l_quantity",
+        "l_extendedprice", List.of("l_orderkey", "l_linenumber"), 0.1);
+    check(conf.count() == 1, "conformal is a one-row scalar frame");
+
+    Dataset<Row> seg = Graft.segmentedTrend(
+        Graft.selectColumns(lineitem,
+            List.of("l_returnflag", "l_orderkey", "l_extendedprice")),
+        List.of("l_returnflag"), List.of("l_orderkey"), "l_extendedprice");
+    check(java.util.Arrays.asList(seg.columns()).contains("slope_change"),
+        "segmented slopes must surface");
+
+    Dataset<Row> maha = Graft.mahalanobisOutliers(lineitem,
+        "l_quantity", "l_extendedprice", 9.21);
+    check(java.util.Arrays.asList(maha.columns()).contains("d2"),
+        "d2 column must surface");
   }
 }
