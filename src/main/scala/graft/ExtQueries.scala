@@ -1064,6 +1064,25 @@ object ExtQueries {
       Stats.fleissKappa(t(s, dir, "events"), "user_id", "event_type")
     },
 
+    // Holm step-down FWER correction over the q176 p-value table — the
+    // prefix-max companion to BH's suffix-min.
+    "q312_holm" -> { (s, dir) =>
+      val p = pmod(conv(substring(md5(concat_ws("#", col("doc_id"))), 1, 15),
+        16, 10).cast(LongType), lit(1000000L)).cast(DoubleType) / 1000000.0
+      val tests = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), p.as("p_value"))
+      Stats.holmAdjust(tests, "doc_id", "p_value")
+        .orderBy(col("holm_rank"))
+    },
+
+    // Cumulative gains / lift by score decile: "act on the top k% by
+    // n_chars, capture what share of English docs?"
+    "q313_gains" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("label", when(col("lang") === "en", 1L).otherwise(0L))
+      graft.ops.Ml.cumulativeGains(d, "n_chars", "label", buckets = 10)
+    },
+
     // Segmented trend: split each user series at its changepoint and fit
     // OLS slopes on both sides — "the level shifted AND the trend went
     // from +a to -b per step".
@@ -4376,6 +4395,53 @@ object ExtQueries {
              (spi / CAST(n_items AS DOUBLE) - p_e) / (1.0 - p_e)
            END AS kappa
          FROM pb, pe""",
+
+    // mirrors Stats.holmAdjust: ascending-p ranks, the step-down
+    // prefix-max of LEAST((m-j+1)*p, 1).
+    "q312_holm" ->
+      """WITH tests AS (SELECT doc_id,
+             (CAST(concat('0x', substr(md5(concat_ws('#', doc_id)), 1, 15))
+               AS BIGINT) % 1000000) / 1000000.0 AS p_value
+           FROM documents WHERE doc_id % 7 = 0),
+         r AS (SELECT doc_id, p_value,
+             CAST(ROW_NUMBER() OVER (ORDER BY p_value, doc_id) AS BIGINT)
+               AS holm_rank,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+           FROM tests)
+         SELECT doc_id, p_value, holm_rank,
+           MAX(LEAST((CAST(m AS DOUBLE) - CAST(holm_rank AS DOUBLE) + 1.0)
+             * p_value, 1.0)) OVER (ORDER BY holm_rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_adj
+         FROM r ORDER BY holm_rank""",
+
+    // mirrors Ml.cumulativeGains: percent_rank banding on the negated
+    // score, O(buckets) cumulates, the identical gain/lift arithmetic.
+    "q313_gains" ->
+      """WITH b AS (SELECT -CAST(n_chars AS DOUBLE) AS neg,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents
+           WHERE n_chars IS NOT NULL
+             AND NOT isnan(CAST(n_chars AS DOUBLE))),
+         pr AS (SELECT y, percent_rank() OVER (ORDER BY neg) AS p FROM b),
+         bd AS (SELECT LEAST(10, CAST(FLOOR(p * 10) AS INTEGER) + 1)
+             AS bucket, y FROM pr),
+         per AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos FROM bd GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+             CAST(SUM(n_pos) AS BIGINT) AS tp FROM per),
+         cum AS (SELECT bucket, n, n_pos,
+             CAST(SUM(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+             CAST(SUM(n_pos) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+           FROM per)
+         SELECT CAST(bucket AS BIGINT) AS bucket, n, n_pos, cum_n, cum_pos,
+           CASE WHEN tp > 0 THEN CAST(cum_pos AS DOUBLE)
+             / CAST(tp AS DOUBLE) END AS gain,
+           CASE WHEN tp > 0 AND cum_n > 0 THEN CAST(cum_pos AS DOUBLE)
+             / CAST(cum_n AS DOUBLE)
+             / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)) END AS lift
+         FROM cum, tot ORDER BY bucket""",
 
     // mirrors Stats.segmentedTrend: the q294 argmax replay + per-segment
     // OLS from exact integer position sums and floor-scaled value sums.

@@ -304,6 +304,45 @@ object Ml {
               col("__n").cast(DoubleType))).as("brier"))
   }
 
+  /** CUMULATIVE GAINS / LIFT TABLE — "if we act on the top k % by model
+    * score, what share of the positives do we capture?" (the targeting
+    * readout behind every campaign/triage threshold): rows band into
+    * `buckets` score deciles (descending score — bucket 1 is the top),
+    * then per band (n, n_pos, cum share of rows, cum share of positives,
+    * lift = gain ratio). Banding rides the distributed percent-rank
+    * (ties share a band, replays as SQL percent_rank); cumulative sums
+    * run over the O(buckets) frame. Complete-case. Returns per bucket
+    * (bucket, n, n_pos, cum_n, cum_pos, gain, lift). */
+  def cumulativeGains(df: DataFrame, scoreCol: String, labelCol: String,
+                      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, s"buckets=$buckets")
+    import org.apache.spark.sql.expressions.Window
+    val s = col(scoreCol).cast(DoubleType)
+    val y = col(labelCol).cast(LongType)
+    val clean = df.filter(s.isNotNull && !isnan(s) && y.isNotNull)
+      .select((-s).as("__neg"), y.as("__y"))
+    val banded = Reductions.globalPercentRank(clean, "__neg", "__p")
+      .withColumn("bucket",
+        least(lit(buckets), (floor(col("__p") * buckets) + 1).cast("int")))
+    val per = banded.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    val tot = per.agg(sum(col("n")).as("__tn"), sum(col("n_pos")).as("__tp"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.crossJoin(broadcast(tot))
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .select(col("bucket").cast(LongType).as("bucket"), col("n"),
+        col("n_pos"), col("cum_n"), col("cum_pos"),
+        when(col("__tp") > 0, col("cum_pos").cast(DoubleType) /
+          col("__tp").cast(DoubleType)).as("gain"),
+        when(col("__tp") > 0 && col("cum_n") > 0,
+          col("cum_pos").cast(DoubleType) / col("cum_n").cast(DoubleType) /
+            (col("__tp").cast(DoubleType) / col("__tn").cast(DoubleType)))
+          .as("lift"))
+      .orderBy(col("bucket"))
+  }
+
   /** SPLIT-CONFORMAL PREDICTION INTERVAL for a simple regression — the
     * distribution-free "how wide must the band be to cover 1−α of new
     * points" guarantee (Vovk et al.; the modern ML-uncertainty staple):

@@ -716,6 +716,67 @@ object Stats {
     ret
   }
 
+  /** HOLM STEP-DOWN multiple-testing correction — the FWER companion to
+    * [[bhAdjust]] (BH controls the false-discovery RATE; Holm controls
+    * the probability of ANY false positive, uniformly more powerful than
+    * plain Bonferroni): over p-values ranked ascending,
+    *   p_holm(i) = max_{j ≤ i} min((m − j + 1)·p_j, 1)
+    * — a prefix-MAX where BH is a suffix-min. Same distributed shape as
+    * bhAdjust: one range sort, O(P) partition offsets + per-partition
+    * prefix carries to the driver; never a single-task sort. Returns
+    * (idCol, pCol, holm_rank, p_adj). */
+  def holmAdjust(df: DataFrame, idCol: String, pCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = col(pCol).cast(DoubleType)
+    val base = df
+      .filter(col(idCol).isNotNull && p.isNotNull && !isnan(p))
+      .select(col(idCol).cast(LongType).as("__id"), p.as("__p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = base.count()
+    val sorted = base
+      .repartitionByRange(parts, col("__p"), col("__id"))
+      .sortWithinPartitions(col("__p"), col("__id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sorted.count()
+    import spark.implicits._
+    val typed = sorted.as[(Long, Double)]
+    val counts = typed.rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator((pid, it.size.toLong))
+    }.collectBounded(1 << 20, "O(P) partition counts").sortBy(_._1).map(_._2)
+    val rankOff = counts.scanLeft(0L)(_ + _)
+    val bcOff = spark.sparkContext.broadcast(rankOff)
+    val mD = m.toDouble
+    // per-partition max of the raw Holm terms under known global ranks
+    val partMaxs = typed.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var r = bcOff.value(pid); var best = Double.NegativeInfinity
+      it.foreach { case (_, pv) =>
+        r += 1
+        val q = math.min((mD - r.toDouble + 1.0) * pv, 1.0)
+        if (q > best) best = q
+      }
+      Iterator((pid, best))
+    }.collectBounded(1 << 20, "O(P) partition maxima").sortBy(_._1).map(_._2)
+    // prefix-max across partitions: the max over every EARLIER partition
+    val preMax = partMaxs.scanLeft(Double.NegativeInfinity)(math.max).init
+    val bcPre = spark.sparkContext.broadcast(preMax)
+    val out = typed.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var r = bcOff.value(pid)
+      var run = bcPre.value(pid)
+      it.map { case (id, pv) =>
+        r += 1
+        val q = math.min((mD - r.toDouble + 1.0) * pv, 1.0)
+        if (q > run) run = q
+        (id, pv, r, run)
+      }
+    }.toDF("__id", "__p", "holm_rank", "p_adj")
+      .withColumnRenamed("__id", idCol).withColumnRenamed("__p", pCol)
+    val ret = out.cache()
+    ret.count()
+    sorted.unpersist(); base.unpersist()
+    ret
+  }
+
   /** Kaplan-Meier survival estimator over (duration, event) pairs —
     * event = 1 observed, 0 right-censored. Returns one row per EVENT
     * time: (t, n_risk, d_events, survival) with

@@ -481,4 +481,23 @@ class MlModelSpec extends SparkSuite {
       Ml.splitConformal(df, "x", "y", Seq("id"), alpha = 1.5)
     }
   }
+
+  test("cumulativeGains: a perfect ranker captures all positives in the " +
+       "top band; the last band closes at gain 1 and lift 1") {
+    import spark.implicits._
+    // 100 rows, scores 100..1; the 10 positives are exactly the top scores
+    val df = (1 to 100).map(i => (i.toLong, (101 - i).toDouble,
+      if (i <= 10) 1L else 0L)).toDF("id", "score", "y")
+    val out = Ml.cumulativeGains(df, "score", "y", buckets = 10)
+      .collect().map(r => r.getAs[Long]("bucket") -> r).toMap
+    val top = out(1L)
+    assert(top.getAs[Long]("n") == 10L && top.getAs[Long]("n_pos") == 10L)
+    assert(top.getAs[Double]("gain") == 1.0, "top decile captures all")
+    assert(top.getAs[Double]("lift") == 10.0, "10x the base rate")
+    val last = out(10L)
+    assert(last.getAs[Long]("cum_n") == 100L &&
+      last.getAs[Long]("cum_pos") == 10L)
+    assert(last.getAs[Double]("gain") == 1.0 &&
+      last.getAs[Double]("lift") == 1.0)
+  }
 }

@@ -1437,6 +1437,22 @@ class StatsGraphSpec extends SparkSuite {
       t2.isNullAt(t2.fieldIndex("slope_right")))
   }
 
+  test("holmAdjust: the textbook step-down — monotone adjusted p, " +
+       "Bonferroni at rank 1, raw p at rank m") {
+    import spark.implicits._
+    val tests = Seq((1L, 0.01), (2L, 0.04), (3L, 0.03), (4L, 0.005))
+      .toDF("id", "p")
+    val out = Stats.holmAdjust(tests, "id", "p")
+      .orderBy(col("holm_rank")).collect()
+    // sorted p: .005, .01, .03, .04 (m = 4)
+    // raw terms: 4*.005=.02, 3*.01=.03, 2*.03=.06, 1*.04=.04
+    // prefix max: .02, .03, .06, .06
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(4L, 1L, 3L, 2L))
+    val adj = out.map(_.getAs[Double]("p_adj")).toSeq
+    assert(adj == Seq(0.02, 0.03, 0.06, 0.06), s"got $adj")
+    assert(adj.sorted == adj, "step-down adjustment is monotone")
+  }
+
   test("psi: identical distributions give exactly 0; a hard shift clears " +
        "the 0.25 alarm; empty current bins stay finite") {
     val base = (1 to 200).map(i => (i % 100).toDouble)
