@@ -191,7 +191,14 @@ object Graph {
       if (i % checkpointEvery == 0 && i < iters)
         labels = labels.localCheckpoint(true)
     }
-    labels.select(col("id"), col("lbl").as("community"))
+    // eager-checkpoint the RESULT so the iteration's edge cache can be
+    // RELEASED here instead of leaking for the session (each LP call used
+    // to pin its symmetric edge frame in storage forever); also makes
+    // every downstream consumer read node-sized blocks, not replay rounds
+    val out = labels.select(col("id"), col("lbl").as("community"))
+      .localCheckpoint(true)
+    e.unpersist()
+    out
   }
 
   /** Per-node triangle counts over an undirected graph given as a
