@@ -4645,13 +4645,18 @@ object ExtQueries {
                * (CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE)
                  - CAST(syt AS DOUBLE) / CAST(n AS DOUBLE))
                * (CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE)
-                 - CAST(syt AS DOUBLE) / CAST(n AS DOUBLE)) AS res
+                 - CAST(syt AS DOUBLE) / CAST(n AS DOUBLE)) AS res,
+             (CAST(nk AS DOUBLE) / CAST(n AS DOUBLE))
+               * abs(sp / CAST(nk AS DOUBLE) - CAST(sy AS DOUBLE)
+                 / CAST(nk AS DOUBLE)) AS ecet
            FROM per, tot)
          SELECT n, CAST(COUNT(*) AS BIGINT) AS k_bins,
            CAST(SUM(CAST(FLOOR(rel * 1000000000.0) AS DECIMAL(38,0)))
              AS DOUBLE) / 1000000000.0 AS reliability,
            CAST(SUM(CAST(FLOOR(res * 1000000000.0) AS DECIMAL(38,0)))
              AS DOUBLE) / 1000000000.0 AS resolution,
+           CAST(SUM(CAST(FLOOR(ecet * 1000000000.0) AS DECIMAL(38,0)))
+             AS DOUBLE) / 1000000000.0 AS ece,
            CAST(syt AS DOUBLE) / CAST(n AS DOUBLE)
              * (1.0 - CAST(syt AS DOUBLE) / CAST(n AS DOUBLE))
              AS uncertainty,

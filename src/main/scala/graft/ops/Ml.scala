@@ -260,9 +260,11 @@ object Ml {
     *   uncertainty  ō(1 − ō)                 (the data's own entropy floor)
     * and brier = reliability − resolution + uncertainty (the identity is
     * exact when forecasts are constant within a bin; with binned f̄ it is
-    * the standard binned estimate). `probCol` must lie in [0, 1]; bin k =
-    * min(bins, ⌊p·bins⌋+1). Complete-case. Returns one row
-    * (n, k_bins, reliability, resolution, uncertainty, brier).
+    * the standard binned estimate), plus ECE — the L1 form of the same
+    * per-bin gap, Σ (n_k/N)·|f̄_k − ō_k|, the headline calibration
+    * scalar. `probCol` must lie in [0, 1]; bin k = min(bins, ⌊p·bins⌋+1).
+    * Complete-case. Returns one row
+    * (n, k_bins, reliability, resolution, ece, uncertainty, brier).
     *
     * Plan: one keyed bin aggregation (exact label counts + floor-scaled
     * forecast sums) → an O(bins) term frame, floor-scaled (10⁹) sums —
@@ -288,13 +290,17 @@ object Ml {
     val obar = col("__syt").cast(DoubleType) / nD
     val rel = (nkD / nD) * (fbar - obark) * (fbar - obark)
     val res = (nkD / nD) * (obark - obar) * (obark - obar)
+    // ECE — the headline calibration scalar: the same per-bin gap as
+    // reliability but L1-weighted, Σ (n_k/N)·|f̄_k − ō_k|
+    val ece = (nkD / nD) * abs(fbar - obark)
     per.crossJoin(broadcast(tot))
       .groupBy(col("__n"), col("__syt"))
       .agg(count(lit(1)).as("k_bins"),
         graft.ops.Reductions.isum(rel, 9).as("reliability"),
-        graft.ops.Reductions.isum(res, 9).as("resolution"))
+        graft.ops.Reductions.isum(res, 9).as("resolution"),
+        graft.ops.Reductions.isum(ece, 9).as("ece"))
       .select(col("__n").as("n"), col("k_bins"),
-        col("reliability"), col("resolution"),
+        col("reliability"), col("resolution"), col("ece"),
         (col("__syt").cast(DoubleType) / col("__n").cast(DoubleType) *
           (lit(1.0) - col("__syt").cast(DoubleType) /
             col("__n").cast(DoubleType))).as("uncertainty"),

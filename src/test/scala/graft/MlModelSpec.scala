@@ -439,6 +439,7 @@ class MlModelSpec extends SparkSuite {
     val pr = Ml.brierDecomposition(perfect, "p", "y", bins = 10).collect()(0)
     assert(pr.getAs[Long]("n") == 40L)
     assert(pr.getAs[Double]("reliability") == 0.0)
+    assert(pr.getAs[Double]("ece") == 0.0, "perfect forecasts: zero ECE")
     assert(pr.getAs[Double]("uncertainty") == 0.25 * 0.75)
     assert(math.abs(pr.getAs[Double]("resolution") -
       pr.getAs[Double]("uncertainty")) < 1e-9)
@@ -450,6 +451,8 @@ class MlModelSpec extends SparkSuite {
     assert(fl.getAs[Long]("k_bins") == 1L)
     assert(math.abs(fl.getAs[Double]("reliability")) < 1e-9 &&
       fl.getAs[Double]("resolution") == 0.0)
+    assert(math.abs(fl.getAs[Double]("ece")) < 1e-9,
+      "base-rate forecaster is perfectly calibrated: zero ECE")
     assert(math.abs(fl.getAs[Double]("brier") - 0.1875) < 1e-9)
   }
 
