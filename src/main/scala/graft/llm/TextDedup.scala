@@ -653,7 +653,15 @@ object TextDedup {
       })
       case _ => None
     }
-    if (nUndirected <= localEdgeThreshold && idOrdering.isDefined)
+    // measurement knob (bench forensics only): force the distributed
+    // pointer-jumping loop even under the local threshold, so its
+    // round-count/wall behavior can be benched on corpora whose candidate
+    // graphs would otherwise take the fast path — results are identical
+    // by the label-choice proof above
+    val forceDistributed =
+      sys.env.get("GRAFT_DEDUP_FORCE_DISTRIBUTED").contains("1")
+    if (!forceDistributed &&
+        nUndirected <= localEdgeThreshold && idOrdering.isDefined)
       return dedupGroupsLocal(edges, allIds, idOrdering.get)
     // the monotone-sum convergence probe needs numeric ids (an ANSI cast of
     // a string id to decimal throws); string/other ids use an explicit
@@ -938,12 +946,36 @@ object TextDedup {
     * pruning dropped no pair. Rare-first ordering (ascending document
     * frequency) makes prefixes collide as little as possible.
     *
+    * On top of the prefix filter this applies PPJoin's POSITIONAL
+    * filter (Xiao et al. 2008 §4), also lossless: J ≥ t is equivalent
+    * to overlap O ≥ t/(1+t)·(|a|+|b|), and for the FIRST shingle the
+    * two sets share in the global order — at 1-based sorted positions
+    * (pa, pb) — every common shingle sits at position ≥ pa in a and
+    * ≥ pb in b, so O ≤ 1 + min(|a|−pa, |b|−pb). A candidate pair is
+    * kept iff SOME matching prefix occurrence satisfies
+    * (1 + min(|a|−pa, |b|−pb))·(1+t) ≥ t·(|a|+|b|); the first common
+    * shingle (which is inside both prefixes whenever J ≥ t) always
+    * does, so no qualifying pair is lost, while prefix collisions
+    * between length-mismatched or tail-overlapping docs die before the
+    * pair-distinct shuffle — this bound is what keeps the candidate
+    * mass from growing with Σdf² at scale.
+    *
+    * The join is also ASYMMETRIC (PPJoin's index-prefix): for a pair
+    * with |y| ≤ |x| (ties by id), the overlap threshold
+    * α = ⌈t/(1+t)·(|x|+|y|)⌉ is at least ⌈2t/(1+t)·|y|⌉, so the first
+    * common shingle sits within y's first |y| − ⌈2t/(1+t)·|y|⌉ + 1
+    * shingles (its MID-PREFIX — e.g. 1/3 of tokens at t=0.5 vs 1/2 for
+    * the full prefix) and within x's full prefix (α ≥ ⌈t·|x|⌉ follows
+    * from |y| ≥ t·|x|). Joining full-prefix × mid-prefix under the
+    * (len, id) ordering cuts the collision mass by the mid/full ratio
+    * with zero recall loss.
+    *
     * Plan: shingle-set build (map-side array exprs) → one distributed
     * rank of the shingle vocabulary (range sort — the vocab never sits
     * on one node) → per-doc prefix pick (keyed window) → prefix-token
-    * equi-join with the implied length filter → exact array_intersect
-    * verify on candidates only. Returns (id_a, id_b, jaccard), id_a <
-    * id_b. */
+    * equi-join with the implied length filter + positional filter →
+    * exact array_intersect verify on candidates only. Returns
+    * (id_a, id_b, jaccard), id_a < id_b. */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold=$threshold")
@@ -964,15 +996,33 @@ object TextDedup {
       .withColumn("__pos", row_number().over(w))
       .filter(col("__pos") <=
         col("__l") - ceil(lit(threshold) * col("__l")) + 1)
-      .select(col("__sh"), col("__id"), col("__l"))
-    val cand = prefix.select(col("__sh"), col("__id").as("id_a"),
-        col("__l").as("__la"))
-      .join(prefix.select(col("__sh"), col("__id").as("id_b"),
-        col("__l").as("__lb")), "__sh")
-      .filter(col("id_a") < col("id_b") &&
-        col("__lb") >= ceil(lit(threshold) * col("__la")) &&
-        col("__la") >= ceil(lit(threshold) * col("__lb")))
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("__sh"), col("__id"), col("__l"), col("__pos"))
+      // both sides of the candidate join (full- and mid-prefix) read
+      // this frame: persist so the vocab-rank join + per-doc window run
+      // once, not once per side.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // index-prefix (mid-prefix) subset: enough for the SHORTER side of
+    // any qualifying pair under the (len, id) order — see scaladoc.
+    val mid = prefix.filter(col("__pos") <= col("__l") -
+      ceil(lit(2.0 * threshold / (1.0 + threshold)) * col("__l")) + 1)
+    // positional upper bound on overlap from this matching occurrence;
+    // comparison kept real-valued (no ceil) so it can only be WEAKER
+    // than the integer overlap threshold — FP rounding at the boundary
+    // admits a candidate (verify removes it) but never drops one.
+    val posBound = (lit(1) +
+        least(col("__lx") - col("__px"), col("__ly") - col("__py")))
+      .cast(DoubleType) * lit(1.0 + threshold)
+    val cand = prefix.select(col("__sh"), col("__id").as("id_x"),
+        col("__l").as("__lx"), col("__pos").as("__px"))
+      .join(mid.select(col("__sh"), col("__id").as("id_y"),
+        col("__l").as("__ly"), col("__pos").as("__py")), "__sh")
+      .filter((col("__ly") < col("__lx") ||
+          (col("__ly") === col("__lx") && col("id_y") < col("id_x"))) &&
+        col("__ly") >= ceil(lit(threshold) * col("__lx")) &&
+        posBound >= lit(threshold) *
+          (col("__lx") + col("__ly")).cast(DoubleType) - lit(1e-9))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b")).distinct()
     val inter = size(array_intersect(col("__tsa"), col("__tsb")))
     val out = cand
       .join(sets.select(col("__id").as("id_a"), col("__ts").as("__tsa")),
@@ -986,6 +1036,7 @@ object TextDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     sets.unpersist()
+    prefix.unpersist()
     out
   }
 }
