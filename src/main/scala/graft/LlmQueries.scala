@@ -208,6 +208,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // multimodal COMPRESSED video: MJPEG AVIs (real JPEG-per-frame
+    // streams, JDK ImageIO codec both ways) through the correctness
+    // gate. Dimensions/frame counts are closed-form in doc_id (the
+    // oracle surface); pixel sums are JPEG-codec-defined, so they're
+    // asserted in-spec against an independent decode, not here.
+    "q314_mjpeg_video" -> { (s, dir) =>
+      Multimodal.videoFeaturesMjpeg(s,
+        t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id")
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"))
+        .orderBy(col("doc_id"))
+    },
+
     // corpus TF-IDF, top term per doc (ratio idf — exact, no log; see
     // TextStats.tfIdfTopTerm Scaladoc for the scale shape).
     "q83_tfidf" -> { (s, dir) =>
@@ -1323,6 +1335,15 @@ object LlmQueries {
          CROSS JOIN range(0, 4) tf(f)
          WHERE x < d.w AND y < d.h AND f < d.n
          GROUP BY d.doc_id, d.w, d.h, d.n ORDER BY d.doc_id""",
+
+    // replays Multimodal.syntheticMjpegAvi's closed-form container
+    // metadata (dims + frame count share syntheticAvi's formulas); the
+    // JPEG payload pixels are codec-defined and spec-asserted instead
+    "q314_mjpeg_video" ->
+      """SELECT doc_id, CAST(8 + doc_id % 8 AS INT) AS width,
+           CAST(8 + (doc_id // 8) % 8 AS INT) AS height,
+           CAST(2 + doc_id % 3 AS BIGINT) AS n_frames
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
 
     // replays Multimodal.syntheticWav's closed-form samples:
     // s(i) = (i*31 + id*17) % 65536 - 32768 over n = 256 + id%256 frames

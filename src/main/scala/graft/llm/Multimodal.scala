@@ -13,11 +13,13 @@ import org.apache.spark.sql.types._
   * true decoded dimensions/channels/pixel statistics (q36's oracle checks
   * them against a closed-form pixel generator). AUDIO decode is REAL too:
   * [[decodeAudio]] runs javax.sound.sampled (the JVM's RIFF/WAVE PCM codec)
-  * in the same shape (q85's oracle). VIDEO container decode is REAL for
-  * uncompressed AVI: [[decodeVideo]] walks the RIFF chunk tree and extracts
-  * standard DIB frames (q86's oracle) — only COMPRESSED video codecs remain
-  * stubbed (`decodeStub` — the JVM ships no H.264/VP9 decoder): identical
-  * batching shape, so swapping in a codec is a one-function change. The surrounding design is what matters at 100 TB:
+  * in the same shape (q85's oracle). VIDEO decode is REAL for both AVI
+  * frame codecs the JVM can express: [[decodeVideo]] walks the RIFF chunk
+  * tree and decodes uncompressed DIB ('00db', q86's oracle) AND
+  * compressed MJPEG ('00dc', JPEG-per-frame via the JDK ImageIO codec,
+  * q314's oracle) — only INTER-FRAME codecs (H.264/VP9) remain out of
+  * scope (the JVM ships no such decoder; `decodeStub` keeps the batching
+  * shape a native codec would drop into). The surrounding design is what matters at 100 TB:
   * media rows are large, so operators keep per-task batches bounded and
   * never widen the binary column through a shuffle (features are extracted
   * BEFORE any join/groupBy).
@@ -248,11 +250,14 @@ object Multimodal {
     new String(b, o, 4, "US-ASCII")
 
   /** REAL video container decode: a RIFF/AVI parser (chunk walking, 'avih'
-    * main header, 'movi' frame list) with uncompressed DIB ('00db') frame
-    * payloads — bottom-up BGR rows, 4-byte row padding, the standard
-    * uncompressed-AVI layout. Frame extraction and pixel accounting are
-    * real; COMPRESSED codecs (H.264 etc.) remain out of scope — the JVM
-    * ships no video codec, and [[decodeStub]] documents that boundary. */
+    * main header, 'movi' frame list) with TWO real frame codecs:
+    * uncompressed DIB ('00db') payloads — bottom-up BGR rows, 4-byte row
+    * padding, the standard uncompressed-AVI layout — and COMPRESSED
+    * MJPEG ('00dc') payloads, each frame a complete JPEG stream decoded
+    * by the JDK's ImageIO JPEG codec (pure JVM, no native deps). Frame
+    * extraction and pixel accounting are real for both; inter-frame
+    * codecs (H.264/VP9) remain out of scope — the JVM ships no such
+    * decoder, and [[decodeStub]] documents that boundary. */
   def decodeVideo(rows: Dataset[MediaRow], batchSize: Int = 16): Dataset[VideoFeatures] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
@@ -301,6 +306,31 @@ object Multimodal {
                       sum += (b(ro + x * 3) & 0xFF) +
                         (b(ro + x * 3 + 1) & 0xFF) +
                         (b(ro + x * 3 + 2) & 0xFF)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                case "00dc" => // compressed frame: MJPEG (one JPEG/frame)
+                  require(size >= 2 && (b(body) & 0xFF) == 0xFF &&
+                    (b(body + 1) & 0xFF) == 0xD8,
+                    s"doc ${r.doc_id}: 00dc frame is not a JPEG stream " +
+                      "(only MJPEG compression is supported)")
+                  val img = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(b, body, size))
+                  require(img != null,
+                    s"doc ${r.doc_id}: ImageIO could not decode MJPEG frame")
+                  require(width > 0 && height > 0 &&
+                    img.getWidth == width && img.getHeight == height,
+                    s"doc ${r.doc_id}: frame ${img.getWidth}x${img.getHeight}" +
+                      s" != avih ${width}x$height")
+                  frames += 1
+                  var y = 0
+                  while (y < height) {
+                    var x = 0
+                    while (x < width) {
+                      val rgb = img.getRGB(x, y)
+                      sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+                        (rgb & 0xFF)
                       x += 1
                     }
                     y += 1
@@ -385,6 +415,84 @@ object Multimodal {
     import spark.implicits._
     val media = df.select(col(idCol).cast(LongType).as("doc_id"))
       .as[Long].map(id => MediaRow(id, syntheticAvi(id)))
+    decodeVideo(media).toDF()
+  }
+
+  /** Deterministic MJPEG AVI for id: same dims/frame-count closed forms as
+    * [[syntheticAvi]] (w = 8 + id%8, h = 8 + (id/8)%8, n = 2 + id%3) but
+    * every frame is a REAL JPEG stream (JDK ImageIO encoder) in a '00dc'
+    * chunk with strh/strf fourcc 'MJPG' — the standard motion-JPEG AVI
+    * layout. The source pattern per frame matches syntheticAvi's channels;
+    * JPEG is lossy, so decoded PIXEL sums are codec-defined (asserted
+    * in-spec by an independent ImageIO decode of the same bytes), while
+    * dimensions and frame count stay closed-form oracle surface. */
+  def syntheticMjpegAvi(id: Long): Array[Byte] = {
+    val w = 8 + (id % 8).toInt
+    val h = 8 + ((id / 8) % 8).toInt
+    val nFrames = 2 + (id % 3).toInt
+    val jpegs: Array[Array[Byte]] = Array.tabulate(nFrames) { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val bC = ((x + id + f) % 256).toInt
+          val gC = ((y + 2 * id) % 256).toInt
+          val rC = ((x + y + f) % 256).toInt
+          img.setRGB(x, y, (rC << 16) | (gC << 8) | bC)
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "jpg", baos),
+        "JDK JPEG encoder unavailable")
+      baos.toByteArray
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit = {
+      bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+      bos.write(((v >> 16) & 0xFF).toInt); bos.write(((v >> 24) & 0xFF).toInt)
+    }
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val strlSize = 4 + 8 + 56 + 8 + 40
+    val hdrlSize = 4 + 8 + 56 + 8 + strlSize
+    // movi holds one word-aligned '00dc' chunk per (variable-size) frame
+    val moviSize = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+    val riffSize = 4 + 8 + hdrlSize + 8 + moviSize
+    tag("RIFF"); le32(riffSize); tag("AVI ")
+    tag("LIST"); le32(hdrlSize); tag("hdrl")
+    tag("avih"); le32(56)
+    le32(40000); le32(w.toLong * h * 3 * 25); le32(0); le32(0x10)
+    le32(nFrames); le32(0); le32(1); le32(w.toLong * h * 3)
+    le32(w); le32(h); le32(0); le32(0); le32(0); le32(0)
+    tag("LIST"); le32(strlSize); tag("strl")
+    tag("strh"); le32(56)
+    tag("vids"); tag("MJPG"); le32(0); le32(0); le32(0)
+    le32(1); le32(25); le32(0); le32(nFrames); le32(w.toLong * h * 3)
+    le32(0xFFFFFFFFL); le32(0); le32(0); le32(0)
+    tag("strf"); le32(40)
+    le32(40); le32(w); le32(h)
+    bos.write(1); bos.write(0); bos.write(24); bos.write(0)
+    tag("MJPG") // biCompression fourcc
+    le32(w.toLong * h * 3); le32(0); le32(0); le32(0); le32(0)
+    tag("LIST"); le32(moviSize); tag("movi")
+    jpegs.foreach { j =>
+      tag("00dc"); le32(j.length); bos.write(j)
+      if ((j.length & 1) == 1) bos.write(0) // word alignment pad
+    }
+    bos.toByteArray
+  }
+
+  /** MJPEG video pipeline keyed by `idCol`: generate real JPEG-in-AVI
+    * streams → container + JPEG decode → features. Same bounded-batch
+    * mapPartitions shape as every media decoder here. */
+  def videoFeaturesMjpeg(spark: SparkSession, df: DataFrame,
+                         idCol: String): DataFrame = {
+    import spark.implicits._
+    val media = df.select(col(idCol).cast(LongType).as("doc_id"))
+      .as[Long].map(id => MediaRow(id, syntheticMjpegAvi(id)))
     decodeVideo(media).toDF()
   }
 

@@ -18,9 +18,14 @@ object Behavior {
     * stage joins the survivors (a frame that only SHRINKS) back to that
     * stage's events on the user key and re-aggregates — k−1 shuffles on
     * the same key for a k-stage funnel, each carrying (user, ts) pairs
-    * only. At 100 TB the event scan prunes to the stage types
-    * (PushedFilters on the type column) and the survivor frames are tiny
-    * relative to the corpus. */
+    * only. Each survivor frame is eagerly checkpointed before its count
+    * (each stage's count() is a driver action — on the raw lineage,
+    * stage i would re-execute stages 1..i−1, the O(k²) iterative-lineage
+    * trap the [[graft.ops.Graph.pageRank]] scaladoc documents); the
+    * checkpoint makes every stage read the previous survivors as
+    * node-sized blocks, one scan + one join per stage. At 100 TB the
+    * event scan prunes to the stage types (PushedFilters on the type
+    * column) and the survivor frames are tiny relative to the corpus. */
   def funnel(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
              stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
@@ -30,6 +35,7 @@ object Behavior {
       col(tsCol).as("__ts"))
     var reached = ev.filter(col("__t") === stages.head)
       .groupBy(col("__u")).agg(min(col("__ts")).as("__cur"))
+      .localCheckpoint(true)
     val counts = scala.collection.mutable.ArrayBuffer[(Int, String, Long)](
       (1, stages.head, reached.count()))
     stages.zipWithIndex.drop(1).foreach { case (st, i) =>
@@ -37,6 +43,7 @@ object Behavior {
         .join(reached, "__u")
         .filter(col("__ts") > col("__cur"))
         .groupBy(col("__u")).agg(min(col("__ts")).as("__cur"))
+        .localCheckpoint(true)
       counts += ((i + 1, st, reached.count()))
     }
     counts.toSeq.toDF("stage_idx", "stage", "n_users")
@@ -60,11 +67,16 @@ object Behavior {
     var reached = ev.filter(col("__t") === stages.head)
       .groupBy(col("__u")).agg(min(col("__us")).as("__cur"))
     val pieces = stages.zipWithIndex.drop(1).map { case (st, i) =>
+      // eager-checkpoint: `next` is consumed TWICE (this stage's durs
+      // piece + the next stage's survivors) and the final union executes
+      // every piece in one action — raw lineage would re-run the whole
+      // prefix chain per branch, the same O(k²) trap as funnel's counts
       val next = ev.filter(col("__t") === st)
         .join(reached, "__u")
         .filter(col("__us") > col("__cur"))
         .groupBy(col("__u"), col("__cur").as("__prev"))
         .agg(min(col("__us")).as("__cur"))
+        .localCheckpoint(true)
       val durs = next.select(lit(i).as("__stage"),
         ((col("__cur") - col("__prev")).cast("double") / lit(1e6))
           .as("__dur"))
@@ -259,7 +271,13 @@ object Behavior {
     val wAll = Window.partitionBy(col(userCol))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val isConv = col("channel") === lit(convType)
+    // pin the NULL contract explicitly: a row with no event type is
+    // neither a touch nor a conversion (without this filter it would be
+    // dropped anyway, but only incidentally — `!isConv` is NULL for a
+    // NULL channel — and an oracle counting it as a NULL-channel touch
+    // would silently diverge)
     val tagged = df
+      .filter(col(typeCol).isNotNull)
       .select(col(userCol) +: col(typeCol).as("channel") +:
         orderCols.map(col): _*)
       .withColumn("__cum", sum(when(isConv, 1L).otherwise(0L)).over(wOrd))

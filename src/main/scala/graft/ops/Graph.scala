@@ -348,8 +348,11 @@ object Graph {
     *   Q = intra/M2 − Σ_c (d_c / M2)²
     * with M2 the directed edge count (= 2m), intra the directed count of
     * within-community edges, d_c the summed out-degrees of community c.
-    * Nodes missing from `labels` drop their edges from intra but keep
-    * their degree mass — pass a complete labeling (LP emits one).
+    * Nodes missing from `labels` are excluded from BOTH the intra count
+    * and the Σ(d_c/M2)² degree-mass term (the label joins are inner),
+    * while M2 still counts every edge — i.e. a partial labeling is
+    * scored as if unlabeled nodes formed no community at all. Pass a
+    * complete labeling (LP emits one) for textbook Q.
     * Returns one row (k_communities, m_edges, intra_edges, modularity).
     *
     * Plan: two label joins on the edge frame (keyed; the label frame is

@@ -389,6 +389,12 @@ object Ml {
         ((col("__sy") - slopeC * col("__sx")) / nD).as("__icept"))
       .collectBounded(1, "O(1) fit readout")(0)
     val nTrain = f.getLong(0)
+    // an empty or constant-x train half leaves the OLS readout null
+    // (0/0 in the slope) — fail with the actual contract violation
+    // instead of an opaque NPE from Row.getDouble
+    require(!f.isNullAt(1) && !f.isNullAt(2),
+      s"splitConformal: degenerate train half (n_train=$nTrain, " +
+        "x constant or empty) — the OLS fit is undefined")
     val slope = f.getDouble(1); val icept = f.getDouble(2)
     val cal = clean.filter(col("__side") === 1L)
       .select(abs(col("__y") - (lit(slope) * col("__x") + lit(icept)))
@@ -1258,11 +1264,17 @@ object Ml {
     * value, class) counts with add-one (Laplace) smoothing,
     * P(v|c) = (count + 1)/(n_c + V_f). Scoring is the LOG-FREE product
     * form (this engine's no-transcendental policy — log/exp would cost
-    * cross-engine libm parity): score_c = (n_c/N)·Π_f P(v_f|c) as ONE
-    * pinned multiplication sequence in feature order, so the oracle
+    * cross-engine libm parity): score_c = (n_c/N)·Π_f V_f·P(v_f|c) as
+    * ONE pinned multiplication sequence in feature order, so the oracle
     * replays every double bit-for-bit; argmax ties break to the
     * FIRST label in sorted order. Unseen values at predict time get the
-    * pure-smoothing likelihood 1/(n_c + V_f) (standard).
+    * pure-smoothing likelihood V_f/(n_c + V_f) (standard, rescaled).
+    * The per-feature V_f rescale is constant across classes — argmax
+    * identical to textbook NB in exact arithmetic — and keeps each
+    * factor O(1) (a near-uniform feature contributes n_c/(n_c+V_f) ≈ 1),
+    * so the product stays in double range for thousands of features
+    * where the raw Π P(v|c) underflows to 0-for-every-class after a few
+    * dozen.
     *
     * Scale: fit = one count aggregation per feature (driver reads
     * O(Σ cardinalities) rows, bounded); predict = one BROADCAST join per
@@ -1290,8 +1302,14 @@ object Ml {
       val scores = labels.indices.map { j =>
         features.indices.foldLeft(
           lit(priors(j).toDouble) / lit(total.toDouble)) { (acc, i) =>
+          // each factor is V_f·P(v|c), not raw P(v|c): the V_f rescale
+          // (constant across classes, so argmax is unchanged in exact
+          // arithmetic) keeps factors O(1) — near-uniform features give
+          // n_c/(n_c+V) ≈ 1 — so the log-free product survives thousands
+          // of features instead of underflowing to 0-for-every-class
+          // after a few dozen; the oracle replays the identical sequence
           acc * ((coalesce(col(s"__nbc_${i}_$j"), lit(0L))
-            .cast(DoubleType) + lit(1.0)) /
+            .cast(DoubleType) + lit(1.0)) * lit(cards(i).toDouble) /
             lit(priors(j).toDouble + cards(i).toDouble))
         }
       }

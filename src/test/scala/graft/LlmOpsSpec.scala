@@ -342,6 +342,66 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("MJPEG video decode: real JPEG frames — dims/counts closed-form, " +
+       "pixel sums match an independent ImageIO decode") {
+    import Multimodal.MediaRow
+    val ids = (0L until 20L).toDF("doc_id")
+    val out = Multimodal.videoFeaturesMjpeg(spark, ids.repartition(4),
+        "doc_id").orderBy("doc_id").collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("width") == 8 + (id % 8).toInt)
+      assert(r.getAs[Int]("height") == 8 + ((id / 8) % 8).toInt)
+      assert(r.getAs[Long]("n_frames") == 2 + (id % 3))
+      // independent replay: walk the same container bytes and decode each
+      // JPEG with ImageIO directly — the operator's sum must match exactly
+      // (same codec, same bytes), proving the 00dc path truly decodes
+      val bytes = Multimodal.syntheticMjpegAvi(id)
+      var want = 0L
+      var p = 12
+      def u32(o: Int): Int =
+        ((bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+          ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24))
+      def walk(start: Int, end: Int): Unit = {
+        var q = start
+        while (q + 8 <= end) {
+          val tag = new String(bytes, q, 4, "US-ASCII")
+          val size = u32(q + 4)
+          if (tag == "LIST") walk(q + 12, q + 8 + size)
+          else if (tag == "00dc") {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes, q + 8, size))
+            for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              want += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            }
+          }
+          q = q + 8 + size + (size & 1)
+        }
+      }
+      walk(p, bytes.length)
+      assert(r.getAs[Long]("pixel_sum") == want,
+        s"pixel_sum mismatch for $id")
+      assert(want > 0L, s"degenerate all-black decode for $id")
+    }
+    // a 00dc chunk that is not a JPEG stream fails loudly
+    val bad = Multimodal.syntheticMjpegAvi(1L)
+    val idx = {
+      var i = -1; var q = 0
+      while (i < 0 && q + 4 <= bad.length) {
+        if (bad(q) == '0' && bad(q + 1) == '0' && bad(q + 2) == 'd' &&
+          bad(q + 3) == 'c') i = q
+        q += 1
+      }
+      i
+    }
+    bad(idx + 8) = 0x00 // corrupt the SOI marker
+    intercept[Exception] {
+      Multimodal.decodeVideo(Seq(MediaRow(1L, bad)).toDS()).collect()
+    }
+  }
+
   test("zero-norm embeddings never rank in cosine top-k") {
     val rows = (0L to 4L).map(i => (i, Array.fill(8)(0.1f * (i + 1)))) :+
       (5L, Array.fill(8)(0.0f)) // zero vector must not poison rankings

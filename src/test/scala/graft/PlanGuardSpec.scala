@@ -371,6 +371,45 @@ class PlanGuardSpec extends SparkSuite {
         offenders.mkString("\n"))
   }
 
+  test("funnel: executed stages grow LINEARLY in stage count " +
+       "(survivor chain is checkpointed, no O(k²) recompute)") {
+    // Without the per-stage localCheckpoint, stage i's count() re-executes
+    // stages 1..i−1 (fresh RDDs per action — no shuffle reuse across the
+    // rebuilt chains), so executed Spark stages grow quadratically in the
+    // funnel depth. Measure actual stage completions via a listener and
+    // pin the linear budget: ≤ 6 Spark stages per funnel stage + slack.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    import java.util.concurrent.atomic.AtomicInteger
+    val stages = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+    }
+    import spark.implicits._
+    val k = 8
+    val types = (0 until k).map(i => s"st$i")
+    val ev = (0L until 500L).flatMap { u =>
+      types.zipWithIndex.map { case (t, i) =>
+        (u, t, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"))
+      }
+    }.toDF("user_id", "event_type", "ts")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = graft.ops.Behavior.funnel(ev, "user_id", "event_type",
+        "ts", types).collect()
+      assert(out.length == k && out.forall(_.getAs[Long]("n_users") == 500L))
+    } finally {
+      // drain the listener bus (private API) before unregistering — stage
+      // events are delivered asynchronously
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    val n = stages.get()
+    assert(n <= 6 * k + 8,
+      s"funnel($k stages) executed $n Spark stages — expected O(k) " +
+        s"(≤ ${6 * k + 8}); the survivor chain is re-executing per stage")
+  }
+
   test("detector self-test: a global row-level window IS flagged") {
     // prove the guard can fire — a data-sized unpartitioned Window must
     // trip the same detection path the real guards rely on. The window's
