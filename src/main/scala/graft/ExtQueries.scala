@@ -922,7 +922,7 @@ object ExtQueries {
     "q287_label_propagation" -> { (s, dir) =>
       Graph.labelPropagation(
         Graph.tradingPairsGraph(t(s, dir, "orders"), t(s, dir, "lineitem")),
-        "src", "dst", iters = 3)
+        "src", "dst", iters = 3, assumeSymmetric = true)
         .orderBy(col("id"))
     },
 
@@ -1018,7 +1018,8 @@ object ExtQueries {
       val g = Graph.tradingPairsGraph(t(s, dir, "orders"),
           t(s, dir, "lineitem"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val labels = Graph.labelPropagation(g, "src", "dst", iters = 3)
+      val labels = Graph.labelPropagation(g, "src", "dst", iters = 3,
+        assumeSymmetric = true)
       val out = Graph.modularity(g, "src", "dst", labels, "id", "community")
       g.unpersist()
       out

@@ -158,30 +158,47 @@ object Graph {
     * site clusters without an O(n²) similarity pass.
     *
     * Input edge list is symmetrized (both directions), deduped, and
-    * self-loops dropped. Returns (id, community) over every endpoint.
+    * self-loops dropped — unless `assumeSymmetric` is set, which skips
+    * the union+distinct re-symmetrization (one full-|E| shuffle) for
+    * callers whose edge frame ALREADY holds exactly one row per directed
+    * edge of a loop-free symmetric graph ([[tradingPairsGraph]] does:
+    * distinct pairs emitted in both directions over disjoint even/odd
+    * node spaces).
     *
     * Plan at scale: the symmetric edge frame is hash-partitioned on the
-    * neighbor key and persisted ONCE; each round is one co-partitioned
-    * join (labels ⋈ edges on b), a keyed count, and a struct-max argmax
-    * (max count, min label) — two shuffles per round, O(|E|) rows, no
-    * window. Single consumption of the label frame per round keeps the
-    * lazy plan linear; `checkpointEvery` bounds analysis depth on deep
-    * runs (the [[pageRank]] lineage lesson). */
+    * neighbor key and persisted ONCE. Round 1 is computed in CLOSED FORM:
+    * every node starts as its own label, so each neighbor contributes a
+    * distinct label with count 1 and the max-count/min-label argmax
+    * collapses to min(neighbor id) — one keyed aggregation, no join, and
+    * the node-set distinct falls away entirely. Each later round is one
+    * co-partitioned join (labels ⋈ edges on b), a keyed count, and a
+    * struct-max argmax (max count, min label) — two shuffles per round,
+    * O(|E|) rows, no window. Single consumption of the label frame per
+    * round keeps the lazy plan linear; `checkpointEvery` bounds analysis
+    * depth on deep runs (the [[pageRank]] lineage lesson). */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       iters: Int = 3, checkpointEvery: Int = 2)
+                       iters: Int = 3, checkpointEvery: Int = 2,
+                       assumeSymmetric: Boolean = false)
       : DataFrame = {
     require(iters >= 1 && checkpointEvery >= 1)
     val e0 = edges.select(col(srcCol).cast(LongType).as("a"),
         col(dstCol).cast(LongType).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull &&
         col("a") =!= col("b"))
-    val e = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
+    val e1 =
+      if (assumeSymmetric) e0
+      else e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+    val e = e1
       .repartition(col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = e.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
-    for (i <- 1 to iters) {
+    // round 1 in closed form (see scaladoc): min neighbor id
+    var labels = e.groupBy(col("a"))
+      .agg(min(col("b")).as("lbl"))
+      .select(col("a").as("id"), col("lbl"))
+    if (1 % checkpointEvery == 0 && iters > 1)
+      labels = labels.localCheckpoint(true)
+    for (i <- 2 to iters) {
       val nb = e.join(labels, e("b") === labels("id"))
         .groupBy(col("a"), col("lbl"))
         .agg(count(lit(1)).as("c"))
