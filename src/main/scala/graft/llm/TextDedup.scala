@@ -703,12 +703,19 @@ object TextDedup {
         .select(col("id"),
           least(col("group_id"), coalesce(col("min_nb"), col("group_id"))).as("group_id"))
       // pointer jumping: gid := label(gid) — halves chain lengths each round
+      // EAGER localCheckpoint, not persist: a persisted frame keeps its
+      // full LOGICAL plan, and each round's plan embeds the previous
+      // round's ~5× over (labels read 4×, edges 2× through the self-join)
+      // — execution would read caches, but ANALYSIS/OPTIMIZATION walks
+      // the exponentially-nested tree and came to dominate wall time by
+      // round 4 (25 s/round at sf1.0). Checkpointing truncates lineage to
+      // a scan per round — the pageRank/LP doctrine, now applied here.
       val next = hopped
         .join(hopped.select(col("id").as("group_id"), col("group_id").as("gid2")),
           Seq("group_id"), "left")
         .select(col("id"),
           least(col("group_id"), coalesce(col("gid2"), col("group_id"))).as("group_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       if (numericIds) {
         val s = gidSum(next)
         converged = s.compareTo(prevSum) == 0
@@ -718,9 +725,6 @@ object TextDedup {
           .join(labels.select(col("id"), col("group_id").as("__prev")), Seq("id"))
           .filter(col("group_id") =!= col("__prev"))
           .isEmpty
-      // the superseded iteration's cache is dead once `next` is materialized
-      // (round 0's `labels` was never persisted; unpersist is a no-op there)
-      labels.unpersist()
       labels = next
       i += 1
       if (timing)
