@@ -217,6 +217,13 @@ object Graft {
                        iters: Int): DataFrame =
     graft.ops.Graph.labelPropagation(edges, src, dst, iters)
 
+  /** Label propagation over an ALREADY-SYMMETRIC deduped loop-free edge
+    * frame — skips the re-symmetrization shuffle (see Graph scaladoc). */
+  def labelPropagationSymmetric(edges: DataFrame, src: String, dst: String,
+                                iters: Int): DataFrame =
+    graft.ops.Graph.labelPropagation(edges, src, dst, iters,
+      assumeSymmetric = true)
+
   /** Fit categorical naive Bayes and predict `outCol` on `score`. */
   def naiveBayesPredict(train: DataFrame, features: ju.List[String],
                         labelCol: String, score: DataFrame,

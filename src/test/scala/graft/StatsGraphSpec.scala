@@ -49,6 +49,22 @@ class StatsGraphSpec extends SparkSuite {
     }
   }
 
+  test("labelPropagation: assumeSymmetric on a pre-symmetrized frame " +
+    "equals the default path exactly") {
+    val rnd = new scala.util.Random(77)
+    val pairs = (0 until 150).map(_ =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)).filter(p => p._1 != p._2)
+    val sym = (pairs ++ pairs.map(_.swap)).distinct
+    val viaDefault = Graph.labelPropagation(
+        pairs.toDF("src", "dst"), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaSym = Graph.labelPropagation(
+        sym.toDF("src", "dst"), "src", "dst", iters = 3,
+        assumeSymmetric = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSym == viaDefault)
+  }
+
   test("pageRank: two-node symmetric graph converges to equal ranks") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val r = Graph.pageRank(edges, "src", "dst", iters = 5, damp = 85)
