@@ -1375,9 +1375,16 @@ object ExtQueries {
       val ev = t(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("ts"))
+      // one purchase per distinct ts (argmax by event_id): an asof right
+      // side with DUPLICATE keys has no deterministic winner — neither in
+      // the merge exec nor in DuckDB's ASOF — and the sf1.0 replica
+      // duplicates timestamps across its 10 copies (caught by the sf1.0
+      // oracle sweep, round 16). Uniqueness pins the row both engines pick.
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("ts").as("pts"), col("event_id").as("p_event_id"),
-          col("value").as("p_value"))
+        .groupBy(col("ts").as("pts"))
+        .agg(max(struct(col("event_id"), col("value"))).as("__m"))
+        .select(col("pts"), col("__m.event_id").as("p_event_id"),
+          col("__m.value").as("p_value"))
       Joins.asofJoin(clicks, purchases, "ts", "pts", Seq.empty,
           Joins.Backward, allowExactMatch = true)
         .select(col("event_id"), col("p_event_id"), col("p_value"))
@@ -5175,10 +5182,15 @@ object ExtQueries {
 
     // DuckDB's native ASOF JOIN — an independent implementation of
     // backward-allow-exact as-of semantics — mirrors the keyless carry.
+    // right side reduced to ONE purchase per distinct ts (argmax by
+    // event_id) — duplicate asof keys have no deterministic winner in
+    // either engine; see the q101 registration comment
     "q101_keyless_asof" ->
       """WITH c AS (SELECT event_id, ts FROM events WHERE event_type = 'click'),
             p AS (SELECT ts AS pts, event_id AS p_event_id, value AS p_value
-                  FROM events WHERE event_type = 'purchase')
+                  FROM events WHERE event_type = 'purchase'
+                  QUALIFY row_number() OVER
+                    (PARTITION BY ts ORDER BY event_id DESC) = 1)
          SELECT c.event_id, p.p_event_id, p.p_value
          FROM c ASOF LEFT JOIN p ON c.ts >= p.pts
          ORDER BY c.event_id""",
