@@ -17,7 +17,7 @@ def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
     return df.reset_index(drop=True)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=(), only=None):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -27,6 +27,8 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name in sorted(oracle):
+        if name in skip or (only is not None and name not in only):
+            continue
         qdir = f"{out_dir}/{name}"
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
@@ -79,4 +81,18 @@ def main(sf_dir, out_dir):
     print(f"\n{n_ok} ok, {n_bad} fail")
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    # optional: --skip a,b,c (exclude) / --only a,b,c (restrict) — for
+    # resuming an interrupted sweep or excluding oracles that are
+    # deliberately brute-force and infeasible at large SF (the engine-side
+    # result still dumps; the mirror is the bottleneck)
+    skip, only, pos = set(), None, []
+    args = sys.argv[1:]
+    i = 0
+    while i < len(args):
+        if args[i] == "--skip":
+            skip |= set(args[i + 1].split(",")); i += 2
+        elif args[i] == "--only":
+            only = set(args[i + 1].split(",")); i += 2
+        else:
+            pos.append(args[i]); i += 1
+    main(pos[0], pos[1], skip, only)
