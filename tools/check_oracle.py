@@ -19,6 +19,15 @@ def norm(df):
 
 def main(sf_dir, out_dir, skip=(), only=None):
     con = duckdb.connect()
+    # bound the oracle engine so a heavy mirror degrades to disk spill or
+    # a clean per-query error instead of taking the whole process (the
+    # sf1.0 sweep was OOM-killed mid-board without this)
+    mem = os.environ.get("GRAFT_DUCKDB_MEMLIMIT", "40GB")
+    tmp = os.environ.get("GRAFT_DUCKDB_TEMPDIR", "/tmp/duckdb_spill")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute("SET max_temp_directory_size='60GB'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         p = f"{sf_dir}/{t}.parquet"
