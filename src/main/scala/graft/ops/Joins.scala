@@ -90,6 +90,15 @@ object Joins {
     *
     * Right payload columns come back null when no match exists (left join
     * padding, reference finalize-join-result join.clj:137-201).
+    *
+    * DETERMINISM CONTRACT: right-side (by, time) keys should be UNIQUE.
+    * With duplicate right keys at the matched instant, SOME matching
+    * row's payload is carried, but WHICH one depends on intra-key order
+    * — partition layout here, insertion order in pandas/the reference,
+    * tie-luck in DuckDB ASOF: no engine gives duplicates a portable
+    * winner. Callers needing replayable output pre-reduce the right side
+    * to one row per key (argmax/argmin by a payload column — see q101,
+    * where the sf1.0 oracle sweep caught exactly this).
     */
   def asofJoin(left: DataFrame, right: DataFrame, leftTime: String,
                rightTime: String, by: Seq[(String, String)] = Seq.empty,
