@@ -5190,7 +5190,7 @@ object ExtQueries {
             p AS (SELECT ts AS pts, event_id AS p_event_id, value AS p_value
                   FROM events WHERE event_type = 'purchase'
                   QUALIFY row_number() OVER
-                    (PARTITION BY ts ORDER BY event_id DESC) = 1)
+                    (PARTITION BY ts ORDER BY event_id DESC, value DESC) = 1)
          SELECT c.event_id, p.p_event_id, p.p_value
          FROM c ASOF LEFT JOIN p ON c.ts >= p.pts
          ORDER BY c.event_id""",

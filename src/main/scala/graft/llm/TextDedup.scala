@@ -725,6 +725,11 @@ object TextDedup {
           .join(labels.select(col("id"), col("group_id").as("__prev")), Seq("id"))
           .filter(col("group_id") =!= col("__prev"))
           .isEmpty
+      // the superseded round's checkpoint blocks are dead now — `next`
+      // materialized from them and the convergence probe has run; free
+      // them instead of pinning O(rounds) label-frame copies in executor
+      // storage for the rest of the job (no-op for the round-0 seed)
+      graft.ops.Checkpoints.releaseLocalCheckpoint(labels)
       labels = next
       i += 1
       if (timing)
@@ -743,7 +748,7 @@ object TextDedup {
       .select(col("id"), coalesce(col("group_id"), col("id")).as("group_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize per the ownership contract before dropping inputs
-    labels.unpersist()
+    graft.ops.Checkpoints.releaseLocalCheckpoint(labels)
     edges.unpersist()
     out
   }
@@ -998,8 +1003,15 @@ object TextDedup {
     val prefix = exploded
       .join(ranked.select(col("__sh"), col("__rank")), "__sh")
       .withColumn("__pos", row_number().over(w))
+      // every ceil(c·l) in the filters is epsilon-guarded DOWN (ceil of
+      // c·l − 1e-9): when c·l is mathematically an exact integer but the
+      // FP product lands a ULP above it, an unguarded ceil overshoots by
+      // 1 and the prefix comes out one shingle SHORTER than the lossless
+      // bound — silently dropping a qualifying pair. The guard errs the
+      // safe way only: a one-longer prefix / one-weaker length filter
+      // admits extra candidates that the exact verify removes.
       .filter(col("__pos") <=
-        col("__l") - ceil(lit(threshold) * col("__l")) + 1)
+        col("__l") - ceil(lit(threshold) * col("__l") - lit(1e-9)) + 1)
       .select(col("__sh"), col("__id"), col("__l"), col("__pos"))
       // both sides of the candidate join (full- and mid-prefix) read
       // this frame: persist so the vocab-rank join + per-doc window run
@@ -1008,7 +1020,7 @@ object TextDedup {
     // index-prefix (mid-prefix) subset: enough for the SHORTER side of
     // any qualifying pair under the (len, id) order — see scaladoc.
     val mid = prefix.filter(col("__pos") <= col("__l") -
-      ceil(lit(2.0 * threshold / (1.0 + threshold)) * col("__l")) + 1)
+      ceil(lit(2.0 * threshold / (1.0 + threshold)) * col("__l") - lit(1e-9)) + 1)
     // positional upper bound on overlap from this matching occurrence;
     // comparison kept real-valued (no ceil) so it can only be WEAKER
     // than the integer overlap threshold — FP rounding at the boundary
@@ -1022,7 +1034,7 @@ object TextDedup {
         col("__l").as("__ly"), col("__pos").as("__py")), "__sh")
       .filter((col("__ly") < col("__lx") ||
           (col("__ly") === col("__lx") && col("id_y") < col("id_x"))) &&
-        col("__ly") >= ceil(lit(threshold) * col("__lx")) &&
+        col("__ly") >= ceil(lit(threshold) * col("__lx") - lit(1e-9)) &&
         posBound >= lit(threshold) *
           (col("__lx") + col("__ly")).cast(DoubleType) - lit(1e-9))
       .select(least(col("id_x"), col("id_y")).as("id_a"),

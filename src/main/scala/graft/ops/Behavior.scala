@@ -39,13 +39,19 @@ object Behavior {
     val counts = scala.collection.mutable.ArrayBuffer[(Int, String, Long)](
       (1, stages.head, reached.count()))
     stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val prev = reached
       reached = ev.filter(col("__t") === st)
         .join(reached, "__u")
         .filter(col("__ts") > col("__cur"))
         .groupBy(col("__u")).agg(min(col("__ts")).as("__cur"))
         .localCheckpoint(true)
+      // this stage's eager checkpoint materialized from `prev`; nothing
+      // reads the superseded survivor frame again — free its blocks
+      Checkpoints.releaseLocalCheckpoint(prev)
       counts += ((i + 1, st, reached.count()))
     }
+    // the final survivor frame was only needed for its count
+    Checkpoints.releaseLocalCheckpoint(reached)
     counts.toSeq.toDF("stage_idx", "stage", "n_users")
   }
 

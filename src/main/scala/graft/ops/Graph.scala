@@ -118,6 +118,11 @@ object Graph {
     val r0 = Scale / n
     val base = (100 - damp) * (Scale / n) / 100
     var ranks = nodes.select(col("id"), col("__dang"), lit(r0).as("r"))
+    // the most recent round's eager checkpoint: released only once a NEWER
+    // checkpoint has materialized from it (never the frame the caller's
+    // final action will read — a local checkpoint has no lineage to
+    // recompute from, see [[Checkpoints]])
+    var lastCk: Option[org.apache.spark.sql.DataFrame] = None
     for (i <- 1 to iters) {
       val contrib = edged.join(ranks, edged("src") === ranks("id"))
         .select(col("dst"), expr("r div outdeg").as("share"))
@@ -140,8 +145,11 @@ object Graph {
                 .as("r"))
         }
       val cadence = if (hasDangling) 1 else checkpointEvery
-      if (i % cadence == 0 && i < iters)
+      if (i % cadence == 0 && i < iters) {
         ranks = ranks.localCheckpoint(true)
+        lastCk.foreach(Checkpoints.releaseLocalCheckpoint)
+        lastCk = Some(ranks)
+      }
     }
     ranks.select(col("id"), col("r"))
   }
@@ -196,8 +204,14 @@ object Graph {
     var labels = e.groupBy(col("a"))
       .agg(min(col("b")).as("lbl"))
       .select(col("a").as("id"), col("lbl"))
-    if (1 % checkpointEvery == 0 && iters > 1)
+    // superseded-checkpoint tracking, same contract as pageRank's
+    var lastCk: Option[org.apache.spark.sql.DataFrame] = None
+    def ck(): Unit = {
       labels = labels.localCheckpoint(true)
+      lastCk.foreach(Checkpoints.releaseLocalCheckpoint)
+      lastCk = Some(labels)
+    }
+    if (1 % checkpointEvery == 0 && iters > 1) ck()
     for (i <- 2 to iters) {
       val nb = e.join(labels, e("b") === labels("id"))
         .groupBy(col("a"), col("lbl"))
@@ -205,8 +219,7 @@ object Graph {
       labels = nb.groupBy(col("a"))
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("a").as("id"), (-col("m.nl")).as("lbl"))
-      if (i % checkpointEvery == 0 && i < iters)
-        labels = labels.localCheckpoint(true)
+      if (i % checkpointEvery == 0 && i < iters) ck()
     }
     // eager-checkpoint the RESULT so the iteration's edge cache can be
     // RELEASED here instead of leaking for the session (each LP call used
@@ -215,6 +228,9 @@ object Graph {
     val out = labels.select(col("id"), col("lbl").as("community"))
       .localCheckpoint(true)
     e.unpersist()
+    // `out` materialized from the last round's checkpoint — its blocks
+    // are dead now too
+    lastCk.foreach(Checkpoints.releaseLocalCheckpoint)
     out
   }
 
@@ -286,6 +302,7 @@ object Graph {
     def sym(ed: DataFrame) =
       ed.select(col("a").as("id")).unionByName(ed.select(col("b").as("id")))
     for (_ <- 1 to rounds) {
+      val prev = e
       val deg = sym(e).groupBy(col("id")).agg(count(lit(1)).as("__d"))
       val keep = deg.filter(col("__d") >= k).select(col("id"))
       e = e
@@ -293,6 +310,9 @@ object Graph {
         .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
         .localCheckpoint(true)
+      // the new round's eager checkpoint has materialized from `prev` —
+      // its blocks are superseded (the caller only ever reads the final e)
+      Checkpoints.releaseLocalCheckpoint(prev)
     }
     sym(e).groupBy(col("id")).agg(count(lit(1)).as("degree"))
   }

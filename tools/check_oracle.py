@@ -34,9 +34,10 @@ def main(sf_dir, out_dir, skip=(), only=None):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_ok = n_bad = 0
+    n_ok = n_bad = n_skip = 0
     for name in sorted(oracle):
         if name in skip or (only is not None and name not in only):
+            n_skip += 1
             continue
         qdir = f"{out_dir}/{name}"
         files = glob.glob(f"{qdir}/*.parquet")
@@ -87,7 +88,10 @@ def main(sf_dir, out_dir, skip=(), only=None):
             print(f"FAIL {name}: " + "; ".join(bad[:4])); n_bad += 1
         else:
             print(f"ok   {name} ({len(got)} rows)"); n_ok += 1
-    print(f"\n{n_ok} ok, {n_bad} fail")
+    # name the skipped count explicitly: a resumed/subset sweep must not
+    # read as a full-board pass in the committed logs
+    tail = f", {n_skip} skipped (--skip/--only)" if n_skip else ""
+    print(f"\n{n_ok} ok, {n_bad} fail{tail}")
 
 if __name__ == "__main__":
     # optional: --skip a,b,c (exclude) / --only a,b,c (restrict) — for
