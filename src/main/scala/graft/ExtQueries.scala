@@ -23,6 +23,13 @@ object ExtQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.t(s, dir, name)
 
+  /** events with the NaN/null values dropped — the shared input of the
+    * indicator-tier queries (q316–q322): every keyed recurrence/window
+    * there assumes a clean series, same rationale as q233. */
+  private def evClean(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("value").isNotNull && !isnan(col("value")))
+
   /** floor-scaled exact sum column (same contract as oracle side; Int128
     * codegen accumulator — identical values to the decimal form). */
   private def fsum(c: org.apache.spark.sql.Column, p: Double) =
@@ -1090,6 +1097,164 @@ object ExtQueries {
       graft.ops.Ml.cumulativeGains(d, "n_chars", "label", buckets = 10)
     },
 
+    // ---- indicator tier (round 17): keyed-series technical/telemetry
+    // indicators over each user's value stream. All per-key windows (no
+    // global window), exact floor-scaled rolling sums, pinned final ops.
+    // `evClean` = the NaN/null-free series every indicator query shares.
+
+    // OHLC resample: per (user, hour) bar with argmin/argmax open/close.
+    "q315_ohlc_bars" -> { (s, dir) =>
+      Indicators.ohlcBars(t(s, dir, "events"), Seq("user_id"), "ts",
+          "event_id", "value", "hour")
+        .orderBy(col("user_id"), col("bar_ts"))
+    },
+
+    // Cutler's RSI(14) per user — SMA gains/losses, window-only plan.
+    "q316_rsi" -> { (s, dir) =>
+      Indicators.rsi(evClean(s, dir), Seq("user_id"),
+          Seq("ts", "event_id"), "value", n = 14)
+        .select(col("event_id"), col("user_id"), col("rsi"))
+        .orderBy(col("event_id"))
+    },
+
+    // Bollinger(20, 2) + %B per user — exact-sum rolling mean/variance.
+    "q317_bollinger" -> { (s, dir) =>
+      Indicators.bollinger(evClean(s, dir), Seq("user_id"),
+          Seq("ts", "event_id"), "value", n = 20, k = 2.0)
+        .select(col("event_id"), col("user_id"), col("bb_mid"),
+          col("bb_up"), col("bb_dn"), col("pct_b"))
+        .orderBy(col("event_id"))
+    },
+
+    // MACD(12, 26, 9) per user — the three coupled EMA recurrences in ONE
+    // keyed streaming fold (one shuffle); oracle = recursive CTE with the
+    // identical double literals and per-row op order.
+    "q318_macd" -> { (s, dir) =>
+      Indicators.macd(evClean(s, dir), Seq("user_id"),
+          Seq("ts", "event_id"), "value")
+        .select(col("event_id"), col("user_id"), col("macd"),
+          col("macd_signal"), col("macd_hist"))
+        .orderBy(col("event_id"))
+    },
+
+    // Running max drawdown per user — high-water mark, absolute and
+    // relative shortfall.
+    "q319_drawdown" -> { (s, dir) =>
+      Indicators.drawdown(evClean(s, dir), Seq("user_id"),
+          Seq("ts", "event_id"), "value")
+        .select(col("event_id"), col("user_id"), col("peak"), col("dd"),
+          col("dd_pct"))
+        .orderBy(col("event_id"))
+    },
+
+    // Per-user Sharpe over simple returns — exact Σr/Σr², pinned finish.
+    "q320_sharpe" -> { (s, dir) =>
+      Indicators.sharpe(evClean(s, dir), Seq("user_id"),
+          Seq("ts", "event_id"), "value", periodsPerYear = 252)
+        .orderBy(col("user_id"))
+    },
+
+    // Historical VaR(5%) + expected shortfall per user — exact rank
+    // selection (never an interpolating percentile), exact tail mean.
+    "q321_var_es" -> { (s, dir) =>
+      Indicators.varEs(evClean(s, dir), Seq("user_id"),
+          Seq("ts", "event_id"), "value", alpha = 0.05)
+        .orderBy(col("user_id"))
+    },
+
+    // Stochastic oscillator %K(14)/%D(3) per user — window min/max plus
+    // an exact-sum rolling mean of the derived %K.
+    "q322_stochastic" -> { (s, dir) =>
+      Indicators.stochastic(evClean(s, dir), Seq("user_id"),
+          Seq("ts", "event_id"), "value", n = 14, d = 3)
+        .select(col("event_id"), col("user_id"), col("pct_k"), col("pct_d"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- association/agreement tier (round 17): the dependence measures
+    // q231/q267/q296/q304 left open.
+
+    // Theil's U: asymmetric "segment predicts nation?" over the q231 pair.
+    "q323_theil_u" -> { (s, dir) =>
+      Stats.theilU(t(s, dir, "customer"), "c_mktsegment", "c_nationkey")
+    },
+
+    // Gamma / Somers' D / tau-a/b from contingency CELLS — quantity vs
+    // discount over lineitem; the k×k cell join is bounded by the value
+    // domains, not the row count.
+    "q324_ordinal_assoc" -> { (s, dir) =>
+      Stats.ordinalAssociation(t(s, dir, "lineitem"), "l_quantity",
+        "l_discount")
+    },
+
+    // Point-biserial: do purchase events carry larger values?
+    "q325_point_biserial" -> { (s, dir) =>
+      Stats.pointBiserial(t(s, dir, "events"), "value",
+        col("event_type") === "purchase")
+    },
+
+    // Durbin-Watson per user series — serial-correlation triage for the
+    // q105/q311 residual family.
+    "q326_durbin_watson" -> { (s, dir) =>
+      Stats.durbinWatson(t(s, dir, "events"), Seq("user_id"),
+          Seq("ts", "event_id"), "value")
+        .orderBy(col("user_id"))
+    },
+
+    // G-test (likelihood-ratio independence) on the q231/q323 pair —
+    // 2n·MI in nats, integer dof.
+    "q327_gtest" -> { (s, dir) =>
+      Stats.gTest(t(s, dir, "customer"), "c_mktsegment", "c_nationkey")
+    },
+
+    // Cochran's Q: did users hit a high-value event in EACH of the k
+    // event channels? k related binary outcomes, complete blocks only.
+    "q328_cochran_q" -> { (s, dir) =>
+      Stats.cochranQ(t(s, dir, "events"), "user_id", "event_type",
+        col("value") > 250 && !isnan(col("value")))
+    },
+
+    // Kendall's W: do the k event channels rank users consistently by
+    // exact per-channel value totals? Deterministic (score, item) ranks.
+    "q329_kendall_w" -> { (s, dir) =>
+      Stats.kendallW(t(s, dir, "events"), "user_id", "event_type", "value")
+    },
+
+    // Krippendorff's alpha (nominal) over value-bucket "ratings" per
+    // (user, channel) — the missing-tolerant sibling of q267/q304.
+    "q330_krippendorff" -> { (s, dir) =>
+      Stats.krippendorffAlpha(
+        evClean(s, dir).withColumn("cat",
+          floor(col("value") / 100).cast(LongType)),
+        "user_id", "event_type", "cat")
+    },
+
+    // Fisher's exact test: are high-value purchases independent of the
+    // morning half of the day? One margin is deliberately SMALL (rare
+    // flag) so the hypergeometric enumeration is min(r1,c1)-bounded.
+    "q331_fisher_exact" -> { (s, dir) =>
+      Stats.fisherExact(t(s, dir, "events"),
+        col("event_type") === "purchase" && col("value") > 250 &&
+          !isnan(col("value")),
+        hour(col("ts")) < 12)
+    },
+
+    // HITS hubs/authorities on the DIRECTED customer→supplier trading
+    // graph (q149's edge set, one direction): which customers spread
+    // orders across the best-connected suppliers? Fixed-point BIGINT
+    // rounds, max-renormalized — integer-exact in any engine.
+    "q332_hits" -> { (s, dir) =>
+      val pairs = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.hits(pairs, "src", "dst", iters = 3)
+        .orderBy(col("id"))
+    },
+
     // Segmented trend: split each user series at its changepoint and fit
     // OLS slopes on both sides — "the level shifted AND the trend went
     // from +a to -b per step".
@@ -1518,7 +1683,13 @@ object ExtQueries {
     // 1-in-16 sample keeps every SF under the format's 65,536-row cap.
     "q107_xls" -> { (s, dir) =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_q107").toString
-      val src = t(s, dir, "orders").filter(col("o_orderkey") % 16 === 0)
+      // key cap: a BIFF8 sheet holds 65,536 rows — the stride alone
+      // overflows it at sf1.0 (93,750 rows) and the writer correctly
+      // refuses. Capping at 1M keys is a no-op through sf0.1 and pins the
+      // sheet at ≤62,500 rows at ANY larger replica (the format's limit
+      // is the operator's contract, not a scale defect).
+      val src = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 16 === 0 && col("o_orderkey") < 1000000)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           to_date(col("o_orderdate")).as("o_date"))
       graft.sources.XlsIo.write(src, s"$tmp/orders.xls")
@@ -4457,6 +4628,548 @@ object ExtQueries {
              / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)) END AS lift
          FROM cum, tot ORDER BY bucket""",
 
+    // ---- indicator-tier oracles (q315–q322). Shared conventions: the
+    // same NaN/null filter as evClean, per-key windows ordered (ts,
+    // event_id), floor-scaled DECIMAL(38,0) sums, pinned final op order.
+
+    // mirrors Indicators.ohlcBars: argmin/argmax by (ts, event_id) via
+    // two row_numbers, exact-sum volume.
+    "q315_ohlc_bars" ->
+      """WITH e AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         b AS (SELECT user_id, date_trunc('hour', ts) AS bar_ts, v,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rd
+           FROM e)
+         SELECT user_id, bar_ts,
+           MAX(CASE WHEN ra = 1 THEN v END) AS open,
+           MAX(v) AS high, MIN(v) AS low,
+           MAX(CASE WHEN rd = 1 THEN v END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(v * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+             / 1000000.0 AS volume
+         FROM b GROUP BY 1, 2 ORDER BY user_id, bar_ts""",
+
+    // mirrors Indicators.rsi: keyed lag deltas, exact 14-row gain/loss
+    // sums, 100·g/(g+l).
+    "q316_rsi" ->
+      """WITH e AS (SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         d AS (SELECT event_id, user_id, ts, v,
+             v - lag(v) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dd
+           FROM e),
+         g AS (SELECT event_id, user_id, ts, dd,
+             CASE WHEN dd IS NULL THEN NULL
+                  WHEN dd > 0 THEN dd ELSE 0.0 END AS gain,
+             CASE WHEN dd IS NULL THEN NULL
+                  WHEN dd < 0 THEN -dd ELSE 0.0 END AS loss
+           FROM d),
+         s AS (SELECT event_id, user_id,
+             CAST(SUM(CAST(FLOOR(gain * 1000000.0) AS DECIMAL(38,0))) OVER w
+               AS DOUBLE) / 1000000.0 / COUNT(dd) OVER w AS ag,
+             CAST(SUM(CAST(FLOOR(loss * 1000000.0) AS DECIMAL(38,0))) OVER w
+               AS DOUBLE) / 1000000.0 / COUNT(dd) OVER w AS al
+           FROM g
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id,
+           CASE WHEN ag + al > 0 THEN 100.0 * ag / (ag + al) END AS rsi
+         FROM s ORDER BY event_id""",
+
+    // mirrors Indicators.bollinger: exact Σx/Σx² windows, pinned
+    // sqrt(greatest(Σx²/n − m², 0)) and band arithmetic.
+    "q317_bollinger" ->
+      """WITH e AS (SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         s AS (SELECT event_id, user_id, v,
+             CAST(SUM(CAST(FLOOR(v * 1000000.0) AS DECIMAL(38,0))) OVER w
+               AS DOUBLE) / 1000000.0 / COUNT(v) OVER w AS m,
+             CAST(SUM(CAST(FLOOR(v * v * 1000000.0) AS DECIMAL(38,0))) OVER w
+               AS DOUBLE) / 1000000.0 / COUNT(v) OVER w AS sxx
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         bands AS (SELECT event_id, user_id, v, m AS bb_mid,
+             m + 2.0 * sqrt(greatest(sxx - m * m, 0.0)) AS bb_up,
+             m - 2.0 * sqrt(greatest(sxx - m * m, 0.0)) AS bb_dn
+           FROM s)
+         SELECT event_id, user_id, bb_mid, bb_up, bb_dn,
+           CASE WHEN bb_up - bb_dn > 0
+             THEN (v - bb_dn) / (bb_up - bb_dn) END AS pct_b
+         FROM bands ORDER BY event_id""",
+
+    // mirrors Indicators.macd: the three coupled EMA recurrences replayed
+    // row-by-row with the IDENTICAL double literals (interpolated from the
+    // same Scala expressions the fold evaluates) and op order
+    // a·state + b·x / fast − slow / a·sig + b·macd.
+    "q318_macd" -> {
+      // interpolated constants carry an e0 suffix: DuckDB parses a plain
+      // 17-digit literal as DECIMAL, and the decimal→double conversion is
+      // off by an ulp vs strtod — the exponent form parses as DOUBLE
+      // directly, bit-identical to the Scala doubles the fold multiplies
+      def d(x: Double): String = {
+        val s = x.toString
+        if (s.contains("e") || s.contains("E")) s else s + "e0"
+      }
+      val (bF, bS, bG) = (d(2.0 / 13), d(2.0 / 27), d(2.0 / 10))
+      val (aF, aS, aG) =
+        (d(1.0 - 2.0 / 13), d(1.0 - 2.0 / 27), d(1.0 - 2.0 / 10))
+      s"""WITH RECURSIVE seq AS (
+           SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         rec AS (
+           SELECT event_id, user_id, x, rn,
+             x AS f, x AS s, x - x AS m, x - x AS sig
+           FROM seq WHERE rn = 1
+           UNION ALL
+           SELECT e.event_id, e.user_id, e.x, e.rn,
+             $aF * r.f + $bF * e.x AS f,
+             $aS * r.s + $bS * e.x AS s,
+             ($aF * r.f + $bF * e.x) - ($aS * r.s + $bS * e.x) AS m,
+             $aG * r.sig + $bG *
+               (($aF * r.f + $bF * e.x) - ($aS * r.s + $bS * e.x)) AS sig
+           FROM rec r JOIN seq e
+             ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT event_id, user_id, m AS macd, sig AS macd_signal,
+           m - sig AS macd_hist
+         FROM rec ORDER BY event_id"""
+    },
+
+    // mirrors Indicators.drawdown: running max (exact), pinned ratios.
+    "q319_drawdown" ->
+      """WITH e AS (SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         p AS (SELECT event_id, user_id, v,
+             MAX(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+           FROM e)
+         SELECT event_id, user_id, peak, peak - v AS dd,
+           CASE WHEN peak <> 0 THEN (peak - v) / peak END AS dd_pct
+         FROM p ORDER BY event_id""",
+
+    // mirrors Indicators.sharpe: per-row v/prev − 1, exact Σr/Σr² (1e6),
+    // population std, (mean/std)·sqrt(252).
+    "q320_sharpe" ->
+      """WITH e AS (SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         r AS (SELECT user_id,
+             CASE WHEN prev IS NOT NULL AND prev <> 0
+               THEN v / prev - 1.0 END AS r
+           FROM (SELECT user_id, v, lag(v) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e)),
+         a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_returns,
+             CAST(SUM(CAST(FLOOR(r * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS sr,
+             CAST(SUM(CAST(FLOOR(r * r * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS srr
+           FROM r WHERE r IS NOT NULL GROUP BY 1),
+         m AS (SELECT user_id, n_returns, srr, sr / n_returns AS mean_r
+           FROM a),
+         sd AS (SELECT user_id, n_returns, mean_r,
+             sqrt(greatest(srr / n_returns - mean_r * mean_r, 0.0)) AS std_r
+           FROM m)
+         SELECT user_id, n_returns, mean_r, std_r,
+           CASE WHEN std_r > 0
+             THEN mean_r / std_r * sqrt(252.0) END AS sharpe
+         FROM sd ORDER BY user_id""",
+
+    // mirrors Indicators.varEs: exact rank selection of the ⌈α·n⌉-th
+    // smallest return (ties broken by the order columns), exact tail mean.
+    "q321_var_es" ->
+      """WITH e AS (SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         r AS (SELECT event_id, user_id, ts,
+             CASE WHEN prev IS NOT NULL AND prev <> 0
+               THEN v / prev - 1.0 END AS r
+           FROM (SELECT event_id, user_id, ts, v, lag(v) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e)),
+         rk AS (SELECT user_id, r,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY r, ts, event_id) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+           FROM r WHERE r IS NOT NULL),
+         kk AS (SELECT user_id, r, rk, n,
+             CAST(CEIL(0.05 * n) AS BIGINT) AS k FROM rk),
+         t AS (SELECT user_id, MAX(n) AS n_returns, MAX(k) AS k_tail,
+             MAX(CASE WHEN rk = k THEN r END) AS var_alpha,
+             CAST(SUM(CAST(FLOOR(r * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS ssum
+           FROM kk WHERE rk <= k GROUP BY 1)
+         SELECT user_id, n_returns, k_tail, var_alpha,
+           ssum / k_tail AS es_alpha
+         FROM t ORDER BY user_id""",
+
+    // mirrors Indicators.stochastic: exact window min/max, derived %K,
+    // exact-sum 3-row %D.
+    "q322_stochastic" ->
+      """WITH e AS (SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         b AS (SELECT event_id, user_id, ts, v,
+             MIN(v) OVER wn AS lo, MAX(v) OVER wn AS hi
+           FROM e
+           WINDOW wn AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         k AS (SELECT event_id, user_id, ts,
+             CASE WHEN hi - lo > 0
+               THEN 100.0 * (v - lo) / (hi - lo) END AS pct_k
+           FROM b)
+         SELECT event_id, user_id, pct_k,
+           CAST(SUM(CAST(FLOOR(pct_k * 1000000.0) AS DECIMAL(38,0))) OVER wd
+             AS DOUBLE) / 1000000.0 / COUNT(pct_k) OVER wd AS pct_d
+         FROM k
+         WINDOW wd AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    // mirrors Stats.theilU: the q231 entropy/MI machinery plus the three
+    // uncertainty-coefficient divisions.
+    "q323_theil_u" ->
+      """WITH c AS (SELECT c_mktsegment AS a, c_nationkey AS b
+           FROM customer
+           WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL),
+         j AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nij
+           FROM c GROUP BY 1, 2),
+         ma AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ni FROM c GROUP BY 1),
+         mb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nj FROM c GROUP BY 1),
+         tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+         mi AS (SELECT n,
+             CAST(SUM(CAST(FLOOR((CAST(nij AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(nij AS DOUBLE) * CAST(n AS DOUBLE)
+                 / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
+               * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000000.0 AS mi
+           FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tt
+           GROUP BY n),
+         ha AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS k_a,
+             CAST(SUM(CAST(FLOOR((-(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE)))
+               * ln(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000000.0 AS h_a
+           FROM ma CROSS JOIN tt GROUP BY n),
+         hb AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS k_b,
+             CAST(SUM(CAST(FLOOR((-(CAST(nj AS DOUBLE) / CAST(n AS DOUBLE)))
+               * ln(CAST(nj AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000000.0 AS h_b
+           FROM mb CROSS JOIN tt GROUP BY n)
+         SELECT mi.n AS n, k_a, k_b, h_a, h_b, mi,
+           CASE WHEN h_a > 0.0 THEN mi / h_a END AS u_a_given_b,
+           CASE WHEN h_b > 0.0 THEN mi / h_b END AS u_b_given_a,
+           CASE WHEN h_a + h_b > 0.0
+             THEN 2.0 * mi / (h_a + h_b) END AS u_symmetric
+         FROM mi JOIN ha USING (n) JOIN hb USING (n)""",
+
+    // mirrors Stats.ordinalAssociation: exact cell-pair reductions for
+    // C/D/ties, then the pinned divisions.
+    "q324_ordinal_assoc" ->
+      """WITH c AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_discount AS DOUBLE) AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE))
+             AND l_discount IS NOT NULL AND NOT isnan(CAST(l_discount AS DOUBLE))),
+         cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM c GROUP BY 1, 2),
+         cross_pairs AS (SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2,
+             a.cnt * b.cnt AS p
+           FROM cells a JOIN cells b ON (a.x, a.y) < (b.x, b.y)),
+         agg1 AS (SELECT
+             CAST(COALESCE(SUM(CASE WHEN (x1 < x2 AND y1 < y2)
+               OR (x1 > x2 AND y1 > y2) THEN p END), 0) AS BIGINT) AS conc,
+             CAST(COALESCE(SUM(CASE WHEN (x1 < x2 AND y1 > y2)
+               OR (x1 > x2 AND y1 < y2) THEN p END), 0) AS BIGINT) AS disc,
+             CAST(COALESCE(SUM(CASE WHEN x1 = x2 THEN p END), 0) AS BIGINT)
+               AS tx_cross,
+             CAST(COALESCE(SUM(CASE WHEN y1 = y2 THEN p END), 0) AS BIGINT)
+               AS ty_cross
+           FROM cross_pairs),
+         agg2 AS (SELECT CAST(COALESCE(SUM(cnt * (cnt - 1) // 2), 0)
+             AS BIGINT) AS txy FROM cells),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+         base AS (SELECT n, n * (n - 1) // 2 AS n0, conc, disc,
+             tx_cross + txy AS tie_x, ty_cross + txy AS tie_y, txy AS tie_xy
+           FROM agg1, agg2, nn)
+         SELECT n, n0, conc, disc, tie_x, tie_y, tie_xy,
+           CASE WHEN conc + disc > 0 THEN
+             (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+               / CAST(conc + disc AS DOUBLE) END AS gamma,
+           CASE WHEN n0 > tie_x THEN
+             (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+               / CAST(n0 - tie_x AS DOUBLE) END AS somers_d_yx,
+           CASE WHEN n0 > tie_y THEN
+             (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+               / CAST(n0 - tie_y AS DOUBLE) END AS somers_d_xy,
+           CASE WHEN n0 > 0 THEN
+             (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+               / CAST(n0 AS DOUBLE) END AS tau_a,
+           CASE WHEN n0 > tie_x AND n0 > tie_y THEN
+             (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+               / sqrt(CAST(n0 - tie_x AS DOUBLE)
+                 * CAST(n0 - tie_y AS DOUBLE)) END AS tau_b
+         FROM base""",
+
+    // mirrors Stats.pointBiserial: one exact aggregation, pinned finish.
+    "q325_point_biserial" ->
+      """WITH e AS (SELECT CAST(value AS DOUBLE) AS v,
+             (event_type = 'purchase') AS b
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value)
+             AND event_type IS NOT NULL),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (b) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN b THEN CAST(FLOOR(v * 1000000.0)
+               AS DECIMAL(38,0)) END) AS DOUBLE) / 1000000.0 AS s1,
+             CAST(SUM(CASE WHEN NOT b THEN CAST(FLOOR(v * 1000000.0)
+               AS DECIMAL(38,0)) END) AS DOUBLE) / 1000000.0 AS s0,
+             CAST(SUM(CAST(FLOOR(v * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS s,
+             CAST(SUM(CAST(FLOOR(v * v * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS sxx
+           FROM e),
+         m AS (SELECT n, n1, n - n1 AS n0,
+             CASE WHEN n1 > 0 THEN s1 / CAST(n1 AS DOUBLE) END AS mean_1,
+             CASE WHEN n - n1 > 0
+               THEN s0 / CAST(n - n1 AS DOUBLE) END AS mean_0,
+             s / CAST(n AS DOUBLE) AS mean_all, sxx
+           FROM a),
+         sd AS (SELECT n, n1, n0, mean_1, mean_0,
+             sqrt(greatest(sxx / CAST(n AS DOUBLE)
+               - mean_all * mean_all, 0.0)) AS std_n
+           FROM m)
+         SELECT n, n1, n0, mean_1, mean_0, std_n,
+           CASE WHEN n1 > 0 AND n0 > 0 AND std_n > 0 THEN
+             (mean_1 - mean_0) / std_n
+               * sqrt(CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END AS r_pb
+         FROM sd""",
+
+    // mirrors Stats.durbinWatson: exact whole-partition mean, pinned
+    // centering, exact quadratic sums.
+    "q326_durbin_watson" ->
+      """WITH e AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         m AS (SELECT user_id, ts, event_id,
+             v - CAST(SUM(CAST(FLOOR(v * 1000000.0) AS DECIMAL(38,0)))
+               OVER (PARTITION BY user_id) AS DOUBLE) / 1000000.0
+               / COUNT(v) OVER (PARTITION BY user_id) AS ec
+           FROM e),
+         d AS (SELECT user_id, ec,
+             ec - lag(ec) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS dd
+           FROM m),
+         a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(dd * dd * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS num,
+             CAST(SUM(CAST(FLOOR(ec * ec * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS den
+           FROM d GROUP BY 1)
+         SELECT user_id, n, CASE WHEN den > 0 THEN num / den END AS dw
+         FROM a ORDER BY user_id""",
+
+    // mirrors Stats.gTest: the q231 MI machinery, G = 2n·MI, integer dof.
+    "q327_gtest" ->
+      """WITH c AS (SELECT c_mktsegment AS a, c_nationkey AS b
+           FROM customer
+           WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL),
+         j AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nij
+           FROM c GROUP BY 1, 2),
+         ma AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ni FROM c GROUP BY 1),
+         mb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nj FROM c GROUP BY 1),
+         tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+         mi AS (SELECT n,
+             CAST(SUM(CAST(FLOOR((CAST(nij AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(nij AS DOUBLE) * CAST(n AS DOUBLE)
+                 / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
+               * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000000.0 AS mi
+           FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tt
+           GROUP BY n),
+         ka AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS k_a
+           FROM ma CROSS JOIN tt GROUP BY n),
+         kb AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS k_b
+           FROM mb CROSS JOIN tt GROUP BY n)
+         SELECT mi.n AS n, k_a, k_b, (k_a - 1) * (k_b - 1) AS dof,
+           2.0 * CAST(mi.n AS DOUBLE) * mi AS g_stat
+         FROM mi JOIN ka USING (n) JOIN kb USING (n)""",
+
+    // mirrors Stats.cochranQ: max-reduced 0/1 cells, complete blocks,
+    // exact BIGINT margin sums, one final division.
+    "q328_cochran_q" ->
+      """WITH cells AS (SELECT user_id AS i, event_type AS t,
+             MAX(CASE WHEN value > 250 AND NOT isnan(value)
+               THEN 1 ELSE 0 END) AS x
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+         kk AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM cells),
+         bi AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS kt,
+             CAST(SUM(x) AS BIGINT) AS ri FROM cells GROUP BY 1),
+         comp AS (SELECT i, ri FROM bi, kk WHERE kt = kk.k),
+         dr AS (SELECT CAST((SELECT COUNT(*) FROM bi)
+             - (SELECT COUNT(*) FROM comp) AS BIGINT) AS n_dropped),
+         ragg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(COALESCE(SUM(ri), 0) AS BIGINT) AS ns,
+             CAST(COALESCE(SUM(ri * ri), 0) AS BIGINT) AS sr2 FROM comp),
+         cagg AS (SELECT CAST(COALESCE(SUM(cj * cj), 0) AS BIGINT) AS sc2
+           FROM (SELECT CAST(SUM(x) AS BIGINT) AS cj FROM cells
+                 WHERE i IN (SELECT i FROM comp) GROUP BY t))
+         SELECT kk.k AS k, n_items, n_dropped, ns AS n_success,
+           CASE WHEN kk.k * ns - sr2 > 0 THEN
+             CAST(kk.k * (kk.k - 1) * (kk.k * sc2 - ns * ns) AS DOUBLE)
+               / CAST(kk.k * ns - sr2 AS DOUBLE) END AS q_stat
+         FROM ragg, cagg, kk, dr""",
+
+    // mirrors Stats.kendallW: exact per-(rater, item) score sums,
+    // deterministic (score, item) ranks, integer S4, pinned W.
+    "q329_kendall_w" ->
+      """WITH e AS (SELECT event_type AS r, user_id AS i,
+             CAST(value AS DOUBLE) AS v
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             AND value IS NOT NULL AND NOT isnan(value)),
+         sc AS (SELECT r, i,
+             CAST(SUM(CAST(FLOOR(v * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS s
+           FROM e GROUP BY 1, 2),
+         mm AS (SELECT CAST(COUNT(DISTINCT r) AS BIGINT) AS m FROM sc),
+         comp AS (SELECT i FROM sc GROUP BY i
+           HAVING CAST(COUNT(*) AS BIGINT) = (SELECT m FROM mm)),
+         rk AS (SELECT r, i,
+             row_number() OVER (PARTITION BY r ORDER BY s, i) AS rnk
+           FROM sc WHERE i IN (SELECT i FROM comp)),
+         ri AS (SELECT i, CAST(SUM(rnk) AS BIGINT) AS ri
+           FROM rk GROUP BY 1),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ri),
+         s4 AS (SELECT CAST(COALESCE(SUM((ri * 2 - m * (n + 1))
+               * (ri * 2 - m * (n + 1))), 0) AS BIGINT) AS s4
+           FROM ri, mm, nn)
+         SELECT mm.m AS m, nn.n AS n_items, s4.s4 AS s4,
+           CASE WHEN nn.n > 1 THEN 3.0 * CAST(s4.s4 AS DOUBLE)
+             / CAST(mm.m * mm.m * (nn.n * nn.n * nn.n - nn.n) AS DOUBLE)
+           END AS w
+         FROM mm, nn, s4""",
+
+    // mirrors Stats.krippendorffAlpha: max-reduced ratings, per-cell
+    // floor-scaled D_o terms, BIGINT D_e numerator, pinned finish.
+    "q330_krippendorff" ->
+      """WITH e AS (SELECT user_id AS i, event_type AS r,
+             CAST(CAST(FLOOR(value / 100) AS BIGINT) AS VARCHAR) AS c
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value)
+             AND user_id IS NOT NULL AND event_type IS NOT NULL),
+         rt AS (SELECT i, r, MAX(c) AS c FROM e GROUP BY 1, 2),
+         bi AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS mu
+           FROM rt GROUP BY 1 HAVING COUNT(*) >= 2),
+         kept AS (SELECT rt.i, rt.r, rt.c, bi.mu FROM rt JOIN bi USING (i)),
+         cells AS (SELECT i, c, mu, CAST(COUNT(*) AS BIGINT) AS ouc
+           FROM kept GROUP BY 1, 2, 3),
+         dd AS (SELECT CAST(COUNT(DISTINCT i) AS BIGINT) AS n_items,
+             CAST(COALESCE(SUM(ouc), 0) AS BIGINT) AS n_ratings,
+             CAST(SUM(CAST(FLOOR(CAST(ouc AS DOUBLE)
+               * CAST(mu - ouc AS DOUBLE) / CAST(mu - 1 AS DOUBLE)
+               * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000000.0 AS dosum
+           FROM cells),
+         ca AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nc
+           FROM kept GROUP BY 1),
+         tot AS (SELECT CAST(COALESCE(SUM(nc), 0) AS BIGINT) AS n FROM ca),
+         de AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+             MAX(n) AS n2,
+             CAST(COALESCE(SUM(nc * (n - nc)), 0) AS BIGINT) AS denum
+           FROM ca, tot),
+         fin AS (SELECT n_items, n_ratings, n_categories,
+             dosum / CAST(n2 AS DOUBLE) AS d_o,
+             CAST(denum AS DOUBLE) / CAST(n2 * (n2 - 1) AS DOUBLE) AS d_e
+           FROM dd, de)
+         SELECT n_items, n_ratings, n_categories, d_o, d_e,
+           CASE WHEN d_e > 0 THEN 1.0 - d_o / d_e END AS alpha
+         FROM fin""",
+
+    // mirrors Stats.fisherExact: exact BIGINT log-factorial table
+    // (Σ⌊ln(i)·10⁶⌋ — see the operator scaladoc for the libm-portability
+    // argument), integer tail membership, floor-quantized exp sum.
+    // range() only takes constants, so the index is over-generated to a
+    // 100M bound and filtered to n (covers replicas to ~sf1000).
+    "q331_fisher_exact" ->
+      """WITH f AS (SELECT
+             (event_type = 'purchase' AND value > 250
+               AND NOT isnan(value)) AS af,
+             (hour(ts) < 12) AS bf
+           FROM events),
+         cnt AS (SELECT
+             CAST(COUNT(*) FILTER (af AND bf) AS BIGINT) AS a,
+             CAST(COUNT(*) FILTER (af AND NOT bf) AS BIGINT) AS b,
+             CAST(COUNT(*) FILTER (NOT af AND bf) AS BIGINT) AS c,
+             CAST(COUNT(*) FILTER (NOT af AND NOT bf) AS BIGINT) AS d
+           FROM f WHERE af IS NOT NULL AND bf IS NOT NULL),
+         m AS (SELECT a, b, c, d, a + b + c + d AS n,
+             a + b AS r1, c + d AS r2, a + c AS c1, b + d AS c2,
+             greatest(CAST(0 AS BIGINT),
+               (a + b) + (a + c) - (a + b + c + d)) AS kmin,
+             least(a + b, a + c) AS kmax
+           FROM cnt),
+         idx AS (SELECT range AS i,
+             CAST(FLOOR(ln(CAST(range AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS li
+           FROM range(2, 100000001)
+           WHERE range <= (SELECT n FROM m)),
+         ks AS (SELECT range AS k FROM range(0, 100000001)
+           WHERE range BETWEEN (SELECT kmin FROM m)
+             AND (SELECT kmax FROM m)),
+         ex AS (SELECT k,
+             unnest([r1, r2, c1, c2, n, k, r1 - k, c1 - k,
+               n - r1 - c1 + k]) AS x,
+             unnest([0, 1, 2, 3, 4, 5, 6, 7, 8]) AS pos
+           FROM ks, m),
+         lf AS (SELECT x, CAST(COALESCE(SUM(li), 0) AS BIGINT) AS lf
+           FROM (SELECT DISTINCT x FROM ex) ax
+           LEFT JOIN idx ON i <= x GROUP BY x),
+         lp AS (SELECT k,
+             CAST(SUM(CASE WHEN pos <= 3 THEN lf ELSE -lf END) AS BIGINT)
+               AS logp
+           FROM ex JOIN lf USING (x) GROUP BY k),
+         po AS (SELECT logp AS pobs FROM lp, m WHERE lp.k = m.a),
+         tl AS (SELECT lp.logp FROM lp, po WHERE lp.logp <= po.pobs),
+         ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tables,
+             CAST(SUM(CAST(FLOOR(exp(CAST(logp AS DOUBLE) / 1000000.0)
+               * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000000.0 AS p_two
+           FROM tl)
+         SELECT m.a, m.b, m.c, m.d, m.n, m.kmin AS k_min, m.kmax AS k_max,
+           CAST(po.pobs AS DOUBLE) / 1000000.0 AS log_p_obs,
+           ag.n_tables, ag.p_two
+         FROM m, po, ag""",
+
+    // mirrors Graph.hits: the q149 edge build (one direction), 3 unrolled
+    // fixed-point rounds — exact HUGEINT sums, integer renormalization.
+    "q332_hits" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""a${k}r AS (SELECT e.dst AS id, SUM(h.h) AS s
+             FROM e JOIN h${k - 1} h ON e.src = h.id GROUP BY 1),
+         a$k AS (SELECT id, CAST(s * 1000000000000
+             // (SELECT MAX(s) FROM a${k}r) AS BIGINT) AS a FROM a${k}r),
+         h${k}r AS (SELECT e.src AS id, SUM(a.a) AS s
+             FROM e JOIN a$k a ON e.dst = a.id GROUP BY 1),
+         h$k AS (SELECT id, CAST(s * 1000000000000
+             // (SELECT MAX(s) FROM h${k}r) AS BIGINT) AS h FROM h${k}r)"""
+      }.mkString(",\n         ")
+      s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS src,
+             l_suppkey * 2 + 1 AS dst
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS (SELECT src, dst FROM pairs),
+         h0 AS (SELECT DISTINCT src AS id,
+             CAST(1000000000000 AS BIGINT) AS h FROM e),
+         $rounds,
+         nodes AS (SELECT DISTINCT src AS id FROM e
+                   UNION SELECT DISTINCT dst FROM e)
+         SELECT n.id, COALESCE(h3.h, 0) AS hub, COALESCE(a3.a, 0) AS auth
+         FROM nodes n LEFT JOIN h3 ON n.id = h3.id
+           LEFT JOIN a3 ON n.id = a3.id
+         ORDER BY n.id"""
+    },
+
     // mirrors Stats.segmentedTrend: the q294 argmax replay + per-segment
     // OLS from exact integer position sums and floor-scaled value sums.
     "q311_segmented_trend" ->
@@ -5348,7 +6061,7 @@ object ExtQueries {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price,
            CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) AS first_date,
            CAST(max(o_orderkey) AS BIGINT) AS max_key
-         FROM orders WHERE o_orderkey % 16 = 0
+         FROM orders WHERE o_orderkey % 16 = 0 AND o_orderkey < 1000000
          GROUP BY 1 ORDER BY 1""",
 
     // Promotional-inference mirror: expected narrowed type names hardcoded

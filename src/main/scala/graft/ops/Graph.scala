@@ -432,4 +432,70 @@ object Graph {
     e.unpersist(); lab.unpersist()
     out
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge list,
+    * in the same FIXED-POINT BIGINT regime as [[pageRank]]: each round
+    * sums exactly in DECIMAL(38,0), then renormalizes by integer division
+    * so the round's maximum score is exactly `Scale` —
+    *   a_t(v) = Σ_{u→v} h_{t−1}(u) · Scale div max,
+    *   h_t(u) = Σ_{u→v} a_t(v)     · Scale div max
+    * — truncating integer ops replay bit-identically in any engine and
+    * under any partitioning (the standard L2 normalization would put a
+    * float sqrt inside the iteration). Scores stay SPARSE: hubs live on
+    * src nodes, authorities on dst nodes; the final frame unions both
+    * node sets with 0 for the missing side.
+    *
+    * Plan per round: two keyed join+aggregates over the persisted edge
+    * frame plus two 1-row broadcast maxima; score frames are eagerly
+    * checkpointed every round (they are consumed twice — by the max and
+    * by the next join) and the superseded round's blocks are released
+    * ([[Checkpoints]] doctrine). Returns (id, hub, auth). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters=$iters")
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    def normalize(raw: DataFrame, idCol: String, out: String): DataFrame = {
+      val mx = raw.agg(max(col("__s")).as("__mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col(idCol).as("id"),
+          expr(s"__s * ${Scale}L div __mx").cast(LongType).as(out))
+        .localCheckpoint(true)
+    }
+    var hub = e.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(Scale).as("h"))
+    var auth: DataFrame = null
+    var lastH: Option[DataFrame] = None
+    var lastA: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hub, e("src") === hub("id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("h").cast(DecimalType(38, 0))).as("__s"))
+      auth = normalize(aRaw, "dst", "a")
+      lastA.foreach(Checkpoints.releaseLocalCheckpoint)
+      lastA = Some(auth)
+      val hRaw = e.join(auth, e("dst") === auth("id"))
+        .groupBy(col("src"))
+        .agg(sum(col("a").cast(DecimalType(38, 0))).as("__s"))
+      val h2 = normalize(hRaw, "src", "h")
+      lastH.foreach(Checkpoints.releaseLocalCheckpoint)
+      lastH = Some(h2)
+      hub = h2
+    }
+    val out = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .join(hub, Seq("id"), "left")
+      .join(auth, Seq("id"), "left")
+      .select(col("id"), coalesce(col("h"), lit(0L)).as("hub"),
+        coalesce(col("a"), lit(0L)).as("auth"))
+      .localCheckpoint(true)
+    lastH.foreach(Checkpoints.releaseLocalCheckpoint)
+    lastA.foreach(Checkpoints.releaseLocalCheckpoint)
+    e.unpersist()
+    out
+  }
 }

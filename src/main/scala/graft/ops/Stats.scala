@@ -1031,6 +1031,16 @@ object Stats {
   private def fs(c: Column, digits: Int): Column =
     Reductions.isum(c, digits)
 
+  /** Collect a statistic frame (≤ `max` rows by contract) and rebuild it
+    * as a literal — the tauFrame idiom: the caller's action then never
+    * re-executes the (already unpersisted) input lineage. */
+  private def materializeSmall(df: DataFrame, max: Int,
+                               what: String): DataFrame = {
+    val rows = df.collectBounded(max, what)
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+  }
+
   /** Re-aggregate already-floor-scaled (10⁶) partial sums: the same
     * floor(·10⁶) pass — not "exact" in the mathematical sense (the
     * scaled-back double may sit an ulp under the integer), but BOTH
@@ -2076,5 +2086,417 @@ object Stats {
             sqrt(col("chi2") / (col("__n").cast(DoubleType) * (minK - 1.0))))
             .as("v"))
     }.reduce(_.unionByName(_))
+  }
+
+  /** THEIL'S U (uncertainty coefficient) between two categoricals: how
+    * much knowing one reduces the entropy of the other — the ASYMMETRIC
+    * dependence measure Cramér's V can't give ("segment predicts nation,
+    * nation doesn't predict segment"). U(A|B) = MI/H(A), U(B|A) = MI/H(B),
+    * plus the symmetric 2·MI/(H(A)+H(B)). A pure finisher over
+    * [[entropyMi]]'s floor-scaled exact terms — same two keyed
+    * aggregations, O(categories) frames, one-row output. */
+  def theilU(df: DataFrame, colA: String, colB: String): DataFrame =
+    entropyMi(df, colA, colB).select(
+      col("n"), col("k_a"), col("k_b"), col("h_a"), col("h_b"), col("mi"),
+      when(col("h_a") > 0.0, col("mi") / col("h_a")).as("u_a_given_b"),
+      when(col("h_b") > 0.0, col("mi") / col("h_b")).as("u_b_given_a"),
+      when(col("h_a") + col("h_b") > 0.0,
+        lit(2.0) * col("mi") / (col("h_a") + col("h_b"))).as("u_symmetric"))
+
+  /** G-TEST of independence (likelihood-ratio chi-square): G = 2n·MI
+    * (MI in nats) — the log-likelihood sibling of [[chiSquareIndependence]],
+    * preferred when expected cell counts are small. Rides [[entropyMi]]'s
+    * exact floor-scaled MI; dof = (k_a−1)(k_b−1) stays integer. */
+  def gTest(df: DataFrame, colA: String, colB: String): DataFrame =
+    entropyMi(df, colA, colB).select(
+      col("n"), col("k_a"), col("k_b"),
+      ((col("k_a") - 1) * (col("k_b") - 1)).as("dof"),
+      (lit(2.0) * col("n").cast(DoubleType) * col("mi")).as("g_stat"))
+
+  /** POINT-BISERIAL correlation between a binary flag and a continuous
+    * metric ("do purchases carry larger values?"): the Pearson r of the
+    * 0/1 indicator against the metric, computed closed-form from group
+    * means — r = (m₁ − m₀)/σ_n · √(n₁n₀/n²). ONE exact aggregation:
+    * integer class counts, floor-scaled Σv per class and Σv² overall,
+    * then a pinned final op sequence. Null when either class is empty or
+    * the metric is constant. */
+  def pointBiserial(df: DataFrame, valueCol: String, flag: Column)
+      : DataFrame = {
+    val v = col(valueCol).cast(DoubleType)
+    val b = flag.cast(BooleanType)
+    val agg = df.filter(v.isNotNull && !isnan(v) && b.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(b, 1)).as("n1"),
+        fs(when(b, v), 6).as("__s1"),
+        fs(when(!b, v), 6).as("__s0"),
+        fs(v, 6).as("__s"),
+        fs(v * v, 6).as("__sxx"))
+      .withColumn("n0", col("n") - col("n1"))
+    val nD = col("n").cast(DoubleType)
+    agg
+      .withColumn("mean_1",
+        when(col("n1") > 0, col("__s1") / col("n1").cast(DoubleType)))
+      .withColumn("mean_0",
+        when(col("n0") > 0, col("__s0") / col("n0").cast(DoubleType)))
+      .withColumn("__mean", col("__s") / nD)
+      .withColumn("std_n", sqrt(greatest(
+        col("__sxx") / nD - col("__mean") * col("__mean"), lit(0.0))))
+      .withColumn("r_pb",
+        when(col("n1") > 0 && col("n0") > 0 && col("std_n") > 0,
+          (col("mean_1") - col("mean_0")) / col("std_n") *
+            sqrt(col("n1").cast(DoubleType) * col("n0").cast(DoubleType) /
+              (nD * nD))))
+      .select(col("n"), col("n1"), col("n0"), col("mean_1"), col("mean_0"),
+        col("std_n"), col("r_pb"))
+  }
+
+  /** DURBIN-WATSON statistic per key: DW = Σ(e_t − e_{t−1})² / Σe_t² over
+    * the mean-centered series — the standard "are residuals serially
+    * correlated" diagnostic (≈2 no autocorrelation, →0 positive, →4
+    * negative). The per-key mean comes from an exact floor-scaled
+    * whole-partition window sum, centering and squared terms are pinned
+    * per-row doubles, and both quadratic sums are exact floor-scaled
+    * aggregations. One shuffle on the key. Returns (keys..., n, dw). */
+  def durbinWatson(df: DataFrame, keyCols: Seq[String],
+                   orderCols: Seq[String], valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    val ord = part.orderBy(orderCols.map(col): _*)
+    val v = col(valueCol).cast(DoubleType)
+    val meanW = sum(floor(v * lit(1e6)).cast(DecimalType(38, 0)))
+      .over(part).cast(DoubleType) / lit(1e6) / count(v).over(part)
+    val base = df.filter(v.isNotNull && !isnan(v))
+      .withColumn("__e", v - meanW)
+      .withColumn("__d", col("__e") - lag(col("__e"), 1).over(ord))
+    base.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        fs(col("__d") * col("__d"), 6).as("__num"),
+        fs(col("__e") * col("__e"), 6).as("__den"))
+      .withColumn("dw",
+        when(col("__den") > 0, col("__num") / col("__den")))
+      .select((keyCols.map(col) ++ Seq(col("n"), col("dw"))): _*)
+  }
+
+  /** ORDINAL ASSOCIATION between two low-cardinality ordered columns:
+    * Goodman–Kruskal gamma, Somers' D (both directions) and Kendall
+    * tau-a/tau-b from ONE pass over the CONTINGENCY CELLS. The pair
+    * counts that every one of these statistics shares —
+    *   C  (concordant), D (discordant),
+    *   Tx (tied on x), Ty (tied on y), Txy (tied on both) —
+    * reduce exactly over cell pairs: C = Σ n₁n₂ over strictly-agreeing
+    * cell pairs, etc. With k distinct cells that is a k×k join — k is
+    * bounded by the value domains, NOT the row count, so the plan is the
+    * same at 100 TB (the cells frame is an aggregate; the quadratic term
+    * never touches rows). `maxCells` fails loudly when a caller points it
+    * at a continuous column (bin first — the row-pair formulation lives
+    * in [[Advanced.kendallCorrelationTable]]).
+    *
+    * All counts are exact BIGINT; each statistic is one pinned division.
+    *   gamma        = (C−D)/(C+D)
+    *   somers_d_yx  = (C−D)/(n0−Tx)   (y predicted from x)
+    *   somers_d_xy  = (C−D)/(n0−Ty)
+    *   tau_a        = (C−D)/n0
+    *   tau_b        = (C−D)/√((n0−Tx)(n0−Ty))  */
+  def ordinalAssociation(df: DataFrame, xCol: String, yCol: String,
+                         maxCells: Long = 100000L): DataFrame = {
+    val clean = df
+      .select(col(xCol).cast(DoubleType).as("__x"),
+        col(yCol).cast(DoubleType).as("__y"))
+      .filter(col("__x").isNotNull && !isnan(col("__x")) &&
+        col("__y").isNotNull && !isnan(col("__y")))
+    val cells = clean.groupBy(col("__x"), col("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val k = cells.count()
+      require(k <= maxCells,
+        s"ordinalAssociation: $k distinct (x, y) cells exceeds " +
+          s"maxCells=$maxCells — bin the inputs first (this operator is " +
+          "for ordinal/low-cardinality data; the k×k cell join would " +
+          "not be bounded)")
+      val l = cells.select(col("__x").as("__x1"), col("__y").as("__y1"),
+        col("__c").as("__c1"))
+      val r = cells.select(col("__x").as("__x2"), col("__y").as("__y2"),
+        col("__c").as("__c2"))
+      // every UNORDERED cell pair once: (x1,y1) < (x2,y2) lexicographically
+      val pairKey1 = struct(col("__x1"), col("__y1"))
+      val pairKey2 = struct(col("__x2"), col("__y2"))
+      val prod = col("__c1") * col("__c2")
+      val cross = l.join(r, pairKey1 < pairKey2)
+      // `div`, not `/`: Spark's / on BIGINT returns DOUBLE — the pair
+      // counts must stay exact integers (both factors make the product
+      // even, so the halving is lossless)
+      val within = cells.select(
+        expr("__c * (__c - 1) div 2").as("__p"),
+        col("__x"), col("__y"))
+      val agg1 = cross.agg(
+        coalesce(sum(when((col("__x1") < col("__x2") &&
+            col("__y1") < col("__y2")) ||
+          (col("__x1") > col("__x2") && col("__y1") > col("__y2")),
+          prod)), lit(0L)).as("conc"),
+        coalesce(sum(when((col("__x1") < col("__x2") &&
+            col("__y1") > col("__y2")) ||
+          (col("__x1") > col("__x2") && col("__y1") < col("__y2")),
+          prod)), lit(0L)).as("disc"),
+        coalesce(sum(when(col("__x1") === col("__x2"), prod)), lit(0L))
+          .as("__txCross"),
+        coalesce(sum(when(col("__y1") === col("__y2"), prod)), lit(0L))
+          .as("__tyCross"))
+      val agg2 = within.agg(coalesce(sum(col("__p")), lit(0L)).as("__txy"))
+      val nRow = clean.agg(count(lit(1)).as("n"))
+      val out = agg1.crossJoin(agg2).crossJoin(nRow)
+        .withColumn("n0", expr("n * (n - 1) div 2"))
+        // ties: same-x cross-cell pairs have different y (tied on x only);
+        // within-cell pairs are tied on both
+        .withColumn("tie_x", col("__txCross") + col("__txy"))
+        .withColumn("tie_y", col("__tyCross") + col("__txy"))
+        .withColumn("tie_xy", col("__txy"))
+      val cd = (col("conc") - col("disc")).cast(DoubleType)
+      materializeSmall(out.select(
+        col("n"), col("n0"), col("conc"), col("disc"),
+        col("tie_x"), col("tie_y"), col("tie_xy"),
+        when(col("conc") + col("disc") > 0,
+          cd / (col("conc") + col("disc")).cast(DoubleType)).as("gamma"),
+        when(col("n0") > col("tie_x"),
+          cd / (col("n0") - col("tie_x")).cast(DoubleType))
+          .as("somers_d_yx"),
+        when(col("n0") > col("tie_y"),
+          cd / (col("n0") - col("tie_y")).cast(DoubleType))
+          .as("somers_d_xy"),
+        when(col("n0") > 0, cd / col("n0").cast(DoubleType)).as("tau_a"),
+        when(col("n0") > col("tie_x") && col("n0") > col("tie_y"),
+          cd / sqrt((col("n0") - col("tie_x")).cast(DoubleType) *
+            (col("n0") - col("tie_y")).cast(DoubleType))).as("tau_b")),
+        1, "one-row ordinal association")
+    } finally { cells.unpersist(); () }
+  }
+
+  /** COCHRAN'S Q — k related binary outcomes over the same items ("did
+    * the user convert in EACH of the k channels?"), the k-treatment
+    * generalization of McNemar (q236). Input rows are (item, treatment,
+    * success-ish); the operator reduces to one 0/1 cell per
+    * (item, treatment) via max, keeps only items observed under ALL k
+    * treatments (Cochran requires a complete block design — incomplete
+    * items are dropped, and reported), and computes
+    *   Q = k(k−1)·[k·ΣCⱼ² − N²] / (k·N − ΣRᵢ²)
+    * with Cⱼ the treatment totals, Rᵢ the item totals, N = ΣRᵢ. Every
+    * term is an exact BIGINT reduction over O(items + k) frames; Q is
+    * one final division. Returns one row
+    * (k, n_items, n_dropped, n_success, q_stat). */
+  def cochranQ(df: DataFrame, itemCol: String, treatCol: String,
+               success: Column): DataFrame = {
+    val cellsAll = df
+      .filter(col(itemCol).isNotNull && col(treatCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(treatCol).as("__t"))
+      .agg(max(when(success, 1L).otherwise(0L)).as("__x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val k = cellsAll.select(col("__t")).distinct().count()
+      val byItem = cellsAll.groupBy(col("__i"))
+        .agg(count(lit(1)).as("__kt"), sum(col("__x")).as("__ri"))
+      val complete = byItem.filter(col("__kt") === k)
+        .select(col("__i"), col("__ri"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nItems = complete.count()
+      val nDropped = byItem.count() - nItems
+      val rAgg = complete.agg(
+        coalesce(sum(col("__ri")), lit(0L)).as("__nS"),
+        coalesce(sum(col("__ri") * col("__ri")), lit(0L)).as("__sr2"))
+      val cAgg = cellsAll
+        .join(complete.select(col("__i")), Seq("__i"), "left_semi")
+        .groupBy(col("__t")).agg(sum(col("__x")).as("__cj"))
+        .agg(coalesce(sum(col("__cj") * col("__cj")), lit(0L)).as("__sc2"))
+      val out = rAgg.crossJoin(cAgg)
+        .withColumn("__num",
+          lit(k) * lit(k - 1) * (lit(k) * col("__sc2") -
+            col("__nS") * col("__nS")))
+        .withColumn("__den", lit(k) * col("__nS") - col("__sr2"))
+        .select(lit(k).as("k"), lit(nItems).as("n_items"),
+          lit(nDropped).as("n_dropped"), col("__nS").as("n_success"),
+          when(col("__den") > 0,
+            col("__num").cast(DoubleType) / col("__den").cast(DoubleType))
+            .as("q_stat"))
+      materializeSmall(out, 1, "one-row Cochran Q")
+    } finally { cellsAll.unpersist(); () }
+  }
+
+  /** KENDALL'S W (coefficient of concordance) — do m raters rank the same
+    * n items consistently? Raters' per-item scores reduce to EXACT
+    * floor-scaled sums, ranks are per-rater windows with a DETERMINISTIC
+    * (score, item) tiebreak (unique ranks by construction, so no tie
+    * correction is needed and both engines rank identically — callers
+    * with meaningful ties should pre-round scores), and
+    *   W = 3·Σ(2Rᵢ − m(n+1))² / (m²·(n³ − n))
+    * (the Σ(Rᵢ − R̄)² form scaled by 4 so every term stays integer).
+    * Only items scored by ALL m raters participate (complete design).
+    * Returns one row (m, n_items, s4, w). */
+  def kendallW(df: DataFrame, itemCol: String, raterCol: String,
+               valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast(DoubleType)
+    val scores = df
+      .filter(col(itemCol).isNotNull && col(raterCol).isNotNull &&
+        v.isNotNull && !isnan(v))
+      .groupBy(col(raterCol).as("__r"), col(itemCol).as("__i"))
+      .agg(fs(v, 6).as("__s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val m = scores.select(col("__r")).distinct().count()
+      val complete = scores.groupBy(col("__i"))
+        .agg(count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") === m).select(col("__i"))
+      val ranked = scores
+        .join(complete, Seq("__i"), "left_semi")
+        .withColumn("__rank", row_number().over(
+          Window.partitionBy(col("__r")).orderBy(col("__s"), col("__i"))))
+      val byItem = ranked.groupBy(col("__i"))
+        .agg(sum(col("__rank").cast(LongType)).as("__ri"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = byItem.count()
+      val dev = col("__ri") * 2L - lit(m) * lit(n + 1)
+      val out = byItem
+        .agg(coalesce(sum(dev * dev), lit(0L)).as("s4"))
+        .select(lit(m).as("m"), lit(n).as("n_items"), col("s4"),
+          when(lit(n) > 1,
+            lit(3.0) * col("s4").cast(DoubleType) /
+              (lit(m) * lit(m) * (lit(n) * lit(n) * lit(n) - lit(n)))
+                .cast(DoubleType)).as("w"))
+      val res = materializeSmall(out, 1, "one-row Kendall W")
+      byItem.unpersist()
+      res
+    } finally { scores.unpersist(); () }
+  }
+
+  /** KRIPPENDORFF'S ALPHA (nominal data) — inter-rater reliability that,
+    * unlike Cohen's (q267) and Fleiss' (q304) kappa, tolerates MISSING
+    * ratings: every item with ≥2 ratings contributes. One rating per
+    * (item, rater) (max-reduced), then
+    *   D_o = Σ_u Σ_c o_uc·(m_u − o_uc)/(m_u − 1)  / n
+    *   D_e = Σ_c n_c·(n − n_c) / (n·(n−1))
+    *   α   = 1 − D_o/D_e
+    * with o_uc the per-item category counts, m_u the item's rating count,
+    * n = Σm_u. The observed-disagreement terms are per-cell doubles
+    * floor-scaled (1e9) into an exact sum; D_e's numerator stays BIGINT.
+    * Plan: two keyed aggregations over O(items·categories) cells.
+    * Returns one row (n_items, n_ratings, n_categories, d_o, d_e, alpha). */
+  def krippendorffAlpha(df: DataFrame, itemCol: String, raterCol: String,
+                        categoryCol: String): DataFrame = {
+    val ratings = df
+      .filter(col(itemCol).isNotNull && col(raterCol).isNotNull &&
+        col(categoryCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(raterCol).as("__r"))
+      .agg(max(col(categoryCol).cast(StringType)).as("__c"))
+    val byItem = ratings.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__mu"))
+      .filter(col("__mu") >= 2)
+    val kept = ratings.join(byItem, "__i")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cells = kept.groupBy(col("__i"), col("__c"), col("__mu"))
+        .agg(count(lit(1)).as("__ouc"))
+      val doTerm = col("__ouc").cast(DoubleType) *
+        (col("__mu") - col("__ouc")).cast(DoubleType) /
+        (col("__mu") - 1).cast(DoubleType)
+      val doAgg = cells.agg(
+        countDistinct(col("__i")).as("n_items"),
+        coalesce(sum(col("__ouc")), lit(0L)).as("n_ratings"),
+        fs(doTerm, 9).as("__doSum"))
+      val catAgg = kept.groupBy(col("__c"))
+        .agg(count(lit(1)).as("__nc"))
+      val tot = catAgg.agg(coalesce(sum(col("__nc")), lit(0L)).as("__n"))
+      val nCats = catAgg.crossJoin(broadcast(tot))
+        .agg(
+          count(lit(1)).as("n_categories"),
+          max(col("__n")).as("__n"),
+          coalesce(sum(col("__nc") * (col("__n") - col("__nc"))), lit(0L))
+            .as("__deNum"))
+      val out = doAgg.crossJoin(nCats)
+        .withColumn("d_o", col("__doSum") / col("__n").cast(DoubleType))
+        .withColumn("d_e", col("__deNum").cast(DoubleType) /
+          (col("__n") * (col("__n") - 1)).cast(DoubleType))
+        .select(col("n_items"), col("n_ratings"), col("n_categories"),
+          col("d_o"), col("d_e"),
+          when(col("d_e") > 0, lit(1.0) - col("d_o") / col("d_e"))
+            .as("alpha"))
+      materializeSmall(out, 1, "one-row Krippendorff alpha")
+    } finally { kept.unpersist(); () }
+  }
+
+  /** FISHER'S EXACT TEST on a 2×2 of two boolean conditions — the
+    * small-expected-count companion to [[chiSquareIndependence]]/[[gTest]]
+    * (and the exact form of q236's McNemar setting). Two-sided: the sum
+    * of hypergeometric P(k) over every table at least as extreme
+    * (P(k) ≤ P(observed)).
+    *
+    * The engine-portable trick is the LOG-FACTORIAL TABLE AS AN EXACT
+    * INTEGER SUM: lf(x) = Σ_{i=2..x} ⌊ln(i)·10⁶⌋ summed in BIGINT — ln is
+    * the only transcendental, evaluated at INTEGER arguments, and the 10⁶
+    * quantum absorbs the ≤1-ulp spread between libms (measured: zero
+    * floor disagreements JVM vs DuckDB over i ∈ [2, 2·10⁶]; at 10⁹ scale
+    * there were two). Each table's log-probability is then a pure BIGINT
+    * combination lf(r₁)+lf(r₂)+lf(c₁)+lf(c₂)−lf(n)−lf(k)−lf(r₁−k)
+    * −lf(c₁−k)−lf(n−r₁−c₁+k), so the tail-membership comparison is
+    * integer-exact. Only the final Σexp(logp) runs in doubles (per-term
+    * floor at 10⁹ — exp also differs across libms by an ulp, and the
+    * quantization error Σ⌊⌋ cancels across the +/− lf masses, which sum
+    * to zero). The quantization costs ~10⁻⁹ per table in p — noise for
+    * any p a test consumer acts on.
+    *
+    * Plan: one exact counting aggregation (O(1) driver readout of the
+    * four cells — the fit-side pattern), a k-range frame of
+    * min(r₁,c₁)−max(0,r₁+c₁−n)+1 tables, and the lf lookup as a
+    * broadcast-args × range join (O(n·|args|) comparisons, fully
+    * distributed — no global window, no driver loop). Choose conditions
+    * with one SMALL margin: the table count is min(r₁,c₁)-bounded.
+    * Returns one row (a, b, c, d, n, k_min, k_max, log_p_obs, n_tables,
+    * p_two). */
+  def fisherExact(df: DataFrame, condA: Column, condB: Column): DataFrame = {
+    val spark = df.sparkSession
+    val flags = df.select(condA.cast(BooleanType).as("__a"),
+        condB.cast(BooleanType).as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val row = flags.agg(
+      count(when(col("__a") && col("__b"), 1)).as("a"),
+      count(when(col("__a") && !col("__b"), 1)).as("b"),
+      count(when(!col("__a") && col("__b"), 1)).as("c"),
+      count(when(!col("__a") && !col("__b"), 1)).as("d"))
+      .collectBounded(1, "2x2 cell counts")(0)
+    val (a, b, c, d) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val n = a + b + c + d
+    val (r1, c1) = (a + b, a + c)
+    val kmin = math.max(0L, r1 + c1 - n)
+    val kmax = math.min(r1, c1)
+    val ks = spark.range(kmin, kmax + 1).select(col("id").as("k"))
+    // the 9 lf arguments per table, with their sign position (0-3 add,
+    // 4-8 subtract)
+    val argsArr = array(lit(r1), lit(n - r1), lit(c1), lit(n - c1), lit(n),
+      col("k"), lit(r1) - col("k"), lit(c1) - col("k"),
+      lit(n - r1 - c1) + col("k"))
+    val ex = ks.select(col("k"), posexplode(argsArr).as(Seq("pos", "x")))
+    val needed = ex.select(col("x")).distinct()
+    val idx = spark.range(2L, n + 1).select(col("id").as("i"),
+      floor(log(col("id").cast(DoubleType)) * lit(1e6))
+        .cast(LongType).as("__li"))
+    val lf = needed.join(idx, col("i") <= col("x"), "left")
+      .groupBy(col("x")).agg(coalesce(sum(col("__li")), lit(0L)).as("lf"))
+    val logp = ex.join(lf, "x").groupBy(col("k"))
+      .agg(sum(when(col("pos") <= 3, col("lf")).otherwise(-col("lf")))
+        .as("logp"))
+    val po = logp.filter(col("k") === lit(a))
+      .select(col("logp").as("__pobs"))
+    val tl = logp.crossJoin(broadcast(po))
+      .filter(col("logp") <= col("__pobs"))
+    val out = tl
+      .agg(count(lit(1)).as("n_tables"),
+        fs(exp(col("logp").cast(DoubleType) / lit(1e6)), 9).as("p_two"))
+      .crossJoin(broadcast(po))
+      .select(lit(a).as("a"), lit(b).as("b"), lit(c).as("c"),
+        lit(d).as("d"), lit(n).as("n"), lit(kmin).as("k_min"),
+        lit(kmax).as("k_max"),
+        (col("__pobs").cast(DoubleType) / lit(1e6)).as("log_p_obs"),
+        col("n_tables"), col("p_two"))
+    materializeSmall(out, 1, "one-row Fisher exact")
   }
 }
