@@ -342,4 +342,108 @@ object Graft {
                      order: ju.List[String], valueCol: String): DataFrame =
     graft.ops.Stats.segmentedTrend(df, keys.asScala.toSeq,
       order.asScala.toSeq, valueCol)
+
+  // ---- indicator tier (round 17) ------------------------------------------
+
+  /** OHLC bar resample per key and date_trunc bucket. */
+  def ohlcBars(df: DataFrame, keys: ju.List[String], tsCol: String,
+               tieCol: String, valueCol: String, bucket: String): DataFrame =
+    graft.ops.Indicators.ohlcBars(df, keys.asScala.toSeq, tsCol, tieCol,
+      valueCol, bucket)
+
+  /** Cutler's RSI over an n-row keyed window. */
+  def rsi(df: DataFrame, keys: ju.List[String], order: ju.List[String],
+          valueCol: String, n: Int): DataFrame =
+    graft.ops.Indicators.rsi(df, keys.asScala.toSeq, order.asScala.toSeq,
+      valueCol, n)
+
+  /** Bollinger bands + %B over an n-row keyed window. */
+  def bollinger(df: DataFrame, keys: ju.List[String],
+                order: ju.List[String], valueCol: String, n: Int,
+                k: Double): DataFrame =
+    graft.ops.Indicators.bollinger(df, keys.asScala.toSeq,
+      order.asScala.toSeq, valueCol, n, k)
+
+  /** MACD fast/slow/signal in one keyed fold. */
+  def macd(df: DataFrame, keys: ju.List[String], order: ju.List[String],
+           valueCol: String, nFast: Int, nSlow: Int,
+           nSignal: Int): DataFrame =
+    graft.ops.Indicators.macd(df, keys.asScala.toSeq, order.asScala.toSeq,
+      valueCol, nFast, nSlow, nSignal)
+
+  /** Running max drawdown per key. */
+  def drawdown(df: DataFrame, keys: ju.List[String],
+               order: ju.List[String], valueCol: String): DataFrame =
+    graft.ops.Indicators.drawdown(df, keys.asScala.toSeq,
+      order.asScala.toSeq, valueCol)
+
+  /** Per-key Sharpe ratio over simple returns. */
+  def sharpe(df: DataFrame, keys: ju.List[String], order: ju.List[String],
+             valueCol: String, periodsPerYear: Int): DataFrame =
+    graft.ops.Indicators.sharpe(df, keys.asScala.toSeq,
+      order.asScala.toSeq, valueCol, periodsPerYear)
+
+  /** Historical VaR + expected shortfall per key at level alpha. */
+  def varEs(df: DataFrame, keys: ju.List[String], order: ju.List[String],
+            valueCol: String, alpha: Double): DataFrame =
+    graft.ops.Indicators.varEs(df, keys.asScala.toSeq,
+      order.asScala.toSeq, valueCol, alpha)
+
+  /** Stochastic oscillator %K(n)/%D(d) per key. */
+  def stochastic(df: DataFrame, keys: ju.List[String],
+                 order: ju.List[String], valueCol: String, n: Int,
+                 d: Int): DataFrame =
+    graft.ops.Indicators.stochastic(df, keys.asScala.toSeq,
+      order.asScala.toSeq, valueCol, n, d)
+
+  // ---- association/agreement tier (round 17) -------------------------------
+
+  /** Theil's U uncertainty coefficients between two categoricals. */
+  def theilU(df: DataFrame, colA: String, colB: String): DataFrame =
+    graft.ops.Stats.theilU(df, colA, colB)
+
+  /** G-test of independence (likelihood-ratio chi-square). */
+  def gTest(df: DataFrame, colA: String, colB: String): DataFrame =
+    graft.ops.Stats.gTest(df, colA, colB)
+
+  /** Gamma / Somers' D / tau over contingency cells. */
+  def ordinalAssociation(df: DataFrame, xCol: String,
+                         yCol: String): DataFrame =
+    graft.ops.Stats.ordinalAssociation(df, xCol, yCol)
+
+  /** Point-biserial correlation of a boolean column vs a metric. */
+  def pointBiserial(df: DataFrame, valueCol: String,
+                    flagCol: String): DataFrame =
+    graft.ops.Stats.pointBiserial(df, valueCol, col(flagCol))
+
+  /** Durbin-Watson serial-correlation statistic per key. */
+  def durbinWatson(df: DataFrame, keys: ju.List[String],
+                   order: ju.List[String], valueCol: String): DataFrame =
+    graft.ops.Stats.durbinWatson(df, keys.asScala.toSeq,
+      order.asScala.toSeq, valueCol)
+
+  /** Cochran's Q over k related binary outcomes (success = col = 1). */
+  def cochranQ(df: DataFrame, itemCol: String, treatCol: String,
+               successCol: String): DataFrame =
+    graft.ops.Stats.cochranQ(df, itemCol, treatCol,
+      col(successCol).cast("boolean"))
+
+  /** Kendall's W rater-concordance over per-(rater, item) scores. */
+  def kendallW(df: DataFrame, itemCol: String, raterCol: String,
+               valueCol: String): DataFrame =
+    graft.ops.Stats.kendallW(df, itemCol, raterCol, valueCol)
+
+  /** Krippendorff's alpha (nominal) with missing ratings tolerated. */
+  def krippendorffAlpha(df: DataFrame, itemCol: String, raterCol: String,
+                        categoryCol: String): DataFrame =
+    graft.ops.Stats.krippendorffAlpha(df, itemCol, raterCol, categoryCol)
+
+  /** Fisher's exact test (two-sided) of two boolean columns. */
+  def fisherExact(df: DataFrame, flagA: String, flagB: String): DataFrame =
+    graft.ops.Stats.fisherExact(df, col(flagA), col(flagB))
+
+  /** HITS hubs/authorities over a directed edge list. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int): DataFrame =
+    graft.ops.Graph.hits(edges, srcCol, dstCol, iters)
 }

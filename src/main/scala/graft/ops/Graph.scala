@@ -453,32 +453,61 @@ object Graph {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters=$iters")
-    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+    val eBase = edges.select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    e.count()
-    def normalize(raw: DataFrame, idCol: String, out: String): DataFrame = {
+    // TWO pre-partitioned edge copies, one per join direction: the rounds
+    // alternate joining on src (hub pull) and dst (auth pull), and a
+    // single copy would re-shuffle the EDGE frame — the big side — twice
+    // per round. With each copy persisted under its join key's hash
+    // partitioning, the per-round exchanges carry only the node-sized
+    // score frames (the cached side's outputPartitioning already
+    // satisfies the join requirement). Costs 2× edge storage; at 100 TB
+    // the shuffle saved per round dwarfs it.
+    val eSrc = eBase.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eDst = eBase.repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    eSrc.count(); eDst.count()
+    eBase.unpersist()
+    // One execution of the join+aggregate per half-round: the raw score
+    // frame is eagerly checkpointed FIRST, so both its consumers (the
+    // 1-row max and the renormalized projection) read materialized
+    // blocks — the naive shape re-executed the join once per consumer.
+    def normalize(raw0: DataFrame, idCol: String, out: String): DataFrame = {
+      val raw = raw0.localCheckpoint(true)
       val mx = raw.agg(max(col("__s")).as("__mx"))
-      raw.crossJoin(broadcast(mx))
+      val res = raw.crossJoin(broadcast(mx))
         .select(col(idCol).as("id"),
           expr(s"__s * ${Scale}L div __mx").cast(LongType).as(out))
         .localCheckpoint(true)
+      Checkpoints.releaseLocalCheckpoint(raw)
+      res
     }
-    var hub = e.select(col("src").as("id")).distinct()
-      .select(col("id"), lit(Scale).as("h"))
+    var hub: DataFrame = null
     var auth: DataFrame = null
     var lastH: Option[DataFrame] = None
     var lastA: Option[DataFrame] = None
-    for (_ <- 1 to iters) {
-      val aRaw = e.join(hub, e("src") === hub("id"))
-        .groupBy(col("dst"))
-        .agg(sum(col("h").cast(DecimalType(38, 0))).as("__s"))
+    for (i <- 1 to iters) {
+      // round 1 in closed form: every hub seeds at Scale, so
+      // a₁(v) = indeg(v)·Scale exactly — one keyed count, no join
+      val aRaw =
+        if (i == 1)
+          eDst.groupBy(col("dst"))
+            // cast BEFORE the multiply: indeg·10¹² overflows LONG past
+            // ~9M in-edges; the decimal product is exact at any degree
+            .agg((count(lit(1)).cast(DecimalType(38, 0)) * lit(Scale))
+              .as("__s"))
+        else
+          eSrc.join(hub, eSrc("src") === hub("id"))
+            .groupBy(col("dst"))
+            .agg(sum(col("h").cast(DecimalType(38, 0))).as("__s"))
       auth = normalize(aRaw, "dst", "a")
       lastA.foreach(Checkpoints.releaseLocalCheckpoint)
       lastA = Some(auth)
-      val hRaw = e.join(auth, e("dst") === auth("id"))
+      val hRaw = eDst.join(auth, eDst("dst") === auth("id"))
         .groupBy(col("src"))
         .agg(sum(col("a").cast(DecimalType(38, 0))).as("__s"))
       val h2 = normalize(hRaw, "src", "h")
@@ -486,8 +515,8 @@ object Graph {
       lastH = Some(h2)
       hub = h2
     }
-    val out = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val out = eSrc.select(col("src").as("id"))
+      .unionByName(eDst.select(col("dst").as("id"))).distinct()
       .join(hub, Seq("id"), "left")
       .join(auth, Seq("id"), "left")
       .select(col("id"), coalesce(col("h"), lit(0L)).as("hub"),
@@ -495,7 +524,7 @@ object Graph {
       .localCheckpoint(true)
     lastH.foreach(Checkpoints.releaseLocalCheckpoint)
     lastA.foreach(Checkpoints.releaseLocalCheckpoint)
-    e.unpersist()
+    eSrc.unpersist(); eDst.unpersist()
     out
   }
 }

@@ -169,5 +169,43 @@ public final class JavaApiCheck {
         "l_quantity", "l_extendedprice", 9.21);
     check(java.util.Arrays.asList(maha.columns()).contains("d2"),
         "d2 column must surface");
+
+    // 7. indicator + association tier (round 17)
+    Dataset<Row> series = Graft.selectColumns(lineitem,
+        List.of("l_returnflag", "l_orderkey", "l_linenumber",
+            "l_extendedprice"));
+    Dataset<Row> rsi = Graft.rsi(series, List.of("l_returnflag"),
+        List.of("l_orderkey", "l_linenumber"), "l_extendedprice", 14);
+    check(java.util.Arrays.asList(rsi.columns()).contains("rsi"),
+        "rsi column must surface");
+
+    Dataset<Row> macd = Graft.macd(series, List.of("l_returnflag"),
+        List.of("l_orderkey", "l_linenumber"), "l_extendedprice",
+        12, 26, 9);
+    check(java.util.Arrays.asList(macd.columns()).contains("macd_hist"),
+        "macd histogram must surface");
+
+    Dataset<Row> ves = Graft.varEs(series, List.of("l_returnflag"),
+        List.of("l_orderkey", "l_linenumber"), "l_extendedprice", 0.05);
+    check(ves.count() == 3, "one VaR/ES row per return flag");
+
+    Dataset<Row> tu = Graft.theilU(lineitem, "l_returnflag",
+        "l_linestatus");
+    check(tu.count() == 1, "Theil U is a one-row scalar frame");
+
+    Dataset<Row> oa = Graft.ordinalAssociation(lineitem, "l_quantity",
+        "l_discount");
+    check(java.util.Arrays.asList(oa.columns()).contains("somers_d_yx"),
+        "Somers D must surface");
+
+    Dataset<Row> dw = Graft.durbinWatson(series, List.of("l_returnflag"),
+        List.of("l_orderkey", "l_linenumber"), "l_extendedprice");
+    check(dw.count() == 3, "one DW row per return flag");
+
+    Dataset<Row> hits = Graft.hits(
+        Graft.selectColumns(lineitem, List.of("l_suppkey", "l_partkey")),
+        "l_suppkey", "l_partkey", 2);
+    check(java.util.Arrays.asList(hits.columns()).contains("auth"),
+        "HITS authority column must surface");
   }
 }

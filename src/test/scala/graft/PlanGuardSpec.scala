@@ -87,6 +87,22 @@ class PlanGuardSpec extends SparkSuite {
   test("q101 keyless asof: boundary-frame windows only")(
     guard("q101_keyless_asof", Bound))
 
+  // indicator tier: every window is keyed; the only SinglePartition
+  // traffic allowed is the one-row aggregate frames
+  test("q316 rsi: keyed windows only")(guard("q316_rsi", Bound))
+  test("q318 macd: keyed fold, no global chokepoint")(
+    guard("q318_macd", Bound))
+  test("q321 varEs: per-key rank selection, no global sort")(
+    guard("q321_var_es", Bound))
+
+  // association tier: cell/margin frames only through any chokepoint
+  test("q324 ordinal association: cell frames only")(
+    guard("q324_ordinal_assoc", Bound))
+  test("q331 fisher exact: k-range/lf frames only")(
+    guard("q331_fisher_exact", Bound))
+  test("q332 hits: keyed join-aggregates + 1-row maxima only")(
+    guard("q332_hits", Bound))
+
   test("q102 keyless fill-range: boundary-frame windows only")(
     guard("q102_fill_range_keyless", Bound))
 

@@ -27,7 +27,8 @@ def main(sf_dir, out_dir, skip=(), only=None):
     os.makedirs(tmp, exist_ok=True)
     con.execute(f"SET memory_limit='{mem}'")
     con.execute(f"SET temp_directory='{tmp}'")
-    con.execute("SET max_temp_directory_size='60GB'")
+    con.execute("SET max_temp_directory_size='"
+                + os.environ.get("GRAFT_DUCKDB_TEMPMAX", "60GB") + "'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         p = f"{sf_dir}/{t}.parquet"
