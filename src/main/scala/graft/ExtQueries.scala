@@ -1239,6 +1239,71 @@ object ExtQueries {
         hour(col("ts")) < 12)
     },
 
+    // PACF lags 1-3 via Durbin-Levinson on the q150 panel ACF — the
+    // AR-order diagnostic.
+    "q333_pacf" -> { (s, dir) =>
+      Stats.pacf(t(s, dir, "events"), Seq("user_id"),
+        Seq("ts", "event_id"), "value")
+    },
+
+    // Functional-dependency audit over orders: the key pair holds, the
+    // behavioral pairs violate — the schema-profiling readout.
+    "q334_fd_audit" -> { (s, dir) =>
+      Stats.fdAudit(t(s, dir, "orders"), Seq(
+          ("o_orderkey", "o_custkey"),
+          ("o_custkey", "o_orderstatus"),
+          ("o_orderpriority", "o_orderstatus")))
+        .orderBy(col("determinant"), col("dependent"))
+    },
+
+    // Candidate-key audit over lineitem — (l_orderkey, l_linenumber) is
+    // famously NOT unique in this shape; the audit proves it with counts.
+    "q335_key_audit" -> { (s, dir) =>
+      Stats.keyAudit(t(s, dir, "lineitem"), Seq(
+          Seq("l_orderkey"),
+          Seq("l_orderkey", "l_linenumber"),
+          Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")))
+        .orderBy(col("candidate"))
+    },
+
+    // Engle's ARCH LM per user — volatility clustering the level tests
+    // miss.
+    "q336_arch_lm" -> { (s, dir) =>
+      Stats.archLm(t(s, dir, "events"), Seq("user_id"),
+          Seq("ts", "event_id"), "value")
+        .orderBy(col("user_id"))
+    },
+
+    // Distinct-1/2/3 corpus diversity over documents — the generation-
+    // diversity / memorization readout.
+    "q337_distinct_n" -> { (s, dir) =>
+      graft.llm.TextStats.distinctNgramDiversity(t(s, dir, "documents"), "text")
+        .orderBy(col("n"))
+    },
+
+    // Markov stationary distribution of the per-user event_type chain —
+    // where does a user's session settle long-run?
+    "q338_markov_stationary" -> { (s, dir) =>
+      Stats.markovStationary(t(s, dir, "events"), Seq("user_id"),
+        Seq("ts", "event_id"), "event_type", rounds = 3)
+    },
+
+    // MOSS winnowing fingerprints (k=5, w=4) per document — the
+    // guaranteed local-containment detector.
+    "q339_winnow_fp" -> { (s, dir) =>
+      graft.llm.TextStats.winnowFingerprints(t(s, dir, "documents")
+          .filter(col("doc_id") < 200), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // Hurst exponent per user via R/S analysis — long-range dependence
+    // of the value series.
+    "q340_hurst" -> { (s, dir) =>
+      Stats.hurstRs(t(s, dir, "events"), Seq("user_id"),
+          Seq("ts", "event_id"), "value")
+        .orderBy(col("user_id"))
+    },
+
     // HITS hubs/authorities on the DIRECTED customer→supplier trading
     // graph (q149's edge set, one direction): which customers spread
     // orders across the best-connected suppliers? Fixed-point BIGINT
@@ -5169,6 +5234,291 @@ object ExtQueries {
            LEFT JOIN a3 ON n.id = a3.id
          ORDER BY n.id"""
     },
+
+    // mirrors Stats.pacf: the q150 pooled-pair ACF pivoted wide, then the
+    // Durbin-Levinson scalar recursion replayed in the identical IEEE
+    // operation order (left-assoc subtract chains, one divide per level).
+    "q333_pacf" ->
+      """WITH b AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS x
+           FROM events),
+         l AS (SELECT x, lag(x, 1) OVER w AS y1, lag(x, 2) OVER w AS y2,
+                 lag(x, 3) OVER w AS y3
+               FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         p AS (SELECT 1 AS lag_k, x, y1 AS y FROM l
+               UNION ALL SELECT 2, x, y2 FROM l
+               UNION ALL SELECT 3, x, y3 FROM l),
+         f AS (SELECT lag_k, x, y FROM p
+               WHERE x IS NOT NULL AND y IS NOT NULL
+                 AND NOT isnan(x) AND NOT isnan(y)),
+         s AS (SELECT lag_k, CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS sx,
+           CAST(SUM(CAST(FLOOR(y * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS sy,
+           CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS sxx,
+           CAST(SUM(CAST(FLOOR(y * y * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS syy,
+           CAST(SUM(CAST(FLOOR(x * y * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS sxy
+           FROM f GROUP BY 1),
+         a AS (SELECT lag_k,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN (n * sxy - sx * sy)
+                  / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+           END AS acf FROM s),
+         w AS (SELECT MAX(CASE WHEN lag_k = 1 THEN acf END) AS r1,
+                 MAX(CASE WHEN lag_k = 2 THEN acf END) AS r2,
+                 MAX(CASE WHEN lag_k = 3 THEN acf END) AS r3 FROM a),
+         d2 AS (SELECT r1, r2, r3, r1 AS pacf1,
+             CASE WHEN (1.0 - r1 * r1) <> 0.0
+                  THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS pacf2
+           FROM w),
+         d3 AS (SELECT *, r1 - pacf2 * r1 AS p21 FROM d2),
+         d4 AS (SELECT *, 1.0 - p21 * r1 - pacf2 * r2 AS den3 FROM d3)
+         SELECT r1, r2, r3, pacf1, pacf2,
+           CASE WHEN den3 <> 0.0
+                THEN (r3 - p21 * r2 - pacf2 * r1) / den3 END AS pacf3
+         FROM d4""",
+
+    // mirrors Stats.fdAudit: per (det, dep) pair a keyed aggregation over
+    // string-cast cells, exact BIGINT counts, holds = zero violators.
+    "q334_fd_audit" -> {
+      def pair(det: String, dep: String, tag: Int): String =
+        s"""g$tag AS (SELECT CAST($det AS VARCHAR) AS det,
+             COUNT(*) AS n, COUNT(DISTINCT CAST($dep AS VARCHAR)) AS k
+           FROM orders
+           WHERE $det IS NOT NULL AND $dep IS NOT NULL GROUP BY 1),
+         a$tag AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_det_values,
+             CAST(COUNT(CASE WHEN k > 1 THEN 1 END) AS BIGINT) AS n_violating,
+             CAST(COALESCE(MAX(k), 0) AS BIGINT) AS max_dep_per_det,
+             '$det' AS determinant, '$dep' AS dependent
+           FROM g$tag)"""
+      s"""WITH ${pair("o_orderkey", "o_custkey", 1)},
+         ${pair("o_custkey", "o_orderstatus", 2)},
+         ${pair("o_orderpriority", "o_orderstatus", 3)}
+         SELECT n_rows, n_det_values, n_violating, max_dep_per_det,
+           determinant, dependent, (n_violating = 0) AS holds
+         FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+               UNION ALL SELECT * FROM a3) u
+         ORDER BY determinant, dependent"""
+    },
+
+    // mirrors Stats.keyAudit: exact tuple-distinct counts with
+    // null-bearing tuples excluded and reported separately.
+    "q335_key_audit" -> {
+      def cand(cols: Seq[String], tag: Int): String = {
+        val nn = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+        val anyN = cols.map(c => s"$c IS NULL").mkString(" OR ")
+        s"""c$tag AS (SELECT '${cols.mkString(",")}' AS candidate,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+              WHERE $anyN) AS n_null_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT DISTINCT ${cols.mkString(", ")} FROM lineitem
+                WHERE $nn) t) AS n_distinct)"""
+      }
+      s"""WITH ${cand(Seq("l_orderkey"), 1)},
+         ${cand(Seq("l_orderkey", "l_linenumber"), 2)},
+         ${cand(Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"), 3)}
+         SELECT candidate, n_rows, n_null_rows, n_distinct,
+           CAST(n_rows - n_null_rows - n_distinct AS BIGINT) AS n_dup_rows,
+           (n_null_rows = 0 AND n_rows - n_null_rows - n_distinct = 0) AS is_key
+         FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+               UNION ALL SELECT * FROM c3) u
+         ORDER BY candidate"""
+    },
+
+    // mirrors Stats.archLm: exact window mean (floor 1e6), squared
+    // residuals, keyed lag-1 Pearson from floor-scaled (1e4) exact sums,
+    // LM = n * r^2 in the identical IEEE order.
+    "q336_arch_lm" ->
+      """WITH b AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+         m AS (SELECT user_id, ts, event_id, v,
+             CAST(SUM(CAST(FLOOR(v * 1000000.0) AS DECIMAL(38,0))) OVER pw
+               AS DOUBLE) / 1000000.0 / COUNT(v) OVER pw AS mu
+           FROM b WINDOW pw AS (PARTITION BY user_id)),
+         z AS (SELECT user_id, ts, event_id,
+             (v - mu) * (v - mu) AS zz FROM m),
+         zl AS (SELECT user_id, zz,
+             lag(zz, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS zp
+           FROM z),
+         f AS (SELECT user_id, zz, zp FROM zl WHERE zp IS NOT NULL),
+         s AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CAST(FLOOR(zp * 10000.0) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sx,
+             CAST(SUM(CAST(FLOOR(zz * 10000.0) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sy,
+             CAST(SUM(CAST(FLOOR(zp * zp * 10000.0) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sxx,
+             CAST(SUM(CAST(FLOOR(zz * zz * 10000.0) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS syy,
+             CAST(SUM(CAST(FLOOR(zp * zz * 10000.0) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sxy
+           FROM f GROUP BY user_id),
+         r AS (SELECT user_id, n_pairs,
+             CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                  THEN (n * sxy - sx * sy)
+                    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             END AS rr
+           FROM s)
+         SELECT user_id, n_pairs, rr * rr AS r2,
+           CAST(n_pairs AS DOUBLE) * (rr * rr) AS lm
+         FROM r ORDER BY user_id""",
+
+    // mirrors TextStats.distinctNgramDiversity: normalized whitespace
+    // tokens, per-n gram lists (short docs contribute zero), 60-bit
+    // md5-prefix gram identity, exact count + count-distinct.
+    "q337_distinct_n" -> {
+      def gram(n: Int): String =
+        if (n == 1) "w[i+1]"
+        else (1 to n).map(j => s"w[i+$j]").mkString("concat(", ", ' ', ", ")")
+      def tier(n: Int): String =
+        s"""g$n AS (SELECT unnest(CASE WHEN len(w) >= $n
+             THEN list_transform(range(len(w) - ${n - 1}), i -> ${gram(n)})
+             ELSE CAST([] AS VARCHAR[]) END) AS g FROM d),
+         h$n AS (SELECT CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+             AS h FROM g$n),
+         a$n AS (SELECT $n AS n, CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+             CAST(COUNT(DISTINCT h) AS BIGINT) AS distinct_ngrams
+           FROM h$n)"""
+      s"""WITH d AS (SELECT string_split(
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+           FROM documents),
+         ${tier(1)},
+         ${tier(2)},
+         ${tier(3)}
+         SELECT n, total_ngrams, distinct_ngrams,
+           CASE WHEN total_ngrams <> 0
+                THEN CAST(distinct_ngrams AS DOUBLE)
+                  / CAST(total_ngrams AS DOUBLE) END AS distinct_ratio
+         FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+               UNION ALL SELECT * FROM a3) u
+         ORDER BY n"""
+    },
+
+    // mirrors Stats.markovStationary: per-user lead() transitions, 3
+    // unrolled power-iteration rounds in exact HUGEINT floor arithmetic,
+    // dangling mass dropped, Σπ renormalized to 10^12 each round.
+    "q338_markov_stationary" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""f$r AS (SELECT t.dst, SUM(CAST(p.pi AS HUGEINT) * t.n // t.tot)
+             AS s
+           FROM tr t JOIN p${r - 1} p ON t.src = p.state GROUP BY 1),
+         f${r}k AS (SELECT f.dst, f.s FROM f$r f JOIN st ON f.dst = st.src),
+         p$r AS (SELECT dst AS state,
+             CAST(s * 1000000000000 // (SELECT SUM(s) FROM f${r}k)
+               AS BIGINT) AS pi
+           FROM f${r}k)"""
+      }.mkString(",\n         ")
+      s"""WITH seq AS (SELECT user_id, ts, event_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+           FROM events WHERE event_type IS NOT NULL),
+         tr0 AS (SELECT CAST(event_type AS VARCHAR) AS src,
+             CAST(nxt AS VARCHAR) AS dst, CAST(COUNT(*) AS BIGINT) AS n
+           FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         st AS (SELECT src, CAST(SUM(n) AS BIGINT) AS tot
+           FROM tr0 GROUP BY 1),
+         tr AS (SELECT t.src, t.dst, t.n, s.tot
+           FROM tr0 t JOIN st s USING (src)),
+         p0 AS (SELECT src AS state,
+             CAST(1000000000000 // (SELECT COUNT(*) FROM st) AS BIGINT)
+               AS pi
+           FROM st),
+         $rounds
+         SELECT state, pi FROM p3 ORDER BY state"""
+    },
+
+    // mirrors TextStats.winnowFingerprints: q37's 5-gram md5-prefix
+    // hashes, integer window-argmin keys (h·2^20 + (2^20-1-pos) — min =
+    // smallest hash then rightmost pos), pos-major resort, "pos:hash" CSV.
+    "q339_winnow_fp" ->
+      s"""WITH d AS (SELECT doc_id, string_split(
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+           FROM documents WHERE doc_id < 200),
+         sh AS (SELECT doc_id,
+           CASE WHEN len(w) >= 5
+             THEN list_transform(range(len(w) - 4),
+               i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3], ' ', w[i+4],
+                 ' ', w[i+5]))
+             ELSE [array_to_string(w, ' ')] END AS s
+           FROM d),
+         hk AS (SELECT doc_id, list_transform(s,
+             g -> CAST(concat('0x', substr(md5(g), 1, 7)) AS BIGINT)) AS hs
+           FROM sh),
+         ky AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS ng,
+             list_transform(range(len(hs)),
+               i -> hs[i+1] * 1048576 + (1048575 - (i+1))) AS keys
+           FROM hk),
+         sel AS (SELECT doc_id, ng,
+             CASE WHEN ng >= 4
+               THEN list_distinct(list_transform(range(4, ng + 1),
+                 e -> list_min(keys[e-3:e])))
+               ELSE [list_min(keys)] END AS sels
+           FROM ky),
+         pks AS (SELECT doc_id, ng,
+             list_sort(list_transform(sels,
+               kk -> (1048575 - (kk % 1048576)) * 268435456
+                 + (kk // 1048576))) AS pk
+           FROM sel)
+         SELECT doc_id, ng AS n_grams, CAST(len(pk) AS BIGINT) AS n_fp,
+           array_to_string(list_transform(pk,
+             p -> concat(CAST(p // 268435456 AS VARCHAR), ':',
+               CAST(p % 268435456 AS VARCHAR))), ',') AS fps
+         FROM pks ORDER BY doc_id""",
+
+    // mirrors Stats.hurstRs: full m-chunks per size, exact window
+    // cumsums, the archLm floor conventions for sums, the zipf-slope
+    // log-log OLS over per-size mean R/S.
+    "q340_hurst" ->
+      """WITH b AS (SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT) AS xi
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+         r AS (SELECT user_id, v, xi,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS BIGINT) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+           FROM b),
+         e AS (SELECT r.*, CAST(m AS BIGINT) AS m
+           FROM r CROSS JOIN (VALUES (8), (16), (32)) s(m)
+           WHERE rn <= (n // CAST(m AS BIGINT)) * CAST(m AS BIGINT)),
+         c AS (SELECT user_id, m, (rn - 1) // m AS chunk, rn, v, xi FROM e),
+         w1 AS (SELECT *,
+             SUM(xi) OVER (PARTITION BY user_id, m, chunk ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+             SUM(xi) OVER (PARTITION BY user_id, m, chunk) AS s6
+           FROM c),
+         w2 AS (SELECT user_id, m, chunk, v,
+             CAST(s6 AS DOUBLE) / 1000000.0 / CAST(m AS DOUBLE) AS mu,
+             CAST(cs AS DOUBLE) / 1000000.0
+               - CAST(rn - chunk * m AS DOUBLE)
+                 * (CAST(s6 AS DOUBLE) / 1000000.0 / CAST(m AS DOUBLE)) AS dev
+           FROM w1),
+         pc AS (SELECT user_id, m, chunk, MAX(dev) AS dmax, MIN(dev) AS dmin,
+             MAX(mu) AS mean,
+             CAST(SUM(CAST(FLOOR(v * v * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS sxx
+           FROM w2 GROUP BY 1, 2, 3),
+         pv AS (SELECT user_id, m,
+             (dmax - dmin)
+               / sqrt(sxx / CAST(m AS DOUBLE) - mean * mean) AS rs
+           FROM pc
+           WHERE sxx / CAST(m AS DOUBLE) - mean * mean > 0.0),
+         ps AS (SELECT user_id, m, COUNT(*) AS nc,
+             CAST(SUM(CAST(FLOOR(rs * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS rssum
+           FROM pv GROUP BY 1, 2),
+         pt AS (SELECT user_id, ln(CAST(m AS DOUBLE)) AS x, ln(rsm) AS y
+           FROM (SELECT user_id, m, rssum / CAST(nc AS DOUBLE) AS rsm
+                 FROM ps) z
+           WHERE rsm > 0.0),
+         ag AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sx,
+             CAST(SUM(CAST(FLOOR(y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sy,
+             CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxx,
+             CAST(SUM(CAST(FLOOR(x * y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxy
+           FROM pt GROUP BY 1)
+         SELECT user_id, n_points,
+           CASE WHEN n * sxx - sx * sx > 0.0
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS hurst
+         FROM ag ORDER BY user_id""",
 
     // mirrors Stats.segmentedTrend: the q294 argmax replay + per-segment
     // OLS from exact integer position sums and floor-scaled value sums.

@@ -785,4 +785,85 @@ object TextStats {
     phrases.unpersist()
     out
   }
+
+  /** CORPUS DISTINCT-n DIVERSITY (Li et al. 2016's distinct-1/-2 metric,
+    * generalized): for each n, the exact count of distinct n-grams over
+    * the whole corpus divided by the total n-gram count — the standard
+    * generation-diversity / memorization readout for training corpora.
+    * Docs shorter than n tokens contribute ZERO n-grams (unlike the
+    * shingle kernel's whole-text fallback — a 2-token doc has no
+    * trigrams, and counting a fake one would inflate diversity).
+    *
+    * Scale shape: one explode per n over 60-bit md5 shingle hashes (the
+    * [[graft.llm.TextDedup.h60]] kernel — the shuffle carries 8-byte
+    * hashes, not gram strings), then count + exact count-distinct: one
+    * shuffle per n, map-side partial aggregation on both. Distinctness
+    * via the 60-bit hash is exact modulo md5-prefix collisions — the
+    * same identity every dedup operator on the board uses.
+    * Returns one row per n: (n, total_ngrams, distinct_ngrams,
+    * distinct_ratio). */
+  def distinctNgramDiversity(df: DataFrame, textCol: String,
+                             ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"ns=$ns")
+    ns.map { n =>
+      val toks = TextDedup.tokens(col(textCol))
+      val grams = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+      df.select(explode(transform(grams, g => TextDedup.h60(g))).as("__h"))
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("__h")).as("distinct_ngrams"))
+        .select(lit(n).as("n"), col("total_ngrams"), col("distinct_ngrams"),
+          when(col("total_ngrams") =!= 0L,
+            col("distinct_ngrams").cast(DoubleType) /
+              col("total_ngrams").cast(DoubleType)).as("distinct_ratio"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** SCHLEIMER ET AL. WINNOWING fingerprints (the MOSS algorithm; cf.
+    * reference text-dedup tooling): hash every k-gram, slide a window of
+    * w consecutive hashes, and in each window select the MINIMUM hash —
+    * ties broken by the RIGHTMOST position. The selected (position, hash)
+    * set is the document fingerprint; winnowing guarantees any shared
+    * run of ≥ w+k−1 tokens between two documents shares a fingerprint
+    * (the local-containment detector [[fingerprintSketch]]'s bottom-m
+    * simplification cannot promise).
+    *
+    * Scale shape: ZERO shuffle — the whole computation is per-document
+    * array expressions (k-gram hashes, then each window's argmin via an
+    * integer key h·2²⁰ + (2²⁰−1−pos), whose plain min() realizes
+    * smallest-hash-then-rightmost-pos exactly). O(n·w) array work per
+    * doc inside the scan stage; docs with fewer than w k-grams degrade
+    * to the single global minimum (one window covering everything).
+    * Positions are 1-based over the k-gram sequence and bounded by the
+    * key layout at 2²⁰ ≈ 1M grams/doc (far beyond any real document).
+    * Returns (id, n_grams, n_fp, fps) with fps = "pos:hash" CSV sorted
+    * by position. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k=$k w=$w")
+    val P = 1048576L    // 2^20 position space (tie-break suffix)
+    val H = 268435456L  // 2^28 hash space (posKey layout)
+    val hs = transform(TextDedup.shingles(col(textCol), k),
+      s => TextDedup.h28(s))
+    val keys = transform(hs, (h, i) =>
+      h * lit(P) + (lit(P - 1L) - (i.cast(LongType) + lit(1L))))
+    val d = df.withColumn("__keys", keys)
+      .withColumn("__ng", size(col("__keys")).cast(LongType))
+    val sels = when(col("__ng") >= w,
+        array_distinct(transform(sequence(lit(w.toLong), col("__ng")),
+          e => array_min(slice(col("__keys"), e - (w - 1), lit(w))))))
+      .otherwise(array(array_min(col("__keys"))))
+    // decode to pos-major keys so the output sorts by position; key
+    // values stay < 2^48, exact under the double division inside floor
+    val posKeys = array_sort(transform(sels, kk =>
+      (lit(P - 1L) - kk % lit(P)) * lit(H) +
+        floor(kk / lit(P)).cast(LongType)))
+    d.select(col(idCol), col("__ng").as("n_grams"),
+      size(posKeys).cast(LongType).as("n_fp"),
+      concat_ws(",", transform(posKeys, pk =>
+        concat(floor(pk / lit(H)).cast(LongType).cast(StringType),
+          lit(":"), (pk % lit(H)).cast(StringType)))).as("fps"))
+  }
 }

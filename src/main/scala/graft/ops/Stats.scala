@@ -2423,6 +2423,129 @@ object Stats {
     } finally { kept.unpersist(); () }
   }
 
+  /** PACF at lags 1–3 via DURBIN-LEVINSON on the panel [[acf]] — the
+    * AR-order diagnostic that separates direct lag effects from
+    * pass-through (the q293 AR-fit's model-selection companion):
+    *   φ₁₁ = r₁,
+    *   φ₂₂ = (r₂ − r₁²)/(1 − r₁²),      φ₂₁ = r₁ − φ₂₂·r₁,
+    *   φ₃₃ = (r₃ − φ₂₁r₂ − φ₂₂r₁)/(1 − φ₂₁r₁ − φ₂₂r₂).
+    * One window pass (the acf build) + one O(lags) pivot; the recursion is
+    * a fixed scalar IEEE op sequence over the three correlations, replayed
+    * verbatim by the oracle. Returns one row (r1, r2, r3, pacf1, pacf2,
+    * pacf3); null where a denominator degenerates. */
+  def pacf(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+           valueCol: String): DataFrame = {
+    val a = acf(df, keyCols, orderCols, valueCol, Seq(1, 2, 3))
+    val wide = a.agg(
+      max(when(col("lag") === 1, col("acf"))).as("r1"),
+      max(when(col("lag") === 2, col("acf"))).as("r2"),
+      max(when(col("lag") === 3, col("acf"))).as("r3"))
+    val out = wide
+      .withColumn("pacf1", col("r1"))
+      .withColumn("__d2", lit(1.0) - col("r1") * col("r1"))
+      .withColumn("pacf2", when(col("__d2") =!= 0.0,
+        (col("r2") - col("r1") * col("r1")) / col("__d2")))
+      .withColumn("__p21", col("r1") - col("pacf2") * col("r1"))
+      .withColumn("__d3", lit(1.0) - col("__p21") * col("r1") -
+        col("pacf2") * col("r2"))
+      .withColumn("pacf3", when(col("__d3") =!= 0.0,
+        (col("r3") - col("__p21") * col("r2") -
+          col("pacf2") * col("r1")) / col("__d3")))
+      .select(col("r1"), col("r2"), col("r3"),
+        col("pacf1"), col("pacf2"), col("pacf3"))
+    materializeSmall(out, 1, "one-row PACF")
+  }
+
+  /** FUNCTIONAL-DEPENDENCY AUDIT — for each (determinant → dependent)
+    * pair: does every determinant value map to exactly one dependent
+    * value? The schema-profiling primitive behind "is this column derived
+    * from that one" and denormalization checks. One keyed aggregation per
+    * pair over (det, dep) cells (O(distinct det) frames); all counts
+    * exact BIGINT. Returns one row per pair
+    * (determinant, dependent, n_rows, n_det_values, n_violating,
+    * max_dep_per_det, holds). */
+  def fdAudit(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "fdAudit needs at least one (det, dep) pair")
+    pairs.map { case (det, dep) =>
+      val clean = df.filter(col(det).isNotNull && col(dep).isNotNull)
+        .select(col(det).cast(StringType).as("__det"),
+          col(dep).cast(StringType).as("__dep"))
+      val perDet = clean.groupBy(col("__det"))
+        .agg(count(lit(1)).as("__n"), countDistinct(col("__dep")).as("__k"))
+      perDet.agg(
+        coalesce(sum(col("__n")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_det_values"),
+        count(when(col("__k") > 1, 1)).as("n_violating"),
+        coalesce(max(col("__k")), lit(0L)).as("max_dep_per_det"))
+        .withColumn("determinant", lit(det))
+        .withColumn("dependent", lit(dep))
+        .withColumn("holds", col("n_violating") === 0L)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** CANDIDATE-KEY AUDIT — for each candidate column list: row count,
+    * exact distinct count over the tuple, duplicate-row count, and
+    * whether the candidate is a key. Null-bearing tuples are excluded
+    * from the distinct count (SQL COUNT(DISTINCT a, b) semantics) and
+    * reported separately so "is_key" means what a constraint would mean.
+    * Returns one row per candidate
+    * (candidate, n_rows, n_null_rows, n_distinct, n_dup_rows, is_key). */
+  def keyAudit(df: DataFrame, candidates: Seq[Seq[String]]): DataFrame = {
+    require(candidates.nonEmpty && candidates.forall(_.nonEmpty))
+    candidates.map { cols0 =>
+      val anyNull = cols0.map(c => col(c).isNull).reduce(_ || _)
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(anyNull, 1)).as("n_null_rows"),
+        countDistinct(col(cols0.head), cols0.tail.map(col): _*)
+          .as("n_distinct"))
+        .withColumn("candidate", lit(cols0.mkString(",")))
+        .withColumn("n_dup_rows",
+          col("n_rows") - col("n_null_rows") - col("n_distinct"))
+        .withColumn("is_key",
+          col("n_null_rows") === 0L && col("n_dup_rows") === 0L)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** ENGLE'S ARCH LM TEST per key — is the series' VOLATILITY
+    * autocorrelated (calm/turbulent regimes) even when the level is not?
+    * Mean-center (exact whole-partition mean, the [[durbinWatson]]
+    * build), square, regress z_t = e_t² on z_{t−1} per key, and
+    * LM = n·R². Exact floor-scaled Σz/Σz²/Σz·z_lag (10⁴ — z is already a
+    * square, so products reach e⁴ and a finer scale would overflow the
+    * LONG floor at plausible magnitudes); R² from the pinned Pearson
+    * closed form. Returns (keys..., n_pairs, r2, lm). */
+  def archLm(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+             valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    val ord = part.orderBy(orderCols.map(col): _*)
+    val v = col(valueCol).cast(DoubleType)
+    val meanW = sum(floor(v * lit(1e6)).cast(DecimalType(38, 0)))
+      .over(part).cast(DoubleType) / lit(1e6) / count(v).over(part)
+    val base = df.filter(v.isNotNull && !isnan(v))
+      .withColumn("__e", v - meanW)
+      .withColumn("__z", col("__e") * col("__e"))
+      .withColumn("__zl", lag(col("__z"), 1).over(ord))
+      .filter(col("__zl").isNotNull)
+    val n = count(lit(1)).cast(DoubleType)
+    val sx = fs(col("__zl"), 4); val sy = fs(col("__z"), 4)
+    val sxx = fs(col("__zl") * col("__zl"), 4)
+    val syy = fs(col("__z") * col("__z"), 4)
+    val sxy = fs(col("__zl") * col("__z"), 4)
+    base.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        when((n * sxx - sx * sx) > 0 && (n * syy - sy * sy) > 0,
+          (n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+          .as("__r"))
+      .withColumn("r2", col("__r") * col("__r"))
+      .withColumn("lm",
+        col("n_pairs").cast(DoubleType) * col("r2"))
+      .select((keyCols.map(col) ++
+        Seq(col("n_pairs"), col("r2"), col("lm"))): _*)
+  }
+
   /** FISHER'S EXACT TEST on a 2×2 of two boolean conditions — the
     * small-expected-count companion to [[chiSquareIndependence]]/[[gTest]]
     * (and the exact form of q236's McNemar setting). Two-sided: the sum
@@ -2498,5 +2621,140 @@ object Stats {
         (col("__pobs").cast(DoubleType) / lit(1e6)).as("log_p_obs"),
         col("n_tables"), col("p_two"))
     materializeSmall(out, 1, "one-row Fisher exact")
+  }
+
+  /** EMPIRICAL MARKOV-CHAIN STATIONARY DISTRIBUTION: build the
+    * transition-count matrix from per-key ordered state sequences
+    * (lead(state) within each key), then power-iterate π·P with the
+    * board's fixed-point BIGINT convention (the [[graft.ops.Graph.hits]]
+    * arithmetic): π is a scaled LONG vector (Σπ = 10¹²), each step
+    * accumulates per-edge floor(π_i·n_ij / n_i) in exact DECIMAL(38,0),
+    * drops mass flowing into states with no outgoing transitions
+    * (dangling states cannot carry stationary mass), and renormalizes by
+    * integral division — every round is a pure integer function of the
+    * counts, replayed verbatim by the oracle's HUGEINT `//`.
+    *
+    * Scale shape: the transition matrix is O(|states|²) rows — for a
+    * categorical state column that is tiny regardless of input size, so
+    * the per-round join/aggregate is a broadcast-class plan; the ONE
+    * data-sized pass is the lead() window building transitions. The
+    * matrix is persisted across rounds; rounds are driver-unrolled
+    * (fixed count, no convergence action). Returns (state, pi) with pi
+    * on the 10¹² scale. */
+  def markovStationary(df: DataFrame, keyCols: Seq[String],
+                       orderCols: Seq[String], stateCol: String,
+                       rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds")
+    import org.apache.spark.sql.expressions.Window
+    val scale = 1000000000000L
+    val ord = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val trans0 = df.filter(col(stateCol).isNotNull)
+      .withColumn("__nxt", lead(col(stateCol), 1).over(ord))
+      .filter(col("__nxt").isNotNull)
+      .groupBy(col(stateCol).cast(StringType).as("src"),
+        col("__nxt").cast(StringType).as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val srcTot = trans0.groupBy(col("src"))
+      .agg(sum(col("n")).as("tot"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trans = trans0.join(srcTot, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = srcTot.count()
+    require(k >= 1, "markovStationary: no transitions")
+    var pi = srcTot.select(col("src").as("state"),
+      lit(scale / k).as("pi")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val flowed = trans
+        .join(pi, trans("src") === pi("state"))
+        .select(col("dst"),
+          expr("CAST(pi AS DECIMAL(38,0)) * n div tot").as("__t"))
+        .groupBy(col("dst")).agg(sum(col("__t")).as("__s"))
+        // dangling mass out; only source states carry π
+        .join(srcTot.select(col("src").as("dst")), Seq("dst"), "inner")
+      val total = flowed.agg(sum(col("__s")).as("__tot"))
+      val next = flowed.crossJoin(broadcast(total))
+        .select(col("dst").as("state"),
+          // cast BEFORE the multiply: Σs·10¹² overflows LONG
+          expr(s"CAST(__s AS DECIMAL(38,0)) * ${scale}L div __tot")
+            .cast(LongType).as("pi"))
+        .localCheckpoint(true)
+      Checkpoints.releaseLocalCheckpoint(pi)
+      pi = next
+    }
+    val out = pi.orderBy(col("state"))
+    trans.unpersist(); srcTot.unpersist()
+    out
+  }
+
+  /** HURST EXPONENT via R/S ANALYSIS per key (Hurst 1951; the
+    * long-range-dependence diagnostic — H > 0.5 trending, < 0.5 mean-
+    * reverting): for each chunk size m, split the ordered series into
+    * full m-length chunks, compute each chunk's rescaled range
+    * R/S = (max−min of cumulative mean-deviations) / population σ,
+    * average R/S per size, then fit log(R/S) on log(m) — the slope is H.
+    *
+    * Determinism: chunk sums are exact (values floored to 1e-6 LONGs,
+    * cumulated by window), means/deviations replay a fixed IEEE op
+    * order, σ² from floor-scaled exact Σx² (the [[archLm]] convention),
+    * per-size means and the final log-log OLS from floor-scaled sums
+    * (the zipf-slope convention). Scale shape: one explode(×|sizes|) +
+    * two window passes + two keyed aggregations — all shuffles on the
+    * key columns; no driver iteration. Returns (keys..., n_points,
+    * hurst). */
+  def hurstRs(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+              valueCol: String,
+              sizes: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    require(sizes.size >= 2 && sizes.forall(_ >= 2), s"sizes=$sizes")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast(DoubleType)
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    val ord = part.orderBy(orderCols.map(col): _*)
+    val b = df.filter(v.isNotNull && !isnan(v))
+      .withColumn("__xi", floor(v * lit(1e6)).cast(LongType))
+      .withColumn("__rn", row_number().over(ord).cast(LongType))
+      .withColumn("__n", count(lit(1)).over(part))
+      .withColumn("__m", explode(lit(sizes.map(_.toLong).toArray)))
+      .filter(col("__rn") <= expr("__n div __m") * col("__m"))
+      .withColumn("__chunk", expr("(__rn - 1) div __m"))
+    val chunkKeys = keyCols.map(col) ++ Seq(col("__m"), col("__chunk"))
+    val cPart = Window.partitionBy(chunkKeys: _*)
+    val cOrd = cPart.orderBy(col("__rn"))
+    val withDev = b
+      .withColumn("__cs", sum(col("__xi")).over(cOrd))
+      .withColumn("__s6", sum(col("__xi")).over(cPart))
+      .withColumn("__mu", col("__s6").cast(DoubleType) / lit(1e6) /
+        col("__m").cast(DoubleType))
+      .withColumn("__t", col("__rn") - col("__chunk") * col("__m"))
+      .withColumn("__dev", col("__cs").cast(DoubleType) / lit(1e6) -
+        col("__t").cast(DoubleType) * col("__mu"))
+    val md = col("__m").cast(DoubleType)
+    val perChunk = withDev.groupBy(chunkKeys: _*)
+      .agg(max(col("__dev")).as("__dmax"), min(col("__dev")).as("__dmin"),
+        max(col("__mu")).as("__mean"),
+        fs(col(valueCol).cast(DoubleType) *
+          col(valueCol).cast(DoubleType), 6).as("__sxx"))
+      .withColumn("__var",
+        col("__sxx") / md - col("__mean") * col("__mean"))
+      .filter(col("__var") > 0.0)
+      .withColumn("__rs", (col("__dmax") - col("__dmin")) /
+        sqrt(col("__var")))
+    val perSize = perChunk
+      .groupBy((keyCols.map(col) :+ col("__m")): _*)
+      .agg(count(lit(1)).as("__nc"), fs(col("__rs"), 6).as("__rssum"))
+      .withColumn("__rsm", col("__rssum") / col("__nc").cast(DoubleType))
+      .filter(col("__rsm") > 0.0)
+      .withColumn("__x", log(col("__m").cast(DoubleType)))
+      .withColumn("__y", log(col("__rsm")))
+    val n = count(lit(1)).cast(DoubleType)
+    val sx = fs(col("__x"), 6); val sy = fs(col("__y"), 6)
+    val sxx = fs(col("__x") * col("__x"), 6)
+    val sxy = fs(col("__x") * col("__y"), 6)
+    perSize.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_points"),
+        when(n * sxx - sx * sx > 0.0,
+          (n * sxy - sx * sy) / (n * sxx - sx * sx)).as("hurst"))
+      .select((keyCols.map(col) ++
+        Seq(col("n_points"), col("hurst"))): _*)
   }
 }

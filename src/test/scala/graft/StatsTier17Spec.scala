@@ -163,4 +163,147 @@ class StatsTier17Spec extends SparkSuite {
     assert(r(10L)._2 == Graph.Scale)    // x has both hubs pointing at it
     assert(r(11L)._2 < Graph.Scale)
   }
+
+  test("pacf: AR(1) data — pacf1 = r1, higher orders follow Durbin-Levinson") {
+    // x_t = 0.5 x_{t-1} + deterministic wiggle: lag-1 dominance
+    val xs = Iterator.iterate(1.0)(x => 0.5 * x + 0.1).take(40).toSeq
+      .zipWithIndex.map { case (v, i) => ("k", i, v + (i % 3) * 0.05) }
+    val r = one(Stats.pacf(xs.toDF("g", "t", "v"), Seq("g"), Seq("t"), "v"))
+    val (r1, r2, r3) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(r.getDouble(r.fieldIndex("pacf1")) == r1)
+    val p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    assert(math.abs(r.getDouble(r.fieldIndex("pacf2")) - p22) < 1e-12)
+    val p21 = r1 - p22 * r1
+    val p33 = (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2)
+    assert(math.abs(r.getDouble(r.fieldIndex("pacf3")) - p33) < 1e-12)
+  }
+
+  test("fdAudit: violating and holding pairs are told apart with counts") {
+    val df = Seq(("a", 1), ("a", 1), ("b", 2), ("b", 3)).toDF("k", "v")
+    val rows = Stats.fdAudit(df, Seq(("k", "v"), ("v", "k")))
+      .orderBy("determinant").collect()
+    val kv = rows(0)                     // k → v: b maps to {2,3} — violated
+    assert(kv.getLong(kv.fieldIndex("n_rows")) == 4L)
+    assert(kv.getLong(kv.fieldIndex("n_det_values")) == 2L)
+    assert(kv.getLong(kv.fieldIndex("n_violating")) == 1L)
+    assert(kv.getLong(kv.fieldIndex("max_dep_per_det")) == 2L)
+    assert(!kv.getBoolean(kv.fieldIndex("holds")))
+    val vk = rows(1)                     // v → k holds (1→a, 2→b, 3→b)
+    assert(vk.getLong(vk.fieldIndex("n_violating")) == 0L)
+    assert(vk.getBoolean(vk.fieldIndex("holds")))
+  }
+
+  test("keyAudit: nulls excluded from distinct and counted separately") {
+    val df = Seq((Some(1), 1), (Some(1), 2), (Some(1), 1), (None, 3))
+      .toDF("a", "b")
+    val rows = Stats.keyAudit(df, Seq(Seq("a"), Seq("a", "b")))
+      .orderBy("candidate").collect()
+    val a = rows(0)
+    assert(a.getLong(a.fieldIndex("n_null_rows")) == 1L)
+    assert(a.getLong(a.fieldIndex("n_distinct")) == 1L)
+    assert(a.getLong(a.fieldIndex("n_dup_rows")) == 2L)
+    assert(!a.getBoolean(a.fieldIndex("is_key")))
+    val ab = rows(1)                     // (1,1) dup once; null row excluded
+    assert(ab.getLong(ab.fieldIndex("n_distinct")) == 2L)
+    assert(ab.getLong(ab.fieldIndex("n_dup_rows")) == 1L)
+    assert(!ab.getBoolean(ab.fieldIndex("is_key")))
+  }
+
+  test("archLm: volatility-clustered series scores higher than flat noise") {
+    // calm half then turbulent half → squared residuals autocorrelate
+    val clustered = (0 until 40).map { i =>
+      val e = if (i < 20) 0.1 else 2.0
+      ("c", i, e * (if (i % 2 == 0) 1.0 else -1.0))
+    }
+    // constant-magnitude alternation → z_t is (near-)constant, r2 ~ 0
+    val flat = (0 until 40).map(i =>
+      ("f", i, if (i % 2 == 0) 1.0 else -1.0))
+    val out = Stats.archLm((clustered ++ flat).toDF("g", "t", "v"),
+      Seq("g"), Seq("t"), "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val c = out("c")
+    assert(c.getLong(c.fieldIndex("n_pairs")) == 39L)
+    assert(c.getDouble(c.fieldIndex("r2")) > 0.8)
+    assert(c.getDouble(c.fieldIndex("lm")) > 30.0)
+    val f = out("f")                     // zero variance in z → r undefined
+    assert(f.isNullAt(f.fieldIndex("r2")))
+  }
+
+  test("distinctNgramDiversity: repeated corpus collapses distinct counts") {
+    val df = Seq("a b c a b c", "a b c").toDF("text")
+    val rows = graft.llm.TextStats.distinctNgramDiversity(df, "text")
+      .orderBy("n").collect()
+    val uni = rows(0)                    // 9 tokens, 3 distinct
+    assert(uni.getLong(uni.fieldIndex("total_ngrams")) == 9L)
+    assert(uni.getLong(uni.fieldIndex("distinct_ngrams")) == 3L)
+    assert(math.abs(uni.getDouble(uni.fieldIndex("distinct_ratio")) - 3.0 / 9.0) < 1e-12)
+    val bi = rows(1)                     // 5+2 bigrams, 4 distinct (ab,bc,ca,cb... ab,bc,ca only? ab bc ca ab bc | ab bc)
+    assert(bi.getLong(bi.fieldIndex("total_ngrams")) == 7L)
+    assert(bi.getLong(bi.fieldIndex("distinct_ngrams")) == 3L)
+    val tri = rows(2)                    // docs of 6 and 3 tokens: 4+1 trigrams
+    assert(tri.getLong(tri.fieldIndex("total_ngrams")) == 5L)
+  }
+
+  test("distinctNgramDiversity: short docs contribute zero n-grams") {
+    val df = Seq("one two").toDF("text") // no trigrams from a 2-token doc
+    val rows = graft.llm.TextStats.distinctNgramDiversity(df, "text")
+      .orderBy("n").collect()
+    assert(rows(2).getLong(rows(2).fieldIndex("total_ngrams")) == 0L)
+  }
+
+  test("winnowing: shared runs of >= w+k-1 tokens share a fingerprint") {
+    // two docs sharing a 9-token run (k=5, w=4 → guarantee at 8 tokens)
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val df = Seq((1L, s"alpha beta $shared gamma"),
+      (2L, s"$shared delta epsilon zeta")).toDF("id", "text")
+    val out = graft.llm.TextStats.winnowFingerprints(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    def hashes(fps: String) = fps.split(",").map(_.split(":")(1)).toSet
+    assert(hashes(out(1L)).intersect(hashes(out(2L))).nonEmpty)
+  }
+
+  test("winnowing: rightmost-min tie-break and short-doc degradation") {
+    val df = Seq((1L, "x y z")).toDF("id", "text")  // < k tokens → 1 gram
+    val r = one(graft.llm.TextStats.winnowFingerprints(df, "id", "text"))
+    assert(r.getLong(r.fieldIndex("n_grams")) == 1L)
+    assert(r.getLong(r.fieldIndex("n_fp")) == 1L)
+    assert(r.getString(r.fieldIndex("fps")).startsWith("1:"))
+  }
+
+  test("markovStationary: two-state chain converges to the exact ratio") {
+    // a→b always, b→a always: stationary = (1/2, 1/2)
+    val rows = (0 until 20).map(i => ("u", i, if (i % 2 == 0) "a" else "b"))
+    val out = Stats.markovStationary(rows.toDF("u", "t", "s"),
+        Seq("u"), Seq("t"), "s", rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") == 500000000000L && out("b") == 500000000000L)
+  }
+
+  test("markovStationary: absorbing-ish bias shifts mass to the sticky state") {
+    // a→a (3x), a→b (1x), b→a (1x): π(a) should dominate
+    val seq = "a a a a b a a a a b a a a a b a".split(" ").zipWithIndex
+      .map { case (s, i) => ("u", i, s) }.toSeq
+    val out = Stats.markovStationary(seq.toDF("u", "t", "s"),
+        Seq("u"), Seq("t"), "s", rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") > 3 * out("b"))
+  }
+
+  test("hurstRs: a deterministic trend scores H near 1") {
+    // strictly increasing series: R grows ~linearly with m → H ≈ 1
+    val rows = (0 until 96).map(i => ("u", i, i.toDouble))
+    val r = one(Stats.hurstRs(rows.toDF("u", "t", "v"),
+      Seq("u"), Seq("t"), "v"))
+    assert(r.getLong(r.fieldIndex("n_points")) == 3L)
+    val h = r.getDouble(r.fieldIndex("hurst"))
+    assert(h > 0.9 && h < 1.1, s"hurst=$h")
+  }
+
+  test("hurstRs: an alternating series scores H near 0") {
+    val rows = (0 until 96).map(i => ("u", i, if (i % 2 == 0) 1.0 else 0.0))
+    val r = one(Stats.hurstRs(rows.toDF("u", "t", "v"),
+      Seq("u"), Seq("t"), "v"))
+    val h = r.getDouble(r.fieldIndex("hurst"))
+    assert(h < 0.2, s"hurst=$h")
+  }
 }
