@@ -1304,6 +1304,57 @@ object ExtQueries {
         .orderBy(col("user_id"))
     },
 
+    // Full Damerau-Levenshtein (native codegen kernel, bit-pinned to
+    // DuckDB) over brand-blocked part-name pairs — the fuzzy-match
+    // scorer for record linkage.
+    "q341_damerau" -> { (s, dir) =>
+      val p = t(s, dir, "part")
+        .filter(col("p_partkey") <= 300)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      val a = p.select(col("p_partkey").as("key_a"),
+        col("p_name").as("__na"), col("p_brand").as("__b"))
+      val b = p.select(col("p_partkey").as("key_b"),
+        col("p_name").as("__nb"), col("p_brand").as("__b"))
+      a.join(b, Seq("__b")).filter(col("key_a") < col("key_b"))
+        .selectExpr("key_a", "key_b",
+          "CAST(graft_damerau_levenshtein(__na, __nb) AS BIGINT) AS dl")
+        .filter(col("dl") <= 12)
+        .orderBy(col("key_a"), col("key_b"))
+    },
+
+    // Heaps' law vocabulary-growth fit over documents — is the corpus
+    // still minting new types at the natural-language rate?
+    "q342_heaps" -> { (s, dir) =>
+      graft.llm.TextStats.heapsLaw(t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // Corpus vocabulary statistics: TTR, hapax/dis legomena — the
+    // Zipf-tail health readout.
+    "q343_vocab" -> { (s, dir) =>
+      graft.llm.TextStats.vocabularyStats(t(s, dir, "documents"), "text")
+    },
+
+    // Two-sample Cramér-von Mises: click vs purchase value
+    // distributions compared over their WHOLE shape.
+    "q344_cvm" -> { (s, dir) =>
+      Stats.cramerVonMises(t(s, dir, "events"), "value", "event_type",
+        "click", "purchase")
+    },
+
+    // Entropy rate of the per-user event_type Markov chain — session
+    // predictability in nats.
+    "q345_markov_entropy" -> { (s, dir) =>
+      Stats.markovEntropyRate(t(s, dir, "events"), Seq("user_id"),
+        Seq("ts", "event_id"), "event_type", rounds = 3)
+    },
+
+    // Fano factor of hourly event arrivals per type — which streams are
+    // bursty vs Poisson-like?
+    "q346_fano" -> { (s, dir) =>
+      Stats.fanoFactor(t(s, dir, "events"), "ts", "event_type")
+        .orderBy(col("category"))
+    },
+
     // HITS hubs/authorities on the DIRECTED customer→supplier trading
     // graph (q149's edge set, one direction): which customers spread
     // orders across the best-connected suppliers? Fixed-point BIGINT
@@ -5519,6 +5570,173 @@ object ExtQueries {
            CASE WHEN n * sxx - sx * sx > 0.0
                 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS hurst
          FROM ag ORDER BY user_id""",
+
+    // mirrors q341: DuckDB's damerau_levenshtein IS the pinned kernel
+    // (full Lowrance-Wagner DL — probed CA/ABC→2).
+    "q341_damerau" ->
+      """WITH p AS (SELECT p_partkey, p_name, p_brand FROM part
+           WHERE p_partkey <= 300)
+         SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS dl
+         FROM p a JOIN p b
+           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         WHERE damerau_levenshtein(a.p_name, b.p_name) <= 12
+         ORDER BY key_a, key_b""",
+
+    // mirrors TextStats.heapsLaw: 60-bit token hashes, first-occurrence
+    // min per type, running N/V in doc-id order, zipf-convention OLS.
+    "q342_heaps" ->
+      s"""WITH d AS (SELECT doc_id, string_split(
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+           FROM documents),
+         tk AS (SELECT doc_id, unnest(w) AS tok FROM d),
+         th AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+           FROM tk),
+         fo AS (SELECT h, MIN(doc_id) AS fid FROM th GROUP BY 1),
+         nt AS (SELECT fid, CAST(COUNT(*) AS BIGINT) AS nv FROM fo GROUP BY 1),
+         pd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS ntok FROM d),
+         p0 AS (SELECT p.doc_id, p.ntok, COALESCE(n.nv, 0) AS nv
+           FROM pd p LEFT JOIN nt n ON p.doc_id = n.fid),
+         p1 AS (SELECT doc_id,
+             SUM(ntok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS nn,
+             SUM(nv) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS vv
+           FROM p0),
+         pts AS (SELECT nn, vv, ln(CAST(nn AS DOUBLE)) AS x,
+             ln(CAST(vv AS DOUBLE)) AS y
+           FROM p1 WHERE nn > 0 AND vv > 0),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(MAX(nn) AS BIGINT) AS total_tokens,
+             CAST(MAX(vv) AS BIGINT) AS vocab,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sx,
+             CAST(SUM(CAST(FLOOR(y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sy,
+             CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxx,
+             CAST(SUM(CAST(FLOOR(x * y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxy
+           FROM pts)
+         SELECT n_docs, total_tokens, vocab,
+           CASE WHEN n * sxx - sx * sx > 0.0
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS beta,
+           CASE WHEN n * sxx - sx * sx > 0.0
+                THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                  * sx) / n END AS ln_k
+         FROM m""",
+
+    // mirrors TextStats.vocabularyStats: one keyed count over 60-bit
+    // token hashes, exact hapax/dis tallies, guarded ratios.
+    "q343_vocab" ->
+      s"""WITH d AS (SELECT string_split(
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+           FROM documents),
+         tk AS (SELECT unnest(w) AS tok FROM d),
+         th AS (SELECT CAST(concat('0x', substr(md5(tok), 1, 15))
+             AS BIGINT) AS h FROM tk),
+         tc AS (SELECT h, COUNT(*) AS c FROM th GROUP BY 1)
+         SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS hapax,
+           CAST(COUNT(CASE WHEN c = 2 THEN 1 END) AS BIGINT) AS dis_legomena,
+           CASE WHEN COALESCE(SUM(c), 0) <> 0
+                THEN CAST(COUNT(*) AS DOUBLE)
+                  / CAST(COALESCE(SUM(c), 0) AS DOUBLE) END AS ttr,
+           CASE WHEN COUNT(*) <> 0
+                THEN CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) END AS hapax_ratio
+         FROM tc""",
+
+    // mirrors Stats.cramerVonMises: per-distinct-value group counts,
+    // exact HUGEINT cumulative-gap terms, one pinned final division.
+    "q344_cvm" ->
+      """WITH f AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE event_type IN ('click', 'purchase')
+             AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+         bv AS (SELECT x, COUNT(CASE WHEN g = 'click' THEN 1 END) AS c1,
+             COUNT(CASE WHEN g = 'purchase' THEN 1 END) AS c2
+           FROM f GROUP BY 1),
+         cum AS (SELECT c1, c2,
+             SUM(c1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS a1,
+             SUM(c2) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS a2
+           FROM bv),
+         tot AS (SELECT COUNT(CASE WHEN g = 'click' THEN 1 END) AS n,
+             COUNT(CASE WHEN g = 'purchase' THEN 1 END) AS m
+           FROM f),
+         tm AS (SELECT t.n, t.m,
+             CAST(c1 + c2 AS HUGEINT) * (a1 * t.m - a2 * t.n)
+               * (a1 * t.m - a2 * t.n) AS term
+           FROM cum, tot t),
+         s AS (SELECT n, m, SUM(term) AS t FROM tm GROUP BY 1, 2)
+         SELECT CAST(n AS BIGINT) AS n1, CAST(m AS BIGINT) AS n2,
+           CAST(t AS DOUBLE)
+             / (((CAST(n + m AS DOUBLE) * CAST(n + m AS DOUBLE))
+               * CAST(n AS DOUBLE)) * CAST(m AS DOUBLE)) AS t_stat
+         FROM s""",
+
+    // mirrors Stats.markovEntropyRate: the q338 unrolled stationary
+    // replay joined back onto the transition matrix, floor-scaled
+    // weighted -p·ln p sum.
+    "q345_markov_entropy" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""f$r AS (SELECT t.dst, SUM(CAST(p.pi AS HUGEINT) * t.n // t.tot)
+             AS s
+           FROM tr t JOIN p${r - 1} p ON t.src = p.state GROUP BY 1),
+         f${r}k AS (SELECT f.dst, f.s FROM f$r f JOIN st ON f.dst = st.src),
+         p$r AS (SELECT dst AS state,
+             CAST(s * 1000000000000 // (SELECT SUM(s) FROM f${r}k)
+               AS BIGINT) AS pi
+           FROM f${r}k)"""
+      }.mkString(",\n         ")
+      s"""WITH seq AS (SELECT user_id, ts, event_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+           FROM events WHERE event_type IS NOT NULL),
+         tr0 AS (SELECT CAST(event_type AS VARCHAR) AS src,
+             CAST(nxt AS VARCHAR) AS dst, CAST(COUNT(*) AS BIGINT) AS n
+           FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         st AS (SELECT src, CAST(SUM(n) AS BIGINT) AS tot
+           FROM tr0 GROUP BY 1),
+         tr AS (SELECT t.src, t.dst, t.n, s.tot
+           FROM tr0 t JOIN st s USING (src)),
+         p0 AS (SELECT src AS state,
+             CAST(1000000000000 // (SELECT COUNT(*) FROM st) AS BIGINT)
+               AS pi
+           FROM st),
+         $rounds,
+         terms AS (SELECT p.state,
+             CAST(p.pi AS DOUBLE) / 1000000000000.0
+               * (CAST(t.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+               * ln(CAST(t.n AS DOUBLE) / CAST(t.tot AS DOUBLE)) AS term
+           FROM tr t JOIN p3 p ON t.src = p.state)
+         SELECT CAST(COUNT(DISTINCT state) AS BIGINT) AS n_states,
+           -(CAST(SUM(CAST(FLOOR(term * 1000000000.0) AS DECIMAL(38,0)))
+             AS DOUBLE) / 1000000000.0) AS entropy_rate
+         FROM terms"""
+    },
+
+    // mirrors Stats.fanoFactor: observed-hour grid × categories, zero
+    // fill, exact count sums, pinned mean/variance divisions.
+    "q346_fano" ->
+      """WITH b AS (SELECT CAST(event_type AS VARCHAR) AS cat,
+             date_trunc('hour', ts) AS bk
+           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+         grid AS (SELECT bk, cat
+           FROM (SELECT DISTINCT bk FROM b) h, (SELECT DISTINCT cat FROM b) t),
+         cts AS (SELECT cat, bk, COUNT(*) AS c FROM b GROUP BY 1, 2),
+         fl AS (SELECT g.cat, COALESCE(c.c, 0) AS c
+           FROM grid g LEFT JOIN cts c ON g.cat = c.cat AND g.bk = c.bk),
+         ag AS (SELECT cat, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(c) AS DOUBLE) AS s,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS ss
+           FROM fl GROUP BY 1)
+         SELECT cat AS category, n_buckets, s / nd AS mean_per_bucket,
+           CASE WHEN s / nd > 0.0
+                THEN (ss / nd - (s / nd) * (s / nd)) / (s / nd) END AS fano
+         FROM ag ORDER BY category""",
 
     // mirrors Stats.segmentedTrend: the q294 argmax replay + per-segment
     // OLS from exact integer position sums and floor-scaled value sums.

@@ -85,8 +85,80 @@ object StringSim {
     override def prettyName: String = "graft_jaro_winkler"
   }
 
-  /** Register `graft_jaro_winkler(a, b)` on the session. */
-  def register(spark: SparkSession): Unit =
+  /** FULL Damerau-Levenshtein distance (Lowrance-Wagner 1975 — the
+    * unrestricted variant with the last-occurrence dictionary, where a
+    * transposed pair may be edited again: DL("CA","ABC") = 2, not OSA's
+    * 3). Bit-pinned to DuckDB's `damerau_levenshtein` (probed: CA/ABC→2,
+    * ab/ba→1, abc/ca→2). Operates on UTF-8 BYTES — exact for ASCII
+    * columns (all shipped test data); multi-byte code points count per
+    * byte, same trade-off `levenshtein`-family kernels make when pinned
+    * across engines. O(l1·l2) time and memory per pair: run it on
+    * bounded candidate pairs (LSH/blocking survivors), never all-pairs. */
+  def damerauLevenshtein(a: UTF8String, b: UTF8String): Int = {
+    val s1 = a.getBytes; val s2 = b.getBytes
+    val l1 = s1.length; val l2 = s2.length
+    if (l1 == 0) return l2
+    if (l2 == 0) return l1
+    val inf = l1 + l2
+    val w = l2 + 2
+    val d = new Array[Int]((l1 + 2) * w)
+    d(0) = inf
+    var i = 0
+    while (i <= l1) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }
+    var j = 0
+    while (j <= l2) { d(j + 1) = inf; d(w + j + 1) = j; j += 1 }
+    val da = new Array[Int](256)
+    i = 1
+    while (i <= l1) {
+      var db = 0
+      j = 1
+      while (j <= l2) {
+        val k = da(s2(j - 1) & 0xff)
+        val l = db
+        var cost = 1
+        if (s1(i - 1) == s2(j - 1)) { cost = 0; db = j }
+        val subst = d(i * w + j) + cost
+        val ins = d((i + 1) * w + j) + 1
+        val del = d(i * w + j + 1) + 1
+        val trans = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
+        var m = subst
+        if (ins < m) m = ins
+        if (del < m) m = del
+        if (trans < m) m = trans
+        d((i + 1) * w + j + 1) = m
+        j += 1
+      }
+      da(s1(i - 1) & 0xff) = i
+      i += 1
+    }
+    d((l1 + 1) * w + l2 + 1)
+  }
+
+  case class DamerauLevenshtein(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == StringType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"damerau_levenshtein needs two strings, got (${left.dataType}, ${right.dataType})")
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      damerauLevenshtein(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.StringSim.damerauLevenshtein($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): DamerauLevenshtein = copy(left = l, right = r)
+    override def prettyName: String = "graft_damerau_levenshtein"
+  }
+
+  /** Register `graft_jaro_winkler(a, b)` and
+    * `graft_damerau_levenshtein(a, b)` on the session. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaro_winkler", es => JaroWinkler(es(0), es(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_damerau_levenshtein",
+      es => DamerauLevenshtein(es(0), es(1)), "scala_udf")
+  }
 }

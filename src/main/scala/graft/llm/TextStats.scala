@@ -821,6 +821,72 @@ object TextStats {
     }.reduce(_.unionByName(_))
   }
 
+  /** HEAPS' LAW fit — vocabulary growth V(N) ≈ k·N^β over the corpus in
+    * doc-id order (β ≈ 0.4–0.6 for natural language; a β near 1 means
+    * the corpus never stops minting new types — boilerplate/IDs; near 0
+    * means heavy repetition). The vocabulary-growth curve is computed
+    * WITHOUT any per-prefix distinct scan: each type's FIRST-OCCURRENCE
+    * doc is one keyed min over 60-bit token hashes, and V(N) is then a
+    * running sum of per-doc new-type counts — the same corpus-sized
+    * shuffle [[distinctNgramDiversity]] pays, once. The growth points
+    * and the log-log OLS (zipf-slope floor-sum convention) live on the
+    * O(docs) frame; its unpartitioned windows never see token-level
+    * data. Returns one row (n_docs, total_tokens, vocab, beta, ln_k). */
+  def heapsLaw(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).cast(LongType).as("__id"),
+      explode(transform(TextDedup.tokens(col(textCol)),
+        t => TextDedup.h60(t))).as("__h"))
+    val newTypes = toks.groupBy(col("__h")).agg(min(col("__id")).as("__fid"))
+      .groupBy(col("__fid")).agg(count(lit(1)).as("__nv"))
+    val perDoc = df.select(col(idCol).cast(LongType).as("__id"),
+      size(TextDedup.tokens(col(textCol))).cast(LongType).as("__nt"))
+    val w = Window.orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = perDoc
+      .join(newTypes, col("__id") === col("__fid"), "left")
+      .select(col("__id"), col("__nt"),
+        coalesce(col("__nv"), lit(0L)).as("__nv"))
+      .withColumn("__N", sum(col("__nt")).over(w))
+      .withColumn("__V", sum(col("__nv")).over(w))
+      .filter(col("__N") > 0L && col("__V") > 0L)
+      .withColumn("__x", log(col("__N").cast(DoubleType)))
+      .withColumn("__y", log(col("__V").cast(DoubleType)))
+    val fs6 = (c: Column) => graft.ops.Reductions.isum(c, 6)
+    val n = count(lit(1)).cast(DoubleType)
+    val sx = fs6(col("__x")); val sy = fs6(col("__y"))
+    val sxx = fs6(col("__x") * col("__x"))
+    val sxy = fs6(col("__x") * col("__y"))
+    pts.agg(count(lit(1)).as("n_docs"),
+        max(col("__N")).as("total_tokens"), max(col("__V")).as("vocab"),
+        when(n * sxx - sx * sx > 0.0,
+          (n * sxy - sx * sy) / (n * sxx - sx * sx)).as("beta"),
+        when(n * sxx - sx * sx > 0.0,
+          (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+          .as("ln_k"))
+  }
+
+  /** CORPUS VOCABULARY STATS — total tokens, exact vocabulary size,
+    * hapax/dis legomena counts (types occurring exactly once/twice),
+    * type-token ratio and hapax ratio: the Zipf-tail health readout
+    * (a high hapax share with healthy TTR is natural text; a collapsed
+    * one is template spam). One explode over 60-bit token hashes + one
+    * keyed count + one global fold — the q337 shuffle shape. */
+  def vocabularyStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(transform(TextDedup.tokens(col(textCol)),
+        t => TextDedup.h60(t))).as("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        count(when(col("__c") === 1L, 1)).as("hapax"),
+        count(when(col("__c") === 2L, 1)).as("dis_legomena"))
+      .select(col("n_tokens"), col("vocab"), col("hapax"),
+        col("dis_legomena"),
+        when(col("n_tokens") =!= 0L, col("vocab").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)).as("ttr"),
+        when(col("vocab") =!= 0L, col("hapax").cast(DoubleType) /
+          col("vocab").cast(DoubleType)).as("hapax_ratio"))
+
   /** SCHLEIMER ET AL. WINNOWING fingerprints (the MOSS algorithm; cf.
     * reference text-dedup tooling): hash every k-gram, slide a window of
     * w consecutive hashes, and in each window select the MINIMUM hash —

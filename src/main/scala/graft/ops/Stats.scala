@@ -2687,6 +2687,117 @@ object Stats {
     out
   }
 
+  /** TWO-SAMPLE CRAMÉR-VON MISES statistic — the whole-distribution
+    * companion to [[ksTest]] (which sees only the single largest ECDF
+    * gap) and Mann-Whitney (location only):
+    *   T = Σ_z mult(z)·(n·m·(F(z)−G(z)))² / (N²·n·m),
+    * summed over the pooled observations. Everything inside the sum is
+    * EXACT integer arithmetic: per-distinct-value group counts, running
+    * cumulative counts c1/c2, diff = c1·m − c2·n (the scaled ECDF gap),
+    * and mult·diff² accumulated in DECIMAL(38,0) — the float appears
+    * only in the one final division, with the denominator's IEEE
+    * product order pinned. The unpartitioned cumulative window runs on
+    * the O(distinct values) frame. Returns (n1, n2, t_stat). */
+  def cramerVonMises(df: DataFrame, valueCol: String, groupCol: String,
+                     a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast(DoubleType)
+    val f = df.filter(col(groupCol).isin(a, b) && v.isNotNull && !isnan(v))
+      .select(col(groupCol).cast(StringType).as("__g"), v.as("__x"))
+    val byVal = f.groupBy(col("__x"))
+      .agg(count(when(col("__g") === a, 1)).as("__c1"),
+        count(when(col("__g") === b, 1)).as("__c2"))
+    val w = Window.orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = f.agg(count(when(col("__g") === a, 1)).as("__n"),
+      count(when(col("__g") === b, 1)).as("__m"))
+    val terms = byVal
+      .withColumn("__a1", sum(col("__c1")).over(w))
+      .withColumn("__a2", sum(col("__c2")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("__diff",
+        (col("__a1") * col("__m") - col("__a2") * col("__n"))
+          .cast(DecimalType(38, 0)))
+      .withColumn("__term", (col("__c1") + col("__c2"))
+        .cast(DecimalType(38, 0)) * col("__diff") * col("__diff"))
+    val out = terms.groupBy(col("__n"), col("__m"))
+      .agg(sum(col("__term")).as("__t"))
+      .select(col("__n").as("n1"), col("__m").as("n2"),
+        (col("__t").cast(DoubleType) /
+          (((col("__n") + col("__m")).cast(DoubleType) *
+            (col("__n") + col("__m")).cast(DoubleType) *
+            col("__n").cast(DoubleType)) * col("__m").cast(DoubleType)))
+          .as("t_stat"))
+    materializeSmall(out, 1, "one-row Cramér-von Mises")
+  }
+
+  /** MARKOV-CHAIN ENTROPY RATE in nats — how predictable is the next
+    * state given the current one, weighted by where the chain actually
+    * lives: H = −Σ_i (π_i/10¹²)·Σ_j p_ij·ln p_ij with π from
+    * [[markovStationary]] (same keyed sequences, same rounds) and
+    * p_ij = n_ij/n_i from the exact transition counts. The per-edge
+    * doubles are fixed functions of exact integers; their sum is
+    * floor-scaled (1e9). One extra O(|states|²) join over the
+    * stationary run — the data-sized work is [[markovStationary]]'s one
+    * lead() pass (paid twice here; both passes are one shuffle each).
+    * Returns one row (n_states, entropy_rate). */
+  def markovEntropyRate(df: DataFrame, keyCols: Seq[String],
+                        orderCols: Seq[String], stateCol: String,
+                        rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pi = markovStationary(df, keyCols, orderCols, stateCol, rounds)
+    val ord = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val trans0 = df.filter(col(stateCol).isNotNull)
+      .withColumn("__nxt", lead(col(stateCol), 1).over(ord))
+      .filter(col("__nxt").isNotNull)
+      .groupBy(col(stateCol).cast(StringType).as("src"),
+        col("__nxt").cast(StringType).as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val trans = trans0.join(
+      trans0.groupBy(col("src")).agg(sum(col("n")).as("tot")), "src")
+    val p = col("n").cast(DoubleType) / col("tot").cast(DoubleType)
+    val term = col("pi").cast(DoubleType) / lit(1e12) * p * log(p)
+    val out = trans.join(pi, trans("src") === pi("state"))
+      .agg(countDistinct(col("state")).as("n_states"),
+        (-fs(term, 9)).as("entropy_rate"))
+    materializeSmall(out, 1, "one-row entropy rate")
+  }
+
+  /** FANO FACTOR (burstiness index) per category over fixed time
+    * buckets: F = Var(count)/Mean(count) across buckets — 1 for a
+    * Poisson arrival process, ≫1 for bursty traffic, <1 for regular.
+    * The bucket grid is the set of buckets where ANY event occurred
+    * (empty-in-between buckets count as zero for every category via a
+    * grid cross-join — O(buckets·categories), both bounded), so a
+    * category silent during another's burst is correctly penalized.
+    * All sums exact (counts BIGINT, squares via DECIMAL); the two
+    * divisions replay in pinned order. Returns
+    * (category, n_buckets, mean_per_bucket, fano). */
+  def fanoFactor(df: DataFrame, tsCol: String, catCol: String,
+                 bucket: String = "hour"): DataFrame = {
+    val b = df.filter(col(catCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(catCol).cast(StringType).as("__cat"),
+        date_trunc(bucket, col(tsCol)).as("__b"))
+    val grid = b.select(col("__b")).distinct()
+      .crossJoin(b.select(col("__cat")).distinct())
+    val counts = b.groupBy(col("__cat"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val nD = count(lit(1)).cast(DoubleType)
+    grid.join(counts, Seq("__cat", "__b"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+      .groupBy(col("__cat"))
+      .agg(count(lit(1)).as("n_buckets"),
+        (sum(col("__c")).cast(DoubleType) / nD).as("__mean"),
+        (sum((col("__c").cast(DecimalType(38, 0)) * col("__c")))
+          .cast(DoubleType) / nD).as("__m2"))
+      .select(col("__cat").as("category"), col("n_buckets"),
+        col("__mean").as("mean_per_bucket"),
+        when(col("__mean") > 0.0,
+          (col("__m2") - col("__mean") * col("__mean")) / col("__mean"))
+          .as("fano"))
+  }
+
   /** HURST EXPONENT via R/S ANALYSIS per key (Hurst 1951; the
     * long-range-dependence diagnostic — H > 0.5 trending, < 0.5 mean-
     * reverting): for each chunk size m, split the ordered series into

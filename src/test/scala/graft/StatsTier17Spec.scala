@@ -306,4 +306,97 @@ class StatsTier17Spec extends SparkSuite {
     val h = r.getDouble(r.fieldIndex("hurst"))
     assert(h < 0.2, s"hurst=$h")
   }
+
+  test("damerauLevenshtein: full DL (transposed pair editable again)") {
+    import graft.functions.StringSim.damerauLevenshtein
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(damerauLevenshtein(u("CA"), u("ABC")) == 2)   // OSA would say 3
+    assert(damerauLevenshtein(u("ab"), u("ba")) == 1)
+    assert(damerauLevenshtein(u("abc"), u("ca")) == 2)
+    assert(damerauLevenshtein(u("specter"), u("spectre")) == 1)
+    assert(damerauLevenshtein(u("a cat"), u("an act")) == 2)
+    assert(damerauLevenshtein(u(""), u("abc")) == 3)
+    assert(damerauLevenshtein(u("kitten"), u("sitting")) == 3)
+    assert(damerauLevenshtein(u("same"), u("same")) == 0)
+  }
+
+  test("damerauLevenshtein: registered expression runs inside a plan") {
+    graft.functions.StringSim.register(spark)
+    val r = Seq(("ab", "ba"), ("kitten", "sitting")).toDF("a", "b")
+      .selectExpr("graft_damerau_levenshtein(a, b) AS d")
+      .collect().map(_.getInt(0))
+    assert(r.toSeq == Seq(1, 3))
+  }
+
+  test("heapsLaw: a vocabulary-saturating corpus has beta near 0") {
+    // same 5 tokens repeated: V flat after doc 1 → tiny slope
+    val df = (1 to 20).map(i => (i.toLong, "a b c d e")).toDF("id", "text")
+    val r = one(graft.llm.TextStats.heapsLaw(df, "id", "text"))
+    assert(r.getLong(r.fieldIndex("vocab")) == 5L)
+    assert(r.getLong(r.fieldIndex("total_tokens")) == 100L)
+    assert(math.abs(r.getDouble(r.fieldIndex("beta"))) < 0.1)
+  }
+
+  test("heapsLaw: an all-new-types corpus has beta = 1") {
+    val df = (1 to 20).map(i =>
+      (i.toLong, s"w${i}_1 w${i}_2 w${i}_3")).toDF("id", "text")
+    val r = one(graft.llm.TextStats.heapsLaw(df, "id", "text"))
+    assert(math.abs(r.getDouble(r.fieldIndex("beta")) - 1.0) < 1e-6)
+  }
+
+  test("vocabularyStats: hapax/dis tallies and ratios") {
+    val df = Seq("a a a b b c", "d c").toDF("text")
+    val r = one(graft.llm.TextStats.vocabularyStats(df, "text"))
+    assert(r.getLong(r.fieldIndex("n_tokens")) == 8L)
+    assert(r.getLong(r.fieldIndex("vocab")) == 4L)
+    assert(r.getLong(r.fieldIndex("hapax")) == 1L)        // d
+    assert(r.getLong(r.fieldIndex("dis_legomena")) == 2L) // b, c
+    assert(math.abs(r.getDouble(r.fieldIndex("ttr")) - 0.5) < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("hapax_ratio")) - 0.25) < 1e-12)
+  }
+
+  test("cramerVonMises: identical samples give T near its floor; shifted grow") {
+    val same = (1 to 50).flatMap(i =>
+      Seq(("a", i.toDouble), ("b", i.toDouble)))
+    val r1 = one(Stats.cramerVonMises(same.toDF("g", "v"), "v", "g", "a", "b"))
+    assert(r1.getDouble(r1.fieldIndex("t_stat")) == 0.0)
+    val shifted = (1 to 50).map(i => ("a", i.toDouble)) ++
+      (1 to 50).map(i => ("b", i + 40.0))
+    val r2 = one(Stats.cramerVonMises(shifted.toDF("g", "v"), "v", "g", "a", "b"))
+    assert(r2.getDouble(r2.fieldIndex("t_stat")) > 1.0)
+  }
+
+  test("markovEntropyRate: deterministic chain has zero entropy") {
+    val det = (0 until 30).map(i => ("u", i, if (i % 2 == 0) "a" else "b"))
+    val r = one(Stats.markovEntropyRate(det.toDF("u", "t", "s"),
+      Seq("u"), Seq("t"), "s"))
+    assert(r.getLong(r.fieldIndex("n_states")) == 2L)
+    assert(math.abs(r.getDouble(r.fieldIndex("entropy_rate"))) < 1e-8)
+  }
+
+  test("markovEntropyRate: uniform coin chain approaches ln 2") {
+    // a/b alternating in blocks so transitions are ~uniform from each
+    val seq = "a a b b a b a a b b a b a a b b a b a a b b a b".split(" ")
+      .zipWithIndex.map { case (s, i) => ("u", i, s) }.toSeq
+    val r = one(Stats.markovEntropyRate(seq.toDF("u", "t", "s"),
+      Seq("u"), Seq("t"), "s"))
+    val h = r.getDouble(r.fieldIndex("entropy_rate"))
+    assert(h > 0.5 && h <= math.log(2.0) + 1e-9, s"h=$h")
+  }
+
+  test("fanoFactor: constant-rate arrivals give F = 0, bursty F > 1") {
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(hour: Int, i: Int) = new java.sql.Timestamp(
+      base.getTime + hour * 3600000L + i * 1000L)
+    // "steady": 3 events every hour for 8 hours; "bursty": 24 in one hour
+    val steady = (0 until 8).flatMap(h => (0 until 3).map(i => ("s", at(h, i))))
+    val bursty = (0 until 24).map(i => ("b", at(3, i)))
+    val out = Stats.fanoFactor((steady ++ bursty).toDF("t", "ts"), "ts", "t")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = out("s")
+    assert(s.getLong(s.fieldIndex("n_buckets")) == 8L)
+    assert(s.getDouble(s.fieldIndex("fano")) == 0.0)
+    val b = out("b")
+    assert(b.getDouble(b.fieldIndex("fano")) > 1.0)
+  }
 }
