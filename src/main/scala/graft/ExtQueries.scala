@@ -1355,6 +1355,22 @@ object ExtQueries {
         .orderBy(col("category"))
     },
 
+    // The portable k-means quantizer (q61's fit) exposed as a standalone
+    // clustering readout: sizes + leading centroid coordinates.
+    "q347_kmeans" -> { (s, dir) =>
+      graft.llm.Similarity.kmeansClusters(t(s, dir, "embeddings"),
+          nCentroids = 8, iters = 2)
+        .orderBy(col("centroid"))
+    },
+
+    // Simplified silhouette of the q347 model — the O(n·k) clustering
+    // quality readout.
+    "q348_silhouette" -> { (s, dir) =>
+      graft.llm.Similarity.kmeansSilhouette(t(s, dir, "embeddings"),
+          nCentroids = 8, iters = 2)
+        .orderBy(col("cluster"))
+    },
+
     // HITS hubs/authorities on the DIRECTED customer→supplier trading
     // graph (q149's edge set, one direction): which customers spread
     // orders across the best-connected suppliers? Fixed-point BIGINT
@@ -5737,6 +5753,43 @@ object ExtQueries {
            CASE WHEN s / nd > 0.0
                 THEN (ss / nd - (s / nd) * (s / nd)) / (s / nd) END AS fano
          FROM ag ORDER BY category""",
+
+    // mirrors Similarity.kmeansClusters: the q61 kmeansCtes replay (same
+    // md5 seeding, argmin, exact means), sizes from the full-corpus
+    // assignment, leading centroid coordinates.
+    "q347_kmeans" -> {
+      s"""WITH ${kmeansCtes(8, 2, 64, None)},
+         cnt AS (SELECT centroid, CAST(COUNT(*) AS BIGINT) AS n_points
+           FROM ca GROUP BY 1)
+         SELECT CAST(c.centroid AS INTEGER) AS centroid,
+           COALESCE(t.n_points, 0) AS n_points,
+           c.cent[1] AS c1, c.cent[2] AS c2, c.cent[3] AS c3, c.cent[4] AS c4
+         FROM c2 c LEFT JOIN cnt t USING (centroid)
+         ORDER BY centroid"""
+    },
+
+    // mirrors Similarity.kmeansSilhouette: one more assignment against
+    // the final centroids keeping ranks 1 AND 2 — a/b are the nearest /
+    // second-nearest distances; floor-scaled cluster means.
+    "q348_silhouette" -> {
+      s"""WITH ${kmeansCtes(8, 2, 64, None)},
+         d4 AS (SELECT v.id, c.centroid AS cid,
+             ${sqDistSql("v.emb", "c.cent")} AS d
+           FROM v, c2 c),
+         a4 AS (SELECT *, row_number() OVER (PARTITION BY id
+             ORDER BY d, cid) AS rn FROM d4),
+         pts AS (SELECT a1.id, a1.cid AS cl, sqrt(a1.d) AS a, sqrt(a2.d) AS b
+           FROM (SELECT * FROM a4 WHERE rn = 1) a1
+           JOIN (SELECT * FROM a4 WHERE rn = 2) a2 USING (id)),
+         sil AS (SELECT cl, CASE WHEN greatest(a, b) > 0.0
+             THEN (b - a) / greatest(a, b) ELSE 0.0 END AS s FROM pts)
+         SELECT CAST(cl AS INTEGER) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CAST(FLOOR(s * 1000000.0) AS DECIMAL(38,0)))
+             AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)
+             AS mean_silhouette
+         FROM sil GROUP BY 1 ORDER BY cluster"""
+    },
 
     // mirrors Stats.segmentedTrend: the q294 argmax replay + per-segment
     // OLS from exact integer position sums and floor-scaled value sums.

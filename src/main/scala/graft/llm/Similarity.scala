@@ -908,4 +908,73 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("adc_cosine"),
         col("rank").cast("int").as("rank"))
   }
+
+  /** STANDALONE CLUSTER READOUT of [[kmeansPortable]] — the quantizer
+    * exposed as a user-facing clustering operator: fit, assign the full
+    * corpus through the codegen argmin kernel (one scan, zero joins —
+    * centroids ride as literals), and report each cluster's size plus its
+    * first `headDims` centroid coordinates (the full vector stays in the
+    * fitted model; a 64-double column would only defeat the oracle's
+    * column compare). Empty clusters report n_points = 0 with their
+    * carried centroid. Returns (centroid, n_points, c1..c{headDims}). */
+  def kmeansClusters(df: DataFrame, nCentroids: Int, iters: Int,
+                     idCol: String = "vec_id", embCol: String = "embedding",
+                     headDims: Int = 4): DataFrame = {
+    require(headDims >= 1, s"headDims=$headDims")
+    val spark = df.sparkSession
+    val cents = kmeansPortable(df, nCentroids, iters, idCol, embCol)
+    val counts = df
+      .select(col(embCol).cast("array<double>").as("emb"))
+      .withColumn("centroid", argminCentroidKernel(spark, col("emb"), cents))
+      .groupBy(col("centroid")).agg(count(lit(1)).as("n_points"))
+    val centRows = cents.sortBy(_._1).map { case (ci, arr) =>
+      org.apache.spark.sql.Row.fromSeq(ci +: arr.take(headDims).toSeq) }
+    val schema = StructType(
+      StructField("centroid", IntegerType, nullable = false) +:
+        (1 to headDims).map(i => StructField(s"c$i", DoubleType,
+          nullable = true)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(centRows, 1), schema)
+      .join(counts, Seq("centroid"), "left")
+      .select(col("centroid") +:
+        coalesce(col("n_points"), lit(0L)).as("n_points") +:
+        (1 to headDims).map(i => col(s"c$i")): _*)
+  }
+
+  /** SIMPLIFIED SILHOUETTE of the [[kmeansPortable]] model: per point
+    * a = distance to its nearest centroid, b = to the second-nearest,
+    * s = (b−a)/max(a,b) (0 when both are 0) — the O(n·k) clustering
+    * quality readout (the exact silhouette's O(n²) pairwise pass has no
+    * place at corpus scale; the simplified form is the standard
+    * substitute). One assignment-shaped scan: per-centroid distances via
+    * the same ordered [[sqDist]] fold the fit uses, sorted as (d, cid)
+    * structs so a/b are elements 1 and 2 and ties replay the fit's
+    * lower-centroid rule. Cluster means are floor-scaled exact sums.
+    * Returns (cluster, n_points, mean_silhouette). */
+  def kmeansSilhouette(df: DataFrame, nCentroids: Int, iters: Int,
+                       idCol: String = "vec_id",
+                       embCol: String = "embedding"): DataFrame = {
+    require(nCentroids >= 2, "silhouette needs k >= 2")
+    val cents = kmeansPortable(df, nCentroids, iters, idCol, embCol)
+      .sortBy(_._1)
+    val mat = typedLit(cents.map(_._2.toSeq))
+    val e = df.select(col(embCol).cast("array<double>").as("__e"))
+    val structs = cents.map { case (ci, _) =>
+      struct(sqDist(col("__e"), element_at(mat, ci + 1)).as("d"),
+        lit(ci).as("c"))
+    }
+    val sorted = array_sort(array(structs: _*))
+    val aa = sqrt(element_at(sorted, 1).getField("d"))
+    val bb = sqrt(element_at(sorted, 2).getField("d"))
+    val sil = when(greatest(aa, bb) > 0.0, (bb - aa) / greatest(aa, bb))
+      .otherwise(lit(0.0))
+    e.withColumn("__cid", element_at(sorted, 1).getField("c"))
+      .withColumn("__sil", sil)
+      .groupBy(col("__cid"))
+      .agg(count(lit(1)).as("n_points"),
+        (graft.ops.Reductions.isum(col("__sil"), 6) /
+          count(lit(1)).cast(DoubleType)).as("mean_silhouette"))
+      .select(col("__cid").as("cluster"), col("n_points"),
+        col("mean_silhouette"))
+  }
 }

@@ -593,6 +593,36 @@ class LlmOpsSpec extends SparkSuite {
     assert(diff == 0)
   }
 
+  test("kmeansClusters: sizes cover the corpus; coords come from the fit") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val out = Similarity.kmeansClusters(emb, 4, 2).collect()
+    assert(out.length == 4)
+    val total = out.map(r => r.getLong(r.fieldIndex("n_points"))).sum
+    assert(total == emb.count())
+    val cents = Similarity.kmeansPortable(emb, 4, 2).sortBy(_._1)
+    out.sortBy(_.getInt(0)).zip(cents).foreach { case (r, (_, arr)) =>
+      assert(r.getDouble(r.fieldIndex("c1")) == arr(0))
+      assert(r.getDouble(r.fieldIndex("c4")) == arr(3))
+    }
+  }
+
+  test("kmeansSilhouette: two tight separated blobs score near 1") {
+    val dim = 8
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 10.0
+      val jit = (i % 5) * 0.01
+      (i.toLong, Array.fill(dim)(base + jit).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansSilhouette(df, 2, 3, embCol = "embedding")
+      .collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      val s = r.getDouble(r.fieldIndex("mean_silhouette"))
+      assert(s > 0.95 && s <= 1.0, s"sil=$s")
+    }
+  }
+
   test("pq kernels == HOF executable spec bit-exactly") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val books = Similarity.pqTrainPortable(emb, 8, 16, 1)
