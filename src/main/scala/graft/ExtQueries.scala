@@ -1371,6 +1371,55 @@ object ExtQueries {
         .orderBy(col("cluster"))
     },
 
+    // Brown-Forsythe Levene test: are the per-event-type value variances
+    // equal? (the q175 ANOVA's own assumption, checked robustly).
+    "q349_levene" -> { (s, dir) =>
+      Stats.leveneTest(t(s, dir, "events"), "value", "event_type")
+    },
+
+    // Bartlett's test — the parametric variance-equality sibling.
+    "q350_bartlett" -> { (s, dir) =>
+      Stats.bartlettTest(t(s, dir, "events"), "value", "event_type")
+    },
+
+    // Bounded-hop BFS over the undirected trading graph from its
+    // smallest node: how much of the graph is within 3 hops?
+    "q351_bfs" -> { (s, dir) =>
+      val g = Graph.tradingPairsGraph(t(s, dir, "orders"),
+        t(s, dir, "lineitem"))
+      val src = g.agg(min(col("src").cast(LongType))).head.getLong(0)
+      Graph.bfsDistances(g, "src", "dst", Seq(src), maxHops = 3)
+        .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("dist"))
+    },
+
+    // Out-in degree assortativity of the directed customer→supplier
+    // trading graph — do busy buyers trade with busy suppliers?
+    "q352_assortativity" -> { (s, dir) =>
+      val pairs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.degreeAssortativity(pairs, "src", "dst")
+    },
+
+    // Reciprocity of the trade/return digraph: c→s for every trade edge,
+    // s→c where some line came back (l_returnflag = 'R') — what share of
+    // trading relationships saw a return?
+    "q353_reciprocity" -> { (s, dir) =>
+      val j = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("cnode"),
+          (col("l_suppkey") * 2 + 1).as("snode"), col("l_returnflag"))
+      val e = j.select(col("cnode").as("src"), col("snode").as("dst"))
+        .unionByName(j.filter(col("l_returnflag") === "R")
+          .select(col("snode").as("src"), col("cnode").as("dst")))
+      Graph.reciprocity(e, "src", "dst")
+    },
+
     // HITS hubs/authorities on the DIRECTED customer→supplier trading
     // graph (q149's edge set, one direction): which customers spread
     // orders across the best-connected suppliers? Fixed-point BIGINT
@@ -5790,6 +5839,155 @@ object ExtQueries {
              AS mean_silhouette
          FROM sil GROUP BY 1 ORDER BY cluster"""
     },
+
+    // mirrors Stats.leveneTest: exact interpolated group medians
+    // (quantile_cont, the q166 precedent), then the q175 ANOVA replay on
+    // z = |x - median|.
+    "q349_levene" ->
+      """WITH f0 AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE event_type IS NOT NULL
+             AND value IS NOT NULL AND NOT isnan(value)),
+         m AS (SELECT g, quantile_cont(x, 0.5) AS med FROM f0 GROUP BY 1),
+         f AS (SELECT f0.g, abs(f0.x - m.med) AS x FROM f0 JOIN m USING (g)),
+         pg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000.0 AS sx,
+             CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000.0 AS sxx
+           FROM f GROUP BY g),
+         pg2 AS (SELECT *, sx * sx / CAST(n AS DOUBLE) AS bt FROM pg),
+         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(sx * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000.0 AS s,
+             CAST(SUM(CAST(FLOOR(sxx * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000.0 AS sxx,
+             CAST(SUM(CAST(FLOOR(bt * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000000.0 AS bt
+           FROM pg2)
+         SELECT k, n,
+           bt - s * s / CAST(n AS DOUBLE) AS ssb,
+           sxx - bt AS ssw,
+           ((bt - s * s / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+             / ((sxx - bt) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f
+         FROM agg""",
+
+    // mirrors Stats.bartlettTest: per-group exact moments (HAVING n >= 2),
+    // floor-scaled ssw/ln/1-over sums on the O(k) frame, the pinned
+    // chi-square closed form.
+    "q350_bartlett" ->
+      """WITH f AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE event_type IS NOT NULL
+             AND value IS NOT NULL AND NOT isnan(value)),
+         pg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000.0 AS sx,
+             CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000.0 AS sxx
+           FROM f GROUP BY g HAVING COUNT(*) >= 2),
+         pv AS (SELECT *,
+             (sxx - sx * sx / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0) AS v
+           FROM pg),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR((sxx - sx * sx / CAST(n AS DOUBLE))
+               * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000000.0 AS ssw,
+             CAST(SUM(CAST(FLOOR((CASE WHEN v > 0.0
+                 THEN (CAST(n AS DOUBLE) - 1.0) * ln(v) ELSE 0.0 END)
+               * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000000.0 AS lnterm,
+             CAST(SUM(CAST(FLOOR((1.0 / (CAST(n AS DOUBLE) - 1.0))
+               * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1000000000.0 AS inv,
+             MIN(v) AS minv
+           FROM pv)
+         SELECT k, n,
+           CASE WHEN n > k THEN ssw
+             / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) END AS pooled_var,
+           CASE WHEN k > 1 AND n > k AND minv > 0.0 THEN
+             ((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+               * ln(ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) - lnterm)
+             / (1.0 + (inv - 1.0 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+               / (3.0 * (CAST(k AS DOUBLE) - 1.0)))
+           END AS chi2
+         FROM a""",
+
+    // mirrors Graph.bfsDistances on the symmetric trading graph: 3
+    // unrolled frontier rounds, anti-membership via NOT IN, hop counts.
+    "q351_bfs" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS cnode,
+             l_suppkey * 2 + 1 AS snode
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS (SELECT cnode AS src, snode AS dst FROM pairs
+               UNION ALL SELECT snode, cnode FROM pairs),
+         d0 AS (SELECT (SELECT MIN(src) FROM e) AS id, 0 AS dist),
+         n1 AS (SELECT DISTINCT e.dst AS id, 1 AS dist
+           FROM e JOIN d0 ON e.src = d0.id
+           WHERE e.dst NOT IN (SELECT id FROM d0)),
+         v1 AS (SELECT * FROM d0 UNION ALL SELECT * FROM n1),
+         n2 AS (SELECT DISTINCT e.dst AS id, 2 AS dist
+           FROM e JOIN n1 ON e.src = n1.id
+           WHERE e.dst NOT IN (SELECT id FROM v1)),
+         v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM n2),
+         n3 AS (SELECT DISTINCT e.dst AS id, 3 AS dist
+           FROM e JOIN n2 ON e.src = n2.id
+           WHERE e.dst NOT IN (SELECT id FROM v2)),
+         v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM n3)
+         SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         FROM v3 GROUP BY 1 ORDER BY 1""",
+
+    // mirrors Graph.degreeAssortativity: exact HUGEINT degree moments
+    // over edges, the pinned q150 Pearson order.
+    "q352_assortativity" ->
+      """WITH e AS (SELECT DISTINCT o_custkey * 2 AS src,
+             l_suppkey * 2 + 1 AS dst
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         xo AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS x FROM e GROUP BY 1),
+         yi AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS y FROM e GROUP BY 1),
+         j AS (SELECT x, y FROM e JOIN xo USING (src) JOIN yi USING (dst)),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+           FROM j)
+         SELECT n_edges,
+           CASE WHEN (CAST(n_edges AS DOUBLE) * sxx - sx * sx) > 0
+                 AND (CAST(n_edges AS DOUBLE) * syy - sy * sy) > 0
+                THEN (CAST(n_edges AS DOUBLE) * sxy - sx * sy)
+                  / (sqrt(CAST(n_edges AS DOUBLE) * sxx - sx * sx)
+                    * sqrt(CAST(n_edges AS DOUBLE) * syy - sy * sy))
+           END AS r
+         FROM a""",
+
+    // mirrors Graph.reciprocity on the trade/return digraph: distinct
+    // directed edges, reverse-edge EXISTS count, ratio + density.
+    "q353_reciprocity" ->
+      """WITH j AS (SELECT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode,
+             l_returnflag
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS (SELECT DISTINCT src, dst FROM (
+             SELECT cnode AS src, snode AS dst FROM j
+             UNION ALL SELECT snode, cnode FROM j WHERE l_returnflag = 'R') u
+           WHERE src <> dst),
+         rec AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM e
+           WHERE EXISTS (SELECT 1 FROM e e2
+                         WHERE e2.src = e.dst AND e2.dst = e.src)),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM
+           (SELECT src AS id FROM e UNION SELECT dst FROM e) t),
+         ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e)
+         SELECT nn.n AS n_nodes, ne.m AS n_edges, rec.nr AS n_reciprocal,
+           CASE WHEN ne.m > 0 THEN CAST(rec.nr AS DOUBLE)
+             / CAST(ne.m AS DOUBLE) END AS reciprocity,
+           CASE WHEN nn.n > 1 THEN CAST(ne.m AS DOUBLE)
+             / (CAST(nn.n AS DOUBLE) * (CAST(nn.n AS DOUBLE) - 1.0))
+           END AS density
+         FROM nn, ne, rec""",
 
     // mirrors Stats.segmentedTrend: the q294 argmax replay + per-segment
     // OLS from exact integer position sums and floor-scaled value sums.

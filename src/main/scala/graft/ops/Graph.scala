@@ -395,6 +395,129 @@ object Graph {
     * Plan: two label joins on the edge frame (keyed; the label frame is
     * node-sized), one degree aggregation, one O(communities) term frame
     * with the Σ floor-scaled (10⁹) — no densification, no driver data. */
+  /** BOUNDED-HOP BFS distances from a source set over a directed edge
+    * list (pass a symmetric list for undirected semantics): frontier
+    * expansion with a fixed hop cap — round h joins the pre-partitioned
+    * edge frame with the O(frontier) id set, dedups, anti-joins the
+    * visited set, tags dist = h. Every round's frontier/visited is
+    * eagerly checkpointed and the superseded blocks released (the
+    * pageRank doctrine), so plan depth and storage stay constant; the
+    * loop exits early when a frontier empties (a driver count on an
+    * already-materialized frame). Returns (id, dist) for every node
+    * reached within `maxHops` (sources at dist 0). */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   sources: Seq[Long], maxHops: Int): DataFrame = {
+    require(sources.nonEmpty && maxHops >= 0, s"maxHops=$maxHops")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    var visited = sources.distinct.toDF("id")
+      .select(col("id").cast(LongType).as("id"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var frontier = visited
+    var hop = 1
+    var done = maxHops == 0
+    while (!done) {
+      val next = e
+        .join(frontier.select(col("id").as("__fid")),
+          e("src") === col("__fid"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .select(col("id"), lit(hop).as("dist"))
+        .localCheckpoint(true)
+      if (next.isEmpty) {
+        Checkpoints.releaseLocalCheckpoint(next)
+        done = true
+      } else {
+        val grown = visited.unionByName(next).localCheckpoint(true)
+        if (frontier ne visited) Checkpoints.releaseLocalCheckpoint(frontier)
+        Checkpoints.releaseLocalCheckpoint(visited)
+        visited = grown
+        frontier = next
+        hop += 1
+        if (hop > maxHops) done = true
+      }
+    }
+    e.unpersist()
+    visited
+  }
+
+  /** DEGREE ASSORTATIVITY of a directed edge list — the Pearson
+    * correlation of (out-degree of source, in-degree of target) over
+    * edges (Newman 2002's out-in flavor): do well-connected senders
+    * point at well-connected receivers (r > 0) or at leaves (r < 0)?
+    * Degrees are exact BIGINT counts; the five moment sums accumulate
+    * in DECIMAL(38,0) (degree products overflow LONG on hub-heavy
+    * graphs), and the one closed-form division replays the pinned q150
+    * Pearson order. Two keyed degree aggregations + two joins back onto
+    * the edge frame — no windows, no driver data. Returns one row
+    * (n_edges, r). */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val dout = e.groupBy(col("src")).agg(count(lit(1)).as("__x"))
+    val din = e.groupBy(col("dst")).agg(count(lit(1)).as("__y"))
+    val j = e.join(dout, "src").join(din, "dst")
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(38, 0))).cast(DoubleType)
+    val agg = j.agg(count(lit(1)).as("n_edges"),
+      dsum(col("__x")).as("__sx"), dsum(col("__y")).as("__sy"),
+      dsum(col("__x").cast(DecimalType(38, 0)) * col("__x")).as("__sxx"),
+      dsum(col("__y").cast(DecimalType(38, 0)) * col("__y")).as("__syy"),
+      dsum(col("__x").cast(DecimalType(38, 0)) * col("__y")).as("__sxy"))
+    val n = col("n_edges").cast(DoubleType)
+    agg.select(col("n_edges"),
+      when((n * col("__sxx") - col("__sx") * col("__sx")) > 0 &&
+          (n * col("__syy") - col("__sy") * col("__sy")) > 0,
+        (n * col("__sxy") - col("__sx") * col("__sy")) /
+          (sqrt(n * col("__sxx") - col("__sx") * col("__sx")) *
+            sqrt(n * col("__syy") - col("__sy") * col("__sy"))))
+        .as("r"))
+  }
+
+  /** RECIPROCITY + DENSITY summary of a directed edge list: node/edge
+    * counts, the count of edges whose reverse edge also exists, the
+    * reciprocity ratio, and the directed density E/(n·(n−1)).
+    * Self-loops are excluded (they would inflate both numerators). One
+    * distinct + one self-join on the reversed key + two tiny
+    * aggregations; the ratio divisions are the only floats. Returns one
+    * row (n_nodes, n_edges, n_reciprocal, reciprocity, density). */
+  def reciprocity(edges: DataFrame, srcCol: String,
+                  dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nNodes = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct().count()
+      val nEdges = e.count()
+      val nRecip = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi").count()
+      val spark = edges.sparkSession
+      import spark.implicits._
+      Seq((nNodes, nEdges, nRecip)).toDF("n_nodes", "n_edges", "n_reciprocal")
+        .select(col("n_nodes"), col("n_edges"), col("n_reciprocal"),
+          when(col("n_edges") > 0L, col("n_reciprocal").cast(DoubleType) /
+            col("n_edges").cast(DoubleType)).as("reciprocity"),
+          when(col("n_nodes") > 1L, col("n_edges").cast(DoubleType) /
+            (col("n_nodes").cast(DoubleType) *
+              (col("n_nodes").cast(DoubleType) - 1.0))).as("density"))
+    } finally { e.unpersist(); () }
+  }
+
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
                  labels: DataFrame, idCol: String, labelCol: String)
       : DataFrame = {

@@ -2687,6 +2687,71 @@ object Stats {
     out
   }
 
+  /** LEVENE'S TEST, Brown-Forsythe variant — are the group VARIANCES
+    * equal? (the assumption [[anovaOneWay]] itself rests on): one-way
+    * ANOVA F computed on z = |x − median_group| (the median centering is
+    * what makes it robust to non-normality; Levene's original mean
+    * centering is strictly dominated). Group medians come from the
+    * [[graft.ops.Reductions.groupQuantiles]] exact interpolated machinery
+    * (no per-group value buffering), the rest IS [[anovaOneWay]] on the
+    * derived column — same exact-sum discipline, same output shape
+    * (k, n, ssb, ssw, f). */
+  def leveneTest(df: DataFrame, valueCol: String, groupCol: String)
+      : DataFrame = {
+    val x = col(valueCol).cast(DoubleType)
+    val f = df
+      .filter(col(groupCol).isNotNull && x.isNotNull && !isnan(x))
+      .select(col(groupCol).as("__g"), x.as("__x"))
+    val med = Reductions.groupQuantiles(f, "__g", "__x", Seq("med" -> 0.5))
+      .select(col("__g"), col("med"))
+    val z = f.join(med, "__g")
+      .select(col("__g").as("grp"), abs(col("__x") - col("med")).as("__z"))
+    anovaOneWay(z, "__z", "grp")
+  }
+
+  /** BARTLETT'S TEST for equal variances — the parametric (normality-
+    * assuming) sharper sibling of [[leveneTest]]:
+    *   χ² = [(N−k)·ln Sp² − Σ(nᵢ−1)·ln Sᵢ²] / C,
+    *   C = 1 + (Σ1/(nᵢ−1) − 1/(N−k)) / (3(k−1)),
+    * with Sᵢ² the unbiased group variances and Sp² their pooled value.
+    * Groups with fewer than 2 observations are excluded (their variance
+    * is undefined); χ² is null unless k ≥ 2, N > k and every group
+    * variance is positive. All moment sums exact (floor-scaled); the
+    * ln terms fold through floor-scaled sums over the O(k) group frame
+    * (the zipf convention). Returns one row
+    * (k, n, pooled_var, chi2). */
+  def bartlettTest(df: DataFrame, valueCol: String, groupCol: String)
+      : DataFrame = {
+    val x = col(valueCol).cast(DoubleType)
+    val pg = df
+      .filter(col(groupCol).isNotNull && x.isNotNull && !isnan(x))
+      .select(col(groupCol).as("__g"), x.as("__x"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"),
+        fs(col("__x"), 6).as("__sx"),
+        fs(col("__x") * col("__x"), 6).as("__sxx"))
+      .filter(col("__n") >= 2L)
+    val nD = col("__n").cast(DoubleType)
+    val withV = pg.withColumn("__v",
+      (col("__sxx") - col("__sx") * col("__sx") / nD) / (nD - 1.0))
+    val agg = withV.agg(count(lit(1)).as("k"), sum(col("__n")).as("n"),
+      fs(col("__sxx") - col("__sx") * col("__sx") / nD, 9).as("__ssw"),
+      fs(when(col("__v") > 0.0, (nD - 1.0) * log(col("__v")))
+        .otherwise(lit(0.0)), 9).as("__lnterm"),
+      fs(lit(1.0) / (nD - 1.0), 9).as("__inv"),
+      min(col("__v")).as("__minv"))
+    val kD = col("k").cast(DoubleType)
+    val nT = col("n").cast(DoubleType)
+    val sp2 = col("__ssw") / (nT - kD)
+    val c = lit(1.0) + (col("__inv") - lit(1.0) / (nT - kD)) /
+      (lit(3.0) * (kD - 1.0))
+    val out = agg.select(col("k"), col("n"),
+      when(col("n") > col("k"), sp2).as("pooled_var"),
+      when(col("k") > 1L && col("n") > col("k") && col("__minv") > 0.0,
+        ((nT - kD) * log(sp2) - col("__lnterm")) / c).as("chi2"))
+    materializeSmall(out, 1, "one-row Bartlett")
+  }
+
   /** TWO-SAMPLE CRAMÉR-VON MISES statistic — the whole-distribution
     * companion to [[ksTest]] (which sees only the single largest ECDF
     * gap) and Mann-Whitney (location only):

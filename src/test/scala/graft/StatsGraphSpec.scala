@@ -1672,4 +1672,41 @@ class StatsGraphSpec extends SparkSuite {
     // k larger than the eligible set: return all eligible, no crash
     assert(df.hashSampleTopKWeighted("w", 5000, Seq("id")).count() == 210L)
   }
+
+  test("bfsDistances: hop layers on a path graph, early exit past the end") {
+    // 1-2-3-4 undirected path: from 1, dists are 0,1,2,3 (cap 5: exits dry)
+    val und = Seq((1L,2L),(2L,3L),(3L,4L)).flatMap { case (a,b) => Seq((a,b),(b,a)) }
+    val out = Graph.bfsDistances(und.toDF("s","d"), "s", "d", Seq(1L), 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("bfsDistances: maxHops caps the frontier") {
+    val und = Seq((1L,2L),(2L,3L),(3L,4L)).flatMap { case (a,b) => Seq((a,b),(b,a)) }
+    val out = Graph.bfsDistances(und.toDF("s","d"), "s", "d", Seq(1L), 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L))
+  }
+
+  test("degreeAssortativity: star graph is degenerate (null r); two stars anticorrelate") {
+    // hub 1 -> leaves: every edge has x=3, y=1 -> zero variance -> null
+    val star = Seq((1L,10L),(1L,11L),(1L,12L)).toDF("s","d")
+    val r1 = Graph.degreeAssortativity(star, "s", "d").head
+    assert(r1.getLong(0) == 3L && r1.isNullAt(1))
+    // mixed: hub->hub edge plus hub->leaf edges -> negative-ish correlation exists
+    val mixed = Seq((1L,10L),(1L,11L),(2L,10L),(3L,12L)).toDF("s","d")
+    val r2 = Graph.degreeAssortativity(mixed, "s", "d").head
+    assert(r2.getLong(0) == 4L && !r2.isNullAt(1))
+  }
+
+  test("reciprocity: half-reciprocal digraph, density over ordered pairs") {
+    // edges 1->2, 2->1, 1->3: 2 of 3 edges have a reverse
+    val e = Seq((1L,2L),(2L,1L),(1L,3L)).toDF("s","d")
+    val r = Graph.reciprocity(e, "s", "d").head
+    assert(r.getLong(r.fieldIndex("n_nodes")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_edges")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_reciprocal")) == 2L)
+    assert(math.abs(r.getDouble(r.fieldIndex("reciprocity")) - 2.0/3.0) < 1e-12)
+    assert(math.abs(r.getDouble(r.fieldIndex("density")) - 0.5) < 1e-12)
+  }
 }

@@ -384,6 +384,33 @@ class StatsTier17Spec extends SparkSuite {
     assert(h > 0.5 && h <= math.log(2.0) + 1e-9, s"h=$h")
   }
 
+  test("leveneTest: equal-spread groups score F near 0; unequal spread grows") {
+    val tight = (0 until 40).map(i => ("a", (i % 5).toDouble)) ++
+      (0 until 40).map(i => ("b", (i % 5).toDouble))
+    val r1 = one(Stats.leveneTest(tight.toDF("g", "v"), "v", "g"))
+    assert(math.abs(r1.getDouble(r1.fieldIndex("f"))) < 1e-9)
+    val wide = (0 until 40).map(i => ("a", (i % 5).toDouble)) ++
+      (0 until 40).map(i => ("b", (i % 5) * 10.0))
+    val r2 = one(Stats.leveneTest(wide.toDF("g", "v"), "v", "g"))
+    assert(r2.getDouble(r2.fieldIndex("f")) > 10.0)
+  }
+
+  test("bartlettTest: textbook guards — tiny groups dropped, zero variance nulls") {
+    // group c has 1 row (dropped); group d constant (variance 0 → chi2 null)
+    val rows = (0 until 20).map(i => ("a", i.toDouble)) ++
+      (0 until 20).map(i => ("d", 5.0)) ++ Seq(("c", 1.0))
+    val r = one(Stats.bartlettTest(rows.toDF("g", "v"), "v", "g"))
+    assert(r.getLong(r.fieldIndex("k")) == 2L)     // c excluded
+    assert(r.getLong(r.fieldIndex("n")) == 40L)
+    assert(r.isNullAt(r.fieldIndex("chi2")))       // min variance = 0
+    // two healthy unequal-variance groups → big chi2
+    val rows2 = (0 until 30).map(i => ("a", (i % 7).toDouble)) ++
+      (0 until 30).map(i => ("b", (i % 7) * 20.0))
+    val r2 = one(Stats.bartlettTest(rows2.toDF("g", "v"), "v", "g"))
+    assert(r2.getDouble(r2.fieldIndex("chi2")) > 20.0)
+    assert(r2.getDouble(r2.fieldIndex("pooled_var")) > 0.0)
+  }
+
   test("fanoFactor: constant-rate arrivals give F = 0, bursty F > 1") {
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def at(hour: Int, i: Int) = new java.sql.Timestamp(
