@@ -1404,6 +1404,40 @@ object ExtQueries {
       Graph.degreeAssortativity(pairs, "src", "dst")
     },
 
+    // Business days (Mon-Fri) from order to line shipment per return
+    // flag — closed-form calendar arithmetic, no calendar table.
+    "q354_business_days" -> { (s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+        .join(t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag")),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") >= col("o_orderdate"))
+        .select(col("l_returnflag"),
+          Advanced.businessDaysBetween(col("o_orderdate").cast(DateType),
+            col("l_shipdate").cast(DateType)).as("bd"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("bd")).as("total_bdays"),
+          (sum(col("bd")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("avg_bdays"),
+          max(col("bd")).as("max_bdays"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Restricted mean survival time at 30 days over the q196 KM curve —
+    // the model-free average-survival summary.
+    "q355_rmst" -> { (s, dir) =>
+      val per = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("p_ts"))
+        .select(
+          when(col("p_ts").isNotNull,
+            datediff(col("p_ts").cast(DateType), col("first_ts").cast(DateType)))
+            .otherwise(datediff(col("last_ts").cast(DateType),
+              col("first_ts").cast(DateType))).as("dur"),
+          when(col("p_ts").isNotNull, 1L).otherwise(0L).as("ev"))
+      Stats.rmst(per, "dur", "ev", tau = 30L)
+    },
+
     // Reciprocity of the trade/return digraph: c→s for every trade edge,
     // s→c where some line came back (l_returnflag = 'R') — what share of
     // trading relationships saw a return?
@@ -5964,6 +5998,77 @@ object ExtQueries {
                     * sqrt(CAST(n_edges AS DOUBLE) * syy - sy * sy))
            END AS r
          FROM a""",
+
+    // mirrors Advanced.businessDaysBetween: the identical closed-form
+    // (full weeks ×5 + remainder − interval-overlap weekend hits) on
+    // (date_diff, isodow−1).
+    "q354_business_days" ->
+      """WITH b AS (SELECT l_returnflag,
+             date_diff('day', CAST(o_orderdate AS DATE),
+               CAST(l_shipdate AS DATE)) AS a,
+             isodow(CAST(o_orderdate AS DATE)) - 1 AS w1
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           WHERE l_shipdate >= o_orderdate),
+         d AS (SELECT l_returnflag,
+             CAST((a - (a % 7)) / 7 AS BIGINT) * 5 + (a % 7)
+               - GREATEST(0, LEAST(w1 + (a % 7), 6)
+                   - GREATEST(w1 + 1, 5) + 1)
+               - GREATEST(0, LEAST(w1 + (a % 7), 13)
+                   - GREATEST(w1 + 1, 12) + 1) AS bd
+           FROM b)
+         SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bd) AS BIGINT) AS total_bdays,
+           CAST(SUM(bd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bdays,
+           CAST(MAX(bd) AS BIGINT) AS max_bdays
+         FROM d GROUP BY 1 ORDER BY 1""",
+
+    // mirrors Stats.rmst: the q196 recursive survival replay, interval
+    // areas floor-scaled (1e9) per term, horizon-clamped, plus the tail
+    // rectangle.
+    "q355_rmst" ->
+      """WITH RECURSIVE per AS (SELECT user_id, MIN(ts) AS f, MAX(ts) AS l,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+           FROM events GROUP BY 1),
+         dr AS (SELECT CASE WHEN p IS NOT NULL
+                 THEN date_diff('day', CAST(f AS DATE), CAST(p AS DATE))
+                 ELSE date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) END
+                 AS t,
+               CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS e
+           FROM per),
+         g AS (SELECT CAST(t AS BIGINT) AS t, CAST(SUM(e) AS BIGINT) AS d,
+             CAST(SUM(1 - e) AS BIGINT) AS c
+           FROM dr GROUP BY 1),
+         ord AS (SELECT t, d, c,
+             CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rn,
+             (SELECT SUM(d + c) FROM g)
+               - COALESCE(SUM(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+           FROM g),
+         rec AS (
+           SELECT rn, t, CAST(n_risk AS BIGINT) AS n_risk, d,
+             (1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS s
+           FROM ord WHERE rn = 1
+           UNION ALL
+           SELECT o.rn, o.t, CAST(o.n_risk AS BIGINT), o.d,
+             r.s * (1.0 - CAST(o.d AS DOUBLE) / CAST(o.n_risk AS DOUBLE))
+           FROM ord o JOIN rec r ON o.rn = r.rn + 1),
+         iv AS (SELECT rn, t, s,
+             COALESCE(lag(s) OVER (ORDER BY rn), 1.0) AS sp,
+             COALESCE(lag(t) OVER (ORDER BY rn), 0) AS tp
+           FROM rec),
+         terms AS (SELECT CAST(FLOOR(sp
+               * CAST(LEAST(t, 30) - LEAST(tp, 30) AS DOUBLE)
+               * 1000000000.0) AS BIGINT) AS term
+             FROM iv WHERE LEAST(t, 30) > LEAST(tp, 30)
+           UNION ALL
+           SELECT CAST(FLOOR(s * CAST(30 - LEAST(t, 30) AS DOUBLE)
+               * 1000000000.0) AS BIGINT)
+             FROM rec
+             WHERE rn = (SELECT MAX(rn) FROM rec) AND t < 30)
+         SELECT CAST(30 AS BIGINT) AS tau,
+           CAST(SUM(term) AS DOUBLE) / 1000000000.0 AS rmst
+         FROM terms""",
 
     // mirrors Graph.reciprocity on the trade/return digraph: distinct
     // directed edges, reverse-edge EXISTS count, ratio + density.

@@ -1088,4 +1088,27 @@ object Advanced {
     bi.unpersist()
     out
   }
+
+  /** BUSINESS DAYS between two dates — the count of Mon–Fri days in
+    * (start, end], in CLOSED FORM (no calendar table, no per-day
+    * explode): full weeks contribute 5 each; the remainder's weekend
+    * hits are counted by interval overlap against the Sat/Sun positions
+    * (weekday indices 5, 6 and their 12 wrap — the remainder scan never
+    * reaches 13). Pure integer arithmetic on (datediff, weekday), so the
+    * SQL replay is literal. Negative when end < start (antisymmetric).
+    * Weekday convention: Monday = 0 (Spark `weekday`, DuckDB
+    * `isodow − 1`). */
+  def businessDaysBetween(start: Column, end: Column): Column = {
+    def fwd(d1: Column, d2: Column): Column = {
+      val a = datediff(d2, d1).cast(LongType)
+      val w1 = weekday(d1).cast(LongType)
+      val rem = a % 7
+      val hit1 = greatest(lit(0L),
+        least(w1 + rem, lit(6L)) - greatest(w1 + 1L, lit(5L)) + 1L)
+      val hit2 = greatest(lit(0L),
+        least(w1 + rem, lit(13L)) - greatest(w1 + 1L, lit(12L)) + 1L)
+      ((a - rem) / lit(7L)).cast(LongType) * 5L + rem - hit1 - hit2
+    }
+    when(end < start, -fwd(end, start)).otherwise(fwd(start, end))
+  }
 }

@@ -816,6 +816,46 @@ object Stats {
     out.toSeq.toDF("t", "n_risk", "d_events", "survival")
   }
 
+  /** RESTRICTED MEAN SURVIVAL TIME — the area under the [[kaplanMeier]]
+    * step curve up to horizon τ: the model-free "average survival time
+    * within the first τ units" effect measure (the standard KM summary
+    * when median survival is never reached). Same O(distinct times)
+    * bounded readout as the KM fold; each interval's area term is
+    * floor-scaled (10⁹) BEFORE summation so the accumulation order is
+    * irrelevant and the DuckDB replay (recursive-CTE survival + window
+    * intervals) lands bit-exactly. Returns one row (tau, rmst). */
+  def rmst(df: DataFrame, durationCol: String, eventCol: String,
+           tau: Long): DataFrame = {
+    require(tau > 0, s"tau=$tau")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val per = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .groupBy(col(durationCol).cast(LongType).as("__t"))
+      .agg(sum(col(eventCol).cast(LongType)).as("__d"),
+        sum(lit(1L) - col(eventCol).cast(LongType)).as("__c"))
+      .orderBy(col("__t"))
+      .as[(Long, Long, Long)]
+      .collectBounded(1 << 20, "O(distinct event times) RMST readout")
+    var atRisk = per.map(r => r._2 + r._3).sum
+    var s = 1.0
+    var prev = 0L
+    var acc = 0L
+    per.foreach { case (t, d, c) =>
+      if (prev < tau) {
+        val upto = math.min(t, tau)
+        if (upto > prev)
+          acc += math.floor(s * (upto - prev).toDouble * 1e9).toLong
+      }
+      if (d > 0) s = s * (1.0 - d.toDouble / atRisk.toDouble)
+      atRisk -= (d + c)
+      prev = t
+    }
+    if (prev < tau)
+      acc += math.floor(s * (tau - prev).toDouble * 1e9).toLong
+    Seq((tau, acc.toDouble / 1e9)).toDF("tau", "rmst")
+  }
+
   /** Cross-correlation function: Pearson correlation between x_t and
     * y_{t−lag} per lag (lag 0 = contemporaneous), pooled across keys —
     * [[acf]] generalized to two columns (does the click series LEAD the

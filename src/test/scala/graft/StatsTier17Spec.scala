@@ -411,6 +411,42 @@ class StatsTier17Spec extends SparkSuite {
     assert(r2.getDouble(r2.fieldIndex("pooled_var")) > 0.0)
   }
 
+  test("businessDaysBetween: hand-checked spans incl. weekends and negatives") {
+    import java.sql.Date
+    // 2026-08-10 is a Monday
+    val rows = Seq(
+      ("mon_to_fri", Date.valueOf("2026-08-10"), Date.valueOf("2026-08-14"), 4L),
+      ("mon_to_mon", Date.valueOf("2026-08-10"), Date.valueOf("2026-08-17"), 5L),
+      ("fri_to_mon", Date.valueOf("2026-08-14"), Date.valueOf("2026-08-17"), 1L),
+      ("sat_to_sun", Date.valueOf("2026-08-15"), Date.valueOf("2026-08-16"), 0L),
+      ("same_day",   Date.valueOf("2026-08-12"), Date.valueOf("2026-08-12"), 0L),
+      ("two_weeks",  Date.valueOf("2026-08-10"), Date.valueOf("2026-08-24"), 10L),
+      ("backwards",  Date.valueOf("2026-08-17"), Date.valueOf("2026-08-10"), -5L))
+    val got = rows.toDF("name", "d1", "d2", "want")
+      .select(col("name"), col("want"),
+        graft.ops.Advanced.businessDaysBetween(col("d1"), col("d2")).as("bd"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(r.fieldIndex("bd")) == r.getLong(r.fieldIndex("want")),
+        s"${r.getString(0)}: got ${r.getLong(r.fieldIndex("bd"))}")
+    }
+  }
+
+  test("rmst: all-events-at-t survival drops there; censored-only stays at tau") {
+    // 10 subjects all die at t=4: S=1 on [0,4), 0 after → RMST(10) = 4
+    val dead = (1 to 10).map(_ => (4L, 1L))
+    val r1 = one(Stats.rmst(dead.toDF("dur", "ev"), "dur", "ev", tau = 10L))
+    assert(math.abs(r1.getDouble(r1.fieldIndex("rmst")) - 4.0) < 1e-9)
+    // all censored → S never drops → RMST = tau
+    val cens = (1 to 10).map(_ => (3L, 0L))
+    val r2 = one(Stats.rmst(cens.toDF("dur", "ev"), "dur", "ev", tau = 10L))
+    assert(math.abs(r2.getDouble(r2.fieldIndex("rmst")) - 10.0) < 1e-9)
+    // half die at 2: RMST(6) = 2 + 0.5*4 = 4
+    val half = (1 to 5).map(_ => (2L, 1L)) ++ (1 to 5).map(_ => (2L, 0L))
+    val r3 = one(Stats.rmst(half.toDF("dur", "ev"), "dur", "ev", tau = 6L))
+    assert(math.abs(r3.getDouble(r3.fieldIndex("rmst")) - 4.0) < 1e-6)
+  }
+
   test("fanoFactor: constant-rate arrivals give F = 0, bursty F > 1") {
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def at(hour: Int, i: Int) = new java.sql.Timestamp(
