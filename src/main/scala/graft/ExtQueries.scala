@@ -1438,6 +1438,24 @@ object ExtQueries {
       Stats.rmst(per, "dur", "ev", tau = 30L)
     },
 
+    // Maximum-likelihood next-event table of the per-user event chain —
+    // the practical readout of the q345 entropy rate.
+    "q356_markov_predict" -> { (s, dir) =>
+      Stats.markovPredictNext(t(s, dir, "events"), Seq("user_id"),
+          Seq("ts", "event_id"), "event_type")
+        .orderBy(col("state"))
+    },
+
+    // Periodogram of the hourly event-count series (k = 1..6) — does the
+    // stream have a dominant cycle?
+    "q357_periodogram" -> { (s, dir) =>
+      val series = t(s, dir, "events").filter(col("ts").isNotNull)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      Stats.periodogram(series, Seq("h"), "c", maxK = 6)
+        .orderBy(col("k"))
+    },
+
     // Reciprocity of the trade/return digraph: c→s for every trade edge,
     // s→c where some line came back (l_returnflag = 'R') — what share of
     // trading relationships saw a return?
@@ -6069,6 +6087,72 @@ object ExtQueries {
          SELECT CAST(30 AS BIGINT) AS tau,
            CAST(SUM(term) AS DOUBLE) / 1000000000.0 AS rmst
          FROM terms""",
+
+    // mirrors Stats.markovPredictNext: lead() transitions, per-state
+    // argmax with (n DESC, nxt ASC) tie-break.
+    "q356_markov_predict" ->
+      """WITH seq AS (SELECT user_id, ts, event_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+           FROM events WHERE event_type IS NOT NULL),
+         tr AS (SELECT CAST(event_type AS VARCHAR) AS state,
+             CAST(nxt AS VARCHAR) AS nxt, CAST(COUNT(*) AS BIGINT) AS n
+           FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY state
+               ORDER BY n DESC, nxt ASC) AS rn,
+             SUM(n) OVER (PARTITION BY state) AS tot
+           FROM tr)
+         SELECT state, nxt AS predicted_next, n AS n_top,
+           CAST(tot AS BIGINT) AS n_total,
+           CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p_top
+         FROM rk WHERE rn = 1 ORDER BY state""",
+
+    // mirrors Stats.periodogram on the hourly count series: the portable
+    // trig kernel (integer phase mod, quadrant reduction, the SAME
+    // Taylor-Horner literals as Stats.CosCoef/SinCoef — library trig is
+    // NOT cross-engine stable), floor-scaled product sums.
+    "q357_periodogram" -> {
+      def hornerSql(coeffs: Seq[Double]): String =
+        coeffs.reverse.tail.foldLeft(coeffs.last.toString)(
+          (acc, a) => s"($a + w * $acc)")
+      val cosH = hornerSql(graft.ops.Stats.CosCoef)
+      val sinH = hornerSql(graft.ops.Stats.SinCoef)
+      val perK = (1 to 6).map { k =>
+        s"""pk$k AS (SELECT x,
+             CAST(($k * t) % n AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM b),
+         qk$k AS (SELECT x, p, CAST(FLOOR(p * 4.0) AS BIGINT) AS q FROM pk$k),
+         zk$k AS (SELECT x, q,
+             6.283185307179586 * (p - CAST(q AS DOUBLE) / 4.0) AS z
+           FROM qk$k),
+         wk$k AS (SELECT x, q, z, z * z AS w FROM zk$k),
+         ek$k AS (SELECT x, q, (1.0 + w * $cosH) AS cp,
+             z * (1.0 + w * $sinH) AS sp FROM wk$k),
+         vk$k AS (SELECT x,
+             CASE WHEN q = 0 THEN cp WHEN q = 1 THEN -sp
+                  WHEN q = 2 THEN -cp ELSE sp END AS cv,
+             CASE WHEN q = 0 THEN sp WHEN q = 1 THEN cp
+                  WHEN q = 2 THEN -sp ELSE -cp END AS sv
+           FROM ek$k),
+         ak$k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(x * cv * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS c,
+             CAST(SUM(CAST(FLOOR(x * sv * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS s
+           FROM vk$k)"""
+      }.mkString(",\n         ")
+      val rows = (1 to 6).map { k =>
+        s"SELECT $k AS k, n, c * c + s * s AS power FROM ak$k"
+      }.mkString("\n           UNION ALL ")
+      s"""WITH s AS (SELECT date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+         b AS (SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT) AS t,
+             CAST(c AS DOUBLE) AS x,
+             (SELECT COUNT(*) FROM s) AS n
+           FROM s),
+         $perK
+         SELECT * FROM ($rows) u ORDER BY k"""
+    },
 
     // mirrors Graph.reciprocity on the trade/return digraph: distinct
     // directed edges, reverse-edge EXISTS count, ratio + density.

@@ -2869,6 +2869,106 @@ object Stats {
     materializeSmall(out, 1, "one-row entropy rate")
   }
 
+  /** MARKOV NEXT-STATE PREDICTION TABLE — the maximum-likelihood
+    * next-state per current state from the empirical transition counts
+    * (ties → lexicographically smallest next state, so the table is
+    * total and replayable), plus each prediction's conditional
+    * probability and the state's share of all transitions. The sum of
+    * n_top over the sum of n_total is the chain's top-1 next-event
+    * predictability — the practical readout of [[markovEntropyRate]].
+    * One lead() pass + O(|states|²) argmax. Returns one row per state:
+    * (state, predicted_next, n_top, n_total, p_top). */
+  def markovPredictNext(df: DataFrame, keyCols: Seq[String],
+                        orderCols: Seq[String], stateCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val trans = df.filter(col(stateCol).isNotNull)
+      .withColumn("__nxt", lead(col(stateCol), 1).over(ord))
+      .filter(col("__nxt").isNotNull)
+      .groupBy(col(stateCol).cast(StringType).as("state"),
+        col("__nxt").cast(StringType).as("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("state"))
+      .orderBy(col("n").desc, col("nxt").asc)
+    trans.withColumn("__rn", row_number().over(w))
+      .withColumn("__tot", sum(col("n")).over(Window.partitionBy(col("state"))))
+      .filter(col("__rn") === 1)
+      .select(col("state"), col("nxt").as("predicted_next"),
+        col("n").as("n_top"), col("__tot").as("n_total"),
+        (col("n").cast(DoubleType) / col("__tot").cast(DoubleType))
+          .as("p_top"))
+  }
+
+  /** PERIODOGRAM at the first `maxK` Fourier frequencies of a SINGLE
+    * (pre-aggregated, bounded) series — the classical
+    * periodicity-detection readout: P_k = C_k² + S_k² with
+    * C_k = Σ_t x_t·cos(2πkt/n), S_k the sine analog, t = 0..n−1 in the
+    * given order. The diurnal/weekly cycle of an event stream shows up
+    * as a spike at its frequency. Intended for SERIES frames (hourly
+    * counts, daily totals — O(time range), not O(data)); the global
+    * row_number window is on that bounded frame.
+    *
+    * Trig is the board's one PORTABLE-KERNEL site: JVM Math.cos and
+    * DuckDB's vectorized trig disagree by a ulp on ~8% of arguments
+    * (measured), and Fourier angles 2πkt/n hit exact boundary values
+    * (sin π/6 = 0.5) whenever n is round — so no floor grid can pin
+    * library trig across engines. Instead both engines evaluate the
+    * SAME function: exact integer phase m = (k·t) mod n, quadrant
+    * reduction to z ∈ [0, π/2), and a Taylor–Horner polynomial
+    * ([[Stats.CosCoef]]/[[Stats.SinCoef]], |err| < 6e-12 on the reduced
+    * range) in plain double ops — bit-identical by construction. The
+    * x·trig products then fold through floor-scaled exact sums; C/S are
+    * squared in pinned order. Returns one row per k: (k, n, power). */
+  def periodogram(df: DataFrame, orderCols: Seq[String], valueCol: String,
+                  maxK: Int = 6): DataFrame = {
+    require(maxK >= 1, s"maxK=$maxK")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(orderCols.map(col): _*)
+    val base = df
+      .withColumn("__t", (row_number().over(w) - 1).cast(LongType))
+      .withColumn("__x", col(valueCol).cast(DoubleType))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+    val ks = (1 to maxK)
+    val aggs = ks.flatMap { k =>
+      val p = pmod(lit(k.toLong) * col("__t"), col("__n"))
+        .cast(DoubleType) / col("__n").cast(DoubleType)
+      val q = floor(p * lit(4.0)).cast(LongType)
+      val z = lit(2.0 * math.Pi) * (p - q.cast(DoubleType) / lit(4.0))
+      val w2 = z * z
+      val cp = lit(1.0) + w2 * horner(w2, CosCoef)
+      val sp = z * (lit(1.0) + w2 * horner(w2, SinCoef))
+      val cv = when(q === 0L, cp).when(q === 1L, -sp)
+        .when(q === 2L, -cp).otherwise(sp)
+      val sv = when(q === 0L, sp).when(q === 1L, cp)
+        .when(q === 2L, -sp).otherwise(-cp)
+      Seq(fs(col("__x") * cv, 6).as(s"__c_$k"),
+        fs(col("__x") * sv, 6).as(s"__s_$k"))
+    }
+    val agg = base.agg(count(lit(1)).as("n"), aggs: _*)
+    ks.map { k =>
+      agg.select(lit(k).as("k"), col("n"),
+        (col(s"__c_$k") * col(s"__c_$k") +
+          col(s"__s_$k") * col(s"__s_$k")).as("power"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Taylor coefficients for the portable trig kernel: cos(z) = 1 +
+    * w·H(w, CosCoef), sin(z) = z·(1 + w·H(w, SinCoef)) with w = z², H
+    * the Horner fold. Public so the SQL oracle interpolates the SAME
+    * shortest-roundtrip literals. */
+  val CosCoef: Seq[Double] = Seq(-1.0 / 2, 1.0 / 24, -1.0 / 720,
+    1.0 / 40320, -1.0 / 3628800, 1.0 / 479001600,
+    -1.0 / 87178291200.0, 1.0 / 20922789888000.0)
+  val SinCoef: Seq[Double] = Seq(-1.0 / 6, 1.0 / 120, -1.0 / 5040,
+    1.0 / 362880, -1.0 / 39916800, 1.0 / 6227020800.0,
+    -1.0 / 1307674368000.0)
+
+  private def horner(w: Column, coeffs: Seq[Double]): Column =
+    coeffs.reverse.tail.foldLeft(lit(coeffs.last): Column)(
+      (acc, a) => lit(a) + w * acc)
+
   /** FANO FACTOR (burstiness index) per category over fixed time
     * buckets: F = Var(count)/Mean(count) across buckets — 1 for a
     * Poisson arrival process, ≫1 for bursty traffic, <1 for regular.

@@ -447,6 +447,44 @@ class StatsTier17Spec extends SparkSuite {
     assert(math.abs(r3.getDouble(r3.fieldIndex("rmst")) - 4.0) < 1e-6)
   }
 
+  test("markovPredictNext: argmax with lexicographic tie-break") {
+    // a→b twice, a→c twice (tie → b), b→a, c→a
+    val seq = "a b a c a b a c a".split(" ").zipWithIndex
+      .map { case (s, i) => ("u", i, s) }.toSeq
+    val out = Stats.markovPredictNext(seq.toDF("u", "t", "s"),
+      Seq("u"), Seq("t"), "s").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getString(a.fieldIndex("predicted_next")) == "b") // tie → b
+    assert(a.getLong(a.fieldIndex("n_total")) == 4L)
+    assert(math.abs(a.getDouble(a.fieldIndex("p_top")) - 0.5) < 1e-12)
+    assert(out("b").getString(1) == "a" &&
+      out("b").getDouble(out("b").fieldIndex("p_top")) == 1.0)
+  }
+
+  test("periodogram: a pure 8-cycle sinusoid spikes at k = 8") {
+    val n = 64
+    val rows = (0 until n).map(i =>
+      (i, 10.0 + 5.0 * math.cos(2.0 * math.Pi * 8.0 * i / n)))
+    val out = Stats.periodogram(rows.toDF("t", "v"), Seq("t"), "v",
+        maxK = 10).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val spike = out(8)
+    (1 to 10).filter(_ != 8).foreach { k =>
+      assert(out(k) < spike / 100.0, s"k=$k power=${out(k)} spike=$spike")
+    }
+  }
+
+  test("periodogram portable trig kernel tracks Math.cos to 1e-11") {
+    // the kernel path: one row per t, x = 1 → C_k is a floored cos sum;
+    // compare a single-row frame where the sums reduce to one term
+    val out = Stats.periodogram(Seq((0, 1.0), (1, 1.0), (2, 1.0), (3, 1.0))
+        .toDF("t", "v"), Seq("t"), "v", maxK = 1).collect()
+    // n=4, k=1: terms cos(0, pi/2, pi, 3pi/2) = 1, 0, -1, 0 → C=0; sin sum
+    // = 0 + 1 - 0 - 1 = 0 → power 0 exactly at the quadrant boundaries
+    assert(out.head.getDouble(2) == 0.0)
+  }
+
   test("fanoFactor: constant-rate arrivals give F = 0, bursty F > 1") {
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def at(hour: Int, i: Int) = new java.sql.Timestamp(
