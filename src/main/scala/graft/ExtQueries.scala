@@ -1456,6 +1456,28 @@ object ExtQueries {
         .orderBy(col("k"))
     },
 
+    // Top contiguous event-type trigram runs — the short-pattern
+    // sequence-mining readout.
+    "q358_trigram_patterns" -> { (s, dir) =>
+      Behavior.ngramPatterns(t(s, dir, "events"), "user_id",
+        Seq("ts", "event_id"), "event_type", n = 3, topK = 20)
+    },
+
+    // Weibull shape/scale fitted to the q196 KM curve via the linearized
+    // CDF — is churn infant-mortality (k<1) or wear-out (k>1)?
+    "q359_weibull" -> { (s, dir) =>
+      val per = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("p_ts"))
+        .select(
+          when(col("p_ts").isNotNull,
+            datediff(col("p_ts").cast(DateType), col("first_ts").cast(DateType)))
+            .otherwise(datediff(col("last_ts").cast(DateType),
+              col("first_ts").cast(DateType))).as("dur"),
+          when(col("p_ts").isNotNull, 1L).otherwise(0L).as("ev"))
+      Stats.weibullFit(per, "dur", "ev")
+    },
+
     // Reciprocity of the trade/return digraph: c→s for every trade edge,
     // s→c where some line came back (l_returnflag = 'R') — what share of
     // trading relationships saw a return?
@@ -6153,6 +6175,71 @@ object ExtQueries {
          $perK
          SELECT * FROM ($rows) u ORDER BY k"""
     },
+
+    // mirrors Behavior.ngramPatterns: two leads, full-window filter,
+    // total (count DESC, pattern ASC) top-k.
+    "q358_trigram_patterns" ->
+      """WITH b AS (SELECT user_id, event_type AS s0,
+             lead(event_type, 1) OVER w AS s1,
+             lead(event_type, 2) OVER w AS s2
+           FROM events WHERE event_type IS NOT NULL
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         p AS (SELECT user_id, concat(s0, ' > ', s1, ' > ', s2) AS pattern
+           FROM b WHERE s1 IS NOT NULL AND s2 IS NOT NULL),
+         g AS (SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM p GROUP BY 1)
+         SELECT pattern, n_occurrences, n_users FROM g
+         ORDER BY n_occurrences DESC, pattern ASC LIMIT 20""",
+
+    // mirrors Stats.weibullFit: the q196 recursive KM replay, ln-ln
+    // points, zipf floor-sum OLS, exp closed form for the scale.
+    "q359_weibull" ->
+      """WITH RECURSIVE per AS (SELECT user_id, MIN(ts) AS f, MAX(ts) AS l,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+           FROM events GROUP BY 1),
+         dr AS (SELECT CASE WHEN p IS NOT NULL
+                 THEN date_diff('day', CAST(f AS DATE), CAST(p AS DATE))
+                 ELSE date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) END
+                 AS t,
+               CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS e
+           FROM per),
+         g AS (SELECT CAST(t AS BIGINT) AS t, CAST(SUM(e) AS BIGINT) AS d,
+             CAST(SUM(1 - e) AS BIGINT) AS c
+           FROM dr GROUP BY 1),
+         ord AS (SELECT t, d, c,
+             CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rn,
+             (SELECT SUM(d + c) FROM g)
+               - COALESCE(SUM(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+           FROM g),
+         rec AS (
+           SELECT rn, t, CAST(n_risk AS BIGINT) AS n_risk, d,
+             (1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS s
+           FROM ord WHERE rn = 1
+           UNION ALL
+           SELECT o.rn, o.t, CAST(o.n_risk AS BIGINT), o.d,
+             r.s * (1.0 - CAST(o.d AS DOUBLE) / CAST(o.n_risk AS DOUBLE))
+           FROM ord o JOIN rec r ON o.rn = r.rn + 1),
+         pts AS (SELECT ln(CAST(t AS DOUBLE)) AS x, ln(-ln(s)) AS y
+           FROM rec WHERE d > 0 AND t > 0 AND s > 0.0 AND s < 1.0),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sx,
+             CAST(SUM(CAST(FLOOR(y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sy,
+             CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxx,
+             CAST(SUM(CAST(FLOOR(x * y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxy
+           FROM pts),
+         r AS (SELECT n_points, n, sx, sy,
+             CASE WHEN n * sxx - sx * sx > 0.0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+             END AS shape
+           FROM m)
+         SELECT n_points, shape,
+           CASE WHEN shape IS NOT NULL AND shape <> 0.0
+                THEN exp(-(((sy - shape * sx) / n) / shape)) END AS scale
+         FROM r""",
 
     // mirrors Graph.reciprocity on the trade/return digraph: distinct
     // directed edges, reverse-edge EXISTS count, ratio + density.

@@ -568,4 +568,35 @@ object Behavior {
     firsts.unpersist()
     out
   }
+
+  /** CONTIGUOUS n-GRAM SEQUENCE PATTERNS — the top event-type runs of
+    * length `n` by occurrence count (the contiguous complement of
+    * [[sequenceSupport]]'s first-occurrence pair support; PrefixSpan's
+    * bread-and-butter readout for short patterns): one window pass
+    * builds the lead chain, a keyed count aggregates, TakeOrdered keeps
+    * the top `topK` with a TOTAL (count DESC, pattern ASC) order.
+    * Returns (pattern, n_occurrences, n_users). */
+  def ngramPatterns(df: DataFrame, userCol: String, orderCols: Seq[String],
+                    stateCol: String, n: Int = 3, topK: Int = 20)
+      : DataFrame = {
+    require(n >= 2 && topK >= 1, s"n=$n topK=$topK")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(orderCols.map(col): _*)
+    val leads = (1 until n).foldLeft(
+      df.filter(col(stateCol).isNotNull)
+        .withColumn("__s0", col(stateCol).cast(org.apache.spark.sql.types.StringType))) {
+      (d, i) => d.withColumn(s"__s$i", lead(col("__s0"), i).over(w))
+    }
+    val full = (1 until n).map(i => col(s"__s$i").isNotNull).reduce(_ && _)
+    leads.filter(full)
+      .withColumn("__pat",
+        concat_ws(" > ", (0 until n).map(i => col(s"__s$i")): _*))
+      .groupBy(col("__pat").as("pattern"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(userCol)).as("n_users"))
+      .orderBy(col("n_occurrences").desc, col("pattern").asc)
+      .limit(topK)
+  }
 }

@@ -856,6 +856,37 @@ object Stats {
     Seq((tau, acc.toDouble / 1e9)).toDF("tau", "rmst")
   }
 
+  /** WEIBULL FIT of the survival curve via the linearized CDF (median-
+    * rank / Weibull-plot regression): over the [[kaplanMeier]] event
+    * points with 0 < S < 1, regress y = ln(−ln S(t)) on x = ln t —
+    * the slope is the shape k̂ (k < 1 infant-mortality, k ≈ 1
+    * memoryless, k > 1 wear-out), the scale is λ̂ = exp(−intercept/k̂).
+    * The KM fold is the bounded O(times) readout; the OLS runs on that
+    * tiny frame with the zipf floor-sum convention. Returns one row
+    * (n_points, shape, scale). */
+  def weibullFit(df: DataFrame, durationCol: String, eventCol: String)
+      : DataFrame = {
+    val km = kaplanMeier(df, durationCol, eventCol)
+    val pts = km
+      .filter(col("t") > 0L && col("survival") > 0.0 &&
+        col("survival") < 1.0)
+      .select(log(col("t").cast(DoubleType)).as("__x"),
+        log(-log(col("survival"))).as("__y"))
+    val n = count(lit(1)).cast(DoubleType)
+    val sx = fs(col("__x"), 6); val sy = fs(col("__y"), 6)
+    val sxx = fs(col("__x") * col("__x"), 6)
+    val sxy = fs(col("__x") * col("__y"), 6)
+    val agg = pts.agg(count(lit(1)).as("n_points"),
+      when(n * sxx - sx * sx > 0.0,
+        (n * sxy - sx * sy) / (n * sxx - sx * sx)).as("shape"),
+      sy.as("__sy"), sx.as("__sx"), n.as("__n"))
+    val out = agg.select(col("n_points"), col("shape"),
+      when(col("shape").isNotNull && col("shape") =!= 0.0,
+        exp(-(((col("__sy") - col("shape") * col("__sx")) / col("__n"))
+          / col("shape")))).as("scale"))
+    materializeSmall(out, 1, "one-row Weibull fit")
+  }
+
   /** Cross-correlation function: Pearson correlation between x_t and
     * y_{t−lag} per lag (lag 0 = contemporaneous), pooled across keys —
     * [[acf]] generalized to two columns (does the click series LEAD the

@@ -485,6 +485,31 @@ class StatsTier17Spec extends SparkSuite {
     assert(out.head.getDouble(2) == 0.0)
   }
 
+  test("ngramPatterns: contiguous trigrams counted with total top-k order") {
+    // user u: a b c a b c → "a > b > c" twice, others once
+    val seq = "a b c a b c".split(" ").zipWithIndex
+      .map { case (s, i) => ("u", i, s) }.toSeq
+    val out = graft.ops.Behavior.ngramPatterns(seq.toDF("u", "t", "s"),
+      "u", Seq("t"), "s", n = 3, topK = 2).collect()
+    assert(out.length == 2)
+    assert(out(0).getString(0) == "a > b > c")
+    assert(out(0).getLong(1) == 2L && out(0).getLong(2) == 1L)
+    assert(out(1).getLong(1) == 1L)
+  }
+
+  test("weibullFit: exponential-like KM (k near 1) and the scale guard") {
+    // geometric-ish deaths (S roughly halves per step) — assert the fit
+    // runs with a sane positive shape and scale
+    val rows = (1 to 200).map { i =>
+      val t = 1 + (math.log(i) / math.log(2)).toInt  // crude spread
+      (t.toLong, 1L)
+    }
+    val r = one(Stats.weibullFit(rows.toDF("dur", "ev"), "dur", "ev"))
+    assert(r.getLong(r.fieldIndex("n_points")) >= 3L)
+    assert(r.getDouble(r.fieldIndex("shape")) > 0.0)
+    assert(r.getDouble(r.fieldIndex("scale")) > 0.0)
+  }
+
   test("fanoFactor: constant-rate arrivals give F = 0, bursty F > 1") {
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def at(hour: Int, i: Int) = new java.sql.Timestamp(
