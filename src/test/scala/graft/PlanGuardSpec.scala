@@ -100,6 +100,21 @@ class PlanGuardSpec extends SparkSuite {
     guard("q324_ordinal_assoc", Bound))
   test("q331 fisher exact: k-range/lf frames only")(
     guard("q331_fisher_exact", Bound))
+  test("q338 markov stationary: keyed transitions + O(states) rounds")(
+    guard("q338_markov_stationary", Bound))
+  test("q342 heaps: growth points confined to the O(docs) frame")(
+    guard("q342_heaps", Bound))
+  test("q349 levene: stratified-rank medians, keyed ANOVA only")(
+    guard("q349_levene", Bound))
+  test("q351 bfs: keyed frontier joins, no global funnel")(
+    guard("q351_bfs", Bound))
+  // the fixture's time range spans 531 distinct hours vs 1000 events —
+  // the series frame legitimately exceeds the generic bound while still
+  // sitting clearly below the data size a broken plan would funnel
+  test("q357 periodogram: trig sums ride the O(hours) series frame")(
+    guard("q357_periodogram", 700L))
+  test("q358 trigram patterns: keyed lead windows + bounded top-k")(
+    guard("q358_trigram_patterns", Bound))
   test("q332 hits: keyed join-aggregates + 1-row maxima only")(
     guard("q332_hits", Bound))
 
