@@ -1478,6 +1478,13 @@ object ExtQueries {
       Stats.weibullFit(per, "dur", "ev")
     },
 
+    // Huber robust mean of the event value per type — the location
+    // M-estimator between q166's median and the plain mean.
+    "q360_huber_mean" -> { (s, dir) =>
+      Stats.huberMean(t(s, dir, "events"), "value", "event_type")
+        .orderBy(col("event_type"))
+    },
+
     // Reciprocity of the trade/return digraph: c→s for every trade edge,
     // s→c where some line came back (l_returnflag = 'R') — what share of
     // trading relationships saw a return?
@@ -6240,6 +6247,41 @@ object ExtQueries {
            CASE WHEN shape IS NOT NULL AND shape <> 0.0
                 THEN exp(-(((sy - shape * sx) / n) / shape)) END AS scale
          FROM r""",
+
+    // mirrors Stats.huberMean: quantile_cont median/MAD seed (the q166
+    // build), 3 unrolled IRLS rounds with min(1, ks/|r|) weights and
+    // floor-scaled weighted sums.
+    "q360_huber_mean" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""a$i AS (SELECT f.g,
+             CAST(SUM(CAST(FLOOR((CASE WHEN abs(f.x - m.mu) <= 1.345 * m.s
+                 THEN 1.0 ELSE 1.345 * m.s / abs(f.x - m.mu) END)
+               * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sw,
+             CAST(SUM(CAST(FLOOR((CASE WHEN abs(f.x - m.mu) <= 1.345 * m.s
+                 THEN 1.0 ELSE 1.345 * m.s / abs(f.x - m.mu) END) * f.x
+               * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS swx
+           FROM f JOIN mu${i - 1} m USING (g) GROUP BY 1),
+         mu$i AS (SELECT m.g,
+             CASE WHEN a.sw > 0.0 THEN a.swx / a.sw ELSE m.mu END AS mu,
+             m.s
+           FROM mu${i - 1} m LEFT JOIN a$i a USING (g))"""
+      }.mkString(",\n         ")
+      s"""WITH f AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE event_type IS NOT NULL
+             AND value IS NOT NULL AND NOT isnan(value)),
+         md AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             quantile_cont(x, 0.5) AS median FROM f GROUP BY 1),
+         dv AS (SELECT f.g, abs(f.x - md.median) AS ad
+           FROM f JOIN md USING (g)),
+         mad AS (SELECT g, quantile_cont(ad, 0.5) AS mad FROM dv GROUP BY 1),
+         mu0 AS (SELECT md.g, md.median AS mu, 1.4826 * mad.mad AS s
+           FROM md JOIN mad USING (g)),
+         $rounds
+         SELECT md.g AS event_type, md.n, m.s AS scale,
+           m.mu AS huber_mean
+         FROM md JOIN mu3 m USING (g) ORDER BY event_type"""
+    },
 
     // mirrors Graph.reciprocity on the trade/return digraph: distinct
     // directed edges, reverse-edge EXISTS count, ratio + density.

@@ -856,6 +856,57 @@ object Stats {
     Seq((tau, acc.toDouble / 1e9)).toDF("tau", "rmst")
   }
 
+  /** HUBER ROBUST MEAN per group via IRLS with a FIXED iteration count:
+    * location M-estimation that keeps full efficiency on the clean bulk
+    * while bounding any single outlier's pull (the estimator between the
+    * mean and the median; completes the robust family next to
+    * [[madByGroup]]/trimmed/winsorized). Seed μ₀ = exact group median,
+    * scale s = 1.4826·MAD (both from the [[madByGroup]] machinery);
+    * each of the `iters` rounds reweights w = min(1, k·s/|x−μ|) and
+    * updates μ = Σwx/Σw with floor-scaled exact sums — one broadcast
+    * join + one keyed aggregation per round over an O(groups) μ-frame
+    * (collected bounded, the madByGroup idiom), no data-sized state.
+    * Degenerate groups (Σw = 0, possible only when s = 0 and no value
+    * equals the median) keep their previous μ. Returns
+    * (group, n, scale, huber_mean). */
+  def huberMean(df: DataFrame, valueCol: String, groupCol: String,
+                k: Double = 1.345, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && k > 0, s"k=$k iters=$iters")
+    import graft.ops.Bounded._
+    val spark = df.sparkSession
+    val base = madByGroup(df, groupCol, valueCol)
+      .select(col(groupCol), col("n"), col("median"),
+        (lit(1.4826) * col("mad")).as("__s"))
+    val baseRows = base.collectBounded(1 << 20, "O(groups) Huber seed frame")
+    val seed = spark.createDataFrame(
+      java.util.Arrays.asList(baseRows: _*), base.schema)
+    val f = df
+      .select(col(groupCol), col(valueCol).cast(DoubleType).as("__x"))
+      .filter(col(groupCol).isNotNull && col("__x").isNotNull &&
+        !isnan(col("__x")))
+    var mu = seed.select(col(groupCol), col("median").as("__mu"), col("__s"))
+    for (_ <- 1 to iters) {
+      val r = abs(col("__x") - col("__mu"))
+      val w = when(r <= lit(k) * col("__s"), lit(1.0))
+        .otherwise(lit(k) * col("__s") / r)
+      val agg = f.join(broadcast(mu), Seq(groupCol))
+        .groupBy(col(groupCol))
+        .agg(fs(w, 6).as("__sw"), fs(w * col("__x"), 6).as("__swx"))
+      val next = mu.join(agg, Seq(groupCol), "left")
+        .select(col(groupCol),
+          when(col("__sw") > 0.0, col("__swx") / col("__sw"))
+            .otherwise(col("__mu")).as("__mu"),
+          col("__s"))
+      val nextRows = next.collectBounded(1 << 20, "O(groups) Huber μ frame")
+      mu = spark.createDataFrame(
+        java.util.Arrays.asList(nextRows: _*), next.schema)
+    }
+    seed.select(col(groupCol), col("n"))
+      .join(mu, Seq(groupCol))
+      .select(col(groupCol), col("n"), col("__s").as("scale"),
+        col("__mu").as("huber_mean"))
+  }
+
   /** WEIBULL FIT of the survival curve via the linearized CDF (median-
     * rank / Weibull-plot regression): over the [[kaplanMeier]] event
     * points with 0 < S < 1, regress y = ln(−ln S(t)) on x = ln t —

@@ -510,6 +510,25 @@ class StatsTier17Spec extends SparkSuite {
     assert(r.getDouble(r.fieldIndex("scale")) > 0.0)
   }
 
+  test("huberMean: outliers bounded — estimate sits near the clean bulk") {
+    // 38 clean values around 10 (spread so MAD > 0), 2 wild outliers at 1000
+    val clean = (0 until 38).map(i => ("a", 10.0 + (i % 5) * 0.5))
+    val wild = Seq(("a", 1000.0), ("a", 1000.0))
+    val r = one(Stats.huberMean((clean ++ wild).toDF("g", "v"), "v", "g"))
+    val hm = r.getDouble(r.fieldIndex("huber_mean"))
+    val mean = (clean.map(_._2).sum + 2000.0) / 40.0   // ~60.5, dragged
+    assert(hm > 10.0 && hm < 13.0, s"huber=$hm")       // bulk-anchored
+    assert(math.abs(hm - mean) > 40.0)                 // far from raw mean
+    assert(r.getDouble(r.fieldIndex("scale")) > 0.0)
+    assert(r.getLong(r.fieldIndex("n")) == 40L)
+  }
+
+  test("huberMean: zero-MAD group falls back to the median") {
+    val rows = Seq.fill(20)(("c", 7.0)) ++ Seq(("c", 99.0))
+    val r = one(Stats.huberMean(rows.toDF("g", "v"), "v", "g"))
+    assert(r.getDouble(r.fieldIndex("huber_mean")) == 7.0)
+  }
+
   test("fanoFactor: constant-rate arrivals give F = 0, bursty F > 1") {
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def at(hour: Int, i: Int) = new java.sql.Timestamp(
