@@ -446,4 +446,93 @@ object Graft {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int): DataFrame =
     graft.ops.Graph.hits(edges, srcCol, dstCol, iters)
+
+  /** PACF at lags 1–3 (Durbin-Levinson over the pooled panel ACF). */
+  def pacf(df: DataFrame, keys: ju.List[String], order: ju.List[String],
+           valueCol: String): DataFrame =
+    graft.ops.Stats.pacf(df, keys.asScala.toSeq, order.asScala.toSeq,
+      valueCol)
+
+  /** Functional-dependency audit over (determinant, dependent) pairs. */
+  def fdAudit(df: DataFrame,
+              pairs: ju.Map[String, String]): DataFrame =
+    graft.ops.Stats.fdAudit(df,
+      pairs.entrySet().asScala.toSeq.map(e => (e.getKey, e.getValue)))
+
+  /** Candidate-key audit: each inner list is one candidate column set. */
+  def keyAudit(df: DataFrame,
+               candidates: ju.List[ju.List[String]]): DataFrame =
+    graft.ops.Stats.keyAudit(df,
+      candidates.asScala.toSeq.map(_.asScala.toSeq))
+
+  /** Markov stationary distribution of per-key state sequences. */
+  def markovStationary(df: DataFrame, keys: ju.List[String],
+                       order: ju.List[String], stateCol: String,
+                       rounds: Int): DataFrame =
+    graft.ops.Stats.markovStationary(df, keys.asScala.toSeq,
+      order.asScala.toSeq, stateCol, rounds)
+
+  /** Corpus distinct-n diversity (n = 1..3). */
+  def distinctNgramDiversity(df: DataFrame, textCol: String): DataFrame =
+    graft.llm.TextStats.distinctNgramDiversity(df, textCol)
+
+  /** Schleimer winnowing fingerprints (k-grams, window w). */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame =
+    graft.llm.TextStats.winnowFingerprints(df, idCol, textCol, k, w)
+
+  /** Hurst exponent via R/S analysis per key (sizes 8/16/32). */
+  def hurst(df: DataFrame, keys: ju.List[String], order: ju.List[String],
+            valueCol: String): DataFrame =
+    graft.ops.Stats.hurstRs(df, keys.asScala.toSeq, order.asScala.toSeq,
+      valueCol)
+
+  /** Full Damerau-Levenshtein distance column (register per session). */
+  def damerauLevenshtein(spark: SparkSession, a: String,
+                         b: String): Column = {
+    graft.functions.StringSim.register(spark)
+    expr(s"graft_damerau_levenshtein($a, $b)")
+  }
+
+  /** Deterministic k-means cluster readout over an embedding column. */
+  def kmeansClusters(df: DataFrame, nCentroids: Int, iters: Int): DataFrame =
+    graft.llm.Similarity.kmeansClusters(df, nCentroids, iters)
+
+  /** Simplified silhouette of the k-means model. */
+  def kmeansSilhouette(df: DataFrame, nCentroids: Int,
+                       iters: Int): DataFrame =
+    graft.llm.Similarity.kmeansSilhouette(df, nCentroids, iters)
+
+  /** Brown-Forsythe Levene variance-equality test. */
+  def leveneTest(df: DataFrame, valueCol: String,
+                 groupCol: String): DataFrame =
+    graft.ops.Stats.leveneTest(df, valueCol, groupCol)
+
+  /** Bounded-hop BFS distances from source node ids. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   sources: ju.List[java.lang.Long],
+                   maxHops: Int): DataFrame =
+    graft.ops.Graph.bfsDistances(edges, srcCol, dstCol,
+      sources.asScala.toSeq.map(_.longValue()), maxHops)
+
+  /** Business days (Mon-Fri) between two date columns. */
+  def businessDaysBetween(df: DataFrame, startCol: String, endCol: String,
+                          out: String): DataFrame =
+    df.withColumn(out,
+      graft.ops.Advanced.businessDaysBetween(col(startCol), col(endCol)))
+
+  /** Restricted mean survival time at horizon tau. */
+  def rmst(df: DataFrame, durationCol: String, eventCol: String,
+           tau: Long): DataFrame =
+    graft.ops.Stats.rmst(df, durationCol, eventCol, tau)
+
+  /** Huber robust mean per group (IRLS, fixed rounds). */
+  def huberMean(df: DataFrame, valueCol: String,
+                groupCol: String): DataFrame =
+    graft.ops.Stats.huberMean(df, valueCol, groupCol)
+
+  /** Periodogram power at Fourier frequencies 1..maxK of a series. */
+  def periodogram(df: DataFrame, order: ju.List[String], valueCol: String,
+                  maxK: Int): DataFrame =
+    graft.ops.Stats.periodogram(df, order.asScala.toSeq, valueCol, maxK)
 }

@@ -207,5 +207,52 @@ public final class JavaApiCheck {
         "l_suppkey", "l_partkey", 2);
     check(java.util.Arrays.asList(hits.columns()).contains("auth"),
         "HITS authority column must surface");
+
+    // 8. diagnostics / clustering / portable-kernel tier (round 17)
+    Dataset<Row> pacf = Graft.pacf(series, List.of("l_returnflag"),
+        List.of("l_orderkey", "l_linenumber"), "l_extendedprice");
+    check(pacf.count() == 1, "pacf is a one-row scalar frame");
+
+    LinkedHashMap<String, String> fd = new LinkedHashMap<>();
+    fd.put("o_orderkey", "o_custkey");
+    check(Graft.fdAudit(orders, fd).count() == 1, "one row per FD pair");
+
+    check(Graft.keyAudit(orders,
+        List.of(List.of("o_orderkey"))).count() == 1,
+        "one row per key candidate");
+
+    Dataset<Row> pi = Graft.markovStationary(lineitem,
+        List.of("l_returnflag"), List.of("l_orderkey", "l_linenumber"),
+        "l_linestatus", 2);
+    check(pi.count() > 0, "stationary mass per state");
+
+    Dataset<Row> lev = Graft.leveneTest(lineitem, "l_extendedprice",
+        "l_returnflag");
+    check(java.util.Arrays.asList(lev.columns()).contains("f"),
+        "Levene F must surface");
+
+    Dataset<Row> bfs = Graft.bfsDistances(
+        Graft.renameColumns(
+            Graft.selectColumns(lineitem, List.of("l_suppkey", "l_partkey")),
+            Map.of("l_suppkey", "src", "l_partkey", "dst")),
+        "src", "dst", List.of(1L), 2);
+    check(java.util.Arrays.asList(bfs.columns()).contains("dist"),
+        "BFS dist column must surface");
+
+    Dataset<Row> bd = Graft.businessDaysBetween(
+        Graft.selectColumns(orders, List.of("o_orderdate")),
+        "o_orderdate", "o_orderdate", "bd");
+    check(bd.filter("bd <> 0").count() == 0, "same-day span is 0 days");
+
+    Dataset<Row> hm = Graft.huberMean(lineitem, "l_extendedprice",
+        "l_returnflag");
+    check(java.util.Arrays.asList(hm.columns()).contains("huber_mean"),
+        "Huber mean must surface");
+
+    Dataset<Row> pg = Graft.periodogram(
+        Graft.groupByAgg(orders, List.of("o_orderdate"),
+            new LinkedHashMap<>(Map.of("n", "count:o_orderkey"))),
+        List.of("o_orderdate"), "n", 3);
+    check(pg.count() == 3, "one power row per frequency");
   }
 }
