@@ -2887,35 +2887,60 @@ object Stats {
     * the O(distinct values) frame. Returns (n1, n2, t_stat). */
   def cramerVonMises(df: DataFrame, valueCol: String, groupCol: String,
                      a: String, b: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val v = col(valueCol).cast(DoubleType)
-    val f = df.filter(col(groupCol).isin(a, b) && v.isNotNull && !isnan(v))
+    // the ksTest range-partitioned cumulate: per-distinct-value counts,
+    // range-sorted; O(P) partition offsets on the driver; each partition
+    // scans once accumulating the EXACT term sum in BigInt (diff² alone
+    // overflows LONG past ~2M pooled rows) — no single-task sort anywhere
+    val grouped = df
+      .filter(col(groupCol).isin(a, b) && v.isNotNull && !isnan(v))
       .select(col(groupCol).cast(StringType).as("__g"), v.as("__x"))
-    val byVal = f.groupBy(col("__x"))
-      .agg(count(when(col("__g") === a, 1)).as("__c1"),
-        count(when(col("__g") === b, 1)).as("__c2"))
-    val w = Window.orderBy(col("__x"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = f.agg(count(when(col("__g") === a, 1)).as("__n"),
-      count(when(col("__g") === b, 1)).as("__m"))
-    val terms = byVal
-      .withColumn("__a1", sum(col("__c1")).over(w))
-      .withColumn("__a2", sum(col("__c2")).over(w))
-      .crossJoin(broadcast(tot))
-      .withColumn("__diff",
-        (col("__a1") * col("__m") - col("__a2") * col("__n"))
-          .cast(DecimalType(38, 0)))
-      .withColumn("__term", (col("__c1") + col("__c2"))
-        .cast(DecimalType(38, 0)) * col("__diff") * col("__diff"))
-    val out = terms.groupBy(col("__n"), col("__m"))
-      .agg(sum(col("__term")).as("__t"))
-      .select(col("__n").as("n1"), col("__m").as("n2"),
-        (col("__t").cast(DoubleType) /
-          (((col("__n") + col("__m")).cast(DoubleType) *
-            (col("__n") + col("__m")).cast(DoubleType) *
-            col("__n").cast(DoubleType)) * col("__m").cast(DoubleType)))
-          .as("t_stat"))
-    materializeSmall(out, 1, "one-row Cramér-von Mises")
+      .groupBy(col("__x"))
+      .agg(sum(when(col("__g") === a, 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("__g") === b, 1L).otherwise(0L)).as("__c2"))
+      .as[(Double, Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = grouped
+      .repartitionByRange(parts, col("__x"))
+      .sortWithinPartitions(col("__x"))
+      .as[(Double, Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partTotals = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s1 = 0L; var s2 = 0L
+      it.foreach { case (_, c1, c2) => s1 += c1; s2 += c2 }
+      Iterator((pid, s1, s2))
+    }.collectBounded(1 << 20, "O(P) partition totals").sortBy(_._1)
+    val off1 = partTotals.map(_._2).scanLeft(0L)(_ + _)
+    val off2 = partTotals.map(_._3).scanLeft(0L)(_ + _)
+    val n1 = partTotals.map(_._2).sum
+    val n2 = partTotals.map(_._3).sum
+    val bc = spark.sparkContext.broadcast((off1, off2))
+    val total: BigInt =
+      if (n1 == 0 || n2 == 0) BigInt(0)
+      else sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var c1 = bc.value._1(pid); var c2 = bc.value._2(pid)
+        var acc = BigInt(0)
+        it.foreach { case (_, d1, d2) =>
+          c1 += d1; c2 += d2
+          val diff = BigInt(c1) * n2 - BigInt(c2) * n1
+          acc += diff * diff * (d1 + d2)
+        }
+        Iterator(acc)
+      }.fold(BigInt(0))(_ + _)
+    sorted.unpersist(); grouped.unpersist()
+    val t =
+      if (n1 == 0 || n2 == 0) null
+      else {
+        val s = (n1 + n2).toDouble
+        // the pinned denominator order the SQL replays: ((N·N)·n)·m
+        java.lang.Double.valueOf(
+          total.toDouble / (s * s * n1.toDouble * n2.toDouble))
+      }
+    Seq((n1, n2)).toDF("n1", "n2")
+      .withColumn("t_stat", lit(t).cast(DoubleType))
   }
 
   /** MARKOV-CHAIN ENTROPY RATE in nats — how predictable is the next
