@@ -5730,7 +5730,7 @@ object ExtQueries {
          ORDER BY key_a, key_b""",
 
     // mirrors TextStats.heapsLaw: 60-bit token hashes, first-occurrence
-    // min per type, running N/V in doc-id order, zipf-convention OLS.
+    // min per type, the 256-bucket id-range growth curve, zipf OLS.
     "q342_heaps" ->
       s"""WITH d AS (SELECT doc_id, string_split(
              lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
@@ -5742,18 +5742,26 @@ object ExtQueries {
          fo AS (SELECT h, MIN(doc_id) AS fid FROM th GROUP BY 1),
          nt AS (SELECT fid, CAST(COUNT(*) AS BIGINT) AS nv FROM fo GROUP BY 1),
          pd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS ntok FROM d),
-         p0 AS (SELECT p.doc_id, p.ntok, COALESCE(n.nv, 0) AS nv
-           FROM pd p LEFT JOIN nt n ON p.doc_id = n.fid),
-         p1 AS (SELECT doc_id,
-             SUM(ntok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+         mx AS (SELECT MAX(doc_id) AS mxid, CAST(COUNT(*) AS BIGINT) AS nd
+           FROM pd),
+         p0 AS (SELECT p.doc_id, p.ntok, COALESCE(n.nv, 0) AS nv,
+             mx.mxid, mx.nd
+           FROM pd p LEFT JOIN nt n ON p.doc_id = n.fid, mx),
+         pb AS (SELECT CAST(CAST(doc_id AS HUGEINT) * 256 // (mxid + 1)
+               AS BIGINT) AS b,
+             CAST(SUM(ntok) AS BIGINT) AS bnt,
+             CAST(SUM(nv) AS BIGINT) AS bnv, MAX(nd) AS nd
+           FROM p0 GROUP BY 1),
+         p1 AS (SELECT b, nd,
+             SUM(bnt) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
                PRECEDING AND CURRENT ROW) AS nn,
-             SUM(nv) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+             SUM(bnv) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
                PRECEDING AND CURRENT ROW) AS vv
-           FROM p0),
-         pts AS (SELECT nn, vv, ln(CAST(nn AS DOUBLE)) AS x,
+           FROM pb),
+         pts AS (SELECT nd, nn, vv, ln(CAST(nn AS DOUBLE)) AS x,
              ln(CAST(vv AS DOUBLE)) AS y
            FROM p1 WHERE nn > 0 AND vv > 0),
-         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         m AS (SELECT CAST(MAX(nd) AS BIGINT) AS n_docs,
              CAST(COUNT(*) AS DOUBLE) AS n,
              CAST(MAX(nn) AS BIGINT) AS total_tokens,
              CAST(MAX(vv) AS BIGINT) AS vocab,

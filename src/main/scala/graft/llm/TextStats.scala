@@ -828,11 +828,16 @@ object TextStats {
     * WITHOUT any per-prefix distinct scan: each type's FIRST-OCCURRENCE
     * doc is one keyed min over 60-bit token hashes, and V(N) is then a
     * running sum of per-doc new-type counts — the same corpus-sized
-    * shuffle [[distinctNgramDiversity]] pays, once. The growth points
-    * and the log-log OLS (zipf-slope floor-sum convention) live on the
-    * O(docs) frame; its unpartitioned windows never see token-level
-    * data. Returns one row (n_docs, total_tokens, vocab, beta, ln_k). */
-  def heapsLaw(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * shuffle [[distinctNgramDiversity]] pays, once. The growth CURVE is
+    * sampled at `buckets` fixed id-range points (bucket =
+    * ⌊id·B/(max_id+1)⌋ — pure arithmetic, engine-replayable), so the
+    * cumulate and the log-log OLS (zipf floor-sum convention) run on an
+    * O(B) frame no matter the corpus size — a per-doc curve would
+    * funnel O(docs) through one window. Returns one row
+    * (n_docs, total_tokens, vocab, beta, ln_k). */
+  def heapsLaw(df: DataFrame, idCol: String, textCol: String,
+               buckets: Int = 256): DataFrame = {
+    require(buckets >= 8, s"buckets=$buckets")
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).cast(LongType).as("__id"),
       explode(transform(TextDedup.tokens(col(textCol)),
@@ -841,14 +846,24 @@ object TextStats {
       .groupBy(col("__fid")).agg(count(lit(1)).as("__nv"))
     val perDoc = df.select(col(idCol).cast(LongType).as("__id"),
       size(TextDedup.tokens(col(textCol))).cast(LongType).as("__nt"))
-    val w = Window.orderBy(col("__id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pts = perDoc
+    val mx = perDoc.agg(max(col("__id")).as("__mx"),
+      count(lit(1)).as("__nd"))
+    val perBucket = perDoc
       .join(newTypes, col("__id") === col("__fid"), "left")
       .select(col("__id"), col("__nt"),
         coalesce(col("__nv"), lit(0L)).as("__nv"))
-      .withColumn("__N", sum(col("__nt")).over(w))
-      .withColumn("__V", sum(col("__nv")).over(w))
+      .crossJoin(broadcast(mx))
+      .withColumn("__b", expr(
+        s"CAST(__id AS DECIMAL(38,0)) * $buckets div (__mx + 1L)")
+        .cast(LongType))
+      .groupBy(col("__b"))
+      .agg(sum(col("__nt")).as("__bnt"), sum(col("__nv")).as("__bnv"),
+        max(col("__nd")).as("__nd"))
+    val w = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = perBucket
+      .withColumn("__N", sum(col("__bnt")).over(w))
+      .withColumn("__V", sum(col("__bnv")).over(w))
       .filter(col("__N") > 0L && col("__V") > 0L)
       .withColumn("__x", log(col("__N").cast(DoubleType)))
       .withColumn("__y", log(col("__V").cast(DoubleType)))
@@ -857,7 +872,7 @@ object TextStats {
     val sx = fs6(col("__x")); val sy = fs6(col("__y"))
     val sxx = fs6(col("__x") * col("__x"))
     val sxy = fs6(col("__x") * col("__y"))
-    pts.agg(count(lit(1)).as("n_docs"),
+    pts.agg(max(col("__nd")).as("n_docs"),
         max(col("__N")).as("total_tokens"), max(col("__V")).as("vocab"),
         when(n * sxx - sx * sx > 0.0,
           (n * sxy - sx * sy) / (n * sxx - sx * sx)).as("beta"),
