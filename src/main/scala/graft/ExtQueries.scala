@@ -3535,24 +3535,27 @@ object ExtQueries {
              (CAST(SUM(CAST(FLOOR(emb[i+1] * 1000000.0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0)
                / CAST(COUNT(*) AS DOUBLE) AS cd
            FROM a$i CROSS JOIN range(0, $dim) t(i) GROUP BY 1, 2),
-         c$i AS (SELECT c.centroid, COALESCE(u.cent, c.cent) AS cent
+         c$i AS MATERIALIZED (SELECT c.centroid, COALESCE(u.cent, c.cent) AS cent
            FROM $prev c LEFT JOIN (SELECT centroid, list(cd ORDER BY pos) AS cent
              FROM u$i GROUP BY centroid) u USING (centroid)),"""
     }
     val cf = s"c$iters"
     val fitPred = fitModThresh.map(t => s"WHERE h % 1000000 < $t").getOrElse("")
-    s"""v AS (SELECT vec_id AS id,
+    // MATERIALIZED: v/vf feed every iteration and ca; c$i feeds two
+    // consumers per round — inlined references re-execute the corpus
+    // scan exponentially across rounds (the q132 sf1.0 OOM)
+    s"""v AS MATERIALIZED (SELECT vec_id AS id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
          FROM embeddings),
        vh AS (SELECT id, emb,
            CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
          FROM v),
-       vf AS (SELECT id, emb, h FROM vh $fitPred),
-       c0 AS (SELECT row_number() OVER (ORDER BY h, id) - 1 AS centroid, emb AS cent
+       vf AS MATERIALIZED (SELECT id, emb, h FROM vh $fitPred),
+       c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h, id) - 1 AS centroid, emb AS cent
          FROM vf
          ORDER BY h, id LIMIT $nCent),
        ${(1 to iters).map(iteration).mkString("\n")}
-       ca AS (SELECT id AS corpus_id, centroid FROM (
+       ca AS MATERIALIZED (SELECT id AS corpus_id, centroid FROM (
            SELECT v.id, c.centroid,
              row_number() OVER (PARTITION BY v.id
                ORDER BY ${dist("v.emb", "c.cent")}, c.centroid) AS rn
@@ -3817,7 +3820,10 @@ object ExtQueries {
     // (verified bitwise vs an out-of-engine IEEE reference). The list
     // formulation avoids a per-iteration table join.
     "q54_induction" ->
-      """WITH RECURSIVE base AS (
+      // base is MATERIALIZED: the recursive member references it every
+      // step, and DuckDB's CTE inlining re-built the 150k-element lists
+      // per step at sf1.0 (the sweep stall)
+      """WITH RECURSIVE base AS MATERIALIZED (
            SELECT list(o_totalprice ORDER BY o_orderkey) AS xs,
                   list(o_orderkey   ORDER BY o_orderkey) AS ks
            FROM orders WHERE o_orderkey % 10 = 0),
@@ -4164,7 +4170,9 @@ object ExtQueries {
     // recursive CTE replaying the identical per-key IEEE fold
     // s = 0.9·s + x ordered by (ts, event_id) — same pattern as q54.
     "q99_linear_recurrence" ->
-      """WITH RECURSIVE seq AS (
+      // seq MATERIALIZED for the q54 reason: the recursion re-executed
+      // the 1M-row window per step when inlined
+      """WITH RECURSIVE seq AS MATERIALIZED (
            SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
            FROM events),
@@ -4978,7 +4986,7 @@ object ExtQueries {
       val (bF, bS, bG) = (d(2.0 / 13), d(2.0 / 27), d(2.0 / 10))
       val (aF, aS, aG) =
         (d(1.0 - 2.0 / 13), d(1.0 - 2.0 / 27), d(1.0 - 2.0 / 10))
-      s"""WITH RECURSIVE seq AS (
+      s"""WITH RECURSIVE seq AS MATERIALIZED (
            SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
            FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
@@ -5406,22 +5414,25 @@ object ExtQueries {
 
     // mirrors Graph.hits: the q149 edge build (one direction), 3 unrolled
     // fixed-point rounds — exact HUGEINT sums, integer renormalization.
+    // Multiply-referenced CTEs are MATERIALIZED: DuckDB otherwise inlines
+    // each reference, and the doubled references per round re-execute the
+    // 6M-edge join chain exponentially (OOM'd the sf1.0 sweep).
     "q332_hits" -> {
       val rounds = (1 to 3).map { k =>
-        s"""a${k}r AS (SELECT e.dst AS id, SUM(h.h) AS s
+        s"""a${k}r AS MATERIALIZED (SELECT e.dst AS id, SUM(h.h) AS s
              FROM e JOIN h${k - 1} h ON e.src = h.id GROUP BY 1),
-         a$k AS (SELECT id, CAST(s * 1000000000000
+         a$k AS MATERIALIZED (SELECT id, CAST(s * 1000000000000
              // (SELECT MAX(s) FROM a${k}r) AS BIGINT) AS a FROM a${k}r),
-         h${k}r AS (SELECT e.src AS id, SUM(a.a) AS s
+         h${k}r AS MATERIALIZED (SELECT e.src AS id, SUM(a.a) AS s
              FROM e JOIN a$k a ON e.dst = a.id GROUP BY 1),
-         h$k AS (SELECT id, CAST(s * 1000000000000
+         h$k AS MATERIALIZED (SELECT id, CAST(s * 1000000000000
              // (SELECT MAX(s) FROM h${k}r) AS BIGINT) AS h FROM h${k}r)"""
       }.mkString(",\n         ")
       s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS src,
              l_suppkey * 2 + 1 AS dst
            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-         e AS (SELECT src, dst FROM pairs),
-         h0 AS (SELECT DISTINCT src AS id,
+         e AS MATERIALIZED (SELECT src, dst FROM pairs),
+         h0 AS MATERIALIZED (SELECT DISTINCT src AS id,
              CAST(1000000000000 AS BIGINT) AS h FROM e),
          $rounds,
          nodes AS (SELECT DISTINCT src AS id FROM e
@@ -6006,25 +6017,32 @@ object ExtQueries {
          FROM a""",
 
     // mirrors Graph.bfsDistances on the symmetric trading graph: 3
-    // unrolled frontier rounds, anti-membership via NOT IN, hop counts.
+    // unrolled frontier rounds, anti-membership via anti-joins (NOT IN
+    // planned poorly at 12M edges), multiply-referenced CTEs MATERIALIZED.
     "q351_bfs" ->
       """WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS cnode,
              l_suppkey * 2 + 1 AS snode
            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-         e AS (SELECT cnode AS src, snode AS dst FROM pairs
+         e AS MATERIALIZED (SELECT cnode AS src, snode AS dst FROM pairs
                UNION ALL SELECT snode, cnode FROM pairs),
-         d0 AS (SELECT (SELECT MIN(src) FROM e) AS id, 0 AS dist),
-         n1 AS (SELECT DISTINCT e.dst AS id, 1 AS dist
-           FROM e JOIN d0 ON e.src = d0.id
-           WHERE e.dst NOT IN (SELECT id FROM d0)),
-         v1 AS (SELECT * FROM d0 UNION ALL SELECT * FROM n1),
-         n2 AS (SELECT DISTINCT e.dst AS id, 2 AS dist
-           FROM e JOIN n1 ON e.src = n1.id
-           WHERE e.dst NOT IN (SELECT id FROM v1)),
-         v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM n2),
-         n3 AS (SELECT DISTINCT e.dst AS id, 3 AS dist
-           FROM e JOIN n2 ON e.src = n2.id
-           WHERE e.dst NOT IN (SELECT id FROM v2)),
+         d0 AS MATERIALIZED (
+           SELECT (SELECT MIN(src) FROM e) AS id, 0 AS dist),
+         n1 AS MATERIALIZED (
+           SELECT f.id, 1 AS dist FROM (
+             SELECT DISTINCT e.dst AS id FROM e JOIN d0 ON e.src = d0.id) f
+           LEFT JOIN d0 v ON f.id = v.id WHERE v.id IS NULL),
+         v1 AS MATERIALIZED (
+           SELECT * FROM d0 UNION ALL SELECT * FROM n1),
+         n2 AS MATERIALIZED (
+           SELECT f.id, 2 AS dist FROM (
+             SELECT DISTINCT e.dst AS id FROM e JOIN n1 ON e.src = n1.id) f
+           LEFT JOIN v1 v ON f.id = v.id WHERE v.id IS NULL),
+         v2 AS MATERIALIZED (
+           SELECT * FROM v1 UNION ALL SELECT * FROM n2),
+         n3 AS MATERIALIZED (
+           SELECT f.id, 3 AS dist FROM (
+             SELECT DISTINCT e.dst AS id FROM e JOIN n2 ON e.src = n2.id) f
+           LEFT JOIN v2 v ON f.id = v.id WHERE v.id IS NULL),
          v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM n3)
          SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
          FROM v3 GROUP BY 1 ORDER BY 1""",
@@ -7658,17 +7676,25 @@ object ExtQueries {
 
     // mirrors fillAbbDeterministic: i-th-smallest observed value drawn by
     // md5(seed#event_id) mod n_observed
+    // the null-row draw is joined as a plain equality (pre-filtered null
+    // subset, draw index computed on the probe side) so the engine hash-
+    // joins it — the former mixed ON-clause fell back to a nested loop
+    // at sf1.0 (1M × 800k)
     "q72_abb" ->
       """WITH e AS (SELECT event_id,
              CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
            FROM events),
          obs AS (SELECT v AS av, row_number() OVER (ORDER BY v) - 1 AS ai
                  FROM e WHERE v IS NOT NULL),
-         n AS (SELECT COUNT(*) AS c FROM obs)
-         SELECT e.event_id, COALESCE(e.v, o.av) AS v
-         FROM e CROSS JOIN n LEFT JOIN obs o
-           ON e.v IS NULL
-          AND o.ai = CAST(concat('0x', substr(md5(concat_ws('#', 7, e.event_id)), 1, 15)) AS BIGINT) % n.c
+         n AS (SELECT COUNT(*) AS c FROM obs),
+         nulls AS (SELECT e.event_id,
+             CAST(concat('0x', substr(md5(concat_ws('#', 7, e.event_id)), 1, 15))
+               AS BIGINT) % n.c AS ai
+           FROM e CROSS JOIN n WHERE e.v IS NULL),
+         filled AS (SELECT nu.event_id, o.av
+           FROM nulls nu JOIN obs o USING (ai))
+         SELECT e.event_id, COALESCE(e.v, f.av) AS v
+         FROM e LEFT JOIN filled f USING (event_id)
          ORDER BY e.event_id""",
 
     // the files round-trip bit-exactly, so the parquet source is the oracle
@@ -8238,8 +8264,11 @@ object ExtQueries {
     // mirrors Graph.triangleCount over the above-average nation trade
     // graph: identical integer threshold, canonical a<b edges, the same
     // wedge-close joins and per-node membership counts.
+    // MATERIALIZED: flows/und/tri are each referenced 2-3x; DuckDB
+    // inlines CTE references, re-executing the 4-table base join per
+    // reference (OOM'd the sf1.0 sweep before the fix)
     "q184_triangles" ->
-      """WITH flows AS (SELECT c_nationkey AS src, s_nationkey AS dst,
+      """WITH flows AS MATERIALIZED (SELECT c_nationkey AS src, s_nationkey AS dst,
              CAST(COUNT(*) AS BIGINT) AS cnt
            FROM customer
            JOIN orders ON c_custkey = o_custkey
@@ -8248,12 +8277,12 @@ object ExtQueries {
            GROUP BY 1, 2),
          tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS ts,
                         CAST(COUNT(*) AS BIGINT) AS np FROM flows),
-         und AS (SELECT DISTINCT
+         und AS MATERIALIZED (SELECT DISTINCT
              CAST(LEAST(src, dst) AS BIGINT) AS a,
              CAST(GREATEST(src, dst) AS BIGINT) AS b
            FROM flows, tot
            WHERE cnt * np > ts AND src <> dst),
-         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         tri AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
            FROM und e1
            JOIN und e2 ON e1.b = e2.a
            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
@@ -8327,8 +8356,10 @@ object ExtQueries {
     // mirrors Graph.jaccardLinks on the q184 strong-trade edges: integer
     // common/degree counts, existing edges anti-joined away, one final
     // division.
+    // MATERIALIZED for the same CTE-inlining reason as q184 (deg/und are
+    // referenced up to 7x here)
     "q189_jaccard_links" ->
-      """WITH flows AS (SELECT c_nationkey AS src, s_nationkey AS dst,
+      """WITH flows AS MATERIALIZED (SELECT c_nationkey AS src, s_nationkey AS dst,
              CAST(COUNT(*) AS BIGINT) AS cnt
            FROM customer
            JOIN orders ON c_custkey = o_custkey
@@ -8337,16 +8368,16 @@ object ExtQueries {
            GROUP BY 1, 2),
          tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS ts,
                         CAST(COUNT(*) AS BIGINT) AS np FROM flows),
-         und AS (SELECT DISTINCT
+         und AS MATERIALIZED (SELECT DISTINCT
              CAST(LEAST(src, dst) AS BIGINT) AS a,
              CAST(GREATEST(src, dst) AS BIGINT) AS b
            FROM flows, tot
            WHERE cnt * np > ts AND src <> dst),
-         nbrs AS (SELECT a AS id, b AS nbr FROM und
+         nbrs AS MATERIALIZED (SELECT a AS id, b AS nbr FROM und
                   UNION ALL SELECT b, a FROM und),
-         deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+         deg AS MATERIALIZED (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
                  FROM nbrs GROUP BY 1),
-         cand AS (SELECT x.id AS a, y.id AS b,
+         cand AS MATERIALIZED (SELECT x.id AS a, y.id AS b,
              CAST(COUNT(*) AS BIGINT) AS common
            FROM nbrs x JOIN nbrs y ON x.nbr = y.nbr AND x.id < y.id
            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
