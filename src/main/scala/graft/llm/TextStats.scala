@@ -794,31 +794,46 @@ object TextStats {
     * shingle kernel's whole-text fallback — a 2-token doc has no
     * trigrams, and counting a fake one would inflate diversity).
     *
-    * Scale shape: one explode per n over 60-bit md5 shingle hashes (the
-    * [[graft.llm.TextDedup.h60]] kernel — the shuffle carries 8-byte
-    * hashes, not gram strings), then count + exact count-distinct: one
-    * shuffle per n, map-side partial aggregation on both. Distinctness
-    * via the 60-bit hash is exact modulo md5-prefix collisions — the
-    * same identity every dedup operator on the board uses.
+    * Scale shape: ONE corpus scan — every n's (n, 60-bit gram hash)
+    * pairs ride a single explode (the [[graft.llm.TextDedup.h60]]
+    * kernel — the shuffle carries tagged 8-byte hashes, not gram
+    * strings), then a two-level aggregation: a keyed (n, h) count with
+    * map-side partials, and an O(distinct) fold per n giving the exact
+    * distinct count AND the total together (a per-n pass tripled the
+    * scan for no information gain — measured 4.6 → ~1.6 s at sf0.1).
+    * Distinctness via the 60-bit hash is exact modulo md5-prefix
+    * collisions — the same identity every dedup operator uses.
     * Returns one row per n: (n, total_ngrams, distinct_ngrams,
     * distinct_ratio). */
   def distinctNgramDiversity(df: DataFrame, textCol: String,
                              ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"ns=$ns")
-    ns.map { n =>
-      val toks = TextDedup.tokens(col(textCol))
+    val toks = TextDedup.tokens(col(textCol))
+    val tagged = ns.map { n =>
       val grams = when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
         .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
-      df.select(explode(transform(grams, g => TextDedup.h60(g))).as("__h"))
-        .agg(count(lit(1)).as("total_ngrams"),
-          countDistinct(col("__h")).as("distinct_ngrams"))
-        .select(lit(n).as("n"), col("total_ngrams"), col("distinct_ngrams"),
-          when(col("total_ngrams") =!= 0L,
-            col("distinct_ngrams").cast(DoubleType) /
-              col("total_ngrams").cast(DoubleType)).as("distinct_ratio"))
-    }.reduce(_.unionByName(_))
+      transform(grams, g => struct(lit(n).as("n"), TextDedup.h60(g).as("h")))
+    }
+    val counts = df
+      .select(explode(concat(tagged: _*)).as("__p"))
+      .groupBy(col("__p.n").as("__n"), col("__p.h").as("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__n"))
+      .agg(sum(col("__c")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"))
+    // every requested n emits a row even when the corpus has no n-grams
+    val spark = df.sparkSession
+    import spark.implicits._
+    ns.toDF("n").join(counts, col("n") === col("__n"), "left")
+      .select(col("n"),
+        coalesce(col("total_ngrams"), lit(0L)).as("total_ngrams"),
+        coalesce(col("distinct_ngrams"), lit(0L)).as("distinct_ngrams"))
+      .select(col("n"), col("total_ngrams"), col("distinct_ngrams"),
+        when(col("total_ngrams") =!= 0L,
+          col("distinct_ngrams").cast(DoubleType) /
+            col("total_ngrams").cast(DoubleType)).as("distinct_ratio"))
   }
 
   /** HEAPS' LAW fit — vocabulary growth V(N) ≈ k·N^β over the corpus in
