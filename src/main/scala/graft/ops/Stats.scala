@@ -2721,11 +2721,31 @@ object Stats {
       lit(n - r1 - c1) + col("k"))
     val ex = ks.select(col("k"), posexplode(argsArr).as(Seq("pos", "x")))
     val needed = ex.select(col("x")).distinct()
+    // ln-factorial prefix sums by RANGE-PARTITIONED CUMULATE (the ksTest
+    // shape): O(n) terms summed once, then an equality join on the needed
+    // arguments — the former `i <= x` theta join recomputed each prefix
+    // from scratch (O(needed·n): 0.9 → 18 s from sf0.1 to sf1.0)
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val idx = spark.range(2L, n + 1).select(col("id").as("i"),
-      floor(log(col("id").cast(DoubleType)) * lit(1e6))
-        .cast(LongType).as("__li"))
-    val lf = needed.join(idx, col("i") <= col("x"), "left")
-      .groupBy(col("x")).agg(coalesce(sum(col("__li")), lit(0L)).as("lf"))
+        floor(log(col("id").cast(DoubleType)) * lit(1e6))
+          .cast(LongType).as("__li"))
+      .repartitionByRange(parts, col("i"))
+      .sortWithinPartitions(col("i"))
+      .as[(Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offs = idx.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; it.foreach { case (_, li) => s += li }
+        Iterator((pid, s))
+      }.collectBounded(1 << 20, "O(P) ln-factorial partition totals")
+      .sortBy(_._1).map(_._2).scanLeft(0L)(_ + _)
+    val bcOffs = spark.sparkContext.broadcast(offs)
+    val cum = idx.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = bcOffs.value(pid)
+      it.map { case (i, li) => s += li; (i, s) }
+    }.toDF("i", "__cl")
+    val lf = needed.join(cum, col("x") === col("i"), "left")
+      .select(col("x"), coalesce(col("__cl"), lit(0L)).as("lf"))
     val logp = ex.join(lf, "x").groupBy(col("k"))
       .agg(sum(when(col("pos") <= 3, col("lf")).otherwise(-col("lf")))
         .as("logp"))
@@ -2742,7 +2762,12 @@ object Stats {
         lit(kmax).as("k_max"),
         (col("__pobs").cast(DoubleType) / lit(1e6)).as("log_p_obs"),
         col("n_tables"), col("p_two"))
-    materializeSmall(out, 1, "one-row Fisher exact")
+    // idx must stay cached until the final collect: the range partitioner
+    // SAMPLES, so a recompute could re-draw boundaries and desync the
+    // broadcast offsets
+    val res = materializeSmall(out, 1, "one-row Fisher exact")
+    idx.unpersist()
+    res
   }
 
   /** EMPIRICAL MARKOV-CHAIN STATIONARY DISTRIBUTION: build the
