@@ -28,6 +28,7 @@ object Tables {
       graft.functions.DedupKernels.register(spark)
       graft.functions.Kmv.register(spark)
       graft.functions.StringSim.register(spark)
+      graft.functions.VecKernels.register(spark)
     }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {

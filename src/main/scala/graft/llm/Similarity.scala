@@ -22,18 +22,20 @@ object Similarity {
 
   private val S = 1e12
 
-  /** Exact scaled dot product of two float-array columns, as double. */
+  /** Exact scaled dot product of two float-array columns, as double.
+    * Routed through the fused codegen kernel (functions/VecKernels.scala)
+    * — bit-identical to the previous `aggregate(zip_with(...))` composition
+    * (see the kernel's scaladoc for the clause-by-clause pin), but one
+    * allocation-free loop per pair instead of two array materializations.
+    * Registration rides the Tables.ensureFunctions chokepoint, same as
+    * graft_sum128. */
   def dotExact(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        floor(x.cast(DoubleType) * y.cast(DoubleType) * lit(S)).cast(LongType)),
-      lit(0L), (acc, v) => acc + v).cast(DoubleType) / lit(S)
+    call_function("graft_dot_scaled", a, b)
 
-  /** Exact scaled L2 norm. */
+  /** Exact scaled L2 norm (the dot kernel against itself — the composed
+    * form's `transform(a, x => floor(x²·S))` is the zip_with(a, a) case). */
   def normExact(a: Column): Column =
-    sqrt(aggregate(
-      transform(a, x => floor(x.cast(DoubleType) * x.cast(DoubleType) * lit(S)).cast(LongType)),
-      lit(0L), (acc, v) => acc + v).cast(DoubleType) / lit(S))
+    sqrt(call_function("graft_dot_scaled", a, a))
 
   def cosineExact(a: Column, b: Column): Column =
     safeCosine(dotExact(a, b), normExact(a), normExact(b))
