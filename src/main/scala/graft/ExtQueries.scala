@@ -3436,6 +3436,103 @@ object ExtQueries {
           date_format(col("__m.start_day"), "yyyy-MM-dd")
             .as("streak_start"))
         .orderBy(col("user_id"))
+    },
+
+    // Jarque-Bera normality test of the event value per type — the
+    // moment-based gate (skewness² + excess-kurtosis²) that decides
+    // whether the t/z machinery upstream is even applicable.
+    "q361_jarque_bera" -> { (s, dir) =>
+      Stats.jarqueBera(t(s, dir, "events"), "value", "event_type")
+        .orderBy(col("event_type"))
+    },
+
+    // Tukey HSD post-hoc after q175's ANOVA: WHICH event-type pairs
+    // differ, via the studentized-range statistic (Tukey-Kramer
+    // unequal-n form) over the same exact moment pass.
+    "q362_tukey_hsd" -> { (s, dir) =>
+      Stats.tukeyHsd(t(s, dir, "events"), "value", "event_type")
+        .orderBy(col("group_a"), col("group_b"))
+    },
+
+    // Page-Hinkley drift monitor on the hourly mean event value:
+    // cumulative deviation from the RUNNING mean (CUSUM tracks a fixed
+    // reference; PH tracks the evolving one). delta/lambda sized to the
+    // synthetic series' noise floor so the alarm branch is exercised.
+    "q363_page_hinkley" -> { (s, dir) =>
+      Stats.pageHinkley(t(s, dir, "events"), "ts", "value",
+        delta = 0.1, lambda = 200.0)
+    },
+
+    // Granger causality (lag-1): do views help predict next-hour clicks
+    // beyond clicks' own history? Integer-exact hourly count moments,
+    // restricted-vs-full OLS F via the q112 Cramer mirror.
+    "q364_granger" -> { (s, dir) =>
+      Stats.grangerLag1(t(s, dir, "events"), "ts", "event_type",
+        yType = "click", xType = "view")
+    },
+
+    // Weighted shortest paths on the symmetric trading graph (edge cost =
+    // the cheapest line quantity ever shipped on the relationship), 3
+    // Bellman-Ford rounds from the lowest node id — q351's BFS with real
+    // costs, integer-exact relaxations.
+    "q365_sssp" -> { (s, dir) =>
+      val j = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("cnode"),
+          (col("l_suppkey") * 2 + 1).as("snode"),
+          floor(col("l_quantity")).cast(LongType).as("w"))
+      val e = j.select(col("cnode").as("src"), col("snode").as("dst"),
+          col("w"))
+        .unionByName(j.select(col("snode").as("src"),
+          col("cnode").as("dst"), col("w")))
+      val source = e.agg(min(col("src"))).head().getLong(0)
+      Graph.ssspWeighted(e, "src", "dst", "w", Seq(source), rounds = 3)
+        .orderBy(col("id"))
+    },
+
+    // Bradley-Terry brand-preference strengths from within-order price
+    // duels: every line pair in an order with different brands and prices
+    // is one comparison (pricier line wins); 5 exact MM rounds.
+    "q366_bradley_terry" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_extendedprice"))
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+      val a = li.select(col("l_orderkey").as("__ok"),
+        struct(col("l_linenumber"), col("l_partkey"),
+          col("l_extendedprice")).as("__ka"),
+        col("l_extendedprice").as("__pa"), col("p_brand").as("__ba"))
+      val b = li.select(col("l_orderkey").as("__ok"),
+        struct(col("l_linenumber"), col("l_partkey"),
+          col("l_extendedprice")).as("__kb"),
+        col("l_extendedprice").as("__pb"), col("p_brand").as("__bb"))
+      val cmp = a.join(b, Seq("__ok"))
+        .filter(col("__ka") < col("__kb") && col("__ba") =!= col("__bb") &&
+          col("__pa") =!= col("__pb"))
+        .select(
+          when(col("__pa") > col("__pb"), col("__ba")).otherwise(col("__bb"))
+            .as("winner"),
+          when(col("__pa") > col("__pb"), col("__bb")).otherwise(col("__ba"))
+            .as("loser"))
+      Stats.bradleyTerry(cmp, "winner", "loser", iters = 5)
+        .orderBy(col("item"))
+    },
+
+    // Logistic regression per user cohort: P(click | value) via 4 exact
+    // IRLS rounds — the classification-side fixed-round solver next to
+    // q360's Huber IRLS.
+    "q367_logistic" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(pmod(col("user_id"), lit(4)).as("cohort"), col("value"),
+          when(col("event_type") === "click", 1.0).otherwise(0.0)
+            .as("label"))
+      graft.ops.Ml.logisticSimpleByGroup(e, "cohort", "value", "label",
+          iters = 4)
+        .orderBy(col("cohort"))
     }
   )
 
@@ -10383,6 +10480,279 @@ object ExtQueries {
            FROM st)
          SELECT user_id, len AS longest_streak,
            strftime(start_day, '%Y-%m-%d') AS streak_start
-         FROM rk WHERE rn = 1 ORDER BY user_id"""
+         FROM rk WHERE rn = 1 ORDER BY user_id""",
+
+    // mirrors Stats.jarqueBera: raw floor-scaled power sums (x at 1e6,
+    // x² 1e6, x³ 1e4, x⁴ 1e2), then the identical pinned moment/JB
+    // arithmetic sequence.
+    "q361_jarque_bera" ->
+      """WITH a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR((value) * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS s1,
+             CAST(SUM(CAST(FLOOR((value * value) * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS s2,
+             CAST(SUM(CAST(FLOOR((value * value * value) * 10000.0) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS s3,
+             CAST(SUM(CAST(FLOOR((value * value * value * value) * 100.0) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS s4
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL
+             AND NOT isnan(value)
+           GROUP BY 1),
+         m AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+             s1 / CAST(n AS DOUBLE) AS mu FROM a),
+         c AS (SELECT *, s2 / nd - mu * mu AS m2,
+             s3 / nd - 3.0 * mu * (s2 / nd) + 2.0 * mu * mu * mu AS m3,
+             s4 / nd - 4.0 * mu * (s3 / nd) + 6.0 * mu * mu * (s2 / nd)
+               - 3.0 * mu * mu * mu * mu AS m4
+           FROM m),
+         k AS (SELECT *, m3 / (m2 * sqrt(m2)) AS sk,
+             m4 / (m2 * m2) AS ku FROM c)
+         SELECT event_type, n,
+           CASE WHEN m2 > 0.0 THEN sk END AS skewness,
+           CASE WHEN m2 > 0.0 THEN ku END AS kurtosis,
+           CASE WHEN m2 > 0.0 THEN (nd / 6.0) * (sk * sk
+             + (ku - 3.0) * (ku - 3.0) / 4.0) END AS jb
+         FROM k ORDER BY event_type""",
+
+    // mirrors Stats.tukeyHsd: per-group exact moments, the anova-style
+    // re-floored cross-group SSW (bt at 1e9, sxx at 1e6), then the
+    // Tukey-Kramer q over the a<b pair frame. g2 is referenced three
+    // times -> MATERIALIZED (the sf1.0 CTE-inlining lesson).
+    "q362_tukey_hsd" ->
+      """WITH g2 AS MATERIALIZED (
+           SELECT CAST(event_type AS VARCHAR) AS g,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR((value) * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sx,
+             CAST(SUM(CAST(FLOOR((value * value) * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxx
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL
+             AND NOT isnan(value)
+           GROUP BY 1),
+         g3 AS (SELECT *, sx * sx / CAST(n AS DOUBLE) AS bt FROM g2),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(n) AS nn,
+             CAST(SUM(CAST(FLOOR(sxx * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxxall,
+             CAST(SUM(CAST(FLOOR(bt * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000.0 AS btall
+           FROM g3),
+         msw AS (SELECT k, nn, CASE WHEN nn > k
+             THEN (sxxall - btall) / CAST(nn - k AS DOUBLE) END AS msw
+           FROM tot)
+         SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+           a.sx / CAST(a.n AS DOUBLE) AS mean_a,
+           b.sx / CAST(b.n AS DOUBLE) AS mean_b,
+           CASE WHEN m.msw > 0.0 THEN
+             abs(a.sx / CAST(a.n AS DOUBLE) - b.sx / CAST(b.n AS DOUBLE))
+               / sqrt((m.msw / 2.0) * (1.0 / CAST(a.n AS DOUBLE)
+                 + 1.0 / CAST(b.n AS DOUBLE))) END AS q_stat
+         FROM g2 a JOIN g2 b ON a.g < b.g CROSS JOIN msw m
+         ORDER BY group_a, group_b""",
+
+    // mirrors Stats.pageHinkley (delta 0.1, lambda 200.0): hourly exact
+    // means, then the floor-scaled-long cumulates — running mean from the
+    // 1e6 cumsum, terms at 1e6, cumulative min floored at the initial 0 —
+    // replayed as sequential window cumulates.
+    "q363_page_hinkley" ->
+      """WITH h AS MATERIALIZED (SELECT date_trunc('hour', ts) AS h,
+             (CAST(SUM(CAST(FLOOR((value) * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) / COUNT(*) AS m
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+           GROUP BY 1),
+         s1 AS (SELECT h, m, ROW_NUMBER() OVER (ORDER BY h) AS t,
+             SUM(CAST(FLOOR(m * 1000000.0) AS BIGINT))
+               OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cumx
+           FROM h),
+         s2 AS (SELECT h, t,
+             CAST(FLOOR((m - (CAST(cumx AS DOUBLE) / 1000000.0)
+               / CAST(t AS DOUBLE) - 0.1) * 1000000.0) AS BIGINT) AS tv
+           FROM s1),
+         s3 AS (SELECT h, SUM(tv)
+             OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS mt FROM s2),
+         s4 AS (SELECT h, mt,
+             mt - LEAST(CAST(0 AS BIGINT),
+               MIN(mt) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING)) AS pht
+           FROM s3)
+         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM h) AS n_points,
+           CAST(COALESCE(MAX(pht), 0) AS DOUBLE) / 1000000.0 AS ph_max,
+           COALESCE(MAX(CAST(pht AS DOUBLE) / 1000000.0 > 200.0), FALSE)
+             AS alarm,
+           MIN(CASE WHEN CAST(pht AS DOUBLE) / 1000000.0 > 200.0
+             THEN h END) AS alarm_ts
+         FROM s4""",
+
+    // mirrors Stats.grangerLag1 (y=click, x=view): integer hourly count
+    // moments after a lag-1 shift, restricted OLS + the q112 3x3 Cramer
+    // sequence, F in the pinned order.
+    "q364_granger" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS h,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS y,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x
+           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+         l AS (SELECT y, x, LAG(y, 1) OVER (ORDER BY h) AS y1,
+             LAG(x, 1) OVER (ORDER BY h) AS x1 FROM h),
+         f AS (SELECT * FROM l WHERE y1 IS NOT NULL AND x1 IS NOT NULL),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(y1) AS DOUBLE) AS s1, CAST(SUM(y1 * y1) AS DOUBLE) AS p11,
+             CAST(SUM(x1) AS DOUBLE) AS s2, CAST(SUM(x1 * x1) AS DOUBLE) AS p22,
+             CAST(SUM(y1 * x1) AS DOUBLE) AS p12,
+             CAST(SUM(y * y1) AS DOUBLE) AS q1,
+             CAST(SUM(y * x1) AS DOUBLE) AS q2
+           FROM f),
+         b AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM a),
+         c AS (SELECT *,
+             nd * p11 - s1 * s1 AS s1c,
+             nd * q1 - s1 * sy AS sxyc,
+             nd * syy - sy * sy AS syyc,
+             nd * (p11 * p22 - p12 * p12) - s1 * (s1 * p22 - p12 * s2)
+               + s2 * (s1 * p12 - p11 * s2) AS det,
+             sy * (p11 * p22 - p12 * p12) - s1 * (q1 * p22 - p12 * q2)
+               + s2 * (q1 * p12 - p11 * q2) AS det0,
+             nd * (q1 * p22 - p12 * q2) - sy * (s1 * p22 - p12 * s2)
+               + s2 * (s1 * q2 - q1 * s2) AS det1,
+             nd * (p11 * q2 - q1 * p12) - s1 * (s1 * q2 - q1 * s2)
+               + sy * (s1 * p12 - p11 * s2) AS det2
+           FROM b),
+         e AS (SELECT *, (syyc - sxyc * sxyc / s1c) / nd AS rss_r,
+             syy - (det0 / det) * sy - (det1 / det) * q1
+               - (det2 / det) * q2 AS rss_f
+           FROM c)
+         SELECT n, rss_r, rss_f,
+           CASE WHEN n > 3 AND rss_f > 0.0
+             THEN (rss_r - rss_f) / (rss_f / (nd - 3.0)) END AS f_stat
+         FROM e""",
+
+    // mirrors Graph.ssspWeighted on the symmetric trading graph (weight =
+    // cheapest quantity per relationship): 3 unrolled Bellman-Ford
+    // rounds, integer min/+ relaxations, multiply-referenced frames
+    // MATERIALIZED.
+    "q365_sssp" ->
+      """WITH j AS (SELECT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode,
+             CAST(FLOOR(l_quantity) AS BIGINT) AS w
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS MATERIALIZED (SELECT src, dst, MIN(w) AS w FROM (
+             SELECT cnode AS src, snode AS dst, w FROM j
+             UNION ALL SELECT snode, cnode, w FROM j) u
+           GROUP BY 1, 2),
+         d0 AS MATERIALIZED (SELECT (SELECT MIN(src) FROM e) AS id,
+             CAST(0 AS BIGINT) AS dist),
+         r1 AS (SELECT e.dst AS id, d.dist + e.w AS dist
+           FROM e JOIN d0 d ON e.src = d.id),
+         d1 AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM (
+             SELECT * FROM d0 UNION ALL SELECT * FROM r1) u GROUP BY 1),
+         r2 AS (SELECT e.dst AS id, d.dist + e.w AS dist
+           FROM e JOIN d1 d ON e.src = d.id),
+         d2 AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM (
+             SELECT * FROM d1 UNION ALL SELECT * FROM r2) u GROUP BY 1),
+         r3 AS (SELECT e.dst AS id, d.dist + e.w AS dist
+           FROM e JOIN d2 d ON e.src = d.id),
+         d3 AS (SELECT id, MIN(dist) AS dist FROM (
+             SELECT * FROM d2 UNION ALL SELECT * FROM r3) u GROUP BY 1)
+         SELECT id, dist FROM d3 ORDER BY id""",
+
+    // mirrors Stats.bradleyTerry on the within-order brand price duels:
+    // 5 unrolled MM rounds, denominators and normalizers floor-scaled to
+    // BIGINT at 1e9 (order-free), every multiply-referenced CTE
+    // MATERIALIZED.
+    "q366_bradley_terry" -> {
+      val rounds = (1 to 5).map { r =>
+        val prev = if (r == 1) "p0" else s"p${r - 1}"
+        s"""d$r AS (SELECT m.i AS item,
+               SUM(CAST(FLOOR(m.n / (pi.p + pj.p) * 1000000000.0)
+                 AS BIGINT)) AS d
+             FROM pm m JOIN $prev pi ON m.i = pi.item
+               JOIN $prev pj ON m.j = pj.item
+             GROUP BY 1),
+           raw$r AS MATERIALIZED (SELECT t.item,
+               CASE WHEN d.d > 0
+                 THEN CAST(COALESCE(w.n, 0) AS DOUBLE)
+                   / (CAST(d.d AS DOUBLE) / 1000000000.0)
+                 ELSE pp.p END AS p
+             FROM it t LEFT JOIN d$r d ON t.item = d.item
+               LEFT JOIN wins w ON t.item = w.item
+               JOIN $prev pp ON t.item = pp.item),
+           s$r AS (SELECT SUM(CAST(FLOOR(p * 1000000000.0) AS BIGINT)) AS s
+             FROM raw$r),
+           p$r AS MATERIALIZED (SELECT item,
+               p / (CAST((SELECT s FROM s$r) AS DOUBLE) / 1000000000.0) AS p
+             FROM raw$r)"""
+      }.mkString(",\n         ")
+      s"""WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey,
+             l_extendedprice, p_brand
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         cmp AS MATERIALIZED (SELECT
+             CASE WHEN a.l_extendedprice > b.l_extendedprice
+               THEN a.p_brand ELSE b.p_brand END AS w,
+             CASE WHEN a.l_extendedprice > b.l_extendedprice
+               THEN b.p_brand ELSE a.p_brand END AS l
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND (a.l_linenumber, a.l_partkey, a.l_extendedprice)
+               < (b.l_linenumber, b.l_partkey, b.l_extendedprice)
+           WHERE a.p_brand <> b.p_brand
+             AND a.l_extendedprice <> b.l_extendedprice),
+         wins AS MATERIALIZED (SELECT w AS item,
+             CAST(COUNT(*) AS BIGINT) AS n FROM cmp GROUP BY 1),
+         pm0 AS MATERIALIZED (SELECT LEAST(w, l) AS i, GREATEST(w, l) AS j,
+             CAST(COUNT(*) AS BIGINT) AS n FROM cmp GROUP BY 1, 2),
+         pm AS MATERIALIZED (SELECT i, j, n FROM pm0
+           UNION ALL SELECT j, i, n FROM pm0),
+         it AS MATERIALIZED (SELECT DISTINCT i AS item FROM pm),
+         p0 AS MATERIALIZED (SELECT item,
+             1.0 / CAST((SELECT COUNT(*) FROM it) AS DOUBLE) AS p FROM it),
+         $rounds
+         SELECT t.item, CAST(COALESCE(w.n, 0) AS BIGINT) AS n_wins,
+           CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_comparisons,
+           p5.p AS strength
+         FROM it t LEFT JOIN wins w ON t.item = w.item
+           LEFT JOIN (SELECT i AS item, SUM(n) AS n FROM pm GROUP BY 1) nc
+             ON t.item = nc.item
+           JOIN p5 ON t.item = p5.item
+         ORDER BY t.item"""
+    },
+
+    // mirrors Ml.logisticSimpleByGroup (cohort = user_id % 4, y = click):
+    // 4 unrolled IRLS rounds — per round the sigmoid projection, then the
+    // floor-scaled weighted normal-equation sums (w 1e9, wx 1e6, wx² 1e4,
+    // u = w·eta + (y−p) at 1e6, ux 1e4) and the closed 2x2 solve in the
+    // pinned order.
+    "q367_logistic" -> {
+      def fsql(e: String, p: String): String =
+        s"CAST(SUM(CAST(FLOOR(($e) * $p) AS DECIMAL(38,0))) AS DOUBLE) / $p"
+      val rounds = (1 to 4).map { r =>
+        val prev = s"b${r - 1}"
+        s"""e$r AS (SELECT f.g, f.x, f.y, b.b0 + b.b1 * f.x AS eta,
+               1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x))) AS p
+             FROM f JOIN $prev b USING (g)),
+           w$r AS (SELECT g, x, y, p * (1.0 - p) AS w,
+               (p * (1.0 - p)) * eta + (y - p) AS u
+             FROM e$r),
+           a$r AS (SELECT g,
+               ${fsql("w", "1000000000.0")} AS sw,
+               ${fsql("w * x", "1000000.0")} AS swx,
+               ${fsql("w * x * x", "10000.0")} AS swxx,
+               ${fsql("u", "1000000.0")} AS su,
+               ${fsql("u * x", "10000.0")} AS sux
+             FROM w$r GROUP BY 1),
+           b$r AS MATERIALIZED (SELECT b.g,
+               CASE WHEN a.sw * a.swxx - a.swx * a.swx > 0.0
+                 THEN (a.swxx * a.su - a.swx * a.sux)
+                   / (a.sw * a.swxx - a.swx * a.swx)
+                 ELSE b.b0 END AS b0,
+               CASE WHEN a.sw * a.swxx - a.swx * a.swx > 0.0
+                 THEN (a.sw * a.sux - a.swx * a.su)
+                   / (a.sw * a.swxx - a.swx * a.swx)
+                 ELSE b.b1 END AS b1
+             FROM $prev b LEFT JOIN a$r a USING (g))"""
+      }.mkString(",\n         ")
+      s"""WITH f AS MATERIALIZED (SELECT user_id % 4 AS g,
+             CAST(value AS DOUBLE) AS x,
+             CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS y
+           FROM events
+           WHERE user_id IS NOT NULL AND value IS NOT NULL
+             AND NOT isnan(CAST(value AS DOUBLE))),
+         nf AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos
+           FROM f GROUP BY 1),
+         b0 AS (SELECT g, 0.0 AS b0, 0.0 AS b1 FROM nf),
+         $rounds
+         SELECT nf.g AS cohort, nf.n, nf.n_pos,
+           b4.b0 AS intercept, b4.b1 AS slope
+         FROM nf JOIN b4 USING (g) ORDER BY cohort"""
+    }
   )
 }

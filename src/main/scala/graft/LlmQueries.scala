@@ -748,6 +748,20 @@ object LlmQueries {
           when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
           lit("?utm_source="), col("lang"), lit("#sec")))
       TextStats.urlDedupReport(docs, "url")
+    },
+
+    // Incremental cross-snapshot dedup: the doc_id%5==0 slice plays the
+    // NEWLY-ARRIVED batch, screened against the rest of the corpus via the
+    // band-join of minhash sketch indexes — the production daily-ingest
+    // loop (no old-vs-old re-pairing).
+    "q368_incremental_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextDedup.incrementalMinhashDedup(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", shingleLen = 3, numHashes = 64, bands = 32,
+        threshold = 0.5)
+        .orderBy(col("id"))
     }
   )
 
@@ -2472,6 +2486,27 @@ object LlmQueries {
          SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
            CAST(COUNT(DISTINCT c) AS BIGINT) AS n_canonical,
            CAST(COUNT(*) - COUNT(DISTINCT c) AS BIGINT) AS n_dups
-         FROM h GROUP BY 1 ORDER BY 1"""
+         FROM h GROUP BY 1 ORDER BY 1""",
+
+    // mirrors TextDedup.incrementalMinhashDedup: the q29 signature/banding
+    // CTEs over the whole corpus, the NEW(id%5=0) x OLD band join, the
+    // signature-agreement verify, lowest-id match per batch doc.
+    "q368_incremental_dedup" ->
+      s"""WITH ${minhashCandidateCtes(32)},
+         cd AS (SELECT DISTINCT b.id AS nid, o.id AS oid
+           FROM banded b JOIN banded o ON b.band = o.band
+           WHERE b.id % 5 = 0 AND o.id % 5 <> 0),
+         ver AS (SELECT cd.nid, cd.oid, $estJaccardSql AS est
+           FROM cd JOIN sig sa ON sa.id = cd.nid
+             JOIN sig sb ON sb.id = cd.oid),
+         keep AS (SELECT nid, oid, est,
+             ROW_NUMBER() OVER (PARTITION BY nid ORDER BY oid, est) AS rn
+           FROM ver WHERE est >= 0.5)
+         SELECT d.doc_id AS id, (k.oid IS NOT NULL) AS is_dup,
+           k.oid AS dup_of, k.est AS est_jaccard
+         FROM documents d LEFT JOIN keep k
+           ON k.nid = d.doc_id AND k.rn = 1
+         WHERE d.doc_id % 5 = 0
+         ORDER BY id"""
   )
 }

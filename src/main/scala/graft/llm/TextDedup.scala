@@ -243,6 +243,61 @@ object TextDedup {
         estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
   }
 
+  /** INCREMENTAL near-dup screening of a NEW batch against an EXISTING
+    * corpus — the production dedup loop: snapshots arrive daily, and each
+    * new document must be checked against everything already ingested
+    * WITHOUT re-pairing the old corpus against itself. The old side's
+    * (id, signature) frame is the persistable sketch index (the q247
+    * sketch-persist pattern applied to dedup: write it to parquet once,
+    * band-join every future batch against it).
+    *
+    * Plan: MinHash signatures per side (fused one-pass kernel), LSH band
+    * keys, then a band-key equi-join NEW × OLD — candidate mass is
+    * Σ_bucket |new∩bucket|·|old∩bucket|, linear in the batch for
+    * non-pathological duplicate structure (a batch doc in a k-copy old
+    * cluster meets k candidates: that is the answer's size, not
+    * overhead). Signature-agreement estimate verifies candidates; each
+    * batch doc reports its lowest-id verified match. Returns one row per
+    * batch doc: (id, is_dup, dup_of, est_jaccard), dup_of/est null for
+    * fresh docs. */
+  def incrementalMinhashDedup(existing: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleLen: Int = 3, numHashes: Int = 64,
+                              bands: Int = 32,
+                              threshold: Double = 0.5): DataFrame = {
+    graft.functions.DedupKernels.register(existing.sparkSession)
+    val r = numHashes / bands
+    def sigsOf(df: DataFrame): DataFrame =
+      spreadForKernel(df.filter(col(idCol).isNotNull)
+          .select(col(idCol).as("id"), col(textCol).as("__t")))
+        .select(col("id"),
+          minhashSignatureFromHashes(
+            shingleHashes(col("__t"), shingleLen, 7), numHashes).as("sig"))
+        .repartition(col("id"))
+    val oldS = sigsOf(existing)
+    val newS = sigsOf(batch)
+    def bandedOf(s: DataFrame): DataFrame =
+      s.select(col("id"), explode(lshBandKeys(col("sig"), bands, r)).as("band"))
+    val cand = bandedOf(newS).select(col("id").as("__nid"), col("band"))
+      .join(bandedOf(oldS).select(col("id").as("__oid"), col("band")), "band")
+      .select(col("__nid"), col("__oid")).distinct()
+    val verified = cand
+      .join(newS.select(col("id").as("__nid"), col("sig").as("__sn")), "__nid")
+      .join(oldS.select(col("id").as("__oid"), col("sig").as("__so")), "__oid")
+      .select(col("__nid"), col("__oid"),
+        estJaccard(col("__sn"), col("__so")).as("__est"))
+      .filter(col("__est") >= threshold)
+      .groupBy(col("__nid"))
+      .agg(min(struct(col("__oid"), col("__est"))).as("__m"))
+    batch.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"))
+      .join(verified.select(col("__nid").as("id"),
+        col("__m.__oid").as("dup_of"), col("__m.__est").as("est_jaccard")),
+        Seq("id"), "left")
+      .select(col("id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("est_jaccard"))
+  }
+
   /** Edit-distance-VERIFIED near-dup pairs: MinHash-LSH candidates
     * (linear rep+adjacent pairing, see [[minhashCandidatePairs]]) whose
     * estimated Jaccard clears `minEstJaccard`, then confirmed by exact

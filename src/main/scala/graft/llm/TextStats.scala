@@ -434,13 +434,17 @@ object TextStats {
         transform(sequence(lit(0), size(w) - 2),
           i => concat(element_at(w, i + 1), lit(" "), element_at(w, i + 2))))
         .otherwise(array().cast("array<string>"))).as("bg"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val withW1 = pairs.withColumn("w1", substring_index(col("bg"), " ", 1))
     val cb = pairs.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
     // left-unigram counts roll up from the (much smaller) bigram table —
-    // one corpus scan fewer; identical long counts
+    // one corpus scan fewer; identical long counts. (A/B-measured: folding
+    // cu onto cb into one pre-joined weight table is SLOWER here — the
+    // chained pair of type-table joins stays broadcast under AQE with the
+    // probe pipeline unbroken, while the weight-table build either adds a
+    // checkpoint barrier or re-runs the corpus aggregation.)
     val cu = cb.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("cb")).as("cu"))
-    pairs.join(cb, "bg").join(cu, "w1")
+    withW1.join(cb, "bg").join(cu, "w1")
       .withColumn("pr", col("cb").cast(DoubleType) / col("cu").cast(DoubleType))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -465,8 +469,14 @@ object TextStats {
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
                         strataCol: String): DataFrame = {
     import graft.ops.TableOps.DatasetExt
+    // stratifiedRank consumes its input three times (range-sort scan,
+    // zipWithIndex scan, per-stratum counts) — checkpoint the scored frame
+    // so the whole LM pipeline executes ONCE, not per consumer (the
+    // iterative-lineage doctrine; the frame is O(docs) rows, and its blocks
+    // are released when the result frame is GC'd).
     val scored = bigramLmScore(df, idCol, textCol)
       .join(df.select(col(idCol), col(strataCol)), idCol)
+      .localCheckpoint(true)
     val ranked = scored.stratifiedRank(strataCol,
       Seq(col("mean_p").desc, col(idCol)), "__rk", "__ns")
     // ntile(3) replay in exact integer arithmetic: q = n div 3 via an

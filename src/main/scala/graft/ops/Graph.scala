@@ -650,4 +650,51 @@ object Graph {
     eSrc.unpersist(); eDst.unpersist()
     out
   }
+
+  /** WEIGHTED single-source shortest paths by Bellman–Ford relaxation
+    * with a FIXED round count: after round r, `dist` holds the cheapest
+    * path using ≤ r hops (set `rounds` ≥ the graph's hop diameter for
+    * the full SSSP; the fixed cap is what makes the operator replayable
+    * in unrolled SQL, the [[bfsDistances]] convention with weights).
+    * Weights are LONGS (floor-cast by the caller) so every relaxation is
+    * exact integer min/+ — no FP tie hazards on any engine.
+    *
+    * Plan: parallel edges collapse to their min weight once; each round
+    * is one hash join of the pre-partitioned edge frame with the current
+    * distance frame + a keyed min — two shuffles per round, the frame is
+    * O(reached nodes). Each round's result is eagerly checkpointed and
+    * the superseded blocks released (the pageRank doctrine). Returns
+    * (id, dist) for nodes reachable within `rounds` hops. */
+  def ssspWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                   weightCol: String, sources: Seq[Long],
+                   rounds: Int): DataFrame = {
+    require(sources.nonEmpty && rounds >= 1, s"rounds=$rounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"),
+        col(weightCol).cast(LongType).as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    var dist = sources.distinct.toDF("id")
+      .select(col("id").cast(LongType).as("id"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = e
+        .join(dist.select(col("id").as("__u"), col("dist").as("__du")),
+          e("src") === col("__u"))
+        .select(col("dst").as("id"), (col("__du") + col("w")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      Checkpoints.releaseLocalCheckpoint(dist)
+      dist = next
+    }
+    e.unpersist()
+    dist
+  }
 }

@@ -1496,4 +1496,65 @@ object Ml {
     LinearClassifierModel(features, labels,
       m.interceptVector.toArray, weights)
   }
+
+  /** LOGISTIC REGRESSION (intercept + one feature) per group via IRLS
+    * with a FIXED round count — the engine-portable replacement for an
+    * iterate-to-tolerance solver (the [[graft.ops.Stats.huberMean]]
+    * doctrine applied to classification): every round is one broadcast
+    * join of the O(groups) coefficient frame + one keyed aggregation,
+    * and the weighted normal-equation sums are floor-scaled exact, so
+    * unrolled SQL replays each round bit-for-bit.
+    *
+    * The working response enters PRE-MULTIPLIED by the weight:
+    * w·z = w·η + (y − p) — algebraically identical to the textbook
+    * z = η + (y−p)/w but bounded (no 0/0 when p saturates), which is what
+    * keeps the floor-scaled sums inside their addend budget. Rounds start
+    * at β = 0; groups whose X'WX is singular keep their previous β.
+    * Returns (group, n, n_pos, intercept, slope). */
+  def logisticSimpleByGroup(df: DataFrame, groupCol: String, xCol: String,
+                            labelCol: String, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters=$iters")
+    val spark = df.sparkSession
+    def fsum(c: Column, digits: Int): Column = {
+      val p = math.pow(10, digits)
+      call_function("graft_sum128", floor(c * lit(p)).cast(LongType), lit(0))
+        .cast(DoubleType) / lit(p)
+    }
+    val x = col(xCol).cast(DoubleType)
+    val y = col(labelCol).cast(DoubleType)
+    val f = df
+      .filter(col(groupCol).isNotNull && x.isNotNull && !isnan(x) &&
+        y.isNotNull && !isnan(y))
+      .select(col(groupCol), x.as("__x"), y.as("__y"))
+    val nFrame = f.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__y").cast(LongType)).as("n_pos"))
+    var beta = nFrame.select(col(groupCol), lit(0.0).as("__b0"),
+      lit(0.0).as("__b1"))
+    for (_ <- 1 to iters) {
+      val bRows = beta.collectBounded(1 << 20, "O(groups) logistic β frame")
+      val bLocal = spark.createDataFrame(
+        java.util.Arrays.asList(bRows: _*), beta.schema)
+      val eta = col("__b0") + col("__b1") * col("__x")
+      val p = lit(1.0) / (lit(1.0) + exp(-eta))
+      val w = p * (lit(1.0) - p)
+      val u = w * eta + (col("__y") - p) // = w·z, bounded
+      val agg = f.join(broadcast(bLocal), Seq(groupCol))
+        .groupBy(col(groupCol))
+        .agg(fsum(w, 9).as("__sw"), fsum(w * col("__x"), 6).as("__swx"),
+          fsum(w * col("__x") * col("__x"), 4).as("__swxx"),
+          fsum(u, 6).as("__su"), fsum(u * col("__x"), 4).as("__sux"))
+      val det = col("__sw") * col("__swxx") - col("__swx") * col("__swx")
+      beta = bLocal.join(agg, Seq(groupCol), "left")
+        .select(col(groupCol),
+          when(det > 0.0,
+            (col("__swxx") * col("__su") - col("__swx") * col("__sux")) / det)
+            .otherwise(col("__b0")).as("__b0"),
+          when(det > 0.0,
+            (col("__sw") * col("__sux") - col("__swx") * col("__su")) / det)
+            .otherwise(col("__b1")).as("__b1"))
+    }
+    nFrame.join(beta, Seq(groupCol))
+      .select(col(groupCol), col("n"), col("n_pos"),
+        col("__b0").as("intercept"), col("__b1").as("slope"))
+  }
 }

@@ -3205,4 +3205,258 @@ object Stats {
       .select((keyCols.map(col) ++
         Seq(col("n_points"), col("hurst"))): _*)
   }
+
+  /** JARQUE–BERA normality test per group: JB = n/6·(S² + (K−3)²/4) from
+    * population skewness S = m₃/m₂^{3/2} and kurtosis K = m₄/m₂², with the
+    * central moments assembled from RAW floor-scaled exact power sums
+    * (Σx…Σx⁴) — one keyed aggregation, nothing data-sized leaves the
+    * executors, and every post-aggregation step is a pinned ±/×// sequence
+    * any engine replays bit-for-bit (the anova/chi-square convention).
+    * Quartic digits default to 2: addends floor(x⁴·10²) stay under 2^63
+    * for |x| up to ~10⁴. Degenerate groups (m₂ ≤ 0) report null S/K/JB.
+    * Returns (group, n, skewness, kurtosis, jb). */
+  def jarqueBera(df: DataFrame, valueCol: String, groupCol: String,
+                 quarticDigits: Int = 2): DataFrame = {
+    val x = col(valueCol).cast(DoubleType)
+    val agg = df
+      .filter(col(groupCol).isNotNull && x.isNotNull && !isnan(x))
+      .select(col(groupCol), x.as("__x"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        fs(col("__x"), 6).as("__s1"),
+        fs(col("__x") * col("__x"), 6).as("__s2"),
+        fs(col("__x") * col("__x") * col("__x"), 4).as("__s3"),
+        fs(col("__x") * col("__x") * col("__x") * col("__x"), quarticDigits)
+          .as("__s4"))
+    val nD = col("n").cast(DoubleType)
+    val mu = col("__s1") / nD
+    val m2 = col("__s2") / nD - mu * mu
+    val m3 = col("__s3") / nD - lit(3.0) * mu * (col("__s2") / nD) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("__s4") / nD - lit(4.0) * mu * (col("__s3") / nD) +
+      lit(6.0) * mu * mu * (col("__s2") / nD) - lit(3.0) * mu * mu * mu * mu
+    val skew = m3 / (m2 * sqrt(m2))
+    val kurt = m4 / (m2 * m2)
+    agg.select(col(groupCol), col("n"),
+      when(m2 > 0.0, skew).as("skewness"),
+      when(m2 > 0.0, kurt).as("kurtosis"),
+      when(m2 > 0.0,
+        (nD / lit(6.0)) * (skew * skew +
+          (kurt - lit(3.0)) * (kurt - lit(3.0)) / lit(4.0))).as("jb"))
+  }
+
+  /** TUKEY HSD post-hoc pairwise comparison after a one-way ANOVA: for
+    * every group pair the studentized-range statistic
+    * q = |x̄_a − x̄_b| / √(MSW/2 · (1/n_a + 1/n_b)) (the unequal-n
+    * Tukey–Kramer form), with MSW from the SAME per-group exact moment
+    * pass [[anovaOneWay]] runs. The cross-group SSW reduction re-floor-
+    * scales the per-group doubles at 10⁹ (the anova between-term
+    * convention) so reduce order can't perturb it; the pair frame is
+    * O(k²) on k groups — trivially bounded. Returns
+    * (group_a, group_b, n_a, n_b, mean_a, mean_b, q_stat), a < b. */
+  def tukeyHsd(df: DataFrame, valueCol: String, groupCol: String)
+      : DataFrame = {
+    val x = col(valueCol).cast(DoubleType)
+    val perGroup = df
+      .filter(col(groupCol).isNotNull && x.isNotNull && !isnan(x))
+      .select(col(groupCol).cast(StringType).as("__g"), x.as("__x"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"),
+        Reductions.isum(col("__x"), 6).as("__sx"),
+        Reductions.isum(col("__x") * col("__x"), 6).as("__sxx"))
+      .withColumn("__bt",
+        col("__sx") * col("__sx") / col("__n").cast(DoubleType))
+    val tot = perGroup.agg(
+      count(lit(1)).as("__k"), sum(col("__n")).as("__nn"),
+      Reductions.isum(col("__sxx"), 6).as("__sxxall"),
+      Reductions.isum(col("__bt"), 9).as("__btall"))
+      .select(col("__k"), col("__nn"),
+        when(col("__nn") > col("__k"),
+          (col("__sxxall") - col("__btall")) /
+            (col("__nn") - col("__k")).cast(DoubleType)).as("__msw"))
+    val a = perGroup.select(col("__g").as("group_a"), col("__n").as("n_a"),
+      (col("__sx") / col("__n").cast(DoubleType)).as("mean_a"))
+    val b = perGroup.select(col("__g").as("group_b"), col("__n").as("n_b"),
+      (col("__sx") / col("__n").cast(DoubleType)).as("mean_b"))
+    a.join(b, col("group_a") < col("group_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"),
+        when(col("__msw") > 0.0,
+          abs(col("mean_a") - col("mean_b")) /
+            sqrt((col("__msw") / lit(2.0)) *
+              (lit(1.0) / col("n_a").cast(DoubleType) +
+                lit(1.0) / col("n_b").cast(DoubleType)))).as("q_stat"))
+  }
+
+  /** PAGE–HINKLEY upward-drift detector over the hourly mean series of a
+    * value column: cumulative deviations from the RUNNING mean,
+    * m_t = Σ_{i≤t} (x_i − x̄_{1..i} − δ), alarm when
+    * PH_t = m_t − min_{s≤t} m_s exceeds λ. The classic streaming
+    * changepoint monitor next to [[graft.ops.Indicators]]' CUSUM (which
+    * tracks a FIXED reference mean; PH tracks the evolving one).
+    *
+    * Scale shape: the detector runs on the hourly AGGREGATE series —
+    * O(time range) rows, not O(data) (the periodogram argument) — built by
+    * one keyed exact aggregation; the sequential fold is a bounded driver
+    * readout with every accumulator a floor-scaled LONG (terms at 10⁶), so
+    * the fold replays exactly in SQL window cumulates. Returns one row
+    * (n_points, ph_max, alarm, alarm_ts). */
+  def pageHinkley(df: DataFrame, tsCol: String, valueCol: String,
+                  delta: Double, lambda: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = col(valueCol).cast(DoubleType)
+    val hourly = df
+      .filter(col(tsCol).isNotNull && x.isNotNull && !isnan(x))
+      .groupBy(date_trunc("hour", col(tsCol)).as("__h"))
+      .agg((Reductions.isum(x, 6) / count(lit(1))).as("__m"))
+      .orderBy(col("__h"))
+    val rows = hourly.collectBounded(1 << 22, "O(hours) PH series")
+    var cumX = 0L          // Σ floor(x·10⁶)
+    var cumT = 0L          // Σ floor((x − runmean − δ)·10⁶)
+    var minM = 0L
+    var phMax = 0L
+    var t = 0L
+    var alarmTs: java.sql.Timestamp = null
+    rows.foreach { r =>
+      val xv = r.getDouble(1)
+      t += 1
+      cumX += math.floor(xv * 1e6).toLong
+      val runMean = (cumX.toDouble / 1e6) / t.toDouble
+      cumT += math.floor((xv - runMean - delta) * 1e6).toLong
+      if (cumT < minM) minM = cumT
+      val ph = cumT - minM
+      if (ph > phMax) phMax = ph
+      if (alarmTs == null && ph.toDouble / 1e6 > lambda)
+        alarmTs = r.getTimestamp(0)
+    }
+    Seq((rows.length.toLong, phMax.toDouble / 1e6, alarmTs != null))
+      .toDF("n_points", "ph_max", "alarm")
+      .withColumn("alarm_ts", lit(alarmTs).cast(TimestampType))
+  }
+
+  /** GRANGER CAUSALITY (lag-1) between two hourly count series: does
+    * series x help predict series y beyond y's own past? F-test of the
+    * restricted model y_t ~ y_{t−1} against the full y_t ~ y_{t−1} + x_{t−1},
+    * F = (RSS_r − RSS_f) / (RSS_f / (n − 3)).
+    *
+    * The series are EVENT COUNTS per hour, so every moment (Σy, Σy·y₁,
+    * Σy₁x₁, …) is an exact BIGINT — no floor scaling needed anywhere; the
+    * OLS closed forms (2-var slope, 3×3 Cramer — the q112 mirror pattern)
+    * run on one O(1) aggregate row. The lag window is partition-less but
+    * runs over the O(time range) hourly frame (bounded by construction).
+    * Returns one row (n, rss_r, rss_f, f_stat). */
+  def grangerLag1(df: DataFrame, tsCol: String, typeCol: String,
+                  yType: String, xType: String): DataFrame = {
+    val hourly = df
+      .filter(col(tsCol).isNotNull)
+      .groupBy(date_trunc("hour", col(tsCol)).as("__h"))
+      .agg(sum(when(col(typeCol) === yType, 1L).otherwise(0L)).as("__y"),
+        sum(when(col(typeCol) === xType, 1L).otherwise(0L)).as("__x"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__h"))
+    val lagged = hourly
+      .withColumn("__y1", lag(col("__y"), 1).over(w))
+      .withColumn("__x1", lag(col("__x"), 1).over(w))
+      .filter(col("__y1").isNotNull && col("__x1").isNotNull)
+    val agg = lagged.agg(
+      count(lit(1)).as("n"),
+      sum(col("__y")).as("sy"), sum(col("__y") * col("__y")).as("syy"),
+      sum(col("__y1")).as("s1"), sum(col("__y1") * col("__y1")).as("p11"),
+      sum(col("__x1")).as("s2"), sum(col("__x1") * col("__x1")).as("p22"),
+      sum(col("__y1") * col("__x1")).as("p12"),
+      sum(col("__y") * col("__y1")).as("q1"),
+      sum(col("__y") * col("__x1")).as("q2"))
+    val nD = col("n").cast(DoubleType)
+    def d(c: Column): Column = c.cast(DoubleType)
+    // restricted: y ~ 1 + y1 (simple OLS); RSS_r = Syy_c − b·S_{y1,y}_c
+    val s1c = nD * d(col("p11")) - d(col("s1")) * d(col("s1"))
+    val sxyC = nD * d(col("q1")) - d(col("s1")) * d(col("sy"))
+    val syyC = nD * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    val rssR = (syyC - sxyC * sxyC / s1c) / nD
+    // full: y ~ 1 + y1 + x1 via the 3×3 Cramer mirror (q112 pattern)
+    val det = nD * (d(col("p11")) * d(col("p22")) - d(col("p12")) * d(col("p12"))) -
+      d(col("s1")) * (d(col("s1")) * d(col("p22")) - d(col("p12")) * d(col("s2"))) +
+      d(col("s2")) * (d(col("s1")) * d(col("p12")) - d(col("p11")) * d(col("s2")))
+    val det0 = d(col("sy")) * (d(col("p11")) * d(col("p22")) - d(col("p12")) * d(col("p12"))) -
+      d(col("s1")) * (d(col("q1")) * d(col("p22")) - d(col("p12")) * d(col("q2"))) +
+      d(col("s2")) * (d(col("q1")) * d(col("p12")) - d(col("p11")) * d(col("q2")))
+    val det1 = nD * (d(col("q1")) * d(col("p22")) - d(col("p12")) * d(col("q2"))) -
+      d(col("sy")) * (d(col("s1")) * d(col("p22")) - d(col("p12")) * d(col("s2"))) +
+      d(col("s2")) * (d(col("s1")) * d(col("q2")) - d(col("q1")) * d(col("s2")))
+    val det2 = nD * (d(col("p11")) * d(col("q2")) - d(col("q1")) * d(col("p12"))) -
+      d(col("s1")) * (d(col("s1")) * d(col("q2")) - d(col("q1")) * d(col("s2"))) +
+      d(col("sy")) * (d(col("s1")) * d(col("p12")) - d(col("p11")) * d(col("s2")))
+    val b0 = det0 / det; val b1 = det1 / det; val b2 = det2 / det
+    val rssF = (d(col("syy")) - b0 * d(col("sy")) - b1 * d(col("q1")) -
+      b2 * d(col("q2")))
+    val rssRAbs = rssR
+    agg.select(col("n"), rssRAbs.as("rss_r"), rssF.as("rss_f"),
+      when(col("n") > 3 && rssF > 0.0,
+        (rssRAbs - rssF) / (rssF / (nD - lit(3.0)))).as("f_stat"))
+  }
+
+  /** BRADLEY–TERRY preference-strength fit over pairwise comparison
+    * outcomes (winner, loser) — the batch model behind preference-data
+    * curation and pairwise eval (RLHF reward sanity checks, arena-style
+    * rankings). Minorize–maximize updates with a FIXED iteration count:
+    *   π_i ← W_i / Σ_j n_ij / (π_i + π_j),   then normalize Σπ = 1.
+    *
+    * Scale shape: the comparison stream reduces in ONE pass to per-item
+    * win counts and the symmetric pair-total matrix — O(items²) rows,
+    * the bounded readout every fit-side operator uses — and the MM
+    * rounds run on the driver with both cross-item reductions (the
+    * per-item denominator and the normalizer) accumulated as
+    * floor-scaled LONGS at 10⁹, so summation order cannot move them and
+    * unrolled SQL replays each round bit-for-bit. Items that never win
+    * converge to strength 0 (standard BT); items with no comparisons
+    * keep their previous value through a round. Returns
+    * (item, n_wins, n_comparisons, strength), Σ strength = 1. */
+  def bradleyTerry(comparisons: DataFrame, winnerCol: String,
+                   loserCol: String, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters=$iters")
+    val spark = comparisons.sparkSession
+    import spark.implicits._
+    val c = comparisons.select(col(winnerCol).cast(StringType).as("__w"),
+        col(loserCol).cast(StringType).as("__l"))
+      .filter(col("__w").isNotNull && col("__l").isNotNull &&
+        col("__w") =!= col("__l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val winRows = c.groupBy(col("__w")).agg(count(lit(1)).as("n"))
+      .collectBounded(1 << 20, "O(items) BT win counts")
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pairRows = c
+      .select(least(col("__w"), col("__l")).as("__i"),
+        greatest(col("__w"), col("__l")).as("__j"))
+      .groupBy(col("__i"), col("__j")).agg(count(lit(1)).as("n"))
+      .collectBounded(1 << 22, "O(items²) BT pair matrix")
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+    c.unpersist()
+    val items = (winRows.keySet ++
+      pairRows.flatMap(p => Seq(p._1._1, p._1._2))).toSeq.sorted
+    val k = items.length
+    // symmetric adjacency for the per-item denominator
+    val sym: Map[String, Seq[(String, Long)]] = pairRows
+      .flatMap { case ((i, j), n) => Seq(i -> (j, n), j -> (i, n)) }
+      .groupBy(_._1).map { case (i, xs) => i -> xs.map(_._2).toSeq }
+    var pi: Map[String, Double] = items.map(_ -> 1.0 / k).toMap
+    for (_ <- 1 to iters) {
+      val raw = items.map { i =>
+        // floor-scaled long denominator: order-free exact sum
+        val d = sym.getOrElse(i, Seq.empty)
+          .map { case (j, n) =>
+            math.floor(n.toDouble / (pi(i) + pi(j)) * 1e9).toLong }
+          .sum
+        i -> (if (d > 0L) winRows.getOrElse(i, 0L).toDouble /
+          (d.toDouble / 1e9) else pi(i))
+      }
+      val s = raw.map { case (_, p) => math.floor(p * 1e9).toLong }.sum
+      pi = raw.map { case (i, p) => i -> p / (s.toDouble / 1e9) }.toMap
+    }
+    val nComp: Map[String, Long] = sym.map { case (i, xs) =>
+      i -> xs.map(_._2).sum }
+    items.map(i => (i, winRows.getOrElse(i, 0L), nComp.getOrElse(i, 0L),
+        pi(i)))
+      .toDF("item", "n_wins", "n_comparisons", "strength")
+  }
 }
