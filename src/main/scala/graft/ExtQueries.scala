@@ -951,8 +951,9 @@ object ExtQueries {
     },
 
     // Poisson-bootstrap CI for mean document length: B=200 deterministic
-    // md5-derived Poisson(1) weights per doc, replicate means from exact
-    // weighted sums, order-statistic CI over the O(B) frame.
+    // Poisson(1) weights per doc (one md5 seed per doc, universal-hash
+    // draw per replicate), replicate means from exact weighted sums,
+    // order-statistic CI over the O(B) frame.
     "q291_poisson_bootstrap" -> { (s, dir) =>
       Stats.poissonBootstrapCI(t(s, dir, "documents"), "n_chars",
         Seq("doc_id"), reps = 200, alpha = 0.05)
@@ -4462,12 +4463,15 @@ object ExtQueries {
     // integer-quantized Poisson(1) CDF thresholds, floor-scaled exact
     // weighted sums, rank-5/rank-195 order statistics over the B frame.
     "q291_poisson_bootstrap" ->
-      """WITH base AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x,
+             CAST(concat('0x', substr(md5(concat_ws('#', doc_id)),
+               1, 7)) AS BIGINT) AS h
            FROM documents
            WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))),
          reps AS (SELECT t.b AS b, base.doc_id, base.x,
-             CAST(concat('0x', substr(md5(concat_ws('#', doc_id, t.b)),
-               1, 15)) AS BIGINT) % 1000000 AS u
+             ((((t.b * 2 + 1) * 2654435761) % 4294967311) * base.h
+               + ((t.b * 40503 + 7) % 4294967311)) % 4294967311
+               % 1000000 AS u
            FROM base CROSS JOIN
              (SELECT CAST(range AS INT) AS b FROM range(0, 200)) t),
          w AS (SELECT b, x,

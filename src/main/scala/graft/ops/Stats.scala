@@ -550,8 +550,10 @@ object Stats {
     * shuffle of the whole table), each row independently contributes a
     * Poisson(1) weight to every replicate, so the entire bootstrap is
     * ONE map-side pass + a B-row shuffle. Weights are DETERMINISTIC:
-    * u = md5(unit#b) mod 10⁶ (the q158 hash-uniform), inverted through
-    * the integer-quantized Poisson(1) CDF (thresholds ⌊CDF·10⁶⌋ as
+    * one md5 SEED per unit, a minhash-coefficient universal hash per
+    * replicate (u = (a_b·h + c_b) mod P mod 10⁶ — one md5 per ROW
+    * instead of per row×replicate), inverted through the
+    * integer-quantized Poisson(1) CDF (thresholds ⌊CDF·10⁶⌋ as
     * literals — both engines compare integers; the tail is capped at 8,
     * P(>8) at this quantization = 11/10⁶, absorbed into w=8).
     *
@@ -567,9 +569,19 @@ object Stats {
     require(alpha > 0 && alpha < 1, s"alpha=$alpha out of (0, 1)")
     val x = col(valueCol).cast(DoubleType)
     val clean = df.filter(x.isNotNull && !isnan(x))
-    val u = pmod(conv(substring(md5(concat_ws("#",
-      unitCols.map(col) :+ col("__b"): _*)), 1, 15), 16, 10)
-      .cast(LongType), lit(1000000L))
+    // One md5 SEED per unit, then a minhash-style universal hash
+    // (a_b·h + c_b) mod P per replicate: the former md5-per-(unit, rep)
+    // construction paid units×reps md5+base-conversions — the md5 mass,
+    // not the shuffle, dominated the wall at B=200. The seed is 28 md5
+    // bits (the shingle-hash convention), coefficients are the TextDedup
+    // streams, P = 2^32+15, so a·h < 2^62 stays inside BIGINT on engines
+    // that RAISE on overflow rather than wrap.
+    val P = 4294967311L
+    val seed = conv(substring(md5(concat_ws("#", unitCols.map(col): _*)),
+      1, 7), 16, 10).cast(LongType)
+    val aC = ((col("__b") * 2 + 1) * lit(2654435761L)) % lit(P)
+    val cC = (col("__b") * lit(40503L) + lit(7L)) % lit(P)
+    val u = ((aC * col("__h") + cC) % lit(P)) % lit(1000000L)
     // integer-quantized Poisson(1) inverse CDF: ⌊cumP·10⁶⌋ literals
     val w = when(u < 367879L, 0L).when(u < 735758L, 1L)
       .when(u < 919698L, 2L).when(u < 981011L, 3L)
@@ -577,6 +589,7 @@ object Stats {
       .when(u < 999916L, 6L).when(u < 999989L, 7L).otherwise(8L)
     val repMeans = clean
       .select(unitCols.map(col) :+ x.as("__x"): _*)
+      .withColumn("__h", seed)
       .withColumn("__b", explode(sequence(lit(0), lit(reps - 1))))
       .withColumn("__w", w)
       .groupBy(col("__b"))
