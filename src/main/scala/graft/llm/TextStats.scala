@@ -434,8 +434,12 @@ object TextStats {
         transform(sequence(lit(0), size(w) - 2),
           i => concat(element_at(w, i + 1), lit(" "), element_at(w, i + 2))))
         .otherwise(array().cast("array<string>"))).as("bg"))
-    val withW1 = pairs.withColumn("w1", substring_index(col("bg"), " ", 1))
-    val cb = pairs.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    // ONE shuffle boundary shared by both consumers (count tables and
+    // probe side): without it each consumer re-runs the tokenize+explode
+    // corpus pass — the dsirResample exchange-reuse idiom
+    val shared = pairs.repartition(col("bg"))
+    val withW1 = shared.withColumn("w1", substring_index(col("bg"), " ", 1))
+    val cb = shared.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
     // left-unigram counts roll up from the (much smaller) bigram table —
     // one corpus scan fewer; identical long counts. (A/B-measured: folding
     // cu onto cb into one pre-joined weight table is SLOWER here — the
