@@ -484,4 +484,41 @@ class PlanGuardSpec extends SparkSuite {
     }
     assert(hit, "global window over 6k rows was not detected — guard is blind")
   }
+
+  // round-17 second wave: moment tests are pure keyed aggregations; the
+  // iterative fits keep O(groups)/O(items²) driver frames; SSSP's rounds
+  // are keyed joins + keyed mins; incremental dedup is band-keyed
+  test("q361 jarque-bera: one keyed moment pass, no funnel")(
+    guard("q361_jarque_bera", Bound))
+  test("q362 tukey hsd: keyed moments + O(k²) pair frame")(
+    guard("q362_tukey_hsd", Bound))
+  // granger's lag window rides the O(hours) series frame (the q357
+  // periodogram precedent: 531 distinct hours at sf0.001)
+  test("q364 granger: lag window confined to the hourly frame")(
+    guard("q364_granger", 700L))
+  test("q365 sssp: keyed relaxation joins, no global funnel")(
+    guard("q365_sssp", Bound))
+  test("q366 bradley-terry: pair-matrix readout, no data-sized funnel")(
+    guard("q366_bradley_terry", Bound))
+  test("q367 logistic: broadcast β frame + keyed IRLS aggregations")(
+    guard("q367_logistic", Bound))
+  test("q368 incremental dedup: band-keyed candidates only")(
+    guard("q368_incremental_dedup", Bound))
+
+  /** SSSP plan depth must not grow with rounds — each round reads the
+    * previous round's CHECKPOINT, not its plan (the pageRank doctrine;
+    * an unchecked loop re-analyzes an exponentially nested tree). */
+  test("q365 sssp: plan depth constant per round") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L))
+      .toDF("src", "dst", "w")
+    def depth(rounds: Int): Int = {
+      val d = graft.ops.Graph.ssspWeighted(e, "src", "dst", "w", Seq(1L), rounds)
+      d.queryExecution.optimizedPlan.collect { case p => p }.size
+    }
+    val d2 = depth(2); val d4 = depth(4)
+    assert(d4 <= d2 + 2,
+      s"plan grew with rounds: $d2 nodes at 2 rounds vs $d4 at 4")
+  }
 }
