@@ -3534,6 +3534,14 @@ object ExtQueries {
       graft.ops.Ml.logisticSimpleByGroup(e, "cohort", "value", "label",
           iters = 4)
         .orderBy(col("cohort"))
+    },
+
+    // DTW of each user's 24-point hour-of-day value profile against the
+    // corpus profile — elastic shape deviation (a user active 2 h late is
+    // CLOSE under DTW, far under L2); the codegen DP kernel per key.
+    "q369_dtw_profile" -> { (s, dir) =>
+      Stats.dtwHourlyProfile(t(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy(col("user_id"))
     }
   )
 
@@ -10757,6 +10765,63 @@ object ExtQueries {
          SELECT nf.g AS cohort, nf.n, nf.n_pos,
            b4.b0 AS intercept, b4.b1 AS slope
          FROM nf JOIN b4 USING (g) ORDER BY cohort"""
+    },
+
+    // mirrors Stats.dtwHourlyProfile: the same two-level exact-mean
+    // profiles, then the kernel's 24x24 L1 DTW recurrence replayed cell
+    // by cell as DuckDB lateral column aliases (pure abs/min/+ on doubles
+    // in a fixed order — bit-exact without floor scaling).
+    "q369_dtw_profile" -> {
+      val fs6 = (e: String) =>
+        s"CAST(SUM(CAST(FLOOR(($e) * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0"
+      def prof(alias: String) = (0 until 24).map(h =>
+        s"COALESCE(MAX(CASE WHEN h = $h THEN m END), 0.0) AS $alias$h")
+        .mkString(",\n             ")
+      // One MATERIALIZED CTE per DP row: within a row the lateral aliases
+      // form a LINEAR chain (each cell referenced once by its right
+      // neighbor), while cross-row references hit materialized columns —
+      // a single flat SELECT of all 576 cells made DuckDB's alias
+      // inlining expand the 3-way recurrence exponentially (15 GB / no
+      // convergence; the CTE-inlining failure class from the sf1.0
+      // sweep, in lateral-alias form).
+      val carry = ((0 until 24).map(h => s"x$h") ++
+        (0 until 24).map(h => s"t$h")).mkString(", ")
+      def rowName(i: Int, j: Int) = if (i % 2 == 0) s"a$j" else s"b$j"
+      val rowCtes = (0 until 24).map { i =>
+        val cells = (0 until 24).map { j =>
+          val c = s"abs(x$i - t$j)"
+          val me = rowName(i, j)
+          if (i == 0 && j == 0) s"$c AS $me"
+          else if (i == 0) s"${rowName(0, j - 1)} + $c AS $me"
+          else if (j == 0) s"${rowName(i - 1, 0)} + $c AS $me"
+          else s"$c + least(${rowName(i - 1, j)}, ${rowName(i - 1, j - 1)}, " +
+            s"${rowName(i, j - 1)}) AS $me"
+        }.mkString(",\n             ")
+        val src = if (i == 0) "pr CROSS JOIN tpl" else s"r${i - 1}"
+        s"""r$i AS MATERIALIZED (SELECT user_id, n_obs, $carry,
+             $cells
+           FROM $src)"""
+      }.mkString(",\n         ")
+      s"""WITH base AS (SELECT user_id, EXTRACT(hour FROM ts) AS h,
+             CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+         tm AS (SELECT h, ${fs6("x")} / COUNT(*) AS m
+           FROM base GROUP BY 1),
+         tpl AS (SELECT
+             ${prof("t")}
+           FROM tm),
+         ph AS (SELECT user_id, h, CAST(COUNT(*) AS BIGINT) AS n,
+             ${fs6("x")} / COUNT(*) AS m
+           FROM base GROUP BY 1, 2),
+         pr AS (SELECT user_id, SUM(n) AS n_obs,
+             ${prof("x")}
+           FROM ph GROUP BY 1),
+         $rowCtes
+         SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
+           ${rowName(23, 23)} AS dtw
+         FROM r23 ORDER BY user_id"""
     }
   )
 }

@@ -107,8 +107,80 @@ object VecKernels {
     override def prettyName: String = "graft_dot_scaled"
   }
 
-  /** Register `graft_dot_scaled(a, b)` on the session. */
-  def register(spark: SparkSession): Unit =
+  /** Full-window DTW distance with L1 cost, shared by interpreted eval and
+    * codegen. The DP is a fixed left-to-right/top-to-bottom fold of
+    * abs/min/+ over doubles — every cell is an IEEE-exact op sequence, so
+    * an engine replaying the same recurrence cell by cell (the q369 oracle
+    * does, as lateral column aliases) reproduces the distance BIT-exactly;
+    * no floor scaling needed anywhere. O(n·m) per row: callers bound the
+    * series (the hour-of-day profile is 24 points). Null element or empty
+    * array ⇒ NULL. */
+  def dtw(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 || m == 0) return null
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    var j = 0
+    while (j < m) { if (b.isNullAt(j)) return null; j += 1 }
+    val prev = new Array[Double](m)
+    val curr = new Array[Double](m)
+    prev(0) = Math.abs(a.getDouble(0) - b.getDouble(0))
+    j = 1
+    while (j < m) {
+      prev(j) = prev(j - 1) + Math.abs(a.getDouble(0) - b.getDouble(j))
+      j += 1
+    }
+    i = 1
+    while (i < n) {
+      val ai = a.getDouble(i)
+      curr(0) = prev(0) + Math.abs(ai - b.getDouble(0))
+      j = 1
+      while (j < m) {
+        curr(j) = Math.abs(ai - b.getDouble(j)) +
+          Math.min(prev(j), Math.min(prev(j - 1), curr(j - 1)))
+        j += 1
+      }
+      System.arraycopy(curr, 0, prev, 0, m)
+      i += 1
+    }
+    java.lang.Double.valueOf(prev(m - 1))
+  }
+
+  /** `graft_dtw(a, b)` — see [[dtw]]. Double arrays only (profile builders
+    * emit doubles; float callers cast upstream). */
+  case class DtwDistance(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    private def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_dtw needs two double arrays, got (${left.dataType}, ${right.dataType})")
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      dtw(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val r = ctx.freshName("dtwr")
+        s"""
+           |java.lang.Double $r = graft.functions.VecKernels.dtw($a, $b);
+           |${ev.isNull} = ($r == null);
+           |${ev.value} = ${ev.isNull} ? 0.0 : $r.doubleValue();
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): DtwDistance = copy(left = l, right = r)
+    override def prettyName: String = "graft_dtw"
+  }
+
+  /** Register `graft_dot_scaled(a, b)` and `graft_dtw(a, b)`. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot_scaled", es => DotScaled(es(0), es(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dtw", es => DtwDistance(es(0), es(1)), "scala_udf")
+  }
 }

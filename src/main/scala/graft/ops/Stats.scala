@@ -3472,4 +3472,47 @@ object Stats {
         pi(i)))
       .toDF("item", "n_wins", "n_comparisons", "strength")
   }
+
+  /** DYNAMIC TIME WARPING distance of each key's hour-of-day activity
+    * profile against the corpus profile — "whose daily shape deviates,
+    * allowing phase shifts?" (the elastic alternative to the Euclidean
+    * profile distance: a user active 2 h later than the corpus is CLOSE
+    * under DTW, far under L2). Profiles are the 24 per-hour exact mean
+    * values (missing hours → 0.0); the template is the corpus-wide
+    * profile, computed once and embedded as literals (a fit-side
+    * readout). The DP runs in the [[graft.functions.VecKernels.DtwDistance]]
+    * codegen kernel — O(24²) abs/min/+ per key, a fixed IEEE-exact fold
+    * the oracle replays cell by cell as SQL lateral aliases (no floor
+    * scaling anywhere; see the kernel scaladoc).
+    *
+    * Scale shape: two keyed aggregations (per-(key, hour) means → 24-col
+    * per-key profile), one broadcastable template row, the kernel per
+    * key — nothing data-sized leaves the executors, no windows. Returns
+    * (key, n_obs, dtw). */
+  def dtwHourlyProfile(df: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String): DataFrame = {
+    graft.functions.VecKernels.register(df.sparkSession)
+    val x = col(valueCol).cast(DoubleType)
+    val base = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        x.isNotNull && !isnan(x))
+      .select(col(keyCol), hour(col(tsCol)).as("__h"), x.as("__x"))
+    val tmplRows = base.groupBy(col("__h"))
+      .agg((Reductions.isum(col("__x"), 6) / count(lit(1))).as("__m"))
+      .collectBounded(24, "24-hour template profile")
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val template = array((0 until 24).map(h =>
+      lit(tmplRows.getOrElse(h, 0.0))): _*)
+    val perHour = base.groupBy(col(keyCol), col("__h"))
+      .agg(count(lit(1)).as("__n"),
+        (Reductions.isum(col("__x"), 6) / count(lit(1))).as("__m"))
+    val aggs = sum(col("__n")).as("n_obs") +:
+      (0 until 24).map(h =>
+        coalesce(max(when(col("__h") === h, col("__m"))), lit(0.0))
+          .as(s"__x$h"))
+    val profile = perHour.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    profile.select(col(keyCol), col("n_obs"),
+      call_function("graft_dtw",
+        array((0 until 24).map(h => col(s"__x$h")): _*), template).as("dtw"))
+  }
 }

@@ -141,6 +141,42 @@ class StatsTier18Spec extends SparkSuite {
     assert(b0 > -1.6 && b0 < -0.4, s"intercept should approach -1: $b0")
   }
 
+  test("dtw kernel: zero on identical series, elastic on phase shifts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.VecKernels.register(spark)
+    val df = Seq((
+      Array(0.0, 1.0, 2.0, 1.0, 0.0),
+      Array(0.0, 1.0, 2.0, 1.0, 0.0),
+      Array(1.0, 2.0, 1.0, 0.0, 0.0), // same shape, one step early
+      Array(2.0, 2.0, 2.0, 2.0, 2.0)  // different shape
+    )).toDF("a", "same", "shifted", "flat")
+    val r = df.select(
+      call_function("graft_dtw", col("a"), col("same")).as("d0"),
+      call_function("graft_dtw", col("a"), col("shifted")).as("d1"),
+      call_function("graft_dtw", col("a"), col("flat")).as("d2")).head()
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getDouble(1) < r.getDouble(2),
+      s"phase shift should be closer than shape change: $r")
+    // hand-checked DP for the shifted pair: alignment absorbs the shift
+    assert(r.getDouble(1) <= 2.0, s"shifted distance too large: $r")
+  }
+
+  test("dtwHourlyProfile: flat-profile user scores below an inverted one") {
+    import spark.implicits._
+    // corpus dominated by a day-shape; user 1 follows it, user 2 inverts it
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val rows =
+      (0 until 24).flatMap(h => Seq((10L, ts(h), (h % 12).toDouble),
+        (11L, ts(h), (h % 12).toDouble))) ++
+      (0 until 24).map(h => (1L, ts(h), (h % 12).toDouble)) ++
+      (0 until 24).map(h => (2L, ts(h), ((23 - h) % 12).toDouble))
+    val out = Stats.dtwHourlyProfile(rows.toDF("user_id", "ts", "value"),
+      "user_id", "ts", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) < out(2L), s"conforming user must score lower: $out")
+  }
+
   test("incrementalMinhashDedup: copies flag against the old corpus, fresh docs don't") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
