@@ -3542,6 +3542,22 @@ object ExtQueries {
     "q369_dtw_profile" -> { (s, dir) =>
       Stats.dtwHourlyProfile(t(s, dir, "events"), "user_id", "ts", "value")
         .orderBy(col("user_id"))
+    },
+
+    // Wasserstein-1 distance between click and view value distributions —
+    // the shift MAGNITUDE in value units (q295's PSI says it moved; W1
+    // says by how much), via the range-partitioned cumulate.
+    "q370_wasserstein" -> { (s, dir) =>
+      Stats.wasserstein1(t(s, dir, "events"), "value", "event_type",
+        "click", "view")
+    },
+
+    // Cliff's delta effect size for click vs purchase values — the
+    // ordinal "how separated" companion to q151's Mann-Whitney p-value,
+    // from the same doubled-rank machinery.
+    "q371_cliffs_delta" -> { (s, dir) =>
+      Stats.cliffsDelta(t(s, dir, "events"), "value", "event_type",
+        "click", "purchase")
     }
   )
 
@@ -10822,6 +10838,65 @@ object ExtQueries {
          SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
            ${rowName(23, 23)} AS dtw
          FROM r23 ORDER BY user_id"""
-    }
+    },
+
+    // mirrors Stats.wasserstein1: per-value cumulative counts + LEAD gap
+    // as window cumulates, each term's double product in the pinned order
+    // and floor-scaled at 1e9 before summation.
+    "q370_wasserstein" ->
+      """WITH f AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE event_type IN ('click', 'view')
+             AND value IS NOT NULL AND NOT isnan(value)),
+         g AS (SELECT x,
+             SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS c2
+           FROM f GROUP BY 1),
+         s AS (SELECT x,
+             SUM(c1) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cc1,
+             SUM(c2) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cc2,
+             LEAD(x) OVER (ORDER BY x) AS nx
+           FROM g),
+         tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2 FROM g),
+         terms AS (SELECT
+             CAST(FLOOR((CAST(abs(cc1 * t.n2 - cc2 * t.n1) AS DOUBLE)
+               * (nx - x)) / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE))
+               * 1000000000.0) AS BIGINT) AS tv
+           FROM s CROSS JOIN tot t WHERE nx IS NOT NULL)
+         SELECT t.n1, t.n2,
+           CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN
+             CAST((SELECT COALESCE(SUM(tv), 0) FROM terms) AS DOUBLE)
+               / 1000000000.0 END AS w1
+         FROM tot t""",
+
+    // mirrors Stats.cliffsDelta: q151's doubled-rank CTEs, delta =
+    // (2U1 - n1*n2)/(n1*n2) integer-exactly, Romano magnitude labels.
+    "q371_cliffs_delta" ->
+      """WITH f AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE event_type IN ('click', 'purchase')
+             AND value IS NOT NULL AND NOT isnan(value)),
+         r AS (SELECT g,
+             2 * rank() OVER (ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY x) - 1 AS dr
+           FROM f),
+         agg AS (SELECT
+             CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN g = 'click' THEN dr ELSE 0 END) AS BIGINT) AS r1d
+           FROM r),
+         d AS (SELECT n1, n2,
+             CASE WHEN n1 > 0 AND n2 > 0 THEN
+               CAST(r1d - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) END AS delta
+           FROM agg)
+         SELECT n1, n2, delta,
+           CASE WHEN delta IS NULL THEN NULL
+                WHEN abs(delta) < 0.147 THEN 'negligible'
+                WHEN abs(delta) < 0.33 THEN 'small'
+                WHEN abs(delta) < 0.474 THEN 'medium'
+                ELSE 'large' END AS magnitude
+         FROM d"""
   )
 }

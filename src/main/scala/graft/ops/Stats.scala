@@ -3515,4 +3515,127 @@ object Stats {
       call_function("graft_dtw",
         array((0 until 24).map(h => col(s"__x$h")): _*), template).as("dtw"))
   }
+
+  /** WASSERSTEIN-1 (earth mover) distance between two groups' empirical
+    * value distributions: W₁ = ∫|F_a − F_b| dx = Σ_k |C1_k·n2 − C2_k·n1|
+    * ·(x_{k+1} − x_k)/(n1·n2) over sorted distinct values — THE
+    * distribution-shift magnitude in the data's own units (PSI/KS say
+    * "how sure are we it moved"; W₁ says "by how much") — the metric a
+    * training-data pipeline tracks across snapshot mixes.
+    *
+    * Plan: the [[cramerVonMises]] range-partitioned cumulate — per-value
+    * count frame, range sort, O(P) partition offsets — with one
+    * addition: each partition's LAST value takes its gap from the next
+    * non-empty partition's first value (collected in the same O(P)
+    * pass). Each term's double product runs in a pinned order and is
+    * floor-scaled at 10⁹ into a LONG accumulator, so the per-partition
+    * sums replay exactly in SQL window cumulates. Returns one row
+    * (n1, n2, w1). */
+  def wasserstein1(df: DataFrame, valueCol: String, groupCol: String,
+                   a: String, b: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val v = col(valueCol).cast(DoubleType)
+    val grouped = df
+      .filter(col(groupCol).isin(a, b) && v.isNotNull && !isnan(v))
+      .select(col(groupCol).cast(StringType).as("__g"), v.as("__x"))
+      .groupBy(col("__x"))
+      .agg(sum(when(col("__g") === a, 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("__g") === b, 1L).otherwise(0L)).as("__c2"))
+      .as[(Double, Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = grouped
+      .repartitionByRange(parts, col("__x"))
+      .sortWithinPartitions(col("__x"))
+      .as[(Double, Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partInfo = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s1 = 0L; var s2 = 0L; var first: Option[Double] = None
+      it.foreach { case (x, c1, c2) =>
+        if (first.isEmpty) first = Some(x); s1 += c1; s2 += c2 }
+      Iterator((pid, s1, s2, first))
+    }.collectBounded(1 << 20, "O(P) partition totals").sortBy(_._1)
+    val off1 = partInfo.map(_._2).scanLeft(0L)(_ + _)
+    val off2 = partInfo.map(_._3).scanLeft(0L)(_ + _)
+    val n1 = partInfo.map(_._2).sum
+    val n2 = partInfo.map(_._3).sum
+    val firsts = partInfo.map(_._4)
+    val nextFirst: Array[Option[Double]] = Array.tabulate(firsts.length) {
+      p => firsts.drop(p + 1).collectFirst { case Some(x) => x } }
+    val bc = spark.sparkContext.broadcast((off1, off2, nextFirst))
+    val n1d = n1.toDouble; val n2d = n2.toDouble
+    val acc: Long =
+      if (n1 == 0 || n2 == 0) 0L
+      else sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var c1 = bc.value._1(pid); var c2 = bc.value._2(pid)
+        var s = 0L
+        def term(gap: Double): Long = {
+          val diff = math.abs(c1 * n2 - c2 * n1)
+          math.floor((diff.toDouble * gap) / (n1d * n2d) * 1e9).toLong
+        }
+        var prevX: java.lang.Double = null
+        it.foreach { case (x, d1, d2) =>
+          if (prevX != null) s += term(x - prevX)
+          c1 += d1; c2 += d2
+          prevX = java.lang.Double.valueOf(x)
+        }
+        if (prevX != null)
+          bc.value._3(pid).foreach(nx => s += term(nx - prevX))
+        Iterator(s)
+      }.fold(0L)(_ + _)
+    sorted.unpersist(); grouped.unpersist()
+    val w1: java.lang.Double =
+      if (n1 == 0 || n2 == 0) null
+      else java.lang.Double.valueOf(acc.toDouble / 1e9)
+    Seq((n1, n2)).toDF("n1", "n2")
+      .withColumn("w1", lit(w1).cast(DoubleType))
+  }
+
+  /** CLIFF'S DELTA ordinal effect size between two groups:
+    * δ = (#{x_a > x_b} − #{x_a < x_b}) / (n1·n2) — the nonparametric
+    * companion to [[mannWhitneyU]]'s p-value ("the test says they
+    * differ; δ says how separated the distributions actually are",
+    * robust where Cohen's d assumes normality). Exactly 2U₁/(n1n2) − 1
+    * under the half-tie convention, so the numerator falls out of the
+    * SAME doubled-rank machinery integer-exactly — no new distributed
+    * pass beyond q151's. Magnitude labels use the standard Romano
+    * thresholds (0.147/0.33/0.474). Returns one row
+    * (n1, n2, delta, magnitude). */
+  def cliffsDelta(df: DataFrame, valueCol: String, groupCol: String,
+                  a: String, b: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pooled = df
+      .filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast(DoubleType)))
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast(DoubleType).as("__x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (ranks, cleanup) =
+      Advanced.doubledAvgRankTable(pooled.select(col("__x")), "__x", "__dr")
+    val perVal = pooled.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__n"))
+    val agg = perVal.join(ranks, perVal("__x") === ranks("__v"))
+      .agg(
+        sum(when(col("__g") === a, col("__n")).otherwise(0L)).as("n1"),
+        sum(when(col("__g") === b, col("__n")).otherwise(0L)).as("n2"),
+        sum(when(col("__g") === a, col("__dr") * col("__n")).otherwise(0L))
+          .as("r1d"))
+      .collectBounded(1, "one-row rank agg")(0)
+    pooled.unpersist(); cleanup()
+    val n1 = agg.getLong(0); val n2 = agg.getLong(1); val r1d = agg.getLong(2)
+    val delta: java.lang.Double =
+      if (n1 == 0 || n2 == 0) null
+      else java.lang.Double.valueOf(
+        (r1d - n1 * (n1 + 1) - n1 * n2).toDouble / (n1.toDouble * n2.toDouble))
+    Seq((n1, n2)).toDF("n1", "n2")
+      .withColumn("delta", lit(delta).cast(DoubleType))
+      .withColumn("magnitude",
+        when(col("delta").isNull, lit(null).cast(StringType))
+          .when(abs(col("delta")) < 0.147, "negligible")
+          .when(abs(col("delta")) < 0.33, "small")
+          .when(abs(col("delta")) < 0.474, "medium")
+          .otherwise("large"))
+  }
 }

@@ -177,6 +177,33 @@ class StatsTier18Spec extends SparkSuite {
     assert(out(1L) < out(2L), s"conforming user must score lower: $out")
   }
 
+  test("wasserstein1: zero on identical samples, exact on a known shift") {
+    import spark.implicits._
+    val base = (1 to 500).map(i => i.toDouble / 10.0)
+    val same = (base.map(("a", _)) ++ base.map(("b", _))).toDF("g", "v")
+    val r0 = Stats.wasserstein1(same, "v", "g", "a", "b").head()
+    assert(r0.getDouble(2) == 0.0, s"identical samples must give 0: $r0")
+    // b = a + 7.5 exactly → W1 = 7.5 (mass moved 7.5 units)
+    val shifted = (base.map(("a", _)) ++ base.map(x => ("b", x + 7.5)))
+      .toDF("g", "v")
+    val r1 = Stats.wasserstein1(shifted, "v", "g", "a", "b").head()
+    assert(math.abs(r1.getDouble(2) - 7.5) < 1e-6, s"shift of 7.5: $r1")
+  }
+
+  test("cliffsDelta: fully separated groups hit ±1, overlapping stay small") {
+    import spark.implicits._
+    val sep = ((1 to 200).map(i => ("a", 100.0 + i)) ++
+      (1 to 300).map(i => ("b", i.toDouble / 10.0))).toDF("g", "v")
+    val r = Stats.cliffsDelta(sep, "v", "g", "a", "b").head()
+    assert(r.getDouble(2) == 1.0 && r.getString(3) == "large", s"$r")
+    val rnd = new scala.util.Random(9)
+    val mixed = (1 to 2000).map(_ => ("a", rnd.nextDouble())) ++
+      (1 to 2000).map(_ => ("b", rnd.nextDouble()))
+    val r2 = Stats.cliffsDelta(mixed.toDF("g", "v"), "v", "g", "a", "b").head()
+    assert(math.abs(r2.getDouble(2)) < 0.1 && r2.getString(3) == "negligible",
+      s"$r2")
+  }
+
   test("incrementalMinhashDedup: copies flag against the old corpus, fresh docs don't") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
