@@ -3558,6 +3558,14 @@ object ExtQueries {
     "q371_cliffs_delta" -> { (s, dir) =>
       Stats.cliffsDelta(t(s, dir, "events"), "value", "event_type",
         "click", "purchase")
+    },
+
+    // Energy distance click vs view — zero iff the distributions match,
+    // sensitive to shape (not just location); all three expectations from
+    // ONE cumulate scan (the q370 plan, three accumulators).
+    "q372_energy_distance" -> { (s, dir) =>
+      Stats.energyDistance(t(s, dir, "events"), "value", "event_type",
+        "click", "view")
     }
   )
 
@@ -10897,6 +10905,49 @@ object ExtQueries {
                 WHEN abs(delta) < 0.33 THEN 'small'
                 WHEN abs(delta) < 0.474 THEN 'medium'
                 ELSE 'large' END AS magnitude
-         FROM d"""
+         FROM d""",
+
+    // mirrors Stats.energyDistance: the q370 cumulate with the three
+    // closed-form integrands (cross F1(1-F2)+F2(1-F1); within 2F(1-F)),
+    // each term floor-scaled at 1e9 in the pinned product order.
+    "q372_energy_distance" ->
+      """WITH f AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE event_type IN ('click', 'view')
+             AND value IS NOT NULL AND NOT isnan(value)),
+         g AS (SELECT x,
+             SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS c2
+           FROM f GROUP BY 1),
+         s AS (SELECT x,
+             SUM(c1) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cc1,
+             SUM(c2) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cc2,
+             LEAD(x) OVER (ORDER BY x) AS nx
+           FROM g),
+         tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2 FROM g),
+         terms AS (SELECT
+             CAST(FLOOR((CAST(cc1 * (t.n2 - cc2) + cc2 * (t.n1 - cc1) AS DOUBLE)
+               * (nx - x)) / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE))
+               * 1000000000.0) AS BIGINT) AS txy,
+             CAST(FLOOR((CAST(2 * cc1 * (t.n1 - cc1) AS DOUBLE)
+               * (nx - x)) / (CAST(t.n1 AS DOUBLE) * CAST(t.n1 AS DOUBLE))
+               * 1000000000.0) AS BIGINT) AS txx,
+             CAST(FLOOR((CAST(2 * cc2 * (t.n2 - cc2) AS DOUBLE)
+               * (nx - x)) / (CAST(t.n2 AS DOUBLE) * CAST(t.n2 AS DOUBLE))
+               * 1000000000.0) AS BIGINT) AS tyy
+           FROM s CROSS JOIN tot t WHERE nx IS NOT NULL),
+         e AS (SELECT
+             CAST(COALESCE(SUM(txy), 0) AS DOUBLE) / 1000000000.0 AS e_xy,
+             CAST(COALESCE(SUM(txx), 0) AS DOUBLE) / 1000000000.0 AS e_xx,
+             CAST(COALESCE(SUM(tyy), 0) AS DOUBLE) / 1000000000.0 AS e_yy
+           FROM terms)
+         SELECT t.n1, t.n2,
+           CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN e.e_xy END AS e_xy,
+           CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN e.e_xx END AS e_xx,
+           CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN e.e_yy END AS e_yy,
+           CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN
+             2.0 * e.e_xy - e.e_xx - e.e_yy END AS energy
+         FROM tot t CROSS JOIN e"""
   )
 }

@@ -3592,6 +3592,88 @@ object Stats {
       .withColumn("w1", lit(w1).cast(DoubleType))
   }
 
+  /** ENERGY DISTANCE between two groups' value distributions
+    * (Székely–Rizzo): D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'| — zero iff the
+    * distributions are equal, sensitive to ANY difference (shape, not
+    * just location), the two-sample companion to [[wasserstein1]]'s
+    * magnitude. Every expectation is a closed form over the SAME sorted
+    * cumulate: E|X−Y| = Σ_k (C1_k(n2−C2_k) + C2_k(n1−C1_k))·gap_k /
+    * (n1·n2), and the within-group terms replace the cross counts — so
+    * all three ride ONE range-partitioned scan (the [[wasserstein1]]
+    * plan with three floor-scaled LONG accumulators instead of one).
+    * Returns one row (n1, n2, e_xy, e_xx, e_yy, energy). */
+  def energyDistance(df: DataFrame, valueCol: String, groupCol: String,
+                     a: String, b: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val v = col(valueCol).cast(DoubleType)
+    val grouped = df
+      .filter(col(groupCol).isin(a, b) && v.isNotNull && !isnan(v))
+      .select(col(groupCol).cast(StringType).as("__g"), v.as("__x"))
+      .groupBy(col("__x"))
+      .agg(sum(when(col("__g") === a, 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("__g") === b, 1L).otherwise(0L)).as("__c2"))
+      .as[(Double, Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = grouped
+      .repartitionByRange(parts, col("__x"))
+      .sortWithinPartitions(col("__x"))
+      .as[(Double, Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partInfo = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s1 = 0L; var s2 = 0L; var first: Option[Double] = None
+      it.foreach { case (x, c1, c2) =>
+        if (first.isEmpty) first = Some(x); s1 += c1; s2 += c2 }
+      Iterator((pid, s1, s2, first))
+    }.collectBounded(1 << 20, "O(P) partition totals").sortBy(_._1)
+    val off1 = partInfo.map(_._2).scanLeft(0L)(_ + _)
+    val off2 = partInfo.map(_._3).scanLeft(0L)(_ + _)
+    val n1 = partInfo.map(_._2).sum
+    val n2 = partInfo.map(_._3).sum
+    val firsts = partInfo.map(_._4)
+    val nextFirst: Array[Option[Double]] = Array.tabulate(firsts.length) {
+      p => firsts.drop(p + 1).collectFirst { case Some(x) => x } }
+    val bc = spark.sparkContext.broadcast((off1, off2, nextFirst))
+    val n1d = n1.toDouble; val n2d = n2.toDouble
+    val sums: (Long, Long, Long) =
+      if (n1 == 0 || n2 == 0) (0L, 0L, 0L)
+      else sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var c1 = bc.value._1(pid); var c2 = bc.value._2(pid)
+        var sxy = 0L; var sxx = 0L; var syy = 0L
+        def add(gap: Double): Unit = {
+          // E|X−Y| integrand F1(1−F2)+F2(1−F1); within-group integrands
+          // are 2F(1−F), hence the doubled coefficients
+          val cxy = c1 * (n2 - c2) + c2 * (n1 - c1)
+          sxy += math.floor((cxy.toDouble * gap) / (n1d * n2d) * 1e9).toLong
+          sxx += math.floor(((2L * c1 * (n1 - c1)).toDouble * gap) /
+            (n1d * n1d) * 1e9).toLong
+          syy += math.floor(((2L * c2 * (n2 - c2)).toDouble * gap) /
+            (n2d * n2d) * 1e9).toLong
+        }
+        var prevX: java.lang.Double = null
+        it.foreach { case (x, d1, d2) =>
+          if (prevX != null) add(x - prevX)
+          c1 += d1; c2 += d2
+          prevX = java.lang.Double.valueOf(x)
+        }
+        if (prevX != null) bc.value._3(pid).foreach(nx => add(nx - prevX))
+        Iterator((sxy, sxx, syy))
+      }.fold((0L, 0L, 0L)) { case ((a1, a2, a3), (b1, b2, b3)) =>
+        (a1 + b1, a2 + b2, a3 + b3) }
+    sorted.unpersist(); grouped.unpersist()
+    val degenerate = n1 == 0 || n2 == 0
+    def d(s: Long): java.lang.Double =
+      if (degenerate) null else java.lang.Double.valueOf(s.toDouble / 1e9)
+    val exy = d(sums._1); val exx = d(sums._2); val eyy = d(sums._3)
+    Seq((n1, n2)).toDF("n1", "n2")
+      .withColumn("e_xy", lit(exy).cast(DoubleType))
+      .withColumn("e_xx", lit(exx).cast(DoubleType))
+      .withColumn("e_yy", lit(eyy).cast(DoubleType))
+      .withColumn("energy",
+        lit(2.0) * col("e_xy") - col("e_xx") - col("e_yy"))
+  }
+
   /** CLIFF'S DELTA ordinal effect size between two groups:
     * δ = (#{x_a > x_b} − #{x_a < x_b}) / (n1·n2) — the nonparametric
     * companion to [[mannWhitneyU]]'s p-value ("the test says they

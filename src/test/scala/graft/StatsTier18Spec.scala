@@ -190,6 +190,19 @@ class StatsTier18Spec extends SparkSuite {
     assert(math.abs(r1.getDouble(2) - 7.5) < 1e-6, s"shift of 7.5: $r1")
   }
 
+  test("energyDistance: zero on identical samples, positive under any difference") {
+    import spark.implicits._
+    val base = (1 to 400).map(i => i.toDouble / 10.0)
+    val same = (base.map(("a", _)) ++ base.map(("b", _))).toDF("g", "v")
+    val r0 = Stats.energyDistance(same, "v", "g", "a", "b").head()
+    assert(math.abs(r0.getDouble(5)) < 1e-6, s"identical → 0: $r0")
+    // same mean, different spread — a pure shape change W1 underweights
+    val spread = (base.map(("a", _)) ++
+      base.map(x => ("b", 20.05 + (x - 20.05) * 3.0))).toDF("g", "v")
+    val r1 = Stats.energyDistance(spread, "v", "g", "a", "b").head()
+    assert(r1.getDouble(5) > 1.0, s"spread change must register: $r1")
+  }
+
   test("cliffsDelta: fully separated groups hit ±1, overlapping stay small") {
     import spark.implicits._
     val sep = ((1 to 200).map(i => ("a", 100.0 + i)) ++
