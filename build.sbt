@@ -27,6 +27,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Heap-size insensitivity (JITTER.md r18): with G1 and a very large
+  // -Xmx (the r17 driver harness ran ~100g) the adaptive young gen grows
+  // to tens of GB and collection is deferred until multi-second pauses
+  // land mid-query — allocation-heavy iteratives measured 2× slower on
+  // UNCHANGED code (q149 6.4→11.1 s, q287 2.6→8.6 s). Capping the young
+  // gen pins GC cadence regardless of -Xmx: measured q149 6.2 s and q287
+  // 2.4 s at -Xmx100g, with no regression at the 8g default.
+  "-Xmn2g",
 )
 // Forked `run` output goes straight to this process's stdout instead of
 // through sbt's logger — keeps Bench's final JSON line free of the

@@ -11,6 +11,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Heap parity guard (JITTER.md r18): bench numbers are only comparable
+    // at matched heap sizing. Print the JVM max heap on every run and warn
+    // loudly when it differs from the 8g committed-band convention.
+    val maxHeapMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
+    println(s"# bench-env max-heap ${maxHeapMb}m " +
+      s"young-gen-capped=${java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.toString.contains("-Xmn")}")
+    if (maxHeapMb < 6 * 1024 || maxHeapMb > 12 * 1024)
+      System.err.println(s"[bench] WARNING: max heap ${maxHeapMb}m is " +
+        "outside the 8g committed-band convention — totals are not " +
+        "comparable to prior BENCH_r*.json without matching -Xmx " +
+        "(see JITTER.md heap-parity note)")
     // warm up session machinery (codegen, file-source init) so the first
     // measured query isn't charged for it
     spark.range(1000).selectExpr("sum(id)").collectBounded(1, "warmup")

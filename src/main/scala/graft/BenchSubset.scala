@@ -16,6 +16,9 @@ object BenchSubset {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // heap parity readout — same rationale as Bench's (JITTER.md r18)
+    println(s"# bench-env max-heap " +
+      s"${Runtime.getRuntime.maxMemory() / (1024L * 1024L)}m")
     spark.range(1000).selectExpr("sum(id)").collectBounded(1, "warmup")
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt

@@ -76,11 +76,29 @@ object Graph {
     * pre-check — skip the dangling aggregate entirely (the term is 0L
     * identically), leaving the single-consumption linear plan where
     * `checkpointEvery` only bounds analysis depth for deep runs
-    * (iters ≈ 30+). */
+    * (iters ≈ 30+).
+    *
+    * CHECKPOINT CADENCE (measured r18, sf0.1 trading graph, min-of-4):
+    * cadence 1 = 5.6 s, cadence 2 = 6.1 s, no mid-loop checkpoint =
+    * 8.2 s — the OPPOSITE of the "checkpoints are pure overhead" prior.
+    * Each checkpoint turns the next round into its own job over
+    * materialized inputs whose sizes AQE knows exactly, so the
+    * rank ⋈ edges join and the dst aggregation get re-planned with real
+    * statistics instead of propagated estimates; with no mid-loop
+    * materialization the 5-round lineage runs as one job on estimate-
+    * based plans and loses more than the checkpoint writes cost. Default
+    * is therefore cadence 1 (also the consumption-depth requirement of
+    * the dangling path, and standard practice for iterative graph
+    * algorithms on a real cluster — lineage stays O(1) deep). The
+    * persisted edge/node frames use MEMORY_AND_DISK_SER: compact byte
+    * buffers per block (equal wall time locally, and serialized blocks
+    * evict/spill without re-serialization on a real executor).
+    * Heap-insensitivity itself is a HARNESS property, not an operator
+    * one — see build.sbt's -Xmn cap and JITTER.md's r18 addendum. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 5, damp: Int = 85,
                dedupEdges: Boolean = true,
-               checkpointEvery: Int = 2): DataFrame = {
+               checkpointEvery: Int = 1): DataFrame = {
     require(iters >= 1 && damp >= 0 && damp <= 100 && checkpointEvery >= 1)
     // dedupEdges=false skips a full edge shuffle when the caller's edge
     // list is already distinct (e.g. tradingPairsGraph); duplicate edges
@@ -92,7 +110,7 @@ object Graph {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val edged = e.join(deg, "src")
       .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // node universe: every endpoint, annotated dangling when no out-edge
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
@@ -100,7 +118,7 @@ object Graph {
         Seq("id"), "left")
       .select(col("id"), coalesce(col("__dang"), lit(true)).as("__dang"))
       .repartition(col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // N: one O(1) driver readout (the fit-side pattern) — needed to place
     // the integer literals r0/base into the plan
     val n = nodes.count()
@@ -151,7 +169,15 @@ object Graph {
         lastCk = Some(ranks)
       }
     }
-    ranks.select(col("id"), col("r"))
+    // Eager-checkpoint the RESULT (node-sized blocks) so the iteration's
+    // edge/node caches can be RELEASED here instead of leaking for the
+    // session — the labelPropagation pattern. Downstream consumers read
+    // O(N) materialized blocks; no round is ever replayed lazily.
+    val out = ranks.select(col("id"), col("r")).localCheckpoint(true)
+    lastCk.foreach(Checkpoints.releaseLocalCheckpoint)
+    edged.unpersist()
+    nodes.unpersist()
+    out
   }
 
   /** Synchronous LABEL-PROPAGATION community detection (Raghavan et al.
