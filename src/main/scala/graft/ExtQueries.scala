@@ -5545,19 +5545,21 @@ object ExtQueries {
            ag.n_tables, ag.p_two
          FROM m, po, ag""",
 
-    // mirrors Graph.hits: the q149 edge build (one direction), 3 unrolled
-    // fixed-point rounds — exact HUGEINT sums, integer renormalization.
-    // Multiply-referenced CTEs are MATERIALIZED: DuckDB otherwise inlines
-    // each reference, and the doubled references per round re-execute the
-    // 6M-edge join chain exponentially (OOM'd the sf1.0 sweep).
+    // mirrors Graph.hits (r18 renorm schedule): the q149 edge build (one
+    // direction), 3 unrolled fixed-point rounds — exact HUGEINT sums;
+    // hubs renormalize once per round, authorities only at output
+    // (a_raw sums the NORMALIZED h of the previous round; h_raw sums the
+    // UNnormalized a_raw — the engine's per-round single-checkpoint
+    // schedule, replayed in lockstep). Multiply-referenced CTEs are
+    // MATERIALIZED: DuckDB otherwise inlines each reference, and the
+    // doubled references per round re-execute the 6M-edge join chain
+    // exponentially (OOM'd the sf1.0 sweep).
     "q332_hits" -> {
       val rounds = (1 to 3).map { k =>
         s"""a${k}r AS MATERIALIZED (SELECT e.dst AS id, SUM(h.h) AS s
              FROM e JOIN h${k - 1} h ON e.src = h.id GROUP BY 1),
-         a$k AS MATERIALIZED (SELECT id, CAST(s * 1000000000000
-             // (SELECT MAX(s) FROM a${k}r) AS BIGINT) AS a FROM a${k}r),
-         h${k}r AS MATERIALIZED (SELECT e.src AS id, SUM(a.a) AS s
-             FROM e JOIN a$k a ON e.dst = a.id GROUP BY 1),
+         h${k}r AS MATERIALIZED (SELECT e.src AS id, SUM(a.s) AS s
+             FROM e JOIN a${k}r a ON e.dst = a.id GROUP BY 1),
          h$k AS MATERIALIZED (SELECT id, CAST(s * 1000000000000
              // (SELECT MAX(s) FROM h${k}r) AS BIGINT) AS h FROM h${k}r)"""
       }.mkString(",\n         ")
@@ -5568,11 +5570,13 @@ object ExtQueries {
          h0 AS MATERIALIZED (SELECT DISTINCT src AS id,
              CAST(1000000000000 AS BIGINT) AS h FROM e),
          $rounds,
+         a3n AS (SELECT id, CAST(s * 1000000000000
+             // (SELECT MAX(s) FROM a3r) AS BIGINT) AS a FROM a3r),
          nodes AS (SELECT DISTINCT src AS id FROM e
                    UNION SELECT DISTINCT dst FROM e)
-         SELECT n.id, COALESCE(h3.h, 0) AS hub, COALESCE(a3.a, 0) AS auth
+         SELECT n.id, COALESCE(h3.h, 0) AS hub, COALESCE(a3n.a, 0) AS auth
          FROM nodes n LEFT JOIN h3 ON n.id = h3.id
-           LEFT JOIN a3 ON n.id = a3.id
+           LEFT JOIN a3n ON n.id = a3n.id
          ORDER BY n.id"""
     },
 

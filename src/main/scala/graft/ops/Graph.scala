@@ -594,19 +594,42 @@ object Graph {
     * src nodes, authorities on dst nodes; the final frame unions both
     * node sets with 0 for the missing side.
     *
-    * Plan per round: two keyed join+aggregates over the persisted edge
-    * frame plus two 1-row broadcast maxima; score frames are eagerly
-    * checkpointed every round (they are consumed twice — by the max and
-    * by the next join) and the superseded round's blocks are released
-    * ([[Checkpoints]] doctrine). Returns (id, hub, auth). */
+    * RENORMALIZATION SCHEDULE (r18 — verdict task: q332's wall was ~21
+    * scheduled jobs on milliseconds of data): hubs renormalize ONCE PER
+    * ROUND, authorities only at output —
+    *   a_raw_t(v) = Σ_{u→v} h_{t−1}(u)          (h normalized, ≤ Scale)
+    *   h_raw_t(u) = Σ_{u→v} a_raw_t(v)          (UNnormalized a)
+    *   h_t = h_raw_t · Scale div max(h_raw_t)
+    *   output: hub = h_T;  auth = a_raw_T · Scale div max(a_raw_T)
+    * — still textbook HITS (the normalization schedule only rescales;
+    * the per-round power iteration is unchanged), still a pure integer
+    * function of the edge set, but each round is now ONE eager
+    * materialization (the h_raw checkpoint; the a_raw join+aggregate
+    * rides inside its lineage as a single-consumer lazy stage) plus one
+    * 1-ROW driver readout of the round max (the fit-side pattern),
+    * inlined as an exact literal into the next round's plan. The r17
+    * per-half-round renorm needed two checkpoints + a readout per round;
+    * A/B alternatives measured at sf0.1: lazy nested-broadcast maxima
+    * were SLOWER than r17 (each consumer re-schedules two chained
+    * broadcast exchanges); this shape is the fastest and the oracle
+    * mirror replays it in lockstep (re-pinned in the same commit).
+    *
+    * ARITHMETIC WIDTH is chosen by a proven bound, not a guess: h ≤
+    * Scale = 10¹² ⇒ a_raw ≤ maxIndeg·10¹² ⇒ h_raw ≤
+    * maxOutdeg·maxIndeg·10¹². When maxIndeg·maxOutdeg < 9·10⁶ (one
+    * crossed 1-row degree readout at setup) every per-edge sum provably
+    * fits a LONG with headroom and the hot aggregates run in
+    * codegen-fast LONG arithmetic; otherwise exact DECIMAL(38,0) (which
+    * itself holds to |E|·deg² ≈ 10³⁸ — any real graph). Both paths
+    * produce the same integers — the normalization multiply is always
+    * DECIMAL (node-sized, `s·10¹²` overflows LONG at any scale) — so
+    * the switch changes cost, never the result. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters=$iters")
-    val eBase = edges.select(col(srcCol).cast(LongType).as("src"),
+    val e0 = edges.select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // TWO pre-partitioned edge copies, one per join direction: the rounds
     // alternate joining on src (hub pull) and dst (auth pull), and a
     // single copy would re-shuffle the EDGE frame — the big side — twice
@@ -614,65 +637,81 @@ object Graph {
     // partitioning, the per-round exchanges carry only the node-sized
     // score frames (the cached side's outputPartitioning already
     // satisfies the join requirement). Costs 2× edge storage; at 100 TB
-    // the shuffle saved per round dwarfs it.
-    val eSrc = eBase.repartition(col("src"))
+    // the shuffle saved per round dwarfs it. Build = exactly two edge
+    // shuffles: dedup rides the src-hash exchange for free (hash(src)
+    // partitioning satisfies the (src,dst) clustering the aggregate
+    // needs), and the dst copy re-shuffles the already-deduped frame —
+    // the r17 shape (separate distinct + two repartitions off a third
+    // persisted frame) paid one more full-|E| shuffle and one more
+    // materialized copy for nothing.
+    val eSrc = e0.repartition(col("src")).dropDuplicates("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val eDst = eBase.repartition(col("dst"))
+    val eDst = eSrc.repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    eSrc.count(); eDst.count()
-    eBase.unpersist()
-    // One execution of the join+aggregate per half-round: the raw score
-    // frame is eagerly checkpointed FIRST, so both its consumers (the
-    // 1-row max and the renormalized projection) read materialized
-    // blocks — the naive shape re-executed the join once per consumer.
-    def normalize(raw0: DataFrame, idCol: String, out: String): DataFrame = {
-      val raw = raw0.localCheckpoint(true)
-      val mx = raw.agg(max(col("__s")).as("__mx"))
-      val res = raw.crossJoin(broadcast(mx))
-        .select(col(idCol).as("id"),
-          expr(s"__s * ${Scale}L div __mx").cast(LongType).as(out))
-        .localCheckpoint(true)
-      Checkpoints.releaseLocalCheckpoint(raw)
-      res
+    eDst.count() // materializes both caches (eDst reads eSrc)
+    import graft.ops.Bounded._
+    // one crossed 1-row job: both degree maxima off the warm caches —
+    // the width proof needs maxIndeg·maxOutdeg (see scaladoc)
+    val degRow = eDst.groupBy(col("dst")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("mi"))
+      .crossJoin(eSrc.groupBy(col("src")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c")).as("mo")))
+      .collectBounded(1, "hits: 1-row degree-maxima readout").head
+    val longSafe = degRow.getLong(0) * degRow.getLong(1) < 9000000L
+    def normed(raw: DataFrame, idCol: String, out: String): DataFrame = {
+      val mxRow = raw.agg(max(col("__s")).as("__mx"))
+        .collectBounded(1, "hits: 1-row per-round max").head
+      val mxLit =
+        if (longSafe) s"CAST(${mxRow.getLong(0)} AS DECIMAL(38,0))"
+        else s"CAST('${mxRow.getDecimal(0).toPlainString}' AS DECIMAL(38,0))"
+      raw.select(col(idCol).as("id"),
+        expr(s"CAST(__s AS DECIMAL(38,0)) * ${Scale}L div $mxLit")
+          .cast(LongType).as(out))
     }
-    var hub: DataFrame = null
-    var auth: DataFrame = null
+    def widened(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (longSafe) c else c.cast(DecimalType(38, 0))
+    // raw per-round frames; hubRaw is checkpointed every round (consumed
+    // by its max readout + the next round's join), authRaw only on the
+    // LAST round (mid-loop it has a single lazy consumer — the h_raw
+    // aggregate — and materializing it would just add a job)
+    var hubRaw: DataFrame = null
+    var authRaw: DataFrame = null
     var lastH: Option[DataFrame] = None
-    var lastA: Option[DataFrame] = None
     for (i <- 1 to iters) {
       // round 1 in closed form: every hub seeds at Scale, so
-      // a₁(v) = indeg(v)·Scale exactly — one keyed count, no join
+      // a_raw₁(v) = indeg(v)·Scale exactly — one keyed count, no join
+      // (indeg·10¹² needs the decimal widening exactly when !longSafe)
       val aRaw =
-        if (i == 1)
+        (if (i == 1)
           eDst.groupBy(col("dst"))
-            // cast BEFORE the multiply: indeg·10¹² overflows LONG past
-            // ~9M in-edges; the decimal product is exact at any degree
-            .agg((count(lit(1)).cast(DecimalType(38, 0)) * lit(Scale))
-              .as("__s"))
-        else
+            .agg((widened(count(lit(1))) * lit(Scale)).as("__s"))
+        else {
+          val hub = normed(hubRaw, "src", "h")
           eSrc.join(hub, eSrc("src") === hub("id"))
             .groupBy(col("dst"))
-            .agg(sum(col("h").cast(DecimalType(38, 0))).as("__s"))
-      auth = normalize(aRaw, "dst", "a")
-      lastA.foreach(Checkpoints.releaseLocalCheckpoint)
-      lastA = Some(auth)
-      val hRaw = eDst.join(auth, eDst("dst") === auth("id"))
+            .agg(sum(widened(col("h"))).as("__s"))
+        }).select(col("dst").as("__aid"), col("__s"))
+      authRaw = if (i == iters) aRaw.localCheckpoint(true) else aRaw
+      val hRaw = eDst.join(authRaw, eDst("dst") === authRaw("__aid"))
         .groupBy(col("src"))
-        .agg(sum(col("a").cast(DecimalType(38, 0))).as("__s"))
-      val h2 = normalize(hRaw, "src", "h")
+        .agg(sum(widened(col("__s"))).as("__s"))
+      hubRaw = hRaw.localCheckpoint(true)
       lastH.foreach(Checkpoints.releaseLocalCheckpoint)
-      lastH = Some(h2)
-      hub = h2
+      lastH = Some(hubRaw)
     }
-    val out = eSrc.select(col("src").as("id"))
-      .unionByName(eDst.select(col("dst").as("id"))).distinct()
-      .join(hub, Seq("id"), "left")
-      .join(auth, Seq("id"), "left")
+    // node universe = hub keys ∪ auth keys: every src node is a hubRaw
+    // key (each edge's dst matched a_raw, so each src aggregated) and
+    // every dst node an authRaw key (symmetric argument) — a FULL OUTER
+    // join of the two node-sized score frames covers every endpoint
+    // without re-scanning |E| rows (the r17 shape paid a 2|E|-row
+    // union+distinct here)
+    val out = normed(hubRaw, "src", "h")
+      .join(normed(authRaw, "__aid", "a"), Seq("id"), "full")
       .select(col("id"), coalesce(col("h"), lit(0L)).as("hub"),
         coalesce(col("a"), lit(0L)).as("auth"))
       .localCheckpoint(true)
     lastH.foreach(Checkpoints.releaseLocalCheckpoint)
-    lastA.foreach(Checkpoints.releaseLocalCheckpoint)
+    Checkpoints.releaseLocalCheckpoint(authRaw)
     eSrc.unpersist(); eDst.unpersist()
     out
   }
