@@ -336,8 +336,8 @@ object LlmQueries {
     // exact-counts candidates only — no vocabulary-wide shuffle. Output is
     // exact, so the oracle is a plain GROUP BY ... HAVING.
     "q78_heavy_hitters" -> { (s, dir) =>
-      val toks = t(s, dir, "documents")
-        .select(explode(TextDedup.tokens(col("text"))).as("token"))
+      val toks = graft.ops.Layout.spreadScan(t(s, dir, "documents"))
+        .select(explode_outer(TextDedup.tokens(col("text"))).as("token"))
         .filter(length(col("token")) > 0)
       graft.ops.Reductions.heavyHittersExact(toks, "token", phi = 0.002)
         .orderBy(col("cnt").desc, col("token"))

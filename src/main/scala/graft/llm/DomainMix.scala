@@ -133,8 +133,13 @@ object DomainMix {
     // want __b partitioning, so Spark's exchange reuse computes it once —
     // without it each consumer re-tokenizes the corpus (measured 2× at
     // sf1.0)
-    val tok = df.select(col(idCol).as("__id"), isTarget.as("__tgt"),
-        explode(TextDedup.tokens(col(textCol))).as("__tok"))
+    // degenerate-layout guard (Layout.spreadScan scaladoc): the
+    // tokenize+md5 pass is the map side of the __b shuffle below and
+    // must not serialize on a one-row-group scan
+    val tok = graft.ops.Layout.spreadScan(df)
+      .select(col(idCol).as("__id"), isTarget.as("__tgt"),
+        explode_outer(TextDedup.tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok").isNotNull)
       .withColumn("__b", pmod(TextDedup.h28(col("__tok")), b))
       .drop("__tok")
       .repartition(col("__b"))

@@ -72,8 +72,18 @@ object TextDedup {
     val rows = slim.select(col(idCol),
       call_function("graft_cdc_chunks", col(textCol), lit(window),
         lit(divisor)).as("__chunks"))
+    // OUTER generate + explicit null filter, NOT plain posexplode
+    // (r18, measured 5.0 → 0.9 s at sf1.0): for an inner generate the
+    // optimizer infers `size(__chunks) > 0` and pushes it through the
+    // projection AND the spread exchange onto the scan tasks — the md5
+    // kernel then runs 3× per row, two of them SERIAL on a degenerate
+    // one-row-group scan. InferFiltersFromGenerate skips outer
+    // generates, and the post-filter references a GENERATED column so
+    // it cannot sink; the dropped rows are exactly the empty/null-array
+    // docs the inner generate would have skipped — results identical.
     rows.select(col(idCol),
-        posexplode(col("__chunks")).as(Seq("chunk_idx", "__c")))
+        posexplode_outer(col("__chunks")).as(Seq("chunk_idx", "__c")))
+      .filter(col("__c").isNotNull)
       .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
         col("__c.chunk_md5").as("chunk_md5"),
         col("__c.chunk_len").as("chunk_len"))
@@ -589,10 +599,11 @@ object TextDedup {
     * serializes the whole corpus through one core (q279's boundary pass
     * measured 790 s single-task) while the rest idle. No-op at real scale,
     * where scans out-partition cores — the guard only ever upsizes. */
-  private[graft] def spreadForKernel(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-  }
+  /** Delegates to [[graft.ops.Layout.spreadScan]] (r18: the guarded,
+    * shared form — no-op past half the session parallelism and on any
+    * frame with upstream exchanges). */
+  private[graft] def spreadForKernel(df: DataFrame): DataFrame =
+    graft.ops.Layout.spreadScan(df)
 
   def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame = {
     graft.functions.DedupKernels.register(df.sparkSession)
@@ -928,8 +939,14 @@ object TextDedup {
     * counts, never raw text pairs, and no all-pairs comparison exists. */
   def crossDocNgrams(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 4, minDocs: Int = 2): DataFrame = {
-    val perDoc = df
-      .select(col(idCol), explode(shingles(col(textCol), n)).as("ngram"))
+    // degenerate-layout guard (Layout.spreadScan scaladoc): the shingle
+    // build is the CPU and must not serialize on a one-row-group scan
+    // outer generate + null filter: see [[cdcChunks]] — an inner
+    // explode's inferred size() filter would re-run the shingle build
+    // serially on the scan side of the spread exchange
+    val perDoc = graft.ops.Layout.spreadScan(df)
+      .select(col(idCol), explode_outer(shingles(col(textCol), n)).as("ngram"))
+      .filter(col("ngram").isNotNull)
       .groupBy(col("ngram"), col(idCol))
       .agg(count(lit(1)).as("__k"))
     perDoc.groupBy(col("ngram"))

@@ -345,15 +345,20 @@ object TextStats {
     * Plan: one bigram explode + keyed count (shuffle volume = distinct
     * bigrams), unigram counts broadcast-joined twice; the same
     * normalized token stream as the shingle kernel. */
-  def collocations(df: DataFrame, textCol: String, minCount: Long)
+  def collocations(df0: DataFrame, textCol: String, minCount: Long)
       : DataFrame = {
+    // degenerate-layout guard (Layout.spreadScan scaladoc): both the
+    // unigram and bigram explodes tokenize on the scan tasks
+    val df = graft.ops.Layout.spreadScan(df0)
     val toks = df.select(
-      explode(graft.llm.TextDedup.tokens(col(textCol))).as("w"))
+      explode_outer(graft.llm.TextDedup.tokens(col(textCol))).as("w"))
+      .filter(col("w").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("__cu"))
     val totals = toks.agg(count(lit(1)).as("__n"))
     val bi = df.select(
-        explode(graft.llm.TextDedup.shingles(col(textCol), 2)).as("s"))
+        explode_outer(graft.llm.TextDedup.shingles(col(textCol), 2)).as("s"))
+      .filter(col("s").isNotNull)
       .select(split(col("s"), " ").as("__p"))
       .filter(size(col("__p")) === 2)
       .select(element_at(col("__p"), 1).as("w1"),
@@ -428,12 +433,15 @@ object TextStats {
     // measured 6× slower); CollapseProject keeps a multiply-referenced
     // non-cheap alias materialized
     val w = col("__w")
-    val pairs = df
+    // degenerate-layout guard (Layout.spreadScan scaladoc): the bigram
+    // build below runs on the SCAN side of the shared shuffle
+    val pairs = graft.ops.Layout.spreadScan(df)
       .select(col(idCol), TextDedup.tokens(col(textCol)).as("__w"))
-      .select(col(idCol), explode(when(size(w) >= 2,
+      .select(col(idCol), explode_outer(when(size(w) >= 2,
         transform(sequence(lit(0), size(w) - 2),
           i => concat(element_at(w, i + 1), lit(" "), element_at(w, i + 2))))
         .otherwise(array().cast("array<string>"))).as("bg"))
+      .filter(col("bg").isNotNull)
     // ONE shuffle boundary shared by both consumers (count tables and
     // probe side): without it each consumer re-runs the tokenize+explode
     // corpus pass — the dsirResample exchange-reuse idiom
@@ -868,12 +876,20 @@ object TextStats {
                buckets: Int = 256): DataFrame = {
     require(buckets >= 8, s"buckets=$buckets")
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).cast(LongType).as("__id"),
-      explode(transform(TextDedup.tokens(col(textCol)),
-        t => TextDedup.h60(t))).as("__h"))
+    // degenerate-layout guard (Layout.spreadScan scaladoc) — the
+    // tokenize+hash explode is the CPU; plus per-doc array_distinct
+    // BEFORE the explode: first-occurrence min(doc) per hash is
+    // unchanged by within-doc repeats, and the shuffle drops to per-doc
+    // distinct types (~2-3× fewer rows on natural text)
+    val base = graft.ops.Layout.spreadScan(df)
+    // outer generate + null filter: see [[TextDedup.cdcChunks]]
+    val toks = base.select(col(idCol).cast(LongType).as("__id"),
+      explode_outer(array_distinct(transform(TextDedup.tokens(col(textCol)),
+        t => TextDedup.h60(t)))).as("__h"))
+      .filter(col("__h").isNotNull)
     val newTypes = toks.groupBy(col("__h")).agg(min(col("__id")).as("__fid"))
       .groupBy(col("__fid")).agg(count(lit(1)).as("__nv"))
-    val perDoc = df.select(col(idCol).cast(LongType).as("__id"),
+    val perDoc = base.select(col(idCol).cast(LongType).as("__id"),
       size(TextDedup.tokens(col(textCol))).cast(LongType).as("__nt"))
     val mx = perDoc.agg(max(col("__id")).as("__mx"),
       count(lit(1)).as("__nd"))
@@ -917,8 +933,11 @@ object TextStats {
     * one is template spam). One explode over 60-bit token hashes + one
     * keyed count + one global fold — the q337 shuffle shape. */
   def vocabularyStats(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(transform(TextDedup.tokens(col(textCol)),
+    // spread + outer generate: see [[TextDedup.cdcChunks]]
+    graft.ops.Layout.spreadScan(df)
+      .select(explode_outer(transform(TextDedup.tokens(col(textCol)),
         t => TextDedup.h60(t))).as("__h"))
+      .filter(col("__h").isNotNull)
       .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
       .agg(coalesce(sum(col("__c")), lit(0L)).as("n_tokens"),
         count(lit(1)).as("vocab"),

@@ -20,6 +20,38 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object Layout {
 
+  /** Spread a SCAN-ROOTED frame across the session's parallelism before
+    * a CPU-heavy per-row kernel (tokenize / shingle / hash explode).
+    *
+    * Why it exists (r18, measured): Spark splits parquet scans by byte
+    * range but cannot split below ROW-GROUP granularity, so a
+    * single-file single-row-group table — the degenerate layout small
+    * test fixtures and one-shot exports produce — hands the entire scan
+    * to one or two tasks, and every downstream tokenization kernel in
+    * the same stage serializes on one core (q128 at sf1.0: 7.2 s as-is,
+    * 1.7 s spread — the whole "dedup-kernel curve" on the sf1.0
+    * watch-list was this, not shuffle mass). At 100 TB real layouts
+    * yield thousands of splits and this is a NO-OP; the repartition only
+    * fires when the scan's split count is under half the session's
+    * parallelism, and what it shuffles is by definition a small input
+    * (a big one would have had splits).
+    *
+    * Contract: call on exchange-free frames only (scans + projections/
+    * filters). Frames with upstream exchanges are returned unchanged
+    * WITHOUT introspection — reading `.rdd` on an AQE plan with
+    * exchanges would eagerly execute its query stages. */
+  def spreadScan(df: DataFrame): DataFrame = {
+    val hasExchange = df.queryExecution.sparkPlan
+      .find(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+      .isDefined
+    if (hasExchange) df
+    else {
+      val want = df.sparkSession.sparkContext.defaultParallelism
+      val have = df.rdd.getNumPartitions
+      if (have * 2 >= want) df else df.repartition(want)
+    }
+  }
+
   /** Spread the low 16 bits of a non-negative long so bit i lands at
     * position 2i — the standard mask-shift Morton sequence (4 fixed
     * integer ops, no loops, codegen-friendly). */
