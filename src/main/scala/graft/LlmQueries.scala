@@ -73,6 +73,18 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // APPROXIMATE Jaccard self-join (q306's documented escalation):
+    // LSH routes, bucket cap bounds the pair mass, exact intersection
+    // verifies — returned pairs are true ≥-threshold pairs (precision 1,
+    // recall measured in BENCH_SF1.md). The oracle replays the banding
+    // and the cap deterministically.
+    "q373_jaccard_approx" -> { (s, dir) =>
+      TextDedup.jaccardJoinApprox(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, threshold = 0.5, numHashes = 64, bands = 32,
+          maxBucket = 1024)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // c-TF-IDF cluster term profiles (BERTopic labeling step): the top-5
     // terms that CHARACTERIZE each source, not just occur in it.
     "q308_cluster_terms" -> { (s, dir) =>
@@ -1087,6 +1099,32 @@ object LlmQueries {
              a.l AS la, b.l AS lb
            FROM s a JOIN s b ON a.doc_id < b.doc_id
              AND b.l >= ceil(0.5 * a.l) AND a.l >= ceil(0.5 * b.l))
+         SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) AS jaccard
+         FROM p
+         WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.5
+         ORDER BY 1, 2""",
+
+    // mirrors TextDedup.jaccardJoinApprox: the q29 minhash/banding CTEs
+    // (same 64-hash signatures, 32 band keys), bucket sizes + the 1024
+    // cap, all-pairs within surviving buckets, exact list_intersect
+    // verify at threshold 0.5 — the banding and the cap are pure
+    // functions of the text, so the replay is bit-exact.
+    "q373_jaccard_approx" ->
+      s"""WITH ${minhashCandidateCtes(32)},
+         sets AS (SELECT id, list_distinct(s) AS ts FROM sh
+           WHERE len(s) > 0),
+         bsz AS (SELECT band, COUNT(*) AS n FROM banded GROUP BY 1),
+         okb AS (SELECT b.id, b.band FROM banded b
+           JOIN bsz z USING (band) WHERE z.n <= 1024),
+         cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           FROM okb x JOIN okb y ON x.band = y.band AND x.id < y.id),
+         p AS (SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS i,
+             CAST(len(a.ts) AS BIGINT) AS la,
+             CAST(len(b.ts) AS BIGINT) AS lb
+           FROM cand c JOIN sets a ON a.id = c.id_a
+             JOIN sets b ON b.id = c.id_b)
          SELECT id_a, id_b,
            CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) AS jaccard
          FROM p

@@ -275,6 +275,11 @@ object TextDedup {
                               shingleLen: Int = 3, numHashes: Int = 64,
                               bands: Int = 32,
                               threshold: Double = 0.5): DataFrame = {
+    // mirror of the oracle CTE's r == 2 require: bands not dividing
+    // numHashes would silently drop the signature tail from LSH banding
+    require(numHashes >= 1 && bands >= 1 && numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes (tail signature " +
+        "positions would silently drop from LSH banding)")
     graft.functions.DedupKernels.register(existing.sparkSession)
     val r = numHashes / bands
     def sigsOf(df: DataFrame): DataFrame =
@@ -1057,6 +1062,86 @@ object TextDedup {
     * equi-join with the implied length filter + positional filter →
     * exact array_intersect verify on candidates only. Returns
     * (id_a, id_b, jaccard), id_a < id_b. */
+  /** APPROXIMATE Jaccard self-join — the documented escalation path for
+    * [[jaccardJoin]] when the exact prefix filter's inherent Σdf²
+    * same-length collision mass grows past budget (BENCH_SF1.md q306):
+    * MinHash-LSH ROUTES candidates (cost ∝ Σ bucket², with an explicit
+    * per-bucket cap), then the EXACT shingle-set intersection verifies
+    * every candidate — so each RETURNED pair carries its true Jaccard
+    * and genuinely passes `threshold`. Approximation changes RECALL
+    * only (a qualifying pair whose signatures collide in no band is
+    * missed; recall rises with `bands`); precision is 1 by
+    * construction, and the output is always a SUBSET of
+    * [[jaccardJoin]]'s (measured recall table in BENCH_SF1.md).
+    *
+    * Buckets larger than `maxBucket` are dropped whole (with a stderr
+    * readout, the [[graft.ops.Graph.capHubs]] convention) — a hot
+    * bucket is a band key shared by thousands of documents, and its
+    * all-pairs mass is exactly what this operator exists to avoid. The
+    * cap is deterministic (bucket membership is a pure function of the
+    * text), so the DuckDB oracle replays it bit-for-bit.
+    *
+    * Plan: one fused shingle→minhash kernel pass per doc (spread over
+    * the session's parallelism), band-key explode, one shuffle by band
+    * key (window count + capped self-join share it), pair-distinct,
+    * then the exact verify join against the persisted shingle sets —
+    * candidates only, never all pairs. Returns (id_a, id_b, jaccard),
+    * id_a < id_b. */
+  def jaccardJoinApprox(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, threshold: Double = 0.5,
+                        numHashes: Int = 64, bands: Int = 32,
+                        maxBucket: Int = 1024): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold=$threshold")
+    require(k >= 1 && k <= 16, s"k=$k")
+    require(numHashes >= 1 && bands >= 1 && numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes (tail signature " +
+        "positions would silently drop from LSH banding)")
+    require(maxBucket >= 2, s"maxBucket=$maxBucket")
+    graft.functions.DedupKernels.register(df.sparkSession)
+    val r = numHashes / bands
+    val sets = spreadForKernel(df.filter(col(idCol).isNotNull)
+        .select(col(idCol).cast(LongType).as("__id"), col(textCol).as("__t")))
+      .select(col("__id"),
+        array_distinct(shingles(col("__t"), k)).as("__ts"),
+        minhashSignatureFromHashes(
+          shingleHashes(col("__t"), k, 7), numHashes).as("__sig"))
+      .filter(size(col("__ts")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sets.select(col("__id"),
+      explode(lshBandKeys(col("__sig"), bands, r)).as("__band"))
+    // bucket sizes via a keyed window (hash(band) shuffle shared with
+    // the self-join below); capped buckets are counted and logged, never
+    // silently dropped
+    val sized = banded.withColumn("__n",
+      count(lit(1)).over(Window.partitionBy(col("__band"))))
+    val nHot = sized.filter(col("__n") > maxBucket)
+      .select(col("__band")).distinct().count()
+    if (nHot > 0)
+      System.err.println(s"[graft] jaccardJoinApprox: dropped $nHot hot " +
+        s"bucket(s) with > $maxBucket members (recall cap — raise " +
+        "maxBucket to include them)")
+    val ok = sized.filter(col("__n") <= maxBucket)
+      .select(col("__band"), col("__id"))
+    val cand = ok.select(col("__band"), col("__id").as("id_a"))
+      .join(ok.select(col("__band"), col("__id").as("id_b")), "__band")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val inter = size(array_intersect(col("__tsa"), col("__tsb")))
+    val out = cand
+      .join(sets.select(col("__id").as("id_a"), col("__ts").as("__tsa")),
+        "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__ts").as("__tsb")),
+        "id_b")
+      .withColumn("jaccard", inter.cast(DoubleType) /
+        (size(col("__tsa")) + size(col("__tsb")) - inter).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sets.unpersist()
+    out
+  }
+
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold=$threshold")

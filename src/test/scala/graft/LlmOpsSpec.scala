@@ -1240,6 +1240,45 @@ class LlmOpsSpec extends SparkSuite {
     assert(!got.contains((1L, 5L)), "unrelated docs never pair")
   }
 
+  test("jaccardJoinApprox: subset of exact with true jaccards; exact dups " +
+       "always collide; bands must divide numHashes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six seven"),
+      (5L, "completely different words here entirely"),
+      (6L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val exact = graft.llm.TextDedup
+      .jaccardJoin(docs, "doc_id", "text", k = 3, threshold = 0.3)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val approx = graft.llm.TextDedup
+      .jaccardJoinApprox(docs, "doc_id", "text", k = 3, threshold = 0.3)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    // precision 1: every approx pair is an exact pair WITH the same
+    // (true) jaccard — the verify path is exact by construction
+    approx.foreach { case (p, j) =>
+      assert(exact.get(p).contains(j), s"approx pair $p not exact/$j") }
+    // identical docs share every band — LSH can never miss them
+    assert(approx.contains((3L, 4L)) && approx.contains((1L, 6L)),
+      s"exact dups must collide in all bands: $approx")
+    // divisibility guard (same contract as incrementalMinhashDedup)
+    intercept[IllegalArgumentException] {
+      graft.llm.TextDedup.jaccardJoinApprox(docs, "doc_id", "text",
+        numHashes = 64, bands = 31)
+    }
+    intercept[IllegalArgumentException] {
+      graft.llm.TextDedup.incrementalMinhashDedup(docs, docs,
+        "doc_id", "text", numHashes = 64, bands = 31)
+    }
+  }
+
   test("clusterTerms: exclusive terms outrank ubiquitous ones; scores " +
        "follow the c-TF-IDF closed form") {
     import spark.implicits._
