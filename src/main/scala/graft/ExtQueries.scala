@@ -1388,7 +1388,8 @@ object ExtQueries {
     "q351_bfs" -> { (s, dir) =>
       val g = Graph.tradingPairsGraph(t(s, dir, "orders"),
         t(s, dir, "lineitem"))
-      val src = g.agg(min(col("src").cast(LongType))).head.getLong(0)
+      val src = g.agg(min(col("src").cast(LongType)))
+        .collectBounded(1, "O(1) BFS source-node readout").head.getLong(0)
       Graph.bfsDistances(g, "src", "dst", Seq(src), maxHops = 3)
         .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("dist"))
@@ -3489,7 +3490,8 @@ object ExtQueries {
           col("w"))
         .unionByName(j.select(col("snode").as("src"),
           col("cnode").as("dst"), col("w")))
-      val source = e.agg(min(col("src"))).head().getLong(0)
+      val source = e.agg(min(col("src")))
+        .collectBounded(1, "O(1) SSSP source-node readout").head.getLong(0)
       Graph.ssspWeighted(e, "src", "dst", "w", Seq(source), rounds = 3)
         .orderBy(col("id"))
     },
@@ -10648,9 +10650,12 @@ object ExtQueries {
              nd * (p11 * q2 - q1 * p12) - s1 * (s1 * q2 - q1 * s2)
                + sy * (s1 * p12 - p11 * s2) AS det2
            FROM b),
-         e AS (SELECT *, (syyc - sxyc * sxyc / s1c) / nd AS rss_r,
-             syy - (det0 / det) * sy - (det1 / det) * q1
-               - (det2 / det) * q2 AS rss_f
+         e AS (SELECT *,
+             CASE WHEN s1c > 0.0
+               THEN (syyc - sxyc * sxyc / s1c) / nd END AS rss_r,
+             CASE WHEN det <> 0.0
+               THEN syy - (det0 / det) * sy - (det1 / det) * q1
+                 - (det2 / det) * q2 END AS rss_f
            FROM c)
          SELECT n, rss_r, rss_f,
            CASE WHEN n > 3 AND rss_f > 0.0

@@ -534,7 +534,9 @@ object TextDedup {
       es => new BloomFilterAggregate(es.head,
         CatLit(n, LongType), CatLit(numBits, LongType)).toAggregateExpression(),
       "scala_udf")
-    val blob = benchH.select(expr("graft_bloom_agg(__h)")).head().getAs[Array[Byte]](0)
+    val blob = benchH.select(expr("graft_bloom_agg(__h)"))
+      .collectBounded(1, "O(1) bloom-blob readout").head
+      .getAs[Array[Byte]](0)
     reg.createOrReplaceTempFunction("graft_might_contain",
       es => BloomFilterMightContain(CatLit(blob, BinaryType), es.head),
       "scala_udf")

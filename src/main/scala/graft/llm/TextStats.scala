@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.ops.Bounded._
 
 /** Text-analysis operators for training-data curation: token counting,
   * quality scoring, language identification, document fingerprinting.
@@ -528,7 +529,8 @@ object TextStats {
       sum(col("__dl").cast(LongType)).as("__sumdl") +:
       terms.map(t =>
         sum(when(array_contains(col("__w"), t), 1L).otherwise(0L)).as(s"__df_$t"))
-    val r = toks.agg(aggs.head, aggs.tail: _*).head()
+    val r = toks.agg(aggs.head, aggs.tail: _*)
+      .collectBounded(1, "O(1) bm25 corpus-stats readout").head
     val n = r.getLong(0)
     require(n > 0, "bm25 needs a non-empty corpus")
     val avgdl = r.getLong(1).toDouble / n

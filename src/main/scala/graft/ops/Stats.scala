@@ -1490,13 +1490,17 @@ object Stats {
     * (n1, n2, runs, z) — integers until the fixed z sequence. The
     * lag/run count rides the O(m) bounded frame. */
   def runsTest(df: DataFrame, orderCol: String, valueCol: String,
-               split: Column): DataFrame = {
+               split: Column, maxSeriesRows: Long = 1L << 22): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col(orderCol))
     val signed = df
       .select(col(orderCol), col(valueCol).cast(DoubleType).as("__x"))
       .crossJoin(broadcast(df.agg(split.as("__m"))))
       .filter(col("__x") =!= col("__m"))
+      // in-plan series-bound guard — see [[seriesBound]]
+      .withColumn("__x", seriesBound(col("__x"),
+        count(lit(1)).over(Window.partitionBy()), maxSeriesRows,
+        "runsTest"))
       .withColumn("__up", (col("__x") > col("__m")).cast("int"))
     val runs = signed
       .withColumn("__prev", lag(col("__up"), 1).over(w))
@@ -3067,14 +3071,19 @@ object Stats {
     * x·trig products then fold through floor-scaled exact sums; C/S are
     * squared in pinned order. Returns one row per k: (k, n, power). */
   def periodogram(df: DataFrame, orderCols: Seq[String], valueCol: String,
-                  maxK: Int = 6): DataFrame = {
+                  maxK: Int = 6, maxSeriesRows: Long = 1L << 22): DataFrame = {
     require(maxK >= 1, s"maxK=$maxK")
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(orderCols.map(col): _*)
     val base = df
       .withColumn("__t", (row_number().over(w) - 1).cast(LongType))
-      .withColumn("__x", col(valueCol).cast(DoubleType))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+      // the stated O(time-range) series contract, ENFORCED in-plan (the
+      // Bounded doctrine for global-window inputs): the count rides the
+      // window pass the operator already pays, so an unbounded series
+      // fails loudly here instead of silently single-tasking the engine
+      .withColumn("__x", seriesBound(col(valueCol).cast(DoubleType),
+        col("__n"), maxSeriesRows, "periodogram"))
     val ks = (1 to maxK)
     val aggs = ks.flatMap { k =>
       val p = pmod(lit(k.toLong) * col("__t"), col("__n"))
@@ -3098,6 +3107,25 @@ object Stats {
           col(s"__s_$k") * col(s"__s_$k")).as("power"))
     }.reduce(_.unionByName(_))
   }
+
+  /** In-plan bound enforcement for BOUNDED-SERIES operators (r18 —
+    * the [[graft.ops.Bounded]] doctrine applied to global-window
+    * inputs): these operators put `row_number`/`lag` over a
+    * partition-less Window, which is safe ONLY under their documented
+    * O(time-range) aggregated-series contract. Wrapping the series
+    * value makes the contract self-enforcing: when the row count
+    * exceeds `maxRows` the plan raises a loud error naming the
+    * operator — no extra job, the count rides a window pass the
+    * operator already pays — instead of silently funneling a data-sized
+    * frame through one task at 100 TB. Within the bound the guard is
+    * the identity. */
+  private def seriesBound(x: Column, n: Column, maxRows: Long,
+                          op: String): Column =
+    when(n <= lit(maxRows), x).otherwise(raise_error(concat(
+      lit(s"$op: series has "), n.cast(StringType),
+      lit(s" rows > the documented bound of $maxRows — this operator " +
+        "requires an aggregated O(time-range) series; fix the plan " +
+        "(aggregate first), don't widen the bound"))))
 
   /** Taylor coefficients for the portable trig kernel: cos(z) = 1 +
     * w·H(w, CosCoef), sin(z) = z·(1 + w·H(w, SinCoef)) with w = z², H
@@ -3361,12 +3389,18 @@ object Stats {
     * runs over the O(time range) hourly frame (bounded by construction).
     * Returns one row (n, rss_r, rss_f, f_stat). */
   def grangerLag1(df: DataFrame, tsCol: String, typeCol: String,
-                  yType: String, xType: String): DataFrame = {
+                  yType: String, xType: String,
+                  maxSeriesRows: Long = 1L << 22): DataFrame = {
     val hourly = df
       .filter(col(tsCol).isNotNull)
       .groupBy(date_trunc("hour", col(tsCol)).as("__h"))
       .agg(sum(when(col(typeCol) === yType, 1L).otherwise(0L)).as("__y"),
         sum(when(col(typeCol) === xType, 1L).otherwise(0L)).as("__x"))
+      // in-plan series-bound guard — see [[seriesBound]]
+      .withColumn("__y", seriesBound(col("__y").cast(DoubleType),
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()),
+        maxSeriesRows, "grangerLag1").cast(LongType))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("__h"))
     val lagged = hourly
       .withColumn("__y1", lag(col("__y"), 1).over(w))
@@ -3403,10 +3437,17 @@ object Stats {
     val b0 = det0 / det; val b1 = det1 / det; val b2 = det2 / det
     val rssF = (d(col("syy")) - b0 * d(col("sy")) - b1 * d(col("q1")) -
       b2 * d(col("q2")))
-    val rssRAbs = rssR
-    agg.select(col("n"), rssRAbs.as("rss_r"), rssF.as("rss_f"),
-      when(col("n") > 3 && rssF > 0.0,
-        (rssRAbs - rssF) / (rssF / (nD - lit(3.0)))).as("f_stat"))
+    // degenerate-input gates (r18): a CONSTANT lagged series (s1c = 0)
+    // or a collinear design (det = 0) makes the closed forms 0/0 —
+    // IEEE gives NaN/Inf and DuckDB's float-division behavior there is
+    // version/setting-dependent, so both columns gate to NULL in BOTH
+    // engines instead of trusting two engines' 0/0 to agree. f_stat
+    // nulls through automatically (its operands are null).
+    val rssRG = when(s1c > 0.0, rssR)
+    val rssFG = when(det =!= 0.0, rssF)
+    agg.select(col("n"), rssRG.as("rss_r"), rssFG.as("rss_f"),
+      when(col("n") > 3 && rssFG > 0.0,
+        (rssRG - rssFG) / (rssFG / (nD - lit(3.0)))).as("f_stat"))
   }
 
   /** BRADLEY–TERRY preference-strength fit over pairwise comparison

@@ -220,7 +220,8 @@ object Io {
       case None    => lines
     }
     val width = widthLines.map(l => fieldCount(l, sepStr))
-      .agg(max(col("value"))).as[Int].first()
+      .agg(max(col("value"))).as[Int]
+      .collectBounded(1, "O(1) ragged-width readout").head
     val headerNames: Seq[String] =
       if (!opts.headerRow) Seq.empty
       else {

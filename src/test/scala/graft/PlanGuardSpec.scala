@@ -378,6 +378,29 @@ class PlanGuardSpec extends SparkSuite {
       }
   }
 
+  test("bounded-series operators enforce their contract IN-PLAN") {
+    // the Bounded doctrine applied to global-window inputs: a stated
+    // O(time-range) bound is an enforced bound — feeding more rows than
+    // the bound must fail loudly naming the operator, not silently
+    // single-task the engine
+    import spark.implicits._
+    val series = (1 to 10).map(i => (i, i.toDouble)).toDF("t", "v")
+    val e1 = intercept[Exception] {
+      graft.ops.Stats.periodogram(series, Seq("t"), "v",
+        maxSeriesRows = 5L).collect()
+    }
+    assert(e1.getMessage.contains("periodogram"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      graft.ops.Stats.runsTest(series, "t", "v",
+        org.apache.spark.sql.functions.expr("median(v)"),
+        maxSeriesRows = 5L).collect()
+    }
+    assert(e2.getMessage.contains("runsTest"), e2.getMessage)
+    // within the bound the guard is the identity
+    assert(graft.ops.Stats.periodogram(series, Seq("t"), "v")
+      .collect().length == 6)
+  }
+
   test("no raw .collect() in src/main — everything routes through collectBounded") {
     // graft.ops.Bounded is the only sanctioned driver-side
     // materialization (plan-level limit cap + loud bound assertion);
@@ -394,11 +417,18 @@ class PlanGuardSpec extends SparkSuite {
       .flatMap { p =>
         new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
           .split("\n").zipWithIndex
-          .filter(_._1.contains(".collect()"))
+          // .head()/.first() (paren forms — unambiguous Dataset actions;
+          // bare .head on Scala collections stays allowed) are raw 1-row
+          // driver readouts outside the fence unless the line routes
+          // through collectBounded (r18: two BFS/SSSP source readouts
+          // and three 1-row aggregate readouts were outside it)
+          .filter { case (l, _) =>
+            (l.contains(".collect()") || l.contains(".head()") ||
+              l.contains(".first()")) && !l.contains("collectBounded") }
           .map { case (l, i) => s"$p:${i + 1}: ${l.trim}" }
       }.toList
     assert(offenders.isEmpty,
-      "raw .collect() outside Bounded/OutOfCoreCheck:\n" +
+      "raw .collect()/.head()/.first() outside Bounded/OutOfCoreCheck:\n" +
         offenders.mkString("\n"))
   }
 
