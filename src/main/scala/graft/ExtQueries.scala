@@ -4499,13 +4499,17 @@ object ExtQueries {
     "q291_poisson_bootstrap" ->
       """WITH base AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x,
              CAST(concat('0x', substr(md5(concat_ws('#', doc_id)),
-               1, 7)) AS BIGINT) AS h
+               1, 7)) AS BIGINT) AS h,
+             CAST(concat('0x', substr(md5(concat_ws('#', doc_id)),
+               8, 7)) AS BIGINT) AS h2
            FROM documents
            WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))),
          reps AS (SELECT t.b AS b, base.doc_id, base.x,
-             ((((t.b * 2 + 1) * 2654435761) % 4294967311) * base.h
-               + ((t.b * 40503 + 7) % 4294967311)) % 4294967311
-               % 1000000 AS u
+             (((((t.b * 2 + 1) * 2654435761) % 4294967311) * base.h
+                 + ((t.b * 40503 + 7) % 4294967311)) % 4294967311
+               + ((((t.b * 2 + 1) * 2246822519) % 4294967311) * base.h2
+                 + ((t.b * 104729 + 13) % 4294967311)) % 4294967311)
+               % 4294967311 % 1000000 AS u
            FROM base CROSS JOIN
              (SELECT CAST(range AS INT) AS b FROM range(0, 200)) t),
          w AS (SELECT b, x,

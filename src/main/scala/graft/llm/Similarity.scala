@@ -53,6 +53,7 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      embCol: String = "embedding"): DataFrame = {
+    graft.functions.VecKernels.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
       .withColumn("q_norm", normExact(col("q_emb")))
     val c = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"))
@@ -83,6 +84,7 @@ object Similarity {
     * rows. */
   def rboOverlap(a: DataFrame, b: DataFrame, idCol: String,
                  scoreCol: String, p: Double, k: Int): DataFrame = {
+    graft.functions.VecKernels.register(a.sparkSession)
     require(p > 0.0 && p < 1.0 && k >= 1)
     val spark = a.sparkSession
     import spark.implicits._
@@ -131,6 +133,7 @@ object Similarity {
   def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int,
                   idCol: String = "vec_id", embCol: String = "embedding",
                   labelCol: String = "label"): DataFrame = {
+    graft.functions.VecKernels.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"),
         col(labelCol).as("true_label"), col(embCol).as("q_emb"))
       .withColumn("q_norm", normExact(col("q_emb")))
@@ -169,6 +172,7 @@ object Similarity {
   def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
                     idCol: String = "vec_id", embCol: String = "embedding",
                     labelCol: String = "label"): DataFrame = {
+    graft.functions.VecKernels.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"),
         col(labelCol).as("q_label"), col(embCol).as("q_emb"))
       .withColumn("q_norm", normExact(col("q_emb")))
@@ -204,6 +208,7 @@ object Similarity {
   def rrfFuse(lists: Seq[DataFrame], idCol: String, scoreCol: String,
               k: Int = 60): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranking")
+    graft.functions.VecKernels.register(lists.head.sparkSession)
     val ranked = lists.zipWithIndex.map { case (df, i) =>
       val w = Window.orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
       df.select(col(idCol).as("id"),
@@ -234,6 +239,7 @@ object Similarity {
   def mmrSelect(candidates: DataFrame, idCol: String, embCol: String,
                 relCol: String, k: Int, lambda: Double,
                 maxCandidates: Int = 100000): DataFrame = {
+    graft.functions.VecKernels.register(candidates.sparkSession)
     require(k >= 1 && lambda >= 0 && lambda <= 1)
     val spark = candidates.sparkSession
     import spark.implicits._
@@ -331,6 +337,7 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 8,
               idCol: String = "vec_id", embCol: String = "embedding",
               multiProbe: Boolean = true, dim: Int = 64): DataFrame = {
+    graft.functions.VecKernels.register(queries.sparkSession)
     val c = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"))
       .withColumn("bucket", lshBucket(col("c_emb"), planes, dim))
       .withColumn("c_norm", normExact(col("c_emb")))
@@ -366,6 +373,7 @@ object Similarity {
               nCentroids: Int = 16, nProbe: Int = 3,
               idCol: String = "vec_id", embCol: String = "embedding",
               seed: Long = 42L): DataFrame = {
+    graft.functions.VecKernels.register(queries.sparkSession)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val spark = corpus.sparkSession
@@ -431,6 +439,7 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, threshold: Double, planes: Int = 8,
                          idCol: String = "vec_id",
                          embCol: String = "embedding", dim: Int = 64): DataFrame = {
+    graft.functions.VecKernels.register(df.sparkSession)
     val v = df.select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("bucket", lshBucket(col("emb"), planes, dim))
       .withColumn("norm", normExact(col("emb")))
@@ -544,6 +553,7 @@ object Similarity {
                      idCol: String = "vec_id",
                      embCol: String = "embedding",
                      fitFraction: Double = 1.0): Seq[(Int, Array[Double])] = {
+    graft.functions.VecKernels.register(corpus.sparkSession)
     require(nCentroids >= 1 && iters >= 0)
     require(fitFraction > 0 && fitFraction <= 1.0,
       s"fitFraction must be in (0,1], got $fitFraction")
@@ -609,6 +619,7 @@ object Similarity {
                        embCol: String = "embedding",
                        labelCol: String = "label",
                        z: Double = 2.0): DataFrame = {
+    graft.functions.VecKernels.register(df.sparkSession)
     val e = df.select(col(idCol), col(labelCol),
       col(embCol).cast("array<double>").as("__e"))
     val cent = e
@@ -648,6 +659,7 @@ object Similarity {
                       idCol: String = "vec_id",
                       embCol: String = "embedding",
                       fitFraction: Double = 1.0): DataFrame = {
+    graft.functions.VecKernels.register(queries.sparkSession)
     val cents = kmeansPortable(corpus, nCentroids, iters, idCol, embCol,
       fitFraction)
     val centDf = centroidFrame(corpus.sparkSession, cents)
@@ -707,6 +719,7 @@ object Similarity {
   def semDedup(df: DataFrame, nClusters: Int, tau: Double, iters: Int = 2,
                idCol: String = "vec_id", embCol: String = "embedding",
                fitFraction: Double = 1.0): DataFrame = {
+    graft.functions.VecKernels.register(df.sparkSession)
     val cents = kmeansPortable(df, nClusters, iters, idCol, embCol,
       fitFraction)
     val spark = df.sparkSession
@@ -742,6 +755,7 @@ object Similarity {
     * round() keeps the halfway case identical across engines. */
   def sq8Quantize(df: DataFrame, embCol: String = "embedding",
                   out: String = "q_emb"): DataFrame = {
+    graft.functions.VecKernels.register(df.sparkSession)
     val m = array_max(transform(col(embCol), x => abs(x.cast(DoubleType))))
     df.withColumn("__m", m)
       .withColumn(out,
@@ -764,6 +778,7 @@ object Similarity {
     * oracle-checkable. Queries broadcast; corpus stays partitioned. */
   def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    graft.functions.VecKernels.register(queries.sparkSession)
     val q = sq8Quantize(queries, embCol)
       .select(col(idCol).as("query_id"), col("q_emb"))
       .withColumn("q_self", qdot(col("q_emb"), col("q_emb")))
@@ -799,6 +814,7 @@ object Similarity {
   def pqTrainPortable(corpus: DataFrame, numSub: Int, k: Int, iters: Int,
                       idCol: String = "vec_id", embCol: String = "embedding",
                       fitFraction: Double = 1.0): Seq[Seq[Array[Double]]] = {
+    graft.functions.VecKernels.register(corpus.sparkSession)
     require(numSub >= 1 && k >= 1 && iters >= 0)
     require(fitFraction > 0 && fitFraction <= 1.0)
     val vh = corpus.select(col(idCol).cast(LongType).as("id"),
@@ -889,6 +905,7 @@ object Similarity {
              numSub: Int = 8, k: Int = 64, iters: Int = 2,
              idCol: String = "vec_id", embCol: String = "embedding",
              fitFraction: Double = 1.0): DataFrame = {
+    graft.functions.VecKernels.register(queries.sparkSession)
     val books = pqTrainPortable(corpus, numSub, k, iters, idCol, embCol,
       fitFraction)
     graft.functions.PqKernels.register(corpus.sparkSession, books)
@@ -922,6 +939,7 @@ object Similarity {
   def kmeansClusters(df: DataFrame, nCentroids: Int, iters: Int,
                      idCol: String = "vec_id", embCol: String = "embedding",
                      headDims: Int = 4): DataFrame = {
+    graft.functions.VecKernels.register(df.sparkSession)
     require(headDims >= 1, s"headDims=$headDims")
     val spark = df.sparkSession
     val cents = kmeansPortable(df, nCentroids, iters, idCol, embCol)
@@ -956,6 +974,7 @@ object Similarity {
   def kmeansSilhouette(df: DataFrame, nCentroids: Int, iters: Int,
                        idCol: String = "vec_id",
                        embCol: String = "embedding"): DataFrame = {
+    graft.functions.VecKernels.register(df.sparkSession)
     require(nCentroids >= 2, "silhouette needs k >= 2")
     val cents = kmeansPortable(df, nCentroids, iters, idCol, embCol)
       .sortBy(_._1)

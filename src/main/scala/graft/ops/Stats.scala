@@ -569,19 +569,33 @@ object Stats {
     require(alpha > 0 && alpha < 1, s"alpha=$alpha out of (0, 1)")
     val x = col(valueCol).cast(DoubleType)
     val clean = df.filter(x.isNotNull && !isnan(x))
-    // One md5 SEED per unit, then a minhash-style universal hash
-    // (a_b·h + c_b) mod P per replicate: the former md5-per-(unit, rep)
-    // construction paid units×reps md5+base-conversions — the md5 mass,
-    // not the shuffle, dominated the wall at B=200. The seed is 28 md5
-    // bits (the shingle-hash convention), coefficients are the TextDedup
-    // streams, P = 2^32+15, so a·h < 2^62 stays inside BIGINT on engines
-    // that RAISE on overflow rather than wrap.
+    // One md5 per unit, then a minhash-style universal hash per
+    // replicate: the former md5-per-(unit, rep) construction paid
+    // units×reps md5+base-conversions — the md5 mass, not the shuffle,
+    // dominated the wall at B=200. SEED WIDTH (r18): the unit seed is
+    // TWO independent 28-bit md5 substrings combined through two
+    // affine streams, u = ((a_b·h1 + c_b) + (a2_b·h2 + c2_b)) mod P —
+    // a 56-BIT effective seed (identical weight vectors need BOTH
+    // halves to collide: ~n²/2^57 pairs vs ~n²/2^29 for the single
+    // 28-bit stream), while every product a·h stays < 2^60 inside the
+    // 2^63 overflow budget on engines that RAISE rather than wrap (a
+    // single wide seed cannot: a < P ≈ 2^32 forces h < 2^31).
+    // Residual (documented) tradeoff: for a FIXED unit the B draws are
+    // affine in the seed pair, i.e. pairwise dependent across
+    // replicates — the standard universal-hash bootstrap compromise;
+    // regenerating independence costs the md5-per-(unit, rep) mass
+    // this construction exists to avoid.
     val P = 4294967311L
     val seed = conv(substring(md5(concat_ws("#", unitCols.map(col): _*)),
       1, 7), 16, 10).cast(LongType)
+    val seed2 = conv(substring(md5(concat_ws("#", unitCols.map(col): _*)),
+      8, 7), 16, 10).cast(LongType)
     val aC = ((col("__b") * 2 + 1) * lit(2654435761L)) % lit(P)
     val cC = (col("__b") * lit(40503L) + lit(7L)) % lit(P)
-    val u = ((aC * col("__h") + cC) % lit(P)) % lit(1000000L)
+    val aC2 = ((col("__b") * 2 + 1) * lit(2246822519L)) % lit(P)
+    val cC2 = (col("__b") * lit(104729L) + lit(13L)) % lit(P)
+    val u = (((aC * col("__h") + cC) % lit(P) +
+      (aC2 * col("__h2") + cC2) % lit(P)) % lit(P)) % lit(1000000L)
     // integer-quantized Poisson(1) inverse CDF: ⌊cumP·10⁶⌋ literals
     val w = when(u < 367879L, 0L).when(u < 735758L, 1L)
       .when(u < 919698L, 2L).when(u < 981011L, 3L)
@@ -590,6 +604,7 @@ object Stats {
     val repMeans = clean
       .select(unitCols.map(col) :+ x.as("__x"): _*)
       .withColumn("__h", seed)
+      .withColumn("__h2", seed2)
       .withColumn("__b", explode(sequence(lit(0), lit(reps - 1))))
       .withColumn("__w", w)
       .groupBy(col("__b"))
@@ -3305,8 +3320,21 @@ object Stats {
       .agg(count(lit(1)).as("__n"),
         Reductions.isum(col("__x"), 6).as("__sx"),
         Reductions.isum(col("__x") * col("__x"), 6).as("__sxx"))
-      .withColumn("__bt",
-        col("__sx") * col("__sx") / col("__n").cast(DoubleType))
+      // ADDEND BUDGET (r18, the jarqueBera quarticDigits convention made
+      // loud): __bt is floor-scaled at 10⁹ below, so Spark's
+      // double→long cast clamps silently at |bt| ≳ 9.2e9 while the
+      // DuckDB mirror's DECIMAL(38,0) does not — the engines would then
+      // diverge without an error. Refuse the out-of-budget input
+      // instead (in-plan, no extra job): rescale the value column if a
+      // legitimate corpus trips this.
+      .withColumn("__bt", {
+        val bt = col("__sx") * col("__sx") / col("__n").cast(DoubleType)
+        when(abs(bt) < lit(9.0e9), bt).otherwise(raise_error(concat(
+          lit("tukeyHsd: per-group between-term "), bt.cast(StringType),
+          lit(" exceeds the 10^9 floor-scale addend budget (~9.2e9) — " +
+            "the long cast would clamp silently; rescale the value " +
+            "column"))))
+      })
     val tot = perGroup.agg(
       count(lit(1)).as("__k"), sum(col("__n")).as("__nn"),
       Reductions.isum(col("__sxx"), 6).as("__sxxall"),

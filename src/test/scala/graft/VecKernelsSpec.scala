@@ -18,6 +18,18 @@ class VecKernelsSpec extends SparkSuite {
         floor(x.cast(DoubleType) * y.cast(DoubleType) * lit(1e12)).cast(LongType)),
       lit(0L), (acc, v) => acc + v).cast(DoubleType) / lit(1e12)
 
+  test("Similarity entry points self-register the kernel (library use, " +
+       "no Tables.ensureFunctions)") {
+    import spark.implicits._
+    // simulate an isolated caller: the temp function is absent
+    spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot_scaled"))
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = graft.llm.Similarity.bruteForceTopK(vecs, vecs, 1).collect()
+    assert(r.nonEmpty, "self-registration failed — UNRESOLVED_ROUTINE")
+  }
+
   test("kernel == composed zip_with/aggregate form, including edge cases") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
