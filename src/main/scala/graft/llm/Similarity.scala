@@ -56,7 +56,8 @@ object Similarity {
     graft.functions.VecKernels.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
       .withColumn("q_norm", normExact(col("q_emb")))
-    val c = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"))
+    val c = graft.ops.Layout.spreadScan(corpus)
+      .select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"))
       .withColumn("c_norm", normExact(col("c_emb")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("corpus_id"))
@@ -137,7 +138,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
         col(labelCol).as("true_label"), col(embCol).as("q_emb"))
       .withColumn("q_norm", normExact(col("q_emb")))
-    val c = corpus.select(col(idCol).as("corpus_id"),
+    val c = graft.ops.Layout.spreadScan(corpus).select(col(idCol).as("corpus_id"),
         col(labelCol).as("c_label"), col(embCol).as("c_emb"))
       .withColumn("c_norm", normExact(col("c_emb")))
     val scored = c.crossJoin(broadcast(q))
@@ -176,7 +177,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
         col(labelCol).as("q_label"), col(embCol).as("q_emb"))
       .withColumn("q_norm", normExact(col("q_emb")))
-    val c = corpus.select(col(idCol).as("corpus_id"),
+    val c = graft.ops.Layout.spreadScan(corpus).select(col(idCol).as("corpus_id"),
         col(labelCol).as("c_label"), col(embCol).as("c_emb"))
       .withColumn("c_norm", normExact(col("c_emb")))
     val scored = c.crossJoin(broadcast(q))
@@ -338,7 +339,7 @@ object Similarity {
               idCol: String = "vec_id", embCol: String = "embedding",
               multiProbe: Boolean = true, dim: Int = 64): DataFrame = {
     graft.functions.VecKernels.register(queries.sparkSession)
-    val c = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"))
+    val c = graft.ops.Layout.spreadScan(corpus).select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"))
       .withColumn("bucket", lshBucket(col("c_emb"), planes, dim))
       .withColumn("c_norm", normExact(col("c_emb")))
     val q0 = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
@@ -378,6 +379,8 @@ object Similarity {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val spark = corpus.sparkSession
 
+    // NO spreadScan (r18 A/B): the ml-KMeans fit dominates and samples;
+    // spreading the corpus first measured as a net loss (q61 0.95->1.4 s)
     val corpusVec = corpus.select(col(idCol).as("corpus_id"),
       col(embCol).as("c_emb"),
       array_to_vector(col(embCol).cast("array<double>")).as("__features"))
@@ -440,7 +443,8 @@ object Similarity {
                          idCol: String = "vec_id",
                          embCol: String = "embedding", dim: Int = 64): DataFrame = {
     graft.functions.VecKernels.register(df.sparkSession)
-    val v = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+    val v = graft.ops.Layout.spreadScan(df)
+      .select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("bucket", lshBucket(col("emb"), planes, dim))
       .withColumn("norm", normExact(col("emb")))
     val wbOrd = Window.partitionBy(col("bucket")).orderBy(col("id"))
@@ -564,7 +568,10 @@ object Similarity {
     // samples-per-centroid, not the corpus: at 10⁹ vectors a 1% fit pays
     // 100× less per iteration and assigns the full corpus exactly once at
     // the end — the standard IVF train-on-sample design.
-    val vh = corpus.select(col(idCol).cast(LongType).as("id"),
+    // NO spreadScan here (r18 A/B): the fit collects a SAMPLE to the
+    // driver — a pre-sample shuffle of the full corpus is pure loss
+    val vh = corpus
+      .select(col(idCol).cast(LongType).as("id"),
         col(embCol).cast("array<double>").as("emb"))
       .withColumn("h", TextDedup.h60(col("id").cast(StringType)))
     val v = (if (fitFraction >= 1.0) vh
@@ -620,7 +627,7 @@ object Similarity {
                        labelCol: String = "label",
                        z: Double = 2.0): DataFrame = {
     graft.functions.VecKernels.register(df.sparkSession)
-    val e = df.select(col(idCol), col(labelCol),
+    val e = graft.ops.Layout.spreadScan(df).select(col(idCol), col(labelCol),
       col(embCol).cast("array<double>").as("__e"))
     val cent = e
       .select(col(labelCol), posexplode(col("__e")).as(Seq("__i", "__x")))
@@ -666,7 +673,8 @@ object Similarity {
     // final inverted-list assignment is ONE map pass over the corpus — no
     // join-back, no shuffle (the former design recomputed assignment via a
     // crossJoin(broadcast)+groupBy(id) shuffle and then joined it back)
-    val c = corpus.select(col(idCol).cast(LongType).as("corpus_id"),
+    val c = corpus
+      .select(col(idCol).cast(LongType).as("corpus_id"),
         col(embCol).as("c_emb"))
       .withColumn("centroid",
         argminCentroidKernel(corpus.sparkSession,
@@ -723,7 +731,8 @@ object Similarity {
     val cents = kmeansPortable(df, nClusters, iters, idCol, embCol,
       fitFraction)
     val spark = df.sparkSession
-    val v = df.select(col(idCol).cast(LongType).as("id"), col(embCol).as("emb"))
+    val v = graft.ops.Layout.spreadScan(df)
+      .select(col(idCol).cast(LongType).as("id"), col(embCol).as("emb"))
       .withColumn("cluster",
         argminCentroidKernel(spark, col("emb").cast("array<double>"), cents))
       .withColumn("norm", normExact(col("emb")))
@@ -817,7 +826,10 @@ object Similarity {
     graft.functions.VecKernels.register(corpus.sparkSession)
     require(numSub >= 1 && k >= 1 && iters >= 0)
     require(fitFraction > 0 && fitFraction <= 1.0)
-    val vh = corpus.select(col(idCol).cast(LongType).as("id"),
+    // NO spreadScan here (r18 A/B): the fit collects a SAMPLE to the
+    // driver — a pre-sample shuffle of the full corpus is pure loss
+    val vh = corpus
+      .select(col(idCol).cast(LongType).as("id"),
         col(embCol).cast("array<double>").as("emb"))
       .withColumn("h", TextDedup.h60(col("id").cast(StringType)))
     val fit = (if (fitFraction >= 1.0) vh
@@ -909,7 +921,8 @@ object Similarity {
     val books = pqTrainPortable(corpus, numSub, k, iters, idCol, embCol,
       fitFraction)
     graft.functions.PqKernels.register(corpus.sparkSession, books)
-    val enc = corpus.select(col(idCol).cast(LongType).as("corpus_id"),
+    val enc = graft.ops.Layout.spreadScan(corpus)
+      .select(col(idCol).cast(LongType).as("corpus_id"),
         col(embCol).cast("array<double>").as("c_emb"))
       .withColumn("codes", expr("graft_pq_encode(c_emb)"))
       .select(col("corpus_id"), col("codes"))
