@@ -3568,6 +3568,74 @@ object ExtQueries {
     "q372_energy_distance" -> { (s, dir) =>
       Stats.energyDistance(t(s, dir, "events"), "value", "event_type",
         "click", "view")
+    },
+
+    // ADF unit-root test on the hourly click series — random walk or
+    // mean-reverting? Integer hourly moments, closed-form DF statistic.
+    "q374_adf" -> { (s, dir) =>
+      Stats.adfTest(t(s, dir, "events"), "ts", "event_type", "click")
+    },
+
+    // Cochran-Armitage: does the FINISHED share trend monotonically with
+    // order priority? Integer score moments off one keyed aggregation.
+    "q375_trend_test" -> { (s, dir) =>
+      Stats.cochranArmitage(t(s, dir, "orders"), "o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+        col("o_orderstatus") === "F")
+    },
+
+    // Benford first-digit audit of extended prices — the fabricated-data
+    // / unit-mix screen; string-based digit extraction, pinned chi2.
+    "q376_benford" -> { (s, dir) =>
+      Stats.benfordTest(t(s, dir, "lineitem"), "l_extendedprice")
+        .orderBy(col("digit"))
+    },
+
+    // Deming (orthogonal) regression of price-per-1000 on quantity —
+    // both sides noisy, OLS attenuates; TLS closed form from exact
+    // moments, OLS slope alongside for the attenuation readout.
+    "q377_deming" -> { (s, dir) =>
+      Stats.demingRegression(
+        t(s, dir, "lineitem").select(
+          col("l_quantity").cast(DoubleType).as("x"),
+          (col("l_extendedprice").cast(DoubleType) / lit(1000.0)).as("y")),
+        "x", "y")
+    },
+
+    // On-balance volume per event type (price = value, deterministic
+    // synthetic volume): exact integer signed cumulate, one keyed window.
+    "q378_obv" -> { (s, dir) =>
+      Indicators.obv(
+        t(s, dir, "events").withColumn("vol",
+          ((col("event_id") % 100) + 1).cast(DoubleType)),
+        Seq("event_type"), Seq("ts", "event_id"), "value", "vol")
+        .select(col("event_id"), col("event_type"), col("obv"))
+        .orderBy(col("event_id"))
+    },
+
+    // Local clustering coefficient per nation over the q184 trade-flow
+    // graph — link farm vs community, per node.
+    "q380_local_clustering" -> { (s, dir) =>
+      val flows = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      Graph.localClustering(flows, "src", "dst").orderBy(col("id"))
+    },
+
+    // Harmonic centrality over the trading graph via portable KMV
+    // neighborhood sketches (the HyperBall family, radius 2, k = 16) —
+    // every round and the estimator replay bit-exactly in SQL.
+    "q381_harmonic_centrality" -> { (s, dir) =>
+      Graph.harmonicCentralityKmv(
+        Graph.tradingPairsGraph(t(s, dir, "orders"), t(s, dir, "lineitem")),
+        "src", "dst", radius = 2, k = 16)
+        .orderBy(col("id"))
     }
   )
 
@@ -10961,6 +11029,224 @@ object ExtQueries {
            CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN e.e_yy END AS e_yy,
            CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN
              2.0 * e.e_xy - e.e_xx - e.e_yy END AS energy
-         FROM tot t CROSS JOIN e"""
+         FROM tot t CROSS JOIN e""",
+
+    // mirrors Stats.adfTest (lag-0 ADF with constant on the hourly click
+    // counts): integer moments after one lag shift, the granger-style
+    // nested closed forms, degenerate gates to NULL.
+    "q374_adf" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS y
+           FROM events WHERE ts IS NOT NULL AND event_type = 'click'
+           GROUP BY 1),
+         l AS (SELECT y, LAG(y, 1) OVER (ORDER BY h) AS y1 FROM h),
+         f AS (SELECT y1, y - y1 AS d FROM l WHERE y1 IS NOT NULL),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y1) AS DOUBLE) AS sx,
+             CAST(SUM(y1 * y1) AS DOUBLE) AS sxx,
+             CAST(SUM(d) AS DOUBLE) AS sd,
+             CAST(SUM(d * d) AS DOUBLE) AS sdd,
+             CAST(SUM(y1 * d) AS DOUBLE) AS sxd FROM f),
+         b AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM a),
+         c AS (SELECT *,
+             nd * sxx - sx * sx AS sxxc,
+             nd * sxd - sx * sd AS sxdc,
+             nd * sdd - sd * sd AS sddc FROM b),
+         e AS (SELECT *,
+             CASE WHEN sxxc > 0.0 THEN sxdc / sxxc END AS gamma,
+             (sddc - sxdc * sxdc / sxxc) / nd AS rss FROM c),
+         g AS (SELECT *,
+             CASE WHEN sxxc > 0.0 AND rss > 0.0 AND n > 2
+               THEN sqrt((rss / (nd - 2.0)) / (sxxc / nd)) END AS se
+           FROM e)
+         SELECT n, gamma, se AS se_gamma, gamma / se AS df_stat,
+           CASE WHEN gamma / se IS NOT NULL
+             THEN CAST(gamma / se < -2.86 AS INT) END AS stationary_5pct
+         FROM g""",
+
+    // mirrors Stats.cochranArmitage: ordinal priority scores 0..4,
+    // success = finished; exact BIGINT score moments, one Z sequence.
+    "q375_trend_test" ->
+      """WITH b AS (SELECT
+             CASE o_orderpriority WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+               WHEN '3-MEDIUM' THEN 2 WHEN '4-NOT SPECIFIED' THEN 3
+               WHEN '5-LOW' THEN 4 END AS s,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+           FROM orders),
+         g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS r
+           FROM b WHERE s IS NOT NULL GROUP BY 1),
+         a AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(SUM(r) AS BIGINT) AS n_success,
+             CAST(SUM(s * r) AS BIGINT) AS sr,
+             CAST(SUM(s * n) AS BIGINT) AS sn,
+             CAST(SUM(s * s * n) AS BIGINT) AS ssn FROM g),
+         c AS (SELECT *, CAST(n_total AS DOUBLE) AS nd,
+             CAST(n_success AS DOUBLE) / CAST(n_total AS DOUBLE) AS p
+           FROM a),
+         e AS (SELECT *,
+             CAST(sr AS DOUBLE) - CAST(sn AS DOUBLE) * p AS t,
+             p * (1.0 - p) * (CAST(ssn AS DOUBLE)
+               - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / nd) AS v
+           FROM c)
+         SELECT n_total, n_success,
+           CASE WHEN v > 0.0 THEN t / sqrt(v) END AS z_trend
+         FROM e""",
+
+    // mirrors Stats.benfordTest on l_extendedprice: string first-digit
+    // extraction off the DECIMAL(38,6) rendering, the interpolated
+    // log10(1+1/d) literals, chi2 floor-scaled at 10^6.
+    "q376_benford" -> {
+      // STRING-cast each literal: DuckDB routes a bare numeric literal
+      // through DECIMAL (re-rounds the last ulp) but parses a quoted
+      // string straight to the IEEE double — the only path that
+      // round-trips the JVM's log10 exactly (JVM vs libm log10 already
+      // differ in the final ulp for d = 3)
+      val caseExp = (1 to 9).map(dg =>
+        s"WHEN $dg THEN CAST('${math.log10(1.0 + 1.0 / dg)}' AS DOUBLE)")
+        .mkString(" ")
+      s"""WITH v AS (SELECT regexp_replace(
+             CAST(CAST(l_extendedprice AS DECIMAL(38,6)) AS VARCHAR),
+             '[^1-9]', '', 'g') AS ds
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+         o AS (SELECT CAST(substr(ds, 1, 1) AS INT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+           FROM v WHERE length(ds) > 0 GROUP BY 1),
+         dg AS (SELECT CAST(range + 1 AS INT) AS digit FROM range(0, 9)),
+         full_t AS (SELECT d.digit, COALESCE(o.n_obs, 0) AS n_obs,
+             CASE d.digit $caseExp END AS expected_share
+           FROM dg d LEFT JOIN o ON d.digit = o.digit),
+         tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS nn FROM full_t),
+         term AS (SELECT f.digit, f.n_obs, f.expected_share, t.nn,
+             CAST(FLOOR((CAST(f.n_obs AS DOUBLE)
+                 - CAST(t.nn AS DOUBLE) * f.expected_share)
+               * (CAST(f.n_obs AS DOUBLE)
+                 - CAST(t.nn AS DOUBLE) * f.expected_share)
+               / (CAST(t.nn AS DOUBLE) * f.expected_share)
+               * 1000000.0) AS DECIMAL(38,0)) AS tv
+           FROM full_t f CROSS JOIN tot t),
+         chi AS (SELECT CAST(SUM(tv) AS DOUBLE) / 1000000.0 AS chi2
+           FROM term)
+         SELECT m.digit, m.n_obs,
+           CAST(m.n_obs AS DOUBLE) / CAST(m.nn AS DOUBLE) AS share,
+           m.expected_share, c.chi2
+         FROM term m CROSS JOIN chi c ORDER BY m.digit"""
+    },
+
+    // mirrors Stats.demingRegression (lambda = 1 TLS of price/1000 on
+    // quantity): floor-scaled 10^6 co-moments, the centered closed form
+    // in the pinned order, OLS slope alongside.
+    "q377_deming" ->
+      """WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) / 1000.0 AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sx,
+             CAST(SUM(CAST(FLOOR(y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sy,
+             CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxx,
+             CAST(SUM(CAST(FLOOR(y * y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS syy,
+             CAST(SUM(CAST(FLOOR(x * y * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxy
+           FROM b),
+         c AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+             sxx - sx * sx / CAST(n AS DOUBLE) AS sxxc,
+             syy - sy * sy / CAST(n AS DOUBLE) AS syyc,
+             sxy - sx * sy / CAST(n AS DOUBLE) AS sxyc FROM a),
+         e AS (SELECT *,
+             CASE WHEN abs(sxyc) > 0.0 THEN
+               (syyc - sxxc + sqrt((syyc - sxxc) * (syyc - sxxc)
+                 + 4.0 * sxyc * sxyc)) / (2.0 * sxyc) END AS slope
+           FROM c)
+         SELECT n, slope,
+           CASE WHEN slope IS NOT NULL
+             THEN sy / nd - slope * (sx / nd) END AS intercept,
+           CASE WHEN sxxc > 0.0 THEN sxyc / sxxc END AS slope_ols
+         FROM e""",
+
+    // mirrors Indicators.obv: integer cents/micro-units, signed by the
+    // keyed lag's delta, exact running BIGINT cumulate.
+    "q378_obv" ->
+      """WITH b AS (SELECT event_id, event_type, ts,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS pc,
+             CAST(FLOOR(CAST(event_id % 100 + 1 AS DOUBLE) * 1000000.0)
+               AS BIGINT) AS vu
+           FROM events),
+         l AS (SELECT *, LAG(pc, 1) OVER
+             (PARTITION BY event_type ORDER BY ts, event_id) AS pp FROM b),
+         s AS (SELECT *, CASE WHEN pp IS NULL OR pc = pp THEN 0
+             WHEN pc > pp THEN vu ELSE -vu END AS sg FROM l)
+         SELECT event_id, event_type,
+           CAST(SUM(sg) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000000.0 AS obv
+         FROM s ORDER BY event_id""",
+
+    // mirrors Graph.localClustering over the q184 trade-flow graph:
+    // undirected dedup, wedge join, per-node triangle counts, the
+    // pinned 2t/(d(d-1)) division.
+    "q380_local_clustering" ->
+      """WITH flows AS (SELECT c_nationkey AS src, s_nationkey AS dst
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey),
+         und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+             GREATEST(src, dst) AS b FROM flows WHERE src <> dst),
+         deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+             SELECT a AS id FROM und UNION ALL SELECT b FROM und) u
+           GROUP BY 1),
+         w AS (SELECT u1.a AS x, u1.b AS y, u2.b AS z
+           FROM und u1 JOIN und u2 ON u1.b = u2.a),
+         tr AS (SELECT w.x, w.y, w.z FROM w
+           JOIN und u3 ON w.x = u3.a AND w.z = u3.b),
+         tn AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+             SELECT x AS id FROM tr UNION ALL SELECT y FROM tr
+             UNION ALL SELECT z FROM tr) u GROUP BY 1)
+         SELECT d.id, d.degree, COALESCE(tn.triangles, 0) AS triangles,
+           CASE WHEN d.degree >= 2 THEN
+             2.0 * CAST(COALESCE(tn.triangles, 0) AS DOUBLE)
+               / CAST(d.degree * (d.degree - 1) AS DOUBLE) END AS coefficient
+         FROM deg d LEFT JOIN tn ON d.id = tn.id ORDER BY d.id""",
+
+    // mirrors Graph.harmonicCentralityKmv (radius 2, k = 16) over the
+    // trading graph: per-round min-16 md5-hash ball merges and the
+    // (k-1)*2^60/h_k KMV estimator, replayed round by round.
+    "q381_harmonic_centrality" -> {
+      def round(r: Int): String = {
+        val prev = s"b${r - 1}"
+        s"""x$r AS (SELECT e.src AS id, unnest(b.ball) AS h
+             FROM e JOIN $prev b ON e.dst = b.id
+           UNION ALL SELECT id, unnest(ball) FROM $prev),
+         d$r AS (SELECT DISTINCT id, h FROM x$r),
+         r$r AS (SELECT id, h,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY h) AS rk FROM d$r),
+         m$r AS MATERIALIZED (SELECT id, list(h ORDER BY h) AS ball
+           FROM r$r WHERE rk <= 16 GROUP BY 1),
+         b$r AS MATERIALIZED (SELECT m.id, m.ball,
+             CASE WHEN len(m.ball) < 16 THEN CAST(len(m.ball) AS DOUBLE)
+               ELSE 15.0 * 1.152921504606846976e18
+                 / CAST(m.ball[16] AS DOUBLE) END AS est,
+             p.harmonic + (CASE WHEN len(m.ball) < 16
+                 THEN CAST(len(m.ball) AS DOUBLE)
+                 ELSE 15.0 * 1.152921504606846976e18
+                   / CAST(m.ball[16] AS DOUBLE) END - p.est) / $r.0
+               AS harmonic
+           FROM m$r m JOIN $prev p ON m.id = p.id)"""
+      }
+      s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS cnode,
+             l_suppkey * 2 + 1 AS snode
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS MATERIALIZED (SELECT cnode AS src, snode AS dst FROM pairs
+           UNION ALL SELECT snode, cnode FROM pairs),
+         n0 AS (SELECT DISTINCT src AS id FROM e
+           UNION SELECT DISTINCT dst FROM e),
+         b0 AS MATERIALIZED (SELECT id,
+             [CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 15))
+               AS BIGINT)] AS ball,
+             1.0 AS est, 0.0 AS harmonic FROM n0),
+         ${round(1)},
+         ${round(2)}
+         SELECT id, est AS ball_size, harmonic FROM b2 ORDER BY id"""
+    }
   )
 }

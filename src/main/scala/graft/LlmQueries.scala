@@ -85,6 +85,22 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // TextRank keywords: integer fixed-point PageRank over the adjacent
+    // co-occurrence token graph — tokens important because their
+    // NEIGHBORS are important, not merely frequent.
+    "q379_textrank" -> { (s, dir) =>
+      TextStats.textRankKeywords(t(s, dir, "documents"), "text",
+          minCount = 5L, iters = 3)
+        .orderBy(col("rank").desc, col("token")).limit(20)
+    },
+
+    // Domain centroid cosine matrix over the embedding labels — which
+    // sources are semantically close, from O(domains^2 * dims) work.
+    "q382_domain_centroids" -> { (s, dir) =>
+      Similarity.domainCentroidSimilarity(t(s, dir, "embeddings"), "label")
+        .orderBy(col("g_a"), col("g_b"))
+    },
+
     // c-TF-IDF cluster term profiles (BERTopic labeling step): the top-5
     // terms that CHARACTERIZE each source, not just occur in it.
     "q308_cluster_terms" -> { (s, dir) =>
@@ -1130,6 +1146,74 @@ object LlmQueries {
          FROM p
          WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.5
          ORDER BY 1, 2""",
+
+    // mirrors TextStats.textRankKeywords: vocab >= 5 with 60-bit md5
+    // ids, distinct symmetric adjacent-pair edges, the q149 integer
+    // PageRank replay (3 rounds, damp 85), min-token exemplars.
+    "q379_textrank" -> {
+      val iters = (1 to 3).map { k =>
+        s"""r$k AS (SELECT e.dst AS id,
+             (SELECT b FROM base) + (85 * SUM(r.r // d.outdeg)) // 100 AS r
+           FROM e JOIN r${k - 1} r ON e.src = r.id
+           JOIN deg d ON d.src = e.src
+           GROUP BY e.dst)"""
+      }.mkString(",\n         ")
+      s"""WITH d AS (SELECT string_split($normSql, ' ') AS w FROM documents),
+         t AS (SELECT unnest(w) AS w FROM d),
+         vc AS (SELECT w, COUNT(*) AS c FROM t WHERE w <> '' GROUP BY 1),
+         vocab AS MATERIALIZED (SELECT w,
+             CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS id
+           FROM vc WHERE c >= 5),
+         pr0 AS (SELECT unnest(CASE WHEN len(w) >= 2
+             THEN list_transform(range(len(w) - 1),
+               i -> [w[CAST(i AS INT) + 1], w[CAST(i AS INT) + 2]])
+             ELSE [] END) AS p FROM d),
+         pq AS (SELECT DISTINCT va.id AS a, vb.id AS b
+           FROM (SELECT p[1] AS w1, p[2] AS w2 FROM pr0) pr
+           JOIN vocab va ON pr.w1 = va.w
+           JOIN vocab vb ON pr.w2 = vb.w
+           WHERE pr.w1 <> pr.w2),
+         e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             SELECT a AS src, b AS dst FROM pq
+             UNION ALL SELECT b, a FROM pq) u),
+         deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+           FROM e GROUP BY 1),
+         n AS (SELECT COUNT(*) AS nn FROM deg),
+         base AS (SELECT (15 * (1000000000000 // nn)) // 100 AS b FROM n),
+         r0 AS (SELECT src AS id,
+             (SELECT 1000000000000 // nn FROM n) AS r FROM deg),
+         $iters,
+         names AS (SELECT id, MIN(w) AS token FROM vocab GROUP BY 1)
+         SELECT nm.token, CAST(r.r AS BIGINT) AS rank
+         FROM r3 r JOIN names nm ON r.id = nm.id
+         ORDER BY rank DESC, token LIMIT 20"""
+    },
+
+    // mirrors Similarity.domainCentroidSimilarity: per-(label, dim)
+    // floor-scaled exact means, floor-scaled pairwise dots, diagonal
+    // norms, the safeCosine null gate.
+    "q382_domain_centroids" ->
+      """WITH ex AS (SELECT CAST(label AS VARCHAR) AS g,
+             unnest(range(len(embedding))) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings WHERE label IS NOT NULL),
+         cent AS (SELECT g, d,
+             CAST(SUM(CAST(FLOOR(x * 1000000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000000.0 / CAST(COUNT(*) AS DOUBLE) AS c
+           FROM ex GROUP BY 1, 2),
+         dots AS (SELECT a.g AS g_a, b.g AS g_b,
+             CAST(SUM(CAST(FLOOR(a.c * b.c * 1000000000.0)
+               AS DECIMAL(38,0))) AS DOUBLE) / 1000000000.0 AS dot
+           FROM cent a JOIN cent b ON a.d = b.d AND a.g <= b.g
+           GROUP BY 1, 2),
+         norms AS (SELECT g_a AS g, sqrt(dot) AS nr FROM dots
+           WHERE g_a = g_b)
+         SELECT d.g_a, d.g_b,
+           CASE WHEN na.nr > 0 AND nb.nr > 0
+             THEN d.dot / (na.nr * nb.nr) END AS cosine
+         FROM dots d JOIN norms na ON d.g_a = na.g
+         JOIN norms nb ON d.g_b = nb.g
+         WHERE d.g_a < d.g_b ORDER BY 1, 2""",
 
     // mirrors TextStats.clusterTerms: the same c-TF-IDF closed form,
     // score floor-scaled (10^9) BEFORE the per-cluster rank so near-tie

@@ -1011,4 +1011,46 @@ object Similarity {
       .select(col("__cid").as("cluster"), col("n_points"),
         col("mean_silhouette"))
   }
+
+  /** DOMAIN CENTROID SIMILARITY — the source×source cosine matrix over
+    * per-domain mean embeddings: the "which data sources are
+    * semantically close" readout that drives domain-mix decisions
+    * (merge near-identical sources, upweight isolated ones) without an
+    * O(corpus²) pass — the pair frame is O(domains²·dims).
+    *
+    * Exactness: per-dimension means come from ONE floor-scaled (10⁹)
+    * exact sum per (domain, dim); the pairwise dot products fold
+    * floor-scaled products, so centroid and cosine replay bit-for-bit
+    * in SQL. Returns (g_a, g_b, cosine) for g_a < g_b (zero-norm
+    * centroids → null cosine, the [[safeCosine]] rule). */
+  def domainCentroidSimilarity(df: DataFrame, groupCol: String,
+                               embCol: String = "embedding"): DataFrame = {
+    graft.functions.VecKernels.register(df.sparkSession)
+    val ex = graft.ops.Layout.spreadScan(df)
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).cast(StringType).as("g"),
+        posexplode(col(embCol).cast("array<double>")).as(Seq("d", "x")))
+    val cent = ex.groupBy(col("g"), col("d"))
+      .agg((graft.ops.Reductions.isum(col("x"), 9) /
+        count(lit(1)).cast(DoubleType)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = cent.select(col("g").as("g_a"), col("d"), col("c").as("__ca"))
+    val b = cent.select(col("g").as("g_b"), col("d"), col("c").as("__cb"))
+    val dots = a.join(b, "d")
+      .filter(col("g_a") <= col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(graft.ops.Reductions.isum(col("__ca") * col("__cb"), 9)
+        .as("__dot"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = dots.filter(col("g_a") === col("g_b"))
+      .select(col("g_a").as("__g"), sqrt(col("__dot")).as("__n"))
+    val out = dots.filter(col("g_a") < col("g_b"))
+      .join(norms.select(col("__g").as("g_a"), col("__n").as("__na")), "g_a")
+      .join(norms.select(col("__g").as("g_b"), col("__n").as("__nb")), "g_b")
+      .select(col("g_a"), col("g_b"),
+        safeCosine(col("__dot"), col("__na"), col("__nb")).as("cosine"))
+      .localCheckpoint(true)
+    cent.unpersist(); dots.unpersist()
+    out
+  }
 }

@@ -997,4 +997,55 @@ object TextStats {
         concat(floor(pk / lit(H)).cast(LongType).cast(StringType),
           lit(":"), (pk % lit(H)).cast(StringType)))).as("fps"))
   }
+
+  /** TEXTRANK KEYWORDS (Mihalcea & Tarau 2004) — graph-based corpus
+    * keyword extraction: tokens with corpus frequency ≥ `minCount` are
+    * nodes, distinct ADJACENT co-occurrence pairs are (symmetric)
+    * edges, and importance is [[graft.ops.Graph.pageRank]] over that
+    * graph — the integer fixed-point iteration, so every round replays
+    * engine-exactly (no float reduce-order drift). Unlike TF-IDF-style
+    * scores, TextRank rewards tokens that co-occur with OTHER
+    * well-connected tokens — the standard unsupervised keyword
+    * extractor, here corpus-level.
+    *
+    * Node ids are 60-bit md5 token hashes (the engine's vocab-id
+    * convention; a collision merges two tokens into one node, odds
+    * ~|V|²/2⁶¹, and the reported token is the hash's MIN exemplar —
+    * deterministic either way, and the oracle replays the same hashes).
+    * Plan: one tokenize pass for counts, one for adjacent pairs (both
+    * spread-guarded), vocab-filtered hash join, distinct symmetric edge
+    * set, then the pageRank machinery (pre-partitioned edges, per-round
+    * checkpoints, cache release at exit). Returns (token, rank). */
+  def textRankKeywords(df: DataFrame, textCol: String, minCount: Long = 5L,
+                       iters: Int = 3, damp: Int = 85): DataFrame = {
+    val base = graft.ops.Layout.spreadScan(df)
+    val toks = base
+      .select(explode_outer(TextDedup.tokens(col(textCol))).as("w"))
+      .filter(col("w").isNotNull && length(col("w")) > 0)
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("w"), TextDedup.h60(col("w")).as("__id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bi = base
+      .select(explode_outer(TextDedup.shingles(col(textCol), 2)).as("s"))
+      .filter(col("s").isNotNull)
+      .select(split(col("s"), " ").as("__p"))
+      .filter(size(col("__p")) === 2)
+      .select(element_at(col("__p"), 1).as("w1"),
+        element_at(col("__p"), 2).as("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .join(vocab.select(col("w").as("w1"), col("__id").as("__a")), "w1")
+      .join(vocab.select(col("w").as("w2"), col("__id").as("__b")), "w2")
+      .select(col("__a"), col("__b")).distinct()
+    val edges = bi.select(col("__a").as("src"), col("__b").as("dst"))
+      .unionByName(bi.select(col("__b").as("src"), col("__a").as("dst")))
+      .distinct()
+    val ranks = graft.ops.Graph.pageRank(edges, "src", "dst",
+      iters = iters, damp = damp, dedupEdges = false)
+    val names = vocab.groupBy(col("__id")).agg(min(col("w")).as("token"))
+    val out = ranks.join(names, ranks("id") === names("__id"))
+      .select(col("token"), col("r").as("rank"))
+    vocab.unpersist()
+    out
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -295,6 +295,131 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize before releasing the edge cache
     und.unpersist()
+    out
+  }
+
+  /** LOCAL CLUSTERING COEFFICIENT per node — "how close is each node's
+    * neighborhood to a clique": c(v) = 2·t(v) / (d(v)·(d(v)−1)) with
+    * t(v) the node's triangle count and d(v) its undirected degree;
+    * d < 2 ⇒ null (undefined, not 0 — a degree-1 node has no possible
+    * closure). The per-node refinement of [[triangleCount]]'s readout
+    * and the standard "is this link farm or a community" curation
+    * signal.
+    *
+    * Plan: ONE undirected dedup feeds both the degree aggregation and
+    * the [[triangleCount]] wedge join (same `maxDegree` hub cap — the
+    * Σdeg² wedge bound, applied to BOTH so degree and triangles
+    * describe the same capped graph); the division is integer-derived
+    * and pinned. Returns (id, degree, triangles, coefficient). */
+  def localClustering(edges: DataFrame, srcCol: String, dstCol: String,
+                      maxDegree: Option[Long] = None): DataFrame = {
+    val und = capHubs(edges.select(
+        least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
+        greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct(), maxDegree, "localClustering")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("id"))
+      .unionByName(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val wedges = und.select(col("a").as("x"), col("b").as("y"))
+      .join(und.select(col("a").as("y"), col("b").as("z")), "y")
+    val tris = wedges.join(
+      und.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    val out = deg.join(tris, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2L,
+          (lit(2.0) * coalesce(col("triangles"), lit(0L)).cast(DoubleType)) /
+            (col("degree") * (col("degree") - 1L)).cast(DoubleType))
+          .as("coefficient"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize before releasing the edge cache
+    und.unpersist()
+    out
+  }
+
+  /** HARMONIC CENTRALITY by bounded-radius KMV neighborhood sketches —
+    * the HyperBall/HADI family (Boldi & Vigna 2013) with a PORTABLE
+    * k-minimum-values sketch instead of HLL: h(v) = Σ_{r=1..R}
+    * (|B_r(v)| − |B_{r−1}(v)|) / r, where |B_r| (the ball: nodes
+    * reachable in ≤ r hops along OUT-edges) is ESTIMATED from the k
+    * smallest 60-bit md5 hashes of the ball's members. All-pairs BFS is
+    * O(n·m) and dead at scale; merging min-k sets is associative,
+    * deterministic (a pure function of the edge set — no HLL register
+    * bias, no RNG), and each round costs one co-partitioned edge join —
+    * the DuckDB oracle replays every round, sketch and estimator,
+    * bit-for-bit. Exact when a ball has < k members (the estimator
+    * falls back to the true size); the (k−1)·2⁶⁰/h_(k) KMV estimate
+    * otherwise.
+    *
+    * Plan per round: balls ⋈ pre-partitioned edges (src side), explode
+    * to (node, hash), keyed distinct, per-node rank ≤ k (keyed window,
+    * never global), re-collect to a sorted array — O(|E|·k) rows, the
+    * frame is eagerly checkpointed (consumed by the union AND the next
+    * join, the [[pageRank]] doctrine) with superseded blocks released.
+    * The harmonic sum is carried along the frame as exact per-round
+    * literals-free arithmetic (ascending-r fold). Returns
+    * (id, ball_size_r<R>, harmonic). */
+  def harmonicCentralityKmv(edges: DataFrame, srcCol: String,
+                            dstCol: String, radius: Int = 3,
+                            k: Int = 16): DataFrame = {
+    require(radius >= 1 && radius <= 8, s"radius=$radius")
+    require(k >= 4 && k <= 256, s"k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      // the per-round join key is dst (pull the neighbor's ball along
+      // v→u), so the persisted copy is hash-partitioned on dst
+      .repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val hOf = (c: Column) =>
+      conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+    // KMV size estimate off a SORTED min-k array: exact below k, the
+    // (k−1)·2⁶⁰/h_(k) estimator at k (2⁶⁰ is a power of two — its
+    // double literal is exact in both engines)
+    val estOf = (ball: Column) =>
+      when(size(ball) < k, size(ball).cast(DoubleType))
+        .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+          element_at(ball, k).cast(DoubleType))
+    var balls = nodes.select(col("id"), array(hOf(col("id"))).as("ball"),
+        lit(1.0).as("est"), lit(0.0).as("harmonic"))
+      .localCheckpoint(true)
+    var lastCk: Option[DataFrame] = Some(balls)
+    for (r <- 1 to radius) {
+      val fromNbr = e.join(balls, e("dst") === balls("id"))
+        .select(e("src").as("id"), explode(col("ball")).as("__h"))
+      val own = balls.select(col("id"), explode(col("ball")).as("__h"))
+      val wk = Window.partitionBy(col("id")).orderBy(col("__h"))
+      val merged = fromNbr.unionByName(own).distinct()
+        .withColumn("__rk", row_number().over(wk))
+        .filter(col("__rk") <= k)
+        .groupBy(col("id"))
+        .agg(sort_array(collect_list(col("__h"))).as("ball"))
+      val next = merged
+        .join(balls.select(col("id"), col("est").as("__ep"),
+          col("harmonic").as("__hp")), Seq("id"))
+        .select(col("id"), col("ball"), estOf(col("ball")).as("est"),
+          (col("__hp") +
+            (estOf(col("ball")) - col("__ep")) / lit(r.toDouble))
+            .as("harmonic"))
+        .localCheckpoint(true)
+      lastCk.foreach(Checkpoints.releaseLocalCheckpoint)
+      lastCk = Some(next)
+      balls = next
+    }
+    val out = balls.select(col("id"), col("est").as("ball_size"),
+      col("harmonic")).localCheckpoint(true)
+    lastCk.foreach(Checkpoints.releaseLocalCheckpoint)
+    e.unpersist()
     out
   }
 

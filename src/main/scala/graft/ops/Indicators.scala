@@ -247,4 +247,30 @@ object Indicators {
       .withColumn("pct_d",
         fsum(col("pct_k"), 1e6, winD) / count(col("pct_k")).over(winD))
   }
+
+  /** ON-BALANCE VOLUME — the classic volume-flow confirmation indicator:
+    * OBV_t = OBV_{t−1} + sign(Δprice)·volume_t (first row contributes 0;
+    * flat ticks contribute 0). Prices and volumes are floor-scaled to
+    * integer cents/units BEFORE the signed cumulate, so the running sum
+    * is an exact BIGINT under any partitioning — sign, scale, and
+    * cumulate all replay in SQL verbatim.
+    *
+    * Plan: one keyed lag + one keyed running sum over the same
+    * (key, order) window spec — a single hash shuffle + in-partition
+    * sort, no sequential state (the [[rsi]] SMA argument). Returns the
+    * input plus (obv) as DOUBLE units. */
+  def obv(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+          priceCol: String, volumeCol: String,
+          out: String = "obv"): DataFrame = {
+    val ord = w(keyCols, orderCols)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pc = floor(col(priceCol).cast(DoubleType) * lit(100.0))
+      .cast(LongType)
+    val vu = floor(col(volumeCol).cast(DoubleType) * lit(1e6)).cast(LongType)
+    val d = pc - lag(pc, 1).over(ord)
+    val signed = when(d.isNull || d === 0L, 0L)
+      .when(d > 0L, vu).otherwise(-vu)
+    df.withColumn(out,
+      (sum(signed).over(run).cast(DoubleType) / lit(1e6)))
+  }
 }

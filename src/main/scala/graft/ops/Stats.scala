@@ -3789,4 +3789,166 @@ object Stats {
           .when(abs(col("delta")) < 0.474, "medium")
           .otherwise("large"))
   }
+
+  /** AUGMENTED DICKEY–FULLER unit-root test, lag-0 with constant (the
+    * "is this hourly series mean-reverting or a random walk" gate that
+    * decides whether [[grangerLag1]]/[[arFit2]]-style level regressions
+    * are even meaningful): regress Δy_t = α + γ·y_{t−1}; the DF
+    * statistic is γ̂/se(γ̂), compared against the τ_μ critical values
+    * (−2.86 at 5% asymptotically — returned as a literal column so the
+    * caller's verdict is explicit, not a hidden table lookup).
+    *
+    * Scale shape: the series is the HOURLY COUNT aggregate (integer
+    * moments — every Σ is an exact BIGINT, the [[grangerLag1]]
+    * convention), the lag-1 window rides the O(time-range) frame under
+    * the in-plan [[seriesBound]] guard, and the closed form runs on one
+    * O(1) aggregate row. Returns one row
+    * (n, gamma, se_gamma, df_stat, stationary_5pct). */
+  def adfTest(df: DataFrame, tsCol: String, typeCol: String,
+              yType: String, maxSeriesRows: Long = 1L << 22): DataFrame = {
+    val hourly = df
+      .filter(col(tsCol).isNotNull && col(typeCol) === yType)
+      .groupBy(date_trunc("hour", col(tsCol)).as("__h"))
+      .agg(count(lit(1)).as("__y"))
+      .withColumn("__y", seriesBound(col("__y").cast(DoubleType),
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()),
+        maxSeriesRows, "adfTest").cast(LongType))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__h"))
+    val lagged = hourly
+      .withColumn("__y1", lag(col("__y"), 1).over(w))
+      .filter(col("__y1").isNotNull)
+      .withColumn("__d", col("__y") - col("__y1"))
+    val agg = lagged.agg(count(lit(1)).as("n"),
+      sum(col("__y1")).as("sx"), sum(col("__y1") * col("__y1")).as("sxx"),
+      sum(col("__d")).as("sd"), sum(col("__d") * col("__d")).as("sdd"),
+      sum(col("__y1") * col("__d")).as("sxd"))
+    val nD = col("n").cast(DoubleType)
+    def d(c: Column): Column = c.cast(DoubleType)
+    val sxxC = nD * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val sxdC = nD * d(col("sxd")) - d(col("sx")) * d(col("sd"))
+    val sddC = nD * d(col("sdd")) - d(col("sd")) * d(col("sd"))
+    val gamma = sxdC / sxxC
+    val rss = (sddC - sxdC * sxdC / sxxC) / nD
+    val se = sqrt((rss / (nD - lit(2.0))) / (sxxC / nD))
+    // degenerate gates, the grangerLag1 convention: constant series
+    // (sxxC = 0) or an exact fit (rss = 0) make the forms 0/0 — NULL in
+    // both engines instead of trusting two engines' 0/0 to agree
+    val gammaG = when(sxxC > 0.0, gamma)
+    val seG = when(sxxC > 0.0 && rss > 0.0 && col("n") > 2, se)
+    val stat = gammaG / seG
+    agg.select(col("n"), gammaG.as("gamma"), seG.as("se_gamma"),
+      stat.as("df_stat"),
+      when(stat.isNotNull, (stat < lit(-2.86)).cast("int"))
+        .as("stationary_5pct"))
+  }
+
+  /** COCHRAN–ARMITAGE TREND TEST for a dose-ordered binary outcome —
+    * "does the success share move MONOTONICALLY with the ordered
+    * category" (stricter than chi-square independence, which spends
+    * power on any deviation). Categories get integer scores 0..k−1 in
+    * `categories` order; Z = Σsᵢ(rᵢ − nᵢ·p̄) / √(p̄(1−p̄)·(Σnᵢsᵢ² −
+    * (Σnᵢsᵢ)²/N)). Every count/score moment is an exact BIGINT off ONE
+    * keyed aggregation to an O(k) frame; the final Z is a fixed IEEE
+    * sequence. Returns one row (n_total, n_success, z_trend). */
+  def cochranArmitage(df: DataFrame, catCol: String, categories: Seq[String],
+                      success: Column): DataFrame = {
+    require(categories.size >= 2, "need >= 2 ordered categories")
+    val score = categories.zipWithIndex.foldLeft(lit(null).cast(LongType)) {
+      case (acc, (c, i)) => when(col(catCol) === c, lit(i.toLong)).otherwise(acc)
+    }
+    val perCat = df.select(score.as("__s"), success.cast("int").as("__y"))
+      .filter(col("__s").isNotNull)
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__r"))
+    val agg = perCat.agg(
+      sum(col("__n")).as("n_total"), sum(col("__r")).as("n_success"),
+      sum(col("__s") * col("__r")).as("__sr"),
+      sum(col("__s") * col("__n")).as("__sn"),
+      sum(col("__s") * col("__s") * col("__n")).as("__ssn"))
+    def d(c: Column): Column = c.cast(DoubleType)
+    val nD = d(col("n_total"))
+    val p = d(col("n_success")) / nD
+    val t = d(col("__sr")) - d(col("__sn")) * p
+    val v = p * (lit(1.0) - p) *
+      (d(col("__ssn")) - d(col("__sn")) * d(col("__sn")) / nD)
+    agg.select(col("n_total"), col("n_success"),
+      when(v > 0.0, t / sqrt(v)).as("z_trend"))
+  }
+
+  /** BENFORD FIRST-DIGIT TEST — the classic fabricated-data / unit-mix
+    * audit: observed first-significant-digit shares of a positive
+    * numeric column vs Benford's log₁₀(1 + 1/d), χ² = Σ(oᵢ−n·pᵢ)²/(n·pᵢ)
+    * folded in pinned digit order. Digit extraction is STRING-based
+    * (first char of the value's digits after stripping sign/zeros/dot) —
+    * engine-portable where a log10-based extraction drifts a ULP at
+    * exact powers of ten. Returns 9 rows
+    * (digit, n_obs, share, expected_share) plus the chi2 on each row
+    * (single-statistic column, the [[chiSquareIndependence]] shape). */
+  def benfordTest(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = regexp_replace(
+      col(valueCol).cast(DecimalType(38, 6)).cast(StringType), "[^1-9]", "")
+    val first = substring(digits, 1, 1)
+    val obs = df.filter(col(valueCol).isNotNull && col(valueCol) > 0 &&
+        length(digits) > 0)
+      .groupBy(first.cast("int").as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val expected = (1 to 9).map(dg =>
+      (dg, math.log10(1.0 + 1.0 / dg)))
+      .foldLeft(lit(null).cast(DoubleType)) { case (acc, (dg, pr)) =>
+        when(col("digit") === dg, lit(pr)).otherwise(acc) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val all = (1 to 9).toDF("digit")
+    val full = all.join(obs, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .withColumn("expected_share", expected)
+    val tot = full.agg(sum(col("n_obs")).as("__n"))
+    // chi2 folded in digit order: terms floor-scaled at 10^6 so the
+    // 9-term reduce order cannot move the double
+    val withN = full.crossJoin(broadcast(tot))
+    val term = {
+      val e = col("__n").cast(DoubleType) * col("expected_share")
+      (col("n_obs").cast(DoubleType) - e) *
+        (col("n_obs").cast(DoubleType) - e) / e
+    }
+    val chi = withN.agg(Reductions.isum(term, 6).as("chi2"))
+    withN.crossJoin(broadcast(chi))
+      .select(col("digit"), col("n_obs"),
+        (col("n_obs").cast(DoubleType) / col("__n").cast(DoubleType))
+          .as("share"),
+        col("expected_share"), col("chi2"))
+  }
+
+  /** DEMING (orthogonal, λ = 1) REGRESSION — total least squares for
+    * when BOTH variables carry error (calibration curves, replicate
+    * instruments), where OLS attenuates the slope:
+    * β = (S_yy − S_xx + √((S_yy−S_xx)² + 4S_xy²)) / (2S_xy) over the
+    * centered second moments. One exact-sum aggregation (floor-scaled
+    * 10⁶ co-moments, the [[partialCorr]] pass), then a fixed IEEE
+    * sequence. Returns one row (n, slope, intercept, slope_ols) — the
+    * OLS slope rides along so the attenuation is visible. */
+  def demingRegression(df: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    val x = col(xCol).cast(DoubleType); val y = col(yCol).cast(DoubleType)
+    val clean = df.filter(x.isNotNull && y.isNotNull && !isnan(x) && !isnan(y))
+      .select(x.as("__x"), y.as("__y"))
+    val agg = clean.agg(count(lit(1)).as("n"),
+      fs(col("__x"), 6).as("sx"), fs(col("__y"), 6).as("sy"),
+      fs(col("__x") * col("__x"), 6).as("sxx"),
+      fs(col("__y") * col("__y"), 6).as("syy"),
+      fs(col("__x") * col("__y"), 6).as("sxy"))
+    val nD = col("n").cast(DoubleType)
+    val sxxC = col("sxx") - col("sx") * col("sx") / nD
+    val syyC = col("syy") - col("sy") * col("sy") / nD
+    val sxyC = col("sxy") - col("sx") * col("sy") / nD
+    val beta = (syyC - sxxC +
+      sqrt((syyC - sxxC) * (syyC - sxxC) + lit(4.0) * sxyC * sxyC)) /
+      (lit(2.0) * sxyC)
+    val betaG = when(abs(sxyC) > 0.0, beta)
+    agg.select(col("n"), betaG.as("slope"),
+      when(betaG.isNotNull,
+        col("sy") / nD - betaG * (col("sx") / nD)).as("intercept"),
+      when(sxxC > 0.0, sxyC / sxxC).as("slope_ols"))
+  }
 }
