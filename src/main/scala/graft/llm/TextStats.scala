@@ -1037,14 +1037,22 @@ object TextStats {
       .join(vocab.select(col("w").as("w1"), col("__id").as("__a")), "w1")
       .join(vocab.select(col("w").as("w2"), col("__id").as("__b")), "w2")
       .select(col("__a"), col("__b")).distinct()
+    // persist the vocab-sized edge frame: pageRank consumes its input
+    // through TWO lineages (degree-annotated edges + the node universe)
+    // and each would otherwise replay the corpus tokenize+join pipeline
     val edges = bi.select(col("__a").as("src"), col("__b").as("dst"))
       .unionByName(bi.select(col("__b").as("src"), col("__a").as("dst")))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pageRank returns an eagerly-materialized frame, so the caches it
+    // read from can be released as soon as it returns
     val ranks = graft.ops.Graph.pageRank(edges, "src", "dst",
       iters = iters, damp = damp, dedupEdges = false)
     val names = vocab.groupBy(col("__id")).agg(min(col("w")).as("token"))
     val out = ranks.join(names, ranks("id") === names("__id"))
       .select(col("token"), col("r").as("rank"))
+      .localCheckpoint(true)
+    edges.unpersist()
     vocab.unpersist()
     out
   }

@@ -356,14 +356,17 @@ object Graph {
     * falls back to the true size); the (k−1)·2⁶⁰/h_(k) KMV estimate
     * otherwise.
     *
-    * Plan per round: balls ⋈ pre-partitioned edges (src side), explode
-    * to (node, hash), keyed distinct, per-node rank ≤ k (keyed window,
-    * never global), re-collect to a sorted array — O(|E|·k) rows, the
-    * frame is eagerly checkpointed (consumed by the union AND the next
-    * join, the [[pageRank]] doctrine) with superseded blocks released.
-    * The harmonic sum is carried along the frame as exact per-round
-    * literals-free arithmetic (ascending-r fold). Returns
-    * (id, ball_size_r<R>, harmonic). */
+    * Plan per round: balls ⋈ pre-partitioned edges (dst side), explode
+    * to (node, hash), then ONE keyed aggregation
+    * `slice(sort_array(collect_set(h)), 1, k)` — collect_set dedups in
+    * the PARTIAL (map-side) aggregation, so the single shuffle carries
+    * per-node deduped hash sets instead of the raw O(|E|·k) stream (an
+    * r18 A/B against distinct + keyed-rank-window measured 28.6 → 12.4 s
+    * at sf1.0: two full-stream shuffles per round collapsed to one).
+    * Each round's frame is eagerly checkpointed (consumed by the union
+    * AND the next join, the [[pageRank]] doctrine) with superseded
+    * blocks released; the harmonic sum is carried along the frame
+    * (ascending-r fold). Returns (id, ball_size_r<R>, harmonic). */
   def harmonicCentralityKmv(edges: DataFrame, srcCol: String,
                             dstCol: String, radius: Int = 3,
                             k: Int = 16): DataFrame = {
@@ -398,12 +401,9 @@ object Graph {
       val fromNbr = e.join(balls, e("dst") === balls("id"))
         .select(e("src").as("id"), explode(col("ball")).as("__h"))
       val own = balls.select(col("id"), explode(col("ball")).as("__h"))
-      val wk = Window.partitionBy(col("id")).orderBy(col("__h"))
-      val merged = fromNbr.unionByName(own).distinct()
-        .withColumn("__rk", row_number().over(wk))
-        .filter(col("__rk") <= k)
+      val merged = fromNbr.unionByName(own)
         .groupBy(col("id"))
-        .agg(sort_array(collect_list(col("__h"))).as("ball"))
+        .agg(slice(sort_array(collect_set(col("__h"))), 1, k).as("ball"))
       val next = merged
         .join(balls.select(col("id"), col("est").as("__ep"),
           col("harmonic").as("__hp")), Seq("id"))
