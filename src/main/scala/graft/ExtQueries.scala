@@ -3636,6 +3636,26 @@ object ExtQueries {
         Graph.tradingPairsGraph(t(s, dir, "orders"), t(s, dir, "lineitem")),
         "src", "dst", radius = 2, k = 16)
         .orderBy(col("id"))
+    },
+
+    // Gumbel block-maxima fit of daily peak event values — the EVT
+    // "what peak should I provision for" readout; moments closed form.
+    "q385_gumbel" -> { (s, dir) =>
+      Stats.gumbelFit(t(s, dir, "events"), "ts", "value", p = 0.99)
+    },
+
+    // Atkinson inequality (eps = 1) of order values — geomean/mean off
+    // two exact sums.
+    "q386_atkinson" -> { (s, dir) =>
+      Stats.atkinsonIndex(t(s, dir, "orders"), "o_totalprice")
+    },
+
+    // 10%-trimmed mean of event values per type — the robust location
+    // between mean and median, value-rank trimming.
+    "q387_trimmed_mean" -> { (s, dir) =>
+      Stats.trimmedMean(t(s, dir, "events"), "value", "event_type",
+          alpha = 0.1)
+        .orderBy(col("group"))
     }
   )
 
@@ -11247,6 +11267,80 @@ object ExtQueries {
          ${round(1)},
          ${round(2)}
          SELECT id, est AS ball_size, harmonic FROM b2 ORDER BY id"""
-    }
+    },
+
+    // mirrors Stats.gumbelFit: daily maxima, floor-scaled exact moments,
+    // the beta/mu closed form with the interpolated Euler-Mascheroni and
+    // ln(-ln p) literals (string-cast, the q376 DuckDB-literal lesson).
+    "q385_gumbel" -> {
+      val lnln = math.log(-math.log(0.99))
+      s"""WITH b AS (SELECT CAST(ts AS DATE) AS d,
+             MAX(CAST(value AS DOUBLE)) AS m
+           FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL
+             AND NOT isnan(CAST(value AS DOUBLE))
+           GROUP BY 1),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(CAST(FLOOR(m * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sx,
+             CAST(SUM(CAST(FLOOR(m * m * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sxx
+           FROM b),
+         c AS (SELECT *, CAST(n_blocks AS DOUBLE) AS nd,
+             sx / CAST(n_blocks AS DOUBLE) AS mean_max FROM a),
+         e AS (SELECT *,
+             (sxx - sx * sx / nd) / (nd - 1.0) AS vars FROM c),
+         f AS (SELECT *, sqrt(vars) AS sd,
+             sqrt(vars) * CAST('${math.sqrt(6.0)}' AS DOUBLE)
+               / CAST('${math.Pi}' AS DOUBLE) AS beta FROM e),
+         g AS (SELECT *,
+             mean_max - CAST('0.5772156649015329' AS DOUBLE) * beta AS mu
+           FROM f)
+         SELECT n_blocks, mean_max,
+           CASE WHEN n_blocks > 1 AND vars > 0.0 THEN sd END AS sd_max,
+           CASE WHEN n_blocks > 1 AND vars > 0.0 THEN mu END AS mu,
+           CASE WHEN n_blocks > 1 AND vars > 0.0 THEN beta END AS beta,
+           CASE WHEN n_blocks > 1 AND vars > 0.0 THEN
+             mu - beta * CAST('$lnln' AS DOUBLE) END AS q_p
+         FROM g"""
+    },
+
+    // mirrors Stats.atkinsonIndex on o_totalprice: positive-domain
+    // filter, floor-scaled exact sums of x (10^6) and ln x (10^9).
+    "q386_atkinson" ->
+      """WITH b AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+           WHERE o_totalprice IS NOT NULL),
+         a AS (SELECT
+             CAST(COUNT(*) FILTER (WHERE x > 0.0) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (WHERE x <= 0.0) AS BIGINT) AS n_excluded,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0)))
+               FILTER (WHERE x > 0.0) AS DOUBLE) / 1000000.0 AS sx,
+             CAST(SUM(CAST(FLOOR(ln(x) * 1000000000.0) AS DECIMAL(38,0)))
+               FILTER (WHERE x > 0.0) AS DOUBLE) / 1000000000.0 AS sl
+           FROM b),
+         c AS (SELECT *, sx / CAST(n AS DOUBLE) AS mean,
+             exp(sl / CAST(n AS DOUBLE)) AS geomean FROM a)
+         SELECT n, n_excluded,
+           CASE WHEN n > 0 THEN mean END AS mean,
+           CASE WHEN n > 0 THEN geomean END AS geomean,
+           CASE WHEN n > 0 AND mean > 0.0
+             THEN 1.0 - geomean / mean END AS atkinson
+         FROM c""",
+
+    // mirrors Stats.trimmedMean: double-ended value ranks per type,
+    // floor(alpha*n) trimmed from each side, exact-sum mean of the rest.
+    "q387_trimmed_mean" ->
+      """WITH b AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+             AND event_type IS NOT NULL),
+         r AS (SELECT g, x,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY x ASC) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY x DESC) AS rd,
+             COUNT(*) OVER (PARTITION BY g) AS n FROM b),
+         k AS (SELECT *, CAST(FLOOR(n * 0.1) AS BIGINT) AS kk FROM r)
+         SELECT g AS "group", MAX(n) AS n, MAX(kk) AS n_trimmed_each,
+           CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+             / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS trimmed_mean
+         FROM k WHERE ra > kk AND rd > kk
+         GROUP BY g ORDER BY g"""
   )
 }

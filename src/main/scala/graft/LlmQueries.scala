@@ -101,6 +101,26 @@ object LlmQueries {
         .orderBy(col("g_a"), col("g_b"))
     },
 
+
+    // Duplicate-cluster size profile — the dup-mass Pareto the dedup
+    // run is sized by; exact fingerprint clusters, descending cumulate.
+    "q383_dup_clusters" -> { (s, dir) =>
+      TextDedup.dupClusterProfile(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("cluster_size"))
+    },
+
+    // Repetition-loop detector over a DECORATED corpus (q124 policy —
+    // the synthetic docs carry no loops, so every 50th doc gets a
+    // cycle-1 and a cycle-2 tail; the oracle decorates identically).
+    "q384_repetition_loops" -> { (s, dir) =>
+      val decorated = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 50 === 0,
+          concat(col("text"), lit(" loop loop loop loop ab cd ab cd ab")))
+          .otherwise(col("text")))
+      TextStats.repetitionLoops(decorated, "doc_id", "text", maxCycle = 3)
+        .orderBy(col("doc_id"))
+    },
+
     // c-TF-IDF cluster term profiles (BERTopic labeling step): the top-5
     // terms that CHARACTERIZE each source, not just occur in it.
     "q308_cluster_terms" -> { (s, dir) =>
@@ -1214,6 +1234,50 @@ object LlmQueries {
          FROM dots d JOIN norms na ON d.g_a = na.g
          JOIN norms nb ON d.g_b = nb.g
          WHERE d.g_a < d.g_b ORDER BY 1, 2""",
+
+
+    // mirrors TextDedup.dupClusterProfile: the q27 fingerprint clusters
+    // rolled up by size, share + descending cumulative share.
+    "q383_dup_clusters" ->
+      s"""WITH fp AS (SELECT md5($normSql) AS fp, COUNT(*) AS n_copies
+           FROM documents GROUP BY 1),
+         cs AS (SELECT n_copies AS cluster_size,
+             CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(n_copies * COUNT(*) AS BIGINT) AS n_docs
+           FROM fp GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn FROM cs)
+         SELECT c.cluster_size, c.n_clusters, c.n_docs,
+           CAST(c.n_docs AS DOUBLE) / CAST(t.nn AS DOUBLE) AS doc_share,
+           CAST(SUM(c.n_docs) OVER (ORDER BY c.cluster_size DESC
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(t.nn AS DOUBLE)
+             AS cum_share
+         FROM cs c CROSS JOIN tot t ORDER BY c.cluster_size""",
+
+    // mirrors TextStats.repetitionLoops on the same decorated corpus:
+    // the identical (cur << 32 | best) integer fold via list_reduce
+    // with a prepended zero seed.
+    "q384_repetition_loops" -> {
+      def loopSql(c: Int): String =
+        s"""CASE WHEN len(w) > $c THEN list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range($c, len(w)), i -> CAST(i AS BIGINT))),
+             (st, i) -> CASE WHEN w[CAST(i AS INT) + 1] = w[CAST(i AS INT) - ${c - 1}]
+               THEN (((st >> 32) + 1) << 32)
+                 | greatest(st & 4294967295, (st >> 32) + 1)
+               ELSE greatest(st & 4294967295, CAST(0 AS BIGINT)) END
+           ) & 4294967295 ELSE 0 END AS loop$c"""
+      s"""WITH dec AS (SELECT doc_id,
+             CASE WHEN doc_id % 50 = 0
+               THEN concat(text, ' loop loop loop loop ab cd ab cd ab')
+               ELSE text END AS text
+           FROM documents),
+         d AS (SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+           FROM dec)
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           ${loopSql(1)}, ${loopSql(2)}, ${loopSql(3)}
+         FROM d ORDER BY doc_id"""
+    },
 
     // mirrors TextStats.clusterTerms: the same c-TF-IDF closed form,
     // score floor-scaled (10^9) BEFORE the per-cluster rank so near-tie

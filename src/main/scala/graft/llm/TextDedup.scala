@@ -931,6 +931,37 @@ object TextDedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+
+  /** DUPLICATE-CLUSTER SIZE PROFILE — the "how much of my corpus is
+    * copies" readout that sizes a dedup run before it happens: exact
+    * fingerprint clusters ([[exactDedup]]) rolled up by cluster size,
+    * with each size's document mass and the cumulative corpus share
+    * held by clusters of AT LEAST that size (descending cumulate — the
+    * duplication Pareto curve; `cum_share` at size 2 = total duplicate
+    * mass). All integer counts off two keyed aggregations; the cumulate
+    * rides the O(distinct sizes) frame. Returns
+    * (cluster_size, n_clusters, n_docs, doc_share, cum_share). */
+  def dupClusterProfile(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = exactDedup(df, idCol, textCol)
+      .select(col("n_copies").as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    val tot = clusters.agg(sum(col("n_docs")).as("__n"))
+    val wDesc = Window.orderBy(col("cluster_size").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clusters.crossJoin(broadcast(tot))
+      .withColumn("doc_share",
+        col("n_docs").cast(DoubleType) / col("__n").cast(DoubleType))
+      .withColumn("cum_share",
+        sum(col("n_docs")).over(wDesc).cast(DoubleType) /
+          col("__n").cast(DoubleType))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        col("doc_share"), col("cum_share"))
+  }
+
   /** Cross-document repeated n-gram inventory — the aggregate view of exact
     * substring duplication (Lee et al. 2022 find substrings repeated across
     * training documents; the suffix-array they build is a single-machine

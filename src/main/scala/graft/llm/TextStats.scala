@@ -998,6 +998,43 @@ object TextStats {
           lit(":"), (pk % lit(H)).cast(StringType)))).as("fps"))
   }
 
+
+  /** REPETITION-LOOP DETECTOR — the "model output stuck in a cycle" /
+    * template-spam filter: for each cycle length c ∈ 1..maxCycle, the
+    * longest run of positions where token[i] == token[i−c] (so a
+    * "yes yes yes yes" doc scores loop1 = 3 and "a b a b a b" scores
+    * loop2 = 4). Pure array expressions per row — the fold state
+    * (current run, best run) is ENCODED in one BIGINT
+    * (cur << 32 | best; token positions are far below 2³²) so both
+    * engines replay the identical integer fold; no UDF, no shuffle
+    * beyond the scan. Returns (id, n_tokens, loop1..loop<c>). */
+  def repetitionLoops(df: DataFrame, idCol: String, textCol: String,
+                      maxCycle: Int = 3): DataFrame = {
+    require(maxCycle >= 1 && maxCycle <= 8, s"maxCycle=$maxCycle")
+    val w = col("__w")
+    val base = graft.ops.Layout.spreadScan(df)
+      .select(col(idCol), TextDedup.tokens(col(textCol)).as("__w"))
+    val withLoops = (1 to maxCycle).foldLeft(base) { (acc, c) =>
+      // fold over positions c..len-1 (0-based): encoded = cur*1e9+best
+      val folded = aggregate(
+        when(size(w) > c, sequence(lit(c), size(w) - 1))
+          .otherwise(array().cast("array<int>")),
+        lit(0L),
+        (st, i) => {
+          val cur = shiftright(st, 32) + lit(1L)
+          val matches = element_at(w, i + 1) === element_at(w, i - (c - 1))
+          val newCur = when(matches, cur).otherwise(lit(0L))
+          shiftleft(newCur, 32) +
+            greatest(st.bitwiseAND(lit(4294967295L)), newCur)
+        })
+      acc.withColumn(s"loop$c",
+        folded.bitwiseAND(lit(4294967295L)).cast(LongType))
+    }
+    withLoops.select(
+      (col(idCol) +: size(w).cast(LongType).as("n_tokens") +:
+        (1 to maxCycle).map(c => col(s"loop$c"))): _*)
+  }
+
   /** TEXTRANK KEYWORDS (Mihalcea & Tarau 2004) — graph-based corpus
     * keyword extraction: tokens with corpus frequency ≥ `minCount` are
     * nodes, distinct ADJACENT co-occurrence pairs are (symmetric)

@@ -3951,4 +3951,93 @@ object Stats {
         col("sy") / nD - betaG * (col("sx") / nD)).as("intercept"),
       when(sxxC > 0.0, sxyC / sxxC).as("slope_ols"))
   }
+
+  /** GUMBEL (EV-I) BLOCK-MAXIMA FIT by the method of moments — the
+    * extreme-value answer to "what daily peak should I provision for":
+    * block = calendar day, x = the day's max; β = s·√6/π and
+    * μ = m − γ·β (γ = Euler–Mascheroni) from the blocks' exact-sum mean
+    * and sample std; the p-quantile readout is μ − β·ln(−ln p). Block
+    * maxima are one keyed aggregation; the fit is an O(1) closed form
+    * with pinned literals. Returns one row
+    * (n_blocks, mean_max, sd_max, mu, beta, q99). */
+  def gumbelFit(df: DataFrame, tsCol: String, valueCol: String,
+                p: Double = 0.99): DataFrame = {
+    require(p > 0 && p < 1, s"p=$p")
+    val x = col(valueCol).cast(DoubleType)
+    val blocks = df.filter(col(tsCol).isNotNull && x.isNotNull && !isnan(x))
+      .groupBy(to_date(col(tsCol)).as("__d"))
+      .agg(max(x).as("__m"))
+    val agg = blocks.agg(count(lit(1)).as("n_blocks"),
+      fs(col("__m"), 6).as("__sx"),
+      fs(col("__m") * col("__m"), 6).as("__sxx"))
+    val nD = col("n_blocks").cast(DoubleType)
+    val m = col("__sx") / nD
+    val varS = (col("__sxx") - col("__sx") * col("__sx") / nD) /
+      (nD - lit(1.0))
+    val sd = sqrt(varS)
+    val beta = sd * lit(math.sqrt(6.0)) / lit(math.Pi)
+    val mu = m - lit(0.5772156649015329) * beta
+    agg.select(col("n_blocks"), m.as("mean_max"),
+      when(col("n_blocks") > 1 && varS > 0.0, sd).as("sd_max"),
+      when(col("n_blocks") > 1 && varS > 0.0, mu).as("mu"),
+      when(col("n_blocks") > 1 && varS > 0.0, beta).as("beta"),
+      when(col("n_blocks") > 1 && varS > 0.0,
+        mu - beta * lit(math.log(-math.log(p)))).as(s"q_p"))
+  }
+
+  /** ATKINSON INEQUALITY INDEX at ε = 1 — A = 1 − geomean/mean over a
+    * positive value column (0 = perfect equality; the inequality-
+    * aversion form whose ε = 1 case has the closed geometric-mean
+    * form). Σx and Σln x both fold through floor-scaled exact sums, so
+    * the index replays bit-for-bit. Non-positive values are excluded
+    * (logged domain), their count reported. Returns one row
+    * (n, n_excluded, mean, geomean, atkinson). */
+  def atkinsonIndex(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast(DoubleType)
+    val base = df.filter(x.isNotNull && !isnan(x))
+      .select(x.as("__x"))
+    val agg = base.agg(
+      count(when(col("__x") > 0.0, 1)).as("n"),
+      count(when(col("__x") <= 0.0, 1)).as("n_excluded"),
+      fs(when(col("__x") > 0.0, col("__x")), 6).as("__sx"),
+      fs(when(col("__x") > 0.0, log(col("__x"))), 9).as("__sl"))
+    val nD = col("n").cast(DoubleType)
+    val mean = col("__sx") / nD
+    val geo = exp(col("__sl") / nD)
+    agg.select(col("n"), col("n_excluded"),
+      when(col("n") > 0, mean).as("mean"),
+      when(col("n") > 0, geo).as("geomean"),
+      when(col("n") > 0 && mean > 0.0,
+        lit(1.0) - geo / mean).as("atkinson"))
+  }
+
+  /** TRIMMED MEAN per group — drop the lowest and highest ⌊α·n⌋ values,
+    * exact-sum mean of the rest: the robust location estimate between
+    * the mean (α = 0) and the median (α → 0.5), immune to the tail
+    * garbage [[robustOutliers]] flags. Trimming is by VALUE RANK (ties
+    * broken arbitrarily — the removed multiset is the same values
+    * whichever tied rows the ranks pick, so the surviving SUM is
+    * deterministic even though row identity is not). One keyed window
+    * pass + one exact-sum aggregation. Returns
+    * (group, n, n_trimmed_each, trimmed_mean). */
+  def trimmedMean(df: DataFrame, valueCol: String, groupCol: String,
+                  alpha: Double = 0.1): DataFrame = {
+    require(alpha >= 0 && alpha < 0.5, s"alpha=$alpha")
+    import org.apache.spark.sql.expressions.Window
+    val x = col(valueCol).cast(DoubleType)
+    val base = df.filter(x.isNotNull && !isnan(x) && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), x.as("__x"))
+    val wAsc = Window.partitionBy(col("__g")).orderBy(col("__x").asc)
+    val wDesc = Window.partitionBy(col("__g")).orderBy(col("__x").desc)
+    val ranked = base
+      .withColumn("__ra", row_number().over(wAsc))
+      .withColumn("__rd", row_number().over(wDesc))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .withColumn("__k", floor(col("__n") * lit(alpha)).cast(LongType))
+    ranked.filter(col("__ra") > col("__k") && col("__rd") > col("__k"))
+      .groupBy(col("__g").as("group"))
+      .agg(max(col("__n")).as("n"), max(col("__k")).as("n_trimmed_each"),
+        (fs(col("__x"), 6) / count(lit(1)).cast(DoubleType))
+          .as("trimmed_mean"))
+  }
 }

@@ -123,6 +123,64 @@ class StatsTier19Spec extends SparkSuite {
     assert(out("alpha") == out("beta"), "symmetric nodes rank equally")
   }
 
+  test("dupClusterProfile: sizes, shares, and the descending cumulate") {
+    import spark.implicits._
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "unique a"),
+      (4L, "unique b")).toDF("doc_id", "text")
+    val r = graft.llm.TextDedup.dupClusterProfile(docs, "doc_id", "text")
+      .orderBy("cluster_size").collect()
+    assert(r.length == 2)
+    assert(r(0).getLong(0) == 1L && r(0).getLong(1) == 2L &&
+      r(0).getDouble(3) == 0.5 && r(0).getDouble(4) == 1.0)
+    assert(r(1).getLong(0) == 2L && r(1).getLong(1) == 1L &&
+      r(1).getDouble(3) == 0.5 && r(1).getDouble(4) == 0.5)
+  }
+
+  test("repetitionLoops: cycle-1 and cycle-2 runs, short docs zero") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x x x y"), (2L, "a b a b a b"), (3L, "q"),
+      (4L, "no loops at all here")).toDF("doc_id", "text")
+    val r = graft.llm.TextStats.repetitionLoops(docs, "doc_id", "text", 3)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(1L)._1 == 3L, s"x-run: ${r(1L)}") // x x x x -> 3 matches
+    assert(r(2L)._2 == 4L, s"ab-cycle: ${r(2L)}") // positions 2..5 match
+    assert(r(3L) == ((0L, 0L, 0L)))
+    assert(r(4L) == ((0L, 0L, 0L)))
+  }
+
+  test("gumbelFit: two-block hand case and the constant-degenerate gate") {
+    import spark.implicits._
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 05:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-02 05:00:00")
+    val df = Seq((t1, 1.0), (t1, 0.5), (t2, 3.0)).toDF("ts", "value")
+    val r = Stats.gumbelFit(df, "ts", "value").collect()(0)
+    // maxima {1, 3}: mean 2, sample var 2
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 2.0)
+    val beta = math.sqrt(2.0) * math.sqrt(6.0) / math.Pi
+    assert(math.abs(r.getDouble(r.fieldIndex("beta")) - beta) < 1e-12)
+    val const = Seq((t1, 2.0), (t2, 2.0)).toDF("ts", "value")
+    val rc = Stats.gumbelFit(const, "ts", "value").collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("beta")), "zero variance -> null fit")
+  }
+
+  test("atkinsonIndex: equality -> ~0; non-positive rows excluded") {
+    import spark.implicits._
+    val r = Stats.atkinsonIndex(
+      Seq(5.0, 5.0, 5.0, -1.0, 0.0).toDF("v"), "v").collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(r.fieldIndex("atkinson"))) < 1e-7)
+  }
+
+  test("trimmedMean: k = floor(alpha n) cut from each end, exact mean") {
+    import spark.implicits._
+    val vals = Seq(-50.0) ++ (1 to 8).map(_.toDouble) ++ Seq(1000.0)
+    val df = vals.map(v => ("g", v)).toDF("k", "v")
+    val r = Stats.trimmedMean(df, "v", "k", alpha = 0.1).collect()(0)
+    assert(r.getLong(1) == 10L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 4.5, s"mean of 1..8: ${r.getDouble(3)}")
+  }
+
   test("domainCentroidSimilarity: identical groups cosine 1, orthogonal 0") {
     import spark.implicits._
     val df = Seq(
