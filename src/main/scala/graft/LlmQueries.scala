@@ -121,6 +121,14 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+
+    // Mean-IDF document rarity — boilerplate vs information; df from
+    // per-doc distinct tokens, instance-weighted mean idf per doc.
+    "q388_mean_idf" -> { (s, dir) =>
+      TextStats.meanIdf(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id"))
+    },
+
     // c-TF-IDF cluster term profiles (BERTopic labeling step): the top-5
     // terms that CHARACTERIZE each source, not just occur in it.
     "q308_cluster_terms" -> { (s, dir) =>
@@ -1278,6 +1286,27 @@ object LlmQueries {
            ${loopSql(1)}, ${loopSql(2)}, ${loopSql(3)}
          FROM d ORDER BY doc_id"""
     },
+
+
+    // mirrors TextStats.meanIdf: per-doc distinct df, ln((N+1)/(df+1)),
+    // instance join, floor-scaled (1e9) exact per-doc mean.
+    "q388_mean_idf" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS w
+           FROM documents),
+         n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+         dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM (
+             SELECT DISTINCT doc_id, unnest(list_distinct(w)) AS t FROM d) u
+           WHERE t <> '' GROUP BY 1),
+         idf AS (SELECT t, ln((n.nd + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS idf
+           FROM dfreq CROSS JOIN n),
+         inst AS (SELECT doc_id, unnest(w) AS t FROM d),
+         j AS (SELECT i.doc_id, x.idf FROM inst i JOIN idf x ON i.t = x.t
+           WHERE i.t <> '')
+         SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(FLOOR(idf * 1000000000.0) AS DECIMAL(38,0)))
+             AS DOUBLE) / 1000000000.0 / CAST(COUNT(*) AS DOUBLE)
+             AS mean_idf
+         FROM j GROUP BY 1 ORDER BY 1""",
 
     // mirrors TextStats.clusterTerms: the same c-TF-IDF closed form,
     // score floor-scaled (10^9) BEFORE the per-cluster rank so near-tie

@@ -1035,6 +1035,47 @@ object TextStats {
         (1 to maxCycle).map(c => col(s"loop$c"))): _*)
   }
 
+
+  /** MEAN-IDF DOCUMENT RARITY — the "is this doc boilerplate or
+    * information" score used to downweight template mass in pretraining
+    * mixes: per-doc mean of idf(t) = ln((N+1)/(df_t+1)) over the doc's
+    * token INSTANCES (repeats count — a doc that repeats one rare token
+    * is not rarer than one that uses many). df comes from per-doc
+    * DISTINCT tokens (document frequency, not collection frequency).
+    *
+    * Plan: one spread tokenize pass feeds both the df table (per-doc
+    * array_distinct before the count — the heapsLaw trick) and the
+    * instance stream; idf per token is a broadcast-sized... no — a
+    * hash join against the vocab-sized df frame; the per-doc mean folds
+    * floor-scaled (10⁹) exact sums. Returns (id, n_tokens, mean_idf). */
+  def meanIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = graft.ops.Layout.spreadScan(df)
+      .select(col(idCol).as("__id"),
+        TextDedup.tokens(col(textCol)).as("__w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = base.count()
+    val dfTab = base
+      .select(col("__id"), explode_outer(array_distinct(col("__w")))
+        .as("__t"))
+      .filter(col("__t").isNotNull && length(col("__t")) > 0)
+      .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+      .withColumn("__idf",
+        log((lit(nDocs.toDouble) + lit(1.0)) /
+          (col("__df").cast(DoubleType) + lit(1.0))))
+    val inst = base
+      .select(col("__id"), explode_outer(col("__w")).as("__t"))
+      .filter(col("__t").isNotNull && length(col("__t")) > 0)
+    val out = inst.join(dfTab.select(col("__t"), col("__idf")), "__t")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (graft.ops.Reductions.isum(col("__idf"), 9) /
+          count(lit(1)).cast(DoubleType)).as("mean_idf"))
+      .select(col("__id").as("id"), col("n_tokens"), col("mean_idf"))
+      .localCheckpoint(true)
+    base.unpersist()
+    out
+  }
+
   /** TEXTRANK KEYWORDS (Mihalcea & Tarau 2004) — graph-based corpus
     * keyword extraction: tokens with corpus frequency ≥ `minCount` are
     * nodes, distinct ADJACENT co-occurrence pairs are (symmetric)

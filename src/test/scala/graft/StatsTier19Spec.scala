@@ -181,6 +181,22 @@ class StatsTier19Spec extends SparkSuite {
     assert(r.getDouble(3) == 4.5, s"mean of 1..8: ${r.getDouble(3)}")
   }
 
+  test("meanIdf: ubiquitous tokens pull the mean down; repeats weight " +
+       "instances, df counts docs once") {
+    import spark.implicits._
+    // "common" in all 4 docs (idf ln(5/5)=0); "rare" in one (ln(5/2))
+    val docs = Seq((1L, "common rare rare"), (2L, "common"),
+      (3L, "common"), (4L, "common")).toDF("doc_id", "text")
+    val r = graft.llm.TextStats.meanIdf(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2)))
+      .toMap
+    val idfRare = math.log(5.0 / 2.0)
+    assert(r(2L)._2 == 0.0, "all-common doc has zero rarity")
+    assert(r(1L)._1 == 3L, "instances counted with repeats")
+    // doc 1 mean = (0 + 2*idfRare)/3, up to the 1e-9 floor grid
+    assert(math.abs(r(1L)._2 - 2.0 * idfRare / 3.0) < 1e-8, r(1L).toString)
+  }
+
   test("domainCentroidSimilarity: identical groups cosine 1, orthogonal 0") {
     import spark.implicits._
     val df = Seq(
