@@ -3656,6 +3656,22 @@ object ExtQueries {
       Stats.trimmedMean(t(s, dir, "events"), "value", "event_type",
           alpha = 0.1)
         .orderBy(col("group"))
+    },
+
+    // Kleinberg-style 2-state burst detection on the hourly purchase
+    // series — augmented integer Viterbi (no backtrack pass), the
+    // regime-vs-noise spike detector. The synthetic series is flat, so
+    // day 15 is DECORATED with 4 extra copies of each purchase (q124
+    // policy — an input that cannot burst would make the oracle
+    // vacuous); the mirror decorates identically.
+    "q389_burst_detect" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val boost = ev.filter(col("event_type") === "purchase" &&
+          dayofmonth(col("ts")) === 15)
+        .withColumn("__r", explode(sequence(lit(1), lit(4))))
+        .drop("__r")
+      Stats.burstDetect(ev.unionByName(boost), "ts", "event_type",
+        "purchase", s = 2.0, gamma = 1.0)
     }
   )
 
@@ -11341,6 +11357,78 @@ object ExtQueries {
            CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
              / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS trimmed_mean
          FROM k WHERE ra > kk AND rd > kk
-         GROUP BY g ORDER BY g"""
+         GROUP BY g ORDER BY g""",
+
+    // mirrors Stats.burstDetect: identical floor-scaled Poisson-NLL
+    // costs, the augmented integer Viterbi as ONE forward recursive CTE
+    // (each state carries its best path's burst statistics; ties prefer
+    // base / base-entry), best-final-state readout.
+    "q389_burst_detect" ->
+      """WITH RECURSIVE
+         ev AS (SELECT ts, event_type FROM events
+           UNION ALL
+           SELECT e.ts, e.event_type
+           FROM events e CROSS JOIN range(4) t(r)
+           WHERE e.event_type = 'purchase'
+             AND date_part('day', e.ts) = 15),
+         hh AS (SELECT date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS k
+           FROM ev WHERE ts IS NOT NULL AND event_type = 'purchase'
+           GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(k) AS BIGINT) AS sk FROM hh),
+         lam AS (SELECT n,
+             CAST(sk AS DOUBLE) / CAST(n AS DOUBLE) AS l0,
+             2.0 * (CAST(sk AS DOUBLE) / CAST(n AS DOUBLE)) AS l1
+           FROM tot),
+         idx AS (SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS i,
+             CAST(FLOOR((l.l0 - CAST(k AS DOUBLE) * ln(l.l0))
+               * 1000000.0) AS BIGINT) AS c0,
+             CAST(FLOOR((l.l1 - CAST(k AS DOUBLE) * ln(l.l1))
+               * 1000000.0) AS BIGINT) AS c1
+           FROM hh CROSS JOIN lam l),
+         gp AS (SELECT CAST(FLOOR(1.0 * ln(CAST(n AS DOUBLE))
+             * 1000000.0) AS BIGINT) AS g FROM lam),
+         v AS (
+           SELECT CAST(0 AS BIGINT) AS i,
+             x.c0 AS d0, CAST(0 AS BIGINT) AS bh0, CAST(0 AS BIGINT) AS nb0,
+             CAST(0 AS BIGINT) AS cur0, CAST(0 AS BIGINT) AS mx0,
+             CAST(-1 AS BIGINT) AS f0,
+             gp.g + x.c1 AS d1, CAST(1 AS BIGINT) AS bh1,
+             CAST(1 AS BIGINT) AS nb1, CAST(1 AS BIGINT) AS cur1,
+             CAST(1 AS BIGINT) AS mx1, CAST(0 AS BIGINT) AS f1
+           FROM idx x CROSS JOIN gp WHERE x.i = 0
+           UNION ALL
+           SELECT x.i,
+             (CASE WHEN v.d0 <= v.d1 THEN v.d0 ELSE v.d1 END) + x.c0,
+             CASE WHEN v.d0 <= v.d1 THEN v.bh0 ELSE v.bh1 END,
+             CASE WHEN v.d0 <= v.d1 THEN v.nb0 ELSE v.nb1 END,
+             CAST(0 AS BIGINT),
+             CASE WHEN v.d0 <= v.d1 THEN v.mx0 ELSE v.mx1 END,
+             CASE WHEN v.d0 <= v.d1 THEN v.f0 ELSE v.f1 END,
+             (CASE WHEN v.d0 + gp.g <= v.d1 THEN v.d0 + gp.g
+                ELSE v.d1 END) + x.c1,
+             (CASE WHEN v.d0 + gp.g <= v.d1 THEN v.bh0 ELSE v.bh1 END) + 1,
+             CASE WHEN v.d0 + gp.g <= v.d1 THEN v.nb0 + 1 ELSE v.nb1 END,
+             CASE WHEN v.d0 + gp.g <= v.d1 THEN CAST(1 AS BIGINT)
+               ELSE v.cur1 + 1 END,
+             greatest(
+               CASE WHEN v.d0 + gp.g <= v.d1 THEN v.mx0 ELSE v.mx1 END,
+               CASE WHEN v.d0 + gp.g <= v.d1 THEN CAST(1 AS BIGINT)
+                 ELSE v.cur1 + 1 END),
+             CASE WHEN v.d0 + gp.g <= v.d1 THEN
+               CASE WHEN v.f0 < 0 THEN v.i + 1 ELSE v.f0 END
+               ELSE v.f1 END
+           FROM v JOIN idx x ON x.i = v.i + 1 CROSS JOIN gp),
+         fin AS (SELECT * FROM v CROSS JOIN tot t WHERE v.i = t.n - 1)
+         SELECT t.n AS n_hours, l.l0 AS lambda0,
+           CASE WHEN f.d0 <= f.d1 THEN f.bh0 ELSE f.bh1 END AS n_burst_hours,
+           CASE WHEN f.d0 <= f.d1 THEN f.nb0 ELSE f.nb1 END AS n_bursts,
+           CASE WHEN f.d0 <= f.d1 THEN f.mx0 ELSE f.mx1 END AS max_burst_len,
+           CASE WHEN (CASE WHEN f.d0 <= f.d1 THEN f.f0 ELSE f.f1 END) < 0
+             THEN NULL
+             ELSE (CASE WHEN f.d0 <= f.d1 THEN f.f0 ELSE f.f1 END) END
+             AS first_burst_idx
+         FROM fin f CROSS JOIN tot t CROSS JOIN lam l"""
   )
 }

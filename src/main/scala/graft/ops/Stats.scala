@@ -4040,4 +4040,87 @@ object Stats {
         (fs(col("__x"), 6) / count(lit(1)).cast(DoubleType))
           .as("trimmed_mean"))
   }
+
+  /** KLEINBERG-STYLE BURST DETECTION (2-state automaton) over the
+    * hourly count series: state 0 emits at the base rate λ₀ = mean
+    * hourly count, state 1 at λ₁ = s·λ₀; per-hour cost is the Poisson
+    * NLL (λ − k·ln λ, the k!-free form — constant across states), and
+    * entering the burst state pays γ·ln n. The minimum-cost state path
+    * (Viterbi) marks the burst hours — the principled "is this spike a
+    * regime or noise" detector next to [[pageHinkley]]'s drift monitor.
+    *
+    * Determinism & replay: costs are computed IN-PLAN (engine log) and
+    * floor-scaled to LONGS at 10⁶; the Viterbi fold is then pure
+    * integer arithmetic with pinned tie rules (ties prefer the base
+    * state / the base→burst entry), and instead of a backtrack pass
+    * each state CARRIES its best path's burst statistics (hours,
+    * bursts, current/max run, first start) — so the DuckDB oracle
+    * replays the whole thing as ONE forward recursive CTE. The fold
+    * itself is a bounded driver readout over the O(time-range) series
+    * (the [[pageHinkley]] pattern, collectBounded-fenced). Returns one
+    * row (n_hours, lambda0, n_burst_hours, n_bursts, max_burst_len,
+    * first_burst_idx). */
+  def burstDetect(df: DataFrame, tsCol: String, typeCol: String,
+                  yType: String, s: Double = 2.0, gamma: Double = 1.0,
+                  maxSeriesRows: Int = 1 << 22): DataFrame = {
+    require(s > 1.0 && gamma >= 0.0, s"s=$s gamma=$gamma")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hourly = df
+      .filter(col(tsCol).isNotNull && col(typeCol) === yType)
+      .groupBy(date_trunc("hour", col(tsCol)).as("__h"))
+      .agg(count(lit(1)).as("__k"))
+    val tot = hourly.agg(count(lit(1)).as("n"), sum(col("__k")).as("sk"))
+      .collectBounded(1, "O(1) burst series totals").head
+    val n = tot.getLong(0)
+    if (n == 0L)
+      return Seq((0L, null.asInstanceOf[java.lang.Double], 0L, 0L, 0L,
+        null.asInstanceOf[java.lang.Long]))
+        .toDF("n_hours", "lambda0", "n_burst_hours", "n_bursts",
+          "max_burst_len", "first_burst_idx")
+    val lam0 = tot.getLong(1).toDouble / n.toDouble
+    val lam1 = s * lam0
+    // per-hour integer costs, computed in-plan so both engines use
+    // their own ln on the identical doubles and floor to the same grid
+    val costs = hourly.orderBy(col("__h"))
+      .select(
+        floor((lit(lam0) - col("__k").cast(DoubleType) * log(lit(lam0)))
+          * lit(1e6)).cast(LongType).as("c0"),
+        floor((lit(lam1) - col("__k").cast(DoubleType) * log(lit(lam1)))
+          * lit(1e6)).cast(LongType).as("c1"))
+      .collectBounded(maxSeriesRows, "O(time-range) burst cost series")
+    val big = gamma * math.log(n.toDouble)
+    val g = math.floor(big * 1e6).toLong
+    // augmented Viterbi state per automaton state:
+    // (cost, burstHours, bursts, curRun, maxRun, firstIdx)
+    final case class P(d: Long, bh: Long, nb: Long, cur: Long, mx: Long,
+                       first: Long)
+    var p0 = P(costs(0).getLong(0), 0L, 0L, 0L, 0L, -1L)
+    var p1 = P(g + costs(0).getLong(1), 1L, 1L, 1L, 1L, 0L)
+    var i = 1
+    while (i < costs.length) {
+      val (c0, c1) = (costs(i).getLong(0), costs(i).getLong(1))
+      // base at i: from min(d0, d1), tie -> base
+      val fromBase0 = p0.d <= p1.d
+      val pb = if (fromBase0) p0 else p1
+      val n0 = P(pb.d + c0, pb.bh, pb.nb, 0L, pb.mx, pb.first)
+      // burst at i: from min(d0 + G, d1), tie -> base entry
+      val fromBase1 = p0.d + g <= p1.d
+      val q = if (fromBase1) p0 else p1
+      val enter = fromBase1
+      val cur1 = if (enter) 1L else q.cur + 1L
+      val n1 = P((if (enter) q.d + g else q.d) + c1,
+        q.bh + 1L, if (enter) q.nb + 1L else q.nb, cur1,
+        math.max(q.mx, cur1),
+        if (enter && q.first < 0L) i.toLong else q.first)
+      p0 = n0; p1 = n1
+      i += 1
+    }
+    val best = if (p0.d <= p1.d) p0 else p1
+    Seq((n, java.lang.Double.valueOf(lam0), best.bh, best.nb, best.mx,
+      if (best.first < 0L) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(best.first)))
+      .toDF("n_hours", "lambda0", "n_burst_hours", "n_bursts",
+        "max_burst_len", "first_burst_idx")
+  }
 }

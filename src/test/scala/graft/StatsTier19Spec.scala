@@ -197,6 +197,24 @@ class StatsTier19Spec extends SparkSuite {
     assert(math.abs(r(1L)._2 - 2.0 * idfRare / 3.0) < 1e-8, r(1L).toString)
   }
 
+  test("burstDetect: a 5x window is one burst; a flat series has none") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def series(boost: Int => Int) = (0 until 120).flatMap { i =>
+      val t = new java.sql.Timestamp(ts0.getTime + i * 3600L * 1000L)
+      (0 until boost(i)).map(_ => (t, "purchase"))
+    }.toDF("ts", "event_type")
+    val flat = Stats.burstDetect(series(_ => 3), "ts", "event_type",
+      "purchase").collect()(0)
+    assert(flat.getLong(3) == 0L, s"flat series must not burst: $flat")
+    val bursty = Stats.burstDetect(
+      series(i => if (i >= 50 && i < 60) 15 else 3),
+      "ts", "event_type", "purchase").collect()(0)
+    assert(bursty.getLong(3) == 1L && bursty.getLong(4) == 10L,
+      s"one 10-hour burst expected: $bursty")
+    assert(bursty.getLong(5) == 50L, s"burst starts at idx 50: $bursty")
+  }
+
   test("domainCentroidSimilarity: identical groups cosine 1, orthogonal 0") {
     import spark.implicits._
     val df = Seq(
