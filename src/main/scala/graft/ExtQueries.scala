@@ -11210,7 +11210,8 @@ object ExtQueries {
            FROM events),
          l AS (SELECT *, LAG(pc, 1) OVER
              (PARTITION BY event_type ORDER BY ts, event_id) AS pp FROM b),
-         s AS (SELECT *, CASE WHEN pp IS NULL OR pc = pp THEN 0
+         s AS (SELECT *, CASE WHEN pc IS NULL OR pp IS NULL OR pc = pp
+               THEN 0
              WHEN pc > pp THEN vu ELSE -vu END AS sg FROM l)
          SELECT event_id, event_type,
            CAST(SUM(sg) OVER (PARTITION BY event_type ORDER BY ts, event_id
@@ -11315,7 +11316,7 @@ object ExtQueries {
            CASE WHEN n_blocks > 1 AND vars > 0.0 THEN mu END AS mu,
            CASE WHEN n_blocks > 1 AND vars > 0.0 THEN beta END AS beta,
            CASE WHEN n_blocks > 1 AND vars > 0.0 THEN
-             mu - beta * CAST('$lnln' AS DOUBLE) END AS q_p
+             mu - beta * CAST('$lnln' AS DOUBLE) END AS q99
          FROM g"""
     },
 

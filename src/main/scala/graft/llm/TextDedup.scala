@@ -1107,12 +1107,20 @@ object TextDedup {
     * construction, and the output is always a SUBSET of
     * [[jaccardJoin]]'s (measured recall table in BENCH_SF1.md).
     *
-    * Buckets larger than `maxBucket` are dropped whole (with a stderr
-    * readout, the [[graft.ops.Graph.capHubs]] convention) — a hot
-    * bucket is a band key shared by thousands of documents, and its
-    * all-pairs mass is exactly what this operator exists to avoid. The
-    * cap is deterministic (bucket membership is a pure function of the
-    * text), so the DuckDB oracle replays it bit-for-bit.
+    * Buckets larger than `maxBucket` are dropped whole — a hot bucket
+    * is a band key shared by thousands of documents, and its all-pairs
+    * mass is exactly what this operator exists to avoid. The cap is
+    * deterministic (bucket membership is a pure function of the text),
+    * so the DuckDB oracle replays it bit-for-bit. At test SFs the cap
+    * never fires (recall 0.9996 at sf1.0 is pure band-miss); at 100×
+    * the cap is what fires FIRST, so it must be OBSERVABLE, not a log
+    * line: use [[jaccardJoinApproxWithStats]] to get the capped-bucket
+    * count and the dropped candidate-pair mass as a typed readout the
+    * caller can assert against (e.g. `dropped == 0` for a lossless-run
+    * guarantee, or `dropped / totalCandidates < budget` for a bounded
+    * recall decay). RECALL CONTRACT when the cap fires: only pairs
+    * whose EVERY matching band lands in a capped bucket can be lost —
+    * a pair sharing ≥ 1 uncapped band is still routed and verified.
     *
     * Plan: one fused shingle→minhash kernel pass per doc (spread over
     * the session's parallelism), band-key explode, one shuffle by band
@@ -1123,7 +1131,23 @@ object TextDedup {
   def jaccardJoinApprox(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.5,
                         numHashes: Int = 64, bands: Int = 32,
-                        maxBucket: Int = 1024): DataFrame = {
+                        maxBucket: Int = 1024): DataFrame =
+    jaccardJoinApproxWithStats(df, idCol, textCol, k, threshold,
+      numHashes, bands, maxBucket)._1
+
+  /** Bucket-cap telemetry for [[jaccardJoinApprox]]: how many band
+    * buckets exceeded `maxBucket` (dropped whole) and the candidate-
+    * pair mass n·(n−1)/2 those buckets would have contributed. Both 0
+    * ⇒ the run was cap-lossless (recall limited only by band misses). */
+  final case class LshCapStats(cappedBuckets: Long, droppedPairs: Long)
+
+  /** [[jaccardJoinApprox]] + the cap telemetry (computed on the same
+    * persisted bucket-size frame — no extra shuffle). */
+  def jaccardJoinApproxWithStats(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5,
+      numHashes: Int = 64, bands: Int = 32,
+      maxBucket: Int = 1024): (DataFrame, LshCapStats) = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold=$threshold")
     require(k >= 1 && k <= 16, s"k=$k")
     require(numHashes >= 1 && bands >= 1 && numHashes % bands == 0,
@@ -1143,16 +1167,25 @@ object TextDedup {
     val banded = sets.select(col("__id"),
       explode(lshBandKeys(col("__sig"), bands, r)).as("__band"))
     // bucket sizes via a keyed window (hash(band) shuffle shared with
-    // the self-join below); capped buckets are counted and logged, never
-    // silently dropped
+    // the self-join below); PERSISTED so the cap telemetry and the
+    // capped self-join read one materialization (r18 ran the explode +
+    // window twice — once for the hot count, once for the join)
     val sized = banded.withColumn("__n",
-      count(lit(1)).over(Window.partitionBy(col("__band"))))
-    val nHot = sized.filter(col("__n") > maxBucket)
-      .select(col("__band")).distinct().count()
-    if (nHot > 0)
-      System.err.println(s"[graft] jaccardJoinApprox: dropped $nHot hot " +
-        s"bucket(s) with > $maxBucket members (recall cap — raise " +
-        "maxBucket to include them)")
+        count(lit(1)).over(Window.partitionBy(col("__band"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one 1-row readout: capped-bucket count + the pair mass they drop
+    // (n·(n−1) is even, so DIV 2 is exact integer arithmetic)
+    val capRow = sized.filter(col("__n") > maxBucket)
+      .select(col("__band"), col("__n")).distinct()
+      .agg(count(lit(1)).as("nb"),
+        coalesce(sum(expr("__n * (__n - 1) DIV 2")), lit(0L)).as("np"))
+      .collectBounded(1, "jaccardJoinApprox: 1-row cap telemetry").head
+    val capStats = LshCapStats(capRow.getLong(0), capRow.getLong(1))
+    if (capStats.cappedBuckets > 0)
+      System.err.println(s"[graft] jaccardJoinApprox: dropped " +
+        s"${capStats.cappedBuckets} hot bucket(s) with > $maxBucket " +
+        s"members (${capStats.droppedPairs} candidate pairs; recall " +
+        "cap — raise maxBucket to include them)")
     val ok = sized.filter(col("__n") <= maxBucket)
       .select(col("__band"), col("__id"))
     val cand = ok.select(col("__band"), col("__id").as("id_a"))
@@ -1169,10 +1202,13 @@ object TextDedup {
         (size(col("__tsa")) + size(col("__tsb")) - inter).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+      // eager checkpoint (not a bare persist): materializes here so the
+      // inputs can be released below, and callers can release the result
+      // via Checkpoints.releaseLocalCheckpoint (the pageRank convention)
+      .localCheckpoint(true)
     sets.unpersist()
-    out
+    sized.unpersist()
+    (out, capStats)
   }
 
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,

@@ -1015,7 +1015,7 @@ object TextStats {
     val base = graft.ops.Layout.spreadScan(df)
       .select(col(idCol), TextDedup.tokens(col(textCol)).as("__w"))
     val withLoops = (1 to maxCycle).foldLeft(base) { (acc, c) =>
-      // fold over positions c..len-1 (0-based): encoded = cur*1e9+best
+      // fold over positions c..len-1 (0-based): encoded = cur << 32 | best
       val folded = aggregate(
         when(size(w) > c, sequence(lit(c), size(w) - 1))
           .otherwise(array().cast("array<int>")),
@@ -1123,9 +1123,16 @@ object TextStats {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pageRank returns an eagerly-materialized frame, so the caches it
-    // read from can be released as soon as it returns
+    // read from can be released as soon as it returns.
+    // checkpointEvery = iters: the vocab graph is TINY (≤ |V| nodes) and
+    // symmetric (no dangling nodes → single-consumption linear rounds),
+    // so mid-loop checkpoints are pure per-round job-scheduling overhead
+    // here — the opposite regime from the sf-scaled trading graph where
+    // cadence-1 wins on AQE statistics (see pageRank's scaladoc; on a
+    // 3-round loop the lineage stays shallow without them)
     val ranks = graft.ops.Graph.pageRank(edges, "src", "dst",
-      iters = iters, damp = damp, dedupEdges = false)
+      iters = iters, damp = damp, dedupEdges = false,
+      checkpointEvery = iters)
     val names = vocab.groupBy(col("__id")).agg(min(col("w")).as("token"))
     val out = ranks.join(names, ranks("id") === names("__id"))
       .select(col("token"), col("r").as("rank"))

@@ -357,12 +357,19 @@ object Graph {
     * otherwise.
     *
     * Plan per round: balls ⋈ pre-partitioned edges (dst side), explode
-    * to (node, hash), then ONE keyed aggregation
-    * `slice(sort_array(collect_set(h)), 1, k)` — collect_set dedups in
-    * the PARTIAL (map-side) aggregation, so the single shuffle carries
-    * per-node deduped hash sets instead of the raw O(|E|·k) stream (an
-    * r18 A/B against distinct + keyed-rank-window measured 28.6 → 12.4 s
-    * at sf1.0: two full-stream shuffles per round collapsed to one).
+    * to (node, hash), then ONE keyed aggregation through
+    * [[graft.functions.Kmv.KmvSketchAgg]] (`kmv_sketch(h, k)`) — a
+    * TypedImperativeAggregate whose buffer is an O(k) TreeSet, so BOTH
+    * the map-side partials and the shuffle rows carry at most k hashes
+    * per node. (r18 used `slice(sort_array(collect_set(h)), 1, k)`:
+    * the final slice is O(k) but collect_set's partial/final buffers
+    * grow with the ball's full distinct count — on a hub-heavy graph a
+    * radius-3 ball saturates toward n and one node's buffer becomes
+    * O(n), an executor-OOM scale-killer. kmv_sketch computes the same
+    * min-k-of-distinct value — the DuckDB oracle replay and all hashes
+    * are unchanged — with a hard O(k) bound; an r18 A/B had already
+    * shown the one-aggregation shape beats distinct + rank-window
+    * 28.6 → 12.4 s at sf1.0.)
     * Each round's frame is eagerly checkpointed (consumed by the union
     * AND the next join, the [[pageRank]] doctrine) with superseded
     * blocks released; the harmonic sum is carried along the frame
@@ -372,7 +379,7 @@ object Graph {
                             k: Int = 16): DataFrame = {
     require(radius >= 1 && radius <= 8, s"radius=$radius")
     require(k >= 4 && k <= 256, s"k=$k")
-    import org.apache.spark.sql.expressions.Window
+    graft.functions.Kmv.register(edges.sparkSession)
     val e = edges.select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
@@ -403,7 +410,7 @@ object Graph {
       val own = balls.select(col("id"), explode(col("ball")).as("__h"))
       val merged = fromNbr.unionByName(own)
         .groupBy(col("id"))
-        .agg(slice(sort_array(collect_set(col("__h"))), 1, k).as("ball"))
+        .agg(expr(s"kmv_sketch(__h, $k)").as("ball"))
       val next = merged
         .join(balls.select(col("id"), col("est").as("__ep"),
           col("harmonic").as("__hp")), Seq("id"))
@@ -782,6 +789,15 @@ object Graph {
       .crossJoin(eSrc.groupBy(col("src")).agg(count(lit(1)).as("c"))
         .agg(max(col("c")).as("mo")))
       .collectBounded(1, "hits: 1-row degree-maxima readout").head
+    // degenerate input: zero edges ⇒ the max() readout is a 1-row NULL
+    // (max over zero groups) — return the empty (id, hub, auth) frame
+    // instead of NPE'ing on getLong (r18 regression vs the r17 shape)
+    if (degRow.isNullAt(0) || degRow.isNullAt(1)) {
+      eSrc.unpersist(); eDst.unpersist()
+      return edges.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id"), lit(0L).as("hub"), lit(0L).as("auth"))
+        .limit(0)
+    }
     val longSafe = degRow.getLong(0) * degRow.getLong(1) < 9000000L
     def normed(raw: DataFrame, idCol: String, out: String): DataFrame = {
       val mxRow = raw.agg(max(col("__s")).as("__mx"))

@@ -23,9 +23,14 @@ object Missing {
   def selectMissing(df: DataFrame, cols: Seq[String]): DataFrame =
     df.filter(cols.map(c => col(c).isNull).reduce(_ || _))
 
-  /** replace-missing :value (missing.clj:268-273). */
-  def fillValue(df: DataFrame, values: Map[String, Any]): DataFrame =
-    df.na.fill(values)
+  /** replace-missing :value (missing.clj:268-273). A NULL fill value is
+    * a no-op for that column — the reference's all-values-missing pin
+    * (dataset_test.clj replace-missing-all-values-missing: filling with
+    * a stat computed over an all-missing column leaves it missing). */
+  def fillValue(df: DataFrame, values: Map[String, Any]): DataFrame = {
+    val nonNull = values.filter(_._2 != null)
+    if (nonNull.isEmpty) df else df.na.fill(nonNull)
+  }
 
   private def wDown(order: Seq[Column], part: Seq[Column]) =
     Window.partitionBy(part: _*).orderBy(order: _*)

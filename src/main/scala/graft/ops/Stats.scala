@@ -3381,7 +3381,9 @@ object Stats {
       .groupBy(date_trunc("hour", col(tsCol)).as("__h"))
       .agg((Reductions.isum(x, 6) / count(lit(1))).as("__m"))
       .orderBy(col("__h"))
-    val rows = hourly.collectBounded(1 << 22, "O(hours) PH series")
+    // 1<<20 hours ≈ 120 years — generous for any hourly series, and a
+    // bound the driver pays comfortably (the r19 footprint review)
+    val rows = hourly.collectBounded(1 << 20, "O(hours) PH series")
     var cumX = 0L          // Σ floor(x·10⁶)
     var cumT = 0L          // Σ floor((x − runmean − δ)·10⁶)
     var minM = 0L
@@ -3959,7 +3961,8 @@ object Stats {
     * and sample std; the p-quantile readout is μ − β·ln(−ln p). Block
     * maxima are one keyed aggregation; the fit is an O(1) closed form
     * with pinned literals. Returns one row
-    * (n_blocks, mean_max, sd_max, mu, beta, q99). */
+    * (n_blocks, mean_max, sd_max, mu, beta, q<p·100> — e.g. q99 at
+    * p = 0.99; p·100 must land on an integer so the name is stable). */
   def gumbelFit(df: DataFrame, tsCol: String, valueCol: String,
                 p: Double = 0.99): DataFrame = {
     require(p > 0 && p < 1, s"p=$p")
@@ -3982,7 +3985,7 @@ object Stats {
       when(col("n_blocks") > 1 && varS > 0.0, mu).as("mu"),
       when(col("n_blocks") > 1 && varS > 0.0, beta).as("beta"),
       when(col("n_blocks") > 1 && varS > 0.0,
-        mu - beta * lit(math.log(-math.log(p)))).as(s"q_p"))
+        mu - beta * lit(math.log(-math.log(p)))).as(s"q${(p * 100).round}"))
   }
 
   /** ATKINSON INEQUALITY INDEX at ε = 1 — A = 1 − geomean/mean over a
@@ -4017,9 +4020,12 @@ object Stats {
     * garbage [[robustOutliers]] flags. Trimming is by VALUE RANK (ties
     * broken arbitrarily — the removed multiset is the same values
     * whichever tied rows the ranks pick, so the surviving SUM is
-    * deterministic even though row identity is not). One keyed window
-    * pass + one exact-sum aggregation. Returns
-    * (group, n, n_trimmed_each, trimmed_mean). */
+    * deterministic even though row identity is not). ONE keyed sort
+    * pass: the descending rank is just n − ra + 1 over the same
+    * multiset (r18 paid a second full per-group sort for a desc
+    * row_number; same surviving multiset, so hashes are unchanged),
+    * and the unordered count window rides the asc sort's shuffle.
+    * Returns (group, n, n_trimmed_each, trimmed_mean). */
   def trimmedMean(df: DataFrame, valueCol: String, groupCol: String,
                   alpha: Double = 0.1): DataFrame = {
     require(alpha >= 0 && alpha < 0.5, s"alpha=$alpha")
@@ -4028,13 +4034,12 @@ object Stats {
     val base = df.filter(x.isNotNull && !isnan(x) && col(groupCol).isNotNull)
       .select(col(groupCol).as("__g"), x.as("__x"))
     val wAsc = Window.partitionBy(col("__g")).orderBy(col("__x").asc)
-    val wDesc = Window.partitionBy(col("__g")).orderBy(col("__x").desc)
     val ranked = base
       .withColumn("__ra", row_number().over(wAsc))
-      .withColumn("__rd", row_number().over(wDesc))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
       .withColumn("__k", floor(col("__n") * lit(alpha)).cast(LongType))
-    ranked.filter(col("__ra") > col("__k") && col("__rd") > col("__k"))
+    ranked.filter(col("__ra") > col("__k") &&
+        col("__ra") <= col("__n") - col("__k"))
       .groupBy(col("__g").as("group"))
       .agg(max(col("__n")).as("n"), max(col("__k")).as("n_trimmed_each"),
         (fs(col("__x"), 6) / count(lit(1)).cast(DoubleType))
@@ -4057,12 +4062,15 @@ object Stats {
     * bursts, current/max run, first start) — so the DuckDB oracle
     * replays the whole thing as ONE forward recursive CTE. The fold
     * itself is a bounded driver readout over the O(time-range) series
-    * (the [[pageHinkley]] pattern, collectBounded-fenced). Returns one
-    * row (n_hours, lambda0, n_burst_hours, n_bursts, max_burst_len,
+    * (the [[pageHinkley]] pattern, collectBounded-fenced; the default
+    * 1<<20-hour bound ≈ 120 years of hourly data, and the series is
+    * copied into two primitive long arrays so even the worst case is
+    * ~40 MB transient, not millions of boxed Rows). Returns one row
+    * (n_hours, lambda0, n_burst_hours, n_bursts, max_burst_len,
     * first_burst_idx). */
   def burstDetect(df: DataFrame, tsCol: String, typeCol: String,
                   yType: String, s: Double = 2.0, gamma: Double = 1.0,
-                  maxSeriesRows: Int = 1 << 22): DataFrame = {
+                  maxSeriesRows: Int = 1 << 20): DataFrame = {
     require(s > 1.0 && gamma >= 0.0, s"s=$s gamma=$gamma")
     val spark = df.sparkSession
     import spark.implicits._
@@ -4082,24 +4090,36 @@ object Stats {
     val lam1 = s * lam0
     // per-hour integer costs, computed in-plan so both engines use
     // their own ln on the identical doubles and floor to the same grid
-    val costs = hourly.orderBy(col("__h"))
+    // typed tuple collect copied straight into two PRIMITIVE long
+    // arrays: the Viterbi loop reads unboxed longs, and with the
+    // 1<<20 default bound (≈ 120 years of hours — generous for any
+    // real hourly series) the worst-case driver footprint is ~40 MB
+    // transient, not 4M boxed Rows (r18's 1<<22 Row-array bound)
+    val costRows = hourly.orderBy(col("__h"))
       .select(
         floor((lit(lam0) - col("__k").cast(DoubleType) * log(lit(lam0)))
           * lit(1e6)).cast(LongType).as("c0"),
         floor((lit(lam1) - col("__k").cast(DoubleType) * log(lit(lam1)))
           * lit(1e6)).cast(LongType).as("c1"))
+      .as[(Long, Long)]
       .collectBounded(maxSeriesRows, "O(time-range) burst cost series")
+    val cost0 = new Array[Long](costRows.length)
+    val cost1 = new Array[Long](costRows.length)
+    var j = 0
+    while (j < costRows.length) {
+      cost0(j) = costRows(j)._1; cost1(j) = costRows(j)._2; j += 1
+    }
     val big = gamma * math.log(n.toDouble)
     val g = math.floor(big * 1e6).toLong
     // augmented Viterbi state per automaton state:
     // (cost, burstHours, bursts, curRun, maxRun, firstIdx)
     final case class P(d: Long, bh: Long, nb: Long, cur: Long, mx: Long,
                        first: Long)
-    var p0 = P(costs(0).getLong(0), 0L, 0L, 0L, 0L, -1L)
-    var p1 = P(g + costs(0).getLong(1), 1L, 1L, 1L, 1L, 0L)
+    var p0 = P(cost0(0), 0L, 0L, 0L, 0L, -1L)
+    var p1 = P(g + cost1(0), 1L, 1L, 1L, 1L, 0L)
     var i = 1
-    while (i < costs.length) {
-      val (c0, c1) = (costs(i).getLong(0), costs(i).getLong(1))
+    while (i < cost0.length) {
+      val (c0, c1) = (cost0(i), cost1(i))
       // base at i: from min(d0, d1), tie -> base
       val fromBase0 = p0.d <= p1.d
       val pb = if (fromBase0) p0 else p1

@@ -154,14 +154,34 @@ object TableOps {
     def randNth(seed: Long = 42L): DataFrame =
       df.orderBy(rand(seed)).limit(1)
 
-    /** select-rows by index list (negative = from end not supported — use
-      * tail). Requires a row index column from withRowIndex. */
+    /** select-rows by index list; NEGATIVE indices count from the end
+      * (reference dataset_test.clj `negative-index-on-columns-gets-last`:
+      * −1 = last row). Requires a row index column from withRowIndex.
+      * The from-end resolution stays in-plan: row count rides a 1-row
+      * broadcast aggregate (never a driver readout), so the positive
+      * fast path's single codegen'd IN filter is unchanged. */
     def selectRows(idxCol: String, indices: Seq[Long]): DataFrame =
-      df.filter(col(idxCol).isin(indices: _*))
+      filterByIndex(idxCol, indices, keep = true)
 
-    /** drop-rows by index list. */
+    /** drop-rows by index list (negative = from end, as selectRows). */
     def dropRows(idxCol: String, indices: Seq[Long]): DataFrame =
-      df.filter(!col(idxCol).isin(indices: _*))
+      filterByIndex(idxCol, indices, keep = false)
+
+    private def filterByIndex(idxCol: String, indices: Seq[Long],
+                              keep: Boolean): DataFrame = {
+      val (neg, pos) = indices.partition(_ < 0)
+      val posHit =
+        if (pos.isEmpty) lit(false) else col(idxCol).isin(pos: _*)
+      if (neg.isEmpty)
+        return df.filter(if (keep) posHit else !posHit)
+      // n = max index + 1 as a 1-row broadcast aggregate (never a
+      // driver readout): idx − n ∈ negs ⇔ idx is the |neg|-th from end
+      val nf = broadcast(df.agg((max(col(idxCol)) + lit(1L)).as("__n")))
+      val hit = posHit || (col(idxCol) - col("__n")).isin(neg: _*)
+      df.crossJoin(nf)
+        .filter(if (keep) hit else !hit)
+        .drop("__n")
+    }
 
     /** head (reference dataset_api.clj:381-389). */
     def head(n: Int): DataFrame = df.limit(n)

@@ -136,6 +136,43 @@ class CoreOpsSpec extends SparkSuite {
     val loc = Seq("a", "b", "c", "d").toDF("v").withRowIndexLocal(Seq(col("v")))
     assert(loc.orderBy("row_idx").collect().map(r => (r.getString(0), r.getLong(1)))
       .toSeq == Seq(("a", 0L), ("b", 1L), ("c", 2L), ("d", 3L)))
+    // NEGATIVE indices count from the end (reference dataset_test.clj
+    // negative-index-on-columns-gets-last: −1 = last row); mixed
+    // positive + negative lists resolve both sides
+    assert(df.selectRows("row_idx", Seq(-1L))
+      .collect().map(_.getString(0)).toSeq == Seq("d"))
+    assert(df.selectRows("row_idx", Seq(0L, -2L))
+      .orderBy("row_idx").collect().map(_.getString(0)).toSeq == Seq("a", "c"))
+    assert(df.dropRows("row_idx", Seq(-1L, -2L))
+      .orderBy("row_idx").collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+  }
+
+  test("reference edge-case pins: all-missing column survives value-fill; " +
+       "unique-by on an all-null key; int arithmetic propagates missing") {
+    // replace-missing :value mean on an ALL-null column: the fill value
+    // itself is missing → both slots stay missing, no crash
+    // (reference dataset_test.clj replace-missing-all-values-missing)
+    val allNull = Seq[Option[Double]](None, None).toDF("a")
+    val meanRow = allNull.agg(avg(col("a")).as("m")).collect()(0)
+    assert(meanRow.isNullAt(0))
+    val filled = Missing.fillValue(allNull,
+      Map("a" -> (if (meanRow.isNullAt(0)) null else meanRow.getDouble(0))))
+    assert(filled.filter(col("a").isNull).count() == 2L)
+    // unique-by over an all-null key column returns the single null
+    // group, no crash (reference unique-by-nil-regression)
+    val nullKey = Seq[(Option[String], Int)]((None, 1), (None, 2))
+      .toDF("abc", "v")
+    assert(nullKey.uniqueByColumn(Seq("abc"), Seq(col("v"))).count() == 1L)
+    // integer column + scalar with a missing slot: the missing slot
+    // stays missing, others compute (reference
+    // binary-ops-on-integer-missing-results-in-nan; Spark's null
+    // propagation IS the reference's missing propagation)
+    val ints = Seq[Option[Long]](Some(1L), Some(2L), None, Some(4L))
+      .toDF("a").withColumn("b", col("a") + lit(1L))
+    assert(ints.filter(col("b").isNull).count() == 1L)
+    assert(ints.orderBy(col("a").asc_nulls_last).collect()
+      .map(r => if (r.isNullAt(1)) -1L else r.getLong(1)).toSeq ==
+      Seq(2L, 3L, 5L, -1L))
   }
 
   test("fitLabelMap: distributed ranking, no window stage, high cardinality") {

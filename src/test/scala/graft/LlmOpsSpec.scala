@@ -1279,6 +1279,39 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("jaccardJoinApproxWithStats: bucket cap fires observably — capped " +
+       "count + dropped pair mass reported, survivors still verified") {
+    import spark.implicits._
+    // 4 identical docs (share EVERY band → bucket size 4) + 2 identical
+    // docs (bucket size 2): maxBucket = 2 drops every hot A-bucket whole
+    // while the B pair survives and verifies exactly
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "alpha beta gamma delta epsilon zeta"),
+      (5L, "one two three four five six seven"),
+      (6L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val (out, stats) = graft.llm.TextDedup.jaccardJoinApproxWithStats(
+      docs, "doc_id", "text", k = 3, threshold = 0.3, maxBucket = 2)
+    val pairs = out.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((5L, 6L)),
+      s"only the uncapped pair survives, got $pairs")
+    // telemetry: every capped bucket held the 4 identical docs → each
+    // dropped exactly 4·3/2 = 6 candidate pairs
+    assert(stats.cappedBuckets > 0, "cap must have fired")
+    assert(stats.droppedPairs == stats.cappedBuckets * 6L,
+      s"pair mass must be n(n-1)/2 per capped bucket: $stats")
+    // default cap: nothing dropped on this corpus, telemetry is zero,
+    // and all three A-pairs (plus the B pair) come back
+    val (out2, stats2) = graft.llm.TextDedup.jaccardJoinApproxWithStats(
+      docs, "doc_id", "text", k = 3, threshold = 0.3)
+    assert(stats2 == graft.llm.TextDedup.LshCapStats(0L, 0L))
+    assert(out2.count() == 7L) // C(4,2) A-pairs + (5,6)
+  }
+
   test("clusterTerms: exclusive terms outrank ubiquitous ones; scores " +
        "follow the c-TF-IDF closed form") {
     import spark.implicits._

@@ -153,6 +153,19 @@ class StatsTier17Spec extends SparkSuite {
     assert(byId(2L) == (Graph.Scale, 0L))
   }
 
+  test("hits: empty edge set returns an empty frame, not an NPE") {
+    // r18 regression: the degree-maxima readout is max() over zero
+    // groups → a 1-row NULL, which getLong NPE'd on
+    val e = Seq.empty[(Long, Long)].toDF("s", "d")
+    val r = Graph.hits(e, "s", "d", iters = 2)
+    assert(r.columns.toSeq == Seq("id", "hub", "auth"))
+    assert(r.count() == 0L)
+    // all-null edges filter down to the same degenerate input
+    val nulls = Seq((null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(1L)))
+      .toDF("s", "d")
+    assert(Graph.hits(nulls, "s", "d").count() == 0L)
+  }
+
   test("hits: hub mass follows out-degree onto shared authorities") {
     // a→{x,y}, b→{x}: a sees both authorities → bigger hub than b
     val e = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("s", "d")
