@@ -3672,6 +3672,17 @@ object ExtQueries {
         .drop("__r")
       Stats.burstDetect(ev.unionByName(boost), "ts", "event_type",
         "purchase", s = 2.0, gamma = 1.0)
+    },
+
+    // Positional row selection with NEGATIVE (from-end) indices — the
+    // reference's select-rows semantics (−1 = last row), resolved
+    // in-plan via a broadcast 1-row count, mixed with positive indices.
+    "q391_negative_row_select" -> { (s, dir) =>
+      import graft.ops.TableOps._
+      t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+        .withRowIndex(Seq(col("s_suppkey")), "row_idx")
+        .selectRows("row_idx", Seq(0L, 2L, -1L, -3L))
+        .orderBy(col("row_idx"))
     }
   )
 
@@ -11430,6 +11441,18 @@ object ExtQueries {
              THEN NULL
              ELSE (CASE WHEN f.d0 <= f.d1 THEN f.f0 ELSE f.f1 END) END
              AS first_burst_idx
-         FROM fin f CROSS JOIN tot t CROSS JOIN lam l"""
+         FROM fin f CROSS JOIN tot t CROSS JOIN lam l""",
+
+    // mirrors selectRows with mixed positive/negative indices: 0-based
+    // row number over the total order, from-end indices resolved
+    // against the row count.
+    "q391_negative_row_select" ->
+      """WITH r AS (SELECT s_suppkey, s_name,
+             ROW_NUMBER() OVER (ORDER BY s_suppkey) - 1 AS row_idx,
+             COUNT(*) OVER () AS n
+           FROM supplier)
+         SELECT row_idx, s_suppkey, s_name FROM r
+         WHERE row_idx IN (0, 2) OR row_idx - n IN (-1, -3)
+         ORDER BY row_idx"""
   )
 }

@@ -85,6 +85,23 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // q373's bucket-cap TELEMETRY, oracle-verified: with the cap forced
+    // low, the capped-bucket count, the candidate-pair mass those
+    // buckets dropped, and the surviving verified-pair count are all
+    // pure functions of the text (band keys are md5-derived) — so the
+    // recall-decay readout a 100 TB caller asserts on is itself
+    // bit-exact against the SQL replay, not just a log line.
+    "q390_lsh_cap_telemetry" -> { (s, dir) =>
+      val (out, st) = TextDedup.jaccardJoinApproxWithStats(
+        t(s, dir, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.5, numHashes = 64, bands = 32, maxBucket = 4)
+      val nPairs = out.count()
+      graft.ops.Checkpoints.releaseLocalCheckpoint(out)
+      import s.implicits._
+      Seq((st.cappedBuckets, st.droppedPairs, nPairs))
+        .toDF("capped_buckets", "dropped_pairs", "surviving_pairs")
+    },
+
     // TextRank keywords: integer fixed-point PageRank over the adjacent
     // co-occurrence token graph — tokens important because their
     // NEIGHBORS are important, not merely frequent.
@@ -1174,6 +1191,34 @@ object LlmQueries {
          FROM p
          WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.5
          ORDER BY 1, 2""",
+
+    // mirrors jaccardJoinApproxWithStats' LshCapStats at maxBucket = 4:
+    // bucket sizes off the same banding CTEs, capped-bucket count +
+    // n(n-1)/2 pair mass over the > 4 buckets, and the surviving
+    // verified-pair count over the <= 4 buckets.
+    "q390_lsh_cap_telemetry" ->
+      s"""WITH ${minhashCandidateCtes(32)},
+         sets AS (SELECT id, list_distinct(s) AS ts FROM sh
+           WHERE len(s) > 0),
+         bsz AS (SELECT band, COUNT(*) AS n FROM banded GROUP BY 1),
+         cap AS (SELECT COUNT(*) AS cb,
+             COALESCE(SUM(n * (n - 1) // 2), 0) AS dp FROM bsz WHERE n > 4),
+         okb AS (SELECT b.id, b.band FROM banded b
+           JOIN bsz z USING (band) WHERE z.n <= 4),
+         cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           FROM okb x JOIN okb y ON x.band = y.band AND x.id < y.id),
+         p AS (SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS i,
+             CAST(len(a.ts) AS BIGINT) AS la,
+             CAST(len(b.ts) AS BIGINT) AS lb
+           FROM cand c JOIN sets a ON a.id = c.id_a
+             JOIN sets b ON b.id = c.id_b),
+         surv AS (SELECT COUNT(*) AS sp FROM p
+           WHERE CAST(i AS DOUBLE) / CAST(la + lb - i AS DOUBLE) >= 0.5)
+         SELECT CAST(cap.cb AS BIGINT) AS capped_buckets,
+           CAST(cap.dp AS BIGINT) AS dropped_pairs,
+           CAST(surv.sp AS BIGINT) AS surviving_pairs
+         FROM cap, surv""",
 
     // mirrors TextStats.textRankKeywords: vocab >= 5 with 60-bit md5
     // ids, distinct symmetric adjacent-pair edges, the q149 integer

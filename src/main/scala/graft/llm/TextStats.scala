@@ -1096,21 +1096,33 @@ object TextStats {
     * checkpoints, cache release at exit). Returns (token, rank). */
   def textRankKeywords(df: DataFrame, textCol: String, minCount: Long = 5L,
                        iters: Int = 3, damp: Int = 85): DataFrame = {
+    // ONE tokenize pass over the corpus: per-doc token arrays are
+    // persisted once, and BOTH derivations (vocab counts, adjacent
+    // pairs) read the cached arrays — r18 ran the full normalize+
+    // tokenize pipeline twice (once for counts, once for 2-shingles),
+    // and the corpus scan, not the tiny vocab graph, is this
+    // operator's real wall
     val base = graft.ops.Layout.spreadScan(df)
+      .select(TextDedup.tokens(col(textCol)).as("__w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val toks = base
-      .select(explode_outer(TextDedup.tokens(col(textCol))).as("w"))
+      .select(explode_outer(col("__w")).as("w"))
       .filter(col("w").isNotNull && length(col("w")) > 0)
     val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount)
       .select(col("w"), TextDedup.h60(col("w")).as("__id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // adjacent pairs straight off the token array (same (w1, w2) set
+    // the 2-shingle split produced); explode_OUTER + a null filter on
+    // the GENERATED column so InferFiltersFromGenerate can't sink a
+    // duplicate transform() below the generate (the q279 lesson)
     val bi = base
-      .select(explode_outer(TextDedup.shingles(col(textCol), 2)).as("s"))
-      .filter(col("s").isNotNull)
-      .select(split(col("s"), " ").as("__p"))
-      .filter(size(col("__p")) === 2)
-      .select(element_at(col("__p"), 1).as("w1"),
-        element_at(col("__p"), 2).as("w2"))
+      .select(explode_outer(when(size(col("__w")) >= 2, expr(
+        "transform(slice(__w, 1, size(__w) - 1), (x, i) -> " +
+          "named_struct('w1', x, 'w2', element_at(__w, i + 2)))")))
+        .as("__p"))
+      .filter(col("__p").isNotNull)
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
       .filter(col("w1") =!= col("w2"))
       .join(vocab.select(col("w").as("w1"), col("__id").as("__a")), "w1")
       .join(vocab.select(col("w").as("w2"), col("__id").as("__b")), "w2")
@@ -1130,15 +1142,21 @@ object TextStats {
     // here — the opposite regime from the sf-scaled trading graph where
     // cadence-1 wins on AQE statistics (see pageRank's scaladoc; on a
     // 3-round loop the lineage stays shallow without them)
+    // localEdgeThreshold: the vocab co-occurrence graph is bounded by
+    // the (minCount-filtered) vocabulary — thousands of edges, not
+    // corpus-sized — so the distributed rank loop's ~3·iters tiny-stage
+    // jobs ARE the operator's wall; the gated local fold replays the
+    // identical integer arithmetic (see pageRankLocal's parity spec)
     val ranks = graft.ops.Graph.pageRank(edges, "src", "dst",
       iters = iters, damp = damp, dedupEdges = false,
-      checkpointEvery = iters)
+      checkpointEvery = iters, localEdgeThreshold = 1L << 20)
     val names = vocab.groupBy(col("__id")).agg(min(col("w")).as("token"))
     val out = ranks.join(names, ranks("id") === names("__id"))
       .select(col("token"), col("r").as("rank"))
       .localCheckpoint(true)
     edges.unpersist()
     vocab.unpersist()
+    base.unpersist()
     out
   }
 }

@@ -98,7 +98,8 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 5, damp: Int = 85,
                dedupEdges: Boolean = true,
-               checkpointEvery: Int = 1): DataFrame = {
+               checkpointEvery: Int = 1,
+               localEdgeThreshold: Long = 0L): DataFrame = {
     require(iters >= 1 && damp >= 0 && damp <= 100 && checkpointEvery >= 1)
     // dedupEdges=false skips a full edge shuffle when the caller's edge
     // list is already distinct (e.g. tradingPairsGraph); duplicate edges
@@ -107,6 +108,16 @@ object Graph {
         col(dstCol).cast(LongType).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
     val e = if (dedupEdges) e0.distinct() else e0
+    // GATED small-graph fast path (the dedupGroupsLocal convention):
+    // when the caller states the graph is tiny (vocab graphs, fixture
+    // graphs), a distributed rank loop is pure job-scheduling overhead
+    // — each of the ~3·iters tiny-stage jobs costs more wall than the
+    // whole computation. The local loop replays the EXACT integer
+    // arithmetic of the distributed plan (floor divs in the same
+    // order), so results are bit-identical; the threshold check is one
+    // cheap count, paid only by callers who opt in.
+    if (localEdgeThreshold > 0L && e.count() <= localEdgeThreshold)
+      return pageRankLocal(e, iters, damp, localEdgeThreshold)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val edged = e.join(deg, "src")
       .repartition(col("src"))
@@ -178,6 +189,65 @@ object Graph {
     edged.unpersist()
     nodes.unpersist()
     out
+  }
+
+  /** Small-graph fast path for [[pageRank]] (caller-gated via
+    * `localEdgeThreshold`): the collected edge list is folded with the
+    * SAME integer arithmetic as the distributed plan — r₀ = Scale/n,
+    * base = (100−damp)·(Scale/n)/100, share = r div outdeg summed per
+    * dst, r' = base + damp·(s + dmass div n) div 100 — every op an
+    * exact Long floor-div/add, so the output is bit-identical to the
+    * distributed loop on any graph (PageRankLocalParitySpec asserts
+    * this on dangling and non-dangling graphs). */
+  private def pageRankLocal(e: DataFrame, iters: Int,
+                            damp: Int, bound: Long): DataFrame = {
+    val spark = e.sparkSession
+    import graft.ops.Bounded._
+    val rows = e.collectBounded(math.min(bound, Int.MaxValue - 1L).toInt,
+      "gated sub-threshold pageRank fast path")
+    val idx = new java.util.HashMap[Long, Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def ix(v: Long): Int = {
+      val g = idx.get(v)
+      if (g != null) g.intValue()
+      else { idx.put(v, ids.length); ids += v; ids.length - 1 }
+    }
+    val es = new Array[Int](rows.length)
+    val ed = new Array[Int](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      es(i) = ix(rows(i).getLong(0)); ed(i) = ix(rows(i).getLong(1)); i += 1
+    }
+    import spark.implicits._
+    if (ids.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("id", "r")
+    val n = ids.length.toLong
+    val outdeg = new Array[Long](ids.length)
+    i = 0; while (i < es.length) { outdeg(es(i)) += 1L; i += 1 }
+    val r0 = Scale / n
+    val base = (100 - damp) * (Scale / n) / 100
+    var r = Array.fill(ids.length)(r0)
+    val hasDangling = outdeg.contains(0L)
+    for (_ <- 1 to iters) {
+      val s = new Array[Long](ids.length)
+      var j = 0
+      while (j < es.length) { s(ed(j)) += r(es(j)) / outdeg(es(j)); j += 1 }
+      val dm =
+        if (!hasDangling) 0L
+        else {
+          var d = 0L; var k = 0
+          while (k < r.length) { if (outdeg(k) == 0L) d += r(k); k += 1 }
+          d / n
+        }
+      val nr = new Array[Long](ids.length)
+      var k = 0
+      while (k < r.length) {
+        nr(k) = base + damp.toLong * (s(k) + dm) / 100; k += 1
+      }
+      r = nr
+    }
+    spark.createDataset(ids.indices.map(k => (ids(k), r(k))))
+      .toDF("id", "r")
   }
 
   /** Synchronous LABEL-PROPAGATION community detection (Raghavan et al.
