@@ -540,6 +540,25 @@ class AdvancedSpec extends SparkSuite {
     assert(out(0).getAs[String]("vb") == null && out(2).getAs[String]("va") == null)
   }
 
+  test("pdMerge: cross-width numeric keys match (reference short-types); " +
+       "rows multiply on duplicate keys (issue-381 semantics)") {
+    // SHORT-typed key on one side, LONG on the other: the merge must
+    // match on VALUE (Spark widens implicitly, like the reference's
+    // boxed-number equality)
+    val lds = Seq((java.lang.Short.valueOf(2022.toShort), "foo"))
+      .toDF("y", "i")
+    val rds = Seq((2022L, "foo", "2022"), (2023L, "foo", "2023"))
+      .toDF("y", "i", "s")
+    val j = graft.ops.Joins.pdMerge(lds, rds, Seq("i", "y"), "inner")
+      .collect()
+    assert(j.length == 1 && j(0).getAs[String]("s") == "2022")
+    // duplicate keys on both sides: |L|·|R| rows per key, never deduped
+    val l10 = Seq.fill(10)(1).toDF("row")
+    val r4 = Seq.fill(4)(1).toDF("row")
+    assert(graft.ops.Joins.pdMerge(l10, r4, Seq("row"), "left")
+      .count() == 40L)
+  }
+
   test("keyJoin prefixes right-side collisions") {
     val a = Seq((1, "x")).toDF("k", "v")
     val b = Seq((1, "y")).toDF("kb", "v")
