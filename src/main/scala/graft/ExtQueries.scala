@@ -3683,6 +3683,24 @@ object ExtQueries {
         .withRowIndex(Seq(col("s_suppkey")), "row_idx")
         .selectRows("row_idx", Seq(0L, 2L, -1L, -3L))
         .orderBy(col("row_idx"))
+    },
+
+    // HyperANF neighborhood function over the trading graph: per-radius
+    // total ball mass N(r) + the effective-diameter 90% flag — the
+    // whole-graph connectivity readout (same KMV round machinery as
+    // q381, exact-decimal ball-mass sums).
+    "q392_neighborhood_function" -> { (s, dir) =>
+      Graph.neighborhoodFunction(
+        Graph.tradingPairsGraph(t(s, dir, "orders"), t(s, dir, "lineitem")),
+        "src", "dst", radius = 2, k = 16)
+        .orderBy(col("r"))
+    },
+
+    // Mann-Kendall trend + Sen's slope on the hourly click-count
+    // series — the nonparametric "is this metric trending" readout;
+    // exact integer S, tie-corrected variance, lower-median slope.
+    "q393_mann_kendall" -> { (s, dir) =>
+      Stats.mannKendall(t(s, dir, "events"), "ts", "event_type", "click")
     }
   )
 
@@ -11453,6 +11471,94 @@ object ExtQueries {
            FROM supplier)
          SELECT row_idx, s_suppkey, s_name FROM r
          WHERE row_idx IN (0, 2) OR row_idx - n IN (-1, -3)
-         ORDER BY row_idx"""
+         ORDER BY row_idx""",
+
+    // mirrors Graph.neighborhoodFunction (radius 2, k = 16) over the
+    // trading graph: the q381 per-round min-16 ball CTEs, per-round
+    // exact decimal sums of FLOOR(est·10⁶), coverage vs N(2), and the
+    // exact-integer 90% effective-diameter flag.
+    "q392_neighborhood_function" -> {
+      def round(r: Int): String = {
+        val prev = s"b${r - 1}"
+        s"""x$r AS (SELECT e.src AS id, unnest(b.ball) AS h
+             FROM e JOIN $prev b ON e.dst = b.id
+           UNION ALL SELECT id, unnest(ball) FROM $prev),
+         d$r AS (SELECT DISTINCT id, h FROM x$r),
+         r$r AS (SELECT id, h,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY h) AS rk FROM d$r),
+         m$r AS MATERIALIZED (SELECT id, list(h ORDER BY h) AS ball
+           FROM r$r WHERE rk <= 16 GROUP BY 1),
+         b$r AS MATERIALIZED (SELECT id, ball,
+             CASE WHEN len(ball) < 16 THEN CAST(len(ball) AS DOUBLE)
+               ELSE 15.0 * 1.152921504606846976e18
+                 / CAST(ball[16] AS DOUBLE) END AS est
+           FROM m$r),
+         s$r AS (SELECT $r AS r, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(FLOOR(est * 1000000.0) AS DECIMAL(38,0))) AS s
+           FROM b$r)"""
+      }
+      s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS cnode,
+             l_suppkey * 2 + 1 AS snode
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS MATERIALIZED (SELECT cnode AS src, snode AS dst FROM pairs
+           UNION ALL SELECT snode, cnode FROM pairs),
+         n0 AS (SELECT DISTINCT src AS id FROM e
+           UNION SELECT DISTINCT dst FROM e),
+         b0 AS MATERIALIZED (SELECT id,
+             [CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 15))
+               AS BIGINT)] AS ball,
+             1.0 AS est FROM n0),
+         s0 AS (SELECT 0 AS r, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(FLOOR(est * 1000000.0) AS DECIMAL(38,0))) AS s
+           FROM b0),
+         ${round(1)},
+         ${round(2)},
+         u AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+           UNION ALL SELECT * FROM s2),
+         mx AS (SELECT s AS smax FROM s2)
+         SELECT u.r, u.n AS n_nodes,
+           CAST(u.s AS DOUBLE) / 1000000.0 AS sum_ball,
+           CAST(u.s AS DOUBLE) / CAST(mx.smax AS DOUBLE) AS coverage,
+           (10 * u.s >= 9 * mx.smax) AS reaches_90pct
+         FROM u CROSS JOIN mx ORDER BY u.r"""
+    },
+
+    // mirrors Stats.mannKendall over hourly click counts: exact
+    // integer S, tie-corrected Var(S), continuity-corrected z, and the
+    // LOWER-median Sen slope (rank ceil(m/2) selection — no
+    // interpolation average).
+    "q393_mann_kendall" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS y
+           FROM events WHERE ts IS NOT NULL AND event_type = 'click'
+           GROUP BY 1),
+         ix AS (SELECT y, ROW_NUMBER() OVER (ORDER BY h) - 1 AS i FROM h),
+         p AS (SELECT a.i AS i, b.i AS j, a.y AS xi, b.y AS xj
+           FROM ix a JOIN ix b ON b.i > a.i),
+         sl AS (SELECT CASE WHEN xj > xi THEN 1
+               WHEN xj < xi THEN -1 ELSE 0 END AS sg,
+             CAST(xj - xi AS DOUBLE) / CAST(j - i AS DOUBLE) AS sl FROM p),
+         sen AS (SELECT sl AS sen_slope FROM (
+             SELECT sl, ROW_NUMBER() OVER (ORDER BY sl) AS rn,
+               COUNT(*) OVER () AS m FROM sl) q
+           WHERE rn = CAST(CEIL(CAST(m AS DOUBLE) / 2.0) AS BIGINT)),
+         sa AS (SELECT CAST(SUM(sg) AS BIGINT) AS s_stat FROM sl),
+         ta AS (SELECT CAST(SUM(t) AS BIGINT) AS n_hours,
+             COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+               AS tsum
+           FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM ix GROUP BY y) g),
+         v AS (SELECT *,
+             CAST(n_hours * (n_hours - 1) * (2 * n_hours + 5) - tsum
+               AS DOUBLE) / 18.0 AS var_s
+           FROM ta CROSS JOIN sa)
+         SELECT n_hours, s_stat, var_s,
+           CASE WHEN var_s > 0 THEN
+             CASE WHEN s_stat > 0
+                 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+               WHEN s_stat < 0
+                 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+               ELSE 0.0 END END AS z,
+           sen.sen_slope
+         FROM v CROSS JOIN sen"""
   )
 }

@@ -500,6 +500,84 @@ object Graph {
     out
   }
 
+  /** HyperANF-style NEIGHBORHOOD FUNCTION (Boldi/Rosa/Vigna 2011): per
+    * radius r, the total KMV-estimated ball mass Σᵥ |B(v, r)| — THE
+    * whole-graph connectivity readout at scale ("how much of the graph
+    * is within r hops"), plus per-row coverage vs the largest measured
+    * radius and the HyperANF effective-diameter flag (the smallest r
+    * whose mass reaches 90% of N(R), decided by EXACT scaled-integer
+    * compare `10·s_r ≥ 9·s_R` — no FP threshold to drift). Reuses
+    * [[harmonicCentralityKmv]]'s round machinery: portable md5 min-k
+    * sketches, one `kmv_sketch` O(k)-buffer aggregation per round, the
+    * (k−1)·2⁶⁰/h_k estimator — every round and every readout replays
+    * bit-exactly in SQL. Ball-mass sums fold through floor-scaled
+    * exact decimal sums (the isum convention) so the Σ over nodes is
+    * reduce-order-independent. Returns (r, n_nodes, sum_ball,
+    * coverage, reaches_90pct) for r = 0..radius. */
+  def neighborhoodFunction(edges: DataFrame, srcCol: String,
+                           dstCol: String, radius: Int = 2,
+                           k: Int = 16): DataFrame = {
+    require(radius >= 1 && radius <= 8, s"radius=$radius")
+    require(k >= 4 && k <= 256, s"k=$k")
+    graft.functions.Kmv.register(edges.sparkSession)
+    import graft.ops.Bounded._
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val hOf = (c: Column) =>
+      conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+    val estOf = (ball: Column) =>
+      when(size(ball) < k, size(ball).cast(DoubleType))
+        .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+          element_at(ball, k).cast(DoubleType))
+    // O(1) per-round readout: node count + EXACT decimal sum of the
+    // floor-scaled ball estimates (native decimal sum — exact integer
+    // accumulation, order-independent)
+    def readout(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val row = df.agg(count(lit(1)).as("n"),
+          sum(floor(col("est") * lit(1e6)).cast(DecimalType(38, 0)))
+            .as("s"))
+        .collectBounded(1, "O(1) neighborhood-function round readout").head
+      (row.getLong(0), row.getDecimal(1))
+    }
+    var balls = nodes.select(col("id"), array(hOf(col("id"))).as("ball"),
+        lit(1.0).as("est"))
+      .localCheckpoint(true)
+    var lastCk: Option[DataFrame] = Some(balls)
+    val sums = scala.collection.mutable.ArrayBuffer(readout(balls))
+    for (r <- 1 to radius) {
+      val fromNbr = e.join(balls, e("dst") === balls("id"))
+        .select(e("src").as("id"), explode(col("ball")).as("__h"))
+      val own = balls.select(col("id"), explode(col("ball")).as("__h"))
+      val next = fromNbr.unionByName(own)
+        .groupBy(col("id"))
+        .agg(expr(s"kmv_sketch(__h, $k)").as("ball"))
+        .select(col("id"), col("ball"), estOf(col("ball")).as("est"))
+        .localCheckpoint(true)
+      lastCk.foreach(Checkpoints.releaseLocalCheckpoint)
+      lastCk = Some(next)
+      balls = next
+      sums += readout(balls)
+    }
+    lastCk.foreach(Checkpoints.releaseLocalCheckpoint)
+    e.unpersist()
+    val sMax = sums.last._2
+    val spark = edges.sparkSession
+    import spark.implicits._
+    sums.toSeq.zipWithIndex.map { case ((n, s), r) =>
+      (r, n, s.doubleValue() / 1e6,
+        s.doubleValue() / sMax.doubleValue(),
+        s.multiply(java.math.BigDecimal.TEN)
+          .compareTo(sMax.multiply(new java.math.BigDecimal(9))) >= 0)
+    }.toDF("r", "n_nodes", "sum_ball", "coverage", "reaches_90pct")
+  }
+
   /** k-core decomposition by iterative peeling: repeatedly drop nodes
     * with degree < k (and their edges) for a FIXED number of rounds —
     * deterministic, partition-invariant, and SQL-replayable (the oracle

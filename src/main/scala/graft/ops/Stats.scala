@@ -4046,6 +4046,71 @@ object Stats {
           .as("trimmed_mean"))
   }
 
+  /** MANN-KENDALL TREND TEST + SEN'S SLOPE over the hourly count
+    * series — the standard nonparametric "is this metric trending"
+    * readout (sign-based, so outlier-immune; the robust companion to
+    * [[adfTest]]'s stationarity view). S = Σ_{i<j} sign(y_j − y_i) is
+    * an exact integer; Var(S) uses the tie-corrected closed form
+    * (n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18; z applies the ±1 continuity
+    * correction. Sen's slope is pinned to the LOWER MEDIAN (rank
+    * ⌈m/2⌉ of the sorted pairwise slopes) — a pure selection, no
+    * interpolation average whose engine-specific formula could drift
+    * a ulp. All slopes are (int−int)/(int−int) doubles, so both
+    * engines divide identical exact values.
+    *
+    * Scale shape: the series is the HOURLY aggregate (flat in SF —
+    * 10× rows means denser hours, not more of them), guarded in-plan
+    * by [[seriesBound]] at 4096 hours, so the O(h²) pair frame is
+    * ≤ 8.4M rows by construction and the global slope-rank window is
+    * a bounded single sort. Returns one row
+    * (n_hours, s_stat, var_s, z, sen_slope). */
+  def mannKendall(df: DataFrame, tsCol: String, typeCol: String,
+                  yType: String, maxHours: Long = 1L << 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.TableOps._
+    val hourly = df
+      .filter(col(tsCol).isNotNull && col(typeCol) === yType)
+      .groupBy(date_trunc("hour", col(tsCol)).as("__h"))
+      .agg(count(lit(1)).as("__y0"))
+      // in-plan O(time-range) contract (the q389/periodogram doctrine)
+      .withColumn("__y", seriesBound(col("__y0"),
+        count(lit(1)).over(Window.partitionBy()), maxHours, "mannKendall"))
+      .select(col("__h"), col("__y"))
+    val idx = hourly.withRowIndex(Seq(col("__h")), "__i")
+    val pairs = idx.select(col("__i").as("i"), col("__y").as("xi"))
+      .join(idx.select(col("__i").as("j"), col("__y").as("xj")),
+        col("j") > col("i"))
+    val slopes = pairs.select(
+      when(col("xj") > col("xi"), 1L)
+        .when(col("xj") < col("xi"), -1L).otherwise(0L).as("__sg"),
+      ((col("xj") - col("xi")).cast(DoubleType) /
+        (col("j") - col("i")).cast(DoubleType)).as("__sl"))
+    val sen = slopes.select(col("__sl"))
+      .withColumn("__rn",
+        row_number().over(Window.orderBy(col("__sl"))).cast(LongType))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("__rn") ===
+        ceil(col("__m").cast(DoubleType) / lit(2.0)).cast(LongType))
+      .select(col("__sl").as("sen_slope"))
+    val sAgg = slopes.agg(sum(col("__sg")).as("s_stat"))
+    val tAgg = idx.groupBy(col("__y")).agg(count(lit(1)).as("__t"))
+      .agg(sum(col("__t")).as("n_hours"),
+        coalesce(sum(expr("__t * (__t - 1) * (2 * __t + 5)")), lit(0L))
+          .as("__tsum"))
+    val varS = (col("n_hours") * (col("n_hours") - lit(1L)) *
+      (lit(2L) * col("n_hours") + lit(5L)) - col("__tsum"))
+      .cast(DoubleType) / lit(18.0)
+    tAgg.crossJoin(sAgg).crossJoin(sen)
+      .select(col("n_hours"), col("s_stat"), varS.as("var_s"),
+        when(varS > 0.0,
+          when(col("s_stat") > 0L,
+            (col("s_stat") - lit(1L)).cast(DoubleType) / sqrt(varS))
+            .when(col("s_stat") < 0L,
+              (col("s_stat") + lit(1L)).cast(DoubleType) / sqrt(varS))
+            .otherwise(lit(0.0))).as("z"),
+        col("sen_slope"))
+  }
+
   /** KLEINBERG-STYLE BURST DETECTION (2-state automaton) over the
     * hourly count series: state 0 emits at the base rate λ₀ = mean
     * hourly count, state 1 at λ₁ = s·λ₀; per-hour cost is the Poisson

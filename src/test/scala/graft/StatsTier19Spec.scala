@@ -112,6 +112,40 @@ class StatsTier19Spec extends SparkSuite {
     assert(r(1L) == 1.5 && r(2L) == 1.0 && r(3L) == 0.0, r.toString)
   }
 
+  test("neighborhoodFunction: directed path 1->2->3 — exact ball sums, " +
+       "coverage, and the 90% effective-diameter flag") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val r = Graph.neighborhoodFunction(e, "s", "d", radius = 2, k = 16)
+      .orderBy("r").collect()
+    // balls pull along v→u: r0 sizes (1,1,1)=3; r1 (2,2,1)=5; r2 (3,2,1)=6
+    assert(r.map(_.getLong(1)).toSeq == Seq(3L, 3L, 3L)) // node universe
+    assert(r.map(_.getDouble(2)).toSeq == Seq(3.0, 5.0, 6.0), "N(r)")
+    assert(r(2).getDouble(3) == 1.0 && math.abs(r(1).getDouble(3) - 5.0 / 6.0) < 1e-12)
+    // 90% threshold: 3/6 and 5/6 miss, 6/6 reaches — d_eff = 2
+    assert(r.map(_.getBoolean(4)).toSeq == Seq(false, false, true))
+  }
+
+  test("mannKendall: monotone series S = C(n,2), slope 1; constant " +
+       "series S = 0 with null z (all-tied variance)") {
+    import spark.implicits._
+    def hourly(counts: Seq[Int]): org.apache.spark.sql.DataFrame =
+      counts.zipWithIndex.flatMap { case (c, h) =>
+        Seq.fill(c)((java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00"),
+          "click"))
+      }.toDF("ts", "event_type")
+    val up = Stats.mannKendall(hourly(Seq(1, 2, 3, 4)), "ts",
+      "event_type", "click").collect()(0)
+    assert(up.getLong(0) == 4L && up.getLong(1) == 6L) // n, S = C(4,2)
+    assert(up.getDouble(2) == (4.0 * 3 * 13) / 18.0)   // no ties
+    assert(math.abs(up.getDouble(3) - 5.0 / math.sqrt(156.0 / 18.0)) < 1e-15)
+    assert(up.getDouble(4) == 1.0, "all pairwise slopes are 1")
+    val const = Stats.mannKendall(hourly(Seq(2, 2, 2)), "ts",
+      "event_type", "click").collect()(0)
+    assert(const.getLong(1) == 0L && const.isNullAt(3), "tied: S=0, z null")
+    assert(const.getDouble(4) == 0.0)
+  }
+
   test("textRankKeywords: symmetric 2-token graph ranks both equally; " +
        "tokens below minCount never become nodes") {
     import spark.implicits._
