@@ -121,6 +121,21 @@ class PlanGuardSpec extends SparkSuite {
   test("q102 keyless fill-range: boundary-frame windows only")(
     guard("q102_fill_range_keyless", Bound))
 
+  test("q391 negative row select: broadcast count, no global funnel")(
+    guard("q391_negative_row_select", Bound))
+
+  // q392 neighborhood function: keyed kmv_sketch rounds; the only
+  // SinglePartition traffic is the per-round 1-row exact-sum readouts
+  test("q392 neighborhood function: keyed rounds + 1-row readouts only")(
+    guard("q392_neighborhood_function", Bound))
+
+  // (q393 mann-kendall is deliberately absent: its slope-rank window IS
+  // a global sort of the O(hours²) pair frame — bounded by construction
+  // via the in-plan seriesBound guard at 4096 hours and FLAT in SF (the
+  // r19 bench row measures 0.8× on 10× data), so there is no sharp
+  // row-count invariant below that contract; the contract itself is
+  // enforced by seriesBound + StatsTier19Spec.)
+
   test("q71 take-nth: distributed row index, no global funnel")(
     guard("q71_take_nth", Bound))
 
