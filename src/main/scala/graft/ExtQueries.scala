@@ -3701,6 +3701,37 @@ object ExtQueries {
     // exact integer S, tie-corrected variance, lower-median slope.
     "q393_mann_kendall" -> { (s, dir) =>
       Stats.mannKendall(t(s, dir, "events"), "ts", "event_type", "click")
+    },
+
+    // Cramér's V between the two lineitem status categoricals — the
+    // χ² association strength over the full r×c grid (zero cells
+    // included), exact BIGINT contingency + floor-scaled term sum.
+    "q394_cramers_v" -> { (s, dir) =>
+      Stats.cramersV(t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
+    },
+
+    // Mutual information + Theil's U between order status and priority —
+    // the information-theoretic association companion to q394 (observed
+    // cells only; marginal entropies alongside).
+    "q395_mutual_info" -> { (s, dir) =>
+      Stats.mutualInfo(t(s, dir, "orders"), "o_orderstatus",
+        "o_orderpriority")
+    },
+
+    // Chatterjee's ξ between the hourly view-count and click-count
+    // series — the functional-dependence coefficient (ties handled,
+    // x-ties pinned by hour); integer-exact up to one final division.
+    "q396_chatterjee_xi" -> { (s, dir) =>
+      Stats.chatterjeeXi(t(s, dir, "events"), "ts", "event_type",
+        "view", "click")
+    },
+
+    // Yule's K lexical-richness constant per language — the
+    // sample-size-invariant repetitiveness readout over the q343
+    // token-hash type counts.
+    "q397_yule_k" -> { (s, dir) =>
+      graft.llm.TextStats.yuleK(t(s, dir, "documents"), "text", "lang")
+        .orderBy(col("group"))
     }
   )
 
@@ -11559,6 +11590,128 @@ object ExtQueries {
                  THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
                ELSE 0.0 END END AS z,
            sen.sen_slope
-         FROM v CROSS JOIN sen"""
+         FROM v CROSS JOIN sen""",
+
+    // mirrors Stats.cramersV: exact BIGINT contingency over the full
+    // r×c grid (zero cells via the marginal cross join), each (o−e)²/e
+    // term in the same pinned double order, floor-scaled Σ at 1e6.
+    "q394_cramers_v" ->
+      """WITH b AS (SELECT CAST(l_returnflag AS VARCHAR) AS x,
+             CAST(l_linestatus AS VARCHAR) AS y
+           FROM lineitem
+           WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL),
+         cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS o
+           FROM b GROUP BY 1, 2),
+         xs AS (SELECT x, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         ys AS (SELECT y, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         g AS (SELECT xs.x, ys.y, rt, ct, COALESCE(o, 0) AS o
+           FROM xs CROSS JOIN ys
+           LEFT JOIN cells ON cells.x = xs.x AND cells.y = ys.y),
+         a AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT x) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT y) AS BIGINT) AS c
+           FROM g),
+         chi AS (SELECT CAST(SUM(CAST(FLOOR(
+               (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             * 1000000.0) AS HUGEINT)) AS DOUBLE) / 1000000.0 AS chi2
+           FROM g CROSS JOIN a)
+         SELECT n, r, c, (r - 1) * (c - 1) AS dof, chi2,
+           CASE WHEN n > 0 AND LEAST(r, c) > 1
+             THEN sqrt(chi2 / (CAST(n AS DOUBLE)
+               * CAST(LEAST(r, c) - 1 AS DOUBLE))) END AS cramers_v
+         FROM a CROSS JOIN chi""",
+
+    // mirrors Stats.mutualInfo: observed cells only, each (o/n)·ln term
+    // and marginal-entropy term in the identical pinned double order,
+    // floor-scaled Σ at 1e9.
+    "q395_mutual_info" ->
+      """WITH b AS (SELECT CAST(o_orderstatus AS VARCHAR) AS x,
+             CAST(o_orderpriority AS VARCHAR) AS y
+           FROM orders
+           WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL),
+         cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS o
+           FROM b GROUP BY 1, 2),
+         xs AS (SELECT x, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         ys AS (SELECT y, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         nf AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+         mi AS (SELECT MAX(n) AS n,
+             CAST(COUNT(DISTINCT x) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT y) AS BIGINT) AS c,
+             CAST(SUM(CAST(FLOOR(
+               CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+                 * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                   / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))
+             * 1000000000.0) AS HUGEINT)) AS DOUBLE) / 1000000000.0 AS mi
+           FROM cells JOIN xs USING (x) JOIN ys USING (y) CROSS JOIN nf),
+         hx AS (SELECT CAST(SUM(CAST(FLOOR(
+               -(CAST(rt AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(rt AS DOUBLE) / CAST(n AS DOUBLE))
+             * 1000000000.0) AS HUGEINT)) AS DOUBLE) / 1000000000.0 AS h_x
+           FROM xs CROSS JOIN nf),
+         hy AS (SELECT CAST(SUM(CAST(FLOOR(
+               -(CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             * 1000000000.0) AS HUGEINT)) AS DOUBLE) / 1000000000.0 AS h_y
+           FROM ys CROSS JOIN nf)
+         SELECT n, r, c, mi, h_x, h_y,
+           CASE WHEN h_x > 0 THEN mi / h_x END AS u_xy
+         FROM mi CROSS JOIN hx CROSS JOIN hy""",
+
+    // mirrors Stats.chatterjeeXi: hourly two-type counts, y-rank via the
+    // ≤-count (RANGE frame), ties via the =-count, x-order lag with the
+    // hour tiebreak — all exact integers, one final double division.
+    "q396_chatterjee_xi" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS h,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS xc,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS yc
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IN ('view', 'click')
+           GROUP BY 1),
+         rk AS (SELECT *,
+             CAST(COUNT(*) OVER (ORDER BY yc
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS r,
+             CAST(COUNT(*) OVER (PARTITION BY yc) AS BIGINT) AS t,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+           FROM h),
+         lr AS (SELECT *, n - r + t AS l,
+             ABS(r - LAG(r, 1) OVER (ORDER BY xc, h)) AS dr
+           FROM rk),
+         a AS (SELECT MAX(n) AS n_hours,
+             COALESCE(CAST(SUM(dr) AS BIGINT), 0) AS sum_abs_dr,
+             CAST(SUM(l * (n - l)) AS BIGINT) AS sl
+           FROM lr)
+         SELECT n_hours, sum_abs_dr, 2 * sl AS denom,
+           CASE WHEN 2 * sl > 0 THEN
+             1.0 - CAST(n_hours * sum_abs_dr AS DOUBLE)
+               / CAST(2 * sl AS DOUBLE) END AS xi
+         FROM a""",
+
+    // mirrors TextStats.yuleK: the q343 token-hash type counts grouped
+    // by language, exact BIGINT Σc²/N, one pinned K expression.
+    "q397_yule_k" ->
+      s"""WITH d AS (SELECT lang AS grp, string_split(
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+           FROM documents WHERE lang IS NOT NULL),
+         tk AS (SELECT grp, unnest(w) AS tok FROM d),
+         th AS (SELECT grp, CAST(concat('0x', substr(md5(tok), 1, 15))
+             AS BIGINT) AS h FROM tk),
+         tc AS (SELECT grp, h, CAST(COUNT(*) AS BIGINT) AS c
+           FROM th GROUP BY 1, 2)
+         SELECT grp AS "group",
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS v_types,
+           CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+           CASE WHEN SUM(c) > 0 THEN
+             10000.0 * CAST(SUM(c * c) - SUM(c) AS DOUBLE)
+               / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) END
+             AS yule_k
+         FROM tc GROUP BY 1 ORDER BY 1"""
   )
 }

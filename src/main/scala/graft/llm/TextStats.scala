@@ -1159,4 +1159,38 @@ object TextStats {
     base.unpersist()
     out
   }
+
+  /** YULE'S K lexical-richness characteristic per group (per language /
+    * domain) — the classic repetitiveness constant of a corpus:
+    * K = 10⁴·(Σ_types c² − N)/N² where c is each type's token count and
+    * N the total token count. Unlike TTR it is (asymptotically) sample-
+    * size invariant, which is what makes it a usable template-vs-prose
+    * quality signal across differently-sized corpus slices (high K =
+    * few types dominate = boilerplate; low K = rich vocabulary).
+    *
+    * Exactness: Σc² and N are exact BIGINT sums over the per-(group,
+    * type) count frame (same 60-bit token hashing as
+    * [[vocabularyStats]]); the single K expression is pinned IEEE over
+    * those integers. Scale shape: one token explode + two keyed
+    * aggregations, all map-side combinable — no bounded frame anywhere.
+    * Returns (group, n_tokens, v_types, sum_c2, yule_k). */
+  def yuleK(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val typeCounts = graft.ops.Layout.spreadScan(df)
+      .filter(col(groupCol).isNotNull)
+      // spread + outer generate: see [[TextDedup.cdcChunks]]
+      .select(col(groupCol).as("group"),
+        explode_outer(transform(TextDedup.tokens(col(textCol)),
+          t => TextDedup.h60(t))).as("__h"))
+      .filter(col("__h").isNotNull)
+      .groupBy(col("group"), col("__h")).agg(count(lit(1)).as("__c"))
+    typeCounts.groupBy(col("group"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("v_types"),
+        sum(col("__c") * col("__c")).as("sum_c2"))
+      .select(col("group"), col("n_tokens"), col("v_types"), col("sum_c2"),
+        when(col("n_tokens") > 0L,
+          lit(1e4) * (col("sum_c2") - col("n_tokens")).cast(DoubleType) /
+            (col("n_tokens").cast(DoubleType) *
+              col("n_tokens").cast(DoubleType))).as("yule_k"))
+  }
 }

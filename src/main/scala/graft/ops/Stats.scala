@@ -4208,4 +4208,168 @@ object Stats {
       .toDF("n_hours", "lambda0", "n_burst_hours", "n_bursts",
         "max_burst_len", "first_burst_idx")
   }
+
+  /** CRAMÉR'S V — the χ²-based association strength between two
+    * CATEGORICAL columns (reference exposes categorical mappings and
+    * crosstabs; V is the standard "how correlated are these two
+    * discrete columns" readout on top): V = √(χ² / (n·min(r−1,c−1)))
+    * over the full r×c contingency grid INCLUDING zero-observed cells
+    * (χ² needs every expected cell, not just the observed support).
+    *
+    * Exactness: observed counts, row/col totals and n are exact
+    * BIGINTs off one keyed aggregation; each cell's
+    * (o − e)²/e term is a pinned IEEE expression of those integers
+    * (e = rt·ct/n in double), and the Σ over cells goes through the
+    * floor-scaled exact sum at 10⁶ so reduce order cannot move it.
+    *
+    * Scale shape: one groupBy on (x, y) — O(data) with map-side
+    * combine — then everything downstream lives on the O(r·c) cell
+    * frame. The grid cross join is a fit-frame join, and BOTH sides
+    * are bounded in-plan at 4096 distinct values ([[seriesBound]] on
+    * the marginal frames): a column with more isn't categorical and
+    * the operator refuses loudly instead of building a silent
+    * million-cell grid. Returns one row
+    * (n, r, c, dof, chi2, cramers_v). */
+  def cramersV(df: DataFrame, xCol: String, yCol: String,
+               maxCardinality: Long = 1L << 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast(StringType).as("__x"),
+        col(yCol).cast(StringType).as("__y"))
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__o"))
+    val xs = cells.groupBy(col("__x")).agg(sum(col("__o")).as("__rt"))
+      .withColumn("__rt", seriesBound(col("__rt"),
+        count(lit(1)).over(Window.partitionBy()), maxCardinality,
+        "cramersV x-cardinality").cast(LongType))
+    val ys = cells.groupBy(col("__y")).agg(sum(col("__o")).as("__ct"))
+      .withColumn("__ct", seriesBound(col("__ct"),
+        count(lit(1)).over(Window.partitionBy()), maxCardinality,
+        "cramersV y-cardinality").cast(LongType))
+    // full grid (fit-frame cross join: both sides ≤ maxCardinality rows)
+    val grid = xs.crossJoin(ys)
+      .join(cells, Seq("__x", "__y"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+    def d(c: Column): Column = c.cast(DoubleType)
+    val agg = grid.agg(
+      sum(col("__o")).as("n"),
+      countDistinct(col("__x")).as("r"),
+      countDistinct(col("__y")).as("c"))
+    // e and the χ² term reference n, so fold them in a second pass over
+    // the O(r·c) grid with n attached as a 1-row literal-frame join
+    val withN = grid.crossJoin(agg.select(col("n").as("__n")))
+    val e = d(col("__rt")) * d(col("__ct")) / d(col("__n"))
+    val term = (d(col("__o")) - e) * (d(col("__o")) - e) / e
+    val chi2 = withN.agg(fs(term, 6).as("chi2"))
+    agg.crossJoin(chi2).select(
+      col("n"), col("r"), col("c"),
+      ((col("r") - 1L) * (col("c") - 1L)).as("dof"),
+      col("chi2"),
+      when(col("n") > 0L && least(col("r"), col("c")) > 1L,
+        sqrt(col("chi2") / (d(col("n")) *
+          (least(col("r"), col("c")) - 1L).cast(DoubleType))))
+        .as("cramers_v"))
+  }
+
+  /** MUTUAL INFORMATION + UNCERTAINTY COEFFICIENT between two
+    * categorical columns — the information-theoretic association
+    * companion to [[cramersV]] (and the feature-selection "information
+    * gain" readout): MI = Σ_{x,y} (o/n)·ln(o·n/(rt·ct)) in nats over
+    * the OBSERVED cells (zero cells contribute 0 by the p·ln p → 0
+    * limit, so no grid is needed), plus the marginal entropies and
+    * Theil's U(X|Y) = MI/H(X) — the share of X's entropy explained by
+    * knowing Y (asymmetric by design; swap arguments for the other
+    * direction).
+    *
+    * Exactness: all counts exact BIGINTs; each ln term is a pinned
+    * IEEE expression of those integers (products taken in double so
+    * the formula survives n² > 2⁶³ at extreme scale) and every Σ is
+    * floor-scaled at 10⁹. Same in-plan 4096-value cardinality bound
+    * as [[cramersV]]. Returns one row (n, r, c, mi, h_x, h_y, u_xy). */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String,
+                 maxCardinality: Long = 1L << 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast(StringType).as("__x"),
+        col(yCol).cast(StringType).as("__y"))
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__o"))
+    val xs = cells.groupBy(col("__x")).agg(sum(col("__o")).as("__rt"))
+      .withColumn("__rt", seriesBound(col("__rt"),
+        count(lit(1)).over(Window.partitionBy()), maxCardinality,
+        "mutualInfo x-cardinality").cast(LongType))
+    val ys = cells.groupBy(col("__y")).agg(sum(col("__o")).as("__ct"))
+      .withColumn("__ct", seriesBound(col("__ct"),
+        count(lit(1)).over(Window.partitionBy()), maxCardinality,
+        "mutualInfo y-cardinality").cast(LongType))
+    def d(c: Column): Column = c.cast(DoubleType)
+    val nF = cells.agg(sum(col("__o")).as("__n"))
+    val joined = cells.join(xs, "__x").join(ys, "__y").crossJoin(nF)
+    val miTerm = d(col("__o")) / d(col("__n")) *
+      log(d(col("__o")) * d(col("__n")) / (d(col("__rt")) * d(col("__ct"))))
+    val miAgg = joined.agg(
+      max(col("__n")).as("n"),
+      countDistinct(col("__x")).as("r"),
+      countDistinct(col("__y")).as("c"),
+      fs(miTerm, 9).as("mi"))
+    def marginalH(m: DataFrame, tot: String): DataFrame = {
+      val p = d(col(tot)) / d(col("__n"))
+      m.crossJoin(nF).agg(fs(-p * log(p), 9).as("__h"))
+    }
+    val hx = marginalH(xs, "__rt").select(col("__h").as("h_x"))
+    val hy = marginalH(ys, "__ct").select(col("__h").as("h_y"))
+    miAgg.crossJoin(hx).crossJoin(hy).select(
+      col("n"), col("r"), col("c"), col("mi"), col("h_x"), col("h_y"),
+      when(col("h_x") > 0.0, col("mi") / col("h_x")).as("u_xy"))
+  }
+
+  /** CHATTERJEE'S ξ RANK CORRELATION (Chatterjee 2020, JASA) between
+    * two hourly event-count series — the modern "is y a FUNCTION of x"
+    * dependence coefficient: 0 for independence, →1 when y is any
+    * measurable function of x (where Pearson/Spearman only see
+    * monotone trends). With ties, ξ = 1 − n·Σ_{i<n}|r_{i+1} − r_i| /
+    * (2·Σ_i l_i(n − l_i)) where rows are sorted by x (ties pinned by
+    * the hour so the statistic is deterministic — documented variant
+    * of the paper's random tie-break), r_i = #{j: y_j ≤ y_i},
+    * l_i = #{j: y_j ≥ y_i}. EVERYTHING except the single final
+    * division is exact integer arithmetic — no floor grid needed.
+    *
+    * Scale shape: the series is the hourly aggregate (O(time-range),
+    * flat in SF), [[seriesBound]]-guarded at 4096 hours, so the three
+    * global windows (y-rank range frame, y-tie partition, x-order lag)
+    * run on a bounded frame by construction. Returns one row
+    * (n_hours, sum_abs_dr, denom, xi). */
+  def chatterjeeXi(df: DataFrame, tsCol: String, typeCol: String,
+                   xType: String, yType: String,
+                   maxHours: Long = 1L << 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = df
+      .filter(col(tsCol).isNotNull &&
+        col(typeCol).isin(xType, yType))
+      .groupBy(date_trunc("hour", col(tsCol)).as("__h"))
+      .agg(sum(when(col(typeCol) === xType, 1L).otherwise(0L)).as("__xc"),
+        sum(when(col(typeCol) === yType, 1L).otherwise(0L)).as("__yc"))
+      .withColumn("__xc", seriesBound(col("__xc"),
+        count(lit(1)).over(Window.partitionBy()), maxHours,
+        "chatterjeeXi").cast(LongType))
+    val wYRank = Window.orderBy(col("__yc"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wYTies = Window.partitionBy(col("__yc"))
+    val wX = Window.orderBy(col("__xc"), col("__h"))
+    val ranked = hourly
+      .withColumn("__r", count(lit(1)).over(wYRank))    // #{y_j ≤ y_i}
+      .withColumn("__t", count(lit(1)).over(wYTies))    // #{y_j = y_i}
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("__l", col("__n") - col("__r") + col("__t")) // #{y_j ≥ y_i}
+      .withColumn("__dr", abs(col("__r") - lag(col("__r"), 1).over(wX)))
+    val agg = ranked.agg(
+      max(col("__n")).as("n_hours"),
+      coalesce(sum(col("__dr")), lit(0L)).as("sum_abs_dr"),
+      sum(col("__l") * (col("__n") - col("__l"))).as("__sl"))
+    agg.select(col("n_hours"), col("sum_abs_dr"),
+      (lit(2L) * col("__sl")).as("denom"),
+      when(lit(2L) * col("__sl") > 0L,
+        lit(1.0) - (col("n_hours") * col("sum_abs_dr")).cast(DoubleType) /
+          (lit(2L) * col("__sl")).cast(DoubleType)).as("xi"))
+  }
 }
