@@ -3732,6 +3732,40 @@ object ExtQueries {
     "q397_yule_k" -> { (s, dir) =>
       graft.llm.TextStats.yuleK(t(s, dir, "documents"), "text", "lang")
         .orderBy(col("group"))
+    },
+
+    // Chow structural-break test at the series midpoint on the hourly
+    // view-count series — pooled-vs-two-piece OLS F; exact BIGINT
+    // segment moments in one conditional-aggregate pass.
+    "q398_chow_test" -> { (s, dir) =>
+      Stats.chowTest(t(s, dir, "events"), "ts", "event_type", "view")
+    },
+
+    // Lo-MacKinlay variance ratio (q = 4, overlapping, uncorrected) on
+    // the hourly click-count series — the random-walk test; exact
+    // BIGINT difference sums, zero floor grids.
+    "q399_variance_ratio" -> { (s, dir) =>
+      Stats.varianceRatio(t(s, dir, "events"), "ts", "event_type",
+        "click", q = 4)
+    },
+
+    // Cook's distance top-15 influencers of the price ~ quantity OLS —
+    // the per-row regression-influence audit; one exact-sum moment
+    // pass, fully distributed residual/leverage arithmetic.
+    "q400_cooks_distance" -> { (s, dir) =>
+      Stats.cooksDistance(t(s, dir, "lineitem"), "l_quantity",
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber"), topK = 15)
+    },
+
+    // Spectral entropy of the hourly purchase series over the first 8
+    // Fourier frequencies — periodicity-vs-noise in one number; the
+    // q357 portable trig kernel underneath.
+    "q401_spectral_entropy" -> { (s, dir) =>
+      val series = t(s, dir, "events")
+        .filter(col("ts").isNotNull && col("event_type") === "purchase")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      Stats.spectralEntropy(series, Seq("h"), "c", maxK = 8)
     }
   )
 
@@ -11712,6 +11746,227 @@ object ExtQueries {
              10000.0 * CAST(SUM(c * c) - SUM(c) AS DOUBLE)
                / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) END
              AS yule_k
-         FROM tc GROUP BY 1 ORDER BY 1"""
+         FROM tc GROUP BY 1 ORDER BY 1""",
+
+    // mirrors Stats.chowTest: exact BIGINT segment moments in one
+    // conditional-aggregate pass, the identical pinned double RSS
+    // closed forms, the same n>=3 / det>0 / RSS1+RSS2>0 gates.
+    "q398_chow_test" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS y
+           FROM events WHERE ts IS NOT NULL AND event_type = 'view'
+           GROUP BY 1),
+         ix AS (SELECT y,
+             CAST(ROW_NUMBER() OVER (ORDER BY h) - 1 AS BIGINT) AS t,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+           FROM h),
+         bx AS (SELECT *,
+             CAST(FLOOR(CAST(n AS DOUBLE) / 2.0) AS BIGINT) AS b FROM ix),
+         a AS (SELECT
+             CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(t) AS BIGINT) AS stp,
+             CAST(SUM(t * t) AS BIGINT) AS sttp,
+             CAST(SUM(y) AS BIGINT) AS syp,
+             CAST(SUM(t * y) AS BIGINT) AS styp,
+             CAST(SUM(y * y) AS BIGINT) AS syyp,
+             CAST(COALESCE(SUM(CASE WHEN t < b THEN 1 END), 0) AS BIGINT) AS n1,
+             CAST(COALESCE(SUM(CASE WHEN t < b THEN t END), 0) AS BIGINT) AS st1,
+             CAST(COALESCE(SUM(CASE WHEN t < b THEN t * t END), 0) AS BIGINT) AS stt1,
+             CAST(COALESCE(SUM(CASE WHEN t < b THEN y END), 0) AS BIGINT) AS sy1,
+             CAST(COALESCE(SUM(CASE WHEN t < b THEN t * y END), 0) AS BIGINT) AS sty1,
+             CAST(COALESCE(SUM(CASE WHEN t < b THEN y * y END), 0) AS BIGINT) AS syy1,
+             CAST(COALESCE(SUM(CASE WHEN t >= b THEN 1 END), 0) AS BIGINT) AS n2,
+             CAST(COALESCE(SUM(CASE WHEN t >= b THEN t END), 0) AS BIGINT) AS st2,
+             CAST(COALESCE(SUM(CASE WHEN t >= b THEN t * t END), 0) AS BIGINT) AS stt2,
+             CAST(COALESCE(SUM(CASE WHEN t >= b THEN y END), 0) AS BIGINT) AS sy2,
+             CAST(COALESCE(SUM(CASE WHEN t >= b THEN t * y END), 0) AS BIGINT) AS sty2,
+             CAST(COALESCE(SUM(CASE WHEN t >= b THEN y * y END), 0) AS BIGINT) AS syy2,
+             MAX(b) AS break_idx
+           FROM bx),
+         dets AS (SELECT *,
+             CAST(np AS DOUBLE) * CAST(sttp AS DOUBLE)
+               - CAST(stp AS DOUBLE) * CAST(stp AS DOUBLE) AS detp,
+             CAST(n1 AS DOUBLE) * CAST(stt1 AS DOUBLE)
+               - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE) AS det1,
+             CAST(n2 AS DOUBLE) * CAST(stt2 AS DOUBLE)
+               - CAST(st2 AS DOUBLE) * CAST(st2 AS DOUBLE) AS det2
+           FROM a),
+         bs AS (SELECT *,
+             (CAST(np AS DOUBLE) * CAST(styp AS DOUBLE)
+               - CAST(stp AS DOUBLE) * CAST(syp AS DOUBLE)) / detp AS bp,
+             (CAST(n1 AS DOUBLE) * CAST(sty1 AS DOUBLE)
+               - CAST(st1 AS DOUBLE) * CAST(sy1 AS DOUBLE)) / det1 AS b1,
+             (CAST(n2 AS DOUBLE) * CAST(sty2 AS DOUBLE)
+               - CAST(st2 AS DOUBLE) * CAST(sy2 AS DOUBLE)) / det2 AS b2
+           FROM dets),
+         rs AS (SELECT *,
+             CASE WHEN np >= 3 AND detp > 0 THEN
+               CAST(syyp AS DOUBLE)
+                 - ((CAST(syp AS DOUBLE) - bp * CAST(stp AS DOUBLE))
+                    / CAST(np AS DOUBLE)) * CAST(syp AS DOUBLE)
+                 - bp * CAST(styp AS DOUBLE) END AS rssp,
+             CASE WHEN n1 >= 3 AND det1 > 0 THEN
+               CAST(syy1 AS DOUBLE)
+                 - ((CAST(sy1 AS DOUBLE) - b1 * CAST(st1 AS DOUBLE))
+                    / CAST(n1 AS DOUBLE)) * CAST(sy1 AS DOUBLE)
+                 - b1 * CAST(sty1 AS DOUBLE) END AS rss1,
+             CASE WHEN n2 >= 3 AND det2 > 0 THEN
+               CAST(syy2 AS DOUBLE)
+                 - ((CAST(sy2 AS DOUBLE) - b2 * CAST(st2 AS DOUBLE))
+                    / CAST(n2 AS DOUBLE)) * CAST(sy2 AS DOUBLE)
+                 - b2 * CAST(sty2 AS DOUBLE) END AS rss2
+           FROM bs)
+         SELECT np AS n_hours, break_idx,
+           rssp AS rss_pooled, rss1 AS rss_1, rss2 AS rss_2,
+           CASE WHEN np >= 3 AND detp > 0 AND n1 >= 3 AND det1 > 0
+               AND n2 >= 3 AND det2 > 0 AND (rss1 + rss2) > 0 THEN
+             ((rssp - rss1 - rss2) / 2.0)
+               / ((rss1 + rss2) / (CAST(np AS DOUBLE) - 4.0)) END AS f_stat
+         FROM rs""",
+
+    // mirrors Stats.varianceRatio: exact BIGINT difference sums, the
+    // identical left-associated pinned double closed forms (q = 4).
+    "q399_variance_ratio" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS y
+           FROM events WHERE ts IS NOT NULL AND event_type = 'click'
+           GROUP BY 1),
+         ix AS (SELECT y,
+             y - LAG(y, 1) OVER (ORDER BY h) AS d1,
+             y - LAG(y, 4) OVER (ORDER BY h) AS dq,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+           FROM h),
+         a AS (SELECT MAX(n) AS n_hours,
+             CAST(COALESCE(SUM(CASE WHEN d1 IS NOT NULL THEN 1 END), 0)
+               AS BIGINT) AS m1,
+             CAST(COALESCE(SUM(d1), 0) AS BIGINT) AS sd,
+             CAST(COALESCE(SUM(d1 * d1), 0) AS BIGINT) AS sdd,
+             CAST(COALESCE(SUM(CASE WHEN dq IS NOT NULL THEN 1 END), 0)
+               AS BIGINT) AS mq,
+             CAST(COALESCE(SUM(dq), 0) AS BIGINT) AS sq,
+             CAST(COALESCE(SUM(dq * dq), 0) AS BIGINT) AS sqq
+           FROM ix),
+         v AS (SELECT *,
+             CAST(sd AS DOUBLE) / CAST(m1 AS DOUBLE) AS mu FROM a),
+         v2 AS (SELECT *,
+             (CAST(sdd AS DOUBLE) - 2.0 * mu * CAST(sd AS DOUBLE)
+               + CAST(m1 AS DOUBLE) * mu * mu) / CAST(m1 AS DOUBLE) AS var1,
+             (CAST(sqq AS DOUBLE) - 2.0 * 4.0 * mu * CAST(sq AS DOUBLE)
+               + CAST(mq AS DOUBLE) * 4.0 * mu * 4.0 * mu)
+               / (4.0 * CAST(mq AS DOUBLE)) AS varq
+           FROM v)
+         SELECT n_hours, 4 AS q,
+           CASE WHEN m1 > 0 THEN mu END AS mu,
+           CASE WHEN m1 > 0 THEN var1 END AS var_1,
+           CASE WHEN mq > 0 AND m1 > 0 THEN varq END AS var_q,
+           CASE WHEN mq > 0 AND m1 > 0 AND var1 > 0
+             THEN varq / var1 END AS vr
+         FROM v2""",
+
+    // mirrors Stats.cooksDistance: one floor-scaled moment pass, the
+    // identical pinned per-row residual/leverage/D expressions, top-15
+    // by D desc with the id+value tiebreak.
+    "q400_cooks_distance" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE))
+             AND l_extendedprice IS NOT NULL
+             AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS fn,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS fsx,
+             CAST(SUM(CAST(FLOOR(y * 1000000.0) AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS fsy,
+             CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS fsxx,
+             CAST(SUM(CAST(FLOOR(x * y * 1000000.0) AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS fsxy,
+             CAST(SUM(CAST(FLOOR(y * y * 1000000.0) AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS fsyy
+           FROM b),
+         m2 AS (SELECT *, CAST(fn AS DOUBLE) AS nd FROM m),
+         m3 AS (SELECT *, fsx / nd AS mx,
+             fsxx - fsx * fsx / nd AS sxxc,
+             (nd * fsxy - fsx * fsy) / (nd * fsxx - fsx * fsx) AS bb
+           FROM m2),
+         m4 AS (SELECT *, (fsy - bb * fsx) / nd AS aa FROM m3),
+         m5 AS (SELECT *,
+             (fsyy - aa * fsy - bb * fsxy) / (nd - 2.0) AS s2 FROM m4),
+         j AS (SELECT l_orderkey, l_linenumber, x, y,
+             y - aa - bb * x AS residual,
+             1.0 / nd + (x - mx) * (x - mx) / sxxc AS leverage,
+             fn, sxxc, s2, aa, bb, nd
+           FROM b CROSS JOIN m5),
+         c AS (SELECT l_orderkey, l_linenumber, x, y, residual, leverage,
+             CASE WHEN fn > 2 AND sxxc > 0 AND s2 > 0 THEN
+               residual * residual * leverage
+                 / (2.0 * s2 * (1.0 - leverage) * (1.0 - leverage)) END
+               AS cooks_d
+           FROM j)
+         SELECT * FROM c
+         ORDER BY cooks_d DESC NULLS LAST, l_orderkey, l_linenumber, x, y
+         LIMIT 15""",
+
+    // mirrors Stats.spectralEntropy: the q357 portable trig kernel at
+    // K = 8 over the purchase series, floor-scaled total power (1e6)
+    // and entropy terms (1e9), the same zero-power p·ln p limit.
+    "q401_spectral_entropy" -> {
+      def hornerSql(coeffs: Seq[Double]): String =
+        coeffs.reverse.tail.foldLeft(coeffs.last.toString)(
+          (acc, a) => s"($a + w * $acc)")
+      val cosH = hornerSql(graft.ops.Stats.CosCoef)
+      val sinH = hornerSql(graft.ops.Stats.SinCoef)
+      val perK = (1 to 8).map { k =>
+        s"""pk$k AS (SELECT x,
+             CAST(($k * t) % n AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM b),
+         qk$k AS (SELECT x, p, CAST(FLOOR(p * 4.0) AS BIGINT) AS q FROM pk$k),
+         zk$k AS (SELECT x, q,
+             6.283185307179586 * (p - CAST(q AS DOUBLE) / 4.0) AS z
+           FROM qk$k),
+         wk$k AS (SELECT x, q, z, z * z AS w FROM zk$k),
+         ek$k AS (SELECT x, q, (1.0 + w * $cosH) AS cp,
+             z * (1.0 + w * $sinH) AS sp FROM wk$k),
+         vk$k AS (SELECT x,
+             CASE WHEN q = 0 THEN cp WHEN q = 1 THEN -sp
+                  WHEN q = 2 THEN -cp ELSE sp END AS cv,
+             CASE WHEN q = 0 THEN sp WHEN q = 1 THEN cp
+                  WHEN q = 2 THEN -sp ELSE -cp END AS sv
+           FROM ek$k),
+         ak$k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(x * cv * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS c,
+             CAST(SUM(CAST(FLOOR(x * sv * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS s
+           FROM vk$k)"""
+      }.mkString(",\n         ")
+      val rows = (1 to 8).map { k =>
+        s"SELECT $k AS k, n, c * c + s * s AS power FROM ak$k"
+      }.mkString("\n           UNION ALL ")
+      s"""WITH s AS (SELECT date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM events
+           WHERE ts IS NOT NULL AND event_type = 'purchase' GROUP BY 1),
+         b AS (SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT) AS t,
+             CAST(c AS DOUBLE) AS x,
+             (SELECT COUNT(*) FROM s) AS n
+           FROM s),
+         $perK,
+         u AS ($rows),
+         tot AS (SELECT MAX(n) AS n,
+             CAST(SUM(CAST(FLOOR(power * 1000000.0) AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS total_power
+           FROM u),
+         ent AS (SELECT CAST(SUM(CAST(FLOOR(
+               CASE WHEN power > 0 AND tp > 0 THEN
+                 (-(power / tp)) * ln(power / tp) END
+             * 1000000000.0) AS HUGEINT)) AS DOUBLE) / 1000000000.0 AS hh
+           FROM u CROSS JOIN (SELECT total_power AS tp FROM tot) tp0)
+         SELECT n, 8 AS k_max, total_power,
+           CASE WHEN total_power > 0 THEN hh END AS spectral_entropy,
+           CASE WHEN total_power > 0 THEN hh / ${math.log(8.0)} END AS h_norm
+         FROM tot CROSS JOIN ent"""
+    }
   )
 }

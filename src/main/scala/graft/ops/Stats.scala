@@ -4372,4 +4372,211 @@ object Stats {
         lit(1.0) - (col("n_hours") * col("sum_abs_dr")).cast(DoubleType) /
           (lit(2L) * col("__sl")).cast(DoubleType)).as("xi"))
   }
+
+  /** The shared hourly-count series frame of the bounded time-series
+    * operators: (__h hour, __y exact BIGINT count, __n series length,
+    * __t 0-based index), [[seriesBound]]-guarded in-plan. */
+  private def hourlySeries(df: DataFrame, tsCol: String, typeCol: String,
+                           yType: String, maxHours: Long,
+                           op: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.filter(col(tsCol).isNotNull && col(typeCol) === yType)
+      .groupBy(date_trunc("hour", col(tsCol)).as("__h"))
+      .agg(count(lit(1)).as("__y0"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("__y",
+        seriesBound(col("__y0"), col("__n"), maxHours, op).cast(LongType))
+      .withColumn("__t",
+        (row_number().over(Window.orderBy(col("__h"))) - 1).cast(LongType))
+      .select(col("__h"), col("__t"), col("__y"), col("__n"))
+  }
+
+  /** CHOW STRUCTURAL-BREAK TEST on the hourly count series — "did the
+    * linear trend change at the breakpoint": OLS y ~ a + b·t on the
+    * pooled series and on each half (break at ⌊n/2⌋), then
+    * F = ((RSS_p − RSS₁ − RSS₂)/k) / ((RSS₁ + RSS₂)/(n − 2k)), k = 2.
+    * The regime-change companion to [[pageHinkley]]'s level-drift
+    * monitor and [[mannKendall]]'s monotone-trend test.
+    *
+    * Exactness: all six moments per segment (n, Σt, Σt², Σy, Σty, Σy²)
+    * are exact BIGINT sums folded in ONE pass with conditional
+    * aggregates; each RSS is a pinned IEEE closed form of those
+    * integers (products in double — no intermediate overflow). Gates:
+    * a segment with < 3 points or a degenerate design (n·Σt² = (Σt)²)
+    * nulls its RSS, and f_stat nulls unless every piece is defined and
+    * RSS₁+RSS₂ > 0 (a perfect two-piece fit has no F). Series is
+    * O(time-range), [[seriesBound]]-guarded. Returns one row
+    * (n_hours, break_idx, rss_pooled, rss_1, rss_2, f_stat). */
+  def chowTest(df: DataFrame, tsCol: String, typeCol: String,
+               yType: String, maxHours: Long = 1L << 12): DataFrame = {
+    val hourly = hourlySeries(df, tsCol, typeCol, yType, maxHours,
+      "chowTest")
+      .withColumn("__b", floor(col("__n").cast(DoubleType) / lit(2.0))
+        .cast(LongType))
+    def seg(pred: Column, sfx: String): Seq[Column] = Seq(
+      coalesce(sum(when(pred, 1L)), lit(0L)).as(s"__n$sfx"),
+      coalesce(sum(when(pred, col("__t"))), lit(0L)).as(s"__st$sfx"),
+      coalesce(sum(when(pred, col("__t") * col("__t"))), lit(0L))
+        .as(s"__stt$sfx"),
+      coalesce(sum(when(pred, col("__y"))), lit(0L)).as(s"__sy$sfx"),
+      coalesce(sum(when(pred, col("__t") * col("__y"))), lit(0L))
+        .as(s"__sty$sfx"),
+      coalesce(sum(when(pred, col("__y") * col("__y"))), lit(0L))
+        .as(s"__syy$sfx"))
+    val cols = seg(lit(true), "p") ++ seg(col("__t") < col("__b"), "1") ++
+      seg(col("__t") >= col("__b"), "2") :+ max(col("__b")).as("break_idx")
+    val agg = hourly.agg(cols.head, cols.tail: _*)
+    def d(c: Column): Column = c.cast(DoubleType)
+    def det(sfx: String): Column =
+      d(col(s"__n$sfx")) * d(col(s"__stt$sfx")) -
+        d(col(s"__st$sfx")) * d(col(s"__st$sfx"))
+    def rss(sfx: String): Column = {
+      val nD = d(col(s"__n$sfx"))
+      val b = (nD * d(col(s"__sty$sfx")) -
+        d(col(s"__st$sfx")) * d(col(s"__sy$sfx"))) / det(sfx)
+      val a = (d(col(s"__sy$sfx")) - b * d(col(s"__st$sfx"))) / nD
+      d(col(s"__syy$sfx")) - a * d(col(s"__sy$sfx")) -
+        b * d(col(s"__sty$sfx"))
+    }
+    def ok(sfx: String): Column =
+      col(s"__n$sfx") >= 3L && det(sfx) > 0.0
+    val (rP, r1, r2) = (when(ok("p"), rss("p")),
+      when(ok("1"), rss("1")), when(ok("2"), rss("2")))
+    agg.select(col("__np").as("n_hours"), col("break_idx"),
+      rP.as("rss_pooled"), r1.as("rss_1"), r2.as("rss_2"),
+      when(ok("p") && ok("1") && ok("2") && (r1 + r2) > 0.0,
+        ((rP - r1 - r2) / lit(2.0)) /
+          ((r1 + r2) / (d(col("__np")) - lit(4.0)))).as("f_stat"))
+  }
+
+  /** LO–MACKINLAY VARIANCE-RATIO TEST on the hourly count series —
+    * "is this series a random walk": VR(q) compares the per-period
+    * variance of OVERLAPPING q-period differences against 1-period
+    * differences; 1 for a random walk, > 1 under positive
+    * autocorrelation (trending), < 1 under mean reversion — the
+    * scale-free companion to [[adfTest]].
+    *
+    * Uncorrected overlapping-estimator variant, documented and
+    * replayed verbatim: drift μ = Σd/(n−1) (the telescoping exact
+    * BIGINT sum / count), Var₁ = Σ(d−μ)²/(n−1) and
+    * Var_q = Σ(D−qμ)²/(q·(n−q)) both expanded to pinned IEEE closed
+    * forms of exact BIGINT sums (Σd, Σd², ΣD, ΣD²) — no floor grid
+    * needed anywhere. Series O(time-range), [[seriesBound]]-guarded.
+    * Returns one row (n_hours, q, mu, var_1, var_q, vr). */
+  def varianceRatio(df: DataFrame, tsCol: String, typeCol: String,
+                    yType: String, q: Int = 4,
+                    maxHours: Long = 1L << 12): DataFrame = {
+    require(q >= 2 && q <= 64, s"q=$q")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("__h"))
+    val hourly = hourlySeries(df, tsCol, typeCol, yType, maxHours,
+      "varianceRatio")
+      .withColumn("__d", col("__y") - lag(col("__y"), 1).over(w))
+      .withColumn("__q", col("__y") - lag(col("__y"), q).over(w))
+    val agg = hourly.agg(
+      max(col("__n")).as("n_hours"),
+      coalesce(sum(when(col("__d").isNotNull, 1L)), lit(0L)).as("__m1"),
+      coalesce(sum(col("__d")), lit(0L)).as("__sd"),
+      coalesce(sum(col("__d") * col("__d")), lit(0L)).as("__sdd"),
+      coalesce(sum(when(col("__q").isNotNull, 1L)), lit(0L)).as("__mq"),
+      coalesce(sum(col("__q")), lit(0L)).as("__sq"),
+      coalesce(sum(col("__q") * col("__q")), lit(0L)).as("__sqq"))
+    def d(c: Column): Column = c.cast(DoubleType)
+    val mu = d(col("__sd")) / d(col("__m1"))
+    val var1 = (d(col("__sdd")) - lit(2.0) * mu * d(col("__sd")) +
+      d(col("__m1")) * mu * mu) / d(col("__m1"))
+    val qD = lit(q.toDouble)
+    val varq = (d(col("__sqq")) - lit(2.0) * qD * mu * d(col("__sq")) +
+      d(col("__mq")) * qD * mu * qD * mu) / (qD * d(col("__mq")))
+    agg.select(col("n_hours"), lit(q).as("q"),
+      when(col("__m1") > 0L, mu).as("mu"),
+      when(col("__m1") > 0L, var1).as("var_1"),
+      when(col("__mq") > 0L && col("__m1") > 0L, varq).as("var_q"),
+      when(col("__mq") > 0L && col("__m1") > 0L && var1 > 0.0,
+        varq / var1).as("vr"))
+  }
+
+  /** COOK'S DISTANCE — the per-row regression-influence diagnostic for
+    * the simple OLS y ~ a + b·x: D_i = e_i²·h_i / (p·s²·(1−h_i)²) with
+    * leverage h_i = 1/n + (x_i − x̄)²/Sxx_c and p = 2; the top-k frame
+    * is the "which rows drive this fit" audit (data-quality triage —
+    * the regression-side sibling of [[robustOutliers]]).
+    *
+    * One exact-sum moment pass (floor-scaled 10⁶ Σx, Σy, Σx², Σxy, Σy²
+    * — the [[demingRegression]] pass), the fit broadcast back as a
+    * 1-row fit frame, then every per-row quantity is a pinned IEEE
+    * expression — fully distributed, the only bounded step is the
+    * top-k TakeOrderedAndProject. s² comes from the moment identity
+    * RSS = Σy² − aΣy − bΣxy (not a second residual pass). Returns the
+    * top-k rows by D desc (ties broken by the id columns then x, y):
+    * (idCols…, x, y, residual, leverage, cooks_d). */
+  def cooksDistance(df: DataFrame, xCol: String, yCol: String,
+                    idCols: Seq[String], topK: Int = 15): DataFrame = {
+    require(topK >= 1 && idCols.nonEmpty, s"topK=$topK ids=$idCols")
+    val x = col(xCol).cast(DoubleType)
+    val y = col(yCol).cast(DoubleType)
+    val base = df
+      .filter(x.isNotNull && !isnan(x) && y.isNotNull && !isnan(y))
+      .select(idCols.map(col) ++ Seq(x.as("__x"), y.as("__y")): _*)
+    val m = base.agg(
+      count(lit(1)).as("__fn"),
+      fs(col("__x"), 6).as("__fsx"), fs(col("__y"), 6).as("__fsy"),
+      fs(col("__x") * col("__x"), 6).as("__fsxx"),
+      fs(col("__x") * col("__y"), 6).as("__fsxy"),
+      fs(col("__y") * col("__y"), 6).as("__fsyy"))
+    def d(c: Column): Column = c.cast(DoubleType)
+    val joined = base.crossJoin(m) // 1-row fit frame
+    val nD = d(col("__fn"))
+    val mx = col("__fsx") / nD
+    val sxxC = col("__fsxx") - col("__fsx") * col("__fsx") / nD
+    val b = (nD * col("__fsxy") - col("__fsx") * col("__fsy")) /
+      (nD * col("__fsxx") - col("__fsx") * col("__fsx"))
+    val a = (col("__fsy") - b * col("__fsx")) / nD
+    val s2 = (col("__fsyy") - a * col("__fsy") - b * col("__fsxy")) /
+      (nD - lit(2.0))
+    val e = col("__y") - a - b * col("__x")
+    val h = lit(1.0) / nD +
+      (col("__x") - mx) * (col("__x") - mx) / sxxC
+    val dI = when(col("__fn") > 2L && sxxC > 0.0 && s2 > 0.0,
+      e * e * h / (lit(2.0) * s2 * (lit(1.0) - h) * (lit(1.0) - h)))
+    val out = joined.select(idCols.map(col) ++ Seq(
+      col("__x").as("x"), col("__y").as("y"),
+      e.as("residual"), h.as("leverage"), dI.as("cooks_d")): _*)
+    out.orderBy(col("cooks_d").desc +:
+        (idCols.map(col(_).asc) ++ Seq(col("x").asc, col("y").asc)): _*)
+      .limit(topK)
+  }
+
+  /** SPECTRAL ENTROPY of the hourly series — the single-number
+    * "how periodic vs noisy is this signal" readout on top of
+    * [[periodogram]]: H = −Σ_k p_k·ln p_k over the normalized power at
+    * the first K Fourier frequencies, plus H/ln K ∈ [0,1] (0 = all
+    * power in one cycle, 1 = flat/white spectrum). Same portable trig
+    * kernel, so both engines see bit-identical powers; the Σ over the
+    * O(K) power frame and the entropy terms are floor-scaled
+    * (10⁶ / 10⁹). Zero-power frequencies contribute 0 (the p·ln p
+    * limit). Returns one row
+    * (n, k_max, total_power, spectral_entropy, h_norm). */
+  def spectralEntropy(df: DataFrame, orderCols: Seq[String],
+                      valueCol: String, maxK: Int = 8,
+                      maxSeriesRows: Long = 1L << 22): DataFrame = {
+    // materialize the O(K) power frame once: periodogram is a union of
+    // K single-row aggregates over the same lineage, and this operator
+    // consumes it twice (total + entropy terms) — as a literal frame
+    // the input series is computed exactly once
+    val pg = materializeSmall(
+      periodogram(df, orderCols, valueCol, maxK, maxSeriesRows),
+      maxK, "spectralEntropy periodogram")
+    val tot = pg.agg(max(col("n")).as("n"),
+      fs(col("power"), 6).as("total_power"))
+    val p = col("power") / col("__tp")
+    val h = pg.crossJoin(tot.select(col("total_power").as("__tp")))
+      .agg(fs(when(col("power") > 0.0 && col("__tp") > 0.0,
+        -p * log(p)), 9).as("__h"))
+    tot.crossJoin(h).select(col("n"), lit(maxK).as("k_max"),
+      col("total_power"),
+      when(col("total_power") > 0.0, col("__h")).as("spectral_entropy"),
+      when(col("total_power") > 0.0,
+        col("__h") / lit(math.log(maxK.toDouble))).as("h_norm"))
+  }
 }

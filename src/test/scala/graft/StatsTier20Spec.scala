@@ -93,6 +93,75 @@ class StatsTier20Spec extends SparkSuite {
     assert(r.getLong(2) == 0L && r.isNullAt(3))
   }
 
+  test("chowTest: a level jump at the midpoint gives a large positive F; " +
+       "a perfect two-piece fit nulls F (RSS1+RSS2 = 0 gate)") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def series(ys: Seq[Int]) = ys.zipWithIndex.flatMap { case (y, i) =>
+      val t = new java.sql.Timestamp(ts0.getTime + i * 3600L * 1000L)
+      (0 until y).map(_ => (t, "view"))
+    }.toDF("ts", "event_type")
+    // zig-zag around two very different levels: segments fit well,
+    // the pooled line cannot
+    val broken = series(Seq(1, 2, 1, 2, 1, 2, 50, 51, 50, 51, 50, 51))
+    val r = Stats.chowTest(broken, "ts", "event_type", "view").collect()(0)
+    assert(r.getLong(0) == 12L && r.getLong(1) == 6L)
+    val (rp, r1, r2) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(rp > r1 + r2 && r1 > 0 && r2 > 0)
+    assert(r.getDouble(5) > 100.0, s"f=${r.getDouble(5)}")
+    // two perfect linear pieces -> RSS1 = RSS2 = 0 -> F undefined
+    val perfect = series(Seq(1, 2, 3, 4, 5, 6, 60, 50, 40, 30, 20, 10))
+    val p = Stats.chowTest(perfect, "ts", "event_type", "view").collect()(0)
+    assert(p.isNullAt(5), s"perfect fit must null F: $p")
+  }
+
+  test("varianceRatio: period-q mean reversion gives VR = 0 exactly") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // y alternates 1,2: d = +-1 (var 1), y_t - y_{t-4} = 0 always
+    val rows = (0 until 9).flatMap { i =>
+      val t = new java.sql.Timestamp(ts0.getTime + i * 3600L * 1000L)
+      (0 until (1 + i % 2)).map(_ => (t, "click"))
+    }
+    val r = Stats.varianceRatio(rows.toDF("ts", "event_type"), "ts",
+      "event_type", "click", q = 4).collect()(0)
+    assert(r.getLong(0) == 9L && r.getInt(1) == 4)
+    assert(r.getDouble(2) == 0.0)           // mu: sum d telescopes to 0
+    assert(r.getDouble(3) == 1.0)           // var_1
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0) // var_q, vr
+  }
+
+  test("cooksDistance: the off-line outlier dominates the influence ranking") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0), (3L, 3.0, 3.0),
+      (4L, 4.0, 4.0), (5L, 5.0, 100.0)).toDF("id", "xx", "yy")
+    val rows = Stats.cooksDistance(df, "xx", "yy", Seq("id"), topK = 5)
+      .collect()
+    assert(rows(0).getLong(0) == 5L, s"outlier first: ${rows.toSeq}")
+    assert(rows(0).getDouble(5) > rows(1).getDouble(5)) // cooks_d
+    // leverage of the end points is large (1/n + 4/10)
+    assert(rows(0).getDouble(4) > 0.4)
+  }
+
+  test("spectralEntropy: a pure k=2 cosine concentrates the spectrum " +
+       "(H ~ 0); a constant series has zero power -> null H") {
+    import spark.implicits._
+    val n = 16
+    val cosine = (0 until n)
+      .map(t => (t, math.cos(2 * math.Pi * 2 * t / n) * 100.0))
+      .toDF("t", "x")
+    val r = Stats.spectralEntropy(cosine, Seq("t"), "x", maxK = 8)
+      .collect()(0)
+    assert(r.getLong(0) == 16L && r.getInt(1) == 8)
+    assert(r.getDouble(2) > 0.0)
+    assert(r.getDouble(3) < 0.01, s"H=${r.getDouble(3)}")
+    assert(r.getDouble(4) < 0.01)
+    val flat = (0 until n).map(t => (t, 5.0)).toDF("t", "x")
+    val f = Stats.spectralEntropy(flat, Seq("t"), "x", maxK = 8)
+      .collect()(0)
+    assert(f.getDouble(2) == 0.0 && f.isNullAt(3) && f.isNullAt(4))
+  }
+
   test("yuleK: hand corpus 'a a a b' gives K = 3750 exactly") {
     import spark.implicits._
     val df = Seq((1L, "a a a b", "en"), (2L, "x y", "fr"))
