@@ -3766,6 +3766,42 @@ object ExtQueries {
         .groupBy(date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("c"))
       Stats.spectralEntropy(series, Seq("h"), "c", maxK = 8)
+    },
+
+    // Adamic-Adar link prediction on the strong trade graph (q189's
+    // above-average-flow edges): rare shared neighbors count more than
+    // hubs; floor-scaled 1/ln(deg) sums, top-20.
+    "q402_adamic_adar" -> { (s, dir) =>
+      val flows = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      val tot = flows.agg(sum(col("cnt")).as("ts"), count(lit(1)).as("np"))
+      val strong = flows.crossJoin(broadcast(tot))
+        .filter(col("cnt") * col("np") > col("ts"))
+      Graph.adamicAdar(strong, "src", "dst", minCommon = 1L, topK = 20)
+        .orderBy(col("aa_score").desc, col("a"), col("b"))
+    },
+
+    // Optimal depth-1 Gini stump: is quantity predictive of a return?
+    // Exact per-value counts, bounded candidate grid, pinned impurities.
+    "q403_decision_stump" -> { (s, dir) =>
+      Ml.decisionStump(t(s, dir, "lineitem"), "l_quantity",
+        col("l_returnflag") === "R")
+    },
+
+    // Jensen-Shannon divergence between every source-domain pair's
+    // unigram distribution — the domain-mix distance matrix.
+    "q404_js_divergence" -> { (s, dir) =>
+      graft.llm.TextStats.jsDivergence(t(s, dir, "documents"), "text",
+        "source")
+        .orderBy(col("source_a"), col("source_b"))
     }
   )
 
@@ -11967,6 +12003,135 @@ object ExtQueries {
            CASE WHEN total_power > 0 THEN hh END AS spectral_entropy,
            CASE WHEN total_power > 0 THEN hh / ${math.log(8.0)} END AS h_norm
          FROM tot CROSS JOIN ent"""
-    }
+    },
+
+    // mirrors Graph.adamicAdar over q189's strong trade graph: per-via
+    // 1/ln(deg) floor-scaled at 1e9 summed per candidate pair, existing
+    // edges anti-joined, top-20 by (score desc, a, b).
+    "q402_adamic_adar" ->
+      """WITH flows AS MATERIALIZED (SELECT c_nationkey AS src,
+             s_nationkey AS dst, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           GROUP BY 1, 2),
+         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS ts,
+                        CAST(COUNT(*) AS BIGINT) AS np FROM flows),
+         und AS MATERIALIZED (SELECT DISTINCT
+             CAST(LEAST(src, dst) AS BIGINT) AS a,
+             CAST(GREATEST(src, dst) AS BIGINT) AS b
+           FROM flows, tot
+           WHERE cnt * np > ts AND src <> dst),
+         nbrs AS MATERIALIZED (SELECT a AS id, b AS nbr FROM und
+                  UNION ALL SELECT b, a FROM und),
+         deg AS MATERIALIZED (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+                 FROM nbrs GROUP BY 1),
+         cand AS MATERIALIZED (SELECT x.id AS a, y.id AS b,
+             CAST(COUNT(*) AS BIGINT) AS common,
+             CAST(SUM(CAST(FLOOR(
+               1.0 / ln(CAST(dv.deg AS DOUBLE)) * 1000000000.0)
+               AS HUGEINT)) AS DOUBLE) / 1000000000.0 AS aa_score
+           FROM nbrs x
+           JOIN nbrs y ON x.nbr = y.nbr AND x.id < y.id
+           JOIN deg dv ON dv.id = x.nbr
+           GROUP BY 1, 2 HAVING COUNT(*) >= 1),
+         non AS (SELECT cand.* FROM cand
+           LEFT JOIN und ON und.a = cand.a AND und.b = cand.b
+           WHERE und.a IS NULL)
+         SELECT non.a, non.b, common,
+           da.deg AS deg_a, db.deg AS deg_b, aa_score
+         FROM non
+         JOIN deg da ON da.id = non.a
+         JOIN deg db ON db.id = non.b
+         ORDER BY aa_score DESC, non.a, non.b LIMIT 20""",
+
+    // mirrors Ml.decisionStump: per-distinct-value exact counts,
+    // cumulative window splits, the identical pinned Gini expressions,
+    // argmin by (gini asc, threshold asc).
+    "q403_decision_stump" ->
+      """WITH pv AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN 1 END), 0)
+               AS BIGINT) AS p
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL
+             AND NOT isnan(CAST(l_quantity AS DOUBLE))
+           GROUP BY 1),
+         cum AS (SELECT v,
+             CAST(SUM(c) OVER () AS BIGINT) AS n,
+             CAST(SUM(p) OVER () AS BIGINT) AS np,
+             CAST(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS nl,
+             CAST(SUM(p) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS pl
+           FROM pv),
+         s AS (SELECT v, n, np, nl, pl, n - nl AS nr, np - pl AS pr
+           FROM cum WHERE nl < n),
+         g AS (SELECT v AS threshold, n, np AS n_pos, nl AS n_left,
+             pl AS pos_left, nr AS n_right, pr AS pos_right,
+             1.0 - (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                 * (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+               - ((CAST(nl AS DOUBLE) - CAST(pl AS DOUBLE))
+                  / CAST(nl AS DOUBLE))
+                 * ((CAST(nl AS DOUBLE) - CAST(pl AS DOUBLE))
+                  / CAST(nl AS DOUBLE)) AS gini_left,
+             1.0 - (CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))
+                 * (CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))
+               - ((CAST(nr AS DOUBLE) - CAST(pr AS DOUBLE))
+                  / CAST(nr AS DOUBLE))
+                 * ((CAST(nr AS DOUBLE) - CAST(pr AS DOUBLE))
+                  / CAST(nr AS DOUBLE)) AS gini_right,
+             1.0 - (CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
+               - ((CAST(n AS DOUBLE) - CAST(np AS DOUBLE))
+                  / CAST(n AS DOUBLE))
+                 * ((CAST(n AS DOUBLE) - CAST(np AS DOUBLE))
+                  / CAST(n AS DOUBLE)) AS gini_root
+           FROM s),
+         sc AS (SELECT threshold, n, n_pos, n_left, pos_left, n_right,
+             pos_right, gini_left, gini_right,
+             CAST(n_left AS DOUBLE) / CAST(n AS DOUBLE) * gini_left
+               + CAST(n_right AS DOUBLE) / CAST(n AS DOUBLE) * gini_right
+               AS gini_split,
+             gini_root
+           FROM g)
+         SELECT threshold, n, n_pos, n_left, pos_left, n_right, pos_right,
+           gini_left, gini_right, gini_split,
+           gini_root - gini_split AS gini_gain
+         FROM sc ORDER BY gini_split ASC, threshold ASC LIMIT 1""",
+
+    // mirrors TextStats.jsDivergence: per-source token counts (q343
+    // hashing), each directed half over its own support with the q->0
+    // coalesce limit, floor-scaled ln terms at 1e9, halves averaged.
+    "q404_js_divergence" ->
+      s"""WITH d0 AS (SELECT source AS s, string_split(
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+           FROM documents WHERE source IS NOT NULL),
+         tk0 AS (SELECT s, unnest(w) AS tok FROM d0),
+         tk AS (SELECT s, CAST(concat('0x', substr(md5(tok), 1, 15))
+             AS BIGINT) AS h FROM tk0),
+         tc AS MATERIALIZED (SELECT s, h, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tk GROUP BY 1, 2),
+         tt AS (SELECT s, CAST(SUM(c) AS BIGINT) AS tot FROM tc GROUP BY 1),
+         pt AS (SELECT t1.s AS a, o.s AS b,
+             CAST(t1.c AS DOUBLE) / CAST(tt1.tot AS DOUBLE) AS p,
+             CAST(COALESCE(t2.c, 0) AS DOUBLE) / CAST(o.tot AS DOUBLE) AS q
+           FROM tc t1
+           JOIN tt tt1 ON tt1.s = t1.s
+           JOIN tt o ON o.s <> t1.s
+           LEFT JOIN tc t2 ON t2.s = o.s AND t2.h = t1.h),
+         ha AS (SELECT a, b, CAST(SUM(CAST(FLOOR(
+               p * ln(2.0 * p / (p + q)) * 1000000000.0)
+               AS HUGEINT)) AS DOUBLE) / 1000000000.0 AS half
+           FROM pt GROUP BY 1, 2)
+         SELECT x.a AS source_a, x.b AS source_b,
+           0.5 * x.half + 0.5 * y.half AS js_nats,
+           (0.5 * x.half + 0.5 * y.half) / ${math.log(2.0)} AS js_norm
+         FROM ha x JOIN ha y ON y.a = x.b AND y.b = x.a
+         WHERE x.a < x.b
+         ORDER BY 1, 2"""
   )
 }

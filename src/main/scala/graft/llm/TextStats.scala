@@ -1174,6 +1174,75 @@ object TextStats {
     * those integers. Scale shape: one token explode + two keyed
     * aggregations, all map-side combinable — no bounded frame anywhere.
     * Returns (group, n_tokens, v_types, sum_c2, yule_k). */
+  /** JENSEN–SHANNON DIVERGENCE between every pair of source domains'
+    * unigram token distributions — the symmetric, bounded (≤ ln 2)
+    * "how different are these corpus slices" readout that drives
+    * domain-mixing decisions (cf. [[graft.llm.DomainMix]]): JS(P,Q) =
+    * ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q)). Each directed half is
+    * computed over ITS OWN support (a zero-count opposite side is the
+    * p·ln 2 limit, handled by coalesce — no full-outer vocab union
+    * frame needed), so the whole thing is: one token-count frame,
+    * a broadcast-sized source-pair expansion, one hash lookup join.
+    *
+    * Exactness: counts/totals exact BIGINTs, each ln term pinned IEEE
+    * and floor-scaled at 10⁹. Scale shape: O(sources · tokens) work —
+    * the source list is the in-plan-guarded small side (≤ 64; a
+    * "source" is a domain, not a document) and the token frame is
+    * persisted once and released. Returns one row per unordered pair:
+    * (source_a, source_b, js_nats, js_norm). */
+  def jsDivergence(df: DataFrame, textCol: String, sourceCol: String,
+                   maxSources: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = graft.ops.Layout.spreadScan(df)
+      .filter(col(sourceCol).isNotNull)
+      // spread + outer generate: see [[TextDedup.cdcChunks]]
+      .select(col(sourceCol).cast(StringType).as("__s"),
+        explode_outer(transform(TextDedup.tokens(col(textCol)),
+          t => TextDedup.h60(t))).as("__h"))
+      .filter(col("__h").isNotNull)
+      .groupBy(col("__s"), col("__h")).agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = tok.groupBy(col("__s")).agg(sum(col("__c")).as("__tot"))
+      // in-plan source-cardinality bound: the pair expansion below is
+      // O(sources²) and each source multiplies the token frame once
+      .withColumn("__tot", when(
+        count(lit(1)).over(Window.partitionBy()) <= maxSources,
+        col("__tot")).otherwise(raise_error(concat(
+          lit("jsDivergence: "),
+          count(lit(1)).over(Window.partitionBy()).cast(StringType),
+          lit(s" sources > the documented bound of $maxSources — " +
+            "group finer slices into domains first")))).cast(LongType))
+    val srcs = tot.select(col("__s").as("__s2"), col("__tot").as("__tot2"))
+    def d(c: Column): Column = c.cast(DoubleType)
+    // directed half A(s1, s2) = Σ_{h ∈ s1's support} p·ln(2p/(p+q)):
+    // expand s1's token frame by every other source, look up that
+    // source's count for the hash (left join — absent = the q→0 limit)
+    val halfAgg = {
+      val perToken = tok.join(tot, "__s")
+        .join(srcs, col("__s") =!= col("__s2"))
+        .join(tok.select(col("__s").as("__s2"), col("__h"),
+          col("__c").as("__c2")), Seq("__s2", "__h"), "left")
+      val p = d(col("__c")) / d(col("__tot"))
+      val q = d(coalesce(col("__c2"), lit(0L))) / d(col("__tot2"))
+      perToken.groupBy(col("__s").as("__a"), col("__s2").as("__b"))
+        .agg(graft.ops.Reductions.isum(
+          p * log(lit(2.0) * p / (p + q)), 9).as("__half"))
+    }
+    val out = halfAgg.as("x")
+      .join(halfAgg.select(col("__a").as("__b2"), col("__b").as("__a2"),
+        col("__half").as("__half2")),
+        col("__a") === col("__a2") && col("__b") === col("__b2"))
+      .filter(col("__a") < col("__b"))
+      .select(col("__a").as("source_a"), col("__b").as("source_b"),
+        (lit(0.5) * col("__half") + lit(0.5) * col("__half2"))
+          .as("js_nats"))
+      .withColumn("js_norm", col("js_nats") / lit(math.log(2.0)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    tok.unpersist()
+    out
+  }
+
   def yuleK(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
     val typeCounts = graft.ops.Layout.spreadScan(df)
       .filter(col(groupCol).isNotNull)

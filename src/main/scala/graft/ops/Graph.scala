@@ -669,6 +669,56 @@ object Graph {
     out
   }
 
+  /** ADAMIC–ADAR LINK PREDICTION — the degree-aware sibling of
+    * [[jaccardLinks]]: for every non-adjacent pair with ≥ `minCommon`
+    * common neighbors, score = Σ_{w ∈ Γ(a)∩Γ(b)} 1/ln(deg(w)) — rare
+    * shared neighbors count more than hubs (Adamic & Adar 2003). The
+    * standard "which link forms next" ranking for graph curation.
+    *
+    * Same scale shape as jaccardLinks: one wedge self-join on the
+    * neighbor frame (hub-cappable via `maxDegree` — the wedge count is
+    * Σ deg², so capping hubs is the 100 TB lever), the per-via degree
+    * attached BEFORE the pair groupBy so the score is one keyed
+    * floor-scaled sum (10⁹ — 1/ln(deg) is irrational, and a via node
+    * in a wedge always has deg ≥ 2 so ln > 0), existing edges removed
+    * by anti-join. Returns the top-k pairs by score (ties by (a, b)):
+    * (a, b, common, deg_a, deg_b, aa_score). */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+                 minCommon: Long = 1L, topK: Int = 20,
+                 maxDegree: Option[Long] = None): DataFrame = {
+    require(topK >= 1, s"topK=$topK")
+    val und = capHubs(edges.select(
+        least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
+        greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct(), maxDegree, "adamicAdar")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nbrs = und.select(col("a").as("id"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("id"), col("a").as("nbr")))
+    val deg = nbrs.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val cand = nbrs.select(col("nbr").as("via"), col("id").as("a"))
+      .join(nbrs.select(col("nbr").as("via"), col("id").as("b")), "via")
+      .filter(col("a") < col("b"))
+      .join(deg.select(col("id").as("via"), col("deg").as("__dv")), "via")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"),
+        Reductions.isum(lit(1.0) / log(col("__dv").cast(DoubleType)), 9)
+          .as("aa_score"))
+      .filter(col("common") >= minCommon)
+    val nonEdges = cand.join(und, Seq("a", "b"), "left_anti")
+    val out = nonEdges
+      .join(deg.select(col("id").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("common"), col("deg_a"),
+        col("deg_b"), col("aa_score"))
+      .orderBy(col("aa_score").desc, col("a"), col("b"))
+      .limit(topK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    und.unpersist()
+    out
+  }
+
   /** The TPC-H trading graph: an undirected customer↔supplier edge for
     * every distinct pair that traded (orders ⋈ lineitem), encoded into one
     * node space (customer c → 2c, supplier s → 2s+1) and emitted in both

@@ -1557,4 +1557,69 @@ object Ml {
       .select(col(groupCol), col("n"), col("n_pos"),
         col("__b0").as("intercept"), col("__b1").as("slope"))
   }
+
+  /** DECISION STUMP — the optimal depth-1 tree for a binary label over
+    * ONE ordered feature: among the candidate thresholds θ (every
+    * distinct feature value except the maximum), pick the split
+    * x ≤ θ / x > θ minimizing the weighted Gini impurity
+    * (n_L/n)·g_L + (n_R/n)·g_R, g = 1 − p² − (1−p)² — the unit of
+    * every tree ensemble and the standard "is this feature predictive
+    * at all" readout next to [[Stats]]' correlation tier.
+    *
+    * Exactness & scale: ONE keyed aggregation reduces the data to the
+    * per-distinct-value (count, positives) frame — O(distinct values),
+    * [[graft.ops.Stats]]-style bounded in-plan at 4096 candidates (a
+    * feature with more isn't a stump candidate grid; quantile-bucket it
+    * first) — then cumulative counts via a window over that bounded
+    * frame give every split's four exact BIGINTs, the impurities are
+    * pinned IEEE expressions of those integers (bit-identical across
+    * engines), and the argmin is (gini asc, θ asc) — deterministic.
+    * Returns ONE row (or zero rows when no valid split exists):
+    * (threshold, n, n_pos, n_left, pos_left, n_right, pos_right,
+    * gini_left, gini_right, gini_split, gini_gain). */
+  def decisionStump(df: DataFrame, featureCol: String, labelPos: Column,
+                    maxCandidates: Long = 1L << 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = col(featureCol).cast(DoubleType)
+    val perValue = df.filter(x.isNotNull && !isnan(x))
+      .groupBy(x.as("__v"))
+      .agg(count(lit(1)).as("__c"),
+        coalesce(sum(when(labelPos, 1L)), lit(0L)).as("__p"))
+    val wCum = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val cum = perValue
+      // in-plan candidate-grid bound (the seriesBound doctrine — the
+      // global cumulative window below is safe only on a bounded frame)
+      .withColumn("__c", when(count(lit(1)).over(wAll) <= maxCandidates,
+        col("__c")).otherwise(raise_error(concat(
+          lit("decisionStump: feature has "),
+          count(lit(1)).over(wAll).cast(StringType),
+          lit(s" distinct values > the documented bound of " +
+            s"$maxCandidates — quantile-bucket the feature first")))))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__np", sum(col("__p")).over(wAll))
+      .withColumn("__nl", sum(col("__c")).over(wCum))
+      .withColumn("__pl", sum(col("__p")).over(wCum))
+      .filter(col("__nl") < col("__n")) // right side must be non-empty
+    def d(c: Column): Column = c.cast(DoubleType)
+    def gini(pos: Column, n: Column): Column = {
+      val p = d(pos) / d(n)
+      val q = (d(n) - d(pos)) / d(n)
+      lit(1.0) - p * p - q * q
+    }
+    val nr = col("__n") - col("__nl")
+    val pr = col("__np") - col("__pl")
+    val gl = gini(col("__pl"), col("__nl"))
+    val gr = gini(pr, nr)
+    val split = d(col("__nl")) / d(col("__n")) * gl +
+      d(nr) / d(col("__n")) * gr
+    val scored = cum.select(col("__v").as("threshold"),
+      col("__n").as("n"), col("__np").as("n_pos"),
+      col("__nl").as("n_left"), col("__pl").as("pos_left"),
+      nr.as("n_right"), pr.as("pos_right"),
+      gl.as("gini_left"), gr.as("gini_right"), split.as("gini_split"),
+      (gini(col("__np"), col("__n")) - split).as("gini_gain"))
+    scored.orderBy(col("gini_split").asc, col("threshold").asc).limit(1)
+  }
 }

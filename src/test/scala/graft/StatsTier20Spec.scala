@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.Stats
+import graft.ops.{Stats, Graph, Ml}
 import graft.llm.TextStats
 
 /** Semantic pins for the round-19 closing wave (q394+): Cramér's V,
@@ -160,6 +160,60 @@ class StatsTier20Spec extends SparkSuite {
     val f = Stats.spectralEntropy(flat, Seq("t"), "x", maxK = 8)
       .collect()(0)
     assert(f.getDouble(2) == 0.0 && f.isNullAt(3) && f.isNullAt(4))
+  }
+
+  test("adamicAdar: path graph 1-2-3 predicts (1,3) via the shared " +
+       "degree-2 neighbor; existing edges are excluded") {
+    import spark.implicits._
+    // square 1-2-3-4-1 plus chord-free diagonal candidates: (1,3) and
+    // (2,4) share TWO degree-2 neighbors each -> score = 2/ln 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("s", "d")
+    val rows = Graph.adamicAdar(edges, "s", "d").collect()
+    assert(rows.length == 2)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 3L), (2L, 4L)))
+    val expect = math.floor(1.0 / math.log(2.0) * 1e9) * 2 / 1e9
+    rows.foreach { r =>
+      assert(r.getLong(2) == 2L)                 // common
+      assert(r.getDouble(5) == expect, s"score=${r.getDouble(5)}")
+    }
+  }
+
+  test("decisionStump: a perfectly separable feature splits at the " +
+       "boundary with gini_split = 0") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toDouble, i > 6)).toDF("f", "y")
+    val r = Ml.decisionStump(df, "f", col("y")).collect()(0)
+    assert(r.getDouble(0) == 6.0, s"threshold=${r.getDouble(0)}")
+    assert(r.getLong(1) == 10L && r.getLong(2) == 4L)
+    assert(r.getLong(3) == 6L && r.getLong(4) == 0L) // pure left
+    assert(r.getDouble(9) == 0.0)                    // gini_split
+    assert(r.getDouble(10) > 0.4)                    // gain vs root 0.48
+  }
+
+  test("decisionStump: constant feature -> no valid split -> empty frame") {
+    import spark.implicits._
+    val df = Seq((1.0, true), (1.0, false)).toDF("f", "y")
+    assert(Ml.decisionStump(df, "f", col("y")).collect().isEmpty)
+  }
+
+  test("jsDivergence: identical distributions -> 0; disjoint vocab -> ln 2") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c", "s1"), (2L, "a b c", "s2"),   // identical
+      (3L, "x x y", "s3")                           // disjoint from both
+    ).toDF("doc_id", "text", "source")
+    val rows = TextStats.jsDivergence(df, "text", "source")
+      .orderBy(col("source_a"), col("source_b")).collect()
+    assert(rows.length == 3)
+    val m = rows.map(r => ((r.getString(0), r.getString(1)),
+      r.getDouble(2))).toMap
+    assert(math.abs(m(("s1", "s2"))) < 1e-8)
+    assert(math.abs(m(("s1", "s3")) - math.log(2)) < 1e-8)
+    assert(math.abs(m(("s2", "s3")) - math.log(2)) < 1e-8)
+    // normalized form is bounded at 1
+    assert(rows.forall(r => r.getDouble(3) <= 1.0 + 1e-12))
   }
 
   test("yuleK: hand corpus 'a a a b' gives K = 3750 exactly") {
