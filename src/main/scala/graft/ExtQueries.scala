@@ -3710,12 +3710,11 @@ object ExtQueries {
       Stats.cramersV(t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
     },
 
-    // Mutual information + Theil's U between order status and priority —
-    // the information-theoretic association companion to q394 (observed
-    // cells only; marginal entropies alongside).
-    "q395_mutual_info" -> { (s, dir) =>
-      Stats.mutualInfo(t(s, dir, "orders"), "o_orderstatus",
-        "o_orderpriority")
+    // KPSS level-stationarity test on the hourly click series — the
+    // null-reversed companion of q374's ADF (ADF null = unit root,
+    // KPSS null = stationary); exact integer partial sums, n⁴ cancels.
+    "q395_kpss" -> { (s, dir) =>
+      Stats.kpssTest(t(s, dir, "events"), "ts", "event_type", "click")
     },
 
     // Chatterjee's ξ between the hourly view-count and click-count
@@ -3802,6 +3801,34 @@ object ExtQueries {
       graft.llm.TextStats.jsDivergence(t(s, dir, "documents"), "text",
         "source")
         .orderBy(col("source_a"), col("source_b"))
+    },
+
+    // Personalized PageRank from a 5-customer seed cohort over the
+    // trading graph — seed-relevance expansion; exact integer rounds
+    // (teleport + dangling mass restricted to the seeds), top-20.
+    "q405_personalized_pagerank" -> { (s, dir) =>
+      val seeds = t(s, dir, "orders").filter(col("o_custkey") <= 5)
+        .select((col("o_custkey") * 2).as("seed"))
+      Graph.personalizedPageRank(
+        Graph.tradingPairsGraph(t(s, dir, "orders"), t(s, dir, "lineitem")),
+        "src", "dst", seeds, "seed", iters = 5, dedupEdges = false)
+        .orderBy(col("r").desc, col("id")).limit(20)
+    },
+
+    // Turning-point randomness test on the hourly view series — the
+    // classical i.i.d. check (strict local extrema count vs the
+    // 2(n-2)/3 expectation).
+    "q406_turning_points" -> { (s, dir) =>
+      Stats.turningPointTest(t(s, dir, "events"), "ts", "event_type",
+        "view")
+    },
+
+    // Sample entropy (m = 2, integer Chebyshev tolerance 2) of the
+    // hourly purchase series — the regularity readout; exact pair
+    // counts off the bounded O(h²) template frame.
+    "q407_sample_entropy" -> { (s, dir) =>
+      Stats.sampleEntropy(t(s, dir, "events"), "ts", "event_type",
+        "purchase", rTol = 2L)
     }
   )
 
@@ -11695,41 +11722,38 @@ object ExtQueries {
                * CAST(LEAST(r, c) - 1 AS DOUBLE))) END AS cramers_v
          FROM a CROSS JOIN chi""",
 
-    // mirrors Stats.mutualInfo: observed cells only, each (o/n)·ln term
-    // and marginal-entropy term in the identical pinned double order,
-    // floor-scaled Σ at 1e9.
-    "q395_mutual_info" ->
-      """WITH b AS (SELECT CAST(o_orderstatus AS VARCHAR) AS x,
-             CAST(o_orderpriority AS VARCHAR) AS y
-           FROM orders
-           WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL),
-         cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS o
-           FROM b GROUP BY 1, 2),
-         xs AS (SELECT x, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
-         ys AS (SELECT y, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
-         nf AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
-         mi AS (SELECT MAX(n) AS n,
-             CAST(COUNT(DISTINCT x) AS BIGINT) AS r,
-             CAST(COUNT(DISTINCT y) AS BIGINT) AS c,
-             CAST(SUM(CAST(FLOOR(
-               CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
-                 * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
-                   / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))
-             * 1000000000.0) AS HUGEINT)) AS DOUBLE) / 1000000000.0 AS mi
-           FROM cells JOIN xs USING (x) JOIN ys USING (y) CROSS JOIN nf),
-         hx AS (SELECT CAST(SUM(CAST(FLOOR(
-               -(CAST(rt AS DOUBLE) / CAST(n AS DOUBLE))
-                 * ln(CAST(rt AS DOUBLE) / CAST(n AS DOUBLE))
-             * 1000000000.0) AS HUGEINT)) AS DOUBLE) / 1000000000.0 AS h_x
-           FROM xs CROSS JOIN nf),
-         hy AS (SELECT CAST(SUM(CAST(FLOOR(
-               -(CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
-                 * ln(CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
-             * 1000000000.0) AS HUGEINT)) AS DOUBLE) / 1000000000.0 AS h_y
-           FROM ys CROSS JOIN nf)
-         SELECT n, r, c, mi, h_x, h_y,
-           CASE WHEN h_x > 0 THEN mi / h_x END AS u_xy
-         FROM mi CROSS JOIN hx CROSS JOIN hy""",
+    // mirrors Stats.kpssTest: the exact BIGINT C_t = cum(n·y − Σy)
+    // partial sums, ΣC² in HUGEINT, the identical pinned η division.
+    "q395_kpss" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS y
+           FROM events WHERE ts IS NOT NULL AND event_type = 'click'
+           GROUP BY 1),
+         ix AS (SELECT y, CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(y) OVER () AS BIGINT) AS sy,
+             CAST(SUM(y * y) OVER () AS BIGINT) AS syy,
+             h
+           FROM h),
+         cc AS (SELECT *, CAST(SUM(n * y - sy) OVER (ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS c
+           FROM ix),
+         a AS (SELECT MAX(n) AS n_hours, MAX(sy) AS syv, MAX(syy) AS syyv,
+             SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sc2
+           FROM cc),
+         v AS (SELECT *,
+             CAST(n_hours AS DOUBLE) * CAST(syyv AS DOUBLE)
+               - CAST(syv AS DOUBLE) * CAST(syv AS DOUBLE) AS vt,
+             CAST(sc2 AS DOUBLE)
+               / (CAST(n_hours AS DOUBLE) * CAST(n_hours AS DOUBLE)
+                  * (CAST(n_hours AS DOUBLE) * CAST(syyv AS DOUBLE)
+                     - CAST(syv AS DOUBLE) * CAST(syv AS DOUBLE))) AS eta
+           FROM a)
+         SELECT n_hours,
+           CASE WHEN vt > 0 THEN eta END AS eta,
+           CASE WHEN vt > 0 THEN
+             CASE WHEN eta <= 0.463 THEN 1 ELSE 0 END END AS stationary_5pct
+         FROM v""",
 
     // mirrors Stats.chatterjeeXi: hourly two-type counts, y-rank via the
     // ≤-count (RANGE frame), ties via the =-count, x-order lag with the
@@ -12132,6 +12156,100 @@ object ExtQueries {
            (0.5 * x.half + 0.5 * y.half) / ${math.log(2.0)} AS js_norm
          FROM ha x JOIN ha y ON y.a = x.b AND y.b = x.a
          WHERE x.a < x.b
-         ORDER BY 1, 2"""
+         ORDER BY 1, 2""",
+
+    // mirrors Graph.personalizedPageRank (trading graph, no dangling):
+    // the q149 integer rounds with the teleport term CASE-gated to the
+    // seed set and r0 = Scale // |S| on seeds / 0 elsewhere.
+    "q405_personalized_pagerank" -> {
+      val iters = (1 to 5).map { k =>
+        s"""r$k AS (SELECT n.id,
+             (CASE WHEN sd.id IS NOT NULL
+                THEN (SELECT (15 * (1000000000000 // c)) // 100 FROM ns)
+                ELSE 0 END)
+             + (85 * COALESCE(cb.s, 0)) // 100 AS r
+           FROM allnodes n
+           LEFT JOIN (SELECT e.dst AS id, SUM(r.r // d.outdeg) AS s
+             FROM e JOIN r${k - 1} r ON e.src = r.id
+             JOIN deg d ON d.src = e.src
+             GROUP BY 1) cb ON cb.id = n.id
+           LEFT JOIN seeds sd ON sd.id = n.id)"""
+      }.mkString(",\n         ")
+      s"""WITH pairs AS (
+           SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS (SELECT cnode AS src, snode AS dst FROM pairs
+               UNION ALL SELECT snode, cnode FROM pairs),
+         deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+           FROM e GROUP BY 1),
+         allnodes AS (SELECT DISTINCT src AS id FROM e),
+         seeds AS (SELECT DISTINCT cnode AS id FROM pairs WHERE cnode <= 10),
+         ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM seeds),
+         r0 AS (SELECT n.id,
+             CASE WHEN sd.id IS NOT NULL
+               THEN (SELECT 1000000000000 // c FROM ns) ELSE 0 END AS r
+           FROM allnodes n LEFT JOIN seeds sd ON sd.id = n.id),
+         $iters
+         SELECT id, CAST(r AS BIGINT) AS r FROM r5
+         ORDER BY r DESC, id LIMIT 20"""
+    },
+
+    // mirrors Stats.turningPointTest: strict local extrema off one
+    // lag/lead pass, pinned E/Var/z expressions of n.
+    "q406_turning_points" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS y
+           FROM events WHERE ts IS NOT NULL AND event_type = 'view'
+           GROUP BY 1),
+         ix AS (SELECT y, LAG(y, 1) OVER (ORDER BY h) AS p,
+             LEAD(y, 1) OVER (ORDER BY h) AS f,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+           FROM h),
+         a AS (SELECT MAX(n) AS n_hours,
+             CAST(COALESCE(SUM(CASE WHEN p IS NOT NULL AND f IS NOT NULL
+               AND ((y > p AND y > f) OR (y < p AND y < f))
+               THEN 1 END), 0) AS BIGINT) AS n_turning
+           FROM ix),
+         v AS (SELECT *,
+             2.0 * (CAST(n_hours AS DOUBLE) - 2.0) / 3.0 AS e,
+             (16.0 * CAST(n_hours AS DOUBLE) - 29.0) / 90.0 AS vv
+           FROM a)
+         SELECT n_hours, n_turning,
+           CASE WHEN n_hours >= 3 THEN e END AS expected,
+           CASE WHEN n_hours >= 3 AND vv > 0 THEN
+             (CAST(n_turning AS DOUBLE) - e) / sqrt(vv) END AS z
+         FROM v""",
+
+    // mirrors Stats.sampleEntropy (m = 2, rTol = 2): exact Chebyshev
+    // template-pair counts over the bounded O(h^2) frame, one -ln.
+    "q407_sample_entropy" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS y
+           FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'
+           GROUP BY 1),
+         ix AS (SELECT y,
+             LEAD(y, 1) OVER (ORDER BY h) AS y1,
+             LEAD(y, 2) OVER (ORDER BY h) AS y2,
+             CAST(ROW_NUMBER() OVER (ORDER BY h) - 1 AS BIGINT) AS t,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+           FROM h),
+         tpl AS (SELECT t, y AS a0, y1 AS a1, y2 AS a2, n FROM ix
+           WHERE y2 IS NOT NULL),
+         pr AS (SELECT x.n, GREATEST(ABS(x.a0 - z.a0), ABS(x.a1 - z.a1))
+               <= 2 AS mm,
+             GREATEST(ABS(x.a0 - z.a0), ABS(x.a1 - z.a1)) <= 2
+               AND ABS(x.a2 - z.a2) <= 2 AS m1
+           FROM tpl x JOIN tpl z ON z.t > x.t),
+         a AS (SELECT MAX(n) AS n_hours,
+             CAST(COALESCE(SUM(CASE WHEN mm THEN 1 END), 0) AS BIGINT)
+               AS b_count,
+             CAST(COALESCE(SUM(CASE WHEN m1 THEN 1 END), 0) AS BIGINT)
+               AS a_count
+           FROM pr)
+         SELECT n_hours, CAST(2 AS BIGINT) AS r_tol, b_count, a_count,
+           CASE WHEN a_count > 0 AND b_count > 0 THEN
+             -ln(CAST(a_count AS DOUBLE) / CAST(b_count AS DOUBLE)) END
+             AS sampen
+         FROM a"""
   )
 }

@@ -669,6 +669,93 @@ object Graph {
     out
   }
 
+  /** PERSONALIZED PAGERANK — [[pageRank]] with the teleport
+    * distribution restricted to a SEED SET: the random surfer restarts
+    * uniformly over the seeds instead of all nodes, so rank becomes
+    * "relevance to the seeds" — the standard seed-expansion primitive
+    * for graph curation (grow a trusted-domain set, find accounts
+    * related to a cohort) and recommendation.
+    *
+    * Same exact-integer choreography as pageRank (fixed point at
+    * Scale = 10¹²): r₀ = Scale div |S| on seeds / 0 elsewhere,
+    * base = (100−damp)·(Scale div |S|) div 100 paid ONLY to seeds, and
+    * each round r' = seedBase + (damp·(Σ_in share + seedDangling)) div
+    * 100 with share = r div outdeg and dangling mass redistributed to
+    * the seeds (dmass div |S|, again integer). Every op is a Long
+    * floor-div/add — the DuckDB oracle replays rounds bit-for-bit.
+    * Seeds not present in the graph are ignored (inner-join semantics);
+    * requires ≥ 1 surviving seed. Per-round eager checkpoint + release,
+    * edge/node caches released at exit — the pageRank doctrine.
+    * Returns (id, r) over the full node universe. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+                           dstCol: String, seeds: DataFrame,
+                           seedCol: String, iters: Int = 5,
+                           damp: Int = 85,
+                           dedupEdges: Boolean = true): DataFrame = {
+    require(iters >= 1 && damp >= 0 && damp <= 100)
+    val e0 = edges.select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val e = if (dedupEdges) e0.distinct() else e0
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edged = e.join(deg, "src")
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val seedIds = seeds
+      .select(col(seedCol).cast(LongType).as("id")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .join(deg.select(col("src").as("id"), lit(false).as("__dang")),
+        Seq("id"), "left")
+      .join(seedIds.select(col("id"), lit(true).as("__seed")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__dang"), lit(true)).as("__dang"),
+        coalesce(col("__seed"), lit(false)).as("__seed"))
+      .repartition(col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nS = nodes.filter(col("__seed")).count()
+    require(nS > 0, "personalizedPageRank: no seed is a graph node")
+    val hasDangling = nodes.filter(col("__dang")).limit(1).count() > 0L
+    val r0 = Scale / nS
+    val base = (100 - damp) * (Scale / nS) / 100
+    var ranks = nodes.select(col("id"), col("__dang"), col("__seed"),
+      when(col("__seed"), lit(r0)).otherwise(lit(0L)).as("r"))
+    var lastCk: Option[org.apache.spark.sql.DataFrame] = None
+    for (i <- 1 to iters) {
+      val contrib = edged.join(ranks, edged("src") === ranks("id"))
+        .select(col("dst"), expr("r div outdeg").as("share"))
+        .groupBy(col("dst"))
+        .agg(sum(col("share")).as("s"))
+      ranks =
+        if (!hasDangling)
+          nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+            .select(nodes("id"), nodes("__dang"), nodes("__seed"),
+              (when(nodes("__seed"), lit(base)).otherwise(lit(0L)) +
+                expr(s"(${damp}L * coalesce(s, 0L)) div 100")).as("r"))
+        else {
+          val dang = ranks.filter(col("__dang"))
+            .agg(coalesce(sum(col("r")), lit(0L)).as("__dmass"))
+          nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+            .crossJoin(broadcast(dang))
+            .select(nodes("id"), nodes("__dang"), nodes("__seed"),
+              (when(nodes("__seed"), lit(base)).otherwise(lit(0L)) +
+                expr(s"(${damp}L * (coalesce(s, 0L) + (case when __seed " +
+                  s"then __dmass div ${nS}L else 0L end))) div 100"))
+                .as("r"))
+        }
+      if (i < iters) {
+        ranks = ranks.localCheckpoint(true)
+        lastCk.foreach(Checkpoints.releaseLocalCheckpoint)
+        lastCk = Some(ranks)
+      }
+    }
+    val out = ranks.select(col("id"), col("r")).localCheckpoint(true)
+    lastCk.foreach(Checkpoints.releaseLocalCheckpoint)
+    edged.unpersist()
+    nodes.unpersist()
+    out
+  }
+
   /** ADAMIC–ADAR LINK PREDICTION — the degree-aware sibling of
     * [[jaccardLinks]]: for every non-adjacent pair with ≥ `minCommon`
     * common neighbors, score = Σ_{w ∈ Γ(a)∩Γ(b)} 1/ln(deg(w)) — rare

@@ -4271,58 +4271,6 @@ object Stats {
         .as("cramers_v"))
   }
 
-  /** MUTUAL INFORMATION + UNCERTAINTY COEFFICIENT between two
-    * categorical columns — the information-theoretic association
-    * companion to [[cramersV]] (and the feature-selection "information
-    * gain" readout): MI = Σ_{x,y} (o/n)·ln(o·n/(rt·ct)) in nats over
-    * the OBSERVED cells (zero cells contribute 0 by the p·ln p → 0
-    * limit, so no grid is needed), plus the marginal entropies and
-    * Theil's U(X|Y) = MI/H(X) — the share of X's entropy explained by
-    * knowing Y (asymmetric by design; swap arguments for the other
-    * direction).
-    *
-    * Exactness: all counts exact BIGINTs; each ln term is a pinned
-    * IEEE expression of those integers (products taken in double so
-    * the formula survives n² > 2⁶³ at extreme scale) and every Σ is
-    * floor-scaled at 10⁹. Same in-plan 4096-value cardinality bound
-    * as [[cramersV]]. Returns one row (n, r, c, mi, h_x, h_y, u_xy). */
-  def mutualInfo(df: DataFrame, xCol: String, yCol: String,
-                 maxCardinality: Long = 1L << 12): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cells = df
-      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
-      .select(col(xCol).cast(StringType).as("__x"),
-        col(yCol).cast(StringType).as("__y"))
-      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__o"))
-    val xs = cells.groupBy(col("__x")).agg(sum(col("__o")).as("__rt"))
-      .withColumn("__rt", seriesBound(col("__rt"),
-        count(lit(1)).over(Window.partitionBy()), maxCardinality,
-        "mutualInfo x-cardinality").cast(LongType))
-    val ys = cells.groupBy(col("__y")).agg(sum(col("__o")).as("__ct"))
-      .withColumn("__ct", seriesBound(col("__ct"),
-        count(lit(1)).over(Window.partitionBy()), maxCardinality,
-        "mutualInfo y-cardinality").cast(LongType))
-    def d(c: Column): Column = c.cast(DoubleType)
-    val nF = cells.agg(sum(col("__o")).as("__n"))
-    val joined = cells.join(xs, "__x").join(ys, "__y").crossJoin(nF)
-    val miTerm = d(col("__o")) / d(col("__n")) *
-      log(d(col("__o")) * d(col("__n")) / (d(col("__rt")) * d(col("__ct"))))
-    val miAgg = joined.agg(
-      max(col("__n")).as("n"),
-      countDistinct(col("__x")).as("r"),
-      countDistinct(col("__y")).as("c"),
-      fs(miTerm, 9).as("mi"))
-    def marginalH(m: DataFrame, tot: String): DataFrame = {
-      val p = d(col(tot)) / d(col("__n"))
-      m.crossJoin(nF).agg(fs(-p * log(p), 9).as("__h"))
-    }
-    val hx = marginalH(xs, "__rt").select(col("__h").as("h_x"))
-    val hy = marginalH(ys, "__ct").select(col("__h").as("h_y"))
-    miAgg.crossJoin(hx).crossJoin(hy).select(
-      col("n"), col("r"), col("c"), col("mi"), col("h_x"), col("h_y"),
-      when(col("h_x") > 0.0, col("mi") / col("h_x")).as("u_xy"))
-  }
-
   /** CHATTERJEE'S ξ RANK CORRELATION (Chatterjee 2020, JASA) between
     * two hourly event-count series — the modern "is y a FUNCTION of x"
     * dependence coefficient: 0 for independence, →1 when y is any
@@ -4371,6 +4319,132 @@ object Stats {
       when(lit(2L) * col("__sl") > 0L,
         lit(1.0) - (col("n_hours") * col("sum_abs_dr")).cast(DoubleType) /
           (lit(2L) * col("__sl")).cast(DoubleType)).as("xi"))
+  }
+
+  /** KPSS LEVEL-STATIONARITY TEST on the hourly count series — the
+    * null-reversed companion of [[adfTest]] (ADF's null is a unit
+    * root; KPSS's null is stationarity — running both gives the
+    * standard 2×2 verdict table): η = Σ_t S_t² / (n²·σ̂²) with S_t the
+    * partial sums of the demeaned series and σ̂² the lag-0 long-run
+    * variance (the no-autocorrelation-correction variant, documented
+    * and replayed verbatim; 5% critical value 0.463).
+    *
+    * Exactness: the demeaned partial sum is kept ×n as the exact
+    * BIGINT C_t = Σ_{i≤t}(n·yᵢ − Σy) (one cumulative window over the
+    * bounded series), ΣC² runs in DECIMAL(38,0) (C ≤ ~10¹⁶ on any
+    * real series, so the 19,0×19,0 product is exact), and
+    * η = ΣC² / (n²·(nΣy² − (Σy)²)) is one pinned division of exact
+    * integers — n⁴ cancels. Gates null on zero variance. Series
+    * O(time-range), [[seriesBound]]-guarded. Returns one row
+    * (n_hours, eta, stationary_5pct). */
+  def kpssTest(df: DataFrame, tsCol: String, typeCol: String,
+               yType: String, maxHours: Long = 1L << 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = hourlySeries(df, tsCol, typeCol, yType, maxHours,
+      "kpssTest")
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withC = hourly
+      .withColumn("__sy", sum(col("__y")).over(wAll))
+      .withColumn("__e", col("__n") * col("__y") - col("__sy"))
+      .withColumn("__C", sum(col("__e")).over(wCum))
+    val agg = withC.agg(
+      max(col("__n")).as("n_hours"),
+      max(col("__sy")).as("__syv"),
+      sum(col("__y") * col("__y")).as("__syy"),
+      sum(col("__C").cast(DecimalType(19, 0)) *
+        col("__C").cast(DecimalType(19, 0))).as("__sc2"))
+    def d(c: Column): Column = c.cast(DoubleType)
+    val varTerm = d(col("n_hours")) * d(col("__syy")) -
+      d(col("__syv")) * d(col("__syv"))
+    val eta = d(col("__sc2")) /
+      (d(col("n_hours")) * d(col("n_hours")) * varTerm)
+    agg.select(col("n_hours"),
+      when(varTerm > 0.0, eta).as("eta"),
+      when(varTerm > 0.0,
+        when(eta <= 0.463, 1).otherwise(0)).as("stationary_5pct"))
+  }
+
+  /** TURNING-POINT TEST of series randomness — the classical quick
+    * i.i.d. check: count interior hours that are a strict local max or
+    * min; under randomness E[T] = 2(n−2)/3, Var[T] = (16n−29)/90, and
+    * z = (T − E)/√Var flags too-smooth (z ≪ 0, trending) or
+    * too-jagged (z ≫ 0, alternating) series. Plateaus (ties with a
+    * neighbor) are not turning points — the strict-inequality variant,
+    * documented and replayed verbatim.
+    *
+    * Exactness: T is an exact integer off one lag/lead window pass;
+    * E and z are pinned IEEE expressions of n. Series O(time-range),
+    * [[seriesBound]]-guarded. Returns one row
+    * (n_hours, n_turning, expected, z). */
+  def turningPointTest(df: DataFrame, tsCol: String, typeCol: String,
+                       yType: String,
+                       maxHours: Long = 1L << 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("__h"))
+    val hourly = hourlySeries(df, tsCol, typeCol, yType, maxHours,
+      "turningPointTest")
+      .withColumn("__p", lag(col("__y"), 1).over(w))
+      .withColumn("__f", lead(col("__y"), 1).over(w))
+    val isTp = col("__p").isNotNull && col("__f").isNotNull &&
+      ((col("__y") > col("__p") && col("__y") > col("__f")) ||
+        (col("__y") < col("__p") && col("__y") < col("__f")))
+    val agg = hourly.agg(max(col("__n")).as("n_hours"),
+      coalesce(sum(when(isTp, 1L)), lit(0L)).as("n_turning"))
+    def d(c: Column): Column = c.cast(DoubleType)
+    val e = lit(2.0) * (d(col("n_hours")) - lit(2.0)) / lit(3.0)
+    val v = (lit(16.0) * d(col("n_hours")) - lit(29.0)) / lit(90.0)
+    agg.select(col("n_hours"), col("n_turning"),
+      when(col("n_hours") >= 3L, e).as("expected"),
+      when(col("n_hours") >= 3L && v > 0.0,
+        (d(col("n_turning")) - e) / sqrt(v)).as("z"))
+  }
+
+  /** SAMPLE ENTROPY (Richman & Moorman 2000) of the hourly count
+    * series at template length m = 2 — the regularity/complexity
+    * readout (low SampEn = predictable/periodic, high = irregular)
+    * complementing [[spectralEntropy]]'s frequency view: SampEn =
+    * −ln(A/B) with B = #template pairs (i < j ≤ n−m) matching within
+    * tolerance r under the Chebyshev metric at length m, A = the same
+    * pairs at length m+1. Counts are over INTEGER hourly counts with
+    * an integer tolerance `rTol`, so A and B are exact and the single
+    * −ln(A/B) is one pinned double of an exact rational.
+    *
+    * Scale shape: the O(h²) template-pair frame off the
+    * [[seriesBound]]-guarded hourly series — the [[mannKendall]]
+    * bound-by-construction pattern (≤ 8.4M pairs at the 4096-hour
+    * default, FLAT in SF). Returns one row
+    * (n_hours, r_tol, b_count, a_count, sampen). */
+  def sampleEntropy(df: DataFrame, tsCol: String, typeCol: String,
+                    yType: String, rTol: Long = 2L,
+                    maxHours: Long = 1L << 12): DataFrame = {
+    require(rTol >= 0, s"rTol=$rTol")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("__h"))
+    val tpl = hourlySeries(df, tsCol, typeCol, yType, maxHours,
+      "sampleEntropy")
+      .withColumn("__y1", lead(col("__y"), 1).over(w))
+      .withColumn("__y2", lead(col("__y"), 2).over(w))
+      .filter(col("__y2").isNotNull) // i ≤ n−m−1 (0-based), m = 2
+      .select(col("__t"), col("__y"), col("__y1"), col("__y2"),
+        col("__n"))
+    val pairs = tpl.select(col("__t").as("i"), col("__y").as("a0"),
+        col("__y1").as("a1"), col("__y2").as("a2"), col("__n"))
+      .join(tpl.select(col("__t").as("j"), col("__y").as("b0"),
+        col("__y1").as("b1"), col("__y2").as("b2")),
+        col("j") > col("i"))
+    val mMatch = greatest(abs(col("a0") - col("b0")),
+      abs(col("a1") - col("b1"))) <= rTol
+    val m1Match = mMatch && abs(col("a2") - col("b2")) <= rTol
+    val agg = pairs.agg(max(col("__n")).as("n_hours"),
+      coalesce(sum(when(mMatch, 1L)), lit(0L)).as("b_count"),
+      coalesce(sum(when(m1Match, 1L)), lit(0L)).as("a_count"))
+    agg.select(col("n_hours"), lit(rTol).as("r_tol"),
+      col("b_count"), col("a_count"),
+      when(col("a_count") > 0L && col("b_count") > 0L,
+        -log(col("a_count").cast(DoubleType) /
+          col("b_count").cast(DoubleType))).as("sampen"))
   }
 
   /** The shared hourly-count series frame of the bounded time-series

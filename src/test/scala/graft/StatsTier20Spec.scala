@@ -45,24 +45,24 @@ class StatsTier20Spec extends SparkSuite {
       s"chi2=${r.getDouble(4)}")
   }
 
-  test("mutualInfo: perfect 2x2 association gives MI = H = ln 2, U = 1") {
+  test("kpssTest: alternating series is level-stationary; a strong " +
+       "trend rejects; constant series nulls") {
     import spark.implicits._
-    val df = Seq(("a", "1"), ("a", "1"), ("b", "2"), ("b", "2"))
-      .toDF("x", "y")
-    val r = Stats.mutualInfo(df, "x", "y").collect()(0)
-    assert(r.getLong(0) == 4L)
-    assert(math.abs(r.getDouble(3) - math.log(2)) < 1e-8)
-    assert(math.abs(r.getDouble(4) - math.log(2)) < 1e-8)
-    assert(math.abs(r.getDouble(5) - math.log(2)) < 1e-8)
-    assert(math.abs(r.getDouble(6) - 1.0) < 1e-7)
-  }
-
-  test("mutualInfo: independent columns give MI = 0 (up to the floor grid)") {
-    import spark.implicits._
-    val df = (for (x <- Seq("a", "b"); y <- Seq("1", "2"); _ <- 1 to 3)
-      yield (x, y)).toDF("x", "y")
-    val r = Stats.mutualInfo(df, "x", "y").collect()(0)
-    assert(math.abs(r.getDouble(3)) < 1e-8, s"mi=${r.getDouble(3)}")
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def series(ys: Seq[Int]) = ys.zipWithIndex.flatMap { case (y, i) =>
+      val t = new java.sql.Timestamp(ts0.getTime + i * 3600L * 1000L)
+      (0 until y).map(_ => (t, "click"))
+    }.toDF("ts", "event_type")
+    val alt = Stats.kpssTest(series((0 until 40).map(i => 1 + i % 2)),
+      "ts", "event_type", "click").collect()(0)
+    assert(alt.getDouble(1) < 0.463 && alt.getInt(2) == 1, alt.toString)
+    val trend = Stats.kpssTest(series((1 to 40)), "ts", "event_type",
+      "click").collect()(0)
+    assert(trend.getDouble(1) > 0.463 && trend.getInt(2) == 0,
+      trend.toString)
+    val const = Stats.kpssTest(series(Seq.fill(10)(3)), "ts",
+      "event_type", "click").collect()(0)
+    assert(const.isNullAt(1) && const.isNullAt(2))
   }
 
   test("chatterjeeXi: y a strict function of x gives xi = 1 - 3/(n+1)") {
@@ -214,6 +214,58 @@ class StatsTier20Spec extends SparkSuite {
     assert(math.abs(m(("s2", "s3")) - math.log(2)) < 1e-8)
     // normalized form is bounded at 1
     assert(rows.forall(r => r.getDouble(3) <= 1.0 + 1e-12))
+  }
+
+  test("personalizedPageRank: path 1->2->3 from seed 1 replays the " +
+       "integer rounds exactly; non-graph seeds are ignored") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    // seed {1}: r0 = (1e12, 0, 0); base = 1.5e11 (seed only)
+    // round 1: r = (1.5e11, 8.5e11, 0)
+    // round 2: r(2) = 85*1.5e11 div 100 = 1.275e11,
+    //          r(3) = 85*8.5e11 div 100 = 7.225e11
+    val seeds = Seq(1L, 99L).toDF("seed") // 99 is not a node -> ignored
+    val r = Graph.personalizedPageRank(edges, "s", "d", seeds, "seed",
+      iters = 2).orderBy(col("id")).collect()
+    assert(r.map(_.getLong(1)).toSeq ==
+      Seq(150000000000L, 127500000000L, 722500000000L), r.toSeq.toString)
+  }
+
+  test("turningPointTest: alternating series turns at every interior " +
+       "hour; monotone series never turns") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def series(ys: Seq[Int]) = ys.zipWithIndex.flatMap { case (y, i) =>
+      val t = new java.sql.Timestamp(ts0.getTime + i * 3600L * 1000L)
+      (0 until y).map(_ => (t, "view"))
+    }.toDF("ts", "event_type")
+    val alt = Stats.turningPointTest(series((0 until 12)
+      .map(i => 1 + i % 2)), "ts", "event_type", "view").collect()(0)
+    assert(alt.getLong(0) == 12L && alt.getLong(1) == 10L)
+    assert(alt.getDouble(3) > 2.0) // far more jagged than random
+    val mono = Stats.turningPointTest(series((1 to 12)), "ts",
+      "event_type", "view").collect()(0)
+    assert(mono.getLong(1) == 0L && mono.getDouble(3) < -2.0)
+  }
+
+  test("sampleEntropy: constant series matches every template pair " +
+       "(sampen = 0 exactly); huge jumps beyond tolerance -> null") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def series(ys: Seq[Int]) = ys.zipWithIndex.flatMap { case (y, i) =>
+      val t = new java.sql.Timestamp(ts0.getTime + i * 3600L * 1000L)
+      (0 until y).map(_ => (t, "purchase"))
+    }.toDF("ts", "event_type")
+    val const = Stats.sampleEntropy(series(Seq.fill(10)(5)), "ts",
+      "event_type", "purchase", rTol = 2L).collect()(0)
+    // 8 templates -> 28 pairs, all match at both lengths
+    assert(const.getLong(2) == 28L && const.getLong(3) == 28L)
+    assert(const.getDouble(4) == 0.0)
+    val wild = Stats.sampleEntropy(
+      series((0 until 10).map(i => 1 + (i % 3) * 10)), "ts",
+      "event_type", "purchase", rTol = 2L).collect()(0)
+    assert(wild.getLong(2) > 0L) // period-3 templates still m-match
+    assert(wild.getLong(3) > 0L)
   }
 
   test("yuleK: hand corpus 'a a a b' gives K = 3750 exactly") {
