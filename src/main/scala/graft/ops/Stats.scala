@@ -3115,7 +3115,13 @@ object Stats {
       Seq(fs(col("__x") * cv, 6).as(s"__c_$k"),
         fs(col("__x") * sv, 6).as(s"__s_$k"))
     }
-    val agg = base.agg(count(lit(1)).as("n"), aggs: _*)
+    // materialize the single moment row BEFORE the per-k fan-out: the
+    // output union has one branch per frequency, and without this each
+    // branch re-executes the full series aggregation (K scans of the
+    // input lineage for K one-row selects — measured 2× wall on q401's
+    // double consumption). Same values, so every oracle is unchanged.
+    val agg = materializeSmall(
+      base.agg(count(lit(1)).as("n"), aggs: _*), 1, "periodogram moments")
     ks.map { k =>
       agg.select(lit(k).as("k"), col("n"),
         (col(s"__c_$k") * col(s"__c_$k") +

@@ -550,6 +550,38 @@ class PlanGuardSpec extends SparkSuite {
   test("q368 incremental dedup: band-keyed candidates only")(
     guard("q368_incremental_dedup", Bound))
 
+  // round-19 closing wave: contingency/marginal frames, bounded hourly
+  // series (531 distinct hours at sf0.001 — the periodogram/granger
+  // 700 bound), candidate grids, fit readouts
+  test("q394 cramers v: marginal + grid frames only")(
+    guard("q394_cramers_v", Bound))
+  test("q395 kpss: partial sums ride the O(hours) series frame")(
+    guard("q395_kpss", 700L))
+  test("q396 chatterjee xi: rank windows on the O(hours) frame")(
+    guard("q396_chatterjee_xi", 700L))
+  test("q397 yule k: keyed type counts, no global funnel")(
+    guard("q397_yule_k", Bound))
+  test("q398 chow test: segment moments on the O(hours) frame")(
+    guard("q398_chow_test", 700L))
+  test("q399 variance ratio: lag windows on the O(hours) frame")(
+    guard("q399_variance_ratio", 700L))
+  test("q400 cooks distance: 1-row moment frame + top-k only")(
+    guard("q400_cooks_distance", Bound))
+  test("q401 spectral entropy: trig sums on the O(hours) frame")(
+    guard("q401_spectral_entropy", 700L))
+  test("q402 adamic-adar: keyed wedges + bounded top-k")(
+    guard("q402_adamic_adar", Bound))
+  test("q403 decision stump: candidate-grid windows only")(
+    guard("q403_decision_stump", Bound))
+  test("q404 js divergence: keyed token counts + O(sources) guard frame")(
+    guard("q404_js_divergence", Bound))
+  test("q405 personalized pagerank: keyed rounds, no global funnel")(
+    guard("q405_personalized_pagerank", Bound))
+  test("q406 turning points: lag/lead on the O(hours) frame")(
+    guard("q406_turning_points", 700L))
+  test("q407 sample entropy: template leads on the O(hours) frame")(
+    guard("q407_sample_entropy", 700L))
+
   /** SSSP plan depth must not grow with rounds — each round reads the
     * previous round's CHECKPOINT, not its plan (the pageRank doctrine;
     * an unchecked loop re-analyzes an exponentially nested tree). */
