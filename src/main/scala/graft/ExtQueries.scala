@@ -3829,6 +3829,41 @@ object ExtQueries {
     "q407_sample_entropy" -> { (s, dir) =>
       Stats.sampleEntropy(t(s, dir, "events"), "ts", "event_type",
         "purchase", rTol = 2L)
+    },
+
+    // Odds ratio + relative risk with Wald CIs: does URGENT priority
+    // associate with final status F — the 2×2 epidemiology readout.
+    "q408_odds_ratio" -> { (s, dir) =>
+      Stats.oddsRatio(t(s, dir, "orders"),
+        col("o_orderpriority") === "1-URGENT",
+        col("o_orderstatus") === "F")
+    },
+
+    // k-truss (k = 4, 3 peel rounds) of the strong trade graph — the
+    // triangle-dense community core; exact per-edge supports.
+    "q409_k_truss" -> { (s, dir) =>
+      val flows = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      val tot = flows.agg(sum(col("cnt")).as("ts"), count(lit(1)).as("np"))
+      val strong = flows.crossJoin(broadcast(tot))
+        .filter(col("cnt") * col("np") > col("ts"))
+      Graph.kTruss(strong, "src", "dst", k = 4, rounds = 3)
+        .orderBy(col("a"), col("b"))
+    },
+
+    // Mood's median test: do the three return flags share a common
+    // quantity median — k×2 χ² around the exact lower grand median.
+    "q410_mood_median" -> { (s, dir) =>
+      Stats.moodMedianTest(t(s, dir, "lineitem"), "l_quantity",
+        "l_returnflag")
     }
   )
 
@@ -12250,6 +12285,137 @@ object ExtQueries {
            CASE WHEN a_count > 0 AND b_count > 0 THEN
              -ln(CAST(a_count AS DOUBLE) / CAST(b_count AS DOUBLE)) END
              AS sampen
-         FROM a"""
+         FROM a""",
+
+    // mirrors Stats.oddsRatio: four exact conditional counts, the
+    // identical pinned OR/RR/Wald-CI expressions, zero-cell gates.
+    "q408_odds_ratio" ->
+      """WITH t AS (SELECT
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+               AND o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS a,
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+               AND NOT (o_orderstatus = 'F') THEN 1 END), 0) AS BIGINT) AS b,
+           CAST(COALESCE(SUM(CASE WHEN NOT (o_orderpriority = '1-URGENT')
+               AND o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS c,
+           CAST(COALESCE(SUM(CASE WHEN NOT (o_orderpriority = '1-URGENT')
+               AND NOT (o_orderstatus = 'F') THEN 1 END), 0) AS BIGINT) AS d
+         FROM orders),
+         v AS (SELECT *,
+           CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+             / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) AS orr,
+           sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+             + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)) AS seor,
+           (CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)))
+             / (CAST(c AS DOUBLE) / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)))
+             AS rr,
+           sqrt(1.0 / CAST(a AS DOUBLE)
+             - 1.0 / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+             + 1.0 / CAST(c AS DOUBLE)
+             - 1.0 / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))) AS serr
+         FROM t)
+         SELECT a, b, c, d,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN orr END
+             AS odds_ratio,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+             THEN exp(ln(orr) - 1.96 * seor) END AS or_ci_lo,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+             THEN exp(ln(orr) + 1.96 * seor) END AS or_ci_hi,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN rr END
+             AS rel_risk,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+             THEN exp(ln(rr) - 1.96 * serr) END AS rr_ci_lo,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+             THEN exp(ln(rr) + 1.96 * serr) END AS rr_ci_hi
+         FROM v""",
+
+    // mirrors Graph.kTruss (k = 4, 3 rounds) over the strong trade
+    // graph: per-round wedge/triangle-close/support/filter, unrolled.
+    "q409_k_truss" -> {
+      val rounds = (1 to 3).map { r =>
+        val p = s"u${r - 1}"
+        s"""w$r AS (SELECT u1.a AS x, u1.b AS y, u2.b AS z
+             FROM $p u1 JOIN $p u2 ON u1.b = u2.a),
+         t$r AS (SELECT w.x, w.y, w.z FROM w$r w
+           JOIN $p u3 ON w.x = u3.a AND w.z = u3.b),
+         s$r AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support FROM (
+             SELECT x AS a, y AS b FROM t$r
+             UNION ALL SELECT y, z FROM t$r
+             UNION ALL SELECT x, z FROM t$r) e GROUP BY 1, 2),
+         u$r AS (SELECT u.a, u.b, COALESCE(s.support, 0) AS support
+           FROM $p u LEFT JOIN s$r s ON s.a = u.a AND s.b = u.b
+           WHERE COALESCE(s.support, 0) >= 2)"""
+      }.mkString(",\n         ")
+      s"""WITH flows AS MATERIALIZED (SELECT c_nationkey AS src,
+             s_nationkey AS dst, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           GROUP BY 1, 2),
+         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS ts,
+                        CAST(COUNT(*) AS BIGINT) AS np FROM flows),
+         u0 AS MATERIALIZED (SELECT DISTINCT
+             CAST(LEAST(src, dst) AS BIGINT) AS a,
+             CAST(GREATEST(src, dst) AS BIGINT) AS b
+           FROM flows, tot
+           WHERE cnt * np > ts AND src <> dst),
+         $rounds
+         SELECT a, b, support FROM u3 ORDER BY a, b"""
+    },
+
+    // mirrors Stats.moodMedianTest: lower grand median by integer rank
+    // selection on the distinct-value grid, strict-above k×2 cells, the
+    // cramersV grid arithmetic with the degenerate-margin gate.
+    "q410_mood_median" ->
+      """WITH b AS (SELECT CAST(l_returnflag AS VARCHAR) AS g,
+             CAST(l_quantity AS DOUBLE) AS x
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL
+             AND NOT isnan(CAST(l_quantity AS DOUBLE))
+             AND l_returnflag IS NOT NULL),
+         grid AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c
+           FROM b GROUP BY 1),
+         cum AS (SELECT x,
+             CAST(SUM(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cm,
+             CAST(SUM(c) OVER () AS BIGINT) AS n
+           FROM grid),
+         med AS (SELECT MIN(x) AS med FROM cum WHERE 2 * cm >= n),
+         cells AS (SELECT g,
+             CAST(COALESCE(SUM(CASE WHEN x > med THEN 1 END), 0)
+               AS BIGINT) AS above,
+             CAST(COALESCE(SUM(CASE WHEN x <= med THEN 1 END), 0)
+               AS BIGINT) AS notabove
+           FROM b CROSS JOIN med GROUP BY 1),
+         wt AS (SELECT *, above + notabove AS rt,
+             CAST(SUM(above) OVER () AS BIGINT) AS ca,
+             CAST(SUM(notabove) OVER () AS BIGINT) AS cn
+           FROM cells),
+         w2 AS (SELECT *, ca + cn AS nn FROM wt),
+         agg AS (SELECT MAX(nn) AS n2,
+             CAST(COUNT(*) AS BIGINT) AS k_groups,
+             CAST(SUM(CAST(FLOOR(CASE WHEN ca > 0 AND cn > 0 THEN
+               (CAST(above AS DOUBLE)
+                 - CAST(rt AS DOUBLE) * CAST(ca AS DOUBLE)
+                   / CAST(nn AS DOUBLE))
+               * (CAST(above AS DOUBLE)
+                 - CAST(rt AS DOUBLE) * CAST(ca AS DOUBLE)
+                   / CAST(nn AS DOUBLE))
+               / (CAST(rt AS DOUBLE) * CAST(ca AS DOUBLE)
+                   / CAST(nn AS DOUBLE))
+               + (CAST(notabove AS DOUBLE)
+                 - CAST(rt AS DOUBLE) * CAST(cn AS DOUBLE)
+                   / CAST(nn AS DOUBLE))
+               * (CAST(notabove AS DOUBLE)
+                 - CAST(rt AS DOUBLE) * CAST(cn AS DOUBLE)
+                   / CAST(nn AS DOUBLE))
+               / (CAST(rt AS DOUBLE) * CAST(cn AS DOUBLE)
+                   / CAST(nn AS DOUBLE))
+             END * 1000000.0) AS HUGEINT)) AS DOUBLE) / 1000000.0 AS chi2
+           FROM w2)
+         SELECT med AS median, n2 AS n, k_groups, k_groups - 1 AS dof,
+           chi2
+         FROM agg CROSS JOIN med"""
   )
 }

@@ -669,6 +669,61 @@ object Graph {
     out
   }
 
+  /** K-TRUSS (fixed-round) — the triangle-dense core of a graph: keep
+    * only edges supported by ≥ k−2 triangles, re-count, repeat. The
+    * community-core extractor one notch stricter than [[kCore]]
+    * (degree can be faked by hubs; triangle support cannot), standard
+    * for trust/community curation.
+    *
+    * Fixed `rounds` iterations (the [[ssspWeighted]] replayable-loop
+    * convention: each round is one wedge self-join + one triangle-close
+    * join + one per-edge support count — the [[localClustering]] plan —
+    * followed by the support filter; per-round eager checkpoint +
+    * release so the plan never nests). A converged graph is a fixpoint:
+    * extra rounds are no-ops, so fixed-rounds output = true k-truss
+    * whenever the peel settles within `rounds` (assert with one more
+    * round if it matters). Hub-cappable via `maxDegree` — Σdeg² wedge
+    * mass is the 100 TB lever. Returns the surviving edges with the
+    * support that kept them in the LAST round's graph:
+    * (a, b, support). */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
+             k: Int = 4, rounds: Int = 3,
+             maxDegree: Option[Long] = None): DataFrame = {
+    require(k >= 3 && rounds >= 1 && rounds <= 10, s"k=$k rounds=$rounds")
+    val minSup = (k - 2).toLong
+    // `ck` is always the round's CHECKPOINTED frame (released once the
+    // next round's checkpoint has materialized from it); each round
+    // reads only its (a, b) projection
+    var ck = capHubs(edges.select(
+        least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
+        greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct(), maxDegree, "kTruss")
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val und = ck.select(col("a"), col("b"))
+      val wedges = und.select(col("a").as("x"), col("b").as("y"))
+        .join(und.select(col("a").as("y"), col("b").as("z")), "y")
+      val tris = wedges.join(
+        und.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+      // a triangle x<y<z supports its three (ordered) edges
+      val sup = tris.select(explode(array(
+          struct(col("x").as("a"), col("y").as("b")),
+          struct(col("y").as("a"), col("z").as("b")),
+          struct(col("x").as("a"), col("z").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      val kept = und.join(sup, Seq("a", "b"), "left")
+        .withColumn("support", coalesce(col("support"), lit(0L)))
+        .filter(col("support") >= minSup)
+        .localCheckpoint(true)
+      Checkpoints.releaseLocalCheckpoint(ck)
+      ck = kept
+    }
+    ck.select(col("a"), col("b"), col("support"))
+  }
+
   /** PERSONALIZED PAGERANK — [[pageRank]] with the teleport
     * distribution restricted to a SEED SET: the random surfer restarts
     * uniformly over the seeds instead of all nodes, so rank becomes

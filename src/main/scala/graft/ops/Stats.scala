@@ -4327,6 +4327,112 @@ object Stats {
           (lit(2L) * col("__sl")).cast(DoubleType)).as("xi"))
   }
 
+  /** ODDS RATIO + RELATIVE RISK of a 2×2 exposure/outcome table with
+    * Wald confidence intervals — the epidemiology/AB-testing readout
+    * next to [[mcnemar]] (paired) and [[cramersV]] (strength):
+    * OR = ad/bc, RR = (a/(a+b))/(c/(c+d)), CIs on the log scale with
+    * se_lnOR = √(1/a+1/b+1/c+1/d) and
+    * se_lnRR = √(1/a − 1/(a+b) + 1/c − 1/(c+d)), z = 1.96.
+    *
+    * One conditional-count aggregation (four exact BIGINTs), every
+    * derived value a pinned IEEE expression. Any zero cell nulls the
+    * estimates and CIs (no Haldane correction — the caller sees the
+    * degenerate table instead of a silently-shifted estimate; a, b,
+    * c, d are always emitted). Returns one row
+    * (a, b, c, d, odds_ratio, or_ci_lo, or_ci_hi, rel_risk,
+    * rr_ci_lo, rr_ci_hi). */
+  def oddsRatio(df: DataFrame, exposed: Column, outcome: Column)
+      : DataFrame = {
+    val agg = df.agg(
+      coalesce(sum(when(exposed && outcome, 1L)), lit(0L)).as("a"),
+      coalesce(sum(when(exposed && !outcome, 1L)), lit(0L)).as("b"),
+      coalesce(sum(when(!exposed && outcome, 1L)), lit(0L)).as("c"),
+      coalesce(sum(when(!exposed && !outcome, 1L)), lit(0L)).as("d"))
+    def dd(c: Column): Column = c.cast(DoubleType)
+    val ok = col("a") > 0L && col("b") > 0L && col("c") > 0L &&
+      col("d") > 0L
+    val or = dd(col("a")) * dd(col("d")) / (dd(col("b")) * dd(col("c")))
+    val seOr = sqrt(lit(1.0) / dd(col("a")) + lit(1.0) / dd(col("b")) +
+      lit(1.0) / dd(col("c")) + lit(1.0) / dd(col("d")))
+    val rr = (dd(col("a")) / (dd(col("a")) + dd(col("b")))) /
+      (dd(col("c")) / (dd(col("c")) + dd(col("d"))))
+    val seRr = sqrt(lit(1.0) / dd(col("a")) -
+      lit(1.0) / (dd(col("a")) + dd(col("b"))) +
+      lit(1.0) / dd(col("c")) -
+      lit(1.0) / (dd(col("c")) + dd(col("d"))))
+    agg.select(col("a"), col("b"), col("c"), col("d"),
+      when(ok, or).as("odds_ratio"),
+      when(ok, exp(log(or) - lit(1.96) * seOr)).as("or_ci_lo"),
+      when(ok, exp(log(or) + lit(1.96) * seOr)).as("or_ci_hi"),
+      when(ok, rr).as("rel_risk"),
+      when(ok, exp(log(rr) - lit(1.96) * seRr)).as("rr_ci_lo"),
+      when(ok, exp(log(rr) + lit(1.96) * seRr)).as("rr_ci_hi"))
+  }
+
+  /** MOOD'S MEDIAN TEST — do the groups share a common median:
+    * χ² of independence on the k×2 (group × above/not-above the GRAND
+    * median) table. The rank-free robust companion of
+    * [[kruskalWallis]] (only the sign relative to the pooled median
+    * matters, so a single wild group can't dominate).
+    *
+    * Pinning: the grand median is the LOWER MEDIAN by rank selection
+    * (smallest v with 2·cum(v) ≥ n over the distinct-value count
+    * frame — a pure integer compare, no interpolation formula to
+    * drift; the q393 Sen convention). "Above" is the strict x > med
+    * side — ties at the median count as not-above (documented).
+    * The distinct-value frame is [[seriesBound]]-bounded in-plan at
+    * `maxDistinct` (use a bucketed or discrete column — quantities,
+    * ratings, buckets — not a continuous measurement). χ² over the
+    * O(k) table via the [[cramersV]] grid arithmetic (exact counts,
+    * floor-scaled term sum). Returns one row
+    * (median, n, k_groups, dof, chi2). */
+  def moodMedianTest(df: DataFrame, valueCol: String, groupCol: String,
+                     maxDistinct: Long = 1L << 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = col(valueCol).cast(DoubleType)
+    val base = df.filter(x.isNotNull && !isnan(x) &&
+        col(groupCol).isNotNull)
+      .select(col(groupCol).cast(StringType).as("__g"), x.as("__x"))
+    val grid = base.groupBy(col("__x")).agg(count(lit(1)).as("__c"))
+      .withColumn("__c", seriesBound(col("__c"),
+        count(lit(1)).over(Window.partitionBy()), maxDistinct,
+        "moodMedianTest distinct values").cast(LongType))
+      .withColumn("__cum", sum(col("__c")).over(Window.orderBy(col("__x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy()))
+    val med = grid.filter(lit(2L) * col("__cum") >= col("__n"))
+      .agg(min(col("__x")).as("__med"), max(col("__n")).as("__nTot"))
+    val cells = base.crossJoin(med) // 1-row median frame
+      .groupBy(col("__g"))
+      .agg(coalesce(sum(when(col("__x") > col("__med"), 1L)), lit(0L))
+        .as("__above"),
+        coalesce(sum(when(col("__x") <= col("__med"), 1L)), lit(0L))
+        .as("__notAbove"))
+    def dd(c: Column): Column = c.cast(DoubleType)
+    // k×2 χ²: margins off the O(k) cell frame, pinned (o−e)²/e terms
+    val withTot = cells
+      .withColumn("__rt", col("__above") + col("__notAbove"))
+      .withColumn("__ca", sum(col("__above")).over(Window.partitionBy()))
+      .withColumn("__cn", sum(col("__notAbove")).over(Window.partitionBy()))
+      .withColumn("__nn", col("__ca") + col("__cn"))
+    def term(o: Column, ct: Column): Column = {
+      val e = dd(col("__rt")) * dd(ct) / dd(col("__nn"))
+      (dd(o) - e) * (dd(o) - e) / e
+    }
+    // a degenerate margin (every value on one side of the median —
+    // constant columns) makes e = 0: gate the terms to NULL in BOTH
+    // engines rather than trusting two engines' 0/0 to agree
+    val marginsOk = col("__ca") > 0L && col("__cn") > 0L
+    withTot.agg(
+      max(col("__nn")).as("__n2"),
+      count(lit(1)).as("k_groups"),
+      fs(when(marginsOk, term(col("__above"), col("__ca")) +
+        term(col("__notAbove"), col("__cn"))), 6).as("chi2"))
+      .crossJoin(med.select(col("__med")))
+      .select(col("__med").as("median"), col("__n2").as("n"),
+        col("k_groups"), (col("k_groups") - 1L).as("dof"), col("chi2"))
+  }
+
   /** KPSS LEVEL-STATIONARITY TEST on the hourly count series — the
     * null-reversed companion of [[adfTest]] (ADF's null is a unit
     * root; KPSS's null is stationarity — running both gives the

@@ -581,6 +581,12 @@ class PlanGuardSpec extends SparkSuite {
     guard("q406_turning_points", 700L))
   test("q407 sample entropy: template leads on the O(hours) frame")(
     guard("q407_sample_entropy", 700L))
+  test("q408 odds ratio: one 4-count aggregate row only")(
+    guard("q408_odds_ratio", Bound))
+  test("q409 k-truss: keyed wedge/support rounds, no global funnel")(
+    guard("q409_k_truss", Bound))
+  test("q410 mood median: distinct-value grid + O(k) cell frame only")(
+    guard("q410_mood_median", Bound))
 
   /** SSSP plan depth must not grow with rounds — each round reads the
     * previous round's CHECKPOINT, not its plan (the pageRank doctrine;

@@ -268,6 +268,49 @@ class StatsTier20Spec extends SparkSuite {
     assert(wild.getLong(3) > 0L)
   }
 
+  test("oddsRatio: hand 2x2 gives OR = 8, RR = 10/3; zero cell nulls " +
+       "estimates but emits counts") {
+    import spark.implicits._
+    def rows(a: Int, b: Int, c: Int, d: Int) =
+      (Seq.fill(a)((true, true)) ++ Seq.fill(b)((true, false)) ++
+        Seq.fill(c)((false, true)) ++ Seq.fill(d)((false, false)))
+        .toDF("e", "o")
+    val r = Stats.oddsRatio(rows(10, 5, 2, 8), col("e"), col("o"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 5L, 2L, 8L)))
+    assert(r.getDouble(4) == 8.0)
+    assert(math.abs(r.getDouble(7) - 10.0 / 3.0) < 1e-12)
+    assert(r.getDouble(5) < 8.0 && r.getDouble(6) > 8.0) // CI brackets
+    val z = Stats.oddsRatio(rows(3, 0, 2, 5), col("e"), col("o"))
+      .collect()(0)
+    assert(z.getLong(1) == 0L && z.isNullAt(4) && z.isNullAt(7))
+  }
+
+  test("kTruss: K4 survives k = 4, a pendant triangle is peeled") {
+    import spark.implicits._
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val pendant = Seq((4L, 5L), (4L, 6L), (5L, 6L))
+    val edges = (k4 ++ pendant).toDF("s", "d")
+    val out = Graph.kTruss(edges, "s", "d", k = 4, rounds = 3)
+      .orderBy(col("a"), col("b")).collect()
+    assert(out.length == 6, out.toSeq.toString) // exactly the K4 edges
+    assert(out.forall(r => r.getLong(0) <= 4L && r.getLong(1) <= 4L))
+    assert(out.forall(_.getLong(2) == 2L))      // each in 2 triangles
+  }
+
+  test("moodMedianTest: fully separated groups give chi2 = n; the " +
+       "grand median is the lower median") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 1.0), ("a", 2.0),
+      ("b", 3.0), ("b", 4.0), ("b", 4.0)).toDF("g", "v")
+    val r = Stats.moodMedianTest(df, "v", "g").collect()(0)
+    assert(r.getDouble(0) == 2.0)  // lower median of 1,1,2,3,4,4
+    assert(r.getLong(1) == 6L && r.getLong(2) == 2L && r.getLong(3) == 1L)
+    // complete separation: chi2 = n = 6 (up to the 1e-6 floor grid)
+    assert(math.abs(r.getDouble(4) - 6.0) < 1e-5, s"chi2=${r.getDouble(4)}")
+  }
+
   test("yuleK: hand corpus 'a a a b' gives K = 3750 exactly") {
     import spark.implicits._
     val df = Seq((1L, "a a a b", "en"), (2L, "x y", "fr"))
