@@ -3864,6 +3864,30 @@ object ExtQueries {
     "q410_mood_median" -> { (s, dir) =>
       Stats.moodMedianTest(t(s, dir, "lineitem"), "l_quantity",
         "l_returnflag")
+    },
+
+    // Grubbs' single-outlier statistic on event values — one moment
+    // pass, max deviation via max/min (no second scan).
+    "q411_grubbs" -> { (s, dir) =>
+      Stats.grubbs(t(s, dir, "events"), "value")
+    },
+
+    // Anderson-Darling two-sample (view vs purchase values) — the
+    // tail-weighted distribution test; range-partitioned cumulate.
+    "q412_anderson_darling" -> { (s, dir) =>
+      Stats.andersonDarling2(t(s, dir, "events"), "value", "event_type",
+        "view", "purchase")
+    },
+
+    // Jonckheere-Terpstra ordered trend: does quantity shift
+    // monotonically across order priorities (1-URGENT .. 5-LOW)?
+    "q413_jonckheere" -> { (s, dir) =>
+      val joined = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+      Stats.jonckheereTerpstra(joined, "l_quantity", "o_orderpriority")
     }
   )
 
@@ -12416,6 +12440,118 @@ object ExtQueries {
            FROM w2)
          SELECT med AS median, n2 AS n, k_groups, k_groups - 1 AS dof,
            chi2
-         FROM agg CROSS JOIN med"""
+         FROM agg CROSS JOIN med""",
+
+    // mirrors Stats.grubbs: one floor-scaled moment pass, the
+    // identical pinned mean/sd/deviation expressions, max-side ties.
+    "q411_grubbs" ->
+      """WITH b AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+           WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS sx,
+             CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS sxx,
+             MAX(x) AS mx, MIN(x) AS mn
+           FROM b),
+         v AS (SELECT *, sx / CAST(n AS DOUBLE) AS mean,
+             (sxx - sx * sx / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0) AS vr
+           FROM a),
+         w AS (SELECT *, mx - mean AS hi, mean - mn AS lo FROM v)
+         SELECT n,
+           CASE WHEN n > 0 THEN mean END AS mean,
+           CASE WHEN n >= 3 AND vr > 0 THEN sqrt(vr) END AS sd,
+           CASE WHEN n >= 3 AND vr > 0 THEN
+             (CASE WHEN hi >= lo THEN hi ELSE lo END) / sqrt(vr) END
+             AS g_stat,
+           CASE WHEN n >= 3 AND vr > 0 THEN
+             CASE WHEN hi >= lo THEN mx ELSE mn END END AS suspect
+         FROM w""",
+
+    // mirrors Stats.andersonDarling2: distinct-value cumulate, the
+    // identical pinned per-term division floored to the integer grid
+    // (HUGEINT sum), the same B < N exclusion and final division.
+    "q412_anderson_darling" ->
+      """WITH f AS (SELECT CAST(event_type AS VARCHAR) AS g,
+             CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+             AND NOT isnan(CAST(value AS DOUBLE))),
+         gr AS (SELECT x,
+             CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+             CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c2
+           FROM f GROUP BY 1),
+         cu AS (SELECT x, c1, c2,
+             CAST(SUM(c1) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS m,
+             CAST(SUM(c1 + c2) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS bc,
+             CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+             CAST(SUM(c2) OVER () AS BIGINT) AS n2
+           FROM gr),
+         t AS (SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+             CAST(COALESCE(SUM(CAST(FLOOR(
+               CAST((n1 + n2) * m - n1 * bc AS DOUBLE)
+                 * CAST((n1 + n2) * m - n1 * bc AS DOUBLE)
+                 * CAST(c1 + c2 AS DOUBLE)
+                 / (CAST(bc AS DOUBLE) * CAST((n1 + n2) - bc AS DOUBLE))
+             ) AS HUGEINT)), 0) AS DOUBLE) AS acc
+           FROM cu WHERE bc < n1 + n2)
+         SELECT n1, n2,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             acc / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               * CAST(n1 + n2 AS DOUBLE)) END AS a2_stat
+         FROM t""",
+
+    // mirrors Stats.jonckheereTerpstra: zero-filled value x group grid,
+    // per-group cumulative-below windows, exact 2J over ordered pairs,
+    // the no-ties-correction mu/sigma closed forms.
+    "q413_jonckheere" ->
+      """WITH b AS (SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+             CAST(l_quantity AS DOUBLE) AS x
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_quantity IS NOT NULL
+             AND NOT isnan(CAST(l_quantity AS DOUBLE))
+             AND o_orderpriority IS NOT NULL),
+         c AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c
+           FROM b GROUP BY 1, 2),
+         vals AS (SELECT DISTINCT x FROM c),
+         gs AS (SELECT DISTINCT g FROM c),
+         grid AS (SELECT gs.g, vals.x, COALESCE(c.c, 0) AS c
+           FROM vals CROSS JOIN gs
+           LEFT JOIN c ON c.g = gs.g AND c.x = vals.x),
+         gb AS (SELECT *, CAST(COALESCE(SUM(c) OVER (PARTITION BY g
+               ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS below
+           FROM grid),
+         p AS (SELECT i.g AS gi, j.g AS gj, j.c AS cj, i.c AS ci,
+             i.below AS bi
+           FROM gb i JOIN gb j ON j.x = i.x AND i.g < j.g),
+         ja AS (SELECT CAST(COALESCE(SUM(cj * (2 * bi + ci)), 0)
+             AS BIGINT) AS j2 FROM p),
+         sz AS (SELECT CAST(SUM(ni) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k_groups,
+             CAST(SUM(ni * ni) AS BIGINT) AS sn2,
+             SUM(CAST(ni AS HUGEINT) * CAST(ni AS HUGEINT)
+               * (2 * ni + 3)) AS sn23
+           FROM (SELECT g, CAST(SUM(c) AS BIGINT) AS ni
+             FROM c GROUP BY 1) q),
+         v AS (SELECT *,
+             CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               - CAST(sn2 AS DOUBLE) AS mu4,
+             CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               * (2.0 * CAST(n AS DOUBLE) + 3.0)
+               - CAST(sn23 AS DOUBLE) AS var72
+           FROM sz CROSS JOIN ja)
+         SELECT n, k_groups, CAST(j2 AS DOUBLE) / 2.0 AS j_stat,
+           CASE WHEN var72 > 0 THEN
+             (CAST(j2 AS DOUBLE) / 2.0 - mu4 / 4.0)
+               / sqrt(var72 / 72.0) END AS z
+         FROM v"""
   )
 }

@@ -4327,6 +4327,186 @@ object Stats {
           (lit(2L) * col("__sl")).cast(DoubleType)).as("xi"))
   }
 
+  /** GRUBBS' OUTLIER STATISTIC — G = max|x − x̄|/s (sample sd), the
+    * classical single-outlier screen: is the most extreme value too
+    * extreme for a normal sample. Emits the statistic and the suspect
+    * value; the verdict against a chosen α is the caller's (the
+    * t-quantile critical value is a lookup, not a computation this
+    * engine should hide).
+    *
+    * ONE aggregation pass: max|x − x̄| = max(max(x) − x̄, x̄ − min(x))
+    * — so the mean needs no second scan — with floor-scaled exact
+    * moments (10⁶) and pinned IEEE arithmetic; ties between the two
+    * sides go to the MAX side (documented). Nulls when n < 3 or
+    * s = 0. Returns one row (n, mean, sd, g_stat, suspect). */
+  def grubbs(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast(DoubleType)
+    val agg = df.filter(x.isNotNull && !isnan(x))
+      .agg(count(lit(1)).as("n"), fs(x, 6).as("__sx"),
+        fs(x * x, 6).as("__sxx"), max(x).as("__mx"), min(x).as("__mn"))
+    def d(c: Column): Column = c.cast(DoubleType)
+    val nD = d(col("n"))
+    val mean = col("__sx") / nD
+    val varS = (col("__sxx") - col("__sx") * col("__sx") / nD) /
+      (nD - lit(1.0))
+    val hi = col("__mx") - mean
+    val lo = mean - col("__mn")
+    val dev = when(hi >= lo, hi).otherwise(lo)
+    val ok = col("n") >= 3L && varS > 0.0
+    agg.select(col("n"), when(col("n") > 0L, mean).as("mean"),
+      when(ok, sqrt(varS)).as("sd"),
+      when(ok, dev / sqrt(varS)).as("g_stat"),
+      when(ok, when(hi >= lo, col("__mx")).otherwise(col("__mn")))
+        .as("suspect"))
+  }
+
+  /** ANDERSON–DARLING TWO-SAMPLE STATISTIC (discrete/ties form) — the
+    * tail-weighted companion of [[ksTest]] (sup-norm) and
+    * [[cramerVonMises]] (L²): A² = Σ_j l_j·(N·M_j − n₁·B_j)² /
+    * (n₁·n₂·N·B_j·(N−B_j)) over the distinct pooled values (last value
+    * excluded, B_j < N), where B_j/M_j are pooled/sample-1 cumulative
+    * counts and l_j the pooled count at the value. Weighting by
+    * 1/(B(N−B)) makes it the distribution test that actually sees
+    * tail drift.
+    *
+    * Same scale machinery as cramerVonMises: per-distinct-value
+    * counts, range-partitioned cumulate with O(P) driver offsets, one
+    * scan per partition — no single-task sort. Each term's numerator
+    * N·M − n₁·B is an EXACT Long (bounded by n₁·n₂ < 2⁵³ for doubles'
+    * sake — fine to ~50M rows per side); the per-term division is one
+    * pinned IEEE expression floored to an integer grid (terms are
+    * O(n²/N) ≈ 10¹³ at sf1.0, so flooring costs < 10⁻¹³ relative) and
+    * summed as BigInt — reduce-order-free, replayed verbatim by the
+    * SQL mirror's HUGEINT sum. Returns one row (n1, n2, a2_stat). */
+  def andersonDarling2(df: DataFrame, valueCol: String, groupCol: String,
+                       a: String, b: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val v = col(valueCol).cast(DoubleType)
+    val grouped = df
+      .filter(col(groupCol).isin(a, b) && v.isNotNull && !isnan(v))
+      .select(col(groupCol).cast(StringType).as("__g"), v.as("__x"))
+      .groupBy(col("__x"))
+      .agg(sum(when(col("__g") === a, 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("__g") === b, 1L).otherwise(0L)).as("__c2"))
+      .as[(Double, Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = grouped
+      .repartitionByRange(parts, col("__x"))
+      .sortWithinPartitions(col("__x"))
+      .as[(Double, Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partTotals = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s1 = 0L; var s2 = 0L
+      it.foreach { case (_, c1, c2) => s1 += c1; s2 += c2 }
+      Iterator((pid, s1, s2))
+    }.collectBounded(1 << 20, "O(P) partition totals").sortBy(_._1)
+    val off1 = partTotals.map(_._2).scanLeft(0L)(_ + _)
+    val off2 = partTotals.map(_._3).scanLeft(0L)(_ + _)
+    val n1 = partTotals.map(_._2).sum
+    val n2 = partTotals.map(_._3).sum
+    val nTot = n1 + n2
+    val bc = spark.sparkContext.broadcast((off1, off2))
+    val acc: BigInt =
+      if (n1 == 0 || n2 == 0) BigInt(0)
+      else sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var m = bc.value._1(pid) // sample-1 cumulative
+        var o = bc.value._2(pid)
+        var s = BigInt(0)
+        it.foreach { case (_, d1, d2) =>
+          m += d1; o += d2
+          val bCum = m + o
+          if (bCum < nTot) {
+            // pinned term the SQL replays: (num·num·l)/(B·(N−B))
+            val num = (nTot * m - n1 * bCum).toDouble
+            val t = num * num * (d1 + d2).toDouble /
+              (bCum.toDouble * (nTot - bCum).toDouble)
+            s += BigInt(math.floor(t).toLong)
+          }
+        }
+        Iterator(s)
+      }.fold(BigInt(0))(_ + _)
+    sorted.unpersist(); grouped.unpersist()
+    val a2 =
+      if (n1 == 0 || n2 == 0) null
+      else java.lang.Double.valueOf(acc.toDouble /
+        (n1.toDouble * n2.toDouble * nTot.toDouble))
+    Seq((n1, n2)).toDF("n1", "n2")
+      .withColumn("a2_stat", lit(a2).cast(DoubleType))
+  }
+
+  /** JONCKHEERE–TERPSTRA ORDERED-TREND TEST — does the value shift
+    * monotonically across ORDERED groups (dose-response where
+    * [[kruskalWallis]] only sees "different"): J = Σ_{i<j} U_ij with
+    * U_ij the Mann-Whitney count between groups i and j in the given
+    * order; z against the no-ties null moments μ = (N² − Σnᵢ²)/4,
+    * σ² = (N²(2N+3) − Σnᵢ²(2nᵢ+3))/72 (the no-ties-correction
+    * variant, documented — ties contribute ½ to J via the exact
+    * integer 2J).
+    *
+    * Scale shape: the data reduces to the per-(group, value) count
+    * frame over a DISCRETE value column — in-plan bounded at
+    * `maxDistinct` distinct values ([[seriesBound]]; bucket
+    * continuous measurements first) — zero-filled into the
+    * values × groups grid (fit-frame cross join), per-group
+    * cumulative-below counts via keyed windows, and
+    * 2U_ij = Σ_v cnt_j(v)·(2·below_i(v) + cnt_i(v)) as exact BIGINTs
+    * over the O(grid·k) pair frame. Groups are ordered by their
+    * NAME's ascending sort (encode the ordinal in the label — the
+    * '1-URGENT'..'5-LOW' convention). Returns one row
+    * (n, k_groups, j_stat, z). */
+  def jonckheereTerpstra(df: DataFrame, valueCol: String,
+                         groupCol: String,
+                         maxDistinct: Long = 1L << 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = col(valueCol).cast(DoubleType)
+    val base = df.filter(x.isNotNull && !isnan(x) &&
+        col(groupCol).isNotNull)
+      .select(col(groupCol).cast(StringType).as("__g"), x.as("__x"))
+    val counts = base.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__c"))
+    val values = counts.select(col("__x")).distinct()
+      .withColumn("__vn", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("__x", seriesBound(col("__x"),
+        col("__vn"), maxDistinct, "jonckheereTerpstra distinct values"))
+      .select(col("__x"))
+    val groups = counts.select(col("__g")).distinct()
+    val grid = values.crossJoin(groups) // fit-frame: ≤ maxDistinct × k
+      .join(counts, Seq("__g", "__x"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+      .withColumn("__below", coalesce(sum(col("__c")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__x"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val pairs = grid.select(col("__g").as("__gi"), col("__x"),
+        col("__c").as("__ci"), col("__below").as("__bi"))
+      .join(grid.select(col("__g").as("__gj"), col("__x"),
+        col("__c").as("__cj")), "__x")
+      .filter(col("__gi") < col("__gj"))
+    val jAgg = pairs.agg(
+      coalesce(sum(col("__cj") * (lit(2L) * col("__bi") + col("__ci"))),
+        lit(0L)).as("__j2"))
+    // the cubic moment n_i²(2n_i+3) overflows LONG past n_i ≈ 1.2M —
+    // exact DECIMAL products (12+12+13 digits ≤ 38), double'd only in
+    // the final closed form (the q395 ΣC² convention)
+    val niD = col("__ni").cast(DecimalType(12, 0))
+    val sizes = counts.groupBy(col("__g")).agg(sum(col("__c")).as("__ni"))
+      .agg(sum(col("__ni")).as("n"), count(lit(1)).as("k_groups"),
+        sum(col("__ni") * col("__ni")).as("__sn2"),
+        sum(niD * niD *
+          (lit(2L) * col("__ni") + lit(3L)).cast(DecimalType(13, 0)))
+          .as("__sn23"))
+    def d(c: Column): Column = c.cast(DoubleType)
+    val mu4 = d(col("n")) * d(col("n")) - d(col("__sn2")) // 4μ
+    val var72 = d(col("n")) * d(col("n")) *
+      (lit(2.0) * d(col("n")) + lit(3.0)) - d(col("__sn23")) // 72σ²
+    sizes.crossJoin(jAgg).select(col("n"), col("k_groups"),
+      (d(col("__j2")) / lit(2.0)).as("j_stat"),
+      when(var72 > 0.0,
+        (d(col("__j2")) / lit(2.0) - mu4 / lit(4.0)) /
+          sqrt(var72 / lit(72.0))).as("z"))
+  }
+
   /** ODDS RATIO + RELATIVE RISK of a 2×2 exposure/outcome table with
     * Wald confidence intervals — the epidemiology/AB-testing readout
     * next to [[mcnemar]] (paired) and [[cramersV]] (strength):

@@ -587,6 +587,12 @@ class PlanGuardSpec extends SparkSuite {
     guard("q409_k_truss", Bound))
   test("q410 mood median: distinct-value grid + O(k) cell frame only")(
     guard("q410_mood_median", Bound))
+  test("q411 grubbs: one moment row only")(guard("q411_grubbs", Bound))
+  // (q412 anderson-darling is deliberately absent: its cumulate is the
+  // cramerVonMises RDD range-partition machinery — no Window/SinglePartition
+  // node exists to guard; the no-single-task-sort property is structural.)
+  test("q413 jonckheere: value-grid windows + O(grid·k) pair frame")(
+    guard("q413_jonckheere", Bound))
 
   /** SSSP plan depth must not grow with rounds — each round reads the
     * previous round's CHECKPOINT, not its plan (the pageRank doctrine;

@@ -311,6 +311,55 @@ class StatsTier20Spec extends SparkSuite {
     assert(math.abs(r.getDouble(4) - 6.0) < 1e-5, s"chi2=${r.getDouble(4)}")
   }
 
+  test("grubbs: hand case (0, 0, 10) gives G = 2/sqrt(3); the far " +
+       "side is the suspect") {
+    import spark.implicits._
+    val r = Stats.grubbs(Seq(0.0, 0.0, 10.0).toDF("v"), "v").collect()(0)
+    assert(r.getLong(0) == 3L)
+    assert(math.abs(r.getDouble(3) - 2.0 / math.sqrt(3.0)) < 1e-9,
+      s"g=${r.getDouble(3)}")
+    assert(r.getDouble(4) == 10.0)
+    // low-side outlier flips the suspect
+    val lo = Stats.grubbs(Seq(10.0, 10.0, 0.0).toDF("v"), "v")
+      .collect()(0)
+    assert(lo.getDouble(4) == 0.0)
+  }
+
+  test("andersonDarling2: two singletons give A2 = 0.5 exactly; " +
+       "disjoint samples dominate interleaved ones") {
+    import spark.implicits._
+    val tiny = Seq(("a", 1.0), ("b", 2.0)).toDF("g", "v")
+    val r = Stats.andersonDarling2(tiny, "v", "g", "a", "b").collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 0.5, s"a2=${r.getDouble(2)}")
+    val inter = (1 to 20).map(i =>
+      (if (i % 2 == 0) "a" else "b", i.toDouble)).toDF("g", "v")
+    val disj = (1 to 20).map(i =>
+      (if (i <= 10) "a" else "b", i.toDouble)).toDF("g", "v")
+    val ai = Stats.andersonDarling2(inter, "v", "g", "a", "b")
+      .collect()(0).getDouble(2)
+    val ad = Stats.andersonDarling2(disj, "v", "g", "a", "b")
+      .collect()(0).getDouble(2)
+    assert(ad > 5 * ai, s"disjoint=$ad interleaved=$ai")
+  }
+
+  test("jonckheereTerpstra: fully ordered groups give J = 12, " +
+       "z = 6/sqrt(456/72) on the 2+2+2 hand case") {
+    import spark.implicits._
+    val df = Seq(("g1", 1.0), ("g1", 2.0), ("g2", 3.0), ("g2", 4.0),
+      ("g3", 5.0), ("g3", 6.0)).toDF("g", "v")
+    val r = Stats.jonckheereTerpstra(df, "v", "g").collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 12.0)
+    assert(math.abs(r.getDouble(3) - 6.0 / math.sqrt(456.0 / 72.0))
+      < 1e-12, s"z=${r.getDouble(3)}")
+    // ties contribute one half each: identical groups -> J = n1*n2/2
+    val tied = Seq(("g1", 5.0), ("g1", 5.0), ("g2", 5.0), ("g2", 5.0))
+      .toDF("g", "v")
+    val tr = Stats.jonckheereTerpstra(tied, "v", "g").collect()(0)
+    assert(tr.getDouble(2) == 2.0, s"j=${tr.getDouble(2)}")
+  }
+
   test("yuleK: hand corpus 'a a a b' gives K = 3750 exactly") {
     import spark.implicits._
     val df = Seq((1L, "a a a b", "en"), (2L, "x y", "fr"))
