@@ -3888,6 +3888,40 @@ object ExtQueries {
           .select(col("o_orderkey"), col("o_orderpriority")),
           col("l_orderkey") === col("o_orderkey"))
       Stats.jonckheereTerpstra(joined, "l_quantity", "o_orderpriority")
+    },
+
+    // Average precision (step-wise PR-AUC) of value as a purchase
+    // score — the imbalance-robust ranking metric next to q? rocAuc;
+    // descending range-partitioned cumulate, no single-task sort.
+    "q414_average_precision" -> { (s, dir) =>
+      Stats.averagePrecision(t(s, dir, "events"), "value",
+        col("event_type") === "purchase")
+    },
+
+    // Wang-Hyndman seasonal + trend strength of the daily count series
+    // per event type (weekly period) — makes q199's decomposition
+    // actionable as two bounded-[0,1] readouts.
+    "q415_seasonal_strength" -> { (s, dir) =>
+      val daily = t(s, dir, "events").filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          col("ts").cast(DateType).as("d"))
+        .agg(count(lit(1)).as("c"))
+      Advanced.seasonalStrength(daily, Seq("event_type"), Seq("d"), "c",
+        period = 7)
+        .orderBy(col("event_type"))
+    },
+
+    // Bipartite projection of the customer-supplier graph onto
+    // suppliers: exact shared-customer weights + cosine normalization,
+    // top-30 — the co-occurrence graph builder.
+    "q416_bipartite_projection" -> { (s, dir) =>
+      val cs = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+      Graph.bipartiteProjection(cs, "o_custkey", "l_suppkey", topK = 30)
+        .orderBy(col("weight").desc, col("a"), col("b"))
     }
   )
 
@@ -12552,6 +12586,117 @@ object ExtQueries {
            CASE WHEN var72 > 0 THEN
              (CAST(j2 AS DOUBLE) / 2.0 - mu4 / 4.0)
                / sqrt(var72 / 72.0) END AS z
-         FROM v"""
+         FROM v""",
+
+    // mirrors Stats.averagePrecision: distinct-score DESC cumulate,
+    // the identical pinned pos*(tp/(tp+fp)) terms floored at 1e6 and
+    // HUGEINT-summed, the same /P final division.
+    "q414_average_precision" ->
+      """WITH b AS (SELECT CAST(value AS DOUBLE) AS x,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+         g AS (SELECT x, CAST(SUM(y) AS BIGINT) AS p,
+             CAST(SUM(1 - y) AS BIGINT) AS q
+           FROM b GROUP BY 1),
+         cu AS (SELECT p,
+             CAST(SUM(p) OVER wd AS BIGINT) AS tp,
+             CAST(SUM(q) OVER wd AS BIGINT) AS fp,
+             CAST(SUM(p) OVER () AS BIGINT) AS np,
+             CAST(SUM(q) OVER () AS BIGINT) AS nn
+           FROM g WINDOW wd AS (ORDER BY x DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         t AS (SELECT MAX(np) AS np, MAX(nn) AS nn,
+             CAST(COALESCE(SUM(CASE WHEN p > 0 THEN
+               CAST(FLOOR(CAST(p AS DOUBLE)
+                 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+                 * 1000000.0) AS HUGEINT) END), 0) AS DOUBLE) AS acc
+           FROM cu)
+         SELECT np AS n_pos, nn AS n_neg,
+           CASE WHEN np > 0 THEN
+             acc / 1000000.0 / CAST(np AS DOUBLE) END
+             AS average_precision
+         FROM t""",
+
+    // mirrors Advanced.seasonalStrength over the daily per-type series:
+    // the q199 decomposition replay (period 7, keyed by event_type),
+    // then floor-scaled variance moments and the pinned strengths.
+    "q415_seasonal_strength" ->
+      """WITH s0 AS (SELECT event_type AS k,
+             CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         b AS (SELECT k, d, CAST(c AS DOUBLE) AS x,
+             CAST((row_number() OVER wk - 1) % 7 AS INTEGER) AS phase,
+             CASE WHEN COUNT(c) OVER w7 = 7 THEN
+               CAST(SUM(CAST(FLOOR(CAST(c AS DOUBLE) * 1000000.0)
+                 AS BIGINT)) OVER w7 AS DOUBLE) / 1000000.0 / 7 END
+               AS trend
+           FROM s0
+           WINDOW wk AS (PARTITION BY k ORDER BY d),
+             w7 AS (PARTITION BY k ORDER BY d
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         det AS (SELECT *, x - trend AS dd FROM b),
+         pm AS (SELECT k, phase,
+             CAST(SUM(CAST(FLOOR(dd * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 / COUNT(*) AS pmean
+           FROM det WHERE dd IS NOT NULL AND NOT isnan(dd)
+           GROUP BY 1, 2),
+         ctr AS (SELECT k,
+             CAST(SUM(CAST(FLOOR(pmean * 1000000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000000.0 / COUNT(*) AS pc
+           FROM pm GROUP BY 1),
+         fin AS (SELECT det.k, det.x, det.trend,
+             pm.pmean - ctr.pc AS seasonal,
+             CASE WHEN det.trend IS NOT NULL
+               THEN det.x - det.trend - (pm.pmean - ctr.pc) END AS resid
+           FROM det
+           LEFT JOIN pm ON pm.k = det.k AND pm.phase = det.phase
+           LEFT JOIN ctr ON ctr.k = det.k),
+         fr AS (SELECT k, resid, seasonal + resid AS sr,
+             trend + resid AS tr
+           FROM fin WHERE resid IS NOT NULL AND NOT isnan(resid)),
+         mn AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_est,
+             CAST(SUM(CAST(FLOOR(resid * 1000000.0) AS HUGEINT))
+               AS DOUBLE) / 1000000.0 / COUNT(*) AS mr,
+             CAST(SUM(CAST(FLOOR(sr * 1000000.0) AS HUGEINT))
+               AS DOUBLE) / 1000000.0 / COUNT(*) AS ms,
+             CAST(SUM(CAST(FLOOR(tr * 1000000.0) AS HUGEINT))
+               AS DOUBLE) / 1000000.0 / COUNT(*) AS mt
+           FROM fr GROUP BY 1),
+         jn AS (SELECT fr.k, resid, sr, tr, mr, ms, mt, n_est
+           FROM fr JOIN mn ON mn.k = fr.k),
+         v AS (SELECT k, MAX(n_est) AS n_est,
+             CAST(SUM(CAST(FLOOR((resid - mr) * (resid - mr) * 1000000.0)
+               AS HUGEINT)) AS DOUBLE) / 1000000.0 AS vr,
+             CAST(SUM(CAST(FLOOR((sr - ms) * (sr - ms) * 1000000.0)
+               AS HUGEINT)) AS DOUBLE) / 1000000.0 AS vs,
+             CAST(SUM(CAST(FLOOR((tr - mt) * (tr - mt) * 1000000.0)
+               AS HUGEINT)) AS DOUBLE) / 1000000.0 AS vt
+           FROM jn GROUP BY 1)
+         SELECT k AS event_type, n_est,
+           CASE WHEN vs > 0 THEN GREATEST(0.0, 1.0 - vr / vs) END
+             AS seasonal_strength,
+           CASE WHEN vt > 0 THEN GREATEST(0.0, 1.0 - vr / vt) END
+             AS trend_strength
+         FROM v ORDER BY 1""",
+
+    // mirrors Graph.bipartiteProjection: distinct two-mode edges, one
+    // left-key self-join, exact weights + pinned cosine, top-30.
+    "q416_bipartite_projection" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS l, l_suppkey AS r
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         deg AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM e GROUP BY 1),
+         p AS (SELECT x.r AS a, y.r AS b, CAST(COUNT(*) AS BIGINT)
+             AS weight
+           FROM e x JOIN e y ON y.l = x.l AND x.r < y.r GROUP BY 1, 2)
+         SELECT p.a, p.b, weight, da.deg AS deg_a, db.deg AS deg_b,
+           CAST(weight AS DOUBLE)
+             / sqrt(CAST(da.deg AS DOUBLE) * CAST(db.deg AS DOUBLE))
+             AS cosine
+         FROM p
+         JOIN deg da ON da.r = p.a
+         JOIN deg db ON db.r = p.b
+         ORDER BY weight DESC, a, b LIMIT 30"""
   )
 }

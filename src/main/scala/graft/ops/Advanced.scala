@@ -1022,6 +1022,55 @@ object Advanced {
     out
   }
 
+  /** SEASONAL + TREND STRENGTH (Wang–Hyndman–Smith) per key on top of
+    * [[seasonalDecompose]] — the single-number "is this series actually
+    * seasonal / trending" readouts that make decomposition actionable:
+    * F_s = max(0, 1 − Var(R)/Var(S+R)) and
+    * F_t = max(0, 1 − Var(R)/Var(T+R)) over the rows where the
+    * decomposition is defined (trend needs the full centered window).
+    *
+    * TWO keyed passes over the decompose output: exact floor-scaled
+    * means first, then floor-scaled (10⁶) sums of SQUARED DEVIATIONS
+    * around them (the mean frame is a broadcast-sized join-back). The
+    * centered form matters: population variance from raw Σx²/n −
+    * (Σx/n)² floored moments carries ~10⁻⁶·|x| grid dust, which on a
+    * constant-plus-ulp component reads as "variance" and flips the
+    * strength to a confident 1.0; centered first, the deviations of a
+    * constant column floor to EXACTLY 0 and the degenerate side gates
+    * null. Each strength is one pinned IEEE expression. Returns one
+    * row per key (keys…, n_est, seasonal_strength, trend_strength). */
+  def seasonalStrength(df: org.apache.spark.sql.DataFrame,
+                       keyCols: Seq[String], orderCols: Seq[String],
+                       valueCol: String, period: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val dec = seasonalDecompose(df, keyCols, orderCols, valueCol, period)
+      .filter(col("resid").isNotNull && !isnan(col("resid")))
+      .withColumn("__sr", col("seasonal") + col("resid"))
+      .withColumn("__tr", col("trend") + col("resid"))
+    def fsum(c: org.apache.spark.sql.Column) =
+      graft.ops.Reductions.isum(c, 6)
+    val means = dec.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_est"),
+        (fsum(col("resid")) / count(lit(1))).as("__mr"),
+        (fsum(col("__sr")) / count(lit(1))).as("__ms"),
+        (fsum(col("__tr")) / count(lit(1))).as("__mt"))
+    val joined = dec.join(broadcast(means), keyCols)
+    def dev2(c: org.apache.spark.sql.Column,
+             m: String): org.apache.spark.sql.Column =
+      (c - col(m)) * (c - col(m))
+    val agg = joined.groupBy(keyCols.map(col): _*)
+      .agg(max(col("n_est")).as("n_est"),
+        fsum(dev2(col("resid"), "__mr")).as("__vr"),
+        fsum(dev2(col("__sr"), "__ms")).as("__vs"),
+        fsum(dev2(col("__tr"), "__mt")).as("__vt"))
+    val (vR, vS, vT) = (col("__vr"), col("__vs"), col("__vt"))
+    agg.select(keyCols.map(col) ++ Seq(col("n_est"),
+      when(vS > 0.0, greatest(lit(0.0), lit(1.0) - vR / vS))
+        .as("seasonal_strength"),
+      when(vT > 0.0, greatest(lit(0.0), lit(1.0) - vR / vT))
+        .as("trend_strength")): _*)
+  }
+
   /** Market-basket association rules over (basket, item) pairs: for every
     * co-occurring item pair with support ≥ minSupportPct% of baskets
     * (integer cross-multiplied — no float threshold), emit the pair's

@@ -669,6 +669,62 @@ object Graph {
     out
   }
 
+  /** BIPARTITE PROJECTION — collapse a two-mode (left, right) edge list
+    * onto the RIGHT node set: an edge between two right-nodes for every
+    * shared left-neighbor, weighted by the exact shared count plus the
+    * cosine normalization w/√(d₁·d₂) (hub-degree-corrected association
+    * — the network-science co-occurrence projection: suppliers linked
+    * by shared customers, domains linked by shared users). The output
+    * is a NEW weighted graph, feedable to the pageRank/modularity tier.
+    *
+    * One distinct pass, one self-join on the left key (the wedge mass
+    * Σ deg_left² is the 100 TB lever — `maxLeftDegree` drops
+    * promiscuous left-nodes, the standard projection cap, with the
+    * excluded count logged), exact BIGINT weights, pinned cosine.
+    * Top-k by (weight desc, a, b). Returns (a, b, weight, deg_a,
+    * deg_b, cosine). */
+  def bipartiteProjection(edges: DataFrame, leftCol: String,
+                          rightCol: String, topK: Int = 50,
+                          maxLeftDegree: Option[Long] = None): DataFrame = {
+    require(topK >= 1, s"topK=$topK")
+    val e = edges.select(col(leftCol).cast(LongType).as("l"),
+        col(rightCol).cast(LongType).as("r"))
+      .filter(col("l").isNotNull && col("r").isNotNull)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = maxLeftDegree match {
+      case None => e
+      case Some(cap) =>
+        require(cap >= 1, "bipartiteProjection: maxLeftDegree must be >= 1")
+        val ld = e.groupBy(col("l")).agg(count(lit(1)).as("__d"))
+        val nHubs = ld.filter(col("__d") > cap).count()
+        if (nHubs > 0)
+          System.err.println(s"[graft] bipartiteProjection: excluded " +
+            s"$nHubs left hub(s) with degree > $cap")
+        e.join(ld.filter(col("__d") <= cap).select(col("l")), Seq("l"),
+          "left_semi")
+    }
+    val deg = capped.groupBy(col("r")).agg(count(lit(1)).as("deg"))
+    val pairs = capped.select(col("l"), col("r").as("a"))
+      .join(capped.select(col("l"), col("r").as("b")), "l")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("weight"))
+    val out = pairs
+      .join(deg.select(col("r").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("r").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("weight"), col("deg_a"),
+        col("deg_b"),
+        (col("weight").cast(DoubleType) /
+          sqrt(col("deg_a").cast(DoubleType) *
+            col("deg_b").cast(DoubleType))).as("cosine"))
+      .orderBy(col("weight").desc, col("a"), col("b"))
+      .limit(topK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    e.unpersist()
+    out
+  }
+
   /** K-TRUSS (fixed-round) — the triangle-dense core of a graph: keep
     * only edges supported by ≥ k−2 triangles, re-count, repeat. The
     * community-core extractor one notch stricter than [[kCore]]

@@ -4436,6 +4436,74 @@ object Stats {
       .withColumn("a2_stat", lit(a2).cast(DoubleType))
   }
 
+  /** AVERAGE PRECISION (area under the precision-recall curve,
+    * step-wise) — the ranking metric that matters under class
+    * imbalance, where [[rocAuc]] saturates: AP = Σ_j ΔR_j·P_j over
+    * the distinct score thresholds in DESCENDING order, ties entering
+    * together (the standard step-interpolation; P_j = tp/(tp+fp) at
+    * the threshold, ΔR_j = pos_j/P).
+    *
+    * Same scale machinery as [[andersonDarling2]]: per-distinct-score
+    * (pos, neg) counts, range-partitioned DESCENDING cumulate with
+    * O(P) driver offsets — no single-task sort, no global window.
+    * Each term pos_j·(tp/(tp+fp)) is one pinned IEEE expression of
+    * exact Longs, floor-scaled at 10⁶ and BigInt-summed
+    * (reduce-order-free; the SQL mirror replays with a HUGEINT sum);
+    * the final /P division is pinned. Returns one row
+    * (n_pos, n_neg, average_precision). */
+  def averagePrecision(df: DataFrame, scoreCol: String,
+                       labelPos: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val v = col(scoreCol).cast(DoubleType)
+    val grouped = df
+      .filter(v.isNotNull && !isnan(v))
+      .select(v.as("__x"), when(labelPos, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("__x"))
+      .agg(sum(col("__y")).as("__p"),
+        sum(lit(1L) - col("__y")).as("__q"))
+      .as[(Double, Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = grouped
+      .repartitionByRange(parts, col("__x").desc)
+      .sortWithinPartitions(col("__x").desc)
+      .as[(Double, Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partTotals = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s1 = 0L; var s2 = 0L
+      it.foreach { case (_, p, q) => s1 += p; s2 += q }
+      Iterator((pid, s1, s2))
+    }.collectBounded(1 << 20, "O(P) partition totals").sortBy(_._1)
+    val offP = partTotals.map(_._2).scanLeft(0L)(_ + _)
+    val offQ = partTotals.map(_._3).scanLeft(0L)(_ + _)
+    val nPos = partTotals.map(_._2).sum
+    val nNeg = partTotals.map(_._3).sum
+    val bc = spark.sparkContext.broadcast((offP, offQ))
+    val acc: BigInt =
+      if (nPos == 0L) BigInt(0)
+      else sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var tp = bc.value._1(pid); var fp = bc.value._2(pid)
+        var s = BigInt(0)
+        it.foreach { case (_, p, q) =>
+          tp += p; fp += q
+          if (p > 0L) {
+            // pinned term the SQL replays: pos·(tp/(tp+fp))
+            val t = p.toDouble * (tp.toDouble / (tp + fp).toDouble)
+            s += BigInt(math.floor(t * 1e6).toLong)
+          }
+        }
+        Iterator(s)
+      }.fold(BigInt(0))(_ + _)
+    sorted.unpersist(); grouped.unpersist()
+    val ap =
+      if (nPos == 0L) null
+      else java.lang.Double.valueOf(
+        acc.toDouble / 1e6 / nPos.toDouble)
+    Seq((nPos, nNeg)).toDF("n_pos", "n_neg")
+      .withColumn("average_precision", lit(ap).cast(DoubleType))
+  }
+
   /** JONCKHEERE–TERPSTRA ORDERED-TREND TEST — does the value shift
     * monotonically across ORDERED groups (dose-response where
     * [[kruskalWallis]] only sees "different"): J = Σ_{i<j} U_ij with

@@ -593,6 +593,12 @@ class PlanGuardSpec extends SparkSuite {
   // node exists to guard; the no-single-task-sort property is structural.)
   test("q413 jonckheere: value-grid windows + O(grid·k) pair frame")(
     guard("q413_jonckheere", Bound))
+  // (q414 average precision is deliberately absent: like q412, its
+  // cumulate is the range-partitioned RDD machinery — structural.)
+  test("q415 seasonal strength: keyed decompose + broadcast mean frame")(
+    guard("q415_seasonal_strength", Bound))
+  test("q416 bipartite projection: keyed wedge join + bounded top-k")(
+    guard("q416_bipartite_projection", Bound))
 
   /** SSSP plan depth must not grow with rounds — each round reads the
     * previous round's CHECKPOINT, not its plan (the pageRank doctrine;

@@ -360,6 +360,61 @@ class StatsTier20Spec extends SparkSuite {
     assert(tr.getDouble(2) == 2.0, s"j=${tr.getDouble(2)}")
   }
 
+  test("averagePrecision: perfect ranking gives AP = 1; a tied " +
+       "pos/neg threshold gives 0.5") {
+    import spark.implicits._
+    val perfect = Seq((3.0, true), (2.0, true), (1.0, false))
+      .toDF("s", "y")
+    val r = Stats.averagePrecision(perfect, "s", col("y")).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 1.0)
+    val tied = Seq((1.0, true), (1.0, false)).toDF("s", "y")
+    val tr = Stats.averagePrecision(tied, "s", col("y")).collect()(0)
+    assert(tr.getDouble(2) == 0.5)
+    val inverted = Seq((3.0, false), (2.0, true)).toDF("s", "y")
+    val ir = Stats.averagePrecision(inverted, "s", col("y")).collect()(0)
+    assert(ir.getDouble(2) == 0.5) // pos found at rank 2: P = 1/2
+  }
+
+  test("seasonalStrength: a pure period-7 pattern is fully seasonal; " +
+       "a pure linear trend is fully trend") {
+    import graft.ops.Advanced
+    import spark.implicits._
+    val pattern = (0 until 70).map(i =>
+      ("k", i, Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0)(i % 7)))
+      .toDF("k", "t", "x")
+    val s = Advanced.seasonalStrength(pattern, Seq("k"), Seq("t"), "x", 7)
+      .collect()(0)
+    assert(s.getDouble(2) > 0.999, s"seasonal=${s.getDouble(2)}")
+    // trend+resid is constant up to the 1e-6 floor grid: the reference
+    // variance is either exactly 0 (null) or grid dust (strength ~ 0)
+    assert(s.isNullAt(3) || s.getDouble(3) < 0.05, s"t=${s.get(3)}")
+    val trend = (0 until 70).map(i => ("k", i, i.toDouble))
+      .toDF("k", "t", "x")
+    val tRow = Advanced.seasonalStrength(trend, Seq("k"), Seq("t"), "x", 7)
+      .collect()(0)
+    assert(tRow.isNullAt(2) || tRow.getDouble(2) < 0.05,
+      s"s=${tRow.get(2)}")
+    assert(tRow.getDouble(3) > 0.999, s"trend=${tRow.getDouble(3)}")
+  }
+
+  test("bipartiteProjection: shared-customer weights + cosine on a " +
+       "hand two-mode graph") {
+    import spark.implicits._
+    val e = Seq((1L, 101L), (1L, 102L), (2L, 101L), (2L, 102L),
+      (3L, 102L), (3L, 103L)).toDF("cust", "supp")
+    val rows = Graph.bipartiteProjection(e, "cust", "supp", topK = 10)
+      .collect()
+    assert(rows.length == 2)
+    val top = rows(0)
+    assert(top.getLong(0) == 101L && top.getLong(1) == 102L &&
+      top.getLong(2) == 2L)
+    assert(math.abs(top.getDouble(5) - 2.0 / math.sqrt(6.0)) < 1e-12)
+    val snd = rows(1)
+    assert(snd.getLong(0) == 102L && snd.getLong(1) == 103L &&
+      snd.getLong(2) == 1L)
+  }
+
   test("yuleK: hand corpus 'a a a b' gives K = 3750 exactly") {
     import spark.implicits._
     val df = Seq((1L, "a a a b", "en"), (2L, "x y", "fr"))
