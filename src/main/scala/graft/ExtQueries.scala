@@ -3922,6 +3922,15 @@ object ExtQueries {
           col("o_orderkey") === col("l_orderkey"))
       Graph.bipartiteProjection(cs, "o_custkey", "l_suppkey", topK = 30)
         .orderBy(col("weight").desc, col("a"), col("b"))
+    },
+
+    // Neyman allocation of a 1000-row sample budget across return-flag
+    // strata by price volatility — the optimal stratified-sampling
+    // design readout.
+    "q419_neyman_allocation" -> { (s, dir) =>
+      Ml.neymanAllocation(t(s, dir, "lineitem"), "l_extendedprice",
+        "l_returnflag", budget = 1000L)
+        .orderBy(col("stratum"))
     }
   )
 
@@ -12697,6 +12706,41 @@ object ExtQueries {
          FROM p
          JOIN deg da ON da.r = p.a
          JOIN deg db ON db.r = p.b
-         ORDER BY weight DESC, a, b LIMIT 30"""
+         ORDER BY weight DESC, a, b LIMIT 30""",
+
+    // mirrors Ml.neymanAllocation: floor-scaled stratum moments, the
+    // pinned sample-sd, the floor-scaled weight normalizer window, the
+    // same floor(budget*share) allocation.
+    "q419_neyman_allocation" ->
+      """WITH b AS (SELECT CAST(l_returnflag AS VARCHAR) AS s,
+             CAST(l_extendedprice AS DOUBLE) AS x
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL
+             AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+             AND l_returnflag IS NOT NULL),
+         per AS (SELECT s AS stratum, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS sx,
+             CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS sxx
+           FROM b GROUP BY 1),
+         v AS (SELECT *,
+             (sxx - sx * sx / CAST(n_rows AS DOUBLE))
+               / (CAST(n_rows AS DOUBLE) - 1.0) AS vr
+           FROM per),
+         w AS (SELECT stratum, n_rows,
+             CASE WHEN n_rows >= 2 AND vr > 0 THEN sqrt(vr)
+               ELSE 0.0 END AS sd
+           FROM v),
+         w2 AS (SELECT *, CAST(n_rows AS DOUBLE) * sd AS wgt FROM w),
+         w3 AS (SELECT *,
+             CAST(SUM(CAST(FLOOR(wgt * 1000000.0) AS DECIMAL(30,0)))
+               OVER () AS DOUBLE) / 1000000.0 AS tot
+           FROM w2)
+         SELECT stratum, n_rows, sd,
+           CASE WHEN tot > 0 THEN wgt / tot ELSE 0.0 END AS neyman_share,
+           CAST(FLOOR(1000.0 * (CASE WHEN tot > 0 THEN wgt / tot
+             ELSE 0.0 END)) AS BIGINT) AS n_alloc
+         FROM w3 ORDER BY stratum"""
   )
 }

@@ -835,6 +835,22 @@ object LlmQueries {
         "doc_id", "text", shingleLen = 3, numHashes = 64, bands = 32,
         threshold = 0.5)
         .orderBy(col("id"))
+    },
+
+    // Unicode script profile per document — the char-class router
+    // (Latin/digit/CJK/Cyrillic/space/other + dominant-script label);
+    // pure codegen regexp counts, zero shuffle.
+    "q417_script_profile" -> { (s, dir) =>
+      TextStats.scriptProfile(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id"))
+    },
+
+    // MinHash sketch calibration: estimated vs EXACT Jaccard over the
+    // LSH candidate pairs — the error telemetry that justifies a
+    // numHashes/bands budget before a 100 TB dedup run.
+    "q418_minhash_calibration" -> { (s, dir) =>
+      TextDedup.minhashCalibration(t(s, dir, "documents"), "doc_id",
+        "text", shingleLen = 3, numHashes = 64, bands = 32)
     }
   )
 
@@ -2767,6 +2783,78 @@ object LlmQueries {
          FROM documents d LEFT JOIN keep k
            ON k.nid = d.doc_id AND k.rn = 1
          WHERE d.doc_id % 5 = 0
-         ORDER BY id"""
+         ORDER BY id""",
+
+    // mirrors TextStats.scriptProfile: the identical codepoint-range
+    // regexp counts (RE2 \x{...} classes, 'g' replace) and the same
+    // pinned dominant-script CASE chain.
+    "q417_script_profile" ->
+      """SELECT doc_id AS id, length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+             AS latin,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+             AS digit,
+           length(text) - length(regexp_replace(text,
+             '[\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+           length(text) - length(regexp_replace(text,
+             '[\x{0400}-\x{04ff}]', '', 'g')) AS cyrillic,
+           length(text) - length(regexp_replace(text, '[ \t\n\r]', '',
+             'g')) AS space,
+           length(text)
+             - (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+             - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+             - (length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')))
+             - (length(text) - length(regexp_replace(text, '[\x{0400}-\x{04ff}]', '', 'g')))
+             - (length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')))
+             AS other,
+           CASE WHEN length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                  >= length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g'))
+                AND length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                  >= length(text) - length(regexp_replace(text, '[\x{0400}-\x{04ff}]', '', 'g'))
+                AND length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) > 0
+             THEN 'latin'
+             WHEN length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g'))
+                  >= length(text) - length(regexp_replace(text, '[\x{0400}-\x{04ff}]', '', 'g'))
+                AND length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) > 0
+             THEN 'cjk'
+             WHEN length(text) - length(regexp_replace(text, '[\x{0400}-\x{04ff}]', '', 'g')) > 0
+             THEN 'cyrillic'
+             ELSE 'none' END AS script
+         FROM documents
+         WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         ORDER BY id""",
+
+    // mirrors TextDedup.minhashCalibration: the q29 candidate CTEs,
+    // signature-agreement estimates, exact list_intersect Jaccard on
+    // the same h28 shingle space, floor-scaled (1e9) error sums.
+    "q418_minhash_calibration" -> {
+      s"""WITH ${minhashCandidateCtes(32)},
+         sets AS (SELECT id, list_distinct(hs) AS st FROM hsx),
+         est AS (SELECT pairs0.id_a, pairs0.id_b, $estJaccardSql AS est
+           FROM pairs0
+           JOIN sig sa ON sa.id = pairs0.id_a
+           JOIN sig sb ON sb.id = pairs0.id_b),
+         ex AS (SELECT e.est,
+             CAST(len(list_intersect(xa.st, xb.st)) AS DOUBLE) AS inter,
+             CAST(len(xa.st) + len(xb.st) AS DOUBLE) AS ls
+           FROM est e
+           JOIN sets xa ON xa.id = e.id_a
+           JOIN sets xb ON xb.id = e.id_b),
+         er AS (SELECT est - inter / (ls - inter) AS err FROM ex),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COALESCE(SUM(CAST(FLOOR(ABS(err) * 1000000000.0)
+               AS HUGEINT)), 0) AS DOUBLE) / 1000000000.0 AS sae,
+             CAST(COALESCE(SUM(CAST(FLOOR(err * 1000000000.0)
+               AS HUGEINT)), 0) AS DOUBLE) / 1000000000.0 AS se,
+             MAX(ABS(err)) AS max_abs_err
+           FROM er)
+         SELECT n_pairs,
+           CASE WHEN n_pairs > 0 THEN sae / CAST(n_pairs AS DOUBLE) END
+             AS mae,
+           CASE WHEN n_pairs > 0 THEN se / CAST(n_pairs AS DOUBLE) END
+             AS bias,
+           max_abs_err
+         FROM a"""
+    }
   )
 }

@@ -1281,4 +1281,55 @@ object TextDedup {
     prefix.unpersist()
     out
   }
+
+  /** MINHASH CALIBRATION — "how good are my sketches on THIS corpus":
+    * over the LSH candidate pairs, compare the signature-agreement
+    * estimate against the EXACT shingle-set Jaccard and report the
+    * error profile (n_pairs, MAE, signed bias, worst absolute error).
+    * The telemetry that justifies a numHashes/bands budget before a
+    * 100 TB dedup run — sketch error is corpus-dependent (short docs
+    * and near-threshold pairs estimate worst), so a fixed "64 hashes
+    * is fine" rule of thumb needs this audit.
+    *
+    * Plan: [[minhashCandidatePairs]] (linear rep/adjacent pairing, the
+    * measured anti-quadratic design) + one distinct-shingle-set join
+    * back; exact Jaccard is pinned set arithmetic on the SAME h28
+    * hash space the signatures minimize over, error sums are
+    * floor-scaled (10⁹). Returns one row
+    * (n_pairs, mae, bias, max_abs_err). */
+  def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
+                         shingleLen: Int = 3, numHashes: Int = 64,
+                         bands: Int = 32): DataFrame = {
+    val pairs = minhashCandidatePairs(df, idCol, textCol, shingleLen,
+      numHashes, bands)
+    val sets = spreadForKernel(df.filter(col(idCol).isNotNull)
+        .select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        array_distinct(shingleHashes(col("__t"), shingleLen, 7))
+          .as("__set"))
+      .repartition(col("id"))
+    val joined = pairs
+      .join(sets.select(col("id").as("id_a"), col("__set").as("__sa")),
+        "id_a")
+      .join(sets.select(col("id").as("id_b"), col("__set").as("__sb")),
+        "id_b")
+    val inter = size(array_intersect(col("__sa"), col("__sb")))
+      .cast(DoubleType)
+    val uni = (size(col("__sa")) + size(col("__sb"))).cast(DoubleType) -
+      inter
+    val scored = joined
+      .select(col("est_jaccard").as("__est"), (inter / uni).as("__ex"))
+      .withColumn("__err", col("__est") - col("__ex"))
+    val agg = scored.agg(count(lit(1)).as("n_pairs"),
+      graft.ops.Reductions.isum(abs(col("__err")), 9).as("__sae"),
+      graft.ops.Reductions.isum(col("__err"), 9).as("__se"),
+      max(abs(col("__err"))).as("max_abs_err"))
+    def d(c: Column): Column = c.cast(DoubleType)
+    agg.select(col("n_pairs"),
+      when(col("n_pairs") > 0L, col("__sae") / d(col("n_pairs")))
+        .as("mae"),
+      when(col("n_pairs") > 0L, col("__se") / d(col("n_pairs")))
+        .as("bias"),
+      col("max_abs_err"))
+  }
 }

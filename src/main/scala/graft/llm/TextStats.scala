@@ -1243,6 +1243,42 @@ object TextStats {
     out
   }
 
+  /** UNICODE SCRIPT PROFILE per document — the char-class complement of
+    * the stopword-based [[langId]]: counts of Latin letters, digits,
+    * CJK (BMP unified ideographs), Cyrillic, whitespace, and other
+    * codepoints, plus the dominant-script label (pinned precedence
+    * latin ≥ cjk ≥ cyrillic on ties; 'none' when no script chars). The
+    * cheap first-pass router for multilingual corpora — catches
+    * mixed-script spam, mojibake, and wrong-language docs that n-gram
+    * language ID (trained on well-formed text) mislabels.
+    *
+    * Pure per-row column expressions (codegen'd regexp counts over
+    * explicit codepoint ranges — \\x{...} classes, portable between
+    * Java regex and RE2 where named script classes are not); zero
+    * shuffle. Returns one row per doc
+    * (id, n_chars, latin, digit, cjk, cyrillic, space, other,
+    * script). */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    def cnt(pattern: String): Column =
+      length(t) - length(regexp_replace(t, pattern, ""))
+    val latin = cnt("[A-Za-z]")
+    val digit = cnt("[0-9]")
+    val cjk = cnt("[\\x{4e00}-\\x{9fff}]")
+    val cyr = cnt("[\\x{0400}-\\x{04ff}]")
+    val space = cnt("[ \\t\\n\\r]")
+    df.filter(col(idCol).isNotNull && t.isNotNull)
+      .select(col(idCol).as("id"), length(t).as("n_chars"),
+        latin.as("latin"), digit.as("digit"), cjk.as("cjk"),
+        cyr.as("cyrillic"), space.as("space"),
+        (length(t) - latin - digit - cjk - cyr - space).as("other"),
+        when(latin >= cjk && latin >= cyr && latin > 0, "latin")
+          .when(cjk >= cyr && cjk > 0, "cjk")
+          .when(cyr > 0, "cyrillic")
+          .otherwise("none").as("script"))
+  }
+
   def yuleK(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
     val typeCounts = graft.ops.Layout.spreadScan(df)
       .filter(col(groupCol).isNotNull)

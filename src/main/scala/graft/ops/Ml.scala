@@ -1558,6 +1558,48 @@ object Ml {
         col("__b0").as("intercept"), col("__b1").as("slope"))
   }
 
+  /** NEYMAN ALLOCATION — the optimal stratified-sampling design: given
+    * a sample budget, allocate n_h ∝ N_h·S_h (stratum size × stratum
+    * sd), which minimizes the variance of the stratified mean — the
+    * planning readout BEFORE running [[stratifiedSplit]]-style draws
+    * on a 100 TB corpus (sample the volatile strata hard, skim the
+    * homogeneous ones). Zero-variance strata get share 0 (one row
+    * represents them exactly; documented).
+    *
+    * One keyed moment pass (floor-scaled exact Σx, Σx² at 10⁶), sample
+    * sd via the pinned (Σx² − Σx²/n)/(n−1) form, then the share and
+    * floor(budget·share) allocation off the O(strata) frame (the Σw
+    * normalizer is itself a floor-scaled window sum, reduce-order
+    * free). Returns one row per stratum
+    * (stratum, n_rows, sd, neyman_share, n_alloc). */
+  def neymanAllocation(df: DataFrame, valueCol: String,
+                       stratumCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget=$budget")
+    import org.apache.spark.sql.expressions.Window
+    val x = col(valueCol).cast(DoubleType)
+    val per = df.filter(x.isNotNull && !isnan(x) &&
+        col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).cast(StringType).as("stratum"))
+      .agg(count(lit(1)).as("n_rows"), isum(x, 6).as("__sx"),
+        isum(x * x, 6).as("__sxx"))
+    def d(c: Column): Column = c.cast(DoubleType)
+    val nD = d(col("n_rows"))
+    val varS = (col("__sxx") - col("__sx") * col("__sx") / nD) /
+      (nD - lit(1.0))
+    val sd = when(col("n_rows") >= 2L && varS > 0.0, sqrt(varS))
+      .otherwise(lit(0.0))
+    val withW = per.withColumn("sd", sd)
+      .withColumn("__w", nD * col("sd"))
+      .withColumn("__tot",
+        sum(floor(col("__w") * lit(1e6)).cast(DecimalType(30, 0)))
+          .over(Window.partitionBy()).cast(DoubleType) / lit(1e6))
+    val share = when(col("__tot") > 0.0, col("__w") / col("__tot"))
+      .otherwise(lit(0.0))
+    withW.select(col("stratum"), col("n_rows"), col("sd"),
+      share.as("neyman_share"),
+      floor(lit(budget.toDouble) * share).cast(LongType).as("n_alloc"))
+  }
+
   /** DECISION STUMP — the optimal depth-1 tree for a binary label over
     * ONE ordered feature: among the candidate thresholds θ (every
     * distinct feature value except the maximum), pick the split

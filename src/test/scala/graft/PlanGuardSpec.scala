@@ -599,6 +599,12 @@ class PlanGuardSpec extends SparkSuite {
     guard("q415_seasonal_strength", Bound))
   test("q416 bipartite projection: keyed wedge join + bounded top-k")(
     guard("q416_bipartite_projection", Bound))
+  test("q417 script profile: zero-shuffle per-row counts")(
+    guard("q417_script_profile", Bound))
+  test("q418 minhash calibration: band-keyed pairs + one moment row")(
+    guard("q418_minhash_calibration", Bound))
+  test("q419 neyman allocation: O(strata) design frame only")(
+    guard("q419_neyman_allocation", Bound))
 
   /** SSSP plan depth must not grow with rounds — each round reads the
     * previous round's CHECKPOINT, not its plan (the pageRank doctrine;

@@ -415,6 +415,49 @@ class StatsTier20Spec extends SparkSuite {
       snd.getLong(2) == 1L)
   }
 
+  test("scriptProfile: latin, cjk, cyrillic and digit-only docs get " +
+       "the right counts and labels") {
+    import graft.llm.TextStats
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world"),
+      (2L, "你好世界"),            // CJK
+      (3L, "привет"), // Cyrillic
+      (4L, "123 456")).toDF("doc_id", "text")
+    val m = TextStats.scriptProfile(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getInt(2) == 10 && m(1L).getString(8) == "latin")
+    assert(m(2L).getInt(4) == 4 && m(2L).getString(8) == "cjk")
+    assert(m(3L).getInt(5) == 6 && m(3L).getString(8) == "cyrillic")
+    assert(m(4L).getInt(3) == 6 && m(4L).getString(8) == "none")
+    assert(m(1L).getInt(6) == 1 && m(1L).getInt(7) == 0) // space/other
+  }
+
+  test("minhashCalibration: identical docs calibrate to zero error") {
+    import graft.llm.TextDedup
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again"
+    val docs = (1L to 3L).map(i => (i, text)).toDF("doc_id", "text")
+    val r = TextDedup.minhashCalibration(docs, "doc_id", "text")
+      .collect()(0)
+    assert(r.getLong(0) == 3L, s"pairs=${r.getLong(0)}")
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0 &&
+      r.getDouble(3) == 0.0)
+  }
+
+  test("neymanAllocation: volatile strata get the budget, constant " +
+       "strata get zero") {
+    import spark.implicits._
+    val df = Seq(("a", 5.0), ("a", 5.0), ("b", 0.0), ("b", 10.0),
+      ("c", 0.0), ("c", 2.0)).toDF("g", "v")
+    val m = Ml.neymanAllocation(df, "v", "g", budget = 1000L).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(m("a").getDouble(2) == 0.0 && m("a").getLong(4) == 0L)
+    // w_b : w_c = sqrt(50) : sqrt(2) = 5 : 1
+    assert(math.abs(m("b").getDouble(3) - 5.0 / 6.0) < 1e-5)
+    assert(m("b").getLong(4) == 833L && m("c").getLong(4) == 166L)
+  }
+
   test("yuleK: hand corpus 'a a a b' gives K = 3750 exactly") {
     import spark.implicits._
     val df = Seq((1L, "a a a b", "en"), (2L, "x y", "fr"))
