@@ -1043,10 +1043,14 @@ object Advanced {
                        keyCols: Seq[String], orderCols: Seq[String],
                        valueCol: String, period: Int)
       : org.apache.spark.sql.DataFrame = {
+    // persist the decompose output: the mean pass and the deviation
+    // pass both consume it, and the decomposition's window stack is the
+    // expensive part (released once the O(keys) result materializes)
     val dec = seasonalDecompose(df, keyCols, orderCols, valueCol, period)
       .filter(col("resid").isNotNull && !isnan(col("resid")))
       .withColumn("__sr", col("seasonal") + col("resid"))
       .withColumn("__tr", col("trend") + col("resid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def fsum(c: org.apache.spark.sql.Column) =
       graft.ops.Reductions.isum(c, 6)
     val means = dec.groupBy(keyCols.map(col): _*)
@@ -1064,11 +1068,14 @@ object Advanced {
         fsum(dev2(col("__sr"), "__ms")).as("__vs"),
         fsum(dev2(col("__tr"), "__mt")).as("__vt"))
     val (vR, vS, vT) = (col("__vr"), col("__vs"), col("__vt"))
-    agg.select(keyCols.map(col) ++ Seq(col("n_est"),
+    val out = agg.select(keyCols.map(col) ++ Seq(col("n_est"),
       when(vS > 0.0, greatest(lit(0.0), lit(1.0) - vR / vS))
         .as("seasonal_strength"),
       when(vT > 0.0, greatest(lit(0.0), lit(1.0) - vR / vT))
         .as("trend_strength")): _*)
+      .localCheckpoint(true) // O(keys) result; frees the dec cache
+    dec.unpersist()
+    out
   }
 
   /** Market-basket association rules over (basket, item) pairs: for every

@@ -4239,11 +4239,16 @@ object Stats {
   def cramersV(df: DataFrame, xCol: String, yCol: String,
                maxCardinality: Long = 1L << 12): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // eager-checkpoint the O(r·c) cell frame: marginals, the grid, the
+    // n/r/c aggregate and the χ² pass all read it, and without the
+    // checkpoint each consumer re-runs the O(data) contingency groupBy
+    // (the jaccardJoinApprox double-compute lesson from the r18 review)
     val cells = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast(StringType).as("__x"),
         col(yCol).cast(StringType).as("__y"))
       .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__o"))
+      .localCheckpoint(true)
     val xs = cells.groupBy(col("__x")).agg(sum(col("__o")).as("__rt"))
       .withColumn("__rt", seriesBound(col("__rt"),
         count(lit(1)).over(Window.partitionBy()), maxCardinality,
@@ -4532,8 +4537,11 @@ object Stats {
     val base = df.filter(x.isNotNull && !isnan(x) &&
         col(groupCol).isNotNull)
       .select(col(groupCol).cast(StringType).as("__g"), x.as("__x"))
+    // eager-checkpoint the O(grid) count frame — values/groups/grid/
+    // sizes all read it (4 consumers = 4 data scans otherwise)
     val counts = base.groupBy(col("__g"), col("__x"))
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     val values = counts.select(col("__x")).distinct()
       .withColumn("__vn", count(lit(1)).over(Window.partitionBy()))
       .withColumn("__x", seriesBound(col("__x"),
