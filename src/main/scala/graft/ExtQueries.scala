@@ -3931,6 +3931,43 @@ object ExtQueries {
       Ml.neymanAllocation(t(s, dir, "lineitem"), "l_extendedprice",
         "l_returnflag", budget = 1000L)
         .orderBy(col("stratum"))
+    },
+
+    // Theil T inequality of event value with the between/within
+    // event-type decomposition — is the concentration across types or
+    // inside them? The additively-decomposable sibling of q386 Atkinson.
+    "q420_theil_decomposition" -> { (s, dir) =>
+      Stats.theilDecomposition(t(s, dir, "events"), "value", "event_type")
+        .orderBy(col("grp"))
+    },
+
+    // Youden's J optimal threshold for value as a purchase score:
+    // exact-integer argmax over the descending cumulate, ties to the
+    // highest threshold — the operating-point selector next to rocAuc.
+    "q421_youden_threshold" -> { (s, dir) =>
+      Stats.youdenThreshold(t(s, dir, "events"), "value",
+        col("event_type") === "purchase")
+    },
+
+    // Smoothed target encoding of part brand against line price
+    // (m = 100): rare brands shrink toward the global mean — the
+    // high-cardinality categorical featurizer.
+    "q422_target_encode" -> { (s, dir) =>
+      val j = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_extendedprice")),
+          col("p_partkey") === col("l_partkey"))
+      Ml.targetEncode(j, "p_brand", "l_extendedprice", m = 100.0)
+        .orderBy(col("category"))
+    },
+
+    // D'Agostino-Pearson K2 omnibus normality per event type: the
+    // finite-sample-calibrated companion of q361's Jarque-Bera, with
+    // separate skew/kurtosis z components.
+    "q423_dagostino_k2" -> { (s, dir) =>
+      Stats.dagostinoK2(t(s, dir, "events"), "value", "event_type")
+        .orderBy(col("event_type"))
     }
   )
 
@@ -12741,6 +12778,175 @@ object ExtQueries {
            CASE WHEN tot > 0 THEN wgt / tot ELSE 0.0 END AS neyman_share,
            CAST(FLOOR(1000.0 * (CASE WHEN tot > 0 THEN wgt / tot
              ELSE 0.0 END)) AS BIGINT) AS n_alloc
-         FROM w3 ORDER BY stratum"""
+         FROM w3 ORDER BY stratum""",
+
+    // mirrors Stats.theilDecomposition: positive-domain filter, the same
+    // floor-scaled Σx / Σx·ln x moments per group and globally, the same
+    // pinned T expressions, the floor-scaled decomposition window sums.
+    "q420_theil_decomposition" ->
+      """WITH b AS (SELECT CAST(event_type AS VARCHAR) AS grp,
+             CAST(value AS DOUBLE) AS x
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL
+             AND NOT isnan(CAST(value AS DOUBLE))
+             AND CAST(value AS DOUBLE) > 0.0),
+         g AS (SELECT CAST(COUNT(*) AS BIGINT) AS gn,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS gsx,
+             CAST(SUM(CAST(FLOOR(x * ln(x) * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS gsxl
+           FROM b),
+         per AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(x * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS sxg,
+             CAST(SUM(CAST(FLOOR(x * ln(x) * 1000000.0) AS DECIMAL(38,0)))
+               AS DOUBLE) / 1000000.0 AS sxlg
+           FROM b GROUP BY 1),
+         j AS (SELECT per.*, g.gn, g.gsx, g.gsxl,
+             g.gsx / CAST(g.gn AS DOUBLE) AS mu,
+             sxg / CAST(n AS DOUBLE) AS mug,
+             sxg / g.gsx AS share
+           FROM per, g),
+         f0 AS (SELECT *,
+             FLOOR((sxlg / (CAST(n AS DOUBLE) * mug) - ln(mug))
+               * 1000000000.0) / 1000000000.0 AS tg,
+             FLOOR((gsxl / (CAST(gn AS DOUBLE) * mu) - ln(mu))
+               * 1000000000.0) / 1000000000.0 AS tt
+           FROM j),
+         f AS (SELECT grp, n, mug AS mean, share,
+             tg AS theil_g, tt AS theil_total,
+             share * ln(mug / mu) AS bt,
+             share * tg AS wt
+           FROM f0)
+         SELECT grp, n, mean, share, theil_g, theil_total,
+           CAST(SUM(CAST(FLOOR(bt * 1000000000.0) AS DECIMAL(38,0)))
+             OVER () AS DOUBLE) / 1000000000.0 AS theil_between,
+           CAST(SUM(CAST(FLOOR(wt * 1000000000.0) AS DECIMAL(38,0)))
+             OVER () AS DOUBLE) / 1000000000.0 AS theil_within
+         FROM f ORDER BY grp""",
+
+    // mirrors Stats.youdenThreshold: per-distinct-score class counts,
+    // descending cumulate, the exact-integer HUGEINT argmax with the
+    // (j DESC, threshold DESC) tie pin, one final pinned division.
+    "q421_youden_threshold" ->
+      """WITH b AS (SELECT CAST(value AS DOUBLE) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events
+           WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+         g AS (SELECT v, CAST(SUM(y) AS BIGINT) AS p,
+             CAST(SUM(1 - y) AS BIGINT) AS q
+           FROM b GROUP BY v),
+         t AS (SELECT CAST(SUM(p) AS BIGINT) AS np,
+             CAST(SUM(q) AS BIGINT) AS nq FROM g),
+         c AS (SELECT v,
+             CAST(SUM(p) OVER (ORDER BY v DESC) AS BIGINT) AS tp,
+             CAST(SUM(q) OVER (ORDER BY v DESC) AS BIGINT) AS fp
+           FROM g),
+         s AS (SELECT c.v, c.tp, c.fp, t.np, t.nq,
+             CAST(c.tp AS HUGEINT) * t.nq - CAST(c.fp AS HUGEINT) * t.np
+               AS j
+           FROM c, t)
+         SELECT np AS n_pos, nq AS n_neg, v AS threshold, tp, fp,
+           np - tp AS fn, nq - fp AS tn,
+           CAST(tp AS DOUBLE) / CAST(np AS DOUBLE) AS sensitivity,
+           CAST(nq - fp AS DOUBLE) / CAST(nq AS DOUBLE) AS specificity,
+           CAST(j AS DOUBLE) / (CAST(np AS DOUBLE) * CAST(nq AS DOUBLE))
+             AS youden_j
+         FROM s ORDER BY j DESC, v DESC LIMIT 1""",
+
+    // mirrors Ml.targetEncode: per-brand floor-scaled exact price sums,
+    // the 1-row global moment frame, the same (s + m*mu)/(n + m) pin.
+    "q422_target_encode" ->
+      """WITH b AS (SELECT CAST(p_brand AS VARCHAR) AS category,
+             CAST(l_extendedprice AS DOUBLE) AS y
+           FROM part JOIN lineitem ON p_partkey = l_partkey
+           WHERE p_brand IS NOT NULL AND l_extendedprice IS NOT NULL
+             AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+         g AS (SELECT CAST(COUNT(*) AS BIGINT) AS gn,
+             CAST(SUM(CAST(FLOOR(y * 1000000.0) AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS gs
+           FROM b),
+         per AS (SELECT category, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(y * 1000000.0) AS HUGEINT)) AS DOUBLE)
+               / 1000000.0 AS s
+           FROM b GROUP BY 1)
+         SELECT category, n, s / CAST(n AS DOUBLE) AS cat_mean,
+           (s + 100.0 * (gs / CAST(gn AS DOUBLE)))
+             / (CAST(n AS DOUBLE) + 100.0) AS encoded
+         FROM per, g ORDER BY category""",
+
+    // mirrors Stats.dagostinoK2: q361's floor-scaled power sums, then the
+    // D'Agostino/Anscombe-Glynn transforms transcribed op-for-op (n cast
+    // to DOUBLE before any product; cube root pinned as
+    // sign(t)*exp(ln(|t|)/3) exactly as the engine).
+    "q423_dagostino_k2" ->
+      """WITH a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR((value) * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS s1,
+             CAST(SUM(CAST(FLOOR((value * value) * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS s2,
+             CAST(SUM(CAST(FLOOR((value * value * value) * 10000.0) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS s3,
+             CAST(SUM(CAST(FLOOR((value * value * value * value) * 100.0) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS s4
+           FROM events
+           WHERE event_type IS NOT NULL AND value IS NOT NULL
+             AND NOT isnan(value)
+           GROUP BY 1),
+         m AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+             s1 / CAST(n AS DOUBLE) AS mu FROM a),
+         c AS (SELECT *, s2 / nd - mu * mu AS m2,
+             s3 / nd - 3.0 * mu * (s2 / nd) + 2.0 * mu * mu * mu AS m3,
+             s4 / nd - 4.0 * mu * (s3 / nd) + 6.0 * mu * mu * (s2 / nd)
+               - 3.0 * mu * mu * mu * mu AS m4
+           FROM m),
+         k AS (SELECT *, m3 / (m2 * sqrt(m2)) AS sk,
+             m4 / (m2 * m2) AS b2 FROM c),
+         sk1 AS (SELECT *,
+             sk * sqrt((nd + 1.0) * (nd + 3.0) / (6.0 * (nd - 2.0))) AS ys,
+             3.0 * (nd * nd + 27.0 * nd - 70.0) * (nd + 1.0) * (nd + 3.0)
+               / ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) * (nd + 9.0))
+               AS beta2
+           FROM k),
+         sk2 AS (SELECT *, sqrt(2.0 * (beta2 - 1.0)) - 1.0 AS w2
+           FROM sk1),
+         sk3 AS (SELECT *, 1.0 / sqrt(ln(sqrt(w2))) AS deltas,
+             ys / sqrt(2.0 / (w2 - 1.0)) AS ya
+           FROM sk2),
+         zs AS (SELECT *,
+             deltas * ln(ya + sqrt(ya * ya + 1.0)) AS z_skew
+           FROM sk3),
+         ku1 AS (SELECT *, 3.0 * (nd - 1.0) / (nd + 1.0) AS eb2,
+             24.0 * nd * (nd - 2.0) * (nd - 3.0)
+               / ((nd + 1.0) * (nd + 1.0) * (nd + 3.0) * (nd + 5.0))
+               AS vb2,
+             6.0 * (nd * nd - 5.0 * nd + 2.0)
+               / ((nd + 7.0) * (nd + 9.0))
+               * sqrt(6.0 * (nd + 3.0) * (nd + 5.0)
+                 / (nd * (nd - 2.0) * (nd - 3.0))) AS sqb1
+           FROM zs),
+         ku2 AS (SELECT *, (b2 - eb2) / sqrt(vb2) AS xstd,
+             6.0 + 8.0 / sqb1 * (2.0 / sqb1
+               + sqrt(1.0 + 4.0 / (sqb1 * sqb1))) AS ag
+           FROM ku1),
+         ku3 AS (SELECT *, (1.0 - 2.0 / ag)
+               / (1.0 + xstd * sqrt(2.0 / (ag - 4.0))) AS tcb
+           FROM ku2),
+         ku4 AS (SELECT *, CASE WHEN tcb = 0.0 THEN 0.0
+               ELSE (CASE WHEN tcb < 0.0 THEN -1.0
+                 WHEN tcb > 0.0 THEN 1.0 ELSE 0.0 END)
+                 * exp(ln(abs(tcb)) / 3.0) END AS cb
+           FROM ku3),
+         zk AS (SELECT *, ((1.0 - 2.0 / (9.0 * ag)) - cb)
+               / sqrt(2.0 / (9.0 * ag)) AS z_kurt_r
+           FROM ku4),
+         zp AS (SELECT *,
+             FLOOR(z_skew * 1000000000.0) / 1000000000.0 AS zs,
+             FLOOR(z_kurt_r * 1000000000.0) / 1000000000.0 AS zku
+           FROM zk)
+         SELECT event_type, n,
+           CASE WHEN n >= 20 AND m2 > 0 THEN sk END AS skewness,
+           CASE WHEN n >= 20 AND m2 > 0 THEN b2 END AS kurtosis,
+           CASE WHEN n >= 20 AND m2 > 0 THEN zs END AS z_skew,
+           CASE WHEN n >= 20 AND m2 > 0 THEN zku END AS z_kurt,
+           CASE WHEN n >= 20 AND m2 > 0
+             THEN zs * zs + zku * zku END AS k2
+         FROM zp ORDER BY event_type"""
   )
 }

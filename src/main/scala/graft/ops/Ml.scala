@@ -1664,4 +1664,33 @@ object Ml {
       (gini(col("__np"), col("__n")) - split).as("gini_gain"))
     scored.orderBy(col("gini_split").asc, col("threshold").asc).limit(1)
   }
+
+  /** SMOOTHED TARGET ENCODING (m-estimate) — the leakage-aware categorical
+    * featurizer: enc(c) = (Σy_c + m·μ)/(n_c + m), shrinking rare
+    * categories toward the global mean μ so a 3-row category can't memorize
+    * its targets — the standard high-cardinality encoder a feature
+    * pipeline applies before any tree/linear fit at 100 TB (category
+    * count is unbounded; every frame here is keyed, never collected).
+    *
+    * One keyed moment pass per category (floor-scaled exact Σy) + one
+    * 1-row global moment frame joined back as a broadcast literal — the
+    * fit-frame idiom, no global window, no driver data. Returns one row
+    * per category: (category, n, cat_mean, encoded). */
+  def targetEncode(df: DataFrame, catCol: String, valueCol: String,
+                   m: Double = 100.0): DataFrame = {
+    require(m > 0.0, s"m=$m")
+    val y = col(valueCol).cast(DoubleType)
+    val base = df.filter(col(catCol).isNotNull && y.isNotNull && !isnan(y))
+      .select(col(catCol).cast(StringType).as("category"), y.as("__y"))
+    val glob = base.agg(count(lit(1)).as("__gn"), isum(col("__y"), 6)
+      .as("__gs"))
+    val per = base.groupBy(col("category"))
+      .agg(count(lit(1)).as("n"), isum(col("__y"), 6).as("__s"))
+    def d(c: Column): Column = c.cast(DoubleType)
+    val mu = col("__gs") / d(col("__gn"))
+    per.crossJoin(broadcast(glob))
+      .select(col("category"), col("n"),
+        (col("__s") / d(col("n"))).as("cat_mean"),
+        ((col("__s") + lit(m) * mu) / (d(col("n")) + lit(m))).as("encoded"))
+  }
 }

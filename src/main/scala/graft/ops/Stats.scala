@@ -5021,4 +5021,247 @@ object Stats {
       when(col("total_power") > 0.0,
         col("__h") / lit(math.log(maxK.toDouble))).as("h_norm"))
   }
+
+  /** THEIL T INEQUALITY + BETWEEN/WITHIN DECOMPOSITION — the additively
+    * decomposable member of the inequality tier ([[atkinsonIndex]] and the
+    * per-group gini are scalars; Theil T uniquely splits as
+    * T = T_between + Σ s_g·T_g): HOW MUCH of the corpus concentration is
+    * across groups vs inside them — the "is the imbalance a source
+    * problem or a per-source problem" readout before rebalancing a
+    * 100 TB mix. T = (Σx·ln x)/(N·μ) − ln μ over the positive domain
+    * (non-positive rows excluded and counted, the atkinson policy).
+    *
+    * Exactness & scale: per-group and global moment passes (floor-scaled
+    * Σx, Σx·ln x), the global row joined back as a broadcast literal; the
+    * cross-group decomposition sums are floor-scaled (10⁹) exact
+    * aggregates over the per-group frame — groups unbounded, nothing
+    * collected. Returns one row per group: (group, n, mean, share,
+    * theil_g, theil_total, theil_between, theil_within) with the three
+    * totals repeated per row. */
+  def theilDecomposition(df: DataFrame, valueCol: String,
+                         groupCol: String): DataFrame = {
+    val x = col(valueCol).cast(DoubleType)
+    val base = df
+      .filter(col(groupCol).isNotNull && x.isNotNull && !isnan(x) &&
+        x > 0.0)
+      .select(col(groupCol).cast(StringType).as("grp"), x.as("__x"))
+    val glob = base.agg(count(lit(1)).as("__n"), fs(col("__x"), 6)
+      .as("__sx"), fs(col("__x") * log(col("__x")), 6).as("__sxl"))
+    val per = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), fs(col("__x"), 6).as("__sxg"),
+        fs(col("__x") * log(col("__x")), 6).as("__sxlg"))
+    def d(c: Column): Column = c.cast(DoubleType)
+    val joined = per.crossJoin(broadcast(glob))
+    val mu = col("__sx") / d(col("__n"))
+    val muG = col("__sxg") / d(col("n"))
+    val share = col("__sxg") / col("__sx")
+    // T readouts ride through ln, whose last ulp is NOT pinned across
+    // engine libms (measured at sf0.1) — settle on a 10⁻⁹ grid, and
+    // route the within-term through the SAME pinned value
+    def pin(c: Column): Column = floor(c * lit(1e9)) / lit(1e9)
+    val tG = pin(col("__sxlg") / (d(col("n")) * muG) - log(muG))
+    val tTot = pin(col("__sxl") / (d(col("__n")) * mu) - log(mu))
+    val grpFrame = joined.select(col("grp"), col("n"), muG.as("mean"),
+      share.as("share"), tG.as("theil_g"), tTot.as("theil_total"),
+      (share * log(muG / mu)).as("__bt"), (share * tG).as("__wt"))
+    // cross-group decomposition totals ride one window over the per-group
+    // frame (the neymanAllocation normalizer shape — floor-scaled exact,
+    // no second execution of the moment lineage)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    def tsum(c: Column): Column =
+      sum(floor(c * lit(1e9)).cast(DecimalType(38, 0))).over(w)
+        .cast(DoubleType) / lit(1e9)
+    grpFrame
+      .select(col("grp"), col("n"), col("mean"), col("share"),
+        col("theil_g"), col("theil_total"),
+        tsum(col("__bt")).as("theil_between"),
+        tsum(col("__wt")).as("theil_within"))
+  }
+
+  /** YOUDEN'S J OPTIMAL THRESHOLD — the operating-point selector next to
+    * [[rocAuc]]: among all thresholds θ = observed score values (predict
+    * positive when score ≥ θ), pick the one maximizing
+    * J = sensitivity + specificity − 1 = tp/P − fp/N. The argmax is
+    * EXACT-INTEGER: J₁ > J₂ ⇔ tp₁·N − fp₁·P > tp₂·N − fp₂·P (common
+    * denominator P·N), so no float compare can flip the winner across
+    * engines; ties break to the HIGHEST threshold (the more conservative
+    * classifier). J itself is one pinned division at the end.
+    *
+    * Plan (the [[andersonDarling2]] shape): one keyed reduction to the
+    * per-distinct-score (pos, neg) frame, a DESCENDING range-partitioned
+    * cumulate with O(P) partition offsets — no single-task sort — and a
+    * per-partition best folded over O(P) candidates on the driver
+    * (BigInt cross-products, so counts past 3·10⁹ stay exact). Returns
+    * one row: (n_pos, n_neg, threshold, tp, fp, fn, tn, sensitivity,
+    * specificity, youden_j); nulls when a class is empty. */
+  def youdenThreshold(df: DataFrame, scoreCol: String,
+                      labelPos: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val v = col(scoreCol).cast(DoubleType)
+    val grouped = df
+      .filter(v.isNotNull && !isnan(v))
+      .select(v.as("__x"), when(labelPos, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("__x"))
+      .agg(sum(col("__y")).as("__p"), sum(lit(1L) - col("__y")).as("__q"))
+      .as[(Double, Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = grouped
+      .repartitionByRange(parts, col("__x").desc)
+      .sortWithinPartitions(col("__x").desc)
+      .as[(Double, Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partTotals = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s1 = 0L; var s2 = 0L
+      it.foreach { case (_, p, q) => s1 += p; s2 += q }
+      Iterator((pid, s1, s2))
+    }.collectBounded(1 << 20, "O(P) partition totals").sortBy(_._1)
+    val offP = partTotals.map(_._2).scanLeft(0L)(_ + _)
+    val offQ = partTotals.map(_._3).scanLeft(0L)(_ + _)
+    val nPos = partTotals.map(_._2).sum
+    val nNeg = partTotals.map(_._3).sum
+    val out: Option[(Double, Long, Long)] =
+      if (nPos == 0L || nNeg == 0L) None
+      else {
+        val bc = spark.sparkContext.broadcast((offP, offQ))
+        val bP = BigInt(nPos); val bN = BigInt(nNeg)
+        // per-partition best: scanning thresholds DESCENDING, strict >
+        // keeps the first (= highest-threshold) maximizer
+        val bests = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+          var tp = bc.value._1(pid); var fp = bc.value._2(pid)
+          var bestJ: BigInt = null
+          var bestV = 0.0; var bestTp = 0L; var bestFp = 0L
+          it.foreach { case (x, p, q) =>
+            tp += p; fp += q
+            val j = BigInt(tp) * bN - BigInt(fp) * bP
+            if (bestJ == null || j > bestJ) {
+              bestJ = j; bestV = x; bestTp = tp; bestFp = fp
+            }
+          }
+          if (bestJ == null) Iterator.empty
+          else Iterator((pid, bestJ, bestV, bestTp, bestFp))
+        }.collectBounded(1 << 20, "O(P) per-partition maxima").sortBy(_._1)
+        // pid order = threshold-descending order: strict > keeps the
+        // highest-threshold global maximizer on ties
+        var g: (Int, BigInt, Double, Long, Long) = null
+        bests.foreach { b => if (g == null || b._2 > g._2) g = b }
+        Some((g._3, g._4, g._5))
+      }
+    sorted.unpersist(); grouped.unpersist()
+    def jl(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    def jd(x: Double): java.lang.Double = java.lang.Double.valueOf(x)
+    val (thr, tp, fp) = out match {
+      case Some((a, b, c)) => (jd(a), jl(b), jl(c))
+      case None => (null, null, null)
+    }
+    val (fn, tn) = out match {
+      case Some((_, b, c)) => (jl(nPos - b), jl(nNeg - c))
+      case None => (null, null)
+    }
+    val (sens, spec, jv) = out match {
+      case Some((_, b, c)) =>
+        (jd(b.toDouble / nPos.toDouble),
+          jd((nNeg - c).toDouble / nNeg.toDouble),
+          jd((BigInt(b) * BigInt(nNeg) - BigInt(c) * BigInt(nPos)).toDouble /
+            (nPos.toDouble * nNeg.toDouble)))
+      case None => (null, null, null)
+    }
+    Seq((nPos, nNeg)).toDF("n_pos", "n_neg")
+      .withColumn("threshold", lit(thr).cast(DoubleType))
+      .withColumn("tp", lit(tp).cast(LongType))
+      .withColumn("fp", lit(fp).cast(LongType))
+      .withColumn("fn", lit(fn).cast(LongType))
+      .withColumn("tn", lit(tn).cast(LongType))
+      .withColumn("sensitivity", lit(sens).cast(DoubleType))
+      .withColumn("specificity", lit(spec).cast(DoubleType))
+      .withColumn("youden_j", lit(jv).cast(DoubleType))
+  }
+
+  /** D'AGOSTINO–PEARSON K² OMNIBUS — the finite-sample-calibrated
+    * normality test next to [[jarqueBera]]: JB's χ² approximation is
+    * asymptotic (badly anti-conservative below n ≈ 2000), while K²
+    * transforms the sample skewness and kurtosis SEPARATELY to
+    * near-exact standard normals (D'Agostino 1970 / Anscombe–Glynn 1983)
+    * before summing squares — usable at the per-group sizes a sliced
+    * QA audit actually sees. Emits both component z's, so the caller
+    * reads WHICH moment broke normality, not just that one did.
+    *
+    * Exactness: the same one-pass floor-scaled power sums as
+    * [[jarqueBera]]; everything after is a single pinned IEEE expression
+    * tree per group — n is cast to DOUBLE before any product (n³ overflows
+    * nothing, both engines round identically), and the cube root in the
+    * Anscombe–Glynn Wilson–Hilferty step is pinned as
+    * sign(t)·exp(ln(|t|)/3) in BOTH engines (library cbrt is not
+    * guaranteed correctly-rounded cross-engine; exp/ln are validated by
+    * the Atkinson/JS tiers). Gated at n ≥ 20 and m2 > 0 (below that the
+    * transforms' own preconditions fail); gated groups emit nulls.
+    * Returns (group, n, skewness, kurtosis, z_skew, z_kurt, k2). */
+  def dagostinoK2(df: DataFrame, valueCol: String, groupCol: String,
+                  quarticDigits: Int = 2): DataFrame = {
+    val x = col(valueCol).cast(DoubleType)
+    val agg = df
+      .filter(col(groupCol).isNotNull && x.isNotNull && !isnan(x))
+      .select(col(groupCol), x.as("__x"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        fs(col("__x"), 6).as("__s1"),
+        fs(col("__x") * col("__x"), 6).as("__s2"),
+        fs(col("__x") * col("__x") * col("__x"), 4).as("__s3"),
+        fs(col("__x") * col("__x") * col("__x") * col("__x"), quarticDigits)
+          .as("__s4"))
+    val nD = col("n").cast(DoubleType)
+    val mu = col("__s1") / nD
+    val m2 = col("__s2") / nD - mu * mu
+    val m3 = col("__s3") / nD - lit(3.0) * mu * (col("__s2") / nD) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("__s4") / nD - lit(4.0) * mu * (col("__s3") / nD) +
+      lit(6.0) * mu * mu * (col("__s2") / nD) - lit(3.0) * mu * mu * mu * mu
+    val g1 = m3 / (m2 * sqrt(m2))
+    val b2 = m4 / (m2 * m2)
+    // --- skewness transform (D'Agostino 1970) ---
+    val yS = g1 * sqrt((nD + lit(1.0)) * (nD + lit(3.0)) /
+      (lit(6.0) * (nD - lit(2.0))))
+    val beta2 = lit(3.0) * (nD * nD + lit(27.0) * nD - lit(70.0)) *
+      (nD + lit(1.0)) * (nD + lit(3.0)) /
+      ((nD - lit(2.0)) * (nD + lit(5.0)) * (nD + lit(7.0)) *
+        (nD + lit(9.0)))
+    val w2 = sqrt(lit(2.0) * (beta2 - lit(1.0))) - lit(1.0)
+    val deltaS = lit(1.0) / sqrt(log(sqrt(w2)))
+    val alphaS = sqrt(lit(2.0) / (w2 - lit(1.0)))
+    val ya = yS / alphaS
+    val zSkew = deltaS * log(ya + sqrt(ya * ya + lit(1.0)))
+    // --- kurtosis transform (Anscombe–Glynn 1983) ---
+    val eb2 = lit(3.0) * (nD - lit(1.0)) / (nD + lit(1.0))
+    val vb2 = lit(24.0) * nD * (nD - lit(2.0)) * (nD - lit(3.0)) /
+      ((nD + lit(1.0)) * (nD + lit(1.0)) * (nD + lit(3.0)) *
+        (nD + lit(5.0)))
+    val xStd = (b2 - eb2) / sqrt(vb2)
+    val sqB1 = lit(6.0) * (nD * nD - lit(5.0) * nD + lit(2.0)) /
+      ((nD + lit(7.0)) * (nD + lit(9.0))) *
+      sqrt(lit(6.0) * (nD + lit(3.0)) * (nD + lit(5.0)) /
+        (nD * (nD - lit(2.0)) * (nD - lit(3.0))))
+    val aG = lit(6.0) + lit(8.0) / sqB1 *
+      (lit(2.0) / sqB1 + sqrt(lit(1.0) + lit(4.0) / (sqB1 * sqB1)))
+    val tCb = (lit(1.0) - lit(2.0) / aG) /
+      (lit(1.0) + xStd * sqrt(lit(2.0) / (aG - lit(4.0))))
+    // pinned cube root: sign(t)·exp(ln(|t|)/3); t = 0 → 0
+    val cb = when(tCb === 0.0, lit(0.0)).otherwise(
+      signum(tCb) * exp(log(abs(tCb)) / lit(3.0)))
+    val zKurt = ((lit(1.0) - lit(2.0) / (lit(9.0) * aG)) - cb) /
+      sqrt(lit(2.0) / (lit(9.0) * aG))
+    // both z's ride through exp/ln, whose last ulp is NOT pinned across
+    // engine libms (measured: z_kurt off by 1 ulp at sf0.01) — settle
+    // each on a 10⁻⁹ grid before the squares, the floor-scale doctrine
+    val zS = floor(zSkew * lit(1e9)) / lit(1e9)
+    val zK = floor(zKurt * lit(1e9)) / lit(1e9)
+    val gate = col("n") >= 20L && m2 > 0.0
+    agg.select(col(groupCol), col("n"),
+      when(gate, g1).as("skewness"),
+      when(gate, b2).as("kurtosis"),
+      when(gate, zS).as("z_skew"),
+      when(gate, zK).as("z_kurt"),
+      when(gate, zS * zS + zK * zK).as("k2"))
+  }
 }

@@ -605,6 +605,14 @@ class PlanGuardSpec extends SparkSuite {
     guard("q418_minhash_calibration", Bound))
   test("q419 neyman allocation: O(strata) design frame only")(
     guard("q419_neyman_allocation", Bound))
+  test("q420 theil decomposition: O(groups) frame through the window")(
+    guard("q420_theil_decomposition", Bound))
+  // (q421 youden threshold is deliberately absent: like q412/q414, its
+  // cumulate is the range-partitioned RDD machinery — structural.)
+  test("q422 target encode: keyed moments + 1-row broadcast global")(
+    guard("q422_target_encode", Bound))
+  test("q423 dagostino k2: one keyed moment pass only")(
+    guard("q423_dagostino_k2", Bound))
 
   /** SSSP plan depth must not grow with rounds — each round reads the
     * previous round's CHECKPOINT, not its plan (the pageRank doctrine;
