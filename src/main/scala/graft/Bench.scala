@@ -5,11 +5,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Optional conf overrides for A/B experiments and deployment tuning:
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k=v". The committed defaults stay the
+    // driver's bench contract; this only opens the same session knobs
+    // spark-submit --conf would.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) builder.config(kv.take(i).trim, kv.drop(i + 1).trim)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Heap parity guard (JITTER.md r18): bench numbers are only comparable
     // at matched heap sizing. Print the JVM max heap on every run and warn

@@ -1386,13 +1386,19 @@ object ExtQueries {
     // Bounded-hop BFS over the undirected trading graph from its
     // smallest node: how much of the graph is within 3 hops?
     "q351_bfs" -> { (s, dir) =>
+      // r19: persist the shared graph — the source-node readout and the
+      // BFS edge build each re-derived the orders⋈lineitem graph from
+      // parquet (~0.9 s each at sf0.1); one cached build serves both.
       val g = Graph.tradingPairsGraph(t(s, dir, "orders"),
-        t(s, dir, "lineitem"))
+          t(s, dir, "lineitem"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val src = g.agg(min(col("src").cast(LongType)))
         .collectBounded(1, "O(1) BFS source-node readout").head.getLong(0)
-      Graph.bfsDistances(g, "src", "dst", Seq(src), maxHops = 3)
+      val out = Graph.bfsDistances(g, "src", "dst", Seq(src), maxHops = 3)
         .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("dist"))
+      g.unpersist() // BFS state is checkpointed; the cache is done
+      out
     },
 
     // Out-in degree assortativity of the directed customer→supplier
@@ -3486,14 +3492,19 @@ object ExtQueries {
         .select((col("o_custkey") * 2).as("cnode"),
           (col("l_suppkey") * 2 + 1).as("snode"),
           floor(col("l_quantity")).cast(LongType).as("w"))
+      // r19: persist the weighted edge frame — the source readout and the
+      // operator's edge build otherwise each re-derive it from parquet
       val e = j.select(col("cnode").as("src"), col("snode").as("dst"),
           col("w"))
         .unionByName(j.select(col("snode").as("src"),
           col("cnode").as("dst"), col("w")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val source = e.agg(min(col("src")))
         .collectBounded(1, "O(1) SSSP source-node readout").head.getLong(0)
-      Graph.ssspWeighted(e, "src", "dst", "w", Seq(source), rounds = 3)
-        .orderBy(col("id"))
+      val out = Graph.ssspWeighted(e, "src", "dst", "w", Seq(source),
+        rounds = 3).orderBy(col("id"))
+      e.unpersist() // sssp state is checkpointed; the cache is done
+      out
     },
 
     // Bradley-Terry brand-preference strengths from within-order price

@@ -99,6 +99,87 @@ object Kmv {
     override def prettyName: String = "kmv_sketch"
   }
 
+  /** Array-input twin of [[KmvSketchAgg]] (r19): folds WHOLE sorted-hash
+    * arrays into the same O(k) TreeSet buffer — the iterative graph
+    * sketches (harmonic centrality, neighborhood function) previously
+    * EXPLODED each ball into k rows purely to feed the scalar aggregate,
+    * paying a k× row fan-out per round in the hot path. Identical buffer,
+    * merge, and eval ⇒ bit-identical sketch values; only the input arity
+    * changes. Early-exit: a ball's hashes arrive sorted ascending, so
+    * once one element is rejected (≥ buffer max with a full buffer) the
+    * rest of that array cannot enter either. */
+  case class KmvSketchArrAgg(
+      child: Expression,
+      k: Int = DefaultK,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Buf] with UnaryLike[Expression] {
+    require(k >= 2, s"kmv_sketch_arr needs k >= 2, got $k")
+
+    override def createAggregationBuffer(): Buf = new java.util.TreeSet[java.lang.Long]()
+
+    private def add(b: Buf, h: Long): Boolean =
+      if (b.size < k) { b.add(h); true }
+      else if (h < b.last) { if (b.add(h)) b.pollLast(); true }
+      else false
+
+    override def update(b: Buf, row: InternalRow): Buf = {
+      val v = child.eval(row)
+      if (v != null) {
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val n = arr.numElements()
+        var i = 0
+        var live = true
+        while (i < n && live) { live = add(b, arr.getLong(i)); i += 1 }
+      }
+      b
+    }
+
+    override def merge(b: Buf, o: Buf): Buf = {
+      val it = o.iterator()
+      while (it.hasNext) {
+        val h = it.next(); if (b.size < k) b.add(h)
+        else if (h < b.last) { if (b.add(h)) b.pollLast() }
+      }
+      b
+    }
+
+    override def eval(b: Buf): Any = {
+      val out = new Array[Long](b.size)
+      val it = b.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override def serialize(b: Buf): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 8 * b.size)
+      bb.putInt(b.size)
+      val it = b.iterator()
+      while (it.hasNext) bb.putLong(it.next())
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Buf = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val b = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i < n) { b.add(bb.getLong); i += 1 }
+      b
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(o: Int): KmvSketchArrAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KmvSketchArrAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): KmvSketchArrAgg =
+      copy(child = c)
+    override def prettyName: String = "kmv_sketch_arr"
+  }
+
   /** θ in raw hash units: the k-th smallest hash, or the full domain when the
     * sketch holds fewer than k values (then it IS the exact distinct set). */
   def thetaRaw(bottomK: Array[Long], k: Int): Long =
@@ -136,8 +217,9 @@ object Kmv {
     else (k - 1).toDouble * TwoPow60 / arr(k - 1).toDouble
   }
 
-  /** Register `kmv_sketch(hashCol [, k])` on the session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Register `kmv_sketch(hashCol [, k])` and `kmv_sketch_arr(arrCol [, k])`
+    * on the session (idempotent). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_sketch", { es =>
         val k = if (es.length > 1) es(1) match {
@@ -147,4 +229,14 @@ object Kmv {
         } else DefaultK
         KmvSketchAgg(es.head, k).toAggregateExpression()
       }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_sketch_arr", { es =>
+        val k = if (es.length > 1) es(1) match {
+          case Literal(i: Int, IntegerType) => i
+          case other => throw new IllegalArgumentException(
+            s"kmv_sketch_arr k must be an int literal, got $other")
+        } else DefaultK
+        KmvSketchArrAgg(es.head, k).toAggregateExpression()
+      }, "scala_udf")
+  }
 }

@@ -1117,7 +1117,12 @@ object Advanced {
               s"$cap items (wedge-bound cap)")
         bi0.join(sizes.filter(col("__k") <= cap).select(col("__b")),
           Seq("__b"), "left_semi")
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+      // r19: key the cache by the basket key — the pair self-join below and
+      // the nBaskets distinct then run exchange-free on the cache's own
+      // hash(__b) partitioning (measured q194 3.17 -> 2.58 s at sf0.1)
+      .repartition(col("__b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBaskets = bi.select(col("__b")).distinct().count()
     val itemCnt = bi.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
     val pairs = bi.select(col("__b"), col("__i").as("item_a"))

@@ -118,21 +118,58 @@ object Graph {
     // cheap count, paid only by callers who opt in.
     if (localEdgeThreshold > 0L && e.count() <= localEdgeThreshold)
       return pageRankLocal(e, iters, damp, localEdgeThreshold)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edged = e.join(deg, "src")
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // node universe: every endpoint, annotated dangling when no out-edge
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
-      .join(deg.select(col("src").as("id"), lit(false).as("__dang")),
-        Seq("id"), "left")
-      .select(col("id"), coalesce(col("__dang"), lit(true)).as("__dang"))
-      .repartition(col("id"))
+    // The edge list feeds FOUR derivations at build time (deg, the two
+    // node-universe branches, edged). Un-persisted, each re-derives the
+    // caller's upstream plan (for the trading graph: the orders⋈lineitem
+    // join + distinct) from parquet — measured ~1–2 s per re-derivation
+    // at sf0.1 (guide §5: cache exactly the frame that is re-used).
+    // Persisted here, released as soon as `edged` is materialized.
+    val ePer = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val deg = ePer.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // JOIN-STRATEGY GATE (r19 optimization, guide §3.1): the per-round
+    // join carries a NODE-sized rank frame against the persisted EDGE
+    // frame. A localCheckpointed rank frame has no size statistics, so
+    // the planner kept choosing a co-partitioned SortMergeJoin — which
+    // RE-SORTS the whole |E| cache every round (measured sf0.1: 1.7 s
+    // per round on 1.17M edges for milliseconds of arithmetic). When the
+    // node count is below spark.graft.broadcastNodeLimit (default 4M
+    // rows ≈ ≤100 MB built relation — a deliberate explicit-hint
+    // broadcast per §3.1, far below the 8 GB cap), broadcast the rank
+    // frame instead and key the edge cache by DST — the aggregation key
+    // — so each round is ONE exchange-free cached map stage (broadcast
+    // probe + partial/final agg on the cache's own partitioning). Above
+    // the gate (node frames that would not fit every executor) the r18
+    // co-partitioned SMJ shape is kept, with the edge cache now ALSO
+    // sorted by src at build so the per-round merge re-sorts only the
+    // node frame, never |E|. Both paths compute identical integers.
+    val spark = edges.sparkSession
+    val bcastNodeLimit = spark.conf
+      .get("spark.graft.broadcastNodeLimit", "4000000").toLong
+    // node universe: every endpoint, annotated dangling when no out-edge.
+    // ONE exchange instead of the r18 union+distinct+left-join+repartition
+    // chain (which read the edge frame twice and shuffled three times):
+    // explode each edge into (src,1),(dst,0) endpoint rows, then a single
+    // keyed max — dangling ⇔ the node never appears as src. Partial
+    // aggregation collapses the exploded rows map-side, and the agg
+    // output is already hash(id)-partitioned for the round joins.
+    val nodes = ePer.select(explode(array(
+        struct(col("src").as("id"), lit(1).as("__o")),
+        struct(col("dst").as("id"), lit(0).as("__o")))).as("n"))
+      .groupBy(col("n.id").as("id"))
+      .agg((max(col("n.__o")) === 0).as("__dang"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // N: one O(1) driver readout (the fit-side pattern) — needed to place
     // the integer literals r0/base into the plan
     val n = nodes.count()
+    val useBcast = n <= bcastNodeLimit
+    val edged = {
+      val degJ = if (useBcast) broadcast(deg) else deg
+      val j = ePer.join(degJ, "src")
+      if (useBcast) j.repartition(col("dst"))
+      else j.repartition(col("src")).sortWithinPartitions(col("src"))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    edged.count() // materialize off the warm ePer cache, then release it
+    ePer.unpersist()
     // Dangling-node existence is an O(1) readout off the persisted node
     // frame. When the graph has NO dangling nodes (e.g. both-directions
     // graphs like tradingPairsGraph) the redistribution term is 0L every
@@ -153,10 +190,12 @@ object Graph {
     // recompute from, see [[Checkpoints]])
     var lastCk: Option[org.apache.spark.sql.DataFrame] = None
     for (i <- 1 to iters) {
-      val contrib = edged.join(ranks, edged("src") === ranks("id"))
+      val ranksJ = if (useBcast) broadcast(ranks) else ranks
+      val contrib0 = edged.join(ranksJ, edged("src") === ranksJ("id"))
         .select(col("dst"), expr("r div outdeg").as("share"))
         .groupBy(col("dst"))
         .agg(sum(col("share")).as("s"))
+      val contrib = if (useBcast) broadcast(contrib0) else contrib0
       ranks =
         if (!hasDangling)
           nodes.join(contrib, nodes("id") === contrib("dst"), "left")
@@ -173,6 +212,10 @@ object Graph {
                 s"(${damp}L * (coalesce(s, 0L) + __dmass div ${n}L)) div 100"))
                 .as("r"))
         }
+      // (r19 A/B: skipping mid-loop checkpoints in broadcast mode was
+      // measured SLOWER — q149 4.4→5.6 s, q405 5.1→11.3 s — the nested
+      // broadcast chain re-runs analysis/codegen over a growing tree
+      // each round. Cadence-1 checkpoints stay.)
       val cadence = if (hasDangling) 1 else checkpointEvery
       if (i % cadence == 0 && i < iters) {
         ranks = ranks.localCheckpoint(true)
@@ -293,9 +336,23 @@ object Graph {
       if (assumeSymmetric) e0
       else e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
         .distinct()
-    val e = e1
-      .repartition(col("b"))
+    // r19 JOIN-STRATEGY GATE (the [[pageRank]] doctrine, guide §3.1):
+    // below spark.graft.broadcastNodeLimit the node-sized label frame is
+    // BROADCAST into each round's join, so the edge cache is keyed by
+    // the AGGREGATION key `a` instead of the join key `b` — every round
+    // (and the closed-form round 1) then runs exchange-free on the
+    // cache's own partitioning (hash(a) satisfies the (a,lbl) and (a)
+    // clusterings). The |E| count gates conservatively: #nodes ≤ 2|E|.
+    val spark = edges.sparkSession
+    val bcastNodeLimit = spark.conf
+      .get("spark.graft.broadcastNodeLimit", "4000000").toLong
+    val ePre = e1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val useBcast = ePre.count() <= bcastNodeLimit / 2
+    val e = ePre
+      .repartition(col(if (useBcast) "a" else "b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count() // materialize off the warm ePre cache, then release it
+    ePre.unpersist()
     // round 1 in closed form (see scaladoc): min neighbor id
     var labels = e.groupBy(col("a"))
       .agg(min(col("b")).as("lbl"))
@@ -309,7 +366,8 @@ object Graph {
     }
     if (1 % checkpointEvery == 0 && iters > 1) ck()
     for (i <- 2 to iters) {
-      val nb = e.join(labels, e("b") === labels("id"))
+      val labJ = if (useBcast) broadcast(labels) else labels
+      val nb = e.join(labJ, e("b") === labJ("id"))
         .groupBy(col("a"), col("lbl"))
         .agg(count(lit(1)).as("c"))
       labels = nb.groupBy(col("a"))
@@ -355,6 +413,7 @@ object Graph {
         col("a") =!= col("b"))
       .distinct(), maxDegree, "triangleCount")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count() // r19: materialize before the multi-consumer readout (see adamicAdar)
     val wedges = und.select(col("a").as("x"), col("b").as("y"))
       .join(und.select(col("a").as("y"), col("b").as("z")), "y")
     val tris = wedges.join(
@@ -390,6 +449,7 @@ object Graph {
         col("a") =!= col("b"))
       .distinct(), maxDegree, "localClustering")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count() // r19: materialize before the multi-consumer readout (see adamicAdar)
     val deg = und.select(col("a").as("id"))
       .unionByName(und.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
@@ -450,17 +510,41 @@ object Graph {
     require(radius >= 1 && radius <= 8, s"radius=$radius")
     require(k >= 4 && k <= 256, s"k=$k")
     graft.functions.Kmv.register(edges.sparkSession)
-    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+    // r19 round shape (the [[pageRank]] broadcast doctrine, guide §3.1 +
+    // §2.4): the r18 round was  e ⋈ balls (SMJ re-sorting the |E| cache
+    // every round) → explode → UNION with the own-ball explode → one
+    // kmv_sketch aggregation with a full exchange of the exploded rows.
+    // Two changes, both result-identical:
+    //  1. SELF-LOOP rows (v,v) are added to the persisted edge frame, so
+    //     the join itself emits each node's own ball and the union branch
+    //     disappears — one join + one aggregation per round. kmv_sketch
+    //     is set-based (min-k of DISTINCT hashes), so the same multiset
+    //     of (id, hash) rows arrives either way.
+    //  2. Below spark.graft.broadcastNodeLimit/2 edges, the ball frame is
+    //     BROADCAST and the edge cache is keyed by SRC — the aggregation
+    //     key — so the round is one exchange-free cached map stage.
+    //     Above the gate the r18 dst-keyed co-partitioned join is kept.
+    val ePre = edges.select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct()
-      // the per-round join key is dst (pull the neighbor's ball along
-      // v→u), so the persisted copy is hash-partitioned on dst
-      .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val useBcast = ePre.count() <= edges.sparkSession.conf
+      .get("spark.graft.broadcastNodeLimit", "4000000").toLong / 2
+    val nodes = ePre.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
+    val e = ePre
+      .unionByName(nodes.select(col("id").as("src"), col("id").as("dst")))
+      // explicit width: the per-round kmv fold is CPU-bound, and AQE's
+      // byte-based coalescing of an unsized repartition was measured to
+      // shrink this cache to ~10 partitions at sf0.1 (15 MB of edges),
+      // serializing the sketch work — pin the session's shuffle width
+      .repartition(ePre.sparkSession.sessionState.conf.numShufflePartitions,
+        col(if (useBcast) "src" else "dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    e.count() // materialize off the warm ePre cache, then release it
+    ePre.unpersist()
     val hOf = (c: Column) =>
       conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
     // KMV size estimate off a SORTED min-k array: exact below k, the
@@ -475,15 +559,15 @@ object Graph {
       .localCheckpoint(true)
     var lastCk: Option[DataFrame] = Some(balls)
     for (r <- 1 to radius) {
-      val fromNbr = e.join(balls, e("dst") === balls("id"))
-        .select(e("src").as("id"), explode(col("ball")).as("__h"))
-      val own = balls.select(col("id"), explode(col("ball")).as("__h"))
-      val merged = fromNbr.unionByName(own)
+      val ballsJ = if (useBcast) broadcast(balls) else balls
+      val merged = e.join(ballsJ, e("dst") === ballsJ("id"))
+        .select(e("src").as("id"), col("ball").as("__b"))
         .groupBy(col("id"))
-        .agg(expr(s"kmv_sketch(__h, $k)").as("ball"))
+        .agg(expr(s"kmv_sketch_arr(__b, $k)").as("ball"))
+      val carry = balls.select(col("id"), col("est").as("__ep"),
+        col("harmonic").as("__hp"))
       val next = merged
-        .join(balls.select(col("id"), col("est").as("__ep"),
-          col("harmonic").as("__hp")), Seq("id"))
+        .join(if (useBcast) broadcast(carry) else carry, Seq("id"))
         .select(col("id"), col("ball"), estOf(col("ball")).as("est"),
           (col("__hp") +
             (estOf(col("ball")) - col("__ep")) / lit(r.toDouble))
@@ -521,15 +605,30 @@ object Graph {
     require(k >= 4 && k <= 256, s"k=$k")
     graft.functions.Kmv.register(edges.sparkSession)
     import graft.ops.Bounded._
-    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+    // r19: same self-loop + broadcast-gated round shape as
+    // [[harmonicCentralityKmv]] (see the comment there) — one join, one
+    // exchange-free kmv aggregation per round in broadcast mode.
+    val ePre = edges.select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct()
-      .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val useBcast = ePre.count() <= edges.sparkSession.conf
+      .get("spark.graft.broadcastNodeLimit", "4000000").toLong / 2
+    val nodes = ePre.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
+    val e = ePre
+      .unionByName(nodes.select(col("id").as("src"), col("id").as("dst")))
+      // explicit width: the per-round kmv fold is CPU-bound, and AQE's
+      // byte-based coalescing of an unsized repartition was measured to
+      // shrink this cache to ~10 partitions at sf0.1 (15 MB of edges),
+      // serializing the sketch work — pin the session's shuffle width
+      .repartition(ePre.sparkSession.sessionState.conf.numShufflePartitions,
+        col(if (useBcast) "src" else "dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    e.count() // materialize off the warm ePre cache, then release it
+    ePre.unpersist()
     val hOf = (c: Column) =>
       conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
     val estOf = (ball: Column) =>
@@ -552,12 +651,11 @@ object Graph {
     var lastCk: Option[DataFrame] = Some(balls)
     val sums = scala.collection.mutable.ArrayBuffer(readout(balls))
     for (r <- 1 to radius) {
-      val fromNbr = e.join(balls, e("dst") === balls("id"))
-        .select(e("src").as("id"), explode(col("ball")).as("__h"))
-      val own = balls.select(col("id"), explode(col("ball")).as("__h"))
-      val next = fromNbr.unionByName(own)
+      val ballsJ = if (useBcast) broadcast(balls) else balls
+      val next = e.join(ballsJ, e("dst") === ballsJ("id"))
+        .select(e("src").as("id"), col("ball").as("__b"))
         .groupBy(col("id"))
-        .agg(expr(s"kmv_sketch(__h, $k)").as("ball"))
+        .agg(expr(s"kmv_sketch_arr(__b, $k)").as("ball"))
         .select(col("id"), col("ball"), estOf(col("ball")).as("est"))
         .localCheckpoint(true)
       lastCk.foreach(Checkpoints.releaseLocalCheckpoint)
@@ -647,6 +745,7 @@ object Graph {
         col("a") =!= col("b"))
       .distinct(), maxDegree, "jaccardLinks")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count() // r19: materialize before the multi-consumer readout (see adamicAdar)
     val nbrs = und.select(col("a").as("id"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("id"), col("a").as("nbr")))
     val deg = nbrs.groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -687,11 +786,17 @@ object Graph {
                           rightCol: String, topK: Int = 50,
                           maxLeftDegree: Option[Long] = None): DataFrame = {
     require(topK >= 1, s"topK=$topK")
+    // r19: materialize the cache once before the multi-consumer readout
+    // (see adamicAdar). A repartition-by-l was A/B'd and reverted: the
+    // wedge self-join's two sides share ONE ReusedExchange already, so
+    // pre-keying only re-paid that exchange at persist time (q416
+    // 2.5→3.2 s).
     val e = edges.select(col(leftCol).cast(LongType).as("l"),
         col(rightCol).cast(LongType).as("r"))
       .filter(col("l").isNotNull && col("r").isNotNull)
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
     val capped = maxLeftDegree match {
       case None => e
       case Some(cap) =>
@@ -808,24 +913,39 @@ object Graph {
         col(dstCol).cast(LongType).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
     val e = if (dedupEdges) e0.distinct() else e0
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edged = e.join(deg, "src")
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // Same r19 build/round shape as [[pageRank]] (see the gate comment
+    // there): edge frame persisted once for the four build derivations,
+    // node universe + dangling flag in ONE exchange, rank/contrib frames
+    // broadcast below spark.graft.broadcastNodeLimit with the edge cache
+    // keyed by the aggregation key (dst) so rounds are exchange-free.
+    val ePer = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val deg = ePer.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val seedIds = seeds
       .select(col(seedCol).cast(LongType).as("id")).distinct()
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
-      .join(deg.select(col("src").as("id"), lit(false).as("__dang")),
-        Seq("id"), "left")
+    val nodes = ePer.select(explode(array(
+        struct(col("src").as("id"), lit(1).as("__o")),
+        struct(col("dst").as("id"), lit(0).as("__o")))).as("n"))
+      .groupBy(col("n.id").as("id"))
+      .agg((max(col("n.__o")) === 0).as("__dang"))
       .join(seedIds.select(col("id"), lit(true).as("__seed")),
         Seq("id"), "left")
-      .select(col("id"), coalesce(col("__dang"), lit(true)).as("__dang"),
+      .select(col("id"), col("__dang"),
         coalesce(col("__seed"), lit(false)).as("__seed"))
-      .repartition(col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val nS = nodes.filter(col("__seed")).count()
     require(nS > 0, "personalizedPageRank: no seed is a graph node")
+    val spark = edges.sparkSession
+    val bcastNodeLimit = spark.conf
+      .get("spark.graft.broadcastNodeLimit", "4000000").toLong
+    val useBcast = nodes.count() <= bcastNodeLimit
+    val edged = {
+      val degJ = if (useBcast) broadcast(deg) else deg
+      val j = ePer.join(degJ, "src")
+      if (useBcast) j.repartition(col("dst"))
+      else j.repartition(col("src")).sortWithinPartitions(col("src"))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    edged.count() // materialize off the warm ePer cache, then release it
+    ePer.unpersist()
     val hasDangling = nodes.filter(col("__dang")).limit(1).count() > 0L
     val r0 = Scale / nS
     val base = (100 - damp) * (Scale / nS) / 100
@@ -833,10 +953,12 @@ object Graph {
       when(col("__seed"), lit(r0)).otherwise(lit(0L)).as("r"))
     var lastCk: Option[org.apache.spark.sql.DataFrame] = None
     for (i <- 1 to iters) {
-      val contrib = edged.join(ranks, edged("src") === ranks("id"))
+      val ranksJ = if (useBcast) broadcast(ranks) else ranks
+      val contrib0 = edged.join(ranksJ, edged("src") === ranksJ("id"))
         .select(col("dst"), expr("r div outdeg").as("share"))
         .groupBy(col("dst"))
         .agg(sum(col("share")).as("s"))
+      val contrib = if (useBcast) broadcast(contrib0) else contrib0
       ranks =
         if (!hasDangling)
           nodes.join(contrib, nodes("id") === contrib("dst"), "left")
@@ -892,6 +1014,11 @@ object Graph {
         col("a") =!= col("b"))
       .distinct(), maxDegree, "adamicAdar")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r19: materialize the cache ONCE before the many-consumer readout —
+    // un-materialized, every concurrent broadcast subquery of the final
+    // count re-derived the caller's upstream (measured q402: nine ~0.5 s
+    // jobs re-running the 4-table strong-trade-graph build)
+    und.count()
     val nbrs = und.select(col("a").as("id"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("id"), col("a").as("nbr")))
     val deg = nbrs.groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -970,7 +1097,12 @@ object Graph {
       .distinct()
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    // r19 (guide §3.1): frontier/visited frames are node-sized and
+    // checkpointed (no stats) — unhinted, each hop re-sorted the |E|
+    // cache for a SortMergeJoin. Broadcast both below the pageRank gate.
+    val useBcast = e.count() <= spark.conf
+      .get("spark.graft.broadcastNodeLimit", "4000000").toLong / 2
+    def hint(df: DataFrame): DataFrame = if (useBcast) broadcast(df) else df
     var visited = sources.distinct.toDF("id")
       .select(col("id").cast(LongType).as("id"), lit(0).as("dist"))
       .localCheckpoint(true)
@@ -979,10 +1111,10 @@ object Graph {
     var done = maxHops == 0
     while (!done) {
       val next = e
-        .join(frontier.select(col("id").as("__fid")),
+        .join(hint(frontier.select(col("id").as("__fid"))),
           e("src") === col("__fid"))
         .select(col("dst").as("id")).distinct()
-        .join(visited, Seq("id"), "left_anti")
+        .join(hint(visited), Seq("id"), "left_anti")
         .select(col("id"), lit(hop).as("dist"))
         .localCheckpoint(true)
       if (next.isEmpty) {
@@ -1054,12 +1186,22 @@ object Graph {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nNodes = e.select(col("src").as("id"))
-        .unionByName(e.select(col("dst").as("id"))).distinct().count()
-      val nEdges = e.count()
-      val nRecip = e.join(
-        e.select(col("dst").as("src"), col("src").as("dst")),
-        Seq("src", "dst"), "left_semi").count()
+      import graft.ops.Bounded._
+      val nEdges = e.count() // also materializes the cache for the aggs below
+      val nNodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
+        .distinct().count()
+      // r19 (guide §2.4 remove shuffles outright): the reverse-edge check
+      // was a self-join shuffling the |E| cache twice (measured 3.4 s at
+      // sf0.1). Over a DISTINCT loop-free edge list, an edge (u,v) is
+      // reciprocal iff its canonical pair {u,v} occurs twice — one keyed
+      // count with map-side partial aggregation, no join, same integer.
+      val nRecip = e
+        .groupBy(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(when(col("c") === 2L, 2L).otherwise(0L)), lit(0L))
+          .as("r"))
+        .collectBounded(1, "O(1) reciprocity readout").head.getLong(0)
       val spark = edges.sparkSession
       import spark.implicits._
       Seq((nNodes, nEdges, nRecip)).toDF("n_nodes", "n_edges", "n_reciprocal")
@@ -1083,8 +1225,21 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lab = labels.select(col(idCol).as("__lid"), col(labelCol).as("__ll"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val la = lab.select(col("__lid").as("__sid"), col("__ll").as("__sl"))
-    val lb = lab.select(col("__lid").as("__did"), col("__ll").as("__dl"))
+    // r19: materialize BOTH caches before the 1-row readout below — its
+    // broadcast subqueries are submitted concurrently, and un-materialized
+    // caches made every subquery job recompute the shared upstream (the
+    // measured q298 cost was ~1 s per racing subquery); two cheap counts
+    // turn those races into warm cache reads. The node-sized label sides
+    // are broadcast (guide §3.1) below the pageRank gate, so the |E|-row
+    // joins run map-side with no sort and no exchange.
+    val labN = lab.count()
+    e.count()
+    val useBcast = labN <= labels.sparkSession.conf
+      .get("spark.graft.broadcastNodeLimit", "4000000").toLong
+    def side(f: DataFrame => DataFrame): DataFrame =
+      if (useBcast) broadcast(f(lab)) else f(lab)
+    val la = side(_.select(col("__lid").as("__sid"), col("__ll").as("__sl")))
+    val lb = side(_.select(col("__lid").as("__did"), col("__ll").as("__dl")))
     val m2 = e.agg(count(lit(1)).as("__m2"))
     val intra = e.join(la, col("__s") === col("__sid"))
       .join(lb, col("__d") === col("__did"))
@@ -1176,7 +1331,16 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eDst = eSrc.repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    eDst.count() // materializes both caches (eDst reads eSrc)
+    val nEdges = eDst.count() // materializes both caches (eDst reads eSrc)
+    // r19 JOIN-STRATEGY GATE (the [[pageRank]] doctrine, guide §3.1):
+    // score frames are node-sized and checkpointed (no stats), so the
+    // planner kept re-sorting an |E| cache per half-round for an SMJ.
+    // Below the gate, broadcast the score frame and run each half-round
+    // against the edge copy partitioned by that half-round's AGGREGATION
+    // key — map-side join + exchange-free aggregation. #nodes ≤ 2|E|
+    // bounds the gate read off the already-paid edge count.
+    val useBcast = nEdges <= edges.sparkSession.conf
+      .get("spark.graft.broadcastNodeLimit", "4000000").toLong / 2
     import graft.ops.Bounded._
     // one crossed 1-row job: both degree maxima off the warm caches —
     // the width proof needs maxIndeg·maxOutdeg (see scaladoc)
@@ -1224,12 +1388,16 @@ object Graph {
             .agg((widened(count(lit(1))) * lit(Scale)).as("__s"))
         else {
           val hub = normed(hubRaw, "src", "h")
-          eSrc.join(hub, eSrc("src") === hub("id"))
+          val hubJ = if (useBcast) broadcast(hub) else hub
+          val eA = if (useBcast) eDst else eSrc // agg key dst vs join key src
+          eA.join(hubJ, eA("src") === hubJ("id"))
             .groupBy(col("dst"))
             .agg(sum(widened(col("h"))).as("__s"))
         }).select(col("dst").as("__aid"), col("__s"))
       authRaw = if (i == iters) aRaw.localCheckpoint(true) else aRaw
-      val hRaw = eDst.join(authRaw, eDst("dst") === authRaw("__aid"))
+      val authJ = if (useBcast) broadcast(authRaw) else authRaw
+      val eH = if (useBcast) eSrc else eDst // agg key src vs join key dst
+      val hRaw = eH.join(authJ, eH("dst") === authJ("__aid"))
         .groupBy(col("src"))
         .agg(sum(widened(col("__s"))).as("__s"))
       hubRaw = hRaw.localCheckpoint(true)
@@ -1281,13 +1449,18 @@ object Graph {
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    // r19 (guide §3.1): the distance frame is node-sized and checkpointed
+    // (no stats) — unhinted, every relaxation round re-sorted the |E|
+    // cache for a SortMergeJoin. Broadcast it below the pageRank gate.
+    val useBcast = e.count() <= spark.conf
+      .get("spark.graft.broadcastNodeLimit", "4000000").toLong / 2
     var dist = sources.distinct.toDF("id")
       .select(col("id").cast(LongType).as("id"), lit(0L).as("dist"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
+      val distJ = dist.select(col("id").as("__u"), col("dist").as("__du"))
       val relaxed = e
-        .join(dist.select(col("id").as("__u"), col("dist").as("__du")),
+        .join(if (useBcast) broadcast(distJ) else distJ,
           e("src") === col("__u"))
         .select(col("dst").as("id"), (col("__du") + col("w")).as("dist"))
       val next = dist.unionByName(relaxed)

@@ -833,10 +833,20 @@ object Ml {
       : DataFrame = {
     require(k >= 2, s"need k ≥ 2 folds, got $k")
     val xC = col(x).cast(DoubleType); val yC = col(y).cast(DoubleType)
+    // r19: the fold-tagged base feeds THREE consumers (per-fold moments,
+    // the models broadcast, the scoring pass); un-persisted, each re-ran
+    // the md5 fold hash over the whole single-row-group scan on one core
+    // (three ~1.2–1.7 s jobs at sf0.1). The deterministic key repartition
+    // first spreads the hash work across the session's shuffle width
+    // (the scan itself cannot split — one row group), then ONE
+    // materialized cache serves all three consumers.
     val base = withFold(
-      df.filter(xC.isNotNull && yC.isNotNull && !isnan(xC) && !isnan(yC)),
+      df.filter(xC.isNotNull && yC.isNotNull && !isnan(xC) && !isnan(yC))
+        .repartition(col(keyCol)),
       keyCol, k)
       .select(col("fold"), xC.as("__x"), yC.as("__y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    base.count()
     def fsum(c: Column, p: Double): Column =
       sum(floor(c * lit(p)).cast(DecimalType(38, 0)))
     val perFold = base.groupBy(col("fold"))
@@ -864,13 +874,17 @@ object Ml {
     val scored = base.join(broadcast(models), "fold")
       .withColumn("__e",
         col("__y") - (col("intercept") + col("slope") * col("__x")))
-    scored.groupBy(col("fold"), col("n_train"), col("n_test"),
+    val out = scored.groupBy(col("fold"), col("n_train"), col("n_test"),
         col("slope"), col("intercept"))
       .agg(Reductions.isum(col("__e") * col("__e"), 6).as("__sse"))
       .select(col("fold"), col("n_train"), col("n_test"), col("slope"),
         col("intercept"),
         sqrt(col("__sse") / col("n_test").cast(DoubleType)).as("rmse"))
       .orderBy(col("fold"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the O(k)-row result, then release the base
+    base.unpersist()
+    out
   }
 
   /** Per-group simple linear regression WITH evaluation metrics
