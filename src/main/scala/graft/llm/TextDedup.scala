@@ -1014,6 +1014,11 @@ object TextDedup {
       .select(col(idCol), tokens(col(textCol)).as("__w"),
         shingleHashes(col(textCol), n, 15).as("__hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r19: materialize ONCE — the final count's four consumers of `base`
+    // (dup table, occurrences, token explode, n_tokens) otherwise race as
+    // concurrent subqueries, each re-running the tokenize+shingle kernels
+    // (measured: four identical ~1.6 s jobs at sf0.1)
+    base.count()
     val dup = base.select(explode(col("__hs")).as("__h"))
       .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount)

@@ -932,12 +932,20 @@ object Graph {
       .select(col("id"), col("__dang"),
         coalesce(col("__seed"), lit(false)).as("__seed"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val nS = nodes.filter(col("__seed")).count()
+    // one crossed readout: total node count (broadcast gate) and seed
+    // count in a single cached-frame job (r19 — was two counts)
+    val cntRow = {
+      import graft.ops.Bounded._
+      nodes.agg(count(lit(1)).as("n"),
+          sum(when(col("__seed"), 1L).otherwise(0L)).as("ns"))
+        .collectBounded(1, "O(1) node/seed count readout").head
+    }
+    val nS = cntRow.getLong(1)
     require(nS > 0, "personalizedPageRank: no seed is a graph node")
     val spark = edges.sparkSession
     val bcastNodeLimit = spark.conf
       .get("spark.graft.broadcastNodeLimit", "4000000").toLong
-    val useBcast = nodes.count() <= bcastNodeLimit
+    val useBcast = cntRow.getLong(0) <= bcastNodeLimit
     val edged = {
       val degJ = if (useBcast) broadcast(deg) else deg
       val j = ePer.join(degJ, "src")

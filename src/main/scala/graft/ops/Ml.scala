@@ -173,27 +173,36 @@ object Ml {
     * `quantile_cont` bit-for-bit (q106 precedent). Empty input → NaNs. */
   private[graft] def exactQuantilesRankPick(df: DataFrame, c0: String,
                                             qs: Seq[Double]): Seq[Double] = {
+    // r19: the filtered column is scanned twice (count, then the range
+    // sort) — cache it for the pair; and give the sort the session's
+    // shuffle width explicitly (sortBy inherits the parent's partition
+    // count, which for a single-row-group parquet scan is ~1 real task —
+    // the 600k-row sort at sf0.1 ran effectively single-core).
     val vals = df.select(col(c0).cast(DoubleType))
       .filter(col(c0).isNotNull && !isnan(col(c0).cast(DoubleType)))
-    val n = vals.count()
-    if (n == 0) qs.map(_ => Double.NaN)
-    else {
-      val targets: Set[Long] = qs.flatMap { q =>
-        val p = q * (n - 1); Seq(p.floor.toLong, p.ceil.toLong)
-      }.toSet
-      val picked: Map[Long, Double] = vals.rdd.map(_.getDouble(0))
-        .sortBy(identity)
-        .zipWithIndex()
-        .filter { case (_, i) => targets.contains(i) }
-        .map(_.swap)
-        .collectBounded(64, "O(quantile targets)").toMap
-      qs.map { q =>
-        val p = q * (n - 1)
-        val lo = p.floor.toLong; val hi = p.ceil.toLong
-        if (hi == lo) picked(lo)
-        else (hi - p) * picked(lo) + (p - lo) * picked(hi)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val n = vals.count()
+      if (n == 0) qs.map(_ => Double.NaN)
+      else {
+        val targets: Set[Long] = qs.flatMap { q =>
+          val p = q * (n - 1); Seq(p.floor.toLong, p.ceil.toLong)
+        }.toSet
+        val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+        val picked: Map[Long, Double] = vals.rdd.map(_.getDouble(0))
+          .sortBy(identity, ascending = true, numPartitions = parts)
+          .zipWithIndex()
+          .filter { case (_, i) => targets.contains(i) }
+          .map(_.swap)
+          .collectBounded(64, "O(quantile targets)").toMap
+        qs.map { q =>
+          val p = q * (n - 1)
+          val lo = p.floor.toLong; val hi = p.ceil.toLong
+          if (hi == lo) picked(lo)
+          else (hi - p) * picked(lo) + (p - lo) * picked(hi)
+        }
       }
-    }
+    } finally { vals.unpersist(); () }
   }
 
   /** QUANTILE NORMALIZATION across groups — the cross-source curation
@@ -372,8 +381,15 @@ object Ml {
     val x = col(xCol).cast(DoubleType); val y = col(yCol).cast(DoubleType)
     val side = pmod(conv(substring(md5(concat_ws("#",
       splitCols.map(col): _*)), 1, 15), 16, 10).cast(LongType), lit(2L))
+    // r19: the cleaned frame feeds the train fit AND the calibration
+    // residuals — un-persisted, each re-ran the md5 split over the whole
+    // single-row-group scan on one core (two ~1.4 s jobs at sf0.1). A
+    // deterministic key repartition spreads the hash work across the
+    // session's shuffle width, and one materialized cache serves both.
     val clean = df.filter(x.isNotNull && !isnan(x) && y.isNotNull && !isnan(y))
+      .repartition(col(splitCols.head))
       .select(x.as("__x"), y.as("__y"), side.as("__side"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val tr = clean.filter(col("__side") === 0L)
       .agg(count(lit(1)).as("__n"),
         Reductions.isum(col("__x"), 6).as("__sx"),
@@ -405,10 +421,13 @@ object Ml {
     val qHat: Double =
       if (nCal == 0L) Double.NaN
       else cal.rdd.map(_.getDouble(0))
-        .sortBy(identity).zipWithIndex()
+        .sortBy(identity, ascending = true,
+          numPartitions = df.sparkSession.sessionState.conf.numShufflePartitions)
+        .zipWithIndex()
         .filter(_._2 == k - 1).map(_._1)
         .collectBounded(1, "one order statistic")(0)
     cal.unpersist()
+    clean.unpersist()
     val spark = df.sparkSession
     import spark.implicits._
     Seq((nTrain, nCal, slope, icept, k)).toDF(

@@ -2841,6 +2841,47 @@ object Stats {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = srcTot.count()
     require(k >= 1, "markovStationary: no transitions")
+    // r19 GATED LOCAL FAST PATH (the pageRankLocal / dedupGroupsLocal
+    // convention): the state space of a Markov chain over a categorical
+    // column is tiny (k = 4 event types at every SF here), yet the
+    // distributed power iteration scheduled ~40 sub-second jobs per call
+    // — pure driver/job overhead. For k ≤ 256 the O(k²) transition matrix
+    // is collected (bounded) and the SAME integer arithmetic replayed
+    // in-core with BigInt floor division — (π·n) div tot, then
+    // (Σ)·scale div total — bit-identical to the DECIMAL(38,0) plan,
+    // including the domain-shrink semantics (states with zero inflow drop
+    // out of π exactly as the inner joins drop them). k > 256 keeps the
+    // distributed loop untouched.
+    if (k <= 256) {
+      import graft.ops.Bounded._
+      val tRows = trans.select(col("src"), col("dst"), col("n"), col("tot"))
+        .collectBounded(256 * 256, "O(states²) transition matrix (k ≤ 256)")
+      val states = srcTot.select(col("src"))
+        .collectBounded(256, "O(states) source states").map(_.getString(0))
+      trans.unpersist(); srcTot.unpersist()
+      val sset = states.toSet
+      var pi: Map[String, BigInt] =
+        states.map(_ -> BigInt(scale / k)).toMap
+      for (_ <- 1 to rounds) {
+        val flowed = scala.collection.mutable.LinkedHashMap[String, BigInt]()
+        tRows.foreach { r =>
+          val src = r.getString(0); val dst = r.getString(1)
+          pi.get(src) match {
+            case Some(p) if sset.contains(dst) =>
+              val t = p * r.getLong(2) / r.getLong(3)
+              flowed(dst) = flowed.getOrElse(dst, BigInt(0)) + t
+            case _ => ()
+          }
+        }
+        val total = flowed.values.foldLeft(BigInt(0))(_ + _)
+        pi = flowed.iterator
+          .map { case (s, v) => s -> v * scale / total }.toMap
+      }
+      val spark = df.sparkSession
+      import spark.implicits._
+      return pi.toSeq.map { case (s, v) => (s, v.toLong) }
+        .sortBy(_._1).toDF("state", "pi")
+    }
     var pi = srcTot.select(col("src").as("state"),
       lit(scale / k).as("pi")).localCheckpoint(true)
     for (_ <- 1 to rounds) {
