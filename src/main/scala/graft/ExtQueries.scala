@@ -738,7 +738,10 @@ object ExtQueries {
     "q96_stream_hourly" -> { (s, dir) =>
       val table = graft.streaming.EventStream.runToMemorySink(
         graft.streaming.EventStream.hourlyCounts(s, dir),
-        s"q96_sink_${System.nanoTime()}", statePartitions = Some(8))
+        s"q96_sink_${System.nanoTime()}", statePartitions = Some(8),
+        // watermark-evicted open windows × event types: a fixed domain,
+        // not data-proportional — in-memory state provider (r20 gate)
+        boundedState = true)
       table.orderBy(col("bucket"), col("event_type"))
     },
 
@@ -2296,7 +2299,9 @@ object ExtQueries {
     "q187_stream_enrich" -> { (s, dir) =>
       val table = graft.streaming.EventStream.runToMemorySink(
         graft.streaming.EventStream.enrichedNationAgg(s, dir),
-        s"q187_sink_${System.nanoTime()}", statePartitions = Some(8))
+        s"q187_sink_${System.nanoTime()}", statePartitions = Some(8),
+        // nations × event types: a fixed domain — in-memory provider
+        boundedState = true)
       table.orderBy(col("c_nationkey"), col("event_type"))
     },
 
@@ -2465,7 +2470,10 @@ object ExtQueries {
     "q201_stream_sliding" -> { (s, dir) =>
       val table = graft.streaming.EventStream.runToMemorySink(
         graft.streaming.EventStream.slidingCounts(s, dir),
-        s"q201_sink_${System.nanoTime()}", statePartitions = Some(8))
+        s"q201_sink_${System.nanoTime()}", statePartitions = Some(8),
+        // watermark-evicted open sliding windows × event types: a fixed
+        // domain — in-memory provider (r20 gate)
+        boundedState = true)
       table.orderBy(col("bucket"), col("event_type"))
     },
 
@@ -3144,7 +3152,10 @@ object ExtQueries {
     "q264_stream_topn" -> { (s, dir) =>
       val sink = graft.streaming.EventStream.runToMemorySink(
         graft.streaming.EventStream.dailyTypeCounts(s, dir),
-        s"q264_sink_${System.nanoTime()}", statePartitions = Some(8))
+        s"q264_sink_${System.nanoTime()}", statePartitions = Some(8),
+        // watermark-evicted open daily windows × event types: a fixed
+        // domain — in-memory provider (r20 gate)
+        boundedState = true)
       val w = Window.partitionBy(col("day"))
         .orderBy(col("n").desc, col("event_type"))
       sink.withColumn("rnk", row_number().over(w))
@@ -3493,11 +3504,15 @@ object ExtQueries {
           (col("l_suppkey") * 2 + 1).as("snode"),
           floor(col("l_quantity")).cast(LongType).as("w"))
       // r19: persist the weighted edge frame — the source readout and the
-      // operator's edge build otherwise each re-derive it from parquet
-      val e = j.select(col("cnode").as("src"), col("snode").as("dst"),
-          col("w"))
-        .unionByName(j.select(col("snode").as("src"),
-          col("cnode").as("dst"), col("w")))
+      // operator's edge build otherwise each re-derive it from parquet.
+      // r20 (guide §2.4): both directions via explode — the self-union
+      // evaluated the orders⋈lineitem join once per branch per pass.
+      val e = j.select(explode(array(
+          struct(col("cnode").as("src"), col("snode").as("dst"), col("w")),
+          struct(col("snode").as("src"), col("cnode").as("dst"), col("w"))))
+          .as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"),
+          col("__e.w").as("w"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val source = e.agg(min(col("src")))
         .collectBounded(1, "O(1) SSSP source-node readout").head.getLong(0)

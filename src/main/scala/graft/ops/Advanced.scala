@@ -1086,48 +1086,61 @@ object Advanced {
     * Returns (item_a, item_b, n_pairs, n_a, n_b, conf_ab, conf_ba, lift)
     * with item_a < item_b.
     *
-    * Plan: items are DISTINCT per basket first (dup lines collapse), the
-    * pair frame is a basket-keyed self-join (a < b), then keyed counts.
-    * The pair frame is bounded by Σ_b k_b² over per-basket item counts —
-    * baskets are small by nature (an order has a handful of brands), but
-    * a degenerate giant basket (a reseller account, a crawler cart) makes
-    * one basket contribute k² pairs on its own: pass `maxBasketSize` to
-    * EXCLUDE such baskets up front (one keyed count + semi-join; the
-    * dropped-basket count is logged). Capped baskets leave the support
-    * denominator too, keeping confidences consistent. */
+    * Plan (r20, guide §2.4 remove shuffles outright): ONE keyed
+    * aggregation builds each basket's SORTED distinct item array
+    * (collect_set dedups duplicate lines; sort_array pins the binary
+    * string order the old `item_a < item_b` self-join filter used), and
+    * pairs are generated in-place by a position explode against the
+    * array's tail — no basket-keyed self-join, no separate per-basket
+    * distinct, no basket-keyed cache (the r19 re-keyed cache's inflated
+    * size statistics flipped downstream joins to SortMergeJoin and
+    * anti-scaled with core count: driver-measured 19.1 s @32c vs 1.4 s
+    * @8c vs 2.6 s isolated — VERDICT r19 item 1). The pair frame is
+    * still bounded by Σ_b k_b² over per-basket item counts — baskets are
+    * small by nature (an order has a handful of brands), but a
+    * degenerate giant basket (a reseller account, a crawler cart) makes
+    * one basket contribute k² pairs (and an O(k_b) array) on its own:
+    * pass `maxBasketSize` to EXCLUDE such baskets up front (now a plain
+    * size(items) filter; the dropped-basket count is logged). Capped
+    * baskets leave the support denominator too, keeping confidences
+    * consistent. */
   def assocRules(df: org.apache.spark.sql.DataFrame, basketCol: String,
                  itemCol: String, minSupportPct: Int,
                  maxBasketSize: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     require(minSupportPct >= 1 && minSupportPct <= 100)
     require(maxBasketSize.forall(_ >= 2), "maxBasketSize must be >= 2")
-    val bi0 = df
+    val baskets0 = df
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__b"), col(itemCol).cast("string").as("__i"))
-      .distinct()
-    val bi = (maxBasketSize match {
-      case None => bi0
+      .groupBy(col("__b"))
+      .agg(sort_array(collect_set(col("__i"))).as("__items"))
+    val bk = (maxBasketSize match {
+      case None => baskets0
       case Some(cap) =>
-        val sizes = bi0.groupBy(col("__b")).agg(count(lit(1)).as("__k"))
-        val dropped = sizes.filter(col("__k") > cap)
-        val nDropped = dropped.count() // O(1) readout; frame is keyed counts
+        val nDropped = baskets0.filter(size(col("__items")) > cap).count()
         if (nDropped > 0)
           System.err.println(
             s"[graft] assocRules: excluded $nDropped basket(s) larger than " +
               s"$cap items (wedge-bound cap)")
-        bi0.join(sizes.filter(col("__k") <= cap).select(col("__b")),
-          Seq("__b"), "left_semi")
+        baskets0.filter(size(col("__items")) <= cap)
     })
-      // r19: key the cache by the basket key — the pair self-join below and
-      // the nBaskets distinct then run exchange-free on the cache's own
-      // hash(__b) partitioning (measured q194 3.17 -> 2.58 s at sf0.1)
-      .repartition(col("__b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nBaskets = bi.select(col("__b")).distinct().count()
-    val itemCnt = bi.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
-    val pairs = bi.select(col("__b"), col("__i").as("item_a"))
-      .join(bi.select(col("__b"), col("__i").as("item_b")), "__b")
-      .filter(col("item_a") < col("item_b"))
+    // three consumers off one materialized basket cache: the O(1)
+    // denominator count, the per-item basket counts, the pair counts
+    val nBaskets = bk.count()
+    val itemCnt = bk.select(explode(col("__items")).as("__i"))
+      .groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    // all within-basket pairs (i < j) straight off the sorted array:
+    // item_a at 0-based position p pairs with the slice starting at
+    // 1-based position p+2 — ascending order ⇒ item_a < item_b exactly
+    // as the old join filter decided it (binary string comparison)
+    val pairs = bk
+      .select(col("__items"),
+        posexplode(col("__items")).as(Seq("__p", "item_a")))
+      .select(col("item_a"),
+        explode(slice(col("__items"), col("__p") + lit(2),
+          size(col("__items")) - col("__p") - lit(1))).as("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_pairs"))
       .filter(col("n_pairs") * 100L >= lit(minSupportPct.toLong) * nBaskets)
@@ -1144,9 +1157,11 @@ object Advanced {
           .as("conf_ba"),
         (col("n_pairs").cast("double") * lit(nBaskets.toDouble) /
           (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    bi.unpersist()
+      // eager-materialize the O(rules) result so the basket cache can be
+      // RELEASED here (no session-lifetime persist leak — the ADVICE r19
+      // crossValidate pattern); callers read node-sized blocks
+      .localCheckpoint(true)
+    bk.unpersist()
     out
   }
 

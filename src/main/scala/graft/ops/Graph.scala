@@ -108,16 +108,6 @@ object Graph {
         col(dstCol).cast(LongType).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
     val e = if (dedupEdges) e0.distinct() else e0
-    // GATED small-graph fast path (the dedupGroupsLocal convention):
-    // when the caller states the graph is tiny (vocab graphs, fixture
-    // graphs), a distributed rank loop is pure job-scheduling overhead
-    // — each of the ~3·iters tiny-stage jobs costs more wall than the
-    // whole computation. The local loop replays the EXACT integer
-    // arithmetic of the distributed plan (floor divs in the same
-    // order), so results are bit-identical; the threshold check is one
-    // cheap count, paid only by callers who opt in.
-    if (localEdgeThreshold > 0L && e.count() <= localEdgeThreshold)
-      return pageRankLocal(e, iters, damp, localEdgeThreshold)
     // The edge list feeds FOUR derivations at build time (deg, the two
     // node-universe branches, edged). Un-persisted, each re-derives the
     // caller's upstream plan (for the trading graph: the orders⋈lineitem
@@ -125,6 +115,25 @@ object Graph {
     // at sf0.1 (guide §5: cache exactly the frame that is re-used).
     // Persisted here, released as soon as `edged` is materialized.
     val ePer = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val eCnt = ePer.count()
+    // GATED small-graph fast path (the dedupGroupsLocal convention):
+    // below max(caller threshold, spark.graft.localGraphEdgeLimit) the
+    // distributed rank loop is pure job-scheduling overhead — each of
+    // the ~3·iters tiny-stage jobs costs more wall than the whole
+    // computation (and the per-round broadcast cycles were measured to
+    // anti-scale with core count, r19 driver: 10.1 s @32c vs 2.7 s @8c).
+    // The local loop replays the EXACT integer arithmetic of the
+    // distributed plan (floor divs in the same order), so results are
+    // bit-identical (PageRankLocalParitySpec); the collect is bounded
+    // and reads the warm edge cache. See [[GraphLocal]] for the 100 TB
+    // honesty argument.
+    val localLimit = math.max(localEdgeThreshold,
+      GraphLocal.limit(edges.sparkSession))
+    if (localLimit > 0L && eCnt <= localLimit) {
+      val out = pageRankLocal(ePer, iters, damp, localLimit)
+      ePer.unpersist()
+      return out
+    }
     val deg = ePer.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // JOIN-STRATEGY GATE (r19 optimization, guide §3.1): the per-round
     // join carries a NODE-sized rank frame against the persisted EDGE
@@ -347,7 +356,18 @@ object Graph {
     val bcastNodeLimit = spark.conf
       .get("spark.graft.broadcastNodeLimit", "4000000").toLong
     val ePre = e1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val useBcast = ePre.count() <= bcastNodeLimit / 2
+    val eCnt = ePre.count()
+    // r20 gated local replay ([[GraphLocal]]): below the edge gate the
+    // whole round loop runs in-core off one bounded collect of the warm
+    // cache — same min-label/argmax integers (LabelPropLocalParitySpec).
+    val localLimit = GraphLocal.limit(spark)
+    if (localLimit > 0L && eCnt <= localLimit) {
+      val arr = GraphLocal.collectEdges(ePre, localLimit,
+        "gated local labelPropagation replay")
+      ePre.unpersist()
+      return GraphLocal.labelPropagation(spark, arr, iters)
+    }
+    val useBcast = eCnt <= bcastNodeLimit / 2
     val e = ePre
       .repartition(col(if (useBcast) "a" else "b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -530,7 +550,20 @@ object Graph {
         col("src") =!= col("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val useBcast = ePre.count() <= edges.sparkSession.conf
+    val eCnt = ePre.count()
+    // r20 gated local replay ([[GraphLocal]]): same md5 min-k sketch
+    // rounds and IEEE-double estimator sequence in-core off one bounded
+    // collect (KmvGraphLocalParitySpec) — the per-round kmv fold's
+    // distributed form is job-orchestration-bound below the gate.
+    val localLimit = GraphLocal.limit(edges.sparkSession)
+    if (localLimit > 0L && eCnt <= localLimit) {
+      val arr = GraphLocal.collectEdges(ePre, localLimit,
+        "gated local harmonic-centrality replay")
+      ePre.unpersist()
+      return GraphLocal.harmonicCentralityKmv(edges.sparkSession, arr,
+        radius, k)
+    }
+    val useBcast = eCnt <= edges.sparkSession.conf
       .get("spark.graft.broadcastNodeLimit", "4000000").toLong / 2
     val nodes = ePre.select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct()
@@ -614,7 +647,31 @@ object Graph {
         col("src") =!= col("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val useBcast = ePre.count() <= edges.sparkSession.conf
+    val eCnt = ePre.count()
+    // shared readout tail: coverage + effective-diameter flag off the
+    // per-round (n, Σ floor(est·10⁶)) sums — identical for the local and
+    // distributed round machinery
+    def finish(sums: Seq[(Long, java.math.BigDecimal)]): DataFrame = {
+      val sMax = sums.last._2
+      val spark = edges.sparkSession
+      import spark.implicits._
+      sums.zipWithIndex.map { case ((n, s), r) =>
+        (r, n, s.doubleValue() / 1e6,
+          s.doubleValue() / sMax.doubleValue(),
+          s.multiply(java.math.BigDecimal.TEN)
+            .compareTo(sMax.multiply(new java.math.BigDecimal(9))) >= 0)
+      }.toDF("r", "n_nodes", "sum_ball", "coverage", "reaches_90pct")
+    }
+    // r20 gated local replay ([[GraphLocal]]): same sketch rounds and
+    // floor-scaled exact-decimal sums in-core (KmvGraphLocalParitySpec).
+    val localLimit = GraphLocal.limit(edges.sparkSession)
+    if (localLimit > 0L && eCnt <= localLimit) {
+      val arr = GraphLocal.collectEdges(ePre, localLimit,
+        "gated local neighborhood-function replay")
+      ePre.unpersist()
+      return finish(GraphLocal.neighborhoodSums(arr, radius, k))
+    }
+    val useBcast = eCnt <= edges.sparkSession.conf
       .get("spark.graft.broadcastNodeLimit", "4000000").toLong / 2
     val nodes = ePre.select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct()
@@ -665,15 +722,7 @@ object Graph {
     }
     lastCk.foreach(Checkpoints.releaseLocalCheckpoint)
     e.unpersist()
-    val sMax = sums.last._2
-    val spark = edges.sparkSession
-    import spark.implicits._
-    sums.toSeq.zipWithIndex.map { case ((n, s), r) =>
-      (r, n, s.doubleValue() / 1e6,
-        s.doubleValue() / sMax.doubleValue(),
-        s.multiply(java.math.BigDecimal.TEN)
-          .compareTo(sMax.multiply(new java.math.BigDecimal(9))) >= 0)
-    }.toDF("r", "n_nodes", "sum_ball", "coverage", "reaches_90pct")
+    finish(sums.toSeq)
   }
 
   /** k-core decomposition by iterative peeling: repeatedly drop nodes
@@ -919,9 +968,30 @@ object Graph {
     // broadcast below spark.graft.broadcastNodeLimit with the edge cache
     // keyed by the aggregation key (dst) so rounds are exchange-free.
     val ePer = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val deg = ePer.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val seedIds = seeds
       .select(col(seedCol).cast(LongType).as("id")).distinct()
+    // r20 gated local replay ([[GraphLocal]]): seeds are first
+    // intersected with the node universe (the operator ignores non-graph
+    // seeds anyway), so the seed collect is bounded by 2·|E| ≤ 2·gate.
+    // Same Long floor arithmetic as the distributed rounds
+    // (PprLocalParitySpec).
+    val eCntPre = ePer.count()
+    val localLimitPpr = GraphLocal.limit(edges.sparkSession)
+    if (localLimitPpr > 0L && eCntPre <= localLimitPpr) {
+      import graft.ops.Bounded._
+      val arr = GraphLocal.collectEdges(ePer, localLimitPpr,
+        "gated local personalized-pageRank replay")
+      val seedArr = seedIds
+        .join(ePer.select(explode(array(col("src"), col("dst"))).as("id"))
+          .distinct(), Seq("id"), "left_semi")
+        .collectBounded(math.min(2L * localLimitPpr, Int.MaxValue - 1L).toInt,
+          "pPR local replay seed set (⊆ node universe ≤ 2·|E|)")
+        .map(_.getLong(0)).toSet
+      ePer.unpersist()
+      return GraphLocal.personalizedPageRank(edges.sparkSession, arr,
+        seedArr, iters, damp)
+    }
+    val deg = ePer.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nodes = ePer.select(explode(array(
         struct(col("src").as("id"), lit(1).as("__o")),
         struct(col("dst").as("id"), lit(0).as("__o")))).as("n"))
@@ -1063,8 +1133,14 @@ object Graph {
       .select((col("o_custkey") * 2).as("cnode"),
         (col("l_suppkey") * 2 + 1).as("snode"))
       .distinct()
-    pairs.select(col("cnode").as("src"), col("snode").as("dst"))
-      .unionByName(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+    // r20 (guide §2.4): emit both directions by EXPLODING each distinct
+    // pair — the former self-union evaluated the orders⋈lineitem join +
+    // distinct once PER BRANCH in every consuming pass (the frame is
+    // lazy; most callers don't persist it). Same row set, one derivation.
+    pairs.select(explode(array(
+        struct(col("cnode").as("src"), col("snode").as("dst")),
+        struct(col("snode").as("src"), col("cnode").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   /** NEWMAN MODULARITY of a node partition — the "was this community
@@ -1105,10 +1181,21 @@ object Graph {
       .distinct()
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eCnt = e.count()
+    // r20 gated local replay ([[GraphLocal]]): plain BFS over the
+    // collected edge list — hop tags and early exit replay the
+    // distributed loop exactly (BfsSsspLocalParitySpec).
+    val localLimit = GraphLocal.limit(spark)
+    if (localLimit > 0L && eCnt <= localLimit) {
+      val arr = GraphLocal.collectEdges(e, localLimit,
+        "gated local BFS replay")
+      e.unpersist()
+      return GraphLocal.bfsDistances(spark, arr, sources, maxHops)
+    }
     // r19 (guide §3.1): frontier/visited frames are node-sized and
     // checkpointed (no stats) — unhinted, each hop re-sorted the |E|
     // cache for a SortMergeJoin. Broadcast both below the pageRank gate.
-    val useBcast = e.count() <= spark.conf
+    val useBcast = eCnt <= spark.conf
       .get("spark.graft.broadcastNodeLimit", "4000000").toLong / 2
     def hint(df: DataFrame): DataFrame = if (useBcast) broadcast(df) else df
     var visited = sources.distinct.toDF("id")
@@ -1241,7 +1328,43 @@ object Graph {
     // are broadcast (guide §3.1) below the pageRank gate, so the |E|-row
     // joins run map-side with no sort and no exchange.
     val labN = lab.count()
-    e.count()
+    val eCnt = e.count()
+    // r20 gated local replay ([[GraphLocal]]): the three aggregation
+    // passes over the |E| cache (intra join, degree pass, m2) collapse to
+    // one in-core fold below the edge gate — same Long counts, same
+    // floor-scaled isum(·,9) double sequence (ModularityLocalParitySpec).
+    // LONG-typed columns only, unique label ids only (a duplicated id
+    // multiplies the distributed joins — fall through rather than guess),
+    // nonempty labeled-degree mass (the degenerate empties keep the
+    // distributed plan's NULL semantics).
+    val localLimit = GraphLocal.limit(labels.sparkSession)
+    if (localLimit > 0L && eCnt > 0L && eCnt <= localLimit &&
+        labN <= 2L * localLimit &&
+        e.schema.forall(_.dataType == LongType) &&
+        lab.schema.forall(_.dataType == LongType)) {
+      import graft.ops.Bounded._
+      val eRows = e.collectBounded(
+        math.min(localLimit, Int.MaxValue - 1L).toInt,
+        "gated local modularity replay (edges)")
+      val labRows = lab
+        .collectBounded(math.min(2L * localLimit, Int.MaxValue - 1L).toInt,
+          "gated local modularity replay (labels ≤ 2·gate)")
+      // NULL ids/labels have engine-specific join/group semantics — keep
+      // the distributed plan for them rather than replicate
+      if (eRows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)) &&
+          labRows.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+        val eArr = eRows.map(r => (r.getLong(0), r.getLong(1)))
+        val labMap = new java.util.HashMap[Long, Long]()
+        labRows.foreach(r => labMap.put(r.getLong(0), r.getLong(1)))
+        if (labMap.size == labRows.length) {
+          val out = GraphLocal.modularity(labels.sparkSession, eArr, labMap)
+          if (out.isDefined) {
+            e.unpersist(); lab.unpersist()
+            return out.get
+          }
+        }
+      }
+    }
     val useBcast = labN <= labels.sparkSession.conf
       .get("spark.graft.broadcastNodeLimit", "4000000").toLong
     def side(f: DataFrame => DataFrame): DataFrame =
@@ -1337,9 +1460,21 @@ object Graph {
     // materialized copy for nothing.
     val eSrc = e0.repartition(col("src")).dropDuplicates("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = eSrc.count()
+    // r20 gated local replay ([[GraphLocal]]): BigInt walks the identical
+    // integer sequence of both the LONG and DECIMAL(38,0) widths
+    // (HitsLocalParitySpec) — below the gate the per-round max readout +
+    // checkpoint cycle is job-orchestration-bound.
+    val localLimitHits = GraphLocal.limit(edges.sparkSession)
+    if (localLimitHits > 0L && nEdges <= localLimitHits) {
+      val arr = GraphLocal.collectEdges(eSrc, localLimitHits,
+        "gated local HITS replay")
+      eSrc.unpersist()
+      return GraphLocal.hits(edges.sparkSession, arr, iters)
+    }
     val eDst = eSrc.repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEdges = eDst.count() // materializes both caches (eDst reads eSrc)
+    eDst.count() // materializes off the warm eSrc cache
     // r19 JOIN-STRATEGY GATE (the [[pageRank]] doctrine, guide §3.1):
     // score frames are node-sized and checkpointed (no stats), so the
     // planner kept re-sorting an |E| cache per half-round for an SMJ.
@@ -1457,10 +1592,24 @@ object Graph {
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eCnt = e.count()
+    // r20 gated local replay ([[GraphLocal]]): exact Long min/+
+    // relaxations over the collected min-collapsed edge list
+    // (BfsSsspLocalParitySpec).
+    val localLimit = GraphLocal.limit(spark)
+    if (localLimit > 0L && eCnt <= localLimit) {
+      import graft.ops.Bounded._
+      val arr = e.collectBounded(
+          math.min(localLimit, Int.MaxValue - 1L).toInt,
+          "gated local SSSP replay")
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      e.unpersist()
+      return GraphLocal.ssspWeighted(spark, arr, sources, rounds)
+    }
     // r19 (guide §3.1): the distance frame is node-sized and checkpointed
     // (no stats) — unhinted, every relaxation round re-sorted the |E|
     // cache for a SortMergeJoin. Broadcast it below the pageRank gate.
-    val useBcast = e.count() <= spark.conf
+    val useBcast = eCnt <= spark.conf
       .get("spark.graft.broadcastNodeLimit", "4000000").toLong / 2
     var dist = sources.distinct.toDF("id")
       .select(col("id").cast(LongType).as("id"), lit(0L).as("dist"))

@@ -106,16 +106,41 @@ object EventStream {
     * first start anyway; restoring keeps unrelated sessions explicit. */
   private[graft] val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-  private def withRocksDbState[T](spark: SparkSession)(f: => T): T = {
+
+  /** DOMAIN-BOUNDED-state provider gate (r20, VERDICT item 5). Streams
+    * whose state is bounded by a fixed DOMAIN — quantile bins, nation ×
+    * event-type cells, watermark-evicted open windows × types — hold O(k)
+    * rows per shard REGARDLESS of data volume: at 100 TB exactly as at
+    * sf0.1, the state store contains the same handful of keys, so the
+    * "state scales with disk, not heap" argument for RocksDB does not
+    * apply and every run pays the per-shard native store open/commit for
+    * nothing (measured r18/r19: ~1–2 s per streaming query of RocksDB
+    * instance setup). Those streams declare `boundedState = true` and run
+    * on the in-memory HDFSBacked provider; DATA-PROPORTIONAL state
+    * (per-user sessions, dedup fingerprints, stream-stream join buffers)
+    * keeps RocksDB unconditionally. `spark.graft.boundedStateProvider`
+    * (values: memory | rocksdb, default memory) lets a deployment force
+    * RocksDB back on for the bounded tier too. */
+  private[graft] val HdfsBackedProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+  private def stateProvider(spark: SparkSession, boundedState: Boolean): String =
+    if (boundedState && spark.conf
+          .get("spark.graft.boundedStateProvider", "memory") != "rocksdb")
+      HdfsBackedProvider
+    else RocksDbProvider
+  private def withStateProvider[T](spark: SparkSession, provider: String)(
+      f: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
-    spark.conf.set(key, RocksDbProvider)
+    spark.conf.set(key, provider)
     try f
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
   }
+  private def withRocksDbState[T](spark: SparkSession)(f: => T): T =
+    withStateProvider(spark, RocksDbProvider)(f)
 
   /** Streaming SLIDING-window counts (2 h windows advancing hourly) with
     * a watermark — each event lands in two overlapping windows, the
@@ -377,19 +402,21 @@ object EventStream {
       .select(graft.ops.Stats.psiBin(x, edges).as("__bin"))
       .groupBy(col("__bin")).agg(count(lit(1)).as("__c"))
     val curTable = runToMemorySink(curStream,
-      s"psi_drift_${System.nanoTime()}", statePartitions = Some(8))
+      s"psi_drift_${System.nanoTime()}", statePartitions = Some(8),
+      boundedState = true) // state = `bins` longs, a fixed domain
       .select(lit("cur").as("__side"), col("__bin"), col("__c"))
     graft.ops.Stats.psiFromCounts(refCounts.unionByName(curTable), bins)
   }
 
   def runToMemorySink(df: DataFrame, name: String,
                       mode: OutputMode = OutputMode.Complete(),
-                      statePartitions: Option[Int] = None): DataFrame = {
+                      statePartitions: Option[Int] = None,
+                      boundedState: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
-    try withRocksDbState(spark) {
+    try withStateProvider(spark, stateProvider(spark, boundedState)) {
       val q: StreamingQuery = df.writeStream
         .outputMode(mode)
         .format("memory").queryName(name)

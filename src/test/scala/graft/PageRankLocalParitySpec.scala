@@ -15,9 +15,13 @@ class PageRankLocalParitySpec extends SparkSuite {
   private def both(edges: Seq[(Long, Long)], iters: Int, damp: Int,
                    dedup: Boolean = true): (Map[Long, Long], Map[Long, Long]) = {
     val df = edges.toDF("s", "d")
-    val dist = Graph.pageRank(df, "s", "d", iters = iters, damp = damp,
+    // r20: the conf gate would route the un-thresholded call local too —
+    // force the distributed loop for the parity baseline
+    spark.conf.set("spark.graft.localGraphEdgeLimit", "0")
+    val dist = try Graph.pageRank(df, "s", "d", iters = iters, damp = damp,
         dedupEdges = dedup)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.localGraphEdgeLimit")
     val local = Graph.pageRank(df, "s", "d", iters = iters, damp = damp,
         dedupEdges = dedup, localEdgeThreshold = 1L << 20)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
