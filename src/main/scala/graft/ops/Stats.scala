@@ -3129,6 +3129,37 @@ object Stats {
   def periodogram(df: DataFrame, orderCols: Seq[String], valueCol: String,
                   maxK: Int = 6, maxSeriesRows: Long = 1L << 22): DataFrame = {
     require(maxK >= 1, s"maxK=$maxK")
+    // r20 gated local replay (the markovStationary convention, guide
+    // §1.2/§7.3): this operator's input is BY CONTRACT a bounded
+    // O(time-range) series, yet the distributed form pays driver-side
+    // analysis + whole-stage codegen of 2·maxK Taylor–Horner aggregate
+    // trees on every run (profiled: q357 8.3 s cold / ~2 s warm, of
+    // which jobs are <1 s). Below spark.graft.localSeriesLimit (default
+    // = the operator's own 4M-row series contract) the ordered series is
+    // collected once and the IDENTICAL double sequence — integer phase,
+    // quadrant reduction, Taylor–Horner, floor-scaled 10⁶ sums — runs
+    // in-core (PeriodogramLocalParitySpec asserts bit parity; the
+    // declared-query oracles replay unchanged). Above the gate the
+    // distributed plan (with its in-plan seriesBound guard) is kept.
+    val localLimit = math.min(df.sparkSession.conf
+      .get("spark.graft.localSeriesLimit", (1L << 22).toString).toLong,
+      maxSeriesRows)
+    if (localLimit > 0L) {
+      import graft.ops.Bounded._
+      val cap = math.min(localLimit, Int.MaxValue - 2L).toInt
+      val taken = df.orderBy(orderCols.map(col): _*)
+        .select(col(valueCol).cast(DoubleType))
+        .limit(cap + 1)
+        .collectBounded(cap + 1,
+          "gated local periodogram series (≤ gate+1 by the plan limit; " +
+            "gate+1 rows ⇒ fall through to the distributed plan)")
+      if (taken.length <= cap)
+        return periodogramLocal(df.sparkSession,
+          taken.map(r => if (r.isNullAt(0)) null
+            else java.lang.Double.valueOf(r.getDouble(0))), maxK)
+      // over the gate: fall through — the distributed plan's
+      // seriesBound still enforces the contract loudly
+    }
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(orderCols.map(col): _*)
     val base = df
@@ -3203,6 +3234,59 @@ object Stats {
   private def horner(w: Column, coeffs: Seq[Double]): Column =
     coeffs.reverse.tail.foldLeft(lit(coeffs.last): Column)(
       (acc, a) => lit(a) + w * acc)
+
+  private def hornerD(w: Double, coeffs: Seq[Double]): Double =
+    coeffs.reverse.tail.foldLeft(coeffs.last)((acc, a) => a + w * acc)
+
+  /** In-core replay of [[periodogram]]'s exact arithmetic over the
+    * collected series (t order = the window's total order): per (k, t)
+    * the same integer phase / quadrant / Taylor–Horner doubles, per k
+    * the same floor-scaled 10⁶ sums (nulls skipped, rows still counted),
+    * powers squared in the same order. Null power when a sum had no
+    * terms — the distributed aggregate's null semantics. */
+  private def periodogramLocal(spark: org.apache.spark.sql.SparkSession,
+                               xs: Array[java.lang.Double],
+                               maxK: Int): DataFrame = {
+    val n = xs.length.toLong
+    val rows = (1 to maxK).map { k =>
+      var accC = BigInt(0); var accS = BigInt(0); var any = false
+      var t = 0L
+      while (t < n) {
+        val xv = xs(t.toInt)
+        if (xv != null) {
+          any = true
+          val x = xv.doubleValue()
+          val m = ((k.toLong * t) % n + n) % n // pmod, non-negative here
+          val p = m.toDouble / n.toDouble
+          val q = math.floor(p * 4.0).toLong
+          val z = (2.0 * math.Pi) * (p - q.toDouble / 4.0)
+          val w2 = z * z
+          val cp = 1.0 + w2 * hornerD(w2, CosCoef)
+          val sp = z * (1.0 + w2 * hornerD(w2, SinCoef))
+          val cv = if (q == 0L) cp else if (q == 1L) -sp
+            else if (q == 2L) -cp else sp
+          val sv = if (q == 0L) sp else if (q == 1L) cp
+            else if (q == 2L) -sp else -cp
+          accC += BigInt(math.floor((x * cv) * 1e6).toLong)
+          accS += BigInt(math.floor((x * sv) * 1e6).toLong)
+        }
+        t += 1L
+      }
+      val power: java.lang.Double =
+        if (!any) null
+        else {
+          val c = new java.math.BigDecimal(accC.bigInteger).doubleValue() / 1e6
+          val s = new java.math.BigDecimal(accS.bigInteger).doubleValue() / 1e6
+          java.lang.Double.valueOf(c * c + s * s)
+        }
+      org.apache.spark.sql.Row(k, n, power)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("k", IntegerType, nullable = false),
+        StructField("n", LongType, nullable = false),
+        StructField("power", DoubleType, nullable = true))))
+  }
 
   /** FANO FACTOR (burstiness index) per category over fixed time
     * buckets: F = Var(count)/Mean(count) across buckets — 1 for a
@@ -5050,6 +5134,49 @@ object Stats {
     val pg = materializeSmall(
       periodogram(df, orderCols, valueCol, maxK, maxSeriesRows),
       maxK, "spectralEntropy periodogram")
+    // r20 gated local tail (same gate as periodogram's replay): the
+    // entropy readout is four tiny plans over an O(maxK) literal frame —
+    // pure analysis/scheduling. Fold it in-core with the identical
+    // floor-scaled sums; 0 disables for the parity spec.
+    if (df.sparkSession.conf
+          .get("spark.graft.localSeriesLimit", (1L << 22).toString)
+          .toLong > 0L) {
+      import graft.ops.Bounded._
+      val rows = pg.collectBounded(maxK, "O(maxK) spectral-entropy readout")
+      val nVal = rows.map(_.getLong(1)).max
+      val powers = rows.collect {
+        case r if !r.isNullAt(2) => r.getDouble(2)
+      }
+      val tp: java.lang.Double =
+        if (powers.isEmpty) null
+        else java.lang.Double.valueOf(new java.math.BigDecimal(
+          powers.map(p => BigInt(math.floor(p * 1e6).toLong)).sum.bigInteger)
+          .doubleValue() / 1e6)
+      val hTerms = powers.filter(p => p > 0.0 && tp != null && tp > 0.0)
+        .map { p0 =>
+          val p = p0 / tp.doubleValue()
+          BigInt(math.floor((-p * math.log(p)) * 1e9).toLong)
+        }
+      val h: java.lang.Double =
+        if (hTerms.isEmpty) null
+        else java.lang.Double.valueOf(new java.math.BigDecimal(
+          hTerms.sum.bigInteger).doubleValue() / 1e9)
+      val tpPos = tp != null && tp.doubleValue() > 0.0
+      val se: java.lang.Double = if (tpPos) h else null
+      val hn: java.lang.Double =
+        if (tpPos && h != null)
+          java.lang.Double.valueOf(h.doubleValue() / math.log(maxK.toDouble))
+        else null
+      val spark = df.sparkSession
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(org.apache.spark.sql.Row(nVal, maxK, tp, se, hn)), 1),
+        StructType(Seq(StructField("n", LongType, nullable = true),
+          StructField("k_max", IntegerType, nullable = false),
+          StructField("total_power", DoubleType, nullable = true),
+          StructField("spectral_entropy", DoubleType, nullable = true),
+          StructField("h_norm", DoubleType, nullable = true))))
+    }
     val tot = pg.agg(max(col("n")).as("n"),
       fs(col("power"), 6).as("total_power"))
     val p = col("power") / col("__tp")
