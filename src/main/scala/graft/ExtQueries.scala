@@ -3503,6 +3503,12 @@ object ExtQueries {
         .select((col("o_custkey") * 2).as("cnode"),
           (col("l_suppkey") * 2 + 1).as("snode"),
           floor(col("l_quantity")).cast(LongType).as("w"))
+        // r20 (guide §2.3 aggregate before you shuffle): collapse to the
+        // per-pair min BEFORE doubling the rows — the operator's own
+        // per-directed-pair min-collapse then aggregates min-of-min, the
+        // identical integer (both directions of a pair carry the same
+        // weight set)
+        .groupBy(col("cnode"), col("snode")).agg(min(col("w")).as("w"))
       // r19: persist the weighted edge frame — the source readout and the
       // operator's edge build otherwise each re-derive it from parquet.
       // r20 (guide §2.4): both directions via explode — the self-union

@@ -1175,23 +1175,29 @@ object Graph {
     require(sources.nonEmpty && maxHops >= 0, s"maxHops=$maxHops")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+    // gate BEFORE the src re-key (r20): the local path reads the frame
+    // once — paying the repartition exchange inside its collect lineage
+    // bought nothing (guide §2.4)
+    val eBase = edges.select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val eCnt = e.count()
+    val eCnt = eBase.count()
     // r20 gated local replay ([[GraphLocal]]): plain BFS over the
     // collected edge list — hop tags and early exit replay the
     // distributed loop exactly (BfsSsspLocalParitySpec).
     val localLimit = GraphLocal.limit(spark)
     if (localLimit > 0L && eCnt <= localLimit) {
-      val arr = GraphLocal.collectEdges(e, localLimit,
+      val arr = GraphLocal.collectEdges(eBase, localLimit,
         "gated local BFS replay")
-      e.unpersist()
+      eBase.unpersist()
       return GraphLocal.bfsDistances(spark, arr, sources, maxHops)
     }
+    val e = eBase.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count() // materialize off the warm eBase cache, then release it
+    eBase.unpersist()
     // r19 (guide §3.1): frontier/visited frames are node-sized and
     // checkpointed (no stats) — unhinted, each hop re-sorted the |E|
     // cache for a SortMergeJoin. Broadcast both below the pageRank gate.
@@ -1584,28 +1590,34 @@ object Graph {
     require(sources.nonEmpty && rounds >= 1, s"rounds=$rounds")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+    // gate BEFORE the src re-key (r20): the local path reads the frame
+    // once — paying the repartition exchange inside its collect lineage
+    // bought nothing (guide §2.4)
+    val eBase = edges.select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"),
         col(weightCol).cast(LongType).as("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("w").isNotNull)
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
-      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val eCnt = e.count()
+    val eCnt = eBase.count()
     // r20 gated local replay ([[GraphLocal]]): exact Long min/+
     // relaxations over the collected min-collapsed edge list
     // (BfsSsspLocalParitySpec).
     val localLimit = GraphLocal.limit(spark)
     if (localLimit > 0L && eCnt <= localLimit) {
       import graft.ops.Bounded._
-      val arr = e.collectBounded(
+      val arr = eBase.collectBounded(
           math.min(localLimit, Int.MaxValue - 1L).toInt,
           "gated local SSSP replay")
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      e.unpersist()
+      eBase.unpersist()
       return GraphLocal.ssspWeighted(spark, arr, sources, rounds)
     }
+    val e = eBase.repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count() // materialize off the warm eBase cache, then release it
+    eBase.unpersist()
     // r19 (guide §3.1): the distance frame is node-sized and checkpointed
     // (no stats) — unhinted, every relaxation round re-sorted the |E|
     // cache for a SortMergeJoin. Broadcast it below the pageRank gate.
